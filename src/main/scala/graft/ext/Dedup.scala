@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines (north
+  * star, SURVEY §7.6). Four families, in increasing scalability:
+  *
+  *  - [[exact]]: hash-groupBy on a content fingerprint — one shuffle on the
+  *    16-byte digest, the 100 TB workhorse.
+  *  - [[ngramJaccardPairs]]: exact n-gram Jaccard via an inverted-index
+  *    self-join — exact but quadratic in colliding docs; the correctness
+  *    oracle for the sketch-based variants.
+  *  - [[minhashLshPairs]]: MinHash signatures + banded LSH — candidate
+  *    generation is linear in input + band collisions; the scale path.
+  *  - [[simhashPairs]]: 64-bit SimHash + 16-bit-block LSH for near-identical
+  *    text (small Hamming radius).
+  *  - [[embeddingCosinePairs]]: embedding-cosine near-dup pairs (brute-force;
+  *    see [[Similarity]] for the bucketed scale path).
+  *
+  * All are pure column-expression plans (no UDFs): whole-stage codegen end to
+  * end, deterministic under any partitioning.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint -> keeper id + duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-grams per doc: (id, gram). */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(wordNgrams(col("w"), n)).as("g"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing at least one gram.
+    * Output: id_a < id_b, jaccard >= threshold.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docGrams(docs, idCol, textCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = grams.toDF("id_a", "g")
+    val b = grams.toDF("id_b", "g")
+    val inter = a
+      .join(b, a("g") === b("g") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+    inter
+      .join(sizes.toDF("id_a", "sa"), "id_a")
+      .join(sizes.toDF("id_b", "sb"), "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns: min over salted xxhash64 of each doc's grams.
+    * Salting with the hash index (instead of affine permutations) keeps the
+    * whole signature a single groupBy of `numHashes` min-aggregates.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docGrams(docs, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+    grams.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-dup candidate pairs with estimated Jaccard
+    * (fraction of matching signature components). `numHashes` must be
+    * divisible by `bands`; rows-per-band = numHashes / bands.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(bandKeys: _*)).as("bk"))
+
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x).cast("double") / numHashes
+
+    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc from token hashes (sign of per-bit +-1 vote sums). */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val sig = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*).select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius, via 16-bit-block LSH
+    * (Hamming distance <= 3 guarantees at least one of the 4 blocks equal).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("block"), shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("key")))
+    val banded = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("bk"))
+    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force, exact). Norms are
+    * precomputed once per side. Quadratic: use for <= ~10^5 vectors or as the
+    * verifier for LSH/IVF candidates at scale.
+    */
+  def embeddingCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = embeddings.select(
+      col(idCol).as("id"),
+      toDoubleArray(col(vecCol)).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+    val a = n.toDF("id_a", "e_a", "nrm_a")
+    val b = n.toDF("id_b", "e_b", "nrm_b")
+    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
+    a.join(b, a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

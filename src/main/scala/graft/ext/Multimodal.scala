@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.Metric
+
+/** Multimodal column plumbing (north star, SURVEY §7.6): image/audio/video
+  * travel as opaque `binary` columns with a typed metadata struct; decoding
+  * and feature extraction run batch-wise per partition.
+  *
+  * The actual codec step is a STUB (this container ships no image/audio
+  * libraries): [[DecodedFeatures]] are a deterministic function of the bytes,
+  * clearly marked below. Everything Spark-side — schema, binary columns,
+  * partition-batched iteration, output shape — is real and tested; swapping
+  * the stub for a JNI/ONNX decoder changes only `decodeStub`.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct to a text-bearing table
+    * (bytes = UTF-8 of the text here; in production the binary comes from the
+    * source parquet/blob store directly).
+    */
+  def attachBinary(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        hex(substring(col(textCol), 1, 8).cast("binary")).as("header_hex"),
+        lit("application/octet-stream").as("mime")).as("meta"))
+
+  final case class DecodedFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int, // stub: derived, stands in for decoded image width
+      height: Int, // stub: derived, stands in for decoded image height
+      features: Array[Float]) // stub: 8-dim byte-statistics "embedding"
+
+  /** ======== STUB decode ========
+    * Deterministic fake decoder: byte statistics instead of pixel decoding.
+    * Real implementation would hand `bytes` to an image/audio codec here.
+    */
+  private def decodeStub(id: Long, bytes: Array[Byte]): DecodedFeatures = {
+    val n = bytes.length
+    val dim = 8
+    val sums = new Array[Long](dim)
+    var i = 0
+    while (i < n) { sums(i % dim) += bytes(i) & 0xff; i += 1 }
+    val feats = sums.map(s => if (n == 0) 0f else (s.toDouble / n).toFloat)
+    DecodedFeatures(id, n.toLong, width = (n % 640) + 1, height = (n % 480) + 1, feats)
+  }
+
+  /** Partition-batched decode + feature extraction: the Scala analog of a
+    * `mapInPandas` batch UDF — one decoder instance per partition, iterator
+    * in / iterator out, constant memory.
+    */
+  def decodeFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[DecodedFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (expensive init amortized)
+        it.map { case (id, bytes) => decodeStub(id, Option(bytes).getOrElse(Array.empty)) }
+      }
+  }
+}

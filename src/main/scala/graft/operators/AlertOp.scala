@@ -1,0 +1,101 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.PipelineConfig
+import graft.model.{Alert, Baseline, BaselineOrAggregate, WindowAggregate}
+
+/** Latest-baseline enrichment + alerting (O9/O10/O11,
+  * /root/reference/src/flinkarima.py:284-376).
+  *
+  * The reference physically broadcasts every baseline to all alert instances
+  * and keeps a `node_id -> latest baseline` map in broadcast state. That is a
+  * Flink API artifact: both streams are keyed by the SAME key, so the
+  * Spark-native form co-partitions them — union the tagged streams and hold
+  * only this key's latest baseline in keyed state (strictly less data
+  * movement at scale than a broadcast; SURVEY §7.5.2).
+  *
+  * Within a micro-batch, elements are processed in event-time order with
+  * aggregates before baselines at equal timestamps — in the reference the raw
+  * path is one map shorter than the SARIMAX path, so an aggregate is alerted
+  * against the PREVIOUS baseline, not the one it itself triggers.
+  */
+object AlertOp {
+
+  /** Wrapper so GroupState has a product-encodable shape. */
+  final case class LatestBaseline(baseline: Option[Baseline])
+
+  def tag(aggregates: Dataset[WindowAggregate], baselines: Dataset[Baseline]): Dataset[BaselineOrAggregate] = {
+    import aggregates.sparkSession.implicits._
+    val aggTagged = aggregates.map(a => BaselineOrAggregate(a.nodeId, a.eventTime, isBaseline = false, Some(a), None))
+    val baseTagged = baselines.map(b => BaselineOrAggregate(b.nodeId, b.eventTime, isBaseline = true, None, Some(b)))
+    aggTagged.union(baseTagged)
+  }
+
+  def apply(tagged: Dataset[BaselineOrAggregate], cfg: PipelineConfig): Dataset[Alert] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_.nodeId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup(cfg) _)
+  }
+
+  def processGroup(cfg: PipelineConfig)(
+      key: String,
+      rows: Iterator[BaselineOrAggregate],
+      state: GroupState[LatestBaseline]): Iterator[Alert] = {
+    var latest = state.getOption.getOrElse(LatestBaseline(None)).baseline
+    val out = ArrayBuffer.empty[Alert]
+    rows.toArray.sortBy(r => (r.eventTime, r.isBaseline)).foreach { row =>
+      if (row.isBaseline) {
+        // skip baselines without a node id (flinkarima.py:368-370)
+        row.baseline.foreach(b => if (b.nodeId.nonEmpty) latest = Some(b))
+      } else {
+        row.aggregate.foreach { aggRow =>
+          check(cfg, aggRow, latest).foreach(out += _)
+        }
+      }
+    }
+    state.update(LatestBaseline(latest))
+    out.iterator
+  }
+
+  /** Alert math — exact port of flinkarima.py:301-360. No baseline yet for the
+    * key => no alert (:313-316); pct guarded by `baseline >= min_baseline`
+    * (:324-326); z guarded by `std > 0` (:327-329); z-reason takes priority
+    * over pct-reason (:331-340); severity high iff |z| >= 2 * z_threshold
+    * (:346).
+    */
+  def check(cfg: PipelineConfig, aggRow: WindowAggregate, latest: Option[Baseline]): Option[Alert] =
+    latest.flatMap { b =>
+      val observed = aggRow.cpu
+      val deviation = observed - b.baselineCpu
+      val pctDeviation =
+        if (b.baselineCpu >= cfg.alertMinBaseline) deviation / b.baselineCpu * 100.0 else 0.0
+      val zScore = if (b.runningStd > 0.0) deviation / b.runningStd else 0.0
+
+      val reason: Option[String] =
+        if (math.abs(zScore) >= cfg.alertZThreshold)
+          Some(f"z_score=$zScore%.2f exceeds threshold=${cfg.alertZThreshold}")
+        else if (math.abs(pctDeviation) >= cfg.alertPctThreshold)
+          Some(f"pct_deviation=$pctDeviation%.2f%% exceeds threshold=${cfg.alertPctThreshold}%%")
+        else None
+
+      reason.map { r =>
+        Alert(
+          nodeId = aggRow.nodeId,
+          alertType = "cpu_deviation",
+          severity = if (math.abs(zScore) >= cfg.alertZThreshold * 2) "high" else "medium",
+          observedCpu = observed,
+          baselineCpu = b.baselineCpu,
+          deviation = deviation,
+          pctDeviation = pctDeviation,
+          zScore = zScore,
+          alertReason = r,
+          eventTime = aggRow.eventTime,
+          baselineEventTime = b.eventTime)
+      }
+    }
+}

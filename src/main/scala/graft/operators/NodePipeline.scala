@@ -1,0 +1,91 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.PipelineConfig
+import graft.model._
+
+/** Fused per-key streaming pipeline: tumbling-window aggregation + SARIMAX
+  * baseline + latest-baseline alerting in ONE keyed stateful operator.
+  *
+  * Why fused: Structured Streaming does not allow
+  * `flatMapGroupsWithState` to be chained after a streaming aggregation in the
+  * same query, and every stage of the reference job
+  * (/root/reference/src/flinkarima.py:392-476) is keyed by the same
+  * `node_id` — the dataflow is logically one keyed pipeline (the broadcast
+  * edge is a Flink API artifact, see [[AlertOp]]). Fusing gives a single
+  * shuffle on `node_id` and a single state store — less data movement than
+  * the reference's two hash exchanges + broadcast.
+  *
+  * Window semantics: event-time tumbling windows; a window for a key is
+  * finalized when a later-window record for that key arrives (zero-lateness
+  * watermark analog; SURVEY §1.4). Late records (earlier than the open
+  * window) are dropped. Outputs are the reference's two JSON payload streams
+  * (baselines + alerts) tagged by `kind` (flinkarima.py:471-474 prints both).
+  *
+  * The modular [[WindowAgg]] + [[BaselineOp]] + [[AlertOp]] operators remain
+  * available for batch analytics and independent streaming use.
+  */
+object NodePipeline {
+
+  def apply(metrics: Dataset[Metric], cfg: PipelineConfig): Dataset[PipelineOutput] = {
+    import metrics.sparkSession.implicits._
+    metrics
+      .groupByKey(_.nodeId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup(cfg) _)
+  }
+
+  def processGroup(cfg: PipelineConfig)(
+      key: String,
+      rows: Iterator[Metric],
+      state: GroupState[NodePipelineState]): Iterator[PipelineOutput] = {
+    var st = state.getOption.getOrElse(NodePipelineState.empty)
+    val out = ArrayBuffer.empty[PipelineOutput]
+    val windowMs = cfg.windowMillis
+
+    def finalizeWindow(ow: OpenWindow): Unit = {
+      val eventTime = if (ow.maxTs == 0L) ow.windowStart + windowMs else ow.maxTs
+      val aggRow = WindowAggregate(key, ow.sum / ow.count, eventTime)
+      // alert FIRST against the previous baseline (the raw path is shorter
+      // than the SARIMAX path in the reference; see AlertOp ordering note)
+      AlertOp.check(cfg, aggRow, st.latestBaseline).foreach { a =>
+        out += PipelineOutput("alert", key, a.eventTime, alertJson(a))
+      }
+      val (nodeNext, emitted) = BaselineOp.step(cfg, st.node, aggRow)
+      emitted.foreach { b =>
+        out += PipelineOutput("baseline", key, b.eventTime, b.toJson)
+      }
+      st = st.copy(node = nodeNext, latestBaseline = emitted.orElse(st.latestBaseline))
+    }
+
+    rows.toArray.sortBy(_.eventTime).foreach { m =>
+      val ws = math.floorDiv(m.eventTime, windowMs) * windowMs
+      st.open match {
+        case Some(ow) if ow.windowStart == ws =>
+          st = st.copy(open = Some(OpenWindow(ws, ow.sum + m.cpu, ow.count + 1, math.max(ow.maxTs, m.eventTime))))
+        case Some(ow) if ws > ow.windowStart =>
+          finalizeWindow(ow)
+          st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+        case Some(_) => // late record for an already-finalized window: drop
+        case None =>
+          st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+      }
+    }
+
+    state.update(st)
+    out.iterator
+  }
+
+  private def alertJson(a: Alert): String = {
+    def num(d: Double): String =
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    s"""{"node_id": "${a.nodeId}", "alert_type": "${a.alertType}", "severity": "${a.severity}", """ +
+      s""""observed_cpu": ${num(a.observedCpu)}, "baseline_cpu": ${num(a.baselineCpu)}, """ +
+      s""""deviation": ${num(a.deviation)}, "pct_deviation": ${num(a.pctDeviation)}, """ +
+      s""""z_score": ${num(a.zScore)}, "alert_reason": "${a.alertReason}", """ +
+      s""""event_time": ${a.eventTime}, "baseline_event_time": ${a.baselineEventTime}}"""
+  }
+}
