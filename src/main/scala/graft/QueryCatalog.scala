@@ -1,0 +1,630 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.model.{Metric, WindowAggregate}
+import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
+import graft.sources.MetricDatagen
+
+/** The driver-contract query catalog: one batch query per implemented
+  * operator (SURVEY §2 + the north-star LLM-pipeline extensions), each over
+  * `/root/testdata/<sf>` parquet, with — wherever ANSI SQL can express the
+  * semantics — a DuckDB oracle producing the identical result (same column
+  * names, types and values).
+  *
+  * Cross-engine determinism rules used throughout (so value hashes match):
+  *  - money-style sums go through an exact decimal cast before summation
+  *    (double sums are order-dependent; decimal sums are exact), then back to
+  *    double;
+  *  - dot products / norms fold left-to-right over array elements in BOTH
+  *    engines (Spark `aggregate` == DuckDB `list_reduce` with a prepended
+  *    init), making them bitwise identical;
+  *  - averages of non-integral doubles are rounded to 6 decimals;
+  *  - counts, mins/maxes, and sums of integral doubles are exact as-is;
+  *  - `stddev_samp` over a single row is NULL-guarded (Spark yields NaN,
+  *    DuckDB NULL).
+  */
+object QueryCatalog {
+
+  /** epoch millis from the events table's raw int64 nanosecond timestamps
+    * (written as parquet TIMESTAMP(NANOS), which Spark only reads with
+    * `nanosAsLong`; positive values, so DIV truncation == floor == DuckDB's
+    * `epoch_ms`).
+    */
+  private val tsMillis = "CAST(ts DIV 1000000 AS BIGINT)"
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table viewed as the reference's metric stream (A1/A2 in
+    * FIXTURES.md): node = user, cpu = value, event time = epoch millis.
+    */
+  def eventMetrics(s: SparkSession, dir: String): Dataset[Metric] = {
+    import s.implicits._
+    table(s, dir, "events")
+      .select(
+        col("user_id").cast("string").as("nodeId"),
+        col("value").as("cpu"),
+        expr(tsMillis).as("eventTime"))
+      .as[Metric]
+  }
+
+  /** Replay config for the stateful operators over the events table: season
+    * of 24 samples, warm-up 24, fit every 20th sample, history cap 288 —
+    * scaled-down reference hyperparameters so sf0.01 (~67 samples/key)
+    * crosses the warm-up threshold.
+    */
+  val replayCfg: PipelineConfig = PipelineConfig(
+    maxHistory = 288,
+    minHistory = 24,
+    emitEveryN = 20,
+    order = SarimaxOrder(1, 1, 1),
+    seasonalOrder = SeasonalOrder(0, 1, 1, 24))
+
+  // ---------------------------------------------------------------- events
+
+  private val qMetricParse: (SparkSession, String) => DataFrame = (s, dir) => {
+    val raw = table(s, dir, "events").select(
+      when(col("event_id") % 97 === 0, lit("{not json"))
+        .otherwise(to_json(struct(
+          col("user_id").cast("string").as("node_id"),
+          col("value").as("cpu_utilization"),
+          when(col("event_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(expr(tsMillis)).as("timestamp"))))
+        .as("raw"))
+    MetricParse.parse(raw).toDF("node_id", "cpu", "event_time")
+  }
+
+  private val oMetricParse: String =
+    """SELECT cast(user_id AS varchar) AS node_id, value AS cpu,
+      |       CASE WHEN event_id % 10 = 0 THEN 0 ELSE epoch_ms(ts) END AS event_time
+      |FROM events WHERE event_id % 97 <> 0""".stripMargin
+
+  private val qWindowAgg: (SparkSession, String) => DataFrame = (s, dir) =>
+    WindowAgg.batch(eventMetrics(s, dir)).toDF()
+      .select(
+        col("nodeId").as("node_id"),
+        round(col("cpu"), 6).as("cpu"),
+        col("eventTime").as("event_time"))
+
+  private val oWindowAgg: String =
+    """SELECT cast(user_id AS varchar) AS node_id, round(avg(value), 6) AS cpu,
+      |       max(epoch_ms(ts)) AS event_time
+      |FROM events GROUP BY cast(user_id AS varchar), epoch_ms(ts) // 300000""".stripMargin
+
+  private val qEventStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"CAST(($tsMillis) DIV 3600000 AS BIGINT)").as("hour_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6)).as("std_value"))
+
+  private val oEventStats: String =
+    """SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket, count(*) AS n,
+      |       round(avg(value), 6) AS avg_value, min(value) AS min_value, max(value) AS max_value,
+      |       CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 6) END AS std_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** O11's alert math as pure column expressions over a SQL-expressible
+    * baseline (per-node global mean / stddev), so DuckDB can replay the full
+    * truth table: min_baseline guard, std>0 guard, z-priority, severity at
+    * 2x z-threshold (flinkarima.py:301-360).
+    */
+  private val qAlertMath: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cfg = PipelineConfig()
+    val m = eventMetrics(s, dir).toDF()
+    // Exact-moment baseline: decimal-summed S1/S2 so mean and std — and every
+    // column derived from them — are bitwise identical across engines (double
+    // sums are order-dependent; decimal sums are exact; all later FP ops run
+    // on identical operands). No output rounding needed.
+    val n = col("n")
+    val base = m.groupBy("nodeId")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cpu").cast("decimal(18,2)")).cast("double").as("s1"),
+        sum((col("cpu") * col("cpu")).cast("decimal(38,8)")).cast("double").as("s2"))
+      .select(
+        col("nodeId"),
+        (col("s1") / n).as("baselineCpu"),
+        when(n > 1, {
+          val v = (col("s2") - col("s1") * col("s1") / n) / (n - 1)
+          when(v > 0, sqrt(v)).otherwise(lit(0.0))
+        }).otherwise(lit(0.0)).as("runningStd"))
+    val joined = m.join(broadcast(base), "nodeId")
+    val deviation = col("cpu") - col("baselineCpu")
+    val pct = when(col("baselineCpu") >= cfg.alertMinBaseline, deviation / col("baselineCpu") * 100.0)
+      .otherwise(lit(0.0))
+    val z = when(col("runningStd") > 0.0, deviation / col("runningStd")).otherwise(lit(0.0))
+    val zr = format_string("z_score=%.2f exceeds threshold=" + cfg.alertZThreshold, round(z, 2))
+    val pr = format_string("pct_deviation=%.2f%% exceeds threshold=" + cfg.alertPctThreshold + "%%", round(pct, 2))
+    joined
+      .withColumn("pct_deviation", pct)
+      .withColumn("z_score", z)
+      .withColumn("alert_reason",
+        when(abs(col("z_score")) >= cfg.alertZThreshold, zr)
+          .when(abs(col("pct_deviation")) >= cfg.alertPctThreshold, pr))
+      .filter(col("alert_reason").isNotNull)
+      .select(
+        col("nodeId").as("node_id"),
+        col("eventTime").as("event_time"),
+        col("cpu").as("observed_cpu"),
+        col("baselineCpu").as("baseline_cpu"),
+        deviation.as("deviation"),
+        col("pct_deviation"),
+        col("z_score"),
+        when(abs(col("z_score")) >= cfg.alertZThreshold * 2, "high").otherwise("medium").as("severity"),
+        col("alert_reason"))
+  }
+
+  private val oAlertMath: String =
+    """WITH moments AS (
+      |  SELECT cast(user_id AS varchar) AS node_id, count(*) AS n,
+      |         CAST(sum(CAST(value AS decimal(18,2))) AS double) AS s1,
+      |         CAST(sum(CAST(value * value AS decimal(38,8))) AS double) AS s2
+      |  FROM events GROUP BY 1
+      |), base AS (
+      |  SELECT node_id, s1 / n AS baseline_cpu,
+      |         CASE WHEN n > 1 THEN
+      |           CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+      |                THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END
+      |         ELSE 0.0 END AS running_std
+      |  FROM moments
+      |), j AS (
+      |  SELECT cast(e.user_id AS varchar) AS node_id, epoch_ms(e.ts) AS event_time, e.value AS observed_cpu,
+      |         b.baseline_cpu, b.running_std, e.value - b.baseline_cpu AS deviation,
+      |         CASE WHEN b.baseline_cpu >= 1.0 THEN (e.value - b.baseline_cpu) / b.baseline_cpu * 100.0 ELSE 0.0 END AS pct_deviation,
+      |         CASE WHEN b.running_std > 0.0 THEN (e.value - b.baseline_cpu) / b.running_std ELSE 0.0 END AS z_score
+      |  FROM events e JOIN base b ON cast(e.user_id AS varchar) = b.node_id
+      |)
+      |SELECT node_id, event_time, observed_cpu, baseline_cpu, deviation, pct_deviation, z_score,
+      |       CASE WHEN abs(z_score) >= 6.0 THEN 'high' ELSE 'medium' END AS severity,
+      |       CASE WHEN abs(z_score) >= 3.0 THEN printf('z_score=%.2f exceeds threshold=3.0', round(z_score, 2))
+      |            WHEN abs(pct_deviation) >= 50.0 THEN printf('pct_deviation=%.2f%% exceeds threshold=50.0%%', round(pct_deviation, 2))
+      |       END AS alert_reason
+      |FROM j WHERE abs(z_score) >= 3.0 OR abs(pct_deviation) >= 50.0""".stripMargin
+
+  /** O7's daily-trend metrics as a distributed query: per node, the mean of
+    * the most recent `season` samples and of the most recent `days*season`
+    * samples (flinkarima.py:130-142 with season=24, days=5).
+    */
+  private val qDailyTrend: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = Window.partitionBy("nodeId").orderBy(col("eventTime").desc)
+    eventMetrics(s, dir).toDF()
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("nodeId").as("node_id"))
+      .agg(
+        round(avg(when(col("rn") <= 24, col("cpu"))), 6).as("latest_day_avg"),
+        round(avg(when(col("rn") <= 120, col("cpu"))), 6).as("five_day_avg"))
+  }
+
+  private val oDailyTrend: String =
+    """WITH r AS (
+      |  SELECT cast(user_id AS varchar) AS node_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |  FROM events)
+      |SELECT node_id, round(avg(value) FILTER (rn <= 24), 6) AS latest_day_avg,
+      |       round(avg(value) FILTER (rn <= 120), 6) AS five_day_avg
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** O6 replayed in batch over the events table, emitting the state-derived
+    * fields (Welford mean/std, history size, daily trend) that ANSI SQL can
+    * reproduce with window frames — the forecast itself is covered by
+    * `pipeline_replay` (rows-only) and the SarimaxLite test goldens.
+    */
+  private val qBaselineStats: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val aggs = eventMetrics(s, dir).map(m => WindowAggregate(m.nodeId, m.cpu, m.eventTime))
+    BaselineOp(aggs, replayCfg).toDF()
+      .select(
+        col("nodeId").as("node_id"),
+        col("eventTime").as("event_time"),
+        col("observedCpu").as("observed_cpu"),
+        col("historySize").cast("long").as("history_size"),
+        col("runningMean").as("running_mean"),
+        col("runningStd").as("running_std"),
+        col("dailyAvgLatest").as("daily_avg_latest"),
+        col("dailyAvgLast5").as("daily_avg_last5"))
+  }
+
+  // Emits at the rn-th sample when rn % emitEveryN == 0 and rn >= minHistory;
+  // history capped at maxHistory = 288; daily trend over the capped raw
+  // history: days = max(5, 288/24) = 12 -> frame of 288, season 24.
+  // The oracle replays Welford's update (same FP operation order as
+  // graft.ts.Welford.add) and sequential left-fold sums for the trend
+  // averages, so mean/std/trend are bitwise identical — no rounding.
+  private val oBaselineStats: String =
+    """WITH ord AS (
+      |  SELECT user_id, list(value ORDER BY ts) AS vals, list(epoch_ms(ts) ORDER BY ts) AS times
+      |  FROM events GROUP BY user_id
+      |), emits AS (
+      |  SELECT user_id, vals, times,
+      |         unnest(list_filter(range(1, len(vals) + 1), rn -> rn % 20 = 0 AND rn >= 24)) AS rn
+      |  FROM ord
+      |), wf AS (
+      |  SELECT user_id, rn, times[rn] AS event_time, vals[rn] AS observed_cpu,
+      |    list_reduce(
+      |      list_prepend([0.0, 0.0, 0.0], list_transform(vals[1:rn], x -> [x])),
+      |      (acc, e) -> [acc[1] + 1,
+      |                   acc[2] + (e[1] - acc[2]) / (acc[1] + 1),
+      |                   acc[3] + (e[1] - acc[2]) * (e[1] - (acc[2] + (e[1] - acc[2]) / (acc[1] + 1)))]) AS w,
+      |    list_reduce(list_prepend(0.0, vals[greatest(1, rn - 23):rn]), (a, x) -> a + x) / least(rn, 24) AS d_latest,
+      |    list_reduce(list_prepend(0.0, vals[greatest(1, rn - 287):rn]), (a, x) -> a + x) / least(rn, 288) AS d_last5
+      |  FROM emits
+      |)
+      |SELECT cast(user_id AS varchar) AS node_id, event_time, observed_cpu,
+      |       least(rn, 288) AS history_size, w[2] AS running_mean,
+      |       CASE WHEN w[1] > 1 AND w[3] > 0 THEN sqrt(w[3] / (w[1] - 1)) ELSE 0.0 END AS running_std,
+      |       d_latest AS daily_avg_latest, d_last5 AS daily_avg_last5
+      |FROM wf""".stripMargin
+
+  /** Full fused pipeline (window agg + SARIMAX baseline + alerting) replayed
+    * in batch; forecast numerics are not SQL-expressible -> rows-only check.
+    */
+  private val qPipelineReplay: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cfg = replayCfg.copy(minHistory = 24, emitEveryN = 5, windowMillis = 3600000L)
+    NodePipeline(eventMetrics(s, dir), cfg).toDF()
+      .select(col("kind"), col("nodeId").as("node_id"), col("eventTime").as("event_time"), col("payload"))
+  }
+
+  private val qPropsExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy((regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+
+  private val oPropsExtract: String =
+    """SELECT cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) % 10 AS k_mod,
+      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** O2/O15: deterministic synthetic metric generation (xxhash64 value model
+    * is engine-specific -> rows-only check; determinism is spec-tested).
+    */
+  private val qDatagen: (SparkSession, String) => DataFrame = (s, _) =>
+    MetricDatagen.batch(s, numNodes = 5, samplesPerNode = 2000).toDF()
+      .select(col("nodeId").as("node_id"), col("cpu"), col("eventTime").as("event_time"))
+
+  // ------------------------------------------------------------- documents
+
+  private val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val qDedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.exact(table(s, dir, "documents"))
+
+  private val oDedupExact: String =
+    s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+       |FROM documents GROUP BY 1""".stripMargin
+
+  private val qTextQuality: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.quality(table(s, dir, "documents"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("alpha_ratio"), 6).as("alpha_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("distinct_ratio"), 6).as("distinct_ratio"))
+
+  private val oTextQuality: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents)
+       |SELECT doc_id, length(text)::bigint AS n_chars, len(toks)::bigint AS n_tokens,
+       |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+       |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+       |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) * 1.0 / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+       |  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END, 6) AS distinct_ratio
+       |FROM t""".stripMargin
+
+  private val qLangId: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.langId(table(s, dir, "documents"))
+      .select("doc_id", "score_en", "score_de", "score_fr", "score_es", "lang_pred")
+
+  private val oLangId: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id,
+       |  len(list_filter(toks, t -> list_contains(['the','and','of','is','a','in','to'], t)))::bigint AS score_en,
+       |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t)))::bigint AS score_de,
+       |  len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','dans'], t)))::bigint AS score_fr,
+       |  len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','en'], t)))::bigint AS score_es
+       |FROM t)
+       |SELECT doc_id, score_en, score_de, score_fr, score_es,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |       WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_pred
+       |FROM sc""".stripMargin
+
+  private val qTokenCounts: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.tokenCounts(table(s, dir, "documents"))
+
+  private val oTokenCounts: String =
+    s"""SELECT doc_id, len(string_split($normSql, ' '))::bigint AS ws_tokens,
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  private val qFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.fingerprints(table(s, dir, "documents"))
+
+  private val oFingerprints: String =
+    s"""SELECT doc_id, md5($normSql) AS fingerprint,
+       |  list_reduce(
+       |    list_prepend(0::bigint, list_transform(regexp_extract_all($normSql, '.'), c -> ascii(c)::bigint)),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+       |FROM documents""".stripMargin
+
+  /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
+    * exact-verify path (the LSH candidate stage has recall ~1 at the data's
+    * jaccard margins, and verification recomputes exact jaccard, so both
+    * equal the exact result). Sizes use ALL grams; the df cap only limits
+    * the intersection join (mirrors Dedup.ngramJaccardPairs).
+    */
+  private val oNgramJaccard: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |admitted AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100000),
+       |capped AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM admitted)),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE i / (sa.sz + sb.sz - i) >= 0.5""".stripMargin
+
+  private val qNgramJaccard: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.5)
+
+  private val qMinhashVerified: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.minhashLshVerifiedPairs(table(s, dir, "documents"), numHashes = 64, bands = 32, threshold = 0.5)
+
+  private val qSimhashPairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+
+  private val qMultimodal: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.decodeFeatures(Multimodal.attachBinary(table(s, dir, "documents")))
+      .toDF()
+      .select("doc_id", "n_bytes", "width", "height")
+
+  private val oMultimodal: String =
+    """SELECT doc_id, strlen(text)::bigint AS n_bytes,
+      |       (strlen(text) % 640 + 1)::int AS width, (strlen(text) % 480 + 1)::int AS height
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ embeddings
+
+  /** Left-fold dot/norm in DuckDB matching Spark's `aggregate` fold order ->
+    * bitwise-identical doubles.
+    */
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+  private val normSqlExpr = (e: String) =>
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($e, x -> CAST(x AS double) * CAST(x AS double))), (acc, x) -> acc + x))"
+
+  private val qEmbeddingNorms: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.functions.VectorFunctions._
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), l2Norm(toDoubleArray(col("embedding"))).as("norm"))
+  }
+
+  private val oEmbeddingNorms: String =
+    s"""SELECT vec_id, ${normSqlExpr("embedding")} AS norm FROM embeddings""".stripMargin
+
+  private val qCosinePairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.embeddingCosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
+
+  private val oCosinePairs: String =
+    s"""WITH n AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS double)) AS e,
+       |                  ${normSqlExpr("embedding")} AS nrm FROM embeddings)
+       |SELECT a.id AS id_a, b.id AS id_b, ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.id < b.id
+       |WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+
+  private val qCosineTopK: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10)
+  }
+
+  private val oCosineTopK: String =
+    s"""WITH n AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS double)) AS e,
+       |                  ${normSqlExpr("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT * FROM n WHERE id % 25 = 0),
+       |scored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id, ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n c JOIN q ON q.id <> c.id),
+       |ranked AS (
+       |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk,
+       |         neighbor_id, cosine
+       |  FROM scored)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 10""".stripMargin
+
+  private val qIvfTopK: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 4)
+  }
+
+  // ------------------------------------------------------------ relational
+
+  private val qQ1: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val oQ1: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS decimal(28,2))) AS double) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(28,6))) AS double) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  private val qQ3: (SparkSession, String) => DataFrame = (s, dir) => {
+    val customer = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = table(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)")).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(
+        col("l_orderkey"),
+        col("rev").cast("double").as("revenue"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_date_ms"))
+  }
+
+  private val oQ3: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS revenue,
+      |  epoch_ms(o_orderdate) AS order_date_ms
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < timestamp '1998-01-01 00:00:00' AND l_shipdate > timestamp '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private val qQ5: (SparkSession, String) => DataFrame = (s, dir) => {
+    val nation = table(s, dir, "nation")
+    val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+    val orders = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    table(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)")).cast("double").as("revenue"))
+  }
+
+  private val oQ5: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= timestamp '1996-01-01 00:00:00' AND o_orderdate < timestamp '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  private val qTopOrders: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  private val oTopOrders: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  private val qPartsUnsold: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sold = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    table(s, dir, "part")
+      .join(sold, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+  }
+
+  private val oPartsUnsold: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= timestamp '1997-03-01 00:00:00' AND l_shipdate < timestamp '1997-04-01 00:00:00')""".stripMargin
+
+  private val qRollup: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val oRollup: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "metric_parse" -> qMetricParse,
+    "window_agg_5min" -> qWindowAgg,
+    "event_stats_hourly" -> qEventStats,
+    "alert_math" -> qAlertMath,
+    "daily_trend" -> qDailyTrend,
+    "baseline_stats_replay" -> qBaselineStats,
+    "pipeline_replay" -> qPipelineReplay,
+    "props_extract_agg" -> qPropsExtract,
+    "datagen_batch" -> qDatagen,
+    "dedup_exact" -> qDedupExact,
+    "text_quality" -> qTextQuality,
+    "lang_id" -> qLangId,
+    "token_counts" -> qTokenCounts,
+    "fingerprints" -> qFingerprints,
+    "ngram_jaccard" -> qNgramJaccard,
+    "minhash_lsh_verified" -> qMinhashVerified,
+    "simhash_pairs" -> qSimhashPairs,
+    "multimodal_decode" -> qMultimodal,
+    "embedding_norms" -> qEmbeddingNorms,
+    "cosine_pairs_exact" -> qCosinePairs,
+    "cosine_topk" -> qCosineTopK,
+    "ivf_topk" -> qIvfTopK,
+    "q1_lineitem" -> qQ1,
+    "q3_top10" -> qQ3,
+    "q5_region_revenue" -> qQ5,
+    "top_orders_per_cust" -> qTopOrders,
+    "parts_unsold_month" -> qPartsUnsold,
+    "rollup_qty" -> qRollup)
+
+  val oracleSql: Map[String, String] = Map(
+    "metric_parse" -> oMetricParse,
+    "window_agg_5min" -> oWindowAgg,
+    "event_stats_hourly" -> oEventStats,
+    "alert_math" -> oAlertMath,
+    "daily_trend" -> oDailyTrend,
+    "baseline_stats_replay" -> oBaselineStats,
+    "props_extract_agg" -> oPropsExtract,
+    "dedup_exact" -> oDedupExact,
+    "text_quality" -> oTextQuality,
+    "lang_id" -> oLangId,
+    "token_counts" -> oTokenCounts,
+    "fingerprints" -> oFingerprints,
+    "ngram_jaccard" -> oNgramJaccard,
+    "minhash_lsh_verified" -> oNgramJaccard,
+    "multimodal_decode" -> oMultimodal,
+    "embedding_norms" -> oEmbeddingNorms,
+    "cosine_pairs_exact" -> oCosinePairs,
+    "cosine_topk" -> oCosineTopK,
+    "q1_lineitem" -> oQ1,
+    "q3_top10" -> oQ3,
+    "q5_region_revenue" -> oQ5,
+    "top_orders_per_cust" -> oTopOrders,
+    "parts_unsold_month" -> oPartsUnsold,
+    "rollup_qty" -> oRollup)
+}

@@ -43,17 +43,29 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one gram.
     * Output: id_a < id_b, jaccard >= threshold.
+    *
+    * `maxDf` caps the document frequency of grams admitted to the self-join:
+    * one stop-gram shared by m docs yields m^2/2 join rows, so an uncapped
+    * hot gram turns the join quadratic. Dropping grams with df > maxDf is the
+    * standard guard (it only REMOVES intersection evidence, biasing jaccard
+    * down for pairs that share only stop-grams — acceptable for near-dup
+    * detection and mirrored by the oracle).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 3,
       threshold: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDf: Long = 100000L): DataFrame = {
     val grams = docGrams(docs, idCol, textCol, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = grams.toDF("id_a", "g")
-    val b = grams.toDF("id_b", "g")
+    val admitted = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val capped = grams.join(admitted, Seq("g"), "left_semi")
+    val a = capped.select(col("id").as("id_a"), col("g"))
+    val b = capped.select(col("id").as("id_b"), col("g"))
     val inter = a
       .join(b, a("g") === b("g") && a("id_a") < b("id_b"))
       .groupBy("id_a", "id_b")
@@ -117,6 +129,44 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidates + EXACT n-gram Jaccard verification — the
+    * production near-dup shape at 100 TB: candidate generation is linear in
+    * input + band collisions, and the exact jaccard join runs only over the
+    * candidate pairs (not all pairs sharing a gram). With rows-per-band = 2
+    * and 32 bands, a pair at true jaccard j is surfaced with probability
+    * 1 - (1 - j^2)^32 (> 1 - 1e-22 at j = 0.9), so for corpora whose near-dup
+    * pairs sit well above `threshold` the output equals the exact
+    * [[ngramJaccardPairs]] result.
+    *
+    * Output: id_a < id_b, jaccard (exact) >= threshold.
+    */
+  def minhashLshVerifiedPairs(
+      docs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cands = minhashLshPairs(docs, numHashes, bands, threshold = 0.0, shingleSize, idCol, textCol)
+      .select("id_a", "id_b")
+    val grams = docGrams(docs, idCol, textCol, shingleSize)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ga = grams.select(col("id").as("id_a"), col("g").as("ga"))
+    val gb = grams.select(col("id").as("id_b"), col("g").as("gb"))
+    val pairGrams = cands.join(ga, Seq("id_a"))
+    val inter = pairGrams
+      .join(gb, pairGrams("id_b") === gb("id_b") && pairGrams("ga") === gb("gb"))
+      .groupBy(pairGrams("id_a"), pairGrams("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+    inter
+      .join(sizes.toDF("id_a", "sa"), "id_a")
+      .join(sizes.toDF("id_b", "sb"), "id_b")
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per doc from token hashes (sign of per-bit +-1 vote sums). */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs
@@ -152,8 +202,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs (brute force, exact). Norms are
-    * precomputed once per side. Quadratic: use for <= ~10^5 vectors or as the
-    * verifier for LSH/IVF candidates at scale.
+    * precomputed once per side. Quadratic — this is the correctness oracle /
+    * verifier; the DEFAULT scale path for near-dup thresholds (>= ~0.8) is
+    * [[Similarity.srpCosinePairs]] (SRP-LSH candidates + exact verify).
     */
   def embeddingCosinePairs(
       embeddings: DataFrame,

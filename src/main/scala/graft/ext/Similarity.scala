@@ -1,26 +1,53 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAggregator
 import graft.functions.VectorFunctions._
 
 /** Similarity search over embedding columns (north star, SURVEY §7.6).
   *
-  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
-  *    set against the corpus; linear in corpus size, the recall baseline.
-  *  - [[ivfTopK]]: IVF-style ANN — train a small k-means coarse quantizer on
-  *    a driver-side sample (standard practice: quantizer training is
-  *    sample-based even at 100 TB), broadcast the centroids, assign corpus
-  *    vectors to their nearest centroid (one codegen'd pass), then search
-  *    only the `nprobe` closest clusters per query. Cuts compared pairs by
-  *    ~nlist/nprobe at equal recall for clustered data.
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query set
+  *    against the corpus, then a bounded [[TopKAggregator]] so the shuffle
+  *    carries O(k) rows per query instead of the |Q|x|C| cross product.
+  *  - [[ivfTopK]]: IVF-style ANN — train a small k-means coarse quantizer on a
+  *    bounded driver-side sample (standard practice even at 100 TB), then
+  *    assign corpus vectors to their nearest centroid with a single
+  *    expression-level argmin over the broadcast centroid array — zero
+  *    shuffles and no join in the assignment — and search only the `nprobe`
+  *    closest clusters per query.
+  *  - [[srpCosinePairs]]: near-duplicate pairs by cosine via signed-random-
+  *    projection LSH candidates + exact verification. The scale path for
+  *    high thresholds (>= ~0.8); for low thresholds SRP bands stop
+  *    discriminating and the exact pair join ([[Dedup.embeddingCosinePairs]])
+  *    is the honest tool.
   */
 object Similarity {
 
+  private def prep(df: DataFrame, idCol: String, vecCol: String, id: String, e: String, nrm: String): DataFrame =
+    df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(e))
+      .withColumn(nrm, l2Norm(col(e)))
+
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"))
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     * Output: query_id, rnk (1-based), neighbor_id, cosine.
+    *
+    * Plan shape at scale: one broadcast of the query set, one scan of the
+    * corpus with codegen'd dot products, partial top-k on the map side, and a
+    * shuffle of k rows per (query, partition).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -28,24 +55,17 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val prep = (df: DataFrame, id: String, e: String, nrm: String) =>
-      df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(e))
-        .withColumn(nrm, l2Norm(col(e)))
-    val c = prep(corpus, "neighbor_id", "e_c", "nrm_c")
-    val q = prep(queries, "query_id", "e_q", "nrm_q")
+    val c = prep(corpus, idCol, vecCol, "neighbor_id", "e_c", "nrm_c")
+    val q = prep(queries, idCol, vecCol, "query_id", "e_q", "nrm_q")
     val cos = cosineWithNorms(col("e_q"), col("e_c"), col("nrm_q"), col("nrm_c"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+    topKSelect(scored, k)
   }
 
   /** Deterministic k-means on a driver-side sample: init = first `k` vectors
-    * (by id order), fixed Lloyd iterations, L2 on raw vectors.
+    * (in sample order), fixed Lloyd iterations, L2 on raw vectors.
     */
   private[ext] def kmeansCentroids(
       sample: Array[Array[Double]],
@@ -78,8 +98,24 @@ object Similarity {
     centroids
   }
 
+  private def l2dist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Broadcast centroid set as one array-of-structs literal column. */
+  private def centroidArray(centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedLit(c.toSeq).as("ce"))
+    }: _*)
+
   /** IVF top-k: probe the `nprobe` nearest clusters per query.
     * Output: query_id, rnk, neighbor_id, cosine (approximate neighbors).
+    *
+    * Scale notes (the two classic IVF scale-killers are avoided by design):
+    *  - quantizer training samples with `limit(n)` — NO global sort — and the
+    *    sample is bounded regardless of corpus size;
+    *  - cluster assignment is an argmin folded over the broadcast centroid
+    *    array in ONE codegen'd expression per row — no corpus x centroids
+    *    join, no window shuffle.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -92,58 +128,107 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
+    val prepped = prep(corpus, idCol, vecCol, "id", "e", "nrm")
 
-    val prepped = corpus
-      .select(col(idCol).as("id"), toDoubleArray(col(vecCol)).as("e"))
-      .withColumn("nrm", l2Norm(col("e")))
+    // 1. bounded deterministic sample (limit over a deterministic source —
+    //    no orderBy: a global sort of the corpus to pick 10k rows would be
+    //    the dominant cost at scale)
+    val sampleRows = prepped.select("e").limit(trainSample).collect()
+    val sampleRaw = sampleRows.map(_.getSeq[Double](0).toArray)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    if (sampleRaw.isEmpty) return emptyOut
+    // guard degenerate input: train only on the dominant dimensionality
+    val dim = sampleRaw.head.length
+    val sample = sampleRaw.filter(v => v.length == dim && dim > 0)
+    if (sample.isEmpty) return emptyOut
 
-    // 1. train the coarse quantizer on a bounded, deterministic sample
-    val sample = prepped
-      .orderBy("id")
-      .limit(trainSample)
-      .select("e")
-      .as[Seq[Double]]
-      .collect()
-      .map(_.toArray)
     val centroids = kmeansCentroids(sample, math.min(nlist, sample.length), kmeansIterations)
-    val centroidDf = broadcast(
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }
-        .toSeq
-        .toDF("cluster", "ce"))
+    val cents = centroidArray(centroids)
 
-    // 2. assign corpus vectors to nearest centroid (single broadcast pass)
-    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy("id").orderBy(col("dist"), col("cluster"))
+    // 2. per-row argmin over the broadcast centroid array: one expression,
+    //    zero shuffle (ties -> lowest cluster id, from strict <)
+    val best = aggregate(
+      cents,
+      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("d")),
+      (acc, cen) => {
+        val d = l2dist(col("e"), cen.getField("ce"))
+        when(d < acc.getField("d"), struct(cen.getField("cid").as("cid"), d.as("d")))
+          .otherwise(acc)
+      })
     val assigned = prepped
-      .join(centroidDf)
-      .select(col("id"), col("e"), col("nrm"), col("cluster"), l2(col("e"), col("ce")).as("dist"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .withColumn("cluster", best.getField("cid"))
       .select(col("id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("nrm_c"), col("cluster"))
 
-    // 3. queries probe their nprobe nearest clusters
-    val q = queries
-      .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("e_q"))
-      .withColumn("nrm_q", l2Norm(col("e_q")))
+    // 3. queries probe their nprobe nearest clusters: sort the (small)
+    //    centroid-distance array in-expression and explode — zero shuffle
+    val q = prep(queries, idCol, vecCol, "query_id", "e_q", "nrm_q")
+    val dists = transform(cents, cen =>
+      struct(l2dist(col("e_q"), cen.getField("ce")).as("d"), cen.getField("cid").as("cid")))
     val probes = q
-      .join(centroidDf)
-      .select(col("query_id"), col("e_q"), col("nrm_q"), col("cluster"), l2(col("e_q"), col("ce")).as("dist"))
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id").orderBy(col("dist"), col("cluster"))))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "e_q", "nrm_q", "cluster")
+      .withColumn("probe", explode(slice(array_sort(dists), 1, nprobe)))
+      .select(col("query_id"), col("e_q"), col("nrm_q"), col("probe.cid").as("cluster"))
 
-    // 4. exact cosine within probed clusters only
+    // 4. exact cosine within probed clusters only; bounded top-k aggregate
     val cos = cosineWithNorms(col("e_q"), col("e_c"), col("nrm_q"), col("nrm_c"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(probes)
+    val scored = broadcast(probes)
       .join(assigned, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+    topKSelect(scored, k)
+  }
+
+  /** Cosine near-duplicate pairs via signed-random-projection LSH candidates
+    * + exact cosine verification. Valid regime: high thresholds (>= ~0.8),
+    * where a pair's sign vectors agree on most planes and banding keeps the
+    * candidate set near-linear. At low thresholds SRP bands collide for
+    * unrelated vectors — use [[Dedup.embeddingCosinePairs]] (exact) instead.
+    *
+    * Output: id_a < id_b, cosine (exact, verified) >= threshold — for pairs
+    * surfaced by LSH; recall is 1 - (1 - p^r)^b with p = 1 - acos(cos)/pi.
+    */
+  def srpCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      planes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val rowsPerBand = planes / bands
+    val n = prep(embeddings, idCol, vecCol, "id", "e", "nrm")
+
+    // deterministic hyperplanes from a seeded generator (driver-side tiny)
+    val dim = 512 // upper bound on used dims; transform() stops at vector length
+    val rng = new scala.util.Random(seed)
+    val planesArr: Array[Array[Double]] = Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+
+    val bits = planesArr.zipWithIndex.map { case (p, i) =>
+      // slice the plane to the vector's length: zip_with pads the shorter
+      // side with nulls, which would null out the whole projection
+      val proj = aggregate(
+        zip_with(col("e"), slice(typedLit(p.toSeq), lit(1), size(col("e"))), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, 1L << (i % rowsPerBand)).otherwise(0L).as(s"bit$i")
+    }
+    // band keys: pack each band's sign bits into one long
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => bits(b * rowsPerBand + r))
+      struct(lit(b).as("band"), cols.reduce[Column](_ + _).as("key"))
+    }
+    val banded = n.select(col("id"), col("e"), col("nrm"), explode(array(bandKeys: _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"), col("bk"))
+    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
+    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -56,12 +56,16 @@ object TextAnalysis {
       size(tokens(col(textCol))).cast("long").as("ws_tokens"),
       bpeishTokenCount(col(textCol)).as("bpe_tokens"))
 
-  /** Content fingerprints: MD5 of normalized text plus a 64-bit polynomial
-    * rolling hash (base-31 over UTF-8 bytes via fold — codegen'd, no UDF).
+  /** Content fingerprints: MD5 of normalized text plus a polynomial rolling
+    * hash (base-31 over chars, mod 1e9+7, via fold — codegen'd, no UDF).
+    * The modulus keeps the accumulator well inside int64 so the hash is
+    * engine-portable (unchecked int64 wraparound is engine-specific).
     */
+  val rollingHashMod = 1000000007L
+
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val chars = split(normText(col(textCol)), "")
-    val rolling = aggregate(chars, lit(0L), (acc, c) => acc * 31L + ascii(c).cast("long"))
+    val rolling = aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c).cast("long")) % rollingHashMod)
     docs.select(
       col(idCol),
       fingerprint(col(textCol)).as("fingerprint"),

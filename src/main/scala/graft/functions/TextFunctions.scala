@@ -30,15 +30,21 @@ object TextFunctions {
   /** MD5 fingerprint of the normalized text (content-defined exact-dup key). */
   def fingerprint(text: Column): Column = md5(normText(text))
 
-  /** Fraction of characters in `cls` (a regex character class). */
+  /** num/den with a zero-denominator guard (empty docs would otherwise yield
+    * null/NaN rows that no oracle reproduces).
+    */
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+
+  /** Fraction of characters in `cls` (a regex character class); 0.0 on empty. */
   def charClassRatio(text: Column, cls: String): Column =
-    length(regexp_replace(text, s"[^$cls]", "")).cast("double") / length(text)
+    safeRatio(length(regexp_replace(text, s"[^$cls]", "")), length(text))
 
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks)
+    safeRatio(size(filter(toks, t => t.isInCollection(stopwords))), size(toks))
 
   def distinctRatio(toks: Column): Column =
-    size(array_distinct(toks)).cast("double") / size(toks)
+    safeRatio(size(array_distinct(toks)), size(toks))
 
   /** Count of tokens present in a marker-word list (language-ID scoring). */
   def markerScore(toks: Column, markers: Seq[String]): Column =

@@ -65,7 +65,9 @@ object MetricDatagen {
       .range(0L, n, 1L, spark.sparkContext.defaultParallelism)
       .select(
         (col("id") % numNodes).as("nodeIdx"),
-        (lit(startEpochMs) + (col("id") / numNodes) * intervalMs).as("eventTime"),
+        // integer DIV: `/` on longs is double division, which both mistypes
+        // eventTime and loses precision for large ids
+        (lit(startEpochMs) + expr(s"id DIV $numNodes") * intervalMs).as("eventTime"),
         col("id").as("rowKey"))
       .select(
         nodeIdCol(col("nodeIdx")).as("nodeId"),
