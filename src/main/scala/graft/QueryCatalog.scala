@@ -87,32 +87,46 @@ object QueryCatalog {
       |FROM events WHERE event_id % 97 <> 0""".stripMargin
 
   private val qWindowAgg: (SparkSession, String) => DataFrame = (s, dir) =>
-    WindowAgg.batch(eventMetrics(s, dir)).toDF()
+    WindowAgg.batch(eventMetrics(s, dir), exactMean = true).toDF()
       .select(
         col("nodeId").as("node_id"),
-        round(col("cpu"), 6).as("cpu"),
+        col("cpu"),
         col("eventTime").as("event_time"))
 
   private val oWindowAgg: String =
-    """SELECT cast(user_id AS varchar) AS node_id, round(avg(value), 6) AS cpu,
+    """SELECT cast(user_id AS varchar) AS node_id,
+      |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS cpu,
       |       max(epoch_ms(ts)) AS event_time
       |FROM events GROUP BY cast(user_id AS varchar), epoch_ms(ts) // 300000""".stripMargin
 
-  private val qEventStats: (SparkSession, String) => DataFrame = (s, dir) =>
+  private val qEventStats: (SparkSession, String) => DataFrame = (s, dir) => {
+    val n = count(lit(1))
+    val s1 = sum(col("value").cast("decimal(18,2)")).cast("double")
+    val s2 = sum((col("value") * col("value")).cast("decimal(38,8)")).cast("double")
+    val variance = (s2 - s1 * s1 / n) / (n - 1)
     table(s, dir, "events")
       .groupBy(col("event_type"), expr(s"CAST(($tsMillis) DIV 3600000 AS BIGINT)").as("hour_bucket"))
       .agg(
-        count(lit(1)).as("n"),
-        round(avg(col("value")), 6).as("avg_value"),
+        n.as("n"),
+        (s1 / n).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        when(count(lit(1)) > 1, round(stddev_samp(col("value")), 6)).as("std_value"))
+        when(n > 1, when(variance > 0, sqrt(variance)).otherwise(lit(0.0))).as("std_value"))
+  }
 
   private val oEventStats: String =
-    """SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket, count(*) AS n,
-      |       round(avg(value), 6) AS avg_value, min(value) AS min_value, max(value) AS max_value,
-      |       CASE WHEN count(*) > 1 THEN round(stddev_samp(value), 6) END AS std_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+    """WITH m AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket, count(*) AS n,
+      |         CAST(sum(CAST(value AS decimal(18,2))) AS double) AS s1,
+      |         CAST(sum(CAST(value * value AS decimal(38,8))) AS double) AS s2,
+      |         min(value) AS min_value, max(value) AS max_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour_bucket, n, s1 / n AS avg_value, min_value, max_value,
+      |       CASE WHEN n > 1 THEN
+      |         CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+      |              THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END
+      |       END AS std_value
+      |FROM m""".stripMargin
 
   /** O11's alert math as pure column expressions over a SQL-expressible
     * baseline (per-node global mean / stddev), so DuckDB can replay the full
@@ -198,12 +212,14 @@ object QueryCatalog {
     */
   private val qDailyTrend: (SparkSession, String) => DataFrame = (s, dir) => {
     val w = Window.partitionBy("nodeId").orderBy(col("eventTime").desc)
+    def exactAvg(cond: Column) =
+      sum(when(cond, col("cpu")).cast("decimal(18,2)")).cast("double") / count(when(cond, col("cpu")))
     eventMetrics(s, dir).toDF()
       .withColumn("rn", row_number().over(w))
       .groupBy(col("nodeId").as("node_id"))
       .agg(
-        round(avg(when(col("rn") <= 24, col("cpu"))), 6).as("latest_day_avg"),
-        round(avg(when(col("rn") <= 120, col("cpu"))), 6).as("five_day_avg"))
+        exactAvg(col("rn") <= 24).as("latest_day_avg"),
+        exactAvg(col("rn") <= 120).as("five_day_avg"))
   }
 
   private val oDailyTrend: String =
@@ -211,8 +227,9 @@ object QueryCatalog {
       |  SELECT cast(user_id AS varchar) AS node_id, value,
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
       |  FROM events)
-      |SELECT node_id, round(avg(value) FILTER (rn <= 24), 6) AS latest_day_avg,
-      |       round(avg(value) FILTER (rn <= 120), 6) AS five_day_avg
+      |SELECT node_id,
+      |       CAST(sum(CAST(value AS decimal(18,2))) FILTER (rn <= 24) AS double) / count(value) FILTER (rn <= 24) AS latest_day_avg,
+      |       CAST(sum(CAST(value AS decimal(18,2))) FILTER (rn <= 120) AS double) / count(value) FILTER (rn <= 120) AS five_day_avg
       |FROM r GROUP BY 1""".stripMargin
 
   /** O6 replayed in batch over the events table, emitting the state-derived
@@ -278,11 +295,14 @@ object QueryCatalog {
   private val qPropsExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     table(s, dir, "events")
       .groupBy((regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") % 10).as("k_mod"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_value"))
 
   private val oPropsExtract: String =
     """SELECT cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) % 10 AS k_mod,
-      |       count(*) AS n, round(avg(value), 6) AS avg_value
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
   /** O2/O15: deterministic synthetic metric generation (xxhash64 value model
@@ -462,8 +482,8 @@ object QueryCatalog {
         sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).cast("decimal(28,6)")).cast("double").as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   private val oQ1: String =
@@ -471,7 +491,8 @@ object QueryCatalog {
       |  CAST(sum(CAST(l_extendedprice AS decimal(28,2))) AS double) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(28,6))) AS double) AS sum_disc_price,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(28,6))) AS double) AS sum_charge,
-      |  round(avg(l_quantity), 6) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS decimal(18,2))) AS double) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
       |GROUP BY 1, 2""".stripMargin

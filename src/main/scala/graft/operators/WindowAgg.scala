@@ -26,17 +26,28 @@ object WindowAgg {
   def streaming(metrics: Dataset[Metric], windowMillis: Long = 300000L): Dataset[WindowAggregate] =
     agg(metrics, windowMillis, stream = true)
 
-  /** Batch variant (same expressions, no watermark). */
-  def batch(metrics: Dataset[Metric], windowMillis: Long = 300000L): Dataset[WindowAggregate] =
-    agg(metrics, windowMillis, stream = false)
+  /** Batch variant (same expressions, no watermark).
+    *
+    * `exactMean = true` computes the window mean via an exact decimal sum
+    * (metric cpus are 2-decimal by the reference's own rounding,
+    * datagen.py:76) instead of a double sum — semantically within 1 ulp, but
+    * deterministic under ANY partitioning and bit-reproducible by an external
+    * oracle engine. Plain double `avg` is partition-order dependent in its
+    * last ulp.
+    */
+  def batch(metrics: Dataset[Metric], windowMillis: Long = 300000L, exactMean: Boolean = false): Dataset[WindowAggregate] =
+    agg(metrics, windowMillis, stream = false, exactMean)
 
-  private def agg(metrics: Dataset[Metric], windowMillis: Long, stream: Boolean): Dataset[WindowAggregate] = {
+  private def agg(metrics: Dataset[Metric], windowMillis: Long, stream: Boolean, exactMean: Boolean = false): Dataset[WindowAggregate] = {
     import metrics.sparkSession.implicits._
     val withTs = metrics.withColumn("ts", timestamp_millis($"eventTime"))
     val marked = if (stream) withTs.withWatermark("ts", "0 seconds") else withTs
+    val mean =
+      if (exactMean) sum($"cpu".cast("decimal(18,2)")).cast("double") / count(lit(1))
+      else avg($"cpu")
     marked
       .groupBy(window($"ts", s"$windowMillis milliseconds"), $"nodeId")
-      .agg(avg($"cpu").as("cpu"), max($"eventTime").as("maxTs"))
+      .agg(mean.as("cpu"), max($"eventTime").as("maxTs"))
       .select(
         $"nodeId",
         $"cpu",
