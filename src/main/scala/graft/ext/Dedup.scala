@@ -201,25 +201,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs (brute force, exact). Norms are
-    * precomputed once per side. Quadratic — this is the correctness oracle /
-    * verifier; the DEFAULT scale path for near-dup thresholds (>= ~0.8) is
-    * [[Similarity.srpCosinePairs]] (SRP-LSH candidates + exact verify).
+  /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this
+    * is the correctness oracle / verifier (delegates to the broadcast
+    * primitive-loop kernel in [[Similarity.cosinePairsExact]]; a declarative
+    * non-equi self-join would evaluate the dot product through interpreted
+    * higher-order functions, ~10x slower). The DEFAULT scale path for
+    * near-dup thresholds (>= ~0.8) is [[Similarity.srpCosinePairs]] (SRP-LSH
+    * candidates + exact verify).
     */
   def embeddingCosinePairs(
       embeddings: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val n = embeddings.select(
-      col(idCol).as("id"),
-      toDoubleArray(col(vecCol)).as("e"))
-      .withColumn("nrm", l2Norm(col("e")))
-    val a = n.toDF("id_a", "e_a", "nrm_a")
-    val b = n.toDF("id_b", "e_b", "nrm_b")
-    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
-    a.join(b, a("id_a") < b("id_b"))
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
+      vecCol: String = "embedding"): DataFrame =
+    Similarity.cosinePairsExact(embeddings, threshold, idCol, vecCol)
 }

@@ -183,6 +183,70 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Exact all-pairs cosine >= threshold via a broadcast + tight-loop kernel.
+    *
+    * Spark's higher-order array functions (`zip_with`/`aggregate`) are a
+    * whole-stage-codegen barrier and evaluate interpreted with per-element
+    * boxing — ~10x slower than a primitive loop for a 64-dim dot product
+    * executed |n|^2/2 times. Since brute-force pairs is the compute-bound
+    * exact verifier (<= ~1e5 vectors; the scale paths are [[srpCosinePairs]]
+    * and IVF-bucketed pairs), the kernel broadcasts the corpus as primitive
+    * arrays (1e5 x 64 doubles = 51 MB) and streams the distributed side
+    * through it, emitting each pair once (id_a < id_b).
+    *
+    * FP determinism: dot and norm accumulate left-to-right from 0.0 —
+    * bit-identical to the column-expression form and to an oracle folding in
+    * the same order.
+    */
+  def cosinePairsExact(
+      embeddings: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val prepped = embeddings
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val corpus = prepped.collect().sortBy(_._1)
+    val withNorms = corpus.map { case (id, v) => (id, v, norm(v)) }
+    val bc = spark.sparkContext.broadcast(withNorms)
+
+    prepped
+      .mapPartitions { rows =>
+        val side = bc.value
+        rows.flatMap { case (idA, a) =>
+          val nrmA = norm(a)
+          // binary search to the first id_b > id_a (side is id-sorted)
+          var lo = 0; var hi = side.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (side(mid)._1 <= idA) lo = mid + 1 else hi = mid
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = lo
+          while (j < side.length) {
+            val (idB, b, nrmB) = side(j)
+            val d = math.min(a.length, b.length)
+            var acc = 0.0; var i = 0
+            while (i < d) { acc += a(i) * b(i); i += 1 }
+            val cos = acc / (nrmA * nrmB)
+            if (cos >= threshold) out += ((idA, idB, cos))
+            j += 1
+          }
+          out
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   /** Cosine near-duplicate pairs via signed-random-projection LSH candidates
     * + exact cosine verification. Valid regime: high thresholds (>= ~0.8),
     * where a pair's sign vectors agree on most planes and banding keeps the

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by normalized content (case/whitespace-insensitive)") {
+    val d = docs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "something else entirely")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min doc_id
+  }
+
+  test("ngram jaccard finds the planted near-dup and not unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " w99"
+    val unrelated = (100 to 130).map(i => s"u$i").mkString(" ")
+    val out = Dedup.ngramJaccardPairs(docs(1L -> base, 2L -> nearDup, 3L -> unrelated), threshold = 0.5)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val jac = out.head.getDouble(2)
+    assert(jac > 0.8 && jac < 1.0)
+  }
+
+  test("df cap drops hot grams from the intersection join") {
+    // every doc shares the same 3 leading tokens -> one hot gram; cap at 2
+    // removes it, so docs overlapping ONLY in the hot gram pair up no more
+    val d = docs(
+      1L -> "a b c x1 x2 x3",
+      2L -> "a b c y1 y2 y3",
+      3L -> "a b c z1 z2 z3")
+    val uncapped = Dedup.ngramJaccardPairs(d, threshold = 0.01)
+    assert(uncapped.count() == 3) // all pairs share "a b c"
+    val capped = Dedup.ngramJaccardPairs(d, threshold = 0.01, maxDf = 2)
+    assert(capped.count() == 0)
+  }
+
+  test("minhash-LSH + exact verify equals the exact jaccard result on the sf0.001 fixture") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(real, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val lsh = Dedup.minhashLshVerifiedPairs(real, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
+  test("simhash pairs near-identical docs within the Hamming radius") {
+    // SimHash needs enough tokens for stable sign votes: on short docs the
+    // per-bit vote sums sit near zero and a one-token edit flips many bits.
+    // 300 shared tokens + 1 extra shifts each vote sum by only 1.
+    val base = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val almost = base + " tokX"
+    val other = (2000 to 2300).map(i => s"z$i").mkString(" ")
+    val out = Dedup.simhashPairs(docs(1L -> base, 2L -> almost, 3L -> other), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash signatures: identical docs collide on every component") {
+    val d = docs(1L -> "one two three four five six", 2L -> "one two three four five six")
+    val sigs = Dedup.minhashSignatures(d, numHashes = 16).collect()
+    val s1 = sigs.find(_.getLong(0) == 1L).get
+    val s2 = sigs.find(_.getLong(0) == 2L).get
+    (1 to 16).foreach(i => assert(s1.getLong(i) == s2.getLong(i)))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** 8 tight clusters in 16 dims: cluster centers on coordinate axes, points
+    * = center + small seeded noise. IVF-friendly by construction.
+    */
+  private lazy val clustered: DataFrame = {
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 400L).map { i =>
+      val c = (i % 8).toInt
+      val v = Array.fill(16)(rng.nextGaussian().toFloat * 0.05f)
+      v(c * 2) += 1f
+      (i, v.toSeq)
+    }
+    vecDf(rows)
+  }
+
+  test("bruteForceTopK equals the window-rank reference on the sf0.001 fixture") {
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Similarity.bruteForceTopK(emb, queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+
+    val prep = (df: DataFrame, id: String, e: String, n: String) =>
+      df.select(col("vec_id").as(id), toDoubleArray(col("embedding")).as(e)).withColumn(n, l2Norm(col(e)))
+    val scored = prep(emb, "neighbor_id", "ec", "nc")
+      .join(broadcast(prep(queries, "query_id", "eq", "nq")), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("eq"), col("ec"), col("nq"), col("nc")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val ref = scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 7)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val queries = clustered.filter(col("vec_id") % 40 === 0) // 10 queries
+    val k = 5
+    val exact = Similarity.bruteForceTopK(clustered, queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(clustered, queries, k, nlist = 8, nprobe = 2, trainSample = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("ivfTopK on an empty corpus returns an empty frame (no NoSuchElementException)") {
+    val empty = vecDf(Seq.empty)
+    assert(Similarity.ivfTopK(empty, empty).count() == 0)
+  }
+
+  test("srpCosinePairs finds planted high-cosine near-dups exactly (vs exact kernel)") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 100L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
+    }
+    // plant 5 near-dups: tiny perturbations of existing vectors
+    val planted = (0L until 5L).map { j =>
+      val (srcId, v) = base(j.toInt * 7)
+      (1000L + j, v.map(x => x + rng.nextGaussian().toFloat * 0.02f))
+    }
+    val df = vecDf(base ++ planted)
+    val exact = Similarity.cosinePairsExact(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val lsh = Similarity.srpCosinePairs(df, threshold = 0.95, planes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(exact.length == 5, s"expected the 5 planted pairs, got ${exact.toSeq}")
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
+  test("cosinePairsExact computes exact cosine on known vectors") {
+    val df = vecDf(Seq(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(1f, 0f),
+      3L -> Seq(0f, 1f)))
+    val out = Similarity.cosinePairsExact(df, threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded top-k aggregator must agree with a full sort on every input
+  * shape (order-insensitive, tie-broken by id asc).
+  */
+class TopKSpec extends AnyFunSuite {
+
+  private def viaAggregator(k: Int, xs: Seq[ScoredId], chunks: Int = 4): Seq[ScoredId] = {
+    val agg = new TopKAggregator(k)
+    val partials = xs.grouped(math.max(1, xs.length / chunks + 1)).map { chunk =>
+      chunk.foldLeft(agg.zero)(agg.reduce)
+    }
+    val merged = partials.foldLeft(agg.zero)(agg.merge)
+    agg.finish(merged).toSeq
+  }
+
+  private def reference(k: Int, xs: Seq[ScoredId]): Seq[ScoredId] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+
+  test("matches a full sort over seeded random inputs, any k, any chunking") {
+    for (seed <- 0 until 30) {
+      val rng = new scala.util.Random(seed)
+      val n = rng.nextInt(200)
+      val xs = Seq.fill(n)(ScoredId(rng.nextInt(50).toLong, (rng.nextInt(20) - 10) / 4.0))
+      for (k <- Seq(1, 3, 10, 64)) {
+        assert(viaAggregator(k, xs, chunks = rng.nextInt(6) + 1) == reference(k, xs), s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("fewer elements than k returns all, sorted") {
+    val xs = Seq(ScoredId(3, 0.5), ScoredId(1, 0.9), ScoredId(2, 0.5))
+    assert(viaAggregator(10, xs) == Seq(ScoredId(1, 0.9), ScoredId(2, 0.5), ScoredId(3, 0.5)))
+  }
+
+  test("ties broken by id ascending") {
+    val xs = Seq(ScoredId(9, 1.0), ScoredId(2, 1.0), ScoredId(5, 1.0))
+    assert(viaAggregator(2, xs) == Seq(ScoredId(2, 1.0), ScoredId(5, 1.0)))
+  }
+
+  test("empty input -> empty output") {
+    assert(viaAggregator(5, Nil).isEmpty)
+  }
+}
