@@ -25,7 +25,10 @@ final case class PipelineConfig(
     alertPctThreshold: Double = 50.0,
     alertMinBaseline: Double = 1.0,
     windowMillis: Long = 300000L, // 5-minute tumbling windows (flinkarima.py:421)
-    checkpointLocation: Option[String] = None)
+    checkpointLocation: Option[String] = None,
+    // processing-time idle flush for a key's open window (None -> windowMillis),
+    // matching the reference's guaranteed window fire (flinkarima.py:420-428)
+    idleFlushMillis: Option[Long] = None)
 
 object PipelineConfig {
 
@@ -63,6 +66,7 @@ object PipelineConfig {
       case "--alert-pct-threshold" :: v :: t => loop(t, cfg.copy(alertPctThreshold = v.toDouble))
       case "--alert-min-baseline" :: v :: t => loop(t, cfg.copy(alertMinBaseline = v.toDouble))
       case "--checkpoint-location" :: v :: t => loop(t, cfg.copy(checkpointLocation = Some(v)))
+      case "--idle-flush-ms" :: v :: t => loop(t, cfg.copy(idleFlushMillis = Some(v.toLong)))
       case other :: _ => throw new IllegalArgumentException(s"Unknown flag: $other")
     }
     loop(args.toList, PipelineConfig())

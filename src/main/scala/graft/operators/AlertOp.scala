@@ -22,6 +22,12 @@ import graft.model.{Alert, Baseline, BaselineOrAggregate, WindowAggregate}
   * aggregates before baselines at equal timestamps — in the reference the raw
   * path is one map shorter than the SARIMAX path, so an aggregate is alerted
   * against the PREVIOUS baseline, not the one it itself triggers.
+  *
+  * Composition note: chaining [[BaselineOp]] -> [[AlertOp]] stacks two
+  * `flatMapGroupsWithState` operators, which Structured Streaming rejects in
+  * a single streaming query — the chained form is for BATCH replay (or two
+  * separate streaming queries with an intermediate sink). The single-query
+  * streaming path is the fused [[NodePipeline]].
   */
 object AlertOp {
 

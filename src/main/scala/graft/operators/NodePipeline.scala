@@ -11,23 +11,28 @@ import graft.model._
 /** Fused per-key streaming pipeline: tumbling-window aggregation + SARIMAX
   * baseline + latest-baseline alerting in ONE keyed stateful operator.
   *
-  * Why fused: Structured Streaming does not allow
-  * `flatMapGroupsWithState` to be chained after a streaming aggregation in the
-  * same query, and every stage of the reference job
+  * Why fused: Structured Streaming allows at most one
+  * `flatMapGroupsWithState` stage per streaming query (and none after a
+  * streaming aggregation), and every stage of the reference job
   * (/root/reference/src/flinkarima.py:392-476) is keyed by the same
   * `node_id` — the dataflow is logically one keyed pipeline (the broadcast
   * edge is a Flink API artifact, see [[AlertOp]]). Fusing gives a single
   * shuffle on `node_id` and a single state store — less data movement than
   * the reference's two hash exchanges + broadcast.
   *
-  * Window semantics: event-time tumbling windows; a window for a key is
-  * finalized when a later-window record for that key arrives (zero-lateness
-  * watermark analog; SURVEY §1.4). Late records (earlier than the open
-  * window) are dropped. Outputs are the reference's two JSON payload streams
-  * (baselines + alerts) tagged by `kind` (flinkarima.py:471-474 prints both).
+  * Window semantics: event-time tumbling windows. A window for a key is
+  * finalized either by a later-window record for that key (zero-lateness
+  * watermark analog, SURVEY §1.4) or — matching the reference's guaranteed
+  * processing-time window fire (flinkarima.py:420-428) — by a
+  * processing-time idle timeout of `windowMillis`, so a node that goes
+  * quiet still emits its last window (and can still alert: a dead node is
+  * exactly the case alerting exists for). Records at or before an already
+  * finalized window are dropped.
   *
   * The modular [[WindowAgg]] + [[BaselineOp]] + [[AlertOp]] operators remain
-  * available for batch analytics and independent streaming use.
+  * available for batch analytics; under Structured Streaming each stateful
+  * stage would need its own query with an intermediate sink — the fused form
+  * is the single-query streaming path.
   */
 object NodePipeline {
 
@@ -35,7 +40,7 @@ object NodePipeline {
     import metrics.sparkSession.implicits._
     metrics
       .groupByKey(_.nodeId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup(cfg) _)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(processGroup(cfg) _)
   }
 
   def processGroup(cfg: PipelineConfig)(
@@ -58,34 +63,47 @@ object NodePipeline {
       emitted.foreach { b =>
         out += PipelineOutput("baseline", key, b.eventTime, b.toJson)
       }
-      st = st.copy(node = nodeNext, latestBaseline = emitted.orElse(st.latestBaseline))
+      st = st.copy(
+        node = nodeNext,
+        latestBaseline = emitted.orElse(st.latestBaseline),
+        closedThrough = math.max(st.closedThrough, ow.windowStart))
     }
 
-    rows.toArray.sortBy(_.eventTime).foreach { m =>
-      val ws = math.floorDiv(m.eventTime, windowMs) * windowMs
-      st.open match {
-        case Some(ow) if ow.windowStart == ws =>
-          st = st.copy(open = Some(OpenWindow(ws, ow.sum + m.cpu, ow.count + 1, math.max(ow.maxTs, m.eventTime))))
-        case Some(ow) if ws > ow.windowStart =>
-          finalizeWindow(ow)
-          st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
-        case Some(_) => // late record for an already-finalized window: drop
-        case None =>
-          st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+    if (state.hasTimedOut) {
+      // idle key: flush the open window so a silent node still reports
+      st.open.foreach(finalizeWindow)
+      st = st.copy(open = None)
+    } else {
+      rows.toArray.sortBy(_.eventTime).foreach { m =>
+        val ws = math.floorDiv(m.eventTime, windowMs) * windowMs
+        st.open match {
+          case Some(ow) if ow.windowStart == ws =>
+            st = st.copy(open = Some(OpenWindow(ws, ow.sum + m.cpu, ow.count + 1, math.max(ow.maxTs, m.eventTime))))
+          case Some(ow) if ws > ow.windowStart =>
+            finalizeWindow(ow)
+            st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+          case Some(_) => // late record for the open window's past: drop
+          case None if ws <= st.closedThrough => // late after idle flush: drop
+          case None =>
+            st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+        }
       }
     }
 
     state.update(st)
+    // arm the idle flush while a window is open (no-op in batch execution,
+    // where every group is processed exactly once)
+    if (st.open.isDefined && !state.hasTimedOut)
+      state.setTimeoutDuration(cfg.idleFlushMillis.getOrElse(windowMs))
     out.iterator
   }
 
   private def alertJson(a: Alert): String = {
-    def num(d: Double): String =
-      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
-    s"""{"node_id": "${a.nodeId}", "alert_type": "${a.alertType}", "severity": "${a.severity}", """ +
+    import JsonFormat.{esc, num}
+    s"""{"node_id": "${esc(a.nodeId)}", "alert_type": "${esc(a.alertType)}", "severity": "${esc(a.severity)}", """ +
       s""""observed_cpu": ${num(a.observedCpu)}, "baseline_cpu": ${num(a.baselineCpu)}, """ +
       s""""deviation": ${num(a.deviation)}, "pct_deviation": ${num(a.pctDeviation)}, """ +
-      s""""z_score": ${num(a.zScore)}, "alert_reason": "${a.alertReason}", """ +
+      s""""z_score": ${num(a.zScore)}, "alert_reason": "${esc(a.alertReason)}", """ +
       s""""event_time": ${a.eventTime}, "baseline_event_time": ${a.baselineEventTime}}"""
   }
 }

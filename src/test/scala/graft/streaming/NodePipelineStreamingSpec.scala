@@ -8,14 +8,30 @@ import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
 import graft.model.{Metric, PipelineOutput}
 import graft.operators.NodePipeline
 
-/** End-to-end Structured Streaming test of the fused pipeline over a
-  * MemoryStream: scripted warm-up, baseline cadence, spike alert —
-  * FIXTURES.md A5 scenarios against /root/reference/src/flinkarima.py
-  * semantics (:218-223 cadence, :313-316 no-baseline suppression,
-  * :324-340 alert gates).
+/** End-to-end Structured Streaming tests of the fused pipeline over a
+  * MemoryStream: scripted warm-up, baseline cadence, spike alert, and the
+  * idle-key window flush — FIXTURES.md A5 scenarios against
+  * /root/reference/src/flinkarima.py semantics (:218-223 cadence, :313-316
+  * no-baseline suppression, :324-340 alert gates, :420-428 guaranteed
+  * window fire).
+  *
+  * NOTE: with ProcessingTimeTimeout the query keeps scheduling (possibly
+  * empty) micro-batches to honor pending timeouts, so `processAllAvailable`
+  * never quiesces — assertions poll the memory sink instead.
   */
 class NodePipelineStreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
+
+  private def collectOut(table: String): Array[PipelineOutput] = {
+    import spark.implicits._
+    spark.table(table).as[PipelineOutput].collect()
+  }
+
+  private def pollUntil(what: String, timeoutMs: Long = 60000L)(pred: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline && !pred) Thread.sleep(150)
+    assert(pred, s"timed out waiting for: $what")
+  }
 
   test("memory-stream pipeline: warm-up, cadence, spike alert across micro-batches") {
     import spark.implicits._
@@ -24,30 +40,25 @@ class NodePipelineStreamingSpec extends AnyFunSuite {
     val cfg = PipelineConfig(
       maxHistory = 50, minHistory = 4, emitEveryN = 2,
       order = SarimaxOrder(1, 1, 1), seasonalOrder = SeasonalOrder(0, 1, 1, 4),
-      windowMillis = 1000L)
+      windowMillis = 1000L,
+      idleFlushMillis = Some(600000L)) // idle flush out of the picture here
 
     val input = MemoryStream[Metric]
     val query = NodePipeline(input.toDS(), cfg)
-      .writeStream
-      .format("memory")
-      .queryName("pipe_out")
-      .outputMode("append")
-      .start()
+      .writeStream.format("memory").queryName("pipe_out").outputMode("append").start()
     try {
       def sample(i: Int, v: Double) = Metric("node-A", v, (i - 1) * 1000L)
 
-      // batch 1: samples 1..5 (steady 50) -> windows 1..4 finalized
+      // batch 1: samples 1..5 (steady 50) -> windows 1..4 finalized;
+      // cadence: baseline at finalized-window ordinal 4 (2k && history >= 4)
       input.addData((1 to 5).map(sample(_, 50.0)))
-      query.processAllAvailable()
-      val afterWarmup = spark.table("pipe_out").as[PipelineOutput].collect()
-      // cadence: baselines at finalized-window ordinals 2k with history >= 4
-      assert(afterWarmup.count(_.kind == "baseline") == 1) // ordinal 4 only
-      assert(afterWarmup.count(_.kind == "alert") == 0, "no alert during warm-up (no deviation)")
+      pollUntil("warm-up baseline") (collectOut("pipe_out").count(_.kind == "baseline") == 1)
+      assert(collectOut("pipe_out").count(_.kind == "alert") == 0, "no alert during warm-up")
 
       // batch 2: samples 6..11 -> windows 5..10 -> baselines at 6, 8, 10
       input.addData((6 to 11).map(sample(_, 50.0)))
-      query.processAllAvailable()
-      val mid = spark.table("pipe_out").as[PipelineOutput].collect()
+      pollUntil("cadence baselines") (collectOut("pipe_out").count(_.kind == "baseline") == 4)
+      val mid = collectOut("pipe_out")
       val baselines = mid.filter(_.kind == "baseline").sortBy(_.eventTime)
       assert(baselines.map(_.eventTime).toSeq == Seq(3000L, 5000L, 7000L, 9000L))
       // constant series: baseline forecast equals the level, std 0
@@ -59,11 +70,9 @@ class NodePipelineStreamingSpec extends AnyFunSuite {
 
       // batch 3: spike at sample 12 (window 12), then sample 13 finalizes it
       input.addData(Seq(sample(12, 250.0), sample(13, 50.0)))
-      query.processAllAvailable()
-      val fin = spark.table("pipe_out").as[PipelineOutput].collect()
-      val alerts = fin.filter(_.kind == "alert")
-      assert(alerts.length == 1, s"exactly the spike alert: ${alerts.toSeq}")
-      val a = alerts.head
+      pollUntil("spike alert") (collectOut("pipe_out").count(_.kind == "alert") == 1)
+      val fin = collectOut("pipe_out")
+      val a = fin.filter(_.kind == "alert").head
       assert(a.eventTime == 11000L)
       // std == 0 -> z forced 0 -> pct gate fires; |z| < 2*thr -> medium
       assert(a.payload.contains(""""severity": "medium""""), a.payload)
@@ -72,6 +81,44 @@ class NodePipelineStreamingSpec extends AnyFunSuite {
       val b12 = fin.filter(_.kind == "baseline").maxBy(_.eventTime)
       assert(b12.eventTime == 11000L)
       assert(b12.payload.contains(""""observed_cpu": 250.0"""), b12.payload)
+    } finally query.stop()
+  }
+
+  test("idle key's last open window is flushed by the processing-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // minHistory=1, emitEveryN=1: every finalized window emits a baseline,
+    // so the flush is observable immediately
+    val cfg = PipelineConfig(
+      maxHistory = 10, minHistory = 1, emitEveryN = 1,
+      order = SarimaxOrder(1, 1, 1), seasonalOrder = SeasonalOrder(0, 1, 1, 2),
+      windowMillis = 1000L,
+      idleFlushMillis = Some(1000L))
+
+    val input = MemoryStream[Metric]
+    val query = NodePipeline(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("flush_out").outputMode("append").start()
+    try {
+      def qBaselines = collectOut("flush_out").filter(o => o.nodeId == "node-Q" && o.kind == "baseline")
+
+      // node-Q reports once, then goes silent: the timeout (1s) must fire
+      // its window without any further input (reference behavior — a dead
+      // node is exactly the case alerting exists for)
+      input.addData(Seq(Metric("node-Q", 42.0, 5000L)))
+      pollUntil("idle flush") (qBaselines.length == 1)
+      assert(qBaselines.head.eventTime == 5000L)
+      assert(qBaselines.head.payload.contains(""""observed_cpu": 42.0"""), qBaselines.head.payload)
+
+      // a late record for the flushed window must NOT re-open it...
+      input.addData(Seq(Metric("node-Q", 77.0, 5400L)))
+      // ...while a record for a NEW window opens normally and flushes later
+      input.addData(Seq(Metric("node-Q", 60.0, 8000L)))
+      pollUntil("new window flush") (qBaselines.length == 2)
+      val latest = qBaselines.maxBy(_.eventTime)
+      assert(latest.eventTime == 8000L)
+      assert(latest.payload.contains(""""observed_cpu": 60.0"""), latest.payload)
+      assert(!qBaselines.exists(_.eventTime == 5400L), "late record re-emitted a closed window")
     } finally query.stop()
   }
 }
