@@ -33,6 +33,22 @@ object Dedup {
       .groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: drop records whose content fingerprint was
+    * already seen, with state bounded by the event-time watermark (the
+    * streaming analog of [[exact]] — state per key is one fingerprint, and
+    * the watermark lets the store evict, which is what keeps a long-running
+    * 100 TB ingest from accumulating unbounded dedup state).
+    */
+  def streamingExact(
+      docs: DataFrame,
+      watermarkDelay: String,
+      tsCol: String = "ts",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Distinct word n-grams per doc: (id, gram). */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
@@ -80,7 +96,10 @@ object Dedup {
 
   /** MinHash signature columns: min over salted xxhash64 of each doc's grams.
     * Salting with the hash index (instead of affine permutations) keeps the
-    * whole signature a single groupBy of `numHashes` min-aggregates.
+    * whole signature a single groupBy of `numHashes` min-aggregates, and each
+    * gram STRING is hashed exactly once — the per-lane salt is applied by
+    * re-hashing the resulting 8-byte long, which costs a fraction of
+    * `numHashes` string hashes per gram.
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -89,7 +108,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val grams = docGrams(docs, idCol, textCol, shingleSize)
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("gh"), lit(i))).as(s"h$i"))
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 

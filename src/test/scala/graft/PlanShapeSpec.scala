@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Plan-shape regression tests: the scale properties this engine claims are
+  * verified on the PHYSICAL PLAN, not taken on faith — a refactor that
+  * silently turns an equi-join into a cartesian or re-introduces a window
+  * shuffle in top-k must fail here.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def assertNoCartesian(p: String): Unit = {
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+  }
+
+  test("LSH self-joins stay equi-joins (no cartesian blowup)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      Dedup.minhashLshPairs(docs),
+      Dedup.simhashPairs(docs),
+      Dedup.ngramJaccardPairs(docs),
+      Dedup.minhashLshVerifiedPairs(docs)).foreach(df => assertNoCartesian(plan(df)))
+  }
+
+  test("ivfTopK: expression argmin assignment — no sort, no window, one shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0)))
+    assertNoCartesian(p)
+    assert(!p.contains("Window"), "rank-window shuffle crept back into IVF")
+    assert(!p.contains("SortMergeJoin"), "IVF join must broadcast, not sort-merge")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"IVF should shuffle only the bounded top-k aggregate, saw $exchanges:\n$p")
+  }
+
+  test("bruteForceTopK: bounded partial aggregation, not a rank window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0)))
+    assert(!p.contains("Window"), "top-k must partial-aggregate, not rank the cross product")
+    assert(p.contains("ObjectHashAggregate"), "bounded TopKAggregator missing from plan")
+  }
+
+  test("q1: filter and column pruning reach the parquet scan") {
+    val p = plan(QueryCatalog.queries("q1_lineitem")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(QueryCatalog.queries("q3_top10")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+}
