@@ -46,8 +46,10 @@ object Similarity {
     * Output: query_id, rnk (1-based), neighbor_id, cosine.
     *
     * Plan shape at scale: one broadcast of the query set, one scan of the
-    * corpus with codegen'd dot products, partial top-k on the map side, and a
-    * shuffle of k rows per (query, partition).
+    * corpus scoring against it in a primitive dot-product loop (the HOF
+    * expression form evaluates interpreted — see [[cosinePairsExact]]),
+    * partial top-k on the map side via [[TopKAggregator]], and a shuffle of
+    * k rows per (query, partition) — never the |Q|x|C| cross product.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -55,12 +57,36 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = prep(corpus, idCol, vecCol, "neighbor_id", "e_c", "nrm_c")
-    val q = prep(queries, idCol, vecCol, "query_id", "e_q", "nrm_q")
-    val cos = cosineWithNorms(col("e_q"), col("e_c"), col("nrm_q"), col("nrm_c"))
-    val scored = c
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def prepTyped(df: DataFrame) = df
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val qArr = prepTyped(queries).collect().map { case (id, v) => (id, v, norm(v)) }
+    val bc = spark.sparkContext.broadcast(qArr)
+    val scored = prepTyped(corpus)
+      .mapPartitions { rows =>
+        val qs = bc.value
+        rows.flatMap { case (idC, c) =>
+          val nrmC = norm(c)
+          qs.iterator.flatMap { case (idQ, qv, nrmQ) =>
+            if (idQ == idC) Iterator.empty
+            else {
+              val d = math.min(c.length, qv.length)
+              var acc = 0.0; var i = 0
+              while (i < d) { acc += qv(i) * c(i); i += 1 }
+              Iterator.single((idQ, idC, acc / (nrmQ * nrmC)))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     topKSelect(scored, k)
   }
 
