@@ -30,7 +30,8 @@ class PipelineConfigSpec extends AnyFunSuite {
     val c = PipelineConfig.fromArgs(Seq(
       "--use-datagen", "--datagen-nodes", "9", "--datagen-rate", "0.5",
       "--order", "2,0,1", "--seasonal-order", "1,0,1,12",
-      "--alert-z-threshold", "2.5", "--max-history", "100"))
+      "--alert-z-threshold", "2.5", "--max-history", "100",
+      "--idle-flush-ms", "7000"))
     assert(c.useDatagen)
     assert(c.datagenNodes == 9)
     assert(c.datagenRate == 0.5)
@@ -38,6 +39,7 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(c.seasonalOrder == SeasonalOrder(1, 0, 1, 12))
     assert(c.alertZThreshold == 2.5)
     assert(c.maxHistory == 100)
+    assert(c.idleFlushMillis.contains(7000L))
   }
 
   test("comma-list validation rejects wrong arity (flinkarima.py:479-485)") {

@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("bucketed tables join without any exchange") {
+    val sf = "/root/testdata/sf0.001"
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    ScaleOps.writeBucketed(lineitem, "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed", "l_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle-based join
+      val joined = spark.table("li_bucketed").join(spark.table("ord_bucketed"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must be exchange-free:\n${plan.take(1500)}")
+      assert(joined.count() == lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // 95% of left rows hit key 1 — the classic hot key
+    val left = (0 until 5000).map(i => (if (rng.nextDouble() < 0.95) 1L else rng.nextInt(100).toLong, i))
+      .toDF("k", "payload")
+    val right = (0L until 100L).map(k => (k, s"dim-$k")).toDF("k", "name")
+
+    val plain = left.join(right, "k").select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    val salted = ScaleOps.saltedInnerJoin(left, right, "k", salts = 8).select("k", "payload", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(salted.toSeq == plain.toSeq)
+
+    // the salt must actually split the hot key across multiple values
+    val saltCount = left.withColumn("__salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(saltCount > 4, s"hot key only spread over $saltCount salts")
+  }
+}
