@@ -1,0 +1,28 @@
+package graft.core
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.VectorExpressions
+
+/** SQL-surface registration of the native vector expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works cluster-wide:
+  *
+  *   spark.sql.extensions=graft.core.GraftSparkExtensions
+  *
+  * (For an already-running session use [[GraftFunctions.register]].)
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    VectorExpressions.registry.foreach { case (name, info, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+/** Runtime registration into an existing session's function registry. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    VectorExpressions.registry.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

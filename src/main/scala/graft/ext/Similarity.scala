@@ -124,8 +124,7 @@ object Similarity {
     centroids
   }
 
-  private def l2dist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  private def l2dist(a: Column, b: Column): Column = squaredDistance(a, b)
 
   /** Broadcast centroid set as one array-of-structs literal column. */
   private def centroidArray(centroids: Array[Array[Double]]): Column =
@@ -300,11 +299,9 @@ object Similarity {
     val planesArr: Array[Array[Double]] = Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
 
     val bits = planesArr.zipWithIndex.map { case (p, i) =>
-      // slice the plane to the vector's length: zip_with pads the shorter
-      // side with nulls, which would null out the whole projection
-      val proj = aggregate(
-        zip_with(col("e"), slice(typedLit(p.toSeq), lit(1), size(col("e"))), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      // slice the plane to the vector's length (shorter-side padding would
+      // otherwise null out the projection)
+      val proj = dot(col("e"), slice(typedLit(p.toSeq), lit(1), size(col("e"))))
       when(proj >= 0, 1L << (i % rowsPerBand)).otherwise(0L).as(s"bit$i")
     }
     // band keys: pack each band's sign bits into one long
