@@ -582,6 +582,25 @@ object QueryCatalog {
       |  SELECT l_partkey FROM lineitem
       |  WHERE l_shipdate >= timestamp '1997-03-01 00:00:00' AND l_shipdate < timestamp '1997-04-01 00:00:00')""".stripMargin
 
+  /** The SQL text surface: the same engine drives `spark.sql` over temp
+    * views (TPC-H Q6 shape — the classic pushdown showcase: both filters
+    * reach the parquet scan).
+    */
+  private val qQ6Sql: (SparkSession, String) => DataFrame = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+    s.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS decimal(28,6))) AS double) AS revenue
+        |FROM graft_lineitem_v
+        |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00' AND l_shipdate < timestamp '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin)
+  }
+
+  private val oQ6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS decimal(28,6))) AS double) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00' AND l_shipdate < timestamp '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
   private val qRollup: (SparkSession, String) => DataFrame = (s, dir) =>
     table(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -619,6 +638,7 @@ object QueryCatalog {
     "q1_lineitem" -> qQ1,
     "q3_top10" -> qQ3,
     "q5_region_revenue" -> qQ5,
+    "q6_sql_revenue" -> qQ6Sql,
     "top_orders_per_cust" -> qTopOrders,
     "parts_unsold_month" -> qPartsUnsold,
     "rollup_qty" -> qRollup)
@@ -645,6 +665,7 @@ object QueryCatalog {
     "q1_lineitem" -> oQ1,
     "q3_top10" -> oQ3,
     "q5_region_revenue" -> oQ5,
+    "q6_sql_revenue" -> oQ6Sql,
     "top_orders_per_cust" -> oTopOrders,
     "parts_unsold_month" -> oPartsUnsold,
     "rollup_qty" -> oRollup)
