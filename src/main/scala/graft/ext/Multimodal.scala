@@ -66,4 +66,76 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, Option(bytes).getOrElse(Array.empty)) }
       }
   }
+
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  /** ======== STUB resize ========
+    * "Resize" the decoded payload to a target WxH grid by averaging byte
+    * buckets (stands in for bilinear resampling of decoded pixels — a real
+    * codec would resize the pixel matrix here). The Spark plumbing is the
+    * real part: partition-batched, constant memory, typed output rows of
+    * exactly width*height values.
+    */
+  def resize(
+      withBinary: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[ResizedImage] = {
+    require(targetW >= 1 && targetH >= 1)
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+          val cells = targetW * targetH
+          val sums = new Array[Long](cells)
+          val counts = new Array[Long](cells)
+          var i = 0
+          while (i < bytes.length) {
+            val cell = (i.toLong * cells / math.max(1, bytes.length)).toInt
+            sums(cell) += bytes(i) & 0xff
+            counts(cell) += 1
+            i += 1
+          }
+          val px = Array.tabulate(cells)(c => if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c)).toFloat)
+          ResizedImage(id, targetW, targetH, px)
+        }
+      }
+  }
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** ======== STUB frame sampling ========
+    * Treat the payload as a "video": fixed-size chunks are frames; emit
+    * every `everyN`-th frame up to `maxFrames` (a real implementation would
+    * seek keyframes via the container index). One input row fans out to
+    * multiple typed frame rows — the flatMap shape a real frame sampler
+    * needs.
+    */
+  def sampleFrames(
+      withBinary: DataFrame,
+      frameBytes: Int = 1024,
+      everyN: Int = 2,
+      maxFrames: Int = 8,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[SampledFrame] = {
+    require(frameBytes >= 1 && everyN >= 1 && maxFrames >= 1)
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyN).take(maxFrames).map { f =>
+          val from = f * frameBytes
+          SampledFrame(id, f, from.toLong, java.util.Arrays.copyOfRange(bytes, from, math.min(bytes.length, from + frameBytes)))
+        }
+      }
+  }
 }

@@ -25,6 +25,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.map(_.features.toSeq).toSeq == out.map(_.features.toSeq).toSeq)
   }
 
+  test("resize stub produces exact WxH grids, zero-filled for empty payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 100), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resize(Multimodal.attachBinary(docs), targetW = 4, targetH = 3)
+      .collect().sortBy(_.doc_id)
+    assert(out.forall(r => r.pixels.length == 12 && r.width == 4 && r.height == 3))
+    // "x" payload: every bucket averages to the byte value of 'x'
+    assert(out(0).pixels.forall(p => math.abs(p - 'x'.toInt) < 1e-6))
+    assert(out(1).pixels.forall(_ == 0f))
+  }
+
+  test("frame sampling fans one payload out to every-Nth fixed-size chunks") {
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefghij" * 100)).toDF("doc_id", "text") // 1000 bytes
+    val frames = Multimodal.sampleFrames(Multimodal.attachBinary(docs), frameBytes = 100, everyN = 3, maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6)) // 10 frames, every 3rd, capped
+    assert(frames.map(_.offset).toSeq == Seq(0L, 300L, 600L))
+    assert(frames.forall(_.frame.length == 100))
+    assert(new String(frames(1).frame).startsWith("abcdefghij"))
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
