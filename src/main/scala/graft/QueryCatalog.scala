@@ -211,12 +211,14 @@ object QueryCatalog {
     * samples (flinkarima.py:130-142 with season=24, days=5).
     */
   private val qDailyTrend: (SparkSession, String) => DataFrame = (s, dir) => {
-    val w = Window.partitionBy("nodeId").orderBy(col("eventTime").desc)
+    // order by the RAW nanosecond timestamp: ms-truncated ordering would be
+    // ambiguous (and oracle-divergent) if two events ever share a millisecond
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
     def exactAvg(cond: Column) =
-      sum(when(cond, col("cpu")).cast("decimal(18,2)")).cast("double") / count(when(cond, col("cpu")))
-    eventMetrics(s, dir).toDF()
+      sum(when(cond, col("value")).cast("decimal(18,2)")).cast("double") / count(when(cond, col("value")))
+    table(s, dir, "events")
       .withColumn("rn", row_number().over(w))
-      .groupBy(col("nodeId").as("node_id"))
+      .groupBy(col("user_id").cast("string").as("node_id"))
       .agg(
         exactAvg(col("rn") <= 24).as("latest_day_avg"),
         exactAvg(col("rn") <= 120).as("five_day_avg"))

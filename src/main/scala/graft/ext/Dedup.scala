@@ -183,8 +183,23 @@ object Dedup {
       shingleSize: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val cands = minhashLshPairs(docs, numHashes, bands, threshold = 0.0, shingleSize, idCol, textCol)
+    // candidate generation from band keys only: joining the full signature
+    // arrays (as minhashLshPairs does for its est_jaccard output) would ship
+    // 2x64 longs per band collision and pay an interpreted 64-element fold
+    // per candidate, all to produce a column this path discards
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val ca = banded.select(col("id").as("id_a"), col("bk"))
+    val cb = banded.select(col("id").as("id_b"), col("bk"))
+    val cands = ca.join(cb, ca("bk") === cb("bk") && ca("id_a") < cb("id_b"))
       .select("id_a", "id_b")
+      .distinct()
     val grams = docGrams(docs, idCol, textCol, shingleSize)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val ga = grams.select(col("id").as("id_a"), col("g").as("ga"))

@@ -29,6 +29,41 @@ object Similarity {
     df.select(col(idCol).as(id), toDoubleArray(col(vecCol)).as(e))
       .withColumn(nrm, l2Norm(col(e)))
 
+  /** Shared primitive kernels. The left-to-right accumulation from 0.0 is
+    * LOAD-BEARING: it is what keeps kernel results bitwise equal to the
+    * expression forms and the external oracle — change in one place only.
+    */
+  private def prepTyped(df: DataFrame, idCol: String, vecCol: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+  }
+
+  private def normOf(v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  private def dotOf(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Guard for kernels that broadcast/collect a side to the driver. */
+  private def requireDriverSized(df: DataFrame, what: String, maxRows: Long): Unit = {
+    val probe = df.limit((maxRows + 1).toInt).count()
+    require(probe <= maxRows,
+      s"$what exceeds $maxRows vectors; this exact kernel collects one side to the driver — " +
+        "use the LSH (srpCosinePairs) or IVF path at this scale")
+  }
+
   private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
     scored
@@ -59,30 +94,17 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def prepTyped(df: DataFrame) = df
-      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, v.toArray) }
-    def norm(v: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
-    }
-    val qArr = prepTyped(queries).collect().map { case (id, v) => (id, v, norm(v)) }
+    requireDriverSized(queries, "query set", 1000000L)
+    val qArr = prepTyped(queries, idCol, vecCol).collect().map { case (id, v) => (id, v, normOf(v)) }
     val bc = spark.sparkContext.broadcast(qArr)
-    val scored = prepTyped(corpus)
+    val scored = prepTyped(corpus, idCol, vecCol)
       .mapPartitions { rows =>
         val qs = bc.value
         rows.flatMap { case (idC, c) =>
-          val nrmC = norm(c)
+          val nrmC = normOf(c)
           qs.iterator.flatMap { case (idQ, qv, nrmQ) =>
             if (idQ == idC) Iterator.empty
-            else {
-              val d = math.min(c.length, qv.length)
-              var acc = 0.0; var i = 0
-              while (i < d) { acc += qv(i) * c(i); i += 1 }
-              Iterator.single((idQ, idC, acc / (nrmQ * nrmC)))
-            }
+            else Iterator.single((idQ, idC, dotOf(qv, c) / (nrmQ * nrmC)))
           }
         }
       }
@@ -155,10 +177,16 @@ object Similarity {
     val spark = corpus.sparkSession
     val prepped = prep(corpus, idCol, vecCol, "id", "e", "nrm")
 
-    // 1. bounded deterministic sample (limit over a deterministic source —
-    //    no orderBy: a global sort of the corpus to pick 10k rows would be
-    //    the dominant cost at scale)
-    val sampleRows = prepped.select("e").limit(trainSample).collect()
+    // 1. bounded deterministic sample: orderBy(hash) + limit compiles to
+    //    TakeOrderedAndProject — a per-partition top-n plus a driver merge of
+    //    n*partitions rows, NOT a global sort — and hash order makes the
+    //    sample both reproducible on any partition layout and unbiased by
+    //    id locality
+    val sampleRows = prepped
+      .orderBy(xxhash64(col("id")))
+      .limit(trainSample)
+      .select("e")
+      .collect()
     val sampleRaw = sampleRows.map(_.getSeq[Double](0).toArray)
     val emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -230,25 +258,16 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val prepped = embeddings
-      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) => (id, v.toArray) }
-
-    def norm(v: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      math.sqrt(acc)
-    }
-    val corpus = prepped.collect().sortBy(_._1)
-    val withNorms = corpus.map { case (id, v) => (id, v, norm(v)) }
+    requireDriverSized(embeddings, "embedding corpus", 200000L)
+    val prepped = prepTyped(embeddings, idCol, vecCol)
+    val withNorms = prepped.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) }
     val bc = spark.sparkContext.broadcast(withNorms)
 
     prepped
       .mapPartitions { rows =>
         val side = bc.value
         rows.flatMap { case (idA, a) =>
-          val nrmA = norm(a)
+          val nrmA = normOf(a)
           // binary search to the first id_b > id_a (side is id-sorted)
           var lo = 0; var hi = side.length
           while (lo < hi) {
@@ -259,10 +278,7 @@ object Similarity {
           var j = lo
           while (j < side.length) {
             val (idB, b, nrmB) = side(j)
-            val d = math.min(a.length, b.length)
-            var acc = 0.0; var i = 0
-            while (i < d) { acc += a(i) * b(i); i += 1 }
-            val cos = acc / (nrmA * nrmB)
+            val cos = dotOf(a, b) / (nrmA * nrmB)
             if (cos >= threshold) out += ((idA, idB, cos))
             j += 1
           }
@@ -309,13 +325,24 @@ object Similarity {
       val cols = (0 until rowsPerBand).map(r => bits(b * rowsPerBand + r))
       struct(lit(b).as("band"), cols.reduce[Column](_ + _).as("key"))
     }
-    val banded = n.select(col("id"), col("e"), col("nrm"), explode(array(bandKeys: _*)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"), col("bk"))
-    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
-    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+    // candidate generation carries ONLY (id, band-key): shipping the vectors
+    // through the banded self-join would duplicate each embedding `bands`
+    // times on both sides and recompute the cosine once per band collision —
+    // instead dedup the candidate id pairs first, then join the vectors back
+    // once per surviving pair
+    val banded = n.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("bk"))
+    val cands = a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+    val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val vb = n.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
+    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
+    cands
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

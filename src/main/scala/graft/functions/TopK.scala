@@ -28,8 +28,13 @@ final class TopKAggregator(k: Int) extends Aggregator[ScoredId, TopKBuffer, Arra
 
   override def zero: TopKBuffer = TopKBuffer(new Array[Long](k), new Array[Double](k), 0)
 
+  /** Ordering matches SQL `ORDER BY score DESC, id ASC`: NaN sorts GREATER
+    * than every double (so NaN ranks first, as Spark and DuckDB rank it),
+    * +/-0.0 compare equal, ties break by id ascending.
+    */
   private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+    if (s1 == s2 || (s1.isNaN && s2.isNaN)) i1 < i2
+    else java.lang.Double.compare(s1, s2) > 0
 
   /** Insert (id, score) keeping best-first order; mutates the arrays in place
     * (TypedImperativeAggregate buffers are owned by the operator).

@@ -30,11 +30,19 @@ object VectorExpressions {
       TypeCheckResult.TypeCheckFailure(
         s"$name requires array<double> inputs, got " + inputs.map(_.dataType.simpleString).mkString(", "))
 
-  private def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Null propagation matches the HOF reference forms and SQL engines: a
+    * null ELEMENT nulls the whole result (zip_with produces a null product,
+    * aggregate's sum then sticks to null).
+    */
+  private def dotOrNull(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,7 +53,7 @@ object VectorExpressions {
     override def prettyName: String = "vec_dot"
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -55,8 +63,11 @@ object VectorExpressions {
         s"""
            |int $n = Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) { $acc += $a.getDouble($i) * $b.getDouble($i); }
-           |${ev.value} = $acc;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = $acc; }
          """.stripMargin
       })
 
@@ -71,7 +82,10 @@ object VectorExpressions {
 
     override protected def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
-      math.sqrt(dot(arr, arr))
+      dotOrNull(arr, arr) match {
+        case null => null
+        case d: java.lang.Double => math.sqrt(d)
+      }
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -83,8 +97,12 @@ object VectorExpressions {
         s"""
            |int $n = $a.numElements();
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) { double $v = $a.getDouble($i); $acc += $v * $v; }
-           |${ev.value} = Math.sqrt($acc);
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  double $v = $a.getDouble($i);
+           |  $acc += $v * $v;
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = Math.sqrt($acc); }
          """.stripMargin
       })
 
@@ -105,7 +123,12 @@ object VectorExpressions {
       val n = math.min(x.numElements(), y.numElements())
       var acc = 0.0
       var i = 0
-      while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
       acc
     }
 
@@ -119,10 +142,11 @@ object VectorExpressions {
            |int $n = Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $d = $a.getDouble($i) - $b.getDouble($i);
            |  $acc += $d * $d;
            |}
-           |${ev.value} = $acc;
+           |if (!${ev.isNull}) { ${ev.value} = $acc; }
          """.stripMargin
       })
 

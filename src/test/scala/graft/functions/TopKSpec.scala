@@ -43,4 +43,10 @@ class TopKSpec extends AnyFunSuite {
   test("empty input -> empty output") {
     assert(viaAggregator(5, Nil).isEmpty)
   }
+
+  test("NaN scores rank first, like SQL ORDER BY score DESC") {
+    val xs = Seq(ScoredId(1, 0.9), ScoredId(2, Double.NaN), ScoredId(3, 0.5), ScoredId(4, Double.NaN))
+    val got = viaAggregator(3, xs)
+    assert(got.map(_.id) == Seq(2L, 4L, 1L)) // NaNs first (id-tiebroken), then best finite
+  }
 }

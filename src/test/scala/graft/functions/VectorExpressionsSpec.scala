@@ -50,6 +50,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("null ELEMENTS propagate to null, matching the HOF forms") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0)))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")),
+      dotHof(col("a"), col("b")),
+      l2Norm(col("a")),
+      squaredDistance(col("a"), col("b"))).collect().head
+    assert((0 to 3).forall(r.isNullAt), r.toString)
+  }
+
   test("SQL surface after registration: vec_dot/vec_norm/vec_dist2") {
     GraftFunctions.register(spark)
     val r = spark.sql(
