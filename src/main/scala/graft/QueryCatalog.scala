@@ -421,6 +421,48 @@ object QueryCatalog {
       |       (strlen(text) % 640 + 1)::int AS width, (strlen(text) % 480 + 1)::int AS height
       |FROM documents""".stripMargin
 
+  /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
+    * quality gate -> language tag); the oracle replays every stage in SQL
+    * with the exact jaccard pairs standing in for the LSH+verify stage
+    * (recall 1 at this corpus's jaccard margins).
+    */
+  private val qCuration: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.CurationPipeline.curate(table(s, dir, "documents"))
+
+  private val oCuration: String =
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)
+       |), dd AS (
+       |  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)
+       |), toks AS (
+       |  SELECT doc_id, text, string_split($normSql, ' ') AS w FROM dd
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 3
+       |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |losers AS (
+       |  SELECT DISTINCT id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+       |nd AS (SELECT * FROM toks WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+       |q AS (
+       |  SELECT doc_id, length(text)::bigint AS n_chars, len(w)::bigint AS n_tokens,
+       |         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS distinct_ratio,
+       |         len(list_filter(w, t -> list_contains(['the','and','of','is','a','in','to'], t)))::bigint AS score_en,
+       |         len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t)))::bigint AS score_de,
+       |         len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','dans'], t)))::bigint AS score_fr,
+       |         len(list_filter(w, t -> list_contains(['el','los','las','y','es','una','en'], t)))::bigint AS score_es
+       |  FROM nd)
+       |SELECT doc_id, n_chars, n_tokens, distinct_ratio,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |       WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_pred
+       |FROM q WHERE n_chars >= 100 AND distinct_ratio >= 0.3""".stripMargin
+
   // ------------------------------------------------------------ embeddings
 
   /** Left-fold dot/norm in DuckDB matching Spark's `aggregate` fold order ->
@@ -633,6 +675,7 @@ object QueryCatalog {
     "minhash_lsh_verified" -> qMinhashVerified,
     "simhash_pairs" -> qSimhashPairs,
     "multimodal_decode" -> qMultimodal,
+    "curation_pipeline" -> qCuration,
     "embedding_norms" -> qEmbeddingNorms,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
@@ -661,6 +704,7 @@ object QueryCatalog {
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
     "multimodal_decode" -> oMultimodal,
+    "curation_pipeline" -> oCuration,
     "embedding_norms" -> oEmbeddingNorms,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the north star's end-to-end
+  * shape (BASELINE.json): raw documents -> exact dedup -> near-dup removal ->
+  * quality filter -> language tag. Each stage is one of the library
+  * operators; this facade wires them the way a 100 TB curation job would:
+  *
+  *  1. exact dedup keeps the smallest doc_id per content fingerprint
+  *     (one shuffle on the 16-byte digest);
+  *  2. near-dup removal drops the LARGER id of every verified MinHash-LSH
+  *     pair ([[Dedup.minhashLshVerifiedPairs]] — LSH candidates + exact
+  *     jaccard verification, never all-pairs);
+  *  3. quality gate on cheap single-pass features ([[TextAnalysis.quality]]);
+  *  4. language-ID tag kept in the output ([[TextAnalysis.langId]]).
+  */
+object CurationPipeline {
+
+  final case class Params(
+      jaccardThreshold: Double = 0.5,
+      minChars: Long = 100L,
+      minDistinctRatio: Double = 0.3)
+
+  /** Curated corpus: doc_id, n_chars, n_tokens, distinct_ratio, lang_pred. */
+  def curate(docs: DataFrame, params: Params = Params()): DataFrame = {
+    // 1. exact duplicates: keep the keeper ids only
+    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 2. near-duplicates among the survivors: drop the larger id of each pair
+    val nearDupLosers = Dedup
+      .minhashLshVerifiedPairs(exactDeduped, threshold = params.jaccardThreshold)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    val nearDeduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+
+    // 3+4. quality gate + language tag
+    val quality = TextAnalysis.quality(nearDeduped)
+      .filter(col("n_chars") >= params.minChars && col("distinct_ratio") >= params.minDistinctRatio)
+      .select("doc_id", "n_chars", "n_tokens", "distinct_ratio")
+    val lang = TextAnalysis.langId(nearDeduped).select("doc_id", "lang_pred")
+    quality.join(lang, Seq("doc_id"))
+  }
+}
