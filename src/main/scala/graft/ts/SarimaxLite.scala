@@ -89,6 +89,17 @@ object SarimaxLite {
     e
   }
 
+  /** CSS fit of the ARMA parameters on an already-differenced series —
+    * exposed for validation (parameter-recovery tests); [[forecast]] is the
+    * production entry. Returns (phi..., theta..., sphi..., stheta...) in
+    * spec order.
+    */
+  def fitCss(w: Array[Double], spec: Spec): Array[Double] = {
+    val nParams = spec.p + spec.q + spec.bigP + spec.bigQ
+    require(nParams > 0, "spec has no ARMA parameters to fit")
+    NelderMead.minimize(css(w, spec), Array.fill(nParams)(0.1))
+  }
+
   private def css(w: Array[Double], spec: Spec)(params: Array[Double]): Double = {
     val (arW, maW) = weights(spec, params)
     val e = residuals(w, arW, maW)

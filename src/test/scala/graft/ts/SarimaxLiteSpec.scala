@@ -51,16 +51,24 @@ class SarimaxLiteSpec extends AnyFunSuite {
     assert(math.abs(f - expected) < 5.0, s"got $f expected $expected")
   }
 
-  test("CSS fit recovers an MA(1) coefficient on simulated data") {
-    // w_t = e_t + 0.6 e_{t-1}; spec (0,0,1) fits theta by CSS
+  test("CSS fit recovers known ARMA parameters on simulated data") {
     val rng = new scala.util.Random(11)
-    val e = Array.fill(2000)(rng.nextGaussian())
-    val w = Array.tabulate(2000)(t => e(t) + 0.6 * (if (t > 0) e(t - 1) else 0.0))
-    val spec = SarimaxLite.Spec(0, 0, 1, 0, 0, 0, 1)
-    // one-step forecast = theta * e_n; cannot observe theta directly, so
-    // check the fitted model's CSS is close to the true-theta CSS
-    val fitted = SarimaxLite.forecast(w, spec).get
-    assert(fitted.abs < 3.0) // sane magnitude, not a runaway
+    // MA(1): w_t = e_t + 0.6 e_{t-1}
+    val e = Array.fill(4000)(rng.nextGaussian())
+    val ma = Array.tabulate(4000)(t => e(t) + 0.6 * (if (t > 0) e(t - 1) else 0.0))
+    val thetaHat = SarimaxLite.fitCss(ma, SarimaxLite.Spec(0, 0, 1, 0, 0, 0, 1))(0)
+    assert(math.abs(thetaHat - 0.6) < 0.1, s"theta=$thetaHat")
+
+    // AR(1): w_t = 0.7 w_{t-1} + e_t
+    val ar = new Array[Double](4000)
+    for (t <- 1 until 4000) ar(t) = 0.7 * ar(t - 1) + e(t)
+    val phiHat = SarimaxLite.fitCss(ar, SarimaxLite.Spec(1, 0, 0, 0, 0, 0, 1))(0)
+    assert(math.abs(phiHat - 0.7) < 0.05, s"phi=$phiHat")
+
+    // seasonal MA(1) at s=12: w_t = e_t + 0.5 e_{t-12}
+    val sma = Array.tabulate(4000)(t => e(t) + 0.5 * (if (t >= 12) e(t - 12) else 0.0))
+    val sthetaHat = SarimaxLite.fitCss(sma, SarimaxLite.Spec(0, 0, 0, 0, 0, 1, 12))(0)
+    assert(math.abs(sthetaHat - 0.5) < 0.1, s"stheta=$sthetaHat")
   }
 
   test("short history falls back to seasonal-naive (SURVEY §7.4.1 ladder)") {
