@@ -36,11 +36,26 @@ object CurationPipeline {
       .distinct()
     val nearDeduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    // 3+4. quality gate + language tag
-    val quality = TextAnalysis.quality(nearDeduped)
+    // 3+4. quality gate + language tag in ONE pass: both are pure per-row
+    // column expressions, so computing them as two scans of nearDeduped and
+    // joining back would re-execute the whole dedup DAG twice and add a
+    // needless shuffle
+    import graft.functions.TextFunctions._
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
+      val beatsAllLater = langs.drop(i + 1).map(l2 => col(s"score_$lang") >= col(s"score_$l2")).reduce(_ && _)
+      when(beatsAllLater, lang).otherwise(rest)
+    }
+    nearDeduped
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("distinct_ratio", distinctRatio(col("toks")))
       .filter(col("n_chars") >= params.minChars && col("distinct_ratio") >= params.minDistinctRatio)
-      .select("doc_id", "n_chars", "n_tokens", "distinct_ratio")
-    val lang = TextAnalysis.langId(nearDeduped).select("doc_id", "lang_pred")
-    quality.join(lang, Seq("doc_id"))
+      .select(
+        Seq(col("doc_id"), col("n_chars"), col("n_tokens"), col("distinct_ratio")) ++
+          langMarkers.map { case (lang, markers) => markerScore(col("toks"), markers).as(s"score_$lang") }: _*)
+      .withColumn("lang_pred", pred)
+      .select("doc_id", "n_chars", "n_tokens", "distinct_ratio", "lang_pred")
   }
 }

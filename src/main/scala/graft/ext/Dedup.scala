@@ -128,6 +128,20 @@ object Dedup {
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** LSH band keys over MinHash signature columns h0..h(numHashes-1): one
+    * struct(band, xxhash64(band's rows)) per band. Single definition so the
+    * candidate semantics of the est-jaccard and exact-verify paths cannot
+    * silently diverge.
+    */
+  private def minhashBandKeys(numHashes: Int, bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+  }
+
   /** MinHash + banded LSH near-dup candidate pairs with estimated Jaccard
     * (fraction of matching signature components). `numHashes` must be
     * divisible by `bands`; rows-per-band = numHashes / bands.
@@ -140,16 +154,11 @@ object Dedup {
       shingleSize: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
-    }
-    val banded = sigs.select(col("id"), col("sig"), explode(array(bandKeys: _*)).as("bk"))
+    val banded = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+      .select(
+        col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
 
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
@@ -187,14 +196,8 @@ object Dedup {
     // arrays (as minhashLshPairs does for its est_jaccard output) would ship
     // 2x64 longs per band collision and pay an interpreted 64-element fold
     // per candidate, all to produce a column this path discards
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val banded = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+      .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
     val ca = banded.select(col("id").as("id_a"), col("bk"))
     val cb = banded.select(col("id").as("id_b"), col("bk"))
     val cands = ca.join(cb, ca("bk") === cb("bk") && ca("id_a") < cb("id_b"))

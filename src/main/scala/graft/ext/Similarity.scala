@@ -56,12 +56,17 @@ object Similarity {
     acc
   }
 
-  /** Guard for kernels that broadcast/collect a side to the driver. */
-  private def requireDriverSized(df: DataFrame, what: String, maxRows: Long): Unit = {
-    val probe = df.limit((maxRows + 1).toInt).count()
-    require(probe <= maxRows,
+  /** Collect at most `maxRows` prepped vectors to the driver, failing with
+    * routing guidance if the side is larger — one job, guard folded into the
+    * collect itself (a separate count probe would re-execute the lineage).
+    */
+  private def collectDriverSized(
+      df: DataFrame, idCol: String, vecCol: String, what: String, maxRows: Int): Array[(Long, Array[Double])] = {
+    val rows = prepTyped(df, idCol, vecCol).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
       s"$what exceeds $maxRows vectors; this exact kernel collects one side to the driver — " +
         "use the LSH (srpCosinePairs) or IVF path at this scale")
+    rows
   }
 
   private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
@@ -94,8 +99,8 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    requireDriverSized(queries, "query set", 1000000L)
-    val qArr = prepTyped(queries, idCol, vecCol).collect().map { case (id, v) => (id, v, normOf(v)) }
+    val qArr = collectDriverSized(queries, idCol, vecCol, "query set", 100000)
+      .map { case (id, v) => (id, v, normOf(v)) }
     val bc = spark.sparkContext.broadcast(qArr)
     val scored = prepTyped(corpus, idCol, vecCol)
       .mapPartitions { rows =>
@@ -258,9 +263,9 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    requireDriverSized(embeddings, "embedding corpus", 200000L)
     val prepped = prepTyped(embeddings, idCol, vecCol)
-    val withNorms = prepped.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) }
+    val withNorms = collectDriverSized(embeddings, idCol, vecCol, "embedding corpus", 200000)
+      .sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) }
     val bc = spark.sparkContext.broadcast(withNorms)
 
     prepped

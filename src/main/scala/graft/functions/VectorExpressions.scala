@@ -51,6 +51,11 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult = checkDoubleArrays(prettyName, Seq(left, right))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    // a null ELEMENT nulls the result even when children are
+    // non-nullable; without this override nullSafeCodeGen would bind
+    // ev.isNull to FalseLiteral and the generated "false = true" fails
+    // javac (silent interpreted fallback)
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
       dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -79,6 +84,11 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult = checkDoubleArrays(prettyName, Seq(child))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm"
+    // a null ELEMENT nulls the result even when children are
+    // non-nullable; without this override nullSafeCodeGen would bind
+    // ev.isNull to FalseLiteral and the generated "false = true" fails
+    // javac (silent interpreted fallback)
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
@@ -116,6 +126,11 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult = checkDoubleArrays(prettyName, Seq(left, right))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dist2"
+    // a null ELEMENT nulls the result even when children are
+    // non-nullable; without this override nullSafeCodeGen would bind
+    // ev.isNull to FalseLiteral and the generated "false = true" fails
+    // javac (silent interpreted fallback)
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
