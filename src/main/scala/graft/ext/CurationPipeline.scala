@@ -23,11 +23,19 @@ object CurationPipeline {
       minChars: Long = 100L,
       minDistinctRatio: Double = 0.3)
 
-  /** Curated corpus: doc_id, n_chars, n_tokens, distinct_ratio, lang_pred. */
-  def curate(docs: DataFrame, params: Params = Params()): DataFrame = {
+  /** Curated corpus: doc_id, n_chars, n_tokens, distinct_ratio, lang_pred.
+    *
+    * `materialize = true` (default) localCheckpoints the exact-deduped set:
+    * the MinHash-LSH verify stage consumes it through several branches
+    * (signatures, both gram sides, the anti-join left side), and without
+    * materialization each branch re-executes the fingerprint groupBy +
+    * semi-join lineage.
+    */
+  def curate(docs: DataFrame, params: Params = Params(), materialize: Boolean = true): DataFrame = {
     // 1. exact duplicates: keep the keeper ids only
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val exactDeduped0 = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val exactDeduped = if (materialize) exactDeduped0.localCheckpoint() else exactDeduped0
 
     // 2. near-duplicates among the survivors: drop the larger id of each pair
     val nearDupLosers = Dedup
