@@ -307,6 +307,54 @@ object QueryCatalog {
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Sliding (hopping) windows: 10-minute width, 5-minute hop — every event
+    * lands in exactly two windows.
+    */
+  private val qSlidingWindow: (SparkSession, String) => DataFrame = (s, dir) =>
+    WindowAgg.sliding(eventMetrics(s, dir), windowMillis = 600000L, slideMillis = 300000L, exactMean = true)
+      .select(
+        col("nodeId").as("node_id"),
+        col("windowStart").as("window_start"),
+        col("cpu"),
+        col("eventTime").as("event_time"),
+        col("n"))
+
+  private val oSlidingWindow: String =
+    """WITH e AS (SELECT cast(user_id AS varchar) AS node_id, value, epoch_ms(ts) AS tm FROM events),
+      |x AS (SELECT node_id, value, tm,
+      |             unnest([(tm // 300000) * 300000, (tm // 300000) * 300000 - 300000]) AS ws
+      |      FROM e)
+      |SELECT node_id, ws AS window_start,
+      |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS cpu,
+      |       max(tm) AS event_time, count(*) AS n
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** Session windows (30-minute gap): sessions merge while consecutive
+    * events are STRICTLY closer than the gap; end = last event + gap.
+    */
+  private val qSessionWindow: (SparkSession, String) => DataFrame = (s, dir) =>
+    WindowAgg.sessions(eventMetrics(s, dir), gapMillis = 1800000L)
+      .select(
+        col("nodeId").as("node_id"),
+        col("sessionStart").as("session_start"),
+        col("sessionEnd").as("session_end"),
+        col("n"),
+        col("lastTs").as("last_ts"))
+
+  private val oSessionWindow: String =
+    """WITH e AS (SELECT cast(user_id AS varchar) AS node_id, epoch_ms(ts) AS tm FROM events),
+      |m AS (SELECT node_id, tm,
+      |             CASE WHEN lag(tm) OVER (PARTITION BY node_id ORDER BY tm) IS NULL
+      |                    OR tm - lag(tm) OVER (PARTITION BY node_id ORDER BY tm) >= 1800000
+      |                  THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |sess AS (SELECT node_id, tm,
+      |               sum(brk) OVER (PARTITION BY node_id ORDER BY tm ROWS UNBOUNDED PRECEDING) AS sid
+      |        FROM m)
+      |SELECT node_id, min(tm) AS session_start, max(tm) + 1800000 AS session_end,
+      |       count(*) AS n, max(tm) AS last_ts
+      |FROM sess GROUP BY node_id, sid""".stripMargin
+
   /** O2/O15: deterministic synthetic metric generation (xxhash64 value model
     * is engine-specific -> rows-only check; determinism is spec-tested).
     */
@@ -660,6 +708,8 @@ object QueryCatalog {
     "metric_parse" -> qMetricParse,
     "window_agg_5min" -> qWindowAgg,
     "event_stats_hourly" -> qEventStats,
+    "sliding_window_agg" -> qSlidingWindow,
+    "session_window_agg" -> qSessionWindow,
     "alert_math" -> qAlertMath,
     "daily_trend" -> qDailyTrend,
     "baseline_stats_replay" -> qBaselineStats,
@@ -692,6 +742,8 @@ object QueryCatalog {
     "metric_parse" -> oMetricParse,
     "window_agg_5min" -> oWindowAgg,
     "event_stats_hourly" -> oEventStats,
+    "sliding_window_agg" -> oSlidingWindow,
+    "session_window_agg" -> oSessionWindow,
     "alert_math" -> oAlertMath,
     "daily_trend" -> oDailyTrend,
     "baseline_stats_replay" -> oBaselineStats,

@@ -38,6 +38,50 @@ object WindowAgg {
   def batch(metrics: Dataset[Metric], windowMillis: Long = 300000L, exactMean: Boolean = false): Dataset[WindowAggregate] =
     agg(metrics, windowMillis, stream = false, exactMean)
 
+  /** Sliding (hopping) windows: width `windowMillis`, hop `slideMillis` —
+    * each element lands in windowMillis/slideMillis windows. Batch + (with a
+    * watermark upstream) streaming. Output keeps the window start for
+    * identity since windows overlap.
+    */
+  def sliding(
+      metrics: Dataset[Metric],
+      windowMillis: Long,
+      slideMillis: Long,
+      exactMean: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import metrics.sparkSession.implicits._
+    val mean =
+      if (exactMean) sum($"cpu".cast("decimal(18,2)")).cast("double") / count(lit(1))
+      else avg($"cpu")
+    metrics
+      .withColumn("ts", timestamp_millis($"eventTime"))
+      .groupBy(window($"ts", s"$windowMillis milliseconds", s"$slideMillis milliseconds"), $"nodeId")
+      .agg(mean.as("cpu"), max($"eventTime").as("maxTs"), count(lit(1)).as("n"))
+      .select(
+        $"nodeId",
+        unix_millis($"window.start").as("windowStart"),
+        $"cpu",
+        $"maxTs".as("eventTime"),
+        $"n")
+  }
+
+  /** Session windows: events for a key closer than `gapMillis` merge into one
+    * session [first, last + gap). Batch analog of Structured Streaming's
+    * `session_window` (which this uses directly).
+    */
+  def sessions(metrics: Dataset[Metric], gapMillis: Long): org.apache.spark.sql.DataFrame = {
+    import metrics.sparkSession.implicits._
+    metrics
+      .withColumn("ts", timestamp_millis($"eventTime"))
+      .groupBy(session_window($"ts", s"$gapMillis milliseconds"), $"nodeId")
+      .agg(count(lit(1)).as("n"), max($"eventTime").as("lastTs"))
+      .select(
+        $"nodeId",
+        unix_millis($"session_window.start").as("sessionStart"),
+        unix_millis($"session_window.end").as("sessionEnd"),
+        $"n",
+        $"lastTs")
+  }
+
   private def agg(metrics: Dataset[Metric], windowMillis: Long, stream: Boolean, exactMean: Boolean = false): Dataset[WindowAggregate] = {
     import metrics.sparkSession.implicits._
     val withTs = metrics.withColumn("ts", timestamp_millis($"eventTime"))
