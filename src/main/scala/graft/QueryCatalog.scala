@@ -307,6 +307,25 @@ object QueryCatalog {
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Exact interpolated percentiles per event type (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation arithmetic —
+    * verified bitwise identical, no rounding needed).
+    */
+  private val qQuantiles: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(
+        col("event_type"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+
+  private val oQuantiles: String =
+    """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Sliding (hopping) windows: 10-minute width, 5-minute hop — every event
     * lands in exactly two windows.
     */
@@ -708,6 +727,7 @@ object QueryCatalog {
     "metric_parse" -> qMetricParse,
     "window_agg_5min" -> qWindowAgg,
     "event_stats_hourly" -> qEventStats,
+    "value_quantiles" -> qQuantiles,
     "sliding_window_agg" -> qSlidingWindow,
     "session_window_agg" -> qSessionWindow,
     "alert_math" -> qAlertMath,
@@ -742,6 +762,7 @@ object QueryCatalog {
     "metric_parse" -> oMetricParse,
     "window_agg_5min" -> oWindowAgg,
     "event_stats_hourly" -> oEventStats,
+    "value_quantiles" -> oQuantiles,
     "sliding_window_agg" -> oSlidingWindow,
     "session_window_agg" -> oSessionWindow,
     "alert_math" -> oAlertMath,
