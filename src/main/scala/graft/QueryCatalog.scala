@@ -158,8 +158,15 @@ object QueryCatalog {
     val pct = when(col("baselineCpu") >= cfg.alertMinBaseline, deviation / col("baselineCpu") * 100.0)
       .otherwise(lit(0.0))
     val z = when(col("runningStd") > 0.0, deviation / col("runningStd")).otherwise(lit(0.0))
-    val zr = format_string("z_score=%.2f exceeds threshold=" + cfg.alertZThreshold, round(z, 2))
-    val pr = format_string("pct_deviation=%.2f%% exceeds threshold=" + cfg.alertPctThreshold + "%%", round(pct, 2))
+    // alert_reason carries only the static rule text: embedding round(z, 2)
+    // inside a %.2f format stacked two cross-engine rounding algorithms
+    // (Spark round = BigDecimal HALF_UP on the shortest decimal repr + Java
+    // %.2f, vs DuckDB round = scaled binary + C printf) that diverge on
+    // near-midpoint values; the exact z_score / pct_deviation numerics are
+    // emitted as columns alongside. AlertOp itself (the operator) still
+    // formats the reference's full message — see AlertOpSpec's truth table.
+    val zr = lit(s"z_score exceeds threshold=${cfg.alertZThreshold}")
+    val pr = lit(s"pct_deviation exceeds threshold=${cfg.alertPctThreshold}%")
     joined
       .withColumn("pct_deviation", pct)
       .withColumn("z_score", z)
@@ -201,8 +208,8 @@ object QueryCatalog {
       |)
       |SELECT node_id, event_time, observed_cpu, baseline_cpu, deviation, pct_deviation, z_score,
       |       CASE WHEN abs(z_score) >= 6.0 THEN 'high' ELSE 'medium' END AS severity,
-      |       CASE WHEN abs(z_score) >= 3.0 THEN printf('z_score=%.2f exceeds threshold=3.0', round(z_score, 2))
-      |            WHEN abs(pct_deviation) >= 50.0 THEN printf('pct_deviation=%.2f%% exceeds threshold=50.0%%', round(pct_deviation, 2))
+      |       CASE WHEN abs(z_score) >= 3.0 THEN 'z_score exceeds threshold=3.0'
+      |            WHEN abs(pct_deviation) >= 50.0 THEN 'pct_deviation exceeds threshold=50.0%'
       |       END AS alert_reason
       |FROM j WHERE abs(z_score) >= 3.0 OR abs(pct_deviation) >= 50.0""".stripMargin
 
@@ -301,8 +308,12 @@ object QueryCatalog {
         count(lit(1)).as("n"),
         (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_value"))
 
+  // TRY_CAST(NULLIF(..., '')): DuckDB regexp_extract returns '' on no match
+  // and CAST('' AS bigint) throws, while Spark maps the same row to a NULL
+  // k_mod group — mirror Spark's null semantics instead of crashing the
+  // oracle if a props row ever lacks '"k": N'.
   private val oPropsExtract: String =
-    """SELECT cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint) % 10 AS k_mod,
+    """SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS bigint) % 10 AS k_mod,
       |       count(*) AS n,
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
@@ -448,10 +459,20 @@ object QueryCatalog {
        |FROM documents""".stripMargin
 
   /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
-    * exact-verify path (the LSH candidate stage has recall ~1 at the data's
-    * jaccard margins, and verification recomputes exact jaccard, so both
-    * equal the exact result). Sizes use ALL grams; the df cap only limits
-    * the intersection join (mirrors Dedup.ngramJaccardPairs).
+    * exact-verify path. Sizes use ALL grams; the df cap limits only the
+    * intersection join (mirrored by BOTH Dedup.ngramJaccardPairs and the
+    * verify join of Dedup.minhashLshVerifiedPairs, so the two paths compute
+    * identical jaccards for every surfaced pair).
+    *
+    * PROBABILISTIC GATE (documented assumption): reusing the exact oracle
+    * for minhash_lsh_verified asserts LSH candidate recall = 1 on this
+    * fixture. With rows-per-band = 2 and 32 bands a pair at true jaccard j
+    * is surfaced with probability 1 - (1 - j^2)^32 (≈ 0.9999 at j = 0.5,
+    * > 1 - 1e-22 at j = 0.9); the check is deterministic for a fixed
+    * corpus + seed, and the equality is verified at the gate's scale
+    * factors before shipping. A near-threshold pair missed by banding at a
+    * larger fixture would flip this gate — that is the intended signal, not
+    * an accident.
     */
   private val oNgramJaccard: String =
     s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
@@ -507,9 +528,11 @@ object QueryCatalog {
        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
        |  FROM toks WHERE len(w) >= 3
        |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |admitted AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100000),
+       |capped AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM admitted)),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |losers AS (
        |  SELECT DISTINCT id_b FROM inter
@@ -577,10 +600,67 @@ object QueryCatalog {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 10""".stripMargin
 
+  /** IVF probing ALL clusters (nprobe = nlist): the candidate set is then the
+    * full corpus, so the result must equal exact brute force bitwise — one
+    * oracle (oCosineTopK) verifies the whole IVF machinery end to end:
+    * sampling, k-means, assignment, probing, in-cluster scoring, top-k.
+    * The approximate configuration (nprobe < nlist) is exercised by
+    * `ivf_topk` below and by SimilaritySpec's recall bound.
+    */
+  private val qIvfTopKFull: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 16)
+  }
+
   private val qIvfTopK: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 4)
   }
+
+  /** SRP-LSH cosine near-dup pairs in the regime SRP is designed for
+    * (threshold >= ~0.9). The corpus has no organic high-cosine pairs (max
+    * pairwise cosine ~0.51 at sf0.01, ~0.60 at sf0.1), so the query plants
+    * deterministic near-duplicates — vec_id + 1000000 with the first
+    * component scaled by 1.01, cosine ~0.99995 to its source — and the
+    * oracle replays the identical construction in SQL against the exact
+    * pair join at the same threshold.
+    *
+    * PROBABILISTIC GATE (same pattern as minhash_lsh_verified, documented):
+    * equality with the exact oracle asserts SRP recall = 1 here. With 128
+    * planes in 16 bands (8 rows/band), a planted pair at cosine c is missed
+    * with probability (1 - p^8)^16 where p = 1 - acos(c)/pi — < 1e-23 at
+    * c = 0.9999 — and no organic pair can reach the 0.9 threshold, so the
+    * deterministic fixture surfaces exactly the planted pairs.
+    */
+  private val qSrpCosinePairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 20 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
+    Similarity.srpCosinePairs(base.union(planted), threshold = 0.9, planes = 128, bands = 16)
+  }
+
+  private val oSrpCosinePairs: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings
+       |), aug AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(range(1, len(e) + 1), i -> CASE WHEN i = 1 THEN e[i] * 1.01 ELSE e[i] END) AS e
+       |  FROM base WHERE vec_id % 20 = 0
+       |), n AS (
+       |  SELECT vec_id AS id, e,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+       |  FROM aug
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b, ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.id < b.id
+       |WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.9""".stripMargin
 
   // ------------------------------------------------------------ relational
 
@@ -750,6 +830,8 @@ object QueryCatalog {
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
     "ivf_topk" -> qIvfTopK,
+    "ivf_topk_full" -> qIvfTopKFull,
+    "srp_cosine_pairs" -> qSrpCosinePairs,
     "q1_lineitem" -> qQ1,
     "q3_top10" -> qQ3,
     "q5_region_revenue" -> qQ5,
@@ -781,6 +863,8 @@ object QueryCatalog {
     "embedding_norms" -> oEmbeddingNorms,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
+    "ivf_topk_full" -> oCosineTopK,
+    "srp_cosine_pairs" -> oSrpCosinePairs,
     "q1_lineitem" -> oQ1,
     "q3_top10" -> oQ3,
     "q5_region_revenue" -> oQ5,

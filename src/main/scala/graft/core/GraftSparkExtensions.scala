@@ -3,9 +3,9 @@ package graft.core
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextExpressions, VectorExpressions}
 
-/** SQL-surface registration of the native vector expressions, so
+/** SQL-surface registration of the native expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works cluster-wide:
   *
   *   spark.sql.extensions=graft.core.GraftSparkExtensions
@@ -14,15 +14,17 @@ import graft.functions.VectorExpressions
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
-    VectorExpressions.registry.foreach { case (name, info, builder) =>
+    GraftFunctions.all.foreach { case (name, info, builder) =>
       extensions.injectFunction((FunctionIdentifier(name), info, builder))
     }
 }
 
 /** Runtime registration into an existing session's function registry. */
 object GraftFunctions {
+  private[core] val all = VectorExpressions.registry ++ TextExpressions.registry
+
   def register(spark: SparkSession): Unit =
-    VectorExpressions.registry.foreach { case (name, info, builder) =>
+    all.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), info, builder)
     }
 }

@@ -28,7 +28,13 @@ final case class PipelineConfig(
     checkpointLocation: Option[String] = None,
     // processing-time idle flush for a key's open window (None -> windowMillis),
     // matching the reference's guaranteed window fire (flinkarima.py:420-428)
-    idleFlushMillis: Option[Long] = None)
+    idleFlushMillis: Option[Long] = None,
+    // how long a key's state (SARIMAX history + latest baseline) survives
+    // after its idle flush before being evicted (None -> 24 x windowMillis).
+    // The reference keeps per-key state forever (no Flink state TTL); on a
+    // long-running stream that is unbounded growth across dead keys, so the
+    // Spark port adds a retention ladder: idle flush -> retention -> remove.
+    idleRetentionMillis: Option[Long] = None)
 
 object PipelineConfig {
 
@@ -67,6 +73,7 @@ object PipelineConfig {
       case "--alert-min-baseline" :: v :: t => loop(t, cfg.copy(alertMinBaseline = v.toDouble))
       case "--checkpoint-location" :: v :: t => loop(t, cfg.copy(checkpointLocation = Some(v)))
       case "--idle-flush-ms" :: v :: t => loop(t, cfg.copy(idleFlushMillis = Some(v.toLong)))
+      case "--idle-retention-ms" :: v :: t => loop(t, cfg.copy(idleRetentionMillis = Some(v.toLong)))
       case other :: _ => throw new IllegalArgumentException(s"Unknown flag: $other")
     }
     loop(args.toList, PipelineConfig())

@@ -25,17 +25,25 @@ object CurationPipeline {
 
   /** Curated corpus: doc_id, n_chars, n_tokens, distinct_ratio, lang_pred.
     *
-    * `materialize = true` (default) localCheckpoints the exact-deduped set:
-    * the MinHash-LSH verify stage consumes it through several branches
-    * (signatures, both gram sides, the anti-join left side), and without
-    * materialization each branch re-executes the fingerprint groupBy +
-    * semi-join lineage.
+    * `materialize = true` (default) persists the exact-deduped set at
+    * MEMORY_AND_DISK: the MinHash-LSH verify stage consumes it through
+    * several branches (signatures, both gram sides, the anti-join left
+    * side), and without materialization each branch re-executes the
+    * fingerprint groupBy + semi-join lineage. `persist` (not
+    * `localCheckpoint`) on purpose: localCheckpoint blocks live only in
+    * executor-local storage, so at cluster scale a single lost executor
+    * kills the job; a persisted partition is recomputed from lineage
+    * instead. Callers running `curate` inside a larger application can
+    * release the cache with `df.sparkSession.sharedState.cacheManager`
+    * -level tooling or simply let LRU eviction reclaim it.
     */
   def curate(docs: DataFrame, params: Params = Params(), materialize: Boolean = true): DataFrame = {
     // 1. exact duplicates: keep the keeper ids only
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
     val exactDeduped0 = docs.join(keepers, Seq("doc_id"), "left_semi")
-    val exactDeduped = if (materialize) exactDeduped0.localCheckpoint() else exactDeduped0
+    val exactDeduped =
+      if (materialize) exactDeduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exactDeduped0
 
     // 2. near-duplicates among the survivors: drop the larger id of each pair
     val nearDupLosers = Dedup

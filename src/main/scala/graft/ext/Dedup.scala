@@ -96,10 +96,13 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select("g")
     val capped = grams.join(admitted, Seq("g"), "left_semi")
-    val a = capped.select(col("id").as("id_a"), col("g"))
-    val b = capped.select(col("id").as("id_b"), col("g"))
+    // explicit aliases: the plan must not lean on Spark's fragile self-join
+    // attribute disambiguation (it logs "trivially true predicate" warnings
+    // and can silently resolve both sides to the same attribute)
+    val a = capped.select(col("id").as("id_a"), col("g")).alias("ng_l")
+    val b = capped.select(col("id").as("id_b"), col("g")).alias("ng_r")
     val inter = a
-      .join(b, a("g") === b("g") && a("id_a") < b("id_b"))
+      .join(b, col("ng_l.g") === col("ng_r.g") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
@@ -160,14 +163,14 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
         explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
 
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("bk")).alias("mh_l")
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("bk")).alias("mh_r")
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0),
       (acc, x) => acc + x).cast("double") / numHashes
 
-    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+    a.join(b, col("mh_l.bk") === col("mh_r.bk") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), est.as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
@@ -182,6 +185,11 @@ object Dedup {
     * pairs sit well above `threshold` the output equals the exact
     * [[ngramJaccardPairs]] result.
     *
+    * The verify join applies the SAME `maxDf` hot-gram cap as
+    * [[ngramJaccardPairs]] (sizes still use ALL grams), so the two paths
+    * compute the identical jaccard for every surfaced pair — the only
+    * difference between them is LSH candidate recall.
+    *
     * Output: id_a < id_b, jaccard (exact) >= threshold.
     */
   def minhashLshVerifiedPairs(
@@ -191,26 +199,31 @@ object Dedup {
       threshold: Double = 0.5,
       shingleSize: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDf: Long = 100000L): DataFrame = {
     // candidate generation from band keys only: joining the full signature
     // arrays (as minhashLshPairs does for its est_jaccard output) would ship
     // 2x64 longs per band collision and pay an interpreted 64-element fold
     // per candidate, all to produce a column this path discards
     val banded = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
       .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
-    val ca = banded.select(col("id").as("id_a"), col("bk"))
-    val cb = banded.select(col("id").as("id_b"), col("bk"))
-    val cands = ca.join(cb, ca("bk") === cb("bk") && ca("id_a") < cb("id_b"))
+    val ca = banded.select(col("id").as("id_a"), col("bk")).alias("mhv_l")
+    val cb = banded.select(col("id").as("id_b"), col("bk")).alias("mhv_r")
+    val cands = ca.join(cb, col("mhv_l.bk") === col("mhv_r.bk") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
     val grams = docGrams(docs, idCol, textCol, shingleSize)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val ga = grams.select(col("id").as("id_a"), col("g").as("ga"))
-    val gb = grams.select(col("id").as("id_b"), col("g").as("gb"))
-    val pairGrams = cands.join(ga, Seq("id_a"))
-    val inter = pairGrams
-      .join(gb, pairGrams("id_b") === gb("id_b") && pairGrams("ga") === gb("gb"))
-      .groupBy(pairGrams("id_a"), pairGrams("id_b"))
+    val admitted = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val capped = grams.join(admitted, Seq("g"), "left_semi")
+    val ga = capped.select(col("id").as("id_a"), col("g").as("ga"))
+    val gb = capped.select(col("id").as("id_b2"), col("g").as("gb"))
+    val inter = cands
+      .join(ga, Seq("id_a"))
+      .join(gb, col("id_b") === col("id_b2") && col("ga") === col("gb"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
     inter
@@ -246,9 +259,9 @@ object Dedup {
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("block"), shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("key")))
     val banded = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("bk"))
-    a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("bk")).alias("sh_l")
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("bk")).alias("sh_r")
+    a.join(b, col("sh_l.bk") === col("sh_r.bk") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -12,11 +12,11 @@ import graft.functions.VectorFunctions._
   *    against the corpus, then a bounded [[TopKAggregator]] so the shuffle
   *    carries O(k) rows per query instead of the |Q|x|C| cross product.
   *  - [[ivfTopK]]: IVF-style ANN — train a small k-means coarse quantizer on a
-  *    bounded driver-side sample (standard practice even at 100 TB), then
-  *    assign corpus vectors to their nearest centroid with a single
-  *    expression-level argmin over the broadcast centroid array — zero
-  *    shuffles and no join in the assignment — and search only the `nprobe`
-  *    closest clusters per query.
+  *    bounded driver-side sample (standard practice even at 100 TB), then ONE
+  *    corpus pass that assigns each vector to its nearest centroid with a
+  *    primitive argmin loop against the broadcast centroids and scores it
+  *    against only the queries probing that cluster — zero shuffles, zero
+  *    joins before the bounded top-k aggregate.
   *  - [[srpCosinePairs]]: near-duplicate pairs by cosine via signed-random-
   *    projection LSH candidates + exact verification. The scale path for
   *    high thresholds (>= ~0.8); for low thresholds SRP bands stop
@@ -53,6 +53,14 @@ object Similarity {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def sqDistOf(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
     acc
   }
 
@@ -151,23 +159,27 @@ object Similarity {
     centroids
   }
 
-  private def l2dist(a: Column, b: Column): Column = squaredDistance(a, b)
-
-  /** Broadcast centroid set as one array-of-structs literal column. */
-  private def centroidArray(centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), typedLit(c.toSeq).as("ce"))
-    }: _*)
-
   /** IVF top-k: probe the `nprobe` nearest clusters per query.
     * Output: query_id, rnk, neighbor_id, cosine (approximate neighbors).
     *
-    * Scale notes (the two classic IVF scale-killers are avoided by design):
+    * Scale notes (the classic IVF scale-killers are avoided by design):
     *  - quantizer training samples with `limit(n)` — NO global sort — and the
     *    sample is bounded regardless of corpus size;
-    *  - cluster assignment is an argmin folded over the broadcast centroid
-    *    array in ONE codegen'd expression per row — no corpus x centroids
-    *    join, no window shuffle.
+    *  - the sample collect and the query collect are independent Spark jobs
+    *    submitted concurrently, so quantizer training hides behind the query
+    *    round-trip instead of serializing two driver collects;
+    *  - cluster assignment AND scoring happen in ONE `mapPartitions` pass
+    *    over the corpus: a primitive argmin loop against the broadcast
+    *    centroids (strict `<`, first-lowest wins) picks the cluster, and the
+    *    row is scored only against the queries probing that cluster — no
+    *    corpus x centroids join, no window shuffle, and no interpreted
+    *    higher-order-function fold (Catalyst HOFs don't participate in
+    *    whole-stage codegen; the previous expression-argmin form benched 4x
+    *    slower than the exact kernel it approximates). The only shuffle is
+    *    the bounded top-k aggregate (O(k) rows per query per partition).
+    *
+    * FP determinism: distances/dots/norms accumulate left-to-right from 0.0
+    * — bit-identical to the expression forms and the external oracle.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -180,19 +192,32 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val prepped = prep(corpus, idCol, vecCol, "id", "e", "nrm")
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
 
     // 1. bounded deterministic sample: orderBy(hash) + limit compiles to
     //    TakeOrderedAndProject — a per-partition top-n plus a driver merge of
     //    n*partitions rows, NOT a global sort — and hash order makes the
     //    sample both reproducible on any partition layout and unbiased by
     //    id locality
-    val sampleRows = prepped
-      .orderBy(xxhash64(col("id")))
-      .limit(trainSample)
-      .select("e")
-      .collect()
-    val sampleRaw = sampleRows.map(_.getSeq[Double](0).toArray)
+    val sampleF = Future {
+      corpus
+        .orderBy(xxhash64(col(idCol)))
+        .limit(trainSample)
+        .select(toDoubleArray(col(vecCol)).as("e"))
+        .as[Seq[Double]]
+        .collect()
+        .map(_.toArray)
+    }
+    val queriesF = Future {
+      collectDriverSized(queries, idCol, vecCol, "query set", 100000)
+        .map { case (id, v) => (id, v, normOf(v)) }
+    }
+    val sampleRaw = Await.result(sampleF, Duration.Inf)
+    val qArr = Await.result(queriesF, Duration.Inf)
+
     val emptyOut = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -207,37 +232,47 @@ object Similarity {
     if (sample.isEmpty) return emptyOut
 
     val centroids = kmeansCentroids(sample, math.min(nlist, sample.length), kmeansIterations)
-    val cents = centroidArray(centroids)
 
-    // 2. per-row argmin over the broadcast centroid array: one expression,
-    //    zero shuffle (ties -> lowest cluster id, from strict <)
-    val best = aggregate(
-      cents,
-      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("d")),
-      (acc, cen) => {
-        val d = l2dist(col("e"), cen.getField("ce"))
-        when(d < acc.getField("d"), struct(cen.getField("cid").as("cid"), d.as("d")))
-          .otherwise(acc)
-      })
-    val assigned = prepped
-      .withColumn("cluster", best.getField("cid"))
-      .select(col("id").as("neighbor_id"), col("e").as("e_c"), col("nrm").as("nrm_c"), col("cluster"))
+    // 2. driver-side probe map: each query probes its `nprobe` nearest
+    //    centroids, ties by centroid id ascending (identical semantics to
+    //    sorting (distance, cid) pairs). Tiny: |Q| x nlist distances.
+    val byCluster = Array.fill(centroids.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
+    qArr.foreach { case q @ (_, qv, _) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) => (sqDistOf(qv, c), ci) }
+        .sortBy(identity)
+        .take(nprobe)
+        .foreach { case (_, ci) => byCluster(ci) += q }
+    }
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcProbes = spark.sparkContext.broadcast(byCluster.map(_.toArray))
 
-    // 3. queries probe their nprobe nearest clusters: sort the (small)
-    //    centroid-distance array in-expression and explode — zero shuffle
-    val q = prep(queries, idCol, vecCol, "query_id", "e_q", "nrm_q")
-    val dists = transform(cents, cen =>
-      struct(l2dist(col("e_q"), cen.getField("ce")).as("d"), cen.getField("cid").as("cid")))
-    val probes = q
-      .withColumn("probe", explode(slice(array_sort(dists), 1, nprobe)))
-      .select(col("query_id"), col("e_q"), col("nrm_q"), col("probe.cid").as("cluster"))
-
-    // 4. exact cosine within probed clusters only; bounded top-k aggregate
-    val cos = cosineWithNorms(col("e_q"), col("e_c"), col("nrm_q"), col("nrm_c"))
-    val scored = broadcast(probes)
-      .join(assigned, Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+    // 3. one corpus pass: primitive argmin assignment + per-cluster scoring
+    val scored = prepTyped(corpus, idCol, vecCol)
+      .mapPartitions { rows =>
+        val cents = bcCent.value
+        val probes = bcProbes.value
+        rows.flatMap { case (idC, c) =>
+          var best = -1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cents.length) {
+            val d = sqDistOf(c, cents(ci))
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          if (best < 0 || probes(best).isEmpty) Iterator.empty
+          else {
+            val nrmC = normOf(c)
+            probes(best).iterator.flatMap { case (idQ, qv, nrmQ) =>
+              if (idQ == idC) Iterator.empty
+              else Iterator.single((idQ, idC, dotOf(qv, c) / (nrmQ * nrmC)))
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     topKSelect(scored, k)
   }
 
@@ -309,15 +344,33 @@ object Similarity {
       bands: Int = 16,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      dim: Int = -1): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
     val rowsPerBand = planes / bands
+
+    // Plane dimensionality: taken from the data (one-row probe) unless given
+    // explicitly. Vectors LONGER than the planes would silently project on a
+    // prefix (degrading band discrimination and losing pairs), so those rows
+    // raise instead; shorter vectors slice the plane — a prefix projection is
+    // still a valid SRP for them.
+    val planeDim = math.max(1,
+      if (dim > 0) dim
+      else embeddings
+        .select(size(toDoubleArray(col(vecCol))).as("d"))
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0))
+
     val n = prep(embeddings, idCol, vecCol, "id", "e", "nrm")
+      .withColumn("e",
+        when(size(col("e")) <= planeDim, col("e"))
+          .otherwise(raise_error(concat(
+            lit("srpCosinePairs: vector dimension "), size(col("e")).cast("string"),
+            lit(s" exceeds plane dimension $planeDim; pass dim explicitly")))
+            .cast("array<double>")))
 
     // deterministic hyperplanes from a seeded generator (driver-side tiny)
-    val dim = 512 // upper bound on used dims; transform() stops at vector length
     val rng = new scala.util.Random(seed)
-    val planesArr: Array[Array[Double]] = Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+    val planesArr: Array[Array[Double]] = Array.fill(planes)(Array.fill(planeDim)(rng.nextGaussian()))
 
     val bits = planesArr.zipWithIndex.map { case (p, i) =>
       // slice the plane to the vector's length (shorter-side padding would
@@ -334,11 +387,12 @@ object Similarity {
     // through the banded self-join would duplicate each embedding `bands`
     // times on both sides and recompute the cosine once per band collision —
     // instead dedup the candidate id pairs first, then join the vectors back
-    // once per surviving pair
+    // once per surviving pair. Both sides are explicitly aliased so the plan
+    // never leans on Spark's fragile self-join attribute disambiguation.
     val banded = n.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("bk"))
-    val b = banded.select(col("id").as("id_b"), col("bk"))
-    val cands = a.join(b, a("bk") === b("bk") && a("id_a") < b("id_b"))
+    val a = banded.select(col("id").as("id_a"), col("bk")).alias("srp_l")
+    val b = banded.select(col("id").as("id_b"), col("bk")).alias("srp_r")
+    val cands = a.join(b, col("srp_l.bk") === col("srp_r.bk") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
     val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))

@@ -57,15 +57,20 @@ object TextAnalysis {
       bpeishTokenCount(col(textCol)).as("bpe_tokens"))
 
   /** Content fingerprints: MD5 of normalized text plus a polynomial rolling
-    * hash (base-31 over chars, mod 1e9+7, via fold — codegen'd, no UDF).
-    * The modulus keeps the accumulator well inside int64 so the hash is
-    * engine-portable (unchecked int64 wraparound is engine-specific).
+    * hash (base-31 over code points, mod 1e9+7 — a native codegen'd
+    * [[graft.functions.TextExpressions.RollingHash]] expression; the
+    * previous `aggregate(split(text, ""), ...)` form evaluated an
+    * interpreted lambda once per character). The modulus keeps the
+    * accumulator well inside int64 so the hash is engine-portable
+    * (unchecked int64 wraparound is engine-specific).
     */
   val rollingHashMod = 1000000007L
 
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chars = split(normText(col(textCol)), "")
-    val rolling = aggregate(chars, lit(0L), (acc, c) => (acc * 31L + ascii(c).cast("long")) % rollingHashMod)
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.TextExpressions.RollingHash
+    val rolling = ColumnBridge.column(
+      RollingHash(ColumnBridge.expression(normText(col(textCol))), 31L, rollingHashMod))
     docs.select(
       col(idCol),
       fingerprint(col(textCol)).as("fingerprint"),

@@ -69,33 +69,46 @@ object NodePipeline {
         closedThrough = math.max(st.closedThrough, ow.windowStart))
     }
 
-    if (state.hasTimedOut) {
-      // idle key: flush the open window so a silent node still reports
-      st.open.foreach(finalizeWindow)
-      st = st.copy(open = None)
+    if (state.hasTimedOut && st.open.isEmpty) {
+      // the key stayed silent through its idle flush AND the retention
+      // period that followed: evict its state entirely, so permanently-dead
+      // keys don't hold NodeState/latestBaseline (up to 2x maxHistory
+      // doubles) forever on a long-running stream
+      state.remove()
+      Iterator.empty
     } else {
-      rows.toArray.sortBy(_.eventTime).foreach { m =>
-        val ws = math.floorDiv(m.eventTime, windowMs) * windowMs
-        st.open match {
-          case Some(ow) if ow.windowStart == ws =>
-            st = st.copy(open = Some(OpenWindow(ws, ow.sum + m.cpu, ow.count + 1, math.max(ow.maxTs, m.eventTime))))
-          case Some(ow) if ws > ow.windowStart =>
-            finalizeWindow(ow)
-            st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
-          case Some(_) => // late record for the open window's past: drop
-          case None if ws <= st.closedThrough => // late after idle flush: drop
-          case None =>
-            st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+      if (state.hasTimedOut) {
+        // idle key: flush the open window so a silent node still reports
+        st.open.foreach(finalizeWindow)
+        st = st.copy(open = None)
+      } else {
+        rows.toArray.sortBy(_.eventTime).foreach { m =>
+          val ws = math.floorDiv(m.eventTime, windowMs) * windowMs
+          st.open match {
+            case Some(ow) if ow.windowStart == ws =>
+              st = st.copy(open = Some(OpenWindow(ws, ow.sum + m.cpu, ow.count + 1, math.max(ow.maxTs, m.eventTime))))
+            case Some(ow) if ws > ow.windowStart =>
+              finalizeWindow(ow)
+              st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+            case Some(_) => // late record for the open window's past: drop
+            case None if ws <= st.closedThrough => // late after idle flush: drop
+            case None =>
+              st = st.copy(open = Some(OpenWindow(ws, m.cpu, 1L, m.eventTime)))
+          }
         }
       }
-    }
 
-    state.update(st)
-    // arm the idle flush while a window is open (no-op in batch execution,
-    // where every group is processed exactly once)
-    if (st.open.isDefined && !state.hasTimedOut)
-      state.setTimeoutDuration(cfg.idleFlushMillis.getOrElse(windowMs))
-    out.iterator
+      state.update(st)
+      // retention ladder (no-op in batch execution, where every group is
+      // processed exactly once): an open window arms the idle flush; a key
+      // with no open window (just flushed, or all records late-dropped)
+      // arms the longer retention timeout, whose expiry hits the remove()
+      // branch above if nothing new arrived in between
+      state.setTimeoutDuration(
+        if (st.open.isDefined) cfg.idleFlushMillis.getOrElse(windowMs)
+        else cfg.idleRetentionMillis.getOrElse(24 * windowMs))
+      out.iterator
+    }
   }
 
   private def alertJson(a: Alert): String = {
