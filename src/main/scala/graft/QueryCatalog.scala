@@ -627,10 +627,13 @@ object QueryCatalog {
     *
     * PROBABILISTIC GATE (same pattern as minhash_lsh_verified, documented):
     * equality with the exact oracle asserts SRP recall = 1 here. With 128
-    * planes in 16 bands (8 rows/band), a planted pair at cosine c is missed
-    * with probability (1 - p^8)^16 where p = 1 - acos(c)/pi — < 1e-23 at
+    * planes in 8 bands (16 rows/band), a planted pair at cosine c is missed
+    * with probability (1 - p^16)^8 where p = 1 - acos(c)/pi — ~5e-10 at
     * c = 0.9999 — and no organic pair can reach the 0.9 threshold, so the
-    * deterministic fixture surfaces exactly the planted pairs.
+    * deterministic fixture surfaces exactly the planted pairs. 16 rows/band
+    * (not 8) on purpose: unrelated vectors agree on a random plane with
+    * p ~ 0.53, so r = 8 admits ~10% of ALL pairs as candidates while r = 16
+    * admits ~0.03% — banding depth is what makes SRP prune at scale.
     */
   private val qSrpCosinePairs: (SparkSession, String) => DataFrame = (s, dir) => {
     import graft.functions.VectorFunctions.toDoubleArray
@@ -641,7 +644,7 @@ object QueryCatalog {
       .select(
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
-    Similarity.srpCosinePairs(base.union(planted), threshold = 0.9, planes = 128, bands = 16)
+    Similarity.srpCosinePairs(base.union(planted), threshold = 0.9, planes = 128, bands = 8)
   }
 
   private val oSrpCosinePairs: String =

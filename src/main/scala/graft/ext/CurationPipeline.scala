@@ -25,25 +25,36 @@ object CurationPipeline {
 
   /** Curated corpus: doc_id, n_chars, n_tokens, distinct_ratio, lang_pred.
     *
-    * `materialize = true` (default) persists the exact-deduped set at
-    * MEMORY_AND_DISK: the MinHash-LSH verify stage consumes it through
-    * several branches (signatures, both gram sides, the anti-join left
-    * side), and without materialization each branch re-executes the
-    * fingerprint groupBy + semi-join lineage. `persist` (not
-    * `localCheckpoint`) on purpose: localCheckpoint blocks live only in
-    * executor-local storage, so at cluster scale a single lost executor
-    * kills the job; a persisted partition is recomputed from lineage
-    * instead. Callers running `curate` inside a larger application can
-    * release the cache with `df.sparkSession.sharedState.cacheManager`
-    * -level tooling or simply let LRU eviction reclaim it.
+    * `materialize = true` (default) stages the exact-deduped set to parquet:
+    * the MinHash-LSH verify stage consumes it through several branches
+    * (signatures, both gram sides, the anti-join left side), and without
+    * materialization each branch re-executes the fingerprint groupBy +
+    * semi-join lineage. Parquet staging (not `localCheckpoint`) on purpose:
+    * localCheckpoint blocks live only in executor-local storage, so at
+    * cluster scale a single lost executor kills the job, whereas staged
+    * files sit in shared storage, cut the lineage, and give every
+    * downstream branch real size stats for join planning. `stageDir`
+    * overrides the staging location (point it at the job's scratch path on
+    * the cluster's DFS; the default lands under spark.local.dir / tmp and
+    * is NOT auto-deleted — at 100 TB the scratch path has a lifecycle
+    * policy anyway).
     */
-  def curate(docs: DataFrame, params: Params = Params(), materialize: Boolean = true): DataFrame = {
+  def curate(
+      docs: DataFrame,
+      params: Params = Params(),
+      materialize: Boolean = true,
+      stageDir: Option[String] = None): DataFrame = {
     // 1. exact duplicates: keep the keeper ids only
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
     val exactDeduped0 = docs.join(keepers, Seq("doc_id"), "left_semi")
     val exactDeduped =
-      if (materialize) exactDeduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else exactDeduped0
+      if (materialize) {
+        val spark = docs.sparkSession
+        val dir = stageDir.getOrElse(
+          s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-curation-stage-${java.util.UUID.randomUUID()}")
+        exactDeduped0.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      } else exactDeduped0
 
     // 2. near-duplicates among the survivors: drop the larger id of each pair
     val nearDupLosers = Dedup

@@ -347,7 +347,6 @@ object Similarity {
       vecCol: String = "embedding",
       dim: Int = -1): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
-    val rowsPerBand = planes / bands
 
     // Plane dimensionality: taken from the data (one-row probe) unless given
     // explicitly. Vectors LONGER than the planes would silently project on a
@@ -372,16 +371,13 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     val planesArr: Array[Array[Double]] = Array.fill(planes)(Array.fill(planeDim)(rng.nextGaussian()))
 
-    val bits = planesArr.zipWithIndex.map { case (p, i) =>
-      // slice the plane to the vector's length (shorter-side padding would
-      // otherwise null out the projection)
-      val proj = dot(col("e"), slice(typedLit(p.toSeq), lit(1), size(col("e"))))
-      when(proj >= 0, 1L << (i % rowsPerBand)).otherwise(0L).as(s"bit$i")
-    }
-    // band keys: pack each band's sign bits into one long
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => bits(b * rowsPerBand + r))
-      struct(lit(b).as("band"), cols.reduce[Column](_ + _).as("key"))
+    // all band keys in ONE native expression (graft.functions.SrpExpressions
+    // .SrpBandKeys): the composed per-plane dot/slice/when tree was seconds
+    // of analyzer + janino work per run at planes = 128
+    val keysCol = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.SrpExpressions.SrpBandKeys(
+        ColumnBridge.expression(col("e")), planesArr, bands))
     }
     // candidate generation carries ONLY (id, band-key): shipping the vectors
     // through the banded self-join would duplicate each embedding `bands`
@@ -389,7 +385,9 @@ object Similarity {
     // instead dedup the candidate id pairs first, then join the vectors back
     // once per surviving pair. Both sides are explicitly aliased so the plan
     // never leans on Spark's fragile self-join attribute disambiguation.
-    val banded = n.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val banded = n
+      .select(col("id"), posexplode(keysCol).as(Seq("band", "key")))
+      .select(col("id"), struct(col("band"), col("key")).as("bk"))
     val a = banded.select(col("id").as("id_a"), col("bk")).alias("srp_l")
     val b = banded.select(col("id").as("id_b"), col("bk")).alias("srp_r")
     val cands = a.join(b, col("srp_l.bk") === col("srp_r.bk") && col("id_a") < col("id_b"))

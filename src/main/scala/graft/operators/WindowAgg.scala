@@ -39,21 +39,23 @@ object WindowAgg {
     agg(metrics, windowMillis, stream = false, exactMean)
 
   /** Sliding (hopping) windows: width `windowMillis`, hop `slideMillis` —
-    * each element lands in windowMillis/slideMillis windows. Batch + (with a
-    * watermark upstream) streaming. Output keeps the window start for
-    * identity since windows overlap.
+    * each element lands in windowMillis/slideMillis windows. Batch by
+    * default; pass `watermark = Some(delay)` on a streaming input (Append
+    * mode emits each window once the watermark passes its end). Output keeps
+    * the window start for identity since windows overlap.
     */
   def sliding(
       metrics: Dataset[Metric],
       windowMillis: Long,
       slideMillis: Long,
-      exactMean: Boolean = false): org.apache.spark.sql.DataFrame = {
+      exactMean: Boolean = false,
+      watermark: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import metrics.sparkSession.implicits._
     val mean =
       if (exactMean) sum($"cpu".cast("decimal(18,2)")).cast("double") / count(lit(1))
       else avg($"cpu")
-    metrics
-      .withColumn("ts", timestamp_millis($"eventTime"))
+    val withTs = metrics.withColumn("ts", timestamp_millis($"eventTime"))
+    watermark.fold(withTs)(w => withTs.withWatermark("ts", w))
       .groupBy(window($"ts", s"$windowMillis milliseconds", s"$slideMillis milliseconds"), $"nodeId")
       .agg(mean.as("cpu"), max($"eventTime").as("maxTs"), count(lit(1)).as("n"))
       .select(
@@ -65,13 +67,18 @@ object WindowAgg {
   }
 
   /** Session windows: events for a key closer than `gapMillis` merge into one
-    * session [first, last + gap). Batch analog of Structured Streaming's
-    * `session_window` (which this uses directly).
+    * session [first, last + gap). Uses Structured Streaming's
+    * `session_window` directly, so the same expression runs in batch
+    * (default) and — with `watermark = Some(delay)` — streaming, where
+    * Append mode emits a session once the watermark passes its end.
     */
-  def sessions(metrics: Dataset[Metric], gapMillis: Long): org.apache.spark.sql.DataFrame = {
+  def sessions(
+      metrics: Dataset[Metric],
+      gapMillis: Long,
+      watermark: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import metrics.sparkSession.implicits._
-    metrics
-      .withColumn("ts", timestamp_millis($"eventTime"))
+    val withTs = metrics.withColumn("ts", timestamp_millis($"eventTime"))
+    watermark.fold(withTs)(w => withTs.withWatermark("ts", w))
       .groupBy(session_window($"ts", s"$gapMillis milliseconds"), $"nodeId")
       .agg(count(lit(1)).as("n"), max($"eventTime").as("lastTs"))
       .select(

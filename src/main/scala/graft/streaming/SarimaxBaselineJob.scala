@@ -25,15 +25,25 @@ import graft.sources.MetricDatagen
   */
 object SarimaxBaselineJob {
 
+  /** Kafka reader options, exactly the reference consumer config
+    * (flinkarima.py:379-389: bootstrap servers, topic subscription, latest
+    * offsets; value deserialization is the `value` cast in [[kafkaMetrics]]).
+    * Factored out so the wiring is unit-assertable in environments without
+    * the spark-sql-kafka connector jar (this sandbox has no broker and no
+    * connector — see KafkaWiringSpec and README).
+    */
+  def kafkaOptions(cfg: PipelineConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+    "subscribe" -> cfg.topic,
+    "startingOffsets" -> "latest")
+
   /** O1: Kafka source with the reference consumer semantics
     * (flinkarima.py:379-389: latest offsets, string deserialization).
     */
   def kafkaMetrics(spark: SparkSession, cfg: PipelineConfig): Dataset[Metric] = {
     val raw = spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
-      .option("subscribe", cfg.topic)
-      .option("startingOffsets", "latest")
+      .options(kafkaOptions(cfg))
       .load()
       .select(col("value").cast("string").as("raw"))
     MetricParse.parse(raw)

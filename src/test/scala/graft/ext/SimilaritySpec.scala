@@ -85,6 +85,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("srpCosinePairs handles >512-dim embeddings (plane dim derived from data)") {
+    // the pair is similar ONLY through dimensions past 512: a shared large
+    // tail in dims 512..599 with independent small-noise prefixes. Planes
+    // capped at 512 dims (the old hardcoded bound) would project only the
+    // uncorrelated noise, scatter the two band keys, and miss the pair.
+    val rng = new scala.util.Random(7)
+    def noisePrefix() = Array.fill(512)(rng.nextGaussian().toFloat * 0.01f)
+    val tail = Array.fill(88)(rng.nextGaussian().toFloat)
+    val distractors = (0L until 30L).map { i =>
+      (i, Array.fill(600)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val a = (100L, (noisePrefix() ++ tail).toSeq)
+    val b = (101L, (noisePrefix() ++ tail).toSeq)
+    val df = vecDf(distractors :+ a :+ b)
+    val got = Similarity.srpCosinePairs(df, threshold = 0.9, planes = 128, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 101L)), s"got ${got.toSeq}")
+  }
+
+  test("srpCosinePairs raises on vectors longer than the plane dimension") {
+    val df = vecDf(Seq(1L -> Seq.fill(8)(1f), 2L -> Seq.fill(16)(1f)))
+    val e = intercept[Exception] {
+      Similarity.srpCosinePairs(df, threshold = 0.9, planes = 16, bands = 4, dim = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exceeds plane dimension")), e.getMessage)
+  }
+
   test("cosinePairsExact computes exact cosine on known vectors") {
     val df = vecDf(Seq(
       1L -> Seq(1f, 0f),

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
+import graft.model.{Metric, PipelineOutput}
+import graft.operators.NodePipeline
+
+/** O13 exercised, not just asserted: stop the fused pipeline mid-stream and
+  * restart it from the checkpoint under the RocksDB state store provider.
+  * The restarted query must (a) not re-emit windows already finalized before
+  * the stop, (b) finalize the window that was OPEN at stop time (its
+  * OpenWindow state round-tripped through the store), and (c) continue the
+  * SARIMAX history/Welford state (history_size keeps growing instead of
+  * restarting at 1). Matches reference checkpointing at
+  * /root/reference/src/flinkarima.py:394.
+  */
+class CheckpointRecoverySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def pollUntil(what: String, timeoutMs: Long = 60000L)(pred: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (System.currentTimeMillis < deadline && !pred) Thread.sleep(150)
+    assert(pred, s"timed out waiting for: $what")
+  }
+
+  test("restart from checkpoint resumes window + baseline state (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // every finalized window emits a baseline; idle flush far away so only
+    // record arrival finalizes windows (deterministic across the restart)
+    val cfg = PipelineConfig(
+      maxHistory = 20, minHistory = 1, emitEveryN = 1,
+      order = SarimaxOrder(1, 1, 1), seasonalOrder = SeasonalOrder(0, 1, 1, 2),
+      windowMillis = 1000L,
+      idleFlushMillis = Some(600000L))
+
+    val checkpoint = Files.createTempDirectory("graft-recovery-ckpt-").toString
+    // the memory sink refuses checkpoint recovery; the file sink is the
+    // fault-tolerant one (manifest-committed, exactly-once reads), so it is
+    // also the honest sink to recover through
+    val outDir = Files.createTempDirectory("graft-recovery-out-").toString
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Metric]
+      def sample(i: Int, v: Double) = Metric("node-C", v, i * 1000L)
+
+      def start() = NodePipeline(input.toDS(), cfg)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+
+      def baselines(): Array[PipelineOutput] =
+        scala.util.Try {
+          spark.read.schema(org.apache.spark.sql.Encoders.product[PipelineOutput].schema)
+            .parquet(outDir).as[PipelineOutput].collect()
+        }.getOrElse(Array.empty)
+          .filter(o => o.kind == "baseline" && o.nodeId == "node-C")
+
+      // run 1: samples for windows 1..4 (t=0 would hit the ts-0 window-end
+      // fallback) -> windows 1..3 finalized, w4 open at stop time
+      val q1 = start()
+      try {
+        input.addData((1 to 4).map(sample(_, 50.0)))
+        pollUntil("run-1 baselines")(baselines().length == 3)
+        // let the micro-batch commit land before stopping
+        Thread.sleep(1000)
+      } finally q1.stop()
+      val run1 = baselines().sortBy(_.eventTime)
+      assert(run1.map(_.eventTime).toSeq == Seq(1000L, 2000L, 3000L))
+
+      // data added while the query is DOWN, plus post-restart data
+      input.addData(Seq(sample(5, 60.0)))
+
+      // run 2: same checkpoint, same sink
+      val q2 = start()
+      try {
+        input.addData(Seq(sample(6, 70.0)))
+        pollUntil("run-2 baselines")(baselines().length >= 5)
+
+        val all = baselines().sortBy(_.eventTime)
+        // (a) nothing is duplicated or lost across the restart
+        assert(all.map(_.eventTime).toSeq == Seq(1000L, 2000L, 3000L, 4000L, 5000L),
+          s"restart duplicated or dropped windows: ${all.map(_.eventTime).toSeq}")
+        // (b) the window open at stop time (w4) was finalized after restart
+        // from its recovered OpenWindow state
+        val w4 = all(3)
+        assert(w4.payload.contains(""""observed_cpu": 50.0"""), w4.payload)
+        // (c) SARIMAX history continued across the restart: w4 is the 4th
+        // finalized window overall, w5 the 5th — not 1 and 2
+        assert(w4.payload.contains(""""history_size": 4"""), w4.payload)
+        assert(all(4).payload.contains(""""history_size": 5"""), all(4).payload)
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
+
+  test("idle keys are evicted after the retention period (state TTL ladder)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cfg = PipelineConfig(
+      maxHistory = 10, minHistory = 1, emitEveryN = 1,
+      order = SarimaxOrder(1, 1, 1), seasonalOrder = SeasonalOrder(0, 1, 1, 2),
+      windowMillis = 1000L,
+      idleFlushMillis = Some(400L),
+      idleRetentionMillis = Some(600L))
+
+    val input = MemoryStream[Metric]
+    val query = NodePipeline(input.toDS(), cfg)
+      .writeStream.format("memory").queryName("evict_out").outputMode("append").start()
+    try {
+      def eBaselines = spark.table("evict_out").as[PipelineOutput].collect()
+        .filter(o => o.nodeId == "node-E" && o.kind == "baseline")
+
+      // one record -> idle flush emits its window's baseline
+      input.addData(Seq(Metric("node-E", 42.0, 5000L)))
+      pollUntil("idle flush")(eBaselines.length == 1)
+
+      // wait well past flush + retention: the key's state must be removed
+      Thread.sleep(5 * (cfg.idleFlushMillis.get + cfg.idleRetentionMillis.get))
+
+      // the SAME window re-sent: with closedThrough evicted it re-opens and
+      // re-flushes (before eviction this record would be late-dropped, as
+      // NodePipelineStreamingSpec's flush test pins)
+      input.addData(Seq(Metric("node-E", 99.0, 5000L)))
+      pollUntil("post-eviction re-open")(eBaselines.length == 2)
+      val again = eBaselines.sortBy(_.eventTime).last
+      assert(again.payload.contains(""""observed_cpu": 99.0"""), again.payload)
+      // history restarted at 1: the eviction dropped the SARIMAX state too
+      assert(again.payload.contains(""""history_size": 1"""), again.payload)
+    } finally query.stop()
+  }
+}
