@@ -20,8 +20,13 @@ object VectorFunctions {
 
   private def expr(c: Column) = ColumnBridge.expression(c)
 
-  /** Elementwise cast to double (embeddings are stored float32). */
-  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Elementwise cast to double (embeddings are stored float32). A plain
+    * array cast, NOT `transform(v, _.cast("double"))`: Cast is codegen'd
+    * while a transform lambda evaluates interpreted per element — this sits
+    * under every vector path. float->double widening is exact, so the two
+    * forms are bitwise identical.
+    */
+  def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(expr(a), expr(b)))
