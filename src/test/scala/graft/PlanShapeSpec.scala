@@ -31,7 +31,22 @@ class PlanShapeSpec extends AnyFunSuite {
       Dedup.minhashLshVerifiedPairs(docs)).foreach(df => assertNoCartesian(plan(df)))
   }
 
-  test("ivfTopK: expression argmin assignment — no sort, no window, one shuffle") {
+  test("srpCosinePairs: one native band-key expression, equi-joins only") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.srpCosinePairs(emb))
+    assertNoCartesian(p)
+    assert(p.contains("srp_band_keys"), "native SrpBandKeys expression missing from plan")
+    assert(!p.contains("slice("), "per-plane slice tree crept back into SRP")
+  }
+
+  test("fingerprints: native rolling hash, no interpreted per-char fold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.fingerprints(docs))
+    assert(p.contains("rolling_hash"), "native RollingHash expression missing from plan")
+    assert(!p.contains("aggregate("), "per-character HOF fold crept back into fingerprints")
+  }
+
+  test("ivfTopK: kernel argmin assignment — no sort, no window, one shuffle") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0)))
     assertNoCartesian(p)
