@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !SparkEntry.queries.contains(args(0))) {
+      System.err.println("usage: TimeOne <query> [sfDir] [reps]; known queries:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3

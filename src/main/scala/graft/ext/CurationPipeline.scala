@@ -33,11 +33,16 @@ object CurationPipeline {
     * localCheckpoint blocks live only in executor-local storage, so at
     * cluster scale a single lost executor kills the job, whereas staged
     * files sit in shared storage, cut the lineage, and give every
-    * downstream branch real size stats for join planning. `stageDir`
-    * overrides the staging location (point it at the job's scratch path on
-    * the cluster's DFS; the default lands under spark.local.dir / tmp and
-    * is NOT auto-deleted — at 100 TB the scratch path has a lifecycle
-    * policy anyway).
+    * downstream branch real size stats for join planning.
+    *
+    * `stageDir` is the staging location. On a cluster it MUST be a path on
+    * shared storage (the job's DFS scratch path, with its lifecycle policy
+    * handling cleanup) — executor tasks write the parts, so a node-local
+    * path would scatter them. The default uses the session's checkpoint
+    * dir when one is configured (already required to be shared storage),
+    * else a local temp dir that is deleted on JVM exit — correct for
+    * local[*] runs, and loudly wrong (missing parts) rather than subtly
+    * wrong on a multi-node cluster without a checkpoint dir.
     */
   def curate(
       docs: DataFrame,
@@ -50,8 +55,17 @@ object CurationPipeline {
     val exactDeduped =
       if (materialize) {
         val spark = docs.sparkSession
-        val dir = stageDir.getOrElse(
-          s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-curation-stage-${java.util.UUID.randomUUID()}")
+        val dir = stageDir
+          .orElse(spark.sparkContext.getCheckpointDir.map(d => s"$d/graft-curation-stage-${java.util.UUID.randomUUID()}"))
+          .getOrElse {
+            val local = java.nio.file.Files.createTempDirectory("graft-curation-stage-")
+            Runtime.getRuntime.addShutdownHook(new Thread(() =>
+              scala.util.Try {
+                java.nio.file.Files.walk(local).sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+              }))
+            local.toString
+          }
         exactDeduped0.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       } else exactDeduped0

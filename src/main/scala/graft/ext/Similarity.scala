@@ -69,13 +69,31 @@ object Similarity {
     * collect itself (a separate count probe would re-execute the lineage).
     */
   private def collectDriverSized(
-      df: DataFrame, idCol: String, vecCol: String, what: String, maxRows: Int): Array[(Long, Array[Double])] = {
+      df: DataFrame, idCol: String, vecCol: String, what: String, maxRows: Int,
+      guidance: String = "use the LSH (srpCosinePairs) or IVF path at this scale"): Array[(Long, Array[Double])] = {
     val rows = prepTyped(df, idCol, vecCol).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"$what exceeds $maxRows vectors; this exact kernel collects one side to the driver — " +
-        "use the LSH (srpCosinePairs) or IVF path at this scale")
+      s"$what exceeds $maxRows vectors; this path holds the $what on the driver — $guidance")
     rows
   }
+
+  /** Score one corpus row against a set of (id, vector, norm) queries —
+    * self-pair skipped, cosine = dot / (|q| |c|). SHARED by the brute-force
+    * and IVF kernels on purpose: the left-to-right fold is load-bearing for
+    * the bitwise oracle contract (ivf_topk_full must equal cosine_topk
+    * exactly), so the scoring arithmetic must exist in exactly one place.
+    */
+  private def scoreAgainst(
+      idC: Long, c: Array[Double],
+      qs: Array[(Long, Array[Double], Double)]): Iterator[(Long, Long, Double)] =
+    if (qs.isEmpty) Iterator.empty
+    else {
+      val nrmC = normOf(c)
+      qs.iterator.flatMap { case (idQ, qv, nrmQ) =>
+        if (idQ == idC) Iterator.empty
+        else Iterator.single((idQ, idC, dotOf(qv, c) / (nrmQ * nrmC)))
+      }
+    }
 
   private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
@@ -107,19 +125,14 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qArr = collectDriverSized(queries, idCol, vecCol, "query set", 100000)
+    val qArr = collectDriverSized(queries, idCol, vecCol, "query set", 100000,
+      guidance = "split the query set into batches and union the results")
       .map { case (id, v) => (id, v, normOf(v)) }
     val bc = spark.sparkContext.broadcast(qArr)
     val scored = prepTyped(corpus, idCol, vecCol)
       .mapPartitions { rows =>
         val qs = bc.value
-        rows.flatMap { case (idC, c) =>
-          val nrmC = normOf(c)
-          qs.iterator.flatMap { case (idQ, qv, nrmQ) =>
-            if (idQ == idC) Iterator.empty
-            else Iterator.single((idQ, idC, dotOf(qv, c) / (nrmQ * nrmC)))
-          }
-        }
+        rows.flatMap { case (idC, c) => scoreAgainst(idC, c, qs) }
       }
       .toDF("query_id", "neighbor_id", "cosine")
     topKSelect(scored, k)
@@ -212,7 +225,11 @@ object Similarity {
         .map(_.toArray)
     }
     val queriesF = Future {
-      collectDriverSized(queries, idCol, vecCol, "query set", 100000)
+      // the query BATCH is driver-held and broadcast (as it was implicitly in
+      // the previous broadcast-join formulation); corpora are unbounded,
+      // query batches are not — split huge query sets into multiple calls
+      collectDriverSized(queries, idCol, vecCol, "query set", 100000,
+        guidance = "the query batch is broadcast to executors; split the query set into batches")
         .map { case (id, v) => (id, v, normOf(v)) }
     }
     val sampleRaw = Await.result(sampleF, Duration.Inf)
@@ -235,24 +252,29 @@ object Similarity {
 
     // 2. driver-side probe map: each query probes its `nprobe` nearest
     //    centroids, ties by centroid id ascending (identical semantics to
-    //    sorting (distance, cid) pairs). Tiny: |Q| x nlist distances.
-    val byCluster = Array.fill(centroids.length)(
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)])
-    qArr.foreach { case q @ (_, qv, _) =>
+    //    sorting (distance, cid) pairs). Tiny: |Q| x nlist distances. The
+    //    per-cluster lists hold INDICES into the query array, so the
+    //    broadcast ships each query vector once regardless of nprobe or the
+    //    serializer's reference-tracking settings.
+    val byCluster = Array.fill(centroids.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    qArr.zipWithIndex.foreach { case ((_, qv, _), qi) =>
       centroids.zipWithIndex
         .map { case (c, ci) => (sqDistOf(qv, c), ci) }
         .sortBy(identity)
         .take(nprobe)
-        .foreach { case (_, ci) => byCluster(ci) += q }
+        .foreach { case (_, ci) => byCluster(ci) += qi }
     }
     val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcQueries = spark.sparkContext.broadcast(qArr)
     val bcProbes = spark.sparkContext.broadcast(byCluster.map(_.toArray))
 
     // 3. one corpus pass: primitive argmin assignment + per-cluster scoring
     val scored = prepTyped(corpus, idCol, vecCol)
       .mapPartitions { rows =>
         val cents = bcCent.value
-        val probes = bcProbes.value
+        val qs = bcQueries.value
+        // resolve index lists to query tuples once per partition
+        val probes = bcProbes.value.map(_.map(qs))
         rows.flatMap { case (idC, c) =>
           var best = -1
           var bestD = Double.MaxValue
@@ -262,14 +284,8 @@ object Similarity {
             if (d < bestD) { bestD = d; best = ci }
             ci += 1
           }
-          if (best < 0 || probes(best).isEmpty) Iterator.empty
-          else {
-            val nrmC = normOf(c)
-            probes(best).iterator.flatMap { case (idQ, qv, nrmQ) =>
-              if (idQ == idC) Iterator.empty
-              else Iterator.single((idQ, idC, dotOf(qv, c) / (nrmQ * nrmC)))
-            }
-          }
+          if (best < 0) Iterator.empty
+          else scoreAgainst(idC, c, probes(best))
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
@@ -348,20 +364,28 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     require(planes % bands == 0, "planes must be divisible by bands")
 
-    // Plane dimensionality: taken from the data (one-row probe) unless given
-    // explicitly. Vectors LONGER than the planes would silently project on a
-    // prefix (degrading band discrimination and losing pairs), so those rows
-    // raise instead; shorter vectors slice the plane — a prefix projection is
-    // still a valid SRP for them.
+    // Plane dimensionality: the data's max vector length unless given
+    // explicitly. An aggregate probe (one scan of the array lengths), NOT a
+    // limit(1) peek: on mixed-dimension data a first-row peek would make
+    // both the raise-vs-succeed outcome and the seeded plane matrix (hence
+    // LSH recall) depend on partition layout. At 100 TB pass `dim`
+    // explicitly and skip the probe. With an explicit dim, LONGER vectors
+    // would silently project on a prefix (degrading band discrimination and
+    // losing pairs), so those rows raise instead; shorter vectors slice the
+    // plane — a prefix projection is still a valid SRP for them.
     val planeDim = math.max(1,
       if (dim > 0) dim
       else embeddings
-        .select(size(toDoubleArray(col(vecCol))).as("d"))
-        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0))
+        .select(max(size(toDoubleArray(col(vecCol)))).as("d"))
+        .collect().headOption.collect { case r if !r.isNullAt(0) => r.getInt(0) }.getOrElse(0))
 
+    // null-safety: a null embedding passes through (it drops out at the
+    // cosine stage exactly as the pre-guard implementation dropped it)
+    // rather than reaching raise_error with a null message
     val n = prep(embeddings, idCol, vecCol, "id", "e", "nrm")
       .withColumn("e",
-        when(size(col("e")) <= planeDim, col("e"))
+        when(col("e").isNull, col("e"))
+          .when(size(col("e")) <= planeDim, col("e"))
           .otherwise(raise_error(concat(
             lit("srpCosinePairs: vector dimension "), size(col("e")).cast("string"),
             lit(s" exceeds plane dimension $planeDim; pass dim explicitly")))

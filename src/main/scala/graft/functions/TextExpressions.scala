@@ -28,8 +28,10 @@ object TextExpressions {
     * engine-specific).
     */
   case class RollingHash(child: Expression, mult: Long, mod: Long) extends UnaryExpression {
-    require(mod > 0 && mult > 0 && mod <= Int.MaxValue.toLong * 2,
-      "mult/mod must be positive and (mod-1)*mult + maxCodePoint must fit in int64")
+    // the invariant that keeps the fold engine-portable: the accumulator is
+    // < mod after each step, so (mod-1)*mult + maxCodePoint must not wrap
+    require(mod > 0 && mult > 0 && (mod - 1) <= (Long.MaxValue - Character.MAX_CODE_POINT) / mult,
+      s"rolling hash would overflow int64: (mod-1)*mult + maxCodePoint must fit (mult=$mult, mod=$mod)")
 
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
