@@ -385,6 +385,68 @@ object QueryCatalog {
       |       count(*) AS n, max(tm) AS last_ts
       |FROM sess GROUP BY node_id, sid""".stripMargin
 
+  /** As-of (point-in-time) enrichment: every click event annotated with the
+    * user's most recent purchase at or before it. Time axis = MICROSECOND
+    * epoch values: DuckDB reads this parquet's TIMESTAMP(NANOS) at
+    * microsecond precision, so the oracle cannot see the sub-microsecond
+    * bits Spark's nanosAsLong keeps — both engines truncate to micros (the
+    * fixture has no (user, t) ties at that precision). Oracle: DuckDB's
+    * native ASOF LEFT JOIN, whose >= visibility matches
+    * [[TemporalJoins.asof]].
+    */
+  private val qAsofEnrich: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("t"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("t"), col("value"))
+    graft.operators.TemporalJoins.asof(clicks, purchases, key = "user_id", time = "t")
+      .select(
+        col("user_id"), col("event_id"), col("t"),
+        col("asof.value").as("last_purchase_value"),
+        col("asof.t").as("last_purchase_t"))
+  }
+
+  private val oAsofEnrich: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'click'
+      |), purchases AS (
+      |  SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.event_id, c.t,
+      |       p.value AS last_purchase_value, p.t AS last_purchase_t
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin
+
+  /** Keyless interval x point range join: shipments falling in the week
+    * after selected orders' dates. The bucketed equi-join replaces the
+    * nested-loop plan Spark would otherwise produce for a bare BETWEEN.
+    */
+  private val qRangeJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    val weekMs = 7L * 86400000L
+    val intervals = table(s, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("start_ms"))
+      .withColumn("end_ms", col("start_ms") + lit(weekMs))
+    val points = table(s, dir, "lineitem")
+      .select(unix_millis(col("l_shipdate").cast("timestamp")).as("p_ms"), col("l_quantity"))
+    graft.operators.TemporalJoins
+      .rangeJoin(intervals, points, "start_ms", "end_ms", "p_ms", bucketWidth = 86400000L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  private val oRangeJoin: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey, epoch_ms(o_orderdate) AS start_ms,
+      |         epoch_ms(o_orderdate) + 604800000 AS end_ms
+      |  FROM orders WHERE o_orderkey % 997 = 0)
+      |SELECT o_orderkey, count(*) AS n_shipments, sum(l_quantity) AS sum_qty
+      |FROM iv JOIN lineitem ON epoch_ms(l_shipdate) BETWEEN start_ms AND end_ms
+      |GROUP BY 1""".stripMargin
+
   /** O2/O15: deterministic synthetic metric generation (xxhash64 value model
     * is engine-specific -> rows-only check; determinism is spec-tested).
     */
@@ -841,7 +903,9 @@ object QueryCatalog {
     "q6_sql_revenue" -> qQ6Sql,
     "top_orders_per_cust" -> qTopOrders,
     "parts_unsold_month" -> qPartsUnsold,
-    "rollup_qty" -> qRollup)
+    "rollup_qty" -> qRollup,
+    "asof_enrich" -> qAsofEnrich,
+    "range_join_shipments" -> qRangeJoin)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -874,5 +938,7 @@ object QueryCatalog {
     "q6_sql_revenue" -> oQ6Sql,
     "top_orders_per_cust" -> oTopOrders,
     "parts_unsold_month" -> oPartsUnsold,
-    "rollup_qty" -> oRollup)
+    "rollup_qty" -> oRollup,
+    "asof_enrich" -> oAsofEnrich,
+    "range_join_shipments" -> oRangeJoin)
 }
