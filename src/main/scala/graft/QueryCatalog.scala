@@ -510,6 +510,36 @@ object QueryCatalog {
        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Deterministic train/val/test split by md5-hex threshold — portable
+    * across engines by construction (both produce identical lowercase hex;
+    * fixed-length hex string compare == numeric compare), so the oracle
+    * replays the exact assignment, not just the proportions.
+    */
+  private val qSplitAssign: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sampling
+      .deterministicSplit(table(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  private val oSplitAssign: String =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS varchar)), 1, 8) < 'cccccccc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS varchar)), 1, 8) < 'e6666666' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Vocabulary building: top-100 tokens by frequency, ties lexicographic
+    * (total order -> the LIMIT boundary is deterministic in both engines).
+    */
+  private val qVocabulary: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.vocabulary(table(s, dir, "documents"), topK = 100)
+
+  private val oVocabulary: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents)
+       |SELECT token, count(*) AS freq FROM t WHERE token <> ''
+       |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin
+
   private val qFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.fingerprints(table(s, dir, "documents"))
 
@@ -905,7 +935,9 @@ object QueryCatalog {
     "parts_unsold_month" -> qPartsUnsold,
     "rollup_qty" -> qRollup,
     "asof_enrich" -> qAsofEnrich,
-    "range_join_shipments" -> qRangeJoin)
+    "range_join_shipments" -> qRangeJoin,
+    "split_assign" -> qSplitAssign,
+    "vocabulary_top100" -> qVocabulary)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -940,5 +972,7 @@ object QueryCatalog {
     "parts_unsold_month" -> oPartsUnsold,
     "rollup_qty" -> oRollup,
     "asof_enrich" -> oAsofEnrich,
-    "range_join_shipments" -> oRangeJoin)
+    "range_join_shipments" -> oRangeJoin,
+    "split_assign" -> oSplitAssign,
+    "vocabulary_top100" -> oVocabulary)
 }

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / dataset-split operators for training-data
+  * pipelines. A 100 TB corpus split must be (a) reproducible under any
+  * partitioning, retries, and engine version, (b) stable as the corpus
+  * grows (a document's split never changes when other rows are added), and
+  * (c) auditable by an external engine. `rand()`-based splits are none of
+  * these; hashing the stable id is all three.
+  */
+object Sampling {
+
+  /** Assign each row a split label by the first 8 hex chars of
+    * `md5(cast(id AS string))` compared against cumulative-fraction
+    * thresholds. MD5-hex (not xxhash64) on purpose: every SQL engine
+    * produces the identical lowercase hex digest, so the assignment is
+    * portable and externally auditable — a fixed-length lowercase-hex
+    * string compare IS the numeric compare.
+    *
+    * `splits` are (label, fraction) pairs; fractions must sum to 1. The
+    * fractions are exact over the hash space (first 32 bits), so realized
+    * proportions converge at O(1/sqrt(n)) like any hash split.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    df.withColumn(splitCol, splitExpr(col(idCol), splits))
+  }
+
+  /** The assignment expression alone (for composing into larger selects). */
+  def splitExpr(id: Column, splits: Seq[(String, Double)]): Column = {
+    val hexKey = substring(md5(id.cast("string")), 1, 8)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val boundaries = cums.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+    splits.init.zip(boundaries).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bHex), rest) => when(hexKey < lit(bHex), name).otherwise(rest)
+    }
+  }
+
+  /** Reference implementation for tests (and for consumers outside Spark). */
+  def splitOf(id: String, splits: Seq[(String, Double)]): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 8)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.init.zip(cums.init).collectFirst {
+      case ((name, _), c) if hex < f"${math.floor(c * 4294967296.0).toLong}%08x" => name
+    }.getOrElse(splits.last._1)
+  }
+}

@@ -56,6 +56,22 @@ object TextAnalysis {
       size(tokens(col(textCol))).cast("long").as("ws_tokens"),
       bpeishTokenCount(col(textCol)).as("bpe_tokens"))
 
+  /** Corpus vocabulary: the `topK` most frequent whitespace tokens of the
+    * normalized text, ties broken lexicographically (total order -> the
+    * LIMIT boundary is deterministic and oracle-checkable). Plan shape:
+    * explode -> partial-aggregated count -> `TakeOrderedAndProject` — the
+    * only full shuffle carries one row per distinct token, and the top-k is
+    * a per-partition heap + driver merge, never a global sort.
+    */
+  def vocabulary(docs: DataFrame, topK: Int = 100, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
+
   /** Content fingerprints: MD5 of normalized text plus a polynomial rolling
     * hash (base-31 over code points, mod 1e9+7 — a native codegen'd
     * [[graft.functions.TextExpressions.RollingHash]] expression; the

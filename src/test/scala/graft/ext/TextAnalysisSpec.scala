@@ -50,6 +50,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(2) == 5) // abc, 123, x, !, y
   }
 
+  test("vocabulary: top-k by frequency, lexicographic ties, empty tokens excluded") {
+    val out = TextAnalysis.vocabulary(
+      docs(1L -> "b b b a a c", 2L -> "a c d", 3L -> "   "), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a:3, b:3 (tie -> a first), c:2; d cut at k=3; blank doc contributes nothing
+    assert(out.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("fingerprints: whitespace/case-insensitive md5; rolling hash within modulus") {
     val out = TextAnalysis.fingerprints(docs(1L -> "A  b\tC", 2L -> "a b c")).collect()
     val byId = out.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
