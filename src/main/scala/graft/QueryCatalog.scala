@@ -757,6 +757,55 @@ object QueryCatalog {
        |FROM n a JOIN n b ON a.id < b.id
        |WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.9""".stripMargin
 
+  /** Per-class embedding centroids, flattened to (label, pos, centroid_val)
+    * scalar rows. The per-dimension sum folds in vec_id order on BOTH
+    * engines (sort_array(collect_list(struct)) in Spark == list(... ORDER
+    * BY vec_id) in DuckDB), so the double mean is bitwise reproducible —
+    * arbitrary floats cannot go through a decimal cast (decimal rounding
+    * rules differ across engines), an ordered fold is the portable form.
+    */
+  private val qLabelCentroids: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(
+        (aggregate(
+          transform(
+            array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            e => e.getField("x").cast("double")),
+          lit(0.0), (a, x) => a + x) / count(lit(1))).as("centroid_val"))
+
+  private val oLabelCentroids: String =
+    """WITH flat AS (
+      |  SELECT label, vec_id,
+      |         unnest(range(0, len(embedding))) AS pos,
+      |         unnest(list_transform(embedding, x -> CAST(x AS double))) AS x
+      |  FROM embeddings)
+      |SELECT label, pos,
+      |       list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), (a, y) -> a + y) / count(*) AS centroid_val
+      |FROM flat GROUP BY 1, 2""".stripMargin
+
+  /** The salted skew join under the correctness gate: salting must be
+    * result-invisible (the oracle is the plain join), it only changes how
+    * a hot key's rows spread across reducers.
+    */
+  private val qSaltedJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = table(s, dir, "events").select(col("user_id"), col("value"))
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.plans.ScaleOps.saltedInnerJoin(ev, cust, "user_id", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  private val oSaltedJoin: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ relational
 
   private val qQ1: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -937,7 +986,9 @@ object QueryCatalog {
     "asof_enrich" -> qAsofEnrich,
     "range_join_shipments" -> qRangeJoin,
     "split_assign" -> qSplitAssign,
-    "vocabulary_top100" -> qVocabulary)
+    "vocabulary_top100" -> qVocabulary,
+    "label_centroids" -> qLabelCentroids,
+    "salted_join_agg" -> qSaltedJoin)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -974,5 +1025,7 @@ object QueryCatalog {
     "asof_enrich" -> oAsofEnrich,
     "range_join_shipments" -> oRangeJoin,
     "split_assign" -> oSplitAssign,
-    "vocabulary_top100" -> oVocabulary)
+    "vocabulary_top100" -> oVocabulary,
+    "label_centroids" -> oLabelCentroids,
+    "salted_join_agg" -> oSaltedJoin)
 }
