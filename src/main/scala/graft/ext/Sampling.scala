@@ -34,12 +34,20 @@ object Sampling {
     df.withColumn(splitCol, splitExpr(col(idCol), splits))
   }
 
+  /** Boundary for a cumulative fraction, as 8 lowercase hex chars. Clamped
+    * to 0xffffffff: a cumulative fraction that rounds to 1.0 before the
+    * last split would otherwise format as 9 chars ("100000000") and the
+    * fixed-length string compare — the invariant the whole scheme rests
+    * on — would silently misroute 15/16 of all rows.
+    */
+  private def boundaryHex(cum: Double): String =
+    f"${math.min(math.floor(cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+
   /** The assignment expression alone (for composing into larger selects). */
   def splitExpr(id: Column, splits: Seq[(String, Double)]): Column = {
     val hexKey = substring(md5(id.cast("string")), 1, 8)
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
-    val boundaries = cums.init.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
-    splits.init.zip(boundaries).foldRight(lit(splits.last._1): Column) {
+    splits.init.zip(cums.init.map(boundaryHex)).foldRight(lit(splits.last._1): Column) {
       case (((name, _), bHex), rest) => when(hexKey < lit(bHex), name).otherwise(rest)
     }
   }
@@ -50,7 +58,7 @@ object Sampling {
       .digest(id.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 8)
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     splits.init.zip(cums.init).collectFirst {
-      case ((name, _), c) if hex < f"${math.floor(c * 4294967296.0).toLong}%08x" => name
+      case ((name, _), c) if hex < boundaryHex(c) => name
     }.getOrElse(splits.last._1)
   }
 }

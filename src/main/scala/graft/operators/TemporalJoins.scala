@@ -39,6 +39,16 @@ object TemporalJoins {
     * Determinism: callers must ensure at most one right row per (key, time)
     * — with duplicates the carried row is the last in (time, tag) order,
     * which is not further tie-broken.
+    *
+    * Null semantics follow SQL ASOF equality/inequality (and hence the
+    * DuckDB-oracle behavior): a right row with a null key or null time can
+    * never match anything (`null = k` and `t >= null` are both
+    * never-true), so those rows are dropped from the right side up front —
+    * without that filter, Window.partitionBy would happily group null keys
+    * together and a null time would sort as "earliest ever" and be carried
+    * into every left row. Left rows always survive; a left row with a null
+    * key or null time just gets a null `asofCol` (it sorts before any
+    * real-timed right row in its partition).
     */
   def asof(
       left: DataFrame,
@@ -52,10 +62,12 @@ object TemporalJoins {
       col(key).as("__k"), col(time).cast("long").as("__t"), lit(1).as("__tag"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val rNorm = right.select(
-      col(key).as("__k"), col(time).cast("long").as("__t"), lit(0).as("__tag"),
-      lit(null).cast(left.schema).as("__l"),
-      struct(rFields.map(f => col(f.name)): _*).as("__r"))
+    val rNorm = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        col(key).as("__k"), col(time).cast("long").as("__t"), lit(0).as("__tag"),
+        lit(null).cast(left.schema).as("__l"),
+        struct(rFields.map(f => col(f.name)): _*).as("__r"))
     val w = Window.partitionBy("__k").orderBy("__t", "__tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lNorm.unionByName(rNorm)
@@ -78,6 +90,12 @@ object TemporalJoins {
     * bucketWidth near the typical interval length; a hot bucket is
     * intervals-in-bucket x points-in-bucket, the standard blocking
     * tradeoff.
+    *
+    * `maxBucketsPerInterval` fails fast (per row, with the offending span
+    * in the error) instead of letting one open-ended sentinel interval
+    * (end = Long.MaxValue is a common idiom) ask `sequence()` for 10^11
+    * elements and kill the whole job. The two inputs must have disjoint
+    * column names — the output carries both sides' columns unprefixed.
     */
   def rangeJoin(
       intervals: DataFrame,
@@ -85,11 +103,24 @@ object TemporalJoins {
       startCol: String,
       endCol: String,
       pointCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"$startCol DIV $bucketWidth"), expr(s"$endCol DIV $bucketWidth"))))
-    val pts = points.withColumn("__bucket", expr(s"$pointCol DIV $bucketWidth"))
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val shared = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(shared.isEmpty,
+      s"intervals and points must have disjoint column names, both have: ${shared.mkString(", ")}")
+    // backticked DIV: integral division (col / lit would go through double,
+    // losing precision above 2^53 — epoch nanos live there)
+    val startB = expr(s"`$startCol` DIV $bucketWidth")
+    val endB = expr(s"`$endCol` DIV $bucketWidth")
+    val buckets = when(endB - startB < lit(maxBucketsPerInterval), sequence(startB, endB))
+      .otherwise(raise_error(concat(
+        lit(s"rangeJoin: interval spans "), (endB - startB + 1).cast("string"),
+        lit(s" buckets (> $maxBucketsPerInterval); widen bucketWidth or cap the interval")))
+        .cast("array<bigint>"))
+    val iv = intervals.withColumn("__bucket", explode(buckets))
+    val pts = points.withColumn("__bucket", expr(s"`$pointCol` DIV $bucketWidth"))
     iv.join(pts, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")

@@ -52,4 +52,17 @@ class SamplingSpec extends AnyFunSuite {
     val one = Sampling.deterministicSplit(df, "id", Seq("all" -> 1.0)).head()
     assert(one.getString(1) == "all")
   }
+
+  test("a cumulative fraction at 1.0 before the last split cannot misroute rows") {
+    import spark.implicits._
+    // floor(1.0 * 2^32) needs 9 hex chars; without clamping, the 8-char md5
+    // prefix compare would send ~15/16 of ids to the near-zero split
+    val degenerate = Seq("a" -> 1.0, "b" -> 1e-12)
+    val counts = Sampling.deterministicSplit((0L until 5000L).toDF("id"), "id", degenerate)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("a", 0L) >= 4999L, s"boundary overflow misrouted rows: $counts")
+    (0L until 100L).foreach { i =>
+      assert(Sampling.splitOf(i.toString, degenerate) == "a")
+    }
+  }
 }

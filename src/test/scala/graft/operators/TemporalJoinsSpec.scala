@@ -32,6 +32,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
       ("C", 9L, "lC", 9L, 3.0)))
   }
 
+  test("asof null semantics match SQL ASOF: null keys/times never match") {
+    import spark.implicits._
+    val left = Seq(
+      (Option("A"), Option(10L), "lA"),
+      (Option.empty[String], Option(10L), "lNullK"),   // null key: no partner
+      (Option("A"), Option.empty[Long], "lNullT"))     // null time: t >= x never true
+      .toDF("k", "t", "lv")
+    val right = Seq(
+      (Option("A"), Option(5L), 1.0),
+      (Option.empty[String], Option(5L), 66.0),        // null-key right: matches nothing
+      (Option("A"), Option.empty[Long], 77.0))         // null-time right: matches nothing
+      .toDF("k", "t", "rv")
+    val got = TemporalJoins.asof(left, right, "k", "t")
+      .select(col("lv"), col("asof.rv"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got == Map("lA" -> 1.0, "lNullK" -> null, "lNullT" -> null))
+  }
+
   test("asof plan: one hash exchange, no nested-loop join") {
     import spark.implicits._
     val left = Seq(("A", 1L, "x")).toDF("k", "t", "lv")
@@ -55,6 +73,24 @@ class TemporalJoinsSpec extends AnyFunSuite {
     } yield (iid, p)
     assert(got.toSeq == expected.sortBy(identity))
     assert(got.length == got.distinct.length, "a pair was emitted through two buckets")
+  }
+
+  test("rangeJoin rejects shared column names and runaway interval spans") {
+    import spark.implicits._
+    val points = Seq(3L).toDF("p")
+    // shared column name -> loud requirement failure, not a silent ambiguity
+    val clash = Seq((1L, 0L, 10L)).toDF("p", "s", "e")
+    val err = intercept[IllegalArgumentException](
+      TemporalJoins.rangeJoin(clash, points, "s", "e", "p", 4L))
+    assert(err.getMessage.contains("disjoint column names"))
+    // an open-ended sentinel interval fails fast instead of asking
+    // sequence() for billions of elements
+    val openEnded = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val boom = intercept[Exception](
+      TemporalJoins.rangeJoin(openEnded, points, "s", "e", "p", 4L).collect())
+    assert(messages(boom).exists(_.contains("buckets")), boom.getMessage)
   }
 
   test("rangeJoin plan: equi-join on the bucket, not a nested loop") {
