@@ -601,6 +601,49 @@ object QueryCatalog {
       |       (strlen(text) % 640 + 1)::int AS width, (strlen(text) % 480 + 1)::int AS height
       |FROM documents""".stripMargin
 
+  /** The resize plumbing under the gate: the stub "resampling" is byte-bucket
+    * averaging, which the oracle replays byte-for-byte (the corpus is ASCII,
+    * so DuckDB's ascii(char) IS the UTF-8 byte). Output flattened to
+    * (doc_id, cell, px) scalar rows; px goes double-divide -> float32 in
+    * both engines (IEEE round-to-nearest makes the cast bitwise-portable).
+    */
+  private val qMultimodalResize: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.resize(Multimodal.attachBinary(table(s, dir, "documents")), targetW = 2, targetH = 2)
+      .toDF()
+      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("cell", "px")))
+      .select(col("doc_id"), col("cell").cast("long").as("cell"), col("px"))
+
+  private val oMultimodalResize: String =
+    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |byte_rows AS (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM b),
+      |v AS (SELECT doc_id, (i * 4) // greatest(1, n) AS cell,
+      |             ascii(substr(text, CAST(i AS INT) + 1, 1)) AS byte
+      |      FROM byte_rows),
+      |grid AS (SELECT doc_id, unnest(range(0, 4)) AS cell FROM b),
+      |stats AS (SELECT doc_id, cell, CAST(sum(byte) AS double) / count(*) AS m FROM v GROUP BY 1, 2)
+      |SELECT g.doc_id, g.cell, CAST(COALESCE(s.m, 0.0) AS REAL) AS px
+      |FROM grid g LEFT JOIN stats s USING (doc_id, cell)""".stripMargin
+
+  /** Frame sampling under the gate: every 2nd 64-byte "frame", at most 4 per
+    * doc; frames compared by md5 (bytes == the ASCII substring's bytes).
+    */
+  private val qMultimodalFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.sampleFrames(Multimodal.attachBinary(table(s, dir, "documents")),
+        frameBytes = 64, everyN = 2, maxFrames = 4)
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("offset"),
+        md5(col("frame")).as("frame_md5"))
+
+  private val oMultimodalFrames: String =
+    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |f AS (SELECT doc_id, text, unnest(range(0, (n + 63) // 64)) AS fi FROM b)
+      |SELECT doc_id, fi AS frame_idx, fi * 64 AS offset,
+      |       md5(substr(text, CAST(fi * 64 AS INT) + 1, 64)) AS frame_md5
+      |FROM f WHERE fi % 2 = 0 AND fi // 2 < 4""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -988,7 +1031,9 @@ object QueryCatalog {
     "split_assign" -> qSplitAssign,
     "vocabulary_top100" -> qVocabulary,
     "label_centroids" -> qLabelCentroids,
-    "salted_join_agg" -> qSaltedJoin)
+    "salted_join_agg" -> qSaltedJoin,
+    "multimodal_resize" -> qMultimodalResize,
+    "multimodal_frames" -> qMultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -1027,5 +1072,7 @@ object QueryCatalog {
     "split_assign" -> oSplitAssign,
     "vocabulary_top100" -> oVocabulary,
     "label_centroids" -> oLabelCentroids,
-    "salted_join_agg" -> oSaltedJoin)
+    "salted_join_agg" -> oSaltedJoin,
+    "multimodal_resize" -> oMultimodalResize,
+    "multimodal_frames" -> oMultimodalFrames)
 }
