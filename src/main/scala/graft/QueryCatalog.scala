@@ -782,6 +782,26 @@ object QueryCatalog {
     Similarity.srpCosinePairs(base.union(planted), threshold = 0.9, planes = 128, bands = 8)
   }
 
+  /** IVF-bucketed cosine near-dup pairs on the same planted fixture as
+    * `srp_cosine_pairs`, sharing its exact-pairs oracle: a planted pair at
+    * cosine ~0.99995 is assigned the same nearest centroid (nassign = 2
+    * additionally covers Voronoi-boundary straddling), and no organic pair
+    * reaches the 0.9 threshold — so the bucketed path must surface exactly
+    * the planted pairs. Deterministic for fixed data + sample order;
+    * verified at all shipped scale factors.
+    */
+  private val qIvfCosinePairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 20 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
+    Similarity.ivfCosinePairs(base.union(planted), threshold = 0.9, nlist = 16, nassign = 2)
+  }
+
   private val oSrpCosinePairs: String =
     s"""WITH base AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings
@@ -1019,6 +1039,7 @@ object QueryCatalog {
     "ivf_topk" -> qIvfTopK,
     "ivf_topk_full" -> qIvfTopKFull,
     "srp_cosine_pairs" -> qSrpCosinePairs,
+    "ivf_cosine_pairs" -> qIvfCosinePairs,
     "q1_lineitem" -> qQ1,
     "q3_top10" -> qQ3,
     "q5_region_revenue" -> qQ5,
@@ -1060,6 +1081,7 @@ object QueryCatalog {
     "cosine_topk" -> oCosineTopK,
     "ivf_topk_full" -> oCosineTopK,
     "srp_cosine_pairs" -> oSrpCosinePairs,
+    "ivf_cosine_pairs" -> oSrpCosinePairs,
     "q1_lineitem" -> oQ1,
     "q3_top10" -> oQ3,
     "q5_region_revenue" -> oQ5,

@@ -307,6 +307,89 @@ object Similarity {
     * bit-identical to the column-expression form and to an oracle folding in
     * the same order.
     */
+  /** Cosine near-duplicate pairs via IVF (coarse-quantizer) bucketing: train
+    * k-means on a bounded sample, assign every vector to its `nassign`
+    * nearest centroids in one kernel pass, and verify exact cosine only for
+    * pairs sharing a cluster. The data-ADAPTIVE complement to
+    * [[srpCosinePairs]]: hyperplane LSH buckets by random direction signs,
+    * IVF buckets by the corpus's own density structure — near-identical
+    * vectors land in the same cell with margin, and `nassign > 1` covers
+    * pairs straddling a Voronoi boundary.
+    *
+    * Scale shape mirrors the LSH paths: candidate generation carries only
+    * (cluster, id); candidate id pairs are deduped BEFORE vectors are
+    * joined back once per surviving pair; the per-cluster self-join is the
+    * standard blocking tradeoff (a hot cluster is m^2/2 — size `nlist` to
+    * the corpus; the assignment pass itself is shuffle-free).
+    *
+    * Output: id_a < id_b, cosine (exact, verified) >= threshold — for pairs
+    * sharing at least one of their assigned clusters.
+    */
+  def ivfCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      nlist: Int = 16,
+      nassign: Int = 2,
+      kmeansIterations: Int = 5,
+      trainSample: Int = 10000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(nassign >= 1 && nassign <= nlist, "need 1 <= nassign <= nlist")
+
+    val sampleRaw = embeddings
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .select(toDoubleArray(col(vecCol)).as("e"))
+      .as[Seq[Double]]
+      .collect()
+      .map(_.toArray)
+    // ids travel as long through the assignment kernel (prepTyped casts),
+    // so the output id columns are long regardless of the input id type
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    if (sampleRaw.isEmpty) return emptyOut
+    val dim = sampleRaw.head.length
+    val sample = sampleRaw.filter(v => v.length == dim && dim > 0)
+    if (sample.isEmpty) return emptyOut
+    val centroids = kmeansCentroids(sample, math.min(nlist, sample.length), kmeansIterations)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val nAssignEff = math.min(nassign, centroids.length)
+
+    // shuffle-free assignment kernel: (cluster, id) rows only
+    val assigned = prepTyped(embeddings, idCol, vecCol)
+      .mapPartitions { rows =>
+        val cents = bcCent.value
+        rows.flatMap { case (id, v) =>
+          cents.indices
+            .map(ci => (sqDistOf(v, cents(ci)), ci))
+            .sorted
+            .take(nAssignEff)
+            .map { case (_, ci) => (ci, id) }
+        }
+      }
+      .toDF("cluster", "id")
+    val a = assigned.select(col("id").as("id_a"), col("cluster")).alias("ivp_l")
+    val b = assigned.select(col("id").as("id_b"), col("cluster")).alias("ivp_r")
+    val cands = a.join(b, col("ivp_l.cluster") === col("ivp_r.cluster") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val n = prep(embeddings, idCol, vecCol, "id", "e", "nrm")
+    val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val vb = n.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
+    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
+    cands
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def cosinePairsExact(
       embeddings: DataFrame,
       threshold: Double,

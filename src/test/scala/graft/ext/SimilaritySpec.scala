@@ -85,6 +85,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("ivfCosinePairs finds planted high-cosine near-dups exactly (vs exact kernel)") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 100L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val planted = (0L until 5L).map { j =>
+      val (_, v) = base(j.toInt * 7)
+      (1000L + j, v.map(x => x + rng.nextGaussian().toFloat * 0.02f))
+    }
+    val df = vecDf(base ++ planted)
+    val exact = Similarity.cosinePairsExact(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val bucketed = Similarity.ivfCosinePairs(df, threshold = 0.95, nlist = 8, nassign = 2, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(exact.length == 5, s"expected the 5 planted pairs, got ${exact.toSeq}")
+    assert(bucketed.toSeq == exact.toSeq)
+  }
+
+  test("ivfCosinePairs on an empty corpus returns an empty frame") {
+    val empty = vecDf(Seq.empty)
+    assert(Similarity.ivfCosinePairs(empty).count() == 0)
+  }
+
   test("srpCosinePairs handles >512-dim embeddings (plane dim derived from data)") {
     // the pair is similar ONLY through dimensions past 512: a shared large
     // tail in dims 512..599 with independent small-noise prefixes. Planes
