@@ -1,11 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines (north
   * star, SURVEY §7.6). Four families, in increasing scalability:

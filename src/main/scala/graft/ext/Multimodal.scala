@@ -1,9 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-
-import graft.model.Metric
 
 /** Multimodal column plumbing (north star, SURVEY §7.6): image/audio/video
   * travel as opaque `binary` columns with a typed metadata struct; decoding
