@@ -95,6 +95,56 @@ object Similarity {
       }
     }
 
+  /** Bounded deterministic quantizer-training sample: orderBy(hash) + limit
+    * compiles to TakeOrderedAndProject — a per-partition top-n plus a driver
+    * merge of n*partitions rows, NOT a global sort — and hash order makes
+    * the sample both reproducible on any partition layout and unbiased by
+    * id locality. Null ids/vectors are excluded (they cannot train or be
+    * assigned).
+    */
+  private def hashOrderedSample(
+      corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)))
+      .limit(n)
+      .select(toDoubleArray(col(vecCol)).as("e"))
+      .as[Seq[Double]]
+      .collect()
+      .map(_.toArray)
+  }
+
+  /** k-means from a raw sample, guarding degenerate input (train only on the
+    * dominant dimensionality); None when there is nothing to train on.
+    */
+  private def trainQuantizer(
+      sampleRaw: Array[Array[Double]], nlist: Int, iterations: Int): Option[Array[Array[Double]]] =
+    sampleRaw.headOption.flatMap { head =>
+      val dim = head.length
+      val sample = sampleRaw.filter(v => v.length == dim && dim > 0)
+      if (sample.isEmpty) None
+      else Some(kmeansCentroids(sample, math.min(nlist, sample.length), iterations))
+    }
+
+  /** Shared verify stage of the candidate-pair paths (SRP and IVF buckets):
+    * join the vectors back once per deduped candidate pair and keep exact
+    * cosine >= threshold. Bitwise-sensitive (the oracle replays this exact
+    * arithmetic) — change in one place only. `n` is a prep()'d frame with
+    * columns (id, e, nrm).
+    */
+  private def verifyExactPairs(n: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
+    val vb = n.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
+    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
+    cands
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
     scored
@@ -210,20 +260,8 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
 
-    // 1. bounded deterministic sample: orderBy(hash) + limit compiles to
-    //    TakeOrderedAndProject — a per-partition top-n plus a driver merge of
-    //    n*partitions rows, NOT a global sort — and hash order makes the
-    //    sample both reproducible on any partition layout and unbiased by
-    //    id locality
-    val sampleF = Future {
-      corpus
-        .orderBy(xxhash64(col(idCol)))
-        .limit(trainSample)
-        .select(toDoubleArray(col(vecCol)).as("e"))
-        .as[Seq[Double]]
-        .collect()
-        .map(_.toArray)
-    }
+    // 1. bounded deterministic sample (see hashOrderedSample)
+    val sampleF = Future { hashOrderedSample(corpus, idCol, vecCol, trainSample) }
     val queriesF = Future {
       // the query BATCH is driver-held and broadcast (as it was implicitly in
       // the previous broadcast-join formulation); corpora are unbounded,
@@ -242,13 +280,7 @@ object Similarity {
         org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
-    if (sampleRaw.isEmpty) return emptyOut
-    // guard degenerate input: train only on the dominant dimensionality
-    val dim = sampleRaw.head.length
-    val sample = sampleRaw.filter(v => v.length == dim && dim > 0)
-    if (sample.isEmpty) return emptyOut
-
-    val centroids = kmeansCentroids(sample, math.min(nlist, sample.length), kmeansIterations)
+    val centroids = trainQuantizer(sampleRaw, nlist, kmeansIterations).getOrElse(return emptyOut)
 
     // 2. driver-side probe map: each query probes its `nprobe` nearest
     //    centroids, ties by centroid id ascending (identical semantics to
@@ -307,89 +339,6 @@ object Similarity {
     * bit-identical to the column-expression form and to an oracle folding in
     * the same order.
     */
-  /** Cosine near-duplicate pairs via IVF (coarse-quantizer) bucketing: train
-    * k-means on a bounded sample, assign every vector to its `nassign`
-    * nearest centroids in one kernel pass, and verify exact cosine only for
-    * pairs sharing a cluster. The data-ADAPTIVE complement to
-    * [[srpCosinePairs]]: hyperplane LSH buckets by random direction signs,
-    * IVF buckets by the corpus's own density structure — near-identical
-    * vectors land in the same cell with margin, and `nassign > 1` covers
-    * pairs straddling a Voronoi boundary.
-    *
-    * Scale shape mirrors the LSH paths: candidate generation carries only
-    * (cluster, id); candidate id pairs are deduped BEFORE vectors are
-    * joined back once per surviving pair; the per-cluster self-join is the
-    * standard blocking tradeoff (a hot cluster is m^2/2 — size `nlist` to
-    * the corpus; the assignment pass itself is shuffle-free).
-    *
-    * Output: id_a < id_b, cosine (exact, verified) >= threshold — for pairs
-    * sharing at least one of their assigned clusters.
-    */
-  def ivfCosinePairs(
-      embeddings: DataFrame,
-      threshold: Double = 0.9,
-      nlist: Int = 16,
-      nassign: Int = 2,
-      kmeansIterations: Int = 5,
-      trainSample: Int = 10000,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    require(nassign >= 1 && nassign <= nlist, "need 1 <= nassign <= nlist")
-
-    val sampleRaw = embeddings
-      .orderBy(xxhash64(col(idCol)))
-      .limit(trainSample)
-      .select(toDoubleArray(col(vecCol)).as("e"))
-      .as[Seq[Double]]
-      .collect()
-      .map(_.toArray)
-    // ids travel as long through the assignment kernel (prepTyped casts),
-    // so the output id columns are long regardless of the input id type
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
-    if (sampleRaw.isEmpty) return emptyOut
-    val dim = sampleRaw.head.length
-    val sample = sampleRaw.filter(v => v.length == dim && dim > 0)
-    if (sample.isEmpty) return emptyOut
-    val centroids = kmeansCentroids(sample, math.min(nlist, sample.length), kmeansIterations)
-    val bcCent = spark.sparkContext.broadcast(centroids)
-    val nAssignEff = math.min(nassign, centroids.length)
-
-    // shuffle-free assignment kernel: (cluster, id) rows only
-    val assigned = prepTyped(embeddings, idCol, vecCol)
-      .mapPartitions { rows =>
-        val cents = bcCent.value
-        rows.flatMap { case (id, v) =>
-          cents.indices
-            .map(ci => (sqDistOf(v, cents(ci)), ci))
-            .sorted
-            .take(nAssignEff)
-            .map { case (_, ci) => (ci, id) }
-        }
-      }
-      .toDF("cluster", "id")
-    val a = assigned.select(col("id").as("id_a"), col("cluster")).alias("ivp_l")
-    val b = assigned.select(col("id").as("id_b"), col("cluster")).alias("ivp_r")
-    val cands = a.join(b, col("ivp_l.cluster") === col("ivp_r.cluster") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val n = prep(embeddings, idCol, vecCol, "id", "e", "nrm")
-    val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
-    val vb = n.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
-    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
-    cands
-      .join(va, Seq("id_a"))
-      .join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
-      .filter(col("cosine") >= threshold)
-  }
-
   def cosinePairsExact(
       embeddings: DataFrame,
       threshold: Double,
@@ -425,6 +374,88 @@ object Similarity {
         }
       }
       .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Cosine near-duplicate pairs via IVF (coarse-quantizer) bucketing: train
+    * k-means on a bounded sample, assign every vector to its `nassign`
+    * nearest centroids in one kernel pass, and verify exact cosine only for
+    * pairs sharing a cluster. The data-ADAPTIVE complement to
+    * [[srpCosinePairs]]: hyperplane LSH buckets by random direction signs,
+    * IVF buckets by the corpus's own density structure — near-identical
+    * vectors land in the same cell with margin, and `nassign > 1` covers
+    * pairs straddling a Voronoi boundary.
+    *
+    * Scale shape mirrors the LSH paths: candidate generation carries only
+    * (cluster, id); candidate id pairs are deduped BEFORE vectors are
+    * joined back once per surviving pair; the per-cluster self-join is the
+    * standard blocking tradeoff (a hot cluster is m^2/2 — size `nlist` to
+    * the corpus; the assignment pass itself is shuffle-free). Rows with a
+    * null id or embedding can never pair and are dropped up front (matching
+    * [[srpCosinePairs]]' pass-through-and-drop semantics).
+    *
+    * Output: id_a < id_b, cosine (exact, verified) >= threshold — for pairs
+    * sharing at least one of their assigned clusters.
+    */
+  def ivfCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      nlist: Int = 16,
+      nassign: Int = 2,
+      kmeansIterations: Int = 5,
+      trainSample: Int = 10000,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(nassign >= 1 && nassign <= nlist, "need 1 <= nassign <= nlist")
+
+    val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // ids travel as long through the assignment kernel (prepTyped casts),
+    // so the output id columns are long regardless of the input id type
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    val sampleRaw = hashOrderedSample(clean, idCol, vecCol, trainSample)
+    val centroids = trainQuantizer(sampleRaw, nlist, kmeansIterations).getOrElse(return emptyOut)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val nAssignEff = math.min(nassign, centroids.length)
+
+    // shuffle-free assignment kernel emitting (cluster, id) rows only. The
+    // top-nassign selection is a primitive insertion over (distance, cid) —
+    // identical ordering semantics to sorting the pairs, without a boxed
+    // tuple sort in the one full-corpus pass.
+    val assigned = prepTyped(clean, idCol, vecCol)
+      .mapPartitions { rows =>
+        val cents = bcCent.value
+        val k = nAssignEff
+        rows.flatMap { case (id, v) =>
+          val bd = Array.fill(k)(Double.MaxValue)
+          val bcid = Array.fill(k)(Int.MaxValue)
+          var ci = 0
+          while (ci < cents.length) {
+            val d = sqDistOf(v, cents(ci))
+            var j = k - 1
+            if (d < bd(j) || (d == bd(j) && ci < bcid(j))) {
+              while (j > 0 && (d < bd(j - 1) || (d == bd(j - 1) && ci < bcid(j - 1)))) {
+                bd(j) = bd(j - 1); bcid(j) = bcid(j - 1); j -= 1
+              }
+              bd(j) = d; bcid(j) = ci
+            }
+            ci += 1
+          }
+          (0 until k).iterator.map(j => (bcid(j), id))
+        }
+      }
+      .toDF("cluster", "id")
+    val a = assigned.select(col("id").as("id_a"), col("cluster")).alias("ivp_l")
+    val b = assigned.select(col("id").as("id_b"), col("cluster")).alias("ivp_r")
+    val cands = a.join(b, col("ivp_l.cluster") === col("ivp_r.cluster") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
   }
 
   /** Cosine near-duplicate pairs via signed-random-projection LSH candidates
@@ -500,13 +531,6 @@ object Similarity {
     val cands = a.join(b, col("srp_l.bk") === col("srp_r.bk") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val va = n.select(col("id").as("id_a"), col("e").as("e_a"), col("nrm").as("nrm_a"))
-    val vb = n.select(col("id").as("id_b"), col("e").as("e_b"), col("nrm").as("nrm_b"))
-    val cos = cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b"))
-    cands
-      .join(va, Seq("id_a"))
-      .join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
-      .filter(col("cosine") >= threshold)
+    verifyExactPairs(n, cands, threshold)
   }
 }
