@@ -869,6 +869,28 @@ object QueryCatalog {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1""".stripMargin
 
+  /** int8 scalar quantization quality per vector — floor-based codec math is
+    * engine-portable (round-half rules are not), so scale, the code
+    * checksum, and the left-fold reconstruction error all match bitwise.
+    */
+  private val qQuantize: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Quantization.quantizationStats(table(s, dir, "embeddings"))
+
+  private val oQuantize: String =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |             list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))), (a, x) -> greatest(a, x)) AS scale
+      |      FROM n),
+      |q AS (SELECT vec_id, e, scale,
+      |             CASE WHEN scale > 0 THEN list_transform(e, x -> CAST(floor(x / scale * 127) AS int))
+      |                  ELSE list_transform(e, x -> 0) END AS qv
+      |      FROM s)
+      |SELECT vec_id, scale,
+      |       list_reduce(list_prepend(CAST(0 AS bigint), list_transform(qv, x -> CAST(x AS bigint))), (a, x) -> a + x) AS q_sum,
+      |       list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+      |                   i -> (e[i] - qv[i] * scale / 127) * (e[i] - qv[i] * scale / 127))), (a, x) -> a + x) AS recon_err
+      |FROM q""".stripMargin
+
   // ------------------------------------------------------------ relational
 
   private val qQ1: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -1054,7 +1076,8 @@ object QueryCatalog {
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_resize" -> qMultimodalResize,
-    "multimodal_frames" -> qMultimodalFrames)
+    "multimodal_frames" -> qMultimodalFrames,
+    "quantize_stats" -> qQuantize)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -1096,5 +1119,6 @@ object QueryCatalog {
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_resize" -> oMultimodalResize,
-    "multimodal_frames" -> oMultimodalFrames)
+    "multimodal_frames" -> oMultimodalFrames,
+    "quantize_stats" -> oQuantize)
 }
