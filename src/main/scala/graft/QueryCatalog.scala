@@ -526,7 +526,7 @@ object QueryCatalog {
     """SELECT CASE WHEN substr(md5(CAST(doc_id AS varchar)), 1, 8) < 'cccccccc' THEN 'train'
       |            WHEN substr(md5(CAST(doc_id AS varchar)), 1, 8) < 'e6666666' THEN 'val'
       |            ELSE 'test' END AS split,
-      |       count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS bigint) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
 
   /** Vocabulary building: top-100 tokens by frequency, ties lexicographic
