@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Clusters, Dedup, EventAnalytics, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -318,6 +318,40 @@ object QueryCatalog {
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Strictly-ordered funnel over the event log (view -> click -> purchase):
+    * a user advances only with a strictly-later event of the next type.
+    * Comparisons use the raw int64 nanosecond timestamps — truncated
+    * timestamps would conflate same-millisecond events across steps.
+    */
+  private val qFunnel: (SparkSession, String) => DataFrame = (s, dir) =>
+    EventAnalytics.funnel(table(s, dir, "events"), Seq("view", "click", "purchase"))
+
+  private val oFunnel: String =
+    """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1)::bigint AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::bigint
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::bigint""".stripMargin
+
+  /** Weekly cohort retention: cohort = period of first event, one row per
+    * (cohort, offset) with distinct active users. Pure int64 math.
+    */
+  private val qCohortRetention: (SparkSession, String) => DataFrame = (s, dir) =>
+    EventAnalytics.cohortRetention(table(s, dir, "events"), periodMillis = 604800000L)
+      .withColumnRenamed("offset", "period_offset")
+
+  private val oCohortRetention: String =
+    """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS period FROM events),
+      |f AS (SELECT user_id, min(period) AS cohort FROM act GROUP BY 1)
+      |SELECT cohort, period - cohort AS period_offset, count(*)::bigint AS n_users
+      |FROM act JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   /** Exact interpolated percentiles per event type (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation arithmetic —
     * verified bitwise identical, no rounding needed).
@@ -528,6 +562,190 @@ object QueryCatalog {
       |            ELSE 'test' END AS split,
       |       count(*) AS n_docs, CAST(sum(n_chars) AS bigint) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
+
+  /** TF-IDF top-5 terms per document. Rational Robertson IDF (no `ln`) so
+    * every score is exact-int inputs + two correctly-rounded IEEE ops —
+    * bitwise portable (see TextAnalysis.tfIdfTopTerms). Ties on score break
+    * on token; (doc, token) is unique, so the rank is a total order.
+    */
+  private val qTfidfTopTerms: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), topK = 5)
+
+  private val oTfidfTopTerms: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM toks WHERE token <> '' GROUP BY 1, 2),
+       |df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*)::bigint AS n FROM documents),
+       |sc AS (SELECT doc_id, tf.token, tf, df,
+       |         tf::double * (((n - df)::double + 0.5) / (df::double + 0.5)) AS tfidf
+       |       FROM tf JOIN df USING (token) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM sc)
+       |SELECT doc_id, token, tf, df, tfidf, rn::integer AS rank FROM r WHERE rn <= 5""".stripMargin
+
+  /** BM25 top-20 docs for a fixed query-term bag. Per-term contributions are
+    * pivoted to columns and added in fixed order (each conditional aggregate
+    * sees at most one row) — the double sum is order-deterministic by
+    * construction, not by luck.
+    */
+  private val bm25Terms = Seq("spark", "query", "stream")
+
+  private val qBm25Scores: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.bm25Scores(table(s, dir, "documents"), bm25Terms, topK = 20)
+
+  private val oBm25Scores: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |tok2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       |dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok2 GROUP BY 1),
+       |tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok2
+       |       WHERE token IN ('spark', 'query', 'stream') GROUP BY 1, 2),
+       |df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*)::bigint FROM documents) AS n,
+       |              (SELECT CAST(sum(dl) AS double) FROM dl) AS sum_dl),
+       |st2 AS (SELECT n, sum_dl / n AS avgdl FROM st),
+       |c AS (SELECT tf.doc_id, tf.token,
+       |        (((n - df)::double + 0.5) / (df::double + 0.5)) * (tf::double * 2.2)
+       |          / (tf::double + 1.2 * (1.0 - 0.75 + 0.75 * dl::double / avgdl)) AS contrib
+       |      FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st2),
+       |p AS (SELECT doc_id,
+       |        max(CASE WHEN token = 'spark' THEN contrib END) AS c_spark,
+       |        max(CASE WHEN token = 'query' THEN contrib END) AS c_query,
+       |        max(CASE WHEN token = 'stream' THEN contrib END) AS c_stream
+       |      FROM c GROUP BY 1)
+       |SELECT doc_id, c_spark, c_query, c_stream,
+       |       coalesce(c_spark, 0.0) + coalesce(c_query, 0.0) + coalesce(c_stream, 0.0) AS score
+       |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Intra-document repetition (boilerplate signal): duplicate word-3-gram
+    * ratio per doc.
+    */
+  private val qRepetitionRatio: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.repetitionRatio(table(s, dir, "documents"), n = 3)
+
+  private val oRepetitionRatio: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(w) >= 3
+       |             THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+       |             ELSE [] END AS grams
+       |      FROM t)
+       |SELECT doc_id,
+       |  len(grams)::bigint AS n_grams,
+       |  len(list_distinct(grams))::bigint AS n_distinct_grams,
+       |  CASE WHEN len(grams) > 0
+       |       THEN (len(grams) - len(list_distinct(grams)))::double / len(grams)
+       |       ELSE 0.0 END AS dup_ratio
+       |FROM g""".stripMargin
+
+  /** PII scrubbing over deterministically-injected fixtures (the synthetic
+    * corpus carries no PII, so the query appends a doc_id-derived email,
+    * phone, and IPv4 to every doc IN BOTH ENGINES, then verifies the scrub
+    * bitwise via counts + md5 of the scrubbed text).
+    */
+  private val qPiiScrub: (SparkSession, String) => DataFrame = (s, dir) => {
+    val withPii = table(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com tel 202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+    TextAnalysis.piiScrub(withPii)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("scrubbed")).as("scrub_fp"))
+  }
+
+  private val oPiiScrub: String =
+    """WITH w AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS varchar) || '@mail.example.com tel 202-555-'
+      |       || lpad(CAST(doc_id % 10000 AS varchar), 4, '0')
+      |       || ' ip 10.0.' || CAST(doc_id % 256 AS varchar) || '.7' AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, t,
+      |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+      |      FROM w),
+      |s2 AS (SELECT doc_id, t, s1, regexp_replace(s1, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS sp FROM s)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint AS n_emails,
+      |  len(regexp_extract_all(s1, '\b\d{3}-\d{3}-\d{4}\b'))::bigint AS n_phones,
+      |  len(regexp_extract_all(sp, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::bigint AS n_ips,
+      |  md5(regexp_replace(sp, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrub_fp
+      |FROM s2""".stripMargin
+
+  /** Deterministic stratified sample (md5 of the (stratum, id) pair against
+    * per-stratum boundaries), aggregated per stratum for the gate.
+    */
+  private val qStratifiedSample: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sampling.stratifiedSample(
+      table(s, dir, "documents"), "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.25), defaultFraction = 0.1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  private val oStratifiedSample: String =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS bigint) AS sum_chars
+      |FROM documents
+      |WHERE substr(md5(source || ':' || CAST(doc_id AS varchar)), 1, 8) <
+      |  CASE WHEN source = 'src0' THEN '80000000'
+      |       WHEN source = 'src1' THEN '40000000'
+      |       ELSE '19999999' END
+      |GROUP BY 1""".stripMargin
+
+  /** Token-budget batch packing per source shard (cumulative window
+    * assignment — exact int64 math), aggregated per batch.
+    */
+  private val qTokenPacking: (SparkSession, String) => DataFrame = (s, dir) =>
+    Packing.packByBudget(
+      table(s, dir, "documents"), budget = 8192L, partitionCols = Seq("source"),
+      tokensCol = size(graft.functions.TextFunctions.tokens(col("text"))))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  private val oTokenPacking: String =
+    s"""WITH d AS (SELECT doc_id, source, len(string_split($normSql, ' '))::bigint AS tok FROM documents),
+       |c AS (SELECT doc_id, source, tok,
+       |        CAST(coalesce(sum(tok) OVER (
+       |          PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+       |      FROM d)
+       |SELECT source, cum_before // 8192 AS batch_id, count(*) AS n_docs,
+       |       CAST(sum(tok) AS bigint) AS sum_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Near-dup clusters: connected components over the exact n-gram-jaccard
+    * pair relation (same pairs as `ngram_jaccard`). Spark side is iterative
+    * min-label propagation; the oracle replays it as a recursive-CTE
+    * transitive closure — both yield component = min reachable id.
+    */
+  private val qDedupClusters: (SparkSession, String) => DataFrame = (s, dir) => {
+    val edges = Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Clusters.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  private val oDedupClusters: String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |admitted AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100000),
+       |capped AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM admitted)),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT src AS id, src AS r FROM sym
+       |          UNION SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id)
+       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1""".stripMargin
 
   /** Vocabulary building: top-100 tokens by frequency, ties lexicographic
     * (total order -> the LIMIT boundary is deterministic in both engines).
@@ -1072,6 +1290,15 @@ object QueryCatalog {
     "asof_enrich" -> qAsofEnrich,
     "range_join_shipments" -> qRangeJoin,
     "split_assign" -> qSplitAssign,
+    "tfidf_top_terms" -> qTfidfTopTerms,
+    "bm25_scores" -> qBm25Scores,
+    "repetition_ratio" -> qRepetitionRatio,
+    "pii_scrub" -> qPiiScrub,
+    "stratified_sample" -> qStratifiedSample,
+    "token_packing" -> qTokenPacking,
+    "dedup_clusters" -> qDedupClusters,
+    "funnel_conversion" -> qFunnel,
+    "cohort_retention" -> qCohortRetention,
     "vocabulary_top100" -> qVocabulary,
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
@@ -1115,6 +1342,15 @@ object QueryCatalog {
     "asof_enrich" -> oAsofEnrich,
     "range_join_shipments" -> oRangeJoin,
     "split_assign" -> oSplitAssign,
+    "tfidf_top_terms" -> oTfidfTopTerms,
+    "bm25_scores" -> oBm25Scores,
+    "repetition_ratio" -> oRepetitionRatio,
+    "pii_scrub" -> oPiiScrub,
+    "stratified_sample" -> oStratifiedSample,
+    "token_packing" -> oTokenPacking,
+    "dedup_clusters" -> oDedupClusters,
+    "funnel_conversion" -> oFunnel,
+    "cohort_retention" -> oCohortRetention,
     "vocabulary_top100" -> oVocabulary,
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,

@@ -52,6 +52,32 @@ object Sampling {
     }
   }
 
+  /** Deterministic stratified Bernoulli sample: keep a row iff the first 8
+    * hex chars of `md5(stratum || ':' || id)` fall below the stratum's
+    * fraction boundary. Hashing the (stratum, id) PAIR — not the id alone —
+    * decorrelates the strata: the same id can be kept in one stratum and
+    * dropped in another, so per-stratum fractions are independent Bernoulli
+    * draws, while staying fully reproducible and external-engine-auditable
+    * (same argument as [[deterministicSplit]]). Rows whose stratum is not in
+    * `fractions` are sampled at `defaultFraction`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val hexKey = substring(
+      md5(concat(col(strataCol).cast("string"), lit(":"), col(idCol).cast("string"))), 1, 8)
+    val boundary = fractions.toSeq.sortBy(_._1).foldRight(lit(boundaryHex(defaultFraction))) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === stratum, lit(boundaryHex(f))).otherwise(rest)
+    }
+    df.filter(hexKey < boundary)
+  }
+
   /** Reference implementation for tests (and for consumers outside Spark). */
   def splitOf(id: String, splits: Seq[(String, Double)]): String = {
     val hex = java.security.MessageDigest.getInstance("MD5")

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -81,6 +82,141 @@ object TextAnalysis {
     * (unchecked int64 wraparound is engine-specific).
     */
   val rollingHashMod = 1000000007L
+
+  /** Per-document TF-IDF top terms. IDF uses the rational Robertson form
+    * `(N - df + 0.5) / (df + 0.5)` rather than its logarithm: the ranking is
+    * identical (log is monotone) and every input is an exact integer or
+    * half-integer, so the score is one correctly-rounded IEEE division and
+    * multiplication away from exact — bit-identical across engines, where a
+    * libm `ln` is not.
+    *
+    * Plan shape: explode -> two hash aggregations (tf, df) -> broadcast df
+    * back -> per-doc window rank. The window partitions on the doc id, so
+    * the sort is per-document (bounded by tokens-per-doc) — no global sort,
+    * no skew beyond document length.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      topK: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * idf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("id").as(idCol), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** BM25 document scores for a fixed bag of query terms, top `topK` docs.
+    *
+    * Same rational IDF as [[tfIdfTopTerms]] (no `ln` — see there). The
+    * per-term contributions are aggregated as one conditional column per
+    * term and added in a FIXED order: each conditional aggregate sees at
+    * most one row per doc (tf is unique per (doc, term)), so the double
+    * summation order is deterministic under any partitioning — the property
+    * a bare `sum(contrib)` over a shuffled relation does not have.
+    *
+    * Plan shape: tf aggregation over query terms only (the filter prunes the
+    * exploded relation before the shuffle), broadcast term df + corpus
+    * stats, one per-doc aggregation, `TakeOrderedAndProject` for the top-k.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      terms: Seq[String],
+      topK: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks
+      .filter(col("token").isInCollection(terms))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+    val termCols = terms.map(t => max(when(col("token") === t, col("contrib"))).as(s"c_$t"))
+    val score = terms.map(t => coalesce(col(s"c_$t"), lit(0.0))).reduce(_ + _)
+    scored
+      .groupBy("id")
+      .agg(termCols.head, termCols.tail: _*)
+      .withColumn("score", score)
+      .select(col("id").as(idCol) +: terms.map(t => col(s"c_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Intra-document repetition: how much of the doc is repeated word
+    * n-grams. `dup_ratio = (n_grams - n_distinct) / n_grams` — the
+    * boilerplate/template signal used to down-weight or drop repetitive
+    * docs. Pure per-row expressions, single pass.
+    */
+  def repetitionRatio(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = wordNgrams(tokens(col(textCol)), n)
+    val total = size(grams).cast("long")
+    val dist = size(array_distinct(grams)).cast("long")
+    docs.select(
+      col(idCol),
+      total.as("n_grams"),
+      dist.as("n_distinct_grams"),
+      when(total > 0, (total - dist).cast("double") / total).otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** PII scrubbing: replace emails, NANP-style phone numbers, and IPv4
+    * addresses with typed placeholder tags, and count what was scrubbed.
+    * Patterns are RE2-compatible (no lookaround, no backreferences) so the
+    * same regex runs on Spark (Java regex) and any RE2 engine bit-identically
+    * on these character classes. Scrub order: emails first (their domains
+    * would otherwise be partially eaten by the IP pattern on numeric hosts).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipv4Re, "<IP>")
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(regexp_replace(t, emailRe, "<EMAIL>"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(
+        regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
+        lit(ipv4Re)).cast("long").as("n_ips"),
+      scrubbed.as("scrubbed"))
+  }
 
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def funnelCounts(events: Seq[(Long, String, Long)], steps: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    EventAnalytics.funnel(events.toDF("user_id", "event_type", "ts"), steps)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+  }
+
+  test("funnel requires strictly increasing timestamps across steps") {
+    val steps = Seq("view", "click", "buy")
+    // user 1: full ordered funnel; user 2: click BEFORE view (never advances);
+    // user 3: click at the SAME ts as view (strictness: does not advance)
+    val events = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "buy", 300L),
+      (2L, "click", 50L), (2L, "view", 60L), (2L, "buy", 70L),
+      (3L, "view", 100L), (3L, "click", 100L))
+    assert(funnelCounts(events, steps) == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+  }
+
+  test("funnel uses the EARLIEST completion of each step (min-ts semantics)") {
+    val steps = Seq("view", "click")
+    // user's earliest view is at 100; a click at 150 counts even though a
+    // later view (at 200) also precedes a click
+    val events = Seq((1L, "view", 100L), (1L, "view", 200L), (1L, "click", 150L))
+    assert(funnelCounts(events, steps) == Map("view" -> 1L, "click" -> 1L))
+  }
+
+  test("funnel step rows come back in order with step indices") {
+    import spark.implicits._
+    val df = EventAnalytics.funnel(
+      Seq((1L, "a", 1L)).toDF("user_id", "event_type", "ts"), Seq("a", "b"))
+    val rows = df.collect().sortBy(_.getInt(0))
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "a", 1L), (2, "b", 0L)))
+  }
+
+  test("cohort retention cohorts by first-period and counts distinct users") {
+    import spark.implicits._
+    val p = 1000000L * 100L // period = 100ms in nanos-land: ts DIV 1e6 DIV 100
+    // user 1 first in period 0, active in periods 0 and 2; user 2 first in
+    // period 2 only; user 3 first in period 0, active 0 only. Two events in
+    // the same period count once.
+    val events = Seq(
+      (1L, "e", 0L), (1L, "e", 10L * 1000000L), (1L, "e", 2L * p),
+      (2L, "e", 2L * p + 1L),
+      (3L, "e", 5L * 1000000L))
+    val got = EventAnalytics.cohortRetention(
+      events.toDF("user_id", "event_type", "ts"), periodMillis = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L))
+  }
+}

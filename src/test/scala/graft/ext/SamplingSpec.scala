@@ -65,4 +65,45 @@ class SamplingSpec extends AnyFunSuite {
       assert(Sampling.splitOf(i.toString, degenerate) == "a")
     }
   }
+
+  private def strata(n: Long) = {
+    import spark.implicits._
+    (0L until n).flatMap(i => Seq(("a", i), ("b", i), ("c", i))).toDF("stratum", "id")
+  }
+
+  test("stratified sample hits per-stratum fractions; unknown strata use the default") {
+    val n = 10000L
+    val counts = Sampling.stratifiedSample(
+      strata(n), "stratum", "id", Map("a" -> 0.5, "b" -> 0.1), defaultFraction = 0.9)
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a").toDouble / n - 0.5) < 0.02, counts.toString)
+    assert(math.abs(counts("b").toDouble / n - 0.1) < 0.02, counts.toString)
+    assert(math.abs(counts("c").toDouble / n - 0.9) < 0.02, counts.toString)
+  }
+
+  test("stratified draws are decorrelated across strata (pair hash, not id hash)") {
+    val kept = Sampling.stratifiedSample(
+      strata(2000L), "stratum", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val aOnly = kept.collect { case ("a", i) => i }
+    val bOnly = kept.collect { case ("b", i) => i }
+    // if the id alone were hashed, the kept sets would be identical
+    assert(aOnly != bOnly, "strata must draw independently for the same ids")
+  }
+
+  test("stratified sample is deterministic and rejects bad fractions") {
+    val df = strata(100L)
+    val f = Map("a" -> 0.3)
+    val r1 = Sampling.stratifiedSample(df, "stratum", "id", f, 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val r2 = Sampling.stratifiedSample(df, "stratum", "id", f, 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(r1 == r2)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df, "stratum", "id", Map("a" -> 1.5)))
+    // fraction 0 keeps nothing in that stratum
+    val zero = Sampling.stratifiedSample(df, "stratum", "id", Map("a" -> 0.0), 1.0)
+      .filter(org.apache.spark.sql.functions.col("stratum") === "a").count()
+    assert(zero == 0L)
+  }
 }

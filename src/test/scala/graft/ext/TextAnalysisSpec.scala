@@ -64,4 +64,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byId(1L) == byId(2L), "same normalized content must fingerprint identically")
     assert(byId(1L)._2 >= 0 && byId(1L)._2 < TextAnalysis.rollingHashMod)
   }
+
+  test("tf-idf: rare terms outrank common ones; rank is a total order") {
+    // 'zebra' appears in one doc, 'the' in all three: zebra's idf dominates
+    val out = TextAnalysis.tfIdfTopTerms(docs(
+      1L -> "the zebra the cat",
+      2L -> "the dog the cat",
+      3L -> "the bird"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(doc1.head == "zebra", s"rarest term must rank first, got $doc1")
+    assert(out.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2)))
+  }
+
+  test("bm25: matching more query terms scores higher; non-matching docs absent") {
+    val out = TextAnalysis.bm25Scores(docs(
+      1L -> "spark query engine",
+      2L -> "spark runtime notes",
+      3L -> "nothing relevant here"), Seq("spark", "query"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set(1L, 2L), "doc 3 matches no term and must not appear")
+    assert(out(1L) > out(2L), "two matched terms must outscore one")
+  }
+
+  test("bm25: length normalization down-weights long docs at equal tf") {
+    val out = TextAnalysis.bm25Scores(docs(
+      1L -> "spark a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      2L -> "spark ok"), Seq("spark"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L))
+  }
+
+  test("repetition ratio: repeated 3-grams are counted, short docs guarded") {
+    val out = TextAnalysis.repetitionRatio(docs(
+      1L -> "a b c a b c a b c", // 7 grams, distinct: abc,bca,cab -> 3
+      2L -> "all distinct words here now",
+      3L -> "x y"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((7L, 3L, 4.0 / 7.0)))
+    assert(out(2L) == ((3L, 3L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)), "docs shorter than n grams are zero, not null")
+  }
+
+  test("pii scrub replaces emails, phones, and ipv4 with typed tags") {
+    val out = TextAnalysis.piiScrub(docs(
+      1L -> "mail a.user+x@sub.example.org or call 415-555-1234 from 192.168.0.1",
+      2L -> "no pii at all here",
+      3L -> "two mails a@b.io c@d.co and ip 10.0.0.255"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(1L)._4 == "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(out(2L) == ((0L, 0L, 0L, "no pii at all here")))
+    assert(out(3L)._1 == 2L && out(3L)._3 == 1L)
+    assert(out(3L)._4 == "two mails <EMAIL> <EMAIL> and ip <IP>")
+  }
 }
