@@ -138,11 +138,15 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val toks = docs
+    // doc length per-row (array_remove drops the empty-string token of
+    // blank docs) — no explode, no shuffle; the exploded relation is built
+    // once, already filtered to the query terms, so the only corpus-wide
+    // shuffle carries O(|terms|) rows per doc
+    val dl = docs.select(
+      col(idCol).as("id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"))
+    val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
-      .filter(col("token") =!= "")
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val tf = toks
       .filter(col("token").isInCollection(terms))
       .groupBy("id", "token")
       .agg(count(lit(1)).as("tf"))
@@ -172,21 +176,37 @@ object TextAnalysis {
   /** Intra-document repetition: how much of the doc is repeated word
     * n-grams. `dup_ratio = (n_grams - n_distinct) / n_grams` — the
     * boilerplate/template signal used to down-weight or drop repetitive
-    * docs. Pure per-row expressions, single pass.
+    * docs.
+    *
+    * The total gram count is pure arithmetic (`len(tokens) - n + 1`, no
+    * gram materialization at all); only the DISTINCT count builds grams,
+    * via explode + per-doc aggregate. A per-row
+    * `size(array_distinct(wordNgrams(...)))` form is 10x+ slower: the
+    * n-gram higher-order function evaluates interpreted, and every column
+    * referencing the shared subexpression re-evaluates it per row.
     */
   def repetitionRatio(
       docs: DataFrame,
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val grams = wordNgrams(tokens(col(textCol)), n)
-    val total = size(grams).cast("long")
-    val dist = size(array_distinct(grams)).cast("long")
-    docs.select(
-      col(idCol),
-      total.as("n_grams"),
-      dist.as("n_distinct_grams"),
-      when(total > 0, (total - dist).cast("double") / total).otherwise(lit(0.0)).as("dup_ratio"))
+    val base = docs.select(
+      col(idCol).as("id"),
+      greatest(size(tokens(col(textCol))) - (n - 1), lit(0)).cast("long").as("n_grams"))
+    val dist = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), explode(wordNgrams(col("w"), n)).as("g"))
+      .groupBy("id")
+      .agg(countDistinct(col("g")).as("n_distinct_grams"))
+    base.join(dist, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_grams"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - coalesce(col("n_distinct_grams"), lit(0L))).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
   /** PII scrubbing: replace emails, NANP-style phone numbers, and IPv4
