@@ -46,10 +46,14 @@ object Clusters {
     // per-round plan constant-size; the underlying RDD DAG stays linear and
     // remains recomputable from the source on cache loss.
     def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-    // undirected: one directed message edge per direction
+    // undirected: one directed message edge per direction. Explode-of-two
+    // (not a self-union) so the edge relation — often an expensive pair
+    // join like ngramJaccardPairs — is evaluated ONCE, not once per side.
     val sym = edges
-      .select(col(srcCol).as("id"), col(dstCol).as("nb"))
-      .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nb")))
+      .select(explode(array(
+        struct(col(srcCol).as("id"), col(dstCol).as("nb")),
+        struct(col(dstCol).as("id"), col(srcCol).as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var persisted = sym.select(col("id")).distinct()

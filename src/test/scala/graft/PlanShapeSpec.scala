@@ -73,4 +73,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(QueryCatalog.queries("q3_top10")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("bm25: top-k via TakeOrderedAndProject; tf shuffle is term-pruned") {
+    val p = plan(QueryCatalog.queries("bm25_scores")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "bm25 top-k must not global-sort")
+    // the corpus-stats join is a broadcast of ONE row (n, avgdl) — the
+    // BroadcastNestedLoopJoin-Cross it compiles to is the intended shape;
+    // a row-producing cartesian would show up as CartesianProduct instead
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
+  test("tfidf: window partitions on the doc id — never a global sort") {
+    val p = plan(QueryCatalog.queries("tfidf_top_terms")(spark, sf))
+    assert(p.contains("Window"), "per-doc rank window expected")
+    assert(!p.matches("(?s).*Sort \\[tfidf.*DESC.*\\], true.*"),
+      "global (allOrder=true) sort on the score must not appear")
+  }
+
+  test("token packing: window is partitioned by the shard, not global") {
+    val p = plan(QueryCatalog.queries("token_packing")(spark, sf))
+    // a partitioned window sorts locally (global=false): "Sort [...], false"
+    assert(!p.matches("(?s).*Sort \\[.*\\], true.*"), "global sort in packing window")
+    assert(p.contains("Window"), "window cumsum expected")
+  }
+
+  test("repetition ratio: no per-row array_distinct over a HOF subexpression") {
+    val p = plan(QueryCatalog.queries("repetition_ratio")(spark, sf))
+    assert(!p.contains("array_distinct"),
+      "distinct gram count must aggregate exploded grams, not re-evaluate a per-row HOF")
+  }
 }
