@@ -809,6 +809,49 @@ object QueryCatalog {
   private val qSimhashPairs: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
 
+  /** The MD5-hash simhash variant IS SQL-expressible (exact integer math on
+    * an engine-portable digest), so the full simhash machinery — token
+    * weighting, 64 bit votes, sign packing, 16-bit-block LSH candidates,
+    * Hamming filter — sits under the bitwise gate; its xxhash64 sibling
+    * (`simhash_pairs`) stays rows-only by necessity. The oracle's candidate
+    * OR-join over the 4 block keys is exactly the exploded band equi-join's
+    * candidate set.
+    */
+  private val qSimhashMd5Pairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.simhashMd5Pairs(table(s, dir, "documents"), maxHamming = 8)
+
+  private val oSimhashMd5Pairs: String = {
+    def hex2int(p: Int) =
+      s"list_reduce(list_transform(regexp_extract_all(substr(md5(t), $p, 8), '.'), " +
+        s"c -> strpos('0123456789abcdef', c)::bigint - 1), (a, x) -> a * 16 + x)"
+    val votes = (0 until 64).map { j =>
+      val w = if (j < 32) "lo" else "hi"
+      s"sum(cnt * (CASE WHEN ((($w // ${1L << (j % 32)}) % 2) = 1) THEN 1 ELSE -1 END)) AS v$j"
+    }.mkString(", ")
+    val bits = (0 until 64).map(j => s"CASE WHEN v$j > 0 THEN 1 ELSE 0 END AS b$j").mkString(", ")
+    val low = (0 until 63).map(j => s"b$j * ${1L << j}").mkString(" + ")
+    val blocks = (0 until 4).map { b =>
+      "(" + (0 until 16).map(r => s"b${16 * b + r} * ${1 << r}").mkString(" + ") + s") AS k$b"
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t, count(*)::bigint AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split($normSql, ' ')) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY 1, 2),
+       |h AS (SELECT doc_id, cnt, ${hex2int(1)} AS hi, ${hex2int(9)} AS lo FROM toks),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+       |bt AS (SELECT doc_id, $bits FROM v),
+       |sh AS (SELECT doc_id,
+       |         (CASE WHEN b63 = 1 THEN -9223372036854775807 - 1 ELSE 0 END) + $low AS simhash,
+       |         $blocks
+       |       FROM bt)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS integer) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       | AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+  }
+
   private val qMultimodal: (SparkSession, String) => DataFrame = (s, dir) =>
     Multimodal.decodeFeatures(Multimodal.attachBinary(table(s, dir, "documents")))
       .toDF()
@@ -1271,6 +1314,7 @@ object QueryCatalog {
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
     "simhash_pairs" -> qSimhashPairs,
+    "simhash_md5_pairs" -> qSimhashMd5Pairs,
     "multimodal_decode" -> qMultimodal,
     "curation_pipeline" -> qCuration,
     "embedding_norms" -> qEmbeddingNorms,
@@ -1324,6 +1368,7 @@ object QueryCatalog {
     "fingerprints" -> oFingerprints,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
+    "simhash_md5_pairs" -> oSimhashMd5Pairs,
     "multimodal_decode" -> oMultimodal,
     "curation_pipeline" -> oCuration,
     "embedding_norms" -> oEmbeddingNorms,

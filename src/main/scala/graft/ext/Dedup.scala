@@ -245,15 +245,11 @@ object Dedup {
     toks.groupBy("id").agg(votes.head, votes.tail: _*).select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs within a Hamming radius, via 16-bit-block LSH
-    * (Hamming distance <= 3 guarantees at least one of the 4 blocks equal).
+  /** 16-bit-block LSH over a (id, simhash) relation: Hamming distance <= 3
+    * guarantees at least one of the 4 blocks equal (pigeonhole). Shared by
+    * both simhash variants.
     */
-  def simhashPairs(
-      docs: DataFrame,
-      maxHamming: Int = 3,
-      idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
+  private def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("block"), shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("key")))
     val banded = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
@@ -264,6 +260,59 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs within a Hamming radius, via 16-bit-block LSH. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    hammingPairs(simhashSignatures(docs, idCol, textCol), maxHamming)
+
+  /** SimHash signatures over MD5-derived 64-bit token hashes (hi/lo 32-bit
+    * words of the hex digest) instead of xxhash64. Slightly more per-token
+    * hash cost than [[simhashSignatures]], but every intermediate is exact
+    * integer math on a digest every engine reproduces — so the FULL simhash
+    * machinery (token weighting, bit votes, sign packing, block LSH,
+    * Hamming radius) is externally auditable and sits under the bitwise
+    * oracle gate, which the xxhash64 variant cannot be.
+    *
+    * Token weights are term frequencies over non-empty normalized tokens;
+    * votes `sum(cnt * (bit ? 1 : -1))` are integer sums — deterministic
+    * under any partitioning by construction.
+    */
+  def simhashMd5Signatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // votes go straight from exploded token instances into one partially-
+    // aggregated groupBy (map-side combine -> the only shuffle carries 64
+    // longs per doc per partition); a (id, token, tf) pre-aggregation would
+    // cost a second full shuffle for no semantic difference, since the
+    // votes are instance-count-weighted sums either way
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("lo"))
+    val votes = (0 until 64).map { j =>
+      val w = if (j < 32) col("lo") else col("hi")
+      sum(when(shiftright(w, j % 32).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val sig = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*).select(col("id"), sig.as("simhash"))
+  }
+
+  /** [[simhashPairs]] on the engine-portable MD5 signatures. */
+  def simhashMd5Pairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    hammingPairs(simhashMd5Signatures(docs, idCol, textCol), maxHamming)
 
   /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this
     * is the correctness oracle / verifier (delegates to the broadcast

@@ -77,4 +77,39 @@ class DedupSpec extends AnyFunSuite {
     val s2 = sigs.find(_.getLong(0) == 2L).get
     (1 to 16).foreach(i => assert(s1.getLong(i) == s2.getLong(i)))
   }
+
+  test("md5 simhash matches a from-first-principles digest replication") {
+    // independent reimplementation: md5 hex -> hi/lo 32-bit words, tf-weighted
+    // bit votes, strict-positive sign packing into a signed int64
+    def reference(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val votes = new Array[Long](64)
+      toks.groupBy(identity).foreach { case (t, g) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        for (j <- 0 until 64) {
+          val w = if (j < 32) lo else hi
+          votes(j) += g.length.toLong * (if (((w >> (j % 32)) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 64).map(j => if (votes(j) > 0) 1L << j else 0L).reduce(_ | _)
+    }
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different content with other words entirely",
+      3L -> "the quick brown fox")
+    val got = Dedup.simhashMd5Signatures(docs(texts.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) == reference(t), s"doc $id") }
+  }
+
+  test("md5 simhash pairs near-identical docs like the xxhash variant") {
+    val base = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.simhashMd5Pairs(
+      docs(1L -> base, 2L -> (base + " tokX"), 3L -> "unrelated words only"), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
 }
