@@ -318,6 +318,21 @@ object QueryCatalog {
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Exact distinct users per event type. The exact form is the oracle
+    * anchor; the one-pass HLL path (`approx_count_distinct`) is
+    * engine-specific by nature and is accuracy-bounded in ScaleOpsSpec
+    * instead.
+    */
+  private val qDistinctUsers: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  private val oDistinctUsers: String =
+    """SELECT event_type, count(DISTINCT user_id)::bigint AS n_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Strictly-ordered funnel over the event log (view -> click -> purchase):
     * a user advances only with a strictly-later event of the next type.
     * Comparisons use the raw int64 nanosecond timestamps — truncated
@@ -1343,6 +1358,7 @@ object QueryCatalog {
     "dedup_clusters" -> qDedupClusters,
     "funnel_conversion" -> qFunnel,
     "cohort_retention" -> qCohortRetention,
+    "distinct_users" -> qDistinctUsers,
     "vocabulary_top100" -> qVocabulary,
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
@@ -1396,6 +1412,7 @@ object QueryCatalog {
     "dedup_clusters" -> oDedupClusters,
     "funnel_conversion" -> oFunnel,
     "cohort_retention" -> oCohortRetention,
+    "distinct_users" -> oDistinctUsers,
     "vocabulary_top100" -> oVocabulary,
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,

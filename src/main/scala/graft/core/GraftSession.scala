@@ -22,6 +22,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.spill.compress", "true")
+      // runtime bloom-filter semi-join pruning: a selective filter on the
+      // dim side of a shuffle join builds a bloom filter that prunes the
+      // fact-side SCAN before the shuffle — at 100 TB this turns "shuffle
+      // everything, drop 99% at the join" into "drop 99% at the reader".
+      // (Spark only injects it past size thresholds, so small local runs
+      // keep their plans; PlanShapeSpec pins the injection behavior.)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
     master.orElse(Some(s"local[$cpus]")).fold(b)(b.master)
   }

@@ -97,6 +97,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), "window cumsum expected")
   }
 
+  test("runtime bloom-filter pruning injects on selective shuffle joins") {
+    // GraftSession ships bloomFilter.enabled=true; here the size thresholds
+    // are forced down so the tiny local fixture exercises the injection the
+    // way a 100 TB fact scan would hit it with the defaults
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val part = spark.read.parquet(s"$sf/part.parquet").filter(col("p_size") === 1)
+      val joined = li.join(part, li("l_partkey") === part("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        "runtime bloom filter not injected into the fact side:\n" + p.take(3000))
+    } finally old.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("repetition ratio: no per-row array_distinct over a HOF subexpression") {
     val p = plan(QueryCatalog.queries("repetition_ratio")(spark, sf))
     assert(!p.contains("array_distinct"),

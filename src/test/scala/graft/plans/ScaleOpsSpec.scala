@@ -44,4 +44,15 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(saltCount > 4, s"hot key only spread over $saltCount salts")
   }
+
+  test("approx_count_distinct tracks the exact count within its rsd bound") {
+    import spark.implicits._
+    // 10k rows over 1237 distinct keys, skewed; HLL at rsd=0.02 should land
+    // well within 3x the bound (HLL++ error is ~rsd with high probability)
+    val df = (0 until 10000).map(i => (i * i % 1237).toLong).toDF("k")
+    val exact = df.select(countDistinct(col("k"))).head().getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx $approx vs exact $exact")
+  }
 }
