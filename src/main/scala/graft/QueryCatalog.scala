@@ -925,6 +925,57 @@ object QueryCatalog {
     * with the exact jaccard pairs standing in for the LSH+verify stage
     * (recall 1 at this corpus's jaccard margins).
     */
+  /** The clustered curation variant: near-dup removal keeps one
+    * representative (min doc_id) per CONNECTED COMPONENT of the verified
+    * pair graph, not merely the smaller side of each pair. Oracle = the
+    * same stage replay with the pair-drop swapped for a recursive-CTE
+    * transitive closure. Inherits the documented probabilistic LSH-recall
+    * gate of `curation_pipeline`/`minhash_lsh_verified`.
+    */
+  private val qCurationClustered: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.CurationPipeline.curateClustered(table(s, dir, "documents"))
+
+  private val oCurationClustered: String =
+    s"""WITH RECURSIVE keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)
+       |), dd AS (
+       |  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)
+       |), toks AS (
+       |  SELECT doc_id, text, string_split($normSql, ' ') AS w FROM dd
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 3
+       |), sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |admitted AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100000),
+       |capped AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM admitted)),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT src AS id, src AS r FROM sym
+       |          UNION SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+       |nd AS (SELECT * FROM toks WHERE doc_id NOT IN (SELECT id FROM losers)),
+       |q AS (
+       |  SELECT doc_id, length(text)::bigint AS n_chars, len(w)::bigint AS n_tokens,
+       |         CASE WHEN len(w) > 0 THEN len(list_distinct(w)) * 1.0 / len(w) ELSE 0.0 END AS distinct_ratio,
+       |         len(list_filter(w, t -> list_contains(['the','and','of','is','a','in','to'], t)))::bigint AS score_en,
+       |         len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t)))::bigint AS score_de,
+       |         len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','dans'], t)))::bigint AS score_fr,
+       |         len(list_filter(w, t -> list_contains(['el','los','las','y','es','una','en'], t)))::bigint AS score_es
+       |  FROM nd)
+       |SELECT doc_id, n_chars, n_tokens, distinct_ratio,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |       WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_pred
+       |FROM q WHERE n_chars >= 100 AND distinct_ratio >= 0.3""".stripMargin
+
   private val qCuration: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.CurationPipeline.curate(table(s, dir, "documents"))
 
@@ -1332,6 +1383,7 @@ object QueryCatalog {
     "simhash_md5_pairs" -> qSimhashMd5Pairs,
     "multimodal_decode" -> qMultimodal,
     "curation_pipeline" -> qCuration,
+    "curation_clustered" -> qCurationClustered,
     "embedding_norms" -> qEmbeddingNorms,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
@@ -1387,6 +1439,7 @@ object QueryCatalog {
     "simhash_md5_pairs" -> oSimhashMd5Pairs,
     "multimodal_decode" -> oMultimodal,
     "curation_pipeline" -> oCuration,
+    "curation_clustered" -> oCurationClustered,
     "embedding_norms" -> oEmbeddingNorms,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,

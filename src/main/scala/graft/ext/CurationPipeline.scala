@@ -49,6 +49,50 @@ object CurationPipeline {
       params: Params = Params(),
       materialize: Boolean = true,
       stageDir: Option[String] = None): DataFrame = {
+    val exactDeduped = exactStage(docs, materialize, stageDir)
+
+    // 2. near-duplicates among the survivors: drop the larger id of each pair
+    val nearDupLosers = Dedup
+      .minhashLshVerifiedPairs(exactDeduped, threshold = params.jaccardThreshold)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    qualityLangTail(exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti"), params)
+  }
+
+  /** [[curate]] with TRANSITIVE near-dup removal: the verified pair relation
+    * is clustered ([[Clusters.connectedComponents]]) and exactly ONE
+    * representative — the minimum doc_id — survives per component.
+    *
+    * The two variants differ on non-clique similarity graphs. Pair-dropping
+    * keeps every doc that is never the larger id of a pair: on pairs
+    * (1,5), (3,5) it keeps BOTH 1 and 3 (each similar to 5, not to each
+    * other), while clustering keeps only 1, the representative of the
+    * transitive group {1,3,5}. Transitive one-per-group is the standard
+    * contamination-safe semantics for training-corpus dedup (near-dup
+    * chains are usually templated variants of one underlying document);
+    * the pair-wise variant retains more data at the cost of possible
+    * chain leakage.
+    */
+  def curateClustered(
+      docs: DataFrame,
+      params: Params = Params(),
+      materialize: Boolean = true,
+      stageDir: Option[String] = None): DataFrame = {
+    val exactDeduped = exactStage(docs, materialize, stageDir)
+    val pairs = Dedup
+      .minhashLshVerifiedPairs(exactDeduped, threshold = params.jaccardThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val losers = Clusters.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    qualityLangTail(exactDeduped.join(losers, Seq("doc_id"), "left_anti"), params)
+  }
+
+  /** Stage 1: exact dedup + optional parquet staging (see [[curate]] docs). */
+  private def exactStage(
+      docs: DataFrame,
+      materialize: Boolean,
+      stageDir: Option[String]): DataFrame = {
     // 1. exact duplicates: keep the keeper ids only
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
     val exactDeduped0 = docs.join(keepers, Seq("doc_id"), "left_semi")
@@ -69,18 +113,15 @@ object CurationPipeline {
         exactDeduped0.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       } else exactDeduped0
+    exactDeduped
+  }
 
-    // 2. near-duplicates among the survivors: drop the larger id of each pair
-    val nearDupLosers = Dedup
-      .minhashLshVerifiedPairs(exactDeduped, threshold = params.jaccardThreshold)
-      .select(col("id_b").as("doc_id"))
-      .distinct()
-    val nearDeduped = exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
-
-    // 3+4. quality gate + language tag in ONE pass: both are pure per-row
-    // column expressions, so computing them as two scans of nearDeduped and
-    // joining back would re-execute the whole dedup DAG twice and add a
-    // needless shuffle
+  /** Stages 3+4: quality gate + language tag in ONE pass: both are pure
+    * per-row column expressions, so computing them as two scans of the
+    * near-deduped set and joining back would re-execute the whole dedup DAG
+    * twice and add a needless shuffle.
+    */
+  private def qualityLangTail(nearDeduped: DataFrame, params: Params): DataFrame = {
     import graft.functions.TextFunctions._
     val langs = langMarkers.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
