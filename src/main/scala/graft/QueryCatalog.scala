@@ -1357,6 +1357,46 @@ object QueryCatalog {
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  private val qCube: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  private val oCube: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Pivot: per-ship-month quantity matrix over the return flags. The pivot
+    * value list is explicit so the output schema is static (a discovered
+    * pivot would scan twice and make the schema data-dependent).
+    */
+  private val qPivotMonthly: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+
+  private val oPivotMonthly: String =
+    """SELECT CAST(month(l_shipdate) AS integer) AS ship_month,
+      |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+      |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+      |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Blocked fuzzy matching (entity resolution) on part names within a
+    * brand block; `levenshtein` unit costs are engine-identical.
+    */
+  private val qFuzzyPartMatch: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.blockedEditDistancePairs(
+      table(s, dir, "part"), idCol = "p_partkey", strCol = "p_name",
+      blockCol = "p_brand", maxDist = 2)
+
+  private val oFuzzyPartMatch: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS integer) AS edit_dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1398,6 +1438,9 @@ object QueryCatalog {
     "top_orders_per_cust" -> qTopOrders,
     "parts_unsold_month" -> qPartsUnsold,
     "rollup_qty" -> qRollup,
+    "cube_qty" -> qCube,
+    "pivot_monthly" -> qPivotMonthly,
+    "fuzzy_part_match" -> qFuzzyPartMatch,
     "asof_enrich" -> qAsofEnrich,
     "range_join_shipments" -> qRangeJoin,
     "split_assign" -> qSplitAssign,
@@ -1453,6 +1496,9 @@ object QueryCatalog {
     "top_orders_per_cust" -> oTopOrders,
     "parts_unsold_month" -> oPartsUnsold,
     "rollup_qty" -> oRollup,
+    "cube_qty" -> oCube,
+    "pivot_monthly" -> oPivotMonthly,
+    "fuzzy_part_match" -> oFuzzyPartMatch,
     "asof_enrich" -> oAsofEnrich,
     "range_join_shipments" -> oRangeJoin,
     "split_assign" -> oSplitAssign,

@@ -314,6 +314,30 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     hammingPairs(simhashMd5Signatures(docs, idCol, textCol), maxHamming)
 
+  /** Blocked fuzzy matching (entity resolution): edit-distance pairs within
+    * a blocking key. The classic record-linkage shape — the block equi-join
+    * bounds the quadratic comparison to within-block pairs (choose a block
+    * with bounded cardinality per key: brand, zip, first-token, phonetic
+    * code), and `levenshtein` has identical unit-cost semantics across
+    * engines, so the whole operator is oracle-checkable.
+    *
+    * At scale the cost is sum over blocks of |block|^2 / 2 comparisons —
+    * pick blocks so the hottest key stays comparable-bounded, exactly like
+    * `maxDf` caps hot grams in [[ngramJaccardPairs]].
+    */
+  def blockedEditDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(strCol).as("s_a")).alias("ed_l")
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(strCol).as("s_b")).alias("ed_r")
+    a.join(b, col("ed_l.blk") === col("ed_r.blk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this
     * is the correctness oracle / verifier (delegates to the broadcast
     * primitive-loop kernel in [[Similarity.cosinePairsExact]]; a declarative

@@ -105,6 +105,19 @@ class DedupSpec extends AnyFunSuite {
     texts.foreach { case (id, t) => assert(got(id) == reference(t), s"doc $id") }
   }
 
+  test("blocked edit-distance pairs: within-block only, distance-capped") {
+    import spark.implicits._
+    val parts = Seq(
+      (1L, "red widget", "B1"), (2L, "red widgets", "B1"), (3L, "red widget", "B2"),
+      (4L, "blue bolt", "B1"), (5L, "bolt blue", "B1"))
+      .toDF("id", "name", "brand")
+    val got = Dedup.blockedEditDistancePairs(parts, "id", "name", "brand", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2): dist 1, same block; (1,3): identical names but DIFFERENT block
+    // -> blocked out; (4,5): dist > 2
+    assert(got == Set((1L, 2L, 1)))
+  }
+
   test("md5 simhash pairs near-identical docs like the xxhash variant") {
     val base = (1 to 300).map(i => s"tok$i").mkString(" ")
     val out = Dedup.simhashMd5Pairs(
