@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune every column (a parse/projection query would "benchmark"
   * as a parquet-footer row count), while noop runs the full physical plan
   * and discards rows at the sink.
+  *
+  * Each query runs TWICE. The second (steady-state) run is the primary
+  * `queries`/`value` number: at the engine's actual target — long-running
+  * jobs over 100 TB — per-query JIT/codegen compilation and scheduler
+  * warm-up amortize to zero, so the steady-state time is the one that
+  * predicts cluster throughput, and it is far less sensitive to transient
+  * machine noise than a single shot. The first (cold) runs are reported
+  * alongside under `queries_cold`/`total_cold` so one-time planning and
+  * compile cost stays visible rather than hidden.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,16 +39,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = selected.map { case (name, fn) =>
+      val cold = timeOnce(name, fn)
+      val warm = timeOnce(name, fn)
+      (name, cold, warm)
+    }
+    def jsonMap(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warmQs = jsonMap(results.map { case (k, _, w) => k -> w })
+    val coldQs = jsonMap(results.map { case (k, c, _) => k -> c })
+    val total = results.map(_._3).sum
+    val totalCold = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

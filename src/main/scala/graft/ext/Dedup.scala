@@ -53,10 +53,11 @@ object Dedup {
     *  - grams travel as 64-bit hashes, not ~20-byte strings — half the
     *    shuffle bytes, constant-time key compares (set semantics preserved
     *    up to xxhash64 collisions, ~|grams|^2 / 2^64 per doc pair);
-    *  - explode + codegen'd hash + `distinct()` beats a per-row
-    *    `array_distinct(transform(...))` chain by ~10x: nested higher-order
-    *    functions evaluate interpreted, per row, on every reuse of the
-    *    subtree;
+    *  - hashing runs in the native [[graft.functions.NgramExpressions
+    *    .NgramHashes]] kernel — one reused byte buffer per row, bitwise the
+    *    longs of the previous `explode(transform(...)) |> xxhash64` chain
+    *    but without the per-gram interpreted lambda dispatch and string
+    *    allocation (HOFs don't participate in whole-stage codegen);
     *  - the distinct exchange also materializes the gram relation once,
     *    hash-partitioned with real stats, which the self-join reuses on both
     *    sides — without it Catalyst size-estimates from the parquet scan and
@@ -67,8 +68,7 @@ object Dedup {
     docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("id"), explode(wordNgrams(col("w"), n)).as("gs"))
-      .select(col("id"), xxhash64(col("gs")).as("g"))
+      .select(col("id"), explode(ngramHashes(col("w"), n)).as("g"))
       .distinct()
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one gram.

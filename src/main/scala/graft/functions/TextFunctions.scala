@@ -27,6 +27,15 @@ object TextFunctions {
       .otherwise(array())
   }
 
+  /** xxhash64 word-n-gram hashes of a token array in one native kernel —
+    * bitwise `xxhash64(concat_ws(" ", window))` per window without the
+    * interpreted per-gram lambda of the [[wordNgrams]] + `xxhash64` chain.
+    */
+  def ngramHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NgramExpressions.NgramHashes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
+
   /** MD5 fingerprint of the normalized text (content-defined exact-dup key). */
   def fingerprint(text: Column): Column = md5(normText(text))
 
