@@ -496,6 +496,48 @@ object QueryCatalog {
       |FROM iv JOIN lineitem ON epoch_ms(l_shipdate) BETWEEN start_ms AND end_ms
       |GROUP BY 1""".stripMargin
 
+  /** Batch replay of [[TemporalJoins.intervalJoin]] (the stream-stream join;
+    * streaming semantics — watermark state bounds, outer null emission —
+    * are covered by `IntervalJoinStreamingSpec`): purchases attributed to
+    * every click by the same user in the preceding 30 minutes. Times
+    * truncate to micros (`ts DIV 1000` / `epoch_us`) identically in both
+    * engines.
+    */
+  private val qIntervalJoin: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("click_ts"),
+        col("event_id").as("click_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")).as("purchase_ts"),
+        col("value").as("purchase_value"))
+    graft.operators.TemporalJoins.intervalJoin(
+      clicks, purchases, key = "user_id",
+      leftTime = "click_ts", rightTime = "purchase_ts",
+      lowerMs = 0L, upperMs = 1800000L)
+      .select(
+        col("user_id"), col("click_event_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("purchase_value"))
+  }
+
+  private val oIntervalJoin: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_event_id, epoch_us(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, epoch_us(ts) AS purchase_us, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, c.click_event_id, c.click_us, p.purchase_us, p.purchase_value
+      |FROM c JOIN p ON p.user_id = c.user_id
+      | AND p.purchase_us BETWEEN c.click_us AND c.click_us + 1800000000""".stripMargin
+
   /** O2/O15: deterministic synthetic metric generation (xxhash64 value model
     * is engine-specific -> rows-only check; determinism is spec-tested).
     */
@@ -704,6 +746,20 @@ object QueryCatalog {
       |       WHEN source = 'src1' THEN '40000000'
       |       ELSE '19999999' END
       |GROUP BY 1""".stripMargin
+
+  /** Weight-proportional Bernoulli sample (p = n_chars / max(n_chars)),
+    * decided by exact integer math (u32 * max_w < w * 2^32) so the oracle
+    * replays the exact kept set — no float threshold, no rounding hazard.
+    */
+  private val qWeightedSample: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sampling.weightedBernoulli(table(s, dir, "documents"), "doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"))
+
+  private val oWeightedSample: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 8))::BIGINT::HUGEINT
+      |        * (SELECT max(n_chars) FROM documents)
+      |      < n_chars::HUGEINT * 4294967296""".stripMargin
 
   /** Token-budget batch packing per source shard (cumulative window
     * assignment — exact int64 math), aggregated per batch.
@@ -1384,17 +1440,22 @@ object QueryCatalog {
       |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Blocked fuzzy matching (entity resolution) on part names within a
-    * brand block; `levenshtein` unit costs are engine-identical.
+    * composite (brand, size) block; `levenshtein` unit costs are
+    * engine-identical. Brand alone leaves ~800-part blocks at sf0.1 (~8M
+    * comparisons); composing size in cuts that ~50x, the standard ER answer
+    * (the length-band + thresholded-levenshtein prunes inside the operator
+    * are result-invisible, so the oracle needs only the block predicate).
     */
   private val qFuzzyPartMatch: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.blockedEditDistancePairs(
       table(s, dir, "part"), idCol = "p_partkey", strCol = "p_name",
-      blockCol = "p_brand", maxDist = 2)
+      blockCols = Seq("p_brand", "p_size"), maxDist = 2)
 
   private val oFuzzyPartMatch: String =
     """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
       |       CAST(levenshtein(a.p_name, b.p_name) AS integer) AS edit_dist
-      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
   // -------------------------------------------------------------- registry
@@ -1443,12 +1504,14 @@ object QueryCatalog {
     "fuzzy_part_match" -> qFuzzyPartMatch,
     "asof_enrich" -> qAsofEnrich,
     "range_join_shipments" -> qRangeJoin,
+    "interval_join_attrib" -> qIntervalJoin,
     "split_assign" -> qSplitAssign,
     "tfidf_top_terms" -> qTfidfTopTerms,
     "bm25_scores" -> qBm25Scores,
     "repetition_ratio" -> qRepetitionRatio,
     "pii_scrub" -> qPiiScrub,
     "stratified_sample" -> qStratifiedSample,
+    "weighted_sample" -> qWeightedSample,
     "token_packing" -> qTokenPacking,
     "dedup_clusters" -> qDedupClusters,
     "funnel_conversion" -> qFunnel,
@@ -1501,12 +1564,14 @@ object QueryCatalog {
     "fuzzy_part_match" -> oFuzzyPartMatch,
     "asof_enrich" -> oAsofEnrich,
     "range_join_shipments" -> oRangeJoin,
+    "interval_join_attrib" -> oIntervalJoin,
     "split_assign" -> oSplitAssign,
     "tfidf_top_terms" -> oTfidfTopTerms,
     "bm25_scores" -> oBm25Scores,
     "repetition_ratio" -> oRepetitionRatio,
     "pii_scrub" -> oPiiScrub,
     "stratified_sample" -> oStratifiedSample,
+    "weighted_sample" -> oWeightedSample,
     "token_packing" -> oTokenPacking,
     "dedup_clusters" -> oDedupClusters,
     "funnel_conversion" -> oFunnel,

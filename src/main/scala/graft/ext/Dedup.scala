@@ -315,27 +315,38 @@ object Dedup {
     hammingPairs(simhashMd5Signatures(docs, idCol, textCol), maxHamming)
 
   /** Blocked fuzzy matching (entity resolution): edit-distance pairs within
-    * a blocking key. The classic record-linkage shape — the block equi-join
-    * bounds the quadratic comparison to within-block pairs (choose a block
-    * with bounded cardinality per key: brand, zip, first-token, phonetic
-    * code), and `levenshtein` has identical unit-cost semantics across
-    * engines, so the whole operator is oracle-checkable.
+    * a composite blocking key. The classic record-linkage shape — the block
+    * equi-join bounds the quadratic comparison to within-block pairs
+    * (compose blocks from bounded-cardinality attributes: brand x size,
+    * zip, first-token, phonetic code), and `levenshtein` has identical
+    * unit-cost semantics across engines, so the whole operator is
+    * oracle-checkable.
     *
     * At scale the cost is sum over blocks of |block|^2 / 2 comparisons —
-    * pick blocks so the hottest key stays comparable-bounded, exactly like
-    * `maxDf` caps hot grams in [[ngramJaccardPairs]].
+    * compose enough block attributes that the hottest block stays
+    * comparison-bounded, exactly like `maxDf` caps hot grams in
+    * [[ngramJaccardPairs]]. Two result-invisible prunes cut the per-pair
+    * cost: a length band in the join condition (|len(a) - len(b)| > k
+    * implies distance > k, so no true pair is lost), and Spark's
+    * thresholded `levenshtein(l, r, k)` — the banded O(len x k) algorithm
+    * with early exit, returning -1 past the threshold instead of paying
+    * the full O(len^2) table.
     */
   def blockedEditDistancePairs(
       df: DataFrame,
       idCol: String,
       strCol: String,
-      blockCol: String,
+      blockCols: Seq[String],
       maxDist: Int = 2): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(strCol).as("s_a")).alias("ed_l")
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(strCol).as("s_b")).alias("ed_r")
-    a.join(b, col("ed_l.blk") === col("ed_r.blk") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+    require(blockCols.nonEmpty, "at least one blocking column is required")
+    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ col(strCol).as("s_a"): _*).alias("ed_l")
+    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ col(strCol).as("s_b"): _*).alias("ed_r")
+    val blockEq = blockCols.map(c => col(s"ed_l.`$c`") === col(s"ed_r.`$c`")).reduce(_ && _)
+    a.join(b, blockEq && col("id_a") < col("id_b") &&
+        abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
   }
 
   /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this

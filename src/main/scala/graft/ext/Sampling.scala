@@ -78,6 +78,38 @@ object Sampling {
     df.filter(hexKey < boundary)
   }
 
+  /** Deterministic weight-proportional Bernoulli sample: keep a row with
+    * probability `weight / max(weight)` (the heaviest row is always kept),
+    * decided by exact integer math so an external engine replays the exact
+    * kept set, not just its size:
+    *
+    *   keep  <=>  u32 * max_w < w * 2^32
+    *
+    * with `u32` = first 8 hex chars of `md5(cast(id AS string))` as a
+    * uint32. No division, no floats, no transcendentals — the comparison is
+    * exact in both engines (decimal(38) here, hugeint in DuckDB), so the
+    * cross-engine boundary-rounding hazard that plagues float thresholds
+    * cannot occur by construction.
+    *
+    * The max-weight scalar travels as a broadcast single-row relation (one
+    * extra reduce, no driver collect). Null or non-positive weights never
+    * survive (`null > anything` is never-true). The weight column must be
+    * integral; at 100 TB the scan + filter is one pass, and the broadcast
+    * is 16 bytes.
+    */
+  def weightedBernoulli(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String): DataFrame = {
+    val u32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("decimal(38,0)")
+    val mw = df.select(max(col(weightCol).cast("long")).as("__max_w"))
+    df.crossJoin(broadcast(mw))
+      .filter(u32 * col("__max_w").cast("decimal(38,0)") <
+        col(weightCol).cast("decimal(38,0)") * lit(4294967296L).cast("decimal(38,0)"))
+      .drop("__max_w")
+  }
+
   /** Reference implementation for tests (and for consumers outside Spark). */
   def splitOf(id: String, splits: Seq[(String, Double)]): String = {
     val hex = java.security.MessageDigest.getInstance("MD5")

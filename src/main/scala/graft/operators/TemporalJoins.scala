@@ -125,4 +125,51 @@ object TemporalJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Keyed event-time interval join: every (left, right) pair with the same
+    * `key` and `right.time` within `[left.time + lowerMs, left.time +
+    * upperMs]` (closed bounds; `lowerMs` may be negative for
+    * look-behind). Works in BOTH batch and Structured Streaming:
+    *
+    *  - batch: a plain equi-join on `key` with the range as a post-filter —
+    *    one shuffle per side, never a nested loop;
+    *  - streaming (`watermarkDelay = Some(d)`): the canonical
+    *    stream-stream join. Both sides are watermarked and the range
+    *    condition sits on the two event-time columns, which is exactly what
+    *    lets Spark bound the join state: a buffered left row is dropped
+    *    once the right watermark passes `left.time + upperMs`, and vice
+    *    versa — without the time condition the state grows forever.
+    *    `left_outer` additionally emits unmatched left rows (right columns
+    *    null) once the watermark proves no match can arrive, matching
+    *    Flink's interval-join + one-sided-outer semantics.
+    *
+    * `leftTime`/`rightTime` must be TimestampType (the watermark
+    * requirement); both inputs carry `key` under the same name, all other
+    * column names must be disjoint. Output: every left column, then the
+    * right side's non-key columns.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      lowerMs: Long,
+      upperMs: Long,
+      watermarkDelay: Option[String] = None,
+      joinType: String = "inner"): DataFrame = {
+    require(lowerMs <= upperMs, s"empty interval: lowerMs=$lowerMs > upperMs=$upperMs")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"non-key column names must be disjoint, both sides have: ${shared.mkString(", ")}")
+    val l = watermarkDelay.fold(left)(d => left.withWatermark(leftTime, d)).alias("ij_l")
+    val r = watermarkDelay.fold(right)(d => right.withWatermark(rightTime, d)).alias("ij_r")
+    val lt = col(s"ij_l.`$leftTime`")
+    val rt = col(s"ij_r.`$rightTime`")
+    val cond = col(s"ij_l.`$key`") === col(s"ij_r.`$key`") &&
+      rt >= lt + expr(s"INTERVAL '$lowerMs' MILLISECOND") &&
+      rt <= lt + expr(s"INTERVAL '$upperMs' MILLISECOND")
+    val rightCols = right.columns.filterNot(_ == key).map(c => col(s"ij_r.`$c`"))
+    l.join(r, cond, joinType).select(col("ij_l.*") +: rightCols: _*)
+  }
 }

@@ -111,7 +111,7 @@ class DedupSpec extends AnyFunSuite {
       (1L, "red widget", "B1"), (2L, "red widgets", "B1"), (3L, "red widget", "B2"),
       (4L, "blue bolt", "B1"), (5L, "bolt blue", "B1"))
       .toDF("id", "name", "brand")
-    val got = Dedup.blockedEditDistancePairs(parts, "id", "name", "brand", maxDist = 2)
+    val got = Dedup.blockedEditDistancePairs(parts, "id", "name", Seq("brand"), maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // (1,2): dist 1, same block; (1,3): identical names but DIFFERENT block
     // -> blocked out; (4,5): dist > 2

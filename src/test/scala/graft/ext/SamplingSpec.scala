@@ -106,4 +106,39 @@ class SamplingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("stratum") === "a").count()
     assert(zero == 0L)
   }
+
+  test("weighted sample: p proportional to weight, max-weight row always kept") {
+    import spark.implicits._
+    // weights 1 and 1000: the heavy rows are kept with p = 1, the light
+    // rows with p = 1/1000
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) 1000L else 1L)).toDF("id", "w")
+    val kept = Sampling.weightedBernoulli(df, "id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (heavy, light) = kept.partition(_._2 == 1000L)
+    assert(heavy.length == 1000, "p = w/max = 1 must keep every max-weight row")
+    assert(light.length < 15, s"p = 1/1000 kept ${light.length} of 1000 light rows")
+    // deterministic
+    val again = Sampling.weightedBernoulli(df, "id", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("weighted sample: realized rate tracks w/max for mid-range weights") {
+    import spark.implicits._
+    // weight 250 of max 1000 -> p = 0.25
+    val df = ((1L to 4000L).map(i => (i, 250L)) :+ (9999L, 1000L)).toDF("id", "w")
+    val n = Sampling.weightedBernoulli(df, "id", "w")
+      .filter(col("w") === 250L).count()
+    assert(math.abs(n - 1000L) < 120, s"expected ~1000 of 4000 at p=0.25, got $n")
+  }
+
+  test("weighted sample: null and non-positive weights never survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(100L)), (2L, None), (3L, Some(0L)), (4L, Some(-5L)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedBernoulli(df, "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"only the max-weight row may survive, got $kept")
+  }
 }
