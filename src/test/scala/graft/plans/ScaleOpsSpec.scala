@@ -55,4 +55,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.06,
       s"approx $approx vs exact $exact")
   }
+
+  test("approx_percentile tracks exact interpolated percentiles within its accuracy bound") {
+    import spark.implicits._
+    // the 100 TB path for value_quantiles: approx_percentile's rank error is
+    // <= n/accuracy; at accuracy=10000 over 20k rows that is 2 ranks
+    val df = (1 to 20000).map(i => (i.toLong * 7919) % 100003).map(_.toDouble).toDF("v")
+    val qs = Array(0.1, 0.5, 0.9, 0.99)
+    val exact = df.stat.approxQuantile("v", qs, 0.0) // relativeError 0 = exact
+    val approx = df.select(
+      percentile_approx(col("v"), typedLit(qs.toSeq), lit(10000))).head()
+      .getSeq[Double](0)
+    qs.indices.foreach { i =>
+      val tol = 100003.0 * 0.005 // 2/20000 rank error on a ~uniform value range, padded
+      assert(math.abs(approx(i) - exact(i)) <= tol,
+        s"p=${qs(i)}: approx ${approx(i)} vs exact ${exact(i)}")
+    }
+  }
+
+  test("partitioned parquet layout: date filter prunes partitions in the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partlayout-").toString
+    // 1000 events over 10 days, laid out hive-style by event_date — the
+    // storage answer that turns a time-ranged 100 TB scan into a targeted one
+    (0 until 1000)
+      .map(i => (i.toLong, java.sql.Date.valueOf(f"2026-01-${i % 10 + 1}%02d"), i * 1.5))
+      .toDF("event_id", "event_date", "value")
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date") === java.sql.Date.valueOf("2026-01-03"))
+    assert(pruned.count() == 100L)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("event_date"),
+      s"expected partition filters on event_date in:\n$scan")
+    // the partition filter must actually reach the scan (not a post-filter):
+    // only one of the ten date directories may survive pruning
+    val scanNode = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scanNode.exists(_.selectedPartitions.partitionCount == 1),
+      s"expected 1 selected partition, got ${scanNode.map(_.selectedPartitions.partitionCount)}")
+  }
 }
