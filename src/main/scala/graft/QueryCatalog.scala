@@ -747,6 +747,95 @@ object QueryCatalog {
       |       ELSE '19999999' END
       |GROUP BY 1""".stripMargin
 
+  /** Gap-based sessionization via analytic window functions (the batch
+    * window-function twin of `session_window_agg`): a session breaks where
+    * the gap to the previous event exceeds 30 min; session ids are running
+    * sums of break flags. Exact int64 nano math end to end.
+    */
+  private val qUserSessions: (SparkSession, String) => DataFrame = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    // micros, not nanos: DuckDB reads TIMESTAMP(NANOS) parquet at micro
+    // precision, so the gap compare must run on the same truncation in
+    // both engines or a sub-microsecond remainder flips a boundary gap
+    table(s, dir, "events")
+      .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("t"), col("event_id"))
+      .withColumn("new_sess",
+        when(col("t") - lag(col("t"), 1).over(byUser) > 1800000000L, 1L)
+          .otherwise(when(lag(col("t"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min(col("t")).as("start_us"), max(col("t")).as("end_us"))
+  }
+
+  private val oUserSessions: String =
+    """WITH laged AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, t, event_id,
+      |         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM laged
+      |), sess AS (
+      |  SELECT user_id, t,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(t) AS start_us, max(t) AS end_us
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** FULL OUTER join coverage: customers x their 1995 orders — both
+    * unmatched sides survive (customers with no 1995 orders; no orders
+    * without a customer in TPC-H, which the zero n_orphan_orders row
+    * proves rather than assumes).
+    */
+  private val qCustOrderFullOuter: (SparkSession, String) => DataFrame = (s, dir) => {
+    val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val ord95 = table(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"), col("o_totalprice"))
+    cust.join(ord95, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_custs_no_1995_orders"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphan_orders"),
+        count(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1)).as("n_matched"))
+  }
+
+  private val oCustOrderFullOuter: String =
+    """SELECT c_mktsegment,
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_custs_no_1995_orders,
+      |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_orphan_orders,
+      |  count(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 END) AS n_matched
+      |FROM customer FULL OUTER JOIN
+      |  (SELECT o_custkey, o_totalprice FROM orders WHERE year(o_orderdate) = 1995) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Overlapping token-window chunking (64-token chunks, 16-token overlap):
+    * map-only generator pass; chunk starts are stride multiples so
+    * `chunk_id = start / stride` replays exactly.
+    */
+  private val qChunkDocs: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.chunkDocs(table(s, dir, "documents"), chunkTokens = 64, overlapTokens = 16)
+
+  private val oChunkDocs: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |), starts AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s
+       |  FROM toks WHERE len(w) >= 1
+       |)
+       |SELECT doc_id, CAST(s // 48 AS integer) AS chunk_id,
+       |       array_to_string(w[s+1 : s+64], ' ') AS chunk_text,
+       |       CAST(least(len(w) - s, 64) AS integer) AS n_chunk_tokens
+       |FROM starts""".stripMargin
+
   /** Weight-proportional Bernoulli sample (p = n_chars / max(n_chars)),
     * decided by exact integer math (u32 * max_w < w * 2^32) so the oracle
     * replays the exact kept set — no float threshold, no rounding hazard.
@@ -1512,6 +1601,9 @@ object QueryCatalog {
     "pii_scrub" -> qPiiScrub,
     "stratified_sample" -> qStratifiedSample,
     "weighted_sample" -> qWeightedSample,
+    "chunk_docs" -> qChunkDocs,
+    "user_sessions" -> qUserSessions,
+    "cust_order_fullouter" -> qCustOrderFullOuter,
     "token_packing" -> qTokenPacking,
     "dedup_clusters" -> qDedupClusters,
     "funnel_conversion" -> qFunnel,
@@ -1572,6 +1664,9 @@ object QueryCatalog {
     "pii_scrub" -> oPiiScrub,
     "stratified_sample" -> oStratifiedSample,
     "weighted_sample" -> oWeightedSample,
+    "chunk_docs" -> oChunkDocs,
+    "user_sessions" -> oUserSessions,
+    "cust_order_fullouter" -> oCustOrderFullOuter,
     "token_packing" -> oTokenPacking,
     "dedup_clusters" -> oDedupClusters,
     "funnel_conversion" -> oFunnel,

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{TextExpressions, VectorExpressions}
+import graft.functions.{NgramExpressions, TextExpressions, VectorExpressions}
 
 /** SQL-surface registration of the native expressions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works cluster-wide:
@@ -21,7 +21,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Runtime registration into an existing session's function registry. */
 object GraftFunctions {
-  private[core] val all = VectorExpressions.registry ++ TextExpressions.registry
+  private[core] val all = VectorExpressions.registry ++ TextExpressions.registry ++ NgramExpressions.registry
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, info, builder) =>

@@ -238,6 +238,45 @@ object TextAnalysis {
       scrubbed.as("scrubbed"))
   }
 
+  /** Overlapping token-window chunking — long documents split into
+    * context-window-sized pieces for embedding/training, each chunk
+    * overlapping the previous by `overlapTokens` so no span of
+    * `chunkTokens - overlapTokens` consecutive tokens straddles a boundary
+    * unseen.
+    *
+    * Chunk starts step by `stride = chunkTokens - overlapTokens` while
+    * `start <= n - overlapTokens - 1`, which guarantees (a) every token is
+    * covered, (b) every chunk past the first contributes at least one new
+    * token (no degenerate all-overlap tail chunk), (c) docs with at most
+    * `chunkTokens` tokens yield exactly one chunk. Empty docs yield none.
+    *
+    * One generator expression per row (`explode(sequence(...))`) — the
+    * per-chunk `slice`/`array_join` are ordinary codegen'd expressions, so
+    * the operator stays in whole-stage codegen; at 100 TB chunking is a
+    * map-only pass with no shuffle.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      overlapTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 1)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), greatest(size(col("__w")) - overlapTokens - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "__start")),
+        col("__w"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__w"), col("__start") + lit(1), lit(chunkTokens)), " ").as("chunk_text"),
+        least(size(col("__w")) - col("__start"), lit(chunkTokens)).as("n_chunk_tokens"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     import graft.functions.TextExpressions.RollingHash

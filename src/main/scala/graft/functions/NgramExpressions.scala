@@ -98,4 +98,18 @@ object NgramExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  val registry: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("ngram_hashes",
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NgramHashes].getName, "ngram_hashes"),
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_hashes(tokens, n): n must be an integer literal, got $other")
+        }
+        NgramHashes(args.head, n)
+      }))
 }

@@ -120,4 +120,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._1 == 2L && out(3L)._3 == 1L)
     assert(out(3L)._4 == "two mails <EMAIL> <EMAIL> and ip <IP>")
   }
+
+  test("chunking: full coverage, exact overlap, single chunk for short docs") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "one two"), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocs(df, chunkTokens = 5, overlapTokens = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: 10 tokens, chunk 5, stride 3 -> starts 0, 3, 6 (start 7 would
+    // violate start <= n - overlap - 1 = 7? no: 0,3,6 with last covering 7..10)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(5, 5, 4))
+    // every token appears in some chunk; consecutive chunks share exactly
+    // the overlap (here 2) on full-width chunks
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
+    // short doc: one chunk
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "one two", 2)))
+    // empty text normalizes to one empty token in both engines -> one
+    // empty chunk (documented; dropped by any min-length quality gate)
+    assert(rows.filter(_._1 == 3L).map(_._4).toSeq == Seq(1))
+  }
+
+  test("chunking rejects degenerate parameters") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.chunkDocs(df, 0, 0))
+    intercept[IllegalArgumentException](TextAnalysis.chunkDocs(df, 5, 5))
+  }
 }

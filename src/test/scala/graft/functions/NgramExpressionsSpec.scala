@@ -79,4 +79,15 @@ class NgramExpressionsSpec extends AnyFunSuite {
     assert(got(0).getSeq[Long](0).isEmpty)
     assert(got(1).isNullAt(0))
   }
+
+  test("registered SQL function ngram_hashes works and pins n to a literal") {
+    graft.core.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT ngram_hashes(split('a b c d', ' '), 2) AS g").collect().head.getSeq[Long](0)
+    val viaHof = spark.sql(
+      "SELECT transform(sequence(0, 2), i -> xxhash64(concat_ws(' ', " +
+        "element_at(split('a b c d', ' '), i + 1), " +
+        "element_at(split('a b c d', ' '), i + 2)))) AS g").collect().head.getSeq[Long](0)
+    assert(viaSql == viaHof)
+  }
 }
