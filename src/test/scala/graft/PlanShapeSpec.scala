@@ -122,4 +122,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("array_distinct"),
       "distinct gram count must aggregate exploded grams, not re-evaluate a per-row HOF")
   }
+
+  test("chunk_docs: map-only generator pass — no exchange at all") {
+    val p = plan(QueryCatalog.queries("chunk_docs")(spark, sf))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "expected a generator (explode) node")
+  }
+
+  test("interval join: equi-join on the key with the range as condition, no nested loop") {
+    val p = plan(QueryCatalog.queries("interval_join_attrib")(spark, sf))
+    assertNoCartesian(p)
+  }
+
+  test("gram dedup paths use the native ngram_hashes kernel, not interpreted HOFs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(Dedup.ngramJaccardPairs(docs), Dedup.minhashLshVerifiedPairs(docs)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("ngram_hashes"), s"native gram kernel missing:\n${p.take(1200)}")
+      assert(!p.contains("transform("), "interpreted per-gram transform back in the hot path")
+    }
+  }
 }
