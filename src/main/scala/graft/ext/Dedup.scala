@@ -123,8 +123,17 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val grams = docGrams(docs, idCol, textCol, shingleSize) // g is already the 8-byte gram hash
+      textCol: String = "text"): DataFrame =
+    minhashSignaturesFromGrams(docGrams(docs, idCol, textCol, shingleSize), numHashes)
+
+  /** Signatures over a PRECOMPUTED (id, g) gram relation — callers that also
+    * consume the gram relation elsewhere (verify joins, df counts, sizes)
+    * pass the same DataFrame object so every branch shares ONE gram subtree:
+    * the distinct exchange is object-identical across branches, which is
+    * what lets exchange/stage reuse fire instead of re-tokenizing the corpus
+    * once per branch.
+    */
+  private def minhashSignaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
     grams.groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -202,15 +211,18 @@ object Dedup {
     // candidate generation from band keys only: joining the full signature
     // arrays (as minhashLshPairs does for its est_jaccard output) would ship
     // 2x64 longs per band collision and pay an interpreted 64-element fold
-    // per candidate, all to produce a column this path discards
-    val banded = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+    // per candidate, all to produce a column this path discards.
+    // ONE gram relation object feeds signatures, df counts, sizes, and both
+    // verify sides — object-identical subtrees are what exchange/stage
+    // reuse needs to avoid re-tokenizing the corpus once per branch.
+    val grams = docGrams(docs, idCol, textCol, shingleSize)
+    val banded = minhashSignaturesFromGrams(grams, numHashes)
       .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
     val ca = banded.select(col("id").as("id_a"), col("bk")).alias("mhv_l")
     val cb = banded.select(col("id").as("id_b"), col("bk")).alias("mhv_r")
     val cands = ca.join(cb, col("mhv_l.bk") === col("mhv_r.bk") && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val grams = docGrams(docs, idCol, textCol, shingleSize)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
     val admitted = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
