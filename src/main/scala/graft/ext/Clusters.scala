@@ -18,7 +18,9 @@ import org.apache.spark.storage.StorageLevel
   * real corpora; `maxIter` caps the worst case (a path graph). Each round's
   * labels are persisted (MEMORY_AND_DISK) and the previous round explicitly
   * unpersisted, so lineage never re-executes earlier rounds; convergence is
-  * detected with a `limit(1)` probe (first changed label short-circuits).
+  * detected by comparing the global label sum across rounds (labels only
+  * decrease under min-propagation, so an unchanged sum IS the fixpoint —
+  * one aggregate on the cached relation, no per-round join).
   *
   * At 1000-executor scale the same shape holds: the per-round shuffle
   * carries one (id, label) pair per node plus one message per directed edge,
@@ -61,6 +63,7 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cutLineage(persisted)
     var converged = false
+    var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     while (iter < maxIter && !converged) {
       // neighbor labels delivered along each directed edge
@@ -72,16 +75,20 @@ object Clusters {
         .groupBy("id")
         .agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // the convergence probe also materializes `next` into the cache
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1)
-        .count()
+      // convergence probe: labels only ever DECREASE under min-propagation,
+      // so the global label sum is strictly decreasing until the fixpoint —
+      // comparing one aggregate over the cached relation replaces the
+      // previous join-with-prev-labels + filter + count (a join per round).
+      // The probe action is also what materializes `next` into the cache.
+      // decimal(38) sum: billions of nodes x wide id ranges could wrap an
+      // int64 sum, and wraparound would break the strict-decrease argument
+      val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
       persisted.unpersist()
       persisted = next
       labels = cutLineage(next)
-      converged = changed == 0L
+      // a null sum means an empty node relation — nothing to propagate
+      converged = sumNow == null || prevSum.exists(_.compareTo(sumNow) == 0)
+      prevSum = Option(sumNow)
       iter += 1
     }
     sym.unpersist()
