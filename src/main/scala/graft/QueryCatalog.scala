@@ -335,21 +335,26 @@ object QueryCatalog {
 
   /** Strictly-ordered funnel over the event log (view -> click -> purchase):
     * a user advances only with a strictly-later event of the next type.
-    * Comparisons use the raw int64 nanosecond timestamps — truncated
-    * timestamps would conflate same-millisecond events across steps.
+    * The ORACLE-FACING query feeds micros, not raw nanos: DuckDB reads this
+    * parquet's TIMESTAMP(NANOS) at microsecond precision, so a strict `>`
+    * on nanos could advance the funnel on a same-microsecond nano tie the
+    * oracle cannot see. The operator itself takes whatever resolution the
+    * caller supplies (at production scale, feed the raw nanos).
     */
   private val qFunnel: (SparkSession, String) => DataFrame = (s, dir) =>
-    EventAnalytics.funnel(table(s, dir, "events"), Seq("view", "click", "purchase"))
+    EventAnalytics.funnel(
+      table(s, dir, "events").withColumn("ts", expr("CAST(ts DIV 1000 AS BIGINT)")),
+      Seq("view", "click", "purchase"))
 
   private val oFunnel: String =
-    """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
       |            WHERE event_type = 'view' GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
       |       JOIN s1 ON s1.user_id = e.user_id
-      |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t GROUP BY 1),
-      |s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t FROM events e
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
       |       JOIN s2 ON s2.user_id = e.user_id
-      |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t GROUP BY 1)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t GROUP BY 1)
       |SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1)::bigint AS n_users
       |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)::bigint
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)::bigint""".stripMargin
@@ -829,7 +834,7 @@ object QueryCatalog {
        |), starts AS (
        |  SELECT doc_id, w,
        |         unnest(generate_series(0, greatest(len(w) - 16 - 1, 0), 48)) AS s
-       |  FROM toks WHERE len(w) >= 1
+       |  FROM toks WHERE NOT (len(w) = 1 AND w[1] = '')
        |)
        |SELECT doc_id, CAST(s // 48 AS integer) AS chunk_id,
        |       array_to_string(w[s+1 : s+64], ' ') AS chunk_text,

@@ -62,6 +62,10 @@ object Clusters {
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cutLineage(persisted)
+    val numericIds = persisted.schema("comp").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
     var converged = false
     var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
@@ -75,23 +79,38 @@ object Clusters {
         .groupBy("id")
         .agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // convergence probe: labels only ever DECREASE under min-propagation,
-      // so the global label sum is strictly decreasing until the fixpoint —
-      // comparing one aggregate over the cached relation replaces the
-      // previous join-with-prev-labels + filter + count (a join per round).
-      // The probe action is also what materializes `next` into the cache.
-      // decimal(38) sum: billions of nodes x wide id ranges could wrap an
-      // int64 sum, and wraparound would break the strict-decrease argument
-      val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      // convergence probe. Numeric ids: labels only ever DECREASE under
+      // min-propagation, so the global label sum is strictly decreasing
+      // until the fixpoint — one aggregate over the cached relation, no
+      // join. decimal(38) so billions of nodes x wide id ranges cannot wrap
+      // int64 (wraparound would break the strict-decrease argument). A cast
+      // of a NON-numeric id type would throw under ANSI (or null out
+      // silently without it), so string-labeled graphs fall back to the
+      // exact changed-row join probe. Either probe's action is also what
+      // materializes `next` into the cache.
+      if (numericIds) {
+        val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+        // a null sum means an empty node relation — nothing to propagate
+        converged = sumNow == null || prevSum.exists(_.compareTo(sumNow) == 0)
+        prevSum = Option(sumNow)
+      } else {
+        val changed = next
+          .join(labels.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") =!= col("prev"))
+          .limit(1)
+          .count()
+        converged = changed == 0L
+      }
       persisted.unpersist()
       persisted = next
       labels = cutLineage(next)
-      // a null sum means an empty node relation — nothing to propagate
-      converged = sumNow == null || prevSum.exists(_.compareTo(sumNow) == 0)
-      prevSum = Option(sumNow)
       iter += 1
     }
     sym.unpersist()
-    labels
+    // return the PERSISTED relation itself (not another lineage-cut copy):
+    // the caller gets the cached labels and — unlike a derived RDD-scan
+    // wrapper — can release the one retained cache with `.unpersist()` when
+    // done. Intermediate rounds were already unpersisted above.
+    persisted
   }
 }

@@ -54,17 +54,22 @@ object EventAnalytics {
   /** Cohort retention: users are cohorted by the period of their first
     * event; for each (cohort, period offset) count the distinct users
     * active in that period. Periods are `floor(epoch_millis / periodMillis)`
-    * — exact integer math (the events table carries int64 nanos; positive,
-    * so DIV truncation == floor).
+    * — exact integer math (`tsCol` carries non-negative int64 nanos, so DIV
+    * truncation == floor). Columns are parameterized like [[funnel]]'s, so
+    * the operator runs on any event-log schema without a rename shim.
     */
-  def cohortRetention(events: DataFrame, periodMillis: Long = 604800000L): DataFrame = {
-    val period = expr(s"(ts DIV 1000000) DIV $periodMillis")
+  def cohortRetention(
+      events: DataFrame,
+      periodMillis: Long = 604800000L,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val period = expr(s"(`$tsCol` DIV 1000000) DIV $periodMillis")
     val activity = events
-      .select(col("user_id"), period.as("period"))
+      .select(col(userCol).as("uid"), period.as("period"))
       .distinct()
-    val firsts = activity.groupBy("user_id").agg(min(col("period")).as("cohort"))
+    val firsts = activity.groupBy("uid").agg(min(col("period")).as("cohort"))
     activity
-      .join(firsts, "user_id")
+      .join(firsts, "uid")
       .select(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_users"))

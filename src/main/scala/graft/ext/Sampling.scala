@@ -34,14 +34,21 @@ object Sampling {
     df.withColumn(splitCol, splitExpr(col(idCol), splits))
   }
 
-  /** Boundary for a cumulative fraction, as 8 lowercase hex chars. Clamped
-    * to 0xffffffff: a cumulative fraction that rounds to 1.0 before the
-    * last split would otherwise format as 9 chars ("100000000") and the
-    * fixed-length string compare — the invariant the whole scheme rests
-    * on — would silently misroute 15/16 of all rows.
+  /** Boundary for a cumulative fraction, as 8 lowercase hex chars — or the
+    * sentinel "g" (which sorts after every hex digit) once the fraction
+    * covers the whole hash space. Two failure modes are excluded by
+    * construction:
+    *  - formatting floor(1.0 * 2^32) directly would yield 9 chars
+    *    ("100000000") and the fixed-length string compare — the invariant
+    *    the whole scheme rests on — would silently misroute 15/16 of rows;
+    *  - clamping to "ffffffff" (the previous fix) made `hexKey < boundary`
+    *    FALSE for keys that hash to exactly ffffffff — a fraction-1.0
+    *    stratum silently dropped 1-in-2^32 rows instead of keeping all.
     */
-  private def boundaryHex(cum: Double): String =
-    f"${math.min(math.floor(cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+  private def boundaryHex(cum: Double): String = {
+    val scaled = math.floor(cum * 4294967296.0).toLong
+    if (scaled >= 4294967296L) "g" else f"$scaled%08x"
+  }
 
   /** The assignment expression alone (for composing into larger selects). */
   def splitExpr(id: Column, splits: Seq[(String, Double)]): Column = {

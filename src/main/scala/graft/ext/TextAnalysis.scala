@@ -138,6 +138,8 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct == terms, "duplicate query terms would create ambiguous columns")
+    require(terms.forall(t => !t.contains("`")), "backticks in query terms are not supported")
     // doc length per-row (array_remove drops the empty-string token of
     // blank docs) — no explode, no shuffle; the exploded relation is built
     // once, already filtered to the query terms, so the only corpus-wide
@@ -162,13 +164,15 @@ object TextAnalysis {
       .join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("contrib", contrib)
+    // backticked access: a term containing '.' (a legal whitespace token,
+    // e.g. "3.5") would otherwise parse as a struct-field path in col()
     val termCols = terms.map(t => max(when(col("token") === t, col("contrib"))).as(s"c_$t"))
-    val score = terms.map(t => coalesce(col(s"c_$t"), lit(0.0))).reduce(_ + _)
+    val score = terms.map(t => coalesce(col(s"`c_$t`"), lit(0.0))).reduce(_ + _)
     scored
       .groupBy("id")
       .agg(termCols.head, termCols.tail: _*)
       .withColumn("score", score)
-      .select(col("id").as(idCol) +: terms.map(t => col(s"c_$t")) :+ col("score"): _*)
+      .select(col("id").as(idCol) +: terms.map(t => col(s"`c_$t`")) :+ col("score"): _*)
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
@@ -265,9 +269,11 @@ object TextAnalysis {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       "overlapTokens must be in [0, chunkTokens)")
     val stride = chunkTokens - overlapTokens
+    // blank text normalizes to a single empty token (split never returns an
+    // empty array), so "at least one REAL token" is the emptiness test
     docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= 1)
+      .filter(not(size(col("__w")) === 1 && element_at(col("__w"), 1) === ""))
       .select(col(idCol),
         posexplode(sequence(lit(0), greatest(size(col("__w")) - overlapTokens - 1, lit(0)), lit(stride)))
           .as(Seq("chunk_id", "__start")),

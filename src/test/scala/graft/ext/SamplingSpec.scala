@@ -60,10 +60,17 @@ class SamplingSpec extends AnyFunSuite {
     val degenerate = Seq("a" -> 1.0, "b" -> 1e-12)
     val counts = Sampling.deterministicSplit((0L until 5000L).toDF("id"), "id", degenerate)
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts.getOrElse("a", 0L) >= 4999L, s"boundary overflow misrouted rows: $counts")
+    assert(counts.getOrElse("a", 0L) == 5000L, s"boundary overflow misrouted rows: $counts")
     (0L until 100L).foreach { i =>
       assert(Sampling.splitOf(i.toString, degenerate) == "a")
     }
+  }
+
+  test("stratified fraction 1.0 keeps EVERY row (no ffffffff boundary loss)") {
+    val df = strata(2000L)
+    val kept = Sampling.stratifiedSample(df, "stratum", "id", Map("a" -> 1.0), 0.0)
+      .count()
+    assert(kept == 2000L, s"fraction 1.0 must keep all of stratum a, kept $kept")
   }
 
   private def strata(n: Long) = {

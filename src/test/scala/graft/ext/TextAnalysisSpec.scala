@@ -141,9 +141,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"t$i").toSet)
     // short doc: one chunk
     assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "one two", 2)))
-    // empty text normalizes to one empty token in both engines -> one
-    // empty chunk (documented; dropped by any min-length quality gate)
-    assert(rows.filter(_._1 == 3L).map(_._4).toSeq == Seq(1))
+    // blank text yields NO chunks (the scaladoc contract; blank normalizes
+    // to a single empty token, which the emptiness filter rejects)
+    assert(rows.filter(_._1 == 3L).isEmpty)
   }
 
   test("chunking rejects degenerate parameters") {
