@@ -33,12 +33,23 @@ object Clusters {
 
   /** (id, component) for every node incident to at least one edge; the
     * component label is the minimum node id reachable from the node.
+    *
+    * `driverEdgeThreshold`: LSH near-dup pair relations are orders of
+    * magnitude smaller than the corpus that produced them — frequently
+    * small enough that iterative label propagation spends its whole budget
+    * on per-round scheduling. When the symmetrized edge count (already
+    * materialized for the iteration) is at or below the threshold, the
+    * edges are collected and clustered with a driver-side union-find
+    * (min-label per component — the IDENTICAL result), skipping the rounds
+    * entirely; larger graphs take the distributed path. Same capped-collect
+    * pattern as IVF centroid training; set it to 0 to force distribution.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverEdgeThreshold: Long = 1000000L): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     val spark = edges.sparkSession
     // the labels relation appears TWICE in every round's plan (message join
@@ -58,6 +69,19 @@ object Clusters {
       .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count over the relation the iteration needs materialized anyway
+    if (driverEdgeThreshold > 0 && sym.count() <= driverEdgeThreshold) {
+      val labeled = driverUnionFind(sym.collect().map(r => (r.get(0), r.get(1))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        sym.schema("id").copy(name = "id"),
+        sym.schema("id").copy(name = "comp")))
+      val rows = labeled.map { case (id, comp) => org.apache.spark.sql.Row(id, comp) }
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4)),
+        schema)
+      sym.unpersist()
+      return out
+    }
     var persisted = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -112,5 +136,40 @@ object Clusters {
     // wrapper — can release the one retained cache with `.unpersist()` when
     // done. Intermediate rounds were already unpersisted above.
     persisted
+  }
+
+  /** Union-find with path compression over collected edges; labels every
+    * node with the MINIMUM id of its component (boxed ids compare via
+    * `Comparable`, matching Spark's `min()` ordering for the numeric and
+    * string types near-dup ids actually use).
+    */
+  private def driverUnionFind(edges: Array[(Any, Any)]): Array[(Any, Any)] = {
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idOf(x: Any): Int = index.getOrElseUpdate(x, { nodes += x; nodes.length - 1 })
+    val pairs = edges.map { case (a, b) => (idOf(a), idOf(b)) }
+    val parent = Array.tabulate(nodes.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Any]
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val v = nodes(i)
+      minOf.get(r) match {
+        case Some(m) if cmp(m, v) <= 0 => ()
+        case _ => minOf(r) = v
+      }
+    }
+    nodes.indices.map(i => (nodes(i), minOf(find(i)))).toArray
   }
 }

@@ -7,46 +7,71 @@ import graft.SparkSpec
 class ClustersSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+  /** threshold 0 forces the distributed label-propagation path; the default
+    * routes graphs this small through the driver union-find fast path —
+    * core semantics are asserted on BOTH.
+    */
+  private def cc(
+      edges: Seq[(Long, Long)],
+      maxIter: Int = 20,
+      threshold: Long = 1000000L): Map[Long, Long] = {
     import spark.implicits._
-    Clusters.connectedComponents(edges.toDF("src", "dst"), maxIter = maxIter)
+    Clusters.connectedComponents(
+      edges.toDF("src", "dst"), maxIter = maxIter, driverEdgeThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("two disjoint components get their min ids as labels") {
-    val got = cc(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
-    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  private def onBothPaths(edges: Seq[(Long, Long)])(assertion: Map[Long, Long] => Unit): Unit = {
+    assertion(cc(edges))
+    assertion(cc(edges, threshold = 0L))
   }
 
-  test("a path graph converges to one component (diameter > 1 iteration)") {
+  test("two disjoint components get their min ids as labels (both paths)") {
+    onBothPaths(Seq((5L, 3L), (3L, 9L), (20L, 21L))) { got =>
+      assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    }
+  }
+
+  test("a path graph converges to one component (diameter > 1 iteration, both paths)") {
     // 0-1-2-...-9 as a chain: min label must travel the full diameter
-    val got = cc((0L until 9L).map(i => (i, i + 1)))
-    assert(got.values.toSet == Set(0L))
-    assert(got.keySet == (0L to 9L).toSet)
+    onBothPaths((0L until 9L).map(i => (i, i + 1))) { got =>
+      assert(got.values.toSet == Set(0L))
+      assert(got.keySet == (0L to 9L).toSet)
+    }
   }
 
-  test("label propagation is direction-agnostic (edges are undirected)") {
-    assert(cc(Seq((7L, 1L))) == Map(1L -> 1L, 7L -> 1L))
-    assert(cc(Seq((1L, 7L))) == Map(1L -> 1L, 7L -> 1L))
+  test("label propagation is direction-agnostic (edges are undirected, both paths)") {
+    onBothPaths(Seq((7L, 1L)))(got => assert(got == Map(1L -> 1L, 7L -> 1L)))
+    onBothPaths(Seq((1L, 7L)))(got => assert(got == Map(1L -> 1L, 7L -> 1L)))
+  }
+
+  test("driver fast path and distributed path agree on a random graph") {
+    val rng = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+    assert(cc(edges) == cc(edges, threshold = 0L))
   }
 
   test("maxIter caps the rounds: a chain longer than maxIter stays partial") {
     // with 1 iteration, node k sees only labels within distance 1
-    val got = cc((0L until 5L).map(i => (i, i + 1)), maxIter = 1)
+    // (distributed path only — the fast path has no rounds to cap)
+    val got = cc((0L until 5L).map(i => (i, i + 1)), maxIter = 1, threshold = 0L)
     assert(got(0L) == 0L && got(1L) == 0L)
     assert(got(4L) == 3L, "distance-4 node cannot have received label 0 in one round")
   }
 
-  test("empty edge set yields an empty labeling") {
+  test("empty edge set yields an empty labeling (both paths)") {
     import spark.implicits._
-    val empty = Clusters.connectedComponents(
-      Seq.empty[(Long, Long)].toDF("src", "dst"))
-    assert(empty.count() == 0L)
-    assert(empty.columns.toSeq == Seq("id", "comp"))
+    Seq(1000000L, 0L).foreach { th =>
+      val empty = Clusters.connectedComponents(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), driverEdgeThreshold = th)
+      assert(empty.count() == 0L)
+      assert(empty.columns.toSeq == Seq("id", "comp"))
+    }
   }
 
-  test("duplicate and self edges are harmless") {
-    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)))
-    assert(got == Map(1L -> 1L, 2L -> 1L))
+  test("duplicate and self edges are harmless (both paths)") {
+    onBothPaths(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L))) { got =>
+      assert(got == Map(1L -> 1L, 2L -> 1L))
+    }
   }
 }
