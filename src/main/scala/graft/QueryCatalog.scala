@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Clusters, Dedup, EventAnalytics, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Clusters, Dedup, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1184,6 +1184,22 @@ object QueryCatalog {
   private val oEmbeddingNorms: String =
     s"""SELECT vec_id, ${normSqlExpr("embedding")} AS norm FROM embeddings""".stripMargin
 
+  /** Random-projection dim reduction (64 -> 16) with hash-derived planes:
+    * coefficient (i,j) = md5("i:j")-uniform scaled to [-1,1), every step
+    * IEEE-exact, the dot fold ascending — so the oracle re-derives the
+    * planes and replays the projection bitwise.
+    */
+  private val qRandomProject: (SparkSession, String) => DataFrame = (s, dir) =>
+    Projection.randomProject(table(s, dir, "embeddings"), k = 16, dim = 64)
+
+  private val oRandomProject: String =
+    """SELECT vec_id, CAST(i AS int) AS dim,
+      |  list_reduce(list_prepend(0.0, list_transform(range(len(embedding)), j ->
+      |    CAST(embedding[CAST(j AS int) + 1] AS double) *
+      |      ((('0x' || substr(md5(i || ':' || j), 1, 8))::BIGINT / 4294967296.0) * 2 - 1)
+      |  )), (a, x) -> a + x) AS value
+      |FROM embeddings CROSS JOIN (SELECT unnest(range(16)) AS i) dims""".stripMargin
+
   private val qCosinePairs: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.embeddingCosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
 
@@ -1580,6 +1596,7 @@ object QueryCatalog {
     "curation_pipeline" -> qCuration,
     "curation_clustered" -> qCurationClustered,
     "embedding_norms" -> qEmbeddingNorms,
+    "random_project" -> qRandomProject,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
     "ivf_topk" -> qIvfTopK,
@@ -1644,6 +1661,7 @@ object QueryCatalog {
     "curation_pipeline" -> oCuration,
     "curation_clustered" -> oCurationClustered,
     "embedding_norms" -> oEmbeddingNorms,
+    "random_project" -> oRandomProject,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
     "ivf_topk_full" -> oCosineTopK,
