@@ -1184,6 +1184,54 @@ object QueryCatalog {
   private val oEmbeddingNorms: String =
     s"""SELECT vec_id, ${normSqlExpr("embedding")} AS norm FROM embeddings""".stripMargin
 
+  /** Incremental dedup: docs with doc_id % 5 == 0 are the "new batch", the
+    * rest the historical corpus; output = new docs whose normalized content
+    * is absent from the corpus. The Bloom prefilter is result-invisible
+    * (no false negatives; positives exact-verified), so the oracle is a
+    * plain anti-join on the content fingerprint.
+    */
+  private val qIncrementalDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    graft.ext.Dedup.incrementalDedupNew(
+      newDocs = docs.filter(col("doc_id") % 5 === 0),
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      expectedCorpusItems = 100000L)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  private val oIncrementalDedup: String =
+    s"""SELECT n.doc_id, n.n_chars
+       |FROM documents n
+       |WHERE n.doc_id % 5 = 0 AND md5(${normSql.replace("text", "n.text")}) NOT IN (
+       |  SELECT md5($normSql) FROM documents WHERE doc_id % 5 <> 0)""".stripMargin
+
+  /** Z-order (Morton) layout code over (l_partkey, l_suppkey), aggregated
+    * per 2^20-code bucket — the multi-dimensional-locality layout key,
+    * pure integer bit math in both engines.
+    */
+  private val qZorderStats: (SparkSession, String) => DataFrame = (s, dir) => {
+    val code = graft.plans.ScaleOps.mortonCode(
+      col("l_partkey").cast("long"), col("l_suppkey").cast("long"), bitsPerDim = 20)
+    table(s, dir, "lineitem")
+      .withColumn("__z", code)
+      .withColumn("z_bucket", expr("__z DIV 1048576"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+  }
+
+  private val oZorderStats: String = {
+    val terms = (0 until 20).map { b =>
+      s"(((l_partkey >> $b) & 1) << ${2 * b}) + (((l_suppkey >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    s"""SELECT ($terms) // 1048576 AS z_bucket,
+       |  count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM lineitem GROUP BY 1""".stripMargin
+  }
+
   /** Random-projection dim reduction (64 -> 16) with hash-derived planes:
     * coefficient (i,j) = md5("i:j")-uniform scaled to [-1,1), every step
     * IEEE-exact, the dot fold ascending — so the oracle re-derives the
@@ -1597,6 +1645,8 @@ object QueryCatalog {
     "curation_clustered" -> qCurationClustered,
     "embedding_norms" -> qEmbeddingNorms,
     "random_project" -> qRandomProject,
+    "zorder_stats" -> qZorderStats,
+    "incremental_dedup" -> qIncrementalDedup,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
     "ivf_topk" -> qIvfTopK,
@@ -1662,6 +1712,8 @@ object QueryCatalog {
     "curation_clustered" -> oCurationClustered,
     "embedding_norms" -> oEmbeddingNorms,
     "random_project" -> oRandomProject,
+    "zorder_stats" -> oZorderStats,
+    "incremental_dedup" -> oIncrementalDedup,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
     "ivf_topk_full" -> oCosineTopK,

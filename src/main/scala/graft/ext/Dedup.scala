@@ -326,6 +326,42 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     hammingPairs(simhashMd5Signatures(docs, idCol, textCol), maxHamming)
 
+  /** Incremental dedup of a NEW batch against a historical corpus: keep the
+    * new docs whose content fingerprint does not appear in the corpus.
+    *
+    * The 100 TB shape: a Bloom filter over the corpus fingerprints (ONE
+    * distributed aggregation into a fixed-size sketch) prefilters the new
+    * batch — definite non-members skip the join entirely, and only the
+    * might-be-duplicate sliver is exact-verified with a semi-join whose
+    * probe side is that sliver, not the batch. Bloom filters have no false
+    * negatives, so the result is EXACT (false positives are cleaned up by
+    * the verify join); the sketch only shrinks the join.
+    *
+    * The membership probe is a Scala UDF over the broadcast sketch — the
+    * one documented UDF in the library: a sketch probe has no built-in
+    * expression form, and one hash probe per row off the codegen path is
+    * the cost model the prefilter exists to exploit.
+    */
+  def incrementalDedupNew(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      expectedCorpusItems: Long,
+      fpp: Double = 0.01,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val corpusFps = corpus.select(fingerprint(col(textCol)).as("fp"))
+    val bf = corpusFps.stat.bloomFilter("fp", expectedCorpusItems, fpp)
+    val bcast = newDocs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((fp: String) => fp != null && bcast.value.mightContain(fp))
+    val withFp = newDocs.withColumn("__fp", fingerprint(col(textCol)))
+    val definiteNew = withFp.filter(!mightContain(col("__fp")))
+    val maybeDup = withFp.filter(mightContain(col("__fp")))
+    val verifiedNew = maybeDup.join(
+      corpusFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    definiteNew.unionByName(verifiedNew).drop("__fp")
+  }
+
   /** Blocked fuzzy matching (entity resolution): edit-distance pairs within
     * a composite blocking key. The classic record-linkage shape — the block
     * equi-join bounds the quadratic comparison to within-block pairs

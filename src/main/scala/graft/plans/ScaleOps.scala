@@ -43,4 +43,47 @@ object ScaleOps {
     val saltedR = right.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Morton (Z-order) code: interleave the low `bitsPerDim` bits of two
+    * non-negative dimension columns — bit b of x lands at position 2b, bit
+    * b of y at 2b+1. Sorting or range-partitioning by the code clusters
+    * rows that are close in BOTH dimensions into the same files/row groups,
+    * so a scan filtered on either (or both) dimensions prunes by min/max
+    * statistics — the standard multi-dimensional-locality layout for a
+    * fact table queried on two independent range axes, where sorting by
+    * either column alone scatters the other.
+    *
+    * Pure integer bit arithmetic on built-in expressions (codegen'd,
+    * engine-portable, oracle-checkable). `bitsPerDim` <= 31; values must
+    * fit in that many bits for the interleave to be injective (bits above
+    * are dropped — callers bucket or clamp first).
+    */
+  def mortonCode(x: Column, y: Column, bitsPerDim: Int = 20): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim must be in [1, 31]")
+    (0 until bitsPerDim).map { b =>
+      val xb = shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+      val yb = shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+      xb + yb
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `df` Z-ordered on (xCol, yCol): range-partition then sort
+    * within partitions by the Morton code, so downstream parquet row
+    * groups carry tight min/max bounds on BOTH columns.
+    */
+  def zorderBy(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bitsPerDim: Int = 20,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val code = mortonCode(col(xCol).cast("long"), col(yCol).cast("long"), bitsPerDim)
+    val withZ = df.withColumn("__z", code)
+    // explicit partition count bypasses AQE coalescing when the caller is
+    // sizing output FILES (the point of the layout), not shuffle tasks
+    numPartitions.fold(withZ.repartitionByRange(col("__z")))(
+        n => withZ.repartitionByRange(n, col("__z")))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

@@ -105,6 +105,22 @@ class DedupSpec extends AnyFunSuite {
     texts.foreach { case (id, t) => assert(got(id) == reference(t), s"doc $id") }
   }
 
+  test("incremental dedup: exact anti-join result through the bloom prefilter") {
+    import spark.implicits._
+    val corpus = (1L to 400L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
+    // 30 new docs: 10 exact dups of corpus content (normalized), 20 novel
+    val newDocs = (
+      (1001L to 1010L).map(i => (i, s"  Corpus DOC Number ${i - 1000} ")) ++
+      (1011L to 1030L).map(i => (i, s"novel doc $i"))).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupNew(newDocs, corpus, expectedCorpusItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1011L to 1030L).toSet,
+      s"dups must be dropped (no false negatives), novel kept exactly: $kept")
+    // columns pass through untouched
+    val cols = Dedup.incrementalDedupNew(newDocs, corpus, 1000L).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("blocked edit-distance pairs: within-block only, distance-capped") {
     import spark.implicits._
     val parts = Seq(

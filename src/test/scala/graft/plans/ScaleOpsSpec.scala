@@ -73,6 +73,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("morton code: injective interleave, locality, and reference bit math") {
+    import spark.implicits._
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ScaleOps.mortonCode(col("x"), col("y"), 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference interleave
+    def ref(x: Long, y: Long): Long =
+      (0 until 5).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y)) }
+    // injective over the domain
+    assert(got.values.toSet.size == pts.length)
+    // locality: any 4x4 tile spans at most a 64-code range (perfect tiles
+    // align at multiples of 4; this asserts the aligned case)
+    for (tx <- 0L until 32L by 4; ty <- 0L until 32L by 4) {
+      val codes = for (dx <- 0L until 4L; dy <- 0L until 4L) yield got((tx + dx, ty + dy))
+      assert(codes.max - codes.min < 64, s"tile ($tx,$ty) scattered: ${codes.min}..${codes.max}")
+    }
+  }
+
+  test("zorderBy clusters both dimensions into tight per-file ranges") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val df = (1 to 4000).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val parts = ScaleOps.zorderBy(df, "x", "y", bitsPerDim = 10, numPartitions = Some(16))
+      .rdd.glom().collect().filter(_.nonEmpty)
+    assert(parts.length > 1, "need multiple partitions to assert clustering")
+    // each z-ordered partition must cover a small sub-rectangle of the
+    // 1024x1024 space on average, far below the full extent a random or
+    // single-column sort would leave on the other axis
+    val avgArea = parts.map { rows =>
+      val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+      (xs.max - xs.min + 1).toDouble * (ys.max - ys.min + 1)
+    }.sum / parts.length
+    assert(avgArea < 1024.0 * 1024 / 2, f"avg covered area $avgArea%.0f not clustered")
+  }
+
   test("partitioned parquet layout: date filter prunes partitions in the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-partlayout-").toString
