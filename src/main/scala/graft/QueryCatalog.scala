@@ -1199,11 +1199,17 @@ object QueryCatalog {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  // NOT EXISTS, not NOT IN: a null corpus text would put a NULL in the
+  // NOT IN list and empty the whole result, while the Spark side's
+  // left_anti keeps every non-matching row — NOT EXISTS matches anti-join
+  // semantics exactly
   private val oIncrementalDedup: String =
     s"""SELECT n.doc_id, n.n_chars
        |FROM documents n
-       |WHERE n.doc_id % 5 = 0 AND md5(${normSql.replace("text", "n.text")}) NOT IN (
-       |  SELECT md5($normSql) FROM documents WHERE doc_id % 5 <> 0)""".stripMargin
+       |WHERE n.doc_id % 5 = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
+       |  AND md5(lower(trim(regexp_replace(c.text, '\\s+', ' ', 'g'))))
+       |    = md5(lower(trim(regexp_replace(n.text, '\\s+', ' ', 'g')))))""".stripMargin
 
   /** Z-order (Morton) layout code over (l_partkey, l_suppkey), aggregated
     * per 2^20-code bucket — the multi-dimensional-locality layout key,

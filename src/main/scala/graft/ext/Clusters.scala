@@ -40,16 +40,19 @@ object Clusters {
     * on per-round scheduling. When the symmetrized edge count (already
     * materialized for the iteration) is at or below the threshold, the
     * edges are collected and clustered with a driver-side union-find
-    * (min-label per component — the IDENTICAL result), skipping the rounds
-    * entirely; larger graphs take the distributed path. Same capped-collect
-    * pattern as IVF centroid training; set it to 0 to force distribution.
+    * (min-label per component — the IDENTICAL result, including UTF-8-byte
+    * string ordering), skipping the rounds entirely; larger graphs — and
+    * graphs with null endpoints — take the distributed path. Same
+    * capped-collect pattern as IVF centroid training. Size the threshold
+    * for edge WIDTH too (200k edges of 200-byte ids is ~80 MB on the
+    * driver before boxing); set it to 0 to force distribution.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 20,
-      driverEdgeThreshold: Long = 1000000L): DataFrame = {
+      driverEdgeThreshold: Long = 200000L): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     val spark = edges.sparkSession
     // the labels relation appears TWICE in every round's plan (message join
@@ -69,25 +72,34 @@ object Clusters {
       .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one count over the relation the iteration needs materialized anyway
+    // one count over the relation the iteration needs materialized anyway.
+    // Null endpoints take the distributed path (the union-find's min-label
+    // compare has no null ordering); so do graphs above the threshold.
     if (driverEdgeThreshold > 0 && sym.count() <= driverEdgeThreshold) {
-      val labeled = driverUnionFind(sym.collect().map(r => (r.get(0), r.get(1))))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        sym.schema("id").copy(name = "id"),
-        sym.schema("id").copy(name = "comp")))
-      val rows = labeled.map { case (id, comp) => org.apache.spark.sql.Row(id, comp) }
-      val out = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4)),
-        schema)
-      sym.unpersist()
-      return out
+      val collected = sym.collect().map(r => (r.get(0), r.get(1)))
+      if (!collected.exists(e => e._1 == null || e._2 == null)) {
+        val labeled = driverUnionFind(collected)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          sym.schema("id").copy(name = "id"),
+          sym.schema("id").copy(name = "comp")))
+        val rows = labeled.map { case (id, comp) => org.apache.spark.sql.Row(id, comp) }
+        val out = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, math.max(1, spark.sparkContext.defaultParallelism / 4)),
+          schema)
+        sym.unpersist()
+        return out
+      }
     }
     var persisted = sym.select(col("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cutLineage(persisted)
+    // sum probe only for INTEGRAL ids: a decimal(38,0) cast of fractional
+    // ids (double/float/scaled decimal) rounds, and two different label
+    // sets can round to the same sum — halting before the fixpoint
     val numericIds = persisted.schema("comp").dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
     var converged = false
@@ -103,15 +115,15 @@ object Clusters {
         .groupBy("id")
         .agg(min(col("comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // convergence probe. Numeric ids: labels only ever DECREASE under
+      // convergence probe. Integral ids: labels only ever DECREASE under
       // min-propagation, so the global label sum is strictly decreasing
       // until the fixpoint — one aggregate over the cached relation, no
       // join. decimal(38) so billions of nodes x wide id ranges cannot wrap
       // int64 (wraparound would break the strict-decrease argument). A cast
       // of a NON-numeric id type would throw under ANSI (or null out
-      // silently without it), so string-labeled graphs fall back to the
-      // exact changed-row join probe. Either probe's action is also what
-      // materializes `next` into the cache.
+      // silently without it), and fractional types round — so both fall
+      // back to the exact changed-row join probe. Either probe's action is
+      // also what materializes `next` into the cache.
       if (numericIds) {
         val sumNow = next.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
         // a null sum means an empty node relation — nothing to propagate
@@ -144,7 +156,17 @@ object Clusters {
     * string types near-dup ids actually use).
     */
   private def driverUnionFind(edges: Array[(Any, Any)]): Array[(Any, Any)] = {
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // strings compare as UTF8String (UTF-8 byte order) to match the
+    // distributed path's min() exactly — Java String.compareTo orders by
+    // UTF-16 code unit, which DIFFERS beyond the BMP (emoji < U+FFFD in
+    // UTF-16 but > in UTF-8), and the two paths must pick the same
+    // representative
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Any]
     def idOf(x: Any): Int = index.getOrElseUpdate(x, { nodes += x; nodes.length - 1 })

@@ -341,6 +341,14 @@ object Dedup {
     * one documented UDF in the library: a sketch probe has no built-in
     * expression form, and one hash probe per row off the codegen path is
     * the cost model the prefilter exists to exploit.
+    *
+    * The two output branches (definite-new pass-through, might-match
+    * verify) each scan the new batch, so the fingerprint + probe evaluate
+    * twice per row — deliberate: 2x map-side hashing of the BATCH is far
+    * cheaper than the alternative single-pass plan that ships every batch
+    * row through the verify join's shuffle (the skip-the-join property is
+    * the point). Callers composing further stages can stage the result
+    * once, as `CurationPipeline` does.
     */
   def incrementalDedupNew(
       newDocs: DataFrame,
