@@ -1533,6 +1533,22 @@ object QueryCatalog {
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3""".stripMargin
 
+  /** The SCALE path for `top_orders_per_cust`: same (score desc, id asc)
+    * total order through the bounded TopKAggregator instead of a rank
+    * window — shuffles O(k) rows per (group, partition), not every order.
+    * Same oracle semantics (different column names keep both keys).
+    */
+  private val qGroupedTopK: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.plans.ScaleOps.groupedTopK(
+      table(s, dir, "orders"), groupCol = "o_custkey",
+      idCol = "o_orderkey", scoreCol = "o_totalprice", k = 3)
+
+  private val oGroupedTopK: String =
+    """SELECT o_custkey, rn AS rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
   private val qPartsUnsold: (SparkSession, String) => DataFrame = (s, dir) => {
     val sold = table(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
@@ -1664,6 +1680,7 @@ object QueryCatalog {
     "q5_region_revenue" -> qQ5,
     "q6_sql_revenue" -> qQ6Sql,
     "top_orders_per_cust" -> qTopOrders,
+    "grouped_topk_agg" -> qGroupedTopK,
     "parts_unsold_month" -> qPartsUnsold,
     "rollup_qty" -> qRollup,
     "cube_qty" -> qCube,
@@ -1730,6 +1747,7 @@ object QueryCatalog {
     "q5_region_revenue" -> oQ5,
     "q6_sql_revenue" -> oQ6Sql,
     "top_orders_per_cust" -> oTopOrders,
+    "grouped_topk_agg" -> oGroupedTopK,
     "parts_unsold_month" -> oPartsUnsold,
     "rollup_qty" -> oRollup,
     "cube_qty" -> oCube,

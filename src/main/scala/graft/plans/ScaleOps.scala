@@ -44,6 +44,37 @@ object ScaleOps {
     saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Grouped top-k without a rank window: the window form (`row_number()
+    * OVER (PARTITION BY g ORDER BY s DESC)` then `rank <= k`) shuffles and
+    * sorts EVERY row; this form aggregates through the bounded
+    * [[graft.functions.TopKAggregator]], so each map task reduces its
+    * partition to at most k entries per group and the shuffle carries O(k)
+    * rows per (group, partition) — the answer, not the input. Ordering is
+    * (score desc, id asc), the window form's total order, so the two paths
+    * agree row-for-row.
+    *
+    * Output: groupCol, rnk (1-based), idCol, scoreCol.
+    */
+  def groupedTopK(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
+      .groupBy(groupCol)
+      .agg(topk(col("__id"), col("__s")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(
+        col(groupCol),
+        (col("__pos") + 1).cast("long").as("rnk"),
+        col("__e.id").as(idCol),
+        col("__e.score").as(scoreCol))
+  }
+
   /** Morton (Z-order) code: interleave the low `bitsPerDim` bits of two
     * non-negative dimension columns — bit b of x lands at position 2b, bit
     * b of y at 2b+1. Sorting or range-partitioning by the code clusters

@@ -134,6 +134,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoCartesian(p)
   }
 
+  test("grouped_topk_agg: bounded aggregation, never a rank window") {
+    val p = plan(QueryCatalog.queries("grouped_topk_agg")(spark, sf))
+    assert(!p.contains("Window"), s"rank window crept back into grouped top-k:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate"), "expected the TopKAggregator aggregation")
+  }
+
   test("gram dedup paths use the native ngram_hashes kernel, not interpreted HOFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq(Dedup.ngramJaccardPairs(docs), Dedup.minhashLshVerifiedPairs(docs)).foreach { df =>
