@@ -1,5 +1,26 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Task-metric tallies for the bench: shuffle bytes written + records read,
+  * accumulated across all tasks. Snapshot deltas around a query (with the
+  * listener bus drained) attribute data movement to that query.
+  */
+private final class BenchMetricsListener extends SparkListener {
+  val shuffleWrite = new AtomicLong(0L)
+  val shuffleRead = new AtomicLong(0L)
+  val inputBytes = new AtomicLong(0L)
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
+    }
+  }
+}
 
 /** Per-round benchmark harness: times every registered query end to end at
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line.
@@ -43,6 +64,8 @@ object Bench {
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val listener = new BenchMetricsListener
+    spark.sparkContext.addSparkListener(listener)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,16 +74,30 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val cold = timeOnce(name, fn)
+      // data-movement delta around the WARM run: steady-state bytes, with
+      // the listener bus drained so task metrics land in the right bucket
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      val (sw0, sr0, in0) =
+        (listener.shuffleWrite.get, listener.shuffleRead.get, listener.inputBytes.get)
       val warm = timeOnce(name, fn)
-      (name, cold, warm)
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      val sw = listener.shuffleWrite.get - sw0
+      val sr = listener.shuffleRead.get - sr0
+      val in = listener.inputBytes.get - in0
+      (name, cold, warm, sw, sr, in)
     }
     def jsonMap(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val warmQs = jsonMap(results.map { case (k, _, w) => k -> w })
-    val coldQs = jsonMap(results.map { case (k, c, _) => k -> c })
+    def jsonMapL(vals: Seq[(String, Long)]): String =
+      vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warmQs = jsonMap(results.map { case (k, _, w, _, _, _) => k -> w })
+    val coldQs = jsonMap(results.map { case (k, c, _, _, _, _) => k -> c })
+    val shuffleQs = jsonMapL(results.map { case (k, _, _, sw, _, _) => k -> sw })
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"sf":"$sfDir"}""")
+    val totalShuffle = results.map(_._4).sum
+    val totalInput = results.map(_._6).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"shuffle_write_bytes":$totalShuffle,"input_bytes":$totalInput,"queries_shuffle_write_bytes":$shuffleQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
