@@ -23,7 +23,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (name == "ALL") SparkEntry.queries.keys.toSeq.sorted else Seq(name)
+    val names =
+      if (name == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else name.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     names.foreach { n =>
       println(s"===== $n =====")
       try println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(mode))
