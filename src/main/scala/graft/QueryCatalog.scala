@@ -501,6 +501,54 @@ object QueryCatalog {
       |FROM iv JOIN lineitem ON epoch_ms(l_shipdate) BETWEEN start_ms AND end_ms
       |GROUP BY 1""".stripMargin
 
+  /** SCD-2 effective-dated dimension lookup: a two-version customer-segment
+    * dimension is derived deterministically (version boundary =
+    * 1995-01-01 + (custkey % 365) days, as exact epoch-ms integers in both
+    * engines); every order joins the version valid at its order date.
+    */
+  private val qScdLookup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val baseMs = 788918400000L // 1995-01-01 UTC
+    val dayMs = 86400000L
+    val cust = table(s, dir, "customer")
+    val boundary = lit(baseMs) + (col("c_custkey") % 365) * dayMs
+    val early = cust.select(
+      col("c_custkey"), lit(Long.MinValue).as("valid_from"), boundary.as("valid_to"),
+      lit("EARLY").as("segment_v"))
+    val current = cust.select(
+      col("c_custkey"), boundary.as("valid_from"), lit(Long.MaxValue).as("valid_to"),
+      col("c_mktsegment").as("segment_v"))
+    val dim = early.unionByName(current)
+    val facts = table(s, dir, "orders").select(
+      col("o_custkey").as("c_custkey"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+      col("o_totalprice"))
+    graft.operators.TemporalJoins.effectiveDatedJoin(
+      facts, dim, key = "c_custkey", factTime = "t",
+      validFrom = "valid_from", validTo = "valid_to")
+      .groupBy("segment_v")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+  }
+
+  private val oScdLookup: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, -9223372036854775808 AS valid_from,
+      |         788918400000 + (c_custkey % 365) * 86400000 AS valid_to,
+      |         'EARLY' AS segment_v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 788918400000 + (c_custkey % 365) * 86400000,
+      |         9223372036854775807, c_mktsegment
+      |  FROM customer
+      |)
+      |SELECT segment_v, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS sum_price
+      |FROM orders o JOIN dim d
+      |  ON d.c_custkey = o.o_custkey
+      | AND epoch_ms(o.o_orderdate) >= d.valid_from
+      | AND epoch_ms(o.o_orderdate) < d.valid_to
+      |GROUP BY 1""".stripMargin
+
   /** Batch replay of [[TemporalJoins.intervalJoin]] (the stream-stream join;
     * streaming semantics — watermark state bounds, outer null emission —
     * are covered by `IntervalJoinStreamingSpec`): purchases attributed to
@@ -1689,6 +1737,7 @@ object QueryCatalog {
     "asof_enrich" -> qAsofEnrich,
     "range_join_shipments" -> qRangeJoin,
     "interval_join_attrib" -> qIntervalJoin,
+    "scd_lookup" -> qScdLookup,
     "split_assign" -> qSplitAssign,
     "tfidf_top_terms" -> qTfidfTopTerms,
     "bm25_scores" -> qBm25Scores,
@@ -1756,6 +1805,7 @@ object QueryCatalog {
     "asof_enrich" -> oAsofEnrich,
     "range_join_shipments" -> oRangeJoin,
     "interval_join_attrib" -> oIntervalJoin,
+    "scd_lookup" -> oScdLookup,
     "split_assign" -> oSplitAssign,
     "tfidf_top_terms" -> oTfidfTopTerms,
     "bm25_scores" -> oBm25Scores,

@@ -126,6 +126,44 @@ object TemporalJoins {
       .drop("__bucket")
   }
 
+  /** Effective-dated (SCD type 2) dimension lookup: attach to every fact
+    * row the dimension VERSION that was valid at the fact's time —
+    * `dim.key = fact.key AND validFrom <= fact.time < validTo` (inclusive
+    * start, exclusive end: the standard slowly-changing-dimension
+    * convention, so version boundaries never double-match).
+    *
+    * Differs from [[asof]] (latest right row at-or-before the fact) in
+    * that validity is EXPLICIT: a fact outside every version's window
+    * matches nothing (asof would still carry the stale latest row), and a
+    * retroactively closed version stops matching without rewriting facts.
+    *
+    * Plan shape: an equi-join on the key with the range as a join
+    * condition — broadcast for a normal dimension, sort-merge above the
+    * threshold; per-key version counts are small by construction, so the
+    * range post-filter touches a handful of rows per fact. Never a nested
+    * loop. Both inputs share only `key`; other column names must be
+    * disjoint.
+    */
+  def effectiveDatedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      factTime: String,
+      validFrom: String,
+      validTo: String,
+      joinType: String = "inner"): DataFrame = {
+    val shared = facts.columns.toSet.intersect(dim.columns.toSet) - key
+    require(shared.isEmpty,
+      s"non-key column names must be disjoint, both sides have: ${shared.mkString(", ")}")
+    val f = facts.alias("sd_f")
+    val d = dim.alias("sd_d")
+    val cond = col(s"sd_f.`$key`") === col(s"sd_d.`$key`") &&
+      col(s"sd_f.`$factTime`") >= col(s"sd_d.`$validFrom`") &&
+      col(s"sd_f.`$factTime`") < col(s"sd_d.`$validTo`")
+    val dimCols = dim.columns.filterNot(_ == key).map(c => col(s"sd_d.`$c`"))
+    f.join(d, cond, joinType).select(col("sd_f.*") +: dimCols: _*)
+  }
+
   /** Keyed event-time interval join: every (left, right) pair with the same
     * `key` and `right.time` within `[left.time + lowerMs, left.time +
     * upperMs]` (closed bounds; `lowerMs` may be negative for

@@ -101,4 +101,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("effectiveDatedJoin: version boundaries are [from, to); gaps match nothing") {
+    import spark.implicits._
+    // key 1: version A valid [0, 100), version B valid [100, 200); a gap after 200
+    val dim = Seq(
+      (1L, 0L, 100L, "A"), (1L, 100L, 200L, "B"),
+      (2L, 0L, 50L, "X"))
+      .toDF("k", "valid_from", "valid_to", "version")
+    val facts = Seq(
+      (1L, 99L), (1L, 100L), (1L, 199L), (1L, 250L), // A, B (boundary!), B, gap
+      (2L, 10L), (3L, 10L))                          // X, unknown key
+      .toDF("k", "t")
+    val inner = TemporalJoins.effectiveDatedJoin(facts, dim, "k", "t", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    assert(inner == Set((1L, 99L, "A"), (1L, 100L, "B"), (1L, 199L, "B"), (2L, 10L, "X")))
+    // left join keeps gap/unknown facts with a null version
+    val left = TemporalJoins.effectiveDatedJoin(
+      facts, dim, "k", "t", "valid_from", "valid_to", joinType = "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))).toSet
+    assert(left.contains((1L, 250L, None)) && left.contains((3L, 10L, None)))
+    assert(left.size == facts.count().toInt)
+    // overlapping-name guard
+    intercept[IllegalArgumentException](
+      TemporalJoins.effectiveDatedJoin(
+        facts.withColumn("version", lit("clash")), dim, "k", "t", "valid_from", "valid_to"))
+  }
 }
