@@ -86,18 +86,18 @@ object Bench {
       val in = listener.inputBytes.get - in0
       (name, cold, warm, sw, sr, in)
     }
-    def jsonMap(vals: Seq[(String, Double)]): String =
-      vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def jsonMapL(vals: Seq[(String, Long)]): String =
+    def jsonMap[T](vals: Seq[(String, T)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val warmQs = jsonMap(results.map { case (k, _, w, _, _, _) => k -> w })
     val coldQs = jsonMap(results.map { case (k, c, _, _, _, _) => k -> c })
-    val shuffleQs = jsonMapL(results.map { case (k, _, _, sw, _, _) => k -> sw })
+    val shuffleQs = jsonMap(results.map { case (k, _, _, sw, _, _) => k -> sw })
+    val inputQs = jsonMap(results.map { case (k, _, _, _, _, in) => k -> in })
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val totalShuffle = results.map(_._4).sum
+    val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"shuffle_write_bytes":$totalShuffle,"input_bytes":$totalInput,"queries_shuffle_write_bytes":$shuffleQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"queries_shuffle_write_bytes":$shuffleQs,"queries_input_bytes":$inputQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

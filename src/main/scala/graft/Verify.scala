@@ -20,7 +20,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // 4-way concurrent dump: Spark's scheduler interleaves independent
     // actions, so small queries fill the idle cores a big query leaves —
-    // ~2-3x faster wall clock than the sequential loop at 69 queries.
+    // ~2-3x faster wall clock than the sequential per-query loop.
     // Queries whose construction runs eager driver work (staging writes,
     // CC rounds, k-means) are thread-safe: all shared state is the session.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)

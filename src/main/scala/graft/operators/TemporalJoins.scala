@@ -152,6 +152,11 @@ object TemporalJoins {
       validFrom: String,
       validTo: String,
       joinType: String = "inner"): DataFrame = {
+    // right/full would emit unmatched DIM rows whose key column (projected
+    // from the fact side) is null — unidentifiable results; audit unmatched
+    // versions with a dedicated anti-join instead
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"effectiveDatedJoin supports inner/left joins, got '$joinType'")
     val shared = facts.columns.toSet.intersect(dim.columns.toSet) - key
     require(shared.isEmpty,
       s"non-key column names must be disjoint, both sides have: ${shared.mkString(", ")}")

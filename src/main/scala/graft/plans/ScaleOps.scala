@@ -64,7 +64,12 @@ object ScaleOps {
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKAggregator(k),
       org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    // null ids/scores are DROPPED up front: the bounded buffer has no null
+    // slot (a null would crash the primitive encoder), whereas the window
+    // twin ranks nulls last — callers needing null rows must rank them
+    // separately. Ids must be castable to long, scores to double.
     df.select(col(groupCol), col(idCol).cast("long").as("__id"), col(scoreCol).cast("double").as("__s"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
       .groupBy(groupCol)
       .agg(topk(col("__id"), col("__s")).as("__top"))
       .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))

@@ -7,6 +7,11 @@ import org.apache.spark.SparkContext
   * pattern as org.apache.spark.sql.graft.ColumnBridge.
   */
 object ListenerBridge {
-  def drain(sc: SparkContext, timeoutMs: Long = 30000L): Unit =
-    sc.listenerBus.waitUntilEmpty(timeoutMs)
+  /** Returns false (rather than throwing) if the bus is still busy after
+    * the timeout — a benchmark must never die mid-run over a slow drain;
+    * the metric delta is merely slightly misattributed.
+    */
+  def drain(sc: SparkContext, timeoutMs: Long = 30000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }
