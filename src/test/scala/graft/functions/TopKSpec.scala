@@ -49,4 +49,17 @@ class TopKSpec extends AnyFunSuite {
     val got = viaAggregator(3, xs)
     assert(got.map(_.id) == Seq(2L, 4L, 1L)) // NaNs first (id-tiebroken), then best finite
   }
+
+  test("groupedTopK drops null ids/scores instead of crashing the encoder") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), Some(5.0)), (1L, None, Some(9.0)),
+      (1L, Some(11L), None), (1L, Some(12L), Some(7.0)))
+      .toDF("g", "id", "s")
+    val got = graft.plans.ScaleOps.groupedTopK(df, "g", "id", "s", k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    // only the two fully-non-null rows rank: 12 (7.0) then 10 (5.0)
+    assert(got.toSeq == Seq((12L, 1L), (10L, 2L)))
+  }
 }
