@@ -81,10 +81,15 @@ object QueryCatalog {
     MetricParse.parse(raw).toDF("node_id", "cpu", "event_time")
   }
 
+  // user_id/value null filters mirror MetricParse.parse's post-parse
+  // null-drop (to_json omits null fields; a null user_id or value row never
+  // survives the Spark side) — no-op on the current all-non-null fixture,
+  // load-bearing the day a null appears
   private val oMetricParse: String =
     """SELECT cast(user_id AS varchar) AS node_id, value AS cpu,
       |       CASE WHEN event_id % 10 = 0 THEN 0 ELSE epoch_ms(ts) END AS event_time
-      |FROM events WHERE event_id % 97 <> 0""".stripMargin
+      |FROM events
+      |WHERE event_id % 97 <> 0 AND user_id IS NOT NULL AND value IS NOT NULL""".stripMargin
 
   private val qWindowAgg: (SparkSession, String) => DataFrame = (s, dir) =>
     WindowAgg.batch(eventMetrics(s, dir), exactMean = true).toDF()
@@ -93,10 +98,15 @@ object QueryCatalog {
         col("cpu"),
         col("eventTime").as("event_time"))
 
+  // the CASE mirrors WindowAgg's ts-0 fallback (flinkarima.py:267-280): a
+  // window whose max event time is 0 reports the window END — unreachable
+  // on the fixture (no epoch-0 timestamps) but pinned so a zero-default
+  // producer timestamp cannot silently diverge the gate
   private val oWindowAgg: String =
     """SELECT cast(user_id AS varchar) AS node_id,
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS cpu,
-      |       max(epoch_ms(ts)) AS event_time
+      |       CASE WHEN max(epoch_ms(ts)) = 0 THEN (epoch_ms(ts) // 300000 + 1) * 300000
+      |            ELSE max(epoch_ms(ts)) END AS event_time
       |FROM events GROUP BY cast(user_id AS varchar), epoch_ms(ts) // 300000""".stripMargin
 
   private val qEventStats: (SparkSession, String) => DataFrame = (s, dir) => {
@@ -218,9 +228,12 @@ object QueryCatalog {
     * samples (flinkarima.py:130-142 with season=24, days=5).
     */
   private val qDailyTrend: (SparkSession, String) => DataFrame = (s, dir) => {
-    // order by the RAW nanosecond timestamp: ms-truncated ordering would be
-    // ambiguous (and oracle-divergent) if two events ever share a millisecond
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    // rank on (micros, event_id): DuckDB reads this parquet's nanos at
+    // MICRO precision, so ranking on raw nanos would let a same-micro nano
+    // tie order differently across engines; the event_id tiebreak makes the
+    // order total and identical on both sides
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts DIV 1000").desc, col("event_id").desc)
     def exactAvg(cond: Column) =
       sum(when(cond, col("value")).cast("decimal(18,2)")).cast("double") / count(when(cond, col("value")))
     table(s, dir, "events")
@@ -234,7 +247,7 @@ object QueryCatalog {
   private val oDailyTrend: String =
     """WITH r AS (
       |  SELECT cast(user_id AS varchar) AS node_id, value,
-      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events)
       |SELECT node_id,
       |       CAST(sum(CAST(value AS decimal(18,2))) FILTER (rn <= 24) AS double) / count(value) FILTER (rn <= 24) AS latest_day_avg,
@@ -248,7 +261,22 @@ object QueryCatalog {
     */
   private val qBaselineStats: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    val aggs = eventMetrics(s, dir).map(m => WindowAggregate(m.nodeId, m.cpu, m.eventTime))
+    // BaselineOp sorts each key's history by millisecond eventTime, so two
+    // same-millisecond events would fold in nondeterministic order (and
+    // diverge from the oracle's micro-ordered fold) — keep exactly one
+    // event per (user, ms), chosen by the SAME (micros, event_id) total
+    // order in both engines. No-op on the tie-free fixture.
+    val wTie = Window.partitionBy(col("user_id"), expr("ts DIV 1000000"))
+      .orderBy(expr("ts DIV 1000"), col("event_id"))
+    val deduped = table(s, dir, "events")
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1)
+      .select(
+        col("user_id").cast("string").as("nodeId"),
+        col("value").as("cpu"),
+        expr(tsMillis).as("eventTime"))
+      .as[Metric]
+    val aggs = deduped.map(m => WindowAggregate(m.nodeId, m.cpu, m.eventTime))
     BaselineOp(aggs, replayCfg).toDF()
       .select(
         col("nodeId").as("node_id"),
@@ -268,9 +296,15 @@ object QueryCatalog {
   // graft.ts.Welford.add) and sequential left-fold sums for the trend
   // averages, so mean/std/trend are bitwise identical — no rounding.
   private val oBaselineStats: String =
-    """WITH ord AS (
-      |  SELECT user_id, list(value ORDER BY ts) AS vals, list(epoch_ms(ts) ORDER BY ts) AS times
-      |  FROM events GROUP BY user_id
+    """WITH dedup AS (
+      |  SELECT user_id, value, ts FROM events
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY user_id, epoch_ms(ts) ORDER BY epoch_us(ts), event_id) = 1
+      |), ord AS (
+      |  SELECT user_id,
+      |         list(value ORDER BY epoch_us(ts)) AS vals,
+      |         list(epoch_ms(ts) ORDER BY epoch_us(ts)) AS times
+      |  FROM dedup GROUP BY user_id
       |), emits AS (
       |  SELECT user_id, vals, times,
       |         unnest(list_filter(range(1, len(vals) + 1), rn -> rn % 20 = 0 AND rn >= 24)) AS rn
@@ -452,7 +486,15 @@ object QueryCatalog {
     val ev = table(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("t"), col("event_id"))
+    // asof requires at most ONE right row per (key, time); enforce it by
+    // keeping the min-event_id purchase per (user, micro) in BOTH engines
+    // instead of trusting the fixture to stay tie-free (a same-micro pair
+    // would make the carried value engine-arbitrary on both sides)
+    val wTie = Window.partitionBy(col("user_id"), expr("ts DIV 1000"))
+      .orderBy(col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1)
       .select(col("user_id"), expr("CAST(ts DIV 1000 AS BIGINT)").as("t"), col("value"))
     graft.operators.TemporalJoins.asof(clicks, purchases, key = "user_id", time = "t")
       .select(
@@ -466,6 +508,7 @@ object QueryCatalog {
       |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'click'
       |), purchases AS (
       |  SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) = 1
       |)
       |SELECT c.user_id, c.event_id, c.t,
       |       p.value AS last_purchase_value, p.t AS last_purchase_t
@@ -601,7 +644,7 @@ object QueryCatalog {
   // ------------------------------------------------------------- documents
 
   private val normSql =
-    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    "lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g')))"
 
   private val qDedupExact: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.exact(table(s, dir, "documents"))
@@ -613,19 +656,21 @@ object QueryCatalog {
   private val qTextQuality: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.quality(table(s, dir, "documents"))
       .select(
+        // NO round(): each ratio is one correctly-rounded IEEE division of
+        // exact integer counts, identical in both engines — while Spark
+        // round (BigDecimal HALF_UP) vs DuckDB round (FP multiply) diverge
+        // on near-midpoint doubles
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        round(col("alpha_ratio"), 6).as("alpha_ratio"),
-        round(col("punct_ratio"), 6).as("punct_ratio"),
-        round(col("stopword_ratio"), 6).as("stopword_ratio"),
-        round(col("distinct_ratio"), 6).as("distinct_ratio"))
+        col("alpha_ratio"), col("punct_ratio"),
+        col("stopword_ratio"), col("distinct_ratio"))
 
   private val oTextQuality: String =
     s"""WITH t AS (SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents)
        |SELECT doc_id, length(text)::bigint AS n_chars, len(toks)::bigint AS n_tokens,
-       |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
-       |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END, 6) AS punct_ratio,
-       |  round(CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) * 1.0 / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
-       |  round(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END, 6) AS distinct_ratio
+       |  CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+       |  CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) * 1.0 / len(toks) ELSE 0.0 END AS stopword_ratio,
+       |  CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS distinct_ratio
        |FROM t""".stripMargin
 
   private val qLangId: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -651,7 +696,7 @@ object QueryCatalog {
 
   private val oTokenCounts: String =
     s"""SELECT doc_id, len(string_split($normSql, ' '))::bigint AS ws_tokens,
-       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::bigint AS bpe_tokens
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]'))::bigint AS bpe_tokens
        |FROM documents""".stripMargin
 
   /** Deterministic train/val/test split by md5-hex threshold — portable
@@ -1256,8 +1301,8 @@ object QueryCatalog {
        |FROM documents n
        |WHERE n.doc_id % 5 = 0 AND NOT EXISTS (
        |  SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0
-       |  AND md5(lower(trim(regexp_replace(c.text, '\\s+', ' ', 'g'))))
-       |    = md5(lower(trim(regexp_replace(n.text, '\\s+', ' ', 'g')))))""".stripMargin
+       |  AND md5(lower(trim(regexp_replace(c.text, '[ \\t\\n\\f\\r]+', ' ', 'g'))))
+       |    = md5(lower(trim(regexp_replace(n.text, '[ \\t\\n\\f\\r]+', ' ', 'g')))))""".stripMargin
 
   /** Z-order (Morton) layout code over (l_partkey, l_suppkey), aggregated
     * per 2^20-code bucket — the multi-dimensional-locality layout key,
@@ -1591,11 +1636,14 @@ object QueryCatalog {
       table(s, dir, "orders"), groupCol = "o_custkey",
       idCol = "o_orderkey", scoreCol = "o_totalprice", k = 3)
 
+  // o_totalprice IS NOT NULL mirrors groupedTopK's null-row drop (the
+  // bounded buffer has no null slot; row_number would rank nulls LAST and
+  // emit them in small groups) — no-op on TPC-H, load-bearing on null data
   private val oGroupedTopK: String =
     """SELECT o_custkey, rn AS rnk, o_orderkey, o_totalprice FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |  FROM orders) WHERE rn <= 3""".stripMargin
+      |  FROM orders WHERE o_totalprice IS NOT NULL) WHERE rn <= 3""".stripMargin
 
   private val qPartsUnsold: (SparkSession, String) => DataFrame = (s, dir) => {
     val sold = table(s, dir, "lineitem")
@@ -1607,11 +1655,16 @@ object QueryCatalog {
       .select("p_partkey", "p_name")
   }
 
+  // NOT EXISTS, not NOT IN: one null l_partkey in the window would make
+  // NOT IN never-true and empty the oracle while Spark's left_anti keeps
+  // every unsold part (same hazard documented at the incremental_dedup
+  // oracle)
   private val oPartsUnsold: String =
     """SELECT p_partkey, p_name FROM part
-      |WHERE p_partkey NOT IN (
-      |  SELECT l_partkey FROM lineitem
-      |  WHERE l_shipdate >= timestamp '1997-03-01 00:00:00' AND l_shipdate < timestamp '1997-04-01 00:00:00')""".stripMargin
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= timestamp '1997-03-01 00:00:00' AND l_shipdate < timestamp '1997-04-01 00:00:00')""".stripMargin
 
   /** The SQL text surface: the same engine drives `spark.sql` over temp
     * views (TPC-H Q6 shape — the classic pushdown showcase: both filters

@@ -12,7 +12,7 @@ object TextFunctions {
 
   /** Canonical normalization: lowercase, collapse whitespace runs, trim. */
   def normText(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, "[ \\t\\n\\f\\r]+", " ")))
 
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normText(text), " ")
@@ -61,7 +61,7 @@ object TextFunctions {
 
   /** BPE-ish subword count: alpha runs, digit runs, and single symbols. */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]")).cast("long")
 
   /** Language marker lexicons (tiny, deterministic; n-gram-free heuristic). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
