@@ -27,6 +27,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - 5.0 / 6) < 1e-12, "distinct ratio")
   }
 
+  test("normalization whitespace class excludes vertical tab (engine-portable contract)") {
+    import org.apache.spark.sql.functions.col
+    // Java \s matches \x0B but DuckDB/RE2 \s does not, so the normalizer
+    // pins the explicit class [ \t\n\f\r]: \x0B must NOT split tokens
+    val r = TextAnalysis.quality(docs(1L -> "ab c\td"))
+      .select(col("n_tokens")).collect().head.getLong(0)
+    assert(r == 3, s"a\\x0Bb must stay ONE token; got $r tokens")
+  }
+
   test("empty text is guarded to zero ratios, not NaN/null") {
     val r = TextAnalysis.quality(docs(1L -> "")).collect().head
     assert(r.getLong(1) == 0)
