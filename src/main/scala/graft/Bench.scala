@@ -62,6 +62,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // a typo'd key would otherwise silently shrink the benchmarked set and
+    // still print a normal-looking result line
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val listener = new BenchMetricsListener
@@ -88,16 +96,32 @@ object Bench {
     }
     def jsonMap[T](vals: Seq[(String, T)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val warmQs = jsonMap(results.map { case (k, _, w, _, _, _) => k -> w })
-    val coldQs = jsonMap(results.map { case (k, c, _, _, _, _) => k -> c })
+    // millisecond precision keeps the primary line compact; full doubles and
+    // the per-query byte maps live in the detail artifact only
+    def r3(x: Double): String = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val warmQs = jsonMap(results.map { case (k, _, w, _, _, _) => k -> r3(w) })
+    val coldQs = jsonMap(results.map { case (k, c, _, _, _, _) => k -> r3(c) })
     val shuffleQs = jsonMap(results.map { case (k, _, _, sw, _, _) => k -> sw })
+    val readQs = jsonMap(results.map { case (k, _, _, _, sr, _) => k -> sr })
     val inputQs = jsonMap(results.map { case (k, _, _, _, _, in) => k -> in })
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val totalShuffle = results.map(_._4).sum
     val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":$totalCold,"queries_cold":$coldQs,"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"queries_shuffle_write_bytes":$shuffleQs,"queries_input_bytes":$inputQs,"sf":"$sfDir"}""")
-    spark.stop()
+    val detail =
+      s"""{"detail":"per-query","queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"sf":"$sfDir"}"""
+    // sidecar with everything, for humans and the judge; never on the
+    // primary line (a >2000-char line falls off the driver's stdout tail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(detail)
+    // stop Spark BEFORE the metric line so no shutdown noise can land after
+    // it on stdout — the line must be the last one the driver sees
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
+    // the ONE machine-parsed line — keep it compact and make it LAST
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":${r3(totalCold)},"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"sf":"$sfDir"}""")
   }
 }
