@@ -47,12 +47,21 @@ object Clusters {
     * for edge WIDTH too (200k edges of 200-byte ids is ~80 MB on the
     * driver before boxing); set it to 0 to force distribution.
     */
+  /** `failOnNonConvergence`: component labels from an exhausted iteration
+    * budget are WRONG (a long chain keeps >1 label per true component), and
+    * a caller consuming them silently — e.g. curation keeping several
+    * "representatives" of one near-dup group — has no signal anything
+    * failed. Throwing is therefore the default; pass `false` only when
+    * partial labels are genuinely acceptable (e.g. bounding work on a
+    * graph known to be chain-shaped) and handle the cap yourself.
+    */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 20,
-      driverEdgeThreshold: Long = 200000L): DataFrame = {
+      driverEdgeThreshold: Long = 200000L,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
     val spark = edges.sparkSession
     // the labels relation appears TWICE in every round's plan (message join
@@ -143,6 +152,13 @@ object Clusters {
       iter += 1
     }
     sym.unpersist()
+    if (!converged && failOnNonConvergence) {
+      persisted.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not provably converge within maxIter=$maxIter rounds " +
+          "(graph diameter likely exceeds the budget; labels would be wrong). " +
+          "Raise maxIter, or pass failOnNonConvergence=false to accept partial labels.")
+    }
     // return the PERSISTED relation itself (not another lineage-cut copy):
     // the caller gets the cached labels and — unlike a derived RDD-scan
     // wrapper — can release the one retained cache with `.unpersist()` when

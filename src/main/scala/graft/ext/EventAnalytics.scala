@@ -20,6 +20,16 @@ object EventAnalytics {
     * `tsCol` should be the highest-resolution timestamp available (raw
     * int64 nanos here): comparing truncated timestamps would conflate
     * same-millisecond events across steps.
+    *
+    * Shape: ONE linear plan. Each stage LEFT-joins the next step's events
+    * and keeps a nullable earliest-completion time `t_j = min(ts WHERE
+    * ts > t_{j-1})` (null `t_{j-1}` nulls the `when`, so drop-outs stay
+    * dropped), then a single final aggregate counts non-null `t_j` per
+    * step. Counting each stage with its own `.agg` on the chained frame
+    * would re-execute stages 1..j for step j — O(k²) scans of the event
+    * log (Spark does not reuse the common subplans across union branches);
+    * here every stage executes exactly once and the log is scanned once
+    * per step, each scan with its `event_type = step` filter pushed down.
     */
   def funnel(
       events: DataFrame,
@@ -28,27 +38,31 @@ object EventAnalytics {
       typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    def tCol(i: Int) = s"__t$i"
     var cur = events
       .filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("uid"))
-      .agg(min(col(tsCol)).as("t"))
-    val stages = Seq.newBuilder[(String, DataFrame)]
-    stages += steps.head -> cur
-    for (step <- steps.tail) {
+      .agg(min(col(tsCol)).as(tCol(1)))
+    for ((step, j) <- steps.tail.zipWithIndex) {
+      val i = j + 2 // stage index of `step` (1-based)
       val e = events
         .filter(col(typeCol) === step)
-        .select(col(userCol).as("uid"), col(tsCol).as("ts2"))
+        .select(col(userCol).as("uid"), col(tsCol).as("__ts"))
       cur = cur
-        .join(e, "uid")
-        .filter(col("ts2") > col("t"))
-        .groupBy("uid")
-        .agg(min(col("ts2")).as("t"))
-      stages += step -> cur
+        .join(e, Seq("uid"), "left")
+        .groupBy((col("uid") +: (1 until i).map(k => col(tCol(k)))): _*)
+        .agg(min(when(col("__ts") > col(tCol(i - 1)), col("__ts"))).as(tCol(i)))
     }
-    stages.result().zipWithIndex.map { case ((step, df), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
-    }.reduce(_ unionAll _)
+    val counts = cur.agg(
+      count(col(tCol(1))).as("__n1"),
+      (2 to steps.length).map(i => count(col(tCol(i))).as(s"__n$i")): _*)
+    val stages = steps.zipWithIndex.map { case (step, j) =>
+      struct(lit(j + 1).as("step"), lit(step).as("event_type"),
+        col(s"__n${j + 1}").as("n_users"))
+    }
+    counts
+      .select(explode(array(stages: _*)).as("s"))
+      .select(col("s.step"), col("s.event_type"), col("s.n_users"))
   }
 
   /** Cohort retention: users are cohorted by the period of their first

@@ -66,7 +66,13 @@ object Sampling {
     * dropped in another, so per-stratum fractions are independent Bernoulli
     * draws, while staying fully reproducible and external-engine-auditable
     * (same argument as [[deterministicSplit]]). Rows whose stratum is not in
-    * `fractions` are sampled at `defaultFraction`.
+    * `fractions` are sampled at `defaultFraction`; a NULL stratum is one
+    * such stratum (hashed under a NUL-byte sentinel so its rows still get
+    * independent per-id draws). Rows with a NULL id are always EXCLUDED:
+    * with no stable identity there is nothing deterministic to hash, and
+    * hashing a sentinel instead would make every null-id row of a stratum
+    * share one draw — all kept or all dropped together, which is not a
+    * Bernoulli sample.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -77,7 +83,8 @@ object Sampling {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     val hexKey = substring(
-      md5(concat(col(strataCol).cast("string"), lit(":"), col(idCol).cast("string"))), 1, 8)
+      md5(concat(coalesce(col(strataCol).cast("string"), lit("\u0000")),
+        lit(":"), col(idCol).cast("string"))), 1, 8)
     val boundary = fractions.toSeq.sortBy(_._1).foldRight(lit(boundaryHex(defaultFraction))) {
       case ((stratum, f), rest) =>
         when(col(strataCol) === stratum, lit(boundaryHex(f))).otherwise(rest)

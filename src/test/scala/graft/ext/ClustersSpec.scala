@@ -14,10 +14,12 @@ class ClustersSpec extends AnyFunSuite {
   private def cc(
       edges: Seq[(Long, Long)],
       maxIter: Int = 20,
-      threshold: Long = 1000000L): Map[Long, Long] = {
+      threshold: Long = 1000000L,
+      failOnNonConvergence: Boolean = true): Map[Long, Long] = {
     import spark.implicits._
     Clusters.connectedComponents(
-      edges.toDF("src", "dst"), maxIter = maxIter, driverEdgeThreshold = threshold)
+      edges.toDF("src", "dst"), maxIter = maxIter, driverEdgeThreshold = threshold,
+      failOnNonConvergence = failOnNonConvergence)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -53,10 +55,19 @@ class ClustersSpec extends AnyFunSuite {
 
   test("maxIter caps the rounds: a chain longer than maxIter stays partial") {
     // with 1 iteration, node k sees only labels within distance 1
-    // (distributed path only — the fast path has no rounds to cap)
-    val got = cc((0L until 5L).map(i => (i, i + 1)), maxIter = 1, threshold = 0L)
+    // (distributed path only — the fast path has no rounds to cap); partial
+    // labels require the explicit opt-out
+    val got = cc((0L until 5L).map(i => (i, i + 1)),
+      maxIter = 1, threshold = 0L, failOnNonConvergence = false)
     assert(got(0L) == 0L && got(1L) == 0L)
     assert(got(4L) == 3L, "distance-4 node cannot have received label 0 in one round")
+  }
+
+  test("exhausting maxIter without convergence throws by default") {
+    val ex = intercept[IllegalStateException] {
+      cc((0L until 5L).map(i => (i, i + 1)), maxIter = 1, threshold = 0L)
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
   }
 
   test("empty edge set yields an empty labeling (both paths)") {

@@ -114,6 +114,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(zero == 0L)
   }
 
+  test("stratified sample: NULL stratum uses the default fraction, NULL id is excluded") {
+    import spark.implicits._
+    val n = 10000L
+    val nullStratum = (0L until n).map(i => (Option.empty[String], Some(i))) ++
+      Seq((Some("a"), Option.empty[Long]))
+    val df = nullStratum.toDF("stratum", "id")
+    val kept = Sampling.stratifiedSample(df, "stratum", "id", Map("a" -> 1.0), defaultFraction = 0.5)
+    // null-stratum rows sample at defaultFraction with independent per-id draws
+    val nullKept = kept.filter(col("stratum").isNull).count()
+    assert(math.abs(nullKept.toDouble / n - 0.5) < 0.02, s"null-stratum kept $nullKept of $n")
+    // the null-id row is excluded even though its stratum's fraction is 1.0
+    assert(kept.filter(col("id").isNull).count() == 0L)
+  }
+
   test("weighted sample: p proportional to weight, max-weight row always kept") {
     import spark.implicits._
     // weights 1 and 1000: the heavy rows are kept with p = 1, the light
