@@ -1428,7 +1428,10 @@ object QueryCatalog {
     * additionally covers Voronoi-boundary straddling), and no organic pair
     * reaches the 0.9 threshold — so the bucketed path must surface exactly
     * the planted pairs. Deterministic for fixed data + sample order;
-    * verified at all shipped scale factors.
+    * verified at all shipped scale factors. `nlist` is left at its auto
+    * default on purpose: the query exercises the corpus-sized quantizer
+    * path (the fixed-nlist configuration's candidate volume grows
+    * quadratically with the corpus and regressed the round-5 bench).
     */
   private val qIvfCosinePairs: (SparkSession, String) => DataFrame = (s, dir) => {
     import graft.functions.VectorFunctions.toDoubleArray
@@ -1439,7 +1442,7 @@ object QueryCatalog {
       .select(
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
-    Similarity.ivfCosinePairs(base.union(planted), threshold = 0.9, nlist = 16, nassign = 2)
+    Similarity.ivfCosinePairs(base.union(planted), threshold = 0.9, nassign = 2)
   }
 
   private val oSrpCosinePairs: String =

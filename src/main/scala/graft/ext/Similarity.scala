@@ -388,10 +388,25 @@ object Similarity {
     * Scale shape mirrors the LSH paths: candidate generation carries only
     * (cluster, id); candidate id pairs are deduped BEFORE vectors are
     * joined back once per surviving pair; the per-cluster self-join is the
-    * standard blocking tradeoff (a hot cluster is m^2/2 — size `nlist` to
-    * the corpus; the assignment pass itself is shuffle-free). Rows with a
-    * null id or embedding can never pair and are dropped up front (matching
+    * standard blocking tradeoff (a hot cluster is m^2/2), and the
+    * assignment pass itself is shuffle-free. Rows with a null id or
+    * embedding can never pair and are dropped up front (matching
     * [[srpCosinePairs]]' pass-through-and-drop semantics).
+    *
+    * `nlist <= 0` (the default) SIZES THE QUANTIZER TO THE CORPUS: with
+    * `A = nassign * N` total assignments, expected candidate volume is
+    * ~`A^2 / (2 * nlist)`, so a FIXED nlist grows the candidate set
+    * quadratically with the corpus. Auto-sizing picks
+    * `nlist = ceil(A / targetClusterSize)`, holding the expected cluster
+    * population at `targetClusterSize` — candidate volume then grows
+    * LINEARLY (~`A * targetClusterSize / 2`). The corpus size needed for
+    * the derivation is free when the training sample is not full (the
+    * sample IS the corpus); only corpora larger than `trainSample` pay one
+    * extra count job. `nlist` is additionally capped at the sample size
+    * (k-means cannot train more centroids than sample points) — at extreme
+    * corpus/sample ratios raise `trainSample` along with the corpus, or
+    * the cap re-introduces the quadratic growth this sizing exists to
+    * prevent.
     *
     * Output: id_a < id_b, cosine (exact, verified) >= threshold — for pairs
     * sharing at least one of their assigned clusters.
@@ -399,15 +414,18 @@ object Similarity {
   def ivfCosinePairs(
       embeddings: DataFrame,
       threshold: Double = 0.9,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nassign: Int = 2,
       kmeansIterations: Int = 5,
       trainSample: Int = 10000,
+      targetClusterSize: Int = 128,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    require(nassign >= 1 && nassign <= nlist, "need 1 <= nassign <= nlist")
+    require(nassign >= 1, "need nassign >= 1")
+    require(nlist <= 0 || nassign <= nlist, "need nassign <= nlist (or nlist <= 0 for auto)")
+    require(targetClusterSize >= 1, "need targetClusterSize >= 1")
 
     val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     // ids travel as long through the assignment kernel (prepTyped casts),
@@ -419,7 +437,18 @@ object Similarity {
         org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
     val sampleRaw = hashOrderedSample(clean, idCol, vecCol, trainSample)
-    val centroids = trainQuantizer(sampleRaw, nlist, kmeansIterations).getOrElse(return emptyOut)
+    // corpus size for auto-sizing: a non-full sample IS the whole corpus
+    // (hashOrderedSample applies the same null filter), so only corpora
+    // larger than trainSample pay the count job
+    val nlistEff =
+      if (nlist > 0) nlist
+      else {
+        val n = if (sampleRaw.length < trainSample) sampleRaw.length.toLong else clean.count()
+        val assignments = n * nassign
+        val derived = (assignments + targetClusterSize - 1) / targetClusterSize
+        math.max(1L, math.min(derived, sampleRaw.length.toLong)).toInt
+      }
+    val centroids = trainQuantizer(sampleRaw, nlistEff, kmeansIterations).getOrElse(return emptyOut)
     val bcCent = spark.sparkContext.broadcast(centroids)
     val nAssignEff = math.min(nassign, centroids.length)
 

@@ -103,6 +103,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucketed.toSeq == exact.toSeq)
   }
 
+  test("ivfCosinePairs auto-sizes nlist (default) and still finds planted pairs exactly") {
+    val rng = new scala.util.Random(13)
+    val base = (0L until 100L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat).toSeq)
+    }
+    val planted = (0L until 5L).map { j =>
+      val (_, v) = base(j.toInt * 7)
+      (1000L + j, v.map(x => x + rng.nextGaussian().toFloat * 0.02f))
+    }
+    val df = vecDf(base ++ planted)
+    val exact = Similarity.cosinePairsExact(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    // trainSample < corpus forces the count-job branch of the derivation;
+    // targetClusterSize = 16 makes the auto path train a real multi-cell
+    // quantizer (ceil(210 / 16) = 14 cells) instead of a degenerate 1-2
+    val auto = Similarity.ivfCosinePairs(
+      df, threshold = 0.95, trainSample = 50, targetClusterSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(exact.length == 5, s"expected the 5 planted pairs, got ${exact.toSeq}")
+    assert(auto.toSeq == exact.toSeq)
+  }
+
   test("ivfCosinePairs on an empty corpus returns an empty frame") {
     val empty = vecDf(Seq.empty)
     assert(Similarity.ivfCosinePairs(empty).count() == 0)
