@@ -479,10 +479,8 @@ object Similarity {
         }
       }
       .toDF("cluster", "id")
-    val a = assigned.select(col("id").as("id_a"), col("cluster")).alias("ivp_l")
-    val b = assigned.select(col("id").as("id_b"), col("cluster")).alias("ivp_r")
-    val cands = a.join(b, col("ivp_l.cluster") === col("ivp_r.cluster") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
   }
@@ -547,18 +545,15 @@ object Similarity {
         ColumnBridge.expression(col("e")), planesArr, bands))
     }
     // candidate generation carries ONLY (id, band-key): shipping the vectors
-    // through the banded self-join would duplicate each embedding `bands`
-    // times on both sides and recompute the cosine once per band collision —
+    // through the banded pair emission would duplicate each embedding
+    // `bands` times and recompute the cosine once per band collision —
     // instead dedup the candidate id pairs first, then join the vectors back
-    // once per surviving pair. Both sides are explicitly aliased so the plan
-    // never leans on Spark's fragile self-join attribute disambiguation.
+    // once per surviving pair.
     val banded = n
       .select(col("id"), posexplode(keysCol).as(Seq("band", "key")))
       .select(col("id"), struct(col("band"), col("key")).as("bk"))
-    val a = banded.select(col("id").as("id_a"), col("bk")).alias("srp_l")
-    val b = banded.select(col("id").as("id_b"), col("bk")).alias("srp_r")
-    val cands = a.join(b, col("srp_l.bk") === col("srp_r.bk") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(n, cands, threshold)
   }

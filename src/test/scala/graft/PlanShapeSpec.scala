@@ -36,7 +36,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(Similarity.srpCosinePairs(emb))
     assertNoCartesian(p)
     assert(p.contains("srp_band_keys"), "native SrpBandKeys expression missing from plan")
-    assert(!p.contains("slice("), "per-plane slice tree crept back into SRP")
+    // exactly one slice is expected — the grouped pair emission
+    // (orderedPairsWithinGroups); a PER-PLANE slice tree (one per plane,
+    // seconds of analyzer + janino work at planes = 128) must stay dead
+    assert("slice\\(".r.findAllIn(p).length <= 1, "per-plane slice tree crept back into SRP")
   }
 
   test("fingerprints: native rolling hash, no interpreted per-char fold") {
