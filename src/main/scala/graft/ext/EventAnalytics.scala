@@ -30,6 +30,15 @@ object EventAnalytics {
     * log (Spark does not reuse the common subplans across union branches);
     * here every stage executes exactly once and the log is scanned once
     * per step, each scan with its `event_type = step` filter pushed down.
+    * Every stage groups by `uid` ALONE — the earlier completion times
+    * `t_1..t_{j-1}` (constant per user after their stage) ride through as
+    * `min` aggregates, so the shuffled key stays one column for a k-step
+    * funnel instead of widening O(k).
+    *
+    * Null timestamps never enter or advance the funnel: `min(ts)` skips
+    * nulls, so a step-1 user whose events all have null `ts` is not
+    * counted in step 1 (consistent with later stages, where a null can
+    * never satisfy `ts > t_{j-1}`).
     */
   def funnel(
       events: DataFrame,
@@ -48,10 +57,15 @@ object EventAnalytics {
       val e = events
         .filter(col(typeCol) === step)
         .select(col(userCol).as("uid"), col(tsCol).as("__ts"))
+      // prior stage times are constant per uid (each is the output of the
+      // previous per-uid aggregate, duplicated by the join), so min() is
+      // the identity carry — and the grouping key stays just `uid`
+      val aggs = (1 until i).map(k => min(col(tCol(k))).as(tCol(k))) :+
+        min(when(col("__ts") > col(tCol(i - 1)), col("__ts"))).as(tCol(i))
       cur = cur
         .join(e, Seq("uid"), "left")
-        .groupBy((col("uid") +: (1 until i).map(k => col(tCol(k)))): _*)
-        .agg(min(when(col("__ts") > col(tCol(i - 1)), col("__ts"))).as(tCol(i)))
+        .groupBy(col("uid"))
+        .agg(aggs.head, aggs.tail: _*)
     }
     val counts = cur.agg(
       count(col(tCol(1))).as("__n1"),

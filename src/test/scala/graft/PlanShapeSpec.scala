@@ -143,6 +143,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), "expected the TopKAggregator aggregation")
   }
 
+  test("funnel: every stage shuffles on the user id alone (fixed-width key)") {
+    val p = plan(QueryCatalog.queries("funnel_conversion")(spark, sf))
+    // prior-stage times must ride through as aggregates, not widen the
+    // grouping key — a k-step funnel whose exchange key grows O(k) ships
+    // every earlier timestamp with every shuffled row
+    assert(!"hashpartitioning\\([^)]*__t".r.findFirstIn(p).isDefined,
+      s"funnel exchange key widened beyond uid:\n${p.take(2000)}")
+  }
+
   test("gram dedup paths use the native ngram_hashes kernel, not interpreted HOFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq(Dedup.ngramJaccardPairs(docs), Dedup.minhashLshVerifiedPairs(docs)).foreach { df =>
