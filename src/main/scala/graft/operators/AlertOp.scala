@@ -41,31 +41,57 @@ object AlertOp {
     aggTagged.union(baseTagged)
   }
 
-  def apply(tagged: Dataset[BaselineOrAggregate], cfg: PipelineConfig): Dataset[Alert] = {
+  /** `idleTtlMillis = None` (the default) matches the reference exactly: the
+    * latest baseline per key is kept FOREVER (the Flink MapState at
+    * flinkarima.py:288 never expires either). At 100 TB key cardinality
+    * that is a leak — decommissioned nodes hold a baseline each for the
+    * life of the stream — so `Some(ttl)` arms a processing-time idle
+    * timeout (the [[NodePipeline]] retention pattern): a key that receives
+    * no rows for `ttl` is evicted entirely. Any row for the key (baseline
+    * OR aggregate) re-arms its timer; after eviction the key simply has no
+    * baseline again, so its next aggregates are suppressed (flinkarima.py
+    * :313-316) until a fresh baseline arrives — the same cold-start
+    * semantics as a brand-new key.
+    */
+  def apply(
+      tagged: Dataset[BaselineOrAggregate],
+      cfg: PipelineConfig,
+      idleTtlMillis: Option[Long] = None): Dataset[Alert] = {
     import tagged.sparkSession.implicits._
+    val timeout =
+      if (idleTtlMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     tagged
       .groupByKey(_.nodeId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup(cfg) _)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(processGroup(cfg, idleTtlMillis) _)
   }
 
-  def processGroup(cfg: PipelineConfig)(
+  def processGroup(cfg: PipelineConfig, idleTtlMillis: Option[Long] = None)(
       key: String,
       rows: Iterator[BaselineOrAggregate],
       state: GroupState[LatestBaseline]): Iterator[Alert] = {
-    var latest = state.getOption.getOrElse(LatestBaseline(None)).baseline
-    val out = ArrayBuffer.empty[Alert]
-    rows.toArray.sortBy(r => (r.eventTime, r.isBaseline)).foreach { row =>
-      if (row.isBaseline) {
-        // skip baselines without a node id (flinkarima.py:368-370)
-        row.baseline.foreach(b => if (b.nodeId.nonEmpty) latest = Some(b))
-      } else {
-        row.aggregate.foreach { aggRow =>
-          check(cfg, aggRow, latest).foreach(out += _)
+    if (state.hasTimedOut) {
+      // idle past TTL: evict the latest-baseline state for this key
+      state.remove()
+      Iterator.empty
+    } else {
+      var latest = state.getOption.getOrElse(LatestBaseline(None)).baseline
+      val out = ArrayBuffer.empty[Alert]
+      rows.toArray.sortBy(r => (r.eventTime, r.isBaseline)).foreach { row =>
+        if (row.isBaseline) {
+          // skip baselines without a node id (flinkarima.py:368-370)
+          row.baseline.foreach(b => if (b.nodeId.nonEmpty) latest = Some(b))
+        } else {
+          row.aggregate.foreach { aggRow =>
+            check(cfg, aggRow, latest).foreach(out += _)
+          }
         }
       }
+      state.update(LatestBaseline(latest))
+      // no-op in batch replay (every group is processed exactly once)
+      idleTtlMillis.foreach(state.setTimeoutDuration)
+      out.iterator
     }
-    state.update(LatestBaseline(latest))
-    out.iterator
   }
 
   /** Alert math — exact port of flinkarima.py:301-360. No baseline yet for the
