@@ -94,6 +94,23 @@ object Bench {
       val in = listener.inputBytes.get - in0
       (name, cold, warm, sw, sr, in)
     }
+    // recall@k of the approximate IVF configuration against its own
+    // exhaustive configuration (ivf_topk_full == brute force, verified by
+    // the correctness gate) — the one quality number a quantizer change
+    // could silently regress. Computed on the bench corpus per round so a
+    // regression is visible next to the timing it bought.
+    val ivfRecall: Option[Double] =
+      if (Seq("ivf_topk", "ivf_topk_full").forall(k => selected.exists(_._1 == k))) {
+        try {
+          val exact = SparkEntry.queries("ivf_topk_full")(spark, sfDir).select("query_id", "neighbor_id")
+          val approx = SparkEntry.queries("ivf_topk")(spark, sfDir).select("query_id", "neighbor_id")
+          val denom = exact.count()
+          if (denom == 0L) None
+          else Some(approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / denom)
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] recall probe failed: ${e.getMessage}"); None
+        }
+      } else None
     def jsonMap[T](vals: Seq[(String, T)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // millisecond precision keeps the primary line compact; full doubles and
@@ -110,7 +127,7 @@ object Bench {
     val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
     val detail =
-      s"""{"detail":"per-query","queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"sf":"$sfDir"}"""
+      s"""{"detail":"per-query","queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"ivf_topk_recall":${ivfRecall.map(r3).getOrElse("null")},"sf":"$sfDir"}"""
     // sidecar with everything, for humans and the judge; never on the
     // primary line (a >2000-char line falls off the driver's stdout tail)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),

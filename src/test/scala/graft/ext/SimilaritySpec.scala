@@ -61,6 +61,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("ivfTopK bench configuration holds its recall floor on the sf0.001 fixture") {
+    // the exact parameters Bench emits ivf_topk_recall for (k=10, nlist=16,
+    // nprobe=4, embeddings table). The corpus is UNCLUSTERED, so probing
+    // 4/16 cells yields ~0.55 recall (measured 0.545 — deterministic: fixed
+    // data, hash-ordered sample, deterministic k-means). The floor exists to
+    // catch quantizer/assignment regressions, not to certify 0.9-grade ANN
+    // on unstructured vectors — that regime needs higher nprobe or real
+    // cluster structure (asserted >= 0.9 on the clustered fixture above).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"bench-config recall degraded: $recall")
+  }
+
   test("ivfTopK on an empty corpus returns an empty frame (no NoSuchElementException)") {
     val empty = vecDf(Seq.empty)
     assert(Similarity.ivfTopK(empty, empty).count() == 0)
