@@ -38,6 +38,15 @@ private final class BenchMetricsListener extends SparkListener {
   * machine noise than a single shot. The first (cold) runs are reported
   * alongside under `queries_cold`/`total_cold` so one-time planning and
   * compile cost stays visible rather than hidden.
+  *
+  * OUTPUT CONTRACT (changed in round 5; consumers of the old single-line
+  * schema must migrate): the LAST stdout line is the compact metric line —
+  * `metric/value/unit/mode/queries` (steady-state seconds per query) plus
+  * `total_cold` and total shuffle/input byte counters. Everything
+  * per-query beyond that (cold seconds, shuffle/input byte maps, IVF
+  * recall) lives ONLY in the BENCH_DETAILS.json sidecar, also echoed to
+  * stdout one line earlier. The sidecar path defaults to the working
+  * directory and is overridable via SPARK_GRAFT_BENCH_DETAILS.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -129,8 +138,12 @@ object Bench {
     val detail =
       s"""{"detail":"per-query","queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"ivf_topk_recall":${ivfRecall.map(r3).getOrElse("null")},"sf":"$sfDir"}"""
     // sidecar with everything, for humans and the judge; never on the
-    // primary line (a >2000-char line falls off the driver's stdout tail)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAILS.json"),
+    // primary line (a >2000-char line falls off the driver's stdout tail).
+    // Path is anchored by SPARK_GRAFT_BENCH_DETAILS when set — the default
+    // lands in the forked JVM's working directory (sbt forks in the project
+    // root, but a caller launching the jar elsewhere should pin the path)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS", "BENCH_DETAILS.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(detail)

@@ -839,7 +839,7 @@ object QueryCatalog {
   private val oStratifiedSample: String =
     """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS bigint) AS sum_chars
       |FROM documents
-      |WHERE substr(md5(source || ':' || CAST(doc_id AS varchar)), 1, 8) <
+      |WHERE substr(md5('v' || source || ':' || CAST(doc_id AS varchar)), 1, 8) <
       |  CASE WHEN source = 'src0' THEN '80000000'
       |       WHEN source = 'src1' THEN '40000000'
       |       ELSE '19999999' END

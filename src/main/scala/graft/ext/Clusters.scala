@@ -54,6 +54,14 @@ object Clusters {
     * failed. Throwing is therefore the default; pass `false` only when
     * partial labels are genuinely acceptable (e.g. bounding work on a
     * graph known to be chain-shaped) and handle the cap yourself.
+    *
+    * Budget `maxIter` at rounds-to-fixpoint + 1: the convergence probe is
+    * change-based (label-sum / changed-row delta against the PREVIOUS
+    * round), so it can only prove the fixpoint one round AFTER the labels
+    * stop moving — a graph that converges in exactly `maxIter` rounds
+    * still throws, because convergence was never observed. For the same
+    * reason `maxIter == 1` can never prove anything, so it is rejected
+    * under `failOnNonConvergence`.
     */
   def connectedComponents(
       edges: DataFrame,
@@ -63,6 +71,10 @@ object Clusters {
       driverEdgeThreshold: Long = 200000L,
       failOnNonConvergence: Boolean = true): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
+    require(!failOnNonConvergence || maxIter >= 2,
+      "the change-based probe proves convergence one round after the fixpoint, so " +
+        "maxIter == 1 always throws under failOnNonConvergence; use maxIter >= 2 " +
+        "(budget rounds-to-fixpoint + 1) or pass failOnNonConvergence = false")
     val spark = edges.sparkSession
     // the labels relation appears TWICE in every round's plan (message join
     // + union), so the raw logical plan would DOUBLE per round — 2^20 tree

@@ -64,10 +64,28 @@ class ClustersSpec extends AnyFunSuite {
   }
 
   test("exhausting maxIter without convergence throws by default") {
+    // a 6-node chain needs >2 rounds for label 0 to reach node 5, plus one
+    // probe round — maxIter=2 exhausts the budget mid-propagation
     val ex = intercept[IllegalStateException] {
-      cc((0L until 5L).map(i => (i, i + 1)), maxIter = 1, threshold = 0L)
+      cc((0L until 5L).map(i => (i, i + 1)), maxIter = 2, threshold = 0L)
     }
-    assert(ex.getMessage.contains("maxIter=1"))
+    assert(ex.getMessage.contains("maxIter=2"))
+  }
+
+  test("maxIter == 1 under failOnNonConvergence is rejected up front") {
+    // the change-based probe can only prove a fixpoint one round AFTER it
+    // is reached, so a 1-round budget could never prove anything: reject it
+    // eagerly instead of always throwing after a wasted round
+    val ex = intercept[IllegalArgumentException] {
+      cc(Seq((1L, 2L)), maxIter = 1, threshold = 0L)
+    }
+    assert(ex.getMessage.contains("maxIter >= 2"))
+  }
+
+  test("a graph converging in exactly maxIter-1 rounds passes (probe round budgeted)") {
+    // 3-node chain: fixpoint after 2 rounds, proven in round 3 = maxIter
+    val got = cc(Seq((0L, 1L), (1L, 2L)), maxIter = 3, threshold = 0L)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
   test("empty edge set yields an empty labeling (both paths)") {
