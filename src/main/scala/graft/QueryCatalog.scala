@@ -1387,9 +1387,19 @@ object QueryCatalog {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 16)
   }
 
+  /** Approximate configuration for the bench recall probe. The synthetic
+    * embeddings are STRUCTURELESS (i.i.d. components), so recall tracks the
+    * probed fraction: nprobe 8/16 holds recall@10 ~0.8 at half the scoring
+    * work of brute force (nprobe=4 measured 0.53 at sf0.1). Explicit nlist
+    * because the corpus-adaptive default (nlist <= 0, constant expected cell
+    * size) would shrink the probed fraction — and on clusterless vectors the
+    * recall — as the corpus grows; on real clustered embeddings that default
+    * plus a fixed nprobe is the scale-correct shape (SimilaritySpec pins
+    * both regimes).
+    */
   private val qIvfTopK: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = table(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 4)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, nlist = 16, nprobe = 8)
   }
 
   /** SRP-LSH cosine near-dup pairs in the regime SRP is designed for
