@@ -1304,6 +1304,37 @@ object QueryCatalog {
        |  AND md5(lower(trim(regexp_replace(c.text, '[ \\t\\n\\f\\r]+', ' ', 'g'))))
        |    = md5(lower(trim(regexp_replace(n.text, '[ \\t\\n\\f\\r]+', ' ', 'g')))))""".stripMargin
 
+  /** Eval-set decontamination: docs with doc_id % 50 == 7 play the
+    * benchmark set; the rest are training docs, and any training doc
+    * sharing a word-4-gram with the benchmark set is dropped (n=4 because
+    * the fixture's synthetic vocabulary is tiny — at n=3 more than half the
+    * corpus is "contaminated", at n>=5 only planted duplicates are; the
+    * production default is n=13). Spark joins on xxhash64 gram hashes, the
+    * oracle on gram strings — identical membership up to hash collisions,
+    * the same documented gate as every gram-hash path.
+    */
+  private val qDecontaminate: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    graft.ext.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 7),
+      docs.filter(col("doc_id") % 50 === 7),
+      n = 4)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val oDecontaminate: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 4),
+       |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % 50 <> 7 AND g IN (SELECT g FROM eval_g))
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id % 50 <> 7
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = documents.doc_id)""".stripMargin
+
   /** Z-order (Morton) layout code over (l_partkey, l_suppkey), aggregated
     * per 2^20-code bucket — the multi-dimensional-locality layout key,
     * pure integer bit math in both engines.
@@ -1472,6 +1503,53 @@ object QueryCatalog {
        |SELECT a.id AS id_a, b.id AS id_b, ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
        |FROM n a JOIN n b ON a.id < b.id
        |WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.9""".stripMargin
+
+  /** Semantic dedup on the planted fixture shared with `srp_cosine_pairs` /
+    * `ivf_cosine_pairs`: each planted near-dup (vec_id + 1000000) forms a
+    * 2-member component with its source, whose minimum id — the source —
+    * is the surviving representative, so the output is exactly the base
+    * corpus. The oracle replays the full composition: exact cosine pairs
+    * at the threshold, recursive-CTE transitive closure, anti-join of
+    * non-representative members. Deterministic for fixed data + sample
+    * order, like the pair queries it builds on.
+    */
+  private val qSemanticDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("embedding"))
+    val planted = base
+      .filter(col("vec_id") % 20 === 0)
+      .select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
+    graft.ext.Dedup.semanticDedup(base.union(planted), threshold = 0.9, nassign = 2)
+      .select(col("vec_id"))
+  }
+
+  private val oSemanticDedup: String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings
+       |), aug AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(range(1, len(e) + 1), i -> CASE WHEN i = 1 THEN e[i] * 1.01 ELSE e[i] END) AS e
+       |  FROM base WHERE vec_id % 20 = 0
+       |), n AS (
+       |  SELECT vec_id AS id, e,
+       |         sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+       |  FROM aug
+       |), pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM n a JOIN n b ON a.id < b.id
+       |  WHERE ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) >= 0.9
+       |), sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |           UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT src AS id, src AS r FROM sym
+       |          UNION SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+       |SELECT vec_id FROM aug
+       |WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = aug.vec_id AND c.id <> c.component)""".stripMargin
 
   /** Per-class embedding centroids, flattened to (label, pos, centroid_val)
     * scalar rows. The per-dimension sum folds in vec_id order on BOTH
@@ -1783,12 +1861,14 @@ object QueryCatalog {
     "random_project" -> qRandomProject,
     "zorder_stats" -> qZorderStats,
     "incremental_dedup" -> qIncrementalDedup,
+    "decontaminate" -> qDecontaminate,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
     "ivf_topk" -> qIvfTopK,
     "ivf_topk_full" -> qIvfTopKFull,
     "srp_cosine_pairs" -> qSrpCosinePairs,
     "ivf_cosine_pairs" -> qIvfCosinePairs,
+    "semantic_dedup" -> qSemanticDedup,
     "q1_lineitem" -> qQ1,
     "q3_top10" -> qQ3,
     "q5_region_revenue" -> qQ5,
@@ -1852,11 +1932,13 @@ object QueryCatalog {
     "random_project" -> oRandomProject,
     "zorder_stats" -> oZorderStats,
     "incremental_dedup" -> oIncrementalDedup,
+    "decontaminate" -> oDecontaminate,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
     "ivf_topk_full" -> oCosineTopK,
     "srp_cosine_pairs" -> oSrpCosinePairs,
     "ivf_cosine_pairs" -> oSrpCosinePairs,
+    "semantic_dedup" -> oSemanticDedup,
     "q1_lineitem" -> oQ1,
     "q3_top10" -> oQ3,
     "q5_region_revenue" -> oQ5,

@@ -393,6 +393,52 @@ object Dedup {
     definiteNew.unionByName(verifiedNew).drop("__fp")
   }
 
+  /** Eval-set decontamination: drop every training document that shares at
+    * least one word-n-gram with a benchmark/eval corpus (the standard
+    * pre-training hygiene step that keeps test sets out of the training
+    * data). Output is the SURVIVING subset of `docs`, columns unchanged.
+    *
+    * The 100 TB shape: the eval side is tiny by construction (benchmarks,
+    * not corpora), so its distinct gram-hash set broadcasts
+    * (`broadcastEval`, default true) and contamination detection is a
+    * map-side semi-join over the training grams — the full gram relation is
+    * NEVER shuffled (unlike [[ngramJaccardPairs]]' inverted index, there is
+    * deliberately no `distinct()` on the training grams: semi-join
+    * membership doesn't need it, and dropping it removes the one full-size
+    * exchange this op would otherwise pay). The only shuffles carry matched
+    * doc ids. Grams travel as 64-bit [[graft.functions.NgramExpressions
+    * .NgramHashes]] hashes — set membership is preserved up to xxhash64
+    * collisions, a ~|eval grams| x |train grams| / 2^64 false-drop
+    * probability accepted everywhere else in this module. Set
+    * `broadcastEval = false` for an oversized eval side; the semi-join then
+    * shuffles both gram relations instead.
+    *
+    * Documents with fewer than `n` tokens (or null text) cannot match and
+    * always survive; null-id documents survive (an anti-join on a null key
+    * matches nothing); eval documents shorter than `n` tokens contribute
+    * no grams.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 13,
+      broadcastEval: Boolean = true,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    def gramsOf(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ tokens(col(textCol)).as("__w"): _*)
+        .filter(size(col("__w")) >= n)
+        .withColumn("__g", explode(ngramHashes(col("__w"), n)))
+        .drop("__w")
+    val evalGrams = gramsOf(evalDocs).select("__g").distinct()
+    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val contaminated = gramsOf(docs, col(idCol).as("__id"))
+      .join(evalSide, Seq("__g"), "left_semi")
+      .select("__id").distinct()
+    docs.join(contaminated, col(idCol) === col("__id"), "left_anti")
+  }
+
   /** Blocked fuzzy matching (entity resolution): edit-distance pairs within
     * a composite blocking key. The classic record-linkage shape — the block
     * equi-join bounds the quadratic comparison to within-block pairs
@@ -426,6 +472,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b"), maxDist).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
+  }
+
+  /** Semantic (embedding-space) dedup: drop every member of an
+    * embedding-cosine near-dup group except one representative — the
+    * SemDeDup-style curation step that removes semantically redundant
+    * training examples rather than textually redundant ones.
+    *
+    * Composition of two already-bounded stages: near-dup PAIRS from the
+    * IVF-bucketed cosine path ([[Similarity.ivfCosinePairs]] — candidate
+    * generation bucketed by the corpus-adaptive coarse quantizer, exact
+    * verify per candidate), then connected components over the pair
+    * relation ([[Clusters.connectedComponents]] — min-label propagation,
+    * one bounded shuffle per round). The representative of each group is
+    * its minimum id (the component label); vectors in no group pass
+    * through untouched, null-id rows always survive (an anti-join on a
+    * null key matches nothing). Output: the surviving subset of
+    * `embeddings`, columns unchanged.
+    *
+    * `threshold` is the semantic-duplicate cosine bar (SemDeDup operates
+    * at ~0.95+ for paraphrase-grade duplicates; lower thresholds grow the
+    * transitive closure — at 100 TB keep it in the LSH/IVF-discriminating
+    * regime >= ~0.8, which is also where candidate generation stays
+    * bounded).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nassign: Int = 2,
+      trainSample: Int = 10000,
+      targetClusterSize: Int = 128,
+      maxIter: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = Similarity.ivfCosinePairs(
+      embeddings, threshold, nassign = nassign, trainSample = trainSample,
+      targetClusterSize = targetClusterSize, idCol = idCol, vecCol = vecCol)
+    val dropped = Clusters.connectedComponents(pairs, srcCol = "id_a", dstCol = "id_b", maxIter = maxIter)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop"))
+    embeddings.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this

@@ -152,6 +152,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel exchange key widened beyond uid:\n${p.take(2000)}")
   }
 
+  test("decontaminate: training grams are never shuffled — broadcast semi-join only") {
+    val p = plan(QueryCatalog.queries("decontaminate")(spark, sf))
+    // the training-side gram Generate must feed the LeftSemi probe
+    // directly: in the tree text the probe child renders between the
+    // LeftSemi line and its BroadcastExchange build side, so an Exchange in
+    // that span means the full-corpus gram relation (the dominant volume at
+    // scale) started paying a shuffle it never needs
+    val semi = p.indexOf("LeftSemi")
+    assert(semi >= 0, s"expected a broadcast semi-join:\n${p.take(2000)}")
+    val probeSpan = p.substring(semi, p.indexOf("BroadcastExchange", semi))
+    assert(probeSpan.contains("Generate"),
+      s"expected the gram generate as the semi-join probe:\n${p.take(2000)}")
+    assert(!probeSpan.contains("Exchange"),
+      s"training gram relation is being shuffled before the semi-join:\n$probeSpan")
+    assert(p.contains("LeftAnti"), "surviving docs must come from an anti-join")
+  }
+
   test("gram dedup paths use the native ngram_hashes kernel, not interpreted HOFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq(Dedup.ngramJaccardPairs(docs), Dedup.minhashLshVerifiedPairs(docs)).foreach { df =>

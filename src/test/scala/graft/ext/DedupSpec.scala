@@ -121,6 +121,49 @@ class DedupSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("semanticDedup keeps one representative (min id) per cosine near-dup group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def noisy(v: Array[Double], eps: Double): Seq[Double] =
+      v.map(x => x + rng.nextGaussian() * eps).toSeq
+    val a = Array.fill(16)(rng.nextGaussian())
+    val b = Array.fill(16)(rng.nextGaussian())
+    // a 3-member near-dup CHAIN around `a` (transitive closure must collapse
+    // it to one representative), a 2-member group around `b`, 2 singletons
+    val rows = Seq(
+      10L -> noisy(a, 0.001), 11L -> noisy(a, 0.001), 12L -> noisy(a, 0.001),
+      20L -> noisy(b, 0.001), 21L -> noisy(b, 0.001),
+      30L -> Array.fill(16)(rng.nextGaussian()).toSeq,
+      31L -> Array.fill(16)(rng.nextGaussian()).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, threshold = 0.95, trainSample = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 30L, 31L), s"got $kept")
+    // columns pass through untouched
+    assert(Dedup.semanticDedup(df, threshold = 0.95).columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
+  test("decontaminate drops docs sharing an eval n-gram and keeps the rest") {
+    import spark.implicits._
+    val evalSet = docs(
+      100L -> "alpha beta gamma delta epsilon",
+      101L -> "too short") // < n tokens: contributes no grams
+    val train = docs(
+      1L -> "prefix words then beta gamma delta epsilon and more", // shares a 4-gram
+      2L -> "beta gamma delta somethingelse entirely here",        // only a 3-gram overlap
+      3L -> "completely unrelated training document text",
+      4L -> "too short doc") // < n tokens: can never match
+    val kept = Dedup.decontaminate(train, evalSet, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"got $kept")
+    // columns pass through untouched
+    assert(Dedup.decontaminate(train, evalSet, n = 4).columns.toSeq == Seq("doc_id", "text"))
+    // an empty eval set (all docs shorter than n) contaminates nothing
+    val all = Dedup.decontaminate(train, docs(200L -> "tiny"), n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+  }
+
   test("blocked edit-distance pairs: within-block only, distance-capped") {
     import spark.implicits._
     val parts = Seq(
