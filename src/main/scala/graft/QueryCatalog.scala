@@ -1830,6 +1830,86 @@ object QueryCatalog {
       |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
 
+  /** C4-style line-level dedup. The synthetic corpus is single-line, so the
+    * query first synthesizes multi-line text DETERMINISTICALLY in both
+    * engines — lines of 8 raw space-split tokens joined by \n (the tiny
+    * vocabulary makes 8-token lines collide across docs, which is exactly
+    * what exercises first-occurrence-wins) — then keeps each distinct line
+    * only at its (doc_id, pos)-minimal occurrence. Spark groups lines by
+    * their MD5 digest (16-byte shuffle key, the [[Dedup.exact]] content-key
+    * pattern), the oracle by the line string — identical membership up to
+    * MD5 collisions, the same documented gate as every digest path.
+    */
+  private val qLineDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val w = split(col("text"), " ")
+    val nLines = ceil(size(w) / lit(8.0)).cast("int")
+    val multiline = array_join(
+      transform(sequence(lit(0), nLines - 1), i => array_join(slice(w, i * 8 + 1, lit(8)), " ")),
+      "\n")
+    Dedup.lineDedup(
+      table(s, dir, "documents").select(col("doc_id"), multiline.as("text")))
+  }
+
+  private val oLineDedup: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)),
+      |      i -> array_to_string(string_split(text, ' ')[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ')), chr(10)) AS t
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(t, chr(10)) AS xs FROM d),
+      |lines AS (SELECT doc_id, unnest(xs) AS l, generate_subscripts(xs, 1) - 1 AS pos FROM ls),
+      |keep AS (
+      |  SELECT doc_id, pos, l FROM (
+      |    SELECT doc_id, pos, l, row_number() OVER (PARTITION BY l ORDER BY doc_id, pos) AS rn FROM lines)
+      |  WHERE rn = 1),
+      |rebuilt AS (
+      |  SELECT doc_id, count(*) AS n_kept, string_agg(l, chr(10) ORDER BY pos) AS dedup_text
+      |  FROM keep GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.dedup_text, '') AS dedup_text,
+      |       len(ls.xs)::BIGINT AS n_lines, coalesce(r.n_kept, 0)::BIGINT AS n_kept
+      |FROM d JOIN ls USING (doc_id) LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""".stripMargin
+
+  /** Source-mixture sampling to per-source token budgets, replayed exactly:
+    * the oracle recomputes each source's token total and the identical
+    * hugeint draw compare. src0's budget exceeds its total (kept whole),
+    * src1 is thinned to ~a third, src3 is budget-0 (dropped whole), every
+    * unlisted source is dropped — all four regimes in one result.
+    */
+  private val qMixtureSample: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sampling.mixtureSample(
+      table(s, dir, "documents")
+        .withColumn("n_tok", size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")),
+      budgets = Map("src0" -> 2000L, "src1" -> 500L, "src3" -> 0L),
+      sourceCol = "source", idCol = "doc_id", weightCol = "n_tok")
+      .select(col("doc_id"), col("source"), col("n_tok"))
+
+  private val oMixtureSample: String =
+    s"""WITH w AS (SELECT doc_id, source, len(string_split($normSql, ' '))::BIGINT AS n_tok FROM documents),
+       |t AS (SELECT source, sum(n_tok) AS tot FROM w GROUP BY source),
+       |b AS (SELECT * FROM (VALUES ('src0', 2000), ('src1', 500), ('src3', 0)) AS v(source, budget))
+       |SELECT w.doc_id, w.source, w.n_tok
+       |FROM w JOIN t USING (source) JOIN b USING (source)
+       |WHERE b.budget >= t.tot
+       |   OR ('0x' || substr(md5('v' || w.source || ':' || w.doc_id), 1, 8))::BIGINT::HUGEINT * t.tot::HUGEINT
+       |      < b.budget::HUGEINT * 4294967296::HUGEINT""".stripMargin
+
+  /** Per-stratum cap ("domain balancing"): at most 5 docs per source, the 5
+    * smallest (md5 draw, id) per stratum — selected through the bounded
+    * top-k aggregator on the Spark side, replayed as a rank window by the
+    * oracle (both share the (draw asc, id asc) total order).
+    */
+  private val qStratumCap: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sampling.stratumCapK(
+      table(s, dir, "documents"), strataCol = "source", idCol = "doc_id", k = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  private val oStratumCap: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY ('0x' || substr(md5('v' || source || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 5""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1904,7 +1984,10 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
-    "quantize_stats" -> qQuantize)
+    "quantize_stats" -> qQuantize,
+    "line_dedup" -> qLineDedup,
+    "mixture_sample" -> qMixtureSample,
+    "stratum_cap" -> qStratumCap)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -1974,5 +2057,8 @@ object QueryCatalog {
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
-    "quantize_stats" -> oQuantize)
+    "quantize_stats" -> oQuantize,
+    "line_dedup" -> oLineDedup,
+    "mixture_sample" -> oMixtureSample,
+    "stratum_cap" -> oStratumCap)
 }

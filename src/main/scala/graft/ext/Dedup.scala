@@ -393,6 +393,62 @@ object Dedup {
     definiteNew.unionByName(verifiedNew).drop("__fp")
   }
 
+  /** Line-level exact dedup across the corpus (the C4-style step that
+    * strips boilerplate headers/footers/navigation repeated across pages):
+    * every distinct line is kept exactly ONCE corpus-wide — at its first
+    * occurrence in (id, position) order — and every later occurrence is
+    * removed; each document is then reassembled from its surviving lines
+    * in original order.
+    *
+    * Output: one row per input document (null-id docs excluded) —
+    * `idCol`, `dedup_text` (surviving lines joined by `sep`, `""` when
+    * every line was claimed by an earlier doc), `n_lines` (original),
+    * `n_kept`. Null-text docs have 0 lines and `dedup_text = ""`. Blank
+    * lines are lines: a corpus-wide singleton blank survives, repeats are
+    * deduped like any other line.
+    *
+    * The 100 TB shape: lines travel into the dedup exchange with their
+    * 16-byte MD5 digest as the grouping key (the same engine-portable
+    * content key as [[exact]]; distinct lines merge only on MD5 collision,
+    * the documented gate everywhere digests stand in for content), one
+    * `min(struct(id, pos))` aggregate picks the keeper — so the first
+    * shuffle carries (digest, id, pos, line), the second regroups the
+    * ALREADY-DEDUPED lines by document, and the final join restores
+    * per-doc counts. Three linear shuffles, no self-join, no window sort
+    * over the corpus.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val base = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__xs"))
+    val lines = base.select(col("__id"), posexplode(col("__xs")).as(Seq("__pos", "__l")))
+    // one row per distinct line: the (id, pos)-minimal occurrence. max(__l)
+    // is the line itself for every group barring an MD5 collision (in which
+    // case it deterministically picks one of the colliding texts).
+    val keepers = lines
+      .groupBy(md5(col("__l")).as("__fp"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__keep"), max(col("__l")).as("__line"))
+      .select(col("__keep.__id").as("__id"), col("__keep.__pos").as("__pos"), col("__line"))
+    val rebuilt = keepers
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("__pos"), col("__line")))), x => x.getField("__line")),
+          sep).as("dedup_text"))
+    base.select(col("__id"), coalesce(size(col("__xs")), lit(0)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Eval-set decontamination: drop every training document that shares at
     * least one word-n-gram with a benchmark/eval corpus (the standard
     * pre-training hygiene step that keeps test sets out of the training

@@ -184,4 +184,51 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  // -------------------------------------------------------------- lineDedup
+
+  private def lineDedupMap(d: org.apache.spark.sql.DataFrame) =
+    Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("line dedup: first (doc_id, pos) occurrence wins, later copies are removed") {
+    val out = lineDedupMap(docs(
+      1L -> "header\nbody one\nfooter",
+      2L -> "header\nbody two\nfooter",
+      3L -> "header\nbody three"))
+    // doc 1 owns every one of its lines; docs 2 and 3 lose header/footer
+    assert(out(1L) == (("header\nbody one\nfooter", 3L, 3L)))
+    assert(out(2L) == (("body two", 3L, 1L)))
+    assert(out(3L) == (("body three", 2L, 1L)))
+  }
+
+  test("line dedup: a line repeated WITHIN one doc keeps only its first position") {
+    val out = lineDedupMap(docs(1L -> "a\nb\na\nc\nb"))
+    assert(out(1L) == (("a\nb\nc", 5L, 3L)))
+  }
+
+  test("line dedup: a doc whose every line is claimed earlier empties to \"\"") {
+    val out = lineDedupMap(docs(1L -> "x\ny", 2L -> "x\ny"))
+    assert(out(2L) == (("", 2L, 0L)))
+  }
+
+  test("line dedup: null text has 0 lines; null ids are excluded; blank lines dedup too") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), Some("a\n\nb\n\nc")), (Some(2L), None), (None, Some("zz")))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // the second blank line (pos 3) is a duplicate of the first (pos 1)
+    assert(out(1L) == (("a\n\nb\nc", 5L, 4L)))
+    assert(out(2L) == (("", 0L, 0L)))
+  }
+
+  test("line dedup honors a custom separator and rejects an empty one") {
+    val out = Dedup.lineDedup(docs(1L -> "p||q", 2L -> "p||r"), sep = "||")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "p||q", 2L -> "r"))
+    intercept[IllegalArgumentException](Dedup.lineDedup(docs(1L -> "x"), sep = ""))
+  }
 }

@@ -180,4 +180,87 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L), s"only the max-weight row may survive, got $kept")
   }
+
+  // ------------------------------------------------------------ stratumCapK
+
+  /** Reference selection: k smallest (u32 draw, id) per stratum. */
+  private def capRef(rows: Seq[(Long, String)], k: Int): Set[Long] = {
+    def u32(stratum: String, id: Long): Long = {
+      val key = (if (stratum == null) "n" else "v" + stratum) + ":" + id
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    rows.groupBy(_._2).values.flatMap {
+      grp => grp.map(_._1).sortBy(id => (u32(grp.head._2, id), id)).take(k)
+    }.toSet
+  }
+
+  test("stratum cap keeps exactly k per large stratum, all of small strata") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, s"s${i % 3}")) ++ Seq((900L, "tiny"), (901L, "tiny"))
+    val df = rows.toDF("id", "src")
+    val kept = Sampling.stratumCapK(df, "src", "id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("s0" -> 5, "s1" -> 5, "s2" -> 5, "tiny" -> 2), s"got $bySrc")
+    assert(kept.map(_._1).toSet == capRef(rows, 5), "selection must match the rank-window reference")
+  }
+
+  test("stratum cap selection is independent of other strata and stable under growth") {
+    import spark.implicits._
+    val s0 = (1L to 50L).map(i => (i, "a"))
+    val before = Sampling.stratumCapK(s0.toDF("id", "src"), "src", "id", 4)
+      .collect().map(_.getLong(0)).toSet
+    // adding a foreign stratum never changes stratum a's picks
+    val after = Sampling.stratumCapK((s0 ++ (100L to 160L).map(i => (i, "b"))).toDF("id", "src"),
+      "src", "id", 4)
+      .filter(col("src") === "a").collect().map(_.getLong(0)).toSet
+    assert(before == after)
+  }
+
+  test("stratum cap: null stratum is its own capped group, null ids are dropped") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(i => (Some(i), None: Option[String])) :+ ((None: Option[Long], Some("x"))))
+      .toDF("id", "src")
+    val kept = Sampling.stratumCapK(df, "src", "id", 3).collect()
+    assert(kept.forall(_.isNullAt(1)) && kept.length == 3,
+      "3 null-stratum rows kept; the null-id row of stratum x cannot be selected")
+    intercept[IllegalArgumentException](Sampling.stratumCapK(df, "src", "id", 0))
+  }
+
+  // ---------------------------------------------------------- mixtureSample
+
+  test("mixture sample hits each budget regime: whole, thinned, zero, unlisted") {
+    import spark.implicits._
+    // 4 sources x 500 docs x 10 tokens = 5000 tokens per source
+    val df = (0L until 2000L).map(i => (i, s"m${i % 4}", 10L)).toDF("id", "src", "w")
+    val kept = Sampling.mixtureSample(df,
+      Map("m0" -> 999999L, "m1" -> 1000L, "m2" -> 0L),
+      "src", "id", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("m0", 0) == 500, "budget >= total keeps the source whole")
+    assert(!bySrc.contains("m2") && !bySrc.contains("m3"), "budget-0 and unlisted sources are dropped")
+    val m1Tokens = bySrc.getOrElse("m1", 0) * 10L
+    assert(math.abs(m1Tokens - 1000L) < 400, s"~1000 of 5000 m1 tokens expected, got $m1Tokens")
+    // exact replay: same kept set on a reshuffled input
+    val again = Sampling.mixtureSample(df.repartition(7), Map("m0" -> 999999L, "m1" -> 1000L, "m2" -> 0L),
+      "src", "id", "w").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("mixture sample: null ids and null sources are dropped; invalid budgets rejected") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("m0"), 10L), (None, Some("m0"), 10L), (Some(3L), None, 10L))
+      .toDF("id", "src", "w")
+    val kept = Sampling.mixtureSample(df, Map("m0" -> 999999L), "src", "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, Map.empty[String, Long], "src", "id", "w"))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, Map("m0" -> -1L), "src", "id", "w"))
+  }
 }
