@@ -177,4 +177,29 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("transform("), "interpreted per-gram transform back in the hot path")
     }
   }
+
+  test("stratum_cap: bounded aggregation + broadcast semi-join, never a rank window") {
+    val p = plan(QueryCatalog.queries("stratum_cap")(spark, sf))
+    assert(!p.contains("Window"), s"rank window crept back into the stratum cap:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate"), "expected the bounded TopKAggregator selection")
+    assert(p.contains("LeftSemi"), "kept rows must come back via a semi-join")
+  }
+
+  test("mixture_sample: one totals aggregation broadcast back, map-only filter") {
+    val p = plan(QueryCatalog.queries("mixture_sample")(spark, sf))
+    assertNoCartesian(p)
+    assert(p.contains("BroadcastHashJoin"), "per-source totals must broadcast, not shuffle the corpus")
+    // exactly one shuffle: the partial/final totals aggregation. More means
+    // the corpus itself started paying an exchange for a scalar-per-source.
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one hash exchange (the totals agg):\n${p.take(2000)}")
+  }
+
+  test("line_dedup: linear shuffles only — no self-join, no corpus window") {
+    val p = plan(QueryCatalog.queries("line_dedup")(spark, sf))
+    assertNoCartesian(p)
+    assert(!p.contains("Window"), "first-occurrence selection must be an aggregate, not a rank window")
+    // joins: only the final per-doc LEFT join of counts to rebuilt text
+    assert(!p.contains("Inner"), s"unexpected inner join (line self-join?) in:\n${p.take(2000)}")
+  }
 }
