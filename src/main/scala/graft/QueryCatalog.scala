@@ -1910,6 +1910,35 @@ object QueryCatalog {
       |    ORDER BY ('0x' || substr(md5('v' || source || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
       |  FROM documents) WHERE rn <= 5""".stripMargin
 
+  /** Corpus-trained bigram LM fluency score — mean transition probability
+    * per doc, no `ln` so every step is one correctly-rounded IEEE op on
+    * exact integer counts, summed in position order by an ordered fold the
+    * oracle mirrors with `list(p ORDER BY pos)`. Spark counts bigrams by
+    * their space-joined string, the oracle by the (w1, w2) pair —
+    * identical groups, since normalized tokens cannot contain spaces.
+    */
+  private val qLmScore: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.bigramLmScore(table(s, dir, "documents"))
+
+  private val oLmScore: String =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |bi0 AS (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS pos FROM t WHERE len(w) >= 2),
+       |bi AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |              w[CAST(pos AS INT) + 1] AS w1, w[CAST(pos AS INT) + 2] AS w2
+       |       FROM bi0),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       |scored AS (
+       |  SELECT bi.doc_id, bi.pos, CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+       |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (a, x) -> a + x) AS s
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |       coalesce(a.s / a.n_bigrams, 0.0) AS lm_score
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1987,7 +2016,8 @@ object QueryCatalog {
     "quantize_stats" -> qQuantize,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
-    "stratum_cap" -> qStratumCap)
+    "stratum_cap" -> qStratumCap,
+    "lm_fluency" -> qLmScore)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -2060,5 +2090,6 @@ object QueryCatalog {
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
-    "stratum_cap" -> oStratumCap)
+    "stratum_cap" -> oStratumCap,
+    "lm_fluency" -> oLmScore)
 }

@@ -213,6 +213,65 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
+  /** Corpus-trained bigram language-model fluency score — the KenLM-style
+    * quality signal that flags wordsalad/garbled docs (improbable token
+    * transitions score low) and boilerplate (high): for each document,
+    * the mean transition probability over its bigram positions,
+    *
+    *   lm_score = (1 / n_bigrams) * SUM_i  C(w_{i-1}, w_i) / C*(w_{i-1})
+    *
+    * where `C` counts bigram instances corpus-wide and `C*(w)` counts
+    * instances of `w` as a bigram PREFIX (so the conditional distribution
+    * sums to 1 per prefix). The corpus scores itself, so every scored
+    * bigram has C >= 1 and no smoothing is needed — held-out scoring would
+    * need an explicit backoff, deliberately out of scope.
+    *
+    * Deliberately NO logarithm: a mean of per-position probabilities ranks
+    * fluency the same way a mean log-prob does for filtering purposes, and
+    * every step stays one correctly-rounded IEEE operation on exact
+    * integer counts — summed in POSITION order through an ordered fold —
+    * so an external engine replays the score bitwise ([[tfIdfTopTerms]]'
+    * no-`ln` argument). Docs with fewer than 2 tokens have no transitions:
+    * n_bigrams = 0, lm_score = 0.0.
+    *
+    * Scale shape: ONE corpus-wide count aggregation (bigrams); the prefix
+    * totals then aggregate the vocabulary-sized bigram-count relation, not
+    * the corpus (`C*(w) = SUM_g C(w, g)` by definition), so the corpus
+    * pays a single count shuffle. Both count relations join back against
+    * the corpus-sized bigram relation (vocabulary build side, corpus probe
+    * side — stopword-heavy prefixes skew the probe, which AQE skew-join
+    * splits), then one per-doc regroup whose ordered fold runs over each
+    * doc's own bigrams only.
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("id"), posexplode(wordNgrams(col("__w"), 2)).as(Seq("pos", "g")))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c2 = bi.groupBy("g").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("g"), " ", 1).as("__p")).agg(sum(col("c2")).as("c1"))
+    val scored = bi
+      .join(c2, "g")
+      .join(c1, col("w1") === col("__p"))
+      .select(col("id"), col("pos"), (col("c2").cast("double") / col("c1")).as("p"))
+    val agg = scored
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("p")))), x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s") / col("n_bigrams"), lit(0.0)).as("lm_score"))
+  }
+
   /** PII scrubbing: replace emails, NANP-style phone numbers, and IPv4
     * addresses with typed placeholder tags, and count what was scrubbed.
     * Patterns are RE2-compatible (no lookaround, no backreferences) so the

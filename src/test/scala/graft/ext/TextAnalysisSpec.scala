@@ -161,4 +161,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextAnalysis.chunkDocs(df, 0, 0))
     intercept[IllegalArgumentException](TextAnalysis.chunkDocs(df, 5, 5))
   }
+
+  test("bigram lm score: common transitions outrank a scrambled doc; short docs are 0") {
+    import spark.implicits._
+    // docs 1-4 share the frequent transition pattern; doc 5 is the same
+    // vocabulary in a transition order seen nowhere else; doc 6 too short
+    val common = "the cat sat on the mat"
+    val df = (Seq.tabulate(4)(i => (i + 1L, common)) ++
+      Seq((5L, "mat the on sat cat the"), (6L, "word"))).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 5 && out(5L)._1 == 5)
+    assert(out(1L)._2 > out(5L)._2,
+      s"fluent ${out(1L)._2} must outrank scrambled ${out(5L)._2}")
+    assert(out(6L) == ((0L, 0.0)), "sub-bigram docs score 0 with 0 transitions")
+    assert(out(1L) == out(2L), "identical docs score identically")
+  }
+
+  test("bigram lm score: every conditional distribution sums to 1 and the score is partition-stable") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c a b"), (2L, "b a b c"), (3L, "c a")).toDF("doc_id", "text")
+    val once = TextAnalysis.bigramLmScore(df).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val again = TextAnalysis.bigramLmScore(df.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(once == again, "ordered fold must make the double sum partition-invariant")
+    // hand-checked: bigrams of doc 3 = [c a]; C(c,a)=2 ("b c|a"? no: doc2 has
+    // "b c" then end; doc 1 has "a c","c a"; doc 3 "c a") -> C(c a)=2, C*(c)=2 -> p=1
+    assert(once(3L) == 1.0, s"doc 3's only transition is deterministic: ${once(3L)}")
+  }
 }
