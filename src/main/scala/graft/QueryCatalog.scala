@@ -1939,6 +1939,18 @@ object QueryCatalog {
        |       coalesce(a.s / a.n_bigrams, 0.0) AS lm_score
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Heavy-hitters vocabulary through the Misra-Gries sketch + exact
+    * recount, checked against the EXACT vocabulary oracle: the fixture's
+    * distinct-token count (~31) sits far below sketchK = 256, so no MG
+    * eviction can fire on any partition and the sketch surfaces every
+    * term — the oracle then verifies the whole sketch/merge/recount
+    * machinery end to end (the `ivf_topk_full` pattern). The eviction
+    * regime, where the result is exact only above the n/(sketchK+1)
+    * frequency threshold, is exercised by FreqSketchSpec.
+    */
+  private val qVocabHeavyHitters: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.approxVocabulary(table(s, dir, "documents"), topK = 100, sketchK = 256)
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2017,7 +2029,8 @@ object QueryCatalog {
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,
-    "lm_fluency" -> qLmScore)
+    "lm_fluency" -> qLmScore,
+    "vocab_heavy_hitters" -> qVocabHeavyHitters)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -2091,5 +2104,6 @@ object QueryCatalog {
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
     "stratum_cap" -> oStratumCap,
-    "lm_fluency" -> oLmScore)
+    "lm_fluency" -> oLmScore,
+    "vocab_heavy_hitters" -> oVocabulary)
 }

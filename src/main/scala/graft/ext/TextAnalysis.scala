@@ -73,6 +73,42 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(topK)
 
+  /** Heavy-hitters vocabulary via a Misra-Gries sketch + exact recount —
+    * the bounded-memory scale path for [[vocabulary]]: the exact form's
+    * count shuffle carries EVERY distinct term (a web-scale vocabulary is
+    * itself corpus-sized), while the sketch reduces each partition to at
+    * most `sketchK` (term, count) entries before its one tiny shuffle,
+    * then exactly recounts ONLY the surviving candidates (a semi-join
+    * prune, so the recount exchange carries O(sketchK) terms too).
+    *
+    * Exactness contract ([[graft.functions.MisraGriesAggregator]]'s
+    * guarantee): the result EQUALS the exact top-`topK` whenever the true
+    * `topK`-th frequency exceeds n_tokens / (sketchK + 1) — size `sketchK`
+    * to the corpus skew, exactly like `nlist` sizes the IVF quantizer.
+    * Below that threshold the tail of the list may differ (candidates are
+    * encounter-order-dependent in the slack band); the recount makes every
+    * REPORTED frequency exact in all regimes.
+    */
+  def approxVocabulary(
+      docs: DataFrame,
+      topK: Int = 100,
+      sketchK: Int = 256,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && sketchK >= topK, "need sketchK >= topK >= 1")
+    val toks = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val mg = udaf(new graft.functions.MisraGriesAggregator(sketchK),
+      org.apache.spark.sql.Encoders.STRING)
+    val candidates = toks.agg(mg(col("token")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("token"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Content fingerprints: MD5 of normalized text plus a polynomial rolling
     * hash (base-31 over code points, mod 1e9+7 — a native codegen'd
     * [[graft.functions.TextExpressions.RollingHash]] expression; the
