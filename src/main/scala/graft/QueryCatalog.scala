@@ -1951,6 +1951,24 @@ object QueryCatalog {
   private val qVocabHeavyHitters: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.approxVocabulary(table(s, dir, "documents"), topK = 100, sketchK = 256)
 
+  /** Cross-source n-gram overlap audit. Spark pairs sources over xxhash64
+    * gram hashes, the oracle over gram strings — identical sets up to hash
+    * collisions, the standard gram-hash gate.
+    */
+  private val qSourceOverlap: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.sourceNgramOverlap(table(s, dir, "documents"), n = 6)
+
+  private val oSourceOverlap: String =
+    s"""WITH toks AS (SELECT source, string_split($normSql, ' ') AS w FROM documents WHERE source IS NOT NULL),
+       |g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(w) - 4), i -> array_to_string(w[i:i+5], ' '))) AS g
+       |      FROM toks WHERE len(w) >= 6),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2),
+       |s AS (SELECT source, count(*) AS sz FROM g GROUP BY 1)
+       |SELECT p.source_a, p.source_b, p.n_shared,
+       |       CAST(p.n_shared AS DOUBLE) / (sa.sz + sb.sz - p.n_shared) AS jaccard
+       |FROM p JOIN s sa ON sa.source = p.source_a JOIN s sb ON sb.source = p.source_b""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2030,7 +2048,8 @@ object QueryCatalog {
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,
     "lm_fluency" -> qLmScore,
-    "vocab_heavy_hitters" -> qVocabHeavyHitters)
+    "vocab_heavy_hitters" -> qVocabHeavyHitters,
+    "source_overlap" -> qSourceOverlap)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -2105,5 +2124,6 @@ object QueryCatalog {
     "mixture_sample" -> oMixtureSample,
     "stratum_cap" -> oStratumCap,
     "lm_fluency" -> oLmScore,
-    "vocab_heavy_hitters" -> oVocabulary)
+    "vocab_heavy_hitters" -> oVocabulary,
+    "source_overlap" -> oSourceOverlap)
 }

@@ -530,6 +530,49 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
   }
 
+  /** Cross-source contamination audit: for every pair of sources, how much
+    * verbatim content they share — the distinct word-n-grams occurring in
+    * BOTH, plus the Jaccard of their gram sets. The due-diligence view a
+    * curation pipeline runs before mixing sources (a high-overlap pair
+    * means one source republishes the other and the mixture double-counts
+    * it) and the aggregate twin of [[decontaminate]]'s per-document gate.
+    *
+    * Output: source_a < source_b, n_shared (distinct shared n-grams),
+    * jaccard (n_shared / (|A| + |B| - n_shared), one exact-int IEEE
+    * division). Null-source rows are excluded; docs with fewer than `n`
+    * tokens contribute no grams.
+    *
+    * The 100 TB shape: grams travel as 64-bit [[graft.functions
+    * .NgramExpressions.NgramHashes]] hashes and collapse to one row per
+    * DISTINCT (gram, source) before any pairing — the pair stage then
+    * emits at most |sources|^2/2 rows per gram group
+    * ([[orderedPairsWithinGroups]]), so its volume is bounded by
+    * gram-vocabulary x source-pairs, never by the corpus. Counts are exact
+    * up to xxhash64 gram collisions, the same documented gate as every
+    * gram-hash path in this module.
+    */
+  def sourceNgramOverlap(
+      docs: DataFrame,
+      n: Int = 6,
+      srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val grams = docs.filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("src"), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("src"), explode(ngramHashes(col("__w"), n)).as("g"))
+      .distinct()
+    val pairs = orderedPairsWithinGroups(grams, col("g"), col("src"))
+      .groupBy(col("__a").as("source_a"), col("__b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sizes.toDF("source_a", "sa"), "source_a")
+      .join(sizes.toDF("source_b", "sb"), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") / (col("sa") + col("sb") - col("n_shared"))).as("jaccard"))
+  }
+
   /** Semantic (embedding-space) dedup: drop every member of an
     * embedding-cosine near-dup group except one representative — the
     * SemDeDup-style curation step that removes semantically redundant

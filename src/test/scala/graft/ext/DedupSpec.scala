@@ -185,6 +185,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("source overlap: shared n-grams pair the right sources with exact jaccard") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta" // one shared 4-gram
+    val d = Seq(
+      (1L, s"$shared one two", "A"),   // 6 tokens -> 3 distinct 4-grams
+      (2L, s"$shared nine ten", "B"),  // 6 tokens -> 3 distinct 4-grams
+      (3L, "totally different words here", "C"),
+      (4L, "tiny", "A"),               // sub-n: contributes nothing
+      (5L, s"$shared", null))          // null source: excluded
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceNgramOverlap(d, n = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1, s"only A-B share a gram: ${out.mkString(",")}")
+    val (a, b, nShared, jac) = out.head
+    assert((a, b) == (("A", "B")) && nShared == 1L)
+    assert(jac == 1.0 / 5.0, s"1 shared of 3+3-1 grams, got $jac")
+  }
+
   // -------------------------------------------------------------- lineDedup
 
   private def lineDedupMap(d: org.apache.spark.sql.DataFrame) =
