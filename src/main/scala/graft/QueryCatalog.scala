@@ -1969,6 +1969,32 @@ object QueryCatalog {
        |       CAST(p.n_shared AS DOUBLE) / (sa.sz + sb.sz - p.n_shared) AS jaccard
        |FROM p JOIN s sa ON sa.source = p.source_a JOIN s sb ON sb.source = p.source_b""".stripMargin
 
+  /** Per-doc duplicate n-gram fraction (Gopher/RefinedWeb quality filter).
+    * Spark counts distinct gram HASHES, the oracle distinct gram STRINGS —
+    * identical up to xxhash64 collisions, the standard gram-hash gate. The
+    * n = 3 gram construction is oNgramJaccard's; dup_fraction is one
+    * exact-int IEEE division (NULL for gramless docs, pinned in both
+    * engines).
+    */
+  private val qDupNgramFraction: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dupNgramFraction(table(s, dir, "documents"), n = 3)
+
+  private val oDupNgramFraction: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id IS NOT NULL),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS g
+       |  FROM toks WHERE len(w) >= 3),
+       |dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       |  FROM grams JOIN dfreq USING (g) GROUP BY 1)
+       |SELECT t.doc_id,
+       |       coalesce(per.n_grams, 0) AS n_grams,
+       |       coalesce(per.n_dup, 0) AS n_dup,
+       |       CAST(per.n_dup AS DOUBLE) / per.n_grams AS dup_fraction
+       |FROM toks t LEFT JOIN per USING (doc_id)""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2049,7 +2075,8 @@ object QueryCatalog {
     "stratum_cap" -> qStratumCap,
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
-    "source_overlap" -> qSourceOverlap)
+    "source_overlap" -> qSourceOverlap,
+    "dup_ngram_fraction" -> qDupNgramFraction)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -2125,5 +2152,6 @@ object QueryCatalog {
     "stratum_cap" -> oStratumCap,
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
-    "source_overlap" -> oSourceOverlap)
+    "source_overlap" -> oSourceOverlap,
+    "dup_ngram_fraction" -> oDupNgramFraction)
 }

@@ -449,6 +449,51 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Per-document duplicate n-gram fraction — the Gopher/RefinedWeb-style
+    * quality signal: what share of a document's distinct word-n-grams also
+    * occur in at least one OTHER document. High fractions flag boilerplate,
+    * mirror-site copies, and template spam that survive exact dedup; the
+    * standard curation filter drops docs above a fraction threshold.
+    *
+    * Output: one row per non-null-id input document — `idCol`, `n_grams`
+    * (distinct grams in the doc), `n_dup` (of those, grams whose corpus
+    * document frequency is >= 2), `dup_fraction` (`n_dup / n_grams`, one
+    * exact-int IEEE division; NULL when the doc has no grams — docs shorter
+    * than `n` tokens or with null text carry no evidence either way, which
+    * a downstream threshold filter must decide about explicitly rather than
+    * inherit a silent 0.0).
+    *
+    * The 100 TB shape: grams travel as 64-bit [[graft.functions
+    * .NgramExpressions.NgramHashes]] hashes (the same collision gate as
+    * every gram path here); document frequency is ONE count aggregate over
+    * the distinct (id, gram) relation, joined back by gram hash — three
+    * linear shuffles of bounded-width rows, never a self-join, and a hot
+    * gram costs one long-counter row (unlike the pair paths, no `maxDf` cap
+    * is needed because nothing quadratic exists to cap).
+    */
+  def dupNgramFraction(
+      docs: DataFrame,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val grams = docGrams(docs.filter(col(idCol).isNotNull), idCol, textCol, n)
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(dfreq, Seq("g"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_fraction"))
+  }
+
   /** Eval-set decontamination: drop every training document that shares at
     * least one word-n-gram with a benchmark/eval corpus (the standard
     * pre-training hygiene step that keeps test sets out of the training

@@ -249,4 +249,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> "p||q", 2L -> "r"))
     intercept[IllegalArgumentException](Dedup.lineDedup(docs(1L -> "x"), sep = ""))
   }
+
+  test("dup ngram fraction: shared grams count as duplicated, unique ones don't") {
+    // docs 1 and 2 share the trigram "a b c" (plus nothing else); doc 3 is
+    // disjoint. doc 1: grams {a b c, b c x1, c x1 x2} -> 1 of 3 duplicated.
+    val d = docs(
+      1L -> "a b c x1 x2",
+      2L -> "a b c",
+      3L -> "q r s t")
+    val out = Dedup.dupNgramFraction(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((3L, 1L, Some(1.0 / 3))))
+    assert(out(2L) == ((1L, 1L, Some(1.0))))
+    assert(out(3L) == ((2L, 0L, Some(0.0))))
+  }
+
+  test("dup ngram fraction: repeats WITHIN one doc are not corpus duplicates") {
+    // "a b c" occurs twice in doc 1 but in no other doc: the gram relation
+    // is distinct per doc, so its df stays 1 and nothing is flagged
+    val out = Dedup.dupNgramFraction(docs(1L -> "a b c a b c"), n = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 0L)
+  }
+
+  test("dup ngram fraction: gramless and null-text docs get 0 grams and a NULL fraction") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), Some("too short")), (Some(2L), None), (None, Some("a b c d")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.isNullAt(3)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // null ids excluded
+    assert(out(1L) == ((0L, 0L, true)))
+    assert(out(2L) == ((0L, 0L, true)))
+  }
 }
