@@ -1406,6 +1406,38 @@ object QueryCatalog {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 10""".stripMargin
 
+  /** k-NN majority-label vote (auto-labeling): exact top-10 neighbors per
+    * query + a deterministic (votes desc, label asc) pick. The oracle
+    * replays oCosineTopK's ranking (already proven bitwise against the
+    * TopKAggregator) and the vote via a window over label counts.
+    */
+  private val qKnnLabelVote: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.knnLabelVote(emb, emb.filter(col("vec_id") % 25 === 0), k = 10)
+  }
+
+  private val oKnnLabelVote: String =
+    s"""WITH n AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS double)) AS e,
+       |                  ${normSqlExpr("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT * FROM n WHERE id % 25 = 0),
+       |scored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id, ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n c JOIN q ON q.id <> c.id),
+       |ranked AS (
+       |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk,
+       |         neighbor_id
+       |  FROM scored),
+       |votes AS (
+       |  SELECT r.query_id, e.label AS knn_label, count(*) AS n_votes
+       |  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+       |  WHERE r.rnk <= 10 AND e.label IS NOT NULL
+       |  GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT query_id, knn_label, n_votes,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, knn_label) AS rn
+       |  FROM votes)
+       |SELECT query_id, knn_label, n_votes FROM pick WHERE rn = 1""".stripMargin
+
   /** IVF probing ALL clusters (nprobe = nlist): the candidate set is then the
     * full corpus, so the result must equal exact brute force bitwise — one
     * oracle (oCosineTopK) verifies the whole IVF machinery end to end:
@@ -2029,6 +2061,7 @@ object QueryCatalog {
     "decontaminate" -> qDecontaminate,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
+    "knn_label_vote" -> qKnnLabelVote,
     "ivf_topk" -> qIvfTopK,
     "ivf_topk_full" -> qIvfTopKFull,
     "srp_cosine_pairs" -> qSrpCosinePairs,
@@ -2107,6 +2140,7 @@ object QueryCatalog {
     "decontaminate" -> oDecontaminate,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
+    "knn_label_vote" -> oKnnLabelVote,
     "ivf_topk_full" -> oCosineTopK,
     "srp_cosine_pairs" -> oSrpCosinePairs,
     "ivf_cosine_pairs" -> oSrpCosinePairs,

@@ -368,6 +368,55 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Majority-label vote over a precomputed neighbor relation (the
+    * `query_id, neighbor_id` surface of [[bruteForceTopK]]/[[ivfTopK]]):
+    * each query takes the label most common among its neighbors — the
+    * standard k-NN auto-labeling / label-propagation step for extending a
+    * small labeled seed set over a large corpus.
+    *
+    * Deterministic tie-break: highest vote count, then SMALLEST label
+    * (`min(struct(-votes, label))` — one aggregate, no window sort).
+    * Unlabeled (null-label) neighbors cannot vote; a query whose every
+    * neighbor is unlabeled drops out of the output.
+    *
+    * Output: query_id, knn_label, n_votes (votes for the winning label).
+    */
+  def labelVote(
+      neighbors: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val labels = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(labelCol).as("__lbl"))
+    neighbors
+      .join(labels, Seq("neighbor_id"))
+      .filter(col("__lbl").isNotNull)
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy("query_id")
+      .agg(min(struct((-col("n_votes")).as("nv"), col("__lbl").as("lbl"))).as("__w"))
+      .select(col("query_id"), col("__w.lbl").as("knn_label"), (-col("__w.nv")).as("n_votes"))
+  }
+
+  /** k-NN classification of `queries` against a labeled `corpus`: exact
+    * cosine top-k neighbors ([[bruteForceTopK]]; pass `nprobe > 0` to route
+    * through [[ivfTopK]] at corpus scale) + [[labelVote]]. The two stages
+    * share the top-k machinery's determinism, so with `nprobe <= 0` the
+    * whole operator is exact and engine-portable.
+    */
+  def knnLabelVote(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val neighbors =
+      if (nprobe <= 0) bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      else ivfTopK(corpus, queries, k, nprobe = nprobe, idCol = idCol, vecCol = vecCol)
+    labelVote(neighbors, corpus, idCol, labelCol)
+  }
+
   /** Exact all-pairs cosine >= threshold via a broadcast + tight-loop kernel.
     *
     * Spark's higher-order array functions (`zip_with`/`aggregate`) are a

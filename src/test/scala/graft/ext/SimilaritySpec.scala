@@ -217,4 +217,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
     assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("labelVote: majority wins, ties break to the smallest label, nulls can't vote") {
+    import spark.implicits._
+    val neighbors = Seq(
+      // query 10: labels 1,1,2 -> label 1 with 2 votes
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      // query 20: labels 2,2,1,1 -> tie at 2 votes -> smaller label 1
+      (20L, 3L), (20L, 4L), (20L, 1L), (20L, 2L),
+      // query 30: only unlabeled neighbors -> dropped
+      (30L, 5L)).toDF("query_id", "neighbor_id")
+    val corpus = Seq(
+      (1L, Some(1)), (2L, Some(1)), (3L, Some(2)), (4L, Some(2)), (5L, None))
+      .toDF("vec_id", "label")
+    val out = Similarity.labelVote(neighbors, corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out == Map(10L -> ((1, 2L)), 20L -> ((1, 2L))))
+  }
+
+  test("knnLabelVote recovers cluster labels on the clustered fixture (exact and IVF)") {
+    import spark.implicits._
+    // ground truth: the generating cluster id (i % 8)
+    val labeled = clustered.withColumn("label", (col("vec_id") % 8).cast("int"))
+    val queries = clustered.filter(col("vec_id") % 40 === 0) // 10 queries
+    val exact = Similarity.knnLabelVote(labeled, queries, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact.size == 10)
+    assert(exact.forall { case (id, lbl) => lbl == (id % 8).toInt }, exact.toString)
+    // the IVF route must agree on this tightly clustered fixture
+    val ivf = Similarity.knnLabelVote(labeled, queries, k = 5, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivf == exact)
+  }
 }
