@@ -1378,6 +1378,44 @@ object QueryCatalog {
       |  )), (a, x) -> a + x) AS value
       |FROM embeddings CROSS JOIN (SELECT unnest(range(16)) AS i) dims""".stripMargin
 
+  /** Per-dimension standardization stats — the event-stats decimal-moment
+    * pattern applied position-wise over the embedding arrays (probed at the
+    * shipped scale factors: the DECIMAL(38,8) cast of these float-derived
+    * doubles and their squares agrees bitwise between engines over every
+    * fixture value).
+    */
+  private val qFeatureStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Features.featureStats(table(s, dir, "embeddings"))
+
+  private val oFeatureStats: String =
+    """WITH x AS (
+      |  SELECT CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+      |  FROM (SELECT embedding, unnest(range(len(embedding))) AS i FROM embeddings
+      |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+      |m AS (
+      |  SELECT dim, count(*) AS n,
+      |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+      |         min(x) AS min_x, max(x) AS max_x
+      |  FROM x GROUP BY 1)
+      |SELECT dim, n, s1 / n AS mean,
+      |       CASE WHEN n > 1 THEN
+      |         CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+      |              THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END
+      |       END AS std,
+      |       min_x, max_x
+      |FROM m""".stripMargin
+
+  /** Top-2 principal components of the embedding corpus. Rows-only by
+    * necessity: the eigenvectors come from power iteration on the one-pass
+    * covariance — not SQL-expressible — and the covariance's partition-order
+    * double fold is bit-stable only for a fixed input layout. PcaSpec pins
+    * the numerics (planted-direction recovery, orthogonality, captured
+    * variance) and the projection kernel is the oracled dot.
+    */
+  private val qPcaProject: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Features.pcaProject(table(s, dir, "embeddings"), k = 2, dim = 64)
+
   private val qCosinePairs: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.embeddingCosinePairs(table(s, dir, "embeddings"), threshold = 0.4)
 
@@ -2056,6 +2094,8 @@ object QueryCatalog {
     "curation_clustered" -> qCurationClustered,
     "embedding_norms" -> qEmbeddingNorms,
     "random_project" -> qRandomProject,
+    "feature_stats" -> qFeatureStats,
+    "pca_project" -> qPcaProject,
     "zorder_stats" -> qZorderStats,
     "incremental_dedup" -> qIncrementalDedup,
     "decontaminate" -> qDecontaminate,
@@ -2135,6 +2175,7 @@ object QueryCatalog {
     "curation_clustered" -> oCurationClustered,
     "embedding_norms" -> oEmbeddingNorms,
     "random_project" -> oRandomProject,
+    "feature_stats" -> oFeatureStats,
     "zorder_stats" -> oZorderStats,
     "incremental_dedup" -> oIncrementalDedup,
     "decontaminate" -> oDecontaminate,
