@@ -1016,6 +1016,41 @@ object QueryCatalog {
        |SELECT token, count(*) AS freq FROM t WHERE token <> ''
        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin
 
+  /** Linear classifier-filter scoring with a self-contained deterministic
+    * weight table: the corpus top-100 vocabulary, each term weighted by its
+    * md5-derived uniform in [-1, 1) (the random_project coefficient
+    * construction — IEEE-exact in both engines, no side-channel model file
+    * to ship). The per-doc sum folds in term order, so the whole operator
+    * is bitwise under the oracle.
+    */
+  private val qQualityLogit: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val weights = TextAnalysis.vocabulary(docs, topK = 100)
+      .select(
+        col("token").as("term"),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("double")
+          / lit(4294967296.0) * 2 - 1).as("weight"))
+    TextAnalysis.linearTextScore(docs, weights, bias = -1.5)
+  }
+
+  private val oQualityLogit: String =
+    s"""WITH toks0 AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+       |               FROM documents WHERE doc_id IS NOT NULL),
+       |vocab AS (SELECT t AS term FROM toks0 WHERE t <> ''
+       |          GROUP BY 1 ORDER BY count(*) DESC, term LIMIT 100),
+       |w AS (SELECT term,
+       |             (('0x' || substr(md5(term), 1, 8))::BIGINT / 4294967296.0) * 2 - 1 AS weight
+       |      FROM vocab),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM toks0 WHERE t <> '' GROUP BY 1, 2),
+       |c AS (SELECT doc_id, t, tf * weight AS c FROM tf JOIN w ON w.term = tf.t),
+       |agg AS (SELECT doc_id, count(*) AS n_matched,
+       |               list_reduce(list_prepend(0.0, list(c ORDER BY t)), (a, x) -> a + x) AS s
+       |        FROM c GROUP BY 1)
+       |SELECT d.doc_id, coalesce(agg.n_matched, 0) AS n_matched,
+       |       -1.5 + coalesce(agg.s, 0.0) AS logit
+       |FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+       |LEFT JOIN agg USING (doc_id)""".stripMargin
+
   private val qFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.fingerprints(table(s, dir, "documents"))
 
@@ -2085,6 +2120,7 @@ object QueryCatalog {
     "lang_id" -> qLangId,
     "token_counts" -> qTokenCounts,
     "fingerprints" -> qFingerprints,
+    "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
     "simhash_pairs" -> qSimhashPairs,
@@ -2167,6 +2203,7 @@ object QueryCatalog {
     "lang_id" -> oLangId,
     "token_counts" -> oTokenCounts,
     "fingerprints" -> oFingerprints,
+    "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
     "simhash_md5_pairs" -> oSimhashMd5Pairs,

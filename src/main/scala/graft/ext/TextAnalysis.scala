@@ -308,6 +308,57 @@ object TextAnalysis {
         coalesce(col("__s") / col("n_bigrams"), lit(0.0)).as("lm_score"))
   }
 
+  /** Linear bag-of-words document scorer — the classifier-filter step of a
+    * curation pipeline (fastText/CCNet-style quality or domain classifiers
+    * reduce to exactly this at inference time): per document,
+    * `logit = bias + sum over matched terms of tf(term) * weight(term)`.
+    * The weight table is a (term, weight) DataFrame — one row per term,
+    * trained elsewhere — broadcast so scoring is a map-side join; terms
+    * not in the table contribute nothing. The raw logit is emitted (not a
+    * sigmoid): it is monotone in the probability, thresholds translate
+    * directly, and it avoids pinning `exp` across engines.
+    *
+    * Output: one row per non-null-id doc — `idCol`, `n_matched` (distinct
+    * vocabulary terms hit), `logit` (= `bias` for docs matching nothing,
+    * including null-text docs).
+    *
+    * Determinism: the per-doc contribution sum folds in TERM order
+    * (`sort_array(collect_list(struct(term, c)))` — terms are distinct per
+    * doc after the tf aggregate), so the double sum is order-free under
+    * any partitioning and externally replayable; the list is bounded by
+    * |weights|, the broadcast bound itself.
+    */
+  def linearTextScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      bias: Double = 0.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .join(broadcast(weights.select(col("term").as("t"), col("weight"))), Seq("t"))
+      .select(col("id"), col("t"), (col("tf") * col("weight")).as("c"))
+    val agg = contrib
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_matched"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("t"), col("c")))), x => x.getField("c")),
+          lit(0.0), (a, x) => a + x).as("__s"))
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (lit(bias) + coalesce(col("__s"), lit(0.0))).as("logit"))
+  }
+
   /** PII scrubbing: replace emails, NANP-style phone numbers, and IPv4
     * addresses with typed placeholder tags, and count what was scrubbed.
     * Patterns are RE2-compatible (no lookaround, no backreferences) so the

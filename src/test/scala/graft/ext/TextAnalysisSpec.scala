@@ -189,4 +189,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     // "b c" then end; doc 1 has "a c","c a"; doc 3 "c a") -> C(c a)=2, C*(c)=2 -> p=1
     assert(once(3L) == 1.0, s"doc 3's only transition is deterministic: ${once(3L)}")
   }
+
+  test("linear text score: tf-weighted logit with bias; unmatched and null-text docs score the bias") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(1L), Some("good good bad plain")),
+      (Some(2L), Some("nothing matches here")),
+      (Some(3L), None),
+      (None, Some("good"))).toDF("doc_id", "text")
+    val weights = Seq(("good", 1.0), ("bad", -2.0)).toDF("term", "weight")
+    val out = TextAnalysis.linearTextScore(docs, weights, bias = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // null ids excluded
+    assert(out(1L) == ((2L, 0.5 + 2 * 1.0 + 1 * -2.0)))
+    assert(out(2L) == ((0L, 0.5)))
+    assert(out(3L) == ((0L, 0.5)))
+  }
+
+  test("linear text score: term-ordered fold is partition-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(30)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val weights = vocab.map(t => (t, rng.nextGaussian())).toDF("term", "weight")
+    val once = TextAnalysis.linearTextScore(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val again = TextAnalysis.linearTextScore(docs.repartition(17), weights).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(once == again)
+  }
 }
