@@ -2015,6 +2015,22 @@ object QueryCatalog {
       |    ORDER BY ('0x' || substr(md5('v' || source || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
       |  FROM documents) WHERE rn <= 5""".stripMargin
 
+  /** Exact curriculum bucketing: quartiles of document length per language,
+    * (n_chars, doc_id) total order with NULLS FIRST pinned on both engines
+    * (defaults differ: Spark sorts nulls first ascending, DuckDB last).
+    * ntile remainder semantics are the SQL standard in both.
+    */
+  private val qCurriculumBuckets: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sampling.quantileBuckets(
+      table(s, dir, "documents"), k = 4, valueCol = "n_chars", idCol = "doc_id", strataCol = "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+
+  private val oCurriculumBuckets: String =
+    """SELECT doc_id, lang, n_chars,
+      |       CAST(ntile(4) OVER (PARTITION BY lang
+      |         ORDER BY n_chars ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS INT) AS bucket
+      |FROM documents""".stripMargin
+
   /** Corpus-trained bigram LM fluency score — mean transition probability
     * per doc, no `ln` so every step is one correctly-rounded IEEE op on
     * exact integer counts, summed in position order by an ordered fold the
@@ -2182,6 +2198,7 @@ object QueryCatalog {
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,
+    "curriculum_buckets" -> qCurriculumBuckets,
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
@@ -2262,6 +2279,7 @@ object QueryCatalog {
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
     "stratum_cap" -> oStratumCap,
+    "curriculum_buckets" -> oCurriculumBuckets,
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,

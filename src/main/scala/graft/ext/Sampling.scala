@@ -218,6 +218,56 @@ object Sampling {
       .drop("__mix_src", "__T", "__B")
   }
 
+  /** Exact per-stratum quantile bucketing (curriculum assignment): rank
+    * every row within its stratum by `(valueCol, idCol)` — both ascending,
+    * NULLS FIRST pinned explicitly because engines disagree on the default
+    * — and deal the stratum into `k` equal buckets (`ntile`: earlier
+    * buckets take the remainder row). The standard curriculum/difficulty
+    * split: bucket 1 = shortest/easiest quartile per language, etc.
+    *
+    * Output: the input columns + `bucket` (1..k). The id tiebreak makes
+    * the assignment a pure function of the data — reproducible under any
+    * partitioning and externally replayable.
+    *
+    * Scale honesty: `ntile` sorts each stratum inside one task, so the
+    * hottest stratum bounds this form (fine up to tens of millions of
+    * rows per stratum; the correctness-gate regime). At 100 TB derive
+    * boundaries once (exact via this form on a sample, or
+    * `approx_percentile` in one pass) and assign with the map-only
+    * [[boundaryBuckets]] instead.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      k: Int,
+      valueCol: String,
+      idCol: String,
+      strataCol: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(valueCol).asc_nulls_first, col(idCol).asc_nulls_first)
+    df.withColumn("bucket", ntile(k).over(w))
+  }
+
+  /** Map-only bucket assignment against precomputed ascending boundaries:
+    * bucket i (1-based) is the first with `value <= boundaries(i-1)`, else
+    * `boundaries.length + 1`. NULL values land in bucket 1 (the NULLS
+    * FIRST convention of [[quantileBuckets]]). The 100 TB path: boundaries
+    * are a handful of doubles, the assignment is one codegen'd CASE chain,
+    * no shuffle at all.
+    */
+  def boundaryBuckets(
+      df: DataFrame,
+      valueCol: String,
+      boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "need at least one boundary")
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.length + 1): Column) {
+      case ((b, i), rest) => when(col(valueCol) <= b, i + 1).otherwise(rest)
+    }
+    df.withColumn("bucket", when(col(valueCol).isNull, 1).otherwise(bucket))
+  }
+
   /** Reference implementation for tests (and for consumers outside Spark). */
   def splitOf(id: String, splits: Seq[(String, Double)]): String = {
     val hex = java.security.MessageDigest.getInstance("MD5")

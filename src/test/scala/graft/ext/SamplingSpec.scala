@@ -263,4 +263,37 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.mixtureSample(df, Map("m0" -> -1L), "src", "id", "w"))
   }
+
+  test("quantile buckets: per-stratum quartiles with ntile remainder semantics") {
+    import spark.implicits._
+    // stratum a: 8 rows -> 2 per bucket; stratum b: 6 rows -> 2,2,1,1
+    val df = ((1L to 8L).map(i => ("a", i, i * 10)) ++
+      (1L to 6L).map(i => ("b", i + 100, i))).toDF("lang", "doc_id", "n_chars")
+    val out = Sampling.quantileBuckets(df, k = 4, "n_chars", "doc_id", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert((1L to 8L).map(i => out(("a", i))) == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    assert((1L to 6L).map(i => out(("b", i + 100))) == Seq(1, 1, 2, 2, 3, 4))
+  }
+
+  test("quantile buckets: null values sort first; a null stratum is its own group") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1L, Some(50L)), (Some("a"), 2L, None), (Some("a"), 3L, Some(10L)),
+      (None, 4L, Some(1L)), (None, 5L, Some(2L))).toDF("lang", "doc_id", "n_chars")
+    val out = Sampling.quantileBuckets(df, k = 2, "n_chars", "doc_id", "lang").collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out(2L) == 1, "null value ranks first (NULLS FIRST pinned)")
+    assert(out == Map(1L -> 2, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 2))
+  }
+
+  test("boundary buckets: map-only assignment against ascending boundaries") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(10.0)), (3L, Some(10.5)), (4L, Some(99.0)), (5L, None))
+      .toDF("id", "v")
+    val out = Sampling.boundaryBuckets(df, "v", Seq(10.0, 20.0)).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 1))
+    intercept[IllegalArgumentException](Sampling.boundaryBuckets(df, "v", Seq(20.0, 10.0)))
+    intercept[IllegalArgumentException](Sampling.boundaryBuckets(df, "v", Seq.empty))
+  }
 }
