@@ -202,4 +202,45 @@ class PlanShapeSpec extends AnyFunSuite {
     // joins: only the final per-doc LEFT join of counts to rebuilt text
     assert(!p.contains("Inner"), s"unexpected inner join (line self-join?) in:\n${p.take(2000)}")
   }
+
+  test("dup_ngram_fraction: native gram kernel, linear shuffles, no window") {
+    val p = plan(QueryCatalog.queries("dup_ngram_fraction")(spark, sf))
+    assertNoCartesian(p)
+    assert(p.contains("ngram_hashes"), "native gram kernel missing")
+    assert(!p.contains("Window"), "df counting must stay an aggregate, not a rank window")
+  }
+
+  test("knn_label_vote: bounded top-k aggregation + one-aggregate vote, no window") {
+    val p = plan(QueryCatalog.queries("knn_label_vote")(spark, sf))
+    assertNoCartesian(p)
+    assert(!p.contains("Window"), s"rank/vote window crept into the label vote:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate"), "expected the bounded TopKAggregator selection")
+  }
+
+  test("feature_stats: the word-count shape — exactly one exchange, partial aggregation") {
+    val p = plan(QueryCatalog.queries("feature_stats")(spark, sf))
+    assert(!p.contains("Window") && !p.contains("Join"), s"unexpected operator:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one exchange (the per-dim aggregate):\n${p.take(2000)}")
+  }
+
+  test("quality_logit: weight table broadcasts; vocabulary via TakeOrderedAndProject") {
+    val p = plan(QueryCatalog.queries("quality_logit")(spark, sf))
+    assertNoCartesian(p)
+    assert(p.contains("BroadcastHashJoin"), "weights must broadcast, not shuffle the tf relation")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 vocab must not be a global sort")
+  }
+
+  test("pca_project: the projection itself is map-only — no exchange at all") {
+    val p = plan(QueryCatalog.queries("pca_project")(spark, sf))
+    assert(!p.contains("Exchange"), s"projection pass must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "projection must not join")
+  }
+
+  test("curriculum_buckets: the window partitions by the stratum — never a global sort") {
+    val p = plan(QueryCatalog.queries("curriculum_buckets")(spark, sf))
+    assert(p.contains("Window"), "ntile is expected to be a window")
+    assert(!p.contains("rangepartitioning"),
+      s"global range sort crept into the per-stratum bucketing:\n${p.take(1200)}")
+  }
 }
