@@ -2090,6 +2090,41 @@ object QueryCatalog {
        |       CAST(p.n_shared AS DOUBLE) / (sa.sz + sb.sz - p.n_shared) AS jaccard
        |FROM p JOIN s sa ON sa.source = p.source_a JOIN s sb ON sb.source = p.source_b""".stripMargin
 
+  /** Corpus snapshot diff over two deterministically synthesized versions
+    * of the documents table: ids at %11 == 0 are missing from the old
+    * snapshot (-> added), %13 == 0 missing from the new (-> removed),
+    * %7 == 0 mutated in the old (-> changed), the rest unchanged. The
+    * oracle replays the same construction with a FULL OUTER join and
+    * null-safe fingerprint equality.
+    */
+  private val qCorpusDiff: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" CHANGED")))
+          .otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+    Dedup.corpusDiff(oldSnap, newSnap)
+  }
+
+  private val oCorpusDiff: String = {
+    val normOf = (e: String) => s"lower(trim(regexp_replace($e, '[ \\t\\n\\f\\r]+', ' ', 'g')))"
+    s"""WITH old0 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' CHANGED' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 0),
+       |o AS (SELECT doc_id AS id, min(md5(${normOf("text")})) AS old_fp
+       |      FROM old0 WHERE doc_id IS NOT NULL GROUP BY 1),
+       |n AS (SELECT doc_id AS id, min(md5(${normOf("text")})) AS new_fp
+       |      FROM documents WHERE doc_id % 13 <> 0 AND doc_id IS NOT NULL GROUP BY 1)
+       |SELECT coalesce(o.id, n.id) AS doc_id,
+       |       CASE WHEN o.id IS NULL THEN 'added'
+       |            WHEN n.id IS NULL THEN 'removed'
+       |            WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
+       |            ELSE 'changed' END AS status,
+       |       o.old_fp, n.new_fp
+       |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin
+  }
+
   /** Per-doc duplicate n-gram fraction (Gopher/RefinedWeb quality filter).
     * Spark counts distinct gram HASHES, the oracle distinct gram STRINGS —
     * identical up to xxhash64 collisions, the standard gram-hash gate. The
@@ -2202,7 +2237,8 @@ object QueryCatalog {
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
-    "dup_ngram_fraction" -> qDupNgramFraction)
+    "dup_ngram_fraction" -> qDupNgramFraction,
+    "corpus_diff" -> qCorpusDiff)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -2283,5 +2319,6 @@ object QueryCatalog {
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,
-    "dup_ngram_fraction" -> oDupNgramFraction)
+    "dup_ngram_fraction" -> oDupNgramFraction,
+    "corpus_diff" -> oCorpusDiff)
 }

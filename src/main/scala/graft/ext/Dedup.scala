@@ -658,6 +658,49 @@ object Dedup {
     embeddings.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` (only in the new snapshot), `removed` (only in
+    * the old), `changed` (both, different content fingerprint), or
+    * `unchanged` — the audit step of an incremental curation pipeline
+    * (what did this crawl/filter revision actually touch?) and the input
+    * to incremental downstream recomputation.
+    *
+    * Output: `idCol`, `status`, `old_fp`, `new_fp` (16-byte MD5 content
+    * fingerprints; NULL on a missing side AND for a present doc with null
+    * text — presence is tracked separately, so a null-text doc still
+    * diffs correctly and two null-text versions compare `unchanged` via
+    * null-safe equality). Null-id rows are excluded (no identity to align
+    * on); duplicate ids within one snapshot are collapsed to their min
+    * fingerprint first (deterministic, and it keeps the join 1:1 so a
+    * doubled id cannot fan out the diff).
+    *
+    * The 100 TB shape: each side reduces to (id, fp) — 16 bytes plus the
+    * id — before ONE full outer join on the id; the status is a CASE on
+    * the joined row. Nothing quadratic, nothing driver-side.
+    */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def fps(df: DataFrame, id: String, fp: String, present: String) =
+      df.filter(col(idCol).isNotNull)
+        .groupBy(col(idCol).as(id))
+        .agg(min(fingerprint(col(textCol))).as(fp))
+        .withColumn(present, lit(true))
+    val o = fps(oldDocs, "__id_o", "old_fp", "__po")
+    val n = fps(newDocs, "__id_n", "new_fp", "__pn")
+    o.join(n, col("__id_o") === col("__id_n"), "full_outer")
+      .select(
+        coalesce(col("__id_o"), col("__id_n")).as(idCol),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_fp"),
+        col("new_fp"))
+  }
+
   /** Embedding-cosine near-dup pairs (brute force, exact). Quadratic — this
     * is the correctness oracle / verifier (delegates to the broadcast
     * primitive-loop kernel in [[Similarity.cosinePairsExact]]; a declarative

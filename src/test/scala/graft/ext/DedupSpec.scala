@@ -250,6 +250,30 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.lineDedup(docs(1L -> "x"), sep = ""))
   }
 
+  test("corpus diff: added/removed/changed/unchanged, null text and dup ids handled") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (Some(1L), Some("same text")),
+      (Some(2L), Some("old version")),
+      (Some(3L), Some("will vanish")),
+      (Some(5L), None),
+      (Some(6L), None),
+      (Some(7L), Some("dup")), (Some(7L), Some("dup")),
+      (None, Some("no id"))).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (Some(1L), Some("Same   TEXT")), // same normalized content
+      (Some(2L), Some("new version")),
+      (Some(4L), Some("brand new")),
+      (Some(5L), None),                 // null text both sides -> unchanged
+      (Some(6L), Some("now filled")),   // null -> text = changed
+      (Some(7L), Some("dup"))).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "unchanged", 6L -> "changed", 7L -> "unchanged"))
+  }
+
   test("dup ngram fraction: shared grams count as duplicated, unique ones don't") {
     // docs 1 and 2 share the trigram "a b c" (plus nothing else); doc 3 is
     // disjoint. doc 1: grams {a b c, b c x1, c x1 x2} -> 1 of 3 duplicated.
