@@ -1712,6 +1712,16 @@ object QueryCatalog {
   private val qQuantize: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Quantization.quantizationStats(table(s, dir, "embeddings"))
 
+  /** Product quantization codes + reconstruction error. Rows-only by
+    * necessity (the pca_project pattern): per-subspace k-means codebooks
+    * are not SQL-expressible. QuantizationSpec pins exact reconstruction
+    * under a covering codebook, partition-invariance of the whole encode,
+    * the subspace-count error monotonicity, and the exclusion guards.
+    */
+  private val qPqCodes: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Quantization.productQuantize(
+      table(s, dir, "embeddings"), dim = 64, m = 8, codebookSize = 16)
+
   private val oQuantize: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings),
       |s AS (SELECT vec_id, e,
@@ -2230,6 +2240,7 @@ object QueryCatalog {
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "quantize_stats" -> qQuantize,
+    "pq_codes" -> qPqCodes,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,

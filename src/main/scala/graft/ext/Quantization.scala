@@ -60,4 +60,87 @@ object Quantization {
           zip_with(col("e"), col("q"), (x, qv) =>
             (x - qv.cast("double") * col("scale") / 127) * (x - qv.cast("double") * col("scale") / 127)),
           lit(0.0), (a, x) => a + x).as("recon_err"))
+
+  /** Product quantization — the second rung of the ANN memory ladder: split
+    * each d-dim vector into `m` contiguous subvectors, train a per-subspace
+    * k-means codebook of `codebookSize` centroids on a bounded driver-side
+    * sample (the IVF pattern: [[Similarity.hashOrderedSample]] +
+    * [[Similarity.kmeansCentroids]] — deterministic for fixed data), and
+    * encode every vector as `m` small centroid ids. At `m = 8`,
+    * `codebookSize = 256` a 64-dim float vector compresses 32x (256 bytes
+    * -> 8), with distances computable from codebook lookup tables.
+    *
+    * Encoding is ONE shuffle-free `mapPartitions` pass against the
+    * broadcast codebooks (primitive argmin per subspace, strict `<` —
+    * first-lowest wins, the library-wide tie rule). Vectors shorter than
+    * `dim` are excluded ([[graft.ext.Features.covariance]]'s convention);
+    * null ids/vectors likewise.
+    *
+    * Output: `idCol`, `code` (array<int>, length m, values in
+    * [0, codebookSize)), `recon_err` (squared L2 distance between the
+    * vector and its codebook reconstruction — the per-row quality number
+    * that decides whether PQ suffices at this m, exactly like
+    * [[quantizationStats]]' recon_err does for int8).
+    */
+  def productQuantize(
+      embeddings: DataFrame,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      trainSample: Int = 10000,
+      kmeansIterations: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
+    require(codebookSize >= 1, "need codebookSize >= 1")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val clean = embeddings.filter(
+      col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val sampleRaw = Similarity.hashOrderedSample(clean, idCol, vecCol, trainSample)
+      .filter(_.length >= dim)
+    require(sampleRaw.nonEmpty, s"no vectors with >= $dim components to train on")
+    // per-subspace codebooks from the SAME sample rows (slice j covers
+    // dims [j*sub, (j+1)*sub))
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      Similarity.kmeansCentroids(
+        sampleRaw.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
+        math.min(codebookSize, sampleRaw.length),
+        kmeansIterations)
+    }
+    val bc = spark.sparkContext.broadcast(codebooks)
+    clean
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val books = bc.value
+        rows.map { case (id, sv) =>
+          val v = sv.toArray
+          val code = new Array[Int](books.length)
+          var err = 0.0
+          var j = 0
+          while (j < books.length) {
+            val book = books(j)
+            val off = j * sub // longer-than-dim vectors encode their dim prefix
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val cent = book(c)
+              var d = 0.0
+              var i = 0
+              while (i < cent.length) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(j) = best
+            err += bestD
+            j += 1
+          }
+          (id, code.toSeq, err)
+        }
+      }
+      .toDF(idCol, "code", "recon_err")
+  }
 }

@@ -102,7 +102,7 @@ object Similarity {
     * id locality. Null ids/vectors are excluded (they cannot train or be
     * assigned).
     */
-  private def hashOrderedSample(
+  private[ext] def hashOrderedSample(
       corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
