@@ -1722,6 +1722,15 @@ object QueryCatalog {
     graft.ext.Quantization.productQuantize(
       table(s, dir, "embeddings"), dim = 64, m = 8, codebookSize = 16)
 
+  /** PQ-ADC approximate top-k (rows-only, like every codebook path):
+    * SimilaritySpec pins exactness in the covering-codebook regime and
+    * cluster-level recall + determinism on the clustered fixture.
+    */
+  private val qPqTopK: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, dim = 64, m = 8, codebookSize = 16)
+  }
+
   private val oQuantize: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings),
       |s AS (SELECT vec_id, e,
@@ -2241,6 +2250,7 @@ object QueryCatalog {
     "multimodal_frames" -> qMultimodalFrames,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
+    "pq_topk" -> qPqTopK,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,

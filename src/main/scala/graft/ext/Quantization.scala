@@ -82,6 +82,42 @@ object Quantization {
     * that decides whether PQ suffices at this m, exactly like
     * [[quantizationStats]]' recon_err does for int8).
     */
+  /** Per-subspace k-means codebooks from the bounded hash-ordered sample
+    * (slice j covers dims [j*sub, (j+1)*sub)). Shared by [[productQuantize]]
+    * and [[Similarity.pqTopK]] so encode and search can never train
+    * different books for the same parameters.
+    */
+  private[ext] def trainCodebooks(
+      clean: DataFrame,
+      dim: Int,
+      m: Int,
+      codebookSize: Int,
+      trainSample: Int,
+      kmeansIterations: Int,
+      idCol: String,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
+    require(codebookSize >= 1, "need codebookSize >= 1")
+    val sub = dim / m
+    val sampleRaw = Similarity.hashOrderedSample(clean, idCol, vecCol, trainSample)
+      .filter(_.length >= dim)
+    require(sampleRaw.nonEmpty, s"no vectors with >= $dim components to train on")
+    Array.tabulate(m) { j =>
+      Similarity.kmeansCentroids(
+        sampleRaw.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
+        math.min(codebookSize, sampleRaw.length),
+        kmeansIterations)
+    }
+  }
+
+  /** Squared L2 between a subvector of `v` at `off` and a centroid. */
+  private[ext] def subDist(v: Array[Double], off: Int, cent: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < cent.length) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
+    d
+  }
+
   def productQuantize(
       embeddings: DataFrame,
       dim: Int,
@@ -91,24 +127,13 @@ object Quantization {
       kmeansIterations: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
-    require(codebookSize >= 1, "need codebookSize >= 1")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val sub = dim / m
     val clean = embeddings.filter(
       col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
-    val sampleRaw = Similarity.hashOrderedSample(clean, idCol, vecCol, trainSample)
-      .filter(_.length >= dim)
-    require(sampleRaw.nonEmpty, s"no vectors with >= $dim components to train on")
-    // per-subspace codebooks from the SAME sample rows (slice j covers
-    // dims [j*sub, (j+1)*sub))
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      Similarity.kmeansCentroids(
-        sampleRaw.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
-        math.min(codebookSize, sampleRaw.length),
-        kmeansIterations)
-    }
+    val codebooks = trainCodebooks(
+      clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
+    val sub = dim / m
     val bc = spark.sparkContext.broadcast(codebooks)
     clean
       .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)))

@@ -368,6 +368,91 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** PQ-ADC approximate nearest neighbors: encode the corpus with
+    * per-subspace product-quantization codebooks ([[Quantization
+    * .trainCodebooks]] — the same books `productQuantize` emits for these
+    * parameters) and score each row against every query through
+    * asymmetric-distance lookup tables. Per query and subspace the table
+    * holds the exact squared L2 between the query's subvector and each
+    * centroid, so a row costs `m` additions per query after one
+    * code computation — versus `dim` multiply-adds for the exact kernel:
+    * the classic memory-bound ANN scan (at m = 8, dim = 64, the per-query
+    * inner loop is 8x smaller, and at scale the codes themselves are what
+    * the executors keep hot, 32x smaller than the vectors).
+    *
+    * Output: query_id, rnk (1-based, ascending approximate distance),
+    * neighbor_id, approx_dist (the ADC squared-L2 estimate — a DISTANCE:
+    * unlike the cosine surfaces, smaller is closer). Self-pairs are kept
+    * (the query's own code is its nearest reconstruction — drop
+    * `query_id = neighbor_id` downstream if unwanted). Corpus rows and
+    * queries shorter than `dim` are excluded ([[Quantization
+    * .productQuantize]]'s convention). Approximate by construction:
+    * recall floors are pinned in SimilaritySpec, and the shuffle is the
+    * same bounded O(k)-per-(query, partition) top-k aggregate as every
+    * other search path.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      dim: Int = 64,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      trainSample: Int = 10000,
+      kmeansIterations: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val clean = corpus.filter(
+      col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val books = Quantization.trainCodebooks(
+      clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
+    val sub = dim / m
+    val qArr = collectDriverSized(queries, idCol, vecCol, "query set", 100000,
+      guidance = "the query batch is broadcast to executors; split the query set into batches")
+      .filter(_._2.length >= dim)
+    // ADC tables: luts(q)(j)(c) = ||query_q[j*sub, (j+1)*sub) - books(j)(c)||^2
+    val luts: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qv) =>
+      qid -> Array.tabulate(m)(j => books(j).map(c => Quantization.subDist(qv, j * sub, c)))
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val scored = prepTyped(clean, idCol, vecCol)
+      .mapPartitions { rows =>
+        val bks = bcBooks.value
+        val ls = bcLuts.value
+        rows.flatMap { case (id, v) =>
+          // encode once per row (strict <, first-lowest wins)
+          val code = new Array[Int](bks.length)
+          var j = 0
+          while (j < bks.length) {
+            val book = bks(j)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val d = Quantization.subDist(v, j * sub, book(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(j) = best
+            j += 1
+          }
+          // m table lookups per query
+          ls.iterator.map { case (qid, lut) =>
+            var dist = 0.0
+            var jj = 0
+            while (jj < code.length) { dist += lut(jj)(code(jj)); jj += 1 }
+            (qid, id, -dist) // negated: the top-k aggregator keeps LARGEST scores
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKSelect(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+  }
+
   /** Majority-label vote over a precomputed neighbor relation (the
     * `query_id, neighbor_id` surface of [[bruteForceTopK]]/[[ivfTopK]]):
     * each query takes the label most common among its neighbors — the

@@ -218,6 +218,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out.head.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("pqTopK: ADC equals exact L2 when the codebook covers every subvector") {
+    // corpus drawn from 3 x 3 distinct subvector combos: with codebookSize
+    // >= 3 each subvector is its own centroid, so ADC reconstructs every
+    // vector exactly and the approximate distances ARE the true distances
+    val parts = Seq(Seq(1f, 0f), Seq(0f, 2f), Seq(-1f, -1f))
+    val rows = (0L until 27L).map(i => (i, parts((i % 3).toInt) ++ parts(((i / 3) % 3).toInt)))
+    val df = vecDf(rows)
+    val queries = df.filter(col("vec_id") < 2)
+    val got = Similarity.pqTopK(df, queries, k = 5, dim = 4, m = 2, codebookSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // driver-side exact reference with the same (distance asc, id asc) order
+    val data = rows.map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    val expect = (0L until 2L).flatMap { qid =>
+      val q = data.find(_._1 == qid).get._2
+      data.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, d), i) => (qid, (i + 1).toLong, id, d) }
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("pqTopK: neighbors stay within the query's cluster; deterministic under repartition") {
+    val queries = clustered.filter(col("vec_id") % 40 === 0) // 10 queries
+    val got = Similarity.pqTopK(clustered, queries, k = 8, dim = 16, m = 4, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 80)
+    // the 8 planted clusters are far apart; coarse ADC must never cross them
+    got.foreach { case (q, n) =>
+      assert(q % 8 == n % 8, s"neighbor $n of query $q crossed clusters")
+    }
+    val again = Similarity.pqTopK(clustered.repartition(9), queries, k = 8, dim = 16, m = 4, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("labelVote: majority wins, ties break to the smallest label, nulls can't vote") {
     import spark.implicits._
     val neighbors = Seq(
