@@ -237,6 +237,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "projection must not join")
   }
 
+  test("pq paths: shuffle-free encode; search shuffles only the bounded top-k aggregate") {
+    val pCodes = plan(QueryCatalog.queries("pq_codes")(spark, sf))
+    assert(!pCodes.contains("Exchange"), s"PQ encode must not shuffle:\n${pCodes.take(1200)}")
+    val pSearch = plan(QueryCatalog.queries("pq_topk")(spark, sf))
+    assert(!pSearch.contains("Window"), "rank window crept into the ADC search")
+    assert("Exchange hashpartitioning".r.findAllIn(pSearch).length <= 1,
+      s"ADC search should shuffle only the top-k aggregate:\n${pSearch.take(2000)}")
+  }
+
   test("curriculum_buckets: the window partitions by the stratum — never a global sort") {
     val p = plan(QueryCatalog.queries("curriculum_buckets")(spark, sf))
     assert(p.contains("Window"), "ntile is expected to be a window")
