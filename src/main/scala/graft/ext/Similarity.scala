@@ -390,6 +390,15 @@ object Similarity {
     * recall floors are pinned in SimilaritySpec, and the shuffle is the
     * same bounded O(k)-per-(query, partition) top-k aggregate as every
     * other search path.
+    *
+    * `rerank > k` enables the standard recall-recovery knob: the ADC scan
+    * keeps the top `rerank` candidates per query, those candidate rows —
+    * and ONLY those — are joined back to their true vectors and scored
+    * exactly, and the final top-k ranks by TRUE squared L2 (`approx_dist`
+    * then holds the exact distance). Whenever a query's true top-k sits
+    * inside its ADC top-`rerank`, the reranked result IS the exact
+    * result — at the cost of `rerank` exact distance computations per
+    * query instead of |corpus|.
     */
   def pqTopK(
       corpus: DataFrame,
@@ -400,6 +409,7 @@ object Similarity {
       codebookSize: Int = 16,
       trainSample: Int = 10000,
       kmeansIterations: Int = 5,
+      rerank: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
@@ -449,8 +459,35 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
-    topKSelect(scored, k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+    if (rerank <= k) {
+      topKSelect(scored, k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+    } else {
+      // candidate ids from the ADC scan; exact distances only for them
+      val cands = topKSelect(scored, rerank).select("query_id", "neighbor_id")
+      val qMap = qArr.toMap
+      val bcQ = spark.sparkContext.broadcast(qMap)
+      val vecs = prepTyped(clean, idCol, vecCol).toDF("neighbor_id", "__e")
+      val exact = cands
+        .join(vecs, Seq("neighbor_id"))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
+          col("__e"))
+        .as[(Long, Long, Seq[Double])]
+        .mapPartitions { rows =>
+          val qs = bcQ.value
+          rows.map { case (qid, nid, sv) =>
+            val v = sv.toArray
+            val q = qs(qid)
+            var d = 0.0
+            var i = 0
+            while (i < dim) { val t = v(i) - q(i); d += t * t; i += 1 }
+            (qid, nid, -d)
+          }
+        }
+        .toDF("query_id", "neighbor_id", "cosine")
+      topKSelect(exact, k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+    }
   }
 
   /** Majority-label vote over a precomputed neighbor relation (the

@@ -255,6 +255,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("pqTopK with exact rerank recovers the true L2 top-k on the clustered fixture") {
+    import graft.functions.VectorFunctions._
+    val queries = clustered.filter(col("vec_id") % 40 === 0)
+    // ADC top-50 per query is its whole 50-member cluster (codes collapse
+    // within a tight cluster), so reranking those candidates exactly must
+    // reproduce the true L2 top-8
+    val got = Similarity.pqTopK(clustered, queries, k = 8, dim = 16, m = 4,
+        codebookSize = 16, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val data = clustered.select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expect = data.filter(_._1 % 40 == 0).sortBy(_._1).flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(8).zipWithIndex
+        .map { case ((id, d), i) => (qid, (i + 1).toLong, id, d) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == expect.map(t => (t._1, t._2, t._3)).toSeq)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-12, s"exact distance mismatch: $g vs $e")
+    }
+  }
+
   test("labelVote: majority wins, ties break to the smallest label, nulls can't vote") {
     import spark.implicits._
     val neighbors = Seq(
