@@ -1025,7 +1025,10 @@ object QueryCatalog {
     */
   private val qQualityLogit: (SparkSession, String) => DataFrame = (s, dir) => {
     val docs = table(s, dir, "documents")
-    val weights = TextAnalysis.vocabulary(docs, topK = 100)
+    // vocabulary from the SAME doc set being scored (non-null ids) — the
+    // oracle's toks0 CTE carries the identical filter, so the weight
+    // tables cannot diverge on a corpus with null-id rows
+    val weights = TextAnalysis.vocabulary(docs.filter(col("doc_id").isNotNull), topK = 100)
       .select(
         col("token").as("term"),
         (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("double")

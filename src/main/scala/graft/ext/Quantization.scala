@@ -118,6 +118,35 @@ object Quantization {
     d
   }
 
+  /** THE PQ encode: per subspace, the strict-< first-lowest-wins argmin
+    * over the codebook (the library-wide tie rule), plus the total
+    * reconstruction error. The single definition both [[productQuantize]]
+    * and [[Similarity.pqTopK]] call — stored codes and search-side codes
+    * cannot diverge.
+    */
+  private[ext] def encode(
+      books: Array[Array[Array[Double]]], sub: Int, v: Array[Double]): (Array[Int], Double) = {
+    val code = new Array[Int](books.length)
+    var err = 0.0
+    var j = 0
+    while (j < books.length) {
+      val book = books(j)
+      val off = j * sub // longer-than-dim vectors encode their dim prefix
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val d = subDist(v, off, book(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(j) = best
+      err += bestD
+      j += 1
+    }
+    (code, err)
+  }
+
   def productQuantize(
       embeddings: DataFrame,
       dim: Int,
@@ -141,28 +170,7 @@ object Quantization {
       .mapPartitions { rows =>
         val books = bc.value
         rows.map { case (id, sv) =>
-          val v = sv.toArray
-          val code = new Array[Int](books.length)
-          var err = 0.0
-          var j = 0
-          while (j < books.length) {
-            val book = books(j)
-            val off = j * sub // longer-than-dim vectors encode their dim prefix
-            var best = 0
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < book.length) {
-              val cent = book(c)
-              var d = 0.0
-              var i = 0
-              while (i < cent.length) { val t = v(off + i) - cent(i); d += t * t; i += 1 }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            code(j) = best
-            err += bestD
-            j += 1
-          }
+          val (code, err) = encode(books, sub, sv.toArray)
           (id, code.toSeq, err)
         }
       }

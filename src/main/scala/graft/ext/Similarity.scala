@@ -391,7 +391,7 @@ object Similarity {
     * same bounded O(k)-per-(query, partition) top-k aggregate as every
     * other search path.
     *
-    * `rerank > k` enables the standard recall-recovery knob: the ADC scan
+    * `rerank >= k` enables the standard recall-recovery knob: the ADC scan
     * keeps the top `rerank` candidates per query, those candidate rows —
     * and ONLY those — are joined back to their true vectors and scored
     * exactly, and the final top-k ranks by TRUE squared L2 (`approx_dist`
@@ -414,14 +414,28 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    require(rerank <= 0 || rerank >= k,
+      s"rerank must be 0 (ADC only) or >= k (exact rerank of the top-rerank candidates); got rerank=$rerank, k=$k")
     val clean = corpus.filter(
       col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
-    val books = Quantization.trainCodebooks(
-      clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
+    // the codebook-training sample collect and the query collect are
+    // independent Spark jobs — submit concurrently (the ivfTopK pattern,
+    // A/B-measured there)
+    val booksF = Future {
+      Quantization.trainCodebooks(
+        clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
+    }
+    val queriesF = Future {
+      collectDriverSized(queries, idCol, vecCol, "query set", 100000,
+        guidance = "the query batch is broadcast to executors; split the query set into batches")
+        .filter(_._2.length >= dim)
+    }
+    val books = Await.result(booksF, Duration.Inf)
+    val qArr = Await.result(queriesF, Duration.Inf)
     val sub = dim / m
-    val qArr = collectDriverSized(queries, idCol, vecCol, "query set", 100000,
-      guidance = "the query batch is broadcast to executors; split the query set into batches")
-      .filter(_._2.length >= dim)
     // ADC tables: luts(q)(j)(c) = ||query_q[j*sub, (j+1)*sub) - books(j)(c)||^2
     val luts: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qv) =>
       qid -> Array.tabulate(m)(j => books(j).map(c => Quantization.subDist(qv, j * sub, c)))
@@ -433,22 +447,9 @@ object Similarity {
         val bks = bcBooks.value
         val ls = bcLuts.value
         rows.flatMap { case (id, v) =>
-          // encode once per row (strict <, first-lowest wins)
-          val code = new Array[Int](bks.length)
-          var j = 0
-          while (j < bks.length) {
-            val book = bks(j)
-            var best = 0
-            var bestD = Double.MaxValue
-            var c = 0
-            while (c < book.length) {
-              val d = Quantization.subDist(v, j * sub, book(c))
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            code(j) = best
-            j += 1
-          }
+          // ONE shared encode per row (Quantization.encode — the same
+          // codes productQuantize stores for these parameters)
+          val (code, _) = Quantization.encode(bks, sub, v)
           // m table lookups per query
           ls.iterator.map { case (qid, lut) =>
             var dist = 0.0
@@ -459,7 +460,7 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
-    if (rerank <= k) {
+    if (rerank <= 0) {
       topKSelect(scored, k)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
     } else {

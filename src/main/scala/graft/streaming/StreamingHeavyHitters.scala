@@ -16,10 +16,17 @@ import graft.functions.TextFunctions.tokens
   * standard typed-`Aggregator`-as-UDAF path, so the state store holds
   * exactly `shards` MgBuffers of at most `k` entries each, regardless of
   * stream length or vocabulary size. Sharding by TERM (not round-robin)
-  * means every occurrence of a term lands in the same summary: a term
-  * with true count > n_shard / (k + 1) in its shard is guaranteed present,
-  * a strictly tighter per-term bound than one global MG of size
-  * `shards * k` would give under the same memory.
+  * means every occurrence of a term lands in the same summary, so each
+  * shard's classic MG bound applies to its own sub-stream: a term with
+  * true count > n_shard / (k + 1) is guaranteed present. Under
+  * near-uniform shard loads (n_shard ~ n / shards) that per-term bound,
+  * n / (shards * (k + 1)), is comparable to a global MG of size
+  * shards * k — what the sharding actually buys is PARALLELISM (shards
+  * aggregate independently; a single global summary would serialize
+  * every update through one state row). On a skewed stream a shard
+  * holding a hot term sees a larger n_shard and its bound loosens
+  * proportionally — size `k` to the hottest expected shard, not to the
+  * average.
   *
   * Output (one row per surviving summary entry, refreshed every trigger):
   * `shard`, `term`, `est_count` — est_count within n_shard / (k + 1)
