@@ -2037,6 +2037,26 @@ object QueryCatalog {
       |    ORDER BY ('0x' || substr(md5('v' || source || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
       |  FROM documents) WHERE rn <= 5""".stripMargin
 
+  /** Per-event rolling 1-hour stats per user over the event-time RANGE
+    * frame — SQL-standard peer-row semantics (ties share a frame), decimal
+    * exact sums, named-window replay in the oracle.
+    */
+  private val qRollingStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.EventAnalytics.rollingStats(
+      table(s, dir, "events")
+        .select(col("user_id"), expr(tsMillis).as("ts_ms"), col("value")),
+      windowMillis = 3600000L)
+
+  private val oRollingStats: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+      |       count(*) OVER w AS n_window,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS avg_window,
+      |       min(value) OVER w AS min_window,
+      |       max(value) OVER w AS max_window
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Exact curriculum bucketing: quartiles of document length per language,
     * (n_chars, doc_id) total order with NULLS FIRST pinned on both engines
     * (defaults differ: Spark sorts nulls first ascending, DuckDB last).
@@ -2258,6 +2278,7 @@ object QueryCatalog {
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,
     "curriculum_buckets" -> qCurriculumBuckets,
+    "rolling_stats" -> qRollingStats,
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
@@ -2340,6 +2361,7 @@ object QueryCatalog {
     "mixture_sample" -> oMixtureSample,
     "stratum_cap" -> oStratumCap,
     "curriculum_buckets" -> oCurriculumBuckets,
+    "rolling_stats" -> oRollingStats,
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,

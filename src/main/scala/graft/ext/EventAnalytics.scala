@@ -102,4 +102,45 @@ object EventAnalytics {
       .groupBy("cohort", "offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-key rolling statistics over an event-TIME range frame: for every
+    * event, count/avg/min/max of `valueCol` over the key's events in
+    * `[ts - windowMillis, ts]` (both bounds inclusive — the SQL-standard
+    * `RANGE BETWEEN w PRECEDING AND CURRENT ROW`, identical peer-row
+    * semantics in every engine, so timestamp ties cannot make the result
+    * order-dependent). The lagging-context view an anomaly or drift
+    * monitor reads per event — the per-event twin of the bucketed
+    * [[graft.operators.WindowAgg]] aggregates.
+    *
+    * The average runs over exact decimal sums (the library-wide pattern),
+    * so the whole row is engine-portable bitwise.
+    *
+    * Scale shape: ONE hash exchange on the key and a per-key sort — the
+    * window never sorts globally (PlanShapeSpec pins it), and a key's
+    * events sort within one task, the same per-stratum bound as
+    * [[Sampling.quantileBuckets]] (for an unbounded hot key, the
+    * streaming sliding-window aggregate is the tool instead).
+    */
+  def rollingStats(
+      events: DataFrame,
+      windowMillis: Long,
+      keyCol: String = "user_id",
+      tsMillisCol: String = "ts_ms",
+      valueCol: String = "value"): DataFrame = {
+    require(windowMillis >= 0, "need windowMillis >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsMillisCol))
+      .rangeBetween(-windowMillis, 0)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double")
+    events.select(
+      col(keyCol),
+      col(tsMillisCol),
+      col(valueCol),
+      n.as("n_window"),
+      (s1 / n).as("avg_window"),
+      min(col(valueCol)).over(w).as("min_window"),
+      max(col(valueCol)).over(w).as("max_window"))
+  }
 }

@@ -252,4 +252,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"),
       s"global range sort crept into the per-stratum bucketing:\n${p.take(1200)}")
   }
+
+  test("rolling_stats: the range-frame window partitions by the key — never a global sort") {
+    val p = plan(QueryCatalog.queries("rolling_stats")(spark, sf))
+    assert(p.contains("Window"), "range frame is expected to be a window")
+    assert(!p.contains("rangepartitioning"),
+      s"global range sort crept into the per-key rolling stats:\n${p.take(1200)}")
+  }
 }

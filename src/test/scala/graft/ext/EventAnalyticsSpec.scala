@@ -56,4 +56,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (2L, 0L) -> 1L))
   }
+
+  test("rolling stats: inclusive range frame per key; ties share a frame; keys isolated") {
+    import spark.implicits._
+    val events = Seq(
+      ("a", 0L, 10.0), ("a", 1000L, 20.0), ("a", 2000L, 60.0), ("a", 5000L, 100.0),
+      // b has a timestamp TIE at 1000 — each peer's frame includes the other
+      ("b", 1000L, 1.0), ("b", 1000L, 3.0)).toDF("user_id", "ts_ms", "value")
+    val got = EventAnalytics.rollingStats(events, windowMillis = 2000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(("a", 0L, 10.0)) == ((1L, 10.0, 10.0, 10.0)))
+    assert(got(("a", 1000L, 20.0)) == ((2L, 15.0, 10.0, 20.0)))
+    // frame [0, 2000] is inclusive at BOTH bounds -> all three events
+    assert(got(("a", 2000L, 60.0)) == ((3L, 30.0, 10.0, 60.0)))
+    // 5000 looks back to 3000 -> alone
+    assert(got(("a", 5000L, 100.0)) == ((1L, 100.0, 100.0, 100.0)))
+    assert(got(("b", 1000L, 1.0)) == ((2L, 2.0, 1.0, 3.0)))
+    assert(got(("b", 1000L, 3.0)) == ((2L, 2.0, 1.0, 3.0)))
+  }
 }
