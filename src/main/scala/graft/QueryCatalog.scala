@@ -2167,6 +2167,58 @@ object QueryCatalog {
        |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin
   }
 
+  /** Per-dimension drift between two synthesized embedding snapshots: old
+    * drops vec_id % 5 == 0 rows; new shifts component 0 by +0.25 (an
+    * IEEE-exact double add replayed identically in SQL, planting a
+    * strong dim-0 drift signal). Everything downstream of the decimal
+    * moments is one IEEE expression over identical operands.
+    */
+  private val qFeatureDrift: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = table(s, dir, "embeddings")
+    val oldSnap = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("embedding"))
+    val newSnap = emb.select(
+      col("vec_id"),
+      transform(toDoubleArray(col("embedding")),
+        (x, i) => when(i === 0, x + lit(0.25)).otherwise(x)).as("embedding"))
+    graft.ext.Features.featureDrift(oldSnap, newSnap)
+  }
+
+  private val oFeatureDrift: String = {
+    def side(src: String, mutate: Boolean) = {
+      val x =
+        if (mutate)
+          "CASE WHEN i = 0 THEN CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) + 0.25 " +
+            "ELSE CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) END"
+        else "CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)"
+      s"""SELECT dim, count(*) AS n,
+         |       CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+         |       CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS s2
+         |FROM (SELECT CAST(i AS INT) AS dim, $x AS x
+         |      FROM (SELECT embedding, unnest(range(len(embedding))) AS i FROM $src
+         |            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)) GROUP BY 1""".stripMargin
+    }
+    val stats = (pfx: String) =>
+      s"""SELECT dim, n AS n_$pfx, s1 / n AS mean_$pfx,
+         |       CASE WHEN n > 1 THEN
+         |         CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+         |              THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) ELSE 0.0 END
+         |       END AS std_$pfx""".stripMargin
+    s"""WITH mo AS (${side("(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)", mutate = false)}),
+       |mn AS (${side("embeddings", mutate = true)}),
+       |so AS (${stats("old")} FROM mo),
+       |sn AS (${stats("new")} FROM mn)
+       |SELECT coalesce(so.dim, sn.dim) AS dim, n_old, n_new,
+       |       mean_old, mean_new, std_old, std_new,
+       |       mean_new - mean_old AS mean_shift,
+       |       CASE WHEN std_old IS NOT NULL AND std_new IS NOT NULL
+       |                 AND (std_old * std_old / n_old + std_new * std_new / n_new) > 0
+       |            THEN (mean_new - mean_old) / sqrt(std_old * std_old / n_old + std_new * std_new / n_new)
+       |       END AS shift_z
+       |FROM so FULL OUTER JOIN sn ON so.dim = sn.dim""".stripMargin
+  }
+
   /** Per-doc duplicate n-gram fraction (Gopher/RefinedWeb quality filter).
     * Spark counts distinct gram HASHES, the oracle distinct gram STRINGS —
     * identical up to xxhash64 collisions, the standard gram-hash gate. The
@@ -2224,6 +2276,7 @@ object QueryCatalog {
     "embedding_norms" -> qEmbeddingNorms,
     "random_project" -> qRandomProject,
     "feature_stats" -> qFeatureStats,
+    "feature_drift" -> qFeatureDrift,
     "pca_project" -> qPcaProject,
     "zorder_stats" -> qZorderStats,
     "incremental_dedup" -> qIncrementalDedup,
@@ -2311,6 +2364,7 @@ object QueryCatalog {
     "embedding_norms" -> oEmbeddingNorms,
     "random_project" -> oRandomProject,
     "feature_stats" -> oFeatureStats,
+    "feature_drift" -> oFeatureDrift,
     "zorder_stats" -> oZorderStats,
     "incremental_dedup" -> oIncrementalDedup,
     "decontaminate" -> oDecontaminate,

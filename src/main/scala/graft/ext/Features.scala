@@ -64,6 +64,41 @@ object Features {
         max(col("x")).as("max_x"))
   }
 
+  /** Per-dimension drift between two embedding snapshots — the monitoring
+    * view a pipeline checks before mixing a new corpus version or a new
+    * encoder checkpoint into training: for every vector position, the
+    * mean shift and a Welch z-score
+    * `(mean_new - mean_old) / sqrt(std_old^2/n_old + std_new^2/n_new)`.
+    * |z| >> 2 on any dimension flags a distribution change (encoder
+    * drift, a broken preprocessing step, a corpus mix shift) that cosine
+    * spot checks miss.
+    *
+    * Pure composition of two [[featureStats]] passes joined on the
+    * dimension — the moments are exact decimal sums, every derived value
+    * is one IEEE expression over identical operands in any engine, so the
+    * whole result is bitwise portable. `shift_z` is NULL when either side
+    * cannot estimate a variance (n <= 1) or both variances are zero.
+    */
+  def featureDrift(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val o = featureStats(oldDf, idCol, vecCol)
+      .select(col("dim"), col("n").as("n_old"), col("mean").as("mean_old"), col("std").as("std_old"))
+    val n = featureStats(newDf, idCol, vecCol)
+      .select(col("dim"), col("n").as("n_new"), col("mean").as("mean_new"), col("std").as("std_new"))
+    val se2 = col("std_old") * col("std_old") / col("n_old") +
+      col("std_new") * col("std_new") / col("n_new")
+    o.join(n, Seq("dim"), "full_outer")
+      .select(
+        col("dim"), col("n_old"), col("n_new"),
+        col("mean_old"), col("mean_new"), col("std_old"), col("std_new"),
+        (col("mean_new") - col("mean_old")).as("mean_shift"),
+        when(col("std_old").isNotNull && col("std_new").isNotNull && se2 > 0,
+          (col("mean_new") - col("mean_old")) / sqrt(se2)).as("shift_z"))
+  }
+
   /** One-pass sample covariance of the first `dim` components. Vectors
     * shorter than `dim` are skipped (they carry no full observation);
     * longer ones are truncated at `dim` — [[Projection.randomProject]]'s

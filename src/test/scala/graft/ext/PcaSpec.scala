@@ -115,6 +115,34 @@ class PcaSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("featureDrift: planted mean shift flags its dimension and only it") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val base = (0L until 200L).map(i => (i, Seq.fill(4)(rng.nextGaussian().toFloat)))
+    val oldDf = base.toDF("vec_id", "embedding")
+    // new snapshot: +2.0 on dim 1, other dims re-sampled from the same dist
+    val newDf = base.map { case (i, v) =>
+      (i, v.zipWithIndex.map { case (x, j) => if (j == 1) x + 2.0f else x })
+    }.toDF("vec_id", "embedding")
+    val out = Features.featureDrift(oldDf, newDf).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(7), Option(r.get(8)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 4)
+    assert(math.abs(out(1)._1 - 2.0) < 0.01, s"planted shift: ${out(1)}")
+    assert(out(1)._2.get > 10, s"dim 1 must flag hard: ${out(1)._2}")
+    Seq(0, 2, 3).foreach { d =>
+      assert(math.abs(out(d)._2.get) < 4, s"dim $d must not flag: ${out(d)._2}")
+    }
+  }
+
+  test("featureDrift: single-observation sides yield NULL z, not a crash") {
+    import spark.implicits._
+    val oldDf = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val newDf = Seq((1L, Seq(3f, 4f)), (2L, Seq(5f, 6f))).toDF("vec_id", "embedding")
+    val out = Features.featureDrift(oldDf, newDf).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.isNullAt(8), "n=1 old side cannot estimate a variance"))
+  }
+
   test("covariance requires at least two full-length observations") {
     intercept[IllegalArgumentException] {
       Features.covariance(vecDf(Seq(1L -> Seq(1f, 2f))), dim = 2)
