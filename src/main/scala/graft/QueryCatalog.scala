@@ -2010,15 +2010,20 @@ object QueryCatalog {
       sourceCol = "source", idCol = "doc_id", weightCol = "n_tok")
       .select(col("doc_id"), col("source"), col("n_tok"))
 
+  // totals sum over ALL rows of the source (null ids included, null
+  // weights as 0) exactly like the Spark aggregate; the null-id exclusion
+  // applies only to the emitted rows — the same order of operations as
+  // mixtureSample itself
   private val oMixtureSample: String =
     s"""WITH w AS (SELECT doc_id, source, len(string_split($normSql, ' '))::BIGINT AS n_tok FROM documents),
-       |t AS (SELECT source, sum(n_tok) AS tot FROM w GROUP BY source),
+       |t AS (SELECT source, sum(coalesce(n_tok, 0)) AS tot FROM w GROUP BY source),
        |b AS (SELECT * FROM (VALUES ('src0', 2000), ('src1', 500), ('src3', 0)) AS v(source, budget))
        |SELECT w.doc_id, w.source, w.n_tok
        |FROM w JOIN t USING (source) JOIN b USING (source)
-       |WHERE b.budget >= t.tot
+       |WHERE w.doc_id IS NOT NULL
+       |  AND (b.budget >= t.tot
        |   OR ('0x' || substr(md5('v' || w.source || ':' || w.doc_id), 1, 8))::BIGINT::HUGEINT * t.tot::HUGEINT
-       |      < b.budget::HUGEINT * 4294967296::HUGEINT""".stripMargin
+       |      < b.budget::HUGEINT * 4294967296::HUGEINT)""".stripMargin
 
   /** Per-stratum cap ("domain balancing"): at most 5 docs per source, the 5
     * smallest (md5 draw, id) per stratum — selected through the bounded
@@ -2030,12 +2035,16 @@ object QueryCatalog {
       table(s, dir, "documents"), strataCol = "source", idCol = "doc_id", k = 5)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  // the draw replays stratumCapK's INJECTIVE stratum encoding ('v' prefix
+  // for real strata, marker 'n' for a null stratum) and its null-id
+  // exclusion — without them the oracle silently diverges on the first
+  // corpus with a null source or id
   private val oStratumCap: String =
     """SELECT doc_id, source, n_chars FROM (
       |  SELECT doc_id, source, n_chars, row_number() OVER (
       |    PARTITION BY source
-      |    ORDER BY ('0x' || substr(md5('v' || source || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
-      |  FROM documents) WHERE rn <= 5""".stripMargin
+      |    ORDER BY ('0x' || substr(md5(coalesce('v' || source, 'n') || ':' || doc_id), 1, 8))::BIGINT, doc_id) AS rn
+      |  FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 5""".stripMargin
 
   /** Per-event rolling 1-hour stats per user over the event-time RANGE
     * frame — SQL-standard peer-row semantics (ties share a frame), decimal

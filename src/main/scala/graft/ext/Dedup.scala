@@ -39,16 +39,40 @@ object Dedup {
     * m(m-1)/2 ordered pairs (null payloads cannot pair in either form —
     * `collect_list` skips them exactly where `a.id < b.id` rejects them;
     * null KEYS are excluded to match equi-join semantics), and per-key skew
-    * lands on one task in both forms — hot-key caps (`maxDf`) remain the
-    * caller's guard.
+    * lands on one task in both forms.
+    *
+    * One difference from the join IS load-bearing at scale: the join form
+    * buffered a hot key's match group in a SPILLABLE row array, while
+    * `collect_list` materializes the group as one in-memory aggregation
+    * value. `maxGroup` is the guard: when set, groups larger than it are
+    * DROPPED via a count + semi-join admission pass — result-affecting,
+    * but only for degenerate blocks whose pair volume (m^2/2) could never
+    * complete anyway. The admission pass costs a second aggregation over
+    * the keyed relation (measured 15-60% on the pair queries), so the
+    * default leaves it OFF and each call site chooses: paths with a
+    * semantic hot-key guard upstream (`maxDf` gram capping) or naturally
+    * bounded groups (sources per gram) skip it; the banded LSH / IVF-cell
+    * paths, whose group sizes are otherwise unbounded, pass an explicit
+    * cap sized so the worst-case group buffer stays in executor memory.
+    * Fixture-scale groups never come near any cap, so the oracle gates
+    * are unaffected.
     */
-  private[ext] def orderedPairsWithinGroups(df: DataFrame, key: Column, payload: Column): DataFrame =
-    df.filter(key.isNotNull)
-      .select(key.as("__k"), payload.as("__p"))
+  private[ext] def orderedPairsWithinGroups(
+      df: DataFrame, key: Column, payload: Column, maxGroup: Long = Long.MaxValue): DataFrame = {
+    val keyed = df.filter(key.isNotNull).select(key.as("__k"), payload.as("__p"))
+    val admitted =
+      if (maxGroup == Long.MaxValue) keyed
+      else keyed.join(
+        keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxGroup)
+          .select("__k"),
+        Seq("__k"), "left_semi")
+    admitted
       .groupBy(col("__k")).agg(sort_array(collect_list(col("__p"))).as("__xs"))
       .select(posexplode(col("__xs")).as(Seq("__i", "__a")), col("__xs"))
       .select(col("__a"),
         explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")) - col("__i") - lit(1))).as("__b"))
+  }
 
   /** Exact dedup groups: fingerprint -> keeper id + duplicate count. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -201,7 +225,7 @@ object Dedup {
       lit(0),
       (acc, x) => acc + x).cast("double") / numHashes
 
-    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("sig")))
+    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("sig")), maxGroup = 1L << 17)
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"), est.as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
@@ -242,7 +266,7 @@ object Dedup {
     val grams = docGrams(docs, idCol, textCol, shingleSize)
     val banded = minhashSignaturesFromGrams(grams, numHashes)
       .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
-    val cands = orderedPairsWithinGroups(banded, col("bk"), col("id"))
+    val cands = orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -289,7 +313,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
     // the payload struct leads with id, so sort order (hence a < b) is id
     // order exactly as the former id_a < id_b join predicate
-    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("simhash")))
+    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("simhash")), maxGroup = 1L << 20)
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
         bit_count(col("__a.simhash").bitwiseXOR(col("__b.simhash"))).as("hamming"))
       .distinct()

@@ -61,27 +61,6 @@ object Quantization {
             (x - qv.cast("double") * col("scale") / 127) * (x - qv.cast("double") * col("scale") / 127)),
           lit(0.0), (a, x) => a + x).as("recon_err"))
 
-  /** Product quantization — the second rung of the ANN memory ladder: split
-    * each d-dim vector into `m` contiguous subvectors, train a per-subspace
-    * k-means codebook of `codebookSize` centroids on a bounded driver-side
-    * sample (the IVF pattern: [[Similarity.hashOrderedSample]] +
-    * [[Similarity.kmeansCentroids]] — deterministic for fixed data), and
-    * encode every vector as `m` small centroid ids. At `m = 8`,
-    * `codebookSize = 256` a 64-dim float vector compresses 32x (256 bytes
-    * -> 8), with distances computable from codebook lookup tables.
-    *
-    * Encoding is ONE shuffle-free `mapPartitions` pass against the
-    * broadcast codebooks (primitive argmin per subspace, strict `<` —
-    * first-lowest wins, the library-wide tie rule). Vectors shorter than
-    * `dim` are excluded ([[graft.ext.Features.covariance]]'s convention);
-    * null ids/vectors likewise.
-    *
-    * Output: `idCol`, `code` (array<int>, length m, values in
-    * [0, codebookSize)), `recon_err` (squared L2 distance between the
-    * vector and its codebook reconstruction — the per-row quality number
-    * that decides whether PQ suffices at this m, exactly like
-    * [[quantizationStats]]' recon_err does for int8).
-    */
   /** Per-subspace k-means codebooks from the bounded hash-ordered sample
     * (slice j covers dims [j*sub, (j+1)*sub)). Shared by [[productQuantize]]
     * and [[Similarity.pqTopK]] so encode and search can never train
@@ -95,19 +74,22 @@ object Quantization {
       trainSample: Int,
       kmeansIterations: Int,
       idCol: String,
-      vecCol: String): Array[Array[Array[Double]]] = {
+      vecCol: String): Option[Array[Array[Array[Double]]]] = {
     require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
     require(codebookSize >= 1, "need codebookSize >= 1")
     val sub = dim / m
     val sampleRaw = Similarity.hashOrderedSample(clean, idCol, vecCol, trainSample)
       .filter(_.length >= dim)
-    require(sampleRaw.nonEmpty, s"no vectors with >= $dim components to train on")
-    Array.tabulate(m) { j =>
+    // None on an empty (or all-shorter-than-dim) corpus: callers return a
+    // typed empty frame, the ivfTopK/ivfCosinePairs contract, instead of
+    // throwing where the sibling search paths don't
+    if (sampleRaw.isEmpty) None
+    else Some(Array.tabulate(m) { j =>
       Similarity.kmeansCentroids(
         sampleRaw.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
         math.min(codebookSize, sampleRaw.length),
         kmeansIterations)
-    }
+    })
   }
 
   /** Squared L2 between a subvector of `v` at `off` and a centroid. */
@@ -147,6 +129,28 @@ object Quantization {
     (code, err)
   }
 
+  /** Product quantization — the second rung of the ANN memory ladder: split
+    * each d-dim vector into `m` contiguous subvectors, train a per-subspace
+    * k-means codebook of `codebookSize` centroids on a bounded driver-side
+    * sample (the IVF pattern: [[Similarity.hashOrderedSample]] +
+    * [[Similarity.kmeansCentroids]] — deterministic for fixed data), and
+    * encode every vector as `m` small centroid ids. At `m = 8`,
+    * `codebookSize = 256` a 64-dim float vector compresses 32x (256 bytes
+    * -> 8), with distances computable from codebook lookup tables.
+    *
+    * Encoding is ONE shuffle-free `mapPartitions` pass against the
+    * broadcast codebooks ([[encode]] — primitive argmin per subspace,
+    * strict `<` first-lowest wins, the library-wide tie rule). Vectors
+    * shorter than `dim` are excluded ([[graft.ext.Features.covariance]]'s
+    * convention); null ids/vectors likewise; an empty (or
+    * all-shorter-than-dim) corpus yields a typed empty frame.
+    *
+    * Output: `idCol`, `code` (array<int>, length m, values in
+    * [0, codebookSize)), `recon_err` (squared L2 distance between the
+    * vector and its codebook reconstruction — the per-row quality number
+    * that decides whether PQ suffices at this m, exactly like
+    * [[quantizationStats]]' recon_err does for int8).
+    */
   def productQuantize(
       embeddings: DataFrame,
       dim: Int,
@@ -160,8 +164,16 @@ object Quantization {
     import spark.implicits._
     val clean = embeddings.filter(
       col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("recon_err", org.apache.spark.sql.types.DoubleType))))
     val codebooks = trainCodebooks(
       clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
+      .getOrElse(return emptyOut)
     val sub = dim / m
     val bc = spark.sparkContext.broadcast(codebooks)
     clean

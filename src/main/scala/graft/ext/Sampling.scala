@@ -204,8 +204,11 @@ object Sampling {
     val budget = budgets.toSeq.sortBy(_._1).foldRight(lit(null).cast("long"): Column) {
       case ((src, b), rest) => when(col(sourceCol) === src, b).otherwise(rest)
     }
+    // coalesce BEFORE the sum: an all-null-weight source must total 0 (its
+    // rows still draw, and budget >= 0 keeps them all), not a NULL total
+    // that nulls the filter and silently drops the whole source
     val totals = df.groupBy(col(sourceCol).as("__mix_src"))
-      .agg(sum(col(weightCol).cast("long")).as("__T"))
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("__T"))
     val u32 = conv(substring(md5(concat(
       concat(lit("v"), col(sourceCol).cast("string")),
       lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("decimal(38,0)")

@@ -305,6 +305,13 @@ object Similarity {
         guidance = "the query batch is broadcast to executors; split the query set into batches")
         .map { case (id, v) => (id, v, normOf(v)) }
     }
+    // auto-size corpus count: speculatively concurrent with the collects
+    // (it is consumed only when the training sample comes back full — on
+    // small corpora the wasted job is one cheap scan, on large ones it no
+    // longer serializes a third driver round-trip after the two collects)
+    val countF: Option[Future[Long]] =
+      if (nlist > 0) None
+      else Some(Future { corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull).count() })
     val sampleRaw = Await.result(sampleF, Duration.Inf)
     val qArr = Await.result(queriesF, Duration.Inf)
 
@@ -321,7 +328,7 @@ object Similarity {
         // each corpus vector lives in exactly ONE cell here (unlike the
         // pair search's nassign-way filing), so assignments = N
         val n = if (sampleRaw.length < trainSample) sampleRaw.length.toLong
-                else corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull).count()
+                else Await.result(countF.get, Duration.Inf)
         deriveNlist(n, targetClusterSize, math.max(1, sampleRaw.length))
       }
     val centroids = trainQuantizer(sampleRaw, nlistEff, kmeansIterations).getOrElse(return emptyOut)
@@ -433,8 +440,17 @@ object Similarity {
         guidance = "the query batch is broadcast to executors; split the query set into batches")
         .filter(_._2.length >= dim)
     }
-    val books = Await.result(booksF, Duration.Inf)
+    val booksOpt = Await.result(booksF, Duration.Inf)
     val qArr = Await.result(queriesF, Duration.Inf)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("approx_dist", org.apache.spark.sql.types.DoubleType))))
+    // empty corpus -> typed empty frame, the ivfTopK contract
+    val books = booksOpt.getOrElse(return emptyOut)
     val sub = dim / m
     // ADC tables: luts(q)(j)(c) = ||query_q[j*sub, (j+1)*sub) - books(j)(c)||^2
     val luts: Array[(Long, Array[Array[Double]])] = qArr.map { case (qid, qv) =>
@@ -693,7 +709,7 @@ object Similarity {
         }
       }
       .toDF("cluster", "id")
-    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"))
+    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"), maxGroup = 1L << 20)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
@@ -766,7 +782,7 @@ object Similarity {
     val banded = n
       .select(col("id"), posexplode(keysCol).as(Seq("band", "key")))
       .select(col("id"), struct(col("band"), col("key")).as("bk"))
-    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"))
+    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(n, cands, threshold)

@@ -161,7 +161,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // scale) started paying a shuffle it never needs
     val semi = p.indexOf("LeftSemi")
     assert(semi >= 0, s"expected a broadcast semi-join:\n${p.take(2000)}")
-    val probeSpan = p.substring(semi, p.indexOf("BroadcastExchange", semi))
+    val build = p.indexOf("BroadcastExchange", semi)
+    assert(build >= 0,
+      s"eval gram set is no longer a broadcast build (training grams are being shuffled):\n${p.take(2000)}")
+    val probeSpan = p.substring(semi, build)
     assert(probeSpan.contains("Generate"),
       s"expected the gram generate as the semi-join probe:\n${p.take(2000)}")
     assert(!probeSpan.contains("Exchange"),

@@ -250,6 +250,20 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.lineDedup(docs(1L -> "x"), sep = ""))
   }
 
+  test("orderedPairsWithinGroups: the maxGroup admission cap drops only oversize groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("hot", 1L), ("hot", 2L), ("hot", 3L), // 3 members -> dropped at cap 2
+      ("ok", 10L), ("ok", 11L)).toDF("k", "id")
+    val capped = Dedup.orderedPairsWithinGroups(df, col("k"), col("id"), maxGroup = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)), s"only the small group may pair: $capped")
+    val uncapped = Dedup.orderedPairsWithinGroups(df, col("k"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+  }
+
   test("corpus diff: added/removed/changed/unchanged, null text and dup ids handled") {
     import spark.implicits._
     val oldSnap = Seq(
