@@ -1734,6 +1734,16 @@ object QueryCatalog {
     Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, dim = 64, m = 8, codebookSize = 16)
   }
 
+  /** IVF-PQ composition (rows-only): coarse cells + residual PQ + per-cell
+    * ADC. Explicit nlist/nprobe for the structureless bench vectors, the
+    * ivf_topk rationale.
+    */
+  private val qIvfPqTopK: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+      k = 10, dim = 64, nlist = 16, nprobe = 8, m = 8, codebookSize = 16)
+  }
+
   private val oQuantize: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings),
       |s AS (SELECT vec_id, e,
@@ -2336,6 +2346,7 @@ object QueryCatalog {
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
+    "ivfpq_topk" -> qIvfPqTopK,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,

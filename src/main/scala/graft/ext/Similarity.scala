@@ -507,6 +507,171 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ approximate nearest neighbors — the composition production ANN
+    * systems deploy at corpus scale: a coarse quantizer routes each vector
+    * to a cell ([[ivfTopK]]'s shape, auto-sized via [[deriveNlist]]), the
+    * RESIDUAL `v - centroid` is product-quantized (classic IVF-PQ:
+    * residuals concentrate near the origin, so the same codebook budget
+    * quantizes them far more finely than raw vectors), and queries score
+    * only the cells they probe, through per-(query, cell) ADC tables over
+    * the residual space.
+    *
+    * One corpus pass, shuffle-free until the bounded top-k aggregate:
+    * assignment is the primitive argmin, the residual encode is the shared
+    * [[Quantization.encode]], and each partition builds a (cell, query)
+    * LUT at most once. Per-row cost after assignment: one encode plus `m`
+    * table additions per probing query. Approximate on BOTH axes (probed
+    * fraction like [[ivfTopK]], quantization like [[pqTopK]]);
+    * SimilaritySpec pins cluster-level recall and determinism.
+    *
+    * Output: query_id, rnk (ascending approximate distance), neighbor_id,
+    * approx_dist. Conventions follow [[pqTopK]]: self-pairs kept, rows and
+    * queries shorter than `dim` excluded, empty corpus yields a typed
+    * empty frame.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      dim: Int = 64,
+      nlist: Int = 0,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      trainSample: Int = 10000,
+      kmeansIterations: Int = 5,
+      targetClusterSize: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    require(nprobe >= 1, "need nprobe >= 1")
+    require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
+    val sub = dim / m
+    val clean = corpus.filter(
+      col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
+    val sampleF = Future {
+      hashOrderedSample(clean, idCol, vecCol, trainSample)
+        .filter(_.length >= dim).map(v => java.util.Arrays.copyOf(v, dim))
+    }
+    val queriesF = Future {
+      collectDriverSized(queries, idCol, vecCol, "query set", 100000,
+        guidance = "the query batch is broadcast to executors; split the query set into batches")
+        .filter(_._2.length >= dim)
+    }
+    val countF: Option[Future[Long]] =
+      if (nlist > 0) None else Some(Future { clean.count() })
+    val sampleRaw = Await.result(sampleF, Duration.Inf)
+    val qArr = Await.result(queriesF, Duration.Inf)
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("approx_dist", org.apache.spark.sql.types.DoubleType))))
+    if (sampleRaw.isEmpty) return emptyOut
+    val nlistEff =
+      if (nlist > 0) nlist
+      else {
+        val n = if (sampleRaw.length < trainSample) sampleRaw.length.toLong
+                else Await.result(countF.get, Duration.Inf)
+        deriveNlist(n, targetClusterSize, sampleRaw.length)
+      }
+    val centroids = kmeansCentroids(sampleRaw, math.min(nlistEff, sampleRaw.length), kmeansIterations)
+    // PQ books on the sample RESIDUALS against the trained coarse cells
+    val residuals = sampleRaw.map { v =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < centroids.length) {
+        val d = sqDistOf(v, centroids(ci))
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - centroids(best)(i); i += 1 }
+      r
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      kmeansCentroids(
+        residuals.map(r => java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)),
+        math.min(codebookSize, residuals.length),
+        kmeansIterations)
+    }
+    // probe map: query index lists per cell (ivfTopK's construction)
+    val byCluster = Array.fill(centroids.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+      centroids.zipWithIndex
+        .map { case (c, ci) => (sqDistOf(qv, c), ci) }
+        .sortBy(identity)
+        .take(nprobe)
+        .foreach { case (_, ci) => byCluster(ci) += qi }
+    }
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcQueries = spark.sparkContext.broadcast(qArr)
+    val bcProbes = spark.sparkContext.broadcast(byCluster.map(_.toArray))
+    val scored = prepTyped(clean, idCol, vecCol)
+      .mapPartitions { rows =>
+        val cents = bcCent.value
+        val bks = bcBooks.value
+        val qs = bcQueries.value
+        val probes = bcProbes.value
+        // (cell -> per-probing-query residual ADC tables), built lazily at
+        // most once per partition: lut(qi)(j)(c) over the cell's residual
+        // space for query (q - centroid)
+        val lutCache = new Array[Array[Array[Array[Double]]]](cents.length)
+        def lutsFor(cell: Int): Array[Array[Array[Double]]] = {
+          if (lutCache(cell) == null) {
+            val cent = cents(cell)
+            lutCache(cell) = probes(cell).map { qi =>
+              val qv = qs(qi)._2
+              val rq = new Array[Double](cent.length)
+              var i = 0
+              while (i < cent.length) { rq(i) = qv(i) - cent(i); i += 1 }
+              Array.tabulate(bks.length)(j => bks(j).map(c2 => Quantization.subDist(rq, j * sub, c2)))
+            }
+          }
+          lutCache(cell)
+        }
+        rows.flatMap { case (id, v) =>
+          var best = -1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cents.length) {
+            val d = sqDistOf(v, cents(ci))
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          if (best < 0 || probes(best).isEmpty) Iterator.empty
+          else {
+            val cent = cents(best)
+            val r = new Array[Double](cent.length)
+            var i = 0
+            while (i < cent.length) { r(i) = v(i) - cent(i); i += 1 }
+            val (code, _) = Quantization.encode(bks, sub, r)
+            val luts = lutsFor(best)
+            val qis = probes(best)
+            qis.indices.iterator.map { t =>
+              val lut = luts(t)
+              var dist = 0.0
+              var jj = 0
+              while (jj < code.length) { dist += lut(jj)(code(jj)); jj += 1 }
+              (qs(qis(t))._1, id, -dist)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKSelect(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+  }
+
   /** Majority-label vote over a precomputed neighbor relation (the
     * `query_id, neighbor_id` surface of [[bruteForceTopK]]/[[ivfTopK]]):
     * each query takes the label most common among its neighbors — the

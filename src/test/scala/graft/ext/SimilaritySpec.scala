@@ -255,6 +255,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("ivfPqTopK: neighbors stay within the query's cluster; deterministic; empty corpus safe") {
+    val queries = clustered.filter(col("vec_id") % 40 === 0) // 10 queries
+    val got = Similarity.ivfPqTopK(clustered, queries, k = 8, dim = 16,
+        nlist = 8, nprobe = 2, m = 4, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 80)
+    got.foreach { case (q, n, d) =>
+      assert(q % 8 == n % 8, s"neighbor $n of query $q crossed clusters")
+      assert(d >= 0 && d < 1.0, s"residual-ADC distance within a tight cluster must be small: $d")
+    }
+    val again = Similarity.ivfPqTopK(clustered.repartition(7), queries, k = 8, dim = 16,
+        nlist = 8, nprobe = 2, m = 4, codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+    val empty = vecDf(Seq.empty)
+    assert(Similarity.ivfPqTopK(empty, queries, k = 3, dim = 16).collect().isEmpty)
+  }
+
+  test("ivfPqTopK recall vs exact L2 holds on clustered data at partial probing") {
+    import graft.functions.VectorFunctions._
+    val queries = clustered.filter(col("vec_id") % 40 === 0)
+    val got = Similarity.ivfPqTopK(clustered, queries, k = 10, dim = 16,
+        nlist = 8, nprobe = 3, m = 8, codebookSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val data = clustered.select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = data.filter(_._1 % 40 == 0).flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("pqTopK with exact rerank recovers the true L2 top-k on the clustered fixture") {
     import graft.functions.VectorFunctions._
     val queries = clustered.filter(col("vec_id") % 40 === 0)
