@@ -1201,6 +1201,37 @@ object QueryCatalog {
       |       md5(substr(text, CAST(fi * 64 AS INT) + 1, 64)) AS frame_md5
       |FROM f WHERE fi % 2 = 0 AND fi // 2 < 4""".stripMargin
 
+  /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
+    * — an actual byte-level decode, not a byte-statistics stub — framed
+    * into 256-sample windows with exact integer RMS/peak statistics. The
+    * oracle replays the decode byte for byte in SQL (blob substring + hex
+    * + the same sign fix-up), so the whole codec sits under the bitwise
+    * gate.
+    */
+  private val qAudioFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.decodePcm16Frames(
+      Multimodal.attachBinary(table(s, dir, "documents")), frameSize = 256).toDF()
+
+  // DuckDB has no blob substring, so the decode indexes the blob's full hex
+  // image: byte i of the payload is hex chars [2i+1, 2i+2] of hex(p)
+  private val oAudioFrames: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) // 2 AS ns FROM b WHERE octet_length(p) >= 2),
+      |fr AS (SELECT doc_id, hx, ns, CAST(unnest(range((ns + 255) // 256)) AS INT) AS frame_idx FROM s),
+      |sm AS (SELECT doc_id, frame_idx,
+      |         list_transform(
+      |           list_transform(range(frame_idx * 256, CAST(least(ns, (frame_idx + 1) * 256) AS INT)), i ->
+      |             ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::INT * 256
+      |               + ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::INT),
+      |           u -> CASE WHEN u > 32767 THEN u - 65536 ELSE u END) AS xs
+      |       FROM fr)
+      |SELECT doc_id, frame_idx, len(xs)::BIGINT AS n_samples,
+      |       sqrt(CAST(list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> x::BIGINT * x)),
+      |                             (a, y) -> a + y) AS DOUBLE) / len(xs)) AS rms,
+      |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+      |FROM sm""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -2343,6 +2374,7 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
+    "audio_frame_stats" -> qAudioFrames,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -2430,6 +2462,7 @@ object QueryCatalog {
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
+    "audio_frame_stats" -> oAudioFrames,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with a typed metadata struct; decoding
   * and feature extraction run batch-wise per partition.
   *
-  * The actual codec step is a STUB (this container ships no image/audio
-  * libraries): [[DecodedFeatures]] are a deterministic function of the bytes,
-  * clearly marked below. Everything Spark-side — schema, binary columns,
-  * partition-batched iteration, output shape — is real and tested; swapping
-  * the stub for a JNI/ONNX decoder changes only `decodeStub`.
+  * The image/video codec steps are STUBS (this container ships no image
+  * libraries): [[DecodedFeatures]] are a deterministic function of the
+  * bytes, clearly marked below. The AUDIO path is real: raw s16le PCM
+  * needs no codec library, so [[decodePcm16Frames]] performs an actual
+  * byte-level decode with an exact SQL oracle replay. Everything
+  * Spark-side — schema, binary columns, partition-batched iteration,
+  * output shape — is real and tested; swapping a stub for a JNI/ONNX
+  * decoder changes only `decodeStub`.
   */
 object Multimodal {
 
@@ -101,6 +104,63 @@ object Multimodal {
           }
           val px = Array.tabulate(cells)(c => if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c)).toFloat)
           ResizedImage(id, targetW, targetH, px)
+        }
+      }
+  }
+
+  final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
+
+  /** ======== REAL codec: raw s16le PCM ========
+    * Unlike the stubbed image/video steps above, this decode is the actual
+    * format: the payload is interpreted as raw little-endian signed 16-bit
+    * PCM (the interchange format every audio toolchain reads and writes
+    * without a container), framed into `frameSize`-sample windows, and
+    * reduced to the waveform statistics an audio-curation pipeline filters
+    * on — per-frame RMS (silence / clipping detection) and peak |sample|.
+    * A trailing odd byte is ignored; an empty or null payload yields no
+    * frames. No codec library is involved because raw PCM needs none —
+    * this is the one modality the sandbox lets us decode for real.
+    *
+    * Exactness: samples and peaks are integers; each frame's sum of
+    * squares fits a long at any frame size up to 2^23; `rms` is one IEEE
+    * division + sqrt on exact operands — so the whole operator is bitwise
+    * engine-portable, and the oracle replays the byte-level decode in SQL
+    * (substring/hex on the blob, the same sign fix-up).
+    */
+  def decodePcm16Frames(
+      withBinary: DataFrame,
+      frameSize: Int = 256,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[PcmFrameStats] = {
+    require(frameSize >= 1 && frameSize <= (1 << 23), "need 1 <= frameSize <= 2^23")
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        val nSamples = bytes.length / 2
+        val nFrames = (nSamples + frameSize - 1) / frameSize
+        (0 until nFrames).map { f =>
+          val from = f * frameSize
+          val until = math.min(nSamples, from + frameSize)
+          var sumSq = 0L
+          var peak = 0L
+          var i = from
+          while (i < until) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val u = hi * 256 + lo
+            val s = if (u > 32767) u - 65536 else u
+            sumSq += s.toLong * s
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val n = until - from
+          PcmFrameStats(id, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
         }
       }
   }

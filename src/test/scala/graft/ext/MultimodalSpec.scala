@@ -47,6 +47,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(frames(1).frame).startsWith("abcdefghij"))
   }
 
+  test("pcm16 decode: little-endian sign fix-up, frame stats, odd tail ignored") {
+    import spark.implicits._
+    // samples (s16le): 1, -1, 32767, -32768, 0 — plus one odd trailing byte
+    val bytes = Array[Byte](
+      0x01, 0x00, // 1
+      0xFF.toByte, 0xFF.toByte, // -1
+      0xFF.toByte, 0x7F, // 32767
+      0x00, 0x80.toByte, // -32768
+      0x00, 0x00, // 0
+      0x7F) // trailing odd byte -> ignored
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodePcm16Frames(df, frameSize = 2).collect().sortBy(_.frame_idx)
+    assert(out.map(f => (f.frame_idx, f.n_samples, f.peak)).toSeq ==
+      Seq((0, 2L, 1L), (1, 2L, 32768L), (2, 1L, 0L)))
+    assert(math.abs(out(0).rms - math.sqrt((1.0 + 1.0) / 2)) < 1e-15)
+    assert(out(1).rms == math.sqrt((32767.0 * 32767 + 32768.0 * 32768) / 2))
+    assert(out(2).rms == 0.0)
+  }
+
+  test("pcm16 decode: empty, sub-sample, and null payloads yield no frames; null ids excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(Array[Byte](0x42))), // 1 byte < 1 sample
+      (Some(2L), Some(Array.emptyByteArray)),
+      (Some(3L), None),
+      (None, Some(Array[Byte](1, 0, 2, 0)))).toDF("doc_id", "payload")
+    assert(Multimodal.decodePcm16Frames(df).collect().isEmpty)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
