@@ -256,6 +256,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global range sort crept into the per-stratum bucketing:\n${p.take(1200)}")
   }
 
+  test("audio_frame_stats: the PCM decode is a map-only generator pass — no exchange") {
+    val p = plan(QueryCatalog.queries("audio_frame_stats")(spark, sf))
+    assert(!p.contains("Exchange"), s"PCM decode must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "PCM decode must not join")
+  }
+
   test("rolling_stats: the range-frame window partitions by the key — never a global sort") {
     val p = plan(QueryCatalog.queries("rolling_stats")(spark, sf))
     assert(p.contains("Window"), "range frame is expected to be a window")
