@@ -1232,6 +1232,29 @@ object QueryCatalog {
       |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
       |FROM sm""".stripMargin
 
+  /** PCM decimation resample (factor 3), compared by the re-encoded s16le
+    * payload's hex image (both engines render hex uppercase; this DuckDB
+    * build's md5 is VARCHAR-only, so the bytes compare as hex directly).
+    */
+  private val qAudioResample: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.resamplePcm16(
+      Multimodal.attachBinary(table(s, dir, "documents")), factor = 3).toDF()
+      .select(col("doc_id"), col("n_samples_in"), col("n_samples_out"),
+        hex(col("resampled")).as("resampled_hex"))
+
+  private val oAudioResample: String =
+    """WITH b AS (SELECT doc_id, coalesce(encode(text), ''::BLOB) AS p FROM documents WHERE doc_id IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) // 2 AS ni FROM b),
+      |r AS (SELECT doc_id, ni, (ni + 2) // 3 AS no,
+      |        list_reduce(
+      |          list_prepend('', list_transform(range((ni + 2) // 3), j ->
+      |            substr(hx, CAST(12 * j + 1 AS INT), 4))),
+      |          (a, x) -> a || x) AS rhx
+      |      FROM s)
+      |SELECT doc_id, ni::BIGINT AS n_samples_in, no::BIGINT AS n_samples_out,
+      |       rhx AS resampled_hex
+      |FROM r""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -2375,6 +2398,7 @@ object QueryCatalog {
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "audio_frame_stats" -> qAudioFrames,
+    "audio_resample" -> qAudioResample,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -2463,6 +2487,7 @@ object QueryCatalog {
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,
+    "audio_resample" -> oAudioResample,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

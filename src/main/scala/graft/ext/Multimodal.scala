@@ -165,6 +165,47 @@ object Multimodal {
       }
   }
 
+  final case class ResampledPcm(doc_id: Long, n_samples_in: Long, n_samples_out: Long, resampled: Array[Byte])
+
+  /** Decimation resample of the raw s16le PCM payload: keep every
+    * `factor`-th sample (sample 0, factor, 2*factor, ...) and re-encode
+    * as s16le — the rate-reduction step a 48 kHz ingest applies before a
+    * 16 kHz feature extractor. Decimation without a low-pass is the
+    * honest scope here (a windowed-sinc filter needs real DSP state; this
+    * is the indexing/re-encoding half, byte-exact and oracle-replayable —
+    * same split as everywhere else in this module: the Spark-side
+    * plumbing is real, and here the codec itself is too).
+    *
+    * A trailing odd byte is ignored; empty/null payloads yield 0-sample
+    * outputs with empty binary; null ids are excluded.
+    */
+  def resamplePcm16(
+      withBinary: DataFrame,
+      factor: Int,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[ResampledPcm] = {
+    require(factor >= 1, "need factor >= 1")
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        val nIn = bytes.length / 2
+        val nOut = (nIn + factor - 1) / factor
+        val out = new Array[Byte](nOut * 2)
+        var j = 0
+        while (j < nOut) {
+          out(2 * j) = bytes(2 * j * factor)
+          out(2 * j + 1) = bytes(2 * j * factor + 1)
+          j += 1
+        }
+        ResampledPcm(id, nIn.toLong, nOut.toLong, out)
+      }
+  }
+
   final case class SampledFrame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
 
   /** ======== STUB frame sampling ========

@@ -76,6 +76,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePcm16Frames(df).collect().isEmpty)
   }
 
+  test("pcm16 resample: every factor-th sample survives, byte-exact; guards hold") {
+    import spark.implicits._
+    // samples 1,2,3,4,5,6,7 (s16le) + odd trailing byte
+    val bytes = (1 to 7).flatMap(v => Seq(v.toByte, 0.toByte)).toArray :+ 0x7F.toByte
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val out = Multimodal.resamplePcm16(df, factor = 3).collect().head
+    assert(out.n_samples_in == 7 && out.n_samples_out == 3)
+    // samples 1, 4, 7 re-encoded little-endian
+    assert(out.resampled.toSeq == Seq[Byte](1, 0, 4, 0, 7, 0))
+    val identity = Multimodal.resamplePcm16(df, factor = 1).collect().head
+    assert(identity.resampled.toSeq == bytes.dropRight(1).toSeq)
+    intercept[IllegalArgumentException](Multimodal.resamplePcm16(df, factor = 0))
+    val empties = Multimodal.resamplePcm16(
+      Seq((Some(2L), Some(Array.emptyByteArray)), (Some(3L), None), (None, Some(bytes)))
+        .toDF("doc_id", "payload"), factor = 2).collect()
+    assert(empties.map(r => (r.doc_id, r.n_samples_out, r.resampled.length)).toSet ==
+      Set((2L, 0L, 0), (3L, 0L, 0)))
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
