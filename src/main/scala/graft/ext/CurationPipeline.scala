@@ -120,8 +120,18 @@ object CurationPipeline {
     * per-row column expressions, so computing them as two scans of the
     * near-deduped set and joining back would re-execute the whole dedup DAG
     * twice and add a needless shuffle.
+    *
+    * `private[graft]` with passthrough columns because the STREAMING
+    * pipeline ([[graft.streaming.StreamingCuration]]) shares this exact
+    * tail — the language tie rule and gate expressions must exist once, or
+    * the "live-ingest twin" contract silently diverges. Output columns:
+    * passthrough ++ (n_chars, n_tokens, distinct_ratio, lang_pred).
     */
-  private def qualityLangTail(nearDeduped: DataFrame, params: Params): DataFrame = {
+  private[graft] def qualityLangTail(
+      nearDeduped: DataFrame,
+      params: Params,
+      passthrough: Seq[String] = Seq("doc_id"),
+      textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions._
     val langs = langMarkers.map(_._1)
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
@@ -129,15 +139,15 @@ object CurationPipeline {
       when(beatsAllLater, lang).otherwise(rest)
     }
     nearDeduped
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("distinct_ratio", distinctRatio(col("toks")))
       .filter(col("n_chars") >= params.minChars && col("distinct_ratio") >= params.minDistinctRatio)
       .select(
-        Seq(col("doc_id"), col("n_chars"), col("n_tokens"), col("distinct_ratio")) ++
+        passthrough.map(col) ++ Seq(col("n_chars"), col("n_tokens"), col("distinct_ratio")) ++
           langMarkers.map { case (lang, markers) => markerScore(col("toks"), markers).as(s"score_$lang") }: _*)
       .withColumn("lang_pred", pred)
-      .select("doc_id", "n_chars", "n_tokens", "distinct_ratio", "lang_pred")
+      .select(passthrough ++ Seq("n_chars", "n_tokens", "distinct_ratio", "lang_pred") map col: _*)
   }
 }

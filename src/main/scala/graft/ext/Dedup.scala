@@ -62,17 +62,36 @@ object Dedup {
     val keyed = df.filter(key.isNotNull).select(key.as("__k"), payload.as("__p"))
     val admitted =
       if (maxGroup == Long.MaxValue) keyed
-      else keyed.join(
-        keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      else {
+        // window count, not a count + semi-join: the join form evaluates the
+        // (often expensive) keyed lineage twice — once as the count build
+        // side, once as the probe — while the window evaluates it once, and
+        // its hashpartitioning(__k) exchange is reused by the groupBy below
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+        keyed.withColumn("__n", count(lit(1)).over(w))
           .filter(col("__n") <= maxGroup)
-          .select("__k"),
-        Seq("__k"), "left_semi")
+          .drop("__n")
+      }
     admitted
       .groupBy(col("__k")).agg(sort_array(collect_list(col("__p"))).as("__xs"))
       .select(posexplode(col("__xs")).as(Seq("__i", "__a")), col("__xs"))
       .select(col("__a"),
         explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")) - col("__i") - lit(1))).as("__b"))
   }
+
+  /** Diagnostic companion to [[orderedPairsWithinGroups]]' `maxGroup` cap:
+    * the keys whose groups WOULD be dropped at `maxGroup`, with their
+    * sizes. The cap itself is silent at run time (a distributed operator
+    * has no good side channel); a curation job that cares — and any
+    * monitoring of the dedup stages — runs this alongside and alerts when
+    * it is non-empty, because a dropped block means near-dup detection was
+    * skipped for one degenerate family of documents.
+    */
+  def oversizeGroups(df: DataFrame, key: Column, maxGroup: Long): DataFrame =
+    df.filter(key.isNotNull)
+      .groupBy(key.as("group_key"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") > maxGroup)
 
   /** Exact dedup groups: fingerprint -> keeper id + duplicate count. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

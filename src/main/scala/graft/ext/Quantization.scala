@@ -164,13 +164,10 @@ object Quantization {
     import spark.implicits._
     val clean = embeddings.filter(
       col(idCol).isNotNull && col(vecCol).isNotNull && size(col(vecCol)) >= dim)
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("code",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)),
-        org.apache.spark.sql.types.StructField("recon_err", org.apache.spark.sql.types.DoubleType))))
+    val emptyOut = Similarity.emptyFrame(spark,
+      idCol -> org.apache.spark.sql.types.LongType,
+      "code" -> org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      "recon_err" -> org.apache.spark.sql.types.DoubleType)
     val codebooks = trainCodebooks(
       clean, dim, m, codebookSize, trainSample, kmeansIterations, idCol, vecCol)
       .getOrElse(return emptyOut)

@@ -64,6 +64,44 @@ object Similarity {
     acc
   }
 
+  /** THE nearest-centroid assignment: strict `<`, first-lowest wins — the
+    * library-wide tie rule. One definition shared by the IVF top-k scan,
+    * the IVF-PQ residual training, and the IVF-PQ corpus pass, so stored
+    * assignments and search-side assignments cannot diverge (the
+    * [[Quantization.encode]] rationale). Returns -1 for an empty centroid
+    * set.
+    */
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val d = sqDistOf(v, cents(ci))
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Typed empty result frame — one definition for every search path's
+    * empty-corpus contract, so a column rename cannot silently diverge the
+    * empty schema from the real one.
+    */
+  private[ext] def emptyFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        fields.map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) }))
+
+  private[ext] def emptyTopKFrame(
+      spark: org.apache.spark.sql.SparkSession, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    emptyFrame(spark,
+      "query_id" -> LongType, "rnk" -> LongType, "neighbor_id" -> LongType, scoreCol -> DoubleType)
+  }
+
   /** Collect at most `maxRows` prepped vectors to the driver, failing with
     * routing guidance if the side is larger — one job, guard folded into the
     * collect itself (a separate count probe would re-execute the lineage).
@@ -315,13 +353,7 @@ object Similarity {
     val sampleRaw = Await.result(sampleF, Duration.Inf)
     val qArr = Await.result(queriesF, Duration.Inf)
 
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    val emptyOut = emptyTopKFrame(spark, "cosine")
     val nlistEff =
       if (nlist > 0) nlist
       else {
@@ -359,14 +391,7 @@ object Similarity {
         // resolve index lists to query tuples once per partition
         val probes = bcProbes.value.map(_.map(qs))
         rows.flatMap { case (idC, c) =>
-          var best = -1
-          var bestD = Double.MaxValue
-          var ci = 0
-          while (ci < cents.length) {
-            val d = sqDistOf(c, cents(ci))
-            if (d < bestD) { bestD = d; best = ci }
-            ci += 1
-          }
+          val best = nearestCentroid(c, cents)
           if (best < 0) Iterator.empty
           else scoreAgainst(idC, c, probes(best))
         }
@@ -442,13 +467,7 @@ object Similarity {
     }
     val booksOpt = Await.result(booksF, Duration.Inf)
     val qArr = Await.result(queriesF, Duration.Inf)
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("approx_dist", org.apache.spark.sql.types.DoubleType))))
+    val emptyOut = emptyTopKFrame(spark, "approx_dist")
     // empty corpus -> typed empty frame, the ivfTopK contract
     val books = booksOpt.getOrElse(return emptyOut)
     val sub = dim / m
@@ -566,13 +585,7 @@ object Similarity {
       if (nlist > 0) None else Some(Future { clean.count() })
     val sampleRaw = Await.result(sampleF, Duration.Inf)
     val qArr = Await.result(queriesF, Duration.Inf)
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("approx_dist", org.apache.spark.sql.types.DoubleType))))
+    val emptyOut = emptyTopKFrame(spark, "approx_dist")
     if (sampleRaw.isEmpty) return emptyOut
     val nlistEff =
       if (nlist > 0) nlist
@@ -584,14 +597,7 @@ object Similarity {
     val centroids = kmeansCentroids(sampleRaw, math.min(nlistEff, sampleRaw.length), kmeansIterations)
     // PQ books on the sample RESIDUALS against the trained coarse cells
     val residuals = sampleRaw.map { v =>
-      var best = 0
-      var bestD = Double.MaxValue
-      var ci = 0
-      while (ci < centroids.length) {
-        val d = sqDistOf(v, centroids(ci))
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
+      val best = nearestCentroid(v, centroids)
       val r = new Array[Double](dim)
       var i = 0
       while (i < dim) { r(i) = v(i) - centroids(best)(i); i += 1 }
@@ -640,14 +646,7 @@ object Similarity {
           lutCache(cell)
         }
         rows.flatMap { case (id, v) =>
-          var best = -1
-          var bestD = Double.MaxValue
-          var ci = 0
-          while (ci < cents.length) {
-            val d = sqDistOf(v, cents(ci))
-            if (d < bestD) { bestD = d; best = ci }
-            ci += 1
-          }
+          val best = nearestCentroid(v, cents)
           if (best < 0 || probes(best).isEmpty) Iterator.empty
           else {
             val cent = cents(best)
@@ -827,12 +826,10 @@ object Similarity {
     val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     // ids travel as long through the assignment kernel (prepTyped casts),
     // so the output id columns are long regardless of the input id type
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    val emptyOut = emptyFrame(spark,
+      "id_a" -> org.apache.spark.sql.types.LongType,
+      "id_b" -> org.apache.spark.sql.types.LongType,
+      "cosine" -> org.apache.spark.sql.types.DoubleType)
     val sampleRaw = hashOrderedSample(clean, idCol, vecCol, trainSample)
     // corpus size for auto-sizing: a non-full sample IS the whole corpus
     // (hashOrderedSample applies the same null filter), so only corpora

@@ -46,21 +46,9 @@ object StreamingCuration {
       .withColumn("__fp", fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
-    val langs = langMarkers.map(_._1)
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), rest) =>
-      val beatsAllLater = langs.drop(i + 1).map(l2 => col(s"score_$lang") >= col(s"score_$l2")).reduce(_ && _)
-      when(beatsAllLater, lang).otherwise(rest)
-    }
-    deduped
-      .withColumn("toks", tokens(col(textCol)))
-      .withColumn("n_chars", length(col(textCol)).cast("long"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("distinct_ratio", distinctRatio(col("toks")))
-      .filter(col("n_chars") >= params.minChars && col("distinct_ratio") >= params.minDistinctRatio)
-      .select(
-        Seq(col(idCol), col(tsCol), col("n_chars"), col("n_tokens"), col("distinct_ratio")) ++
-          langMarkers.map { case (lang, markers) => markerScore(col("toks"), markers).as(s"score_$lang") }: _*)
-      .withColumn("lang_pred", pred)
-      .select(idCol, tsCol, "n_chars", "n_tokens", "distinct_ratio", "lang_pred")
+    // the ONE quality/language tail, shared with the batch pipeline — the
+    // "live-ingest twin" contract holds by construction
+    CurationPipeline.qualityLangTail(
+      deduped, params, passthrough = Seq(idCol, tsCol), textCol = textCol)
   }
 }
