@@ -264,6 +264,18 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
   }
 
+  test("oversizeGroups reports exactly the keys a maxGroup cap would drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("hot", 1L), ("hot", 2L), ("hot", 3L),
+      ("ok", 10L), ("ok", 11L), (null.asInstanceOf[String], 99L)).toDF("k", "id")
+    val got = Dedup.oversizeGroups(df, col("k"), maxGroup = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("hot", 3L)))
+    assert(Dedup.oversizeGroups(df, col("k"), maxGroup = 3L).collect().isEmpty)
+  }
+
   test("corpus diff: added/removed/changed/unchanged, null text and dup ids handled") {
     import spark.implicits._
     val oldSnap = Seq(
