@@ -1774,10 +1774,23 @@ object QueryCatalog {
     * are not SQL-expressible. QuantizationSpec pins exact reconstruction
     * under a covering codebook, partition-invariance of the whole encode,
     * the subspace-count error monotonicity, and the exclusion guards.
+    *
+    * The registered projection folds `code array<int>` into scalars (the
+    * `quantize_stats` q_sum pattern): the driver's correctness harness
+    * row-sorts with pandas, which cannot order array cells — an
+    * array-typed output column nulls even the rows-only spark_rows
+    * signal. `code_pack` is the injective positional fold (m=8 codes in
+    * [0,16) pack into 16^8 = 2^32 < Long.MaxValue); the library operator
+    * [[graft.ext.Quantization.productQuantize]] keeps the raw array.
     */
   private val qPqCodes: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Quantization.productQuantize(
-      table(s, dir, "embeddings"), dim = 64, m = 8, codebookSize = 16)
+        table(s, dir, "embeddings"), dim = 64, m = 8, codebookSize = 16)
+      .select(
+        col("vec_id"),
+        expr("aggregate(code, 0L, (a, x) -> a * 16 + x)").as("code_pack"),
+        size(col("code")).as("code_len"),
+        col("recon_err"))
 
   /** PQ-ADC approximate top-k (rows-only, like every codebook path):
     * SimilaritySpec pins exactness in the covering-codebook regime and
