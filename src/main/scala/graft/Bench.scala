@@ -39,14 +39,21 @@ private final class BenchMetricsListener extends SparkListener {
   * alongside under `queries_cold`/`total_cold` so one-time planning and
   * compile cost stays visible rather than hidden.
   *
-  * OUTPUT CONTRACT (changed in round 5; consumers of the old single-line
-  * schema must migrate): the LAST stdout line is the compact metric line —
-  * `metric/value/unit/mode/queries` (steady-state seconds per query) plus
-  * `total_cold` and total shuffle/input byte counters. Everything
-  * per-query beyond that (cold seconds, shuffle/input byte maps, IVF
-  * recall) lives ONLY in the BENCH_DETAILS.json sidecar, also echoed to
-  * stdout one line earlier. The sidecar path defaults to the working
-  * directory and is overridable via SPARK_GRAFT_BENCH_DETAILS.
+  * OUTPUT CONTRACT (changed in round 7; consumers of the old single-line
+  * schema must migrate): the round driver stores only the LAST 2000 chars
+  * of stdout, and at 92+ registered queries a per-query map cannot fit in
+  * that window — the sorted key names alone are ~1300 chars, so even
+  * 1-char values put the line near 2000 and the round-6 line (3-decimal
+  * seconds) overflowed it, nulling the driver's parse entirely. The fix is
+  * the split the overflow forced: the LAST stdout line is now a compact
+  * growth-immune totals line — `metric/value/unit/mode/n_queries/
+  * total_cold`, total shuffle/input byte counters, and `slowest` (the 8
+  * slowest steady-state queries, the watch list) — while the FULL
+  * per-query detail (steady AND cold seconds, shuffle/input byte maps,
+  * recall probes) lives in the BENCH_DETAILS.json sidecar, echoed to
+  * stdout one line earlier and committed per round. The sidecar path
+  * defaults to the working directory and is overridable via
+  * SPARK_GRAFT_BENCH_DETAILS.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -136,7 +143,7 @@ object Bench {
     val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
     val detail =
-      s"""{"detail":"per-query","queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"ivf_topk_recall":${ivfRecall.map(r3).getOrElse("null")},"sf":"$sfDir"}"""
+      s"""{"detail":"per-query","queries":$warmQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"ivf_topk_recall":${ivfRecall.map(r3).getOrElse("null")},"sf":"$sfDir"}"""
     // sidecar with everything, for humans and the judge; never on the
     // primary line (a >2000-char line falls off the driver's stdout tail).
     // Path is anchored by SPARK_GRAFT_BENCH_DETAILS when set — the default
@@ -151,7 +158,12 @@ object Bench {
     // it on stdout — the line must be the last one the driver sees
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
-    // the ONE machine-parsed line — keep it compact and make it LAST
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady-state","queries":$warmQs,"total_cold":${r3(totalCold)},"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"sf":"$sfDir"}""")
+    // the ONE machine-parsed line — compact (immune to query-surface
+    // growth: no per-query map, see the class doc), and LAST. `slowest`
+    // carries the 8 slowest steady queries so the cross-round watch list
+    // survives even if the sidecar is lost.
+    val slowest = jsonMap(
+      results.sortBy(-_._3).take(8).map { case (k, _, w, _, _, _) => k -> r3(w) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady-state","n_queries":${results.size},"total_cold":${r3(totalCold)},"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"slowest":$slowest,"details":"BENCH_DETAILS.json","sf":"$sfDir"}""")
   }
 }
