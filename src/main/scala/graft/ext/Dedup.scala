@@ -156,24 +156,38 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxDf: Long = 100000L): DataFrame = {
-    val grams = docGrams(docs, idCol, textCol, n)
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val admitted = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("g")
-    val capped = grams.join(admitted, Seq("g"), "left_semi")
-    // pair emission per gram group, not a row-level self-join (see
-    // orderedPairsWithinGroups). The semi-join prefilter stays: it drops
-    // hot grams BEFORE any per-gram list is collected, and its output is
-    // already hash-partitioned on g, so the groupBy adds no exchange.
-    val inter = orderedPairsWithinGroups(capped, col("g"), col("id"))
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"))
+    // ONE scan, TWO shuffles, ZERO joins (round-7 shape; the previous form
+    // scanned the gram relation per consumer and — the real 100 TB hazard —
+    // broadcast the admitted-grams set, which is nearly ALL distinct grams
+    // of the corpus, as a semi-join build side):
+    //  - within-doc gram dedup is map-side (array_distinct on the hash
+    //    array), so no (id, g) distinct exchange exists at all;
+    //  - each doc's distinct-gram count rides along every exploded row
+    //    (struct payload), so jaccard needs no size join back;
+    //  - df capping is a window count on the single g-exchange, which the
+    //    pair-group aggregate then reuses (the maxGroup admission pattern).
+    // The df count runs BEFORE null ids drop out (they never pair but do
+    // count toward df), mirroring the oracle's order of operations.
+    val exploded = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("id"), array_distinct(ngramHashes(col("w"), n)).as("gs"))
+      .select(col("id"), size(col("gs")).as("sz"), explode(col("gs")).as("g"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val admitted = exploded
+      .withColumn("__df", count(lit(1)).over(byGram))
+      .filter(col("__df") <= maxDf && col("id").isNotNull)
+      .select(col("g"), struct(col("id"), col("sz")).as("p"))
     val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-    inter
-      .join(sizes.toDF("id_a", "sa"), "id_a")
-      .join(sizes.toDF("id_b", "sb"), "id_b")
+    orderedPairsWithinGroups(admitted, col("g"), col("p"))
+      .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
+        col("__b.id").as("id_b"), col("__b.sz").as("sb"))
+      // degenerate duplicate-id corpora: the struct sort guarantees
+      // id_a <= id_b; the strict filter drops self-pairs exactly where the
+      // oracle's a.doc_id < b.doc_id does
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "sa", "id_b", "sb")
+      .agg(count(lit(1)).as("i"))
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -31,6 +31,19 @@ class PlanShapeSpec extends AnyFunSuite {
       Dedup.minhashLshVerifiedPairs(docs)).foreach(df => assertNoCartesian(plan(df)))
   }
 
+  test("ngramJaccardPairs: one scan, two exchanges, zero joins") {
+    // round-7 shape: within-doc gram dedup is map-side, sizes ride the
+    // exploded rows, df capping reuses the single g-exchange — a join or a
+    // second scan here means the broadcast-the-whole-gram-set semi-join
+    // (a 100 TB driver hazard) crept back
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(Dedup.ngramJaccardPairs(docs))
+    assert(!p.contains("Join"), s"join crept back into ngramJaccardPairs:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "corpus must be scanned exactly once")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"expected the g-window exchange + the intersect exchange only:\n$p")
+  }
+
   test("srpCosinePairs: one native band-key expression, equi-joins only") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.srpCosinePairs(emb))
