@@ -1148,38 +1148,76 @@ object QueryCatalog {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
   }
 
+  /** The REAL image codec under the gate: [[graft.ext.Multimodal.encodePpm]]
+    * writes genuine binary-PPM payloads (deterministic per-doc canvas, RGB
+    * plane = UTF-8 text bytes cycled), [[graft.ext.Multimodal.parsePpm]]
+    * decodes them for real (magic, header, raw RGB), and the oracle replays
+    * the full encode→decode byte model in SQL: payload byte k of the pixel
+    * plane is text byte (k % n) — indexed through hex(blob) because this
+    * DuckDB build has no substring-on-BLOB — and the per-channel sums/means
+    * are exact-integer folds over that byte sequence.
+    */
   private val qMultimodal: (SparkSession, String) => DataFrame = (s, dir) =>
-    Multimodal.decodeFeatures(Multimodal.attachBinary(table(s, dir, "documents")))
-      .toDF()
-      .select("doc_id", "n_bytes", "width", "height")
+    Multimodal.ppmFeatures(Multimodal.encodePpm(table(s, dir, "documents"))).toDF()
 
-  private val oMultimodal: String =
-    """SELECT doc_id, strlen(text)::bigint AS n_bytes,
-      |       (strlen(text) % 640 + 1)::int AS width, (strlen(text) % 480 + 1)::int AS height
-      |FROM documents""".stripMargin
+  private def ppmByteSql(pos: String): String =
+    s"CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, 2 * (($pos) % n) + 1, 2))::BIGINT END"
 
-  /** The resize plumbing under the gate: the stub "resampling" is byte-bucket
-    * averaging, which the oracle replays byte-for-byte (the corpus is ASCII,
-    * so DuckDB's ascii(char) IS the UTF-8 byte). Output flattened to
-    * (doc_id, cell, px) scalar rows; px goes double-divide -> float32 in
-    * both engines (IEEE round-to-nearest makes the cast bitwise-portable).
+  private val oMultimodal: String = {
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"3 * p + $c")})), (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL),
+       |s AS (SELECT doc_id, w, h,
+       |             ${chanSum(0)} AS sum_r,
+       |             ${chanSum(1)} AS sum_g,
+       |             ${chanSum(2)} AS sum_b
+       |      FROM b)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, 255 AS maxval,
+       |       (w * h)::BIGINT AS n_pixels, sum_r, sum_g, sum_b,
+       |       sum_r / (w * h) AS mean_r, sum_g / (w * h) AS mean_g,
+       |       sum_b / (w * h) AS mean_b
+       |FROM s""".stripMargin
+  }
+
+  /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
+    * The oracle recomputes each resized byte's source position with the
+    * same floor arithmetic (sx = tx*W/tw, sy = ty*H/th), then replays both
+    * the per-channel sums and the base-31 rolling checksum over the resized
+    * plane in RGB scan order — the checksum pins every byte, so a
+    * transposed index or swapped channel cannot pass.
     */
   private val qMultimodalResize: (SparkSession, String) => DataFrame = (s, dir) =>
-    Multimodal.resize(Multimodal.attachBinary(table(s, dir, "documents")), targetW = 2, targetH = 2)
+    Multimodal.resizePpm(Multimodal.encodePpm(table(s, dir, "documents")), targetW = 4, targetH = 4)
       .toDF()
-      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("cell", "px")))
-      .select(col("doc_id"), col("cell").cast("long").as("cell"), col("px"))
 
-  private val oMultimodalResize: String =
-    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      |byte_rows AS (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM b),
-      |v AS (SELECT doc_id, (i * 4) // greatest(1, n) AS cell,
-      |             ascii(substr(text, CAST(i AS INT) + 1, 1)) AS byte
-      |      FROM byte_rows),
-      |grid AS (SELECT doc_id, unnest(range(0, 4)) AS cell FROM b),
-      |stats AS (SELECT doc_id, cell, CAST(sum(byte) AS double) / count(*) AS m FROM v GROUP BY 1, 2)
-      |SELECT g.doc_id, g.cell, CAST(COALESCE(s.m, 0.0) AS REAL) AS px
-      |FROM grid g LEFT JOIN stats s USING (doc_id, cell)""".stripMargin
+  private val oMultimodalResize: String = {
+    // resized flat byte j (0-based, RGB scan order, tw = th = 4):
+    // t = j//3, c = j%3, tx = t%4, ty = t//4, sx = tx*w//4, sy = ty*h//4
+    val srcPos = "3 * (((t // 4) * h // 4) * w + (t % 4) * w // 4)"
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16),
+         |    t -> ${ppmByteSql(s"$srcPos + $c")})), (a, x) -> a + x)""".stripMargin
+    val checksum =
+      s"""list_reduce(list_prepend(0::BIGINT, flatten(list_transform(range(0, 16),
+         |    t -> [${ppmByteSql(s"$srcPos + 0")},
+         |          ${ppmByteSql(s"$srcPos + 1")},
+         |          ${ppmByteSql(s"$srcPos + 2")}]))),
+         |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT doc_id, w::INT AS src_w, h::INT AS src_h, 4 AS out_w, 4 AS out_h,
+       |       ${chanSum(0)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(2)} AS sum_b,
+       |       $checksum AS checksum
+       |FROM b""".stripMargin
+  }
 
   /** Frame sampling under the gate: every 2nd 64-byte "frame", at most 4 per
     * doc; frames compared by md5 (bytes == the ASCII substring's bytes).

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * travel as opaque `binary` columns with a typed metadata struct; decoding
   * and feature extraction run batch-wise per partition.
   *
-  * The image/video codec steps are STUBS (this container ships no image
-  * libraries): [[DecodedFeatures]] are a deterministic function of the
-  * bytes, clearly marked below. The AUDIO path is real: raw s16le PCM
-  * needs no codec library, so [[decodePcm16Frames]] performs an actual
-  * byte-level decode with an exact SQL oracle replay. Everything
-  * Spark-side — schema, binary columns, partition-batched iteration,
-  * output shape — is real and tested; swapping a stub for a JNI/ONNX
-  * decoder changes only `decodeStub`.
+  * The IMAGE path is a real codec: binary PPM (P6) needs no image library
+  * — [[parsePpm]] performs an actual header parse (magic, comments,
+  * whitespace, dimensions, maxval) plus raw RGB extraction, [[encodePpm]]
+  * writes the format, and [[ppmFeatures]]/[[resizePpm]] operate on decoded
+  * pixels. The AUDIO path is likewise real: raw s16le PCM
+  * ([[decodePcm16Frames]], [[resamplePcm16]]) is an actual byte-level
+  * decode with an exact SQL oracle replay. Only VIDEO frame sampling
+  * ([[sampleFrames]]) remains a stub — a container index needs a real
+  * demuxer; its flatMap fan-out shape is the real part. Swapping in a
+  * JNI/ONNX decoder changes only the per-row decode function.
   */
 object Multimodal {
 
@@ -31,79 +33,195 @@ object Multimodal {
         hex(substring(col(textCol), 1, 8).cast("binary")).as("header_hex"),
         lit("application/octet-stream").as("mime")).as("meta"))
 
-  final case class DecodedFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      width: Int, // stub: derived, stands in for decoded image width
-      height: Int, // stub: derived, stands in for decoded image height
-      features: Array[Float]) // stub: 8-dim byte-statistics "embedding"
-
-  /** ======== STUB decode ========
-    * Deterministic fake decoder: byte statistics instead of pixel decoding.
-    * Real implementation would hand `bytes` to an image/audio codec here.
+  /** A decoded binary-PPM image: dimensions, sample depth, and the raw
+    * interleaved RGB plane (3 bytes per pixel, row-major).
     */
-  private def decodeStub(id: Long, bytes: Array[Byte]): DecodedFeatures = {
-    val n = bytes.length
-    val dim = 8
-    val sums = new Array[Long](dim)
-    var i = 0
-    while (i < n) { sums(i % dim) += bytes(i) & 0xff; i += 1 }
-    val feats = sums.map(s => if (n == 0) 0f else (s.toDouble / n).toFloat)
-    DecodedFeatures(id, n.toLong, width = (n % 640) + 1, height = (n % 480) + 1, feats)
+  final case class PpmImage(width: Int, height: Int, maxval: Int, pixels: Array[Byte])
+
+  /** ======== REAL codec: PPM (P6) parse ========
+    * An actual format decode, the image analog of [[decodePcm16Frames]]:
+    * binary PPM is the uncompressed interchange format every image
+    * toolchain reads and writes without a library, so the full codec —
+    * magic check, `#` comments, arbitrary header whitespace, decimal
+    * dimension/maxval parse, the single post-maxval whitespace byte, raw
+    * RGB extraction — fits in plain JVM code.
+    *
+    * Returns None for malformed payloads (wrong magic, missing/overflowing
+    * header fields, maxval outside [1, 255] — 2-byte-sample images are out
+    * of scope — or a pixel plane shorter than 3*w*h): the metric_parse
+    * malformed-drop convention. The 3L*w*h length check runs in Long, so a
+    * hostile header claiming a multi-GB image fails cleanly instead of
+    * allocating.
+    */
+  private[ext] def parsePpm(bytes: Array[Byte]): Option[PpmImage] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && i < bytes.length) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else done = true
+      }
+    }
+    def parseNat(): Long = { // -1 = malformed; values capped at 2^31
+      skipWsAndComments()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        if (v <= Int.MaxValue) v = v * 10 + (bytes(i) - '0')
+        i += 1
+      }
+      if (i == start || v > Int.MaxValue) -1L else v
+    }
+    val w = parseNat()
+    val h = parseNat()
+    val maxval = parseNat()
+    if (w < 1 || h < 1 || maxval < 1 || maxval > 255) return None
+    // exactly ONE whitespace byte separates the header from the pixel plane
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
+    val need = 3L * w * h
+    if (bytes.length - i < need) return None
+    Some(PpmImage(w.toInt, h.toInt, maxval.toInt,
+      java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
   }
 
-  /** Partition-batched decode + feature extraction: the Scala analog of a
-    * `mapInPandas` batch UDF — one decoder instance per partition, iterator
-    * in / iterator out, constant memory.
+  /** ======== REAL codec: PPM (P6) encode ========
+    * Attach a genuine binary-PPM payload to a text-bearing table: per doc,
+    * a deterministic w x h canvas (w = 8 + id % 8, h = 8 + (id/8) % 8 —
+    * floor semantics, matching SQL `//`/`%` on non-negative ids) whose RGB
+    * plane is the doc's UTF-8 bytes cycled to fill 3*w*h (an empty or null
+    * text paints black). In production the payload column comes from a blob
+    * store; this writer exists so the decode path has real images to parse
+    * end to end, fixture-deterministically, with a SQL-replayable byte
+    * model. Null ids are excluded (they could not round a floorMod
+    * identically in SQL and never survive downstream anyway).
     */
-  def decodeFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[DecodedFeatures] = {
+  def encodePpm(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = Option(textOrNull).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
+        val h = 8 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 8L), 8L).toInt
+        val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val plane = 3 * w * h
+        val out = new Array[Byte](header.length + plane)
+        System.arraycopy(header, 0, out, 0, header.length)
+        if (data.length > 0) {
+          var k = 0
+          while (k < plane) { out(header.length + k) = data(k % data.length); k += 1 }
+        }
+        (id, out, w, h)
+      }
+      .toDF(idCol, "payload", "w", "h")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          col("w").as("width"), col("h").as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/x-portable-pixmap").as("mime")).as("meta"))
+  }
+
+  final case class PpmFeatures(
+      doc_id: Long, width: Int, height: Int, maxval: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Partition-batched REAL image decode + per-channel statistics: parse
+    * each payload as binary PPM ([[parsePpm]]) and reduce the pixel plane
+    * to exact per-channel sums plus means — the brightness/color-cast
+    * numbers an image-curation filter thresholds on. Malformed payloads
+    * are dropped (the decode's analog of malformed-JSON drop); sums are
+    * exact integers and each mean is one IEEE division of exact operands,
+    * so the whole operator is engine-portable bitwise.
+    */
+  def ppmFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[PpmFeatures] = {
     val spark = withBinary.sparkSession
     import spark.implicits._
     withBinary
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (expensive init amortized)
-        it.map { case (id, bytes) => decodeStub(id, Option(bytes).getOrElse(Array.empty)) }
+        it.flatMap { case (id, bytesOrNull) =>
+          parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var p = 0
+            while (p < img.pixels.length) {
+              r += img.pixels(p) & 0xff
+              g += img.pixels(p + 1) & 0xff
+              b += img.pixels(p + 2) & 0xff
+              p += 3
+            }
+            val n = img.width.toLong * img.height
+            PpmFeatures(id, img.width, img.height, img.maxval, n, r, g, b,
+              r.toDouble / n, g.toDouble / n, b.toDouble / n)
+          }
+        }
       }
   }
 
-  final case class ResizedImage(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
+  final case class PpmResized(
+      doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
 
-  /** ======== STUB resize ========
-    * "Resize" the decoded payload to a target WxH grid by averaging byte
-    * buckets (stands in for bilinear resampling of decoded pixels — a real
-    * codec would resize the pixel matrix here). The Spark plumbing is the
-    * real part: partition-batched, constant memory, typed output rows of
-    * exactly width*height values.
+  /** REAL image resize on decoded pixels: nearest-neighbor resample of the
+    * parsed PPM grid to `targetW` x `targetH` — source pixel (tx*W/tw,
+    * ty*H/th), floor division, the integer-exact choice that a SQL oracle
+    * can replay byte for byte (bilinear's fractional weights cannot be
+    * compared bitwise across engines). Output per image: exact per-channel
+    * sums of the resized plane plus a base-31 rolling checksum over its
+    * bytes in RGB scan order (the [[graft.ext.TextAnalysis.fingerprints]]
+    * modulus), which pins every byte position, not just totals. Malformed
+    * payloads are dropped, like [[ppmFeatures]].
     */
-  def resize(
+  def resizePpm(
       withBinary: DataFrame,
       targetW: Int,
       targetH: Int,
       idCol: String = "doc_id",
-      binCol: String = "payload"): Dataset[ResizedImage] = {
+      binCol: String = "payload"): Dataset[PpmResized] = {
     require(targetW >= 1 && targetH >= 1)
     val spark = withBinary.sparkSession
     import spark.implicits._
     withBinary
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytesOrNull) =>
-          val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
-          val cells = targetW * targetH
-          val sums = new Array[Long](cells)
-          val counts = new Array[Long](cells)
-          var i = 0
-          while (i < bytes.length) {
-            val cell = (i.toLong * cells / math.max(1, bytes.length)).toInt
-            sums(cell) += bytes(i) & 0xff
-            counts(cell) += 1
-            i += 1
+        it.flatMap { case (id, bytesOrNull) =>
+          parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var ty = 0
+            while (ty < targetH) {
+              val sy = ty * img.height / targetH
+              var tx = 0
+              while (tx < targetW) {
+                val sx = tx * img.width / targetW
+                val base = 3 * (sy * img.width + sx)
+                val pr = img.pixels(base) & 0xff
+                val pg = img.pixels(base + 1) & 0xff
+                val pb = img.pixels(base + 2) & 0xff
+                r += pr; g += pg; b += pb
+                checksum = (checksum * 31 + pr) % 1000000007L
+                checksum = (checksum * 31 + pg) % 1000000007L
+                checksum = (checksum * 31 + pb) % 1000000007L
+                tx += 1
+              }
+              ty += 1
+            }
+            PpmResized(id, img.width, img.height, targetW, targetH, r, g, b, checksum)
           }
-          val px = Array.tabulate(cells)(c => if (counts(c) == 0) 0f else (sums(c).toDouble / counts(c)).toFloat)
-          ResizedImage(id, targetW, targetH, px)
         }
       }
   }

@@ -7,33 +7,84 @@ import graft.SparkSpec
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
-  test("binary attach + partition-batched decode: schema, sizes, determinism") {
-    import spark.implicits._
-    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
-    val out = Multimodal.decodeFeatures(Multimodal.attachBinary(docs))
-      .collect().sortBy(_.doc_id)
-    assert(out.length == 2)
-    val h = out(0)
-    assert(h.n_bytes == 11)
-    assert(h.width == 11 % 640 + 1 && h.height == 11 % 480 + 1)
-    assert(h.features.length == 8)
-    val empty = out(1)
-    assert(empty.n_bytes == 0 && empty.features.forall(_ == 0f))
-    // deterministic across runs/partitionings
-    val again = Multimodal.decodeFeatures(Multimodal.attachBinary(docs.repartition(7)))
-      .collect().sortBy(_.doc_id)
-    assert(again.map(_.features.toSeq).toSeq == out.map(_.features.toSeq).toSeq)
+  test("ppm parse: a real P6 decode — header, comments, whitespace, raw RGB") {
+    val px = Array[Byte](10, 20, 30, 40, 50, 60) // 2x1, two RGB pixels
+    val canonical = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ px
+    val parsed = Multimodal.parsePpm(canonical).get
+    assert(parsed.width == 2 && parsed.height == 1 && parsed.maxval == 255)
+    assert(parsed.pixels.toSeq == px.toSeq)
+    // case-class equality is reference-based on the Array field — compare fields
+    def same(a: Multimodal.PpmImage, b: Multimodal.PpmImage): Boolean =
+      a.width == b.width && a.height == b.height && a.maxval == b.maxval &&
+        a.pixels.toSeq == b.pixels.toSeq
+    // comments + arbitrary whitespace are part of the format
+    val commented = "P6 # a comment\n  2\t1 # dims\n255\n".getBytes("US-ASCII") ++ px
+    assert(same(Multimodal.parsePpm(commented).get, parsed))
+    // maxval < 255 is legal 1-byte-sample PPM
+    val lowMax = "P6\n2 1\n63\n".getBytes("US-ASCII") ++ px
+    assert(Multimodal.parsePpm(lowMax).get.maxval == 63)
+    // trailing extra bytes are tolerated (stream-concatenated payloads)
+    assert(same(Multimodal.parsePpm(canonical ++ Array[Byte](99)).get, parsed))
   }
 
-  test("resize stub produces exact WxH grids, zero-filled for empty payloads") {
+  test("ppm parse: malformed payloads are dropped, hostile headers don't allocate") {
+    val px = Array[Byte](1, 2, 3)
+    assert(Multimodal.parsePpm("P5\n1 1\n255\n".getBytes("US-ASCII") ++ px).isEmpty) // wrong magic
+    assert(Multimodal.parsePpm("P6\n1 1\n255\n".getBytes("US-ASCII")).isEmpty) // truncated plane
+    assert(Multimodal.parsePpm("P6\n0 1\n255\n".getBytes("US-ASCII") ++ px).isEmpty) // zero dim
+    assert(Multimodal.parsePpm("P6\n1 1\n256\n".getBytes("US-ASCII") ++ px).isEmpty) // 2-byte samples
+    assert(Multimodal.parsePpm("P6\n1 1\n0\n".getBytes("US-ASCII") ++ px).isEmpty) // maxval 0
+    assert(Multimodal.parsePpm(Array[Byte]()).isEmpty)
+    // a header claiming a multi-GB plane must fail the Long length check,
+    // not allocate: 60000*60000*3 overflows Int
+    assert(Multimodal.parsePpm("P6\n60000 60000\n255\n".getBytes("US-ASCII") ++ px).isEmpty)
+  }
+
+  test("ppm encode -> decode round trip: real images, cycled text plane, exact stats") {
     import spark.implicits._
-    val docs = Seq((1L, "x" * 100), (2L, "")).toDF("doc_id", "text")
-    val out = Multimodal.resize(Multimodal.attachBinary(docs), targetW = 4, targetH = 3)
+    // id 9: w = 8 + 1 = 9, h = 8 + 1 = 9; id 0: w = 8, h = 8
+    val docs = Seq((9L, "ab"), (0L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.ppmFeatures(Multimodal.encodePpm(docs)).collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    val black = feats(0)
+    assert(black.width == 8 && black.height == 8 && black.maxval == 255)
+    assert(black.n_pixels == 64 && black.sum_r == 0 && black.mean_g == 0.0)
+    val ab = feats(1)
+    assert(ab.width == 9 && ab.height == 9 && ab.n_pixels == 81)
+    // plane = "ababab..." (243 bytes): position k holds 'a' (97) if k even
+    // else 'b' (98); channel c sums positions 3p+c, p in 0..80, so R gets
+    // ceil(81/2)=41 a's + 40 b's, G gets 3p+1 (odd when p even) = 41 b's...
+    val a = 'a'.toInt; val b = 'b'.toInt
+    assert(ab.sum_r == 41 * a + 40 * b)
+    assert(ab.sum_g == 41 * b + 40 * a)
+    assert(ab.sum_b == ab.sum_r)
+    assert(ab.mean_r == ab.sum_r.toDouble / 81)
+    // deterministic across partitionings
+    val again = Multimodal.ppmFeatures(Multimodal.encodePpm(docs.repartition(7)))
       .collect().sortBy(_.doc_id)
-    assert(out.forall(r => r.pixels.length == 12 && r.width == 4 && r.height == 3))
-    // "x" payload: every bucket averages to the byte value of 'x'
-    assert(out(0).pixels.forall(p => math.abs(p - 'x'.toInt) < 1e-6))
-    assert(out(1).pixels.forall(_ == 0f))
+    assert(again.toSeq == feats.toSeq)
+  }
+
+  test("ppm nearest-neighbor resize: exact source indexing on a known grid") {
+    import spark.implicits._
+    // hand-build a 2x2 image with distinct per-pixel values and resize 1x1:
+    // nearest-neighbor with floor picks source pixel (0, 0)
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq((1L, img)).toDF("doc_id", "payload")
+    val one = Multimodal.resizePpm(df, targetW = 1, targetH = 1).collect().head
+    assert(one.src_w == 2 && one.src_h == 2 && one.out_w == 1 && one.out_h == 1)
+    assert((one.sum_r, one.sum_g, one.sum_b) == (1L, 2L, 3L))
+    assert(one.checksum == ((1L * 31 + 2) * 31 + 3) % 1000000007L)
+    // upscale 2x2 -> 4x4 replicates each source pixel 4x: sums scale by 4
+    val up = Multimodal.resizePpm(df, targetW = 4, targetH = 4).collect().head
+    assert(up.sum_r == 4L * (1 + 4 + 7 + 10))
+    assert(up.sum_g == 4L * (2 + 5 + 8 + 11))
+    assert(up.sum_b == 4L * (3 + 6 + 9 + 12))
+    // malformed payloads drop out
+    val bad = Seq((2L, "not an image".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    assert(Multimodal.resizePpm(bad, 2, 2).collect().isEmpty)
+    assert(Multimodal.ppmFeatures(bad).collect().isEmpty)
   }
 
   test("frame sampling fans one payload out to every-Nth fixed-size chunks") {
