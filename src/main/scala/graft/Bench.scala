@@ -127,6 +127,52 @@ object Bench {
           case e: Throwable => System.err.println(s"[bench] recall probe failed: ${e.getMessage}"); None
         }
       } else None
+    // recall of the PQ family vs exact L2 on the same fixture + query split
+    // (vec_id % 25, k = 10, dim-64 prefix — the registered pq_topk/
+    // ivfpq_topk configuration): telemetry so a codebook regression is
+    // visible next to the timing it bought. The exact reference is computed
+    // driver-side — the embeddings fixture is bounded and this is a probe,
+    // not a benched query.
+    val pqRecalls: Seq[(String, Double)] = {
+      val keys = Seq("pq_topk", "ivfpq_topk").filter(k => selected.exists(_._1 == k))
+      if (keys.isEmpty) Seq.empty
+      else try {
+        val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding").collect()
+          .flatMap { r =>
+            if (r.isNullAt(0) || r.isNullAt(1)) None
+            else {
+              val v = r.getSeq[Float](1)
+              if (v.length < 64) None // productQuantize excludes short vectors
+              else Some((r.getLong(0), Array.tabulate(64)(i => v(i).toDouble)))
+            }
+          }
+        val exact: Map[Long, Set[Long]] = data.filter(_._1 % 25 == 0).map { case (qid, q) =>
+          qid -> data.map { case (id, v) =>
+            var s = 0.0
+            var i = 0
+            while (i < 64) { val d = v(i) - q(i); s += d * d; i += 1 }
+            (id, s)
+          }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        }.toMap
+        val denom = exact.valuesIterator.map(_.size).sum
+        keys.flatMap { key =>
+          try {
+            val approx = SparkEntry.queries(key)(spark, sfDir)
+              .select("query_id", "neighbor_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            val hits = approx.count { case (q, nb) => exact.get(q).exists(_.contains(nb)) }
+            if (denom == 0) None else Some(key -> hits.toDouble / denom)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $key recall probe failed: ${e.getMessage}"); None
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] pq recall probe failed: ${e.getMessage}"); Seq.empty
+      }
+    }
     def jsonMap[T](vals: Seq[(String, T)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // millisecond precision keeps the primary line compact; full doubles and
@@ -142,8 +188,17 @@ object Bench {
     val totalShuffle = results.map(_._4).sum
     val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
+    // recall floor context: the bench embeddings are STRUCTURELESS (i.i.d.
+    // components), where IVF recall tracks the probed fraction nprobe/nlist
+    // (0.5 at the registered config) — the 0.9 clustered-data floor and the
+    // 0.75 bench-config floor are pinned in SimilaritySpec; see the
+    // qIvfTopK scaladoc for the rationale
+    val recallFields = (Seq("ivf_topk" -> ivfRecall).collect { case (k, Some(r)) => k -> r } ++ pqRecalls)
+      .map { case (k, r) => s""""${k}_recall":${r3(r)}""" }
+      .mkString(",")
+    val recallJson = if (recallFields.isEmpty) "" else s"""$recallFields,"ivf_topk_recall_floor":0.75,"""
     val detail =
-      s"""{"detail":"per-query","queries":$warmQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,"ivf_topk_recall":${ivfRecall.map(r3).getOrElse("null")},"sf":"$sfDir"}"""
+      s"""{"detail":"per-query","queries":$warmQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,$recallJson"sf":"$sfDir"}"""
     // sidecar with everything, for humans and the judge; never on the
     // primary line (a >2000-char line falls off the driver's stdout tail).
     // Path is anchored by SPARK_GRAFT_BENCH_DETAILS when set — the default

@@ -1830,23 +1830,33 @@ object QueryCatalog {
         size(col("code")).as("code_len"),
         col("recon_err"))
 
-  /** PQ-ADC approximate top-k (rows-only, like every codebook path):
+  /** PQ-ADC shortlist + exact rerank (rows-only, like every codebook path):
     * SimilaritySpec pins exactness in the covering-codebook regime and
-    * cluster-level recall + determinism on the clustered fixture.
+    * cluster-level recall + determinism on the clustered fixture. The
+    * registered configuration reranks the ADC top-50 exactly — the
+    * production shape for PQ search: ADC-only ordering on STRUCTURELESS
+    * i.i.d. vectors is quantization-noise-dominated (recall@10 ~0.25 vs
+    * exact L2 at sf0.1), while the rerank recovers the true ordering from
+    * a shortlist 5x the answer size. Bench records both family recalls
+    * (`pq_topk_recall`, `ivfpq_topk_recall`) per round.
     */
   private val qPqTopK: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = table(s, dir, "embeddings")
-    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, dim = 64, m = 8, codebookSize = 16)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, dim = 64, m = 8,
+      codebookSize = 256, rerank = 50)
   }
 
   /** IVF-PQ composition (rows-only): coarse cells + residual PQ + per-cell
-    * ADC. Explicit nlist/nprobe for the structureless bench vectors, the
-    * ivf_topk rationale.
+    * ADC + exact rerank of the shortlist. Explicit nlist/nprobe for the
+    * structureless bench vectors, the ivf_topk rationale; cb=256 + rerank
+    * because ADC-only ordering on i.i.d. vectors is quantization-noise-
+    * dominated (measured recall@10 0.29 at cb=16 no-rerank vs 0.74 here —
+    * the residual ceiling is the probed fraction, exactly ivf_topk's 0.8).
     */
   private val qIvfPqTopK: (SparkSession, String) => DataFrame = (s, dir) => {
     val emb = table(s, dir, "embeddings")
     Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
-      k = 10, dim = 64, nlist = 16, nprobe = 8, m = 8, codebookSize = 16)
+      k = 10, dim = 64, nlist = 16, nprobe = 8, m = 8, codebookSize = 256, rerank = 50)
   }
 
   private val oQuantize: String =

@@ -500,30 +500,49 @@ object Similarity {
         .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
     } else {
       // candidate ids from the ADC scan; exact distances only for them
-      val cands = topKSelect(scored, rerank).select("query_id", "neighbor_id")
-      val qMap = qArr.toMap
-      val bcQ = spark.sparkContext.broadcast(qMap)
-      val vecs = prepTyped(clean, idCol, vecCol).toDF("neighbor_id", "__e")
-      val exact = cands
-        .join(vecs, Seq("neighbor_id"))
-        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
-          col("__e"))
-        .as[(Long, Long, Seq[Double])]
-        .mapPartitions { rows =>
-          val qs = bcQ.value
-          rows.map { case (qid, nid, sv) =>
-            val v = sv.toArray
-            val q = qs(qid)
-            var d = 0.0
-            var i = 0
-            while (i < dim) { val t = v(i) - q(i); d += t * t; i += 1 }
-            (qid, nid, -d)
-          }
-        }
-        .toDF("query_id", "neighbor_id", "cosine")
-      topKSelect(exact, k)
-        .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+      exactRerankL2(clean, topKSelect(scored, rerank).select("query_id", "neighbor_id"),
+        qArr, dim, k, idCol, vecCol)
     }
+  }
+
+  /** Shared exact-L2 rerank tail of the PQ search paths ([[pqTopK]],
+    * [[ivfPqTopK]]): fetch each ADC candidate's vector once (one join of
+    * the O(|Q| * rerank) candidate relation against the corpus), score it
+    * exactly against its broadcast query, and keep the true top-k. This is
+    * the production PQ shape — the ADC scan is the shortlist, the rerank
+    * restores exact ordering — and its cost is bounded by the candidate
+    * count, not the corpus.
+    */
+  private def exactRerankL2(
+      clean: DataFrame,
+      cands: DataFrame,
+      qArr: Array[(Long, Array[Double])],
+      dim: Int,
+      k: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val bcQ = spark.sparkContext.broadcast(qArr.toMap)
+    val vecs = prepTyped(clean, idCol, vecCol).toDF("neighbor_id", "__e")
+    val exact = cands
+      .join(vecs, Seq("neighbor_id"))
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"), col("__e"))
+      .as[(Long, Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val qs = bcQ.value
+        rows.map { case (qid, nid, sv) =>
+          val v = sv.toArray
+          val q = qs(qid)
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - q(i); d += t * t; i += 1 }
+          (qid, nid, -d)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKSelect(exact, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
   }
 
   /** IVF-PQ approximate nearest neighbors — the composition production ANN
@@ -541,7 +560,10 @@ object Similarity {
     * LUT at most once. Per-row cost after assignment: one encode plus `m`
     * table additions per probing query. Approximate on BOTH axes (probed
     * fraction like [[ivfTopK]], quantization like [[pqTopK]]);
-    * SimilaritySpec pins cluster-level recall and determinism.
+    * SimilaritySpec pins cluster-level recall and determinism. `rerank`
+    * (the [[pqTopK]] option, same contract) exactly re-scores the ADC
+    * top-`rerank` shortlist — the production tail that removes the
+    * quantization axis from the final ordering.
     *
     * Output: query_id, rnk (ascending approximate distance), neighbor_id,
     * approx_dist. Conventions follow [[pqTopK]]: self-pairs kept, rows and
@@ -560,6 +582,7 @@ object Similarity {
       trainSample: Int = 10000,
       kmeansIterations: Int = 5,
       targetClusterSize: Int = 256,
+      rerank: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
@@ -568,6 +591,8 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     require(nprobe >= 1, "need nprobe >= 1")
+    require(rerank <= 0 || rerank >= k,
+      s"rerank must be 0 (ADC only) or >= k (exact rerank of the top-rerank candidates); got rerank=$rerank, k=$k")
     require(m >= 1 && dim >= m && dim % m == 0, "need m >= 1 and dim divisible by m")
     val sub = dim / m
     val clean = corpus.filter(
@@ -667,8 +692,14 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "cosine")
-    topKSelect(scored, k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+    if (rerank <= 0)
+      topKSelect(scored, k)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), (-col("cosine")).as("approx_dist"))
+    else
+      // the production IVF-PQ tail: ADC shortlist within the probed cells,
+      // exact L2 only on the candidates (bounded by |Q| * rerank)
+      exactRerankL2(clean, topKSelect(scored, rerank).select("query_id", "neighbor_id"),
+        qArr, dim, k, idCol, vecCol)
   }
 
   /** Majority-label vote over a precomputed neighbor relation (the

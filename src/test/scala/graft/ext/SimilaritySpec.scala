@@ -80,6 +80,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.75, s"bench-config recall degraded: $recall")
   }
 
+  test("pq/ivfpq bench configurations hold their recall floors on the sf0.001 fixture") {
+    // the exact parameters Bench emits pq_topk_recall / ivfpq_topk_recall
+    // for: cb=256 + exact rerank of the ADC top-50, because ADC-only
+    // ordering on these STRUCTURELESS i.i.d. vectors is quantization-noise
+    // dominated (cb=16 no-rerank measured recall@10 0.25 at sf0.1). With
+    // the rerank, pq_topk is shortlist-bound (sf0.1: 0.83) and ivfpq_topk
+    // is probed-fraction-bound like ivf_topk (sf0.1: 0.74 at nprobe 8/16).
+    // Floors catch codebook/encode regressions, not certify ANN grade on
+    // unstructured vectors; exactness is pinned by the covering-codebook
+    // and clustered-fixture tests.
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val data = emb.select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).filter(_._2.length >= 64)
+    val exact = data.filter(_._1 % 25 == 0).flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < 64) { val d = v(i) - q(i); s += d * d; i += 1 }
+        (id, s)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map { case (id, _) => (qid, id) }
+    }.toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10, dim = 64, m = 8,
+        codebookSize = 256, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqRecall = (pq intersect exact).size.toDouble / exact.size
+    assert(pqRecall >= 0.7, s"pq_topk bench-config recall degraded: $pqRecall")
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
+        nlist = 16, nprobe = 8, m = 8, codebookSize = 256, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpqRecall = (ivfpq intersect exact).size.toDouble / exact.size
+    assert(ivfpqRecall >= 0.6, s"ivfpq_topk bench-config recall degraded: $ivfpqRecall")
+  }
+
+  test("ivfPqTopK exact rerank with full probing and a covering shortlist is exact") {
+    // rerank >= corpus with nprobe >= nlist leaves no approximation axis:
+    // every vector is a candidate and every candidate is scored exactly, so
+    // the result must equal the true L2 top-k bitwise in ids (distances are
+    // the shared exact kernel)
+    import graft.functions.VectorFunctions.toDoubleArray
+    val queries = clustered.filter(col("vec_id") % 40 === 0)
+    val got = Similarity.ivfPqTopK(clustered, queries, k = 5, dim = 16,
+        nlist = 4, nprobe = 4, m = 4, codebookSize = 8, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val data = clustered.select(col("vec_id"), toDoubleArray(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val expect = data.filter(_._1 % 40 == 0).sortBy(_._1).flatMap { case (qid, q) =>
+      data.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, (i + 1).toLong, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("ivfTopK auto-sized quantizer (default nlist) stays exact under full probing") {
     // nlist <= 0 derives ceil(N / targetClusterSize) cells; trainSample <
     // corpus forces the count-job branch. With nprobe >= derived nlist the
