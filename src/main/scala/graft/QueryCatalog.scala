@@ -1293,6 +1293,56 @@ object QueryCatalog {
       |       rhx AS resampled_hex
       |FROM r""".stripMargin
 
+  /** Anti-aliased PCM resample (factor 3): windowed-sinc FIR + decimation,
+    * compared like `audio_resample` by the re-encoded payload's hex image.
+    * The oracle replays the ENTIRE filter in SQL — decode, zero-padded
+    * Q15 integer convolution at each decimated position, floor-division
+    * normalize (positive offset makes truncating `//` floor), s16 clamp,
+    * little-endian re-encode — with the coefficient integers inlined from
+    * the SAME [[graft.ext.Multimodal.firLowpassQ15]] call the operator
+    * uses, so the two engines cannot disagree on a tap.
+    */
+  private val qAudioResampleFiltered: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.resamplePcm16Filtered(
+      Multimodal.attachBinary(table(s, dir, "documents")), factor = 3).toDF()
+      .select(col("doc_id"), col("n_samples_in"), col("n_samples_out"),
+        hex(col("resampled")).as("resampled_hex"))
+
+  private val oAudioResampleFiltered: String = {
+    val q = Multimodal.firLowpassQ15(3)
+    val h = (q.length - 1) / 2
+    val coefs = q.mkString("[", ", ", "]")
+    // y[j] = clamp(floorDiv(sum_k q[k] * x[3j + k - h], 2^15)): the +2^36
+    // offset keeps the dividend positive (|acc| < 2^31), so DuckDB's
+    // truncating // IS floor division; 2^36 / 2^15 = 2^21 is subtracted back
+    s"""WITH b AS (SELECT doc_id, coalesce(encode(text), ''::BLOB) AS p FROM documents WHERE doc_id IS NOT NULL),
+       |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) // 2 AS ni FROM b),
+       |x AS (SELECT doc_id, ni, (ni + 2) // 3 AS no,
+       |        list_transform(
+       |          list_transform(range(ni), i ->
+       |            ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::INT * 256
+       |              + ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::INT),
+       |          u -> CASE WHEN u > 32767 THEN u - 65536 ELSE u END) AS xs
+       |      FROM s),
+       |y AS (SELECT doc_id, ni, no,
+       |        list_transform(range(no), j ->
+       |          greatest(-32768, least(32767,
+       |            (list_reduce(list_prepend(0::BIGINT,
+       |               list_transform(range(-$h, ${h + 1}), k ->
+       |                 CASE WHEN 3 * j + k >= 0 AND 3 * j + k < ni
+       |                      THEN ($coefs)[k + ${h + 1}]::BIGINT * xs[CAST(3 * j + k + 1 AS INT)]
+       |                      ELSE 0::BIGINT END)),
+       |               (a, v) -> a + v) + 68719476736) // 32768 - 2097152))) AS ys
+       |      FROM x)
+       |SELECT doc_id, ni::BIGINT AS n_samples_in, no::BIGINT AS n_samples_out,
+       |       list_reduce(list_prepend('', list_transform(ys, v ->
+       |         printf('%02X%02X',
+       |           CASE WHEN v < 0 THEN v + 65536 ELSE v END % 256,
+       |           CASE WHEN v < 0 THEN v + 65536 ELSE v END // 256))),
+       |         (a, e) -> a || e) AS resampled_hex
+       |FROM y""".stripMargin
+  }
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -2460,6 +2510,7 @@ object QueryCatalog {
     "multimodal_frames" -> qMultimodalFrames,
     "audio_frame_stats" -> qAudioFrames,
     "audio_resample" -> qAudioResample,
+    "audio_resample_filtered" -> qAudioResampleFiltered,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -2549,6 +2600,7 @@ object QueryCatalog {
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,
     "audio_resample" -> oAudioResample,
+    "audio_resample_filtered" -> oAudioResampleFiltered,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

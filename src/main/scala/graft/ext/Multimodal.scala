@@ -287,12 +287,10 @@ object Multimodal {
 
   /** Decimation resample of the raw s16le PCM payload: keep every
     * `factor`-th sample (sample 0, factor, 2*factor, ...) and re-encode
-    * as s16le — the rate-reduction step a 48 kHz ingest applies before a
-    * 16 kHz feature extractor. Decimation without a low-pass is the
-    * honest scope here (a windowed-sinc filter needs real DSP state; this
-    * is the indexing/re-encoding half, byte-exact and oracle-replayable —
-    * same split as everywhere else in this module: the Spark-side
-    * plumbing is real, and here the codec itself is too).
+    * as s16le. Decimation WITHOUT a low-pass aliases anything above the
+    * target Nyquist — this raw form exists as the indexing/re-encoding
+    * baseline; [[resamplePcm16Filtered]] is the production path (same
+    * output contract, windowed-sinc anti-aliasing first).
     *
     * A trailing odd byte is ignored; empty/null payloads yield 0-sample
     * outputs with empty binary; null ids are excluded.
@@ -318,6 +316,91 @@ object Multimodal {
         while (j < nOut) {
           out(2 * j) = bytes(2 * j * factor)
           out(2 * j + 1) = bytes(2 * j * factor + 1)
+          j += 1
+        }
+        ResampledPcm(id, nIn.toLong, nOut.toLong, out)
+      }
+  }
+
+  /** Q15 fixed-point windowed-sinc low-pass for decimation by `factor`:
+    * cutoff 0.45/factor of the source rate (just under the target Nyquist),
+    * Hamming window, `2*halfTaps + 1` taps (default halfTaps = 2*factor),
+    * coefficients rounded to integers scaled by 2^15 so the convolution is
+    * EXACT integer arithmetic — engine-portable and SQL-replayable. DC gain
+    * is ~1 (sum of taps ~ 32768). Pure and deterministic: the oracle
+    * inlines these exact integers into its SQL, so the two engines cannot
+    * disagree on a coefficient.
+    */
+  def firLowpassQ15(factor: Int, halfTaps: Int = -1): Array[Int] = {
+    require(factor >= 1, "need factor >= 1")
+    val h = if (halfTaps > 0) halfTaps else 2 * factor
+    val fc = 0.45 / factor
+    Array.tabulate(2 * h + 1) { t =>
+      val k = t - h
+      val sinc = if (k == 0) 2 * fc else math.sin(2 * math.Pi * fc * k) / (math.Pi * k)
+      val win = 0.54 + 0.46 * math.cos(math.Pi * k / h)
+      Math.round(sinc * win * 32768.0).toInt
+    }
+  }
+
+  /** Anti-aliased s16le resample: windowed-sinc low-pass ([[firLowpassQ15]])
+    * + decimation in ONE pass — the real 48 kHz -> 16 kHz shape, unlike
+    * [[resamplePcm16]]'s documented decimation-only scope. The convolution
+    * is evaluated ONLY at the decimated positions (keep-every-`factor`-th),
+    * so per-payload cost is `taps * nOut`, not `taps * nIn` — still
+    * map-only, no shuffle, no state.
+    *
+    * Exactness: samples and Q15 taps are integers, each accumulator fits a
+    * long with 2^5 headroom, the >>15 normalize is `Math.floorDiv` (the SQL
+    * replay adds a positive offset first so truncating division IS floor
+    * division), and the result clamps to s16 before re-encoding — every
+    * byte of the output is integer-determined, so the whole filter sits
+    * under the bitwise oracle. Signal edges are zero-padded; a trailing odd
+    * byte is ignored; empty/null payloads yield 0-sample outputs; null ids
+    * are excluded.
+    */
+  def resamplePcm16Filtered(
+      withBinary: DataFrame,
+      factor: Int,
+      halfTaps: Int = -1,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[ResampledPcm] = {
+    require(factor >= 1, "need factor >= 1")
+    val q = firLowpassQ15(factor, halfTaps)
+    val h = (q.length - 1) / 2
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        val nIn = bytes.length / 2
+        val nOut = (nIn + factor - 1) / factor
+        val out = new Array[Byte](nOut * 2)
+        var j = 0
+        while (j < nOut) {
+          val center = j * factor
+          var acc = 0L
+          var t = 0
+          while (t < q.length) {
+            val idx = center + t - h
+            if (idx >= 0 && idx < nIn) {
+              val lo = bytes(2 * idx) & 0xff
+              val hi = bytes(2 * idx + 1) & 0xff
+              val u = hi * 256 + lo
+              val s = if (u > 32767) u - 65536 else u
+              acc += q(t).toLong * s
+            }
+            t += 1
+          }
+          var y = Math.floorDiv(acc, 32768L).toInt
+          if (y > 32767) y = 32767
+          if (y < -32768) y = -32768
+          val u = y & 0xffff
+          out(2 * j) = (u & 0xff).toByte
+          out(2 * j + 1) = (u >> 8).toByte
           j += 1
         }
         ResampledPcm(id, nIn.toLong, nOut.toLong, out)

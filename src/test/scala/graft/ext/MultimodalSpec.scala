@@ -146,6 +146,54 @@ class MultimodalSpec extends AnyFunSuite {
       Set((2L, 0L, 0), (3L, 0L, 0)))
   }
 
+  test("filtered resample: DC passes at unit gain, Nyquist-rate tones are crushed") {
+    import spark.implicits._
+    def encode(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap { v => val u = v & 0xffff; Seq((u & 0xff).toByte, (u >> 8).toByte) }.toArray
+    def decode(bytes: Array[Byte]): Seq[Int] =
+      bytes.grouped(2).map { p =>
+        val u = (p(1) & 0xff) * 256 + (p(0) & 0xff); if (u > 32767) u - 65536 else u
+      }.toSeq
+    val factor = 3
+    val q = Multimodal.firLowpassQ15(factor)
+    val h = (q.length - 1) / 2
+    // DC: constant 1000. Interior outputs (all taps inside the signal) must
+    // be EXACTLY floorDiv(1000 * sum(q), 2^15) — unit gain up to Q15 round
+    val dcIn = Seq.fill(60)(1000)
+    val dc = Multimodal.resamplePcm16Filtered(
+      Seq((1L, encode(dcIn))).toDF("doc_id", "payload"), factor).collect().head
+    assert(dc.n_samples_in == 60 && dc.n_samples_out == 20)
+    val expectDc = Math.floorDiv(1000L * q.map(_.toLong).sum, 32768L).toInt
+    val dcOut = decode(dc.resampled)
+    val interior = dcOut.zipWithIndex.filter { case (_, j) =>
+      j * factor - h >= 0 && j * factor + h < dcIn.length
+    }.map(_._1)
+    assert(interior.nonEmpty && interior.forall(_ == expectDc))
+    assert(math.abs(expectDc - 1000) <= 2, s"DC gain off: $expectDc")
+    // aliasing: a +A/-A tone at the SOURCE Nyquist rate. Raw decimation by 3
+    // aliases it to a full-amplitude +A/-A tone; the filter must crush it.
+    val a = 8000
+    val nyq = Seq.tabulate(60)(i => if (i % 2 == 0) a else -a)
+    val raw = Multimodal.resamplePcm16(
+      Seq((1L, encode(nyq))).toDF("doc_id", "payload"), factor).collect().head
+    assert(decode(raw.resampled).forall(v => math.abs(v) == a)) // the aliasing artifact
+    val filt = Multimodal.resamplePcm16Filtered(
+      Seq((1L, encode(nyq))).toDF("doc_id", "payload"), factor).collect().head
+    val filtInterior = decode(filt.resampled).zipWithIndex.filter { case (_, j) =>
+      j * factor - h >= 0 && j * factor + h < nyq.length
+    }.map(_._1)
+    assert(filtInterior.nonEmpty && filtInterior.forall(v => math.abs(v) < a / 20),
+      s"Nyquist tone survived the low-pass: $filtInterior")
+    // saturating clamp: full-scale DC cannot wrap (sum q > 2^15 by rounding)
+    val loud = Multimodal.resamplePcm16Filtered(
+      Seq((1L, encode(Seq.fill(60)(32767)))).toDF("doc_id", "payload"), factor).collect().head
+    assert(decode(loud.resampled).forall(v => v >= -32768 && v <= 32767))
+    // empty payload + odd-byte + count contracts match the raw resampler
+    val empt = Multimodal.resamplePcm16Filtered(
+      Seq((2L, Array.emptyByteArray)).toDF("doc_id", "payload"), factor).collect().head
+    assert(empt.n_samples_out == 0 && empt.resampled.isEmpty)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
