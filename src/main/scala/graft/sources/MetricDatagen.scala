@@ -102,6 +102,43 @@ object MetricDatagen {
       .as[Metric]
   }
 
+  /** Deterministic micro-batch streaming generation (`rate-micro-batch`
+    * source): exactly `rowsPerBatch` rows per micro-batch with event time
+    * advancing `advanceMsPerBatch` per batch — the reproducible form of
+    * [[stream]] (the wall-clock `rate` source cannot promise per-batch row
+    * counts, so throughput/state assertions built on it flake). Defaults
+    * reproduce the reference design envelope: 10 rows per 1 s batch =
+    * 2 msg/s/node x 5 nodes (flinkarima.py:51,496; datagen.py:169). The
+    * value column drives both node assignment and the hash-derived
+    * seasonality, so the emitted metrics are identical run to run.
+    */
+  def streamMicroBatch(
+      spark: SparkSession,
+      numNodes: Int = 5,
+      rowsPerBatch: Int = 10,
+      advanceMsPerBatch: Long = 1000L,
+      startEpochMs: Long = 1704067200000L,
+      seed: Long = 42L,
+      minuteFactor: Boolean = false): Dataset[Metric] = {
+    import spark.implicits._
+    val rows = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("advanceMillisPerBatch", advanceMsPerBatch)
+      .option("startTimestamp", startEpochMs)
+      .load() // schema: (timestamp TIMESTAMP, value LONG)
+    rows
+      .select(
+        (col("value") % numNodes).as("nodeIdx"),
+        unix_millis(col("timestamp")).as("eventTime"),
+        col("value").as("rowKey"))
+      .select(
+        nodeIdCol(col("nodeIdx")).as("nodeId"),
+        cpuExpr(col("nodeIdx"), col("eventTime"), col("rowKey"), seed, minuteFactor).as("cpu"),
+        col("eventTime"))
+      .as[Metric]
+  }
+
   /** The external datagen's Kafka-facing JSON shape (datagen.py:129-134). */
   def asKafkaJson(metrics: Dataset[Metric]): DataFrame =
     metrics.select(
