@@ -1571,7 +1571,8 @@ object QueryCatalog {
     """WITH x AS (
       |  SELECT CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
       |  FROM (SELECT embedding, unnest(range(len(embedding))) AS i FROM embeddings
-      |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)),
+      |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+      |  WHERE embedding[CAST(i AS INT) + 1] IS NOT NULL),
       |m AS (
       |  SELECT dim, count(*) AS n,
       |         CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS s1,
@@ -2381,7 +2382,8 @@ object QueryCatalog {
          |       CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS s2
          |FROM (SELECT CAST(i AS INT) AS dim, $x AS x
          |      FROM (SELECT embedding, unnest(range(len(embedding))) AS i FROM $src
-         |            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)) GROUP BY 1""".stripMargin
+         |            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL))
+         |WHERE x IS NOT NULL GROUP BY 1""".stripMargin
     }
     val stats = (pfx: String) =>
       s"""SELECT dim, n AS n_$pfx, s1 / n AS mean_$pfx,

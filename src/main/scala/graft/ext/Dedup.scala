@@ -233,6 +233,34 @@ object Dedup {
     }
   }
 
+  /** The (id, band-key) relation both MinHash-LSH paths group on — shared
+    * by the pair operators and [[minhashOversizeBands]] so the diagnostic
+    * inspects the EXACT relation the admission cap filters.
+    */
+  private def minhashBanded(grams: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    minhashSignaturesFromGrams(grams, numHashes)
+      .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
+
+  /** Diagnostic companion to [[minhashLshPairs]]/[[minhashLshVerifiedPairs]]'
+    * `maxGroup` admission (2^17 and 2^20 respectively — pass the cap of the
+    * path being monitored): the band keys whose collision groups the cap
+    * WOULD drop, built from the same signature + banding helpers, so a
+    * production job can detect skipped near-dup families without
+    * reconstructing internal keying. Non-empty output means candidate
+    * generation silently skipped those bands' pairs.
+    */
+  def minhashOversizeBands(
+      docs: DataFrame,
+      maxGroup: Long,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    oversizeGroups(
+      minhashBanded(docGrams(docs, idCol, textCol, shingleSize), numHashes, bands),
+      col("bk"), maxGroup)
+
   /** MinHash + banded LSH near-dup candidate pairs with estimated Jaccard
     * (fraction of matching signature components). `numHashes` must be
     * divisible by `bands`; rows-per-band = numHashes / bands.
@@ -297,8 +325,7 @@ object Dedup {
     // verify sides — object-identical subtrees are what exchange/stage
     // reuse needs to avoid re-tokenizing the corpus once per branch.
     val grams = docGrams(docs, idCol, textCol, shingleSize)
-    val banded = minhashSignaturesFromGrams(grams, numHashes)
-      .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
+    val banded = minhashBanded(grams, numHashes, bands)
     val cands = orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
@@ -336,14 +363,30 @@ object Dedup {
     toks.groupBy("id").agg(votes.head, votes.tail: _*).select(col("id"), sig.as("simhash"))
   }
 
+  /** The (id, simhash, block-key) relation simhash LSH groups on — shared
+    * by [[hammingPairs]] and [[simhashOversizeBlocks]].
+    */
+  private def simhashBanded(sigs: DataFrame): DataFrame = {
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("block"), shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("key")))
+    sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+  }
+
+  /** Diagnostic companion to the simhash paths' `maxGroup` admission
+    * (2^20): the 16-bit blocks whose collision groups the cap would drop.
+    * Takes the (id, simhash) signature relation, so it serves both
+    * signature variants — pass [[simhashSignatures]]' output for
+    * `simhash_pairs` or the md5-portable variant's for `simhash_md5_pairs`.
+    */
+  def simhashOversizeBlocks(sigs: DataFrame, maxGroup: Long = 1L << 20): DataFrame =
+    oversizeGroups(simhashBanded(sigs), col("bk"), maxGroup)
+
   /** 16-bit-block LSH over a (id, simhash) relation: Hamming distance <= 3
     * guarantees at least one of the 4 blocks equal (pigeonhole). Shared by
     * both simhash variants.
     */
   private def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val blocks = (0 until 4).map(b =>
-      struct(lit(b).as("block"), shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL).as("key")))
-    val banded = sigs.select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+    val banded = simhashBanded(sigs)
     // the payload struct leads with id, so sort order (hence a < b) is id
     // order exactly as the former id_a < id_b join predicate
     orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("simhash")), maxGroup = 1L << 20)

@@ -37,7 +37,11 @@ object Features {
   /** Per-dimension standardization stats over `vecCol` (array<float|double>),
     * long-form: (dim, n, mean, std, min_x, max_x) — one row per vector
     * position. Vectors contribute to every position they have (ragged
-    * corpora yield per-dim n); null ids/vectors are excluded.
+    * corpora yield per-dim n); null ids/vectors are excluded, and so are
+    * NULL ELEMENTS within a vector — `n` counts only the values the
+    * moments actually summed, so mean/std stay unbiased on vectors with
+    * null components (previously n counted them while the sums skipped
+    * them, silently deflating both).
     *
     * The 100 TB shape: the d-way explode feeds a partial aggregate that
     * reduces each partition to d rows before the one tiny shuffle — the
@@ -55,6 +59,7 @@ object Features {
     val variance = (s2 - s1 * s1 / n) / (n - 1)
     df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(posexplode(VectorFunctions.toDoubleArray(col(vecCol))).as(Seq("dim", "x")))
+      .filter(col("x").isNotNull)
       .groupBy("dim")
       .agg(
         n.as("n"),

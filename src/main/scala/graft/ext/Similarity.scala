@@ -848,19 +848,40 @@ object Similarity {
       targetClusterSize: Int = 128,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = embeddings.sparkSession
+    val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    val assigned = ivfPairAssignments(
+      clean, nlist, nassign, kmeansIterations, trainSample, targetClusterSize, idCol, vecCol)
+    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"), maxGroup = 1L << 20)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .distinct()
+    verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
+  }
+
+  /** The (cluster, id) assignment relation [[ivfCosinePairs]] groups on —
+    * shared with [[ivfOversizeCells]] so the diagnostic inspects the exact
+    * relation the admission cap filters (same deterministic sample, same
+    * k-means, same tie rules). `clean` must already be null-filtered.
+    */
+  private def ivfPairAssignments(
+      clean: DataFrame,
+      nlist: Int,
+      nassign: Int,
+      kmeansIterations: Int,
+      trainSample: Int,
+      targetClusterSize: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = clean.sparkSession
     import spark.implicits._
     require(nassign >= 1, "need nassign >= 1")
     require(nlist <= 0 || nassign <= nlist, "need nassign <= nlist (or nlist <= 0 for auto)")
     require(targetClusterSize >= 1, "need targetClusterSize >= 1")
 
-    val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     // ids travel as long through the assignment kernel (prepTyped casts),
-    // so the output id columns are long regardless of the input id type
+    // so downstream id columns are long regardless of the input id type
     val emptyOut = emptyFrame(spark,
-      "id_a" -> org.apache.spark.sql.types.LongType,
-      "id_b" -> org.apache.spark.sql.types.LongType,
-      "cosine" -> org.apache.spark.sql.types.DoubleType)
+      "cluster" -> org.apache.spark.sql.types.IntegerType,
+      "id" -> org.apache.spark.sql.types.LongType)
     val sampleRaw = hashOrderedSample(clean, idCol, vecCol, trainSample)
     // corpus size for auto-sizing: a non-full sample IS the whole corpus
     // (hashOrderedSample applies the same null filter), so only corpora
@@ -879,7 +900,7 @@ object Similarity {
     // top-nassign selection is a primitive insertion over (distance, cid) —
     // identical ordering semantics to sorting the pairs, without a boxed
     // tuple sort in the one full-corpus pass.
-    val assigned = prepTyped(clean, idCol, vecCol)
+    prepTyped(clean, idCol, vecCol)
       .mapPartitions { rows =>
         val cents = bcCent.value
         val k = nAssignEff
@@ -902,11 +923,31 @@ object Similarity {
         }
       }
       .toDF("cluster", "id")
-    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"), maxGroup = 1L << 20)
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
-      .distinct()
-    verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
   }
+
+  /** Diagnostic companion to [[ivfCosinePairs]]' `maxGroup` admission
+    * (2^20): the IVF cells whose populations the cap would drop, built via
+    * the same deterministic training + assignment, so a production job can
+    * monitor for skipped near-dup families without rebuilding internal
+    * keying. A non-empty result at the operator's cap means those cells'
+    * pairs were silently skipped — re-run with a larger `nlist` (smaller
+    * cells) or investigate the degenerate density.
+    */
+  def ivfOversizeCells(
+      embeddings: DataFrame,
+      maxGroup: Long = 1L << 20,
+      nlist: Int = 0,
+      nassign: Int = 2,
+      kmeansIterations: Int = 5,
+      trainSample: Int = 10000,
+      targetClusterSize: Int = 128,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    Dedup.oversizeGroups(
+      ivfPairAssignments(
+        embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull),
+        nlist, nassign, kmeansIterations, trainSample, targetClusterSize, idCol, vecCol),
+      col("cluster"), maxGroup)
 
   /** Cosine near-duplicate pairs via signed-random-projection LSH candidates
     * + exact cosine verification. Valid regime: high thresholds (>= ~0.8),
@@ -926,6 +967,43 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = -1): DataFrame = {
+    val (n, banded) = srpBanded(embeddings, planes, bands, seed, idCol, vecCol, dim)
+    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .distinct()
+    verifyExactPairs(n, cands, threshold)
+  }
+
+  /** Diagnostic companion to [[srpCosinePairs]]' `maxGroup` admission
+    * (2^20): the (band, key) buckets whose collision groups the cap would
+    * drop, built from the same seeded hyperplanes and native band-key
+    * expression. Run alongside a production job and alert on non-empty —
+    * a dropped band bucket means near-dup detection skipped those pairs.
+    */
+  def srpOversizeBands(
+      embeddings: DataFrame,
+      maxGroup: Long = 1L << 20,
+      planes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = -1): DataFrame =
+    Dedup.oversizeGroups(
+      srpBanded(embeddings, planes, bands, seed, idCol, vecCol, dim)._2, col("bk"), maxGroup)
+
+  /** The prepped vector relation and its (id, band-key) banding — shared by
+    * [[srpCosinePairs]] and [[srpOversizeBands]] so the diagnostic sees the
+    * exact relation the admission cap filters.
+    */
+  private def srpBanded(
+      embeddings: DataFrame,
+      planes: Int,
+      bands: Int,
+      seed: Long,
+      idCol: String,
+      vecCol: String,
+      dim: Int): (DataFrame, DataFrame) = {
     require(planes % bands == 0, "planes must be divisible by bands")
 
     // Plane dimensionality: the data's max vector length unless given
@@ -975,9 +1053,6 @@ object Similarity {
     val banded = n
       .select(col("id"), posexplode(keysCol).as(Seq("band", "key")))
       .select(col("id"), struct(col("band"), col("key")).as("bk"))
-    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
-      .distinct()
-    verifyExactPairs(n, cands, threshold)
+    (n, banded)
   }
 }

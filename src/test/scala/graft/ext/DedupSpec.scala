@@ -276,6 +276,24 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.oversizeGroups(df, col("k"), maxGroup = 3L).collect().isEmpty)
   }
 
+  test("per-path oversize diagnostics flag the groups the pair operators' caps would drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ten exact-duplicate docs: every minhash band key collides 10-way and
+    // every simhash block collides 10-way, so a cap below 10 drops ALL of
+    // it — the diagnostics must say so, and relax to empty at cap >= 10
+    val docs = (1L to 10L).map(i => (i, "the same words repeated here for every doc"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashOversizeBands(docs, maxGroup = 9L, bands = 32)
+    assert(mh.count() == 32, "every band's 10-doc group must be flagged at cap 9")
+    assert(mh.collect().forall(_.getLong(1) == 10L))
+    assert(Dedup.minhashOversizeBands(docs, maxGroup = 10L, bands = 32).collect().isEmpty)
+    val sh = Dedup.simhashOversizeBlocks(Dedup.simhashSignatures(docs), maxGroup = 9L)
+    assert(sh.count() == 4, "every 16-bit block's 10-doc group must be flagged at cap 9")
+    assert(Dedup.simhashOversizeBlocks(Dedup.simhashSignatures(docs), maxGroup = 10L)
+      .collect().isEmpty)
+  }
+
   test("corpus diff: added/removed/changed/unchanged, null text and dup ids handled") {
     import spark.implicits._
     val oldSnap = Seq(

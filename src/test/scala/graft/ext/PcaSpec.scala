@@ -56,6 +56,21 @@ class PcaSpec extends AnyFunSuite {
     assert(stdByDim(1))
   }
 
+  test("featureStats: null vector COMPONENTS don't bias mean/std (n counts summed values only)") {
+    import spark.implicits._
+    // dim 0 sees values 2 and 4 plus one null component: mean must be 3
+    // (2 values), not 2 (3 "values" where null inflated n while the sum
+    // skipped it — the round-6 advice defect)
+    val df = Seq(
+      (Some(1L), Some(Seq(Some(2f), Some(7f)))),
+      (Some(2L), Some(Seq(Some(4f), Some(7f)))),
+      (Some(3L), Some(Seq(Option.empty[Float], Some(7f))))).toDF("vec_id", "embedding")
+    val out = Features.featureStats(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0) == ((2L, 3.0)), s"null component biased dim 0: ${out(0)}")
+    assert(out(1) == ((3L, 7.0)))
+  }
+
   test("covariance matches a direct two-pass computation on a small frame") {
     val rng = new scala.util.Random(11)
     val data = (0L until 50L).map(i => (i, Seq.fill(4)(rng.nextGaussian().toFloat)))

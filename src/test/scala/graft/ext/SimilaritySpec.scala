@@ -114,6 +114,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.6, s"ivfpq_topk bench-config recall degraded: $ivfpqRecall")
   }
 
+  test("ivf/srp oversize diagnostics flag the cells/bands the admission caps would drop") {
+    // 400 vectors in 8 planted clusters, nassign 2 -> 800 assignments over
+    // 8 cells = ~100 per cell: a cap of 50 must flag cells, a generous cap
+    // must not. SRP: near-identical vectors in a cluster share band keys;
+    // with a cap of 1 every multi-member bucket is flagged.
+    val cells = Similarity.ivfOversizeCells(clustered, maxGroup = 50L,
+      nlist = 8, nassign = 2, trainSample = 400)
+    assert(cells.count() > 0, "dense IVF cells must be flagged at cap 50")
+    assert(Similarity.ivfOversizeCells(clustered, maxGroup = 1L << 20,
+      nlist = 8, nassign = 2, trainSample = 400).collect().isEmpty)
+    assert(Similarity.srpOversizeBands(clustered, maxGroup = 1L).count() > 0,
+      "clustered vectors must produce multi-member SRP buckets")
+    assert(Similarity.srpOversizeBands(clustered, maxGroup = 1L << 20).collect().isEmpty)
+  }
+
   test("ivfPqTopK exact rerank with full probing and a covering shortlist is exact") {
     // rerank >= corpus with nprobe >= nlist leaves no approximation axis:
     // every vector is a candidate and every candidate is scored exactly, so
