@@ -253,13 +253,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "projection must not join")
   }
 
-  test("pq paths: shuffle-free encode; search shuffles only the bounded top-k aggregate") {
+  test("pq paths: shuffle-free encode; search shuffles only bounded aggregates") {
     val pCodes = plan(QueryCatalog.queries("pq_codes")(spark, sf))
     assert(!pCodes.contains("Exchange"), s"PQ encode must not shuffle:\n${pCodes.take(1200)}")
+    // ADC-only library form: the one top-k aggregate is the only exchange
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pAdc = plan(graft.ext.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id") % 50 === 0), k = 10, dim = 64, m = 8, codebookSize = 16))
+    assert(!pAdc.contains("Window"), "rank window crept into the ADC search")
+    assert("Exchange hashpartitioning".r.findAllIn(pAdc).length <= 1,
+      s"ADC-only search should shuffle only the top-k aggregate:\n${pAdc.take(2000)}")
+    // registered production form adds the exact rerank: ONE more bounded
+    // exchange (the |Q| x rerank shortlist's top-k) — never a window, and
+    // the candidate relation is the join's small side
     val pSearch = plan(QueryCatalog.queries("pq_topk")(spark, sf))
-    assert(!pSearch.contains("Window"), "rank window crept into the ADC search")
-    assert("Exchange hashpartitioning".r.findAllIn(pSearch).length <= 1,
-      s"ADC search should shuffle only the top-k aggregate:\n${pSearch.take(2000)}")
+    assert(!pSearch.contains("Window"), "rank window crept into the reranked search")
+    assert("Exchange hashpartitioning".r.findAllIn(pSearch).length <= 2,
+      s"reranked search should shuffle only the two bounded top-k aggregates:\n${pSearch.take(2000)}")
   }
 
   test("curriculum_buckets: the window partitions by the stratum — never a global sort") {
