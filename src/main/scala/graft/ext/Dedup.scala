@@ -215,8 +215,12 @@ object Dedup {
     * once per branch.
     */
   private def minhashSignaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame = {
+    // sz (the doc's distinct-gram count — jaccard's per-doc denominator)
+    // rides the SAME groupBy(id) exchange the signature needs anyway, so
+    // downstream consumers never join a size relation back; appended LAST
+    // so the public (id, h0..h(n-1)) column layout is unchanged
     val mins = (0 until numHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
-    grams.groupBy("id").agg(mins.head, mins.tail: _*)
+    grams.groupBy("id").agg(mins.head, (mins.tail :+ count(lit(1)).as("sz")): _*)
   }
 
   /** LSH band keys over MinHash signature columns h0..h(numHashes-1): one
@@ -239,7 +243,7 @@ object Dedup {
     */
   private def minhashBanded(grams: DataFrame, numHashes: Int, bands: Int): DataFrame =
     minhashSignaturesFromGrams(grams, numHashes)
-      .select(col("id"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
+      .select(col("id"), col("sz"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
 
   /** Diagnostic companion to [[minhashLshPairs]]/[[minhashLshVerifiedPairs]]'
     * `maxGroup` admission (2^17 and 2^20 respectively — pass the cap of the
@@ -321,30 +325,37 @@ object Dedup {
     // arrays (as minhashLshPairs does for its est_jaccard output) would ship
     // 2x64 longs per band collision and pay an interpreted 64-element fold
     // per candidate, all to produce a column this path discards.
-    // ONE gram relation object feeds signatures, df counts, sizes, and both
-    // verify sides — object-identical subtrees are what exchange/stage
-    // reuse needs to avoid re-tokenizing the corpus once per branch.
+    // ONE gram relation object feeds signatures, df counts, and both verify
+    // sides — object-identical subtrees are what exchange/stage reuse needs
+    // to avoid re-tokenizing the corpus once per branch. Round-7 shape
+    // (the ngramJaccardPairs playbook): per-doc sizes ride the signature
+    // aggregate and travel through the band pair emission as struct
+    // payloads, eliminating both size joins; the hot-gram cap is a window
+    // count on the gram relation's g-exchange, not a df aggregate
+    // broadcast back as a semi-join build side (which at corpus scale
+    // broadcast nearly every distinct gram — a driver hazard). Sizes still
+    // use ALL grams; the cap limits only the intersection evidence.
     val grams = docGrams(docs, idCol, textCol, shingleSize)
     val banded = minhashBanded(grams, numHashes, bands)
-    val cands = orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
-      .select(col("__a").as("id_a"), col("__b").as("id_b"))
+      .filter(col("id").isNotNull) // null ids count toward df, never pair
+    val cands = orderedPairsWithinGroups(
+        banded, col("bk"), struct(col("id"), col("sz")), maxGroup = 1L << 20)
+      .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
+        col("__b.id").as("id_b"), col("__b.sz").as("sb"))
       .distinct()
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val admitted = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("g")
-    val capped = grams.join(admitted, Seq("g"), "left_semi")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val capped = grams
+      .withColumn("__df", count(lit(1)).over(byGram))
+      .filter(col("__df") <= maxDf)
+      .select("id", "g")
     val ga = capped.select(col("id").as("id_a"), col("g").as("ga"))
     val gb = capped.select(col("id").as("id_b2"), col("g").as("gb"))
-    val inter = cands
+    val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+    cands
       .join(ga, Seq("id_a"))
       .join(gb, col("id_b") === col("id_b2") && col("ga") === col("gb"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "sa", "id_b", "sb")
       .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-    inter
-      .join(sizes.toDF("id_a", "sa"), "id_a")
-      .join(sizes.toDF("id_b", "sb"), "id_b")
       .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
