@@ -1219,25 +1219,34 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
-  /** Frame sampling under the gate: every 2nd 64-byte "frame", at most 4 per
-    * doc; frames compared by md5 (bytes == the ASCII substring's bytes).
+  /** REAL video frame sampling under the gate: [[graft.ext.Multimodal
+    * .encodeAvi]] writes genuine RIFF/AVI containers (1 + id%5 frames of
+    * 8x6 RGB24, frame k's plane = UTF-8 text bytes cycled from offset k),
+    * [[graft.ext.Multimodal.parseAvi]] demuxes them for real (RIFF walk,
+    * avih header, movi chunks), and every 2nd frame up to 4 is emitted
+    * with its REAL parsed byte offset + a base-31 rolling checksum. The
+    * oracle recomputes the offsets from the writer's deterministic layout
+    * (movi data starts at byte 100; frame k's data at 108 + 152k) and the
+    * checksums from the cycled text bytes via hex-image indexing — so a
+    * parser that mis-walks a chunk boundary or mis-reads a length cannot
+    * pass.
     */
   private val qMultimodalFrames: (SparkSession, String) => DataFrame = (s, dir) =>
-    Multimodal.sampleFrames(Multimodal.attachBinary(table(s, dir, "documents")),
-        frameBytes = 64, everyN = 2, maxFrames = 4)
-      .toDF()
-      .select(
-        col("doc_id"),
-        col("frame_idx").cast("long").as("frame_idx"),
-        col("offset"),
-        md5(col("frame")).as("frame_md5"))
+    Multimodal.sampleAviFrames(Multimodal.encodeAvi(table(s, dir, "documents")),
+      everyN = 2, maxFrames = 4).toDF()
 
   private val oMultimodalFrames: String =
-    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      |f AS (SELECT doc_id, text, unnest(range(0, (n + 63) // 64)) AS fi FROM b)
-      |SELECT doc_id, fi AS frame_idx, fi * 64 AS offset,
-      |       md5(substr(text, CAST(fi * 64 AS INT) + 1, 64)) AS frame_md5
-      |FROM f WHERE fi % 2 = 0 AND fi // 2 < 4""".stripMargin
+    """WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+      |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+      |                  1 + doc_id % 5 AS nf
+      |           FROM documents WHERE doc_id IS NOT NULL),
+      |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)
+      |SELECT doc_id, k AS frame_idx, (108 + 152 * k)::BIGINT AS offset,
+      |       144 AS n_bytes, 8 AS width, 6 AS height,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(144), j ->
+      |         CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, 2 * ((k + j) % n) + 1, 2))::BIGINT END)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM f WHERE k % 2 = 0 AND k // 2 < 4""".stripMargin
 
   /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
     * — an actual byte-level decode, not a byte-statistics stub — framed

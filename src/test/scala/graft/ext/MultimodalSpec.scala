@@ -87,15 +87,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ppmFeatures(bad).collect().isEmpty)
   }
 
-  test("frame sampling fans one payload out to every-Nth fixed-size chunks") {
+  test("avi demux: encode -> parse round trip with real offsets and frame bytes") {
     import spark.implicits._
-    val docs = Seq((7L, "abcdefghij" * 100)).toDF("doc_id", "text") // 1000 bytes
-    val frames = Multimodal.sampleFrames(Multimodal.attachBinary(docs), frameBytes = 100, everyN = 3, maxFrames = 3)
+    // id 7 -> 1 + 7%5 = 3 frames; every 2nd up to 4 -> frames 0, 2
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleAviFrames(Multimodal.encodeAvi(docs), everyN = 2, maxFrames = 4)
       .collect().sortBy(_.frame_idx)
-    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6)) // 10 frames, every 3rd, capped
-    assert(frames.map(_.offset).toSeq == Seq(0L, 300L, 600L))
-    assert(frames.forall(_.frame.length == 100))
-    assert(new String(frames(1).frame).startsWith("abcdefghij"))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.map(_.offset).toSeq == Seq(108L, 108L + 2 * 152L)) // writer layout
+    assert(frames.forall(f => f.n_bytes == 144 && f.width == 8 && f.height == 6))
+    // frame k byte j = text byte (k+j) % 3: replicate the checksum directly
+    def cs(k: Int): Long =
+      (0 until 144).foldLeft(0L)((a, j) => (a * 31 + "abc".charAt((k + j) % 3).toInt) % 1000000007L)
+    assert(frames.map(_.checksum).toSeq == Seq(cs(0), cs(2)))
+  }
+
+  test("avi walker: strl lists, junk chunks, odd-size padding, rec groups, malformed drops") {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++ (if (body.length % 2 == 1) Array[Byte](0) else Array[Byte]())
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4 + body.length) ++ cc(tpe) ++ body
+    val avih = chunk("avih",
+      le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++
+        le32(6) ++ le32(2) ++ le32(1) ++ Array.fill(16)(0.toByte)) // 2 frames, 2x1
+    // a hostile-ish but VALID container: junk chunk of odd size (padded),
+    // an strl sub-list the walker must skip, one bare frame + one inside
+    // a rec group, and a trailing non-frame chunk in movi
+    val hdrl = list("hdrl", avih ++ list("strl", chunk("strh", Array.fill(11)(7.toByte))))
+    val movi = list("movi",
+      chunk("00db", Array[Byte](1, 2, 3, 4, 5, 6)) ++
+        chunk("idx1", Array[Byte](9, 9)) ++
+        list("rec ", chunk("00dc", Array[Byte](6, 5, 4, 3, 2, 1))))
+    val body = chunk("JUNK", Array.fill(5)(1.toByte)) ++ hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    val parsed = Multimodal.parseAvi(avi).get
+    assert(parsed.width == 2 && parsed.height == 1 && parsed.totalFrames == 2)
+    assert(parsed.frames.map(_._2) == Seq(6, 6))
+    val (o0, _) = parsed.frames.head
+    assert(avi.slice(o0.toInt, o0.toInt + 6).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // malformed containers drop
+    assert(Multimodal.parseAvi(cc("RIFF") ++ le32(4) ++ cc("WAVE")).isEmpty) // not AVI
+    assert(Multimodal.parseAvi(avi.dropRight(3)).isEmpty) // truncated final chunk
+    assert(Multimodal.parseAvi(cc("RIFF") ++ le32(4 + movi.length) ++ cc("AVI ") ++ movi).isEmpty) // no avih
+    assert(Multimodal.parseAvi(cc("RIFF") ++ le32(4 + hdrl.length) ++ cc("AVI ") ++ hdrl).isEmpty) // no movi
+    assert(Multimodal.parseAvi(Array[Byte]()).isEmpty)
   }
 
   test("pcm16 decode: little-endian sign fix-up, frame stats, odd tail ignored") {
