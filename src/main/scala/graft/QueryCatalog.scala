@@ -1248,6 +1248,32 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM f WHERE k % 2 = 0 AND k // 2 < 4""".stripMargin
 
+  /** Per-frame channel sums over REAL demuxed AVI video — the video analog
+    * of `audio_frame_stats`. The oracle replays the writer's deterministic
+    * plane model (frame k byte j = text byte (k+j) % n) with exact integer
+    * channel folds, so both the demux and the pixel walk sit under the
+    * bitwise gate.
+    */
+  private val qVideoFrameStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.aviFrameStats(Multimodal.encodeAvi(table(s, dir, "documents"))).toDF()
+
+  private val oVideoFrameStats: String = {
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(48), p ->
+         |  CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, 2 * ((k + 3 * p + $c) % n) + 1, 2))::BIGINT END)),
+         |  (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  1 + doc_id % 5 AS nf
+       |           FROM documents WHERE doc_id IS NOT NULL),
+       |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)
+       |SELECT doc_id, k AS frame_idx, 8 AS width, 6 AS height, 48::BIGINT AS n_pixels,
+       |       ${chanSum(0)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(2)} AS sum_b
+       |FROM f""".stripMargin
+  }
+
   /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
     * — an actual byte-level decode, not a byte-statistics stub — framed
     * into 256-sample windows with exact integer RMS/peak statistics. The
@@ -2519,6 +2545,7 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
+    "video_frame_stats" -> qVideoFrameStats,
     "audio_frame_stats" -> qAudioFrames,
     "audio_resample" -> qAudioResample,
     "audio_resample_filtered" -> qAudioResampleFiltered,
@@ -2612,6 +2639,7 @@ object QueryCatalog {
     "audio_frame_stats" -> oAudioFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
+    "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

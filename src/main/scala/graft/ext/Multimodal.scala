@@ -536,6 +536,50 @@ object Multimodal {
           lit("video/x-msvideo").as("mime")).as("meta"))
   }
 
+  final case class AviFrameStats(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-frame channel statistics over demuxed RIFF/AVI video — the video
+    * analog of [[decodePcm16Frames]]: every frame the container indexes is
+    * reduced to exact per-channel sums over its uncompressed RGB24 plane,
+    * the brightness/color numbers a video-curation filter thresholds on
+    * (black-frame detection, color-cast drift across frames). Real demux
+    * ([[parseAvi]]) + exact integer sums; frames whose chunk length is not
+    * 3*width*height (a compressed or foreign stream) are skipped rather
+    * than misread; malformed containers drop; map-only.
+    */
+  def aviFrameStats(
+      withBinary: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[AviFrameStats] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty)
+        parseAvi(bytes).toSeq.flatMap { avi =>
+          val np = avi.width.toLong * avi.height
+          avi.frames.zipWithIndex.collect {
+            case ((off, len), k) if len == 3L * np =>
+              var r = 0L; var g = 0L; var b = 0L
+              var j = off.toInt
+              val end = off.toInt + len
+              while (j < end) {
+                r += bytes(j) & 0xff
+                g += bytes(j + 1) & 0xff
+                b += bytes(j + 2) & 0xff
+                j += 3
+              }
+              AviFrameStats(id, k, avi.width, avi.height, np, r, g, b)
+          }
+        }
+      }
+  }
+
   final case class SampledFrame(
       doc_id: Long, frame_idx: Int, offset: Long, n_bytes: Int,
       width: Int, height: Int, checksum: Long)

@@ -102,6 +102,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.checksum).toSeq == Seq(cs(0), cs(2)))
   }
 
+  test("avi frame stats: exact channel sums per demuxed frame; foreign-length frames skipped") {
+    import spark.implicits._
+    // id 0 -> 1 frame; plane = "ab" cycled: byte j = 'a' if j even else 'b'
+    // (k = 0). Channels: r = positions 3p (even iff p even): 24 a + 24 b...
+    // 48 pixels: p in 0..47 -> 3p parity = p parity -> 24 each
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text")
+    val st = Multimodal.aviFrameStats(Multimodal.encodeAvi(docs)).collect()
+    assert(st.length == 1)
+    val f = st.head
+    assert(f.width == 8 && f.height == 6 && f.n_pixels == 48)
+    val a = 'a'.toInt; val b = 'b'.toInt
+    assert(f.sum_r == 24 * a + 24 * b)
+    // g: 3p+1 parity = opposite of p parity -> also 24/24, same sum
+    assert(f.sum_g == f.sum_r && f.sum_b == f.sum_r)
+    // a frame whose chunk length isn't 3*w*h (compressed/foreign stream)
+    // must be skipped, not misread: hand-build a 2x1 avi with one 6-byte
+    // frame and one 4-byte frame
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]) = cc(id) ++ le32(body.length) ++ body
+    def list(tpe: String, body: Array[Byte]) = cc("LIST") ++ le32(4 + body.length) ++ cc(tpe)
+      .++(body)
+    val avih = chunk("avih", le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++
+      le32(0) ++ le32(1) ++ le32(6) ++ le32(2) ++ le32(1) ++ Array.fill(16)(0.toByte))
+    val movi = list("movi", chunk("00db", Array[Byte](10, 20, 30, 40, 50, 60)) ++
+      chunk("00db", Array[Byte](1, 2, 3, 4)))
+    val body = list("hdrl", avih) ++ movi
+    val avi = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    val st2 = Multimodal.aviFrameStats(Seq((1L, avi)).toDF("doc_id", "payload")).collect()
+    assert(st2.length == 1 && st2.head.frame_idx == 0)
+    assert((st2.head.sum_r, st2.head.sum_g, st2.head.sum_b) == ((10L + 40L, 20L + 50L, 30L + 60L)))
+  }
+
   test("avi walker: strl lists, junk chunks, odd-size padding, rec groups, malformed drops") {
     def le32(v: Int): Array[Byte] =
       Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
