@@ -137,8 +137,15 @@ object Bench {
       val keys = Seq("pq_topk", "ivfpq_topk").filter(k => selected.exists(_._1 == k))
       if (keys.isEmpty) Seq.empty
       else try {
-        val data = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .select("vec_id", "embedding").collect()
+        // bounded: the driver holds the fixture embeddings (capped below —
+        // the probe is telemetry, not a benched query) and keeps a size-10
+        // bounded selection per query instead of sorting all N distances
+        val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+        val nRows = embDf.count()
+        if (nRows > 200000L)
+          throw new IllegalStateException(
+            s"fixture too large for the driver-side exact reference ($nRows rows); skipping PQ recall probe")
+        val data = embDf.collect()
           .flatMap { r =>
             if (r.isNullAt(0) || r.isNullAt(1)) None
             else {
@@ -148,12 +155,23 @@ object Bench {
             }
           }
         val exact: Map[Long, Set[Long]] = data.filter(_._1 % 25 == 0).map { case (qid, q) =>
-          qid -> data.map { case (id, v) =>
+          // bounded top-10 insertion on (dist, id), ties id-ascending —
+          // O(N * k) with no per-query N-element allocation
+          val bd = Array.fill(10)(Double.MaxValue)
+          val bid = Array.fill(10)(Long.MaxValue)
+          data.foreach { case (id, v) =>
             var s = 0.0
             var i = 0
             while (i < 64) { val d = v(i) - q(i); s += d * d; i += 1 }
-            (id, s)
-          }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+            var j = 9
+            if (s < bd(j) || (s == bd(j) && id < bid(j))) {
+              while (j > 0 && (s < bd(j - 1) || (s == bd(j - 1) && id < bid(j - 1)))) {
+                bd(j) = bd(j - 1); bid(j) = bid(j - 1); j -= 1
+              }
+              bd(j) = s; bid(j) = id
+            }
+          }
+          qid -> bid.filter(_ != Long.MaxValue).toSet
         }.toMap
         val denom = exact.valuesIterator.map(_.size).sum
         keys.flatMap { key =>

@@ -58,7 +58,8 @@ object Dedup {
     * are unaffected.
     */
   private[ext] def orderedPairsWithinGroups(
-      df: DataFrame, key: Column, payload: Column, maxGroup: Long = Long.MaxValue): DataFrame = {
+      df: DataFrame, key: Column, payload: Column, maxGroup: Long = Long.MaxValue,
+      distinctPayloads: Boolean = false): DataFrame = {
     val keyed = df.filter(key.isNotNull).select(key.as("__k"), payload.as("__p"))
     val admitted =
       if (maxGroup == Long.MaxValue) keyed
@@ -72,8 +73,15 @@ object Dedup {
           .filter(col("__n") <= maxGroup)
           .drop("__n")
       }
-    admitted
-      .groupBy(col("__k")).agg(sort_array(collect_list(col("__p"))).as("__xs"))
+    // distinctPayloads dedupes the collected group BEFORE pair emission —
+    // for callers whose keyed relation can carry duplicate payload rows
+    // per key (ngram grams from duplicate-id input rows), where a repeated
+    // payload would otherwise emit the same pair twice and double-count
+    // downstream aggregation evidence
+    val grouped = admitted
+      .groupBy(col("__k")).agg(sort_array(collect_list(col("__p"))).as("__xs0"))
+      .select((if (distinctPayloads) array_distinct(col("__xs0")) else col("__xs0")).as("__xs"))
+    grouped
       .select(posexplode(col("__xs")).as(Seq("__i", "__a")), col("__xs"))
       .select(col("__a"),
         explode(slice(col("__xs"), col("__i") + lit(2), size(col("__xs")) - col("__i") - lit(1))).as("__b"))
@@ -179,7 +187,11 @@ object Dedup {
       .filter(col("__df") <= maxDf && col("id").isNotNull)
       .select(col("g"), struct(col("id"), col("sz")).as("p"))
     val jac = col("i").cast("double") / (col("sa") + col("sb") - col("i"))
-    orderedPairsWithinGroups(admitted, col("g"), col("p"))
+    // distinctPayloads: duplicate doc_id input rows explode to duplicate
+    // (id, sz) payloads per gram group; without the dedup each such pair
+    // would be emitted once per duplicate, inflating the intersection
+    // count i past the true gram overlap (up to jaccard = i/0 = Infinity)
+    orderedPairsWithinGroups(admitted, col("g"), col("p"), distinctPayloads = true)
       .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
         col("__b.id").as("id_b"), col("__b.sz").as("sb"))
       // degenerate duplicate-id corpora: the struct sort guarantees
@@ -205,7 +217,11 @@ object Dedup {
       shingleSize: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
+    // the internal form appends sz for the verified path; the PUBLIC
+    // contract stays exactly (id, h0..h(n-1)) — external callers that
+    // enumerate lanes structurally must not pick up a 65th column
     minhashSignaturesFromGrams(docGrams(docs, idCol, textCol, shingleSize), numHashes)
+      .drop("sz")
 
   /** Signatures over a PRECOMPUTED (id, g) gram relation — callers that also
     * consume the gram relation elsewhere (verify joins, df counts, sizes)
@@ -243,6 +259,11 @@ object Dedup {
     */
   private def minhashBanded(grams: DataFrame, numHashes: Int, bands: Int): DataFrame =
     minhashSignaturesFromGrams(grams, numHashes)
+      // null ids can never pair (and gram df counting happens on the gram
+      // relation, not here) — filtering them INSIDE the shared builder
+      // keeps the diagnostic inspecting the exact relation the operator's
+      // admission cap filters, with no off-by-one at the cap boundary
+      .filter(col("id").isNotNull)
       .select(col("id"), col("sz"), explode(array(minhashBandKeys(numHashes, bands): _*)).as("bk"))
 
   /** Diagnostic companion to [[minhashLshPairs]]/[[minhashLshVerifiedPairs]]'
@@ -278,6 +299,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val banded = minhashSignatures(docs, numHashes, shingleSize, idCol, textCol)
+      .filter(col("id").isNotNull) // a struct payload would let null ids pair
       .select(
         col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
@@ -336,8 +358,7 @@ object Dedup {
     // broadcast nearly every distinct gram — a driver hazard). Sizes still
     // use ALL grams; the cap limits only the intersection evidence.
     val grams = docGrams(docs, idCol, textCol, shingleSize)
-    val banded = minhashBanded(grams, numHashes, bands)
-      .filter(col("id").isNotNull) // null ids count toward df, never pair
+    val banded = minhashBanded(grams, numHashes, bands) // null ids filtered in the builder
     val cands = orderedPairsWithinGroups(
         banded, col("bk"), struct(col("id"), col("sz")), maxGroup = 1L << 20)
       .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),

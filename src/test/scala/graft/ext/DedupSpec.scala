@@ -276,6 +276,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.oversizeGroups(df, col("k"), maxGroup = 3L).collect().isEmpty)
   }
 
+  test("ngram jaccard: duplicate doc_id rows cannot inflate the intersection count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1 appears TWICE with identical text; doc 2 shares all grams.
+    // Without payload dedup in the pair emission, the (1,2) pair is
+    // emitted once per duplicate row: i doubles and the jaccard
+    // denominator sa + sb - i hits zero -> Infinity passes any threshold
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)), s"duplicate rows corrupted jaccard: ${out.toSeq}")
+  }
+
   test("per-path oversize diagnostics flag the groups the pair operators' caps would drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
