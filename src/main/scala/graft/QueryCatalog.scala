@@ -1219,6 +1219,16 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Shared base CTE of the AVI oracles: the writer's deterministic
+    * per-doc layout inputs (hex image, byte count, frame count).
+    */
+  private val aviDocsCte: String =
+    """WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+      |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+      |                  1 + doc_id % 5 AS nf
+      |           FROM documents WHERE doc_id IS NOT NULL),
+      |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)""".stripMargin
+
   /** REAL video frame sampling under the gate: [[graft.ext.Multimodal
     * .encodeAvi]] writes genuine RIFF/AVI containers (1 + id%5 frames of
     * 8x6 RGB24, frame k's plane = UTF-8 text bytes cycled from offset k),
@@ -1236,15 +1246,11 @@ object QueryCatalog {
       everyN = 2, maxFrames = 4).toDF()
 
   private val oMultimodalFrames: String =
-    """WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
-      |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
-      |                  1 + doc_id % 5 AS nf
-      |           FROM documents WHERE doc_id IS NOT NULL),
-      |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)
+    s"""$aviDocsCte
       |SELECT doc_id, k AS frame_idx, (108 + 152 * k)::BIGINT AS offset,
       |       144 AS n_bytes, 8 AS width, 6 AS height,
       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(144), j ->
-      |         CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, 2 * ((k + j) % n) + 1, 2))::BIGINT END)),
+      |         ${ppmByteSql("k + j")})),
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM f WHERE k % 2 = 0 AND k // 2 < 4""".stripMargin
 
@@ -1260,13 +1266,9 @@ object QueryCatalog {
   private val oVideoFrameStats: String = {
     def chanSum(c: Int): String =
       s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(48), p ->
-         |  CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, 2 * ((k + 3 * p + $c) % n) + 1, 2))::BIGINT END)),
+         |  ${ppmByteSql(s"k + 3 * p + $c")})),
          |  (a, x) -> a + x)""".stripMargin
-    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
-       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
-       |                  1 + doc_id % 5 AS nf
-       |           FROM documents WHERE doc_id IS NOT NULL),
-       |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)
+    s"""$aviDocsCte
        |SELECT doc_id, k AS frame_idx, 8 AS width, 6 AS height, 48::BIGINT AS n_pixels,
        |       ${chanSum(0)} AS sum_r,
        |       ${chanSum(1)} AS sum_g,

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Null-safe UTF-8 bytes of a doc's text — the shared plane/payload
+    * source for every synthetic encoder here (null text encodes as empty,
+    * which each writer paints as zeros).
+    */
+  private def utf8Bytes(textOrNull: String): Array[Byte] =
+    Option(textOrNull).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+
   /** Attach a binary payload + metadata struct to a text-bearing table
     * (bytes = UTF-8 of the text here; in production the binary comes from the
     * source parquet/blob store directly).
@@ -113,7 +121,7 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
-        val data = Option(textOrNull).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val data = utf8Bytes(textOrNull)
         val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
         val h = 8 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 8L), 8L).toInt
         val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -500,7 +508,7 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
-        val data = Option(textOrNull).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val data = utf8Bytes(textOrNull)
         val nf = (1 + java.lang.Math.floorMod(id, 5L)).toInt
         val bb = java.nio.ByteBuffer
           .allocate(12 + 76 + 12 + nf * (8 + fb))

@@ -85,11 +85,21 @@ object MetricDatagen {
       rate: Double = 2.0,
       seed: Long = 42L,
       minuteFactor: Boolean = false): Dataset[Metric] = {
-    import spark.implicits._
     val rows = spark.readStream
       .format("rate")
       .option("rowsPerSecond", math.max(1L, (numNodes * rate).toLong))
       .load() // schema: (timestamp TIMESTAMP, value LONG)
+    metricsFromRateRows(rows, numNodes, seed, minuteFactor)
+  }
+
+  /** Shared tail of both rate-source forms: (timestamp, value) rows ->
+    * seasonal [[Metric]]s, value driving node assignment and the
+    * hash-derived randomness.
+    */
+  private def metricsFromRateRows(
+      rows: DataFrame, numNodes: Int, seed: Long, minuteFactor: Boolean): Dataset[Metric] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     rows
       .select(
         (col("value") % numNodes).as("nodeIdx"),
@@ -120,23 +130,13 @@ object MetricDatagen {
       startEpochMs: Long = 1704067200000L,
       seed: Long = 42L,
       minuteFactor: Boolean = false): Dataset[Metric] = {
-    import spark.implicits._
     val rows = spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toLong)
       .option("advanceMillisPerBatch", advanceMsPerBatch)
       .option("startTimestamp", startEpochMs)
       .load() // schema: (timestamp TIMESTAMP, value LONG)
-    rows
-      .select(
-        (col("value") % numNodes).as("nodeIdx"),
-        unix_millis(col("timestamp")).as("eventTime"),
-        col("value").as("rowKey"))
-      .select(
-        nodeIdCol(col("nodeIdx")).as("nodeId"),
-        cpuExpr(col("nodeIdx"), col("eventTime"), col("rowKey"), seed, minuteFactor).as("cpu"),
-        col("eventTime"))
-      .as[Metric]
+    metricsFromRateRows(rows, numNodes, seed, minuteFactor)
   }
 
   /** The external datagen's Kafka-facing JSON shape (datagen.py:129-134). */

@@ -19,11 +19,10 @@ class HarnessContractSpec extends AnyFunSuite {
 
   test("every registered query emits only harness-sortable (scalar) columns") {
     val offenders = QueryCatalog.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      val bad = q(spark, sf).schema.fields.collect {
+      q(spark, sf).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
       }
-      bad
     }
     assert(offenders.isEmpty,
       s"array/map output columns crash the driver's pandas row-sort; " +
