@@ -1219,6 +1219,33 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** The full image round trip under the gate: encode -> parse -> resize
+    * -> RE-ENCODE, compared by the emitted thumbnail's hex image (the
+    * audio_resample pattern). The oracle rebuilds the canonical P6 output
+    * byte for byte: the constant 4x4 header ("P6\n4 4\n255\n" =
+    * 50360A3420340A3235350A) plus the resized plane's bytes at the same
+    * floor-arithmetic source positions as `multimodal_resize` — so the
+    * re-encoder cannot drift from the audited resampler.
+    */
+  private val qMultimodalThumbnail: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.resizePpmImage(Multimodal.encodePpm(table(s, dir, "documents")), targetW = 4, targetH = 4)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), hex(col("payload")).as("payload_hex"))
+
+  private val oMultimodalThumbnail: String = {
+    // flat resized byte j (0-based, RGB scan order, tw = th = 4): see
+    // oMultimodalResize for the source-position derivation
+    val srcPosJ = "3 * ((((j // 3) // 4) * h // 4) * w + ((j // 3) % 4) * w // 4) + j % 3"
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT doc_id, 59::BIGINT AS n_bytes,
+       |       '50360A3420340A3235350A' || list_reduce(list_prepend('',
+       |         list_transform(range(48), j -> printf('%02X', ${ppmByteSql(srcPosJ)}))),
+       |         (a, e) -> a || e) AS payload_hex
+       |FROM b""".stripMargin
+  }
+
   /** Shared base CTE of the AVI oracles: the writer's deterministic
     * per-doc layout inputs (hex image, byte count, frame count).
     */
@@ -2547,6 +2574,7 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
+    "multimodal_thumbnail" -> qMultimodalThumbnail,
     "video_frame_stats" -> qVideoFrameStats,
     "audio_frame_stats" -> qAudioFrames,
     "audio_resample" -> qAudioResample,
@@ -2641,6 +2669,7 @@ object QueryCatalog {
     "audio_frame_stats" -> oAudioFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
+    "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,

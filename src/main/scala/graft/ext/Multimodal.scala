@@ -197,6 +197,32 @@ object Multimodal {
     * modulus), which pins every byte position, not just totals. Malformed
     * payloads are dropped, like [[ppmFeatures]].
     */
+  /** Nearest-neighbor resample of a parsed image's RGB plane to tw x th:
+    * source pixel (tx*W/tw, ty*H/th), floor division — the integer-exact
+    * choice a SQL oracle can replay byte for byte. Shared by the stats
+    * view ([[resizePpm]]) and the thumbnail emitter ([[resizePpmImage]]),
+    * so the two cannot disagree on an index.
+    */
+  private def resizePlane(img: PpmImage, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * tw * th)
+    var o = 0
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * img.height / th
+      var tx = 0
+      while (tx < tw) {
+        val base = 3 * (sy * img.width + tx * img.width / tw)
+        out(o) = img.pixels(base)
+        out(o + 1) = img.pixels(base + 1)
+        out(o + 2) = img.pixels(base + 2)
+        o += 3
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
   def resizePpm(
       withBinary: DataFrame,
       targetW: Int,
@@ -213,30 +239,67 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytesOrNull) =>
           parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            val plane = resizePlane(img, targetW, targetH)
             var r = 0L; var g = 0L; var b = 0L
             var checksum = 0L
-            var ty = 0
-            while (ty < targetH) {
-              val sy = ty * img.height / targetH
-              var tx = 0
-              while (tx < targetW) {
-                val sx = tx * img.width / targetW
-                val base = 3 * (sy * img.width + sx)
-                val pr = img.pixels(base) & 0xff
-                val pg = img.pixels(base + 1) & 0xff
-                val pb = img.pixels(base + 2) & 0xff
-                r += pr; g += pg; b += pb
-                checksum = (checksum * 31 + pr) % 1000000007L
-                checksum = (checksum * 31 + pg) % 1000000007L
-                checksum = (checksum * 31 + pb) % 1000000007L
-                tx += 1
+            var j = 0
+            while (j < plane.length) {
+              val v = plane(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
               }
-              ty += 1
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
             }
             PpmResized(id, img.width, img.height, targetW, targetH, r, g, b, checksum)
           }
         }
       }
+  }
+
+  /** REAL image resize emitting a REAL image: parse the PPM, resample the
+    * pixel grid ([[resizePlane]] — the same indexing [[resizePpm]] audits),
+    * and re-encode as canonical P6 — the thumbnail-production step a
+    * vision-encoder prep pipeline runs, completing the image path's
+    * decode -> transform -> re-encode round trip (the audio path's
+    * resample already has this shape). Output: (id, payload, meta);
+    * malformed inputs drop; map-only.
+    */
+  def resizePpmImage(
+      withBinary: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    require(targetW >= 1 && targetH >= 1)
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            val header = s"P6\n$targetW $targetH\n255\n"
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val plane = resizePlane(img, targetW, targetH)
+            val out = new Array[Byte](header.length + plane.length)
+            System.arraycopy(header, 0, out, 0, header.length)
+            System.arraycopy(plane, 0, out, header.length, plane.length)
+            (id, out)
+          }
+        }
+      }
+      .toDF(idCol, "payload")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          lit(targetW).as("width"), lit(targetH).as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/x-portable-pixmap").as("mime")).as("meta"))
   }
 
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)

@@ -87,6 +87,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ppmFeatures(bad).collect().isEmpty)
   }
 
+  test("ppm thumbnail: resize emits a REAL image that parses back to the resized grid") {
+    import spark.implicits._
+    // 2x2 source with distinct pixels, upscaled 4x4: the emitted payload
+    // must be valid P6 whose parse returns exactly the nearest-neighbor
+    // replicated plane (each source pixel 4x)
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val img = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq((1L, img)).toDF("doc_id", "payload")
+    val out = Multimodal.resizePpmImage(df, targetW = 4, targetH = 4).collect().head
+    val payload = out.getAs[Array[Byte]]("payload")
+    val parsed = Multimodal.parsePpm(payload).get
+    assert(parsed.width == 4 && parsed.height == 4 && parsed.maxval == 255)
+    def pixAt(sx: Int, sy: Int): Seq[Byte] = px.slice(3 * (sy * 2 + sx), 3 * (sy * 2 + sx) + 3).toSeq
+    val expect = (0 until 4).flatMap { ty =>
+      (0 until 4).flatMap(tx => pixAt(tx * 2 / 4, ty * 2 / 4))
+    }
+    assert(parsed.pixels.toSeq == expect)
+    // and the stats view over the emitted thumbnail agrees with resizePpm
+    // on the original (shared resizePlane — the two cannot diverge)
+    val statsDirect = Multimodal.resizePpm(df, 4, 4).collect().head
+    val statsOfThumb = Multimodal.ppmFeatures(
+      Multimodal.resizePpmImage(df, 4, 4)).collect().head
+    assert((statsOfThumb.sum_r, statsOfThumb.sum_g, statsOfThumb.sum_b) ==
+      ((statsDirect.sum_r, statsDirect.sum_g, statsDirect.sum_b)))
+    // malformed inputs drop
+    assert(Multimodal.resizePpmImage(
+      Seq((2L, "junk".getBytes("US-ASCII"))).toDF("doc_id", "payload"), 4, 4).collect().isEmpty)
+  }
+
   test("avi demux: encode -> parse round trip with real offsets and frame bytes") {
     import spark.implicits._
     // id 7 -> 1 + 7%5 = 3 frames; every 2nd up to 4 -> frames 0, 2
