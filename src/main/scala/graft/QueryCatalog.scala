@@ -1961,6 +1961,49 @@ object QueryCatalog {
       codebookSize = 256, rerank = 50)
   }
 
+  /** PQ path with `rerank` >= corpus size: the ADC shortlist then contains
+    * EVERY corpus row, so the exact-rerank tail scores the whole corpus and
+    * the output must equal exact squared-L2 brute force bitwise — one
+    * window-rank oracle verifies the PQ machinery end to end (codebook
+    * training, encode, ADC tables, the bounded shortlist aggregate, the
+    * rerank join and L2 kernel), the `ivf_topk_full` pattern applied to the
+    * PQ family. rerank = 4096 covers every shipped scale factor's corpus
+    * (500 at sf0.01, 2000 at sf0.1); a larger corpus would degrade this key
+    * to approximate, so the exactness contract is corpus <= rerank.
+    * cb = 16 on purpose: exactness cannot depend on codebook quality here,
+    * so the cheap training configuration keeps the gate fast. Bench's PQ
+    * recall probes rank `pq_topk`/`ivfpq_topk` against THIS key's output
+    * (a Spark job) instead of a driver-side O(|Q| * N) reference.
+    */
+  private val qPqTopKFull: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") % 25 === 0), k = 10, dim = 64, m = 8,
+      codebookSize = 16, rerank = 4096)
+  }
+
+  /** Exact squared-L2 top-10 window-rank replay for `pq_topk_full`. The
+    * distance fold replays [[graft.ext.Similarity]]'s rerank kernel order —
+    * a sequential index-order sum of (c[i]-q[i])^2 in doubles — so values
+    * match bitwise. Self-pairs are kept (the PQ surface's convention:
+    * a query's own vector is its nearest neighbor at distance 0), unlike
+    * the cosine oracle's `q.id <> c.id`.
+    */
+  private val oPqTopKFull: String =
+    """WITH n AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS double)) AS e
+      |           FROM embeddings
+      |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64),
+      |q AS (SELECT * FROM n WHERE id % 25 = 0),
+      |scored AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |         list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |             i -> (c.e[i] - q.e[i]) * (c.e[i] - q.e[i]))), (acc, x) -> acc + x) AS approx_dist
+      |  FROM n c, q),
+      |ranked AS (
+      |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk,
+      |         neighbor_id, approx_dist
+      |  FROM scored)
+      |SELECT query_id, rnk, neighbor_id, approx_dist FROM ranked WHERE rnk <= 10""".stripMargin
+
   /** IVF-PQ composition (rows-only): coarse cells + residual PQ + per-cell
     * ADC + exact rerank of the shortlist. Explicit nlist/nprobe for the
     * structureless bench vectors, the ivf_topk rationale; cb=256 + rerank
@@ -2582,6 +2625,7 @@ object QueryCatalog {
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
+    "pq_topk_full" -> qPqTopKFull,
     "ivfpq_topk" -> qIvfPqTopK,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
@@ -2628,6 +2672,7 @@ object QueryCatalog {
     "cosine_topk" -> oCosineTopK,
     "knn_label_vote" -> oKnnLabelVote,
     "ivf_topk_full" -> oCosineTopK,
+    "pq_topk_full" -> oPqTopKFull,
     "srp_cosine_pairs" -> oSrpCosinePairs,
     "ivf_cosine_pairs" -> oSrpCosinePairs,
     "semantic_dedup" -> oSemanticDedup,
