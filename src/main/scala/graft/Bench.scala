@@ -30,14 +30,24 @@ private final class BenchMetricsListener extends SparkListener {
   * as a parquet-footer row count), while noop runs the full physical plan
   * and discards rows at the sink.
   *
-  * Each query runs TWICE. The second (steady-state) run is the primary
-  * `queries`/`value` number: at the engine's actual target — long-running
-  * jobs over 100 TB — per-query JIT/codegen compilation and scheduler
-  * warm-up amortize to zero, so the steady-state time is the one that
-  * predicts cluster throughput, and it is far less sensitive to transient
-  * machine noise than a single shot. The first (cold) runs are reported
-  * alongside under `queries_cold`/`total_cold` so one-time planning and
-  * compile cost stays visible rather than hidden.
+  * Each query runs once COLD, then `SPARK_GRAFT_STEADY_REPS` (default 3)
+  * more times; the primary `queries`/`value` number is the per-query
+  * MEDIAN of the steady reps. At the engine's actual target —
+  * long-running jobs over 100 TB — per-query JIT/codegen compilation and
+  * scheduler warm-up amortize to zero, so the steady-state time is the
+  * one that predicts cluster throughput. The steady reps are interleaved
+  * ROUND-ROBIN across the whole suite (rep 1 of every query, then rep 2
+  * of every query, ...), not back-to-back per query: a GC pause or
+  * co-tenant burst then lands on ONE rep of several queries instead of
+  * every rep of one query, and the median discards it. This is the
+  * round-8 fix for the round-7 driver run, where single-shot steady
+  * numbers showed 3-7x phantom "regressions" on untouched queries
+  * (text_quality 2.98s in-suite vs 0.77s isolated) — a noise mode that
+  * would mask a real regression. Per-query spread (max - min across
+  * reps) is recorded in the sidecar so residual noise stays measurable.
+  * The cold runs are reported alongside under `queries_cold`/
+  * `total_cold` so one-time planning and compile cost stays visible
+  * rather than hidden.
   *
   * OUTPUT CONTRACT (changed in round 7; consumers of the old single-line
   * schema must migrate): the round driver stores only the LAST 2000 chars
@@ -96,19 +106,35 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.map { case (name, fn) =>
-      val cold = timeOnce(name, fn)
-      // data-movement delta around the WARM run: steady-state bytes, with
-      // the listener bus drained so task metrics land in the right bucket
+    // odd rep counts recommended: the median of an even count is taken as
+    // the lower middle (a real measurement, not an average that mixes the
+    // noise back in)
+    val steadyReps = sys.env.get("SPARK_GRAFT_STEADY_REPS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1).getOrElse(3)
+    // pass 0: cold, in suite order
+    val cold: Seq[(String, Double)] = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // steady rep 1 also captures the data-movement delta (bytes are
+    // plan-deterministic, one capture suffices), with the listener bus
+    // drained so task metrics land in the right bucket
+    val rep1: Seq[(String, Double, Long, Long, Long)] = selected.map { case (name, fn) =>
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       val (sw0, sr0, in0) =
         (listener.shuffleWrite.get, listener.shuffleRead.get, listener.inputBytes.get)
-      val warm = timeOnce(name, fn)
+      val t = timeOnce(name, fn)
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
-      val sw = listener.shuffleWrite.get - sw0
-      val sr = listener.shuffleRead.get - sr0
-      val in = listener.inputBytes.get - in0
-      (name, cold, warm, sw, sr, in)
+      (name, t,
+        listener.shuffleWrite.get - sw0,
+        listener.shuffleRead.get - sr0,
+        listener.inputBytes.get - in0)
+    }
+    // steady reps 2..N: whole-suite round-robin (see the class doc)
+    val laterReps: Seq[Seq[Double]] =
+      (2 to steadyReps).map(_ => selected.map { case (name, fn) => timeOnce(name, fn) })
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val results = selected.zipWithIndex.map { case ((name, _), i) =>
+      val reps = rep1(i)._2 +: laterReps.map(_(i))
+      val (_, _, sw, sr, in) = rep1(i)
+      (name, cold(i)._2, median(reps), sw, sr, in, reps.max - reps.min)
     }
     // recall@k of the approximate IVF configuration against its own
     // exhaustive configuration (ivf_topk_full == brute force, verified by
@@ -128,64 +154,35 @@ object Bench {
         }
       } else None
     // recall of the PQ family vs exact L2 on the same fixture + query split
-    // (vec_id % 25, k = 10, dim-64 prefix — the registered pq_topk/
-    // ivfpq_topk configuration): telemetry so a codebook regression is
-    // visible next to the timing it bought. The exact reference is computed
-    // driver-side — the embeddings fixture is bounded and this is a probe,
-    // not a benched query.
+    // (vec_id % 25, k = 10, dim 64 — the registered configuration):
+    // telemetry so a codebook regression is visible next to the timing it
+    // bought. The exact reference is `pq_topk_full` — a rerank-covers-
+    // the-corpus configuration the correctness gate proves equal to brute
+    // force bitwise — computed as a Spark job and compared with semi-joins,
+    // exactly the ivf_topk probe's shape. (Round 8: replaced a driver-side
+    // single-threaded O(|Q| * N * dim) exact reference that could add
+    // minutes of untimed wall clock at the probe's row cap.)
     val pqRecalls: Seq[(String, Double)] = {
       val keys = Seq("pq_topk", "ivfpq_topk").filter(k => selected.exists(_._1 == k))
-      if (keys.isEmpty) Seq.empty
+      if (keys.isEmpty || !selected.exists(_._1 == "pq_topk_full")) Seq.empty
       else try {
-        // bounded: the driver holds the fixture embeddings (capped below —
-        // the probe is telemetry, not a benched query) and keeps a size-10
-        // bounded selection per query instead of sorting all N distances
-        val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
-        val nRows = embDf.count()
-        if (nRows > 200000L)
-          throw new IllegalStateException(
-            s"fixture too large for the driver-side exact reference ($nRows rows); skipping PQ recall probe")
-        val data = embDf.collect()
-          .flatMap { r =>
-            if (r.isNullAt(0) || r.isNullAt(1)) None
-            else {
-              val v = r.getSeq[Float](1)
-              if (v.length < 64) None // productQuantize excludes short vectors
-              else Some((r.getLong(0), Array.tabulate(64)(i => v(i).toDouble)))
+        val exact = SparkEntry.queries("pq_topk_full")(spark, sfDir)
+          .select("query_id", "neighbor_id").cache()
+        val denom = exact.count()
+        val out =
+          if (denom == 0L) Seq.empty[(String, Double)]
+          else keys.flatMap { key =>
+            try {
+              val approx = SparkEntry.queries(key)(spark, sfDir).select("query_id", "neighbor_id")
+              Some(key ->
+                approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / denom)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $key recall probe failed: ${e.getMessage}"); None
             }
           }
-        val exact: Map[Long, Set[Long]] = data.filter(_._1 % 25 == 0).map { case (qid, q) =>
-          // bounded top-10 insertion on (dist, id), ties id-ascending —
-          // O(N * k) with no per-query N-element allocation
-          val bd = Array.fill(10)(Double.MaxValue)
-          val bid = Array.fill(10)(Long.MaxValue)
-          data.foreach { case (id, v) =>
-            var s = 0.0
-            var i = 0
-            while (i < 64) { val d = v(i) - q(i); s += d * d; i += 1 }
-            var j = 9
-            if (s < bd(j) || (s == bd(j) && id < bid(j))) {
-              while (j > 0 && (s < bd(j - 1) || (s == bd(j - 1) && id < bid(j - 1)))) {
-                bd(j) = bd(j - 1); bid(j) = bid(j - 1); j -= 1
-              }
-              bd(j) = s; bid(j) = id
-            }
-          }
-          qid -> bid.filter(_ != Long.MaxValue).toSet
-        }.toMap
-        val denom = exact.valuesIterator.map(_.size).sum
-        keys.flatMap { key =>
-          try {
-            val approx = SparkEntry.queries(key)(spark, sfDir)
-              .select("query_id", "neighbor_id").collect()
-              .map(r => (r.getLong(0), r.getLong(1)))
-            val hits = approx.count { case (q, nb) => exact.get(q).exists(_.contains(nb)) }
-            if (denom == 0) None else Some(key -> hits.toDouble / denom)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $key recall probe failed: ${e.getMessage}"); None
-          }
-        }
+        exact.unpersist()
+        out
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] pq recall probe failed: ${e.getMessage}"); Seq.empty
@@ -196,27 +193,69 @@ object Bench {
     // millisecond precision keeps the primary line compact; full doubles and
     // the per-query byte maps live in the detail artifact only
     def r3(x: Double): String = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val warmQs = jsonMap(results.map { case (k, _, w, _, _, _) => k -> r3(w) })
-    val coldQs = jsonMap(results.map { case (k, c, _, _, _, _) => k -> r3(c) })
-    val shuffleQs = jsonMap(results.map { case (k, _, _, sw, _, _) => k -> sw })
-    val readQs = jsonMap(results.map { case (k, _, _, _, sr, _) => k -> sr })
-    val inputQs = jsonMap(results.map { case (k, _, _, _, _, in) => k -> in })
+    val warmQs = jsonMap(results.map { case (k, _, w, _, _, _, _) => k -> r3(w) })
+    val coldQs = jsonMap(results.map { case (k, c, _, _, _, _, _) => k -> r3(c) })
+    val shuffleQs = jsonMap(results.map { case (k, _, _, sw, _, _, _) => k -> sw })
+    val readQs = jsonMap(results.map { case (k, _, _, _, sr, _, _) => k -> sr })
+    val inputQs = jsonMap(results.map { case (k, _, _, _, _, in, _) => k -> in })
+    // per-query max - min across the steady reps: the residual noise floor.
+    // A cross-round delta smaller than a query's spread is not a signal.
+    val spreadQs = jsonMap(results.map { case (k, _, _, _, _, _, sp) => k -> r3(sp) })
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val totalShuffle = results.map(_._4).sum
     val totalShuffleRead = results.map(_._5).sum
     val totalInput = results.map(_._6).sum
+    // scale-linearity probe (the 100x question a single scale factor can't
+    // see): re-time the 8 slowest steady queries at a ~10x-smaller scale
+    // factor and record steady(sfDir) / steady(scaleDir). Data grows 10x
+    // between the shipped sf0.01 and sf0.1, so a ratio far above ~15x
+    // flags super-linear behavior — a scale cliff. One warm-up + one timed
+    // run per key: the ratio is a coarse order-of-magnitude check, not a
+    // precision number.
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
+    val scaleRatios: Seq[(String, Double)] =
+      if (scaleDir == sfDir || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir)))
+        Seq.empty
+      else results.sortBy(-_._3).take(8).flatMap { case (name, _, steady, _, _, _, _) =>
+        try {
+          val fn = SparkEntry.queries(name)
+          timeOnce(name, (s, _) => fn(s, scaleDir)) // warm-up at the probe scale
+          val small = timeOnce(name, (s, _) => fn(s, scaleDir))
+          if (small > 0) Some(name -> steady / small) else None
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name scale probe failed: ${e.getMessage}"); None
+        }
+      }
     // recall floor context: the bench embeddings are STRUCTURELESS (i.i.d.
-    // components), where IVF recall tracks the probed fraction nprobe/nlist
-    // (0.5 at the registered config) — the 0.9 clustered-data floor and the
-    // 0.75 bench-config floor are pinned in SimilaritySpec; see the
-    // qIvfTopK scaladoc for the rationale
-    val recallFields = (Seq("ivf_topk" -> ivfRecall).collect { case (k, Some(r)) => k -> r } ++ pqRecalls)
-      .map { case (k, r) => s""""${k}_recall":${r3(r)}""" }
+    // components), where probed-cell recall tracks the probed fraction
+    // nprobe/nlist (0.5 at the registered IVF configs — measured ~0.8 with
+    // boundary effects) and ADC-shortlist recall tracks the rerank depth.
+    // Floors sit ~0.05-0.07 under each config's measured plateau so a real
+    // regression (codebook collapse, shortlist bug) trips them while
+    // fixture-level run-to-run wobble does not: ivf_topk measured 0.80,
+    // pq_topk 0.83 (no probing loss — ADC top-50 shortlist only), ivfpq
+    // 0.74 (probing loss x shortlist loss). Clustered-data floors (0.9)
+    // are pinned in SimilaritySpec; see the qIvfTopK scaladoc.
+    val recallFloors = Map("ivf_topk" -> 0.75, "pq_topk" -> 0.75, "ivfpq_topk" -> 0.65)
+    val recalls = Seq("ivf_topk" -> ivfRecall).collect { case (k, Some(r)) => k -> r } ++ pqRecalls
+    recalls.foreach { case (k, r) =>
+      recallFloors.get(k).filter(r < _).foreach { f =>
+        System.err.println(s"[bench] WARNING: ${k}_recall ${r3(r)} is BELOW its pinned floor $f")
+      }
+    }
+    val recallFields = recalls
+      .flatMap { case (k, r) =>
+        s""""${k}_recall":${r3(r)}""" +: recallFloors.get(k).toSeq.map(f => s""""${k}_recall_floor":$f""")
+      }
       .mkString(",")
-    val recallJson = if (recallFields.isEmpty) "" else s"""$recallFields,"ivf_topk_recall_floor":0.75,"""
+    val recallJson = if (recallFields.isEmpty) "" else s"""$recallFields,"""
+    val scaleJson =
+      if (scaleRatios.isEmpty) ""
+      else s""""scale_ratio":${jsonMap(scaleRatios.map { case (k, v) => k -> r3(v) })},"scale_dir":"$scaleDir","""
     val detail =
-      s"""{"detail":"per-query","queries":$warmQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,$recallJson"sf":"$sfDir"}"""
+      s"""{"detail":"per-query","steady_reps":$steadyReps,"queries":$warmQs,"queries_spread":$spreadQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,$recallJson$scaleJson"sf":"$sfDir"}"""
     // sidecar with everything, for humans and the judge; never on the
     // primary line (a >2000-char line falls off the driver's stdout tail).
     // Path is anchored by SPARK_GRAFT_BENCH_DETAILS when set — the default
@@ -236,7 +275,7 @@ object Bench {
     // carries the 8 slowest steady queries so the cross-round watch list
     // survives even if the sidecar is lost.
     val slowest = jsonMap(
-      results.sortBy(-_._3).take(8).map { case (k, _, w, _, _, _) => k -> r3(w) })
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady-state","n_queries":${results.size},"total_cold":${r3(totalCold)},"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"slowest":$slowest,"details":"BENCH_DETAILS.json","sf":"$sfDir"}""")
+      results.sortBy(-_._3).take(8).map { case (k, _, w, _, _, _, _) => k -> r3(w) })
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","mode":"steady-median-of-$steadyReps","n_queries":${results.size},"total_cold":${r3(totalCold)},"shuffle_write_bytes":$totalShuffle,"shuffle_read_bytes":$totalShuffleRead,"input_bytes":$totalInput,"slowest":$slowest,"details":"BENCH_DETAILS.json","sf":"$sfDir"}""")
   }
 }
