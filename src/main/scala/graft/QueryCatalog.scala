@@ -1170,7 +1170,7 @@ object QueryCatalog {
     s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
        |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
        |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
-       |           FROM documents WHERE doc_id IS NOT NULL),
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |s AS (SELECT doc_id, w, h,
        |             ${chanSum(0)} AS sum_r,
        |             ${chanSum(1)} AS sum_g,
@@ -1181,6 +1181,43 @@ object QueryCatalog {
        |       sum_r / (w * h) AS mean_r, sum_g / (w * h) AS mean_g,
        |       sum_b / (w * h) AS mean_b
        |FROM s""".stripMargin
+  }
+
+  /** Second REAL image format under the gate: BMP (BITMAPINFOHEADER,
+    * 24-bit BI_RGB) — a genuinely different parse from PPM: binary LE
+    * headers, BOTTOM-UP rows, BGR channels, 4-byte row stride. The oracle
+    * replays [[graft.ext.Multimodal.encodeBmp]]'s byte model (file byte
+    * 54+k = text byte k % n over the whole stride*h area, pad bytes
+    * included) and re-derives every LOGICAL plane byte through the same
+    * flip/swap/stride arithmetic the decoder must do; the rolling checksum
+    * pins byte positions, so misreading row order, channel order, or pad
+    * bytes cannot pass.
+    */
+  private val qMultimodalBmp: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.bmpFeatures(Multimodal.encodeBmp(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalBmp: String = {
+    // logical channel c lives at file offset 2-c inside a BGR triple;
+    // sums are row-order-invariant, so they enumerate file rows directly
+    def chanSum(fileC: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"(p // w) * st + 3 * (p % w) + $fileC")})), (a, x) -> a + x)""".stripMargin
+    // logical plane byte j: y = j//(3w), x = (j mod 3w)//3, c = j mod 3;
+    // file area offset = (h-1-y)*stride + 3x + (2-c) -- the flip + swap
+    val logicalByte =
+      ppmByteSql("(h - 1 - (j // (3 * w))) * st + 3 * ((j % (3 * w)) // 3) + (2 - (j % 3))")
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+       |                  ((3 * (8 + doc_id % 8) + 3) // 4) * 4 AS st
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       ${chanSum(2)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(0)} AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+       |           j -> $logicalByte)), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
   }
 
   /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
@@ -1210,7 +1247,7 @@ object QueryCatalog {
     s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
        |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
        |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
-       |           FROM documents WHERE doc_id IS NOT NULL)
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
        |SELECT doc_id, w::INT AS src_w, h::INT AS src_h, 4 AS out_w, 4 AS out_h,
        |       ${chanSum(0)} AS sum_r,
        |       ${chanSum(1)} AS sum_g,
@@ -1238,7 +1275,7 @@ object QueryCatalog {
     s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
        |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
        |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
-       |           FROM documents WHERE doc_id IS NOT NULL)
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
        |SELECT doc_id, 59::BIGINT AS n_bytes,
        |       '50360A3420340A3235350A' || list_reduce(list_prepend('',
        |         list_transform(range(48), j -> printf('%02X', ${ppmByteSql(srcPosJ)}))),
@@ -1253,7 +1290,7 @@ object QueryCatalog {
     """WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
       |                  1 + doc_id % 5 AS nf
-      |           FROM documents WHERE doc_id IS NOT NULL),
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
       |f AS (SELECT doc_id, hx, n, CAST(unnest(range(nf)) AS INT) AS k FROM b)""".stripMargin
 
   /** REAL video frame sampling under the gate: [[graft.ext.Multimodal
@@ -2615,6 +2652,7 @@ object QueryCatalog {
     "vocabulary_top100" -> qVocabulary,
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
+    "multimodal_bmp_decode" -> qMultimodalBmp,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
@@ -2709,6 +2747,7 @@ object QueryCatalog {
     "vocabulary_top100" -> oVocabulary,
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,
+    "multimodal_bmp_decode" -> oMultimodalBmp,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,

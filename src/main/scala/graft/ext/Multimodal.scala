@@ -110,14 +110,16 @@ object Multimodal {
     * text paints black). In production the payload column comes from a blob
     * store; this writer exists so the decode path has real images to parse
     * end to end, fixture-deterministically, with a SQL-replayable byte
-    * model. Null ids are excluded (they could not round a floorMod
-    * identically in SQL and never survive downstream anyway).
+    * model. Null and negative ids are excluded: the canvas derivation uses
+    * floorMod/floorDiv while the SQL oracles replay it with truncating
+    * `%`/`//` — the two agree only on non-negative ids, so the filter
+    * ENFORCES the domain the equivalence needs instead of assuming it.
     */
   def encodePpm(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .filter(col(idCol).isNotNull)
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
@@ -302,10 +304,165 @@ object Multimodal {
           lit("image/x-portable-pixmap").as("mime")).as("meta"))
   }
 
+  /** ======== REAL codec: BMP (BITMAPINFOHEADER, 24-bit) ========
+    * A second real image format, and a genuinely different parse from PPM:
+    * binary little-endian headers instead of ASCII, BOTTOM-UP row order
+    * (positive biHeight stores the last scanline first), BGR channel order
+    * instead of RGB, and each row padded to a 4-byte boundary — so a
+    * decoder that ignores any of flip/swap/stride reads garbage, and the
+    * oracle's byte replay catches it. Parses the uncompressed
+    * BI_RGB 24-bit subset (the format every paint/screenshot tool emits);
+    * anything else — bad magic, biSize < 40, other bit depths or
+    * compressions, pixel data out of bounds — returns None, the
+    * malformed-drop convention. Negative biHeight (top-down BMP, rare but
+    * legal) is handled: rows are then already in logical order. Returns
+    * the image normalized to a [[PpmImage]] — logical top-down RGB plane —
+    * so every downstream pixel operator (features, resize, thumbnail)
+    * works on BMP input unchanged.
+    */
+  private[ext] def parseBmp(bytes: Array[Byte]): Option[PpmImage] = {
+    val n = bytes.length
+    if (n < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    def u16(pos: Int): Int = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+    def u32(pos: Int): Long =
+      (bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
+        ((bytes(pos + 2) & 0xffL) << 16) | ((bytes(pos + 3) & 0xffL) << 24)
+    val dataOffset = u32(10)
+    val biSize = u32(14)
+    val width = u32(18).toInt // i32: top bit would make it negative below
+    val rawHeight = u32(22).toInt
+    if (biSize < 40L) return None
+    if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0L) return None // planes/BI_RGB 24bpp only
+    val topDown = rawHeight < 0
+    val height = if (topDown) -rawHeight else rawHeight
+    if (width <= 0 || height <= 0) return None
+    // dims are attacker-controlled: all products in Long before any allocate
+    val stride = ((3L * width + 3L) / 4L) * 4L
+    val need = stride * height
+    if (width > (1 << 14) || height > (1 << 14)) return None // 16k x 16k cap
+    if (dataOffset < 14L + biSize || dataOffset + need > n) return None
+    val out = new Array[Byte](3 * width * height)
+    var y = 0
+    while (y < height) {
+      val fileRow = if (topDown) y else height - 1 - y
+      val rowBase = (dataOffset + fileRow * stride).toInt
+      var x = 0
+      while (x < width) {
+        val src = rowBase + 3 * x
+        val dst = 3 * (y * width + x)
+        out(dst) = bytes(src + 2) // R <- file's B,G,R triple reversed
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PpmImage(width, height, 255, out))
+  }
+
+  /** ======== REAL codec: BMP encode ========
+    * The BMP analog of [[encodePpm]], same deterministic canvas (w = 8 +
+    * id % 8, h = 8 + (id/8) % 8 — w in 8..15 makes the row stride exercise
+    * every padding width 0..3) and the same SQL-replayable byte model:
+    * the 54-byte BITMAPFILEHEADER + BITMAPINFOHEADER, then file byte
+    * 54 + k = text byte k % n for the WHOLE stride*h pixel area — pad
+    * bytes carry cycled text too (BMP leaves pad content unspecified;
+    * cycling through them keeps the byte model one modulus, and the
+    * decoder must SKIP them to read correct pixels, which the oracle's
+    * logical-order replay verifies). Null and negative ids are excluded
+    * ([[encodePpm]]'s floorMod-vs-`%` rationale).
+    */
+  def encodeBmp(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
+        val h = 8 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 8L), 8L).toInt
+        val stride = ((3 * w + 3) / 4) * 4
+        val area = stride * h
+        val bb = java.nio.ByteBuffer
+          .allocate(54 + area)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte)
+        bb.putInt(54 + area) // bfSize
+        bb.putInt(0) // bfReserved
+        bb.putInt(54) // bfOffBits
+        bb.putInt(40) // biSize
+        bb.putInt(w)
+        bb.putInt(h) // positive: bottom-up
+        bb.putShort(1) // biPlanes
+        bb.putShort(24) // biBitCount
+        bb.putInt(0) // BI_RGB
+        bb.putInt(area) // biSizeImage
+        bb.putInt(2835).putInt(2835) // 72 DPI
+        bb.putInt(0).putInt(0) // biClrUsed/Important
+        var k = 0
+        while (k < area) {
+          bb.put(if (data.length == 0) 0.toByte else data(k % data.length))
+          k += 1
+        }
+        (id, bb.array(), w, h)
+      }
+      .toDF(idCol, "payload", "w", "h")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          col("w").as("width"), col("h").as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/bmp").as("mime")).as("meta"))
+  }
+
+  final case class BmpFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** BMP decode + statistics: parse each payload ([[parseBmp]]) and reduce
+    * the normalized logical RGB plane to exact per-channel sums plus a
+    * base-31 rolling checksum over the plane in scan order (the
+    * [[resizePpm]] modulus). The checksum is what makes the bottom-up flip
+    * observable: channel sums alone are row-order-invariant, but the
+    * rolling hash pins every byte POSITION, so reading rows in file order
+    * (or forgetting the BGR swap, or reading pad bytes as pixels) fails
+    * the oracle. Malformed payloads drop; map-only, no shuffle.
+    */
+  def bmpFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[BmpFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parseBmp(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              val v = img.pixels(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
+            }
+            BmpFeatures(id, img.width, img.height, img.width.toLong * img.height, r, g, b, checksum)
+          }
+        }
+      }
+  }
+
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
 
   /** ======== REAL codec: raw s16le PCM ========
-    * Unlike the stubbed image/video steps above, this decode is the actual
+    * Like the PPM and AVI codecs in this module, this decode is the actual
     * format: the payload is interpreted as raw little-endian signed 16-bit
     * PCM (the interchange format every audio toolchain reads and writes
     * without a container), framed into `frameSize`-sample windows, and
@@ -495,14 +652,20 @@ object Multimodal {
     * RIFF file, and RIFF needs no library, just a chunk walker. The parser
     * verifies the `RIFF`/`AVI ` magic, walks top-level chunks honoring the
     * even-byte padding rule, finds the `avih` main header wherever the
-    * `hdrl` list put it (skipping `strl` sub-lists and unknown chunks, as
-    * a real demuxer must), reads width/height/frame count little-endian,
-    * then iterates the `movi` list collecting every `00db`/`00dc` video
-    * frame chunk — including inside `rec ` groups — with its REAL byte
-    * offset and length. Returns None for malformed containers (bad magic,
-    * truncated chunk, no avih, no movi): the malformed-drop convention.
-    * All sizes are read into Long before bounds checks, so a hostile
-    * header cannot index out or allocate.
+    * `hdrl` list put it, reads width/height/frame count little-endian,
+    * and scans the `strl` stream-description lists for the FIRST stream
+    * whose `strh` declares fccType `vids` — AVI numbers streams by strl
+    * order, and data chunks carry that number as a two-digit prefix. The
+    * `movi` walk then collects only THAT stream's `NNdb`/`NNdc` frame
+    * chunks — including inside `rec ` groups — with their REAL byte
+    * offsets and lengths, so a multi-stream container (audio at stream 00,
+    * video at 01, or a second video stream) cannot interleave foreign
+    * chunks into the frame list. A container with no strl lists at all
+    * (the minimal-writer subset) defaults to stream 00, the number a
+    * sole video stream gets. Returns None for malformed containers (bad
+    * magic, truncated chunk, no avih, no movi): the malformed-drop
+    * convention. All sizes are read into Long before bounds checks, so a
+    * hostile header cannot index out or allocate.
     */
   private[ext] def parseAvi(bytes: Array[Byte]): Option[AviIndex] = {
     val n = bytes.length
@@ -515,9 +678,12 @@ object Multimodal {
     var avih: Option[(Int, Int, Int)] = None
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     var sawMovi = false
-    // walk a chunk range; `inMovi` collects frame chunks, recursing into
-    // `rec ` groups; `inHdrl` scans for avih, skipping strl lists
-    def walk(from: Long, until: Long, inMovi: Boolean, inHdrl: Boolean): Boolean = {
+    var nStreams = 0 // strl lists seen, in order = AVI stream numbering
+    var videoStream = -1 // first stream whose strh says fccType 'vids'
+    // walk a chunk range; `inMovi` collects the video stream's frame
+    // chunks, recursing into `rec ` groups; `inHdrl` scans for avih and
+    // the strl stream descriptions; `inStrl` scans one stream's headers
+    def walk(from: Long, until: Long, inMovi: Boolean, inHdrl: Boolean, inStrl: Boolean): Boolean = {
       var p = from
       while (p + 8 <= until) {
         val id = fourcc(p.toInt)
@@ -527,22 +693,34 @@ object Multimodal {
         if (id == "LIST") {
           if (sz < 4) return false
           val listType = fourcc(dataStart.toInt)
-          if (listType == "hdrl") { if (!walk(dataStart + 4, dataStart + sz, inMovi = false, inHdrl = true)) return false }
-          else if (listType == "movi") { sawMovi = true; if (!walk(dataStart + 4, dataStart + sz, inMovi = true, inHdrl = false)) return false }
-          else if (inMovi && listType == "rec ") { if (!walk(dataStart + 4, dataStart + sz, inMovi = true, inHdrl = false)) return false }
-          else if (inHdrl) { /* strl etc: stream headers, not needed */ }
+          if (listType == "hdrl") { if (!walk(dataStart + 4, dataStart + sz, inMovi = false, inHdrl = true, inStrl = false)) return false }
+          else if (listType == "movi") { sawMovi = true; if (!walk(dataStart + 4, dataStart + sz, inMovi = true, inHdrl = false, inStrl = false)) return false }
+          else if (inMovi && listType == "rec ") { if (!walk(dataStart + 4, dataStart + sz, inMovi = true, inHdrl = false, inStrl = false)) return false }
+          else if (inHdrl && listType == "strl") {
+            if (!walk(dataStart + 4, dataStart + sz, inMovi = false, inHdrl = false, inStrl = true)) return false
+            nStreams += 1
+          }
         } else if (inHdrl && id == "avih") {
           if (sz < 40) return false
           avih = Some((u32(dataStart.toInt + 32).toInt, u32(dataStart.toInt + 36).toInt, u32(dataStart.toInt + 16).toInt))
+        } else if (inStrl && id == "strh") {
+          if (sz < 4) return false
+          if (videoStream < 0 && fourcc(dataStart.toInt) == "vids") videoStream = nStreams
         } else if (inMovi && (id.endsWith("db") || id.endsWith("dc"))) {
-          frames += ((dataStart, sz.toInt))
+          // two-digit decimal stream prefix; -1 = not a data chunk
+          val c0 = id.charAt(0); val c1 = id.charAt(1)
+          val streamNo =
+            if (c0 >= '0' && c0 <= '9' && c1 >= '0' && c1 <= '9') (c0 - '0') * 10 + (c1 - '0') else -1
+          // no strl (minimal writer) -> a sole video stream is number 00
+          val want = if (videoStream >= 0) videoStream else 0
+          if (streamNo == want) frames += ((dataStart, sz.toInt))
         }
         p = dataStart + sz + (sz & 1L) // RIFF pads chunks to even length
       }
       true
     }
     val riffEnd = math.min(n.toLong, 8L + u32(4))
-    if (!walk(12L, riffEnd, inMovi = false, inHdrl = false)) return None
+    if (!walk(12L, riffEnd, inMovi = false, inHdrl = false, inStrl = false)) return None
     avih match {
       case Some((w, h, tf)) if sawMovi => Some(AviIndex(w, h, tf, frames.toSeq))
       case _ => None
@@ -558,8 +736,9 @@ object Multimodal {
     * structurally-valid subset (RIFF/AVI + hdrl/avih + movi/00db);
     * [[parseAvi]] is the general walker and is additionally spec-tested
     * against containers with strl lists, junk chunks, odd-size padding,
-    * and rec-grouped frames. Null ids are excluded; null text paints
-    * black frames.
+    * and rec-grouped frames. Null and negative ids are excluded (the
+    * frame-count derivation is floorMod vs the oracle's truncating `%`,
+    * [[encodePpm]]'s rationale); null text paints black frames.
     */
   def encodeAvi(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -567,7 +746,7 @@ object Multimodal {
     val (w, h) = (8, 6)
     val fb = 3 * w * h // 144, even: no pad bytes
     docs
-      .filter(col(idCol).isNotNull)
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, textOrNull) =>

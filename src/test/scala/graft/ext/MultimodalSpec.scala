@@ -294,6 +294,104 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empt.n_samples_out == 0 && empt.resampled.isEmpty)
   }
 
+  test("avi walker: multi-stream container takes the strl-declared video stream only") {
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++ (if (body.length % 2 == 1) Array[Byte](0) else Array[Byte]())
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4 + body.length) ++ cc(tpe) ++ body
+    val avih = chunk("avih",
+      le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(2) ++
+        le32(6) ++ le32(2) ++ le32(1) ++ Array.fill(16)(0.toByte)) // 1 frame, 2x1, 2 streams
+    // stream 00 = audio (auds), stream 01 = video (vids): data chunks are
+    // prefixed by stream NUMBER, so the video frames are 01db/01dc
+    val hdrl = list("hdrl", avih ++
+      list("strl", chunk("strh", cc("auds") ++ Array.fill(7)(0.toByte))) ++
+      list("strl", chunk("strh", cc("vids") ++ Array.fill(7)(0.toByte))))
+    val movi = list("movi",
+      chunk("00dc", Array[Byte](9, 9, 9, 9, 9, 9)) ++ // audio-stream chunk: must NOT be a frame
+        chunk("01db", Array[Byte](1, 2, 3, 4, 5, 6)))
+    val body = hdrl ++ movi
+    val avi = cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    val parsed = Multimodal.parseAvi(avi).get
+    assert(parsed.frames.length == 1)
+    val (off, len) = parsed.frames.head
+    assert(len == 6 && avi.slice(off.toInt, off.toInt + 6).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // and a vids stream at number 00 keeps its 00db chunks (regression
+    // guard for the no-strl default path exercised by the writer tests)
+    val hdrl0 = list("hdrl", avih ++ list("strl", chunk("strh", cc("vids") ++ Array.fill(7)(0.toByte))))
+    val movi0 = list("movi", chunk("00db", Array[Byte](1, 2, 3, 4, 5, 6)))
+    val b0 = hdrl0 ++ movi0
+    val avi0 = cc("RIFF") ++ le32(4 + b0.length) ++ cc("AVI ") ++ b0
+    assert(Multimodal.parseAvi(avi0).get.frames.length == 1)
+  }
+
+  test("bmp parse: bottom-up flip, BGR swap, stride padding — a real decode") {
+    // 2x2, 24bpp: stride = ((3*2+3)/4)*4 = 8, two pad bytes per row.
+    // File rows (bottom-up): row0 = LOGICAL bottom row, row1 = top row.
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    // logical top row pixels (RGB): (1,2,3) (4,5,6); bottom: (7,8,9) (10,11,12)
+    val fileRows = Array[Byte](
+      9, 8, 7, 12, 11, 10, 99, 99, // file row 0 = logical bottom, BGR, pads 99
+      3, 2, 1, 6, 5, 4, 88, 88) // file row 1 = logical top
+    val img = Multimodal.parseBmp(header ++ fileRows).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    // negative height = top-down: same bytes now read in file order
+    val headerTd =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(16) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val td = Multimodal.parseBmp(headerTd ++ fileRows).get
+    assert(td.pixels.toSeq == Seq[Byte](7, 8, 9, 10, 11, 12, 1, 2, 3, 4, 5, 6))
+    // malformed drops: bad magic, wrong depth, truncated pixel area,
+    // hostile dims (multi-GB claim must not allocate)
+    assert(Multimodal.parseBmp(("XX".getBytes("US-ASCII") ++ header.drop(2) ++ fileRows)).isEmpty)
+    val header8 = header.take(28) ++ le16(8) ++ header.drop(30)
+    assert(Multimodal.parseBmp(header8 ++ fileRows).isEmpty)
+    assert(Multimodal.parseBmp(header ++ fileRows.take(10)).isEmpty)
+    val headerHuge =
+      "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(60000) ++ le32(60000) ++ le16(1) ++ le16(24) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    assert(Multimodal.parseBmp(headerHuge).isEmpty)
+    assert(Multimodal.parseBmp(Array[Byte]()).isEmpty)
+  }
+
+  test("bmp encode -> decode round trip: features match the byte model") {
+    import spark.implicits._
+    // id 1 -> w = 9, h = 8; stride = ((27+3)/4)*4 = 28 (1 pad byte/row);
+    // text "ab" cycled over the whole 224-byte area
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val enc = Multimodal.encodeBmp(docs).collect().head
+    val payload = enc.getAs[Array[Byte]]("payload")
+    assert(payload.length == 54 + 28 * 8)
+    val f = Multimodal.bmpFeatures(Multimodal.encodeBmp(docs)).collect().head
+    assert(f.width == 9 && f.height == 8 && f.n_pixels == 72)
+    // replicate the byte model: logical (x,y,c) -> file byte (h-1-y)*st + 3x + (2-c)
+    val data = "ab".getBytes("UTF-8")
+    def fileByte(k: Int): Int = data(k % 2) & 0xff
+    var (r, g, b, cs) = (0L, 0L, 0L, 0L)
+    for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3) {
+      val v = fileByte((8 - 1 - y) * 28 + 3 * x + (2 - c))
+      if (c == 0) r += v else if (c == 1) g += v else b += v
+      cs = (cs * 31 + v) % 1000000007L
+    }
+    assert((f.sum_r, f.sum_g, f.sum_b, f.checksum) == ((r, g, b, cs)))
+    // null and negative ids are excluded (the floorMod-vs-% domain guard)
+    val mixed = Seq((Some(-3L), "x"), (None, "y"), (Some(2L), "z"))
+      .toDF("doc_id", "text")
+    assert(Multimodal.encodeBmp(mixed).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
