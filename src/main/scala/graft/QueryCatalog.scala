@@ -641,6 +641,38 @@ object QueryCatalog {
     MetricDatagen.batch(s, numNodes = 5, samplesPerNode = 2000).toDF()
       .select(col("nodeId").as("node_id"), col("cpu"), col("eventTime").as("event_time"))
 
+  /** The generator's bitwise gate (the simhash_md5_pairs playbook): the
+    * same scaffold and value model as `datagen_batch`, with uniforms drawn
+    * from md5 — which DuckDB computes identically — and the cpu emitted
+    * unrounded. The oracle replays every step from a bare range(): node
+    * assignment, 500 ms cadence, hour-of-day seasonality (UTC), noise,
+    * the 1% spike branch, the [0,100] clamp.
+    */
+  private val qDatagenMd5: (SparkSession, String) => DataFrame = (s, _) =>
+    MetricDatagen.batchPortableModel(s, numNodes = 5, samplesPerNode = 2000)
+
+  private val oDatagenMd5: String = {
+    def u(role: String, key: String = "k"): String =
+      s"('0x' || substr(md5('42:$role:' || $key), 1, 15))::BIGINT % 1000000 / 1000000.0"
+    s"""WITH r AS (SELECT CAST(range AS BIGINT) AS i FROM range(10000)),
+       |m AS (SELECT i % 5 AS nodeIdx, 1704067200000 + (i // 5) * 500 AS event_time, i AS k FROM r),
+       |u AS (SELECT nodeIdx, event_time,
+       |             ${u("base", "nodeIdx")} AS ub,
+       |             ${u("noise")} AS un,
+       |             ${u("spikep")} AS usp,
+       |             ${u("spikev")} AS usv,
+       |             hour(epoch_ms(event_time)) AS hr
+       |      FROM m)
+       |SELECT printf('node-%02d', nodeIdx + 1) AS node_id, event_time,
+       |       greatest(0.0, least(100.0,
+       |         (30.0 + ub * 40.0) *
+       |           (CASE WHEN hr < 6 THEN 0.4 WHEN hr < 9 THEN 0.6 WHEN hr < 17 THEN 1.2
+       |                 WHEN hr < 22 THEN 0.8 ELSE 0.5 END) * 1.0
+       |         + (un * 10.0 - 5.0)
+       |         + (CASE WHEN usp < 0.01 THEN 30.0 + usv * 20.0 ELSE 0.0 END))) AS cpu_model
+       |FROM u""".stripMargin
+  }
+
   // ------------------------------------------------------------- documents
 
   private val normSql =
@@ -2590,6 +2622,7 @@ object QueryCatalog {
     "pipeline_replay" -> qPipelineReplay,
     "props_extract_agg" -> qPropsExtract,
     "datagen_batch" -> qDatagen,
+    "datagen_batch_md5" -> qDatagenMd5,
     "dedup_exact" -> qDedupExact,
     "text_quality" -> qTextQuality,
     "lang_id" -> qLangId,
@@ -2687,6 +2720,7 @@ object QueryCatalog {
     "daily_trend" -> oDailyTrend,
     "baseline_stats_replay" -> oBaselineStats,
     "props_extract_agg" -> oPropsExtract,
+    "datagen_batch_md5" -> oDatagenMd5,
     "dedup_exact" -> oDedupExact,
     "text_quality" -> oTextQuality,
     "lang_id" -> oLangId,

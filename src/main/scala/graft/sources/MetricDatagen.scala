@@ -27,13 +27,38 @@ object MetricDatagen {
   private def u01(seed: Long, role: String, k: Column): Column =
     (pmod(xxhash64(lit(seed), lit(role), k), lit(1000000L)).cast("double") / 1000000.0)
 
+  /** md5-derived uniform [0,1): the SQL-replayable twin of [[u01]] (the
+    * simhash_md5_pairs playbook). Both engines compute the identical md5
+    * hex of "seed:role:k", so the first 15 hex chars (60 bits, safely
+    * inside a positive long) give the same integer, the same modulus, and
+    * the same IEEE division — the value model becomes bitwise
+    * oracle-checkable. Costs ~an md5 per draw vs xxhash64's few ns: the
+    * GATE twin, not the production path.
+    */
+  private def u01Md5(seed: Long, role: String, k: Column): Column =
+    (conv(substring(md5(concat_ws(":", lit(seed), lit(role), k.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000L).cast("double") / 1000000.0
+
   private def nodeIdCol(i: Column): Column = format_string("node-%02d", i + 1)
 
-  /** The value model, given node index and epoch-millis event time columns. */
-  def cpuExpr(nodeIdx: Column, eventTimeMs: Column, rowKey: Column, seed: Long, minuteFactor: Boolean): Column = {
+  /** The value model before presentation rounding, parameterized by the
+    * uniform source so the engine-hash path ([[u01]]) and the portable
+    * gate twin ([[u01Md5]]) share every arithmetic step: per-node base,
+    * hour-of-day seasonality, optional minute factor, noise, 1% spikes,
+    * clamp to [0,100]. Returned UNROUNDED: round(2) is presentation (the
+    * reference's output format), and Spark round (BigDecimal HALF_UP) vs
+    * DuckDB round (FP multiply) diverge on near-midpoint doubles — the
+    * qTextQuality rationale — so the bitwise gate sits on the raw model.
+    */
+  private def cpuModel(
+      u: (String, Column) => Column,
+      nodeIdx: Column,
+      eventTimeMs: Column,
+      rowKey: Column,
+      minuteFactor: Boolean): Column = {
     val ts = timestamp_millis(eventTimeMs)
     val hr = hour(ts)
-    val base = lit(30.0) + u01(seed, "base", nodeIdx) * 40.0
+    val base = lit(30.0) + u("base", nodeIdx) * 40.0
     val hourFactor = when(hr < 6, 0.4)
       .when(hr < 9, 0.6)
       .when(hr < 17, 1.2)
@@ -41,12 +66,16 @@ object MetricDatagen {
       .otherwise(0.5)
     val minFactor =
       if (minuteFactor) lit(1.0) + (minute(ts) % 15).cast("double") * 0.02 else lit(1.0)
-    val noise = u01(seed, "noise", rowKey) * 10.0 - 5.0
-    val spike = when(u01(seed, "spikep", rowKey) < 0.01, lit(30.0) + u01(seed, "spikev", rowKey) * 20.0)
+    val noise = u("noise", rowKey) * 10.0 - 5.0
+    val spike = when(u("spikep", rowKey) < 0.01, lit(30.0) + u("spikev", rowKey) * 20.0)
       .otherwise(0.0)
     val cpu = base * hourFactor * minFactor + noise + spike
-    round(greatest(lit(0.0), least(lit(100.0), cpu)), 2)
+    greatest(lit(0.0), least(lit(100.0), cpu))
   }
+
+  /** The value model, given node index and epoch-millis event time columns. */
+  def cpuExpr(nodeIdx: Column, eventTimeMs: Column, rowKey: Column, seed: Long, minuteFactor: Boolean): Column =
+    round(cpuModel(u01(seed, _, _), nodeIdx, eventTimeMs, rowKey, minuteFactor), 2)
 
   /** Batch generation: `samplesPerNode` rows per node at a fixed cadence.
     * Used for backfills and as the deterministic test fixture.
@@ -74,6 +103,36 @@ object MetricDatagen {
         cpuExpr(col("nodeIdx"), col("eventTime"), col("rowKey"), seed, minuteFactor).as("cpu"),
         col("eventTime"))
       .as[Metric]
+  }
+
+  /** The md5-portable gate twin of [[batch]]: the IDENTICAL row scaffold
+    * and value model, with every uniform drawn from [[u01Md5]] instead of
+    * xxhash64, and the cpu emitted UNROUNDED as `cpu_model` (see
+    * [[cpuModel]]). This puts the whole generator machinery — node
+    * assignment, cadence, seasonality, noise, spike, clamp — under a
+    * bitwise DuckDB oracle; the xxhash64 path stays the production-speed
+    * configuration and is gated rows-only.
+    */
+  def batchPortableModel(
+      spark: SparkSession,
+      numNodes: Int = 5,
+      samplesPerNode: Int = 1000,
+      startEpochMs: Long = 1704067200000L,
+      intervalMs: Long = 500L,
+      seed: Long = 42L,
+      minuteFactor: Boolean = false): DataFrame = {
+    val n = numNodes.toLong * samplesPerNode
+    spark
+      .range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .select(
+        (col("id") % numNodes).as("nodeIdx"),
+        (lit(startEpochMs) + expr(s"id DIV $numNodes") * intervalMs).as("eventTime"),
+        col("id").as("rowKey"))
+      .select(
+        nodeIdCol(col("nodeIdx")).as("node_id"),
+        cpuModel(u01Md5(seed, _, _), col("nodeIdx"), col("eventTime"), col("rowKey"), minuteFactor)
+          .as("cpu_model"),
+        col("eventTime").as("event_time"))
   }
 
   /** Streaming generation on the built-in rate source: `rate` msgs/s/node
