@@ -56,10 +56,24 @@ object Dedup {
     * cap sized so the worst-case group buffer stays in executor memory.
     * Fixture-scale groups never come near any cap, so the oracle gates
     * are unaffected.
+    *
+    * Capped call sites pass `observeTag`, which attaches a PUSH-based drop
+    * counter to the admission filter: a `Dataset.observe` (CollectMetrics)
+    * node named `graft.oversize.<tag>` reporting `dropped_rows` (rows in
+    * over-cap groups) and `largest_dropped_group` — evaluated on the
+    * window count the filter already computed, so it costs nothing extra
+    * and stays inside codegen. The pull-based [[oversizeGroups]] queries
+    * remain for key-level detail, but a production job that never runs
+    * them still SEES a silent near-dup-family skip: observed metrics
+    * surface in every QueryExecutionListener and the SQL UI of the job
+    * that did the dropping. Names must be unique within one executed
+    * plan (Spark rejects duplicate metric names at analysis), so each
+    * operator's tag names its path; composing the SAME capped operator
+    * twice in one query would need distinct tags.
     */
   private[ext] def orderedPairsWithinGroups(
       df: DataFrame, key: Column, payload: Column, maxGroup: Long = Long.MaxValue,
-      distinctPayloads: Boolean = false): DataFrame = {
+      distinctPayloads: Boolean = false, observeTag: String = null): DataFrame = {
     val keyed = df.filter(key.isNotNull).select(key.as("__k"), payload.as("__p"))
     val admitted =
       if (maxGroup == Long.MaxValue) keyed
@@ -69,9 +83,13 @@ object Dedup {
         // side, once as the probe — while the window evaluates it once, and
         // its hashpartitioning(__k) exchange is reused by the groupBy below
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
-        keyed.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxGroup)
-          .drop("__n")
+        val counted = keyed.withColumn("__n", count(lit(1)).over(w))
+        val watched =
+          if (observeTag == null) counted
+          else counted.observe(s"graft.oversize.$observeTag",
+            sum(when(col("__n") > maxGroup, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+            max(when(col("__n") > maxGroup, col("__n"))).as("largest_dropped_group"))
+        watched.filter(col("__n") <= maxGroup).drop("__n")
       }
     // distinctPayloads dedupes the collected group BEFORE pair emission —
     // for callers whose keyed relation can carry duplicate payload rows
@@ -89,11 +107,12 @@ object Dedup {
 
   /** Diagnostic companion to [[orderedPairsWithinGroups]]' `maxGroup` cap:
     * the keys whose groups WOULD be dropped at `maxGroup`, with their
-    * sizes. The cap itself is silent at run time (a distributed operator
-    * has no good side channel); a curation job that cares — and any
-    * monitoring of the dedup stages — runs this alongside and alerts when
-    * it is non-empty, because a dropped block means near-dup detection was
-    * skipped for one degenerate family of documents.
+    * sizes. The cap itself pushes aggregate drop counts to every
+    * QueryExecutionListener via its `graft.oversize.<tag>` observed
+    * metrics; this pull-based query adds the KEY-level detail those
+    * totals can't carry — which blocks, how big — for the monitoring job
+    * that alerts when near-dup detection was skipped for a degenerate
+    * family of documents.
     */
   def oversizeGroups(df: DataFrame, key: Column, maxGroup: Long): DataFrame =
     df.filter(key.isNotNull)
@@ -312,7 +331,8 @@ object Dedup {
       lit(0),
       (acc, x) => acc + x).cast("double") / numHashes
 
-    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("sig")), maxGroup = 1L << 17)
+    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("sig")), maxGroup = 1L << 17,
+        observeTag = "minhash_bands")
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"), est.as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
@@ -360,7 +380,8 @@ object Dedup {
     val grams = docGrams(docs, idCol, textCol, shingleSize)
     val banded = minhashBanded(grams, numHashes, bands) // null ids filtered in the builder
     val cands = orderedPairsWithinGroups(
-        banded, col("bk"), struct(col("id"), col("sz")), maxGroup = 1L << 20)
+        banded, col("bk"), struct(col("id"), col("sz")), maxGroup = 1L << 20,
+        observeTag = "minhash_verified_bands")
       .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
         col("__b.id").as("id_b"), col("__b.sz").as("sb"))
       .distinct()
@@ -421,7 +442,8 @@ object Dedup {
     val banded = simhashBanded(sigs)
     // the payload struct leads with id, so sort order (hence a < b) is id
     // order exactly as the former id_a < id_b join predicate
-    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("simhash")), maxGroup = 1L << 20)
+    orderedPairsWithinGroups(banded, col("bk"), struct(col("id"), col("simhash")), maxGroup = 1L << 20,
+        observeTag = "simhash_blocks")
       .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
         bit_count(col("__a.simhash").bitwiseXOR(col("__b.simhash"))).as("hamming"))
       .distinct()

@@ -851,7 +851,8 @@ object Similarity {
     val clean = embeddings.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
     val assigned = ivfPairAssignments(
       clean, nlist, nassign, kmeansIterations, trainSample, targetClusterSize, idCol, vecCol)
-    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"), maxGroup = 1L << 20)
+    val cands = Dedup.orderedPairsWithinGroups(assigned, col("cluster"), col("id"), maxGroup = 1L << 20,
+      observeTag = "ivf_cells")
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(prep(clean, idCol, vecCol, "id", "e", "nrm"), cands, threshold)
@@ -968,7 +969,8 @@ object Similarity {
       vecCol: String = "embedding",
       dim: Int = -1): DataFrame = {
     val (n, banded) = srpBanded(embeddings, planes, bands, seed, idCol, vecCol, dim)
-    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20)
+    val cands = Dedup.orderedPairsWithinGroups(banded, col("bk"), col("id"), maxGroup = 1L << 20,
+      observeTag = "srp_bands")
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .distinct()
     verifyExactPairs(n, cands, threshold)

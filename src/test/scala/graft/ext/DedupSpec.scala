@@ -367,4 +367,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1L) == ((0L, 0L, true)))
     assert(out(2L) == ((0L, 0L, true)))
   }
+
+  test("maxGroup admission pushes drop counts to observed metrics") {
+    import spark.implicits._
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.functions.col
+    // capture CollectMetrics results from the job that ran the drop — the
+    // production visibility path (a listener every Spark job already has)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // group 'hot' has 4 members (> cap 2, dropped), 'ok' has 2 (kept)
+      val df = Seq(("hot", 1L), ("hot", 2L), ("hot", 3L), ("hot", 4L), ("ok", 10L), ("ok", 11L))
+        .toDF("k", "id")
+      val pairs = Dedup.orderedPairsWithinGroups(
+        df, col("k"), col("id"), maxGroup = 2L, observeTag = "spec_probe")
+        .select(col("__a").as("id_a"), col("__b").as("id_b")).collect()
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 11L)))
+      // the ExecutionListenerBus is async: poll briefly for delivery
+      val deadline = System.nanoTime() + 10000000000L
+      while (!seen.containsKey("graft.oversize.spec_probe") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val m = seen.get("graft.oversize.spec_probe")
+      assert(m != null, "observed metrics never arrived")
+      assert(m.getAs[Long]("dropped_rows") == 4L)
+      assert(m.getAs[Long]("largest_dropped_group") == 4L)
+      // and a run with nothing over the cap reports zero drops
+      seen.clear()
+      Dedup.orderedPairsWithinGroups(
+        df, col("k"), col("id"), maxGroup = 100L, observeTag = "spec_probe_clean").collect()
+      val deadline2 = System.nanoTime() + 10000000000L
+      while (!seen.containsKey("graft.oversize.spec_probe_clean") && System.nanoTime() < deadline2)
+        Thread.sleep(50)
+      val clean = seen.get("graft.oversize.spec_probe_clean")
+      assert(clean != null && clean.getAs[Long]("dropped_rows") == 0L)
+      assert(clean.isNullAt(clean.fieldIndex("largest_dropped_group")))
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
