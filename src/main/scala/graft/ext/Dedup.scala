@@ -175,6 +175,18 @@ object Dedup {
     * standard guard (it only REMOVES intersection evidence, biasing jaccard
     * down for pairs that share only stop-grams — acceptable for near-dup
     * detection and mirrored by the oracle).
+    *
+    * DEGENERATE-INPUT CONTRACT: `idCol` is treated as a key. Duplicate-id
+    * rows with IDENTICAL text collapse cleanly (the payload dedup below).
+    * Duplicate-id rows with DIFFERENT text are ill-formed input — "the
+    * grams of doc 7" is then not well defined — and the operator emits one
+    * row per (id_a, id_b, sa, sb) STRATUM, i.e. a pair of ids can appear
+    * once per distinct size combination of their conflicting variants,
+    * each scored against its own variant's gram count. Callers with
+    * genuinely multi-variant ids should dedup or re-key upstream
+    * ([[exact]] is the tool); collapsing here (e.g. max-jaccard per id
+    * pair) would cost a third shuffle on the hot path to paper over
+    * broken input.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -195,6 +207,16 @@ object Dedup {
     //    pair-group aggregate then reuses (the maxGroup admission pattern).
     // The df count runs BEFORE null ids drop out (they never pair but do
     // count toward df), mirroring the oracle's order of operations.
+    // SPILL BOUND of the window form: counting a gram's df routes all its
+    // rows to one window partition, so a hot stop-gram's rows are buffered
+    // by a single task before the > maxDf filter discards them. The buffer
+    // is WindowExec's spillable row array (disk past the 4096-row spill
+    // threshold), so the failure mode is one straggler task, not an OOM —
+    // accepted deliberately: the alternative (a partial-aggregated df
+    // relation joined back) bounds the buffering at maxDf but cannot reuse
+    // this exchange (the aggregate's exchange carries partial rows, not
+    // the exploded relation), so it re-evaluates the gram lineage twice —
+    // the exact double-scan the round-7 rewrite removed.
     val exploded = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
@@ -385,6 +407,10 @@ object Dedup {
       .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
         col("__b.id").as("id_b"), col("__b.sz").as("sb"))
       .distinct()
+    // window-count df cap: same shape and same deliberate tradeoff as
+    // ngramJaccardPairs — a hot stop-gram is buffered (spillably) by one
+    // window task before being discarded, in exchange for evaluating the
+    // gram lineage once; see the spill-bound note there
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val capped = grams
       .withColumn("__df", count(lit(1)).over(byGram))

@@ -292,6 +292,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)), s"duplicate rows corrupted jaccard: ${out.toSeq}")
   }
 
+  test("ngram jaccard: duplicate ids with DIFFERENT text emit one row per size stratum") {
+    import spark.implicits._
+    // the documented degenerate-input contract: doc 1 appears with two
+    // CONFLICTING variants (4 tokens -> 2 grams; 5 tokens -> 3 grams);
+    // doc 2 matches the first variant exactly. Each variant pairs
+    // independently against doc 2 under its own gram count: the 2-gram
+    // variant scores 2/(2+2-2) = 1.0, the 3-gram variant shares the same
+    // 2 grams out of 3+2-2 = 3 -> 2/3. Both clear 0.5, so the (1,2) pair
+    // surfaces once per stratum — pinned here so a future "helpful"
+    // collapse is a conscious contract change, not an accident
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._3)
+    assert(out.toSeq == Seq((1L, 2L, 2.0 / 3.0), (1L, 2L, 1.0)),
+      s"degenerate-input stratum contract changed: ${out.toSeq}")
+  }
+
   test("per-path oversize diagnostics flag the groups the pair operators' caps would drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
