@@ -2086,6 +2086,20 @@ object QueryCatalog {
       k = 10, dim = 64, nlist = 16, nprobe = 8, m = 8, codebookSize = 256, rerank = 50)
   }
 
+  /** The IVF-PQ composition's end-to-end-equality gate, `pq_topk_full`'s
+    * logic applied one level up: probing EVERY cell (nprobe = nlist) makes
+    * the candidate set the whole corpus, and `rerank` >= corpus size
+    * exact-reranks all of it — so coarse assignment, residual encode,
+    * per-(query, cell) ADC tables, the shortlist aggregate, and the rerank
+    * tail must together reproduce brute-force squared-L2 top-k bitwise
+    * (same oracle). cb = 16: exactness can't depend on codebook quality.
+    */
+  private val qIvfPqTopKFull: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 25 === 0),
+      k = 10, dim = 64, nlist = 16, nprobe = 16, m = 8, codebookSize = 16, rerank = 4096)
+  }
+
   private val oQuantize: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS e FROM embeddings),
       |s AS (SELECT vec_id, e,
@@ -2698,6 +2712,7 @@ object QueryCatalog {
     "pq_topk" -> qPqTopK,
     "pq_topk_full" -> qPqTopKFull,
     "ivfpq_topk" -> qIvfPqTopK,
+    "ivfpq_topk_full" -> qIvfPqTopKFull,
     "line_dedup" -> qLineDedup,
     "mixture_sample" -> qMixtureSample,
     "stratum_cap" -> qStratumCap,
@@ -2745,6 +2760,7 @@ object QueryCatalog {
     "knn_label_vote" -> oKnnLabelVote,
     "ivf_topk_full" -> oCosineTopK,
     "pq_topk_full" -> oPqTopKFull,
+    "ivfpq_topk_full" -> oPqTopKFull,
     "srp_cosine_pairs" -> oSrpCosinePairs,
     "ivf_cosine_pairs" -> oSrpCosinePairs,
     "semantic_dedup" -> oSemanticDedup,
