@@ -1252,6 +1252,38 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Third REAL image format — and the first COMPRESSED one: PNG.
+    * [[graft.ext.Multimodal.encodePng]] forward-filters every scanline
+    * (filter type y % 5, so Sub/Up/Average/Paeth are all live), wraps the
+    * filtered stream in stored-block DEFLATE + zlib with a computed
+    * Adler-32, and emits real chunks with computed CRC-32s;
+    * [[graft.ext.Multimodal.parsePng]] must verify every chunk CRC, run a
+    * from-scratch inflate, verify the Adler, and INVERT the five filters
+    * row by row. Because unfilter∘filter is the identity, the decoded
+    * plane equals the shared byte model (plane byte k = text byte k % n),
+    * so the oracle replays sums and the positional rolling checksum in
+    * pure SQL — one mis-unfiltered byte anywhere fails the hash.
+    */
+  private val qMultimodalPng: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.pngFeatures(Multimodal.encodePng(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalPng: String = {
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"3 * p + $c")})), (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       ${chanSum(0)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(2)} AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+       |           j -> ${ppmByteSql("j")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
     * The oracle recomputes each resized byte's source position with the
     * same floor arithmetic (sx = tx*W/tw, sy = ty*H/th), then replays both
@@ -1398,6 +1430,37 @@ object QueryCatalog {
       |           u -> CASE WHEN u > 32767 THEN u - 65536 ELSE u END) AS xs
       |       FROM fr)
       |SELECT doc_id, frame_idx, len(xs)::BIGINT AS n_samples,
+      |       sqrt(CAST(list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> x::BIGINT * x)),
+      |                             (a, y) -> a + y) AS DOUBLE) / len(xs)) AS rms,
+      |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+      |FROM sm""".stripMargin
+
+  /** CONTAINED audio under the gate — the third RIFF-family codec:
+    * [[graft.ext.Multimodal.encodeWav]] writes genuine RIFF/WAVE files
+    * (44-byte mono 16 kHz s16le header + the doc's bytes as the data
+    * chunk) and `wavFrameStats` must locate the sample window through a
+    * real chunk walk, validate the fmt contract, and read the sample rate
+    * little-endian before running the shared PCM frame kernel. The oracle
+    * replays the frame statistics from the text column (data byte i IS
+    * text byte i by the writer's byte model) plus the constant parsed
+    * rate — a header misread shifts every sample pair and fails the hash.
+    */
+  private val qWavFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.wavFrameStats(Multimodal.encodeWav(table(s, dir, "documents")), frameSize = 256).toDF()
+
+  private val oWavFrames: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) // 2 AS ns FROM b WHERE octet_length(p) >= 2),
+      |fr AS (SELECT doc_id, hx, ns, CAST(unnest(range((ns + 255) // 256)) AS INT) AS frame_idx FROM s),
+      |sm AS (SELECT doc_id, frame_idx,
+      |         list_transform(
+      |           list_transform(range(frame_idx * 256, CAST(least(ns, (frame_idx + 1) * 256) AS INT)), i ->
+      |             ('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::INT * 256
+      |               + ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::INT),
+      |           u -> CASE WHEN u > 32767 THEN u - 65536 ELSE u END) AS xs
+      |       FROM fr)
+      |SELECT doc_id, 16000::INT AS sample_rate, frame_idx, len(xs)::BIGINT AS n_samples,
       |       sqrt(CAST(list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> x::BIGINT * x)),
       |                             (a, y) -> a + y) AS DOUBLE) / len(xs)) AS rms,
       |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
@@ -2700,11 +2763,13 @@ object QueryCatalog {
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_bmp_decode" -> qMultimodalBmp,
+    "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
     "video_frame_stats" -> qVideoFrameStats,
     "audio_frame_stats" -> qAudioFrames,
+    "audio_wav_frame_stats" -> qWavFrames,
     "audio_resample" -> qAudioResample,
     "audio_resample_filtered" -> qAudioResampleFiltered,
     "quantize_stats" -> qQuantize,
@@ -2798,9 +2863,11 @@ object QueryCatalog {
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_bmp_decode" -> oMultimodalBmp,
+    "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,
+    "audio_wav_frame_stats" -> oWavFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
     "multimodal_thumbnail" -> oMultimodalThumbnail,

@@ -459,6 +459,488 @@ object Multimodal {
       }
   }
 
+  /** Signals any structural defect found while parsing a PNG payload; the
+    * decode entry point catches it and returns None (malformed-drop). A
+    * control-flow exception beats threading Option through the bit-level
+    * inflate loops.
+    */
+  private final class MalformedPng extends Exception(null, null, false, false)
+
+  /** CRC-32 (ISO-HDLC, reflected polynomial 0xEDB88320) — the PNG chunk
+    * checksum, table-driven, implemented from the published algorithm.
+    */
+  private[ext] def crc32(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0xffffffff
+    var i = from
+    while (i < until) {
+      c ^= bytes(i) & 0xff
+      var k = 0
+      while (k < 8) { c = (c >>> 1) ^ (if ((c & 1) != 0) 0xedb88320 else 0); k += 1 }
+      i += 1
+    }
+    ~c
+  }
+
+  /** Adler-32 (RFC 1950) — the zlib stream checksum over the DECOMPRESSED
+    * bytes: two running sums mod 65521.
+    */
+  private[ext] def adler32(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var s1 = 1L; var s2 = 0L
+    var i = from
+    while (i < until) { s1 = (s1 + (bytes(i) & 0xff)) % 65521; s2 = (s2 + s1) % 65521; i += 1 }
+    ((s2 << 16) | s1).toInt
+  }
+
+  /** LSB-first bit reader over a byte window — DEFLATE's bit order: bits
+    * fill each byte from the least-significant end; Huffman codes are then
+    * read MSB-of-code-first by pulling one bit at a time.
+    */
+  private final class BitReader(bytes: Array[Byte], var pos: Int, val until: Int) {
+    private var buf = 0L
+    private var cnt = 0
+    def bits(n: Int): Int = {
+      while (cnt < n) {
+        if (pos >= until) throw new MalformedPng
+        buf |= (bytes(pos) & 0xffL) << cnt; pos += 1; cnt += 8
+      }
+      val v = (buf & ((1L << n) - 1)).toInt
+      buf >>>= n; cnt -= n; v
+    }
+    def alignToByte(): Unit = { val drop = cnt % 8; buf >>>= drop; cnt -= drop }
+    def takeAligned(n: Int): Int = { // consume n whole buffered-or-raw bytes, return start
+      if (cnt % 8 != 0) throw new MalformedPng
+      while (cnt > 0) { pos -= 1; cnt -= 8 } // un-buffer whole bytes
+      buf = 0
+      if (pos + n > until) throw new MalformedPng
+      val start = pos; pos += n; start
+    }
+  }
+
+  /** Canonical Huffman decoder built from per-symbol code lengths
+    * (RFC 1951 §3.2.2): count codes per length, then walk the bit stream
+    * one bit at a time narrowing the canonical range — the classic
+    * counts/offsets scheme, O(code length) per symbol with no tables
+    * beyond the two small arrays.
+    */
+  private final class Huffman(lengths: Array[Int]) {
+    private val count = new Array[Int](16)
+    locally {
+      var i = 0
+      while (i < lengths.length) { count(lengths(i)) += 1; i += 1 }
+      count(0) = 0
+      // reject over-subscribed codes (an incomplete code is tolerated, as
+      // puff-style decoders do: it just means some bit paths are invalid)
+      var left = 1
+      var l = 1
+      while (l <= 15) { left = (left << 1) - count(l); if (left < 0) throw new MalformedPng; l += 1 }
+    }
+    private val offsets = new Array[Int](16)
+    locally {
+      var l = 1
+      while (l < 15) { offsets(l + 1) = offsets(l) + count(l); l += 1 }
+    }
+    private val symbols = new Array[Int](lengths.count(_ != 0))
+    locally {
+      val next = offsets.clone()
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) != 0) { symbols(next(lengths(s))) = s; next(lengths(s)) += 1 }
+        s += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= 15) {
+        code |= br.bits(1)
+        val c = count(len)
+        if (code - first < c) return symbols(index + (code - first))
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new MalformedPng
+    }
+  }
+
+  // RFC 1951 §3.2.5: length symbols 257..285 and distance symbols 0..29
+  private val LenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35,
+    43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+  private val LenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val DistBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577)
+  private val DistExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+  // order in which code-length-code lengths appear in a dynamic block header
+  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  private val FixedLitHuffman: Huffman = {
+    val l = new Array[Int](288)
+    var i = 0
+    while (i < 288) {
+      l(i) = if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8
+      i += 1
+    }
+    new Huffman(l)
+  }
+  private val FixedDistHuffman: Huffman = new Huffman(Array.fill(30)(5))
+
+  /** ======== REAL decompressor: DEFLATE (RFC 1951), from scratch ========
+    * All three block types: stored (byte-aligned LEN/~LEN copy), fixed
+    * Huffman, and dynamic Huffman (code-length alphabet with 16/17/18
+    * repeats, then LZ77 literal/length+distance decoding with the RFC's
+    * extra-bit tables and overlapping back-reference copy semantics).
+    * `expectedMax` bounds the output buffer — a declared-size guard, so a
+    * hostile stream can't balloon memory; exceeding it is malformed.
+    */
+  private[ext] def inflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int): Array[Byte] = {
+    val out = new Array[Byte](expectedMax)
+    var outLen = 0
+    def put(b: Byte): Unit = {
+      if (outLen >= expectedMax) throw new MalformedPng
+      out(outLen) = b; outLen += 1
+    }
+    val br = new BitReader(bytes, from, until)
+    var fin = false
+    while (!fin) {
+      fin = br.bits(1) == 1
+      br.bits(2) match {
+        case 0 => // stored
+          br.alignToByte()
+          val lenPos = br.takeAligned(4)
+          val len = (bytes(lenPos) & 0xff) | ((bytes(lenPos + 1) & 0xff) << 8)
+          val nlen = (bytes(lenPos + 2) & 0xff) | ((bytes(lenPos + 3) & 0xff) << 8)
+          if ((len ^ 0xffff) != nlen) throw new MalformedPng
+          val dataPos = br.takeAligned(len)
+          var i = 0
+          while (i < len) { put(bytes(dataPos + i)); i += 1 }
+        case bt if bt == 1 || bt == 2 =>
+          val (lit, dist) =
+            if (bt == 1) (FixedLitHuffman, FixedDistHuffman)
+            else {
+              val hlit = br.bits(5) + 257
+              val hdist = br.bits(5) + 1
+              val hclen = br.bits(4) + 4
+              val clLens = new Array[Int](19)
+              var i = 0
+              while (i < hclen) { clLens(ClOrder(i)) = br.bits(3); i += 1 }
+              val clHuff = new Huffman(clLens)
+              val lens = new Array[Int](hlit + hdist)
+              var n = 0
+              while (n < hlit + hdist) {
+                clHuff.decode(br) match {
+                  case 16 =>
+                    if (n == 0) throw new MalformedPng
+                    val rep = 3 + br.bits(2)
+                    val prev = lens(n - 1)
+                    var r = 0
+                    while (r < rep) {
+                      if (n >= lens.length) throw new MalformedPng
+                      lens(n) = prev; n += 1; r += 1
+                    }
+                  case 17 => n += 3 + br.bits(3)
+                  case 18 => n += 11 + br.bits(7)
+                  case s => lens(n) = s; n += 1
+                }
+              }
+              if (n > lens.length || lens(256) == 0) throw new MalformedPng
+              (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
+            }
+          var eob = false
+          while (!eob) {
+            val sym = lit.decode(br)
+            if (sym < 256) put(sym.toByte)
+            else if (sym == 256) eob = true
+            else {
+              if (sym > 285) throw new MalformedPng
+              val li = sym - 257
+              val len = LenBase(li) + br.bits(LenExtra(li))
+              val ds = dist.decode(br)
+              if (ds > 29) throw new MalformedPng
+              val d = DistBase(ds) + br.bits(DistExtra(ds))
+              if (d > outLen) throw new MalformedPng // reference before stream start
+              var i = 0
+              while (i < len) { put(out(outLen - d)); i += 1 } // overlap-safe: byte-at-a-time
+            }
+          }
+        case _ => throw new MalformedPng
+      }
+    }
+    java.util.Arrays.copyOf(out, outLen)
+  }
+
+  /** zlib wrapper (RFC 1950) around [[inflate]]: validate CMF/FLG (deflate
+    * method, header check mod 31, no preset dictionary), inflate, then
+    * verify the trailing big-endian Adler-32 against the decompressed
+    * bytes — a real decoder's integrity check, not an option.
+    */
+  private[ext] def zlibInflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int): Array[Byte] = {
+    if (until - from < 6) throw new MalformedPng
+    val cmf = bytes(from) & 0xff
+    val flg = bytes(from + 1) & 0xff
+    if ((cmf & 0x0f) != 8 || (cmf * 256 + flg) % 31 != 0 || (flg & 0x20) != 0)
+      throw new MalformedPng
+    val data = inflate(bytes, from + 2, until - 4, expectedMax)
+    val stored = ((bytes(until - 4) & 0xff) << 24) | ((bytes(until - 3) & 0xff) << 16) |
+      ((bytes(until - 2) & 0xff) << 8) | (bytes(until - 1) & 0xff)
+    if (stored != adler32(data, 0, data.length)) throw new MalformedPng
+    data
+  }
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** ======== REAL codec: PNG parse (chunks + zlib + unfilter) ========
+    * The first COMPRESSED real-world format in the ladder: signature, a
+    * big-endian chunk walk that verifies each chunk's CRC-32, IHDR
+    * validation pinned to the profile this engine's byte model emits
+    * (8-bit truecolor RGB, compression 0, filter 0, no interlace),
+    * concatenation of ALL IDAT chunks into one zlib stream (a real
+    * decoder must — writers may split IDAT anywhere), a from-scratch
+    * DEFLATE inflate with Adler-32 verification, and the five PNG
+    * scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6) applied
+    * per row. Normalizes to the shared [[PpmImage]] logical RGB plane.
+    * Anything structurally off — bad magic, CRC or Adler mismatch, wrong
+    * bit depth/color type, interlaced, truncated, over-declared
+    * dimensions, bad filter byte, short pixel data — returns None.
+    */
+  private[ext] def parsePng(bytes: Array[Byte]): Option[PpmImage] =
+    try {
+      val n = bytes.length
+      if (n < 8) return None
+      var i = 0
+      while (i < 8) { if (bytes(i) != PngSignature(i)) return None; i += 1 }
+      def u32(pos: Int): Long =
+        ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+          ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 8L
+      var sawEnd = false
+      while (!sawEnd) {
+        if (p + 12 > n) throw new MalformedPng
+        val len = u32(p.toInt)
+        if (len > Int.MaxValue - 12 || p + 12 + len > n) throw new MalformedPng
+        val typePos = p.toInt + 4
+        val dataPos = typePos + 4
+        if (crc32(bytes, typePos, dataPos + len.toInt) != u32(dataPos + len.toInt).toInt)
+          throw new MalformedPng
+        val ctype = new String(bytes, typePos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        ctype match {
+          case "IHDR" =>
+            if (len != 13 || w != -1) throw new MalformedPng
+            val dw = u32(dataPos); val dh = u32(dataPos + 4)
+            // 8-bit depth, color type 2 (truecolor), deflate, filter method
+            // 0, no interlace — the only profile the byte model writes
+            if (dw < 1 || dh < 1 || dw * dh > (1L << 22) ||
+              bytes(dataPos + 8) != 8 || bytes(dataPos + 9) != 2 ||
+              bytes(dataPos + 10) != 0 || bytes(dataPos + 11) != 0 ||
+              bytes(dataPos + 12) != 0) throw new MalformedPng
+            w = dw.toInt; h = dh.toInt
+          case "IDAT" =>
+            if (w == -1) throw new MalformedPng
+            idat.write(bytes, dataPos, len.toInt)
+          case "IEND" =>
+            if (len != 0) throw new MalformedPng
+            sawEnd = true
+          case _ => () // ancillary chunks (tEXt, pHYs, ...) are skipped
+        }
+        p += 12 + len
+      }
+      if (w == -1) throw new MalformedPng
+      val z = idat.toByteArray
+      val rowBytes = 1 + 3 * w
+      val raw = zlibInflate(z, 0, z.length, rowBytes * h)
+      if (raw.length != rowBytes * h) throw new MalformedPng
+      // unfilter (RFC 2083 §6): bpp = 3; prior row starts all-zero
+      val pixels = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        val src = y * rowBytes
+        val dst = y * 3 * w
+        val filter = raw(src) & 0xff
+        if (filter > 4) throw new MalformedPng
+        var x = 0
+        while (x < 3 * w) {
+          val cur = raw(src + 1 + x) & 0xff
+          val left = if (x >= 3) pixels(dst + x - 3) & 0xff else 0
+          val up = if (y > 0) pixels(dst - 3 * w + x) & 0xff else 0
+          val ul = if (y > 0 && x >= 3) pixels(dst - 3 * w + x - 3) & 0xff else 0
+          val rec = filter match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 =>
+              val pp = left + up - ul
+              val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              cur + pred
+          }
+          pixels(dst + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(PpmImage(w, h, 255, pixels))
+    } catch {
+      case _: MalformedPng => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** ======== REAL codec: PNG encode ========
+    * Write genuine PNG files over the SAME logical byte model as
+    * [[encodePpm]] (w = 8 + id % 8, h = 8 + (id/8) % 8, plane byte k =
+    * text byte k % n): each scanline is FORWARD-FILTERED with filter type
+    * y % 5 — so all five filters (incl. Paeth) are live on every image
+    * taller than four rows and the decoder must invert them exactly — the
+    * filtered stream is wrapped in stored-block DEFLATE (byte-aligned
+    * LEN/~LEN blocks: valid input to ANY inflate, written without an
+    * entropy coder), the zlib header + computed Adler-32, and real chunks
+    * with computed CRC-32s. Because unfilter(filter(plane)) is the
+    * identity, the DECODED plane equals the PPM byte model — which is
+    * what keeps the whole compressed round trip SQL-replayable. Null and
+    * negative ids are excluded (floorMod vs truncating `%` agree only on
+    * non-negative ids, as with the other encoders).
+    */
+  def encodePng(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
+        val h = 8 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 8L), 8L).toInt
+        // logical plane, then per-row forward filtering
+        val plane = new Array[Byte](3 * w * h)
+        if (data.length > 0) {
+          var k = 0
+          while (k < plane.length) { plane(k) = data(k % data.length); k += 1 }
+        }
+        val rowBytes = 1 + 3 * w
+        val raw = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          val filter = y % 5
+          raw(y * rowBytes) = filter.toByte
+          var x = 0
+          while (x < 3 * w) {
+            val cur = plane(y * 3 * w + x) & 0xff
+            val left = if (x >= 3) plane(y * 3 * w + x - 3) & 0xff else 0
+            val up = if (y > 0) plane((y - 1) * 3 * w + x) & 0xff else 0
+            val ul = if (y > 0 && x >= 3) plane((y - 1) * 3 * w + x - 3) & 0xff else 0
+            val filt = filter match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - (left + up) / 2
+              case 4 =>
+                val pp = left + up - ul
+                val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+                val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                cur - pred
+            }
+            raw(y * rowBytes + 1 + x) = (filt & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        // zlib stream: header, stored-block deflate, Adler-32
+        val zOut = new java.io.ByteArrayOutputStream()
+        zOut.write(0x78); zOut.write(0x01) // CMF/FLG: deflate, (0x7801 % 31 == 0)
+        var off = 0
+        do {
+          val len = math.min(65535, raw.length - off)
+          val last = off + len == raw.length
+          zOut.write(if (last) 1 else 0) // BFINAL + BTYPE=00 (stored)
+          zOut.write(len & 0xff); zOut.write(len >> 8)
+          zOut.write(~len & 0xff); zOut.write((~len >> 8) & 0xff)
+          zOut.write(raw, off, len)
+          off += len
+        } while (off < raw.length)
+        val adler = adler32(raw, 0, raw.length)
+        zOut.write(adler >>> 24); zOut.write((adler >> 16) & 0xff)
+        zOut.write((adler >> 8) & 0xff); zOut.write(adler & 0xff)
+        val z = zOut.toByteArray
+        // chunks
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(PngSignature, 0, 8)
+        def writeChunk(ctype: String, body: Array[Byte]): Unit = {
+          val chunk = new Array[Byte](4 + body.length)
+          System.arraycopy(ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0, chunk, 0, 4)
+          System.arraycopy(body, 0, chunk, 4, body.length)
+          def be32(v: Int): Unit = {
+            out.write(v >>> 24); out.write((v >> 16) & 0xff); out.write((v >> 8) & 0xff); out.write(v & 0xff)
+          }
+          be32(body.length)
+          out.write(chunk, 0, chunk.length)
+          be32(crc32(chunk, 0, chunk.length))
+        }
+        val ihdr = new Array[Byte](13)
+        ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >> 16).toByte; ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+        ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >> 16).toByte; ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+        ihdr(8) = 8; ihdr(9) = 2 // 8-bit, truecolor RGB
+        writeChunk("IHDR", ihdr)
+        writeChunk("IDAT", z)
+        writeChunk("IEND", Array.emptyByteArray)
+        (id, out.toByteArray, w, h)
+      }
+      .toDF(idCol, "payload", "w", "h")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          col("w").as("width"), col("h").as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/png").as("mime")).as("meta"))
+  }
+
+  final case class PngFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** PNG decode + statistics: parse each payload through the full
+    * compressed path ([[parsePng]]: chunk CRCs → zlib/Adler → inflate →
+    * unfilter) and reduce the recovered logical plane to per-channel sums
+    * plus the base-31 positional rolling checksum. The checksum is what
+    * makes the filter inversion observable: a single mis-unfiltered byte
+    * anywhere in any row shifts it. Malformed payloads drop; map-only, no
+    * shuffle — at 100 TB this is pure scan-side CPU that scales linearly
+    * with executors.
+    */
+  def pngFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[PngFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parsePng(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              val v = img.pixels(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
+            }
+            PngFeatures(id, img.width, img.height, img.width.toLong * img.height, r, g, b, checksum)
+          }
+        }
+      }
+  }
+
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
 
   /** ======== REAL codec: raw s16le PCM ========
@@ -512,6 +994,152 @@ object Multimodal {
           }
           val n = until - from
           PcmFrameStats(id, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
+        }
+      }
+  }
+
+  final case class WavAudio(sampleRate: Int, dataOffset: Int, dataLen: Int)
+
+  /** ======== REAL codec: WAV container (RIFF/WAVE, PCM s16le) ========
+    * The third RIFF-family parse (after AVI): WAV is a RIFF file whose
+    * `fmt ` chunk describes the sample format and whose `data` chunk holds
+    * the samples. The walker verifies the `RIFF`/`WAVE` magic, iterates
+    * chunks honoring the even-byte padding rule (skipping `LIST`/`fact`/
+    * unknown chunks, as a real reader must), validates the fmt contract
+    * this engine's audio operators assume — PCM (wFormatTag 1), mono,
+    * 16-bit — and returns the sample rate read little-endian plus the
+    * bounds-checked data window. Everything else (bad magic, missing or
+    * short fmt/data, float/ADPCM formats, multi-channel) returns None:
+    * the malformed-drop convention. A trailing odd data byte is ignored
+    * (`dataLen` is truncated to even), matching [[decodePcm16Frames]]'s
+    * raw-stream convention.
+    */
+  private[ext] def parseWav(bytes: Array[Byte]): Option[WavAudio] = {
+    val n = bytes.length
+    def u16(pos: Int): Int = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+    def u32(pos: Int): Long =
+      (bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
+        ((bytes(pos + 2) & 0xffL) << 16) | ((bytes(pos + 3) & 0xffL) << 24)
+    def fourcc(pos: Int): String =
+      new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var rate = -1
+    var data: Option[(Int, Int)] = None
+    val until = math.min(n.toLong, 8L + u32(4))
+    var p = 12L
+    while (p + 8 <= until) {
+      val id = fourcc(p.toInt)
+      val sz = u32(p.toInt + 4)
+      val ds = p + 8
+      if (ds + sz > until) return None // truncated chunk
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val fmtTag = u16(ds.toInt)
+        val channels = u16(ds.toInt + 2)
+        val bits = u16(ds.toInt + 14)
+        if (fmtTag != 1 || channels != 1 || bits != 16) return None // not mono PCM s16
+        rate = u32(ds.toInt + 4).toInt
+      } else if (id == "data" && data.isEmpty) {
+        data = Some((ds.toInt, (sz & ~1L).toInt))
+      }
+      p = ds + sz + (sz & 1L) // RIFF pads chunks to even length
+    }
+    (rate, data) match {
+      case (r, Some((off, len))) if r > 0 => Some(WavAudio(r, off, len))
+      case _ => None
+    }
+  }
+
+  /** ======== REAL codec: minimal WAV writer ========
+    * Attach a genuine RIFF/WAVE payload so the container path has real
+    * files to parse end to end: the canonical 44-byte mono 16 kHz s16le
+    * header followed by the doc's UTF-8 bytes as the data chunk (truncated
+    * to an even length — samples are 2 bytes). The byte model is
+    * SQL-trivial: data byte i IS text byte i, so the oracle replays the
+    * decode from the text column while the operator must first FIND the
+    * data window through a real chunk walk. Null ids are excluded; null
+    * text writes an empty data chunk (zero frames downstream).
+    */
+  def encodeWav(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val d = data.length & ~1
+        val bb = java.nio.ByteBuffer
+          .allocate(44 + d)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cc(s: String): Unit = bb.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        cc("RIFF"); bb.putInt(36 + d); cc("WAVE")
+        cc("fmt "); bb.putInt(16)
+        bb.putShort(1) // PCM
+        bb.putShort(1) // mono
+        bb.putInt(16000) // sample rate
+        bb.putInt(32000) // byte rate
+        bb.putShort(2) // block align
+        bb.putShort(16) // bits/sample
+        cc("data"); bb.putInt(d)
+        bb.put(data, 0, d)
+        (id, bb.array())
+      }
+      .toDF(idCol, "payload")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  final case class WavFrameStats(
+      doc_id: Long, sample_rate: Int, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
+
+  /** Frame statistics over CONTAINED audio: locate the sample window
+    * through the real WAV parse ([[parseWav]]), then reduce it with
+    * exactly [[decodePcm16Frames]]'s per-frame integer RMS/peak kernel.
+    * The emitted `sample_rate` comes from the parsed fmt chunk — a
+    * misread header is visible in every row, not just malformed drops.
+    * Malformed containers drop; map-only, no shuffle.
+    */
+  def wavFrameStats(
+      withBinary: DataFrame,
+      frameSize: Int = 256,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[WavFrameStats] = {
+    require(frameSize >= 1 && frameSize <= (1 << 23), "need 1 <= frameSize <= 2^23")
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        parseWav(bytes).toSeq.flatMap { wav =>
+          val nSamples = wav.dataLen / 2
+          val nFrames = (nSamples + frameSize - 1) / frameSize
+          (0 until nFrames).map { f =>
+            val from = f * frameSize
+            val until = math.min(nSamples, from + frameSize)
+            var sumSq = 0L
+            var peak = 0L
+            var i = from
+            while (i < until) {
+              val lo = bytes(wav.dataOffset + 2 * i) & 0xff
+              val hi = bytes(wav.dataOffset + 2 * i + 1) & 0xff
+              val u = hi * 256 + lo
+              val s = if (u > 32767) u - 65536 else u
+              sumSq += s.toLong * s
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val n = until - from
+            WavFrameStats(id, wav.sampleRate, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
+          }
         }
       }
   }

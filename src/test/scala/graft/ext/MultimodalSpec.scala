@@ -392,6 +392,162 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.encodeBmp(mixed).select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("wav container: encode -> parse round trip; chunk walk skips foreign chunks") {
+    import spark.implicits._
+    // "abcd" -> 4 data bytes = 2 samples; canonical header is 44 bytes
+    val docs = Seq((3L, "abcd")).toDF("doc_id", "text")
+    val payload = Multimodal.encodeWav(docs).collect().head.getAs[Array[Byte]]("payload")
+    assert(payload.length == 48)
+    val wav = Multimodal.parseWav(payload).get
+    assert(wav.sampleRate == 16000 && wav.dataOffset == 44 && wav.dataLen == 4)
+    // frame stats agree with the raw-PCM kernel over the same bytes
+    val viaWav = Multimodal.wavFrameStats(Multimodal.encodeWav(docs)).collect().head
+    val viaRaw = Multimodal.decodePcm16Frames(Multimodal.attachBinary(docs)).collect().head
+    assert((viaWav.n_samples, viaWav.rms, viaWav.peak) == ((viaRaw.n_samples, viaRaw.rms, viaRaw.peak)))
+    assert(viaWav.sample_rate == 16000)
+    // odd text byte count: the trailing byte is truncated at ENCODE
+    val odd = Multimodal.encodeWav(Seq((4L, "abcde")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.parseWav(odd).get.dataLen == 4)
+    // a hostile-ish but VALID container: LIST INFO chunk before fmt,
+    // an odd-size junk chunk (padded), fmt, then data
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++ (if (body.length % 2 == 1) Array[Byte](0) else Array[Byte]())
+    val fmt = chunk("fmt ", le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16))
+    val data = chunk("data", Array[Byte](1, 2, 3, 4, 5, 6))
+    val body = chunk("LIST", cc("INFO") ++ chunk("IART", Array.fill(3)(65.toByte))) ++
+      chunk("junk", Array.fill(5)(9.toByte)) ++ fmt ++ data
+    val wavBytes = cc("RIFF") ++ le32(4 + body.length) ++ cc("WAVE") ++ body
+    val parsed = Multimodal.parseWav(wavBytes).get
+    assert(parsed.sampleRate == 8000 && parsed.dataLen == 6)
+    assert(wavBytes.slice(parsed.dataOffset, parsed.dataOffset + 6).toSeq ==
+      Seq[Byte](1, 2, 3, 4, 5, 6))
+    // malformed / unsupported drop: bad magic, stereo, 8-bit, float tag,
+    // missing fmt, missing data, truncated chunk
+    assert(Multimodal.parseWav(cc("RIFF") ++ le32(4) ++ cc("AVI ")).isEmpty)
+    val stereoFmt = chunk("fmt ", le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16))
+    assert(Multimodal.parseWav(cc("RIFF") ++ le32(4 + (stereoFmt ++ data).length) ++ cc("WAVE") ++ stereoFmt ++ data).isEmpty)
+    val floatFmt = chunk("fmt ", le16(3) ++ le16(1) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(32))
+    assert(Multimodal.parseWav(cc("RIFF") ++ le32(4 + (floatFmt ++ data).length) ++ cc("WAVE") ++ floatFmt ++ data).isEmpty)
+    assert(Multimodal.parseWav(cc("RIFF") ++ le32(4 + data.length) ++ cc("WAVE") ++ data).isEmpty)
+    assert(Multimodal.parseWav(cc("RIFF") ++ le32(4 + fmt.length) ++ cc("WAVE") ++ fmt).isEmpty)
+    assert(Multimodal.parseWav(wavBytes.dropRight(3)).isEmpty)
+    assert(Multimodal.parseWav(Array[Byte]()).isEmpty)
+  }
+
+  test("png: encode -> parse round trip recovers the byte model through all five filters") {
+    import spark.implicits._
+    // id 0 -> 8x8: rows exercise filters 0,1,2,3,4,0,1,2 (y % 5)
+    val docs = Seq((0L, "the quick brown fox"), (13L, ""), (27L, "zz")).toDF("doc_id", "text")
+    val rows = Multimodal.encodePng(docs).collect()
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val payload = r.getAs[Array[Byte]]("payload")
+      val img = Multimodal.parsePng(payload).get
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id / 8) % 8).toInt
+      assert(img.width == w && img.height == h && img.maxval == 255)
+      val data = docs.filter($"doc_id" === id).head().getString(1).getBytes("UTF-8")
+      val expect = Array.tabulate(3 * w * h)(k => if (data.isEmpty) 0.toByte else data(k % data.length))
+      assert(img.pixels.toSeq == expect.toSeq, s"plane mismatch for id $id")
+    }
+    // cross-codec consistency: PNG shares the PPM byte model exactly (BMP's
+    // logical plane is the BGR-swapped model, so it is NOT comparable here)
+    val viaPng = Multimodal.pngFeatures(Multimodal.encodePng(docs)).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.sum_r, f.sum_g, f.sum_b)).toSet
+    val viaPpm = Multimodal.ppmFeatures(Multimodal.encodePpm(docs)).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.sum_r, f.sum_g, f.sum_b)).toSet
+    assert(viaPng == viaPpm)
+  }
+
+  test("inflate: differential against JDK Deflater across levels, sizes, and block types") {
+    val rnd = new scala.util.Random(42)
+    val corpora = Seq(
+      Array.emptyByteArray,
+      Array[Byte](7),
+      Array.fill(100)(rnd.nextInt(256).toByte),
+      ("the quick brown fox jumps over the lazy dog " * 1600).getBytes("UTF-8"), // ~70 KB, repetitive
+      Array.fill(70000)(rnd.nextInt(256).toByte)) // > one stored block at level 0
+    for (data <- corpora; level <- Seq(0, 1, 6, 9)) {
+      val d = new java.util.zip.Deflater(level, false) // zlib-wrapped
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end()
+      val z = out.toByteArray
+      val back = Multimodal.zlibInflate(z, 0, z.length, data.length)
+      assert(back.sameElements(data), s"level $level size ${data.length}")
+    }
+  }
+
+  test("inflate: hand-built fixed-Huffman block with an overlapping back-reference") {
+    // LSB-first bit writer; Huffman codes are emitted MSB-of-code-first
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0; var nb = 0
+    def bit(b: Int): Unit = { cur |= (b & 1) << nb; nb += 1; if (nb == 8) { bytes += cur.toByte; cur = 0; nb = 0 } }
+    def bits(v: Int, k: Int): Unit = (0 until k).foreach(i => bit((v >> i) & 1))
+    def huff(code: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach(i => bit((code >> i) & 1))
+    bits(1, 1) // BFINAL
+    bits(1, 2) // BTYPE = fixed
+    huff(0x30 + 'a', 8) // literal 'a' (codes 0..143 are 8-bit starting at 0x30)
+    huff(0x30 + 'b', 8) // literal 'b'
+    huff(2, 7) // length symbol 258 = base length 4, no extra bits
+    huff(1, 5) // distance symbol 1 = distance 2, no extra bits
+    huff(0, 7) // end of block (symbol 256)
+    if (nb > 0) bytes += cur.toByte
+    val arr = bytes.toArray
+    // dist 2 < len 4: the copy must read bytes it just wrote ("ab" -> "ababab")
+    assert(new String(Multimodal.inflate(arr, 0, arr.length, 6), "US-ASCII") == "ababab")
+  }
+
+  test("png: multiple IDAT chunks concatenate; malformed payloads drop") {
+    import spark.implicits._
+    val payload = Multimodal.encodePng(Seq((0L, "abc")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val reference = Multimodal.parsePng(payload).get
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
+      val tb = ctype.getBytes("US-ASCII") ++ body
+      be32(body.length) ++ tb ++ be32(Multimodal.crc32(tb, 0, tb.length))
+    }
+    // re-chunk: split the single IDAT into two, insert an ancillary tEXt
+    val ihdrLen = 13
+    val ihdrChunk = payload.slice(8, 8 + 12 + ihdrLen)
+    val idatLen = ((payload(8 + 25) & 0xff) << 24) | ((payload(8 + 26) & 0xff) << 16) |
+      ((payload(8 + 27) & 0xff) << 8) | (payload(8 + 28) & 0xff)
+    val idatBody = payload.slice(8 + 25 + 8, 8 + 25 + 8 + idatLen)
+    val (a, b) = idatBody.splitAt(idatBody.length / 2)
+    val rebuilt = payload.slice(0, 8) ++ ihdrChunk ++
+      chunk("tEXt", "Comment hi".getBytes("US-ASCII")) ++
+      chunk("IDAT", a) ++ chunk("IDAT", b) ++ chunk("IEND", Array.emptyByteArray)
+    val reparsed = Multimodal.parsePng(rebuilt).get
+    assert(reparsed.width == reference.width && reparsed.pixels.toSeq == reference.pixels.toSeq)
+    // malformed: corrupt one IDAT byte -> chunk CRC fails -> drop
+    val corrupt = payload.clone(); corrupt(8 + 25 + 8 + 3) = (corrupt(8 + 25 + 8 + 3) ^ 0xff).toByte
+    assert(Multimodal.parsePng(corrupt).isEmpty)
+    // corrupt + CRC "fixed" for the new body -> Adler-32 catches it instead
+    val fixedBody = corrupt.slice(8 + 25 + 4, 8 + 25 + 8 + idatLen)
+    val refixed = corrupt.clone()
+    System.arraycopy(be32(Multimodal.crc32(fixedBody, 0, fixedBody.length)), 0,
+      refixed, 8 + 25 + 8 + idatLen, 4)
+    assert(Multimodal.parsePng(refixed).isEmpty)
+    // interlaced flag set (with CRC recomputed) -> unsupported profile drops
+    val inter = payload.clone(); inter(8 + 8 + 12) = 1
+    val interBody = inter.slice(8 + 4, 8 + 8 + ihdrLen)
+    System.arraycopy(be32(Multimodal.crc32(interBody, 0, interBody.length)), 0,
+      inter, 8 + 8 + ihdrLen, 4)
+    assert(Multimodal.parsePng(inter).isEmpty)
+    assert(Multimodal.parsePng(payload.dropRight(5)).isEmpty) // truncated
+    assert(Multimodal.parsePng("BM6".getBytes("US-ASCII")).isEmpty) // wrong magic
+    assert(Multimodal.parsePng(Array.emptyByteArray).isEmpty)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
