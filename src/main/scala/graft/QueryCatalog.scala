@@ -1284,6 +1284,39 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Fourth REAL image format, second COMPRESSED one — and a second
+    * entropy coder: GIF with from-scratch LZW.
+    * [[graft.ext.Multimodal.encodeGif]] writes genuine GIF89a files — a
+    * 256-entry identity-grayscale global palette, a graphic-control
+    * extension (so the extension-skip path is live on every payload), and
+    * a clear-code-per-literal LZW stream in 255-byte sub-blocks;
+    * [[graft.ext.Multimodal.parseGif]] must walk the block structure,
+    * read the palette, reassemble sub-blocks, and run a full LZW decode
+    * before mapping indices through the palette. Pixel index k = text
+    * byte k % n and the palette is the identity, so decoded plane byte j
+    * = model byte j/3 — replayed below with all three channel sums equal
+    * by construction and the positional checksum pinning every byte.
+    */
+  private val qMultimodalGif: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.gifFeatures(Multimodal.encodeGif(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalGif: String = {
+    val idxSum =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql("p")})), (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       $idxSum AS sum_r,
+       |       $idxSum AS sum_g,
+       |       $idxSum AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+       |           j -> ${ppmByteSql("j // 3")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
     * The oracle recomputes each resized byte's source position with the
     * same floor arithmetic (sx = tx*W/tw, sy = ty*H/th), then replays both
@@ -2764,6 +2797,7 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_bmp_decode" -> qMultimodalBmp,
     "multimodal_png_decode" -> qMultimodalPng,
+    "multimodal_gif_decode" -> qMultimodalGif,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
@@ -2864,6 +2898,7 @@ object QueryCatalog {
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_bmp_decode" -> oMultimodalBmp,
     "multimodal_png_decode" -> oMultimodalPng,
+    "multimodal_gif_decode" -> oMultimodalGif,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,

@@ -941,6 +941,294 @@ object Multimodal {
       }
   }
 
+  /** ======== REAL decompressor: GIF LZW, from scratch ========
+    * The second entropy coder in the ladder, genuinely different from
+    * DEFLATE: variable-width codes growing 9→12 bits as the dictionary
+    * fills, an explicit CLEAR code that resets it, the first-code-after-
+    * clear-must-be-a-literal rule, the KwKwK case (a code equal to the
+    * next unassigned entry), deferred-clear streams (a full 4096-entry
+    * dictionary that keeps emitting codes without adding), and LSB-first
+    * packing across 255-byte-max data sub-blocks. Decodes the code stream
+    * for one GIF image given its minimum code size and the concatenated
+    * sub-block payload; returns exactly `expected` pixel indices or
+    * throws (malformed). The dictionary is two flat arrays (prefix link +
+    * suffix byte) with stack-based string reconstruction — no per-entry
+    * allocation.
+    */
+  private[ext] def lzwDecode(data: Array[Byte], minCodeSize: Int, expected: Int): Array[Byte] = {
+    if (minCodeSize < 2 || minCodeSize > 8) throw new MalformedPng
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    val stack = new Array[Byte](4096)
+    var width = minCodeSize + 1
+    var next = clear + 2
+    var prev = -1
+    var buf = 0L; var cnt = 0; var pos = 0
+    var done = false
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Unit = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (outLen + sp + 1 > expected) throw new MalformedPng
+      out(outLen) = c.toByte; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+    }
+    while (!done) {
+      while (cnt < width) {
+        if (pos >= data.length) throw new MalformedPng
+        buf |= (data(pos) & 0xffL) << cnt; pos += 1; cnt += 8
+      }
+      val code = (buf & ((1L << width) - 1)).toInt
+      buf >>>= width; cnt -= width
+      if (code == clear) {
+        width = minCodeSize + 1; next = clear + 2; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) throw new MalformedPng // first code after clear: literal only
+        emit(code); prev = code
+      } else {
+        if (code > next || (code >= next && next >= 4096)) throw new MalformedPng
+        if (code == next) { // KwKwK: string(prev) + first(prev)
+          if (next >= 4096) throw new MalformedPng
+          prefix(next) = prev; suffix(next) = firstByte(prev); next += 1
+          emit(code)
+        } else {
+          emit(code)
+          if (next < 4096) { prefix(next) = prev; suffix(next) = firstByte(code); next += 1 }
+        }
+        prev = code
+        // widen when the NEXT assignable entry crosses the width limit
+        if (next == (1 << width) && width < 12) width += 1
+      }
+    }
+    if (outLen != expected) throw new MalformedPng
+    out
+  }
+
+  /** ======== REAL codec: GIF parse (89a/87a, LZW) ========
+    * A complete single-frame GIF reader: signature, logical screen
+    * descriptor, global color table, extension blocks skipped by walking
+    * their length-prefixed sub-block chains (a real reader must — GIF89a
+    * writers emit graphic-control extensions before every frame), the
+    * image descriptor with an optional LOCAL color table overriding the
+    * global one, and a full [[lzwDecode]] of the pixel index stream.
+    * INTERLACED frames are de-interlaced (the four-pass row order rows
+    * 0,8,16…; 4,12…; 2,6…; 1,3,5… — ImageIO's own GIF writer interlaces
+    * by default, so the differential spec exercises this path against
+    * real streams); indices are mapped through the active palette to the
+    * shared top-down RGB [[PpmImage]] plane. Anything structurally off —
+    * bad magic, missing palette, index out of palette range, truncated
+    * sub-blocks, LZW defects, pixel count mismatch — returns None.
+    */
+  private[ext] def parseGif(bytes: Array[Byte]): Option[PpmImage] =
+    try {
+      val n = bytes.length
+      if (n < 13) return None
+      val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF89a" && sig != "GIF87a") return None
+      def u16(pos: Int): Int = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+      val packed = bytes(10) & 0xff
+      var p = 13
+      var globalPal: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val entries = 1 << ((packed & 0x07) + 1)
+        globalPal = java.util.Arrays.copyOfRange(bytes, p, p + 3 * entries)
+        p += 3 * entries
+      }
+      // block stream: extensions (0x21) are skipped, one image (0x2C) is read
+      while (true) {
+        if (p >= n) throw new MalformedPng
+        (bytes(p) & 0xff) match {
+          case 0x21 => // extension: label byte, then sub-block chain
+            p += 2
+            var len = bytes(p) & 0xff
+            while (len != 0) { p += 1 + len; len = bytes(p) & 0xff }
+            p += 1
+          case 0x2c =>
+            val w = u16(p + 5); val h = u16(p + 7)
+            val ipacked = bytes(p + 9) & 0xff
+            val interlaced = (ipacked & 0x40) != 0
+            p += 10
+            var pal = globalPal
+            if ((ipacked & 0x80) != 0) {
+              val entries = 1 << ((ipacked & 0x07) + 1)
+              pal = java.util.Arrays.copyOfRange(bytes, p, p + 3 * entries)
+              p += 3 * entries
+            }
+            if (pal == null || w < 1 || h < 1 || w.toLong * h > (1L << 22)) throw new MalformedPng
+            val minCodeSize = bytes(p) & 0xff
+            p += 1
+            val data = new java.io.ByteArrayOutputStream()
+            var len = bytes(p) & 0xff
+            while (len != 0) {
+              if (p + 1 + len > n) throw new MalformedPng
+              data.write(bytes, p + 1, len)
+              p += 1 + len
+              len = bytes(p) & 0xff
+            }
+            val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+            // stream row s lands on physical row rows(s): identity when
+            // sequential, the four interlace passes otherwise
+            val rows = new Array[Int](h)
+            if (interlaced) {
+              var s = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < h) { rows(s) = y; s += 1; y += step }
+              }
+            } else {
+              var y = 0
+              while (y < h) { rows(y) = y; y += 1 }
+            }
+            val palEntries = pal.length / 3
+            val out = new Array[Byte](3 * w * h)
+            var s = 0
+            while (s < h) {
+              val y = rows(s)
+              var x = 0
+              while (x < w) {
+                val idx = indices(s * w + x) & 0xff
+                if (idx >= palEntries) throw new MalformedPng
+                val d = 3 * (y * w + x)
+                out(d) = pal(3 * idx); out(d + 1) = pal(3 * idx + 1); out(d + 2) = pal(3 * idx + 2)
+                x += 1
+              }
+              s += 1
+            }
+            return Some(PpmImage(w, h, 255, out))
+          case 0x3b => throw new MalformedPng // trailer before any image
+          case _ => throw new MalformedPng
+        }
+      }
+      None // unreachable
+    } catch {
+      case _: MalformedPng => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** ======== REAL codec: GIF encode ========
+    * Write genuine GIF89a files over a single-channel byte model: the
+    * frame is a w × h INDEXED image (same canvas derivation as the other
+    * encoders) whose pixel index k = text byte k % n, under a 256-entry
+    * identity GRAYSCALE global palette (entry i = (i,i,i)) — so the
+    * decoded RGB plane has r = g = b = the model byte, and the oracle
+    * replays it in SQL with no palette table. The LZW stream is written
+    * the way "uncompressed GIF" writers do: a CLEAR code before every
+    * literal keeps the dictionary empty and the code width pinned at 9
+    * bits — valid input to any LZW decoder, written without implementing
+    * a match searcher; [[lzwDecode]]'s dictionary-growth path is covered
+    * differentially by real ImageIO-written streams in the spec. Emits a
+    * graphic-control extension so the skip path is live on every payload.
+    */
+  def encodeGif(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
+        val h = 8 + java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 8L), 8L).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def b(v: Int): Unit = out.write(v & 0xff)
+        def le16(v: Int): Unit = { b(v); b(v >> 8) }
+        out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        le16(w); le16(h)
+        b(0xf7) // global table present, 8 bits/pixel, 256 entries
+        b(0); b(0) // background index, no aspect ratio
+        var i = 0
+        while (i < 256) { b(i); b(i); b(i); i += 1 } // identity grayscale palette
+        b(0x21); b(0xf9); b(4); b(0); le16(0); b(0); b(0) // graphic control ext (no-op)
+        b(0x2c); le16(0); le16(0); le16(w); le16(h); b(0) // image descriptor, no local table
+        b(8) // LZW minimum code size
+        // 9-bit codes, LSB-first: CLEAR (256) before every literal, then EOI
+        val codes = new java.io.ByteArrayOutputStream()
+        var buf = 0L; var cnt = 0
+        def code(c: Int): Unit = {
+          buf |= (c & 0x1ffL) << cnt; cnt += 9
+          while (cnt >= 8) { codes.write((buf & 0xff).toInt); buf >>>= 8; cnt -= 8 }
+        }
+        var k = 0
+        while (k < w * h) {
+          code(256)
+          code(if (data.length > 0) data(k % data.length) & 0xff else 0)
+          k += 1
+        }
+        code(257)
+        if (cnt > 0) codes.write((buf & 0xff).toInt)
+        val cb = codes.toByteArray
+        var off = 0
+        while (off < cb.length) { // 255-byte-max sub-blocks
+          val len = math.min(255, cb.length - off)
+          b(len); out.write(cb, off, len)
+          off += len
+        }
+        b(0) // sub-block terminator
+        b(0x3b) // trailer
+        (id, out.toByteArray, w, h)
+      }
+      .toDF(idCol, "payload", "w", "h")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          col("w").as("width"), col("h").as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/gif").as("mime")).as("meta"))
+  }
+
+  final case class GifFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** GIF decode + statistics: parse each payload through the full LZW
+    * path ([[parseGif]]) and reduce the palette-mapped RGB plane with the
+    * same sums + positional rolling checksum as the other image formats.
+    * Under the identity-grayscale byte model r = g = b, so an oracle
+    * divergence between the channel sums is itself diagnostic of a
+    * palette-mapping defect. Malformed payloads drop; map-only, no
+    * shuffle.
+    */
+  def gifFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[GifFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parseGif(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              val v = img.pixels(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
+            }
+            GifFeatures(id, img.width, img.height, img.width.toLong * img.height, r, g, b, checksum)
+          }
+        }
+      }
+  }
+
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
 
   /** ======== REAL codec: raw s16le PCM ========

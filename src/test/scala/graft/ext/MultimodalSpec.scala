@@ -548,6 +548,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parsePng(Array.emptyByteArray).isEmpty)
   }
 
+  test("gif: encode -> parse round trip; grayscale identity palette recovers the byte model") {
+    import spark.implicits._
+    val docs = Seq((0L, "lzw goes round"), (9L, ""), (42L, "x")).toDF("doc_id", "text")
+    for (r <- Multimodal.encodeGif(docs).collect()) {
+      val id = r.getAs[Long]("doc_id")
+      val img = Multimodal.parseGif(r.getAs[Array[Byte]]("payload")).get
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id / 8) % 8).toInt
+      assert(img.width == w && img.height == h)
+      val data = docs.filter($"doc_id" === id).head().getString(1).getBytes("UTF-8")
+      (0 until w * h).foreach { k =>
+        val expect = if (data.isEmpty) 0 else data(k % data.length) & 0xff
+        assert((img.pixels(3 * k) & 0xff) == expect, s"id $id pixel $k")
+        assert(img.pixels(3 * k + 1) == img.pixels(3 * k) && img.pixels(3 * k + 2) == img.pixels(3 * k))
+      }
+    }
+  }
+
+  test("lzw: KwKwK case, dictionary growth via a real ImageIO stream, malformed drops") {
+    // hand-built KwKwK: CLEAR, 'a', then code 258 == next -> "aa"; output "aaa"
+    val codes = Seq(256, 97, 258, 257)
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    var buf = 0L; var cnt = 0
+    for (c <- codes) {
+      buf |= (c & 0x1ffL) << cnt; cnt += 9
+      while (cnt >= 8) { bytes += (buf & 0xff).toByte; buf >>>= 8; cnt -= 8 }
+    }
+    if (cnt > 0) bytes += (buf & 0xff).toByte
+    assert(new String(Multimodal.lzwDecode(bytes.toArray, 8, 3), "US-ASCII") == "aaa")
+    // differential: ImageIO's GIF writer emits REAL LZW (dictionary growth,
+    // width escalation, clears) — decode its stream and compare every pixel
+    val size = 200 // 40k pixels: drives the dictionary well past 9-bit codes
+    val gray = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bi = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = bi.getRaster
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until size; x <- 0 until size) {
+      // repetitive-with-noise content: long LZW matches AND fresh entries
+      val v = if (rnd.nextInt(10) == 0) rnd.nextInt(256) else (x / 4 + y / 4) % 256
+      raster.setSample(x, y, 0, v)
+    }
+    val os = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", os))
+    val img = Multimodal.parseGif(os.toByteArray).get
+    assert(img.width == size && img.height == size)
+    for (y <- 0 until size; x <- 0 until size) {
+      val v = raster.getSample(x, y, 0)
+      assert((img.pixels(3 * (y * size + x)) & 0xff) == v, s"pixel ($x,$y)")
+    }
+    // malformed / unsupported drops, built by corrupting a real payload:
+    // layout is fixed: 13 (header+LSD) + 768 (palette) = 781 ext, 789 image
+    // descriptor, 798 its packed byte
+    import spark.implicits._
+    val payload = Multimodal.encodeGif(Seq((0L, "abc")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.parseGif(payload).nonEmpty)
+    val sig87 = payload.clone(); sig87(4) = '7'.toByte // GIF87a still parses
+    assert(Multimodal.parseGif(sig87).nonEmpty)
+    val badMagic = payload.clone(); badMagic(0) = 'J'.toByte
+    assert(Multimodal.parseGif(badMagic).isEmpty)
+    // flipping the interlace bit is NOT malformed: the same stream decodes
+    // with the four-pass row order, permuting rows but not the pixel bag
+    val inter = payload.clone(); inter(798) = (inter(798) | 0x40).toByte
+    val permuted = Multimodal.parseGif(inter).get
+    val straight = Multimodal.parseGif(payload).get
+    assert(permuted.pixels.toSeq != straight.pixels.toSeq) // rows moved
+    assert(permuted.pixels.sorted.toSeq == straight.pixels.sorted.toSeq) // same bag
+    val tallByOne = payload.clone(); tallByOne(796) = (tallByOne(796) + 1).toByte // h += 1
+    assert(Multimodal.parseGif(tallByOne).isEmpty) // LZW pixel count mismatch
+    assert(Multimodal.parseGif(payload.dropRight(4)).isEmpty) // truncated
+    assert(Multimodal.parseGif(payload.take(20)).isEmpty) // no image block
+    assert(Multimodal.parseGif(Array.emptyByteArray).isEmpty)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
