@@ -1499,6 +1499,40 @@ object QueryCatalog {
       |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
       |FROM sm""".stripMargin
 
+  /** COMPRESSED audio under the gate: G.711 μ-law — the telephony
+    * companding codec. [[graft.ext.Multimodal.encodeWavUlaw]] writes a
+    * genuine RIFF/WAVE container declaring wFormatTag 7 / mono / 8 kHz /
+    * 8-bit with each text byte as one μ-law code;
+    * [[graft.ext.Multimodal.ulawFrameStats]] must chunk-walk to the data
+    * window, validate the profile, and expand every code to its 16-bit
+    * linear sample with the real CCITT algorithm before the frame kernel.
+    * The expansion is pure integer arithmetic, so the oracle replays it
+    * exactly: c = 255 - x, t = ((c%16)*8 + 132) << ((c//16)%8), linear =
+    * ±(t - 132) by the sign bit — any slip in mantissa bias, exponent
+    * shift, or sign handling fails the hash on real data.
+    */
+  private val qUlawFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.ulawFrameStats(Multimodal.encodeWavUlaw(table(s, dir, "documents")), frameSize = 256).toDF()
+
+  private val oUlawFrames: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS ns FROM b WHERE octet_length(p) >= 1),
+      |fr AS (SELECT doc_id, hx, ns, CAST(unnest(range((ns + 255) // 256)) AS INT) AS frame_idx FROM s),
+      |sm AS (SELECT doc_id, frame_idx,
+      |         list_transform(
+      |           list_transform(range(frame_idx * 256, CAST(least(ns, (frame_idx + 1) * 256) AS INT)), i ->
+      |             255 - ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::INT),
+      |           c -> CASE WHEN c >= 128
+      |                THEN 132 - (((c % 16) * 8 + 132) * (1 << ((c // 16) % 8)))
+      |                ELSE (((c % 16) * 8 + 132) * (1 << ((c // 16) % 8))) - 132 END) AS xs
+      |       FROM fr)
+      |SELECT doc_id, 8000::INT AS sample_rate, frame_idx, len(xs)::BIGINT AS n_samples,
+      |       sqrt(CAST(list_reduce(list_prepend(0::BIGINT, list_transform(xs, x -> x::BIGINT * x)),
+      |                             (a, y) -> a + y) AS DOUBLE) / len(xs)) AS rms,
+      |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
+      |FROM sm""".stripMargin
+
   /** PCM decimation resample (factor 3), compared by the re-encoded s16le
     * payload's hex image (both engines render hex uppercase; this DuckDB
     * build's md5 is VARCHAR-only, so the bytes compare as hex directly).
@@ -2804,6 +2838,7 @@ object QueryCatalog {
     "video_frame_stats" -> qVideoFrameStats,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
+    "audio_ulaw_frame_stats" -> qUlawFrames,
     "audio_resample" -> qAudioResample,
     "audio_resample_filtered" -> qAudioResampleFiltered,
     "quantize_stats" -> qQuantize,
@@ -2903,6 +2938,7 @@ object QueryCatalog {
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,
     "audio_wav_frame_stats" -> oWavFrames,
+    "audio_ulaw_frame_stats" -> oUlawFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
     "multimodal_thumbnail" -> oMultimodalThumbnail,

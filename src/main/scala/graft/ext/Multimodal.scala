@@ -1286,21 +1286,23 @@ object Multimodal {
       }
   }
 
-  final case class WavAudio(sampleRate: Int, dataOffset: Int, dataLen: Int)
+  final case class WavAudio(sampleRate: Int, fmtTag: Int, bits: Int, dataOffset: Int, dataLen: Int)
 
-  /** ======== REAL codec: WAV container (RIFF/WAVE, PCM s16le) ========
+  /** ======== REAL codec: WAV container (RIFF/WAVE) ========
     * The third RIFF-family parse (after AVI): WAV is a RIFF file whose
     * `fmt ` chunk describes the sample format and whose `data` chunk holds
     * the samples. The walker verifies the `RIFF`/`WAVE` magic, iterates
     * chunks honoring the even-byte padding rule (skipping `LIST`/`fact`/
     * unknown chunks, as a real reader must), validates the fmt contract
-    * this engine's audio operators assume — PCM (wFormatTag 1), mono,
-    * 16-bit — and returns the sample rate read little-endian plus the
-    * bounds-checked data window. Everything else (bad magic, missing or
-    * short fmt/data, float/ADPCM formats, multi-channel) returns None:
-    * the malformed-drop convention. A trailing odd data byte is ignored
-    * (`dataLen` is truncated to even), matching [[decodePcm16Frames]]'s
-    * raw-stream convention.
+    * against the two mono profiles this engine's audio operators decode —
+    * linear PCM (wFormatTag 1, 16-bit) and G.711 μ-law (wFormatTag 7,
+    * 8-bit) — and returns the parsed format plus the bounds-checked data
+    * window; each downstream operator re-checks the tag it handles.
+    * Everything else (bad magic, missing or short fmt/data, float/ADPCM
+    * formats, multi-channel, mismatched tag/bits pairs) returns None: the
+    * malformed-drop convention. `dataLen` is the raw chunk size; 16-bit
+    * consumers floor-divide by 2, ignoring a trailing odd byte, matching
+    * [[decodePcm16Frames]]'s raw-stream convention.
     */
   private[ext] def parseWav(bytes: Array[Byte]): Option[WavAudio] = {
     val n = bytes.length
@@ -1312,6 +1314,8 @@ object Multimodal {
       new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
     var rate = -1
+    var tag = -1
+    var bitsPer = -1
     var data: Option[(Int, Int)] = None
     val until = math.min(n.toLong, 8L + u32(4))
     var p = 12L
@@ -1325,15 +1329,18 @@ object Multimodal {
         val fmtTag = u16(ds.toInt)
         val channels = u16(ds.toInt + 2)
         val bits = u16(ds.toInt + 14)
-        if (fmtTag != 1 || channels != 1 || bits != 16) return None // not mono PCM s16
+        val supported = channels == 1 &&
+          ((fmtTag == 1 && bits == 16) || (fmtTag == 7 && bits == 8))
+        if (!supported) return None
+        tag = fmtTag; bitsPer = bits
         rate = u32(ds.toInt + 4).toInt
       } else if (id == "data" && data.isEmpty) {
-        data = Some((ds.toInt, (sz & ~1L).toInt))
+        data = Some((ds.toInt, sz.toInt))
       }
       p = ds + sz + (sz & 1L) // RIFF pads chunks to even length
     }
     (rate, data) match {
-      case (r, Some((off, len))) if r > 0 => Some(WavAudio(r, off, len))
+      case (r, Some((off, len))) if r > 0 => Some(WavAudio(r, tag, bitsPer, off, len))
       case _ => None
     }
   }
@@ -1406,7 +1413,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytesOrNull) =>
         val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
-        parseWav(bytes).toSeq.flatMap { wav =>
+        parseWav(bytes).filter(w => w.fmtTag == 1 && w.bits == 16).toSeq.flatMap { wav =>
           val nSamples = wav.dataLen / 2
           val nFrames = (nSamples + frameSize - 1) / frameSize
           (0 until nFrames).map { f =>
@@ -1427,6 +1434,112 @@ object Multimodal {
             }
             val n = until - from
             WavFrameStats(id, wav.sampleRate, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
+          }
+        }
+      }
+  }
+
+  /** ======== REAL codec: G.711 μ-law expansion ========
+    * The telephony companding standard, implemented from the published
+    * CCITT algorithm: complement the code byte, rebuild the mantissa with
+    * the hidden bias bit (+0x84), shift by the 3-bit exponent, undo the
+    * bias, apply the sign. Maps the 8-bit code space onto [-32124, 32124]
+    * — e.g. 0x00 → -32124, 0xFF → 0, 0x7F → 0 (negative zero collapses).
+    * Pure integer arithmetic, so the oracle replays it in SQL exactly.
+    */
+  private[ext] def ulawExpand(code: Int): Int = {
+    val c = ~code & 0xff
+    var t = ((c & 0x0f) << 3) + 0x84
+    t <<= (c >> 4) & 7
+    if ((c & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ======== REAL codec: WAV/μ-law writer ========
+    * The μ-law sibling of [[encodeWav]]: a genuine RIFF/WAVE file whose
+    * fmt chunk declares wFormatTag 7 (G.711 μ-law), mono, 8 kHz, 8 bits
+    * per sample — the telephony profile — and whose data chunk is the
+    * doc's UTF-8 bytes, each byte one μ-law code. The byte model stays
+    * SQL-trivial (code i IS text byte i) while the decoder must both
+    * find the window through the chunk walk AND run the real expansion.
+    */
+  def encodeWavUlaw(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val d = data.length
+        val bb = java.nio.ByteBuffer
+          .allocate(44 + d + (d & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cc(s: String): Unit = bb.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        cc("RIFF"); bb.putInt(36 + d + (d & 1)); cc("WAVE")
+        cc("fmt "); bb.putInt(16)
+        bb.putShort(7) // G.711 mu-law
+        bb.putShort(1) // mono
+        bb.putInt(8000) // sample rate
+        bb.putInt(8000) // byte rate
+        bb.putShort(1) // block align
+        bb.putShort(8) // bits/sample
+        cc("data"); bb.putInt(d)
+        bb.put(data, 0, d)
+        if ((d & 1) == 1) bb.put(0.toByte) // RIFF even-byte pad after odd chunk
+        (id, bb.array())
+      }
+      .toDF(idCol, "payload")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("audio/basic").as("mime")).as("meta"))
+  }
+
+  final case class UlawFrameStats(
+      doc_id: Long, sample_rate: Int, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
+
+  /** Frame statistics over COMPRESSED (companded) audio: locate the data
+    * window through the WAV chunk walk, require the μ-law profile
+    * (wFormatTag 7, 8-bit), expand every code byte to its 16-bit linear
+    * sample via [[ulawExpand]], then reduce with the shared integer
+    * RMS/peak kernel. One byte per sample — half the container bytes of
+    * the PCM path for the same duration, which is the point of companding.
+    * Malformed containers and non-μ-law profiles drop; map-only.
+    */
+  def ulawFrameStats(
+      withBinary: DataFrame,
+      frameSize: Int = 256,
+      idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[UlawFrameStats] = {
+    require(frameSize >= 1 && frameSize <= (1 << 23), "need 1 <= frameSize <= 2^23")
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+        parseWav(bytes).filter(w => w.fmtTag == 7 && w.bits == 8).toSeq.flatMap { wav =>
+          val nSamples = wav.dataLen
+          val nFrames = (nSamples + frameSize - 1) / frameSize
+          (0 until nFrames).map { f =>
+            val from = f * frameSize
+            val until = math.min(nSamples, from + frameSize)
+            var sumSq = 0L
+            var peak = 0L
+            var i = from
+            while (i < until) {
+              val s = ulawExpand(bytes(wav.dataOffset + i) & 0xff)
+              sumSq += s.toLong * s
+              val a = math.abs(s.toLong)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val n = until - from
+            UlawFrameStats(id, wav.sampleRate, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
           }
         }
       }

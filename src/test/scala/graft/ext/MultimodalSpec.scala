@@ -624,6 +624,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseGif(Array.emptyByteArray).isEmpty)
   }
 
+  test("ulaw: expansion matches G.711 — known values, sign symmetry, javax.sound differential") {
+    // canonical extremes of the CCITT table
+    assert(Multimodal.ulawExpand(0x00) == -32124)
+    assert(Multimodal.ulawExpand(0x80) == 32124)
+    assert(Multimodal.ulawExpand(0xff) == 0)
+    assert(Multimodal.ulawExpand(0x7f) == 0) // negative zero collapses
+    // flipping the sign bit negates the sample, for every code
+    (0 until 256).foreach { x =>
+      assert(Multimodal.ulawExpand(x ^ 0x80) == -Multimodal.ulawExpand(x), s"code $x")
+    }
+    // differential: the JDK's own ULAW->PCM converter over all 256 codes
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val codes = Array.tabulate(256)(_.toByte)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(codes), ulawFmt, 256)
+    val pcmFmt = new AudioFormat(8000f, 16, 1, true, false) // s16le
+    val pcm = AudioSystem.getAudioInputStream(pcmFmt, ais)
+    val buf = pcm.readAllBytes()
+    assert(buf.length == 512)
+    (0 until 256).foreach { x =>
+      val u = (buf(2 * x) & 0xff) | ((buf(2 * x + 1) & 0xff) << 8)
+      val s = if (u > 32767) u - 65536 else u
+      assert(s == Multimodal.ulawExpand(x), s"code $x: jdk $s vs ours")
+    }
+  }
+
+  test("ulaw wav: container round trip; profile cross-rejection between PCM and ulaw paths") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcde")).toDF("doc_id", "text") // odd length: pad byte path
+    val payload = Multimodal.encodeWavUlaw(docs).collect().head.getAs[Array[Byte]]("payload")
+    val wav = Multimodal.parseWav(payload).get
+    assert(wav.fmtTag == 7 && wav.bits == 8 && wav.sampleRate == 8000 && wav.dataLen == 5)
+    // frame stats expand each text byte
+    val stats = Multimodal.ulawFrameStats(Multimodal.encodeWavUlaw(docs)).collect().head
+    val expected = "abcde".getBytes("UTF-8").map(b => Multimodal.ulawExpand(b & 0xff))
+    assert(stats.sample_rate == 8000 && stats.n_samples == 5)
+    assert(stats.peak == expected.map(v => math.abs(v.toLong)).max)
+    val rms = math.sqrt(expected.map(v => v.toDouble * v).sum / 5)
+    assert(stats.rms == rms)
+    // the PCM16 path must NOT consume a ulaw container, and vice versa
+    assert(Multimodal.wavFrameStats(Multimodal.encodeWavUlaw(docs)).count() == 0)
+    assert(Multimodal.ulawFrameStats(Multimodal.encodeWav(docs)).count() == 0)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
