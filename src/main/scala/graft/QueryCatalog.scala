@@ -1317,6 +1317,49 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Fifth REAL image format, third COMPRESSED one — and a third entropy
+    * coder: baseline JPEG (canonical Huffman + DCT).
+    * [[graft.ext.Multimodal.encodeJpeg]] writes genuine baseline JPEGs in
+    * the DC-exact profile: a grayscale canvas of bw × bh flat 8×8 blocks
+    * (bw = 1 + id % 4, bh = 1 + (id/4) % 3), block k's gray level = text
+    * byte k % n, coded as a real DC difference + EOB per block with
+    * restart markers every 3 MCUs. Quantizer Q[0] = 8 cancels the IDCT's
+    * 1/8 exactly, so [[graft.ext.Multimodal.parseJpeg]]'s full pipeline —
+    * marker walk, canonical-Huffman DC/AC decode, EXTEND, dequant,
+    * double-precision IDCT, restart realignment, byte-unstuffing —
+    * reproduces the model plane bit-exactly (MultimodalSpec pins the same
+    * payloads decode identically under javax.imageio, and our decoder
+    * against javax-written DCT-coded gradients). The oracle replays the
+    * block raster: pixel (x, y) belongs to block (y//8)*bw + x//8; gray
+    * replicates across RGB, so the three channel sums are 64× the block
+    * sum and the positional checksum folds each model byte three times.
+    */
+  private val qMultimodalJpeg: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.jpegFeatures(Multimodal.encodeJpeg(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalJpeg: String = {
+    val blockSum =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, bw * bh),
+         |    k -> ${ppmByteSql("k")})), (a, x) -> a + x)""".stripMargin
+    // pixel p: x = p % w, y = p // w, block k = (y//8)*bw + x//8; the gray
+    // byte replicates to r,g,b so one pixel folds its byte three times —
+    // congruent to Spark's per-byte mod (values stay far below 2^63)
+    val pixByte = ppmByteSql("((p // w) // 8) * bw + (p % w) // 8")
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  1 + doc_id % 4 AS bw, 1 + (doc_id // 4) % 3 AS bh,
+       |                  8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id // 4) % 3) AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       64 * ($blockSum) AS sum_r,
+       |       64 * ($blockSum) AS sum_g,
+       |       64 * ($blockSum) AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+       |           p -> $pixByte)),
+       |         (a, x) -> (((a * 31 + x) * 31 + x) * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
     * The oracle recomputes each resized byte's source position with the
     * same floor arithmetic (sx = tx*W/tw, sy = ty*H/th), then replays both
@@ -2832,6 +2875,7 @@ object QueryCatalog {
     "multimodal_bmp_decode" -> qMultimodalBmp,
     "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_gif_decode" -> qMultimodalGif,
+    "multimodal_jpeg_decode" -> qMultimodalJpeg,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
@@ -2934,6 +2978,7 @@ object QueryCatalog {
     "multimodal_bmp_decode" -> oMultimodalBmp,
     "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_gif_decode" -> oMultimodalGif,
+    "multimodal_jpeg_decode" -> oMultimodalJpeg,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,

@@ -1229,6 +1229,524 @@ object Multimodal {
       }
   }
 
+  private final class MalformedJpeg extends Exception(null, null, false, false)
+
+  /** Natural-order positions of the JPEG zigzag sequence (ISO/IEC
+    * 10918-1 Figure A.6), generated by the diagonal walk rather than
+    * transcribed — odd anti-diagonals run top-right → bottom-left, even
+    * ones the reverse, exactly the snake the figure draws.
+    */
+  private[ext] val JpegZigzag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var k = 0
+    var d = 0
+    while (d <= 14) {
+      val range = math.max(0, d - 7) to math.min(7, d)
+      val rows = if (d % 2 == 1) range else range.reverse
+      rows.foreach { i => zz(k) = i * 8 + (d - i); k += 1 }
+      d += 1
+    }
+    zz
+  }
+
+  /** A JPEG entropy-coding table: canonical codes assigned from the DHT
+    * BITS/HUFFVAL lists per ISO/IEC 10918-1 Annex C (generate_size_table /
+    * generate_code_table), decoded with the Annex F DECODE procedure's
+    * mincode/maxcode/valptr walk. maxcode stays -1 at lengths with no
+    * codes so the `code > maxcode` descent skips them.
+    */
+  private final class JpegHuffTable(bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l); k += bits(l)
+          maxCode(l) = code - 1
+          if (maxCode(l) >= (1 << l)) throw new MalformedJpeg // over-full table
+        }
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) throw new MalformedJpeg
+    }
+    def decode(er: JpegEntropyReader): Int = {
+      var code = er.bit()
+      var l = 1
+      while (code > maxCode(l)) {
+        if (l >= 16) throw new MalformedJpeg
+        code = (code << 1) | er.bit()
+        l += 1
+      }
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first bit reader over JPEG entropy-coded data. Handles the byte
+    * stuffing rule (a data 0xFF is followed by 0x00; the 0x00 is
+    * consumed and discarded) and the unstuffed legal variant where a
+    * pad-bearing 0xFF is followed directly by a marker — there the 0xFF
+    * is served as data and `pos` is left ON the marker so [[restart]]
+    * finds it after byte-aligning.
+    */
+  private final class JpegEntropyReader(bytes: Array[Byte], var pos: Int, until: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= until) throw new MalformedJpeg
+        val b0 = bytes(pos) & 0xff
+        pos += 1
+        if (b0 == 0xff) {
+          if (pos < until && bytes(pos) == 0) pos += 1 // stuffed data byte
+          else pos -= 1 // marker follows: b0 carries the final pad bits
+        }
+        buf = b0; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(nbits: Int): Int = {
+      var v = 0; var i = 0
+      while (i < nbits) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Discard pad bits, then consume the expected RSTm (ISO F.2.1.3.1). */
+    def restart(m: Int): Unit = {
+      cnt = 0
+      if (pos + 2 > until || (bytes(pos) & 0xff) != 0xff || (bytes(pos + 1) & 0xff) != (0xd0 + m))
+        throw new MalformedJpeg
+      pos += 2
+    }
+  }
+
+  /** The Annex F EXTEND procedure: a category-t amplitude whose top bit
+    * is 0 encodes a negative value, recovered as v - 2^t + 1. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Orthonormal 1-D DCT-III basis, basis(u)(x) = C(u)/2 · cos((2x+1)uπ/16)
+    * with C(0) = 1/√2 — two separable passes of this give the 2-D IDCT of
+    * Annex A.3.3 in double precision, well inside the ±1 conformance
+    * envelope of any compliant integer IDCT. */
+  private val JpegIdctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) * math.cos((2 * x + 1) * u * math.Pi / 16.0) / 2.0
+  }
+
+  /** Separable double-precision IDCT + level shift + clamp. `coef` is in
+    * natural (row-major frequency) order; `out` receives the 8×8 spatial
+    * block. `tmp` is caller-provided scratch (one row-pass plane). */
+  private def jpegIdct(coef: Array[Int], tmp: Array[Double], out: Array[Byte]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += JpegIdctBasis(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += JpegIdctBasis(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+        val px = Math.round(s).toInt + 128
+        out(y * 8 + x) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private final case class JpegComponent(id: Int, h: Int, v: Int, tq: Int)
+
+  /** ======== REAL codec: baseline JPEG decode, from scratch ========
+    * The fifth real image format and the third entropy coder in the
+    * ladder (after DEFLATE and GIF-LZW): ISO/IEC 10918-1 baseline
+    * sequential DCT. The marker walk handles APPn/COM skipping, multi-
+    * table DQT (8- and 16-bit precision) and DHT segments, SOF0 (8-bit,
+    * 1 or 3 components, sampling factors 1..4), DRI, and a single
+    * interleaved SOS; the scan decode runs canonical-Huffman DC
+    * difference + AC run/size decoding with ZRL and EOB, EXTEND sign
+    * recovery, dequantization through the zigzag order, a separable
+    * double-precision IDCT, restart-marker realignment with DC predictor
+    * reset, and byte-unstuffing. Grayscale maps straight to the shared
+    * [[PpmImage]] RGB plane; 3-component scans are upsampled by
+    * replication against Hmax/Vmax and converted with the JFIF YCbCr
+    * formulas. Structural damage — non-baseline SOF, over-full Huffman
+    * tables, coefficient overrun, missing tables, truncation, a wrong
+    * restart marker — returns None: the malformed-drop convention.
+    * Differentially verified in MultimodalSpec against javax.imageio on
+    * real DCT-coded payloads (gradient/noise images exercise every AC
+    * category), pixel-exact to the JPEG conformance tolerance.
+    */
+  private[ext] def parseJpeg(bytes: Array[Byte]): Option[PpmImage] =
+    try {
+      val n = bytes.length
+      if (n < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+      def u16(p: Int): Int = {
+        if (p + 2 > n) throw new MalformedJpeg
+        ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      }
+      val qt = Array.ofDim[Int](4, 64)
+      val qtSet = new Array[Boolean](4)
+      val huffs = new Array[JpegHuffTable](8) // tc * 4 + th
+      var width = -1; var height = -1
+      var comps: Array[JpegComponent] = null
+      var restartInterval = 0
+      var scanTd: Array[Int] = null; var scanTa: Array[Int] = null
+      var p = 2
+      var sosPos = -1
+      while (sosPos < 0) {
+        if (p >= n || (bytes(p) & 0xff) != 0xff) throw new MalformedJpeg
+        var q = p + 1 // optional 0xFF fill bytes precede the marker code
+        while (q < n && (bytes(q) & 0xff) == 0xff) q += 1
+        if (q >= n) throw new MalformedJpeg
+        val m = bytes(q) & 0xff
+        p = q + 1
+        m match {
+          case 0x01 => () // TEM: standalone
+          case mm if mm >= 0xd0 && mm <= 0xd7 => () // stray RST: standalone
+          case 0xd8 | 0xd9 => throw new MalformedJpeg // SOI again / EOI before scan
+          case 0xc0 => // SOF0: baseline sequential DCT
+            val len = u16(p)
+            if (comps != null || len < 11 || (bytes(p + 2) & 0xff) != 8) throw new MalformedJpeg
+            height = u16(p + 3); width = u16(p + 5)
+            val nc = bytes(p + 7) & 0xff
+            if (width < 1 || height < 1 || width.toLong * height > (1L << 22) ||
+              (nc != 1 && nc != 3) || len != 8 + 3 * nc) throw new MalformedJpeg
+            comps = Array.tabulate(nc) { c =>
+              val b0 = p + 8 + 3 * c
+              val hv = bytes(b0 + 1) & 0xff
+              val comp = JpegComponent(bytes(b0) & 0xff, hv >> 4, hv & 0x0f, bytes(b0 + 2) & 0xff)
+              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4 || comp.tq > 3)
+                throw new MalformedJpeg
+              comp
+            }
+            p += len
+          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+            throw new MalformedJpeg // progressive/extended/lossless/arithmetic: not baseline
+          case 0xc4 => // DHT: one segment may carry several tables
+            val len = u16(p)
+            var s = p + 2
+            val end = p + len
+            while (s < end) {
+              val tcth = bytes(s) & 0xff
+              val tc = tcth >> 4; val th = tcth & 0x0f
+              if (tc > 1 || th > 3 || s + 17 > end) throw new MalformedJpeg
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = bytes(s + l) & 0xff; total += bits(l); l += 1 }
+              if (total > 256 || s + 17 + total > end) throw new MalformedJpeg
+              val vals = Array.tabulate(total)(i => bytes(s + 17 + i) & 0xff)
+              huffs(tc * 4 + th) = new JpegHuffTable(bits, vals)
+              s += 17 + total
+            }
+            p += len
+          case 0xdb => // DQT: one segment may carry several tables
+            val len = u16(p)
+            var s = p + 2
+            val end = p + len
+            while (s < end) {
+              val pqtq = bytes(s) & 0xff
+              val pq = pqtq >> 4; val tq = pqtq & 0x0f
+              val step = if (pq == 0) 1 else 2
+              if (pq > 1 || tq > 3 || s + 1 + 64 * step > end) throw new MalformedJpeg
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) = if (pq == 0) bytes(s + 1 + k) & 0xff else u16(s + 1 + 2 * k)
+                k += 1
+              }
+              qtSet(tq) = true
+              s += 1 + 64 * step
+            }
+            p += len
+          case 0xdd => // DRI
+            if (u16(p) != 4) throw new MalformedJpeg
+            restartInterval = u16(p + 2)
+            p += 4
+          case 0xda => // SOS: single interleaved scan, components in SOF order
+            val len = u16(p)
+            if (comps == null) throw new MalformedJpeg
+            val ns = bytes(p + 2) & 0xff
+            if (ns != comps.length || len != 6 + 2 * ns) throw new MalformedJpeg
+            scanTd = new Array[Int](ns); scanTa = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              if ((bytes(p + 3 + 2 * c) & 0xff) != comps(c).id) throw new MalformedJpeg
+              val tdta = bytes(p + 4 + 2 * c) & 0xff
+              scanTd(c) = tdta >> 4; scanTa(c) = tdta & 0x0f
+              c += 1
+            }
+            if ((bytes(p + 3 + 2 * ns) & 0xff) != 0 || (bytes(p + 4 + 2 * ns) & 0xff) != 63)
+              throw new MalformedJpeg // Ss/Se must be the sequential-DCT 0..63
+            sosPos = p + len
+          case _ => // APPn / COM / DNL / unknown: skip by declared length
+            val len = u16(p)
+            if (len < 2) throw new MalformedJpeg
+            p += len
+        }
+      }
+      // ---- entropy-coded scan ----
+      val nc = comps.length
+      // A single-component scan is non-interleaved: MCU = one block, the
+      // SOF sampling factors don't partition the data (ISO A.2.2).
+      val eff = if (nc == 1) comps.map(_.copy(h = 1, v = 1)) else comps
+      val ehmax = eff.map(_.h).max; val evmax = eff.map(_.v).max
+      val mcusX = (width + 8 * ehmax - 1) / (8 * ehmax)
+      val mcusY = (height + 8 * evmax - 1) / (8 * evmax)
+      val planeW = Array.tabulate(nc)(c => mcusX * eff(c).h * 8)
+      val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * mcusY * eff(c).v * 8))
+      val dcTbl = Array.tabulate(nc) { c =>
+        val t = huffs(scanTd(c)); if (t == null) throw new MalformedJpeg; t
+      }
+      val acTbl = Array.tabulate(nc) { c =>
+        val t = huffs(4 + scanTa(c)); if (t == null) throw new MalformedJpeg; t
+      }
+      eff.foreach(c => if (!qtSet(c.tq)) throw new MalformedJpeg)
+      val er = new JpegEntropyReader(bytes, sosPos, n)
+      val pred = new Array[Int](nc)
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      val block = new Array[Byte](64)
+      val totalMcus = mcusX * mcusY
+      var mcu = 0
+      var rst = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          er.restart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < nc) {
+          val comp = eff(c)
+          val q = qt(comp.tq)
+          var bi = 0
+          while (bi < comp.v) {
+            var bj = 0
+            while (bj < comp.h) {
+              // DC: category + EXTENDed difference against the predictor
+              java.util.Arrays.fill(coef, 0)
+              val t = dcTbl(c).decode(er)
+              if (t > 11) throw new MalformedJpeg
+              pred(c) += (if (t == 0) 0 else jpegExtend(er.receive(t), t))
+              coef(0) = pred(c) * q(0)
+              // AC: run/size symbols through the zigzag until EOB
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val rs = acTbl(c).decode(er)
+                val r = rs >> 4; val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r == 15) k += 16 else done = true // ZRL vs EOB
+                } else {
+                  k += r
+                  if (k > 63) throw new MalformedJpeg
+                  coef(JpegZigzag(k)) = jpegExtend(er.receive(sz), sz) * q(k)
+                  k += 1
+                }
+              }
+              jpegIdct(coef, tmp, block)
+              val x0 = (mx * comp.h + bj) * 8
+              val y0 = (my * comp.v + bi) * 8
+              var yy = 0
+              while (yy < 8) {
+                System.arraycopy(block, yy * 8, planes(c), (y0 + yy) * planeW(c) + x0, 8)
+                yy += 1
+              }
+              bj += 1
+            }
+            bi += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+      // ---- assemble the logical RGB plane ----
+      val pixels = new Array[Byte](3 * width * height)
+      if (nc == 1) {
+        val pw = planeW(0)
+        var y = 0; var j = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val g = planes(0)(y * pw + x)
+            pixels(j) = g; pixels(j + 1) = g; pixels(j + 2) = g
+            j += 3; x += 1
+          }
+          y += 1
+        }
+      } else {
+        // replication upsampling against Hmax/Vmax, then JFIF YCbCr->RGB
+        def clamp(d: Double): Byte = {
+          val v = Math.round(d).toInt
+          (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        }
+        var y = 0; var j = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = planes(0)((y * eff(0).v / evmax) * planeW(0) + x * eff(0).h / ehmax) & 0xff
+            val cb = (planes(1)((y * eff(1).v / evmax) * planeW(1) + x * eff(1).h / ehmax) & 0xff) - 128
+            val cr = (planes(2)((y * eff(2).v / evmax) * planeW(2) + x * eff(2).h / ehmax) & 0xff) - 128
+            pixels(j) = clamp(yy + 1.402 * cr)
+            pixels(j + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            pixels(j + 2) = clamp(yy + 1.772 * cb)
+            j += 3; x += 1
+          }
+          y += 1
+        }
+      }
+      Some(PpmImage(width, height, 255, pixels))
+    } catch {
+      case _: MalformedJpeg => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** ======== REAL codec: baseline JPEG encode (DC-exact profile) ========
+    * Write genuine baseline JPEGs whose DECODE is bit-replayable in SQL:
+    * a grayscale canvas of bw × bh flat 8×8 blocks (bw = 1 + id % 4,
+    * bh = 1 + (id/4) % 3), block k's gray level = text byte k % n. Each
+    * block is coded as a real DC difference (category + EXTEND amplitude
+    * against the running predictor) followed by a real EOB — so the
+    * decoder's Huffman, predictor, dequant, IDCT, and restart machinery
+    * all run — with quantizer Q[0] = 8, which cancels the IDCT's 1/8
+    * exactly: decoded pixel ≡ 128 + (v−128)·8/8 = v, no rounding
+    * ambiguity for ANY compliant IDCT. DRI = 3 puts RSTn markers (with
+    * predictor resets and 1-bit padding) inside every payload wider than
+    * three blocks. The DHT tables are small custom canonical tables
+    * (12 four-bit DC categories, EOB/ZRL at two bits) — parsed from the
+    * stream like any table, while the spec's javax differential covers
+    * the standard Annex K tables. Payloads are verified decodable by
+    * javax.imageio in the spec, pinning standards conformance of the
+    * writer itself.
+    */
+  def encodeJpeg(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val data = utf8Bytes(textOrNull)
+        val nTxt = data.length
+        val bw = 1 + (id % 4).toInt
+        val bh = 1 + ((id / 4) % 3).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        def b(v: Int): Unit = out.write(v & 0xff)
+        def be16(v: Int): Unit = { b(v >> 8); b(v) }
+        def marker(m: Int): Unit = { b(0xff); b(m) }
+        marker(0xd8) // SOI
+        marker(0xe0); be16(16) // APP0/JFIF v1.1, no density, no thumbnail
+        out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)); b(0)
+        b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+        marker(0xdb); be16(67); b(0x00) // DQT: 8-bit table 0; Q[0]=8 cancels the IDCT 1/8
+        var k = 0
+        while (k < 64) { b(if (k == 0) 8 else 16 + k); k += 1 }
+        // DHT: DC table 0 = 12 categories at 4 bits; AC table 0 = EOB,ZRL at 2 bits
+        marker(0xc4); be16(2 + (1 + 16 + 12) + (1 + 16 + 2))
+        b(0x00); (1 to 16).foreach(l => b(if (l == 4) 12 else 0)); (0 to 11).foreach(b)
+        b(0x10); (1 to 16).foreach(l => b(if (l == 2) 2 else 0)); b(0x00); b(0xf0)
+        marker(0xdd); be16(4); be16(3) // DRI: restart every 3 MCUs
+        marker(0xc0); be16(11) // SOF0: 8-bit grayscale, 1x1 sampling
+        b(8); be16(8 * bh); be16(8 * bw); b(1); b(1); b(0x11); b(0)
+        marker(0xda); be16(8) // SOS
+        b(1); b(1); b(0x00); b(0); b(63); b(0)
+        // entropy-coded data: MSB-first bit writer with 0xFF00 stuffing
+        var acc = 0; var nb = 0
+        def put(v: Int, bits: Int): Unit = {
+          acc = (acc << bits) | (v & ((1 << bits) - 1)); nb += bits
+          while (nb >= 8) {
+            val byte = (acc >> (nb - 8)) & 0xff
+            b(byte); if (byte == 0xff) b(0x00)
+            nb -= 8
+          }
+        }
+        def alignOnes(): Unit = if (nb > 0) put((1 << (8 - nb)) - 1, 8 - nb)
+        var predDc = 0
+        var rst = 0
+        k = 0
+        while (k < bw * bh) {
+          if (k > 0 && k % 3 == 0) { // restart: pad, RSTm, reset predictor
+            alignOnes(); marker(0xd0 + rst); rst = (rst + 1) % 8
+            predDc = 0
+          }
+          val v = if (nTxt == 0) 0 else data(k % nTxt) & 0xff
+          val diff = (v - 128) - predDc
+          predDc = v - 128
+          val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          put(cat, 4) // DC canonical code for category `cat` IS `cat` (12 codes at 4 bits)
+          if (cat > 0) put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+          put(0, 2) // EOB
+          k += 1
+        }
+        alignOnes()
+        marker(0xd9) // EOI
+        (id, out.toByteArray, 8 * bw, 8 * bh)
+      }
+      .toDF(idCol, "payload", "w", "h")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          col("w").as("width"), col("h").as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("image/jpeg").as("mime")).as("meta"))
+  }
+
+  final case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** JPEG decode + statistics: run every payload through the full
+    * baseline pipeline ([[parseJpeg]]: marker walk → Huffman → EXTEND →
+    * dequant → IDCT → restart handling) and reduce the recovered RGB
+    * plane with the shared per-channel sums + base-31 positional rolling
+    * checksum. Under the DC-exact byte model the three channel sums are
+    * equal by construction, and the checksum pins every decoded byte —
+    * a predictor slip, a mis-walked restart, or an off-by-one in the
+    * block raster shifts it. Malformed payloads drop; map-only, no
+    * shuffle — at 100 TB this is pure scan-side CPU that scales linearly
+    * with executors.
+    */
+  def jpegFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[JpegFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parseJpeg(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              val v = img.pixels(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
+            }
+            JpegFeatures(id, img.width, img.height, img.width.toLong * img.height, r, g, b, checksum)
+          }
+        }
+      }
+  }
+
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
 
   /** ======== REAL codec: raw s16le PCM ========

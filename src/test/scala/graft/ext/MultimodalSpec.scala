@@ -668,6 +668,130 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ulawFrameStats(Multimodal.encodeWav(docs)).count() == 0)
   }
 
+  test("jpeg: encode -> decode round trip matches the DC-exact block model") {
+    import spark.implicits._
+    // id 0 -> 1x1 block (no restart); id 7 -> 4x2 (restarts + rst cycling);
+    // id 11 -> 4x3 = 12 blocks (three restart intervals); empty text -> 0-plane
+    val docs = Seq((0L, "the quick brown fox"), (5L, ""), (7L, "spark"), (11L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.encodeJpeg(docs).collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val payload = r.getAs[Array[Byte]]("payload")
+      val img = Multimodal.parseJpeg(payload).get
+      val bw = 1 + (id % 4).toInt
+      val bh = 1 + ((id / 4) % 3).toInt
+      assert(img.width == 8 * bw && img.height == 8 * bh && img.maxval == 255)
+      val data = docs.filter($"doc_id" === id).head().getString(1).getBytes("UTF-8")
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val k = (y / 8) * bw + (x / 8)
+        val v = if (data.isEmpty) 0 else data(k % data.length) & 0xff
+        for (c <- 0 until 3)
+          assert((img.pixels(3 * (y * img.width + x) + c) & 0xff) == v,
+            s"id $id pixel ($x,$y) channel $c")
+      }
+    }
+    // zigzag generator sanity against the published sequence ends/edges
+    assert(Multimodal.JpegZigzag.take(10).toSeq == Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    assert(Multimodal.JpegZigzag(63) == 63 && Multimodal.JpegZigzag.distinct.length == 64)
+  }
+
+  test("jpeg: decode differential against javax.imageio on real DCT-coded payloads") {
+    // grayscale gradient + seeded noise: every AC category and both EXTEND
+    // signs go live; javax writes with the standard Annex K tables, so this
+    // also covers tables our own encoder doesn't use
+    val w = 64; val h = 48
+    val gray = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(42)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (rnd.nextInt(4) == 0) rnd.nextInt(256) else (x * 4 + y * 2) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", gos))
+    val ourGray = Multimodal.parseJpeg(gos.toByteArray).get
+    val refGray = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gos.toByteArray))
+    assert(ourGray.width == w && ourGray.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(refGray.getRaster.getSample(x, y, 0) - (ourGray.pixels(3 * (y * w + x)) & 0xff))
+      assert(d <= 1, s"gray ($x,$y) differs by $d") // JPEG conformance envelope
+    }
+    // 3-component YCbCr: an R=G=B luma gradient keeps both chroma planes
+    // constant, so javax's interpolating upsampler and our replication
+    // upsampler must agree — isolating the color-convert + 4:2:0 plumbing
+    val color = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 3 + y * 5) % 256
+      color.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(color, "jpg", cos))
+    val ourColor = Multimodal.parseJpeg(cos.toByteArray).get
+    val refColor = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cos.toByteArray))
+    assert(ourColor.width == w && ourColor.height == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = refColor.getRGB(x, y)
+      val ref = (rgb >> (16 - 8 * c)) & 0xff
+      val d = math.abs(ref - (ourColor.pixels(3 * (y * w + x) + c) & 0xff))
+      assert(d <= 2, s"color ($x,$y) channel $c differs by $d")
+    }
+  }
+
+  test("jpeg: javax.imageio decodes our DC-exact payloads to the exact model plane") {
+    import spark.implicits._
+    val docs = Seq((7L, "spark"), (10L, "graft jpeg")).toDF("doc_id", "text")
+    for (r <- Multimodal.encodeJpeg(docs).collect()) {
+      val id = r.getAs[Long]("doc_id")
+      val payload = r.getAs[Array[Byte]]("payload")
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(bi != null, s"javax rejected our payload for id $id")
+      val bw = 1 + (id % 4).toInt
+      val bh = 1 + ((id / 4) % 3).toInt
+      assert(bi.getWidth == 8 * bw && bi.getHeight == 8 * bh)
+      val data = docs.filter($"doc_id" === id).head().getString(1).getBytes("UTF-8")
+      for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+        val k = (y / 8) * bw + (x / 8)
+        val v = data(k % data.length) & 0xff
+        // DC-only blocks with Q[0]=8 decode exactly in ANY compliant IDCT
+        assert(bi.getRaster.getSample(x, y, 0) == v, s"id $id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("jpeg: malformed payloads drop — progressive, truncation, bad restart, overfull DHT") {
+    import spark.implicits._
+    val payload = Multimodal.encodeJpeg(Seq((11L, "abcdefgh")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(Multimodal.parseJpeg(payload).isDefined)
+    def findMarker(m: Int): Int = {
+      val i = payload.indices.dropRight(1)
+        .find(i => (payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == m)
+      i.getOrElse(fail(s"marker $m not found"))
+    }
+    // SOF0 -> SOF2 (progressive): rejected, not mis-decoded
+    val prog = payload.clone(); prog(findMarker(0xc0) + 1) = 0xc2.toByte
+    assert(Multimodal.parseJpeg(prog).isEmpty)
+    // first RST0 relabeled RST5: the expected-marker check must fire
+    val badRst = payload.clone(); badRst(findMarker(0xd0) + 1) = 0xd5.toByte
+    assert(Multimodal.parseJpeg(badRst).isEmpty)
+    // truncation mid-entropy-data: the bit reader must not run off the end
+    assert(Multimodal.parseJpeg(payload.dropRight(8)).isEmpty)
+    // over-full Huffman table (three 1-bit codes) fails at table build
+    val overfull = Array[Int](0xff, 0xd8, 0xff, 0xc4, 0x00, 0x16,
+      0x00, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3).map(_.toByte)
+    assert(Multimodal.parseJpeg(overfull).isEmpty)
+    // non-JPEG and empty inputs
+    assert(Multimodal.parseJpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseJpeg(Array.empty[Byte]).isEmpty)
+    // and through the Dataset path: a corrupt row drops, the good row survives
+    val good = Multimodal.encodeJpeg(Seq((11L, "abcdefgh")).toDF("doc_id", "text"))
+      .select($"doc_id", $"payload")
+    val feats = Multimodal.jpegFeatures(good.union(Seq((99L, prog)).toDF("doc_id", "payload")))
+      .collect()
+    assert(feats.map(_.doc_id).toSeq == Seq(11L))
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
