@@ -1360,6 +1360,83 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 5 picks
+    * PPM/BMP/PNG/GIF/JPEG) decoded through one magic-byte dispatcher
+    * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
+    * oracle is a UNION of the five formats' distinct byte models — PPM and
+    * PNG read the identity plane, GIF triples its palette indices, BMP
+    * re-derives every byte through the bottom-up/BGR/stride arithmetic,
+    * JPEG rebuilds the DC-exact block raster — so a regression in any one
+    * parser, or a payload routed to the wrong parser, breaks the hash.
+    */
+  private val qMultimodalSniff: (SparkSession, String) => DataFrame = (s, dir) =>
+    Multimodal.sniffFeatures(Multimodal.encodeMixed(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalSniff: String = {
+    val common =
+      s"""hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+         |octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n""".stripMargin
+    def planeSum(c: Int): String = // PPM/PNG: plane byte j = model byte j
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"3 * p + $c")})), (a, x) -> a + x)""".stripMargin
+    val planeChecksum =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+         |    j -> ${ppmByteSql("j")})), (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin
+    def identityBranch(fmt: String, res: Int): String =
+      s"""SELECT doc_id, '$fmt' AS format, w::INT AS width, h::INT AS height,
+         |       (w * h)::BIGINT AS n_pixels,
+         |       ${planeSum(0)} AS sum_r, ${planeSum(1)} AS sum_g, ${planeSum(2)} AS sum_b,
+         |       $planeChecksum AS checksum
+         |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = $res)""".stripMargin
+    // BMP: logical channel c sits at file offset 2-c; plane byte j maps
+    // through the bottom-up flip + BGR swap + stride arithmetic
+    def bmpSum(fileC: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"(p // w) * st + 3 * (p % w) + $fileC")})), (a, x) -> a + x)""".stripMargin
+    val bmpByte =
+      ppmByteSql("(h - 1 - (j // (3 * w))) * st + 3 * ((j % (3 * w)) // 3) + (2 - (j % 3))")
+    val bmpBranch =
+      s"""SELECT doc_id, 'bmp' AS format, w::INT AS width, h::INT AS height,
+         |       (w * h)::BIGINT AS n_pixels,
+         |       ${bmpSum(2)} AS sum_r, ${bmpSum(1)} AS sum_g, ${bmpSum(0)} AS sum_b,
+         |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+         |           j -> $bmpByte)), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+         |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
+         |             ((3 * (8 + doc_id % 8) + 3) // 4) * 4 AS st
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 1)""".stripMargin
+    // GIF: identity palette triples each index byte across r,g,b
+    val gifIdxSum =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql("p")})), (a, x) -> a + x)""".stripMargin
+    val gifBranch =
+      s"""SELECT doc_id, 'gif' AS format, w::INT AS width, h::INT AS height,
+         |       (w * h)::BIGINT AS n_pixels,
+         |       $gifIdxSum AS sum_r, $gifIdxSum AS sum_g, $gifIdxSum AS sum_b,
+         |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+         |           j -> ${ppmByteSql("j // 3")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+         |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 3)""".stripMargin
+    // JPEG: DC-exact block raster; gray replicates across the channels
+    val jpegBlockSum =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, bw * bh),
+         |    k -> ${ppmByteSql("k")})), (a, x) -> a + x)""".stripMargin
+    val jpegByte = ppmByteSql("((p // w) // 8) * bw + (p % w) // 8")
+    val jpegBranch =
+      s"""SELECT doc_id, 'jpeg' AS format, w::INT AS width, h::INT AS height,
+         |       (w * h)::BIGINT AS n_pixels,
+         |       64 * ($jpegBlockSum) AS sum_r, 64 * ($jpegBlockSum) AS sum_g,
+         |       64 * ($jpegBlockSum) AS sum_b,
+         |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |           p -> $jpegByte)),
+         |         (a, x) -> (((a * 31 + x) * 31 + x) * 31 + x) % 1000000007) AS checksum
+         |FROM (SELECT doc_id, $common, 1 + doc_id % 4 AS bw, 1 + (doc_id // 4) % 3 AS bh,
+         |             8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id // 4) % 3) AS h
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 4)""".stripMargin
+    Seq(identityBranch("ppm", 0), bmpBranch, identityBranch("png", 2), gifBranch, jpegBranch)
+      .mkString("", "\nUNION ALL\n", "")
+  }
+
   /** REAL resize under the gate: nearest-neighbor on the decoded PPM grid.
     * The oracle recomputes each resized byte's source position with the
     * same floor arithmetic (sx = tx*W/tw, sy = ty*H/th), then replays both
@@ -2876,6 +2953,7 @@ object QueryCatalog {
     "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_gif_decode" -> qMultimodalGif,
     "multimodal_jpeg_decode" -> qMultimodalJpeg,
+    "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
@@ -2979,6 +3057,7 @@ object QueryCatalog {
     "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_gif_decode" -> oMultimodalGif,
     "multimodal_jpeg_decode" -> oMultimodalJpeg,
+    "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,

@@ -1747,6 +1747,85 @@ object Multimodal {
       }
   }
 
+  /** Magic-byte dispatch across every image codec in the module: route a
+    * payload to the right parser by its leading signature (P6 → PPM, BM →
+    * BMP, 0x89'P' → PNG, GI → GIF, 0xFFD8 → JPEG) and return the decoded
+    * logical plane with a format tag. Unknown signatures and payloads the
+    * routed parser rejects both return None — a mixed corpus degrades
+    * row-by-row, never job-wide.
+    */
+  private[ext] def sniffImage(bytes: Array[Byte]): Option[(String, PpmImage)] =
+    if (bytes.length < 2) None
+    else ((bytes(0) & 0xff, bytes(1) & 0xff) match {
+      case (0x50, 0x36) => parsePpm(bytes).map(("ppm", _)) // "P6"
+      case (0x42, 0x4d) => parseBmp(bytes).map(("bmp", _)) // "BM"
+      case (0x89, 0x50) => parsePng(bytes).map(("png", _)) // \x89"P"
+      case (0x47, 0x49) => parseGif(bytes).map(("gif", _)) // "GI"
+      case (0xff, 0xd8) => parseJpeg(bytes).map(("jpeg", _)) // SOI
+      case _ => None
+    })
+
+  /** A deterministically mixed-format corpus: document id % 5 picks the
+    * encoder (0 PPM, 1 BMP, 2 PNG, 3 GIF, 4 JPEG), modeling the real shape
+    * of a crawled 100 TB image set where format is data, not schema. Five
+    * disjoint filters over one scan union into a single binary column; all
+    * encoders share the (payload, meta) contract so the union is by name.
+    */
+  def encodeMixed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def slice(k: Int) = docs.filter(col(idCol).cast("long") % 5 === k)
+    encodePpm(slice(0), idCol, textCol)
+      .unionByName(encodeBmp(slice(1), idCol, textCol))
+      .unionByName(encodePng(slice(2), idCol, textCol))
+      .unionByName(encodeGif(slice(3), idCol, textCol))
+      .unionByName(encodeJpeg(slice(4), idCol, textCol))
+  }
+
+  final case class SniffedImageFeatures(
+      doc_id: Long, format: String, width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+
+  /** Format-sniffing decode + unified statistics: every payload goes
+    * through [[sniffImage]]'s magic-byte dispatch and the five decoders'
+    * logical RGB planes are reduced identically — per-channel sums and the
+    * base-31 positional rolling checksum — so one operator serves a
+    * mixed-format corpus and its output is comparable across formats.
+    * This is the capstone gate for the codec ladder: the oracle replays
+    * each format's distinct byte model (PPM/PNG identity plane, GIF's
+    * palette-tripled indices, BMP's flip/swap/stride arithmetic, JPEG's
+    * DC-exact block raster) in one UNION, so a regression in ANY parser,
+    * or a mis-routed signature, fails the hash. Map-only after a unioned
+    * scan — no shuffle; at 100 TB this scales linearly with executors.
+    */
+  def sniffFeatures(withBinary: DataFrame, idCol: String = "doc_id", binCol: String = "payload"): Dataset[SniffedImageFeatures] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          sniffImage(Option(bytesOrNull).getOrElse(Array.empty)).map { case (format, img) =>
+            var r = 0L; var g = 0L; var b = 0L
+            var checksum = 0L
+            var j = 0
+            while (j < img.pixels.length) {
+              val v = img.pixels(j) & 0xff
+              (j % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              checksum = (checksum * 31 + v) % 1000000007L
+              j += 1
+            }
+            SniffedImageFeatures(
+              id, format, img.width, img.height, img.width.toLong * img.height, r, g, b, checksum)
+          }
+        }
+      }
+  }
+
   final case class PcmFrameStats(doc_id: Long, frame_idx: Int, n_samples: Long, rms: Double, peak: Long)
 
   /** ======== REAL codec: raw s16le PCM ========

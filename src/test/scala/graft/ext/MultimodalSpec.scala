@@ -792,6 +792,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.doc_id).toSeq == Seq(11L))
   }
 
+  test("sniff: magic-byte dispatch routes a mixed corpus to all five decoders") {
+    import spark.implicits._
+    // ids 0..4 cover each format residue exactly once; 6 re-hits bmp with
+    // a second canvas; empty text exercises the 0-plane through gif
+    val docs = Seq((0L, "ppm doc"), (1L, "bmp doc"), (2L, "png doc"), (3L, ""),
+      (4L, "jpeg doc"), (6L, "second bmp")).toDF("doc_id", "text")
+    val feats = Multimodal.sniffFeatures(Multimodal.encodeMixed(docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.keySet == Set(0L, 1L, 2L, 3L, 4L, 6L))
+    assert(feats(0L).format == "ppm" && feats(1L).format == "bmp" && feats(2L).format == "png")
+    assert(feats(3L).format == "gif" && feats(4L).format == "jpeg" && feats(6L).format == "bmp")
+    // empty-text gif decodes to the all-zero plane
+    assert(feats(3L).sum_r == 0 && feats(3L).checksum == 0)
+    // cross-check the unified reduction against each single-format path
+    val viaPpm = Multimodal.ppmFeatures(Multimodal.encodePpm(docs.filter($"doc_id" === 0))).head()
+    assert((feats(0L).sum_r, feats(0L).sum_g, feats(0L).sum_b) ==
+      ((viaPpm.sum_r, viaPpm.sum_g, viaPpm.sum_b)))
+    val viaJpeg = Multimodal.jpegFeatures(Multimodal.encodeJpeg(docs.filter($"doc_id" === 4))).head()
+    assert(feats(4L).checksum == viaJpeg.checksum && feats(4L).sum_g == viaJpeg.sum_g)
+    val viaBmp = Multimodal.bmpFeatures(Multimodal.encodeBmp(docs.filter($"doc_id" === 6))).head()
+    assert(feats(6L).checksum == viaBmp.checksum && feats(6L).sum_r == viaBmp.sum_r)
+    // unknown signatures and mis-parsing payloads drop row-by-row
+    assert(Multimodal.sniffImage("XX not an image".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.sniffImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
+    assert(Multimodal.sniffImage(Array[Byte]('P', '6')).isEmpty)
+    assert(Multimodal.sniffImage(Array.empty[Byte]).isEmpty)
+    // and a PNG payload routed by its real signature decodes identically
+    val pngPayload = Multimodal.encodePng(docs.filter($"doc_id" === 2)).head()
+      .getAs[Array[Byte]]("payload")
+    val (fmt, img) = Multimodal.sniffImage(pngPayload).get
+    assert(fmt == "png" && img.pixels.length == 3 * img.width * img.height)
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
