@@ -692,19 +692,31 @@ object Multimodal {
   private val PngSignature =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** Adam7 pass grid (xStart, yStart, xStep, yStep) per RFC 2083 §2.6;
+    * a single full-frame "pass" expresses the non-interlaced layout
+    * through the same decode path. */
+  private val PngAdam7: Array[(Int, Int, Int, Int)] =
+    Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** ======== REAL codec: PNG parse (chunks + zlib + unfilter) ========
     * The first COMPRESSED real-world format in the ladder: signature, a
-    * big-endian chunk walk that verifies each chunk's CRC-32, IHDR
-    * validation pinned to the profile this engine's byte model emits
-    * (8-bit truecolor RGB, compression 0, filter 0, no interlace),
+    * big-endian chunk walk that verifies each chunk's CRC-32,
     * concatenation of ALL IDAT chunks into one zlib stream (a real
     * decoder must — writers may split IDAT anywhere), a from-scratch
     * DEFLATE inflate with Adler-32 verification, and the five PNG
     * scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6) applied
-    * per row. Normalizes to the shared [[PpmImage]] logical RGB plane.
-    * Anything structurally off — bad magic, CRC or Adler mismatch, wrong
-    * bit depth/color type, interlaced, truncated, over-declared
-    * dimensions, bad filter byte, short pixel data — returns None.
+    * per row at the color type's pixel stride. Accepts the 8-bit-depth
+    * profiles real corpora carry: grayscale (0), truecolor (2), palette
+    * (3, via PLTE lookup), gray+alpha (4), and RGBA (6), each in both
+    * progressive orders — sequential and Adam7 interlaced (seven
+    * independently-filtered sub-images scattered back onto the pixel
+    * grid). Alpha is dropped, not composited: curation statistics read
+    * the stored channel values. Normalizes to the shared [[PpmImage]]
+    * logical RGB plane. Anything structurally off — bad magic, CRC or
+    * Adler mismatch, sub-8-bit or 16-bit depth, missing or short PLTE,
+    * truncated, over-declared dimensions, bad filter byte, pixel data not
+    * matching the declared pass layout — returns None.
     */
   private[ext] def parsePng(bytes: Array[Byte]): Option[PpmImage] =
     try {
@@ -716,6 +728,8 @@ object Multimodal {
         ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
           ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
       var w = -1; var h = -1
+      var colorType = -1; var interlace = 0
+      var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var p = 8L
       var sawEnd = false
@@ -732,57 +746,114 @@ object Multimodal {
           case "IHDR" =>
             if (len != 13 || w != -1) throw new MalformedPng
             val dw = u32(dataPos); val dh = u32(dataPos + 4)
-            // 8-bit depth, color type 2 (truecolor), deflate, filter method
-            // 0, no interlace — the only profile the byte model writes
+            colorType = bytes(dataPos + 9) & 0xff
+            interlace = bytes(dataPos + 12) & 0xff
+            // 8-bit depth, compression 0, filter method 0; color types
+            // 0/2/3/4/6, sequential or Adam7
             if (dw < 1 || dh < 1 || dw * dh > (1L << 22) ||
-              bytes(dataPos + 8) != 8 || bytes(dataPos + 9) != 2 ||
+              bytes(dataPos + 8) != 8 ||
+              (colorType != 0 && colorType != 2 && colorType != 3 &&
+                colorType != 4 && colorType != 6) ||
               bytes(dataPos + 10) != 0 || bytes(dataPos + 11) != 0 ||
-              bytes(dataPos + 12) != 0) throw new MalformedPng
+              interlace > 1) throw new MalformedPng
             w = dw.toInt; h = dh.toInt
+          case "PLTE" =>
+            if (w == -1 || len == 0 || len % 3 != 0 || len > 768 || palette != null)
+              throw new MalformedPng
+            palette = java.util.Arrays.copyOfRange(bytes, dataPos, dataPos + len.toInt)
           case "IDAT" =>
             if (w == -1) throw new MalformedPng
             idat.write(bytes, dataPos, len.toInt)
           case "IEND" =>
             if (len != 0) throw new MalformedPng
             sawEnd = true
-          case _ => () // ancillary chunks (tEXt, pHYs, ...) are skipped
+          case _ => () // ancillary chunks (tEXt, pHYs, tRNS, ...) are skipped
         }
         p += 12 + len
       }
-      if (w == -1) throw new MalformedPng
+      if (w == -1 || (colorType == 3 && palette == null)) throw new MalformedPng
+      val bpp = colorType match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      }
+      val passes = if (interlace == 0) Array((0, 0, 1, 1)) else PngAdam7
+      def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
+        val (xs, ys, xStep, yStep) = pass
+        (if (w > xs) (w - xs + xStep - 1) / xStep else 0,
+          if (h > ys) (h - ys + yStep - 1) / yStep else 0)
+      }
+      // empty passes contribute no scanlines at all (RFC 2083 §2.6)
+      val expected = passes.map { pass =>
+        val (pw, ph) = passDims(pass)
+        if (pw > 0 && ph > 0) ph.toLong * (1 + pw.toLong * bpp) else 0L
+      }.sum
       val z = idat.toByteArray
-      val rowBytes = 1 + 3 * w
-      val raw = zlibInflate(z, 0, z.length, rowBytes * h)
-      if (raw.length != rowBytes * h) throw new MalformedPng
-      // unfilter (RFC 2083 §6): bpp = 3; prior row starts all-zero
-      val pixels = new Array[Byte](3 * w * h)
-      var y = 0
-      while (y < h) {
-        val src = y * rowBytes
-        val dst = y * 3 * w
-        val filter = raw(src) & 0xff
-        if (filter > 4) throw new MalformedPng
-        var x = 0
-        while (x < 3 * w) {
-          val cur = raw(src + 1 + x) & 0xff
-          val left = if (x >= 3) pixels(dst + x - 3) & 0xff else 0
-          val up = if (y > 0) pixels(dst - 3 * w + x) & 0xff else 0
-          val ul = if (y > 0 && x >= 3) pixels(dst - 3 * w + x - 3) & 0xff else 0
-          val rec = filter match {
-            case 0 => cur
-            case 1 => cur + left
-            case 2 => cur + up
-            case 3 => cur + (left + up) / 2
-            case 4 =>
-              val pp = left + up - ul
-              val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
-              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-              cur + pred
+      val raw = zlibInflate(z, 0, z.length, expected.toInt)
+      if (raw.length != expected) throw new MalformedPng
+      // unfilter (RFC 2083 §6) per pass — each pass's filtering is
+      // independent, prior row all-zero at pass start — then scatter the
+      // pass pixels back onto the image grid
+      val samples = new Array[Byte](bpp * w * h)
+      var off = 0
+      for (pass <- passes) {
+        val (xs, ys, xStep, yStep) = pass
+        val (pw, ph) = passDims(pass)
+        if (pw > 0 && ph > 0) {
+          val rowBytes = pw * bpp
+          val prior = new Array[Byte](rowBytes)
+          val cur = new Array[Byte](rowBytes)
+          var y = 0
+          while (y < ph) {
+            val filter = raw(off) & 0xff
+            if (filter > 4) throw new MalformedPng
+            off += 1
+            var x = 0
+            while (x < rowBytes) {
+              val c = raw(off + x) & 0xff
+              val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val up = prior(x) & 0xff
+              val ul = if (x >= bpp) prior(x - bpp) & 0xff else 0
+              val rec = filter match {
+                case 0 => c
+                case 1 => c + left
+                case 2 => c + up
+                case 3 => c + (left + up) / 2
+                case 4 =>
+                  val pp = left + up - ul
+                  val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+                  val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                  c + pred
+              }
+              cur(x) = (rec & 0xff).toByte
+              x += 1
+            }
+            off += rowBytes
+            var px = 0
+            while (px < pw) {
+              System.arraycopy(cur, px * bpp, samples, ((ys + y * yStep) * w + xs + px * xStep) * bpp, bpp)
+              px += 1
+            }
+            System.arraycopy(cur, 0, prior, 0, rowBytes)
+            y += 1
           }
-          pixels(dst + x) = (rec & 0xff).toByte
-          x += 1
         }
-        y += 1
+      }
+      // expand per-pixel samples to the logical RGB plane
+      val pixels = new Array[Byte](3 * w * h)
+      var si = 0; var pi = 0; var k = 0
+      while (k < w * h) {
+        (colorType: @annotation.switch) match {
+          case 0 | 4 =>
+            val g = samples(si)
+            pixels(pi) = g; pixels(pi + 1) = g; pixels(pi + 2) = g
+          case 2 | 6 =>
+            pixels(pi) = samples(si); pixels(pi + 1) = samples(si + 1); pixels(pi + 2) = samples(si + 2)
+          case 3 =>
+            val idx = samples(si) & 0xff
+            if (3 * idx + 2 >= palette.length) throw new MalformedPng
+            pixels(pi) = palette(3 * idx); pixels(pi + 1) = palette(3 * idx + 1)
+            pixels(pi + 2) = palette(3 * idx + 2)
+        }
+        si += bpp; pi += 3; k += 1
       }
       Some(PpmImage(w, h, 255, pixels))
     } catch {

@@ -537,7 +537,8 @@ class MultimodalSpec extends AnyFunSuite {
     System.arraycopy(be32(Multimodal.crc32(fixedBody, 0, fixedBody.length)), 0,
       refixed, 8 + 25 + 8 + idatLen, 4)
     assert(Multimodal.parsePng(refixed).isEmpty)
-    // interlaced flag set (with CRC recomputed) -> unsupported profile drops
+    // interlaced flag set (with CRC recomputed) on sequential data: the
+    // stream no longer matches the Adam7 pass layout -> length check drops
     val inter = payload.clone(); inter(8 + 8 + 12) = 1
     val interBody = inter.slice(8 + 4, 8 + 8 + ihdrLen)
     System.arraycopy(be32(Multimodal.crc32(interBody, 0, interBody.length)), 0,
@@ -546,6 +547,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parsePng(payload.dropRight(5)).isEmpty) // truncated
     assert(Multimodal.parsePng("BM6".getBytes("US-ASCII")).isEmpty) // wrong magic
     assert(Multimodal.parsePng(Array.emptyByteArray).isEmpty)
+  }
+
+  test("png: real-world color types and Adam7 — differential against javax.imageio") {
+    import java.awt.image.BufferedImage
+    def writePng(bi: BufferedImage, progressive: Boolean): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(os)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      if (progressive) param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      os.toByteArray
+    }
+    val rnd = new scala.util.Random(11)
+    // color type 0 (grayscale) and type 2 (RGB), sequential AND Adam7: odd
+    // dims exercise the empty/ragged interlace passes
+    for ((imgType, bands) <- Seq(BufferedImage.TYPE_BYTE_GRAY -> 1, BufferedImage.TYPE_3BYTE_BGR -> 3);
+         progressive <- Seq(false, true)) {
+      val w = 21; val h = 13
+      val bi = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until bands)
+        bi.getRaster.setSample(x, y, b, rnd.nextInt(256))
+      val img = Multimodal.parsePng(writePng(bi, progressive)).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val expect = bi.getRaster.getSample(x, y, if (bands == 1) 0 else c)
+        assert((img.pixels(3 * (y * w + x) + c) & 0xff) == expect,
+          s"type $imgType progressive=$progressive pixel ($x,$y,$c)")
+      }
+    }
+    // color type 3 (palette) through a real PLTE, interlaced as well
+    val gray = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    for (progressive <- Seq(false, true)) {
+      val w = 17; val h = 9
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val img = Multimodal.parsePng(writePng(bi, progressive)).get
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.pixels(3 * (y * w + x)) & 0xff) == bi.getRaster.getSample(x, y, 0),
+          s"palette progressive=$progressive pixel ($x,$y)")
+    }
+    // color type 6 (RGBA): stored channel values survive, alpha is dropped
+    val w6 = 11; val h6 = 7
+    val argb = new BufferedImage(w6, h6, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h6; x <- 0 until w6)
+      argb.setRGB(x, y, (rnd.nextInt(256) << 24) | rnd.nextInt(0x1000000))
+    val img6 = Multimodal.parsePng(writePng(argb, progressive = false)).get
+    for (y <- 0 until h6; x <- 0 until w6; c <- 0 until 3) {
+      val expect = (argb.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      assert((img6.pixels(3 * (y * w6 + x) + c) & 0xff) == expect, s"rgba pixel ($x,$y,$c)")
+    }
+    // color type 4 (gray+alpha), hand-built: javax won't write it from a
+    // standard BufferedImage type, the wire format is simple enough to emit
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(ctype: String, body: Array[Byte]): Array[Byte] = {
+      val tb = ctype.getBytes("US-ASCII") ++ body
+      be32(body.length) ++ tb ++ be32(Multimodal.crc32(tb, 0, tb.length))
+    }
+    val w4 = 5; val h4 = 3
+    val ga = Array.tabulate(h4)(y => Array.tabulate(w4)(x => (y * w4 + x) * 16 % 256))
+    val rawRows = (0 until h4).flatMap { y =>
+      0.toByte +: (0 until w4).flatMap(x => Seq(ga(y)(x).toByte, 200.toByte))
+    }.toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(rawRows); deflater.finish()
+    val zbuf = new Array[Byte](1024)
+    val zlen = deflater.deflate(zbuf)
+    val ihdr4 = be32(w4) ++ be32(h4) ++ Array[Byte](8, 4, 0, 0, 0)
+    val png4 = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr4) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img4 = Multimodal.parsePng(png4).get
+    assert(img4.width == w4 && img4.height == h4)
+    for (y <- 0 until h4; x <- 0 until w4; c <- 0 until 3)
+      assert((img4.pixels(3 * (y * w4 + x) + c) & 0xff) == ga(y)(x), s"gray+alpha ($x,$y,$c)")
+    // palette index past a short PLTE is malformed, not a misread
+    val shortPlte = chunk("PLTE", Array[Byte](1, 2, 3, 4, 5, 6)) // 2 entries
+    val idxRows = Array[Byte](0, 5) // one row, filter 0, index 5 > max 1
+    val d2 = new java.util.zip.Deflater(); d2.setInput(idxRows); d2.finish()
+    val z2 = new Array[Byte](64); val z2len = d2.deflate(z2)
+    val png3bad = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+      shortPlte ++ chunk("IDAT", z2.take(z2len)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.parsePng(png3bad).isEmpty)
+    // palette color type without any PLTE is malformed
+    val png3none = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be32(1) ++ be32(1) ++ Array[Byte](8, 3, 0, 0, 0)) ++
+      chunk("IDAT", z2.take(z2len)) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.parsePng(png3none).isEmpty)
   }
 
   test("gif: encode -> parse round trip; grayscale identity palette recovers the byte model") {
