@@ -706,17 +706,21 @@ object Multimodal {
     * decoder must — writers may split IDAT anywhere), a from-scratch
     * DEFLATE inflate with Adler-32 verification, and the five PNG
     * scanline unfilters (None/Sub/Up/Average/Paeth, RFC 2083 §6) applied
-    * per row at the color type's pixel stride. Accepts the 8-bit-depth
-    * profiles real corpora carry: grayscale (0), truecolor (2), palette
-    * (3, via PLTE lookup), gray+alpha (4), and RGBA (6), each in both
-    * progressive orders — sequential and Adam7 interlaced (seven
-    * independently-filtered sub-images scattered back onto the pixel
-    * grid). Alpha is dropped, not composited: curation statistics read
-    * the stored channel values. Normalizes to the shared [[PpmImage]]
-    * logical RGB plane. Anything structurally off — bad magic, CRC or
-    * Adler mismatch, sub-8-bit or 16-bit depth, missing or short PLTE,
-    * truncated, over-declared dimensions, bad filter byte, pixel data not
-    * matching the declared pass layout — returns None.
+    * per row at the color type's pixel stride. Accepts the full
+    * real-world profile matrix of §11.2.2: grayscale (0) at depths
+    * 1/2/4/8/16, truecolor (2) at 8/16, palette (3, via PLTE lookup) at
+    * 1/2/4/8, gray+alpha (4) and RGBA (6) at 8/16 — sub-byte samples are
+    * MSB-first bit-packed and gray values scale up by 255/(2^d−1);
+    * 16-bit samples reduce to their big-endian high byte (the standard
+    * 8-bit significance reduction) — each in both progressive orders:
+    * sequential and Adam7 interlaced (seven independently-filtered
+    * sub-images scattered back onto the pixel grid). Alpha is dropped,
+    * not composited: curation statistics read the stored channel values.
+    * Normalizes to the shared [[PpmImage]] logical RGB plane. Anything
+    * structurally off — bad magic, CRC or Adler mismatch, a depth the
+    * color type doesn't permit, missing or short PLTE, truncated,
+    * over-declared dimensions, bad filter byte, pixel data not matching
+    * the declared pass layout — returns None.
     */
   private[ext] def parsePng(bytes: Array[Byte]): Option[PpmImage] =
     try {
@@ -728,7 +732,7 @@ object Multimodal {
         ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
           ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
       var w = -1; var h = -1
-      var colorType = -1; var interlace = 0
+      var colorType = -1; var depth = 8; var interlace = 0
       var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       var p = 8L
@@ -746,14 +750,18 @@ object Multimodal {
           case "IHDR" =>
             if (len != 13 || w != -1) throw new MalformedPng
             val dw = u32(dataPos); val dh = u32(dataPos + 4)
+            depth = bytes(dataPos + 8) & 0xff
             colorType = bytes(dataPos + 9) & 0xff
             interlace = bytes(dataPos + 12) & 0xff
-            // 8-bit depth, compression 0, filter method 0; color types
-            // 0/2/3/4/6, sequential or Adam7
-            if (dw < 1 || dh < 1 || dw * dh > (1L << 22) ||
-              bytes(dataPos + 8) != 8 ||
-              (colorType != 0 && colorType != 2 && colorType != 3 &&
-                colorType != 4 && colorType != 6) ||
+            // compression 0, filter method 0; color types 0/2/3/4/6 at
+            // the depths §11.2.2 permits each; sequential or Adam7
+            val depthOk = colorType match {
+              case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+              case 2 | 4 | 6 => depth == 8 || depth == 16
+              case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+              case _ => false
+            }
+            if (dw < 1 || dh < 1 || dw * dh > (1L << 22) || !depthOk ||
               bytes(dataPos + 10) != 0 || bytes(dataPos + 11) != 0 ||
               interlace > 1) throw new MalformedPng
             w = dw.toInt; h = dh.toInt
@@ -772,9 +780,13 @@ object Multimodal {
         p += 12 + len
       }
       if (w == -1 || (colorType == 3 && palette == null)) throw new MalformedPng
-      val bpp = colorType match {
-        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      val channels = colorType match {
+        case 0 | 3 => 1; case 4 => 2; case 2 => 3; case 6 => 4
       }
+      val bitsPP = depth * channels
+      // filter stride: bytes per complete pixel, rounded up to one (§9.2)
+      val fstride = math.max(1, bitsPP / 8)
+      def rowBytesOf(pw: Int): Int = (pw * bitsPP + 7) / 8
       val passes = if (interlace == 0) Array((0, 0, 1, 1)) else PngAdam7
       def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
         val (xs, ys, xStep, yStep) = pass
@@ -784,21 +796,24 @@ object Multimodal {
       // empty passes contribute no scanlines at all (RFC 2083 §2.6)
       val expected = passes.map { pass =>
         val (pw, ph) = passDims(pass)
-        if (pw > 0 && ph > 0) ph.toLong * (1 + pw.toLong * bpp) else 0L
+        if (pw > 0 && ph > 0) ph.toLong * (1 + rowBytesOf(pw)) else 0L
       }.sum
       val z = idat.toByteArray
       val raw = zlibInflate(z, 0, z.length, expected.toInt)
       if (raw.length != expected) throw new MalformedPng
       // unfilter (RFC 2083 §6) per pass — each pass's filtering is
-      // independent, prior row all-zero at pass start — then scatter the
-      // pass pixels back onto the image grid
-      val samples = new Array[Byte](bpp * w * h)
+      // independent, prior row all-zero at pass start — then extract each
+      // pixel's channels at its bit position (MSB-first packing for
+      // sub-byte depths, high byte for 16-bit: the standard 8-bit
+      // significance reduction) and scatter onto the image grid
+      val grayScaleUp = if (colorType == 0 && depth < 8) 255 / ((1 << depth) - 1) else 1
+      val samples = new Array[Byte](channels * w * h)
       var off = 0
       for (pass <- passes) {
         val (xs, ys, xStep, yStep) = pass
         val (pw, ph) = passDims(pass)
         if (pw > 0 && ph > 0) {
-          val rowBytes = pw * bpp
+          val rowBytes = rowBytesOf(pw)
           val prior = new Array[Byte](rowBytes)
           val cur = new Array[Byte](rowBytes)
           var y = 0
@@ -809,9 +824,9 @@ object Multimodal {
             var x = 0
             while (x < rowBytes) {
               val c = raw(off + x) & 0xff
-              val left = if (x >= bpp) cur(x - bpp) & 0xff else 0
+              val left = if (x >= fstride) cur(x - fstride) & 0xff else 0
               val up = prior(x) & 0xff
-              val ul = if (x >= bpp) prior(x - bpp) & 0xff else 0
+              val ul = if (x >= fstride) prior(x - fstride) & 0xff else 0
               val rec = filter match {
                 case 0 => c
                 case 1 => c + left
@@ -829,7 +844,19 @@ object Multimodal {
             off += rowBytes
             var px = 0
             while (px < pw) {
-              System.arraycopy(cur, px * bpp, samples, ((ys + y * yStep) * w + xs + px * xStep) * bpp, bpp)
+              val base = ((ys + y * yStep) * w + xs + px * xStep) * channels
+              var ch = 0
+              while (ch < channels) {
+                val bitPos = px * bitsPP + ch * depth
+                val v =
+                  if (depth >= 8) cur(bitPos >> 3) & 0xff // 16-bit: big-endian high byte
+                  else {
+                    val b = cur(bitPos >> 3) & 0xff
+                    ((b >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)) * grayScaleUp
+                  }
+                samples(base + ch) = v.toByte
+                ch += 1
+              }
               px += 1
             }
             System.arraycopy(cur, 0, prior, 0, rowBytes)
@@ -853,7 +880,7 @@ object Multimodal {
             pixels(pi) = palette(3 * idx); pixels(pi + 1) = palette(3 * idx + 1)
             pixels(pi + 2) = palette(3 * idx + 2)
         }
-        si += bpp; pi += 3; k += 1
+        si += channels; pi += 3; k += 1
       }
       Some(PpmImage(w, h, 255, pixels))
     } catch {

@@ -919,6 +919,107 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fmt == "png" && img.pixels.length == 3 * img.width * img.height)
   }
 
+  test("png: sub-byte and 16-bit depths — differential against javax.imageio") {
+    import java.awt.image.BufferedImage
+    def writePng(bi: BufferedImage): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", os))
+      os.toByteArray
+    }
+    val rnd = new scala.util.Random(99)
+    // depths 1, 2, 4 via indexed images with 2/4/16-entry palettes; width
+    // 19 leaves a ragged partial byte at every row end
+    for (depth <- Seq(1, 2, 4)) {
+      val nEntries = 1 << depth
+      val comp = Array.tabulate(nEntries)(i => (i * 255 / (nEntries - 1)).toByte)
+      val icm = new java.awt.image.IndexColorModel(depth, nEntries, comp, comp, comp)
+      val w = 19; val h = 7
+      val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm)
+      for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, rnd.nextInt(nEntries))
+      val img = Multimodal.parsePng(writePng(bi)).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val expect = (bi.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        assert((img.pixels(3 * (y * w + x) + c) & 0xff) == expect, s"depth $depth pixel ($x,$y,$c)")
+      }
+    }
+    // 16-bit grayscale: our 8-bit reduction must be the stored high byte
+    val w16 = 9; val h16 = 5
+    val g16 = new BufferedImage(w16, h16, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h16; x <- 0 until w16) g16.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val img16 = Multimodal.parsePng(writePng(g16)).get
+    assert(img16.width == w16 && img16.height == h16)
+    for (y <- 0 until h16; x <- 0 until w16) {
+      val expect = g16.getRaster.getSample(x, y, 0) >> 8
+      assert((img16.pixels(3 * (y * w16 + x)) & 0xff) == expect, s"16-bit pixel ($x,$y)")
+    }
+    // a depth the color type doesn't permit drops: rewrite our own 8-bit
+    // truecolor payload's IHDR to claim depth 16 (data no longer fits)
+    import spark.implicits._
+    val payload = Multimodal.encodePng(Seq((0L, "abc")).toDF("doc_id", "text"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val deep = payload.clone(); deep(8 + 8 + 8) = 16 // IHDR depth byte
+    val body = deep.slice(8 + 4, 8 + 8 + 13)
+    System.arraycopy(be32(Multimodal.crc32(body, 0, body.length)), 0, deep, 8 + 8 + 13, 4)
+    assert(Multimodal.parsePng(deep).isEmpty) // 16-bit data twice as long: length check fires
+    val odd = payload.clone(); odd(8 + 8 + 8) = 3 // depth 3 exists in no profile
+    System.arraycopy(be32(Multimodal.crc32(odd.slice(8 + 4, 8 + 8 + 13), 0, 17)), 0, odd, 8 + 8 + 13, 4)
+    assert(Multimodal.parsePng(odd).isEmpty)
+  }
+
+  test("codec fuzz: corruptions and truncations return None or Some, never throw") {
+    import spark.implicits._
+    // at 100 TB corrupt payloads are a certainty, and one uncaught throw
+    // inside mapPartitions fails the whole task, not the row — so every
+    // parser must absorb arbitrary damage. Exhaustive single-byte
+    // corruption (two patterns) + every truncation + seeded random
+    // multi-byte damage, across all seven binary formats.
+    val docs = Seq((3L, "fuzz me gently")).toDF("doc_id", "text")
+    def payloadOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.collect().head.getAs[Array[Byte]]("payload")
+    val targets: Seq[(String, Array[Byte] => Option[Any])] = Seq(
+      "ppm" -> (Multimodal.parsePpm(_)),
+      "bmp" -> (Multimodal.parseBmp(_)),
+      "png" -> (Multimodal.parsePng(_)),
+      "gif" -> (Multimodal.parseGif(_)),
+      "jpeg" -> (Multimodal.parseJpeg(_)),
+      "wav" -> (Multimodal.parseWav(_)),
+      "avi" -> (Multimodal.parseAvi(_)))
+    val payloads = Map(
+      "ppm" -> payloadOf(Multimodal.encodePpm(docs)),
+      "bmp" -> payloadOf(Multimodal.encodeBmp(docs)),
+      "png" -> payloadOf(Multimodal.encodePng(docs)),
+      "gif" -> payloadOf(Multimodal.encodeGif(docs)),
+      "jpeg" -> payloadOf(Multimodal.encodeJpeg(docs)),
+      "wav" -> payloadOf(Multimodal.encodeWav(docs)),
+      "avi" -> payloadOf(Multimodal.encodeAvi(docs)))
+    val rnd = new scala.util.Random(1234)
+    for ((fmt, parse) <- targets) {
+      val payload = payloads(fmt)
+      def check(bytes: Array[Byte], what: String): Unit =
+        try parse(bytes)
+        catch {
+          case e: Throwable => fail(s"$fmt threw ${e.getClass.getSimpleName} on $what")
+        }
+      for (i <- payload.indices; pattern <- Seq(0xff, 0x55)) {
+        val c = payload.clone(); c(i) = (c(i) ^ pattern).toByte
+        check(c, s"byte $i ^ $pattern")
+        if (fmt != "avi" && fmt != "wav") // image payloads also go through dispatch
+          try Multimodal.sniffImage(c)
+          catch { case e: Throwable => fail(s"sniff($fmt) threw on byte $i ^ $pattern") }
+      }
+      for (len <- 0 to payload.length)
+        check(payload.take(len), s"truncation to $len")
+      for (round <- 0 until 200) {
+        val c = payload.clone()
+        for (_ <- 0 to rnd.nextInt(8)) c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        check(c, s"random round $round")
+      }
+    }
+  }
+
   test("metadata struct carries byte length and header hex") {
     val withBin = Multimodal.attachBinary(
       SparkSpec.spark.createDataFrame(Seq((5L, "ABCDEFGHIJ"))).toDF("doc_id", "text"))
