@@ -1465,25 +1465,34 @@ object Multimodal {
 
   private final case class JpegComponent(id: Int, h: Int, v: Int, tq: Int)
 
-  /** ======== REAL codec: baseline JPEG decode, from scratch ========
+  /** ======== REAL codec: JPEG decode, from scratch ========
     * The fifth real image format and the third entropy coder in the
-    * ladder (after DEFLATE and GIF-LZW): ISO/IEC 10918-1 baseline
-    * sequential DCT. The marker walk handles APPn/COM skipping, multi-
-    * table DQT (8- and 16-bit precision) and DHT segments, SOF0 (8-bit,
-    * 1 or 3 components, sampling factors 1..4), DRI, and a single
-    * interleaved SOS; the scan decode runs canonical-Huffman DC
-    * difference + AC run/size decoding with ZRL and EOB, EXTEND sign
-    * recovery, dequantization through the zigzag order, a separable
-    * double-precision IDCT, restart-marker realignment with DC predictor
-    * reset, and byte-unstuffing. Grayscale maps straight to the shared
-    * [[PpmImage]] RGB plane; 3-component scans are upsampled by
-    * replication against Hmax/Vmax and converted with the JFIF YCbCr
-    * formulas. Structural damage — non-baseline SOF, over-full Huffman
+    * ladder (after DEFLATE and GIF-LZW): ISO/IEC 10918-1 DCT decode in
+    * BOTH the baseline-sequential (SOF0/SOF1) and PROGRESSIVE (SOF2)
+    * modes — the latter is what most crawled web JPEGs actually are.
+    * The marker walk handles APPn/COM skipping, multi-table DQT (8- and
+    * 16-bit precision) and DHT segments, DRI, and any number of SOS
+    * scans; coefficients accumulate per component over the interleaved-
+    * padded block grid and dequantization + IDCT are deferred until EOI,
+    * so spectral-selection bands and successive-approximation bit planes
+    * compose in any spec-legal order. Scan decode covers canonical-
+    * Huffman DC difference + AC run/size with ZRL and EOB, EXTEND sign
+    * recovery, progressive DC/AC first passes (point transform << Al,
+    * EOB-run block skipping per G.1.2.2) and refinement passes (DC bit
+    * append; the G.1.2.3 correction-bit walk where nonzero-history
+    * coefficients consume a bit without consuming the zero run),
+    * restart-marker realignment with DC-predictor and EOB-run reset, and
+    * byte-unstuffing. Grayscale maps straight to the shared [[PpmImage]]
+    * RGB plane; 3-component scans are upsampled by replication against
+    * Hmax/Vmax and converted with the JFIF YCbCr formulas. Structural
+    * damage — lossless/arithmetic/hierarchical SOFs, over-full Huffman
     * tables, coefficient overrun, missing tables, truncation, a wrong
-    * restart marker — returns None: the malformed-drop convention.
-    * Differentially verified in MultimodalSpec against javax.imageio on
-    * real DCT-coded payloads (gradient/noise images exercise every AC
-    * category), pixel-exact to the JPEG conformance tolerance.
+    * restart marker, a band or approximation header the mode forbids —
+    * returns None: the malformed-drop convention. Differentially
+    * verified in MultimodalSpec against javax.imageio on real DCT-coded
+    * payloads in both modes (gradient/noise images exercise every AC
+    * category and, progressively, the EOB-run and refinement paths),
+    * pixel-exact to the JPEG conformance tolerance.
     */
   private[ext] def parseJpeg(bytes: Array[Byte]): Option[PpmImage] =
     try {
@@ -1497,12 +1506,184 @@ object Multimodal {
       val qtSet = new Array[Boolean](4)
       val huffs = new Array[JpegHuffTable](8) // tc * 4 + th
       var width = -1; var height = -1
+      var progressive = false
       var comps: Array[JpegComponent] = null
       var restartInterval = 0
-      var scanTd: Array[Int] = null; var scanTa: Array[Int] = null
+      // per-component coefficient stores over the interleaved-padded block
+      // grid; any number of scans accumulate into them, dequant + IDCT
+      // run once at EOI
+      var mcusX = 0; var mcusY = 0; var hmax = 1; var vmax = 1
+      var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+      var scanBW: Array[Int] = null; var scanBH: Array[Int] = null
+      var coefs: Array[Array[Int]] = null
+      var scans = 0
+
+      def decodeScan(er: JpegEntropyReader, scanComp: Array[Int], scanTd: Array[Int],
+          scanTa: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        val ns = scanComp.length
+        val pred = new Array[Int](ns)
+        var eobrun = 0
+        val dcT = Array.tabulate(ns) { i =>
+          if (ss == 0 && ah == 0) {
+            val t = huffs(scanTd(i)); if (t == null) throw new MalformedJpeg; t
+          } else null // DC refinement reads raw bits, no table
+        }
+        val acT = Array.tabulate(ns) { i =>
+          if (se > 0) {
+            val t = huffs(4 + scanTa(i)); if (t == null) throw new MalformedJpeg; t
+          } else null
+        }
+        def dcDiff(i: Int): Int = {
+          val t = dcT(i).decode(er)
+          if (t > 11) throw new MalformedJpeg
+          if (t == 0) 0 else jpegExtend(er.receive(t), t)
+        }
+        // sequential: DC difference + AC run/size through the full band
+        def blockFull(i: Int, base: Int): Unit = {
+          pred(i) += dcDiff(i)
+          val cf = coefs(scanComp(i))
+          cf(base) = pred(i)
+          var k = 1
+          var done = false
+          while (!done && k < 64) {
+            val rs = acT(i).decode(er)
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 else done = true // ZRL vs EOB
+            } else {
+              k += r
+              if (k > 63) throw new MalformedJpeg
+              cf(base + JpegZigzag(k)) = jpegExtend(er.receive(sz), sz)
+              k += 1
+            }
+          }
+        }
+        def dcFirst(i: Int, base: Int): Unit = {
+          pred(i) += dcDiff(i)
+          coefs(scanComp(i))(base) = pred(i) << al
+        }
+        def dcRefine(i: Int, base: Int): Unit =
+          if (er.bit() == 1) coefs(scanComp(i))(base) |= (1 << al)
+        // G.1.2.2: AC first pass — band values << Al, EOBn starts a run of
+        // entirely-zero-band blocks (this block included)
+        def acFirst(i: Int, base: Int): Unit = {
+          if (eobrun > 0) { eobrun -= 1; return }
+          val cf = coefs(scanComp(i))
+          var k = ss
+          var done = false
+          while (!done && k <= se) {
+            val rs = acT(i).decode(er)
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += er.receive(r)
+                done = true
+              }
+            } else {
+              k += r
+              if (k > se) throw new MalformedJpeg
+              cf(base + JpegZigzag(k)) = jpegExtend(er.receive(sz), sz) << al
+              k += 1
+            }
+          }
+        }
+        // G.1.2.3: AC refinement — each nonzero-history coefficient passed
+        // consumes a correction bit WITHOUT consuming the zero run; a run
+        // value r counts only zero-history slots; EOBn switches the rest
+        // of this block (and the next eobrun blocks) to corrections only
+        def acRefine(i: Int, base: Int): Unit = {
+          val cf = coefs(scanComp(i))
+          val p1 = 1 << al; val m1 = -1 << al
+          def correct(z: Int): Unit =
+            if (er.bit() == 1 && (cf(z) & p1) == 0)
+              cf(z) += (if (cf(z) >= 0) p1 else m1)
+          var k = ss
+          if (eobrun > 0) {
+            while (k <= se) { val z = base + JpegZigzag(k); if (cf(z) != 0) correct(z); k += 1 }
+            eobrun -= 1
+            return
+          }
+          var inEob = false
+          while (!inEob && k <= se) {
+            val rs = acT(i).decode(er)
+            var r = rs >> 4; val sz = rs & 0x0f
+            var newval = 0
+            if (sz != 0) {
+              if (sz != 1) throw new MalformedJpeg // refinement codes only ±1
+              newval = if (er.bit() == 1) p1 else m1
+            } else if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += er.receive(r)
+              inEob = true
+            }
+            if (!inEob) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = base + JpegZigzag(k)
+                if (cf(z) != 0) correct(z)
+                else if (r == 0) { if (newval != 0) cf(z) = newval; placed = true }
+                else r -= 1
+                k += 1
+              }
+              if (!placed && newval != 0) throw new MalformedJpeg // band overrun
+            }
+          }
+          while (k <= se) { val z = base + JpegZigzag(k); if (cf(z) != 0) correct(z); k += 1 }
+        }
+        def decodeBlock(i: Int, base: Int): Unit =
+          if (!progressive) blockFull(i, base)
+          else if (ss == 0) { if (ah == 0) dcFirst(i, base) else dcRefine(i, base) }
+          else { if (ah == 0) acFirst(i, base) else acRefine(i, base) }
+        var rst = 0
+        def restart(): Unit = {
+          er.restart(rst); rst = (rst + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        if (ns == 1) {
+          // A.2.2: single-component scans are non-interleaved — one block
+          // per MCU over the component's own ceiling grid, indexed into
+          // the padded store by row stride
+          val ci = scanComp(0)
+          val bw = scanBW(ci); val stride = blocksW(ci)
+          val total = bw * scanBH(ci)
+          var mcu = 0
+          while (mcu < total) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            decodeBlock(0, ((mcu / bw) * stride + (mcu % bw)) * 64)
+            mcu += 1
+          }
+        } else {
+          val total = mcusX * mcusY
+          var mcu = 0
+          while (mcu < total) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) restart()
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var i = 0
+            while (i < ns) {
+              val ci = scanComp(i)
+              val comp = comps(ci)
+              var bi = 0
+              while (bi < comp.v) {
+                var bj = 0
+                while (bj < comp.h) {
+                  decodeBlock(i, ((my * comp.v + bi) * blocksW(ci) + mx * comp.h + bj) * 64)
+                  bj += 1
+                }
+                bi += 1
+              }
+              i += 1
+            }
+            mcu += 1
+          }
+        }
+      }
+
       var p = 2
-      var sosPos = -1
-      while (sosPos < 0) {
+      var sawEoi = false
+      while (!sawEoi) {
         if (p >= n || (bytes(p) & 0xff) != 0xff) throw new MalformedJpeg
         var q = p + 1 // optional 0xFF fill bytes precede the marker code
         while (q < n && (bytes(q) & 0xff) == 0xff) q += 1
@@ -1512,8 +1693,10 @@ object Multimodal {
         m match {
           case 0x01 => () // TEM: standalone
           case mm if mm >= 0xd0 && mm <= 0xd7 => () // stray RST: standalone
-          case 0xd8 | 0xd9 => throw new MalformedJpeg // SOI again / EOI before scan
-          case 0xc0 => // SOF0: baseline sequential DCT
+          case 0xd8 => throw new MalformedJpeg // SOI again
+          case 0xd9 => sawEoi = true
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential DCT, SOF2 progressive
+            progressive = m == 0xc2
             val len = u16(p)
             if (comps != null || len < 11 || (bytes(p + 2) & 0xff) != 8) throw new MalformedJpeg
             height = u16(p + 3); width = u16(p + 5)
@@ -1528,9 +1711,18 @@ object Multimodal {
                 throw new MalformedJpeg
               comp
             }
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            blocksW = Array.tabulate(nc)(c => mcusX * comps(c).h)
+            blocksH = Array.tabulate(nc)(c => mcusY * comps(c).v)
+            // non-interleaved grids from the component ceiling dimensions
+            scanBW = Array.tabulate(nc)(c => ((width * comps(c).h + hmax - 1) / hmax + 7) / 8)
+            scanBH = Array.tabulate(nc)(c => ((height * comps(c).v + vmax - 1) / vmax + 7) / 8)
+            coefs = Array.tabulate(nc)(c => new Array[Int](blocksW(c) * blocksH(c) * 64))
             p += len
-          case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
-            throw new MalformedJpeg // progressive/extended/lossless/arithmetic: not baseline
+          case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+            throw new MalformedJpeg // lossless/arithmetic/hierarchical: unsupported
           case 0xc4 => // DHT: one segment may carry several tables
             val len = u16(p)
             var s = p + 2
@@ -1571,103 +1763,93 @@ object Multimodal {
             if (u16(p) != 4) throw new MalformedJpeg
             restartInterval = u16(p + 2)
             p += 4
-          case 0xda => // SOS: single interleaved scan, components in SOF order
+          case 0xda => // SOS: any number of scans until EOI
             val len = u16(p)
             if (comps == null) throw new MalformedJpeg
             val ns = bytes(p + 2) & 0xff
-            if (ns != comps.length || len != 6 + 2 * ns) throw new MalformedJpeg
-            scanTd = new Array[Int](ns); scanTa = new Array[Int](ns)
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) throw new MalformedJpeg
+            val scanComp = new Array[Int](ns)
+            val scanTd = new Array[Int](ns); val scanTa = new Array[Int](ns)
             var c = 0
             while (c < ns) {
-              if ((bytes(p + 3 + 2 * c) & 0xff) != comps(c).id) throw new MalformedJpeg
+              val ci = comps.indexWhere(_.id == (bytes(p + 3 + 2 * c) & 0xff))
+              if (ci < 0) throw new MalformedJpeg
+              scanComp(c) = ci
               val tdta = bytes(p + 4 + 2 * c) & 0xff
               scanTd(c) = tdta >> 4; scanTa(c) = tdta & 0x0f
               c += 1
             }
-            if ((bytes(p + 3 + 2 * ns) & 0xff) != 0 || (bytes(p + 4 + 2 * ns) & 0xff) != 63)
-              throw new MalformedJpeg // Ss/Se must be the sequential-DCT 0..63
-            sosPos = p + len
+            val ss = bytes(p + 3 + 2 * ns) & 0xff
+            val se = bytes(p + 4 + 2 * ns) & 0xff
+            val ahal = bytes(p + 5 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (progressive) {
+              // B.2.3: DC scans are band 0..0; AC scans are single-
+              // component bands within 1..63; refinement steps Al by one
+              if (ss == 0 && se != 0) throw new MalformedJpeg
+              if (ss > 0 && (ns != 1 || se < ss || se > 63)) throw new MalformedJpeg
+              if (ss > 63 || al > 13 || (ah != 0 && ah != al + 1)) throw new MalformedJpeg
+            } else if (ss != 0 || se != 63 || ah != 0 || al != 0) throw new MalformedJpeg
+            val er = new JpegEntropyReader(bytes, p + len, n)
+            decodeScan(er, scanComp, scanTd, scanTa, ss, se, ah, al)
+            scans += 1
+            // resume the marker walk at the first real marker after the
+            // entropy data (skip stuffed bytes, fill bytes, trailing RSTs)
+            var sp = er.pos
+            var next = -1
+            while (next < 0) {
+              while (sp < n && (bytes(sp) & 0xff) != 0xff) sp += 1
+              if (sp + 1 >= n) throw new MalformedJpeg
+              val mm = bytes(sp + 1) & 0xff
+              if (mm == 0x00) sp += 2
+              else if (mm == 0xff) sp += 1
+              else if (mm >= 0xd0 && mm <= 0xd7) sp += 2
+              else next = sp
+            }
+            p = next
           case _ => // APPn / COM / DNL / unknown: skip by declared length
             val len = u16(p)
             if (len < 2) throw new MalformedJpeg
             p += len
         }
       }
-      // ---- entropy-coded scan ----
+      if (comps == null || scans == 0) throw new MalformedJpeg
+      // ---- dequantize + IDCT every block into per-component planes ----
       val nc = comps.length
-      // A single-component scan is non-interleaved: MCU = one block, the
-      // SOF sampling factors don't partition the data (ISO A.2.2).
-      val eff = if (nc == 1) comps.map(_.copy(h = 1, v = 1)) else comps
-      val ehmax = eff.map(_.h).max; val evmax = eff.map(_.v).max
-      val mcusX = (width + 8 * ehmax - 1) / (8 * ehmax)
-      val mcusY = (height + 8 * evmax - 1) / (8 * evmax)
-      val planeW = Array.tabulate(nc)(c => mcusX * eff(c).h * 8)
-      val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * mcusY * eff(c).v * 8))
-      val dcTbl = Array.tabulate(nc) { c =>
-        val t = huffs(scanTd(c)); if (t == null) throw new MalformedJpeg; t
+      comps.foreach(c => if (!qtSet(c.tq)) throw new MalformedJpeg)
+      val qNat = Array.tabulate(nc) { c =>
+        val zq = qt(comps(c).tq)
+        val out = new Array[Int](64)
+        var k = 0
+        while (k < 64) { out(JpegZigzag(k)) = zq(k); k += 1 }
+        out
       }
-      val acTbl = Array.tabulate(nc) { c =>
-        val t = huffs(4 + scanTa(c)); if (t == null) throw new MalformedJpeg; t
-      }
-      eff.foreach(c => if (!qtSet(c.tq)) throw new MalformedJpeg)
-      val er = new JpegEntropyReader(bytes, sosPos, n)
-      val pred = new Array[Int](nc)
-      val coef = new Array[Int](64)
+      val planeW = Array.tabulate(nc)(c => blocksW(c) * 8)
+      val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * blocksH(c) * 8))
+      val coefQ = new Array[Int](64)
       val tmp = new Array[Double](64)
       val block = new Array[Byte](64)
-      val totalMcus = mcusX * mcusY
-      var mcu = 0
-      var rst = 0
-      while (mcu < totalMcus) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          er.restart(rst); rst = (rst + 1) % 8
-          java.util.Arrays.fill(pred, 0)
-        }
-        val mx = mcu % mcusX; val my = mcu / mcusX
-        var c = 0
-        while (c < nc) {
-          val comp = eff(c)
-          val q = qt(comp.tq)
-          var bi = 0
-          while (bi < comp.v) {
-            var bj = 0
-            while (bj < comp.h) {
-              // DC: category + EXTENDed difference against the predictor
-              java.util.Arrays.fill(coef, 0)
-              val t = dcTbl(c).decode(er)
-              if (t > 11) throw new MalformedJpeg
-              pred(c) += (if (t == 0) 0 else jpegExtend(er.receive(t), t))
-              coef(0) = pred(c) * q(0)
-              // AC: run/size symbols through the zigzag until EOB
-              var k = 1
-              var done = false
-              while (!done && k < 64) {
-                val rs = acTbl(c).decode(er)
-                val r = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r == 15) k += 16 else done = true // ZRL vs EOB
-                } else {
-                  k += r
-                  if (k > 63) throw new MalformedJpeg
-                  coef(JpegZigzag(k)) = jpegExtend(er.receive(sz), sz) * q(k)
-                  k += 1
-                }
-              }
-              jpegIdct(coef, tmp, block)
-              val x0 = (mx * comp.h + bj) * 8
-              val y0 = (my * comp.v + bi) * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(block, yy * 8, planes(c), (y0 + yy) * planeW(c) + x0, 8)
-                yy += 1
-              }
-              bj += 1
-            }
-            bi += 1
+      var c = 0
+      while (c < nc) {
+        val cf = coefs(c); val qn = qNat(c)
+        val bw = blocksW(c)
+        val nb = bw * blocksH(c)
+        var b = 0
+        while (b < nb) {
+          val base = b * 64
+          var j = 0
+          while (j < 64) { coefQ(j) = cf(base + j) * qn(j); j += 1 }
+          jpegIdct(coefQ, tmp, block)
+          val x0 = (b % bw) * 8
+          val y0 = (b / bw) * 8
+          var yy = 0
+          while (yy < 8) {
+            System.arraycopy(block, yy * 8, planes(c), (y0 + yy) * planeW(c) + x0, 8)
+            yy += 1
           }
-          c += 1
+          b += 1
         }
-        mcu += 1
+        c += 1
       }
       // ---- assemble the logical RGB plane ----
       val pixels = new Array[Byte](3 * width * height)
@@ -1693,9 +1875,9 @@ object Multimodal {
         while (y < height) {
           var x = 0
           while (x < width) {
-            val yy = planes(0)((y * eff(0).v / evmax) * planeW(0) + x * eff(0).h / ehmax) & 0xff
-            val cb = (planes(1)((y * eff(1).v / evmax) * planeW(1) + x * eff(1).h / ehmax) & 0xff) - 128
-            val cr = (planes(2)((y * eff(2).v / evmax) * planeW(2) + x * eff(2).h / ehmax) & 0xff) - 128
+            val yy = planes(0)((y * comps(0).v / vmax) * planeW(0) + x * comps(0).h / hmax) & 0xff
+            val cb = (planes(1)((y * comps(1).v / vmax) * planeW(1) + x * comps(1).h / hmax) & 0xff) - 128
+            val cr = (planes(2)((y * comps(2).v / vmax) * planeW(2) + x * comps(2).h / hmax) & 0xff) - 128
             pixels(j) = clamp(yy + 1.402 * cr)
             pixels(j + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
             pixels(j + 2) = clamp(yy + 1.772 * cb)

@@ -832,6 +832,69 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg: progressive decode differential against javax.imageio") {
+    import java.awt.image.BufferedImage
+    def writeJpeg(bi: BufferedImage, progressive: Boolean): Array[Byte] = {
+      val os = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(os)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      if (progressive) param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+      writer.dispose(); ios.close()
+      os.toByteArray
+    }
+    val rnd = new scala.util.Random(17)
+    // grayscale gradient + noise: the standard progressive scan script
+    // runs DC successive approximation, banded AC first passes with EOB
+    // runs, and AC refinement — every G.1.2 code path goes live. The
+    // payload is one coefficient stream two ways: our progressive decode
+    // must agree with javax's within the conformance envelope.
+    val w = 72; val h = 56
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (rnd.nextInt(5) == 0) rnd.nextInt(256) else (x * 3 + y * 4) % 256
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val progGray = writeJpeg(gray, progressive = true)
+    // confirm the payload really is progressive (SOF2 present)
+    assert(progGray.indices.dropRight(1)
+      .exists(i => (progGray(i) & 0xff) == 0xff && (progGray(i + 1) & 0xff) == 0xc2))
+    val ourGray = Multimodal.parseJpeg(progGray).get
+    val refGray = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(progGray))
+    assert(ourGray.width == w && ourGray.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(refGray.getRaster.getSample(x, y, 0) - (ourGray.pixels(3 * (y * w + x)) & 0xff))
+      assert(d <= 1, s"progressive gray ($x,$y) differs by $d")
+    }
+    // 3-component progressive with constant chroma (R=G=B): isolates the
+    // interleaved-DC / per-component-AC scan structure from upsampler
+    // differences
+    val color = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 3) % 256
+      color.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val progColor = writeJpeg(color, progressive = true)
+    val ourColor = Multimodal.parseJpeg(progColor).get
+    val refColor = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(progColor))
+    assert(ourColor.width == w && ourColor.height == h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ref = (refColor.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs(ref - (ourColor.pixels(3 * (y * w + x) + c) & 0xff))
+      assert(d <= 2, s"progressive color ($x,$y,$c) differs by $d")
+    }
+    // progressive and sequential encodes of the same image decode to the
+    // same picture through our decoder (modulo per-coefficient rounding:
+    // both carry identical quantized coefficients)
+    val seqGray = Multimodal.parseJpeg(writeJpeg(gray, progressive = false)).get
+    var maxD = 0
+    for (j <- seqGray.pixels.indices)
+      maxD = math.max(maxD, math.abs((seqGray.pixels(j) & 0xff) - (ourGray.pixels(j) & 0xff)))
+    assert(maxD == 0, s"sequential vs progressive self-difference $maxD")
+  }
+
   test("jpeg: javax.imageio decodes our DC-exact payloads to the exact model plane") {
     import spark.implicits._
     val docs = Seq((7L, "spark"), (10L, "graft jpeg")).toDF("doc_id", "text")
@@ -863,7 +926,8 @@ class MultimodalSpec extends AnyFunSuite {
         .find(i => (payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == m)
       i.getOrElse(fail(s"marker $m not found"))
     }
-    // SOF0 -> SOF2 (progressive): rejected, not mis-decoded
+    // SOF0 relabeled SOF2: the full-band sequential scan header is
+    // illegal in progressive mode (B.2.3) — rejected, not mis-decoded
     val prog = payload.clone(); prog(findMarker(0xc0) + 1) = 0xc2.toByte
     assert(Multimodal.parseJpeg(prog).isEmpty)
     // first RST0 relabeled RST5: the expected-marker check must fire
