@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Clusters, Dedup, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Archives, Clusters, Dedup, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1726,6 +1726,65 @@ object QueryCatalog {
        |FROM y""".stripMargin
   }
 
+  /** COMPRESSED text under the gate: each doc becomes a genuine gzip
+    * payload ([[graft.ext.Archives.encodeGzipDocs]] — header variant
+    * cycles doc_id % 4 over bare/FNAME/FEXTRA/FHCRC; doc_id % 5 == 0 docs
+    * are TWO concatenated members), and [[graft.ext.Archives.gunzipStats]]
+    * must walk the RFC 1952 header, inflate, verify CRC-32 + ISIZE, and
+    * split members to reproduce the decompressed checksum. compressed_len
+    * replays the writer's closed-form framing model (10 + extra + 5 per
+    * 64 KiB stored block + n + 8 per member), so header-field and framing
+    * drift fail the hash, not just content corruption.
+    */
+  private val qGunzipStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.gunzipStats(Archives.encodeGzipDocs(table(s, dir, "documents"))).toDF()
+
+  private val oGunzipStats: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b),
+      |m AS (SELECT doc_id, hx, n,
+      |        CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS members,
+      |        n // 2 AS n1, n - n // 2 AS n2,
+      |        CASE doc_id % 4 WHEN 1 THEN 6 + len(CAST(doc_id AS VARCHAR))
+      |                        WHEN 2 THEN 8 WHEN 3 THEN 2 ELSE 0 END AS extra
+      |      FROM s)
+      |SELECT doc_id,
+      |       CASE WHEN members = 2
+      |            THEN (18 + extra + greatest(1, (n1 + 65534) // 65535) * 5 + n1)
+      |               + (18 + greatest(1, (n2 + 65534) // 65535) * 5 + n2)
+      |            ELSE 18 + extra + greatest(1, (n + 65534) // 65535) * 5 + n END::BIGINT AS compressed_len,
+      |       members::BIGINT AS n_members, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM m""".stripMargin
+
+  /** The crawl-ingestion capstone: documents grouped into 16 WARC-style
+    * archives (one gzip member per WARC/1.0 record, members concatenated
+    * — the actual .warc.gz layout), then [[graft.ext.Archives.warcExtract]]
+    * demuxes on the inflate END POSITION, decodes each member, parses the
+    * record headers, and emits per-record rows. The oracle rebuilds the
+    * expected record table relationally (row_number by id within archive,
+    * Content-Length in UTF-8 bytes, base-31 body checksum) — a slip in
+    * member splitting, header walk, or Content-Length slicing fails it.
+    */
+  private val qWarcExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.warcExtract(Archives.encodeWarcArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oWarcExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS content_length,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -2963,6 +3022,8 @@ object QueryCatalog {
     "audio_ulaw_frame_stats" -> qUlawFrames,
     "audio_resample" -> qAudioResample,
     "audio_resample_filtered" -> qAudioResampleFiltered,
+    "text_gunzip" -> qGunzipStats,
+    "warc_extract" -> qWarcExtract,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3065,6 +3126,8 @@ object QueryCatalog {
     "audio_ulaw_frame_stats" -> oUlawFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
+    "text_gunzip" -> oGunzipStats,
+    "warc_extract" -> oWarcExtract,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

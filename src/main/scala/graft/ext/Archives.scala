@@ -1,0 +1,386 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ======== REAL container codecs: gzip (RFC 1952) and WARC ========
+  *
+  * The ingestion mouth of a crawl-scale text pipeline. Web-crawl corpora
+  * ship as WARC files: each record is an independent gzip MEMBER, and the
+  * members are concatenated into one archive blob, so a reader can split
+  * records without decompressing its neighbors. This module implements
+  * both layers from scratch on top of the repo's own DEFLATE inflate
+  * ([[Multimodal.inflateWithEnd]] — the end position past the final block
+  * is exactly what member splitting needs) and its table-driven CRC-32:
+  *
+  *  - gzip reader: full RFC 1952 header walk (magic, CM=8, reserved-bit
+  *    check, FEXTRA with little-endian XLEN, NUL-terminated FNAME and
+  *    FCOMMENT, FHCRC verified as the low 16 bits of CRC-32 over the
+  *    header bytes), DEFLATE body, then the byte-aligned trailer: CRC-32
+  *    of the decompressed bytes and ISIZE mod 2^32 — both verified, not
+  *    skipped. Multi-member streams split on the inflate end position.
+  *  - gzip writer: genuine members with all four header profiles and
+  *    stored-block DEFLATE framing (64 KiB blocks), keeping the byte
+  *    model SQL-replayable: compressed_len is a closed-form function of
+  *    the input length and the header variant, which the DuckDB oracle
+  *    recomputes — any framing drift fails the hash.
+  *  - WARC layer: records in the WARC/1.0 shape (version line, CRLF
+  *    headers, Content-Length, CRLF CRLF, body, CRLF CRLF), one gzip
+  *    member per record, members concatenated per archive.
+  *
+  * No reference citation — `/root/reference/src/flinkarima.py` has no
+  * archive path; this is north-star LLM-pipeline scope.
+  *
+  * 100 TB shape: decode is map-only (one task per archive blob; in
+  * production the blobs come straight from a binary-file source, so the
+  * only shuffle in sight is whatever the downstream analysis needs). The
+  * test-fixture WRITER has the same cost envelope as production storage:
+  * building an archive buffers one archive's records — the same working
+  * set a crawl fetcher holds before flushing a .warc.gz segment. Memory
+  * per decode task is bounded by `maxRecordBytes` (a declared cap handed
+  * to inflate, not a post-hoc check), so a hostile member cannot balloon
+  * an executor.
+  */
+object Archives {
+
+  private final class MalformedArchive extends RuntimeException("malformed archive", null, false, false)
+
+  private def utf8(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  // ---------------------------------------------------------------- gzip
+
+  /** Stored-block DEFLATE framing (RFC 1951 §3.2.4): blocks of at most
+    * 65535 bytes, each 5 bytes of framing (BFINAL/BTYPE byte + LEN/~LEN
+    * little-endian); empty input is one final empty block. The closed
+    * form `5 * max(1, ceil(n / 65535)) + n` is replayed by the oracles.
+    */
+  private def storedDeflate(out: java.io.ByteArrayOutputStream, data: Array[Byte]): Unit = {
+    var off = 0
+    var first = true
+    while (off < data.length || first) {
+      first = false
+      val len = math.min(65535, data.length - off)
+      val fin = off + len >= data.length
+      out.write(if (fin) 1 else 0)
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write((len ^ 0xffff) & 0xff); out.write(((len ^ 0xffff) >> 8) & 0xff)
+      out.write(data, off, len)
+      off += len
+    }
+  }
+
+  /** One genuine gzip member. `variant` selects the optional-field
+    * profile the reader must walk — 0: bare, 1: FNAME `d<nameId>.txt`,
+    * 2: FEXTRA (6-byte 'GR' subfield), 3: FHCRC (low 16 bits of CRC-32
+    * over the header, which the reader re-derives and checks).
+    */
+  private[ext] def gzipMember(data: Array[Byte], variant: Int, nameId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    val flg = variant match {
+      case 1 => 0x08 // FNAME
+      case 2 => 0x04 // FEXTRA
+      case 3 => 0x02 // FHCRC
+      case _ => 0x00
+    }
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(flg)
+    out.write(0); out.write(0); out.write(0); out.write(0) // MTIME = 0
+    out.write(0)    // XFL
+    out.write(0xff) // OS = unknown
+    variant match {
+      case 1 =>
+        out.write(utf8(s"d$nameId.txt")); out.write(0)
+      case 2 =>
+        out.write(6); out.write(0) // XLEN = 6 LE
+        out.write('G'); out.write('R'); out.write(2); out.write(0)
+        out.write((nameId % 256).toInt); out.write(((nameId / 256) % 256).toInt)
+      case 3 =>
+        val hdr = out.toByteArray
+        val c = Multimodal.crc32(hdr, 0, hdr.length)
+        out.write(c & 0xff); out.write((c >> 8) & 0xff)
+      case _ => ()
+    }
+    storedDeflate(out, data)
+    val c = Multimodal.crc32(data, 0, data.length)
+    out.write(c & 0xff); out.write((c >> 8) & 0xff); out.write((c >> 16) & 0xff); out.write((c >> 24) & 0xff)
+    val n = data.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    out.toByteArray
+  }
+
+  /** Decode ONE gzip member starting at `from`; returns the decompressed
+    * bytes and the position just past the member's trailer — where the
+    * next member of a concatenated stream begins. Violations of RFC 1952
+    * (bad magic, non-deflate CM, reserved FLG bits, header CRC mismatch,
+    * trailer CRC/ISIZE mismatch, truncation) throw, which the public
+    * operators convert to the malformed-drop convention.
+    */
+  private[ext] def gunzipMember(bytes: Array[Byte], from: Int, until: Int,
+      maxOut: Int): (Array[Byte], Int) = {
+    if (until - from < 18) throw new MalformedArchive // header + empty block + trailer
+    if ((bytes(from) & 0xff) != 0x1f || (bytes(from + 1) & 0xff) != 0x8b) throw new MalformedArchive
+    if ((bytes(from + 2) & 0xff) != 8) throw new MalformedArchive // CM must be deflate
+    val flg = bytes(from + 3) & 0xff
+    if ((flg & 0xe0) != 0) throw new MalformedArchive // reserved bits
+    var p = from + 10 // past MTIME/XFL/OS
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > until) throw new MalformedArchive
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > until) throw new MalformedArchive
+    }
+    if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+      while (p < until && bytes(p) != 0) p += 1
+      if (p >= until) throw new MalformedArchive
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: NUL-terminated
+      while (p < until && bytes(p) != 0) p += 1
+      if (p >= until) throw new MalformedArchive
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC: low 16 bits of CRC-32 over the header
+      if (p + 2 > until) throw new MalformedArchive
+      val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      if (stored != (Multimodal.crc32(bytes, from, p) & 0xffff)) throw new MalformedArchive
+      p += 2
+    }
+    val (data, end) =
+      try Multimodal.inflateWithEnd(bytes, p, until, maxOut, sizeHint = math.min(maxOut, 4 * (until - p)))
+      catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
+    if (end + 8 > until) throw new MalformedArchive
+    val crc = (bytes(end) & 0xff) | ((bytes(end + 1) & 0xff) << 8) |
+      ((bytes(end + 2) & 0xff) << 16) | ((bytes(end + 3) & 0xff) << 24)
+    if (crc != Multimodal.crc32(data, 0, data.length)) throw new MalformedArchive
+    val isize = (bytes(end + 4) & 0xffL) | ((bytes(end + 5) & 0xffL) << 8) |
+      ((bytes(end + 6) & 0xffL) << 16) | ((bytes(end + 7) & 0xffL) << 24)
+    if (isize != (data.length.toLong & 0xffffffffL)) throw new MalformedArchive
+    (data, end + 8)
+  }
+
+  /** Split and decode every member of a concatenated gzip stream (how
+    * multi-member .gz and .warc.gz files are laid out). `None` on any
+    * malformed member — the whole blob drops, matching the reference's
+    * malformed-input convention (SURVEY §2 O3).
+    */
+  private[ext] def gunzipAll(bytes: Array[Byte], maxOutPerMember: Int,
+      maxMembers: Int = 1 << 20): Option[Vector[Array[Byte]]] =
+    try {
+      if (bytes == null) return None
+      val acc = Vector.newBuilder[Array[Byte]]
+      var pos = 0
+      var n = 0
+      while (pos < bytes.length) {
+        if (n >= maxMembers) throw new MalformedArchive
+        val (data, next) = gunzipMember(bytes, pos, bytes.length, maxOutPerMember)
+        acc += data
+        pos = next
+        n += 1
+      }
+      if (n == 0) None else Some(acc.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def rollingChecksum(data: Array[Byte]): Long = {
+    var c = 0L
+    var i = 0
+    while (i < data.length) { c = (c * 31 + (data(i) & 0xff)) % 1000000007L; i += 1 }
+    c
+  }
+
+  // ---------------------------------------------- gzip operator surface
+
+  /** Compress each document into a genuine gzip payload. Header variant
+    * cycles with `doc_id % 4` so the corpus exercises every optional-field
+    * profile; `doc_id % 5 == 0` docs are written as TWO concatenated
+    * members (text split at the byte midpoint, second member bare) so the
+    * member splitter is on the oracled path, not just in specs. Non-
+    * negative ids only: the Scala/SQL `%` semantics diverge on negatives.
+    */
+  def encodeGzipDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val data = utf8(text)
+        val variant = (id % 4).toInt
+        val payload =
+          if (id % 5 == 0) {
+            val half = data.length / 2
+            val m1 = gzipMember(java.util.Arrays.copyOfRange(data, 0, half), variant, id)
+            val m2 = gzipMember(java.util.Arrays.copyOfRange(data, half, data.length), 0, id)
+            val out = new Array[Byte](m1.length + m2.length)
+            System.arraycopy(m1, 0, out, 0, m1.length)
+            System.arraycopy(m2, 0, out, m1.length, m2.length)
+            out
+          } else gzipMember(data, variant, id)
+        (id, payload)
+      }
+      .toDF(idCol, "payload")
+      .select(
+        col(idCol), col("payload"),
+        struct(
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          lit("application/gzip").as("mime")).as("meta"))
+  }
+
+  final case class GunzipStats(
+      doc_id: Long, compressed_len: Long, n_members: Long, n_bytes: Long, checksum: Long)
+
+  /** Decode gzip payloads end to end — header walk, inflate, CRC-32 and
+    * ISIZE trailer verification, member concatenation — and reduce each
+    * document to exact integers the DuckDB oracle recomputes from the
+    * original text: decompressed length, member count, the base-31
+    * positional checksum over the decompressed bytes (content equality),
+    * and the compressed length via the writer's closed-form byte model
+    * (framing equality). Map-only; decode memory is capped per member.
+    */
+  def gunzipStats(encoded: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[GunzipStats] = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        gunzipAll(payload, maxRecordBytes).map { members =>
+          val total = members.map(_.length.toLong).sum
+          val all = new Array[Byte](total.toInt)
+          var off = 0
+          members.foreach { m => System.arraycopy(m, 0, all, off, m.length); off += m.length }
+          GunzipStats(id, payload.length.toLong, members.length.toLong, total, rollingChecksum(all))
+        }
+      }
+  }
+
+  // ----------------------------------------------------------- WARC layer
+
+  /** One WARC/1.0 response record for a document: version line, CRLF
+    * headers (type, target URI carrying the doc id, Content-Length in
+    * BYTES of the UTF-8 body), blank line, body, record terminator.
+    */
+  private def warcRecord(id: Long, text: String): Array[Byte] = {
+    val body = utf8(text)
+    val head = utf8(
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n")
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Group documents into `nArchives` crawl-style archives: records
+    * ordered by doc id, each gzip'd as its own member (header variant
+    * cycling with the id), members concatenated. The per-group buffer is
+    * one archive — the same working set a crawl fetcher holds before
+    * flushing a .warc.gz segment; at production scale archives arrive
+    * pre-built from the blob store and this synthesizer isn't on the
+    * path.
+    */
+  def encodeWarcArchives(docs: DataFrame, nArchives: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nArchives)
+      .mapGroups { (aid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (id, text) =>
+          out.write(gzipMember(warcRecord(id, text), (id % 4).toInt, id))
+        }
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "payload")
+  }
+
+  final case class WarcEntry(
+      archive_id: Long, rec_idx: Long, rec_doc_id: Long, content_length: Long, checksum: Long)
+
+  /** Parse the header block of one decompressed WARC record; returns the
+    * target doc id and the body slice bounds. Strict: version line must
+    * be WARC/1.0, Content-Length must be present, digits only, and must
+    * place the terminator exactly at the record end.
+    */
+  private def parseWarcRecord(rec: Array[Byte]): (Long, Int, Int) = {
+    // locate the header/body split: first CRLF CRLF
+    var split = -1
+    var i = 0
+    while (split < 0 && i + 3 < rec.length) {
+      if (rec(i) == '\r' && rec(i + 1) == '\n' && rec(i + 2) == '\r' && rec(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) throw new MalformedArchive
+    val head = new String(rec, 0, split, java.nio.charset.StandardCharsets.UTF_8)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || lines(0) != "WARC/1.0") throw new MalformedArchive
+    var target: String = null
+    var clen = -1L
+    lines.iterator.drop(1).foreach { line =>
+      val c = line.indexOf(": ")
+      if (c < 0) throw new MalformedArchive
+      val name = line.substring(0, c)
+      val value = line.substring(c + 2)
+      if (name == "WARC-Target-URI") target = value
+      else if (name == "Content-Length") {
+        if (value.isEmpty || !value.forall(_.isDigit)) throw new MalformedArchive
+        clen = value.toLong
+      }
+    }
+    if (target == null || clen < 0) throw new MalformedArchive
+    val bodyFrom = split + 4
+    if (bodyFrom + clen + 4 != rec.length) throw new MalformedArchive
+    if (rec(rec.length - 4) != '\r' || rec(rec.length - 3) != '\n' ||
+      rec(rec.length - 2) != '\r' || rec(rec.length - 1) != '\n') throw new MalformedArchive
+    val slash = target.lastIndexOf('/')
+    val idStr = target.substring(slash + 1)
+    if (idStr.isEmpty || !idStr.forall(_.isDigit)) throw new MalformedArchive
+    (idStr.toLong, bodyFrom, bodyFrom + clen.toInt)
+  }
+
+  /** Demux + decode + parse crawl archives: split each blob into gzip
+    * members on the inflate end position, decode each member under the
+    * per-record cap, parse the WARC header block, and emit one row per
+    * record with exact integers the oracle replays from the source table
+    * (record index by id order, Content-Length in bytes, base-31 body
+    * checksum). A malformed member or record drops its whole archive —
+    * corrupted segment files are quarantined, not half-read. Map-only
+    * over archives; parallelism = number of archive blobs, which is why
+    * crawl pipelines shard archives small enough to fan out.
+    */
+  def warcExtract(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[WarcEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[WarcEntry]
+            var pos = 0
+            var idx = 0L
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val body = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              out += WarcEntry(aid, idx, docId, (bodyUntil - bodyFrom).toLong, rollingChecksum(body))
+              pos = next
+              idx += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+  }
+}

@@ -514,6 +514,11 @@ object Multimodal {
       if (pos + n > until) throw new MalformedPng
       val start = pos; pos += n; start
     }
+    /** Input position just past the last consumed bit, rounded up to the
+      * next byte boundary — where a byte-aligned trailer (gzip CRC/ISIZE)
+      * begins after the final DEFLATE block.
+      */
+    def streamEnd: Int = { alignToByte(); pos - cnt / 8 }
   }
 
   /** Canonical Huffman decoder built from per-symbol code lengths
@@ -595,11 +600,27 @@ object Multimodal {
     * `expectedMax` bounds the output buffer — a declared-size guard, so a
     * hostile stream can't balloon memory; exceeding it is malformed.
     */
-  private[ext] def inflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int): Array[Byte] = {
-    val out = new Array[Byte](expectedMax)
+  private[ext] def inflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int): Array[Byte] =
+    inflateWithEnd(bytes, from, until, expectedMax)._1
+
+  /** [[inflate]] plus the input position just past the final block (byte-
+    * aligned) — what a container with a trailer after the DEFLATE stream
+    * (gzip CRC32/ISIZE) or with CONCATENATED members (multi-member .gz,
+    * WARC) needs to find where the next structure starts.
+    */
+  private[ext] def inflateWithEnd(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int,
+      sizeHint: Int = -1): (Array[Byte], Int) = {
+    // callers that know the exact output size (PNG: the scanline model)
+    // pass no hint and get one exact allocation; callers that only have a
+    // cap (gzip: size is in a trailer AFTER the stream) pass a small hint
+    // and the buffer doubles geometrically up to the cap
+    var out = new Array[Byte](if (sizeHint >= 0) math.min(math.max(sizeHint, 16), expectedMax) else expectedMax)
     var outLen = 0
     def put(b: Byte): Unit = {
-      if (outLen >= expectedMax) throw new MalformedPng
+      if (outLen >= out.length) {
+        if (outLen >= expectedMax) throw new MalformedPng
+        out = java.util.Arrays.copyOf(out, math.min(math.max(out.length * 2, 64), expectedMax))
+      }
       out(outLen) = b; outLen += 1
     }
     val br = new BitReader(bytes, from, until)
@@ -668,7 +689,7 @@ object Multimodal {
         case _ => throw new MalformedPng
       }
     }
-    java.util.Arrays.copyOf(out, outLen)
+    (java.util.Arrays.copyOf(out, outLen), br.streamEnd)
   }
 
   /** zlib wrapper (RFC 1950) around [[inflate]]: validate CMF/FLG (deflate

@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ArchivesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def gunzip1(bytes: Array[Byte]): Option[Array[Byte]] =
+    Archives.gunzipAll(bytes, 1 << 20).map(ms => ms.flatten.toArray)
+
+  test("gzip round trip: every header variant decodes to the original bytes") {
+    val data = "The quick brown fox jumps over the lazy dog. éèê".getBytes("UTF-8")
+    (0 to 3).foreach { variant =>
+      val gz = Archives.gzipMember(data, variant, nameId = 421)
+      val back = gunzip1(gz)
+      assert(back.isDefined && back.get.toSeq == data.toSeq, s"variant $variant")
+    }
+    // empty input is a legal member (one empty stored block)
+    assert(gunzip1(Archives.gzipMember(Array.emptyByteArray, 0, 0)).get.isEmpty)
+  }
+
+  test("gzip: multi-member concatenation splits on the inflate end position") {
+    val a = "first member".getBytes("UTF-8")
+    val b = "second, longer member with more bytes".getBytes("UTF-8")
+    val c = Array.emptyByteArray
+    val blob = Archives.gzipMember(a, 1, 7) ++ Archives.gzipMember(b, 3, 7) ++ Archives.gzipMember(c, 0, 7)
+    val members = Archives.gunzipAll(blob, 1 << 20).get
+    assert(members.length == 3)
+    assert(members(0).toSeq == a.toSeq && members(1).toSeq == b.toSeq && members(2).isEmpty)
+  }
+
+  test("gzip differential: JDK GZIPOutputStream members (real dynamic-Huffman deflate) decode") {
+    val rnd = new scala.util.Random(7)
+    // repetitive text (LZ77 back-references), random bytes (literal-heavy),
+    // and a large input that spans multiple internal deflate blocks
+    val payloads = Seq(
+      ("lorem ipsum " * 400).getBytes("UTF-8"),
+      Array.fill(3000)(rnd.nextInt(256).toByte),
+      Array.tabulate(200000)(i => (i % 251).toByte))
+    payloads.zipWithIndex.foreach { case (data, i) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(data); gz.close()
+      val back = gunzip1(bos.toByteArray)
+      assert(back.isDefined && back.get.toSeq == data.toSeq, s"payload $i")
+    }
+    // two JDK members concatenated — the layout GZIPInputStream itself accepts
+    val b1 = { val o = new java.io.ByteArrayOutputStream(); val g = new java.util.zip.GZIPOutputStream(o); g.write(payloads(0)); g.close(); o.toByteArray }
+    val b2 = { val o = new java.io.ByteArrayOutputStream(); val g = new java.util.zip.GZIPOutputStream(o); g.write(payloads(1)); g.close(); o.toByteArray }
+    val members = Archives.gunzipAll(b1 ++ b2, 1 << 20).get
+    assert(members.length == 2)
+    assert(members(0).toSeq == payloads(0).toSeq && members(1).toSeq == payloads(1).toSeq)
+  }
+
+  test("gzip reverse differential: our stored-block members decode through GZIPInputStream") {
+    val data = "cross-decoder check: our writer, the JDK's reader".getBytes("UTF-8")
+    (0 to 3).foreach { variant =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Archives.gzipMember(data, variant, 99)))
+      val back = in.readAllBytes()
+      assert(back.toSeq == data.toSeq, s"variant $variant")
+    }
+  }
+
+  test("gzip: malformed members drop — magic, CM, reserved bits, CRCs, ISIZE, truncation") {
+    val data = "payload under test".getBytes("UTF-8")
+    val good = Archives.gzipMember(data, 3, 5) // FHCRC variant: header CRC is live
+    assert(gunzip1(good).isDefined)
+    def mutated(f: Array[Byte] => Unit): Option[Array[Byte]] = {
+      val m = good.clone(); f(m); gunzip1(m)
+    }
+    assert(mutated(_(0) = 0x1e).isEmpty, "bad magic")
+    assert(mutated(_(2) = 9).isEmpty, "non-deflate CM")
+    assert(mutated(m => m(3) = (m(3) | 0x20).toByte).isEmpty, "reserved FLG bit")
+    assert(mutated(m => m(10) = (m(10) ^ 1).toByte).isEmpty, "FHCRC mismatch")
+    assert(mutated(m => m(m.length - 6) = (m(m.length - 6) ^ 1).toByte).isEmpty, "CRC-32 mismatch")
+    assert(mutated(m => m(m.length - 2) = (m(m.length - 2) ^ 1).toByte).isEmpty, "ISIZE mismatch")
+    assert(gunzip1(good.dropRight(1)).isEmpty, "truncated trailer")
+    assert(gunzip1(good.take(12)).isEmpty, "truncated header")
+    assert(gunzip1(Array.emptyByteArray).isEmpty, "empty blob")
+    // declared-size cap: a member larger than maxOut is malformed, not an OOM
+    assert(Archives.gunzipAll(Archives.gzipMember(new Array[Byte](4096), 0, 0), 16).isEmpty)
+  }
+
+  test("gunzipStats: closed-form compressed_len matches the real payload; members split") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "two members, FNAME-free halves"), // % 5 == 0 and % 4 == 0
+      (1L, "single member with FNAME"),
+      (2L, "single member with FEXTRA"),
+      (3L, "single member with FHCRC"),
+      (5L, "two members again, FNAME on the first"), // % 5 == 0, % 4 == 1
+      (6L, ""), // empty doc, single member
+      (7L, "x" * 70000)) // stored framing spans two 64 KiB blocks
+      .toDF("doc_id", "text")
+    val enc = Archives.encodeGzipDocs(docs)
+    val stats = Archives.gunzipStats(enc).collect().map(s => s.doc_id -> s).toMap
+    val real = enc.select("doc_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    assert(stats.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L))
+    stats.values.foreach { s =>
+      assert(s.compressed_len == real(s.doc_id).length, s"doc ${s.doc_id}")
+    }
+    assert(stats(0L).n_members == 2 && stats(5L).n_members == 2)
+    assert(stats(1L).n_members == 1 && stats(6L).n_members == 1)
+    assert(stats(6L).n_bytes == 0 && stats(6L).checksum == 0L)
+    assert(stats(7L).n_bytes == 70000)
+    // decompressed checksum equals the direct checksum of the text bytes
+    val direct = {
+      var c = 0L
+      "single member with FNAME".getBytes("UTF-8").foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      c
+    }
+    assert(stats(1L).checksum == direct)
+  }
+
+  test("warc: archives round-trip — record order, ids, lengths, body checksums") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"document $i body ☃" * (i.toInt % 3 + 1))).toDF("doc_id", "text")
+    val entries = Archives.warcExtract(Archives.encodeWarcArchives(docs, nArchives = 4))
+      .collect().sortBy(e => (e.archive_id, e.rec_idx))
+    assert(entries.length == 40)
+    entries.foreach { e =>
+      assert(e.rec_doc_id % 4 == e.archive_id)
+      assert(e.rec_doc_id == e.archive_id + 4 * e.rec_idx) // id order within archive
+      val body = s"document ${e.rec_doc_id} body ☃" * (e.rec_doc_id.toInt % 3 + 1)
+      assert(e.content_length == body.getBytes("UTF-8").length)
+    }
+  }
+
+  test("warc: a malformed record or member drops its whole archive, others survive") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val archives = Archives.encodeWarcArchives(docs, nArchives = 2)
+      .as[(Long, Array[Byte])].collect().toMap
+    // corrupt one byte inside archive 0's first member's deflate body
+    val broken = archives(0L).clone()
+    broken(14) = (broken(14) ^ 0x55).toByte
+    val mixed = Seq((0L, broken), (1L, archives(1L))).toDF("archive_id", "payload")
+    val entries = Archives.warcExtract(mixed).collect()
+    assert(entries.forall(_.archive_id == 1L))
+    assert(entries.length == 4)
+    // a structurally-valid gzip member that is not a WARC record also drops
+    val notWarc = Archives.gzipMember("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"), 0, 0)
+    val bad = Seq((2L, notWarc)).toDF("archive_id", "payload")
+    assert(Archives.warcExtract(bad).collect().isEmpty)
+  }
+
+  test("warc: record parser rejects tampered Content-Length and terminators") {
+    import spark.implicits._
+    // hand-build an archive whose record declares a short Content-Length:
+    // the terminator is then misplaced and the record must drop
+    val body = "abcdefgh"
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/doc/9\r\n" +
+      s"Content-Length: ${body.length - 2}\r\n" +
+      "\r\n" + body + "\r\n\r\n").getBytes("UTF-8")
+    val archive = Seq((9L, Archives.gzipMember(rec, 0, 9))).toDF("archive_id", "payload")
+    assert(Archives.warcExtract(archive).collect().isEmpty)
+  }
+}
