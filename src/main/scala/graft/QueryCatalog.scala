@@ -1785,6 +1785,33 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The FULL crawl-record decode stack under the gate: archives whose
+    * records store complete HTTP/1.1 response messages — even doc ids
+    * framed with `Transfer-Encoding: chunked` (lowercase-hex sizes,
+    * zero-chunk terminator), odd ids with Content-Length — so
+    * [[graft.ext.Archives.warcHttpExtract]] must run gzip member split ->
+    * WARC header parse -> HTTP status/header parse -> chunked de-framing
+    * before the body checksum can match. The framing never appears in the
+    * output; only a correct decode of BOTH wire paths reproduces the
+    * oracle's per-record body checksum.
+    */
+  private val qWarcHttpExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.warcHttpExtract(Archives.encodeWarcHttpArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oWarcHttpExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, 200::BIGINT AS http_status,
+      |       'text/plain; charset=utf-8' AS content_type, n::BIGINT AS body_len,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -3024,6 +3051,7 @@ object QueryCatalog {
     "audio_resample_filtered" -> qAudioResampleFiltered,
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
+    "warc_http_extract" -> qWarcHttpExtract,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3128,6 +3156,7 @@ object QueryCatalog {
     "audio_resample_filtered" -> oAudioResampleFiltered,
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
+    "warc_http_extract" -> oWarcHttpExtract,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

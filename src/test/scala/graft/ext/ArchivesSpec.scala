@@ -147,6 +147,67 @@ class ArchivesSpec extends AnyFunSuite {
     assert(Archives.warcExtract(bad).collect().isEmpty)
   }
 
+  test("warc http: both wire framings round-trip — chunked and Content-Length") {
+    import spark.implicits._
+    // even ids -> chunked (with >1 chunk when body > 100 bytes), odd -> Content-Length
+    val docs = Seq(
+      (0L, "chunked body " * 20),  // 260 bytes: three chunks
+      (1L, "content-length body"),
+      (2L, "short"),               // single chunk
+      (3L, ""),                    // empty CL body
+      (4L, "")).toDF("doc_id", "text") // empty chunked body: terminator only
+    val entries = Archives.warcHttpExtract(Archives.encodeWarcHttpArchives(docs, nArchives = 2))
+      .collect().map(e => e.rec_doc_id -> e).toMap
+    assert(entries.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    entries.values.foreach { e =>
+      assert(e.http_status == 200L)
+      assert(e.content_type == "text/plain; charset=utf-8")
+    }
+    assert(entries(0L).body_len == ("chunked body " * 20).getBytes("UTF-8").length)
+    assert(entries(3L).body_len == 0 && entries(3L).checksum == 0L)
+    assert(entries(4L).body_len == 0 && entries(4L).checksum == 0L)
+    // checksum equals the direct base-31 over the body bytes
+    val direct = {
+      var c = 0L
+      "content-length body".getBytes("UTF-8").foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      c
+    }
+    assert(entries(1L).checksum == direct)
+  }
+
+  test("warc http: chunked parser accepts extensions and uppercase hex, rejects damage") {
+    import spark.implicits._
+    def archiveOf(msg: String, id: Long = 8L): org.apache.spark.sql.DataFrame = {
+      val body = msg.getBytes("UTF-8")
+      val rec = (s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n" +
+        "\r\n").getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+      Seq((id, Archives.gzipMember(rec, 0, id))).toDF("archive_id", "payload")
+    }
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/x\r\nTransfer-Encoding: chunked\r\n\r\n"
+    // chunk extension + uppercase hex both accepted: body "ABCDEFGHIJKLMNOP" as 0xA + 6
+    val fancy = head + "A;name=value\r\nABCDEFGHIJ\r\n6\r\nKLMNOP\r\n0\r\n\r\n"
+    val ok = Archives.warcHttpExtract(archiveOf(fancy)).collect()
+    assert(ok.length == 1 && ok(0).body_len == 16 && ok(0).content_type == "text/x")
+    // wrong chunk size: terminator lands mid-bytes
+    assert(Archives.warcHttpExtract(archiveOf(head + "B\r\nABCDEFGHIJ\r\n0\r\n\r\n")).collect().isEmpty)
+    // missing chunk CRLF
+    assert(Archives.warcHttpExtract(archiveOf(head + "A\r\nABCDEFGHIJ6\r\nKLMNOP\r\n0\r\n\r\n")).collect().isEmpty)
+    // missing zero-chunk terminator
+    assert(Archives.warcHttpExtract(archiveOf(head + "A\r\nABCDEFGHIJ\r\n")).collect().isEmpty)
+    // garbage size line
+    assert(Archives.warcHttpExtract(archiveOf(head + "xyz\r\nABCDEFGHIJ\r\n0\r\n\r\n")).collect().isEmpty)
+    // Content-Length framing must cover the remainder exactly
+    assert(Archives.warcHttpExtract(
+      archiveOf("HTTP/1.1 200 OK\r\nContent-Type: text/x\r\nContent-Length: 3\r\n\r\nabcd")).collect().isEmpty)
+    // bad status line
+    assert(Archives.warcHttpExtract(
+      archiveOf("HTTP/2 OK\r\nContent-Length: 2\r\n\r\nab")).collect().isEmpty)
+  }
+
   test("warc: record parser rejects tampered Content-Length and terminators") {
     import spark.implicits._
     // hand-build an archive whose record declares a short Content-Length:
