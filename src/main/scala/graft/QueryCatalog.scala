@@ -1760,6 +1760,32 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM m""".stripMargin
 
+  /** The compressor half of the DEFLATE story under the gate: compress
+    * every doc with the from-scratch LZ77 + fixed-Huffman compressor,
+    * decode it back with the from-scratch inflate, and emit the DECODED
+    * length + checksum — which the oracle computes from the source text,
+    * so any emission bug that damages even one bit of one document fails
+    * the hash (a broken round trip emits -1). The compressor's own
+    * output bytes are additionally pinned by the JDK-Inflater
+    * cross-decoder differential in ArchivesSpec; `ratio`/`deflate_len`
+    * stay out of the oracled projection because an LZ77 emission is an
+    * engine model, not a SQL-replayable one (same policy as the engine-
+    * hash keys in SURVEY §8).
+    */
+  private val qDeflateRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.compressionSignal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+
+  private val oDeflateRoundtrip: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b)
+      |SELECT doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM s""".stripMargin
+
   /** The crawl-ingestion capstone: documents grouped into 16 WARC-style
     * archives (one gzip member per WARC/1.0 record, members concatenated
     * — the actual .warc.gz layout), then [[graft.ext.Archives.warcExtract]]
@@ -3052,6 +3078,7 @@ object QueryCatalog {
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
     "warc_http_extract" -> qWarcHttpExtract,
+    "deflate_roundtrip" -> qDeflateRoundtrip,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3157,6 +3184,7 @@ object QueryCatalog {
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
+    "deflate_roundtrip" -> oDeflateRoundtrip,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

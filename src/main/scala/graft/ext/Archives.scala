@@ -253,6 +253,45 @@ object Archives {
       }
   }
 
+  // ------------------------------------------------- compression signal
+
+  final case class CompressionSignal(
+      doc_id: Long, n_bytes: Long, deflate_len: Long, ratio: Double, checksum: Long)
+
+  /** The compression-ratio quality signal (the CCNet/RefinedWeb
+    * heuristic: text that compresses too well is repetitive boilerplate;
+    * text that barely compresses is noise), computed with the repo's own
+    * from-scratch DEFLATE compressor ([[Multimodal.deflateFixed]] —
+    * hash-chain LZ77 + fixed-Huffman emit) and round-tripped through its
+    * own inflate on the spot: `n_bytes` and `checksum` describe the
+    * DECODED bytes, so a compressor bug surfaces as an oracle hash
+    * mismatch (a failed round trip emits -1, never throws in the hot
+    * path). `deflate_len`/`ratio` are properties of the compressor's
+    * emission — not SQL-replayable by design; they are pinned by the
+    * JDK-Inflater cross-decoder differential in ArchivesSpec instead.
+    * Map-only, one pass, no shuffle.
+    */
+  def compressionSignal(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[CompressionSignal] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val data = utf8(text)
+        val comp = Multimodal.deflateFixed(data)
+        val ratio = comp.length.toDouble / math.max(1, data.length)
+        try {
+          val back = Multimodal.inflate(comp, 0, comp.length, data.length)
+          CompressionSignal(id, back.length.toLong, comp.length.toLong, ratio, rollingChecksum(back))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            CompressionSignal(id, -1L, comp.length.toLong, ratio, -1L)
+        }
+      }
+  }
+
   // ----------------------------------------------------------- WARC layer
 
   /** One WARC/1.0 response record for a document: version line, CRLF

@@ -710,6 +710,96 @@ object Multimodal {
     data
   }
 
+  /** ======== REAL compressor: DEFLATE (RFC 1951), from scratch ========
+    * The inverse of [[inflate]] — an actual LZ77 compressor, not the
+    * stored-block framing the image writers use for SQL-replayability:
+    * hash-chain match search (3-byte hash heads + prev chains over the
+    * 32 KiB window, chain depth capped), greedy emission of
+    * length/distance pairs (3..258 / 1..32768) against the RFC's
+    * length and distance symbol tables, packed with the FIXED Huffman
+    * code (BTYPE=01) — literal/length codes in their four canonical
+    * ranges, 5-bit distance codes, Huffman bits MSB-first and extra
+    * bits LSB-first, one final block, byte-aligned flush. Output decodes
+    * through [[inflate]] AND through `java.util.zip.Inflater(nowrap)` —
+    * the cross-decoder differential in MultimodalSpec/ArchivesSpec is
+    * what makes the stream real rather than self-consistent.
+    */
+  private[ext] def deflateFixed(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var acc = 0L
+    var nb = 0
+    def wbits(v: Int, n: Int): Unit = { // LSB-first packing (RFC 1951 §3.1.1)
+      acc |= (v.toLong & ((1L << n) - 1)) << nb
+      nb += n
+      while (nb >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nb -= 8 }
+    }
+    def whuff(code: Int, len: Int): Unit = { // Huffman codes go MSB-first
+      var i = len - 1
+      while (i >= 0) { wbits((code >> i) & 1, 1); i -= 1 }
+    }
+    def litCode(sym: Int): Unit =
+      if (sym < 144) whuff(0x30 + sym, 8)
+      else if (sym < 256) whuff(0x190 + (sym - 144), 9)
+      else if (sym < 280) whuff(sym - 256, 7)
+      else whuff(0xc0 + (sym - 280), 8)
+    // length symbol for len 3..258: scan LenBase (29 entries — linear is fine)
+    def emitLength(len: Int): Unit = {
+      var s = 28
+      while (LenBase(s) > len) s -= 1
+      litCode(257 + s)
+      wbits(len - LenBase(s), LenExtra(s))
+    }
+    def emitDistance(d: Int): Unit = {
+      var s = 29
+      while (DistBase(s) > d) s -= 1
+      whuff(s, 5)
+      wbits(d - DistBase(s), DistExtra(s))
+    }
+    wbits(1, 1) // BFINAL
+    wbits(1, 2) // BTYPE = fixed Huffman
+    val n = data.length
+    if (n >= 3) {
+      val HashBits = 15
+      val head = Array.fill(1 << HashBits)(-1)
+      val prev = new Array[Int](n)
+      def hashAt(i: Int): Int =
+        (((data(i) & 0xff) << 10) ^ ((data(i + 1) & 0xff) << 5) ^ (data(i + 2) & 0xff)) & ((1 << HashBits) - 1)
+      def insert(i: Int): Unit = { val h = hashAt(i); prev(i) = head(h); head(h) = i }
+      var i = 0
+      while (i < n) {
+        var bestLen = 0
+        var bestDist = 0
+        if (i + 2 < n) {
+          var cand = head(hashAt(i))
+          var chain = 64
+          val maxLen = math.min(258, n - i)
+          while (cand >= 0 && chain > 0 && i - cand <= 32768) {
+            var l = 0
+            while (l < maxLen && data(cand + l) == data(i + l)) l += 1
+            if (l > bestLen) { bestLen = l; bestDist = i - cand }
+            cand = prev(cand)
+            chain -= 1
+          }
+        }
+        if (bestLen >= 3) {
+          emitLength(bestLen); emitDistance(bestDist)
+          val stop = i + bestLen
+          while (i < stop) { if (i + 2 < n) insert(i); i += 1 }
+        } else {
+          litCode(data(i) & 0xff)
+          if (i + 2 < n) insert(i)
+          i += 1
+        }
+      }
+    } else {
+      var i = 0
+      while (i < n) { litCode(data(i) & 0xff); i += 1 }
+    }
+    litCode(256) // end of block
+    if (nb > 0) out.write((acc & 0xff).toInt) // byte-align flush
+    out.toByteArray
+  }
+
   private val PngSignature =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 

@@ -115,6 +115,66 @@ class ArchivesSpec extends AnyFunSuite {
     assert(stats(1L).checksum == direct)
   }
 
+  test("deflate compressor: JDK Inflater decodes our streams byte-identically") {
+    val rnd = new scala.util.Random(11)
+    val payloads: Seq[(String, Array[Byte])] = Seq(
+      "empty" -> Array.emptyByteArray,
+      "one byte" -> Array[Byte](42),
+      "two bytes" -> Array[Byte](1, 2),
+      "high literals" -> Array.tabulate(600)(i => (255 - i % 120).toByte), // 9-bit code range
+      "all equal" -> Array.fill(5000)(7.toByte), // overlapping dist-1 matches, max lengths
+      "repetitive text" -> ("the quick brown fox " * 500).getBytes("UTF-8"),
+      "random" -> Array.fill(4000)(rnd.nextInt(256).toByte), // literal-heavy
+      "period 300" -> Array.tabulate(3000)(i => ((i / 300) * 31 + i % 300).toByte),
+      "long-range match" -> {
+        val a = Array.fill(40000)(rnd.nextInt(256).toByte)
+        System.arraycopy(a, 0, a, 30000, 8000) // distance-30000 matches near the window edge
+        a
+      },
+      "beyond window" -> Array.tabulate(90000)(i => (i % 7).toByte))
+    payloads.foreach { case (name, data) =>
+      val comp = Multimodal.deflateFixed(data)
+      val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
+      inf.setInput(comp)
+      val buf = new Array[Byte](data.length + 16)
+      val m = inf.inflate(buf)
+      assert(inf.finished(), s"$name: stream must terminate")
+      assert(m == data.length && buf.take(m).toSeq == data.toSeq, s"$name: JDK decode mismatch")
+      inf.end()
+      // and through our own inflate
+      val back = Multimodal.inflate(comp, 0, comp.length, math.max(data.length, 16))
+      assert(back.toSeq == data.toSeq, s"$name: self decode mismatch")
+    }
+    // real compression on repetitive input, bounded expansion on random input
+    val rep = Multimodal.deflateFixed(("lorem ipsum " * 1000).getBytes("UTF-8"))
+    assert(rep.length < 2000, s"repetitive text must compress (got ${rep.length} from 12000)")
+    val rnd2 = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val worst = Multimodal.deflateFixed(rnd2)
+    assert(worst.length < 4096 * 9 / 8 + 16, "fixed-Huffman expansion bound")
+  }
+
+  test("compressionSignal: decoded stats match the source; ratio separates repetition from noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val noisy = new String(Array.fill(2000)(('a' + rnd.nextInt(26)).toChar))
+    val docs = Seq(
+      (0L, "boilerplate " * 300),
+      (1L, noisy),
+      (2L, "")).toDF("doc_id", "text")
+    val sig = Archives.compressionSignal(docs).collect().map(s => s.doc_id -> s).toMap
+    assert(sig(0L).n_bytes == ("boilerplate " * 300).getBytes("UTF-8").length)
+    assert(sig(0L).ratio < 0.2, s"boilerplate ratio ${sig(0L).ratio}")
+    assert(sig(1L).ratio > 0.5, s"random-letter ratio ${sig(1L).ratio}")
+    assert(sig(0L).ratio < sig(1L).ratio)
+    assert(sig(2L).n_bytes == 0 && sig(2L).checksum == 0L)
+    val direct = {
+      var c = 0L
+      ("boilerplate " * 300).getBytes("UTF-8").foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      c
+    }
+    assert(sig(0L).checksum == direct)
+  }
+
   test("warc: archives round-trip — record order, ids, lengths, body checksums") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"document $i body ☃" * (i.toInt % 3 + 1))).toDF("doc_id", "text")
