@@ -72,9 +72,16 @@ object Archives {
   /** One genuine gzip member. `variant` selects the optional-field
     * profile the reader must walk — 0: bare, 1: FNAME `d<nameId>.txt`,
     * 2: FEXTRA (6-byte 'GR' subfield), 3: FHCRC (low 16 bits of CRC-32
-    * over the header, which the reader re-derives and checks).
+    * over the header, which the reader re-derives and checks). The body
+    * is stored-block DEFLATE (closed-form length, SQL-replayable — what
+    * the `text_gunzip` oracle's framing model requires) unless
+    * `compress = true`, which emits real LZ77 + fixed-Huffman via
+    * [[Multimodal.deflateFixed]] — the WARC writers use that, so the
+    * oracled archive keys exercise the full Huffman decode path on
+    * genuinely compressed streams.
     */
-  private[ext] def gzipMember(data: Array[Byte], variant: Int, nameId: Long): Array[Byte] = {
+  private[ext] def gzipMember(data: Array[Byte], variant: Int, nameId: Long,
+      compress: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 64)
     val flg = variant match {
       case 1 => 0x08 // FNAME
@@ -99,7 +106,8 @@ object Archives {
         out.write(c & 0xff); out.write((c >> 8) & 0xff)
       case _ => ()
     }
-    storedDeflate(out, data)
+    if (compress) out.write(Multimodal.deflateFixed(data))
+    else storedDeflate(out, data)
     val c = Multimodal.crc32(data, 0, data.length)
     out.write(c & 0xff); out.write((c >> 8) & 0xff); out.write((c >> 16) & 0xff); out.write((c >> 24) & 0xff)
     val n = data.length
@@ -336,7 +344,9 @@ object Archives {
         val recs = it.toArray.sortBy(_._1)
         val out = new java.io.ByteArrayOutputStream()
         recs.foreach { case (id, text) =>
-          out.write(gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id))
+          // every third record stays stored-block, so BOTH deflate block
+          // types sit under the oracled decode path
+          out.write(gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id, compress = id % 3 != 0))
         }
         (aid, out.toByteArray)
       }
@@ -516,7 +526,8 @@ object Archives {
         recs.foreach { case (id, text) =>
           val msg = httpResponse(utf8(text), chunked = id % 2 == 0)
           out.write(gzipMember(
-            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id))
+            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+            compress = id % 3 != 0))
         }
         (aid, out.toByteArray)
       }

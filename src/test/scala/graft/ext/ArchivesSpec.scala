@@ -54,13 +54,14 @@ class ArchivesSpec extends AnyFunSuite {
     assert(members(0).toSeq == payloads(0).toSeq && members(1).toSeq == payloads(1).toSeq)
   }
 
-  test("gzip reverse differential: our stored-block members decode through GZIPInputStream") {
-    val data = "cross-decoder check: our writer, the JDK's reader".getBytes("UTF-8")
-    (0 to 3).foreach { variant =>
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(Archives.gzipMember(data, variant, 99)))
+  test("gzip reverse differential: our members decode through GZIPInputStream, both deflate modes") {
+    val data = ("cross-decoder check: our writer, the JDK's reader " * 20).getBytes("UTF-8")
+    for (variant <- 0 to 3; compress <- Seq(false, true)) {
+      val member = Archives.gzipMember(data, variant, 99, compress)
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(member))
       val back = in.readAllBytes()
-      assert(back.toSeq == data.toSeq, s"variant $variant")
+      assert(back.toSeq == data.toSeq, s"variant $variant compress $compress")
+      if (compress) assert(member.length < data.length / 2, "compressed member must actually compress")
     }
   }
 
