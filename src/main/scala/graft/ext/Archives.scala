@@ -73,15 +73,15 @@ object Archives {
     * profile the reader must walk — 0: bare, 1: FNAME `d<nameId>.txt`,
     * 2: FEXTRA (6-byte 'GR' subfield), 3: FHCRC (low 16 bits of CRC-32
     * over the header, which the reader re-derives and checks). The body
-    * is stored-block DEFLATE (closed-form length, SQL-replayable — what
-    * the `text_gunzip` oracle's framing model requires) unless
-    * `compress = true`, which emits real LZ77 + fixed-Huffman via
-    * [[Multimodal.deflateFixed]] — the WARC writers use that, so the
-    * oracled archive keys exercise the full Huffman decode path on
-    * genuinely compressed streams.
+    * is framed by `method` — 0: stored blocks (closed-form length,
+    * SQL-replayable, what the `text_gunzip` oracle's framing model
+    * requires); 1: real LZ77 + FIXED Huffman ([[Multimodal.deflateFixed]]);
+    * 2: real LZ77 + DYNAMIC Huffman ([[Multimodal.deflateDynamic]]). The
+    * WARC writers cycle all three, so every DEFLATE block type sits
+    * under the oracled decode path on genuinely compressed streams.
     */
   private[ext] def gzipMember(data: Array[Byte], variant: Int, nameId: Long,
-      compress: Boolean = false): Array[Byte] = {
+      method: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 64)
     val flg = variant match {
       case 1 => 0x08 // FNAME
@@ -106,8 +106,11 @@ object Archives {
         out.write(c & 0xff); out.write((c >> 8) & 0xff)
       case _ => ()
     }
-    if (compress) out.write(Multimodal.deflateFixed(data))
-    else storedDeflate(out, data)
+    method match {
+      case 1 => out.write(Multimodal.deflateFixed(data))
+      case 2 => out.write(Multimodal.deflateDynamic(data))
+      case _ => storedDeflate(out, data)
+    }
     val c = Multimodal.crc32(data, 0, data.length)
     out.write(c & 0xff); out.write((c >> 8) & 0xff); out.write((c >> 16) & 0xff); out.write((c >> 24) & 0xff)
     val n = data.length
@@ -274,10 +277,12 @@ object Archives {
     * own inflate on the spot: `n_bytes` and `checksum` describe the
     * DECODED bytes, so a compressor bug surfaces as an oracle hash
     * mismatch (a failed round trip emits -1, never throws in the hot
-    * path). `deflate_len`/`ratio` are properties of the compressor's
-    * emission — not SQL-replayable by design; they are pinned by the
-    * JDK-Inflater cross-decoder differential in ArchivesSpec instead.
-    * Map-only, one pass, no shuffle.
+    * path). The signal uses the DYNAMIC-Huffman emitter — the layout
+    * real gzip uses for text, and the better ratio estimate.
+    * `deflate_len`/`ratio` are properties of the compressor's emission —
+    * not SQL-replayable by design; they are pinned by the JDK-Inflater
+    * cross-decoder differential in ArchivesSpec instead. Map-only, one
+    * pass, no shuffle.
     */
   def compressionSignal(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[CompressionSignal] = {
     val spark = docs.sparkSession
@@ -288,7 +293,7 @@ object Archives {
       .as[(Long, String)]
       .map { case (id, text) =>
         val data = utf8(text)
-        val comp = Multimodal.deflateFixed(data)
+        val comp = Multimodal.deflateDynamic(data)
         val ratio = comp.length.toDouble / math.max(1, data.length)
         try {
           val back = Multimodal.inflate(comp, 0, comp.length, data.length)
@@ -344,9 +349,9 @@ object Archives {
         val recs = it.toArray.sortBy(_._1)
         val out = new java.io.ByteArrayOutputStream()
         recs.foreach { case (id, text) =>
-          // every third record stays stored-block, so BOTH deflate block
-          // types sit under the oracled decode path
-          out.write(gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id, compress = id % 3 != 0))
+          // cycle stored / fixed / dynamic framing, so ALL THREE deflate
+          // block types sit under the oracled decode path
+          out.write(gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id, method = (id % 3).toInt))
         }
         (aid, out.toByteArray)
       }
@@ -527,7 +532,7 @@ object Archives {
           val msg = httpResponse(utf8(text), chunked = id % 2 == 0)
           out.write(gzipMember(
             warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
-            compress = id % 3 != 0))
+            method = (id % 3).toInt))
         }
         (aid, out.toByteArray)
       }

@@ -712,22 +712,25 @@ object Multimodal {
 
   /** ======== REAL compressor: DEFLATE (RFC 1951), from scratch ========
     * The inverse of [[inflate]] — an actual LZ77 compressor, not the
-    * stored-block framing the image writers use for SQL-replayability:
-    * hash-chain match search (3-byte hash heads + prev chains over the
-    * 32 KiB window, chain depth capped), greedy emission of
-    * length/distance pairs (3..258 / 1..32768) against the RFC's
-    * length and distance symbol tables, packed with the FIXED Huffman
-    * code (BTYPE=01) — literal/length codes in their four canonical
-    * ranges, 5-bit distance codes, Huffman bits MSB-first and extra
-    * bits LSB-first, one final block, byte-aligned flush. Output decodes
-    * through [[inflate]] AND through `java.util.zip.Inflater(nowrap)` —
-    * the cross-decoder differential in MultimodalSpec/ArchivesSpec is
-    * what makes the stream real rather than self-consistent.
+    * stored-block framing the image writers use for SQL-replayability.
+    * The matcher ([[lz77Tokens]]) is shared by both emitters: hash-chain
+    * search (3-byte hash heads + prev chains over the 32 KiB window,
+    * chain depth capped), greedy length/distance pairs (3..258 /
+    * 1..32768). [[deflateFixed]] packs the token stream with the FIXED
+    * Huffman code (BTYPE=01); [[deflateDynamic]] builds per-input
+    * Huffman trees (BTYPE=10) — depth-limited tree construction,
+    * canonical code assignment, and the RLE 16/17/18 code-length-code
+    * header, the full §3.2.7 machinery. Huffman bits go MSB-first and
+    * extra bits LSB-first, one final block, byte-aligned flush. Output
+    * decodes through [[inflate]] AND through
+    * `java.util.zip.Inflater(nowrap)` — the cross-decoder differential
+    * in ArchivesSpec is what makes the streams real rather than
+    * self-consistent.
     */
-  private[ext] def deflateFixed(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
-    var acc = 0L
-    var nb = 0
+  private final class BitWriter(sizeHint: Int) {
+    val out = new java.io.ByteArrayOutputStream(sizeHint)
+    private var acc = 0L
+    private var nb = 0
     def wbits(v: Int, n: Int): Unit = { // LSB-first packing (RFC 1951 §3.1.1)
       acc |= (v.toLong & ((1L << n) - 1)) << nb
       nb += n
@@ -737,27 +740,20 @@ object Multimodal {
       var i = len - 1
       while (i >= 0) { wbits((code >> i) & 1, 1); i -= 1 }
     }
-    def litCode(sym: Int): Unit =
-      if (sym < 144) whuff(0x30 + sym, 8)
-      else if (sym < 256) whuff(0x190 + (sym - 144), 9)
-      else if (sym < 280) whuff(sym - 256, 7)
-      else whuff(0xc0 + (sym - 280), 8)
-    // length symbol for len 3..258: scan LenBase (29 entries — linear is fine)
-    def emitLength(len: Int): Unit = {
-      var s = 28
-      while (LenBase(s) > len) s -= 1
-      litCode(257 + s)
-      wbits(len - LenBase(s), LenExtra(s))
+    def finish(): Array[Byte] = {
+      if (nb > 0) { out.write((acc & 0xff).toInt); acc = 0; nb = 0 } // byte-align flush
+      out.toByteArray
     }
-    def emitDistance(d: Int): Unit = {
-      var s = 29
-      while (DistBase(s) > d) s -= 1
-      whuff(s, 5)
-      wbits(d - DistBase(s), DistExtra(s))
-    }
-    wbits(1, 1) // BFINAL
-    wbits(1, 2) // BTYPE = fixed Huffman
+  }
+
+  /** LZ77 token stream: literals as 0..255, matches packed as
+    * `0x40000000 | (len << 16) | dist` (len 3..258 in bits 16..24, dist
+    * 1..32768 in bits 0..15), terminated implicitly by the caller's EOB.
+    */
+  private def lz77Tokens(data: Array[Byte]): Array[Int] = {
     val n = data.length
+    val toks = new Array[Int](math.max(n, 1))
+    var nt = 0
     if (n >= 3) {
       val HashBits = 15
       val head = Array.fill(1 << HashBits)(-1)
@@ -782,22 +778,231 @@ object Multimodal {
           }
         }
         if (bestLen >= 3) {
-          emitLength(bestLen); emitDistance(bestDist)
+          toks(nt) = 0x40000000 | (bestLen << 16) | bestDist; nt += 1
           val stop = i + bestLen
           while (i < stop) { if (i + 2 < n) insert(i); i += 1 }
         } else {
-          litCode(data(i) & 0xff)
+          toks(nt) = data(i) & 0xff; nt += 1
           if (i + 2 < n) insert(i)
           i += 1
         }
       }
     } else {
       var i = 0
-      while (i < n) { litCode(data(i) & 0xff); i += 1 }
+      while (i < n) { toks(nt) = data(i) & 0xff; nt += 1; i += 1 }
+    }
+    java.util.Arrays.copyOf(toks, nt)
+  }
+
+  // length symbol for len 3..258: scan LenBase (29 entries — linear is fine)
+  private def lengthSymbol(len: Int): Int = {
+    var s = 28
+    while (LenBase(s) > len) s -= 1
+    s
+  }
+  private def distanceSymbol(d: Int): Int = {
+    var s = 29
+    while (DistBase(s) > d) s -= 1
+    s
+  }
+
+  private[ext] def deflateFixed(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter(data.length / 2 + 64)
+    def litCode(sym: Int): Unit =
+      if (sym < 144) bw.whuff(0x30 + sym, 8)
+      else if (sym < 256) bw.whuff(0x190 + (sym - 144), 9)
+      else if (sym < 280) bw.whuff(sym - 256, 7)
+      else bw.whuff(0xc0 + (sym - 280), 8)
+    bw.wbits(1, 1) // BFINAL
+    bw.wbits(1, 2) // BTYPE = fixed Huffman
+    lz77Tokens(data).foreach { t =>
+      if (t < 0x40000000) litCode(t)
+      else {
+        val len = (t >> 16) & 0x1ff
+        val d = t & 0xffff
+        val ls = lengthSymbol(len)
+        litCode(257 + ls); bw.wbits(len - LenBase(ls), LenExtra(ls))
+        val ds = distanceSymbol(d)
+        bw.whuff(ds, 5); bw.wbits(d - DistBase(ds), DistExtra(ds))
+      }
     }
     litCode(256) // end of block
-    if (nb > 0) out.write((acc & 0xff).toInt) // byte-align flush
-    out.toByteArray
+    bw.finish()
+  }
+
+  /** Depth-limited Huffman code lengths for a frequency table: a real
+    * Huffman build (two sorted queues), then — if the deepest leaf
+    * exceeds `maxLen` — frequencies are halved (floor at 1) and the tree
+    * rebuilt, which provably converges to uniform weights whose depth is
+    * ceil(log2 n) <= 9 for n <= 286. Zero, one, and two-symbol corner
+    * cases get explicit handling: DEFLATE requires a decodable tree, so
+    * a lone used symbol is assigned length 1.
+    */
+  private def huffmanLengths(freq: Array[Int], maxLen: Int): Array[Int] = {
+    val n = freq.length
+    val lens = new Array[Int](n)
+    val used = (0 until n).filter(freq(_) > 0)
+    if (used.isEmpty) return lens
+    if (used.size == 1) { lens(used.head) = 1; return lens }
+    var w = used.map(freq(_).toLong).toArray
+    var depths: Array[Int] = null
+    var ok = false
+    while (!ok) {
+      // classic two-queue Huffman over (weight, node); parent pointers give depths
+      val m = w.length
+      val order = (0 until m).sortBy(w(_)).toArray
+      val weight = new Array[Long](2 * m - 1)
+      val parent = new Array[Int](2 * m - 1)
+      java.util.Arrays.fill(parent, -1)
+      var qa = 0 // next leaf in `order`
+      var qb = m // first not-yet-consumed internal node
+      var next = m // next internal node slot
+      var i = 0
+      while (i < m) { weight(order(i)) = w(order(i)); i += 1 }
+      def takeMin(): Int = {
+        val leafOk = qa < m
+        val intOk = qb < next
+        if (leafOk && (!intOk || weight(order(qa)) <= weight(qb))) { val v = order(qa); qa += 1; v }
+        else { val v = qb; qb += 1; v }
+      }
+      while (next < 2 * m - 1) {
+        val a = takeMin(); val b = takeMin()
+        weight(next) = weight(a) + weight(b)
+        parent(a) = next; parent(b) = next
+        next += 1
+      }
+      depths = new Array[Int](m)
+      var maxD = 0
+      i = 0
+      while (i < m) {
+        var d = 0
+        var p = parent(i)
+        while (p >= 0) { d += 1; p = parent(p) }
+        depths(i) = d
+        if (d > maxD) maxD = d
+        i += 1
+      }
+      if (maxD <= maxLen) ok = true
+      else w = w.map(x => math.max(1L, x >> 1))
+    }
+    var k = 0
+    while (k < used.size) { lens(used(k)) = depths(k); k += 1 }
+    lens
+  }
+
+  /** Canonical codes from lengths — the encoder-side twin of the
+    * decoder's [[Huffman]] construction (same RFC 1951 §3.2.2 rule).
+    */
+  private def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = lens.max
+    val codes = new Array[Int](lens.length)
+    if (maxLen == 0) return codes
+    val blCount = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 2)
+    var code = 0
+    var bits = 1
+    while (bits <= maxLen) {
+      code = (code + blCount(bits - 1)) << 1
+      nextCode(bits) = code
+      bits += 1
+    }
+    var i = 0
+    while (i < lens.length) {
+      if (lens(i) > 0) { codes(i) = nextCode(lens(i)); nextCode(lens(i)) += 1 }
+      i += 1
+    }
+    codes
+  }
+
+  /** DEFLATE with per-input DYNAMIC Huffman trees (BTYPE=10): token
+    * histograms -> depth-limited literal/length and distance trees ->
+    * canonical codes -> the §3.2.7 header (HLIT/HDIST/HCLEN, the
+    * code-length code in ClOrder, and the tree lengths themselves
+    * RLE-compressed with symbols 16/17/18) -> the token stream under the
+    * new codes. One final block; this is the layout every real gzip/zlib
+    * stream uses for text.
+    */
+  private[ext] def deflateDynamic(data: Array[Byte]): Array[Byte] = {
+    val toks = lz77Tokens(data)
+    // ---- histograms (EOB counts once; unused distance tree handled below)
+    val litFreq = new Array[Int](286)
+    val distFreq = new Array[Int](30)
+    litFreq(256) = 1
+    toks.foreach { t =>
+      if (t < 0x40000000) litFreq(t) += 1
+      else {
+        litFreq(257 + lengthSymbol((t >> 16) & 0x1ff)) += 1
+        distFreq(distanceSymbol(t & 0xffff)) += 1
+      }
+    }
+    val litLens = huffmanLengths(litFreq, 15)
+    val distLens = huffmanLengths(distFreq, 15)
+    // a block with no matches still must declare a decodable distance tree
+    if (distLens.forall(_ == 0)) distLens(0) = 1
+    val litCodes = canonicalCodes(litLens)
+    val distCodes = canonicalCodes(distLens)
+    val hlit = math.max(257, 286 - litLens.reverse.takeWhile(_ == 0).length)
+    val hdist = math.max(1, 30 - distLens.reverse.takeWhile(_ == 0).length)
+    // ---- RLE the combined length array with 16 (repeat 3-6) / 17 (zeros
+    // 3-10) / 18 (zeros 11-138); build the 7-bit-limited CL tree over it
+    val combined = new Array[Int](hlit + hdist)
+    var i = 0
+    while (i < hlit) { combined(i) = litLens(i); i += 1 }
+    while (i < hlit + hdist) { combined(i) = distLens(i - hlit); i += 1 }
+    val clSyms = new scala.collection.mutable.ArrayBuffer[(Int, Int)] // (symbol, extraValue)
+    i = 0
+    while (i < combined.length) {
+      val v = combined(i)
+      var run = 1
+      while (i + run < combined.length && combined(i + run) == v) run += 1
+      if (v == 0) {
+        var left = run
+        while (left >= 11) { val take = math.min(138, left); clSyms += ((18, take - 11)); left -= take }
+        if (left >= 3) { clSyms += ((17, left - 3)); left = 0 }
+        while (left > 0) { clSyms += ((0, 0)); left -= 1 }
+      } else {
+        clSyms += ((v, 0))
+        var left = run - 1
+        while (left >= 3) { val take = math.min(6, left); clSyms += ((16, take - 3)); left -= take }
+        while (left > 0) { clSyms += ((v, 0)); left -= 1 }
+      }
+      i += run
+    }
+    val clFreq = new Array[Int](19)
+    clSyms.foreach { case (s, _) => clFreq(s) += 1 }
+    val clLens = huffmanLengths(clFreq, 7)
+    val clCodes = canonicalCodes(clLens)
+    var hclen = 19
+    while (hclen > 4 && clLens(ClOrder(hclen - 1)) == 0) hclen -= 1
+    // ---- emit
+    val bw = new BitWriter(data.length / 2 + 64)
+    bw.wbits(1, 1) // BFINAL
+    bw.wbits(2, 2) // BTYPE = dynamic
+    bw.wbits(hlit - 257, 5)
+    bw.wbits(hdist - 1, 5)
+    bw.wbits(hclen - 4, 4)
+    i = 0
+    while (i < hclen) { bw.wbits(clLens(ClOrder(i)), 3); i += 1 }
+    clSyms.foreach { case (s, extra) =>
+      bw.whuff(clCodes(s), clLens(s))
+      if (s == 16) bw.wbits(extra, 2)
+      else if (s == 17) bw.wbits(extra, 3)
+      else if (s == 18) bw.wbits(extra, 7)
+    }
+    toks.foreach { t =>
+      if (t < 0x40000000) bw.whuff(litCodes(t), litLens(t))
+      else {
+        val len = (t >> 16) & 0x1ff
+        val d = t & 0xffff
+        val ls = lengthSymbol(len)
+        bw.whuff(litCodes(257 + ls), litLens(257 + ls)); bw.wbits(len - LenBase(ls), LenExtra(ls))
+        val ds = distanceSymbol(d)
+        bw.whuff(distCodes(ds), distLens(ds)); bw.wbits(d - DistBase(ds), DistExtra(ds))
+      }
+    }
+    bw.whuff(litCodes(256), litLens(256)) // end of block
+    bw.finish()
   }
 
   private val PngSignature =

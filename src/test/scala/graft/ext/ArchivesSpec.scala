@@ -54,14 +54,14 @@ class ArchivesSpec extends AnyFunSuite {
     assert(members(0).toSeq == payloads(0).toSeq && members(1).toSeq == payloads(1).toSeq)
   }
 
-  test("gzip reverse differential: our members decode through GZIPInputStream, both deflate modes") {
+  test("gzip reverse differential: our members decode through GZIPInputStream, all deflate modes") {
     val data = ("cross-decoder check: our writer, the JDK's reader " * 20).getBytes("UTF-8")
-    for (variant <- 0 to 3; compress <- Seq(false, true)) {
-      val member = Archives.gzipMember(data, variant, 99, compress)
+    for (variant <- 0 to 3; method <- 0 to 2) {
+      val member = Archives.gzipMember(data, variant, 99, method)
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(member))
       val back = in.readAllBytes()
-      assert(back.toSeq == data.toSeq, s"variant $variant compress $compress")
-      if (compress) assert(member.length < data.length / 2, "compressed member must actually compress")
+      assert(back.toSeq == data.toSeq, s"variant $variant method $method")
+      if (method > 0) assert(member.length < data.length / 2, s"method $method must actually compress")
     }
   }
 
@@ -133,18 +133,19 @@ class ArchivesSpec extends AnyFunSuite {
         a
       },
       "beyond window" -> Array.tabulate(90000)(i => (i % 7).toByte))
-    payloads.foreach { case (name, data) =>
-      val comp = Multimodal.deflateFixed(data)
+    for ((name, data) <- payloads; (mode, compress) <- Seq(
+        ("fixed", Multimodal.deflateFixed(_)), ("dynamic", Multimodal.deflateDynamic(_)))) {
+      val comp = compress(data)
       val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
       inf.setInput(comp)
       val buf = new Array[Byte](data.length + 16)
       val m = inf.inflate(buf)
-      assert(inf.finished(), s"$name: stream must terminate")
-      assert(m == data.length && buf.take(m).toSeq == data.toSeq, s"$name: JDK decode mismatch")
+      assert(inf.finished(), s"$name/$mode: stream must terminate")
+      assert(m == data.length && buf.take(m).toSeq == data.toSeq, s"$name/$mode: JDK decode mismatch")
       inf.end()
       // and through our own inflate
       val back = Multimodal.inflate(comp, 0, comp.length, math.max(data.length, 16))
-      assert(back.toSeq == data.toSeq, s"$name: self decode mismatch")
+      assert(back.toSeq == data.toSeq, s"$name/$mode: self decode mismatch")
     }
     // real compression on repetitive input, bounded expansion on random input
     val rep = Multimodal.deflateFixed(("lorem ipsum " * 1000).getBytes("UTF-8"))
@@ -152,6 +153,11 @@ class ArchivesSpec extends AnyFunSuite {
     val rnd2 = Array.fill(4096)(rnd.nextInt(256).toByte)
     val worst = Multimodal.deflateFixed(rnd2)
     assert(worst.length < 4096 * 9 / 8 + 16, "fixed-Huffman expansion bound")
+    // the dynamic tree should beat fixed codes on skewed text, and hold
+    // its own (header included) on the literal-heavy random payload
+    val skewed = ("aaaaaab" * 2000).getBytes("UTF-8")
+    assert(Multimodal.deflateDynamic(skewed).length < Multimodal.deflateFixed(skewed).length)
+    assert(Multimodal.deflateDynamic(rnd2).length < 4096 + 128, "dynamic stays near 8 bits/literal on random input")
   }
 
   test("compressionSignal: decoded stats match the source; ratio separates repetition from noise") {
