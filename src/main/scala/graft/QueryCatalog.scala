@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Dedup, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Archives, Clusters, Dedup, Encoding, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1838,6 +1838,65 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** Encoding hygiene under the gate: the full RFC 3629 UTF-8 validator
+    * replayed BITWISE in SQL. The fold's whole state packs into one
+    * non-negative BIGINT (expecting | constraint<<2 | invalid<<5 |
+    * codepoints<<25 — see [[graft.ext.Encoding]]), so DuckDB's
+    * `list_reduce` steps through the identical transition table:
+    * continuation classes for E0/ED/F0/F4 (overlong, surrogate, and
+    * plane-range guards), C0/C1 and F5..FF rejected as leads, truncated
+    * tails counted. The fixture XORs one byte of every third doc with
+    * 0xC0 (ASCII becomes an orphan continuation; a multi-byte lead
+    * becomes ASCII and strands its tail), replayed positionally by the
+    * oracle — the validator is graded on genuinely damaged bytes.
+    */
+  private val qUtf8Stats: (SparkSession, String) => DataFrame = (s, dir) =>
+    Encoding.utf8Stats(Encoding.corruptBytes(
+      Multimodal.attachBinary(table(s, dir, "documents"))
+        .filter(col("doc_id").isNotNull && col("doc_id") >= 0 && col("payload").isNotNull))).toDF()
+
+  private val oUtf8Stats: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b),
+      |c AS (SELECT doc_id, n,
+      |        list_transform(range(n), i ->
+      |          CASE WHEN doc_id % 3 = 0 AND i = doc_id % n
+      |               THEN xor(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT, 192)
+      |               ELSE ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT END) AS bs
+      |      FROM s),
+      |f AS (SELECT doc_id, n,
+      |        list_reduce(list_prepend(0::BIGINT, bs), (s, b) ->
+      |          CASE WHEN s % 4 = 0 THEN
+      |            CASE WHEN b <= 127 THEN s + 33554432
+      |                 WHEN b BETWEEN 194 AND 223 THEN s + 1
+      |                 WHEN b = 224 THEN s + 6
+      |                 WHEN (b BETWEEN 225 AND 236) OR b = 238 OR b = 239 THEN s + 2
+      |                 WHEN b = 237 THEN s + 10
+      |                 WHEN b = 240 THEN s + 15
+      |                 WHEN b BETWEEN 241 AND 243 THEN s + 3
+      |                 WHEN b = 244 THEN s + 19
+      |                 ELSE s + 32 END
+      |          ELSE
+      |            CASE WHEN CASE (s // 4) % 8
+      |                   WHEN 1 THEN b BETWEEN 160 AND 191
+      |                   WHEN 2 THEN b BETWEEN 128 AND 159
+      |                   WHEN 3 THEN b BETWEEN 144 AND 191
+      |                   WHEN 4 THEN b BETWEEN 128 AND 143
+      |                   ELSE b BETWEEN 128 AND 191 END
+      |                 THEN s - 1 - 4 * ((s // 4) % 8) + CASE WHEN s % 4 = 1 THEN 33554432 ELSE 0 END
+      |                 ELSE s - (s % 4) - 4 * ((s // 4) % 8) + 32 END
+      |          END) AS fs
+      |      FROM c),
+      |g AS (SELECT doc_id, n,
+      |        CASE WHEN fs % 4 <> 0 THEN fs - (fs % 4) - 4 * ((fs // 4) % 8) + 32 ELSE fs END AS fs2
+      |      FROM f)
+      |SELECT doc_id, n::BIGINT AS n_bytes,
+      |       (fs2 // 33554432)::BIGINT AS n_codepoints,
+      |       ((fs2 // 32) % 1048576)::BIGINT AS n_invalid,
+      |       ((fs2 // 32) % 1048576) = 0 AS is_valid
+      |FROM g""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -3079,6 +3138,7 @@ object QueryCatalog {
     "warc_extract" -> qWarcExtract,
     "warc_http_extract" -> qWarcHttpExtract,
     "deflate_roundtrip" -> qDeflateRoundtrip,
+    "utf8_stats" -> qUtf8Stats,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3185,6 +3245,7 @@ object QueryCatalog {
     "warc_extract" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
     "deflate_roundtrip" -> oDeflateRoundtrip,
+    "utf8_stats" -> oUtf8Stats,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

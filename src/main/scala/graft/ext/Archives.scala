@@ -581,6 +581,40 @@ object Archives {
       }
   }
 
+  /** [[warcExtract]] for an ARCHIVE STREAM: same member-split + record
+    * parse, but the input carries an event time (`archive_id, ts,
+    * payload`) that every extracted record inherits — what a watermarked
+    * downstream aggregation needs. Stateless flatMap, so it runs
+    * identically under batch and Structured Streaming; the streaming
+    * composition lives in [[graft.streaming.StreamingArchiveIngest]].
+    */
+  def warcExtractWithTs(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("ts").cast("timestamp"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (aid, ts, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[(Long, java.sql.Timestamp, Long, Long, Long)]
+            var pos = 0
+            var idx = 0L
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              out += ((aid, ts, idx, docId, (bodyUntil - bodyFrom).toLong))
+              pos = next
+              idx += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+      .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
+  }
+
   /** Demux + decode + parse crawl archives: split each blob into gzip
     * members on the inflate end position, decode each member under the
     * per-record cap, parse the WARC header block, and emit one row per

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ======== Encoding hygiene: UTF-8 validation, from scratch ========
+  *
+  * A crawl corpus is never all valid UTF-8 — truncated fetches, wrong
+  * charset labels, and bit rot leave orphan continuation bytes, overlong
+  * encodings, surrogates, and out-of-range sequences that poison
+  * tokenizers downstream. This module classifies every byte of a binary
+  * payload with the real UTF-8 acceptance rules (RFC 3629):
+  * continuation classes for E0/ED/F0/F4 (overlong, surrogate, and
+  * plane-range guards), C0/C1 and F5..FF rejected outright, truncated
+  * tails counted.
+  *
+  * The validator is a single left-to-right fold whose whole state packs
+  * into one non-negative Long — `expecting` (2 bits), the
+  * first-continuation constraint class (3 bits), invalid count (20
+  * bits), codepoint count (high bits) — precisely so the DuckDB oracle
+  * can replay the SAME fold with `list_reduce` over the payload's hex
+  * image and match bitwise. Divergence from replacement-char decoding is
+  * deliberate and documented: a bad continuation byte counts one invalid
+  * sequence and is CONSUMED (the fold never re-processes a byte), which
+  * keeps both engines' folds identical; the per-doc `is_valid` verdict
+  * is unaffected (differentially pinned against the JDK's strict
+  * CharsetDecoder in EncodingSpec).
+  *
+  * No reference citation — `/root/reference/src/flinkarima.py` has no
+  * encoding path; north-star LLM-pipeline scope. 100 TB shape: map-only,
+  * one pass, no shuffle, O(1) state per row.
+  */
+object Encoding {
+
+  /** expecting | constraint<<2 | invalid<<5 | codepoints<<25, all packed
+    * non-negative; documents up to 2^38 codepoints fit.
+    */
+  private final val InvShift = 5
+  private final val CpShift = 25
+  private final val InvMask = (1L << (CpShift - InvShift)) - 1
+
+  private[ext] def utf8Fold(bytes: Array[Byte]): (Long, Long, Boolean) = {
+    var e = 0 // continuation bytes still expected
+    var c = 0 // constraint class for the FIRST continuation byte
+    var inv = 0L
+    var cp = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (e == 0) {
+        if (b <= 0x7f) cp += 1
+        else if (b >= 0xc2 && b <= 0xdf) { e = 1; c = 0 }
+        else if (b == 0xe0) { e = 2; c = 1 } // next in A0..BF (overlong guard)
+        else if ((b >= 0xe1 && b <= 0xec) || b == 0xee || b == 0xef) { e = 2; c = 0 }
+        else if (b == 0xed) { e = 2; c = 2 } // next in 80..9F (surrogate guard)
+        else if (b == 0xf0) { e = 3; c = 3 } // next in 90..BF (overlong guard)
+        else if (b >= 0xf1 && b <= 0xf3) { e = 3; c = 0 }
+        else if (b == 0xf4) { e = 3; c = 4 } // next in 80..8F (plane-range guard)
+        else inv += 1 // orphan continuation, C0/C1 overlong lead, F5..FF
+      } else {
+        val ok = c match {
+          case 1 => b >= 0xa0 && b <= 0xbf
+          case 2 => b >= 0x80 && b <= 0x9f
+          case 3 => b >= 0x90 && b <= 0xbf
+          case 4 => b >= 0x80 && b <= 0x8f
+          case _ => b >= 0x80 && b <= 0xbf
+        }
+        if (ok) { e -= 1; c = 0; if (e == 0) cp += 1 }
+        else { inv += 1; e = 0; c = 0 } // consume, don't re-process: see scaladoc
+      }
+      i += 1
+    }
+    if (e != 0) inv += 1 // truncated tail sequence
+    (cp, inv, inv == 0)
+  }
+
+  final case class Utf8Stats(
+      doc_id: Long, n_bytes: Long, n_codepoints: Long, n_invalid: Long, is_valid: Boolean)
+
+  /** Per-document UTF-8 statistics over a binary payload column
+    * (`doc_id`, `payload`): total bytes, decoded codepoints, invalid
+    * sequences, and the hygiene verdict.
+    */
+  def utf8Stats(binDocs: DataFrame): Dataset[Utf8Stats] = {
+    val spark = binDocs.sparkSession
+    import spark.implicits._
+    binDocs
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val (cp, inv, valid) = utf8Fold(p)
+        Utf8Stats(id, p.length.toLong, cp, inv, valid)
+      }
+  }
+
+  /** Deterministic damage FIXTURE (not part of the operator): every
+    * `everyN`-th doc gets the byte at position `doc_id mod length` XOR'd
+    * with `mask` — enough to plant orphan continuations, bad leads, and
+    * broken multi-byte tails throughout a clean corpus. The oracle
+    * replays the same flip positionally, so the validator is graded on
+    * genuinely damaged bytes, not only on the happy path.
+    */
+  def corruptBytes(binDocs: DataFrame, everyN: Int = 3, mask: Int = 0xc0): DataFrame = {
+    val spark = binDocs.sparkSession
+    import spark.implicits._
+    binDocs
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val out =
+          if (id % everyN == 0 && p.nonEmpty) {
+            val m = p.clone()
+            val pos = (id % p.length).toInt
+            m(pos) = (m(pos) ^ mask).toByte
+            m
+          } else p
+        (id, out)
+      }
+      .toDF("doc_id", "payload")
+  }
+}

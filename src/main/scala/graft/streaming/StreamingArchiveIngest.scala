@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Archives
+
+/** The live-ingest twin of [[graft.ext.Archives.warcExtract]]: crawl
+  * segments (.warc.gz blobs) arrive as an unbounded stream — in
+  * production from a file-source watching the fetcher's output directory
+  * — and are demuxed, decoded, and reduced to per-window ingest
+  * throughput as they land, instead of in nightly batches.
+  *
+  *  1. record extraction is the SAME stateless flatMap the batch path
+  *     uses ([[Archives.warcExtractWithTs]] — gzip member split on the
+  *     inflate end position, strict WARC header parse, whole-archive
+  *     drop on damage), so batch and stream cannot diverge on what a
+  *     record is;
+  *  2. a watermark bounds state, then a tumbling window per archive
+  *     aggregates records and bytes — the crawl-operations view (is the
+  *     fetcher healthy? are segments arriving corrupt?) with bounded
+  *     memory at any ingest rate.
+  *
+  * Output (append mode, finalized on watermark): window_start,
+  * archive_id, n_records, total_bytes, n_docs.
+  *
+  * 100 TB shape: the flatMap is map-only (parallelism = arriving blobs),
+  * the aggregation state is one row per (window, archive) — segments per
+  * watermark horizon, not records — and nothing holds a decompressed
+  * archive beyond its own task.
+  */
+object StreamingArchiveIngest {
+
+  def ingest(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    Archives.warcExtractWithTs(archives, maxRecordBytes)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("archive_id"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("content_length")).as("total_bytes"),
+        // exact distinct is unsupported under streaming aggregation; the
+        // HLL sketch is the standard bounded-state substitute
+        approx_count_distinct(col("rec_doc_id")).as("n_docs"))
+      .select(col("w.start").as("window_start"), col("archive_id"),
+        col("n_records"), col("total_bytes"), col("n_docs"))
+}

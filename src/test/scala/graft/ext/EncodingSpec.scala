@@ -1,0 +1,108 @@
+package graft.ext
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EncodingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def fold(bytes: Int*): (Long, Long, Boolean) =
+    Encoding.utf8Fold(bytes.map(_.toByte).toArray)
+
+  test("utf8 fold: acceptance truth table over the RFC 3629 classes") {
+    assert(fold() == ((0L, 0L, true)))
+    assert(Encoding.utf8Fold("hello".getBytes("UTF-8")) == ((5L, 0L, true)))
+    assert(Encoding.utf8Fold("héllo ☃ 🎉".getBytes("UTF-8")) == ((9L, 0L, true)))
+    // boundary codepoints: U+0080, U+0800, U+FFFD, U+10FFFF
+    assert(fold(0xc2, 0x80) == ((1L, 0L, true)))
+    assert(fold(0xe0, 0xa0, 0x80) == ((1L, 0L, true)))
+    assert(fold(0xef, 0xbf, 0xbd) == ((1L, 0L, true)))
+    assert(fold(0xf4, 0x8f, 0xbf, 0xbf) == ((1L, 0L, true)))
+    // overlong lead bytes C0/C1 are invalid outright
+    assert(fold(0xc0, 0x80) == ((0L, 2L, false))) // lead + orphan continuation
+    assert(fold(0xc1, 0xbf) == ((0L, 2L, false)))
+    // overlong 3-byte: E0 requires A0..BF as first continuation — the bad
+    // byte is consumed (1 invalid), the final 0x80 is then an orphan
+    assert(fold(0xe0, 0x80, 0x80) == ((0L, 2L, false)))
+    // CESU-style surrogate: ED A0 80 is rejected at the second byte
+    assert(fold(0xed, 0xa0, 0x80) == ((0L, 2L, false)))
+    assert(fold(0xed, 0x9f, 0xbf) == ((1L, 0L, true))) // U+D7FF still fine
+    // F0 overlong guard and F4 plane-range guard
+    assert(fold(0xf0, 0x80, 0x80, 0x80) == ((0L, 3L, false)))
+    assert(fold(0xf4, 0x90, 0x80, 0x80) == ((0L, 3L, false))) // > U+10FFFF
+    // F5..FF are not leads at all
+    assert(fold(0xf5, 0x80) == ((0L, 2L, false)))
+    assert(fold(0xff) == ((0L, 1L, false)))
+    // orphan continuation, truncated tail
+    assert(fold(0x80) == ((0L, 1L, false)))
+    assert(fold(0xc3) == ((0L, 1L, false)))
+    assert(fold(0xe2, 0x82) == ((0L, 1L, false))) // one truncated sequence
+    // damage mid-stream: valid text resumes after the bad byte is consumed
+    val mixed = "ab".getBytes("UTF-8") ++ Array(0x80.toByte) ++ "cd".getBytes("UTF-8")
+    assert(Encoding.utf8Fold(mixed) == ((4L, 1L, false)))
+  }
+
+  test("utf8 fold: is_valid differential against the JDK's strict decoder") {
+    def jdkValid(bytes: Array[Byte]): Boolean =
+      try {
+        StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    val rnd = new scala.util.Random(19)
+    var checkedInvalid = 0
+    var checkedValid = 0
+    (0 until 400).foreach { k =>
+      val bytes =
+        if (k % 2 == 0) Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+        else {
+          // valid text with (sometimes) one flipped byte
+          val s = Seq.fill(rnd.nextInt(12))(
+            Seq("a", "é", "☃", "🎉", "ж", "中")(rnd.nextInt(6))).mkString
+          val b = s.getBytes("UTF-8")
+          if (b.nonEmpty && rnd.nextBoolean()) {
+            val i = rnd.nextInt(b.length)
+            b(i) = (b(i) ^ 0xc0).toByte
+          }
+          b
+        }
+      val (cp, _, valid) = Encoding.utf8Fold(bytes)
+      assert(valid == jdkValid(bytes), s"case $k: ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+      if (valid) {
+        val s = new String(bytes, StandardCharsets.UTF_8)
+        assert(cp == s.codePointCount(0, s.length).toLong, s"case $k codepoints")
+        checkedValid += 1
+      } else checkedInvalid += 1
+    }
+    assert(checkedValid > 30 && checkedInvalid > 30, "differential must exercise both verdicts")
+  }
+
+  test("utf8Stats over Spark: corruption fixture plants real damage; stats are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "das schöne Haus über der Straße"), // corrupted (0 % 3 == 0)
+      (1L, "plain ascii only here"),
+      (2L, "héllo wörld"),
+      (3L, "中文文本与表情🎉混合"), // corrupted (3 % 3 == 0)
+      (4L, "")).toDF("doc_id", "text")
+    val bin = Multimodal.attachBinary(docs)
+    val stats = Encoding.utf8Stats(Encoding.corruptBytes(bin))
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(stats.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // uncorrupted docs are exactly their codepoint counts
+    assert(stats(1L).is_valid && stats(1L).n_codepoints == 21)
+    assert(stats(2L).is_valid && stats(2L).n_codepoints == 11)
+    assert(stats(4L).is_valid && stats(4L).n_bytes == 0 && stats(4L).n_codepoints == 0)
+    // doc 0: byte 0 (ASCII 'd') XOR 0xC0 = orphan continuation -> invalid
+    assert(!stats(0L).is_valid && stats(0L).n_invalid >= 1)
+    // doc 3: position 3 % n lands inside the multi-byte text -> damage
+    assert(!stats(3L).is_valid)
+    // n_bytes is the payload length either way
+    assert(stats(0L).n_bytes == "das schöne Haus über der Straße".getBytes("UTF-8").length)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.ext.Archives
+
+class StreamingArchiveIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def ts(m: Int) = new Timestamp(m * 60000L)
+
+  /** Real archive blobs from the batch writer — the stream carries the
+    * same bytes a fetcher would flush.
+    */
+  private def archiveBlobs(ids: Seq[Long], nArchives: Int): Map[Long, Array[Byte]] = {
+    import spark.implicits._
+    Archives.encodeWarcArchives(
+      ids.map(i => (i, s"streamed document $i with some body text")).toDF("doc_id", "text"),
+      nArchives = nArchives)
+      .as[(Long, Array[Byte])].collect().toMap
+  }
+
+  test("archive stream: windows finalize with exact record counts; corrupt blobs drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val blobs = archiveBlobs(0L until 12L, nArchives = 2) // 6 records per archive
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = StreamingArchiveIngest.ingest(
+      input.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      // two segments of the same archive land in the same window; a
+      // corrupt blob lands alongside and must vanish whole
+      val corrupt = blobs(1L).clone()
+      corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x7f).toByte
+      input.addData((0L, ts(1), blobs(0L)), (0L, ts(4), blobs(0L)), (1L, ts(3), corrupt))
+      query.processAllAvailable()
+      input.addData((1L, ts(8), blobs(1L)))
+      query.processAllAvailable()
+      // advance the watermark far enough to finalize both windows
+      input.addData((0L, ts(40), blobs(0L)))
+      query.processAllAvailable()
+      val rows = spark.table("ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // window [0,10): archive 0 saw two whole segments = 12 records;
+      // archive 1 saw one corrupt blob (contributes NOTHING) and one
+      // clean segment at t=8 -> exactly 6 records
+      val expectedBytes = (0L until 12L by 2)
+        .map(i => s"streamed document $i with some body text".getBytes("UTF-8").length.toLong).sum
+      assert(rows((0, 0L))._1 == 12L)
+      assert(rows((0, 0L))._2 == 2 * expectedBytes)
+      assert(rows((0, 1L))._1 == 6L, "corrupt blob must not contribute records")
+    } finally query.stop()
+  }
+
+  test("archive stream: late-arriving segment beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val blobs = archiveBlobs(0L until 4L, nArchives = 1)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = StreamingArchiveIngest.ingest(
+      input.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "2 minutes", windowLength = "5 minutes")
+      .writeStream.format("memory").queryName("ingest_late").outputMode("append").start()
+    try {
+      input.addData((0L, ts(1), blobs(0L)))
+      query.processAllAvailable()
+      input.addData((0L, ts(30), blobs(0L))) // advances watermark past window [0,5)
+      query.processAllAvailable()
+      input.addData((0L, ts(2), blobs(0L))) // late: window already finalized
+      query.processAllAvailable()
+      val w0 = spark.table("ingest_late").collect().filter(_.getTimestamp(0).getTime == 0L)
+      assert(w0.length == 1 && w0(0).getLong(2) == 4L, "late segment must not reopen the window")
+    } finally query.stop()
+  }
+}
