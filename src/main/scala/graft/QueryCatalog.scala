@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Dedup, Encoding, EventAnalytics, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Archives, Clusters, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1897,6 +1897,43 @@ object QueryCatalog {
       |       ((fs2 // 32) % 1048576) = 0 AS is_valid
       |FROM g""".stripMargin
 
+  /** Link-graph authority under the gate: 10 rounds of fixed-point
+    * integer PageRank over the deterministic host graph (one link per
+    * doc, `doc_id % 64 -> md5(doc_id) % 64`). Integer floor divisions
+    * and order-free BIGINT sums make every iteration bit-identical
+    * across engines and partitionings — the oracle UNROLLS all ten
+    * rounds as chained CTEs replaying the exact recurrence, so a slip
+    * in out-degree weighting, damping arithmetic, or the iteration
+    * count itself fails the hash ([[graft.ext.Graph]] documents the
+    * fixed-point-vs-float design argument).
+    */
+  private val qHostPagerank: (SparkSession, String) => DataFrame = (s, dir) =>
+    Graph.pagerank(Graph.hostEdges(table(s, dir, "documents")))
+      .select(col("h").as("host"), col("pr"))
+
+  private val oHostPagerank: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { k =>
+      s"""p$k AS (SELECT n.h, (15 * $scale) // (100 * (SELECT cnt FROM nc))
+         |         + (85 * coalesce(s.inc, 0)) // 100 AS pr
+         |       FROM nodes n LEFT JOIN (
+         |         SELECT e.dst AS h, sum(e.w * (p.pr // o.od)) AS inc
+         |         FROM e JOIN p${k - 1} p ON p.h = e.src JOIN outd o ON o.src = e.src
+         |         GROUP BY e.dst) s ON s.h = n.h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM d),
+       |e AS (SELECT src, dst, count(*)::BIGINT AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |nc AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+       |outd AS (SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1),
+       |p0 AS (SELECT h, $scale // (SELECT cnt FROM nc) AS pr FROM nodes),
+       |$iters
+       |SELECT h AS host, pr FROM p10""".stripMargin
+  }
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -3139,6 +3176,7 @@ object QueryCatalog {
     "warc_http_extract" -> qWarcHttpExtract,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
+    "host_pagerank" -> qHostPagerank,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3246,6 +3284,7 @@ object QueryCatalog {
     "warc_http_extract" -> oWarcHttpExtract,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
+    "host_pagerank" -> oHostPagerank,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

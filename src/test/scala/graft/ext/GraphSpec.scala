@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  /** Driver-side replica of the exact fixed-point recurrence — an
+    * independent implementation the distributed one must match node for
+    * node.
+    */
+  private def referencePagerank(
+      edges: Seq[(Long, Long, Long)], iterations: Int, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outd = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (15L * scale) / (100L * n)
+    var pr = nodes.map(_ -> scale / n).toMap
+    (0 until iterations).foreach { _ =>
+      val inc = edges
+        .groupBy(_._2)
+        .map { case (d, es) => d -> es.map { case (s, _, w) => w * (pr(s) / outd(s)) }.sum }
+      pr = nodes.map(h => h -> (base + (85L * inc.getOrElse(h, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  test("pagerank: distributed fixed-point equals the driver-side recurrence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = (0 until 300).map { _ =>
+      val s = rnd.nextInt(40).toLong; var d = rnd.nextInt(40).toLong
+      if (d == s) d = (d + 1) % 40
+      (s, d, rnd.nextInt(3) + 1L)
+    }.groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val got = Graph.pagerank(edges.toDF("src", "dst", "weight"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = referencePagerank(edges, 10, 1000000000000L)
+    assert(got == want)
+  }
+
+  test("pagerank: a sink-heavy star concentrates score; authority ordering is right") {
+    import spark.implicits._
+    // hub 0 links to 1..5; everyone also links to 9 (the authority)
+    val edges = ((1L to 5L).map(d => (0L, d, 1L)) ++ (0L to 5L).map(s => (s, 9L, 1L))).toDF("src", "dst", "weight")
+    val pr = Graph.pagerank(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(9L) > pr(0L), "the commonly-linked authority must outrank the hub")
+    assert((1L to 5L).forall(h => pr(9L) > pr(h)))
+    // all mass non-negative and bounded by the scale
+    assert(pr.values.forall(v => v >= 0 && v <= 1000000000000L))
+  }
+
+  test("pagerank: zero iterations returns the uniform start; empty-ish graphs behave") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("src", "dst", "weight")
+    val pr0 = Graph.pagerank(edges, iterations = 0).collect().map(_.getLong(1)).toSet
+    assert(pr0 == Set(500000000000L))
+    // a two-node cycle is symmetric: equal scores at any depth
+    val pr = Graph.pagerank(edges, iterations = 7).collect().map(_.getLong(1)).toSet
+    assert(pr.size == 1, "symmetric cycle must stay symmetric")
+  }
+
+  test("hostEdges: deterministic, self-loop-free, weights aggregate multiplicity") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val e1 = Graph.hostEdges(docs).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e2 = Graph.hostEdges(docs).collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(e1 == e2, "fixture must be deterministic")
+    assert(e1.keys.forall { case (s, d) => s != d })
+    assert(e1.keys.forall { case (s, d) => s >= 0 && s < 64 && d >= 0 && d < 64 })
+    assert(e1.values.sum <= 500, "at most one link per doc")
+  }
+}
