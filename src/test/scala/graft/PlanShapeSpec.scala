@@ -291,4 +291,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"),
       s"global range sort crept into the per-key rolling stats:\n${p.take(1200)}")
   }
+
+  test("archive codecs: gunzip, deflate round trip, and utf8 validation are map-only") {
+    Seq("text_gunzip", "deflate_roundtrip", "utf8_stats").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
+      assert(!p.contains("Join"), s"$key must not join")
+    }
+  }
+
+  test("warc extraction: exactly one exchange — the archive-synthesis grouping") {
+    Seq("warc_extract", "warc_http_extract").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$key: the only shuffle should be building the archives (got $exchanges):\n${p.take(1500)}")
+      assertNoCartesian(p)
+    }
+  }
+
+  test("pagerank: one contribution shuffle per iteration, no cartesian, no window") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "weight")
+    // a single-iteration plan after the lineage cut: the contribution
+    // aggregation and the node left-join are the whole round
+    val pr1 = graft.ext.Graph.pagerank(edges, iterations = 1)
+    val p = plan(pr1)
+    assertNoCartesian(p)
+    assert(!p.contains("Window"), "pagerank must not use windows")
+  }
 }
