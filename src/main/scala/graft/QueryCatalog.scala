@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1934,6 +1934,36 @@ object QueryCatalog {
        |SELECT h AS host, pr FROM p10""".stripMargin
   }
 
+  /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
+    * EVERY record's fifth field carries a quote-escape, an embedded
+    * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
+    * case that breaks line-split-first readers — and
+    * [[graft.ext.Csv.csvExtract]]'s strict state machine must invert the
+    * writer exactly: the oracle computes each record's field checksum
+    * (fields joined by the 0x1F unit separator) straight from the source
+    * columns, so any quoting, unescaping, or record-splitting slip fails
+    * the hash.
+    */
+  private val qCsvExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Csv.csvExtract(Csv.encodeCsvShards(table(s, dir, "documents"), nShards = 16)).toDF()
+
+  private val oCsvExtract: String =
+    """WITH d AS (SELECT doc_id, lang, source, text FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0
+      |             AND text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS shard_id,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS row_idx,
+      |        encode(CAST(doc_id AS VARCHAR) || chr(31) || lang || chr(31) || source || chr(31)
+      |               || text || chr(31)
+      |               || 'q="' || source || '", line' || chr(10) || lang) AS j
+      |      FROM d),
+      |s AS (SELECT shard_id, row_idx, hex(j) AS hx, octet_length(j) AS n FROM r)
+      |SELECT shard_id::BIGINT AS shard_id, row_idx::BIGINT AS row_idx, 5::BIGINT AS n_fields,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM s""".stripMargin
+
   /** The composed curation pipeline (exact dedup -> LSH near-dup removal ->
     * quality gate -> language tag); the oracle replays every stage in SQL
     * with the exact jaccard pairs standing in for the LSH+verify stage
@@ -3177,6 +3207,7 @@ object QueryCatalog {
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
+    "csv_extract" -> qCsvExtract,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3285,6 +3316,7 @@ object QueryCatalog {
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
+    "csv_extract" -> oCsvExtract,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
