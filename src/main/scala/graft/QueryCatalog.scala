@@ -1925,13 +1925,52 @@ object QueryCatalog {
        |e0 AS (SELECT doc_id % 64 AS src,
        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
        |       FROM d),
-       |e AS (SELECT src, dst, count(*)::BIGINT AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
-       |nodes AS (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
-       |nc AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
-       |outd AS (SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |nc AS MATERIALIZED (SELECT count(*)::BIGINT AS cnt FROM nodes),
+       |outd AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1),
        |p0 AS (SELECT h, $scale // (SELECT cnt FROM nc) AS pr FROM nodes),
        |$iters
        |SELECT h AS host, pr FROM p10""".stripMargin
+  }
+
+  /** HITS over the same host graph — the mutual-reinforcement companion
+    * gate to `host_pagerank`: 8 rounds of auth-from-hubs / hubs-from-auth
+    * with per-round integer rescaling to Σ = 10^6 (one floor division
+    * per node), all order-free BIGINT arithmetic, oracle-unrolled as
+    * chained CTEs with the round's Σ as a scalar subquery. Scores for
+    * BOTH roles are emitted, so a transposed join direction (the classic
+    * HITS bug) fails the hash immediately.
+    */
+  private val qHostHits: (SparkSession, String) => DataFrame = (s, dir) =>
+    Graph.hits(Graph.hostEdges(table(s, dir, "documents")))
+      .select(col("h").as("host"), col("hub"), col("auth"))
+
+  private val oHostHits: String = {
+    val scale = 1000000L
+    // MATERIALIZED is load-bearing: each round's rescale reads its raw
+    // relation twice (scalar-sum subquery + projection), so inlined CTEs
+    // would re-expand the whole chain per reference — 2^iterations scans
+    val iters = (1 to 8).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT n.h, coalesce(s.v, 0) AS v FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS h, sum(e.w * p.v) AS v FROM e JOIN h${k - 1} p ON p.h = e.src
+         |    GROUP BY e.dst) s ON s.h = n.h),
+         |a$k AS MATERIALIZED (SELECT h, (v * $scale) // (SELECT sum(v) FROM ar$k) AS v FROM ar$k),
+         |hr$k AS MATERIALIZED (SELECT n.h, coalesce(s.v, 0) AS v FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS h, sum(e.w * p.v) AS v FROM e JOIN a$k p ON p.h = e.dst
+         |    GROUP BY e.src) s ON s.h = n.h),
+         |h$k AS MATERIALIZED (SELECT h, (v * $scale) // (SELECT sum(v) FROM hr$k) AS v FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM d),
+       |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT h, ${scale}::BIGINT AS v FROM nodes),
+       |$iters
+       |SELECT h8.h AS host, h8.v AS hub, a8.v AS auth
+       |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
@@ -3208,6 +3247,7 @@ object QueryCatalog {
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
     "csv_extract" -> qCsvExtract,
+    "host_hits" -> qHostHits,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3317,6 +3357,7 @@ object QueryCatalog {
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
     "csv_extract" -> oCsvExtract,
+    "host_hits" -> oHostHits,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

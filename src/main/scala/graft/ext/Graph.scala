@@ -59,6 +59,54 @@ object Graph {
     * with `outdeg` the weighted out-degree — integer arithmetic
     * throughout, see the object scaladoc for the exactness argument.
     */
+  /** Fixed-point HITS (hubs & authorities) over the same weighted edge
+    * list — the mutual-reinforcement companion to [[pagerank]]: each
+    * round `auth'(v) = Σ_in w·hub(src)` then `hub'(v) = Σ_out w·auth'(dst)`,
+    * each rescaled to `Σ = scale` with one integer floor division per
+    * node (`x · scale DIV Σx` — the normalization every HITS needs,
+    * made order-free by integer arithmetic so the oracle replays it).
+    * The per-round Σ is a single bounded driver scalar (the [[Clusters]]
+    * convergence-check pattern). Keep `scale` modest (default 10^6):
+    * pre-normalization values reach `Σw · scale` and the rescale
+    * multiplies by `scale` again — 10^6 keeps the worst case far inside
+    * a BIGINT for any graph this side of 10^6-weighted-degree.
+    */
+  def hits(edges: DataFrame, iterations: Int = 8, scale: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("h")).union(e.select(col("dst").as("h")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    def rescale(scores: DataFrame, colName: String): DataFrame = {
+      val total = scores.agg(sum(colName)).head.getLong(0)
+      if (total == 0L) scores // edgeless corner: nothing to normalize
+      else scores.select(col("h"), expr(s"($colName * ${scale}L) DIV ${total}L").as(colName))
+    }
+    var hub = cutLineage(nodes.select(col("h"), lit(scale).as("hub")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = cutLineage(nodes.select(col("h"), lit(0L).as("auth")))
+    var it = 0
+    while (it < iterations) {
+      val authRaw = nodes.join(
+        e.join(hub.withColumnRenamed("h", "src"), "src")
+          .groupBy(col("dst").as("h")).agg(sum(col("weight") * col("hub")).as("auth")),
+        Seq("h"), "left").select(col("h"), coalesce(col("auth"), lit(0L)).as("auth"))
+      auth = cutLineage(rescale(authRaw, "auth")).persist(StorageLevel.MEMORY_AND_DISK)
+      val hubRaw = nodes.join(
+        e.join(auth.withColumnRenamed("h", "dst"), "dst")
+          .groupBy(col("src").as("h")).agg(sum(col("weight") * col("auth")).as("hub")),
+        Seq("h"), "left").select(col("h"), coalesce(col("hub"), lit(0L)).as("hub"))
+      val nextHub = cutLineage(rescale(hubRaw, "hub")).persist(StorageLevel.MEMORY_AND_DISK)
+      nextHub.count()
+      hub.unpersist()
+      hub = nextHub
+      it += 1
+    }
+    hub.join(auth, "h").select(col("h"), col("hub"), col("auth"))
+  }
+
   def pagerank(edges: DataFrame, iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
     val spark = edges.sparkSession
     def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)

@@ -62,6 +62,51 @@ class GraphSpec extends AnyFunSuite {
     assert(pr.size == 1, "symmetric cycle must stay symmetric")
   }
 
+  /** Driver-side replica of the exact HITS recurrence with integer
+    * rescaling.
+    */
+  private def referenceHits(
+      edges: Seq[(Long, Long, Long)], iterations: Int, scale: Long): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val s = m.values.sum
+      if (s == 0) m else m.map { case (k, v) => k -> (v * scale) / s }
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    (0 until iterations).foreach { _ =>
+      auth = rescale(nodes.map { h =>
+        h -> edges.filter(_._2 == h).map { case (s, _, w) => w * hub(s) }.sum
+      }.toMap)
+      hub = rescale(nodes.map { h =>
+        h -> edges.filter(_._1 == h).map { case (_, d, w) => w * auth(d) }.sum
+      }.toMap)
+    }
+    nodes.map(h => h -> ((hub(h), auth(h)))).toMap
+  }
+
+  test("hits: distributed fixed-point equals the driver-side recurrence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val edges = (0 until 250).map { _ =>
+      val s = rnd.nextInt(30).toLong; var d = rnd.nextInt(30).toLong
+      if (d == s) d = (d + 1) % 30
+      (s, d, rnd.nextInt(3) + 1L)
+    }.groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
+    val got = Graph.hits(edges.toDF("src", "dst", "weight"), iterations = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == referenceHits(edges, 8, 1000000L))
+  }
+
+  test("hits: hubs and authorities separate on a bipartite fan") {
+    import spark.implicits._
+    // 0,1,2 all link to 8 and 9; nothing links back
+    val edges = (for (s <- 0L to 2L; d <- Seq(8L, 9L)) yield (s, d, 1L)).toDF("src", "dst", "weight")
+    val r = Graph.hits(edges).collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    (0L to 2L).foreach { h => assert(r(h)._1 > 0 && r(h)._2 == 0, s"$h is a pure hub") }
+    Seq(8L, 9L).foreach { h => assert(r(h)._1 == 0 && r(h)._2 > 0, s"$h is a pure authority") }
+  }
+
   test("hostEdges: deterministic, self-loop-free, weights aggregate multiplicity") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
