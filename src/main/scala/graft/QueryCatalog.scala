@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, Snappy, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1973,6 +1973,20 @@ object QueryCatalog {
        |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 
+  /** The SECOND from-scratch compression format under the gate: Snappy —
+    * the block codec inside most real parquet files. Same round-trip
+    * oracle shape as `deflate_roundtrip` (decoded length + checksum
+    * replayed from source text; emission-model values live in the spec's
+    * snappy-java cross-differential, BOTH directions: our decoder reads
+    * the production library's streams and vice versa).
+    */
+  private val qSnappyRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    Snappy.snappySignal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+
+  // the round-trip contract is format-independent: same replay as deflate
+  private val oSnappyRoundtrip: String = oDeflateRoundtrip
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3248,6 +3262,7 @@ object QueryCatalog {
     "host_pagerank" -> qHostPagerank,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
+    "snappy_roundtrip" -> qSnappyRoundtrip,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3358,6 +3373,7 @@ object QueryCatalog {
     "host_pagerank" -> oHostPagerank,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
+    "snappy_roundtrip" -> oSnappyRoundtrip,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
