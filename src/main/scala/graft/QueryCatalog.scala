@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Multimodal, Packing, Projection, Sampling, Similarity, Snappy, TextAnalysis}
+import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Sampling, Similarity, Snappy, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1987,6 +1987,18 @@ object QueryCatalog {
   // the round-trip contract is format-independent: same replay as deflate
   private val oSnappyRoundtrip: String = oDeflateRoundtrip
 
+  /** The THIRD compression format under the gate: the LZ4 block codec —
+    * what Spark compresses its own shuffle with — including the block
+    * format's end-of-stream margins (final sequence literals-only, last
+    * 5 bytes literal, no match start in the last 12). Same round-trip
+    * oracle; both cross-differential directions vs lz4-java in Lz4Spec.
+    */
+  private val qLz4Roundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    Lz4.lz4Signal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+
+  private val oLz4Roundtrip: String = oDeflateRoundtrip
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3263,6 +3275,7 @@ object QueryCatalog {
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "snappy_roundtrip" -> qSnappyRoundtrip,
+    "lz4_roundtrip" -> qLz4Roundtrip,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3374,6 +3387,7 @@ object QueryCatalog {
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "snappy_roundtrip" -> oSnappyRoundtrip,
+    "lz4_roundtrip" -> oLz4Roundtrip,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
