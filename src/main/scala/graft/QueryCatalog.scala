@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Sampling, Similarity, Snappy, TextAnalysis}
+import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1999,6 +1999,19 @@ object QueryCatalog {
 
   private val oLz4Roundtrip: String = oDeflateRoundtrip
 
+  /** The FOURTH entropy-coding family under the gate: static byte-wise
+    * rANS (the zstd-family coder) — backward encode with renormalizing
+    * 32-bit state, slot-table forward decode, deterministic M = 2^12
+    * model normalization, strict state-returns-to-L verification. Same
+    * round-trip oracle; RansSpec pins the rate against Shannon entropy
+    * (the fractional-bit precision that justifies ANS over Huffman).
+    */
+  private val qRansRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    Rans.ransSignal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+
+  private val oRansRoundtrip: String = oDeflateRoundtrip
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3276,6 +3289,7 @@ object QueryCatalog {
     "host_hits" -> qHostHits,
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
+    "rans_roundtrip" -> qRansRoundtrip,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3388,6 +3402,7 @@ object QueryCatalog {
     "host_hits" -> oHostHits,
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
+    "rans_roundtrip" -> oRansRoundtrip,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
