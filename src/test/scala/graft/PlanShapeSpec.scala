@@ -292,16 +292,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global range sort crept into the per-key rolling stats:\n${p.take(1200)}")
   }
 
-  test("archive codecs: gunzip, deflate round trip, and utf8 validation are map-only") {
-    Seq("text_gunzip", "deflate_roundtrip", "utf8_stats").foreach { key =>
+  test("archive and compression codecs: every per-doc codec key is map-only") {
+    Seq("text_gunzip", "deflate_roundtrip", "snappy_roundtrip", "lz4_roundtrip",
+      "rans_roundtrip", "utf8_stats").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
     }
   }
 
-  test("warc extraction: exactly one exchange — the archive-synthesis grouping") {
-    Seq("warc_extract", "warc_http_extract").foreach { key =>
+  test("warc/csv extraction: exactly one exchange — the shard-synthesis grouping") {
+    Seq("warc_extract", "warc_http_extract", "csv_extract").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 1,
