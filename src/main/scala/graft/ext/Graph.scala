@@ -71,12 +71,45 @@ object Graph {
     * multiplies by `scale` again — 10^6 keeps the worst case far inside
     * a BIGINT for any graph this side of 10^6-weighted-degree.
     */
-  def hits(edges: DataFrame, iterations: Int = 8, scale: Long = 1000000L): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int = 8, scale: Long = 1000000L,
+      driverEdgeThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
     def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph fast path (the [[Clusters]] threshold pattern): an
+    // 8-round × 2-phase distributed iteration is ~40 scheduled jobs — for
+    // a graph that fits on the driver, the SAME integer recurrence runs
+    // in microseconds. Exactness is not at stake (integer arithmetic is
+    // order-free); GraphSpec pins both paths equal on the same graph.
+    if (driverEdgeThreshold > 0 && e.count() <= driverEdgeThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val bySrc = es.groupBy(_._1)
+      val byDst = es.groupBy(_._2)
+      def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+        val s = m.values.sum
+        if (s == 0) m else m.map { case (k, v) => k -> (v * scale) / s }
+      }
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      var it = 0
+      while (it < iterations) {
+        auth = rescale(nodes.map { h =>
+          h -> byDst.getOrElse(h, Array.empty[(Long, Long, Long)])
+            .map { case (s, _, w) => w * hub(s) }.sum
+        }.toMap)
+        hub = rescale(nodes.map { h =>
+          h -> bySrc.getOrElse(h, Array.empty[(Long, Long, Long)])
+            .map { case (_, d, w) => w * auth(d) }.sum
+        }.toMap)
+        it += 1
+      }
+      e.unpersist()
+      import spark.implicits._
+      return nodes.map(h => (h, hub(h), auth(h))).toSeq.toDF("h", "hub", "auth")
+    }
     val nodes = e.select(col("src").as("h")).union(e.select(col("dst").as("h")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     def rescale(scores: DataFrame, colName: String): DataFrame = {
@@ -107,13 +140,35 @@ object Graph {
     hub.join(auth, "h").select(col("h"), col("hub"), col("auth"))
   }
 
-  def pagerank(edges: DataFrame, iterations: Int = 10, scale: Long = 1000000000000L): DataFrame = {
+  def pagerank(edges: DataFrame, iterations: Int = 10, scale: Long = 1000000000000L,
+      driverEdgeThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
     def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"), col("weight").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph fast path — same recurrence on the driver (see [[hits]])
+    if (driverEdgeThreshold > 0 && e.count() <= driverEdgeThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val outd = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      val byDst = es.groupBy(_._2)
+      val base = (15L * scale) / (100L * n)
+      var pr = nodes.map(_ -> scale / n).toMap
+      var it = 0
+      while (it < iterations) {
+        pr = nodes.map { h =>
+          h -> (base + (85L * byDst.getOrElse(h, Array.empty[(Long, Long, Long)])
+            .map { case (s, _, w) => w * (pr(s) / outd(s)) }.sum) / 100L)
+        }.toMap
+        it += 1
+      }
+      e.unpersist()
+      import spark.implicits._
+      return nodes.map(h => (h, pr(h))).toSeq.toDF("h", "pr")
+    }
     val outd = e.groupBy("src").agg(sum("weight").as("od")).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("h")).union(e.select(col("dst").as("h")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)

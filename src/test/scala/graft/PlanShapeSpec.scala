@@ -315,8 +315,9 @@ class PlanShapeSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "weight")
     // a single-iteration plan after the lineage cut: the contribution
-    // aggregation and the node left-join are the whole round
-    val pr1 = graft.ext.Graph.pagerank(edges, iterations = 1)
+    // aggregation and the node left-join are the whole round (threshold 0
+    // forces the distributed path — the one whose shape matters at scale)
+    val pr1 = graft.ext.Graph.pagerank(edges, iterations = 1, driverEdgeThreshold = 0)
     val p = plan(pr1)
     assertNoCartesian(p)
     assert(!p.contains("Window"), "pagerank must not use windows")

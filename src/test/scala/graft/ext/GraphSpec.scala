@@ -35,10 +35,16 @@ class GraphSpec extends AnyFunSuite {
       if (d == s) d = (d + 1) % 40
       (s, d, rnd.nextInt(3) + 1L)
     }.groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
-    val got = Graph.pagerank(edges.toDF("src", "dst", "weight"), iterations = 10)
+    // force the DISTRIBUTED path; the driver fast path is the reference
+    val got = Graph.pagerank(edges.toDF("src", "dst", "weight"), iterations = 10,
+      driverEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = referencePagerank(edges, 10, 1000000000000L)
     assert(got == want)
+    // and the driver fast path agrees with both
+    val fast = Graph.pagerank(edges.toDF("src", "dst", "weight"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
   }
 
   test("pagerank: a sink-heavy star concentrates score; authority ordering is right") {
@@ -93,9 +99,16 @@ class GraphSpec extends AnyFunSuite {
       if (d == s) d = (d + 1) % 30
       (s, d, rnd.nextInt(3) + 1L)
     }.groupBy(e => (e._1, e._2)).map { case ((s, d), es) => (s, d, es.map(_._3).sum) }.toSeq
-    val got = Graph.hits(edges.toDF("src", "dst", "weight"), iterations = 8)
+    // distributed path vs the independent recurrence, then the driver
+    // fast path vs both
+    val got = Graph.hits(edges.toDF("src", "dst", "weight"), iterations = 8,
+      driverEdgeThreshold = 0)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(got == referenceHits(edges, 8, 1000000L))
+    val want = referenceHits(edges, 8, 1000000L)
+    assert(got == want)
+    val fast = Graph.hits(edges.toDF("src", "dst", "weight"), iterations = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fast == want)
   }
 
   test("hits: hubs and authorities separate on a bipartite fan") {
