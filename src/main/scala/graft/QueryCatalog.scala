@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, TextAnalysis}
+import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -2012,6 +2012,34 @@ object QueryCatalog {
 
   private val oRansRoundtrip: String = oDeflateRoundtrip
 
+  /** Merge-based subword tokenization under the gate: the BPE apply
+    * phase with a fixed 40-rule priority merge table. The oracle is the
+    * ENTIRE tokenizer replayed in SQL — codepoint spelling via
+    * substr-per-character, then the nested 40-deep replace() chain built
+    * from the SAME [[graft.ext.Bpe.Merges]] table the operator folds
+    * over, exploiting that `String.replace` and DuckDB `replace` share
+    * left-to-right non-overlapping pass semantics. The checksum covers
+    * the merged symbol stream, so one drifted merge in one document
+    * fails the hash.
+    */
+  private val qBpeTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    Bpe.bpeStats(table(s, dir, "documents")).toDF()
+
+  private val oBpeTokens: String = {
+    val merged = Bpe.oracleMergedExpr("text")
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+       |m AS (SELECT doc_id, length(text) AS n_chars, $merged AS mg FROM d),
+       |s AS (SELECT doc_id, n_chars, hex(encode(mg)) AS hx, octet_length(encode(mg)) AS n,
+       |        CASE WHEN n_chars = 0 THEN 0 ELSE len(string_split(mg, ' ')) END AS n_tokens
+       |      FROM m)
+       |SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM s""".stripMargin
+  }
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3290,6 +3318,7 @@ object QueryCatalog {
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
+    "bpe_tokens" -> qBpeTokens,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3403,6 +3432,7 @@ object QueryCatalog {
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,
+    "bpe_tokens" -> oBpeTokens,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
