@@ -2040,6 +2040,20 @@ object QueryCatalog {
        |FROM s""".stripMargin
   }
 
+  /** BPE TRAINING under the gate: 8 rounds of the distributed
+    * merge-learning loop — corpus-wide adjacent-pair counting, a
+    * deterministic argmax (count DESC, md5(pair) ASC — ASCII hex, so the
+    * engines' string orders agree), and the one-pass corpus rewrite —
+    * with the oracle replaying EVERY round as a MATERIALIZED CTE chain.
+    * The output is the learned merge table itself (rank, pair, count at
+    * selection time): a drifted count, tie-break, or rewrite in any
+    * round changes the remaining rounds and fails the hash.
+    */
+  private val qBpeTrain: (SparkSession, String) => DataFrame = (s, dir) =>
+    Bpe.trainMerges(table(s, dir, "documents"), rounds = 8)
+
+  private val oBpeTrain: String = Bpe.oracleTrainSql("text", rounds = 8)
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3319,6 +3333,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
     "bpe_tokens" -> qBpeTokens,
+    "bpe_train" -> qBpeTrain,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3433,6 +3448,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,
     "bpe_tokens" -> oBpeTokens,
+    "bpe_train" -> oBpeTrain,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,

@@ -74,6 +74,100 @@ object Bpe {
     else applyMerges(spell(text)).split(' ')
   }
 
+  /** ======== BPE TRAIN: learn the merge table from the corpus ========
+    * The distributed training loop real tokenizers run: per round, count
+    * every adjacent symbol pair across the corpus (a groupBy with
+    * map-side partial aggregation — the classic shape), pick the most
+    * frequent pair, rewrite the corpus with that merge, repeat. Two
+    * determinism decisions make it oracle-able bitwise:
+    *
+    *  - tie-break: `count DESC, md5(pair) ASC` — the md5 hex is ASCII,
+    *    so Spark's UTF-16 string order and DuckDB's UTF-8 binary order
+    *    agree, which raw pair strings do NOT guarantee for astral text;
+    *  - the rewrite is the same one-pass replace as [[applyMerges]].
+    *
+    * The corpus state is persisted + lineage-cut per round ([[Clusters]]
+    * pattern); each round is one shuffle (the pair count) plus a 1-row
+    * argmax collect. `rounds` must not exceed the corpus's distinct-pair
+    * supply — the caller's contract, asserted per round.
+    */
+  final case class LearnedMerge(rank: Long, pair: String, cnt: Long)
+
+  def trainMerges(docs: DataFrame, rounds: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    // spelling is the one typed step (codepoint iteration); every round
+    // after it stays inside whole-stage codegen: transform/element_at
+    // for the pair explode, functions.replace (literal-safe) for the
+    // rewrite — no per-row lambda or Encoder round trips in the loop
+    var corpus = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(textCol)).as[String]
+      .map(spell)
+      .toDF("mg")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each round's ONLY action is the pair-count aggregation; it also
+    // materializes the previous round's rewrite into the cache, so the
+    // parent round stays persisted one extra round (deferred unpersist)
+    // instead of paying a separate count() pass per round
+    val pairs = when(size(col("t")) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+    var prev: DataFrame = null
+    val learned = Seq.newBuilder[LearnedMerge]
+    var k = 0
+    while (k < rounds) {
+      val best = corpus
+        .select(split(col("mg"), " ").as("t"))
+        .select(explode(pairs).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, md5(col("p").cast("binary")).asc)
+        .limit(1)
+        .collect()
+      if (prev != null) prev.unpersist()
+      require(best.nonEmpty, s"corpus exhausted after $k merges; lower `rounds`")
+      val pair = best(0).getString(0)
+      learned += LearnedMerge((k + 1).toLong, pair, best(0).getLong(1))
+      prev = corpus
+      corpus = cutLineage(
+        corpus.select(replace(col("mg"), lit(pair), lit(pair.replace(" ", ""))).as("mg")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k += 1
+    }
+    if (prev != null) prev.unpersist()
+    corpus.unpersist()
+    learned.result().toDF()
+  }
+
+  /** The same training loop as DuckDB SQL, one CTE chain per round —
+    * MATERIALIZED, since each round's corpus feeds both the next pair
+    * count and the next rewrite.
+    */
+  private[graft] def oracleTrainSql(textCol: String, rounds: Int): String = {
+    val spelled =
+      s"array_to_string(list_transform(range(length(replace($textCol, ' ', '▁'))), " +
+        s"i -> substr(replace($textCol, ' ', '▁'), CAST(i + 1 AS INT), 1)), ' ')"
+    val roundsSql = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT p, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(list_transform(range(len(string_split(mg, ' ')) - 1),
+         |      i -> string_split(mg, ' ')[CAST(i + 1 AS INT)] || ' ' ||
+         |           string_split(mg, ' ')[CAST(i + 2 AS INT)])) AS p
+         |    FROM c${k - 1} WHERE length(mg) > 0) GROUP BY p),
+         |b$k AS MATERIALIZED (SELECT p, cnt FROM p$k ORDER BY cnt DESC, md5(p) ASC LIMIT 1),
+         |c$k AS MATERIALIZED (SELECT replace(mg, (SELECT p FROM b$k),
+         |    replace((SELECT p FROM b$k), ' ', '')) AS mg FROM c${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds)
+      .map(k => s"SELECT ${k}::BIGINT AS rank, p AS pair, cnt FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT $textCol FROM documents
+       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND $textCol IS NOT NULL),
+       |c0 AS MATERIALIZED (SELECT $spelled AS mg FROM d),
+       |$roundsSql
+       |$unions""".stripMargin
+  }
+
   final case class BpeStats(doc_id: Long, n_chars: Long, n_tokens: Long, checksum: Long)
 
   /** Per-document subword statistics: codepoint count, merged token

@@ -51,6 +51,51 @@ class BpeSpec extends AnyFunSuite {
     assert(t1.length < chars * 2 / 3, s"merge table should compress: ${t1.length} of $chars")
   }
 
+  /** Driver-side replica of the training loop — an independent
+    * implementation the distributed one must match round for round.
+    */
+  private def referenceTrain(texts: Seq[String], rounds: Int): Seq[(Long, String, Long)] = {
+    var corpus = texts.map(Bpe.spell)
+    (1 to rounds).map { k =>
+      val counts = corpus.flatMap { s =>
+        if (s.isEmpty) Nil
+        else s.split(' ').sliding(2).filter(_.length == 2).map(w => w(0) + " " + w(1)).toSeq
+      }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        d.map(b => f"${b & 0xff}%02x").mkString
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, md5hex(p)) }
+      corpus = corpus.map(_.replace(pair, pair.replace(" ", "")))
+      (k.toLong, pair, cnt)
+    }
+  }
+
+  test("bpe train: distributed loop equals the driver-side reference round for round") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat and the hat sat on the mat",
+      "thin things in the north",
+      "a banana and an apple",
+      "", "  ")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == referenceTrain(texts, 6))
+    // the top merge of THIS corpus is 'th' territory: 'the/thin/things/north'
+    assert(got.head._2.contains("h") || got.head._2.contains("▁"))
+    // learned counts are non-increasing-ish sanity: every selected count >= 1
+    assert(got.forall(_._3 >= 1))
+  }
+
+  test("bpe train: exhausting the corpus raises instead of looping") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab")).toDF("doc_id", "text") // exactly one pair to learn
+    intercept[IllegalArgumentException] {
+      Bpe.trainMerges(docs, rounds = 5)
+    }
+  }
+
   test("bpeStats over Spark: counts and checksum match a direct computation") {
     import spark.implicits._
     val docs = Seq((0L, "the thin band"), (1L, ""), (2L, "🎉")).toDF("doc_id", "text")
