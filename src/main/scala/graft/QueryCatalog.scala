@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, TextAnalysis}
+import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, Suffix, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -2054,6 +2054,18 @@ object QueryCatalog {
 
   private val oBpeTrain: String = Bpe.oracleTrainSql("text", rounds = 8)
 
+  /** Per-document suffix arrays under the gate — the exact-substring
+    * dedup index — built by prefix doubling out of `lead` + `dense_rank`
+    * alone, so the oracle unrolls all 10 rounds as MATERIALIZED window
+    * CTEs and hash-compares the suffix ORDER itself (positions folded in
+    * SA order). 10 rounds resolve documents up to 1024 codepoints; the
+    * corpus max is 577.
+    */
+  private val qSuffixArray: (SparkSession, String) => DataFrame = (s, dir) =>
+    Suffix.suffixArrayStats(table(s, dir, "documents"), rounds = 10).toDF()
+
+  private val oSuffixArray: String = Suffix.oracleSql("text", rounds = 10)
+
   /** RFC 4180 CSV under the gate: documents become hostile CSV shards —
     * EVERY record's fifth field carries a quote-escape, an embedded
     * comma, and an embedded NEWLINE (`q="<source>", line\n<lang>`), the
@@ -3334,6 +3346,7 @@ object QueryCatalog {
     "rans_roundtrip" -> qRansRoundtrip,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
+    "suffix_array" -> qSuffixArray,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
     "pq_topk" -> qPqTopK,
@@ -3449,6 +3462,7 @@ object QueryCatalog {
     "rans_roundtrip" -> oRansRoundtrip,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
+    "suffix_array" -> oSuffixArray,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "quantize_stats" -> oQuantize,
