@@ -275,6 +275,53 @@ class ArchivesSpec extends AnyFunSuite {
       archiveOf("HTTP/2 OK\r\nContent-Length: 2\r\n\r\nab")).collect().isEmpty)
   }
 
+  test("codec fuzz: corrupted and truncated streams across all four new codecs fail cleanly") {
+    val rnd = new scala.util.Random(67)
+    val data = ("fuzz corpus with structure structure structure and some entropy " +
+      rnd.alphanumeric.take(500).mkString).getBytes("UTF-8")
+    // (name, encode, strictDecode) — strict decoders throw on damage;
+    // gunzip returns Option. Every mutation must either fail cleanly or
+    // decode to EXACTLY the original (a benign flip in ignored bytes).
+    def tryDecode(name: String, bytes: Array[Byte]): Option[Array[Byte]] = name match {
+      case "gzip" => Archives.gunzipAll(bytes, 1 << 20).map(_.flatten.toArray)
+      case "snappy" => try Some(Snappy.decompress(bytes, 1 << 20)) catch { case _: RuntimeException => None }
+      case "lz4" => try Some(Lz4.decompress(bytes, data.length)) catch { case _: RuntimeException => None }
+      case _ => try Some(Rans.decompress(bytes, 1 << 20)) catch { case _: RuntimeException => None }
+    }
+    val encoded = Map(
+      "gzip" -> Archives.gzipMember(data, 3, 1, method = 2),
+      "snappy" -> Snappy.compress(data),
+      "lz4" -> Lz4.compress(data),
+      "rans" -> Rans.compress(data))
+    // gzip carries a real CRC-32, so it can NEVER decode damaged bytes to
+    // wrong output; snappy/lz4 raw blocks have no checksum by design, and
+    // rANS's state-returns-to-L check is strong but not a payload CRC —
+    // those only have to fail CLEANLY
+    val checksummed = Set("gzip")
+    encoded.foreach { case (name, good) =>
+      assert(tryDecode(name, good).exists(_.sameElements(data)), s"$name: baseline decode")
+      (0 until 300).foreach { k =>
+        val mutated = good.clone()
+        rnd.nextInt(3) match {
+          case 0 => // single byte flip
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 => // random splice
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = rnd.nextInt(256).toByte
+          case _ => ()
+        }
+        val bytes = if (rnd.nextBoolean()) mutated.take(rnd.nextInt(mutated.length + 1)) else mutated
+        val out = tryDecode(name, bytes) // must not throw non-RuntimeException / OOB / hang
+        if (checksummed(name) && !java.util.Arrays.equals(bytes, good))
+          out.foreach { back =>
+            assert(back.sameElements(data),
+              s"$name case $k: integrity check passed on damaged stream with altered output")
+          }
+      }
+    }
+  }
+
   test("warc: record parser rejects tampered Content-Length and terminators") {
     import spark.implicits._
     // hand-build an archive whose record declares a short Content-Length:
