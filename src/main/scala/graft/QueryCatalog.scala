@@ -1931,7 +1931,7 @@ object QueryCatalog {
        |outd AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS od FROM e GROUP BY 1),
        |p0 AS (SELECT h, $scale // (SELECT cnt FROM nc) AS pr FROM nodes),
        |$iters
-       |SELECT h AS host, pr FROM p10""".stripMargin
+       |SELECT h AS host, pr::BIGINT AS pr FROM p10""".stripMargin
   }
 
   /** HITS over the same host graph — the mutual-reinforcement companion
@@ -1969,7 +1969,7 @@ object QueryCatalog {
        |nodes AS MATERIALIZED (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
        |h0 AS MATERIALIZED (SELECT h, ${scale}::BIGINT AS v FROM nodes),
        |$iters
-       |SELECT h8.h AS host, h8.v AS hub, a8.v AS auth
+       |SELECT h8.h AS host, h8.v::BIGINT AS hub, a8.v::BIGINT AS auth
        |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 

@@ -110,9 +110,9 @@ object Encoding {
       .map { case (id, payload) =>
         val p = if (payload == null) Array.emptyByteArray else payload
         val out =
-          if (id % everyN == 0 && p.nonEmpty) {
+          if (Math.floorMod(id, everyN.toLong) == 0 && p.nonEmpty) { // floorMod: negative ids must not index negatively
             val m = p.clone()
-            val pos = (id % p.length).toInt
+            val pos = Math.floorMod(id, p.length.toLong).toInt
             m(pos) = (m(pos) ^ mask).toByte
             m
           } else p

@@ -126,7 +126,10 @@ object Graph {
         e.join(hub.withColumnRenamed("h", "src"), "src")
           .groupBy(col("dst").as("h")).agg(sum(col("weight") * col("hub")).as("auth")),
         Seq("h"), "left").select(col("h"), coalesce(col("auth"), lit(0L)).as("auth"))
+      val prevAuth = auth
       auth = cutLineage(rescale(authRaw, "auth")).persist(StorageLevel.MEMORY_AND_DISK)
+      auth.count()
+      if (it > 0) prevAuth.unpersist() // round 0's auth was never persisted
       val hubRaw = nodes.join(
         e.join(auth.withColumnRenamed("h", "dst"), "dst")
           .groupBy(col("src").as("h")).agg(sum(col("weight") * col("auth")).as("hub")),

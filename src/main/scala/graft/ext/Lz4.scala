@@ -133,7 +133,7 @@ object Lz4 {
         p += 2
         if (offset <= 0 || offset > o) throw new MalformedLz4
         val matchLen = readLen(token & 0xf) + 4
-        if (o + matchLen > outLen) throw new MalformedLz4
+        if (matchLen < 4 || o + matchLen > outLen) throw new MalformedLz4 // < 4 means the +4 overflowed Int
         var k = 0
         while (k < matchLen) { out(o) = out(o - offset); o += 1; k += 1 }
       }

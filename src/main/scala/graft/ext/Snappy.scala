@@ -55,9 +55,16 @@ object Snappy {
 
   private def emitLiteral(out: java.io.ByteArrayOutputStream, data: Array[Byte], from: Int, len: Int): Unit = {
     if (len == 0) return
-    if (len <= 60) out.write((len - 1) << 2)
-    else if (len <= 256) { out.write(60 << 2); out.write(len - 1) }
-    else { out.write(61 << 2); out.write((len - 1) & 0xff); out.write(((len - 1) >> 8) & 0xff) }
+    val l = len - 1
+    if (len <= 60) out.write(l << 2)
+    else if (len <= 256) { out.write(60 << 2); out.write(l) }
+    else if (len <= 65536) { out.write(61 << 2); out.write(l & 0xff); out.write((l >> 8) & 0xff) }
+    else if (len <= (1 << 24)) {
+      out.write(62 << 2); out.write(l & 0xff); out.write((l >> 8) & 0xff); out.write((l >> 16) & 0xff)
+    } else {
+      out.write(63 << 2)
+      out.write(l & 0xff); out.write((l >> 8) & 0xff); out.write((l >> 16) & 0xff); out.write((l >>> 24) & 0xff)
+    }
     out.write(data, from, len)
   }
 

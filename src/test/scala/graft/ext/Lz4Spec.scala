@@ -66,6 +66,16 @@ class Lz4Spec extends AnyFunSuite {
     assert(bad(Array[Byte](0x10, 'x', 0x05), 1), "truncated offset after literals")
     // a copy reaching before the stream start
     assert(bad(Array[Byte](0x00, 9, 0, 0), 4), "copy before start")
+    // a match length accumulated to ~Int.MaxValue so that the +4 overflows
+    // Int — must throw, not silently skip the copy loop
+    val overflow = new java.io.ByteArrayOutputStream()
+    overflow.write(0x1f) // 1 literal, matchLen base 15
+    overflow.write('x')
+    overflow.write(0x01); overflow.write(0x00) // offset 1
+    var rem = Int.MaxValue - 3 - 15 // target len = Int.MaxValue - 3, so len + 4 < 0
+    while (rem >= 255) { overflow.write(0xff); rem -= 255 }
+    overflow.write(rem)
+    assert(bad(overflow.toByteArray, 1), "match length Int overflow")
   }
 
   test("lz4Signal over Spark: decoded stats match the source") {

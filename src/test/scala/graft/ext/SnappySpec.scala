@@ -21,7 +21,10 @@ class SnappySpec extends AnyFunSuite {
         val a = Array.fill(80000)(rnd.nextInt(256).toByte)
         System.arraycopy(a, 0, a, 65000, 10000) // offsets near the 64 KiB cap
         a
-      })
+      },
+      // no repeated 4-gram anywhere plausible → ONE literal run > 65536,
+      // the tag-62 (3-byte length) emission path
+      "incompressible >64KiB" -> Array.fill(100000)(rnd.nextInt(256).toByte))
   }
 
   test("snappy: round trip through our own coder on every payload shape") {

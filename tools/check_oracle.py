@@ -43,6 +43,13 @@ def compare(name, s, d):
         a, b = s[c], d[c]
         if c.startswith("__null_"):
             continue  # masks are checked with their float column
+        # A kind mismatch (e.g. Spark BIGINT vs an uncast DuckDB HUGEINT
+        # arriving as float64) hash-mismatches in the driver's gate even
+        # when coerced values agree — flag it instead of coercing past it.
+        if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} & {'f'}:
+            bad.append(f"{c}: dtype kind {a.dtype} (spark) vs {b.dtype} (oracle) — "
+                       f"cast the oracle column (sum() returns HUGEINT)")
+            continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             an = a.astype(float).to_numpy()
             bn = b.astype(float).to_numpy()
