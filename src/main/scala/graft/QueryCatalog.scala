@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Snappy, Suffix, TextAnalysis}
+import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1973,6 +1973,49 @@ object QueryCatalog {
        |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 
+  /** HyperLogLog register table (b = 6, 64 registers) over the corpus
+    * token stream — the mergeable distinct-count sketch, md5-portable so
+    * every register value is replayed bitwise: bucket = low 6 bits of
+    * the 60-bit hash, register = max rank computed by the SAME integer
+    * CASE cascade in both engines (never floor(log2): float log at a
+    * power-of-two boundary is engine-divergent). The float estimate
+    * stays in SketchesSpec; the oracle grades the full register state.
+    */
+  private val qHllRegisters: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sketches.hllRegisters(table(s, dir, "documents"))
+
+  private val oHllRegisters: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |h AS (SELECT ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM t WHERE token <> ''),
+       |regs AS (SELECT h % 64 AS bucket,
+       |           max(${Sketches.rankCaseSql("(h // 64)", 54)}) AS max_rank
+       |         FROM h GROUP BY 1)
+       |SELECT g.g::BIGINT AS bucket, coalesce(r.max_rank, 0)::BIGINT AS max_rank
+       |FROM generate_series(0, 63) g(g) LEFT JOIN regs r ON r.bucket = g.g""".stripMargin
+
+  /** Count-Min sketch (4 x 1024) of token frequencies — the mergeable
+    * frequency sketch: the one count shuffle is capped at d*w rows per
+    * map task by partial aggregation, so the exchange carries cells, not
+    * tokens. All 4096 cells are emitted (0 when unhit) = the complete
+    * mergeable state; the oracle replays every cell from the same
+    * md5-derived row hashes.
+    */
+  private val qCmsCounts: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sketches.cmsCounts(table(s, dir, "documents"))
+
+  private val oCmsCounts: String =
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |tok AS (SELECT token FROM t WHERE token <> ''),
+       |cells AS (SELECT s.i AS sketch_row,
+       |            ('0x' || substr(md5(s.i || ':' || token), 1, 15))::BIGINT % 1024 AS col,
+       |            count(*) AS cnt
+       |          FROM tok CROSS JOIN generate_series(0, 3) s(i)
+       |          GROUP BY 1, 2)
+       |SELECT (g.g // 1024)::BIGINT AS sketch_row, (g.g % 1024)::BIGINT AS col,
+       |       coalesce(c.cnt, 0)::BIGINT AS cnt
+       |FROM generate_series(0, 4095) g(g)
+       |LEFT JOIN cells c ON c.sketch_row = g.g // 1024 AND c.col = g.g % 1024""".stripMargin
+
   /** The SECOND from-scratch compression format under the gate: Snappy —
     * the block codec inside most real parquet files. Same round-trip
     * oracle shape as `deflate_roundtrip` (decoded length + checksum
@@ -3339,6 +3382,8 @@ object QueryCatalog {
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
+    "hll_registers" -> qHllRegisters,
+    "cms_counts" -> qCmsCounts,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "snappy_roundtrip" -> qSnappyRoundtrip,
@@ -3455,6 +3500,8 @@ object QueryCatalog {
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
+    "hll_registers" -> oHllRegisters,
+    "cms_counts" -> oCmsCounts,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "snappy_roundtrip" -> oSnappyRoundtrip,
