@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1973,6 +1973,39 @@ object QueryCatalog {
        |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 
+  /** The fixed blocklist for the Aho–Corasick gate: phrases from the
+    * corpus vocabulary, deliberately including self-overlapping patterns
+    * ("table table", "a a") and a pattern that is a substring of another
+    * ("table" in "table table", "value table part") — the two cases a
+    * replace()-count or non-overlapping matcher gets wrong.
+    */
+  private val blocklistPats = Seq(
+    "table", "table table", "scan scan", "fast key", "a a", "spark",
+    "window window", "stream", "value table part", "big big", "merge batch", "the line")
+
+  /** One-pass multi-pattern matching: every (overlapping) occurrence of
+    * every blocklist phrase, counted by a broadcast Aho–Corasick
+    * automaton in a map-only plan. The oracle is a brute positional
+    * probe — substr equality at every start offset — so the automaton's
+    * failure/output-link semantics are graded against ground truth, not
+    * against another automaton.
+    */
+  private val qBlocklistMatch: (SparkSession, String) => DataFrame = (s, dir) =>
+    Blocklist.matchCounts(table(s, dir, "documents"), blocklistPats).toDF()
+
+  private val oBlocklistMatch: String = {
+    val values = blocklistPats.map(p => s"('$p')").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |p AS (SELECT pat FROM (VALUES $values) v(pat)),
+       |g AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65536) s(i)),
+       |hits AS (SELECT d.doc_id, p.pat, count(*) AS n
+       |         FROM d CROSS JOIN p JOIN g ON g.i <= len(d.t) - len(p.pat) + 1
+       |         WHERE substr(d.t, g.i, len(p.pat)) = p.pat
+       |         GROUP BY 1, 2)
+       |SELECT doc_id, pat AS pattern, n::BIGINT AS n_matches FROM hits""".stripMargin
+  }
+
   /** HyperLogLog register table (b = 6, 64 registers) over the corpus
     * token stream — the mergeable distinct-count sketch, md5-portable so
     * every register value is replayed bitwise: bucket = low 6 bits of
@@ -3383,6 +3416,7 @@ object QueryCatalog {
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
     "hll_registers" -> qHllRegisters,
+    "blocklist_match" -> qBlocklistMatch,
     "cms_counts" -> qCmsCounts,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
@@ -3501,6 +3535,7 @@ object QueryCatalog {
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
     "hll_registers" -> oHllRegisters,
+    "blocklist_match" -> oBlocklistMatch,
     "cms_counts" -> oCmsCounts,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
