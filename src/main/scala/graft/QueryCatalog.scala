@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1838,6 +1838,33 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The dataset-bundle decode path under the gate: documents packed
+    * into 16 genuine ZIP archives (EOCD + central directory + local
+    * headers, methods cycling stored/fixed/dynamic DEFLATE, bit-3
+    * data-descriptor entries in both legal spellings, skip-me extra
+    * fields, variable-length archive comment), then fully re-parsed —
+    * EOCD back-scan, CD walk, LFH cross-check, inflate, CRC-32/size
+    * verify — down to per-entry integers the oracle recomputes straight
+    * from the source text. The container framing never needs SQL replay;
+    * any structural or decode slip fails the hash (see
+    * [[graft.ext.Zip]]).
+    */
+  private val qZipExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Zip.zipExtract(Zip.encodeZipArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oZipExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** Encoding hygiene under the gate: the full RFC 3629 UTF-8 validator
     * replayed BITWISE in SQL. The fold's whole state packs into one
     * non-negative BIGINT (expecting | constraint<<2 | invalid<<5 |
@@ -3412,6 +3439,7 @@ object QueryCatalog {
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
     "warc_http_extract" -> qWarcHttpExtract,
+    "zip_extract" -> qZipExtract,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
@@ -3531,6 +3559,7 @@ object QueryCatalog {
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
+    "zip_extract" -> oZipExtract,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
