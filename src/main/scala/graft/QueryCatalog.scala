@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, TextAnalysis, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1865,6 +1865,37 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The tarball decode path under the gate: strictly conforming ustar
+    * (octal fields, space-normalized header checksums, prefix-field deep
+    * paths with interleaved directory entries the reader must skip, both
+    * '0' and NUL file typeflags, two-zero-block terminator) re-parsed
+    * block by block down to per-entry integers the oracle recomputes
+    * from the source text (see [[graft.ext.Tar]]).
+    */
+  private val qTarExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tar.tarExtract(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  /** `.tar.gz` as a composition gate: the gzip member walk (header
+    * variants cycling per archive, stored/fixed/dynamic DEFLATE framing)
+    * feeds the SAME tar parser — both layers must be bit-perfect for the
+    * checksum to survive.
+    */
+  private val qTgzExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tar.tgzExtract(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16, gzipped = true)).toDF()
+
+  private val oTarExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** Encoding hygiene under the gate: the full RFC 3629 UTF-8 validator
     * replayed BITWISE in SQL. The fold's whole state packs into one
     * non-negative BIGINT (expecting | constraint<<2 | invalid<<5 |
@@ -3440,6 +3471,8 @@ object QueryCatalog {
     "warc_extract" -> qWarcExtract,
     "warc_http_extract" -> qWarcHttpExtract,
     "zip_extract" -> qZipExtract,
+    "tar_extract" -> qTarExtract,
+    "tgz_extract" -> qTgzExtract,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
@@ -3560,6 +3593,8 @@ object QueryCatalog {
     "warc_extract" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
     "zip_extract" -> oZipExtract,
+    "tar_extract" -> oTarExtract,
+    "tgz_extract" -> oTarExtract,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
