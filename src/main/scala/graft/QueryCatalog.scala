@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1896,6 +1896,27 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The crawl pipeline's first transform under the gate: every
+    * document rendered into a hostile HTML page (deterministic numeric
+    * character references, quoted-'>' attributes, script/style/comment
+    * decoys, mismatched-case tags) and re-extracted by the single-pass
+    * state machine in [[graft.ext.Html]]; exact extraction recovers the
+    * source text exactly, whose stats the oracle recomputes directly —
+    * any tag-walk, RAWTEXT, or entity-decode slip fails the hash.
+    */
+  private val qHtmlExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Html.htmlTextStats(Html.encodeHtmlDocs(table(s, dir, "documents"))).toDF()
+
+  private val oHtmlExtract: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b)
+      |SELECT doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM s""".stripMargin
+
   /** Encoding hygiene under the gate: the full RFC 3629 UTF-8 validator
     * replayed BITWISE in SQL. The fold's whole state packs into one
     * non-negative BIGINT (expecting | constraint<<2 | invalid<<5 |
@@ -3473,6 +3494,7 @@ object QueryCatalog {
     "zip_extract" -> qZipExtract,
     "tar_extract" -> qTarExtract,
     "tgz_extract" -> qTgzExtract,
+    "html_extract" -> qHtmlExtract,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
@@ -3595,6 +3617,7 @@ object QueryCatalog {
     "zip_extract" -> oZipExtract,
     "tar_extract" -> oTarExtract,
     "tgz_extract" -> oTarExtract,
+    "html_extract" -> oHtmlExtract,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,
