@@ -39,7 +39,22 @@ object QueryCatalog {
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // The events table's `ts` arrives as parquet TIMESTAMP(NANOS) in some
+    // data generations (read as BIGINT nanos under `nanosAsLong`) and as
+    // TIMESTAMP(MICROS) in others (read as a true timestamp, which
+    // `nanosAsLong` does not touch). Normalize the latter to the
+    // BIGINT-nanos representation every query AND every DuckDB oracle is
+    // written against (the oracles' `epoch_us(ts)` treats the naive wall
+    // time as UTC; the session timezone is pinned UTC in every entry
+    // point, so the cast below interprets it identically).
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L))
+      case _ => df
+    }
   }
 
   /** The events table viewed as the reference's metric stream (A1/A2 in
@@ -2052,6 +2067,45 @@ object QueryCatalog {
        |FROM h8 JOIN a8 ON a8.h = h8.h""".stripMargin
   }
 
+  /** Per-host triangle counts + local clustering coefficient over the
+    * host graph — the community-vs-link-farm signal next to PageRank
+    * and HITS. The Spark side runs degree-ordered-orientation wedge
+    * enumeration (each triangle found exactly once at its lowest-order
+    * vertex, oriented out-degree bounded by O(√m)); the oracle replays
+    * the SAME orientation in SQL, so a double-counted wedge, a
+    * transposed closing-edge probe, or a tie-break slip in the
+    * `(degree, node)` order fails the hash. All-integer until the one
+    * final IEEE division (`2·tri / (deg·(deg−1))`) on exact counts —
+    * bitwise portable.
+    */
+  private val qHostTriangles: (SparkSession, String) => DataFrame = (s, dir) =>
+    Graph.triangles(Graph.hostEdges(table(s, dir, "documents")))
+
+  private val oHostTriangles: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |e0 AS (SELECT doc_id % 64 AS src,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+      |       FROM d),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |       FROM e0 WHERE src <> dst),
+      |deg AS MATERIALIZED (SELECT h, count(*)::BIGINT AS deg FROM (
+      |         SELECT u AS h FROM und UNION ALL SELECT v FROM und) t GROUP BY 1),
+      |o AS MATERIALIZED (
+      |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b,
+      |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS db
+      |  FROM und JOIN deg du ON du.h = und.u JOIN deg dv ON dv.h = und.v),
+      |tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+      |        FROM o x JOIN o y ON x.a = y.a AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))
+      |        JOIN o z ON z.a = x.b AND z.b = y.b),
+      |tc AS (SELECT h, count(*)::BIGINT AS tri FROM (
+      |         SELECT ta AS h FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri) t
+      |       GROUP BY 1)
+      |SELECT deg.h AS host, deg.deg, coalesce(tc.tri, 0)::BIGINT AS tri,
+      |       CASE WHEN deg.deg < 2 THEN 0.0::DOUBLE
+      |            ELSE 2.0 * coalesce(tc.tri, 0) / (deg.deg * (deg.deg - 1)) END AS lcc
+      |FROM deg LEFT JOIN tc ON tc.h = deg.h""".stripMargin
+
   /** The fixed blocklist for the Aho–Corasick gate: phrases from the
     * corpus vocabulary, deliberately including self-overlapping patterns
     * ("table table", "a a") and a pattern that is a substring of another
@@ -3503,6 +3557,7 @@ object QueryCatalog {
     "cms_counts" -> qCmsCounts,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
+    "host_triangles" -> qHostTriangles,
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
@@ -3626,6 +3681,7 @@ object QueryCatalog {
     "cms_counts" -> oCmsCounts,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
+    "host_triangles" -> oHostTriangles,
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,

@@ -24,8 +24,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), unreadable by Spark without
-      // this legacy flag (ts arrives as int64 nanoseconds)
+      // some data generations write events.parquet with TIMESTAMP(NANOS),
+      // unreadable by Spark without this legacy flag (ts arrives as int64
+      // nanoseconds); TIMESTAMP(MICROS) generations are normalized to the
+      // same representation in QueryCatalog.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -199,4 +199,73 @@ object Graph {
     }
     pr
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient over
+    * an undirected view of the edge list — the third classic web-graph
+    * signal next to [[pagerank]] and [[hits]] (a host whose neighbors
+    * interlink is a community hub; one whose neighbors never meet is a
+    * link farm).
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (the node-iterator++ /
+    * Schank–Wagner formulation). Undirected-ify to canonical `u < v`
+    * pairs, then orient every edge from the endpoint that is SMALLER
+    * under the total order `(degree, node)`. Every triangle then has
+    * exactly one vertex with two out-edges under this orientation, so
+    * enumerating wedges `a→b, a→c` (with `b` before `c` in the same
+    * order) and probing the closing oriented edge `b→c` counts each
+    * triangle exactly once — and the oriented out-degree is bounded by
+    * O(√m), which bounds the wedge relation by Σ d⁺(v)² — the term that
+    * makes naive wedge enumeration explode on power-law graphs (a
+    * 10⁶-degree hub contributes 10¹² unordered wedges but only O(m)
+    * oriented ones). 100 TB shape: three shuffles (distinct, degree,
+    * wedge join), no iteration, no driver state.
+    *
+    * `lcc = 2·tri / (deg·(deg−1))` is the one IEEE division in the
+    * output, applied to exact integers — bitwise portable, 0.0 for
+    * degree < 2. No reference citation — the reference has no graph
+    * path; north-star scope.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("h")).unionAll(und.select(col("v").as("h")))
+      .groupBy("h").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient from lower (deg, h) to higher; carry the head's order key for the wedge sort
+    val ann = und
+      .join(deg.select(col("h").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("h").as("v"), col("deg").as("dv")), "v")
+    val uFirst = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ann.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+    val x = oriented.as("x")
+    val y = oriented.as("y")
+    val wedges = x.join(y,
+      col("x.a") === col("y.a") &&
+        (col("x.db") < col("y.db") || (col("x.db") === col("y.db") && col("x.b") < col("y.b"))))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    // the wedge's (tb, tc) ordering matches the orientation, so the closing
+    // edge — if the triangle exists — is stored exactly as tb→tc
+    val tris = wedges.join(
+      oriented.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"))
+    val triCnt = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("tri"))
+    val out = deg.join(triCnt, Seq("h"), "left")
+      .select(
+        col("h").as("host"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("tri"), lit(0L)) / (col("deg") * (col("deg") - 1)))
+          .as("lcc"))
+    out
+  }
 }

@@ -120,6 +120,49 @@ class GraphSpec extends AnyFunSuite {
     Seq(8L, 9L).foreach { h => assert(r(h)._1 == 0 && r(h)._2 > 0, s"$h is a pure authority") }
   }
 
+  /** Brute-force per-node triangle counts: try every 3-subset of nodes
+    * against the undirected edge set — the O(n³) ground truth the
+    * oriented wedge enumeration must match.
+    */
+  private def referenceTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val cnt = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((a, c)) && und((b, c))
+    } { cnt(a) += 1; cnt(b) += 1; cnt(c) += 1 }
+    cnt.toMap
+  }
+
+  test("triangles: K4 is all-triangles, a path is none, lcc is exact") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} plus a pendant path 3-4-5
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b, 1L)
+    val edges = (k4 ++ Seq((3L, 4L, 1L), (4L, 5L, 1L))).toDF("src", "dst", "weight")
+    val r = Graph.triangles(edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    (0L to 2L).foreach { h => assert(r(h) == ((3L, 3L, 1.0)), s"K4 interior $h") }
+    assert(r(3L) == ((4L, 3L, 0.5)), "node 3: deg 4, still only K4's 3 triangles, lcc 6/12")
+    assert(r(4L) == ((2L, 0L, 0.0)), "path interior: deg 2, no triangle")
+    assert(r(5L) == ((1L, 0L, 0.0)), "leaf: deg < 2 short-circuits lcc to 0.0")
+  }
+
+  test("triangles: oriented wedge enumeration equals brute force; direction/duplicates ignored") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 400).map { _ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong) }
+      .filter(e => e._1 != e._2)
+    // feed BOTH directions and duplicates — the undirected-ify must collapse them
+    val noisy = (base ++ base.map(_.swap) ++ base.take(50)).map(e => (e._1, e._2, 1L))
+    val got = Graph.triangles(noisy.toDF("src", "dst", "weight")).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val want = referenceTriangles(base)
+    assert(got == want)
+  }
+
   test("hostEdges: deterministic, self-loop-free, weights aggregate multiplicity") {
     import spark.implicits._
     val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
