@@ -1111,6 +1111,35 @@ object QueryCatalog {
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        |FROM documents""".stripMargin
 
+  /** Winnowing fingerprint selection (the MOSS scheme) over the corpus:
+    * md5-prefix hashes of every 5-gram of the normalized text, minimum
+    * per 4-gram sliding window with rightmost tie-break. The oracle
+    * replays the ENTIRE selection — gram hashing, the
+    * `(2^40 − h)·2^20 + pos` packing, the frame max, the full-window
+    * cutoff, the decode — so an off-by-one in the window frame, a wrong
+    * tie direction, or a truncated-window leak at document end fails
+    * the hash.
+    */
+  private val qWinnowFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.winnow(table(s, dir, "documents"))
+
+  private val oWinnowFingerprints: String =
+    s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |g AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65536) s(i)),
+       |kg AS (SELECT doc_id, g.i AS pos, len(t) - 4 AS np,
+       |         ('0x' || substr(md5(substr(t, g.i, 5)), 1, 10))::BIGINT AS h
+       |       FROM d JOIN g ON g.i <= len(t) - 4),
+       |v AS (SELECT doc_id, pos, np,
+       |        max((1099511627776 - h) * 1048576 + pos)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv
+       |      FROM kg),
+       |sel AS (SELECT DISTINCT doc_id, (mv % 1048576)::BIGINT AS pos,
+       |          (1099511627776 - mv // 1048576)::BIGINT AS fp
+       |        FROM v WHERE pos <= np - 3)
+       |SELECT doc_id, pos, fp FROM sel""".stripMargin
+
   /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
     * exact-verify path. Sizes use ALL grams; the df cap limits only the
     * intersection join (mirrored by BOTH Dedup.ngramJaccardPairs and the
@@ -3471,6 +3500,7 @@ object QueryCatalog {
     "lang_id" -> qLangId,
     "token_counts" -> qTokenCounts,
     "fingerprints" -> qFingerprints,
+    "winnow_fingerprints" -> qWinnowFingerprints,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3598,6 +3628,7 @@ object QueryCatalog {
     "lang_id" -> oLangId,
     "token_counts" -> oTokenCounts,
     "fingerprints" -> oFingerprints,
+    "winnow_fingerprints" -> oWinnowFingerprints,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

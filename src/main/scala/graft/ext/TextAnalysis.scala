@@ -439,4 +439,54 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fingerprint"),
       rolling.as("rolling_hash"))
   }
+
+  /** Winnowing fingerprint selection (the Schleimer–Wilkerson–Aiken /
+    * MOSS local-sampling scheme): hash every character k-gram of the
+    * normalized text, then in each sliding window of `w` consecutive
+    * k-grams keep the MINIMAL hash, ties broken by the RIGHTMOST
+    * position. The selection guarantee: any substring match of length
+    * ≥ w + k − 1 between two documents shares at least one selected
+    * fingerprint, at an expected density of 2/(w+1) — the
+    * position-robust sketch that whole-document [[fingerprints]] and
+    * fixed-stride shingles are not (an insertion shifts every
+    * downstream gram, but winnowing re-selects the same local minima).
+    *
+    * The k-gram hash is the low 40 bits of md5 (hex prefix) — portable,
+    * so the DuckDB oracle replays the whole selection. The per-window
+    * argmin-with-rightmost-tie needs no w-way join or nested window:
+    * hash and position pack into one orderable BIGINT
+    * `(2^40 − h) · 2^20 + pos` (pos < 2^20 enforced by construction,
+    * max value 2^60 — no overflow), so a single frame-max per window
+    * start selects the winnowed gram. 100 TB shape: one codegen'd
+    * window pass partitioned by document + one distinct — linear,
+    * join-free, no driver state.
+    *
+    * Documents with fewer than `w` k-grams produce no fingerprints
+    * (no full window exists — the standard guarantee threshold).
+    */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, "k-gram size and window size must be positive")
+    val maxPos = 1048576L // 2^20: keeps (2^40)·2^20 = 2^60 inside BIGINT
+    val grams = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), normText(col(textCol)).as("t"))
+      // np = number of k-grams; docs past the 2^20-gram packing domain are
+      // excluded rather than mis-packed (chunk upstream for longer payloads)
+      .filter(length(col("t")) >= k && (length(col("t")) - (k - 1)).cast("long") < maxPos)
+      .select(col("doc_id"), col("t"), (length(col("t")) - (k - 1)).cast("long").as("np"),
+        explode(sequence(lit(1L), (length(col("t")) - (k - 1)).cast("long"))).as("pos"))
+    val h = expr(s"CAST(conv(substring(md5(CAST(substring(t, CAST(pos AS INT), $k) AS BINARY)), 1, 10), 16, 10) AS BIGINT)")
+    val packed = grams.select(col("doc_id"), col("np"), col("pos"),
+      ((lit(1099511627776L) - h) * maxPos + col("pos")).as("v"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    packed
+      .withColumn("mv", max(col("v")).over(frame))
+      .filter(col("pos") <= col("np") - (w - 1))
+      .select(col("doc_id"),
+        (col("mv") % maxPos).as("pos"),
+        (lit(1099511627776L) - expr(s"mv DIV $maxPos")).as("fp"))
+      .distinct()
+  }
 }

@@ -220,4 +220,59 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(once == again)
   }
+
+  /** Driver-side winnowing reference: per window take the minimal 40-bit
+    * md5-prefix gram hash, ties to the RIGHTMOST position — the
+    * independent implementation the packed-frame-max formulation must
+    * match set-for-set.
+    */
+  private def md5Prefix40(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(5).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def referenceWinnow(text: String, k: Int = 5, w: Int = 4): Set[(Long, Long)] = {
+    val t = text.replaceAll("[ \\t\\n\\f\\r]+", " ").trim.toLowerCase
+    val np = t.length - k + 1
+    if (np < w) return Set.empty
+    (1 to (np - w + 1)).map { ws =>
+      val window = (ws until ws + w).map(p => (p, md5Prefix40(t.substring(p - 1, p - 1 + k))))
+      val minH = window.map(_._2).min
+      (window.filter(_._2 == minH).map(_._1).max.toLong, minH)
+    }.toSet
+  }
+
+  test("winnow: equals the reference selection, including all-tie repetitive text") {
+    val fixtures = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aaaaaaaaaaaaaaaa", // every gram identical: ties in EVERY window
+      3L -> "abcabcabcabcabcabc", // period-3 repetition: periodic ties
+      4L -> "Mixed   CASE\nand\twhitespace  runs here",
+      5L -> "tiny") // shorter than k: no grams at all
+    val got = TextAnalysis.winnow(docs(fixtures: _*)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    fixtures.foreach { case (id, text) =>
+      val want = referenceWinnow(text)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+    }
+  }
+
+  test("winnow: shared substrings of length >= w+k-1 share a fingerprint; windows are covered") {
+    val shared = "winnowing guarantee x" // 21 chars >= 4+5-1
+    val a = s"prefix one $shared and then a suffix"
+    val b = s"a completely different start $shared trailing text"
+    val got = TextAnalysis.winnow(docs(1L -> a, 2L -> b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fpsA = got.filter(_._1 == 1L).map(_._3).toSet
+    val fpsB = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((fpsA & fpsB).nonEmpty, "the >= w+k-1 shared run must surface a common fingerprint")
+    // cover property: every full window of w consecutive gram positions
+    // contains at least one selected position
+    val posA = got.filter(_._1 == 1L).map(_._2).toSet
+    val npA = a.length - 5 + 1
+    (1 to (npA - 3)).foreach { ws =>
+      assert((ws until ws + 4).exists(p => posA.contains(p.toLong)), s"window at $ws uncovered")
+    }
+  }
 }
