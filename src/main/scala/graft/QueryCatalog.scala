@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1110,6 +1110,85 @@ object QueryCatalog {
        |    list_prepend(0::bigint, list_transform(regexp_extract_all($normSql, '.'), c -> ascii(c)::bigint)),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        |FROM documents""".stripMargin
+
+  /** Block-structured inverted index under the gate: distinct (term, doc)
+    * postings ranked per term, segmented into 4096-doc blocks, each block
+    * delta + varint encoded (protobuf/Lucene VInt wire form). The emitted
+    * `n_bytes` is the exact encoded length and `checksum` folds the
+    * DECODED ids, so the oracle — which recomputes the byte length from
+    * the gap distribution (the 7-bit continuation thresholds as a CASE
+    * ladder) and the checksum from the raw pairs — only matches if the
+    * encoder is length-canonical AND encode∘decode is the identity on
+    * every block.
+    */
+  private val qInvertedPostings: (SparkSession, String) => DataFrame = (s, dir) =>
+    InvertedIndex.postingsBlocks(table(s, dir, "documents")).toDF()
+
+  private val oInvertedPostings: String =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, token AS term FROM (
+       |        SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL) t
+       |      WHERE token <> ''),
+       |r AS (SELECT term, doc_id,
+       |        row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1 AS rk,
+       |        count(*) OVER (PARTITION BY term) AS df
+       |      FROM tok),
+       |b AS (SELECT term, rk // 4096 AS block_id, df, doc_id,
+       |        lag(doc_id) OVER (PARTITION BY term, rk // 4096 ORDER BY doc_id) AS prev
+       |      FROM r),
+       |v AS (SELECT term, block_id, df, doc_id,
+       |        CASE WHEN prev IS NULL THEN doc_id ELSE doc_id - prev END AS val
+       |      FROM b),
+       |s AS (SELECT term, block_id, any_value(df) AS df, count(*) AS n_docs_block,
+       |        sum(CASE WHEN val < 128 THEN 1 WHEN val < 16384 THEN 2
+       |                 WHEN val < 2097152 THEN 3 WHEN val < 268435456 THEN 4
+       |                 WHEN val < 34359738368 THEN 5 WHEN val < 4398046511104 THEN 6
+       |                 WHEN val < 562949953421312 THEN 7
+       |                 WHEN val < 72057594037927936 THEN 8 ELSE 9 END)::BIGINT AS n_bytes,
+       |        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |        list_reduce(list_prepend(0::BIGINT, list(doc_id % 1000000007 ORDER BY doc_id)),
+       |          (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |      FROM v GROUP BY 1, 2)
+       |SELECT term, block_id::BIGINT AS block_id, df::BIGINT AS df,
+       |       n_docs_block::BIGINT AS n_docs_block, n_bytes,
+       |       first_doc::BIGINT AS first_doc, last_doc::BIGINT AS last_doc,
+       |       checksum::BIGINT AS checksum
+       |FROM s""".stripMargin
+
+  /** Conjunctive retrieval queries over the corpus vocabulary — shared by
+    * the Spark query and the oracle's VALUES clause so the two sides ask
+    * the same questions by construction.
+    */
+  private val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_table_scan" -> Seq("table", "scan"),
+    "q_fast_key" -> Seq("fast", "key"),
+    "q_the_stream_value" -> Seq("the", "stream", "value"),
+    "q_merge_batch" -> Seq("merge", "batch"))
+
+  /** AND-retrieval served FROM the encoded index (blocks of queried terms
+    * decoded, everything else skipped), graded against the direct
+    * relational truth — docs carrying every term of the query — so a
+    * decode slip, a lost block, or an intersection bug fails the hash.
+    */
+  private val qBooleanRetrieval: (SparkSession, String) => DataFrame = (s, dir) =>
+    InvertedIndex.conjunctive(table(s, dir, "documents"), retrievalQueries)
+
+  private val oBooleanRetrieval: String = {
+    val values = retrievalQueries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t', ${ts.distinct.size})") }
+      .mkString(", ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, token AS term FROM (
+       |        SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |        FROM documents
+       |        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL) t
+       |      WHERE token <> ''),
+       |q(query_id, term, qsize) AS (SELECT * FROM (VALUES $values) v(a, b, c))
+       |SELECT q.query_id, tok.doc_id
+       |FROM tok JOIN q ON q.term = tok.term
+       |GROUP BY 1, 2
+       |HAVING count(*) = any_value(q.qsize)""".stripMargin
+  }
 
   /** Winnowing fingerprint selection (the MOSS scheme) over the corpus:
     * md5-prefix hashes of every 5-gram of the normalized text, minimum
@@ -3501,6 +3580,8 @@ object QueryCatalog {
     "token_counts" -> qTokenCounts,
     "fingerprints" -> qFingerprints,
     "winnow_fingerprints" -> qWinnowFingerprints,
+    "inverted_postings" -> qInvertedPostings,
+    "boolean_retrieval" -> qBooleanRetrieval,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3629,6 +3710,8 @@ object QueryCatalog {
     "token_counts" -> oTokenCounts,
     "fingerprints" -> oFingerprints,
     "winnow_fingerprints" -> oWinnowFingerprints,
+    "inverted_postings" -> oInvertedPostings,
+    "boolean_retrieval" -> oBooleanRetrieval,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
