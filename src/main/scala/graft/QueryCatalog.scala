@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1110,6 +1110,46 @@ object QueryCatalog {
        |    list_prepend(0::bigint, list_transform(regexp_extract_all($normSql, '.'), c -> ascii(c)::bigint)),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
        |FROM documents""".stripMargin
+
+  /** From-scratch RFC 3986 URL normalization under the gate, in the
+    * hostile-round-trip shape: the fixture renders a deterministically
+    * MESSY spelling per doc (uppercase scheme/host, explicit default
+    * ports, `/./` and `/zz/../` dot segments, percent-encoded unreserved
+    * chars in both hex cases, reordered query params, fragments) while
+    * the oracle derives the CANONICAL components directly from doc_id
+    * arithmetic — the normalizer sees only the messy string, so equality
+    * holds only if it exactly inverts every decoration.
+    */
+  private val qUrlNormalize: (SparkSession, String) => DataFrame = (s, dir) =>
+    Url.normalize(Url.attachUrls(table(s, dir, "documents"))).toDF()
+
+  private val oUrlNormalize: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        CASE ('0x' || substr(m, 6, 1))::BIGINT % 4
+      |          WHEN 2 THEN 8080 WHEN 3 THEN 9443 ELSE -1 END AS port,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path,
+      |        'a=' || CAST(('0x' || substr(m, 7, 2))::BIGINT AS VARCHAR) || '&b=' ||
+      |        CAST(('0x' || substr(m, 9, 2))::BIGINT AS VARCHAR) ||
+      |        CASE WHEN ('0x' || substr(m, 9, 2))::BIGINT % 2 = 0 THEN '%2F' ELSE '' END AS query
+      |      FROM d)
+      |SELECT doc_id, scheme, host, port::BIGINT AS port, path, query,
+      |       scheme || '://' || host ||
+      |       CASE WHEN port >= 0 THEN ':' || CAST(port AS VARCHAR) ELSE '' END ||
+      |       path || '?' || query AS url_norm
+      |FROM c""".stripMargin
 
   /** Block-structured inverted index under the gate: distinct (term, doc)
     * postings ranked per term, segmented into 4096-doc blocks, each block
@@ -3582,6 +3622,7 @@ object QueryCatalog {
     "winnow_fingerprints" -> qWinnowFingerprints,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
+    "url_normalize" -> qUrlNormalize,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3712,6 +3753,7 @@ object QueryCatalog {
     "winnow_fingerprints" -> oWinnowFingerprints,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
+    "url_normalize" -> oUrlNormalize,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
