@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1150,6 +1150,58 @@ object QueryCatalog {
       |       CASE WHEN port >= 0 THEN ':' || CAST(port AS VARCHAR) ELSE '' END ||
       |       path || '?' || query AS url_norm
       |FROM c""".stripMargin
+
+  /** robots.txt admission control (RFC 9309 semantics) over the
+    * normalized URL fixture: per-host md5-derived rule sets — a
+    * directory Disallow, a deeper Allow override, an independent
+    * two-segment Disallow — evaluated longest-match-wins, tie → allow,
+    * no match → allow. Both engines pack the preference order into
+    * `len·2 + allowFlag` and take one integer max, so a wrong tie
+    * direction or a missed deeper override fails the hash.
+    */
+  private val qRobotsDecisions: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    Robots.evaluate(urls, Robots.rulesFor(urls).toDF())
+  }
+
+  private val oRobotsDecisions: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d),
+      |hr AS (SELECT host, md5(host) AS hm FROM (SELECT DISTINCT host FROM c)),
+      |w AS (SELECT host,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 1, 1))::BIGINT % 8 AS INT)) AS w1,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 2, 1))::BIGINT % 8 AS INT)) AS w2,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 3, 1))::BIGINT % 8 AS INT)) AS w3,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 4, 1))::BIGINT % 8 AS INT)) AS w4
+      |      FROM hr),
+      |rules AS (SELECT host, 0 AS af, '/' || w1 AS prefix FROM w
+      |          UNION ALL SELECT host, 1, '/' || w1 || '/' || w2 FROM w
+      |          UNION ALL SELECT host, 0, '/' || w3 || '/' || w4 FROM w),
+      |mt AS (SELECT c.doc_id, c.host, c.path, max(len(r.prefix) * 2 + r.af) AS best
+      |       FROM c LEFT JOIN rules r
+      |         ON r.host = c.host AND substr(c.path, 1, len(r.prefix)) = r.prefix
+      |       GROUP BY 1, 2, 3)
+      |SELECT doc_id, host, path, coalesce(best // 2, 0)::BIGINT AS matched_len,
+      |       CASE WHEN best IS NULL OR best % 2 = 1 THEN 'allow' ELSE 'disallow' END AS decision
+      |FROM mt""".stripMargin
 
   /** Block-structured inverted index under the gate: distinct (term, doc)
     * postings ranked per term, segmented into 4096-doc blocks, each block
@@ -3623,6 +3675,7 @@ object QueryCatalog {
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
+    "robots_decisions" -> qRobotsDecisions,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3754,6 +3807,7 @@ object QueryCatalog {
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
+    "robots_decisions" -> oRobotsDecisions,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
