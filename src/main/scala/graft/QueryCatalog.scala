@@ -1151,6 +1151,39 @@ object QueryCatalog {
       |       path || '?' || query AS url_norm
       |FROM c""".stripMargin
 
+  /** Unicode NFC canonicalization as a cross-implementation
+    * differential: the JDK Normalizer's composition vs DuckDB's
+    * independent ICU-derived `nfc_normalize`, over md5-chosen combining
+    * sequences rebuilt identically with `chr()` on the oracle side.
+    * Byte counts (not "length") are compared because code-point vs
+    * grapheme counting differs across engines while bytes do not.
+    */
+  private val qUnicodeNfc: (SparkSession, String) => DataFrame = (s, dir) =>
+    Encoding.nfcStats(Encoding.attachCombining(table(s, dir, "documents")))
+
+  private val oUnicodeNfc: String =
+    """WITH d AS (SELECT doc_id, md5('n:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |t AS (SELECT doc_id,
+      |        'w' ||
+      |        list_extract([chr(101)||chr(769), chr(97)||chr(776), chr(111)||chr(770),
+      |                      chr(110)||chr(771), chr(99)||chr(807), chr(233), 'x',
+      |                      chr(117)||chr(768)],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT)) ||
+      |        list_extract([chr(101)||chr(769), chr(97)||chr(776), chr(111)||chr(770),
+      |                      chr(110)||chr(771), chr(99)||chr(807), chr(233), 'x',
+      |                      chr(117)||chr(768)],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT)) ||
+      |        list_extract([chr(101)||chr(769), chr(97)||chr(776), chr(111)||chr(770),
+      |                      chr(110)||chr(771), chr(99)||chr(807), chr(233), 'x',
+      |                      chr(117)||chr(768)],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)) AS raw
+      |      FROM d)
+      |SELECT doc_id, nfc_normalize(raw) AS nfc, nfc_normalize(raw) <> raw AS changed,
+      |       strlen(raw)::BIGINT AS bytes_before,
+      |       strlen(nfc_normalize(raw))::BIGINT AS bytes_after
+      |FROM t""".stripMargin
+
   /** robots.txt admission control (RFC 9309 semantics) over the
     * normalized URL fixture: per-host md5-derived rule sets — a
     * directory Disallow, a deeper Allow override, an independent
@@ -3676,6 +3709,7 @@ object QueryCatalog {
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
     "robots_decisions" -> qRobotsDecisions,
+    "unicode_nfc" -> qUnicodeNfc,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3808,6 +3842,7 @@ object QueryCatalog {
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
     "robots_decisions" -> oRobotsDecisions,
+    "unicode_nfc" -> oUnicodeNfc,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

@@ -120,4 +120,54 @@ object Encoding {
       }
       .toDF("doc_id", "payload")
   }
+
+  /** Combining-sequence FIXTURE for the NFC gate: per doc, three pieces
+    * chosen by md5 nibbles from a table of decomposed Latin diacritics
+    * (base + combining mark), one precomposed form, and plain ASCII —
+    * so composition, identity-on-composed, and identity-on-ASCII all
+    * occur. The oracle rebuilds the identical strings with `chr()`.
+    */
+  def attachCombining(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = Array("é", "ä", "ô", "ñ", "ç", "é", "x", "ù")
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map { id =>
+        val m = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"n:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+        (id, "w" + pieces(nib(1) % 8) + pieces(nib(2) % 8) + pieces(nib(3) % 8))
+      }
+      .toDF("doc_id", "raw")
+  }
+
+  /** Unicode NFC normalization (UAX #15 canonical composition) of a
+    * string column — the canonicalization step before tokenizing or
+    * hashing multilingual text (a decomposed and a precomposed "é" must
+    * dedup together). Backed by the JDK's Normalizer and graded as a
+    * CROSS-IMPLEMENTATION DIFFERENTIAL: the DuckDB oracle runs its own
+    * independent `nfc_normalize` (ICU-derived tables) over the same
+    * strings, so the emitted NFC bytes match only where two unrelated
+    * UAX #15 implementations agree — byte counts are emitted instead of
+    * character counts precisely because "length" is the
+    * engine-dependent notion (code points vs graphemes) and bytes are
+    * not. Map-only, zero shuffles.
+    */
+  def nfcStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "raw"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, raw) =>
+        val nfc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+        (id, nfc, nfc != raw,
+          raw.getBytes("UTF-8").length.toLong, nfc.getBytes("UTF-8").length.toLong)
+      }
+      .toDF("doc_id", "nfc", "changed", "bytes_before", "bytes_after")
+  }
 }

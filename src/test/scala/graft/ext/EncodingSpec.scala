@@ -105,4 +105,41 @@ class EncodingSpec extends AnyFunSuite {
     // n_bytes is the payload length either way
     assert(stats(0L).n_bytes == "das schöne Haus über der Straße".getBytes("UTF-8").length)
   }
+
+  test("nfcStats: decomposed sequences compose, precomposed and ASCII are fixpoints") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "café"), // cafe + combining acute -> café
+      (2L, "café"), // already NFC
+      (3L, "plain"),
+      (4L, "äô")).toDF("doc_id", "raw")
+    val got = Encoding.nfcStats(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("café", true, 6L, 5L)))
+    assert(got(2L) == (("café", false, 5L, 5L)))
+    assert(got(3L) == (("plain", false, 5L, 5L)))
+    assert(got(4L) == (("äô", true, 6L, 4L)))
+  }
+
+  test("nfcStats over the combining fixture: idempotent, every piece arm occurs") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("doc_id")
+    val withRaw = Encoding.attachCombining(ids)
+    val out = Encoding.nfcStats(withRaw).collect()
+    assert(out.length == 300)
+    assert(out.exists(_.getBoolean(2)) && out.exists(!_.getBoolean(2)),
+      "both changed and unchanged docs must occur")
+    // idempotence: normalizing the normalized column changes nothing
+    val again = Encoding.nfcStats(
+      Encoding.nfcStats(withRaw).selectExpr("doc_id", "nfc AS raw"))
+      .collect()
+    assert(again.forall(!_.getBoolean(2)), "NFC must be a fixpoint of itself")
+    // the fixture exercises all eight pieces across 300 ids
+    val pieceSel = (0L until 300L).flatMap { id =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (1 to 3).map(i => Integer.parseInt(m.substring(i - 1, i), 16) % 8)
+    }
+    assert(pieceSel.toSet == (0 until 8).toSet)
+  }
 }
