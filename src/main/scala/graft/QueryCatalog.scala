@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1150,6 +1150,74 @@ object QueryCatalog {
       |       CASE WHEN port >= 0 THEN ':' || CAST(port AS VARCHAR) ELSE '' END ||
       |       path || '?' || query AS url_norm
       |FROM c""".stripMargin
+
+  /** Gear-hash content-defined chunking under the gate: the oracle
+    * recomputes EVERY position's rolling hash from the closed form
+    * (only the last 48 bytes matter under a 2^48 modulus — see
+    * [[graft.ext.Cdc]]'s design notes), re-derives every boundary, and
+    * replays each chunk's checksum fold — so a wrong gear entry, a
+    * shift-order slip, or an off-by-one at either end of a chunk fails
+    * the hash.
+    */
+  private val qCdcChunks: (SparkSession, String) => DataFrame = (s, dir) =>
+    Cdc.chunks(table(s, dir, "documents")).toDF()
+
+  /** Shared chunk-derivation CTE chain for both CDC keys. */
+  private val cdcChunkSql: String =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |           FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      |             AND octet_length(encode(text)) > 0),
+      |g AS (SELECT list_transform(range(0, 256),
+      |        b -> ('0x' || substr(md5('g:' || b), 1, 12))::BIGINT) AS gt),
+      |bl AS (SELECT doc_id, n,
+      |         list_transform(range(n),
+      |           i -> ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT) AS bs
+      |       FROM d),
+      |hs AS (SELECT doc_id, n, bs,
+      |         list_transform(range(1, n + 1), i ->
+      |           CAST(list_sum(list_transform(
+      |             range(CASE WHEN i > 47 THEN i - 47 ELSE 1 END, i + 1),
+      |             j -> (gt[CAST(bs[CAST(j AS INT)] + 1 AS INT)]
+      |                    % (1::BIGINT << CAST(48 - (i - j) AS INT))) << CAST(i - j AS INT)))
+      |             % 281474976710656 AS BIGINT)) AS h
+      |       FROM bl CROSS JOIN g),
+      |bn AS (SELECT doc_id, n, bs,
+      |         list_filter(range(1, n + 1),
+      |           i -> h[CAST(i AS INT)] % 64 = 0 OR i = n) AS ce
+      |       FROM hs),
+      |ch AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ce) + 1), k -> {
+      |           'idx': k - 1,
+      |           's': CASE WHEN k = 1 THEN 1 ELSE ce[CAST(k - 1 AS INT)] + 1 END,
+      |           'e': ce[CAST(k AS INT)]})) AS c,
+      |         bs
+      |       FROM bn),
+      |chunks AS (SELECT doc_id, c.idx AS chunk_idx, c.s AS start, c.e - c.s + 1 AS len,
+      |         list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(c.s, c.e + 1), j -> bs[CAST(j AS INT)])),
+      |           (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |       FROM ch)""".stripMargin
+
+  private val oCdcChunks: String =
+    s"""$cdcChunkSql
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, start::BIGINT AS start,
+       |       len::BIGINT AS len, checksum::BIGINT AS checksum
+       |FROM chunks""".stripMargin
+
+  /** The CDC payoff measured: identical (len, checksum) chunks collapse
+    * corpus-wide, surviving insertions that shift byte offsets.
+    */
+  private val qCdcDedup: (SparkSession, String) => DataFrame = (s, dir) =>
+    Cdc.chunkDedup(table(s, dir, "documents"))
+
+  private val oCdcDedup: String =
+    s"""$cdcChunkSql
+       |SELECT len::BIGINT AS len, checksum::BIGINT AS checksum,
+       |       count(*)::BIGINT AS n_copies,
+       |       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |       min(doc_id)::BIGINT AS min_doc
+       |FROM chunks GROUP BY 1, 2""".stripMargin
 
   /** Unicode NFC canonicalization as a cross-implementation
     * differential: the JDK Normalizer's composition vs DuckDB's
@@ -3710,6 +3778,8 @@ object QueryCatalog {
     "url_normalize" -> qUrlNormalize,
     "robots_decisions" -> qRobotsDecisions,
     "unicode_nfc" -> qUnicodeNfc,
+    "cdc_chunks" -> qCdcChunks,
+    "cdc_dedup" -> qCdcDedup,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3843,6 +3913,8 @@ object QueryCatalog {
     "url_normalize" -> oUrlNormalize,
     "robots_decisions" -> oRobotsDecisions,
     "unicode_nfc" -> oUnicodeNfc,
+    "cdc_chunks" -> oCdcChunks,
+    "cdc_dedup" -> oCdcDedup,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

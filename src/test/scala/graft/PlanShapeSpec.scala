@@ -322,4 +322,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoCartesian(p)
     assert(!p.contains("Window"), "pagerank must not use windows")
   }
+
+  test("triangles: equi-joins only — the wedge join must never go cartesian") {
+    import spark.implicits._
+    val edges = (for (a <- 0L to 5L; b <- 0L to 5L if a < b) yield (a, b, 1L))
+      .toDF("src", "dst", "weight")
+    val p = plan(graft.ext.Graph.triangles(edges))
+    assertNoCartesian(p)
+    assert(!p.contains("Window"), "triangles must not use windows")
+  }
+
+  test("winnow: one document-partitioned window, no joins, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.winnow(docs))
+    assert(!p.contains("Join"), "winnow must be join-free")
+    assert(p.contains("Window"), "the frame-max selection is the one window")
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"the window must partition by doc_id, not sort globally:\n${p.take(1200)}")
+  }
+
+  test("url_normalize + robots: map-only rewrite; rules broadcast, never shuffled") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pUrl = plan(QueryCatalog.queries("url_normalize")(spark, sf))
+    assert(!pUrl.contains("Exchange"), s"url_normalize must not shuffle:\n${pUrl.take(1200)}")
+    assert(!pUrl.contains("Join"), "url_normalize must not join")
+    val pRob = plan(QueryCatalog.queries("robots_decisions")(spark, sf))
+    assert(pRob.contains("BroadcastHashJoin") || pRob.contains("BroadcastExchange"),
+      s"the rule set must broadcast:\n${pRob.take(1200)}")
+    assert(!pRob.contains("SortMergeJoin"), "rules must never shuffle-join")
+    val pNfc = plan(QueryCatalog.queries("unicode_nfc")(spark, sf))
+    assert(!pNfc.contains("Exchange") && !pNfc.contains("Join"), "unicode_nfc is map-only")
+  }
+
+  test("inverted index: linear shuffles, no self-join; retrieval broadcasts the query terms") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pIdx = plan(graft.ext.InvertedIndex.postingsBlocks(docs).toDF())
+    assert(!pIdx.contains("Join"), "index build is aggregation-only, never a join")
+    assertNoCartesian(pIdx)
+    val pRet = plan(QueryCatalog.queries("boolean_retrieval")(spark, sf))
+    assertNoCartesian(pRet)
+    assert(pRet.contains("BroadcastHashJoin"),
+      s"query-term attach must broadcast:\n${pRet.take(1200)}")
+  }
 }
