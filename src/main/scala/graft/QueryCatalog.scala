@@ -1151,6 +1151,59 @@ object QueryCatalog {
       |       path || '?' || query AS url_norm
       |FROM c""".stripMargin
 
+  /** Retrieval queries over the corpus vocabulary — shared by the
+    * boolean and ranked retrieval Spark queries AND their oracles'
+    * VALUES clauses, so all four sides ask the same questions by
+    * construction. (Declared before first eager use: object vals
+    * initialize in declaration order.)
+    */
+  private val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_table_scan" -> Seq("table", "scan"),
+    "q_fast_key" -> Seq("fast", "key"),
+    "q_the_stream_value" -> Seq("the", "stream", "value"),
+    "q_merge_batch" -> Seq("merge", "batch"))
+
+  /** Multi-query BM25 ranked retrieval over the SAME query set as the
+    * boolean key — index once, ask both ways. Per-(query, doc) scores
+    * sum term contributions by a TERM-ORDERED fold (partition-
+    * independent double addition, replayed with an ORDER BY fold);
+    * ranking is the bounded TopKAggregator (O(k) rows per partition
+    * shuffled), graded against the oracle's window-rank replay with the
+    * (score DESC, doc_id) tie order.
+    */
+  private val qRankedRetrieval: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.rankedRetrieval(table(s, dir, "documents"), retrievalQueries, topK = 10)
+
+  private val oRankedRetrieval: String = {
+    val terms = retrievalQueries.flatMap(_._2).distinct
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val values = retrievalQueries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |tok2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+       |dl AS (SELECT doc_id, count(*)::bigint AS dl FROM tok2 GROUP BY 1),
+       |tf AS (SELECT doc_id, token, count(*)::bigint AS tf FROM tok2
+       |       WHERE token IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT count(*)::bigint FROM documents) AS n,
+       |              (SELECT CAST(sum(dl) AS double) FROM dl) AS sum_dl),
+       |st2 AS (SELECT n, sum_dl / n AS avgdl FROM st),
+       |c AS (SELECT tf.doc_id, tf.token,
+       |        (((n - df)::double + 0.5) / (df::double + 0.5)) * (tf::double * 2.2)
+       |          / (tf::double + 1.2 * (1.0 - 0.75 + 0.75 * dl::double / avgdl)) AS contrib
+       |      FROM tf JOIN df USING (token) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st2),
+       |q(query_id, term) AS (SELECT * FROM (VALUES $values) v(a, b)),
+       |qc AS (SELECT q.query_id, c.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(c.contrib ORDER BY c.token)),
+       |           (a, x) -> a + x) AS score
+       |       FROM c JOIN q ON q.term = c.token GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+       |      FROM qc)
+       |SELECT query_id, rnk::BIGINT AS rank, doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   /** Gear-hash content-defined chunking under the gate: the oracle
     * recomputes EVERY position's rolling hash from the closed form
     * (only the last 48 bytes matter under a 2^48 modulus — see
@@ -1348,16 +1401,6 @@ object QueryCatalog {
        |       first_doc::BIGINT AS first_doc, last_doc::BIGINT AS last_doc,
        |       checksum::BIGINT AS checksum
        |FROM s""".stripMargin
-
-  /** Conjunctive retrieval queries over the corpus vocabulary — shared by
-    * the Spark query and the oracle's VALUES clause so the two sides ask
-    * the same questions by construction.
-    */
-  private val retrievalQueries: Seq[(String, Seq[String])] = Seq(
-    "q_table_scan" -> Seq("table", "scan"),
-    "q_fast_key" -> Seq("fast", "key"),
-    "q_the_stream_value" -> Seq("the", "stream", "value"),
-    "q_merge_batch" -> Seq("merge", "batch"))
 
   /** AND-retrieval served FROM the encoded index (blocks of queried terms
     * decoded, everything else skipped), graded against the direct
@@ -3780,6 +3823,7 @@ object QueryCatalog {
     "unicode_nfc" -> qUnicodeNfc,
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
+    "ranked_retrieval" -> qRankedRetrieval,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3915,6 +3959,7 @@ object QueryCatalog {
     "unicode_nfc" -> oUnicodeNfc,
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,
+    "ranked_retrieval" -> oRankedRetrieval,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

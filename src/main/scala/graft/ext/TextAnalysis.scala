@@ -213,6 +213,72 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Multi-query BM25 ranked retrieval: top-`topK` documents per query,
+    * completing the search surface next to [[bm25Scores]] (one fixed bag)
+    * and [[InvertedIndex.conjunctive]] (boolean AND).
+    *
+    * Scores use the same rational-IDF BM25 as [[bm25Scores]]; per
+    * (query, doc) the term contributions are summed by a TERM-ORDERED
+    * fold (`aggregate(array_sort(...))` — the quality_logit pattern), so
+    * the double addition order is partition-independent and the oracle
+    * replays it with an ORDER BY fold. Ranking is the bounded
+    * [[graft.functions.TopKAggregator]] — partial top-k on the map side,
+    * O(k) rows per (query, partition) shuffled, never a corpus-wide rank
+    * window. One corpus pass builds tf for the union of all query terms;
+    * query→term mapping and df broadcast.
+    */
+  def rankedRetrieval(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "queries must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val dl = docs.select(
+      col(idCol).as("id"),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("dl"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isInCollection(terms))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("sum_dl")))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val perQueryDoc = tf
+      .join(broadcast(df), "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .join(broadcast(qdf), "token")
+      .groupBy(col("query_id"), col("id"))
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(token, contrib))), cast(0.0 AS DOUBLE), (a, x) -> a + x.contrib)")
+        .as("score"))
+    val topk = udaf(new graft.functions.TopKAggregator(topK),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredId])
+    perQueryDoc
+      .groupBy("query_id")
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as(idCol),
+        col("s.score").as("score"))
+  }
+
   /** Intra-document repetition: how much of the doc is repeated word
     * n-grams. `dup_ratio = (n_grams - n_distinct) / n_grams` — the
     * boilerplate/template signal used to down-weight or drop repetitive

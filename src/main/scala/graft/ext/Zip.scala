@@ -207,7 +207,12 @@ object Zip {
           if (csize != usize) throw new MalformedZip
           java.util.Arrays.copyOfRange(b, dataStart, dataEnd)
         case 8 =>
-          Multimodal.inflate(b, dataStart, dataEnd, maxEntryBytes)
+          // the CD's usize is the exact output size — pass it as the hint
+          // so the decoder allocates once at that size, not at the 64 MB
+          // cap (an unhinted cap-sized buffer is zeroed PER ENTRY, which
+          // turned a linear decode into an allocation storm at sf0.1)
+          Multimodal.inflateWithEnd(b, dataStart, dataEnd, maxEntryBytes,
+            sizeHint = usize.toInt)._1
         case _ => throw new MalformedZip
       }
       if (data.length.toLong != usize) throw new MalformedZip

@@ -242,6 +242,51 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.toSet
   }
 
+  test("rankedRetrieval: one-query case agrees bitwise with bm25Scores (independent summation)") {
+    // bm25Scores pivots per-term contributions into fixed-order columns;
+    // rankedRetrieval folds a term-SORTED array — two different summation
+    // implementations. With the query terms passed in sorted order the
+    // addition order coincides, so scores must match to the last bit.
+    val rnd = new scala.util.Random(21)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val corpus = (1L to 60L).map { i =>
+      i -> Seq.fill(rnd.nextInt(25) + 3)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val terms = Seq("alpha", "beta", "gamma") // sorted
+    val viaPivot = TextAnalysis.bm25Scores(d, terms, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4))
+    val viaFold = TextAnalysis.rankedRetrieval(d, Seq("q" -> terms), topK = 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(viaFold.toSeq == viaPivot.toSeq, "ranking and bitwise scores must agree")
+  }
+
+  test("rankedRetrieval: ranks are contiguous, scores non-increasing, partition-stable") {
+    val corpus = Seq(
+      1L -> "spark spark spark stream",
+      2L -> "spark stream",
+      3L -> "stream only here",
+      4L -> "nothing relevant at all",
+      5L -> "spark")
+    val d = docs(corpus: _*)
+    val qs = Seq("q_ss" -> Seq("spark", "stream"), "q_s" -> Seq("stream"))
+    val out = TextAnalysis.rankedRetrieval(d, qs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    qs.foreach { case (q, _) =>
+      val rows = out.filter(_._1 == q).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, s"$q ranks contiguous")
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      }, s"$q ordered by (score desc, id)")
+    }
+    // doc 4 matches nothing: absent everywhere
+    assert(!out.exists(_._3 == 4L))
+    val again = TextAnalysis.rankedRetrieval(d.repartition(11), qs, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("winnow: equals the reference selection, including all-tie repetitive text") {
     val fixtures = Seq(
       1L -> "the quick brown fox jumps over the lazy dog",
