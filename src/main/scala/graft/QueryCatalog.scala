@@ -1163,6 +1163,43 @@ object QueryCatalog {
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
 
+  /** Phrase set for positional retrieval — multi-word phrases known to
+    * occur in the corpus vocabulary, including a self-overlapping one
+    * ("table table": three consecutive 'table' tokens hold it TWICE —
+    * the case a non-overlapping matcher undercounts).
+    */
+  private val retrievalPhrases: Seq[(String, String)] = Seq(
+    "p_fast_key" -> "fast key",
+    "p_table_table" -> "table table",
+    "p_value_table_part" -> "value table part",
+    "p_merge_batch" -> "merge batch")
+
+  /** Positional phrase retrieval graded against ground truth, not
+    * another index: the Spark side intersects positional postings
+    * (m−1 equi-joins on (doc, pos+offset)); the oracle counts matches
+    * of the space-padded phrase at every character offset of the
+    * space-padded normalized text — token positions and padded-string
+    * positions correspond 1:1 under whitespace collapse, so a join
+    * off-by-one, a lost overlap, or a boundary bleed fails the hash.
+    */
+  private val qPhraseRetrieval: (SparkSession, String) => DataFrame = (s, dir) =>
+    InvertedIndex.phraseRetrieval(table(s, dir, "documents"), retrievalPhrases)
+
+  private val oPhraseRetrieval: String = {
+    val values = retrievalPhrases
+      .map { case (pid, p) => s"('$pid', ' $p ')" }
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id, ' ' || $normSql || ' ' AS t FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |ph(phrase_id, pat) AS (SELECT * FROM (VALUES $values) v(a, b)),
+       |g AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65544) s(i)),
+       |hits AS (SELECT ph.phrase_id, d.doc_id, count(*) AS n
+       |         FROM d CROSS JOIN ph JOIN g ON g.i <= len(d.t) - len(ph.pat) + 1
+       |         WHERE substr(d.t, g.i, len(ph.pat)) = ph.pat
+       |         GROUP BY 1, 2)
+       |SELECT phrase_id, doc_id, n::BIGINT AS n_matches FROM hits""".stripMargin
+  }
+
   /** Multi-query BM25 ranked retrieval over the SAME query set as the
     * boolean key — index once, ask both ways. Per-(query, doc) scores
     * sum term contributions by a TERM-ORDERED fold (partition-
@@ -3824,6 +3861,7 @@ object QueryCatalog {
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
     "ranked_retrieval" -> qRankedRetrieval,
+    "phrase_retrieval" -> qPhraseRetrieval,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3960,6 +3998,7 @@ object QueryCatalog {
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,
     "ranked_retrieval" -> oRankedRetrieval,
+    "phrase_retrieval" -> oPhraseRetrieval,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

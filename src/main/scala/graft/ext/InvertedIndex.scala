@@ -154,6 +154,49 @@ object InvertedIndex {
       }
   }
 
+  /** Exact phrase retrieval from POSITIONAL postings — the third ask of a
+    * search surface after boolean AND and ranked top-k: a phrase of m
+    * terms matches where term i sits at token position p+i−1 for every
+    * i. Relationally that is the classic positional-intersection plan:
+    * one (doc, pos, term) relation filtered to the phrases' terms (tiny
+    * — the filter prunes before any shuffle), then m−1 equi-joins on
+    * `(doc, pos + offset)` per phrase. Occurrences COUNT overlaps
+    * ("table table table" holds "table table" twice), matching the
+    * token-boundary string probe the oracle runs. Output
+    * (phrase_id, doc_id, n_matches).
+    */
+  def phraseRetrieval(docs: DataFrame, phrases: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val parsed = phrases.map { case (pid, p) =>
+      val ts = p.trim.split("\\s+").toSeq
+      require(ts.nonEmpty && ts.forall(_.nonEmpty), s"bad phrase '$p'")
+      (pid, ts)
+    }
+    val wanted = parsed.flatMap(_._2).distinct
+    val positions = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(normText(col(textCol)), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(wanted: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPhrase = parsed.map { case (pid, ts) =>
+      val base = positions
+        .filter(col("term") === ts.head)
+        .select(col("doc_id"), col("pos"))
+      val matched = ts.zipWithIndex.tail.foldLeft(base) { case (acc, (t, k)) =>
+        acc.join(
+          positions.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - k).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      matched.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }
+    perPhrase.reduce(_.unionAll(_))
+  }
+
   /** Conjunctive (AND) retrieval SERVED FROM THE ENCODED INDEX: blocks of
     * the queried terms are decoded (everything else is never touched —
     * the broadcast term filter is the real skip), then a doc qualifies

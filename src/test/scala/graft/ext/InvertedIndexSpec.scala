@@ -83,6 +83,47 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(!at4.contains("stop") && !at4.contains("rare"))
   }
 
+  test("phraseRetrieval: adjacency truth table, overlap counting, boundary discipline") {
+    val corpus = Seq(
+      1L -> "fast key lookup is a fast key thing", // "fast key" twice
+      2L -> "key fast", // both terms, wrong order: no match
+      3L -> "x x x", // self-overlap: "x x" twice
+      4L -> "alpha beta gamma delta", // 3-term run
+      5L -> "fast and key") // adjacent terms separated: no match
+    val got = InvertedIndex.phraseRetrieval(
+      docs(corpus: _*),
+      Seq("pq" -> "fast key", "px" -> "x x", "p3" -> "beta gamma delta"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("pq", 1L) -> 2L,
+      ("px", 3L) -> 2L,
+      ("p3", 4L) -> 1L))
+  }
+
+  test("phraseRetrieval: equals a token-window brute force on random corpora; partition-stable") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 80L).map { i =>
+      i -> Seq.fill(rnd.nextInt(40) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val phrases = Seq("p_ab" -> "a b", "p_aa" -> "a a", "p_bcd" -> "b c d")
+    val d = docs(corpus: _*)
+    val got = InvertedIndex.phraseRetrieval(d, phrases).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      (pid, p) <- phrases
+      ts = p.split(" ").toSeq
+      (id, text) <- corpus
+      toks = text.split(" ").toSeq
+      n = toks.sliding(ts.length).count(_ == ts)
+      if n > 0
+    } yield (pid, id) -> n.toLong).toMap
+    assert(got == want)
+    val again = InvertedIndex.phraseRetrieval(d.repartition(9), phrases).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == want)
+  }
+
   test("conjunctive: AND semantics from the encoded blocks, multi-block terms included") {
     val corpus = Seq(
       1L -> "alpha beta gamma",
