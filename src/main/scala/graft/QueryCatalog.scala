@@ -1163,6 +1163,73 @@ object QueryCatalog {
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
 
+  /** The crawl-shaped integration gate: documents → hostile HTML →
+    * .warc.gz with HTTP framing → full decode stack back to text →
+    * robots admission over normalized URLs → exact dedup → quality gate
+    * → language tag. Every layer is identity-recovering by its own
+    * round-trip contract, so the oracle computes the final table
+    * STRAIGHT FROM documents — one corrupted byte anywhere in the
+    * six-layer stack fails the hash. The per-operator keys prove each
+    * layer alone; this key proves they compose.
+    */
+  private val qCrawlPipeline: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.CurationPipeline.crawlCurate(table(s, dir, "documents"))
+
+  private val oCrawlPipeline: String =
+    s"""WITH d AS (SELECT doc_id, text, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents
+       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+       |c AS (SELECT doc_id,
+       |        list_extract(['alpha','beta','gamma','delta'],
+       |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+       |        list_extract(['example','testsite'],
+       |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+       |        list_extract(['com','org','net','io'],
+       |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+       |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+       |        list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+       |        CAST(doc_id % 100 AS VARCHAR) AS path
+       |      FROM d),
+       |hr AS (SELECT host, md5(host) AS hm FROM (SELECT DISTINCT host FROM c)),
+       |hw AS (SELECT host,
+       |        list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(hm, 1, 1))::BIGINT % 8 AS INT)) AS w1,
+       |        list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(hm, 2, 1))::BIGINT % 8 AS INT)) AS w2,
+       |        list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(hm, 3, 1))::BIGINT % 8 AS INT)) AS w3,
+       |        list_extract(['data','files','api','docs','img','posts','user','item'],
+       |          1 + CAST(('0x' || substr(hm, 4, 1))::BIGINT % 8 AS INT)) AS w4
+       |      FROM hr),
+       |rules AS (SELECT host, 0 AS af, '/' || w1 AS prefix FROM hw
+       |          UNION ALL SELECT host, 1, '/' || w1 || '/' || w2 FROM hw
+       |          UNION ALL SELECT host, 0, '/' || w3 || '/' || w4 FROM hw),
+       |mt AS (SELECT c.doc_id, c.host, c.path, max(len(r.prefix) * 2 + r.af) AS best
+       |       FROM c LEFT JOIN rules r
+       |         ON r.host = c.host AND substr(c.path, 1, len(r.prefix)) = r.prefix
+       |       GROUP BY 1, 2, 3),
+       |allowed AS (SELECT doc_id, host, path FROM mt WHERE best IS NULL OR best % 2 = 1),
+       |keep AS (SELECT min(doc_id) AS doc_id, md5($normSql) AS fp FROM d
+       |         GROUP BY md5($normSql)),
+       |feats AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |            string_split($normSql, ' ') AS tk
+       |          FROM d),
+       |sc AS (SELECT doc_id, n_chars, len(tk)::BIGINT AS n_tokens,
+       |  len(list_filter(tk, t -> list_contains(['the','and','of','is','a','in','to'], t)))::bigint AS score_en,
+       |  len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','ein','nicht'], t)))::bigint AS score_de,
+       |  len(list_filter(tk, t -> list_contains(['le','la','les','et','est','une','dans'], t)))::bigint AS score_fr,
+       |  len(list_filter(tk, t -> list_contains(['el','los','las','y','es','una','en'], t)))::bigint AS score_es
+       |  FROM feats)
+       |SELECT k.doc_id, a.host, a.path,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+       |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+       |       WHEN score_fr >= score_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       |  s.n_chars, s.n_tokens, k.fp
+       |FROM keep k JOIN allowed a USING (doc_id) JOIN sc s USING (doc_id)
+       |WHERE s.n_tokens >= 5""".stripMargin
+
   /** Phrase set for positional retrieval — multi-word phrases known to
     * occur in the corpus vocabulary, including a self-overlapping one
     * ("table table": three consecutive 'table' tokens hold it TWICE —
@@ -3862,6 +3929,7 @@ object QueryCatalog {
     "cdc_dedup" -> qCdcDedup,
     "ranked_retrieval" -> qRankedRetrieval,
     "phrase_retrieval" -> qPhraseRetrieval,
+    "crawl_pipeline" -> qCrawlPipeline,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -3999,6 +4067,7 @@ object QueryCatalog {
     "cdc_dedup" -> oCdcDedup,
     "ranked_retrieval" -> oRankedRetrieval,
     "phrase_retrieval" -> oPhraseRetrieval,
+    "crawl_pipeline" -> oCrawlPipeline,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

@@ -581,6 +581,40 @@ object Archives {
       }
   }
 
+  /** [[warcHttpExtract]]'s body-returning sibling for pipeline
+    * composition: the same gzip → WARC → HTTP decode stack, but each
+    * record yields its de-framed BODY (UTF-8) so a downstream stage —
+    * HTML text extraction in [[CurationPipeline.crawlCurate]] — can
+    * keep processing the content. Same whole-archive-drop error
+    * discipline, map-only.
+    */
+  def warcHttpExtractBodies(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (_, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[(Long, String)]
+            var pos = 0
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (_, _, body) = parseHttpResponse(msg)
+              out += ((docId, new String(body, java.nio.charset.StandardCharsets.UTF_8)))
+              pos = next
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+      .toDF("doc_id", "body")
+  }
+
   /** [[warcExtract]] for an ARCHIVE STREAM: same member-split + record
     * parse, but the input carries an event time (`archive_id, ts,
     * payload`) that every extracted record inherits — what a watermarked

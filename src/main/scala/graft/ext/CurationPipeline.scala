@@ -150,4 +150,53 @@ object CurationPipeline {
       .withColumn("lang_pred", pred)
       .select(passthrough ++ Seq("n_chars", "n_tokens", "distinct_ratio", "lang_pred") map col: _*)
   }
+
+  /** The CRAWL-SHAPED end-to-end: documents are rendered into hostile
+    * HTML pages, packed into .warc.gz crawl archives with full HTTP
+    * response framing, then re-ingested through the ENTIRE decode stack
+    * (gzip member split → WARC parse → HTTP de-framing incl. chunked
+    * transfer → HTML text extraction), admission-controlled by
+    * robots.txt over normalized URLs, exact-deduped, quality-gated, and
+    * language-tagged. Every layer is identity-recovering by its own
+    * round-trip contract, so the oracle computes the final table
+    * STRAIGHT FROM the source documents — one corrupted byte anywhere
+    * in the six-layer stack shifts a fingerprint, a count, or a
+    * language score and fails the hash. This is the integration gate:
+    * the per-operator keys prove each layer alone; this key proves they
+    * compose.
+    */
+  def crawlCurate(docs: DataFrame, nArchives: Int = 16, minTokens: Long = 5L): DataFrame = {
+    import graft.functions.TextFunctions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pages = Html.encodeHtmlDocs(docs)
+    val archives = Archives.encodeWarcHttpArchives(pages, nArchives, textCol = "html")
+    val recovered = Archives.warcHttpExtractBodies(archives)
+      .as[(Long, String)]
+      .map { case (id, html) => (id, Html.extractText(html)) }
+      .toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val urls = Url.normalize(Url.attachUrls(recovered)).toDF()
+    val allowed = Robots.evaluate(
+      urls.select(col("doc_id"), col("host"), col("path")),
+      Robots.rulesFor(urls).toDF())
+      .filter(col("decision") === "allow")
+      .select(col("doc_id"), col("host"), col("path"))
+    val keepers = recovered
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+    val feats = recovered.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val lang = TextAnalysis.langId(recovered).select(col("doc_id"), col("lang_pred"))
+    keepers
+      .join(allowed, "doc_id")
+      .join(feats, "doc_id")
+      .filter(col("n_tokens") >= minTokens)
+      .join(lang, "doc_id")
+      .select(col("doc_id"), col("host"), col("path"), col("lang_pred"),
+        col("n_chars"), col("n_tokens"), col("fp"))
+  }
 }
