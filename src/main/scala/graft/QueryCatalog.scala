@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1162,6 +1162,37 @@ object QueryCatalog {
     "q_fast_key" -> Seq("fast", "key"),
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
+
+  /** Frame-of-reference bit-packing of an integer column (the parquet/
+    * ORC/Arrow block encoding) over lineitem part keys: per 128-value
+    * block ranked inside a hash bucket (no global sort), the emitted
+    * width and byte count follow the closed form the oracle recomputes
+    * (`len(bin(max−min))` bits, `ceil(n·w/8)` bytes) and the checksum
+    * folds the DECODED values — the encoder must be width-canonical and
+    * encode∘decode the identity for the hash to match.
+    */
+  private val qBitpackBlocks: (SparkSession, String) => DataFrame = (s, dir) =>
+    BitPack.packedBlocks(table(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), "l_partkey").toDF()
+
+  private val oBitpackBlocks: String =
+    """WITH r AS (SELECT l_orderkey % 64 AS bucket, l_partkey AS v,
+      |        row_number() OVER (PARTITION BY l_orderkey % 64
+      |                           ORDER BY l_orderkey, l_linenumber) - 1 AS rk
+      |      FROM lineitem
+      |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+      |        AND l_partkey IS NOT NULL AND l_orderkey % 64 >= 0),
+      |b AS (SELECT bucket, rk // 128 AS block_id, v, rk FROM r),
+      |s AS (SELECT bucket, block_id, count(*) AS n_vals, min(v) AS minv, max(v) AS maxv,
+      |        list_reduce(list_prepend(0::BIGINT, list(v % 1000000007 ORDER BY rk)),
+      |          (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |      FROM b GROUP BY 1, 2)
+      |SELECT bucket::BIGINT AS bucket, block_id::BIGINT AS block_id,
+      |  n_vals::BIGINT AS n_vals, minv::BIGINT AS minv, maxv::BIGINT AS maxv,
+      |  (CASE WHEN maxv = minv THEN 0 ELSE len(bin(maxv - minv)) END)::BIGINT AS width,
+      |  ((n_vals * (CASE WHEN maxv = minv THEN 0 ELSE len(bin(maxv - minv)) END) + 7) // 8)::BIGINT AS n_bytes,
+      |  checksum::BIGINT AS checksum
+      |FROM s""".stripMargin
 
   /** The crawl-shaped integration gate: documents → hostile HTML →
     * .warc.gz with HTTP framing → full decode stack back to text →
@@ -3930,6 +3961,7 @@ object QueryCatalog {
     "ranked_retrieval" -> qRankedRetrieval,
     "phrase_retrieval" -> qPhraseRetrieval,
     "crawl_pipeline" -> qCrawlPipeline,
+    "bitpack_blocks" -> qBitpackBlocks,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -4068,6 +4100,7 @@ object QueryCatalog {
     "ranked_retrieval" -> oRankedRetrieval,
     "phrase_retrieval" -> oPhraseRetrieval,
     "crawl_pipeline" -> oCrawlPipeline,
+    "bitpack_blocks" -> oBitpackBlocks,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
