@@ -1178,7 +1178,7 @@ object QueryCatalog {
   private val oBitpackBlocks: String =
     """WITH r AS (SELECT l_orderkey % 64 AS bucket, l_partkey AS v,
       |        row_number() OVER (PARTITION BY l_orderkey % 64
-      |                           ORDER BY l_orderkey, l_linenumber) - 1 AS rk
+      |                           ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS rk
       |      FROM lineitem
       |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
       |        AND l_partkey IS NOT NULL AND l_orderkey % 64 >= 0),

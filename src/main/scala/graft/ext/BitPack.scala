@@ -87,9 +87,14 @@ object BitPack {
         (col(keyCols.head).cast("long") % nBuckets).as("bucket") +:
           keyCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
       .filter(col("bucket") >= 0)
+      // the value joins the ordering as the FINAL tie-break: key columns
+      // need not be unique (this corpus has duplicate (orderkey, lineno)
+      // pairs), and once remaining ties carry equal values, any rank
+      // assignment among them yields identical blocks — the order is
+      // result-total even where it is not row-total
       .withColumn("__rk",
         row_number().over(
-          Window.partitionBy("bucket").orderBy(keyCols.map(col): _*)) - 1)
+          Window.partitionBy("bucket").orderBy(keyCols.map(col) :+ col("__v"): _*)) - 1)
     ranked
       .groupBy(col("bucket"), expr(s"__rk DIV $blockSize").as("block_id"))
       .agg(sort_array(collect_list(struct(col("__rk"), col("__v")))).as("xs"))

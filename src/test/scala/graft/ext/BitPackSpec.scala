@@ -56,6 +56,23 @@ class BitPackSpec extends AnyFunSuite {
     assert(b1.checksum == fold(Seq(1001L, 1065L)))
   }
 
+  test("packedBlocks: duplicate key pairs stay deterministic via the value tie-break") {
+    import spark.implicits._
+    // three rows share (k1, k2) with DIFFERENT values: only a value-aware
+    // order makes block membership well-defined across partitionings
+    val rows = Seq((0L, 1L, 30L), (0L, 1L, 10L), (0L, 1L, 20L), (0L, 2L, 5L))
+    val df = rows.toDF("k1", "k2", "v")
+    val out = BitPack.packedBlocks(df, Seq("k1", "k2"), "v", nBuckets = 4, blockSize = 2)
+      .collect().map(b => (b.block_id, (b.n_vals, b.minv, b.maxv, b.checksum))).toMap
+    def fold(vs: Seq[Long]): Long = vs.foldLeft(0L)((a, x) => (a * 31 + x % 1000000007L) % 1000000007L)
+    // ordered values: 10, 20, 30, 5 -> blocks [10,20], [30,5]
+    assert(out(0L) == ((2L, 10L, 20L, fold(Seq(10L, 20L)))))
+    assert(out(1L) == ((2L, 5L, 30L, fold(Seq(30L, 5L)))))
+    val again = BitPack.packedBlocks(df.repartition(5), Seq("k1", "k2"), "v", nBuckets = 4, blockSize = 2)
+      .collect().map(b => (b.block_id, (b.n_vals, b.minv, b.maxv, b.checksum))).toMap
+    assert(again == out)
+  }
+
   test("packedBlocks: partition-invariant and total over the input") {
     import spark.implicits._
     val rnd = new scala.util.Random(8)
