@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1162,6 +1162,41 @@ object QueryCatalog {
     "q_fast_key" -> Seq("fast", "key"),
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
+
+  /** Gorilla delta-of-delta timestamp compression per user series: the
+    * emitted bit count follows the bucket CASE ladder the oracle
+    * replays over two window lags (dod = ts − 2·lag1 + lag2, first
+    * delta against an implicit 0), and the checksum folds the DECODED
+    * stamps — a ±1 on a bucket boundary, a prefix-bit slip, or a broken
+    * round-trip fails the hash. Ties on equal timestamps are totalized
+    * by event_id (unique), so the rank is engine-independent.
+    */
+  private val qGorillaTs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Gorilla.tsBlocks(table(s, dir, "events")).toDF()
+
+  private val oGorillaTs: String =
+    """WITH r AS (SELECT user_id, epoch_ns(ts) AS t,
+      |        row_number() OVER w - 1 AS rk,
+      |        lag(epoch_ns(ts), 1) OVER w AS l1,
+      |        lag(epoch_ns(ts), 2) OVER w AS l2
+      |      FROM events
+      |      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+      |b AS (SELECT user_id, t, rk,
+      |        CASE WHEN l1 IS NULL THEN 64
+      |             WHEN d = 0 THEN 1
+      |             WHEN d BETWEEN -63 AND 64 THEN 9
+      |             WHEN d BETWEEN -255 AND 256 THEN 12
+      |             WHEN d BETWEEN -2047 AND 2048 THEN 16
+      |             ELSE 68 END AS nb
+      |      FROM (SELECT *,
+      |              CASE WHEN l2 IS NULL THEN t - l1 ELSE t - 2 * l1 + l2 END AS d
+      |            FROM r) x)
+      |SELECT user_id, count(*)::BIGINT AS n_events, sum(nb)::BIGINT AS n_bits,
+      |       ((sum(nb) + 7) // 8)::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list(t % 1000000007 ORDER BY rk)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM b GROUP BY 1""".stripMargin
 
   /** Frame-of-reference bit-packing of an integer column (the parquet/
     * ORC/Arrow block encoding) over lineitem part keys: per 128-value
@@ -3962,6 +3997,7 @@ object QueryCatalog {
     "phrase_retrieval" -> qPhraseRetrieval,
     "crawl_pipeline" -> qCrawlPipeline,
     "bitpack_blocks" -> qBitpackBlocks,
+    "gorilla_ts" -> qGorillaTs,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -4101,6 +4137,7 @@ object QueryCatalog {
     "phrase_retrieval" -> oPhraseRetrieval,
     "crawl_pipeline" -> oCrawlPipeline,
     "bitpack_blocks" -> oBitpackBlocks,
+    "gorilla_ts" -> oGorillaTs,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
