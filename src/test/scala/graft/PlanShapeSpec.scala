@@ -354,6 +354,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pNfc.contains("Exchange") && !pNfc.contains("Join"), "unicode_nfc is map-only")
   }
 
+  test("bitpack/gorilla: bucket- or series-partitioned windows — never a global sort, no joins") {
+    Seq("bitpack_blocks", "gorilla_ts").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      assert(!p.contains("Join"), s"$key must be join-free")
+      assert(p.contains("hashpartitioning"),
+        s"$key's window must partition by the bucket/series key:\n${p.take(1200)}")
+      assert(!p.contains("rangepartitioning"),
+        s"$key must never global-sort:\n${p.take(1200)}")
+    }
+  }
+
   test("inverted index: linear shuffles, no self-join; retrieval broadcasts the query terms") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pIdx = plan(graft.ext.InvertedIndex.postingsBlocks(docs).toDF())
