@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1162,6 +1162,52 @@ object QueryCatalog {
     "q_fast_key" -> Seq("fast", "key"),
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
+
+  /** The varint byte-length CASE ladder (7-bit continuation thresholds)
+    * over a SQL expression — shared by the postings and RLE oracles.
+    */
+  private def vlenSql(e: String): String =
+    s"""CASE WHEN $e < 128 THEN 1 WHEN $e < 16384 THEN 2
+       | WHEN $e < 2097152 THEN 3 WHEN $e < 268435456 THEN 4
+       | WHEN $e < 34359738368 THEN 5 WHEN $e < 4398046511104 THEN 6
+       | WHEN $e < 562949953421312 THEN 7
+       | WHEN $e < 72057594037927936 THEN 8 ELSE 9 END""".stripMargin.replace("\n", "")
+
+  /** Dictionary + run-length encoding of a low-cardinality column under
+    * the gate: runs are the classic gaps-and-islands window (change
+    * flag → running sum), codes are the sorted-dictionary rank, and
+    * each run's byte cost is varint(code) + varint(run_len) — all
+    * closed-form replayed; the Spark side emits DECODED runs after an
+    * encode→decode round-trip, so the rows match only if the codec is
+    * the identity.
+    */
+  private val qRleRuns: (SparkSession, String) => DataFrame = (s, dir) =>
+    Rle.runs(table(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber"), "l_returnflag").toDF()
+
+  private val oRleRuns: String =
+    s"""WITH r AS (SELECT l_orderkey % 64 AS bucket, l_returnflag AS v,
+       |        row_number() OVER (PARTITION BY l_orderkey % 64
+       |                           ORDER BY l_orderkey, l_linenumber, l_returnflag) - 1 AS rk
+       |      FROM lineitem
+       |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+       |        AND l_returnflag IS NOT NULL AND l_orderkey % 64 >= 0),
+       |dict AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS code
+       |         FROM (SELECT DISTINCT v FROM r)),
+       |f AS (SELECT bucket, v, rk,
+       |        CASE WHEN lag(v) OVER (PARTITION BY bucket ORDER BY rk)
+       |               IS DISTINCT FROM v THEN 1 ELSE 0 END AS chg
+       |      FROM r),
+       |g AS (SELECT bucket, v, rk,
+       |        sum(chg) OVER (PARTITION BY bucket ORDER BY rk
+       |                       ROWS UNBOUNDED PRECEDING) - 1 AS run_idx
+       |      FROM f),
+       |runs AS (SELECT bucket, run_idx, any_value(v) AS value, count(*) AS run_len
+       |         FROM g GROUP BY 1, 2)
+       |SELECT r.bucket::BIGINT AS bucket, r.run_idx::BIGINT AS run_idx, r.value,
+       |  d.code::BIGINT AS code, r.run_len::BIGINT AS run_len,
+       |  ((${vlenSql("d.code")}) + (${vlenSql("r.run_len")}))::BIGINT AS n_bytes
+       |FROM runs r JOIN dict d ON d.v = r.value""".stripMargin
 
   /** Gorilla delta-of-delta timestamp compression per user series: the
     * emitted bit count follows the bucket CASE ladder the oracle
@@ -3998,6 +4044,7 @@ object QueryCatalog {
     "crawl_pipeline" -> qCrawlPipeline,
     "bitpack_blocks" -> qBitpackBlocks,
     "gorilla_ts" -> qGorillaTs,
+    "rle_runs" -> qRleRuns,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -4138,6 +4185,7 @@ object QueryCatalog {
     "crawl_pipeline" -> oCrawlPipeline,
     "bitpack_blocks" -> oBitpackBlocks,
     "gorilla_ts" -> oGorillaTs,
+    "rle_runs" -> oRleRuns,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
