@@ -354,8 +354,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pNfc.contains("Exchange") && !pNfc.contains("Join"), "unicode_nfc is map-only")
   }
 
-  test("bitpack/gorilla: bucket- or series-partitioned windows — never a global sort, no joins") {
-    Seq("bitpack_blocks", "gorilla_ts").foreach { key =>
+  test("bitpack/gorilla/rle: bucket- or series-partitioned windows — never a global sort, no joins") {
+    Seq("bitpack_blocks", "gorilla_ts", "rle_runs").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Join"), s"$key must be join-free")
       assert(p.contains("hashpartitioning"),
