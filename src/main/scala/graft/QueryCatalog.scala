@@ -1163,6 +1163,41 @@ object QueryCatalog {
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
 
+  /** Join-key skew profiles for the two natural join keys of the corpus
+    * — the numbers that decide plain-vs-salted joins. Rank orders
+    * totalized by (count, key); shares/ratios are single IEEE divisions
+    * over exact counts, percentile positions one correctly-rounded
+    * multiply — all replayed.
+    */
+  private val qSkewProfile: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.SkewProfile.profiles(Seq(
+      (table(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"),
+      (table(s, dir, "events"), "user_id", "events.user_id")))
+
+  private val oSkewProfile: String = {
+    def one(tbl: String, key: String, label: String): String =
+      s"""SELECT '$label' AS key_col, sum(cnt)::BIGINT AS n_rows,
+         |  max(nk)::BIGINT AS n_keys0, max(cnt)::BIGINT AS max_count,
+         |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS max_share0,
+         |  CAST(sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS top10_share,
+         |  max(CASE WHEN ra = ceil(nk * 0.5) THEN cnt END)::BIGINT AS p50_count,
+         |  max(CASE WHEN ra = ceil(nk * 0.99) THEN cnt END)::BIGINT AS p99_count,
+         |  CAST(max(cnt) AS DOUBLE) / max(CASE WHEN ra = ceil(nk * 0.5) THEN cnt END) AS skew_ratio
+         |FROM (SELECT cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, k) AS rd,
+         |        row_number() OVER (ORDER BY cnt ASC, k) AS ra,
+         |        count(*) OVER () AS nk
+         |      FROM (SELECT $key AS k, count(*) AS cnt FROM $tbl
+         |            WHERE $key IS NOT NULL GROUP BY 1) c) r""".stripMargin
+    s"""WITH a AS (${one("lineitem", "l_orderkey", "lineitem.l_orderkey")}),
+       |b AS (${one("events", "user_id", "events.user_id")})
+       |SELECT key_col, n_rows, n_keys0 AS n_keys, max_count, max_share0 AS max_share,
+       |       top10_share, p50_count, p99_count, skew_ratio FROM a
+       |UNION ALL
+       |SELECT key_col, n_rows, n_keys0, max_count, max_share0,
+       |       top10_share, p50_count, p99_count, skew_ratio FROM b""".stripMargin
+  }
+
   /** The varint byte-length CASE ladder (7-bit continuation thresholds)
     * over a SQL expression — shared by the postings and RLE oracles.
     */
@@ -4045,6 +4080,7 @@ object QueryCatalog {
     "bitpack_blocks" -> qBitpackBlocks,
     "gorilla_ts" -> qGorillaTs,
     "rle_runs" -> qRleRuns,
+    "skew_profile" -> qSkewProfile,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -4186,6 +4222,7 @@ object QueryCatalog {
     "bitpack_blocks" -> oBitpackBlocks,
     "gorilla_ts" -> oGorillaTs,
     "rle_runs" -> oRleRuns,
+    "skew_profile" -> oSkewProfile,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
