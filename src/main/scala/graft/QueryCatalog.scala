@@ -1163,6 +1163,46 @@ object QueryCatalog {
     "q_the_stream_value" -> Seq("the", "stream", "value"),
     "q_merge_batch" -> Seq("merge", "batch"))
 
+  /** Vocabulary surge detection between corpus halves: add-one df growth
+    * ratio (rational over exact counts — no log), top-20 by
+    * (growth desc, term), noise-gated at df_new >= 3.
+    */
+  private val qTrendingTerms: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.trendingTerms(table(s, dir, "documents"))
+
+  private val oTrendingTerms: String =
+    s"""WITH pairs AS (SELECT DISTINCT doc_id AS id, token AS term, doc_id % 2 = 1 AS is_new
+       |  FROM (SELECT doc_id, unnest(string_split($normSql, ' ')) AS token FROM documents
+       |        WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL) t
+       |  WHERE token <> ''),
+       |agg AS (SELECT term,
+       |         sum(CASE WHEN is_new THEN 0 ELSE 1 END)::BIGINT AS df_old,
+       |         sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS df_new
+       |       FROM pairs GROUP BY 1)
+       |SELECT term, df_old, df_new,
+       |  (CAST(df_new AS DOUBLE) + 1.0) / (CAST(df_old AS DOUBLE) + 1.0) AS growth
+       |FROM agg WHERE df_new >= 3
+       |ORDER BY growth DESC, term LIMIT 20""".stripMargin
+
+  /** Empirical Markov transition matrix of the event stream: per-user
+    * time-ordered `event_type → next` counts and the per-source
+    * probability — one lead window + one aggregate, the probability a
+    * single IEEE division of exact counts.
+    */
+  private val qEventTransitions: (SparkSession, String) => DataFrame = (s, dir) =>
+    EventAnalytics.transitionMatrix(table(s, dir, "events"))
+
+  private val oEventTransitions: String =
+    """WITH e AS (SELECT user_id, event_type AS src, ts, event_id FROM events
+      |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |             AND ts IS NOT NULL AND event_id IS NOT NULL),
+      |t AS (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |      FROM e),
+      |c AS (SELECT src, dst, count(*)::BIGINT AS n FROM t WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+      |FROM c""".stripMargin
+
   /** Join-key skew profiles for the two natural join keys of the corpus
     * — the numbers that decide plain-vs-salted joins. Rank orders
     * totalized by (count, key); shares/ratios are single IEEE divisions
@@ -4081,6 +4121,8 @@ object QueryCatalog {
     "gorilla_ts" -> qGorillaTs,
     "rle_runs" -> qRleRuns,
     "skew_profile" -> qSkewProfile,
+    "trending_terms" -> qTrendingTerms,
+    "event_transitions" -> qEventTransitions,
     "quality_logit" -> qQualityLogit,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
@@ -4223,6 +4265,8 @@ object QueryCatalog {
     "gorilla_ts" -> oGorillaTs,
     "rle_runs" -> oRleRuns,
     "skew_profile" -> oSkewProfile,
+    "trending_terms" -> oTrendingTerms,
+    "event_transitions" -> oEventTransitions,
     "quality_logit" -> oQualityLogit,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,

@@ -143,4 +143,31 @@ object EventAnalytics {
       min(col(valueCol)).over(w).as("min_window"),
       max(col(valueCol)).over(w).as("max_window"))
   }
+
+  /** First-order behavioral transition matrix: for each user's event
+    * stream in time order, count `event_type → next event_type` pairs
+    * and the per-source transition probability — the empirical Markov
+    * chain funnels and sessionization summarize away. Ordering is
+    * totalized by (ts, event_id); the probability is ONE IEEE division
+    * of exact counts (count / source-total), bitwise portable. One
+    * key-partitioned window + one aggregate — no self-join, no global
+    * sort.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .filter(col(keyCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(keyCol), col(typeCol).as("src"), col(tsCol), col(tieCol))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("src"))
+    trans.select(col("src"), col("dst"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(totals)).as("p"))
+  }
 }

@@ -279,6 +279,37 @@ object TextAnalysis {
         col("s.score").as("score"))
   }
 
+  /** Trending terms between two corpus snapshots: document frequency in
+    * the "old" half vs the "new" half (split deterministically on the
+    * id), scored by the add-one growth ratio `(df_new + 1)/(df_old + 1)`
+    * — rational over exact counts, so bitwise portable (no log). The
+    * monitoring question a corpus pipeline asks between crawls: which
+    * vocabulary is surging. Top-k by (growth desc, term asc) — a
+    * bounded TakeOrderedAndProject, never a rank window. `minDfNew`
+    * suppresses noise terms that only just appeared.
+    */
+  def trendingTerms(docs: DataFrame, topK: Int = 20, minDfNew: Long = 3L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("id"), col("term"), (col("id") % 2 === 1).as("is_new"))
+      .distinct()
+    pairs
+      .groupBy("term")
+      .agg(
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("df_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("df_new"))
+      .filter(col("df_new") >= minDfNew)
+      .withColumn("growth",
+        (col("df_new").cast("double") + lit(1.0)) / (col("df_old").cast("double") + lit(1.0)))
+      .orderBy(col("growth").desc, col("term"))
+      .limit(topK)
+      .select(col("term"), col("df_old"), col("df_new"), col("growth"))
+  }
+
   /** Intra-document repetition: how much of the doc is repeated word
     * n-grams. `dup_ratio = (n_grams - n_distinct) / n_grams` — the
     * boilerplate/template signal used to down-weight or drop repetitive

@@ -75,4 +75,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(("b", 1000L, 1.0)) == ((2L, 2.0, 1.0, 3.0)))
     assert(got(("b", 1000L, 3.0)) == ((2L, 2.0, 1.0, 3.0)))
   }
+
+  test("transitionMatrix: per-user ordered bigrams, probabilities sum to 1 per source") {
+    import spark.implicits._
+    // user 1: view -> click -> buy ; user 2: view -> view -> click
+    // transitions from 'view': click (u1), view (u2), click (u2) -> 3 total
+    val rows = Seq(
+      (1L, "view", 100L, 1L), (1L, "click", 200L, 2L), (1L, "buy", 300L, 3L),
+      (2L, "view", 100L, 4L), (2L, "view", 200L, 5L), (2L, "click", 300L, 6L))
+    val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventAnalytics.transitionMatrix(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 2.0 / 3)),
+      ("view", "view") -> ((1L, 1.0 / 3)),
+      ("click", "buy") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix: users never bleed into each other; equal stamps break by event id") {
+    import spark.implicits._
+    // the LAST event of user 1 must not transition into user 2's first;
+    // user 3 has equal timestamps ordered by event_id: a -> b -> c
+    val rows = Seq(
+      (1L, "end", 900L, 1L),
+      (2L, "start", 100L, 2L),
+      (3L, "a", 500L, 10L), (3L, "b", 500L, 11L), (3L, "c", 500L, 12L))
+    val got = EventAnalytics.transitionMatrix(rows.toDF("user_id", "event_type", "ts", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")))
+  }
 }

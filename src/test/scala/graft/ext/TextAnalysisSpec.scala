@@ -242,6 +242,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.toSet
   }
 
+  test("trendingTerms: surging vocabulary surfaces; stable and fading terms rank below") {
+    // ids 0..9: even = old half, odd = new half
+    val corpus = (0L to 9L).map { id =>
+      val base = "stable words here always"
+      val surge = if (id % 2 == 1) " surging" else ""
+      val fade = if (id % 2 == 0) " fading" else ""
+      id -> s"$base$surge$fade"
+    }
+    val out = TextAnalysis.trendingTerms(docs(corpus: _*), topK = 10, minDfNew = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("surging") == ((0L, 5L, 6.0)), "(5+1)/(0+1)")
+    assert(out("stable") == ((5L, 5L, 1.0)))
+    assert(!out.contains("fading"), "df_new = 0 fails the min-df gate")
+    // ranking: surging first
+    val ranked = TextAnalysis.trendingTerms(docs(corpus: _*), topK = 10, minDfNew = 3L)
+      .collect().map(_.getString(0))
+    assert(ranked.head == "surging")
+  }
+
   test("rankedRetrieval: one-query case agrees bitwise with bm25Scores (independent summation)") {
     // bm25Scores pivots per-term contributions into fixed-order columns;
     // rankedRetrieval folds a term-SORTED array — two different summation
