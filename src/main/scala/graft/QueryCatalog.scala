@@ -3896,6 +3896,74 @@ object QueryCatalog {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
       |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Robust MAD outliers per event type (EventAnalytics.madOutliers): the
+    * medians are Spark `percentile` == DuckDB `quantile_cont` (verified
+    * bitwise-identical interpolation), and every derived double is the
+    * same single IEEE op in both engines, so the flagged set and its
+    * robust z-scores hash-match exactly.
+    */
+  private val qMadOutliers: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.EventAnalytics.madOutliers(table(s, dir, "events"), k = 3.0)
+
+  private val oMadOutliers: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      |      FROM events e JOIN m USING (event_type)
+      |      WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL),
+      |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+      |       (d.value - d.med) / (1.4826 * s.mad) AS rob_z
+      |FROM d JOIN s USING (event_type)
+      |WHERE s.mad > 0.0 AND d.dev > 3.0 * 1.4826 * s.mad""".stripMargin
+
+  /** Mergeable quarter-log2 histogram sketch over event values
+    * (LogHistogram.sketch): the FULL sketch state — every (group, bucket,
+    * lb, n) row — replayed bitwise by the oracle. The bucketing is pure
+    * integer arithmetic (comparison-cascade log2 + shifts), the only
+    * float being one shared IEEE division for the lower bound.
+    */
+  private val qLogHistogram: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.LogHistogram.sketch(table(s, dir, "events"))
+
+  /** Shared oracle prefix: cents + exponent + bucket/lb per event row. */
+  private def oLogHistBuckets: String =
+    s"""WITH b AS (
+       |  SELECT event_type, c, ${graft.ext.LogHistogram.log2CaseSql("c")} AS e
+       |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+       |        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL)),
+       |k AS (
+       |  SELECT event_type,
+       |         CAST(CASE WHEN c <= 0 THEN -1 ELSE e * 4 + ((c * 4 >> e) - 4) END AS INTEGER) AS bucket,
+       |         CASE WHEN c <= 0 THEN 0.0 ELSE CAST(((c * 4 >> e) << e) AS DOUBLE) / 400.0 END AS lb
+       |  FROM b),
+       |s AS (SELECT event_type, bucket, lb, count(*)::BIGINT AS n FROM k GROUP BY 1, 2, 3)""".stripMargin
+
+  private val oLogHistogram: String =
+    s"""$oLogHistBuckets
+       |SELECT event_type, bucket, lb, n FROM s""".stripMargin
+
+  /** Rank-quantiles read off the sketch (LogHistogram.quantiles): first
+    * bucket whose cumulative count reaches ⌈q·n⌉. Integer window sums
+    * (DuckDB's HUGEINT sums cast back) + the same IEEE rank product.
+    */
+  private val qLogHistogramQuantiles: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.LogHistogram.quantiles(table(s, dir, "events"))
+
+  private val oLogHistogramQuantiles: String =
+    s"""$oLogHistBuckets,
+       |c AS (SELECT event_type, bucket, lb, n,
+       |             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+       |             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+       |      FROM s),
+       |q AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+       |SELECT c.event_type, q.q,
+       |       CAST(ceil(q.q * CAST(c.total AS DOUBLE)) AS BIGINT) AS rank,
+       |       c.lb AS est
+       |FROM c CROSS JOIN q
+       |WHERE c.cum >= CAST(ceil(q.q * CAST(c.total AS DOUBLE)) AS BIGINT)
+       |  AND (c.cum - c.n) < CAST(ceil(q.q * CAST(c.total AS DOUBLE)) AS BIGINT)""".stripMargin
+
   /** Exact curriculum bucketing: quartiles of document length per language,
     * (n_chars, doc_id) total order with NULLS FIRST pinned on both engines
     * (defaults differ: Spark sorts nulls first ascending, DuckDB last).
@@ -4227,6 +4295,9 @@ object QueryCatalog {
     "stratum_cap" -> qStratumCap,
     "curriculum_buckets" -> qCurriculumBuckets,
     "rolling_stats" -> qRollingStats,
+    "mad_outliers" -> qMadOutliers,
+    "log_histogram" -> qLogHistogram,
+    "log_histogram_quantiles" -> qLogHistogramQuantiles,
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
@@ -4365,6 +4436,9 @@ object QueryCatalog {
     "stratum_cap" -> oStratumCap,
     "curriculum_buckets" -> oCurriculumBuckets,
     "rolling_stats" -> oRollingStats,
+    "mad_outliers" -> oMadOutliers,
+    "log_histogram" -> oLogHistogram,
+    "log_histogram_quantiles" -> oLogHistogramQuantiles,
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,

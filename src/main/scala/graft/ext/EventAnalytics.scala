@@ -170,4 +170,53 @@ object EventAnalytics {
     trans.select(col("src"), col("dst"), col("n"),
       (col("n").cast("double") / sum(col("n")).over(totals)).as("p"))
   }
+
+  /** Robust outlier detection by median absolute deviation: per group,
+    * `med = median(value)`, `mad = median(|value - med|)`, and a row is an
+    * outlier when `|value - med| > k · 1.4826 · mad` (1.4826 is the
+    * consistency constant making MAD estimate σ under normality). Unlike
+    * the mean/stddev z-score (the reference's alert path), the breakdown
+    * point is 50% — the contamination being hunted cannot drag the
+    * threshold toward itself. Groups with `mad = 0` (over half the values
+    * identical) yield no outliers: the robust z is undefined there, the
+    * same degenerate guard as the reference's `std == 0` branch
+    * (/root/reference/src/flinkarima.py alert math).
+    *
+    * Shape for 100 TB: two aggregation passes over the log (medians need
+    * a second pass for the deviations) with TINY per-group stats frames
+    * (one row per group) broadcast back — no window over the full log, no
+    * global sort. Exact `percentile` keeps per-group values in executor
+    * memory, which holds while group cardinality ≫ group count; at
+    * per-group scales beyond that, the mergeable [[LogHistogram]] sketch
+    * is the approximate path with the same merge-anywhere property.
+    *
+    * Both divisions/comparisons are single IEEE ops on identically-derived
+    * doubles, so the DuckDB oracle replays bitwise (Spark `percentile` and
+    * DuckDB `quantile_cont` share linear-interpolation arithmetic).
+    */
+  def madOutliers(
+      events: DataFrame,
+      k: Double = 3.0,
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val base = events
+      .filter(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(typeCol), col(valueCol))
+    val med = base.groupBy(col(typeCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = base.join(broadcast(med), Seq(typeCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(typeCol))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq(typeCol))
+      .filter(col("mad") > 0.0 && col("dev") > lit(k) * lit(1.4826) * col("mad"))
+      .select(
+        col(idCol),
+        col(typeCol),
+        col(valueCol),
+        col("med"),
+        col("mad"),
+        ((col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))).as("rob_z"))
+  }
 }

@@ -104,4 +104,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "b"), ("b", "c")))
   }
+
+  test("madOutliers flags only the far point; med/mad computed per group") {
+    import spark.implicits._
+    // type a: 10..18 plus 100. med = 14.5, devs sorted give mad = 2.5,
+    // threshold 3*1.4826*2.5 = 11.1195 -> only the 100 (dev 85.5) flags.
+    val a = (10 to 18).map(v => (v.toLong, "a", v.toDouble)) :+ ((19L, "a", 100.0))
+    // type c: small tight group, no outliers
+    val c = (1 to 5).map(v => (100L + v, "c", v.toDouble))
+    val got = EventAnalytics.madOutliers((a ++ c).toDF("event_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((19L, 14.5, 2.5, 85.5 / (1.4826 * 2.5))))
+  }
+
+  test("madOutliers: mad = 0 group is degenerate and yields no rows (std=0 guard analog)") {
+    import spark.implicits._
+    // over half identical -> mad = 0; the 9 is wildly off but robust z is undefined
+    val rows = Seq((1L, "b", 5.0), (2L, "b", 5.0), (3L, "b", 5.0), (4L, "b", 5.0), (5L, "b", 9.0))
+    assert(EventAnalytics.madOutliers(rows.toDF("event_id", "event_type", "value")).count() == 0L)
+  }
+
+  test("madOutliers median is robust: outlier magnitude cannot drag its own threshold") {
+    import spark.implicits._
+    def flagged(big: Double): Set[Long] = {
+      val rows = (10 to 18).map(v => (v.toLong, "a", v.toDouble)) :+ ((19L, "a", big))
+      EventAnalytics.madOutliers(rows.toDF("event_id", "event_type", "value"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    // a mean/stddev z-test would wash out as big grows; MAD keeps flagging
+    assert(flagged(100.0) == Set(19L) && flagged(1.0e6) == Set(19L))
+  }
 }
