@@ -367,6 +367,35 @@ object QueryCatalog {
       |       CAST(sum(CAST(value AS decimal(18,2))) AS double) / count(*) AS avg_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Change-log compaction (LogCompaction.applyLog): the events table read
+    * as an upsert/delete log on user_id — props' k ≡ 0 (mod 10) marks a
+    * delete — materialized to final table state via ONE map-side-combining
+    * `max(struct)` aggregate (never a full-log window sort). The oracle
+    * replays with a row_number window, which is fine at oracle scale.
+    */
+  private val qUpsertApply: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.LogCompaction.applyLog(
+      table(s, dir, "events")
+        .withColumn("op",
+          when(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") % 10 === 0, "D")
+            .otherwise("U"))
+        .withColumn("ts_ms", expr(tsMillis)),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts_ms", "event_id"),
+      opCol = "op",
+      payloadCols = Seq("event_type", "value"))
+
+  private val oUpsertApply: String =
+    """WITH l AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+      |         CASE WHEN TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) % 10 = 0
+      |              THEN 'D' ELSE 'U' END AS op
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+      |w AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |      FROM l)
+      |SELECT user_id, ts_ms, event_id, event_type, value FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin
+
   /** Exact distinct users per event type. The exact form is the oracle
     * anchor; the one-pass HLL path (`approx_count_distinct`) is
     * engine-specific by nature and is accuracy-bounded in ScaleOpsSpec
@@ -4298,6 +4327,7 @@ object QueryCatalog {
     "mad_outliers" -> qMadOutliers,
     "log_histogram" -> qLogHistogram,
     "log_histogram_quantiles" -> qLogHistogramQuantiles,
+    "upsert_apply" -> qUpsertApply,
     "lm_fluency" -> qLmScore,
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
@@ -4439,6 +4469,7 @@ object QueryCatalog {
     "mad_outliers" -> oMadOutliers,
     "log_histogram" -> oLogHistogram,
     "log_histogram_quantiles" -> oLogHistogramQuantiles,
+    "upsert_apply" -> oUpsertApply,
     "lm_fluency" -> oLmScore,
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,
