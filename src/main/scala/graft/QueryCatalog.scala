@@ -2596,6 +2596,48 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM s""".stripMargin
 
+  /** Crawl link extraction (Html.pageLinks over Html.encodeLinkedDocs):
+    * every page carries 1–4 real anchors in rotating attribute spellings
+    * plus the decoys a regex scraper trips over (anchors inside script
+    * strings/comments, no-href and empty-href anchors); the extractor
+    * must recover EXACTLY the planted set — absolute targets md5-derived
+    * and rebuilt closed-form by the oracle, root-relative targets
+    * resolved to the page's source host, `&amp;` decoded to `&`.
+    */
+  private val oLinkUniverse: String =
+    """WITH d AS (SELECT doc_id FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |l AS (SELECT doc_id, unnest(range(1, CAST(doc_id % 4 AS BIGINT) + 2)) AS j FROM d),
+      |u AS (SELECT doc_id, j,
+      |        CASE WHEN j % 2 = 1
+      |          THEN 'host' || CAST(('0x' || substr(md5('l:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1))::BIGINT % 16 AS VARCHAR) || '.example'
+      |          ELSE 'src' || CAST(doc_id % 8 AS VARCHAR) || '.example' END AS host
+      |      FROM l)""".stripMargin
+
+  private val qLinkExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Html.pageLinks(Html.encodeLinkedDocs(table(s, dir, "documents"))).toDF()
+
+  private val oLinkExtract: String =
+    s"""$oLinkUniverse
+       |SELECT doc_id, j AS link_idx,
+       |       CASE WHEN j % 2 = 1
+       |         THEN 'https://' || host || '/p/' || CAST(j AS VARCHAR) || '?a=1&b=2'
+       |         ELSE 'https://' || host || '/r/' || CAST(j AS VARCHAR) END AS url,
+       |       host
+       |FROM u""".stripMargin
+
+  /** Host-pair edge roll-up off the extracted links — the input shape the
+    * pagerank/HITS family consumes. One hash aggregate on the pair.
+    */
+  private val qHostLinkEdges: (SparkSession, String) => DataFrame = (s, dir) =>
+    Html.hostLinkEdges(Html.encodeLinkedDocs(table(s, dir, "documents")))
+
+  private val oHostLinkEdges: String =
+    s"""$oLinkUniverse
+       |SELECT 'src' || CAST(doc_id % 8 AS VARCHAR) || '.example' AS src_host,
+       |       host AS dst_host, count(*)::BIGINT AS n
+       |FROM u GROUP BY 1, 2""".stripMargin
+
   /** Encoding hygiene under the gate: the full RFC 3629 UTF-8 validator
     * replayed BITWISE in SQL. The fold's whole state packs into one
     * non-negative BIGINT (expecting | constraint<<2 | invalid<<5 |
@@ -4298,6 +4340,8 @@ object QueryCatalog {
     "tar_extract" -> qTarExtract,
     "tgz_extract" -> qTgzExtract,
     "html_extract" -> qHtmlExtract,
+    "link_extract" -> qLinkExtract,
+    "host_link_edges" -> qHostLinkEdges,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "host_pagerank" -> qHostPagerank,
@@ -4443,6 +4487,8 @@ object QueryCatalog {
     "tar_extract" -> oTarExtract,
     "tgz_extract" -> oTarExtract,
     "html_extract" -> oHtmlExtract,
+    "link_extract" -> oLinkExtract,
+    "host_link_edges" -> oHostLinkEdges,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "host_pagerank" -> oHostPagerank,

@@ -195,6 +195,232 @@ object Html {
     out.toString
   }
 
+  // ------------------------------------------------- link graph surface
+
+  /** Crawl link extraction: the step between page parsing ([[extractText]])
+    * and the host graph ([[Graph]] pagerank/HITS) — pull every REAL
+    * `<a href>` out of hostile markup, decode character references in the
+    * value, and resolve root-relative hrefs against the page's host.
+    *
+    * The fixture ([[toHtmlWithLinks]]) plants, per page, 1–4 genuine
+    * anchors in rotating attribute spellings (double-quoted,
+    * single-quoted, unquoted; uppercase `<A HREF` on every 5th doc;
+    * `&amp;` in the markup that must decode to `&`) interleaved with the
+    * decoys a naive regex scraper trips over: anchors inside `<script>`
+    * strings, anchors inside comments, `<a>` with no href, and
+    * `href=""`. Absolute link targets are md5-derived so the DuckDB
+    * oracle rebuilds the exact link set closed-form; root-relative
+    * targets resolve to the md5-independent source host.
+    *
+    * Scope: `https?://…` absolute and root-relative (`/…`) hrefs — the
+    * two forms that matter for a host graph; other relative forms are
+    * out of fixture scope and skipped. Map-only per page; the host-edge
+    * roll-up is one hash aggregate on (src_host, dst_host).
+    */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[ext] def linkCount(id: Long): Int = (id % 4).toInt + 1
+
+  /** Source host of a page (the resolution base for root-relative hrefs). */
+  private[ext] def srcHost(id: Long): String = s"src${id % 8}.example"
+
+  /** The DECODED, RESOLVED url of link j on page id — what the extractor
+    * must recover.
+    */
+  private[ext] def linkUrl(id: Long, j: Int): String =
+    if (j % 2 == 1) {
+      val hid = Integer.parseInt(md5Hex(s"l:$id:$j").substring(0, 1), 16) % 16
+      s"https://host$hid.example/p/$j?a=1&b=2"
+    } else s"https://${srcHost(id)}/r/$j"
+
+  private val linkDecoys = Array(
+    "<script>var l=\"<a href=\\\"https://evil.example/s\\\">x</a>\";</script>",
+    "<!-- <a href=\"https://evil.example/c\">x</a> -->",
+    "<a id=\"noref\">bare anchor</a>",
+    "<a href=\"\">empty href</a>")
+
+  /** Render link j of page id in its markup spelling (entity-encoded
+    * ampersands; rotating quote style; uppercase tag on id % 5 == 0).
+    */
+  private def renderAnchor(id: Long, j: Int): String = {
+    val hrefVal =
+      if (j % 2 == 1) linkUrl(id, j).replace("&", "&amp;")
+      else s"/r/$j"
+    val quoted = ((id + j) % 3) match {
+      case 0 => "\"" + hrefVal + "\""
+      case 1 => "'" + hrefVal + "'"
+      case _ => hrefVal // unquoted: fixture URLs carry no spaces
+    }
+    val (aTag, hrefAttr) = if (id % 5 == 0) ("A", "HREF") else ("a", "href")
+    s"<$aTag $hrefAttr=$quoted>link $j</$aTag>"
+  }
+
+  /** Page writer with links: the [[toHtml]] hostile body plus the anchor
+    * block (each real anchor chased by a decoy) before `</body>`.
+    */
+  private[ext] def toHtmlWithLinks(id: Long, text: String): String = {
+    val base = toHtml(id, text)
+    val cut = base.lastIndexOf("</body></html>")
+    val sb = new StringBuilder(base.substring(0, cut))
+    var j = 1
+    while (j <= linkCount(id)) {
+      sb.append(renderAnchor(id, j))
+      sb.append(linkDecoys(((id + j) % linkDecoys.length).toInt))
+      j += 1
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** Synthesize one linked HTML page per document (map-only). */
+  def encodeLinkedDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, toHtmlWithLinks(id, text)) }
+      .toDF(idCol, "html")
+  }
+
+  /** Walk one attribute list (tag content from after the name to `>`)
+    * and return the href value, entity-decoded; null if absent/empty.
+    */
+  private def hrefValue(s: String, from: Int, until: Int): String = {
+    var p = from
+    while (p < until) {
+      // skip whitespace before an attribute name
+      while (p < until && Character.isWhitespace(s.charAt(p))) p += 1
+      if (p >= until) return null
+      val nameStart = p
+      while (p < until && !Character.isWhitespace(s.charAt(p)) &&
+        s.charAt(p) != '=' && s.charAt(p) != '>') p += 1
+      val name = s.substring(nameStart, p).toLowerCase
+      while (p < until && Character.isWhitespace(s.charAt(p))) p += 1
+      var value: String = null
+      if (p < until && s.charAt(p) == '=') {
+        p += 1
+        while (p < until && Character.isWhitespace(s.charAt(p))) p += 1
+        if (p < until) {
+          val q0 = s.charAt(p)
+          if (q0 == '"' || q0 == '\'') {
+            val end = s.indexOf(q0, p + 1)
+            val stop = if (end < 0 || end > until) until else end
+            value = s.substring(p + 1, stop)
+            p = if (end < 0 || end > until) until else end + 1
+          } else {
+            val vStart = p
+            while (p < until && !Character.isWhitespace(s.charAt(p))) p += 1
+            value = s.substring(vStart, p)
+          }
+        }
+      }
+      if (name == "href") {
+        if (value == null || value.isEmpty) return null
+        // decode character references in the attribute value
+        val out = new StringBuilder(value.length)
+        var i = 0
+        while (i < value.length) {
+          if (value.charAt(i) == '&') {
+            val (d, next) = entity(value, i)
+            out.append(d); i = next
+          } else { out.append(value.charAt(i)); i += 1 }
+        }
+        val v = out.toString
+        return if (v.isEmpty) null else v
+      }
+    }
+    null
+  }
+
+  /** Single-pass link extraction: (ordinal, resolved url) per real anchor.
+    * Comments and script/style rawtext are skipped with the exact
+    * [[extractText]] state machine, so decoy anchors there never emit.
+    */
+  private[ext] def extractLinks(html: String, baseHost: String): Seq[(Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var p = 0
+    val n = html.length
+    while (p < n) {
+      if (html.charAt(p) == '<') {
+        if (html.startsWith("<!--", p)) {
+          val end = html.indexOf("-->", p + 4)
+          p = if (end < 0) n else end + 3
+        } else {
+          val name = tagName(html, p)
+          var q = p + 1
+          var quote: Char = 0
+          var closed = -1
+          while (closed < 0 && q < n) {
+            val ch = html.charAt(q)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') closed = q
+            q += 1
+          }
+          val tagEnd = if (closed < 0) n else closed
+          if (name == "a") {
+            val href = hrefValue(html, p + 1 + name.length, tagEnd)
+            if (href != null) {
+              val url =
+                if (href.startsWith("http://") || href.startsWith("https://")) href
+                else if (href.startsWith("/")) s"https://$baseHost$href"
+                else null // other relative forms: out of scope
+              if (url != null) out.append((out.length + 1, url))
+            }
+          }
+          p = if (closed < 0) n else closed + 1
+          if (closed >= 0 && (name == "script" || name == "style") &&
+            html.charAt(closed - 1) != '/') {
+            var r = p
+            while (r < n && !closes(html, r, name)) r += 1
+            if (r >= n) p = n
+            else {
+              val gt = html.indexOf('>', r)
+              p = if (gt < 0) n else gt + 1
+            }
+          }
+        }
+      } else p += 1
+    }
+    out.toSeq
+  }
+
+  final case class PageLink(doc_id: Long, link_idx: Long, url: String, host: String)
+
+  /** Extract resolved links from linked pages; host parsed off the url. */
+  def pageLinks(pages: DataFrame, idCol: String = "doc_id", htmlCol: String = "html"): Dataset[PageLink] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col(idCol).cast("long"), col(htmlCol))
+      .as[(Long, String)]
+      .flatMap { case (id, html) =>
+        extractLinks(html, srcHost(id)).map { case (j, url) =>
+          val s = url.indexOf("://") + 3
+          val slash = url.indexOf('/', s)
+          val host = if (slash < 0) url.substring(s) else url.substring(s, slash)
+          PageLink(id, j.toLong, url, host)
+        }
+      }
+  }
+
+  /** Host-pair edge roll-up: (src_host, dst_host, n) — the input the
+    * pagerank/HITS family runs on. One hash aggregate.
+    */
+  def hostLinkEdges(pages: DataFrame, idCol: String = "doc_id", htmlCol: String = "html"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pageLinks(pages, idCol, htmlCol).toDF()
+      .withColumn("src_host",
+        concat(lit("src"), (col("doc_id") % 8).cast("string"), lit(".example")))
+      .groupBy(col("src_host"), col("host").as("dst_host"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   final case class HtmlText(doc_id: Long, n_bytes: Long, checksum: Long)
 
   private def rollingChecksum(data: Array[Byte]): Long = {

@@ -71,4 +71,58 @@ class HtmlSpec extends AnyFunSuite {
     val plan = Html.htmlTextStats(Html.encodeHtmlDocs(docs)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "map-only plan")
   }
+
+  test("extractLinks: quote variants, uppercase tags, entity decode, relative resolution") {
+    val html = "<body>" +
+      "<a href=\"https://x.example/p?a=1&amp;b=2\">d</a>" + // double-quoted + entity
+      "<a href='https://y.example/q'>s</a>" + // single-quoted
+      "<a href=/rel/3>u</a>" + // unquoted, root-relative
+      "<A HREF=\"https://z.example/\">up</A>" + // uppercase tag + attr
+      "</body>"
+    assert(Html.extractLinks(html, "base.example").map(_._2) == Seq(
+      "https://x.example/p?a=1&b=2",
+      "https://y.example/q",
+      "https://base.example/rel/3",
+      "https://z.example/"))
+  }
+
+  test("extractLinks ignores every decoy class a regex scraper trips over") {
+    val html = "<body>" +
+      "<script>var l=\"<a href=\\\"https://evil.example/s\\\">x</a>\";</script>" +
+      "<!-- <a href=\"https://evil.example/c\">x</a> -->" +
+      "<a id=\"noref\">bare</a>" +
+      "<a href=\"\">empty</a>" +
+      "<style>.x{background:url('<a href=https://evil.example/y>')}</style>" +
+      "<a href=\"https://ok.example/1\">real</a>" +
+      "</body>"
+    assert(Html.extractLinks(html, "b.example") == Seq((1, "https://ok.example/1")))
+  }
+
+  test("linked-page round trip: extracted links equal the planted closed-form set") {
+    val docs = (0 until 60).map(i => (i.toLong, s"body $i <x> & text")).toDF("doc_id", "text")
+    val got = Html.pageLinks(Html.encodeLinkedDocs(docs)).collect()
+      .map(l => (l.doc_id, l.link_idx, l.url, l.host)).toSet
+    val want = (0 until 60).flatMap { id =>
+      (1 to Html.linkCount(id.toLong)).map { j =>
+        val url = Html.linkUrl(id.toLong, j)
+        val host = url.stripPrefix("https://").takeWhile(_ != '/')
+        (id.toLong, j.toLong, url, host)
+      }
+    }.toSet
+    assert(got == want)
+    // text extraction over the LINKED pages still recovers anchor/decoy-free text?
+    // anchors contribute their visible text ("link j" / decoy text) by design —
+    // the htmlTextStats gate runs on the link-free encodeHtmlDocs fixture.
+  }
+
+  test("hostLinkEdges: edge counts aggregate per (src, dst) host pair") {
+    val docs = Seq((8L, "t")).toDF("doc_id", "text") // id 8: src0, links j=1 ch
+    val edges = Html.hostLinkEdges(Html.encodeLinkedDocs(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = (1 to Html.linkCount(8L)).map { j =>
+      val host = Html.linkUrl(8L, j).stripPrefix("https://").takeWhile(_ != '/')
+      ("src0.example", host)
+    }.groupBy(identity).map { case ((s, d), xs) => (s, d, xs.size.toLong) }.toSet
+    assert(edges == want)
+  }
 }
