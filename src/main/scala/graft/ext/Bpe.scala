@@ -97,16 +97,21 @@ object Bpe {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     // spelling is the one typed step (codepoint iteration); every round
     // after it stays inside whole-stage codegen: transform/element_at
     // for the pair explode, functions.replace (literal-safe) for the
     // rewrite — no per-row lambda or Encoder round trips in the loop
-    var corpus = docs
+    val spelled = docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(textCol)).as[String]
       .map(spell)
       .toDF("mg")
+    // a small corpus parquet arrives as ONE scan split, which would run all
+    // `rounds` sequential pair-count jobs single-core; spread it once up
+    // front (one tiny shuffle). At scale the scan already has >= default
+    // parallelism splits and no shuffle is added.
+    val target = spark.sparkContext.defaultParallelism
+    var corpus = (if (docs.rdd.getNumPartitions < target) spelled.repartition(target) else spelled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each round's ONLY action is the pair-count aggregation; it also
     // materializes the previous round's rewrite into the cache, so the
@@ -131,8 +136,11 @@ object Bpe {
       val pair = best(0).getString(0)
       learned += LearnedMerge((k + 1).toLong, pair, best(0).getLong(1))
       prev = corpus
-      corpus = cutLineage(
-        corpus.select(replace(col("mg"), lit(pair), lit(pair.replace(" ", ""))).as("mg")))
+      // no RDD lineage cut here: depth grows by ONE replace per round (linear,
+      // bounded by `rounds`), and each round reads the previous round's cache —
+      // the InternalRow→Row→InternalRow codec of a cut costs more than the
+      // 8-deep plan it would save
+      corpus = corpus.select(replace(col("mg"), lit(pair), lit(pair.replace(" ", ""))).as("mg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       k += 1
     }

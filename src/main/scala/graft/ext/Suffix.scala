@@ -44,9 +44,15 @@ object Suffix {
       idCol: String = "doc_id", textCol: String = "text"): Dataset[SuffixStats] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a small corpus parquet arrives as ONE scan split, which would run the
+    // whole codepoint explosion single-core before the first window
+    // exchange; spread the (tiny) doc rows first. No-op at scale, where the
+    // scan already has enough splits.
+    val target = spark.sparkContext.defaultParallelism
+    val spread = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
     // one typed pass for codepoint discipline (UTF-16 chars would
     // disagree with DuckDB's per-character substr on astral symbols)
-    val positions = docs
+    val positions = spread
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
