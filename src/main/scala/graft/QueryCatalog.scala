@@ -4224,6 +4224,143 @@ object QueryCatalog {
        |       CAST(per.n_dup AS DOUBLE) / per.n_grams AS dup_fraction
        |FROM toks t LEFT JOIN per USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------- time-series diagnostics
+
+  /** Shared oracle prefix for the [[graft.ext.TimeSeries]] family: the
+    * hourly cents-sum series per event type with its 1-based position,
+    * plus the exact DECIMAL(38,0) full-series moments. Mirrors
+    * TimeSeries.bucketSeries + the moment aggregate column for column.
+    */
+  private def oTsSeries: String =
+    """WITH se AS (
+      |  SELECT event_type AS series, epoch_ms(ts) // 3600000 AS bucket,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |st AS (SELECT series, bucket, x,
+      |              row_number() OVER (PARTITION BY series ORDER BY bucket) AS t
+      |       FROM se),
+      |stats AS (SELECT series, count(*)::BIGINT AS n,
+      |                 CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+      |                 CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      |          FROM st GROUP BY 1)""".stripMargin
+
+  /** Shared ACF oracle body (through the per-lag IEEE tree): one windowed
+    * CTE computes all K lead columns (the same single per-series sort as
+    * the Spark plan), DuckDB's zipped `unnest` unpivots them, and the
+    * final expressions are character-identical to the Spark side's
+    * `expr(...)` strings.
+    */
+  private def oAcfBody(maxLag: Int): String = {
+    val leadCols = (1 to maxLag).map(k => s"lead(x, $k) OVER w AS l$k").mkString(", ")
+    val lagList = (1 to maxLag).mkString("[", ", ", "]")
+    val colList = (1 to maxLag).map(k => s"l$k").mkString("[", ", ", "]")
+    s"""$oTsSeries,
+       |ld AS (SELECT series, x, $leadCols FROM st
+       |       WINDOW w AS (PARTITION BY series ORDER BY t)),
+       |lagged AS (SELECT series, x, unnest($lagList) AS lag, unnest($colList) AS xk FROM ld),
+       |pair AS (SELECT series, lag, count(*)::BIGINT AS n_pairs,
+       |                CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sa,
+       |                CAST(sum(CAST(xk AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb,
+       |                CAST(sum(CAST(x * xk AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+       |         FROM lagged WHERE xk IS NOT NULL GROUP BY 1, 2),
+       |acf AS (
+       |  SELECT series, lag, n_pairs,
+       |         CASE WHEN den > 0.0 THEN num / den END AS acf
+       |  FROM (
+       |    SELECT series, lag, n_pairs,
+       |           (CAST(sxy AS DOUBLE) - (mu * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)))) + ((CAST(n_pairs AS DOUBLE) * mu) * mu) AS num,
+       |           (CAST(s2 AS DOUBLE) - ((2.0 * mu) * CAST(s AS DOUBLE))) + ((CAST(n AS DOUBLE) * mu) * mu) AS den
+       |    FROM (SELECT pair.*, stats.n, stats.s, stats.s2,
+       |                 CAST(stats.s AS DOUBLE) / CAST(stats.n AS DOUBLE) AS mu
+       |          FROM pair JOIN stats USING (series))))""".stripMargin
+  }
+
+  /** Per-series ACF at hourly lags 1..36 (TimeSeries.acf) — the seasonal-
+    * period read-out the reference hard-codes away (`seasonal_order`
+    * fixed at construction, flinkarima.py:154). All moments are exact
+    * DECIMAL(38,0); the ACF itself is one fixed IEEE tree over them,
+    * written character-identically here and in the Spark `expr`s, so the
+    * doubles hash-match bitwise.
+    */
+  private val qAcfLags: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.acf(table(s, dir, "events"), maxLag = 36)
+
+  private val oAcfLags: String =
+    s"""${oAcfBody(36)}
+       |SELECT series, lag, n_pairs, acf FROM acf""".stripMargin
+
+  /** Detected seasonal period per series (TimeSeries.dominantPeriod):
+    * argmax ACF over lags 2..36, smallest lag on exact float ties — a
+    * deterministic total order both engines sort identically.
+    */
+  private val qDominantPeriod: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.dominantPeriod(table(s, dir, "events"), maxLag = 36, minLag = 2)
+
+  private val oDominantPeriod: String =
+    s"""${oAcfBody(36)}
+       |SELECT series, lag AS period, acf FROM (
+       |  SELECT series, lag, acf,
+       |         row_number() OVER (PARTITION BY series ORDER BY acf DESC, lag ASC) AS rn
+       |  FROM acf WHERE lag >= 2 AND acf IS NOT NULL)
+       |WHERE rn = 1""".stripMargin
+
+  /** Two-sided CUSUM scan (TimeSeries.cusum, k = 0.5σ, h = 4σ): the FULL
+    * per-step trajectory — pre-reset s⁺/s⁻ and both alarm flags — replayed
+    * by a recursive CTE stepping every series in lockstep. Each step is
+    * the same three IEEE ops in the same series order as the Spark scan,
+    * so the doubles match bitwise; μ/σ come from the shared exact moments
+    * via the identical expression tree.
+    */
+  private val qCusumScan: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.cusum(table(s, dir, "events"), kSigma = 0.5, hSigma = 4.0)
+
+  private val oCusumScan: String =
+    s"""WITH RECURSIVE ${oTsSeries.stripPrefix("WITH ")},
+       |m1 AS (SELECT series, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu, n, s, s2 FROM stats),
+       |ms AS (SELECT series, mu,
+       |              sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - (mu * mu))) AS sigma
+       |       FROM m1),
+       |r AS (
+       |  SELECT st.series, st.t, st.bucket, st.x,
+       |         greatest(0.0, ((0.0 + (CAST(st.x AS DOUBLE) - ms.mu)) - (0.5 * ms.sigma))) AS s_pos,
+       |         greatest(0.0, ((0.0 - (CAST(st.x AS DOUBLE) - ms.mu)) - (0.5 * ms.sigma))) AS s_neg,
+       |         ms.mu, ms.sigma
+       |  FROM st JOIN ms USING (series) WHERE st.t = 1
+       |  UNION ALL
+       |  SELECT st.series, st.t, st.bucket, st.x,
+       |         greatest(0.0, (((CASE WHEN r.s_pos > (4.0 * r.sigma) THEN 0.0 ELSE r.s_pos END)
+       |                         + (CAST(st.x AS DOUBLE) - r.mu)) - (0.5 * r.sigma))) AS s_pos,
+       |         greatest(0.0, (((CASE WHEN r.s_neg > (4.0 * r.sigma) THEN 0.0 ELSE r.s_neg END)
+       |                         - (CAST(st.x AS DOUBLE) - r.mu)) - (0.5 * r.sigma))) AS s_neg,
+       |         r.mu, r.sigma
+       |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
+       |SELECT series, t, bucket, x, s_pos, s_neg,
+       |       s_pos > (4.0 * sigma) AS alarm_up,
+       |       s_neg > (4.0 * sigma) AS alarm_dn
+       |FROM r""".stripMargin
+
+  /** EWMA smoother (TimeSeries.ewma, α = 0.2): sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁)
+    * with the one-step-ahead residual, replayed by the same recursive-CTE
+    * skeleton as the CUSUM oracle. resid is NULL at t = 1 (no forecast).
+    */
+  private val qEwmaSmooth: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.ewma(table(s, dir, "events"), alpha = 0.2)
+
+  private val oEwmaSmooth: String =
+    s"""WITH RECURSIVE ${oTsSeries.stripPrefix("WITH ")},
+       |r AS (
+       |  SELECT series, t, bucket, x,
+       |         CAST(x AS DOUBLE) AS ewma, CAST(NULL AS DOUBLE) AS resid
+       |  FROM st WHERE t = 1
+       |  UNION ALL
+       |  SELECT st.series, st.t, st.bucket, st.x,
+       |         r.ewma + (0.2 * (CAST(st.x AS DOUBLE) - r.ewma)) AS ewma,
+       |         CAST(st.x AS DOUBLE) - r.ewma AS resid
+       |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
+       |SELECT series, t, bucket, x, ewma, resid FROM r""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4376,7 +4513,11 @@ object QueryCatalog {
     "vocab_heavy_hitters" -> qVocabHeavyHitters,
     "source_overlap" -> qSourceOverlap,
     "dup_ngram_fraction" -> qDupNgramFraction,
-    "corpus_diff" -> qCorpusDiff)
+    "corpus_diff" -> qCorpusDiff,
+    "acf_lags" -> qAcfLags,
+    "dominant_period" -> qDominantPeriod,
+    "cusum_scan" -> qCusumScan,
+    "ewma_smooth" -> qEwmaSmooth)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4520,5 +4661,9 @@ object QueryCatalog {
     "vocab_heavy_hitters" -> oVocabulary,
     "source_overlap" -> oSourceOverlap,
     "dup_ngram_fraction" -> oDupNgramFraction,
-    "corpus_diff" -> oCorpusDiff)
+    "corpus_diff" -> oCorpusDiff,
+    "acf_lags" -> oAcfLags,
+    "dominant_period" -> oDominantPeriod,
+    "cusum_scan" -> oCusumScan,
+    "ewma_smooth" -> oEwmaSmooth)
 }

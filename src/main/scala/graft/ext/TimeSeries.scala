@@ -1,0 +1,280 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ======== Time-series diagnostics over the event stream ========
+  *
+  * The model-selection companions to the SARIMAX pipeline: before a
+  * seasonal model can be FIT (reference `/root/reference/src/flinkarima.py`
+  * fixes `seasonal_order=(0,1,1,288)` a priori), something has to MEASURE
+  * the seasonality — and after it runs, something has to watch the
+  * residual stream for regime changes the per-sample z-score cannot see
+  * (a slow drift never trips a pointwise threshold). This module supplies
+  * both, plus the classic EWMA smoother as the cheap baseline the
+  * reference's `_fallback_prediction` approximates with its tail mean
+  * (flinkarima.py:119-127):
+  *
+  *  - [[acf]]: per-series autocorrelation at lags 1..K over fixed-width
+  *    time buckets — the ACF read-out an analyst (or an auto-SARIMA
+  *    order search) uses to pick the seasonal period `s`;
+  *  - [[dominantPeriod]]: the argmax lag of that ACF — the one-number
+  *    "detected season";
+  *  - [[cusum]]: two-sided CUSUM change detection (Page 1954) with the
+  *    standard k/h parameterization in sigma units, alarm + reset
+  *    semantics, scanned with O(1) state per series;
+  *  - [[ewma]]: exponentially-weighted moving average + residuals.
+  *
+  * **Bitwise portability.** Everything upstream of the final expressions
+  * is integer arithmetic: values are fixed-pointed to cents
+  * (`round(value·100)` — the [[LogHistogram]] convention), bucket sums
+  * and all ACF moments (Σx, Σx², Σx·x₊ₖ, pair counts) accumulate as
+  * exact DECIMAL(38,0), so they are identical under ANY partitioning or
+  * aggregation order. The only floating point is a FIXED tree of IEEE
+  * ops over those exact integers (each written as the same fully
+  * parenthesized expression in Spark and the DuckDB oracle), so the
+  * results hash-match bitwise. The CUSUM/EWMA recursions run the same
+  * double ops in the same series order in both engines (mapPartitions
+  * scan here, recursive CTE there) — order is pinned, so IEEE
+  * determinism carries the gate.
+  *
+  * **Scale shape.** The bucket roll-up is the only corpus-wide shuffle
+  * (hash aggregate on (series, bucket) with map-side combine — the
+  * shuffle carries one row per non-empty bucket, never per event). The
+  * ACF lag alignment is ONE per-series window sort producing all K lead
+  * columns, then a hash aggregate on (series, lag); nothing is
+  * quadratic in the series length and nothing sorts globally. The
+  * CUSUM/EWMA scans are the secondary-sort pattern — repartition by
+  * series, sort within partitions, one forward pass with O(1) state —
+  * so a series only needs to STREAM through one task, not fit in its
+  * memory. Series count provides the parallelism (the metric fleet's
+  * node count at 100 TB); a single series longer than one task can scan
+  * is the same bound every per-key ordered operator in this library
+  * documents.
+  */
+object TimeSeries {
+
+  /** Fixed-point cents (exactly-integral double before the cast — Spark
+    * truncates, DuckDB rounds; they agree because the input is integral).
+    */
+  private def cents(value: org.apache.spark.sql.Column) = round(value * 100).cast("long")
+
+  /** The bucketed integer series: one row per (series key, bucket) with
+    * the exact cents sum and the 1-based position `t` in bucket order.
+    * Missing buckets are simply absent — downstream lags index POSITION
+    * in the observed sequence, not wall time (documented semantics; at
+    * hourly buckets over the dense event fixture the two coincide for
+    * all but a handful of empty hours).
+    */
+  def bucketSeries(events: DataFrame, bucketMillis: Long = 3600000L,
+      keyCol: String = "event_type"): DataFrame = {
+    val byBucket = events
+      .filter(col(keyCol).isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(col(keyCol).as("series"),
+        expr(s"(ts DIV 1000000) DIV $bucketMillis").as("bucket"))
+      .agg(sum(cents(col("value"))).as("x"))
+    byBucket.withColumn("t",
+      row_number().over(Window.partitionBy("series").orderBy("bucket")).cast("long"))
+  }
+
+  /** Per-series autocorrelation at lags 1..maxLag.
+    *
+    * For the position-ordered series x₁..xₙ with mean μ = Σx/n, the lag-k
+    * autocorrelation is
+    *
+    *   acf(k) = Σₜ₌₁..ₙ₋ₖ (xₜ−μ)(xₜ₊ₖ−μ) / Σₜ₌₁..ₙ (xₜ−μ)²
+    *
+    * computed here WITHOUT ever subtracting μ row-by-row: expanding both
+    * sums leaves only order-free integer moments —
+    *
+    *   num(k) = Sxy − μ·(Sa + Sb) + m·μ²     (m = n−k pairs)
+    *   den    = S2  − 2μ·S + n·μ²
+    *
+    * where Sxy = Σ xₜ·xₜ₊ₖ, Sa/Sb are the sums of the paired heads/tails
+    * and S/S2 the full-series sum/sum-of-squares, ALL exact
+    * DECIMAL(38,0). The float tail is one fixed expression tree over
+    * those integers — bitwise-portable, and the aggregation is fully
+    * map-side combinable (no ordered fold anywhere).
+    *
+    * Output: (series, lag, n_pairs, acf) — `acf` NULL for a constant
+    * series (den = 0).
+    */
+  def acf(events: DataFrame, maxLag: Int = 36, bucketMillis: Long = 3600000L,
+      keyCol: String = "event_type"): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val byBucket = events
+      .filter(col(keyCol).isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(col(keyCol).as("series"),
+        expr(s"(ts DIV 1000000) DIV $bucketMillis").as("bucket"))
+      .agg(sum(cents(col("value"))).as("x"))
+
+    // ONE series exchange carries everything: the ordered window yields all
+    // K lead columns in one sort, and the UNBOUNDED window on the same
+    // partitioning adds the full-series moments (n, S, S2) without a second
+    // scan, a join, or a broadcast — μ and the shared denominator collapse
+    // to two doubles per row before the explode widens anything.
+    val w = Window.partitionBy("series").orderBy("bucket")
+    val full = Window.partitionBy("series")
+    val leads = (1 to maxLag).foldLeft(byBucket) { (df, k) =>
+      df.withColumn(s"__l$k", lead(col("x"), k).over(w))
+    }
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("s", sum(col("x").cast("decimal(38,0)")).over(full))
+      .withColumn("s2", sum((col("x") * col("x")).cast("decimal(38,0)")).over(full))
+      .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("den", expr(
+        "(CAST(s2 AS DOUBLE) - ((2.0 * mu) * CAST(s AS DOUBLE))) + ((CAST(n AS DOUBLE) * mu) * mu)"))
+
+    val lagged = leads.select(col("series"), col("x"), col("mu"), col("den"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__l$k").as("xk"))): _*)).as("p"))
+      .select(col("series"), col("x"), col("mu"), col("den"), col("p.lag"), col("p.xk"))
+      .filter(col("xk").isNotNull)
+
+    // grouping (series, lag) is co-partitioned with the series exchange, so
+    // this aggregate adds NO new shuffle; mu/den are constant per series and
+    // ride through as min().
+    val pair = lagged.groupBy("series", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast("decimal(38,0)")).as("sa"),
+      sum(col("xk").cast("decimal(38,0)")).as("sb"),
+      sum((col("x") * col("xk")).cast("decimal(38,0)")).as("sxy"),
+      min(col("mu")).as("mu"),
+      min(col("den")).as("den"))
+
+    // The identical parenthesization the oracle uses — one IEEE tree.
+    pair
+      .withColumn("num", expr(
+        "(CAST(sxy AS DOUBLE) - (mu * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)))) + ((CAST(n_pairs AS DOUBLE) * mu) * mu)"))
+      .select(col("series"), col("lag"), col("n_pairs"),
+        when(col("den") > 0.0, col("num") / col("den")).as("acf"))
+  }
+
+  /** The detected seasonal period: per series, the lag in [minLag, maxLag]
+    * with the highest autocorrelation (smallest lag on exact float ties —
+    * a deterministic total order both engines sort identically). Lag 1 is
+    * excluded by default: trend/AR(1) carry-over dominates it on almost
+    * any real metric, which is exactly why ACF-based period pickers start
+    * at 2.
+    */
+  def dominantPeriod(events: DataFrame, maxLag: Int = 36, minLag: Int = 2,
+      bucketMillis: Long = 3600000L, keyCol: String = "event_type"): DataFrame = {
+    val a = acf(events, maxLag, bucketMillis, keyCol)
+      .filter(col("lag") >= minLag && col("acf").isNotNull)
+    val w = Window.partitionBy("series").orderBy(col("acf").desc, col("lag").asc)
+    a.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("series"), col("lag").as("period"), col("acf"))
+  }
+
+  /** Per-series mean/sigma from exact moments, as the fixed IEEE tree the
+    * scan operators and their oracles share: μ = S/n,
+    * σ = sqrt(max(0, S2/n − μ²)).
+    */
+  private def withMuSigma(series: DataFrame): DataFrame = {
+    val stats = series.groupBy("series").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("sigma", expr(
+        "sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - (mu * mu)))"))
+      .select("series", "mu", "sigma")
+    series.join(broadcast(stats), "series")
+  }
+
+  /** Two-sided CUSUM scan (Page 1954). Against the series' own mean μ and
+    * sigma σ (two-pass: the second pass streams), with slack k = kSigma·σ
+    * and threshold h = hSigma·σ:
+    *
+    *   dev  = x − μ
+    *   s⁺ₜ = max(0, (s⁺ₜ₋₁ + dev) − k)   alarm_up  when s⁺ₜ > h, then reset to 0
+    *   s⁻ₜ = max(0, (s⁻ₜ₋₁ − dev) − k)   alarm_dn  when s⁻ₜ > h, then reset to 0
+    *
+    * EVERY step is emitted (the full trajectory is the oracle surface,
+    * not just the alarms — a wrong non-alarm step fails the gate too).
+    * The emitted s⁺/s⁻ are the PRE-reset statistics; the reset applies
+    * to the next step's carry. Each step is the same three IEEE ops in
+    * the same order as the oracle's recursive CTE, so the doubles match
+    * bitwise.
+    *
+    * Scale: one aggregate for the moments (broadcast back — one row per
+    * series), then repartition-by-series + in-partition sort + a single
+    * forward mapPartitions pass with O(1) state. Nothing buffers a
+    * series.
+    *
+    * Output: (series, t, bucket, x, s_pos, s_neg, alarm_up, alarm_dn).
+    */
+  def cusum(events: DataFrame, kSigma: Double = 0.5, hSigma: Double = 4.0,
+      bucketMillis: Long = 3600000L, keyCol: String = "event_type"): DataFrame = {
+    val joined = withMuSigma(bucketSeries(events, bucketMillis, keyCol))
+      .select("series", "t", "bucket", "x", "mu", "sigma")
+    val out = StructType(Seq(
+      StructField("series", StringType), StructField("t", LongType),
+      StructField("bucket", LongType), StructField("x", LongType),
+      StructField("s_pos", DoubleType), StructField("s_neg", DoubleType),
+      StructField("alarm_up", BooleanType), StructField("alarm_dn", BooleanType)))
+    val scanned = joined
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("t"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var sp = 0.0
+        var sn = 0.0
+        it.map { r =>
+          val series = r.getString(0)
+          if (series != cur) { cur = series; sp = 0.0; sn = 0.0 }
+          val x = r.getLong(3); val mu = r.getDouble(4); val sigma = r.getDouble(5)
+          val k = kSigma * sigma; val h = hSigma * sigma
+          val dev = x.toDouble - mu
+          val spNew = math.max(0.0, (sp + dev) - k)
+          val snNew = math.max(0.0, (sn - dev) - k)
+          val up = spNew > h; val dn = snNew > h
+          sp = if (up) 0.0 else spNew
+          sn = if (dn) 0.0 else snNew
+          Row(series, r.getLong(1), r.getLong(2), x, spNew, snNew, up, dn)
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+    scanned.toDF()
+  }
+
+  /** EWMA smoother: s₁ = x₁, sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁) — the
+    * numerically-stable update form (one multiply, two adds, no (1−α)
+    * term), replayed verbatim by the oracle's recursion. Residual is
+    * xₜ − sₜ₋₁ (the one-step-ahead forecast error — the quantity a
+    * monitor actually thresholds; NULL at t = 1 where there is no
+    * forecast). Same secondary-sort scan shape as [[cusum]].
+    *
+    * Output: (series, t, bucket, x, ewma, resid).
+    */
+  def ewma(events: DataFrame, alpha: Double = 0.2,
+      bucketMillis: Long = 3600000L, keyCol: String = "event_type"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val series = bucketSeries(events, bucketMillis, keyCol)
+    val out = StructType(Seq(
+      StructField("series", StringType), StructField("t", LongType),
+      StructField("bucket", LongType), StructField("x", LongType),
+      StructField("ewma", DoubleType), StructField("resid", DoubleType)))
+    series
+      .select("series", "t", "bucket", "x")
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("t"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var s = 0.0
+        var first = true
+        it.map { r =>
+          val series = r.getString(0)
+          if (series != cur) { cur = series; first = true }
+          val x = r.getLong(3).toDouble
+          val resid = if (first) null else java.lang.Double.valueOf(x - s)
+          s = if (first) x else s + alpha * (x - s)
+          first = false
+          Row(series, r.getLong(1), r.getLong(2), r.getLong(3), s, resid)
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+      .toDF()
+  }
+}

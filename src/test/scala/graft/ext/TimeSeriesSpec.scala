@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val HourNanos = 3600L * 1000000000L
+
+  /** Events frame with one event per hour index, ts in int64 nanos (the
+    * QueryCatalog.table representation).
+    */
+  private def df(values: Seq[Double], series: String = "s") = {
+    import spark.implicits._
+    values.zipWithIndex.map { case (v, i) => (series, i.toLong * HourNanos, v) }
+      .toDF("event_type", "ts", "value")
+  }
+
+  /** Sequential reference for the moments -> (mu, sigma) IEEE tree, exact
+    * integer moments via BigInt like the operator's DECIMAL(38,0) sums.
+    */
+  private def muSigma(cents: Seq[Long]): (Double, Double) = {
+    val n = cents.size.toDouble
+    val s = cents.map(BigInt(_)).sum.toDouble
+    val s2 = cents.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+    val mu = s / n
+    (mu, math.sqrt(math.max(0.0, (s2 / n) - (mu * mu))))
+  }
+
+  test("acf matches the direct mean-subtracted definition") {
+    val vals = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0, 7.0, 9.0)
+    val cents = vals.map(v => math.round(v * 100))
+    val n = cents.size
+    val mu = cents.sum.toDouble / n
+    val den = cents.map(c => (c - mu) * (c - mu)).sum
+    def direct(k: Int) =
+      (0 until n - k).map(t => (cents(t) - mu) * (cents(t + k) - mu)).sum / den
+    val got = TimeSeries.acf(df(vals), maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    for (k <- 1 to 3)
+      assert(math.abs(got(k) - direct(k)) < 1e-12, s"lag $k: ${got(k)} vs ${direct(k)}")
+  }
+
+  test("acf is exact under any partitioning (decimal moments, fixed IEEE tree)") {
+    val vals = (1 to 200).map(i => ((i * 37) % 97) / 4.0)
+    def run(parts: Int) = TimeSeries.acf(df(vals).repartition(parts), maxLag = 12)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
+  test("acf yields NULL for a constant series (zero variance)") {
+    val got = TimeSeries.acf(df(Seq.fill(20)(5.0)), maxLag = 3).collect()
+    assert(got.length == 3 && got.forall(_.isNullAt(3)))
+  }
+
+  test("dominantPeriod detects a planted period-7 waveform") {
+    val wave = Seq(30.0, 10.0, -20.0, -40.0, -20.0, 10.0, 30.0)
+    val vals = (0 until 70).map(t => 100.0 + wave(t % 7))
+    val got = TimeSeries.dominantPeriod(df(vals), maxLag = 20, minLag = 2).collect()
+    assert(got.length == 1 && got(0).getInt(1) == 7, got.mkString)
+  }
+
+  test("cusum matches a sequential reference scan bitwise, including resets") {
+    val vals = (0 until 40).map(i => 10.0 + ((i * 13) % 5) * 0.25) ++
+      (0 until 20).map(i => 14.0 + ((i * 7) % 5) * 0.25)
+    val cents = vals.map(v => math.round(v * 100))
+    val (mu, sigma) = muSigma(cents)
+    val k = 0.5 * sigma; val h = 4.0 * sigma
+    var sp = 0.0; var sn = 0.0
+    val ref = cents.map { c =>
+      val dev = c.toDouble - mu
+      val spNew = math.max(0.0, (sp + dev) - k)
+      val snNew = math.max(0.0, (sn - dev) - k)
+      val up = spNew > h; val dn = snNew > h
+      sp = if (up) 0.0 else spNew
+      sn = if (dn) 0.0 else snNew
+      (spNew, snNew, up, dn)
+    }
+    val got = TimeSeries.cusum(df(vals)).collect()
+      .map(r => (r.getLong(1), (r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7))))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == ref)
+    assert(ref.exists(_._3), "planted +4-sigma shift must raise an up alarm")
+    val firstAlarm = ref.indexWhere(_._3)
+    assert(firstAlarm >= 40, s"alarm at $firstAlarm fired before the shift")
+    // reset semantics: the statistic restarts from 0 after the alarm step
+    assert(ref(firstAlarm + 1)._1 < ref(firstAlarm)._1)
+  }
+
+  test("cusum stays silent on a constant series") {
+    val got = TimeSeries.cusum(df(Seq.fill(30)(7.0))).collect()
+    assert(got.length == 30 && got.forall(r => !r.getBoolean(6) && !r.getBoolean(7)))
+  }
+
+  test("cusum isolates series: one shifted series never alarms its neighbor") {
+    val flat = df((0 until 50).map(_ => 10.0), "flat")
+    val shifted = df((0 until 30).map(_ => 10.0) ++ (0 until 20).map(_ => 20.0), "shift")
+    val got = TimeSeries.cusum(flat.union(shifted)).collect()
+    val byrSeries = got.groupBy(_.getString(0))
+    assert(byrSeries("flat").forall(r => !r.getBoolean(6) && !r.getBoolean(7)))
+    assert(byrSeries("shift").exists(_.getBoolean(6)))
+  }
+
+  test("ewma matches the sequential recurrence bitwise; resid is NULL at t=1") {
+    val vals = (1 to 50).map(i => ((i * 29) % 31) / 2.0)
+    val cents = vals.map(v => math.round(v * 100))
+    var s = cents.head.toDouble
+    val ref = (cents.head.toDouble, Option.empty[Double]) +:
+      cents.tail.map { c =>
+        val resid = c.toDouble - s
+        s = s + 0.2 * (c.toDouble - s)
+        (s, Some(resid))
+      }
+    val got = TimeSeries.ewma(df(vals), alpha = 0.2).collect()
+      .map(r => (r.getLong(1), (r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == ref)
+  }
+
+  test("bucketSeries sums cents per bucket and drops null keys/values") {
+    import spark.implicits._
+    val e = Seq(
+      ("a", 100L * 1000000000L, 1.25), // bucket 0
+      ("a", 200L * 1000000000L, 2.00), // bucket 0
+      ("a", 3700L * 1000000000L, 0.50), // bucket 1
+      (null, 100L * 1000000000L, 9.0),
+      ("a", 100L * 1000000000L, Double.NaN)).toDF("event_type", "ts", "value")
+      .withColumn("value",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("value")),
+          null).otherwise(org.apache.spark.sql.functions.col("value")))
+    val got = TimeSeries.bucketSeries(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2).toSeq
+    assert(got == Seq(("a", 0L, 325L, 1L), ("a", 1L, 50L, 2L)))
+  }
+}
