@@ -4361,6 +4361,89 @@ object QueryCatalog {
        |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
        |SELECT series, t, bucket, x, ewma, resid FROM r""".stripMargin
 
+  // ------------------------------------------------------ data-quality audit
+
+  /** Expectation audit (DataQuality.audit) over a deterministically
+    * corrupted orders snapshot (every 97th custkey nulled, every 101st
+    * negated into an FK orphan, every 103rd orderkey collapsed onto 1 —
+    * CASE order pinned identically in both engines) plus real-table
+    * rules on documents/lineitem. Exact BIGINT counts throughout; the
+    * oracle replays rule for rule.
+    */
+  private val qDqAudit: (SparkSession, String) => DataFrame = (s, dir) => {
+    import graft.ext.DataQuality._
+    val orders = table(s, dir, "orders")
+    val dirty = orders.select(
+      when(col("o_orderkey") % 103 === 0, lit(1L)).otherwise(col("o_orderkey")).as("o_orderkey"),
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+        .when(col("o_orderkey") % 101 === 0, -col("o_custkey"))
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      col("o_totalprice"))
+    audit(
+      Map(
+        "orders_dirty" -> dirty,
+        "orders" -> orders,
+        "customer" -> table(s, dir, "customer"),
+        "lineitem" -> table(s, dir, "lineitem"),
+        "part" -> table(s, dir, "part"),
+        "documents" -> table(s, dir, "documents")),
+      Seq(
+        NotNull("orders_dirty", "o_custkey"),
+        Unique("orders_dirty", Seq("o_orderkey")),
+        ForeignKey("orders_dirty", "o_custkey", "customer", "c_custkey"),
+        Accepted("orders_dirty", "o_totalprice", "o_totalprice > 0.0", "positive"),
+        NotNull("documents", "text"),
+        Unique("documents", Seq("doc_id")),
+        Accepted("lineitem", "l_quantity", "l_quantity >= 1 AND l_quantity <= 50", "qty_1_50"),
+        Accepted("lineitem", "l_discount", "l_discount >= 0 AND l_discount <= 0.1", "disc_0_01"),
+        ForeignKey("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ForeignKey("lineitem", "l_partkey", "part", "p_partkey")))
+  }
+
+  private val oDqAudit: String = {
+    def notNull(rule: String, src: String, c: String) =
+      s"""SELECT '$rule' AS rule,
+         |       CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS violations,
+         |       CAST(count(*) AS BIGINT) AS total FROM $src""".stripMargin
+    def accepted(rule: String, src: String, c: String, pred: String) =
+      s"""SELECT '$rule' AS rule,
+         |       CAST(count(*) FILTER ($c IS NOT NULL AND NOT ($pred)) AS BIGINT) AS violations,
+         |       CAST(count(*) FILTER ($c IS NOT NULL) AS BIGINT) AS total FROM $src""".stripMargin
+    def unique(rule: String, src: String, c: String) =
+      s"""SELECT '$rule' AS rule,
+         |       CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS violations,
+         |       CAST(coalesce(sum(c), 0) AS BIGINT) AS total
+         |FROM (SELECT count(*) AS c FROM $src WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+    def fk(rule: String, src: String, c: String, ref: String, refC: String) =
+      s"""SELECT '$rule' AS rule,
+         |       CAST(coalesce((SELECT sum(cnt) FROM (SELECT $c AS k, count(*) AS cnt FROM $src WHERE $c IS NOT NULL GROUP BY 1) kk
+         |                      WHERE NOT EXISTS (SELECT 1 FROM $ref WHERE $refC = kk.k)), 0) AS BIGINT) AS violations,
+         |       CAST(count(*) FILTER ($c IS NOT NULL) AS BIGINT) AS total FROM $src""".stripMargin
+    val body = Seq(
+      notNull("not_null:orders_dirty.o_custkey", "od", "o_custkey"),
+      unique("unique:orders_dirty.o_orderkey", "od", "o_orderkey"),
+      fk("fk:orders_dirty.o_custkey->customer.c_custkey", "od", "o_custkey", "customer", "c_custkey"),
+      accepted("accepted:orders_dirty.o_totalprice:positive", "od", "o_totalprice", "o_totalprice > 0.0"),
+      notNull("not_null:documents.text", "documents", "text"),
+      unique("unique:documents.doc_id", "documents", "doc_id"),
+      accepted("accepted:lineitem.l_quantity:qty_1_50", "lineitem", "l_quantity",
+        "l_quantity >= 1 AND l_quantity <= 50"),
+      accepted("accepted:lineitem.l_discount:disc_0_01", "lineitem", "l_discount",
+        "l_discount >= 0 AND l_discount <= 0.1"),
+      fk("fk:lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fk("fk:lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH od AS (
+       |  SELECT CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE o_orderkey END AS o_orderkey,
+       |         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+       |              WHEN o_orderkey % 101 = 0 THEN -o_custkey
+       |              ELSE o_custkey END AS o_custkey,
+       |         o_totalprice
+       |  FROM orders)
+       |SELECT rule, violations, total, violations = 0 AS pass FROM (
+       |$body)""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4517,7 +4600,8 @@ object QueryCatalog {
     "acf_lags" -> qAcfLags,
     "dominant_period" -> qDominantPeriod,
     "cusum_scan" -> qCusumScan,
-    "ewma_smooth" -> qEwmaSmooth)
+    "ewma_smooth" -> qEwmaSmooth,
+    "dq_audit" -> qDqAudit)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4665,5 +4749,6 @@ object QueryCatalog {
     "acf_lags" -> oAcfLags,
     "dominant_period" -> oDominantPeriod,
     "cusum_scan" -> oCusumScan,
-    "ewma_smooth" -> oEwmaSmooth)
+    "ewma_smooth" -> oEwmaSmooth,
+    "dq_audit" -> oDqAudit)
 }

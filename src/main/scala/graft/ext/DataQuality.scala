@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ======== Declarative data-quality expectation audit ========
+  *
+  * The admission gate a production ingest runs before a snapshot is
+  * allowed into training: a rule set (null checks, accepted-value
+  * predicates, key uniqueness, referential integrity) evaluated into one
+  * small (rule, violations, total, pass) report — the dbt-tests /
+  * Deequ-style contract surface, expressed as pure Spark aggregates.
+  *
+  * Scale shape, by rule type:
+  *  - [[NotNull]] / [[Accepted]] rules on the same table FUSE into one
+  *    scan: a single hash aggregate computes `count(*)` plus one
+  *    conditional sum per rule (map-side combinable, no shuffle beyond
+  *    the 1-row aggregate), then explodes into one report row per rule
+  *    — N column rules cost ONE pass, not N.
+  *  - [[Unique]]: one (key → count) hash aggregate, then excess rows
+  *    (Σ(cnt−1) over duplicated keys) in a second 1-row aggregate. The
+  *    shuffle carries distinct keys, never rows.
+  *  - [[ForeignKey]]: the child side collapses to (distinct key, count)
+  *    BEFORE the join, so the anti-join probes one row per distinct
+  *    child key against the parent's distinct keys (AQE picks broadcast
+  *    when the parent is small, sort-merge at scale — nothing forced).
+  *
+  * Every rule reports exact BIGINT counts — deterministic under any
+  * partitioning, and the whole report is plain ANSI SQL, so the DuckDB
+  * oracle replays it bitwise.
+  *
+  * No reference citation — `/root/reference/src/flinkarima.py` has no
+  * batch admission path; north-star pipeline-hygiene scope.
+  */
+object DataQuality {
+
+  /** One expectation. `table` names a key in the `tables` map given to
+    * [[audit]].
+    */
+  sealed trait Rule { def table: String; def name: String }
+
+  /** `column IS NOT NULL` for every row. */
+  final case class NotNull(table: String, column: String) extends Rule {
+    def name = s"not_null:$table.$column"
+  }
+
+  /** `predicateSql` must hold wherever `column` is non-null (null rows are
+    * [[NotNull]]'s job, not a value violation — the dbt convention).
+    * `label` keys the report row.
+    */
+  final case class Accepted(table: String, column: String, predicateSql: String,
+      label: String) extends Rule {
+    def name = s"accepted:$table.$column:$label"
+  }
+
+  /** The column set is a candidate key over rows where every component is
+    * non-null; violations = excess rows (Σ(cnt−1) over duplicated keys —
+    * "rows a dedup would drop").
+    */
+  final case class Unique(table: String, columns: Seq[String]) extends Rule {
+    def name = s"unique:$table.${columns.mkString("+")}"
+  }
+
+  /** Every non-null `column` value must exist in `refTable.refColumn`;
+    * violations = child ROWS (not keys) whose key has no parent.
+    */
+  final case class ForeignKey(table: String, column: String,
+      refTable: String, refColumn: String) extends Rule {
+    def name = s"fk:$table.$column->$refTable.$refColumn"
+  }
+
+  /** Evaluate `rules` over `tables` into (rule, violations, total, pass).
+    * `total` is the count of rows the rule examined (all rows for
+    * not_null/unique, non-null rows for accepted/fk).
+    */
+  def audit(tables: Map[String, DataFrame], rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    rules.foreach(r => require(tables.contains(r.table), s"unknown table ${r.table}"))
+
+    // -- scan rules (not_null + accepted): one fused aggregate per table
+    val scanRules = rules.collect {
+      case r: NotNull => (r.table, r.name, col(r.column).isNull, lit(true))
+      case r: Accepted =>
+        (r.table, r.name, col(r.column).isNotNull && !expr(r.predicateSql),
+          col(r.column).isNotNull)
+    }
+    val scanReports = scanRules.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val aggs = rs.zipWithIndex.flatMap { case ((_, _, viol, scope), i) =>
+        Seq(sum(when(viol, 1L).otherwise(0L)).as(s"__v$i"),
+          sum(when(scope, 1L).otherwise(0L)).as(s"__t$i"))
+      }
+      val row = tables(t).agg(aggs.head, aggs.tail: _*)
+      val entries = rs.zipWithIndex.map { case ((_, name, _, _), i) =>
+        struct(lit(name).as("rule"),
+          coalesce(col(s"__v$i"), lit(0L)).as("violations"), // empty table: sums are NULL
+          coalesce(col(s"__t$i"), lit(0L)).as("total"))
+      }
+      row.select(explode(array(entries: _*)).as("r"))
+        .select(col("r.rule"), col("r.violations"), col("r.total"))
+    }
+
+    // -- unique rules: (key -> count) then excess rows
+    val uniqueReports = rules.collect { case r: Unique =>
+      val keyed = tables(r.table)
+        .filter(r.columns.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(r.columns.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      keyed.agg(
+        coalesce(sum(when(col("__cnt") > 1, col("__cnt") - 1)), lit(0L)).as("violations"),
+        coalesce(sum(col("__cnt")), lit(0L)).as("total"))
+        .select(lit(r.name).as("rule"), col("violations"), col("total"))
+    }
+
+    // -- fk rules: distinct child keys (with row counts) anti-join parent
+    val fkReports = rules.collect { case r: ForeignKey =>
+      val keyed = tables(r.table)
+        .filter(col(r.column).isNotNull)
+        .groupBy(col(r.column).as("__k"))
+        .agg(count(lit(1)).as("__cnt"))
+      val parents = tables(r.refTable)
+        .filter(col(r.refColumn).isNotNull)
+        .select(col(r.refColumn).as("__k")).distinct()
+      val orphans = keyed.join(parents, Seq("__k"), "left_anti")
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("violations"))
+      val totals = keyed.agg(coalesce(sum(col("__cnt")), lit(0L)).as("total"))
+      orphans.crossJoin(totals) // two 1-row frames
+        .select(lit(r.name).as("rule"), col("violations"), col("total"))
+    }
+
+    (scanReports ++ uniqueReports ++ fkReports)
+      .reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+}
