@@ -4444,6 +4444,46 @@ object QueryCatalog {
        |$body)""".stripMargin
   }
 
+  /** Per-language OLS of doc length on whitespace token count
+    * (Regression.groupedOls): the tokens-vs-chars calibration line a
+    * curation pipeline fits per stratum. Exact DECIMAL(38,0) moments, one
+    * IEEE tree for slope/intercept/R² — bitwise.
+    */
+  private val qOlsFit: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang").as("g"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("x"),
+        col("n_chars").as("y"))
+    graft.ext.Regression.groupedOls(docs)
+  }
+
+  private val oOlsFit: String =
+    s"""WITH d AS (
+       |  SELECT lang AS g, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS x, n_chars AS y
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+       |m AS (
+       |  SELECT g, count(*)::BIGINT AS n,
+       |         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+       |         CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+       |         CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+       |         CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+       |  FROM d GROUP BY 1),
+       |e AS (
+       |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+       |         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS denx,
+       |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS deny,
+       |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS num,
+       |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM m),
+       |f AS (SELECT e.*, CASE WHEN denx > 0.0 THEN num / denx END AS slope FROM e)
+       |SELECT g, n, slope,
+       |       CASE WHEN denx > 0.0 THEN (syd - (slope * sxd)) / nd END AS intercept,
+       |       CASE WHEN denx > 0.0 AND deny > 0.0 THEN (num * num) / (denx * deny) END AS r2
+       |FROM f""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4601,7 +4641,8 @@ object QueryCatalog {
     "dominant_period" -> qDominantPeriod,
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
-    "dq_audit" -> qDqAudit)
+    "dq_audit" -> qDqAudit,
+    "ols_fit" -> qOlsFit)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4750,5 +4791,6 @@ object QueryCatalog {
     "dominant_period" -> oDominantPeriod,
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
-    "dq_audit" -> oDqAudit)
+    "dq_audit" -> oDqAudit,
+    "ols_fit" -> oOlsFit)
 }
