@@ -4484,6 +4484,39 @@ object QueryCatalog {
        |       CASE WHEN denx > 0.0 AND deny > 0.0 THEN (num * num) / (denx * deny) END AS r2
        |FROM f""".stripMargin
 
+  /** Pairwise source-overlap estimates via HLL set algebra
+    * (Sketches.hllPairwise): union from cellwise-max registers,
+    * intersection by inclusion-exclusion. The harmonic denominators are
+    * EXACT integers (Σ 2^(55−r) — order-free), so even the float
+    * estimates replay bitwise; accuracy itself is SketchesSpec's job.
+    */
+  private val qHllOverlap: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sketches.hllPairwise(table(s, dir, "documents"))
+
+  private val oHllOverlap: String =
+    s"""WITH t AS (SELECT source AS g, unnest(string_split($normSql, ' ')) AS token
+       |           FROM documents WHERE source IS NOT NULL),
+       |h AS (SELECT g, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM t WHERE token <> ''),
+       |regs AS (SELECT g, h % 64 AS bucket, max(${Sketches.rankCaseSql("(h // 64)", 54)}) AS r
+       |         FROM h GROUP BY 1, 2),
+       |gs AS (SELECT DISTINCT g FROM regs),
+       |f AS (SELECT gs.g, CAST(b.b AS BIGINT) AS bucket, coalesce(r.r, 0)::BIGINT AS r
+       |      FROM gs CROSS JOIN generate_series(0, 63) b(b)
+       |      LEFT JOIN regs r ON r.g = gs.g AND r.bucket = b.b),
+       |s1 AS (SELECT g, CAST(sum((1::BIGINT) << CAST(55 - r AS INT)) AS BIGINT) AS s FROM f GROUP BY 1),
+       |pu AS (SELECT a.g AS ga, b.g AS gb,
+       |              CAST(sum((1::BIGINT) << CAST(55 - greatest(a.r, b.r) AS INT)) AS BIGINT) AS su
+       |       FROM f a JOIN f b ON a.bucket = b.bucket AND a.g < b.g GROUP BY 1, 2),
+       |e AS (SELECT ga AS source_a, gb AS source_b,
+       |             ${Sketches.estSql("sa.s")} AS est_a,
+       |             ${Sketches.estSql("sb.s")} AS est_b,
+       |             ${Sketches.estSql("pu.su")} AS est_union
+       |      FROM pu JOIN s1 sa ON sa.g = pu.ga JOIN s1 sb ON sb.g = pu.gb)
+       |SELECT source_a, source_b, est_a, est_b, est_union,
+       |       (est_a + est_b) - est_union AS est_intersect,
+       |       ((est_a + est_b) - est_union) / est_union AS jaccard_est
+       |FROM e""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4642,7 +4675,8 @@ object QueryCatalog {
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
     "dq_audit" -> qDqAudit,
-    "ols_fit" -> qOlsFit)
+    "ols_fit" -> qOlsFit,
+    "hll_overlap" -> qHllOverlap)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4792,5 +4826,6 @@ object QueryCatalog {
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
     "dq_audit" -> oDqAudit,
-    "ols_fit" -> oOlsFit)
+    "ols_fit" -> oOlsFit,
+    "hll_overlap" -> oHllOverlap)
 }

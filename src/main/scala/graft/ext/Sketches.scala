@@ -91,6 +91,91 @@ object Sketches {
     * est >= true always; the spec pins the classic e/w error bound on
     * the corpus top terms.
     */
+  /** The harmonic-sum denominator Σ 2^(−r) over a register set, kept EXACT:
+    * with ranks in [0, 55], Σ 2^(55−r) is an integer (≤ 64·2^55 < 2^62),
+    * so the sum is order-free and the one float division happens at the
+    * very end — this is what makes an HLL ESTIMATE oracle-able bitwise,
+    * not just the register state. (The classic formulation sums doubles
+    * 2^−r directly, whose addition order is partition-dependent.)
+    */
+  private def pow2Term(r: Column): Column =
+    call_function("shiftleft", lit(1L), (lit(55) - r).cast("int"))
+
+  /** α·m²·2^55 / S (m = 64, b = 6). The numerator is ONE precomputed
+    * double literal inlined identically into Spark and DuckDB — spelled
+    * as arithmetic, DuckDB would fold `0.7213 / …` in DECIMAL (decimal
+    * literals are DECIMAL there, not DOUBLE) and land ~1e-8 off Spark's
+    * double fold; a shortest-roundtrip literal parses to the same IEEE
+    * double in both engines.
+    */
+  val EstNumerator: Double = ((0.7213 / (1.0 + (1.079 / 64.0))) * 4096.0) * 36028797018963968.0
+
+  def estSql(sExpr: String): String =
+    s"CAST($EstNumerator AS DOUBLE) / CAST($sExpr AS DOUBLE)"
+
+  /** Pairwise distinct-token overlap between corpus strata via HLL set
+    * algebra: per group, a 64-register md5-portable sketch; per pair,
+    *
+    *   est_union     from the cellwise-max merged registers (the ONLY
+    *                 set operation HLL supports natively),
+    *   est_intersect = (est_a + est_b) − est_union   (inclusion-exclusion
+    *                 — the standard estimator; can go ≤ 0 for disjoint
+    *                 sets within sketch error, reported as-is),
+    *   jaccard_est   = est_intersect / est_union.
+    *
+    * Scale shape: the ONE corpus-wide shuffle is the (group, bucket)
+    * register aggregate, capped at groups×64 rows per map task by
+    * partial max-combine. Everything after — the bucket-aligned pair
+    * join, the exact harmonic sums, the estimate trees — runs on
+    * sketch-sized data (64 rows per group), which is precisely why a
+    * 100 TB overlap matrix is cheap: the pairwise stage never touches
+    * tokens. Zero-rank registers (unhit buckets) participate in the max
+    * like any other cell, so merged estimates are exactly what a single
+    * sketch over the union stream would produce.
+    *
+    * Output: (source_a, source_b, est_a, est_b, est_union,
+    * est_intersect, jaccard_est) — raw estimates without the
+    * small-range linear-counting correction (`ln` is not bitwise across
+    * engines; SketchesSpec grades accuracy instead).
+    */
+  def hllPairwise(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val b = 6
+    val m = 1 << b
+    val rembits = 60 - b
+    val spark = docs.sparkSession
+    val h = md5Hash60(col("token"), "")
+    val regs = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("g"), (h % m).as("bucket"), rankCase(shiftright(h, b), rembits).as("rank"))
+      .groupBy("g", "bucket")
+      .agg(max("rank").as("r"))
+    val full = regs.select("g").distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+      .join(regs, Seq("g", "bucket"), "left")
+      .select(col("g"), col("bucket"), coalesce(col("r"), lit(0L)).as("r"))
+    val singles = full.groupBy("g").agg(sum(pow2Term(col("r"))).as("s"))
+    val pairs = full.as("a")
+      .join(full.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        greatest(col("a.r"), col("b.r")).as("r"))
+      .groupBy("ga", "gb")
+      .agg(sum(pow2Term(col("r"))).as("su"))
+    pairs
+      .join(singles.select(col("g").as("ga"), col("s").as("sa")), "ga")
+      .join(singles.select(col("g").as("gb"), col("s").as("sb")), "gb")
+      .select(
+        col("ga").as("source_a"), col("gb").as("source_b"),
+        expr(estSql("sa")).as("est_a"),
+        expr(estSql("sb")).as("est_b"),
+        expr(estSql("su")).as("est_union"))
+      .withColumn("est_intersect", expr("(est_a + est_b) - est_union"))
+      .withColumn("jaccard_est", expr("est_intersect / est_union"))
+  }
+
   def cmsCounts(docs: DataFrame, d: Int = 4, w: Int = 1024, textCol: String = "text"): DataFrame = {
     require(d >= 1 && w >= 2)
     val spark = docs.sparkSession

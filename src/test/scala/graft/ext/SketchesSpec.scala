@@ -54,4 +54,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(est >= 600, "never underestimates the true count")
     assert(est <= 600 + (2.0 * nTok / 1024).toLong, "within the e/w overestimate band")
   }
+
+  test("hll pairwise: union estimate == single-sketch estimate; overlap tracks truth") {
+    // two sources with a controlled shared vocabulary
+    val a = (0 until 400).map(i => (i.toLong, "A", s"shared${i % 200} onlyA$i common the"))
+    val b = (0 until 400).map(i => ((i + 1000).toLong, "B", s"shared${i % 200} onlyB$i common the"))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val got = Sketches.hllPairwise(docs).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(0), r.getString(1)) == ("A", "B"))
+    val (estA, estB, estU, estI) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+
+    // the union estimate must equal the estimate a single sketch over the
+    // concatenated stream would give (cellwise max == one sketch) — EXACTLY
+    val rall = Sketches.hllRegisters(docs.select("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val sU = (0L until 64L).map(k => BigInt(1) << (55 - rall(k).toInt)).sum
+    val single = Sketches.EstNumerator / sU.toDouble
+    assert(estU == single, s"union est $estU != single-sketch est $single")
+
+    // accuracy: truths are |A|=602, |B|=602, union=1004, intersect=200ish
+    def truth(src: String) = docs.filter(col("source") === src)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " "))), " ")))
+      .filter(col("col") =!= "").distinct().count().toDouble
+    val (ta, tb) = (truth("A"), truth("B"))
+    val tu = docs.select(explode(split(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\f\\r]+", " "))), " ")))
+      .filter(col("col") =!= "").distinct().count().toDouble
+    assert(math.abs(estA - ta) / ta < 0.4, s"estA $estA vs $ta")
+    assert(math.abs(estB - tb) / tb < 0.4, s"estB $estB vs $tb")
+    assert(math.abs(estU - tu) / tu < 0.4, s"estU $estU vs $tu")
+    // intersection inherits both sketches' error; just require the right scale
+    val ti = ta + tb - tu
+    assert(estI > 0 && math.abs(estI - ti) / ti < 1.0, s"estI $estI vs $ti")
+    // jaccard consistency
+    assert(math.abs(r.getDouble(6) - estI / estU) == 0.0)
+  }
 }
