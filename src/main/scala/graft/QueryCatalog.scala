@@ -4517,6 +4517,61 @@ object QueryCatalog {
        |       ((est_a + est_b) - est_union) / est_union AS jaccard_est
        |FROM e""".stripMargin
 
+  // --------------------------------------------------- perceptual image dedup
+
+  /** Near-duplicate IMAGE pairs via dHash block LSH (Multimodal.dhashPpm +
+    * dhashPairs) over the PPM corpus plus planted variants: every 20th
+    * doc gets a copy (identical image → Hamming 0), every 40th a
+    * one-pixel-perturbed copy (Hamming ≤ ~2). At maxHamming = 3 the
+    * 4-block LSH is EXACT by pigeonhole, so the oracle replays the pair
+    * set from an all-pairs scan over SQL-modeled dHashes — the whole
+    * chain (encode → parse → 9×8 nearest-neighbor luma grid → comparison
+    * bits → block join → bit_count verify) is integer arithmetic.
+    */
+  private val qImageDhashPairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    val base = Multimodal.encodePpm(table(s, dir, "documents"))
+    val variants = Multimodal.ppmVariant(
+      base.filter(col("doc_id") % 20 === 0)
+        .withColumn("flip", col("doc_id") % 40 === 0),
+      idShift = 1000000L, flipCol = "flip")
+    val all = base.select(col("doc_id"), col("payload")).unionByName(variants)
+    Multimodal.dhashPairs(Multimodal.dhashPpm(all), maxHamming = 3)
+  }
+
+  private val oImageDhashPairs: String = {
+    // flat plane position of resampled cell t (0..71, 9 wide x 8 tall),
+    // channel c — the resizePlane floor indexing
+    def pos(c: Int) = s"3 * (((t // 9) * h // 8) * w + (t % 9) * w // 9) + $c"
+    // plane byte with the variant's one-complemented byte 0
+    def px(p: String) =
+      s"CASE WHEN flip AND ($p) = 0 THEN 255 - ${ppmByteSql("0")} ELSE ${ppmByteSql(p)} END"
+    val luma =
+      s"(299 * ${px(pos(0))} + 587 * ${px(pos(1))} + 114 * ${px(pos(2))}) // 1000"
+    val rowByte =
+      """list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), x ->
+        |  CASE WHEN g[CAST(y * 9 + x AS INT) + 1] > g[CAST(y * 9 + x + 1 AS INT) + 1]
+        |       THEN (1::BIGINT << CAST(x AS INT)) ELSE 0::BIGINT END)),
+        |  (a, e) -> a + e)""".stripMargin
+    val hashExpr =
+      s"""list_reduce(list_prepend('', list_transform(range(0, 8), y ->
+         |  printf('%02X', $rowByte))), (a, e) -> a || e)""".stripMargin
+    def halfVal(side: String, lo: Int) = s"('0x' || substr($side.dhash, $lo, 8))::BIGINT"
+    val ham = s"(bit_count(xor(${halfVal("a", 1)}, ${halfVal("b", 1)})) + " +
+      s"bit_count(xor(${halfVal("a", 9)}, ${halfVal("b", 9)})))"
+    s"""WITH b0 AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                   octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                   8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |            FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |u AS (SELECT doc_id, hx, n, w, h, FALSE AS flip FROM b0
+       |      UNION ALL
+       |      SELECT doc_id + 1000000, hx, n, w, h, doc_id % 40 = 0 FROM b0 WHERE doc_id % 20 = 0),
+       |lum AS (SELECT doc_id, list_transform(range(0, 72), t -> $luma) AS g FROM u),
+       |dh AS (SELECT doc_id, $hashExpr AS dhash FROM lum)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($ham AS INT) AS hamming
+       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4676,7 +4731,8 @@ object QueryCatalog {
     "ewma_smooth" -> qEwmaSmooth,
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
-    "hll_overlap" -> qHllOverlap)
+    "hll_overlap" -> qHllOverlap,
+    "image_dhash_pairs" -> qImageDhashPairs)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4827,5 +4883,6 @@ object QueryCatalog {
     "ewma_smooth" -> oEwmaSmooth,
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
-    "hll_overlap" -> oHllOverlap)
+    "hll_overlap" -> oHllOverlap,
+    "image_dhash_pairs" -> oImageDhashPairs)
 }

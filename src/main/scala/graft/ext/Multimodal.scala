@@ -304,6 +304,138 @@ object Multimodal {
           lit("image/x-portable-pixmap").as("mime")).as("meta"))
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: nearest-neighbor
+    * resample to a 9×8 luma grid (the [[resizePlane]] floor indexing, so
+    * the SQL oracle replays the exact same source pixels), integer
+    * ITU-601 luma `(299·r + 587·g + 114·b) / 1000`, then one bit per
+    * horizontally-adjacent comparison `g(x,y) > g(x+1,y)` — 8 bits × 8
+    * rows. Rendered as 16 uppercase hex chars (row bytes in y order, bit
+    * x at weight `1 << x`): a string key avoids int64 sign traps across
+    * engines. Pure integer arithmetic end to end — bitwise portable.
+    */
+  private[ext] def dhash64(img: PpmImage): String = {
+    val g = new Array[Int](9 * 8)
+    var ty = 0
+    while (ty < 8) {
+      val sy = ty * img.height / 8
+      var tx = 0
+      while (tx < 9) {
+        val base = 3 * (sy * img.width + tx * img.width / 9)
+        g(ty * 9 + tx) = (299 * (img.pixels(base) & 0xff) +
+          587 * (img.pixels(base + 1) & 0xff) +
+          114 * (img.pixels(base + 2) & 0xff)) / 1000
+        tx += 1
+      }
+      ty += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var y = 0
+    while (y < 8) {
+      var rowByte = 0
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) rowByte |= 1 << x
+        x += 1
+      }
+      sb.append(f"$rowByte%02X")
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Perceptual hash column over a binary image table: (id, dhash).
+    * Malformed payloads drop (the decode convention). Map-only — the
+    * image-dedup analog of [[Dedup]]'s text fingerprints: dHash is
+    * invariant to absolute brightness/color (it compares adjacent luma),
+    * so re-encoded, brightness-shifted, or format-converted copies of
+    * one image land on the same or nearby hash.
+    */
+  def dhashPpm(withBinary: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map(img => (id, dhash64(img)))
+        }
+      }
+      .toDF(idCol, "dhash")
+  }
+
+  /** Near-duplicate image pairs by dHash block LSH: the 64-bit hash splits
+    * into four 16-bit blocks (4 hex chars); candidates share at least one
+    * block; the verify computes the exact Hamming distance with two
+    * 32-bit `bit_count(xor)` kernels. For `maxHamming <= 3` the LSH is
+    * EXACT by pigeonhole (3 differing bits cannot touch all 4 blocks), so
+    * the output equals the brute-force pair set and the oracle replays it
+    * from an all-pairs scan. Above 3 it is the standard recall-bounded
+    * candidate surface ([[Dedup.simhashMd5]]'s banding argument; at
+    * corpus scale the block join is the admission-cappable stage).
+    *
+    * Scale shape: one narrow (id, dhash) relation, a 4-way block explode,
+    * the (block_idx, block_value) self-join — candidates only — then a
+    * distinct + the integer verify. Nothing quadratic outside a shared
+    * block bucket.
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val blocks = hashes
+      .select(col(idCol).as("id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("block_idx", "block_val")))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    def half(c: org.apache.spark.sql.Column, lo: Int) =
+      conv(substring(c, lo, 8), 16, 10).cast("long")
+    cand
+      .withColumn("hamming",
+        (bit_count(half(col("ha"), 1).bitwiseXOR(half(col("hb"), 1))) +
+          bit_count(half(col("ha"), 9).bitwiseXOR(half(col("hb"), 9)))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Deterministic near-duplicate VARIANT of a PPM payload for fixtures
+    * and tests: re-encode the same image with the first plane byte
+    * complemented when `flip` — a one-pixel perturbation that moves the
+    * dHash by at most a couple of bits (a genuine near-dup), or byte-for-
+    * byte identity when not.
+    */
+  def ppmVariant(withBinary: DataFrame, idShift: Long, flipCol: String,
+      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol), col(flipCol).cast("boolean"))
+      .as[(Long, Array[Byte], Boolean)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull, flip) =>
+          parsePpm(Option(bytesOrNull).getOrElse(Array.empty)).map { img =>
+            val px = img.pixels.clone()
+            if (flip && px.nonEmpty) px(0) = (~px(0)).toByte
+            val header = s"P6\n${img.width} ${img.height}\n${img.maxval}\n"
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            val out = new Array[Byte](header.length + px.length)
+            System.arraycopy(header, 0, out, 0, header.length)
+            System.arraycopy(px, 0, out, header.length, px.length)
+            (id + idShift, out)
+          }
+        }
+      }
+      .toDF(idCol, binCol)
+  }
+
   /** ======== REAL codec: BMP (BITMAPINFOHEADER, 24-bit) ========
     * A second real image format, and a genuinely different parse from PPM:
     * binary little-endian headers instead of ASCII, BOTTOM-UP row order
