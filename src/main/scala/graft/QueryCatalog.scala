@@ -4572,6 +4572,61 @@ object QueryCatalog {
        |WHERE $ham <= 3""".stripMargin
   }
 
+  /** Near-duplicate AUDIO pairs via the energy-profile fingerprint
+    * (Multimodal.afpPcm16 + the shared block-LSH pair machinery): 65
+    * proportional windows over the s16le sample range, exact integer
+    * energies, adjacent-comparison bits. Planted variants as in
+    * `image_dhash_pairs` (identical copy / one-byte-perturbed copy); at
+    * maxHamming = 3 the banding is exact, so the oracle replays the pair
+    * set from an all-pairs scan over SQL-modeled fingerprints.
+    */
+  private val qAudioFpPairs: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents").filter(col("doc_id") >= 0)
+    val base = Multimodal.attachBinary(docs).select(col("doc_id"), col("payload"))
+    val variants = Multimodal.binaryVariant(
+      base.filter(col("doc_id") % 20 === 0)
+        .withColumn("flip", col("doc_id") % 40 === 0),
+      idShift = 1000000L, flipCol = "flip")
+    val all = base.unionByName(variants)
+    Multimodal.dhashPairs(Multimodal.afpPcm16(all), maxHamming = 3, hashCol = "afp")
+  }
+
+  private val oAudioFpPairs: String = {
+    val lo = "CASE WHEN flip AND i = 0 THEN 255 - ('0x' || substr(hx, 1, 2))::INT " +
+      "ELSE ('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2))::INT END"
+    val hi = "('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2))::INT"
+    val energy =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(
+         |    list_transform(
+         |      list_transform(range(k * ns // 65, (k + 1) * ns // 65), i -> $hi * 256 + $lo),
+         |      u -> CASE WHEN u > 32767 THEN u - 65536 ELSE u END),
+         |    x -> x::BIGINT * x)),
+         |  (a, y) -> a + y)""".stripMargin
+    val fpByte =
+      """list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+        |  CASE WHEN e[CAST(b * 8 + j AS INT) + 1] > e[CAST(b * 8 + j + 1 AS INT) + 1]
+        |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0::BIGINT END)),
+        |  (a, x) -> a + x)""".stripMargin
+    val fpExpr =
+      s"""list_reduce(list_prepend('', list_transform(range(0, 8), b ->
+         |  printf('%02X', $fpByte))), (a, x) -> a || x)""".stripMargin
+    def halfVal(side: String, pos: Int) = s"('0x' || substr($side.afp, $pos, 8))::BIGINT"
+    val ham = s"(bit_count(xor(${halfVal("a", 1)}, ${halfVal("b", 1)})) + " +
+      s"bit_count(xor(${halfVal("a", 9)}, ${halfVal("b", 9)})))"
+    s"""WITH b0 AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+       |            FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+       |u AS (SELECT doc_id, hx, nb, FALSE AS flip FROM b0
+       |      UNION ALL
+       |      SELECT doc_id + 1000000, hx, nb, doc_id % 40 = 0 FROM b0 WHERE doc_id % 20 = 0),
+       |s AS (SELECT doc_id, hx, nb // 2 AS ns, flip FROM u WHERE nb // 2 >= 65),
+       |en AS (SELECT doc_id, list_transform(range(0, 65), k -> $energy) AS e FROM s),
+       |fp AS (SELECT doc_id, $fpExpr AS afp FROM en)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($ham AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4732,7 +4787,8 @@ object QueryCatalog {
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
-    "image_dhash_pairs" -> qImageDhashPairs)
+    "image_dhash_pairs" -> qImageDhashPairs,
+    "audio_fp_pairs" -> qAudioFpPairs)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -4884,5 +4940,6 @@ object QueryCatalog {
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,
-    "image_dhash_pairs" -> oImageDhashPairs)
+    "image_dhash_pairs" -> oImageDhashPairs,
+    "audio_fp_pairs" -> oAudioFpPairs)
 }

@@ -382,11 +382,11 @@ object Multimodal {
     * block bucket.
     */
   def dhashPairs(hashes: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", hashCol: String = "dhash"): DataFrame = {
     val blocks = hashes
-      .select(col(idCol).as("id"), col("dhash"),
+      .select(col(idCol).as("id"), col(hashCol).as("dhash"),
         posexplode(array((0 until 4).map(b =>
-          substring(col("dhash"), 1 + 4 * b, 4)): _*)).as(Seq("block_idx", "block_val")))
+          substring(col(hashCol), 1 + 4 * b, 4)): _*)).as(Seq("block_idx", "block_val")))
     val cand = blocks.as("a")
       .join(blocks.as("b"),
         col("a.block_idx") === col("b.block_idx") &&
@@ -2609,6 +2609,92 @@ object Multimodal {
           PcmFrameStats(id, f, n.toLong, math.sqrt(sumSq.toDouble / n), peak)
         }
       }
+  }
+
+  /** 64-bit audio fingerprint over raw s16le PCM: the waveform's sample
+    * range splits into 65 proportional windows (floor boundaries
+    * `k·ns/65` — the [[resizePlane]] arithmetic on the time axis), each
+    * reduced to its exact integer energy Σs², and bit k compares adjacent
+    * windows `E(k) > E(k+1)` — the audio analog of [[dhash64]]: a
+    * loudness-PROFILE hash, invariant to exact global gain (both sides of
+    * every comparison scale together) and stable under time stretching
+    * (windows are proportional — exact when the boundary arithmetic
+    * aligns, e.g. integer-factor resampling of a 65-multiple length;
+    * otherwise boundary rounding can move isolated bits, which the
+    * Hamming-tolerant pairing absorbs), sensitive to where in the clip
+    * the energy lives.
+    * Clips shorter than 65 samples cannot fill every window and are
+    * dropped. Rendered as 16 uppercase hex chars (byte k/8, bit weight
+    * `1 << (k%8)`), ready for [[dhashPairs]]' block LSH. Pure integer
+    * arithmetic — bitwise portable.
+    */
+  def afpPcm16(withBinary: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte])
+          val ns = bytes.length / 2
+          if (ns < 65) None
+          else {
+            val e = new Array[Long](65)
+            var k = 0
+            while (k < 65) {
+              val from = k * ns / 65
+              val until = (k + 1) * ns / 65
+              var sumSq = 0L
+              var i = from
+              while (i < until) {
+                val u = (bytes(2 * i + 1) & 0xff) * 256 + (bytes(2 * i) & 0xff)
+                val s = if (u > 32767) u - 65536 else u
+                sumSq += s.toLong * s
+                i += 1
+              }
+              e(k) = sumSq
+              k += 1
+            }
+            val sb = new java.lang.StringBuilder(16)
+            var b = 0
+            while (b < 8) {
+              var byteVal = 0
+              var j = 0
+              while (j < 8) {
+                if (e(b * 8 + j) > e(b * 8 + j + 1)) byteVal |= 1 << j
+                j += 1
+              }
+              sb.append(f"$byteVal%02X")
+              b += 1
+            }
+            Some((id, sb.toString))
+          }
+        }
+      }
+      .toDF(idCol, "afp")
+  }
+
+  /** Deterministic near-duplicate variant of a RAW binary payload (no
+    * container header): byte 0 complemented when `flip`, identity
+    * otherwise; ids shift by `idShift`. The audio twin of [[ppmVariant]].
+    */
+  def binaryVariant(withBinary: DataFrame, idShift: Long, flipCol: String,
+      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol), col(flipCol).cast("boolean"))
+      .as[(Long, Array[Byte], Boolean)]
+      .map { case (id, bytesOrNull, flip) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty[Byte]).clone()
+        if (flip && bytes.nonEmpty) bytes(0) = (~bytes(0)).toByte
+        (id + idShift, bytes)
+      }
+      .toDF(idCol, binCol)
   }
 
   final case class WavAudio(sampleRate: Int, fmtTag: Int, bits: Int, dataOffset: Int, dataLen: Int)
