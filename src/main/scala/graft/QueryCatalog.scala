@@ -2812,6 +2812,74 @@ object QueryCatalog {
       |            ELSE 2.0 * coalesce(tc.tri, 0) / (deg.deg * (deg.deg - 1)) END AS lcc
       |FROM deg LEFT JOIN tc ON tc.h = deg.h""".stripMargin
 
+  /** Multi-source BFS crawl distance over the host graph — seeds are the
+    * whitelist hosts `h % 16 = 0`, 8 fixed synchronous rounds of the
+    * BIGINT min/plus recurrence ([[graft.ext.Graph.bfs]]). The oracle
+    * UNROLLS all 8 rounds as chained CTEs replaying the exact
+    * `least(d, min(in-depth)+1)` step with the same 2^30 unreached
+    * sentinel, so a transposed edge direction, an off-by-one hop, a
+    * wrong sentinel comparison, or a dropped round fails the hash.
+    */
+  private val qHostBfs: (SparkSession, String) => DataFrame = (s, dir) => {
+    val edges = Graph.hostEdges(table(s, dir, "documents"))
+    val seeds = edges.select(col("src").as("h")).union(edges.select(col("dst").as("h")))
+      .distinct().filter(col("h") % 16 === 0)
+    Graph.bfs(edges, seeds, rounds = 8)
+  }
+
+  private val oHostBfs: String = {
+    val inf = Graph.Unreached
+    val iters = (1 to 8).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT n.h, least(n.d, coalesce(m.c, $inf)) AS d
+         |  FROM d${k - 1} n LEFT JOIN (
+         |    SELECT e.dst AS h, min(p.d) + 1 AS c FROM e JOIN d${k - 1} p ON p.h = e.src
+         |    GROUP BY e.dst) m ON m.h = n.h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dd AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM dd),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS h FROM e UNION SELECT DISTINCT dst FROM e),
+       |d0 AS (SELECT h, CASE WHEN h % 16 = 0 THEN 0 ELSE $inf END AS d FROM nodes),
+       |$iters
+       |SELECT h AS host,
+       |       (CASE WHEN d >= $inf THEN NULL ELSE d END)::BIGINT AS depth FROM d8""".stripMargin
+  }
+
+  /** Bounded k-core peel (k = 10, 8 rounds) over the undirected host
+    * graph — the link-robustness companion to `host_triangles`
+    * ([[graft.ext.Graph.kcore]]). The oracle unrolls every peel round
+    * (degree count -> survivor filter -> edge restriction) as chained
+    * CTEs plus the final survivor degree read-out, so a missed cascade
+    * round, a directed-degree slip, or an off-by-one in the >= k
+    * threshold fails the hash. GraphSpec asserts the fixture settles
+    * inside the 8-round budget, so the bounded result IS the k-core.
+    */
+  private val qHostKcore: (SparkSession, String) => DataFrame = (s, dir) =>
+    Graph.kcore(Graph.hostEdges(table(s, dir, "documents")), k = 10, rounds = 8)
+
+  private val oHostKcore: String = {
+    val k = 10
+    val iters = (1 to 8).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT h FROM (
+         |    SELECT u AS h FROM u${r - 1} UNION ALL SELECT v FROM u${r - 1}) t
+         |  GROUP BY h HAVING count(*) >= $k),
+         |u$r AS MATERIALIZED (SELECT u${r - 1}.u, u${r - 1}.v FROM u${r - 1}
+         |  JOIN a$r x ON x.h = u${r - 1}.u JOIN a$r y ON y.h = u${r - 1}.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dd AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM dd),
+       |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e0 WHERE src <> dst),
+       |$iters
+       |SELECT h AS host, count(*)::BIGINT AS core_deg FROM (
+       |  SELECT u AS h FROM u8 UNION ALL SELECT v FROM u8) t
+       |GROUP BY h HAVING count(*) >= $k""".stripMargin
+  }
+
   /** The fixed blocklist for the Aho–Corasick gate: phrases from the
     * corpus vocabulary, deliberately including self-overlapping patterns
     * ("table table", "a a") and a pattern that is a substring of another
@@ -4754,6 +4822,8 @@ object QueryCatalog {
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "host_triangles" -> qHostTriangles,
+    "host_bfs" -> qHostBfs,
+    "host_kcore" -> qHostKcore,
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
@@ -4910,6 +4980,8 @@ object QueryCatalog {
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "host_triangles" -> oHostTriangles,
+    "host_bfs" -> oHostBfs,
+    "host_kcore" -> oHostKcore,
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,

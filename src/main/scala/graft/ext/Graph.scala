@@ -268,4 +268,162 @@ object Graph {
           .as("lcc"))
     out
   }
+
+  /** Unreached sentinel for [[bfs]]: larger than any depth a bounded
+    * iteration can produce, small enough that `UNREACHED + 1` (the worst
+    * candidate arithmetic) stays far inside a BIGINT.
+    */
+  val Unreached: Long = 1L << 30
+
+  /** Multi-source BFS depths over the directed edge list, `rounds` fixed
+    * synchronous frontier expansions — the crawl-distance signal (how many
+    * link hops from the seed whitelist is this host?) that rank-style
+    * scores ([[pagerank]], [[hits]]) can't express. All arithmetic is
+    * BIGINT min/plus — order-free, so the result is bit-identical on any
+    * engine and the oracle unrolls the rounds as chained CTEs.
+    *
+    * Depths are monotone under the recurrence
+    *
+    *   d₀(v)   = 0 if v ∈ seeds else UNREACHED
+    *   dₖ(v)   = min(dₖ₋₁(v), min over in-edges (u,v) of dₖ₋₁(u) + 1)
+    *
+    * so a fixed `rounds = R` computes exact distances for every node
+    * within R hops of a seed (documented contract — the same
+    * bounded-iteration semantics as [[pagerank]]'s 10 rounds). Nodes
+    * still at UNREACHED after R rounds are emitted with `depth` NULL
+    * (isolated components / beyond the horizon).
+    *
+    * 100 TB shape: one shuffle per round (candidate min grouped by dst)
+    * plus the nodes left-join; per-round results persist + lineage-cut
+    * (the [[Clusters]] pattern), previous rounds unpersisted; edges
+    * partition once by src and are reused every round. The small-graph
+    * driver fast path runs the SAME integer recurrence (exactness is not
+    * at stake — GraphSpec pins both paths equal).
+    *
+    * No reference citation — `/root/reference/src/flinkarima.py` has no
+    * graph path; north-star crawl-pipeline scope.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, rounds: Int = 8,
+      driverEdgeThreshold: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col("h").cast("long")).distinct()
+    if (driverEdgeThreshold > 0 && e.count() <= driverEdgeThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sd = seed.collect().map(_.getLong(0)).toSet
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val byDst = es.groupBy(_._2)
+      var dep = nodes.map(h => h -> (if (sd(h)) 0L else Unreached)).toMap
+      var it = 0
+      while (it < rounds) {
+        dep = nodes.map { h =>
+          val cand = byDst.getOrElse(h, Array.empty[(Long, Long)])
+            .foldLeft(Unreached) { case (m, (u, _)) => math.min(m, dep(u) + 1) }
+          h -> math.min(dep(h), cand)
+        }.toMap
+        it += 1
+      }
+      e.unpersist()
+      import spark.implicits._
+      return nodes.map(h => (h, if (dep(h) >= Unreached) None else Some(dep(h))))
+        .toSeq.toDF("host", "depth")
+    }
+    val nodes = e.select(col("src").as("h")).union(e.select(col("dst").as("h")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var dep = cutLineage(
+      nodes.join(seed.withColumn("__s", lit(0L)), Seq("h"), "left")
+        .select(col("h"), coalesce(col("__s"), lit(Unreached)).as("d")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    while (it < rounds) {
+      val cand = e.join(dep.withColumnRenamed("h", "src"), "src")
+        .groupBy(col("dst").as("h")).agg((min(col("d")) + 1L).as("c"))
+      val next = cutLineage(
+        dep.join(cand, Seq("h"), "left")
+          .select(col("h"), least(col("d"), coalesce(col("c"), lit(Unreached))).as("d")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      dep.unpersist()
+      dep = next
+      it += 1
+    }
+    dep.select(col("h").as("host"),
+      when(col("d") >= Unreached, lit(null).cast("long")).otherwise(col("d")).as("depth"))
+  }
+
+  /** Bounded k-core peeling over the undirected distinct view of the edge
+    * list: `rounds` synchronous passes of "drop every node whose degree
+    * within the surviving subgraph is < k", emitting the survivors with
+    * their final within-core degree — the link-farm/community robustness
+    * signal ([[triangles]]' scaladoc): a node's PageRank can be inflated
+    * by a star of throwaway pages, but its k-core number cannot.
+    *
+    * Fixed `rounds = R` is the documented contract (the [[pagerank]]
+    * convention): the peel is monotone (survivor sets only shrink), so R
+    * rounds compute the exact k-core whenever the cascade settles within
+    * R passes — GraphSpec asserts the fixture reaches its fixed point
+    * (round R == round R−1) so the bounded result IS the k-core there.
+    *
+    * All-integer (degree counts, set membership) — order-free, bitwise
+    * on any engine; the oracle unrolls the peel as chained CTEs. 100 TB
+    * shape: one degree aggregate + one semi-join per round over a
+    * monotonically shrinking edge set; rounds persist + lineage-cut,
+    * previous rounds unpersisted. No reference citation — north-star
+    * crawl-pipeline scope.
+    */
+  def kcore(edges: DataFrame, k: Int = 14, rounds: Int = 8,
+      driverEdgeThreshold: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (driverEdgeThreshold > 0 && und.count() <= driverEdgeThreshold) {
+      var es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var it = 0
+      var deg = Map.empty[Long, Int]
+      while (it < rounds) {
+        deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity).map { case (h, g) => h -> g.length }
+        val alive = deg.filter(_._2 >= k).keySet
+        es = es.filter { case (u, v) => alive(u) && alive(v) }
+        it += 1
+      }
+      // survivors of the final pass, with degrees measured on the final edge set
+      val finalDeg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .map { case (h, g) => h -> g.length.toLong }
+      und.unpersist()
+      import spark.implicits._
+      return finalDeg.toSeq.filter(_._2 >= k).sortBy(_._1)
+        .toDF("host", "core_deg")
+    }
+    var cur = und
+    var it = 0
+    while (it < rounds) {
+      val deg = cur.select(col("u").as("h")).unionAll(cur.select(col("v").as("h")))
+        .groupBy("h").agg(count(lit(1)).as("dg"))
+      val alive = deg.filter(col("dg") >= k).select(col("h"))
+      val next = cutLineage(
+        cur.join(alive.withColumnRenamed("h", "u"), "u")
+          .join(alive.withColumnRenamed("h", "v"), "v")
+          .select(col("u"), col("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cur.unpersist() // at it = 0 this IS `und`, done once `next` materializes
+      cur = next
+      it += 1
+    }
+    val out = cur.select(col("u").as("h")).unionAll(cur.select(col("v").as("h")))
+      .groupBy("h").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .select(col("h").as("host"), col("core_deg"))
+    out
+  }
 }

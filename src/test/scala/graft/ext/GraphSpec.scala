@@ -173,4 +173,97 @@ class GraphSpec extends AnyFunSuite {
     assert(e1.keys.forall { case (s, d) => s >= 0 && s < 64 && d >= 0 && d < 64 })
     assert(e1.values.sum <= 500, "at most one link per doc")
   }
+
+  /** Driver replica of the bounded BFS recurrence. */
+  private def referenceBfs(
+      edges: Seq[(Long, Long)], seeds: Set[Long], rounds: Int): Map[Long, Option[Long]] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var dep = nodes.map(h => h -> (if (seeds(h)) 0L else Graph.Unreached)).toMap
+    (0 until rounds).foreach { _ =>
+      dep = nodes.map { h =>
+        val cand = edges.collect { case (u, v) if v == h => dep(u) + 1 }
+          .foldLeft(Graph.Unreached)(math.min)
+        h -> math.min(dep(h), cand)
+      }.toMap
+    }
+    dep.map { case (h, d) => h -> (if (d >= Graph.Unreached) None else Some(d)) }
+  }
+
+  test("bfs: chain depths, unreachable NULL, and the round horizon") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3; island 8 -> 9 never touched by the seed
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight")
+    val seeds = Seq(0L).toDF("h")
+    def run(r: Int) = Graph.bfs(edges, seeds, rounds = r).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(run(8) == Map(0L -> Some(0L), 1L -> Some(1L), 2L -> Some(2L), 3L -> Some(3L),
+      8L -> None, 9L -> None))
+    // a 2-round budget cannot see depth 3 — the bounded contract, not a bug
+    assert(run(2)(3L).isEmpty && run(2)(2L).contains(2L))
+  }
+
+  test("bfs: distributed path equals the driver recurrence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 250).map { _ =>
+      val s = rnd.nextInt(60).toLong; var d = rnd.nextInt(60).toLong
+      if (d == s) d = (d + 1) % 60
+      (s, d)
+    }.distinct
+    val seeds = Seq(0L, 16L, 32L)
+    val edf = edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "weight")
+    val want = referenceBfs(edges, seeds.toSet, 8)
+    val dist = Graph.bfs(edf, seeds.toDF("h"), rounds = 8, driverEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(dist == want)
+    val fast = Graph.bfs(edf, seeds.toDF("h"), rounds = 8)
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(fast == want)
+  }
+
+  /** Driver replica of the bounded k-core peel. */
+  private def referenceKcore(
+      edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    (0 until rounds).foreach { _ =>
+      val deg = (es.map(_._1) ++ es.map(_._2)).groupBy(identity).map { case (h, g) => h -> g.size }
+      val alive = deg.filter(_._2 >= k).keySet
+      es = es.filter { case (u, v) => alive(u) && alive(v) }
+    }
+    (es.map(_._1) ++ es.map(_._2)).groupBy(identity).map { case (h, g) => h -> g.size.toLong }
+      .filter(_._2 >= k)
+  }
+
+  test("kcore: pendant cascade peels down to the clique") {
+    import spark.implicits._
+    // 5-clique + a pendant chain 4-10-11: chain nodes die at k=3 in cascade
+    val clique = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 10L), (10L, 11L)))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight")
+    val got = Graph.kcore(edges, k = 3, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5L).map(_ -> 4L).toMap)
+  }
+
+  test("kcore: distributed equals the driver recurrence; 8 rounds reach the fixed point") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 400).map { _ =>
+      val s = rnd.nextInt(50).toLong; var d = rnd.nextInt(50).toLong
+      if (d == s) d = (d + 1) % 50
+      (s, d)
+    }.distinct
+    val edf = edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "weight")
+    val want = referenceKcore(edges, 10, 8)
+    val dist = Graph.kcore(edf, k = 10, rounds = 8, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
+    val fast = Graph.kcore(edf, k = 10, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+    // the peel is monotone and must have settled inside the budget
+    assert(referenceKcore(edges, 10, 9) == want, "fixture must reach its fixed point by round 8")
+  }
 }
