@@ -1758,8 +1758,12 @@ object QueryCatalog {
   private val qWinnowFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.winnow(table(s, dir, "documents"))
 
-  private val oWinnowFingerprints: String =
-    s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents
+  /** The winnow selection as a reusable CTE chain (ends at `sel`) —
+    * shared verbatim by `winnow_fingerprints` and `containment_pairs` so
+    * the two gates replay ONE fingerprint definition.
+    */
+  private val winnowCtes: String =
+    s"""d AS (SELECT doc_id, $normSql AS t FROM documents
        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
        |g AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65536) s(i)),
        |kg AS (SELECT doc_id, g.i AS pos, len(t) - 4 AS np,
@@ -1772,8 +1776,37 @@ object QueryCatalog {
        |      FROM kg),
        |sel AS (SELECT DISTINCT doc_id, (mv % 1048576)::BIGINT AS pos,
        |          (1099511627776 - mv // 1048576)::BIGINT AS fp
-       |        FROM v WHERE pos <= np - 3)
+       |        FROM v WHERE pos <= np - 3)""".stripMargin
+
+  private val oWinnowFingerprints: String =
+    s"""WITH $winnowCtes
        |SELECT doc_id, pos, fp FROM sel""".stripMargin
+
+  /** Directed winnow-fingerprint containment ([[graft.ext.Dedup
+    * .containmentPairs]]): the oracle reuses the winnow CTE chain
+    * verbatim, then replays set sizes from ALL distinct fingerprints,
+    * the df cap on the intersection join only, and both directed
+    * containments as single IEEE divisions over exact BIGINTs — so a
+    * size measured post-cap, a cap applied to sizes, or a transposed
+    * containment direction fails the hash.
+    */
+  private val qContainmentPairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.containmentPairs(table(s, dir, "documents"), threshold = 0.5, maxDf = 100000L)
+
+  private val oContainmentPairs: String =
+    s"""WITH $winnowCtes,
+       |fs AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS sz FROM fs GROUP BY 1),
+       |dfok AS MATERIALIZED (SELECT fp FROM fs GROUP BY fp HAVING count(*) <= 100000),
+       |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+       |       FROM fs a JOIN fs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       JOIN dfok ON dfok.fp = a.fp
+       |       GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared, za.sz AS sa, zb.sz AS sb,
+       |       shared::DOUBLE / za.sz::DOUBLE AS cont_a,
+       |       shared::DOUBLE / zb.sz::DOUBLE AS cont_b
+       |FROM sh JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+       |WHERE greatest(shared::DOUBLE / za.sz::DOUBLE, shared::DOUBLE / zb.sz::DOUBLE) >= 0.5""".stripMargin
 
   /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
     * exact-verify path. Sizes use ALL grams; the df cap limits only the
@@ -4717,6 +4750,7 @@ object QueryCatalog {
     "token_counts" -> qTokenCounts,
     "fingerprints" -> qFingerprints,
     "winnow_fingerprints" -> qWinnowFingerprints,
+    "containment_pairs" -> qContainmentPairs,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -4878,6 +4912,7 @@ object QueryCatalog {
     "token_counts" -> oTokenCounts,
     "fingerprints" -> oFingerprints,
     "winnow_fingerprints" -> oWinnowFingerprints,
+    "containment_pairs" -> oContainmentPairs,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,

@@ -245,6 +245,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed containment pairs from winnowed fingerprints — the
+    * quote/superset detector exact-duplicate and Jaccard dedup both miss:
+    * a document wholly CONTAINED in a larger one has low symmetric
+    * Jaccard but containment(a ⊂ b) = |fp(a) ∩ fp(b)| / |fp(a)| ≈ 1.
+    * Built on [[TextAnalysis.winnow]]'s (doc, fingerprint) relation —
+    * the standard winnowing-containment construction (Schleimer et al.,
+    * SIGMOD'03 §5, public algorithm), so the fingerprint subset already
+    * has the winnow guarantee (every shared run ≥ w+k−1 chars leaves a
+    * shared fingerprint).
+    *
+    * Output: unordered pairs `(id_a < id_b)` with the shared-fingerprint
+    * count, both distinct-fingerprint set sizes, and BOTH directed
+    * containments; pairs kept when either direction ≥ `threshold`.
+    *
+    * 100 TB shape (the [[ngramJaccardPairs]] round-7 topology): per-doc
+    * fingerprint-set dedup is one doc-keyed aggregate over winnow's
+    * already-doc-partitioned output (exchange reuse); each doc's set size
+    * rides the exploded rows as struct payload, so containment needs NO
+    * size join back; the df cap is a window count on the single
+    * fingerprint exchange, which the pair aggregate reuses. Ultra-common
+    * fingerprints past `maxDf` are excluded from the intersection only
+    * (sizes keep them) — the documented df-capped-containment contract,
+    * mirrored exactly by the oracle. The quadratic hazard (a boilerplate
+    * fingerprint shared by millions of docs) is bounded by that cap.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      k: Int = 5,
+      w: Int = 4,
+      maxDf: Long = 100000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fpSets = TextAnalysis.winnow(docs, k, w, idCol, textCol)
+      .groupBy(col("doc_id").as("id"))
+      .agg(collect_set(col("fp")).as("fs"))
+      .select(col("id"), size(col("fs")).cast("long").as("sz"), explode(col("fs")).as("f"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+    val admitted = fpSets
+      .withColumn("__df", count(lit(1)).over(byFp))
+      .filter(col("__df") <= maxDf)
+      .select(col("f"), struct(col("id"), col("sz")).as("p"))
+    orderedPairsWithinGroups(admitted, col("f"), col("p"))
+      .select(col("__a.id").as("id_a"), col("__a.sz").as("sa"),
+        col("__b.id").as("id_b"), col("__b.sz").as("sb"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "sa", "id_b", "sb")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("sa"), col("sb"),
+        (col("shared").cast("double") / col("sa").cast("double")).as("cont_a"),
+        (col("shared").cast("double") / col("sb").cast("double")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** MinHash signature columns: min over salted xxhash64 of each doc's grams.
     * Salting with the hash index (instead of affine permutations) keeps the
     * whole signature a single groupBy of `numHashes` min-aggregates, and each

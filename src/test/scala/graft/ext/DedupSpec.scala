@@ -430,4 +430,34 @@ class DedupSpec extends AnyFunSuite {
       assert(clean.isNullAt(clean.fieldIndex("largest_dropped_group")))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("containmentPairs: a contained quote scores ~1 in its own direction only") {
+    val rnd = new scala.util.Random(23)
+    def salad(n: Int, r: scala.util.Random): String =
+      Seq.fill(n)(('a' + r.nextInt(26)).toChar.toString + ('a' + r.nextInt(26)).toChar).mkString(" ")
+    val big = salad(120, rnd)                  // ~360 chars
+    val quote = big.substring(90, 290)         // a 200-char run of big
+    val other = salad(120, new scala.util.Random(99))
+    val got = Dedup.containmentPairs(docs(1L -> big, 2L -> quote, 3L -> other), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"only the quote pair should surface, got $got")
+    val (contBig, contQuote) = got((1L, 2L))
+    // direction: the QUOTE is contained in BIG, not vice versa
+    assert(contQuote >= 0.9, s"quote-side containment should be ~1, got $contQuote")
+    assert(contBig < contQuote, "the big doc is not contained in its own quote")
+  }
+
+  test("containmentPairs: identical docs hit exactly 1.0 both ways; df cap starves shared counts") {
+    val text = "the winnowing containment gate must see this exact duplicated sentence " * 3
+    val d = docs(1L -> text, 2L -> text)
+    val full = Dedup.containmentPairs(d, threshold = 0.5).collect()
+    assert(full.length == 1)
+    assert(full.head.getDouble(5) == 1.0 && full.head.getDouble(6) == 1.0)
+    assert(full.head.getLong(2) == full.head.getLong(3), "shared == size for identical docs")
+    // every fingerprint here has df = 2; capping at df <= 1 removes ALL
+    // intersection evidence while sizes are untouched -> no pair clears 0.5
+    val starved = Dedup.containmentPairs(d, threshold = 0.5, maxDf = 1L).collect()
+    assert(starved.isEmpty, "df cap must only starve the intersection, killing the pair")
+  }
 }
