@@ -2913,6 +2913,30 @@ object QueryCatalog {
        |GROUP BY h HAVING count(*) >= $k""".stripMargin
   }
 
+  /** Blocked exact edit-distance pairs ([[graft.ext.Dedup
+    * .editDistancePairs]]): `(lang, length DIV 16)` blocking, banded
+    * levenshtein kernel at maxDist 64. The oracle replays the block
+    * construction (including the ASCII gate and the block-size admission
+    * cap) and recomputes every surviving pair with DuckDB's own
+    * levenshtein — byte-based, which equals Spark's codepoint distance
+    * exactly on the ASCII-gated input — so a wrong band boundary, a
+    * leaked non-ASCII doc, a threshold off-by-one, or a banded-kernel
+    * bug in the −1 cutoff all fail the hash.
+    */
+  private val qEditDistancePairs: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.editDistancePairs(table(s, dir, "documents"), maxDist = 64)
+
+  private val oEditDistancePairs: String =
+    """WITH b AS (SELECT doc_id, text, lang, len(text) // 16 AS lb FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+      |             AND octet_length(text::BLOB) = len(text)),
+      |bc AS MATERIALIZED (SELECT lang, lb FROM b GROUP BY 1, 2 HAVING count(*) <= 4096),
+      |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |        levenshtein(a.text, c.text) AS dist
+      |      FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+      |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
+      |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
+
   /** The fixed blocklist for the Aho–Corasick gate: phrases from the
     * corpus vocabulary, deliberately including self-overlapping patterns
     * ("table table", "a a") and a pattern that is a substring of another
@@ -4751,6 +4775,7 @@ object QueryCatalog {
     "fingerprints" -> qFingerprints,
     "winnow_fingerprints" -> qWinnowFingerprints,
     "containment_pairs" -> qContainmentPairs,
+    "edit_distance_pairs" -> qEditDistancePairs,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -4913,6 +4938,7 @@ object QueryCatalog {
     "fingerprints" -> oFingerprints,
     "winnow_fingerprints" -> oWinnowFingerprints,
     "containment_pairs" -> oContainmentPairs,
+    "edit_distance_pairs" -> oEditDistancePairs,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,

@@ -299,6 +299,54 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
+  /** Blocked exact edit-distance pairs — the entity-resolution primitive
+    * for SHORT near-identical records (titles, names, OCR'd lines) where
+    * set-based similarity ([[ngramJaccardPairs]]) is too coarse: two
+    * strings one typo apart and two sharing the same word multiset score
+    * identically under Jaccard but differ by edit distance.
+    *
+    * Candidate generation is standard sorted-neighborhood-style blocking:
+    * `(langCol, length(text) DIV blockChars)` — only same-language docs in
+    * the same length band are compared, so the quadratic kernel runs
+    * within bounded blocks only ([[orderedPairsWithinGroups]]' `maxGroup`
+    * admission cap + `graft.oversize.edit_distance` observed drop
+    * counters bound the degenerate block). Docs whose lengths straddle a
+    * band boundary can be missed — the documented recall trade of every
+    * blocked ER scheme; widen with a second offset banding if the corpus
+    * needs it.
+    *
+    * The kernel is Spark's built-in banded `levenshtein(l, r, threshold)`
+    * (O(maxDist·n) per pair, returns −1 past the threshold — no full DP
+    * matrix at scale). Comparisons restrict to single-byte (ASCII) text
+    * on BOTH sides: Spark counts codepoints while DuckDB's oracle
+    * levenshtein counts bytes, and on ASCII the two meanings coincide —
+    * the documented gate contract (non-ASCII docs are excluded, not
+    * mis-measured; a codepoint-true unicode path would need a custom
+    * kernel the oracle could not replay).
+    *
+    * Output: `(id_a < id_b, dist)` for pairs at `dist <= maxDist`.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      maxDist: Int = 64,
+      blockChars: Int = 16,
+      maxBlock: Long = 4096L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull && col(langCol).isNotNull)
+      .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        struct(col(langCol), expr(s"length($textCol) DIV $blockChars")).as("blk"))
+    orderedPairsWithinGroups(base, col("blk"), struct(col("id"), col("t")),
+      maxGroup = maxBlock, observeTag = "edit_distance")
+      .filter(col("__a.id") < col("__b.id"))
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        levenshtein(col("__a.t"), col("__b.t"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** MinHash signature columns: min over salted xxhash64 of each doc's grams.
     * Salting with the hash index (instead of affine permutations) keeps the
     * whole signature a single groupBy of `numHashes` min-aggregates, and each

@@ -431,6 +431,29 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("editDistancePairs: classic distances inside a block; lang/band/ascii gates hold") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "kitten", "en"),                    // len 6, band 0
+      (2L, "sitting", "en"),                   // len 7, band 0 -> dist 3
+      (3L, "kitten", "de"),                    // same text, other lang: never compared
+      (4L, "kittén", "en"),                    // non-ASCII: excluded by the gate
+      (5L, "kitten kitten xx", "en"),          // len 16, band 1: other band than 1/2
+      (6L, "zzzzzzz", "en")                    // band 0 but dist 6/7 from 1,2 (kept at maxDist 8)
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.editDistancePairs(d, maxDist = 8, blockChars = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 3L, "kitten->sitting is the textbook 3")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }, "cross-lang must not pair")
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L }, "non-ASCII must be excluded")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L }, "cross-band must not pair")
+    assert(got.contains((1L, 6L)) && got.contains((2L, 6L)))
+    // tighten the threshold: the banded kernel's -1 must drop the far pairs
+    val tight = Dedup.editDistancePairs(d, maxDist = 3, blockChars = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tight == Map((1L, 2L) -> 3L))
+  }
+
   test("containmentPairs: a contained quote scores ~1 in its own direction only") {
     val rnd = new scala.util.Random(23)
     def salad(n: Int, r: scala.util.Random): String =
