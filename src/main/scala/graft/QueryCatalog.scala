@@ -4486,6 +4486,46 @@ object QueryCatalog {
        |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
        |SELECT series, t, bucket, x, ewma, resid FROM r""".stripMargin
 
+  /** Regular-grid gap fill with linear interpolation (TimeSeries
+    * .gapFill): one row per hourly slot in each series' observed span —
+    * exact cents for present hours, the fixed interpolation tree
+    * `pv + ((nv − pv)·(b − pb)) / (nb − pb)` for gaps. The oracle
+    * replays the grid (unnested generate_series per span), the
+    * prev/next-present window pair (IGNORE NULLS frames mirroring
+    * Spark's last/first), and the identical IEEE expression — so an
+    * off-by-one span, a frame that sees the current row, or a
+    * re-associated interpolation fails the hash.
+    */
+  private val qTsGapfill: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.gapFill(table(s, dir, "events"))
+
+  private val oTsGapfill: String =
+    s"""${oTsSeries.substring(0, oTsSeries.indexOf(",\nst AS"))},
+       |sp AS (SELECT series, min(bucket) AS b0, max(bucket) AS b1 FROM se GROUP BY 1),
+       |grid AS (SELECT series, unnest(generate_series(b0, b1)) AS bucket FROM sp),
+       |j AS (SELECT g.series, g.bucket, se.x
+       |      FROM grid g LEFT JOIN se ON se.series = g.series AND se.bucket = g.bucket),
+       |w AS (SELECT series, bucket, x,
+       |        last_value(CASE WHEN x IS NOT NULL THEN bucket END IGNORE NULLS)
+       |          OVER (PARTITION BY series ORDER BY bucket
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+       |        last_value(x IGNORE NULLS)
+       |          OVER (PARTITION BY series ORDER BY bucket
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+       |        first_value(CASE WHEN x IS NOT NULL THEN bucket END IGNORE NULLS)
+       |          OVER (PARTITION BY series ORDER BY bucket
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+       |        first_value(x IGNORE NULLS)
+       |          OVER (PARTITION BY series ORDER BY bucket
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+       |      FROM j)
+       |SELECT series, bucket,
+       |       CASE WHEN x IS NOT NULL THEN x::DOUBLE
+       |            ELSE pv::DOUBLE + ((nv - pv)::DOUBLE * (bucket - pb)::DOUBLE)
+       |                 / (nb - pb)::DOUBLE END AS value_cents,
+       |       x IS NULL AS filled
+       |FROM w""".stripMargin
+
   // ------------------------------------------------------ data-quality audit
 
   /** Expectation audit (DataQuality.audit) over a deterministically
@@ -4913,6 +4953,7 @@ object QueryCatalog {
     "dominant_period" -> qDominantPeriod,
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
+    "ts_gapfill" -> qTsGapfill,
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
@@ -5070,6 +5111,7 @@ object QueryCatalog {
     "dominant_period" -> oDominantPeriod,
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
+    "ts_gapfill" -> oTsGapfill,
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,

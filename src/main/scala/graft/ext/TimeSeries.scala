@@ -277,4 +277,54 @@ object TimeSeries {
       }(org.apache.spark.sql.Encoders.row(out))
       .toDF()
   }
+
+  /** Regular-grid gap fill with linear interpolation — the resampling
+    * step every downstream window model assumes ([[acf]]'s lag-k
+    * alignment and the SARIMAX season index are only meaningful on an
+    * equally-spaced series; a missing hour silently shifts every lag
+    * after it). Emits ONE row per (series, bucket) for every bucket in
+    * the series' observed span `[min bucket, max bucket]`:
+    *
+    *   - present buckets: the exact cents sum, `filled = false`;
+    *   - gap buckets: linear interpolation between the nearest present
+    *     neighbors, `filled = true` —
+    *       v = pv + ((nv − pv) · (b − pb)) / (nb − pb)
+    *     over exact BIGINT cents/buckets, ONE fixed IEEE tree (the
+    *     module-header bitwise convention; span edges are present by
+    *     construction, so both neighbors always exist).
+    *
+    * Scale shape: the bucket roll-up shuffle, one span aggregate +
+    * `sequence()` explode (one row per grid slot — bounded by span, not
+    * events), a (series, bucket) merge join, and two per-series windows
+    * (prev/next present observation) sharing ONE sort — nothing global,
+    * nothing quadratic. A pathologically sparse key (two events a year
+    * apart at minute buckets) explodes its OWN span only; cap spans
+    * upstream if the corpus allows sensor keys that outlive their data.
+    */
+  def gapFill(events: DataFrame, bucketMillis: Long = 3600000L,
+      keyCol: String = "event_type"): DataFrame = {
+    val present = bucketSeries(events, bucketMillis, keyCol).drop("t")
+    val grid = present.groupBy("series")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("series"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val joined = grid.join(present, Seq("series", "bucket"), "left")
+    val ord = Window.partitionBy("series").orderBy("bucket")
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val pb = last(when(col("x").isNotNull, col("bucket")), ignoreNulls = true).over(back)
+    val pv = last(col("x"), ignoreNulls = true).over(back)
+    val nb = first(when(col("x").isNotNull, col("bucket")), ignoreNulls = true).over(fwd)
+    val nv = first(col("x"), ignoreNulls = true).over(fwd)
+    joined
+      .withColumn("__pb", pb).withColumn("__pv", pv)
+      .withColumn("__nb", nb).withColumn("__nv", nv)
+      .select(col("series"), col("bucket"),
+        when(col("x").isNotNull, col("x").cast("double"))
+          .otherwise(col("__pv").cast("double") +
+            ((col("__nv") - col("__pv")).cast("double") *
+              (col("bucket") - col("__pb")).cast("double")) /
+              (col("__nb") - col("__pb")).cast("double"))
+          .as("value_cents"),
+        col("x").isNull.as("filled"))
+  }
 }

@@ -135,4 +135,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2).toSeq
     assert(got == Seq(("a", 0L, 325L, 1L), ("a", 1L, 50L, 2L)))
   }
+
+  test("gapFill: interior gaps interpolate on the cents grid, spans stay per-series") {
+    import spark.implicits._
+    // series a: hours 0,1,3,6 (gaps at 2,4,5); series b: dense 10,11
+    val e = Seq(
+      ("a", 0L, 1.00), ("a", 1L, 2.00), ("a", 3L, 4.00), ("a", 6L, 1.00),
+      ("b", 10L, 5.00), ("b", 11L, 6.00)
+    ).map { case (s, h, v) => (s, h * HourNanos, v) }.toDF("event_type", "ts", "value")
+    val got = TimeSeries.gapFill(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == 9, "7 slots for a (0..6) + 2 for b (10..11)")
+    assert(got(("a", 0L)) == (100.0, false) && got(("a", 1L)) == (200.0, false))
+    assert(got(("a", 2L)) == (300.0, true), "midpoint of 200 and 400")
+    assert(got(("a", 3L)) == (400.0, false))
+    // linear ramp 400 -> 100 over 3 hours: 300, 200 at hours 4, 5
+    assert(got(("a", 4L)) == (300.0, true) && got(("a", 5L)) == (200.0, true))
+    assert(got(("a", 6L)) == (100.0, false))
+    assert(got(("b", 10L)) == (500.0, false) && got(("b", 11L)) == (600.0, false))
+    // no slot bleeds outside either span
+    assert(!got.contains(("b", 9L)) && !got.contains(("a", 7L)))
+  }
+
+  test("gapFill: non-integral interpolation is the exact fixed IEEE tree; partition-invariant") {
+    import spark.implicits._
+    val e = Seq(("s", 0L, 0.00), ("s", 3L, 1.00))
+      .map { case (s, h, v) => (s, h * HourNanos, v) }.toDF("event_type", "ts", "value")
+    def run(parts: Int) = TimeSeries.gapFill(e.repartition(parts)).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val got = run(1)
+    // pv + ((nv-pv)*(b-pb))/(nb-pb) with pv=0, nv=100, nb=3
+    assert(got(1L) == 0.0 + ((100.0 - 0.0) * 1.0) / 3.0)
+    assert(got(2L) == 0.0 + ((100.0 - 0.0) * 2.0) / 3.0)
+    assert(run(1) == run(13), "grid + windows must be partition-invariant")
+  }
 }
