@@ -4526,6 +4526,30 @@ object QueryCatalog {
        |       x IS NULL AS filled
        |FROM w""".stripMargin
 
+  /** Deterministic negative sampling ([[graft.ext.Sampling
+    * .negativeSamples]]): md5-selected 64-item pool, per-anchor top-5
+    * cross-label negatives by pair-md5 rank, map-only on the Spark
+    * side. The oracle recomputes the pool (ORDER BY md5 LIMIT), the
+    * cross-label/self exclusions, and the per-anchor row_number rank —
+    * so a biased pool, a same-label leak, or a rank ordered by the
+    * wrong key fails the hash.
+    */
+  private val qNegativeSamples: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sampling.negativeSamples(table(s, dir, "embeddings"), k = 5, poolSize = 64)
+
+  private val oNegativeSamples: String =
+    """WITH c AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS lbl
+      |           FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+      |pool AS MATERIALIZED (SELECT id, lbl FROM c
+      |        ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 64),
+      |cand AS (SELECT a.id AS anchor_id, p.id AS cid,
+      |           md5(CAST(a.id AS VARCHAR) || '_' || CAST(p.id AS VARCHAR)) AS m
+      |         FROM c a JOIN pool p ON p.lbl <> a.lbl AND p.id <> a.id),
+      |r AS (SELECT anchor_id, cid,
+      |        row_number() OVER (PARTITION BY anchor_id ORDER BY m, cid) AS rnk
+      |      FROM cand)
+      |SELECT anchor_id, cid AS neg_id, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin
+
   // ------------------------------------------------------ data-quality audit
 
   /** Expectation audit (DataQuality.audit) over a deterministically
@@ -4954,6 +4978,7 @@ object QueryCatalog {
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
     "ts_gapfill" -> qTsGapfill,
+    "negative_samples" -> qNegativeSamples,
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
@@ -5112,6 +5137,7 @@ object QueryCatalog {
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
     "ts_gapfill" -> oTsGapfill,
+    "negative_samples" -> oNegativeSamples,
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,

@@ -271,6 +271,63 @@ object Sampling {
     df.withColumn("bucket", when(col(valueCol).isNull, 1).otherwise(bucket))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * every anchor row, `k` pseudo-random OTHER-label items drawn from a
+    * small shared candidate pool — the (anchor, negative) pairs a
+    * triplet/InfoNCE loss consumes. Randomness is md5 throughout (the
+    * [[deterministicSplit]] convention): the POOL is the `poolSize`
+    * items with the lexicographically smallest `md5(id)` (a fixed
+    * pseudo-random subset, identical on every run/engine), and each
+    * anchor's negatives are the `k` pool items with the smallest
+    * `md5(anchor_id || '_' || cand_id)` — a per-anchor permutation, so
+    * anchors don't all pick the same negatives. Same-label and self
+    * candidates are excluded; anchors with fewer than `k` cross-label
+    * pool items get what exists.
+    *
+    * 100 TB shape: the pool is a bounded global top-`poolSize`
+    * (TakeOrdered, no full sort) collected once (≤ poolSize rows on the
+    * driver — the bounded-collect convention), inlined as an array
+    * literal; the per-anchor select is then MAP-ONLY — filter,
+    * transform, sort_array (poolSize elements), slice, posexplode — no
+    * join, no window, no shuffle anywhere. Output rows: anchors × k.
+    *
+    * Output: `(anchor_id, neg_id, rnk)` with `rnk` 1-based in hash
+    * order.
+    */
+  def negativeSamples(
+      items: DataFrame,
+      k: Int = 5,
+      poolSize: Int = 64,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && poolSize >= 1, "k and poolSize must be positive")
+    val clean = items
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(labelCol).cast("long").as("lbl"))
+    val pool = clean
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (pool.isEmpty)
+      return clean.select(col("id").as("anchor_id"), lit(0L).as("neg_id"),
+        lit(0L).as("rnk")).limit(0)
+    val poolArr = array(pool.map { case (i, l) =>
+      struct(lit(i).as("pid"), lit(l).as("plbl"))
+    }.toIndexedSeq: _*)
+    clean
+      .select(col("id").as("anchor_id"),
+        slice(
+          sort_array(transform(
+            filter(poolArr, p => p.getField("plbl") =!= col("lbl") && p.getField("pid") =!= col("id")),
+            p => struct(
+              md5(concat(col("id").cast("string"), lit("_"), p.getField("pid").cast("string"))).as("m"),
+              p.getField("pid").as("cid")))),
+          1, k).as("top"))
+      .select(col("anchor_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("anchor_id"), col("s.cid").as("neg_id"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Reference implementation for tests (and for consumers outside Spark). */
   def splitOf(id: String, splits: Seq[(String, Double)]): String = {
     val hex = java.security.MessageDigest.getInstance("MD5")

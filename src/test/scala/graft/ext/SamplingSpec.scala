@@ -296,4 +296,42 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.boundaryBuckets(df, "v", Seq(20.0, 10.0)))
     intercept[IllegalArgumentException](Sampling.boundaryBuckets(df, "v", Seq.empty))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("negativeSamples: equals the driver-side md5 reference; label/self/k invariants hold") {
+    import spark.implicits._
+    val items = (0L until 200L).map(i => (i, i % 4)).toDF("vec_id", "label")
+    val got = Sampling.negativeSamples(items, k = 5, poolSize = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver reference: same pool rule, same pair-hash rank
+    val pool = (0L until 200L).map(i => (md5hex(i.toString), i))
+      .sorted.take(16).map { case (_, i) => (i, i % 4) }
+    val want = (0L until 200L).flatMap { a =>
+      pool.filter { case (pid, plbl) => plbl != a % 4 && pid != a }
+        .map { case (pid, _) => (md5hex(s"${a}_$pid"), pid) }
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, pid), ix) => (a, pid, ix + 1L) }
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.values.forall(_.length == 5), "4 labels x 16-pool: every anchor finds 5")
+    assert(got.forall { case (a, n, _) => a % 4 != n % 4 && a != n })
+    // determinism across runs and partitionings
+    val again = Sampling.negativeSamples(items.repartition(7), k = 5, poolSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("negativeSamples: an anchor whose label covers the pool gets nothing, not same-label fill") {
+    import spark.implicits._
+    // pool will be all label 0; the lone label-1 anchor gets negatives, label-0 anchors get none
+    val items = ((0L until 30L).map(i => (i, 0L)) :+ (99L, 1L)).toDF("vec_id", "label")
+    val got = Sampling.negativeSamples(items, k = 3, poolSize = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.forall(_._1 == 99L), s"only the cross-label anchor can sample: $got")
+    assert(got.length == 3)
+  }
 }
