@@ -4550,6 +4550,40 @@ object QueryCatalog {
       |      FROM cand)
       |SELECT anchor_id, cid AS neg_id, rnk::BIGINT AS rnk FROM r WHERE rnk <= 5""".stripMargin
 
+  /** Chi-square independence audit ([[graft.ext.DataQuality.chiSquare]])
+    * between document language and source — one row per contingency
+    * cell with observed/marginal/total counts and the exact-input IEEE
+    * expected + contribution. The oracle replays cell counts, all three
+    * window marginals (cast back from DuckDB's HUGEINT window sums),
+    * and the identical expression trees — so a transposed marginal, an
+    * n that excludes null-category rows differently, or a re-associated
+    * contribution fails the hash. The statistic TOTAL is deliberately
+    * unemitted (cross-cell double sums are order-dependent; SURVEY §8).
+    */
+  private val qLangSourceChi2: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.DataQuality.chiSquare(table(s, dir, "documents"), "lang", "source")
+
+  private val oLangSourceChi2: String =
+    """WITH c0 AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS cnt
+      |           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |           GROUP BY 1, 2),
+      |c AS (SELECT ga.a, gb.b, coalesce(c0.cnt, 0)::BIGINT AS observed
+      |      FROM (SELECT DISTINCT a FROM c0) ga
+      |      CROSS JOIN (SELECT DISTINCT b FROM c0) gb
+      |      LEFT JOIN c0 ON c0.a = ga.a AND c0.b = gb.b),
+      |w AS (SELECT a, b, observed,
+      |        sum(observed) OVER (PARTITION BY a) AS na,
+      |        sum(observed) OVER (PARTITION BY b) AS nb,
+      |        sum(observed) OVER () AS n
+      |      FROM c),
+      |e AS (SELECT a, b, observed, na::BIGINT AS na, nb::BIGINT AS nb, n::BIGINT AS n,
+      |        (na::DOUBLE * nb::DOUBLE) / n::DOUBLE AS expected
+      |      FROM w)
+      |SELECT a AS lang, b AS source, observed, na, nb, n, expected,
+      |       (observed::DOUBLE - expected) * (observed::DOUBLE - expected) / expected
+      |         AS contribution
+      |FROM e""".stripMargin
+
   // ------------------------------------------------------ data-quality audit
 
   /** Expectation audit (DataQuality.audit) over a deterministically
@@ -4979,6 +5013,7 @@ object QueryCatalog {
     "ewma_smooth" -> qEwmaSmooth,
     "ts_gapfill" -> qTsGapfill,
     "negative_samples" -> qNegativeSamples,
+    "lang_source_chi2" -> qLangSourceChi2,
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
@@ -5138,6 +5173,7 @@ object QueryCatalog {
     "ewma_smooth" -> oEwmaSmooth,
     "ts_gapfill" -> oTsGapfill,
     "negative_samples" -> oNegativeSamples,
+    "lang_source_chi2" -> oLangSourceChi2,
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,

@@ -131,4 +131,48 @@ object DataQuality {
       .reduce(_ unionByName _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** Chi-square independence audit between two categorical columns — the
+    * dataset-bias check ("is language independent of source?") a corpus
+    * card reports before training. Emits ONE ROW PER CELL of the
+    * contingency table with observed count, marginals, expected count
+    * `e = (na·nb)/n`, and the cell's chi-square contribution
+    * `(o − e)²/e` — each a FIXED IEEE tree over exact BIGINT counts, so
+    * every row is bitwise portable. The statistic total is deliberately
+    * NOT emitted: a cross-cell double sum is aggregation-order-dependent
+    * and would break the bitwise gate; consumers sum contributions in a
+    * pinned order (or accept last-bit noise) themselves.
+    *
+    * Scale shape: one hash aggregate on (a, b) — the only corpus-wide
+    * shuffle, carrying one row per CELL, not per input row — then three
+    * window sums over the cell relation, whose size is |A|·|B|
+    * (categorical cardinalities, not data size). The `OVER ()` grand
+    * total routes all cells through one task — bounded by the same
+    * |A|·|B|, the documented contract (this is a contingency-table
+    * operator, not a join).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // the FULL grid, zero cells included — an empty cell contributes its
+    // whole expected count to the statistic; omitting it understates chi²
+    val cells = counts.select(col("a")).distinct()
+      .crossJoin(counts.select(col("b")).distinct())
+      .join(counts, Seq("a", "b"), "left")
+      .withColumn("observed", coalesce(col("cnt"), lit(0L))).drop("cnt")
+      .withColumn("na", sum("observed").over(w.partitionBy("a")))
+      .withColumn("nb", sum("observed").over(w.partitionBy("b")))
+      .withColumn("n", sum("observed").over(w.partitionBy()))
+      .withColumn("expected",
+        (col("na").cast("double") * col("nb").cast("double")) / col("n").cast("double"))
+    cells.select(
+      col("a").as(aCol), col("b").as(bCol),
+      col("observed"), col("na"), col("nb"), col("n"), col("expected"),
+      ((col("observed").cast("double") - col("expected")) *
+        (col("observed").cast("double") - col("expected")) / col("expected"))
+        .as("contribution"))
+  }
 }

@@ -81,4 +81,28 @@ class DataQualitySpec extends AnyFunSuite {
       audit(Map("a" -> parent), Seq(NotNull("b", "x")))
     }
   }
+
+  test("chiSquare: hand-computed 2x2 with a zero cell; nulls excluded everywhere") {
+    import spark.implicits._
+    // x: 1 p, 1 q; y: 2 p, 0 q  (plus a null-category row that must not count)
+    val df = Seq(
+      Some("x") -> Some("p"), Some("x") -> Some("q"),
+      Some("y") -> Some("p"), Some("y") -> Some("p"),
+      None -> Some("p"), Some("x") -> None
+    ).toDF("lang", "source")
+    val got = DataQuality.chiSquare(df, "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(got.size == 4, "full grid incl. the zero cell")
+    assert(got(("x", "p")) == (1L, 2L, 3L, 4L, 1.5, (1.0 - 1.5) * (1.0 - 1.5) / 1.5))
+    assert(got(("x", "q")) == (1L, 2L, 1L, 4L, 0.5, (1.0 - 0.5) * (1.0 - 0.5) / 0.5))
+    assert(got(("y", "p")) == (2L, 2L, 3L, 4L, 1.5, (2.0 - 1.5) * (2.0 - 1.5) / 1.5))
+    // the zero cell contributes its whole expected mass
+    assert(got(("y", "q")) == (0L, 2L, 1L, 4L, 0.5, (0.0 - 0.5) * (0.0 - 0.5) / 0.5))
+    // full-independence corner: uniform table -> all contributions exactly 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("lang", "source")
+    val z = DataQuality.chiSquare(indep, "lang", "source").collect()
+    assert(z.forall(r => r.getDouble(7) == 0.0))
+  }
 }
