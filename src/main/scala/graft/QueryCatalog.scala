@@ -3418,6 +3418,35 @@ object QueryCatalog {
        |  FROM scored)
        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 10""".stripMargin
 
+  /** Hard-negative mining ([[graft.ext.Similarity.hardNegatives]]): the
+    * `cosine_topk` scaffold with a cross-label gate in the kernel —
+    * anchors are the `vec_id % 25 = 0` batch, negatives the top-10
+    * highest-cosine different-label corpus vectors. The oracle replays
+    * the scoring join (same `list_reduce` dot fold), the label/self
+    * exclusions, and the (cosine DESC, id) rank, so a same-label leak, a
+    * missing self-exclusion, or a tie broken the other way fails the
+    * hash.
+    */
+  private val qHardNegatives: (SparkSession, String) => DataFrame = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 25 === 0), k = 10)
+  }
+
+  private val oHardNegatives: String =
+    s"""WITH n AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS double)) AS e,
+       |                  ${normSqlExpr("embedding")} AS nrm, CAST(label AS BIGINT) AS lbl
+       |           FROM embeddings
+       |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL),
+       |q AS (SELECT * FROM n WHERE id % 25 = 0),
+       |scored AS (
+       |  SELECT q.id AS anchor_id, c.id AS neg_id, ${dotSql("q.e", "c.e")} / (q.nrm * c.nrm) AS cosine
+       |  FROM n c JOIN q ON q.lbl <> c.lbl AND q.id <> c.id),
+       |ranked AS (
+       |  SELECT anchor_id, row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, neg_id) AS rnk,
+       |         neg_id, cosine
+       |  FROM scored)
+       |SELECT anchor_id, rnk, neg_id, cosine FROM ranked WHERE rnk <= 10""".stripMargin
+
   /** k-NN majority-label vote (auto-labeling): exact top-10 neighbors per
     * query + a deterministic (votes desc, label asc) pick. The oracle
     * replays oCosineTopK's ranking (already proven bitwise against the
@@ -4908,6 +4937,7 @@ object QueryCatalog {
     "decontaminate" -> qDecontaminate,
     "cosine_pairs_exact" -> qCosinePairs,
     "cosine_topk" -> qCosineTopK,
+    "hard_negatives" -> qHardNegatives,
     "knn_label_vote" -> qKnnLabelVote,
     "ivf_topk" -> qIvfTopK,
     "ivf_topk_full" -> qIvfTopKFull,
@@ -5072,6 +5102,7 @@ object QueryCatalog {
     "decontaminate" -> oDecontaminate,
     "cosine_pairs_exact" -> oCosinePairs,
     "cosine_topk" -> oCosineTopK,
+    "hard_negatives" -> oHardNegatives,
     "knn_label_vote" -> oKnnLabelVote,
     "ivf_topk_full" -> oCosineTopK,
     "pq_topk_full" -> oPqTopKFull,

@@ -242,6 +242,63 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` HIGHEST-cosine corpus vectors whose label differs — the
+    * near-miss negatives a triplet/InfoNCE loss learns most from
+    * (random negatives, [[graft.ext.Sampling.negativeSamples]], are the
+    * cheap complement; these are the expensive informative ones). The
+    * [[bruteForceTopK]] topology with a label gate in the kernel:
+    * anchors (a training batch — bounded, enforced) broadcast with their
+    * labels; ONE corpus scan scores each row against every
+    * different-label anchor through the SHARED left-to-right dot kernel
+    * (bitwise equal to the oracle's `list_reduce` fold); partial top-k
+    * per (anchor, partition) via [[graft.functions.TopKAggregator]], so
+    * the shuffle carries k rows per anchor per partition — never the
+    * |A|×|C| cross product, and never a window sort.
+    *
+    * Output: (anchor_id, rnk 1-based, neg_id, cosine). Corpus rows with
+    * NULL label never match (they cannot be certified cross-label).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val aRows = anchors
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)), col(labelCol).cast("long"))
+      .as[(Long, Seq[Double], Long)]
+      .limit(100001)
+      .collect()
+    require(aRows.length <= 100000,
+      "anchor set exceeds 100000 vectors; this path broadcasts the anchors — mine in batches")
+    val qs = aRows.map { case (id, v, lbl) => (id, v.toArray, normOf(v.toArray), lbl) }
+    val bc = spark.sparkContext.broadcast(qs)
+    val scored = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("long"), toDoubleArray(col(vecCol)), col(labelCol).cast("long"))
+      .as[(Long, Seq[Double], Long)]
+      .map { case (id, v, lbl) => (id, v.toArray, lbl) }
+      .mapPartitions { rows =>
+        val as = bc.value
+        rows.flatMap { case (idC, c, lblC) =>
+          val nrmC = normOf(c)
+          as.iterator.flatMap { case (idA, av, nrmA, lblA) =>
+            if (lblA == lblC || idA == idC) Iterator.empty
+            else Iterator.single((idA, idC, dotOf(av, c) / (nrmA * nrmC)))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKSelect(scored, k)
+      .select(col("query_id").as("anchor_id"), col("rnk"),
+        col("neighbor_id").as("neg_id"), col("cosine"))
+  }
+
   /** Deterministic k-means on a driver-side sample: init = first `k` vectors
     * (in sample order), fixed Lloyd iterations, L2 on raw vectors.
     */

@@ -415,4 +415,43 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(ivf == exact)
   }
+
+  test("hardNegatives: same-label twins are excluded even at cosine 1; rank matches the window reference") {
+    import spark.implicits._
+    // anchor 0 (label 0): id 1 is its exact twin but SAME label; ids 2..4
+    // are progressively farther with label 1 — they must be the negatives
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),       // same-label twin — never a negative
+      (2L, Seq(0.9f, 0.1f, 0.0f), 1),
+      (3L, Seq(0.5f, 0.5f, 0.0f), 1),
+      (4L, Seq(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(rows, rows.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 3L), (3L, 4L)), s"cross-label cosine order, twin excluded: $got")
+  }
+
+  test("hardNegatives equals a label-gated window-rank reference on the sf0.001 fixture") {
+    import graft.functions.VectorFunctions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val got = Similarity.hardNegatives(emb, anchors, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val prep = (df: DataFrame, id: String, e: String, n: String, l: String) =>
+      df.filter(col("label").isNotNull)
+        .select(col("vec_id").as(id), toDoubleArray(col("embedding")).as(e), col("label").cast("long").as(l))
+        .withColumn(n, l2Norm(col(e)))
+    val scored = prep(emb, "neg_id", "ec", "nc", "lc")
+      .join(broadcast(prep(anchors, "anchor_id", "ea", "na", "la")),
+        col("anchor_id") =!= col("neg_id") && col("la") =!= col("lc"))
+      .select(col("anchor_id"), col("neg_id"),
+        cosineWithNorms(col("ea"), col("ec"), col("na"), col("nc")).as("cosine"))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("neg_id"))
+    val ref = scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 7)
+      .select("anchor_id", "rnk", "neg_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == ref.toSeq)
+    assert(got.forall(_._2 <= 7))
+  }
 }
