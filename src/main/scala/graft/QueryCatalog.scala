@@ -1494,7 +1494,11 @@ object QueryCatalog {
   private val qRankedRetrieval: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.rankedRetrieval(table(s, dir, "documents"), retrievalQueries, topK = 10)
 
-  private val oRankedRetrieval: String = {
+  /** Shared BM25 CTE chain ending at the per-(query, doc) rank relation
+    * `r` — used verbatim by `ranked_retrieval` and `rrf_fusion` so both
+    * gates replay ONE scoring definition.
+    */
+  private val oBm25Body: String = {
     val terms = retrievalQueries.flatMap(_._2).distinct
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val values = retrievalQueries
@@ -1520,9 +1524,41 @@ object QueryCatalog {
        |       FROM c JOIN q ON q.term = c.token GROUP BY 1, 2),
        |r AS (SELECT query_id, doc_id, score,
        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-       |      FROM qc)
-       |SELECT query_id, rnk::BIGINT AS rank, doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+       |      FROM qc)""".stripMargin
   }
+
+  private val oRankedRetrieval: String =
+    s"""$oBm25Body
+       |SELECT query_id, rnk::BIGINT AS rank, doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+
+  /** Reciprocal-rank fusion ([[graft.ext.TextAnalysis.rrfFusion]]): the
+    * BM25 top-20 pool per query re-ranked by
+    * `1/(60 + bm25_rank) + 1/(60 + prior_rank)` with a doc-token-length
+    * prior. The oracle reuses the BM25 CTE chain verbatim, replays both
+    * pool windows (prior by `(dl DESC, doc_id)`, final by
+    * `(rrf DESC, doc_id)`) and the identical two-division IEEE tree —
+    * so a pool cut at the wrong depth, a transposed tie order, or a
+    * fused score computed from scores instead of ranks fails the hash.
+    */
+  private val qRrfFusion: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.rrfFusion(table(s, dir, "documents"), retrievalQueries,
+      topK = 10, poolK = 20, kRrf = 60)
+
+  private val oRrfFusion: String =
+    s"""$oBm25Body,
+       |pool AS (SELECT query_id, rnk::BIGINT AS bm25_rank, doc_id FROM r WHERE rnk <= 20),
+       |pr AS (SELECT p.query_id, p.doc_id, p.bm25_rank,
+       |         row_number() OVER (PARTITION BY p.query_id ORDER BY dl.dl DESC, p.doc_id)
+       |           AS prior_rank
+       |       FROM pool p JOIN dl ON dl.doc_id = p.doc_id),
+       |f AS (SELECT query_id, doc_id, bm25_rank, prior_rank::BIGINT AS prior_rank,
+       |        1.0 / (60.0 + bm25_rank::DOUBLE) + 1.0 / (60.0 + prior_rank::DOUBLE) AS rrf
+       |      FROM pr),
+       |fr AS (SELECT query_id, doc_id, bm25_rank, prior_rank, rrf,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |       FROM f)
+       |SELECT query_id, rank::BIGINT AS rank, doc_id, bm25_rank, prior_rank, rrf
+       |FROM fr WHERE rank <= 10""".stripMargin
 
   /** Gear-hash content-defined chunking under the gate: the oracle
     * recomputes EVERY position's rolling hash from the closed form
@@ -4911,6 +4947,7 @@ object QueryCatalog {
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
     "ranked_retrieval" -> qRankedRetrieval,
+    "rrf_fusion" -> qRrfFusion,
     "phrase_retrieval" -> qPhraseRetrieval,
     "crawl_pipeline" -> qCrawlPipeline,
     "bitpack_blocks" -> qBitpackBlocks,
@@ -5078,6 +5115,7 @@ object QueryCatalog {
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,
     "ranked_retrieval" -> oRankedRetrieval,
+    "rrf_fusion" -> oRrfFusion,
     "phrase_retrieval" -> oPhraseRetrieval,
     "crawl_pipeline" -> oCrawlPipeline,
     "bitpack_blocks" -> oBitpackBlocks,

@@ -279,6 +279,49 @@ object TextAnalysis {
         col("s.score").as("score"))
   }
 
+  /** Reciprocal-rank fusion of BM25 relevance with a document-quality
+    * prior — the standard hybrid-retrieval combiner (Cormack et al.,
+    * SIGIR'09): for each query, the BM25 top-`poolK` CANDIDATE POOL is
+    * re-ranked by `1/(kRrf + bm25_rank) + 1/(kRrf + prior_rank)`, where
+    * `prior_rank` orders the pool by document token length (the crude
+    * deterministic quality prior; swap in any per-doc score). Fusing
+    * ranks instead of scores needs no calibration between the two
+    * signals — the property that made RRF the default fusion baseline.
+    *
+    * Scale shape: everything after [[rankedRetrieval]] operates on the
+    * POOL — |queries|·poolK rows — so both rank windows and the final
+    * top-`topK` cut are bounded per query, never corpus-wide; the one
+    * join attaches the doc-length prior to pool rows (AQE broadcasts the
+    * pool side). Rank inputs are exact integers; the fused score is a
+    * fixed two-division IEEE tree — bitwise portable.
+    *
+    * Output: (query_id, rank, doc_id, bm25_rank, prior_rank, rrf).
+    */
+  def rrfFusion(
+      docs: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      topK: Int = 10,
+      poolK: Int = 20,
+      kRrf: Int = 60,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pool = rankedRetrieval(docs, queries, topK = poolK, idCol = idCol, textCol = textCol)
+      .withColumnRenamed("rank", "bm25_rank")
+    val dl = docs.select(col(idCol),
+      size(array_remove(tokens(col(textCol)), "")).cast("long").as("__dl"))
+    val wPrior = Window.partitionBy("query_id").orderBy(col("__dl").desc, col(idCol))
+    val wFinal = Window.partitionBy("query_id").orderBy(col("rrf").desc, col(idCol))
+    pool.join(dl, idCol)
+      .withColumn("prior_rank", row_number().over(wPrior).cast("long"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(kRrf.toDouble) + col("bm25_rank").cast("double")) +
+          lit(1.0) / (lit(kRrf.toDouble) + col("prior_rank").cast("double")))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("bm25_rank"), col("prior_rank"), col("rrf"))
+  }
+
   /** Trending terms between two corpus snapshots: document frequency in
     * the "old" half vs the "new" half (split deterministically on the
     * id), scored by the add-one growth ratio `(df_new + 1)/(df_old + 1)`

@@ -1,6 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -338,5 +340,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     (1 to (npA - 3)).foreach { ws =>
       assert((ws until ws + 4).exists(p => posA.contains(p.toLong)), s"window at $ws uncovered")
     }
+  }
+
+  test("rrfFusion: rank arithmetic is exact; the length prior can overturn a BM25 margin") {
+    import spark.implicits._
+    // d1 and d2 both match 'needle' once; d2 is much longer, so BM25's
+    // length normalization ranks d1 FIRST — but the length prior ranks d2
+    // first, and with equal bm25-vs-prior weights the fused order flips
+    // nothing at rank 1... unless the prior margin dominates the tie.
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"needle one two"),
+      (2L, s"needle $filler")
+    ).toDF("doc_id", "text")
+    val q = Seq("q1" -> Seq("needle"))
+    val got = TextAnalysis.rrfFusion(docs, q, topK = 10, poolK = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    // BM25: d1 (short) beats d2 (long); prior: d2 (41 tokens) beats d1 (3)
+    val Seq(first, second) = got.toSeq
+    assert(got.map(t => (t._2, t._3, t._4)).toSet ==
+      Set((1L, 1L, 2L), (2L, 2L, 1L)), s"component ranks: $got")
+    // both fuse to 1/61 + 1/62 — the exact tie breaks by doc_id
+    val tied = 1.0 / 61.0 + 1.0 / 62.0
+    assert(first._5 == tied && second._5 == tied)
+    assert(first._2 == 1L, "doc_id tie-break puts doc 1 first")
+  }
+
+  test("rrfFusion equals the window reference over the ranked-retrieval pool on sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = Seq("qa" -> Seq("table", "scan"), "qb" -> Seq("fast", "key", "merge"))
+    val got = TextAnalysis.rrfFusion(docs, queries, topK = 5, poolK = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val pool = TextAnalysis.rankedRetrieval(docs, queries, topK = 15)
+      .withColumnRenamed("rank", "bm25_rank")
+    val dl = docs.select(col("doc_id"),
+      size(array_remove(graft.functions.TextFunctions.tokens(col("text")), "")).cast("long").as("dl"))
+    val wP = Window.partitionBy("query_id").orderBy(col("dl").desc, col("doc_id"))
+    val ref = pool.join(dl, "doc_id")
+      .withColumn("prior_rank", row_number().over(wP).cast("long"))
+      .withColumn("rrf", lit(1.0) / (lit(60.0) + col("bm25_rank").cast("double"))
+        + lit(1.0) / (lit(60.0) + col("prior_rank").cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("rank")), r.getLong(r.fieldIndex("doc_id")))).sorted.toSeq
+    assert(got == ref)
   }
 }
