@@ -1560,6 +1560,38 @@ object QueryCatalog {
        |SELECT query_id, rank::BIGINT AS rank, doc_id, bm25_rank, prior_rank, rrf
        |FROM fr WHERE rank <= 10""".stripMargin
 
+  /** PMI collocations ([[graft.ext.TextAnalysis.pmiCollocations]]): top
+    * 20 adjacent bigrams by the exact-count PMI ratio
+    * `(c₂·N²)/(N_b·c_a·c_b)` at a min-count floor of 5 — no log (the
+    * ratio preserves PMI order; SURVEY §8). The oracle recounts bigrams
+    * and unigrams from the same normalized token stream and replays the
+    * identical multiply/divide tree and the (ratio DESC, w1, w2) cut —
+    * so an off-by-one bigram window, a unigram count taken over first
+    * positions only, or a re-associated ratio fails the hash.
+    */
+  private val qPmiCollocations: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.pmiCollocations(table(s, dir, "documents"), topK = 20, minCount = 5L)
+
+  private val oPmiCollocations: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split($normSql, ' '), t -> t <> '') AS w
+       |           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |uniT AS (SELECT unnest(w) AS t FROM w),
+       |uni AS (SELECT t, count(*)::BIGINT AS c FROM uniT GROUP BY 1),
+       |ntok AS (SELECT count(*)::BIGINT AS n FROM uniT),
+       |bi AS (SELECT w[CAST(p AS INT) + 1] AS w1, w[CAST(p AS INT) + 2] AS w2
+       |       FROM (SELECT w, unnest(range(0, len(w) - 1)) AS p FROM w WHERE len(w) >= 2)),
+       |bic AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bi GROUP BY 1, 2),
+       |nbi AS (SELECT count(*)::BIGINT AS nb FROM bi),
+       |j AS (SELECT bic.w1, bic.w2, bic.c2, ua.c AS ca, ub.c AS cb, ntok.n, nbi.nb
+       |      FROM bic JOIN uni ua ON ua.t = bic.w1 JOIN uni ub ON ub.t = bic.w2
+       |      CROSS JOIN ntok CROSS JOIN nbi
+       |      WHERE bic.c2 >= 5)
+       |SELECT w1, w2, c2, ca, cb,
+       |       (c2::DOUBLE * n::DOUBLE * n::DOUBLE) / (nb::DOUBLE * ca::DOUBLE * cb::DOUBLE)
+       |         AS pmi_ratio
+       |FROM j
+       |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Gear-hash content-defined chunking under the gate: the oracle
     * recomputes EVERY position's rolling hash from the closed form
     * (only the last 48 bytes matter under a 2^48 modulus — see
@@ -4948,6 +4980,7 @@ object QueryCatalog {
     "cdc_dedup" -> qCdcDedup,
     "ranked_retrieval" -> qRankedRetrieval,
     "rrf_fusion" -> qRrfFusion,
+    "pmi_collocations" -> qPmiCollocations,
     "phrase_retrieval" -> qPhraseRetrieval,
     "crawl_pipeline" -> qCrawlPipeline,
     "bitpack_blocks" -> qBitpackBlocks,
@@ -5116,6 +5149,7 @@ object QueryCatalog {
     "cdc_dedup" -> oCdcDedup,
     "ranked_retrieval" -> oRankedRetrieval,
     "rrf_fusion" -> oRrfFusion,
+    "pmi_collocations" -> oPmiCollocations,
     "phrase_retrieval" -> oPhraseRetrieval,
     "crawl_pipeline" -> oCrawlPipeline,
     "bitpack_blocks" -> oBitpackBlocks,

@@ -322,6 +322,56 @@ object TextAnalysis {
         col("bm25_rank"), col("prior_rank"), col("rrf"))
   }
 
+  /** Top-k adjacent-bigram collocations by pointwise mutual information —
+    * the phrase-mining signal ("new york" is a unit, "the cat" is not) a
+    * tokenizer-vocabulary or stop-phrase pipeline starts from. PMI is
+    * emitted as the exact-count RATIO
+    *
+    *   p(a,b) / (p(a)·p(b)) = (c_ab · N²) / (N_b · c_a · c_b)
+    *
+    * — rational over exact BIGINT counts in one fixed IEEE tree, never a
+    * `log` (the [[trendingTerms]] convention: log is monotone, so
+    * ranking by the ratio IS ranking by PMI, and no transcendental
+    * function has to agree bitwise across engines). `minCount` floors
+    * the bigram count — the standard guard against the PMI
+    * rare-pair explosion (a hapax bigram of two hapax words scores N).
+    *
+    * Scale shape: one token pass feeds the bigram and unigram hash
+    * aggregates (map-side combined); two broadcast-friendly count joins;
+    * the top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject, a
+    * per-partition heap + driver merge, never a global sort.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      topK: Int = 20,
+      minCount: Long = 5L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), array_remove(tokens(col(textCol)), "").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nTok = toks.select(explode(col("w")).as("t")).agg(count(lit(1)).as("n"))
+    val bi = toks
+      .filter(size(col("w")) >= 2)
+      .select(posexplode(col("w")).as(Seq("p", "w1")), col("w"))
+      .filter(col("p") < size(col("w")) - 1)
+      .select(col("w1"), expr("w[p + 1]").as("w2"))
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val nBi = bi.agg(count(lit(1)).as("nb"))
+    val ratio = (col("c2").cast("double") * col("n").cast("double") * col("n").cast("double")) /
+      (col("nb").cast("double") * col("ca").cast("double") * col("cb").cast("double"))
+    biCnt
+      .filter(col("c2") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(nTok).crossJoin(nBi)
+      .select(col("w1"), col("w2"), col("c2"), col("ca"), col("cb"), ratio.as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Trending terms between two corpus snapshots: document frequency in
     * the "old" half vs the "new" half (split deterministically on the
     * id), scored by the add-one growth ratio `(df_new + 1)/(df_old + 1)`

@@ -342,6 +342,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("pmiCollocations: equals a brute-force driver reference; floors and ties hold") {
+    val d = docs(
+      1L -> "alpha beta alpha beta alpha beta alpha beta alpha beta",
+      2L -> "gamma delta gamma delta gamma delta gamma delta gamma delta",
+      3L -> "alpha delta beta gamma alpha delta beta gamma alpha delta")
+    val got = TextAnalysis.pmiCollocations(d, topK = 10, minCount = 4L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5))).toSeq
+    // brute force
+    val texts = Seq(
+      "alpha beta alpha beta alpha beta alpha beta alpha beta",
+      "gamma delta gamma delta gamma delta gamma delta gamma delta",
+      "alpha delta beta gamma alpha delta beta gamma alpha delta")
+    val toks = texts.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val n = toks.map(_.size).sum.toLong
+    val bis = toks.flatMap(w => w.zip(w.tail))
+    val nb = bis.size.toLong
+    val bic = bis.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val want = bic.toSeq.filter(_._2 >= 4L).map { case ((a, b), c2) =>
+      (a, b, c2, (c2.toDouble * n.toDouble * n.toDouble) /
+        (nb.toDouble * uni(a).toDouble * uni(b).toDouble))
+    }.sortBy { case (a, b, _, r) => (-r, a, b) }.take(10)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty && got.forall(_._3 >= 4L))
+  }
+
   test("rrfFusion: rank arithmetic is exact; the length prior can overturn a BM25 margin") {
     import spark.implicits._
     // d1 and d2 both match 'needle' once; d2 is much longer, so BM25's
