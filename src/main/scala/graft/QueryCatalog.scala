@@ -4681,6 +4681,31 @@ object QueryCatalog {
       |         AS contribution
       |FROM e""".stripMargin
 
+  /** Two-level Merkle manifest ([[graft.ext.DataQuality.manifest]]) over
+    * the documents table: 64 id-bucket digests + the root, each a chained
+    * `acc ← md5(acc ∥ leaf)` fold in pinned (id, then bucket) order. The
+    * oracle replays every leaf hash, both fold orders, and the level
+    * union — so a dropped doc, a reordered fold, a bucket boundary slip,
+    * or a root built from unsorted bucket digests fails the hash.
+    */
+  private val qDatasetManifest: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.DataQuality.manifest(table(s, dir, "documents"), buckets = 64)
+
+  private val oDatasetManifest: String =
+    """WITH l AS (SELECT doc_id % 64 AS bucket, doc_id AS id, md5(text) AS h
+      |           FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |b AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+      |        list_reduce(list_prepend('', list(h ORDER BY id, h)),
+      |          (a, x) -> md5(a || x)) AS digest
+      |      FROM l GROUP BY 1),
+      |r AS (SELECT (SELECT sum(n_docs) FROM b)::BIGINT AS n_docs,
+      |        (SELECT list_reduce(list_prepend('', list(digest ORDER BY bucket)),
+      |           (a, x) -> md5(a || x)) FROM b) AS digest)
+      |SELECT 0::BIGINT AS level, bucket, n_docs, digest FROM b
+      |UNION ALL
+      |SELECT 1::BIGINT, -1::BIGINT, n_docs, digest FROM r""".stripMargin
+
   // ------------------------------------------------------ data-quality audit
 
   /** Expectation audit (DataQuality.audit) over a deterministically
@@ -5114,6 +5139,7 @@ object QueryCatalog {
     "ts_gapfill" -> qTsGapfill,
     "negative_samples" -> qNegativeSamples,
     "lang_source_chi2" -> qLangSourceChi2,
+    "dataset_manifest" -> qDatasetManifest,
     "dq_audit" -> qDqAudit,
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
@@ -5277,6 +5303,7 @@ object QueryCatalog {
     "ts_gapfill" -> oTsGapfill,
     "negative_samples" -> oNegativeSamples,
     "lang_source_chi2" -> oLangSourceChi2,
+    "dataset_manifest" -> oDatasetManifest,
     "dq_audit" -> oDqAudit,
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,

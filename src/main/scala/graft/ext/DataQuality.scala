@@ -151,6 +151,48 @@ object DataQuality {
     * |A|·|B|, the documented contract (this is a contingency-table
     * operator, not a join).
     */
+  /** Two-level Merkle-style content manifest — the integrity fingerprint
+    * a 100 TB pipeline publishes with each dataset snapshot so a
+    * consumer (or the next pipeline stage) can verify WHAT it read, and
+    * localize a corruption to a bucket without rehashing the corpus:
+    * level-0 rows carry one digest per id-bucket (the chained md5 of
+    * that bucket's per-doc `md5(text)` leaves in id order), level 1 the
+    * root (the chained md5 of bucket digests in bucket order). Two
+    * snapshots differ ⇔ roots differ; WHERE they differ is the bucket
+    * whose digest moved.
+    *
+    * The chained fold `acc ← md5(acc ∥ leaf)` is order-PINNED by an
+    * explicit array_sort before a deterministic fold (the quality_logit
+    * aggregate pattern), so the digest is identical under any
+    * partitioning — and SQL-replayable, unlike a tree hash keyed on
+    * physical file layout. Scale shape: one hash aggregate on the
+    * bucket (per-bucket rows collect within their task; bucket count
+    * bounds driver output), then a 64-row root aggregate. Negative ids
+    * are excluded (bucket arithmetic), NULL text rows excluded — both
+    * mirrored by the oracle.
+    */
+  def manifest(docs: DataFrame, buckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val leaves = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select((col(idCol).cast("long") % buckets).as("bucket"),
+        col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val level0 = leaves
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("aggregate(array_sort(collect_list(struct(id, h))), '', (a, x) -> md5(concat(a, x.h)))")
+          .as("digest"))
+    val root = level0
+      .agg(sum(col("n_docs")).as("n_docs"),
+        expr("aggregate(array_sort(collect_list(struct(bucket, digest))), '', (a, x) -> md5(concat(a, x.digest)))")
+          .as("digest"))
+      .select(lit(1L).as("level"), lit(-1L).as("bucket"), col("n_docs"), col("digest"))
+    level0
+      .select(lit(0L).as("level"), col("bucket"), col("n_docs"), col("digest"))
+      .unionByName(root)
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val counts = df

@@ -82,6 +82,38 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("manifest: equals the driver-side chained fold; corruption localizes to one bucket") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"document body $i"))
+    val df = rows.toDF("doc_id", "text")
+    val got = DataQuality.manifest(df, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    // driver reference: same leaves, same pinned fold
+    val byBucket = rows.groupBy(_._1 % 8)
+    val wantL0 = byBucket.map { case (bkt, g) =>
+      val digest = g.sortBy(_._1).map(r => md5hex(r._2))
+        .foldLeft("")((a, h) => md5hex(a + h))
+      (0L, bkt) -> (g.size.toLong, digest)
+    }
+    val root = wantL0.toSeq.sortBy(_._1._2).map(_._2._2).foldLeft("")((a, h) => md5hex(a + h))
+    assert(got.filterKeys(_._1 == 0L).toMap == wantL0)
+    assert(got((1L, -1L)) == (40L, root))
+    // partition invariance
+    val again = DataQuality.manifest(df.repartition(11), buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(again == got)
+    // flip ONE doc: exactly its bucket digest and the root change
+    val tampered = rows.map { case (i, t) => (i, if (i == 13L) t + "!" else t) }.toDF("doc_id", "text")
+    val t = DataQuality.manifest(tampered, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val changed = got.keySet.filter(k => got(k) != t(k))
+    assert(changed == Set((0L, 13L % 8), (1L, -1L)), s"changed: $changed")
+  }
+
   test("chiSquare: hand-computed 2x2 with a zero cell; nulls excluded everywhere") {
     import spark.implicits._
     // x: 1 p, 1 q; y: 2 p, 0 q  (plus a null-category row that must not count)
