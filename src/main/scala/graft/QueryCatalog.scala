@@ -3005,6 +3005,73 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Crawl-frontier prioritization ([[graft.ext.Graph.crawlPriority]]):
+    * the top-32 hosts by `pagerank DIV (1 + bfs_depth)` with k-core
+    * degree carried as the robustness feature — all three component
+    * chains (10 PageRank rounds, 8 BFS rounds, 8 k-core peels) unrolled
+    * in ONE oracle over a shared edge derivation, so the composition is
+    * graded end to end: a component drifting, a join dropping unreached
+    * hosts, or a tie broken off the (score, host) order fails the hash.
+    */
+  private val qCrawlPriority: (SparkSession, String) => DataFrame = (s, dir) => {
+    val edges = Graph.hostEdges(table(s, dir, "documents"))
+    val seeds = edges.select(col("src").as("h")).union(edges.select(col("dst").as("h")))
+      .distinct().filter(col("h") % 16 === 0)
+    Graph.crawlPriority(edges, seeds, topK = 32, k = 10, rounds = 8)
+  }
+
+  private val oCrawlPriority: String = {
+    val scale = 1000000000000L
+    val inf = Graph.Unreached
+    val prIters = (1 to 10).map { k =>
+      s"""p$k AS (SELECT n.h, (15 * $scale) // (100 * (SELECT cnt FROM nc))
+         |         + (85 * coalesce(s.inc, 0)) // 100 AS pr
+         |       FROM nodes n LEFT JOIN (
+         |         SELECT e.dst AS h, sum(e.w * (p.pr // o.od)) AS inc
+         |         FROM ew e JOIN p${k - 1} p ON p.h = e.src JOIN outd o ON o.src = e.src
+         |         GROUP BY e.dst) s ON s.h = n.h)""".stripMargin
+    }.mkString(",\n")
+    val bfsIters = (1 to 8).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT n.h, least(n.d, coalesce(m.c, $inf)) AS d
+         |  FROM d${k - 1} n LEFT JOIN (
+         |    SELECT e.dst AS h, min(p.d) + 1 AS c FROM eb e JOIN d${k - 1} p ON p.h = e.src
+         |    GROUP BY e.dst) m ON m.h = n.h)""".stripMargin
+    }.mkString(",\n")
+    val coreIters = (1 to 8).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT h FROM (
+         |    SELECT u AS h FROM u${r - 1} UNION ALL SELECT v FROM u${r - 1}) t
+         |  GROUP BY h HAVING count(*) >= 10),
+         |u$r AS MATERIALIZED (SELECT u${r - 1}.u, u${r - 1}.v FROM u${r - 1}
+         |  JOIN a$r x ON x.h = u${r - 1}.u JOIN a$r y ON y.h = u${r - 1}.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dd AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM dd),
+       |ew AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w FROM e0 WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS h FROM ew UNION SELECT DISTINCT dst FROM ew),
+       |nc AS MATERIALIZED (SELECT count(*)::BIGINT AS cnt FROM nodes),
+       |outd AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS od FROM ew GROUP BY 1),
+       |p0 AS (SELECT h, $scale // (SELECT cnt FROM nc) AS pr FROM nodes),
+       |$prIters,
+       |eb AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |d0 AS (SELECT h, CASE WHEN h % 16 = 0 THEN 0 ELSE $inf END AS d FROM nodes),
+       |$bfsIters,
+       |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e0 WHERE src <> dst),
+       |$coreIters,
+       |cores AS (SELECT h, count(*)::BIGINT AS core_deg FROM (
+       |    SELECT u AS h FROM u8 UNION ALL SELECT v FROM u8) t
+       |  GROUP BY h HAVING count(*) >= 10),
+       |j AS (SELECT p.h AS host, p.pr::BIGINT AS pr,
+       |        (CASE WHEN d.d >= $inf THEN NULL ELSE d.d END)::BIGINT AS depth,
+       |        coalesce(c.core_deg, 0)::BIGINT AS core_deg
+       |      FROM p10 p JOIN d8 d ON d.h = p.h LEFT JOIN cores c ON c.h = p.h)
+       |SELECT host, pr, depth, core_deg,
+       |       (CASE WHEN depth IS NULL THEN 0 ELSE pr // (1 + depth) END)::BIGINT AS score
+       |FROM j ORDER BY score DESC, host LIMIT 32""".stripMargin
+  }
+
   /** The fixed blocklist for the Aho–Corasick gate: phrases from the
     * corpus vocabulary, deliberately including self-overlapping patterns
     * ("table table", "a a") and a pattern that is a substring of another
@@ -5106,6 +5173,7 @@ object QueryCatalog {
     "host_triangles" -> qHostTriangles,
     "host_bfs" -> qHostBfs,
     "host_kcore" -> qHostKcore,
+    "crawl_priority" -> qCrawlPriority,
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
@@ -5273,6 +5341,7 @@ object QueryCatalog {
     "host_triangles" -> oHostTriangles,
     "host_bfs" -> oHostBfs,
     "host_kcore" -> oHostKcore,
+    "crawl_priority" -> oCrawlPriority,
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,

@@ -200,6 +200,34 @@ object Graph {
     pr
   }
 
+  /** Crawl-frontier prioritization — the scheduling read-out the three
+    * graph signals exist FOR: authority ([[pagerank]]) discounted by
+    * seed distance ([[bfs]]), with core membership ([[kcore]]) carried
+    * as the robustness feature, cut to the top-`topK` batch the crawler
+    * fetches next. The score is all-integer —
+    *
+    *   score = pr DIV (1 + depth),   0 for unreached hosts
+    *
+    * — so the composition inherits the components' bitwise portability,
+    * and the batch cut is `orderBy(score DESC, host).limit(topK)`
+    * (TakeOrderedAndProject: per-partition heap + driver merge, never a
+    * global sort — the scale-correct frontier pop at web host counts).
+    */
+  def crawlPriority(edges: DataFrame, seeds: DataFrame, topK: Int = 32,
+      k: Int = 10, rounds: Int = 8): DataFrame = {
+    val pr = pagerank(edges).select(col("h").as("host"), col("pr"))
+    val depth = bfs(edges, seeds, rounds)
+    val core = kcore(edges, k, rounds)
+    pr.join(depth, Seq("host"))
+      .join(core, Seq("host"), "left")
+      .select(col("host"), col("pr"), col("depth"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        when(col("depth").isNull, lit(0L))
+          .otherwise(expr("pr DIV (1 + depth)")).as("score"))
+      .orderBy(col("score").desc, col("host"))
+      .limit(topK)
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient over
     * an undirected view of the edge list — the third classic web-graph
     * signal next to [[pagerank]] and [[hits]] (a host whose neighbors

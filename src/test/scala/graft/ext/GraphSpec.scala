@@ -222,6 +222,27 @@ class GraphSpec extends AnyFunSuite {
     assert(fast == want)
   }
 
+  test("crawlPriority: score is pr DIV (1+depth), unreached hosts score 0, cut ordered") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L), (8L, 9L))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight")
+    val out = Graph.crawlPriority(edges, Seq(0L).toDF("h"), topK = 10, k = 2, rounds = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L, 8L, 9L))
+    out.foreach { case (h, pr, depth, _, score) =>
+      depth match {
+        case Some(d) => assert(score == pr / (1 + d), s"host $h")
+        case None => assert(score == 0L, s"unreached host $h must score 0")
+      }
+    }
+    // emitted in (score desc, host) order
+    val scores = out.map(t => (-t._5, t._1)).toSeq
+    assert(scores == scores.sorted, s"cut must be ordered: $out")
+    assert(out.filter(_._3.isEmpty).forall(t => t._1 == 8L || t._1 == 9L))
+  }
+
   /** Driver replica of the bounded k-core peel. */
   private def referenceKcore(
       edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
