@@ -1876,6 +1876,35 @@ object QueryCatalog {
        |FROM sh JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
        |WHERE greatest(shared::DOUBLE / za.sz::DOUBLE, shared::DOUBLE / zb.sz::DOUBLE) >= 0.5""".stripMargin
 
+  /** Span-level duplicate localization ([[graft.ext.Dedup.dupSpans]]):
+    * winnow anchors whose fingerprint occurs in ≥ 2 distinct documents,
+    * merged per document into maximal spans by the gaps-and-islands
+    * construction (gap = w + k − 1 = 8). The oracle reuses the winnow CTE
+    * chain verbatim, then replays the distinct-doc fingerprint count, the
+    * lag-breakpoint / running-sum island assignment, and the k-gram
+    * end-inclusive span arithmetic — so a wrong gap comparison (`<` for
+    * `<=`), a doc-count computed over occurrences instead of distinct
+    * docs, or an off-by-one span end fails the hash. DuckDB's
+    * `sum(int) OVER` yields HUGEINT but `island` is only a grouping key —
+    * every OUTPUT column is cast to BIGINT explicitly.
+    */
+  private val qDupSpans: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dupSpans(table(s, dir, "documents"))
+
+  private val oDupSpans: String =
+    s"""WITH $winnowCtes,
+       |dc AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel) df
+       |       GROUP BY fp HAVING count(*) >= 2),
+       |an AS (SELECT sel.doc_id, sel.pos FROM sel JOIN dc ON dc.fp = sel.fp),
+       |br AS (SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |              THEN 0 ELSE 1 END AS brk FROM an),
+       |il AS (SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM br)
+       |SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |       (max(pos) + 4)::BIGINT AS span_end, count(*)::BIGINT AS anchors
+       |FROM il GROUP BY doc_id, island""".stripMargin
+
   /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
     * exact-verify path. Sizes use ALL grams; the df cap limits only the
     * intersection join (mirrored by BOTH Dedup.ngramJaccardPairs and the
@@ -5062,6 +5091,7 @@ object QueryCatalog {
     "fingerprints" -> qFingerprints,
     "winnow_fingerprints" -> qWinnowFingerprints,
     "containment_pairs" -> qContainmentPairs,
+    "dup_spans" -> qDupSpans,
     "edit_distance_pairs" -> qEditDistancePairs,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
@@ -5233,6 +5263,7 @@ object QueryCatalog {
     "fingerprints" -> oFingerprints,
     "winnow_fingerprints" -> oWinnowFingerprints,
     "containment_pairs" -> oContainmentPairs,
+    "dup_spans" -> oDupSpans,
     "edit_distance_pairs" -> oEditDistancePairs,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,

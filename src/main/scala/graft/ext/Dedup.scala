@@ -299,6 +299,66 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
+  /** Duplicated-substring SPANS per document — localizes WHERE cross-doc
+    * duplication sits inside each document, the span-level signal that
+    * document-level dedup (exact / Jaccard / containment) cannot give: a
+    * long original document that embeds one boilerplate paragraph keeps
+    * its doc-level identity but should have that paragraph flagged (the
+    * remove-duplicated-substrings construction of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    * public method; reimplemented here on winnowed fingerprints instead
+    * of a monolithic suffix array so it distributes).
+    *
+    * Construction: [[TextAnalysis.winnow]]'s (doc, pos, fp) relation;
+    * fingerprints seen in ≥ `minDocs` DISTINCT documents mark their
+    * anchor positions as duplicated; per document, anchors within `gap`
+    * positions of each other merge into maximal spans (gaps-and-islands:
+    * a lag-compare breakpoint flag, a running sum for the island id, one
+    * aggregate per island). Inside a true shared run winnow selects a
+    * fingerprint at least every `w` positions, so `gap` defaults to
+    * `w + k − 1` — consecutive anchors of one run can never split, while
+    * runs separated by more than a gram of unique text stay distinct
+    * spans. Span chars cover `[span_start, span_end]` (1-based, k-gram
+    * end inclusive).
+    *
+    * 100 TB shape: winnow is one doc-partitioned window pass; the
+    * distinct-doc count per fingerprint is one fp-keyed aggregate whose
+    * output is ONE ROW PER FINGERPRINT (joining the ≥2-docs flag back is
+    * a fp-partitioned sort-merge with no row explosion — unlike pair
+    * enumeration, span marking never goes quadratic in df, so no
+    * admission cap is needed); the islands window and the final island
+    * aggregate both ride one doc_id exchange (hash-partitioning on
+    * doc_id satisfies the (doc_id, island) clustering). Three linear
+    * shuffles total, join-free except the flag equi-join.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      minDocs: Long = 2L,
+      gap: Int = 0, // <= 0 means auto: w + k - 1
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = if (gap > 0) gap else w + k - 1
+    val fps = TextAnalysis.winnow(docs, k, w, idCol, textCol)
+    val dupFp = fps.select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("dcnt"))
+      .filter(col("dcnt") >= minDocs)
+      .select("fp")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    fps.join(dupFp, Seq("fp"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= g, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("anchors"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("anchors"))
+  }
+
   /** Blocked exact edit-distance pairs — the entity-resolution primitive
     * for SHORT near-identical records (titles, names, OCR'd lines) where
     * set-based similarity ([[ngramJaccardPairs]]) is too coarse: two

@@ -483,4 +483,41 @@ class DedupSpec extends AnyFunSuite {
     val starved = Dedup.containmentPairs(d, threshold = 0.5, maxDf = 1L).collect()
     assert(starved.isEmpty, "df cap must only starve the intersection, killing the pair")
   }
+
+  test("dupSpans: localizes the shared paragraph, skips unique docs, splits separated runs") {
+    // pre-normalized text (lowercase, single spaces) so char positions in the
+    // input are the positions dupSpans reports
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val ua = "abc def ghi jkl mno abc ghi jkl def mno"
+    val ub = "pqr stu vwx yz0 123 stu vwx pqr 123 yz0"
+    val uc = "completely unrelated content using its own distinct words qqq www eee"
+    val a = s"$ua $shared $ua"
+    val b = s"$ub $shared $ub"
+    val d = docs(1L -> a, 2L -> b, 3L -> uc)
+    val out = Dedup.dupSpans(d).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L), "fully unique doc must produce no spans")
+    for (id <- Seq(1L, 2L)) {
+      val spans = byDoc.getOrElse(id, fail(s"doc $id should carry a span"))
+      assert(spans.length == 1, s"doc $id: one merged span expected, got ${spans.length}")
+      val (s0, s1) = (spans.head.getLong(1), spans.head.getLong(2))
+      val sharedStart = (if (id == 1L) ua else ub).length + 2L // 1-based, after "prefix "
+      val sharedEnd = sharedStart + shared.length - 1
+      // the space joining prefix and shared region is itself shared (" the")
+      // in both docs, so the span may legitimately begin up to k-1 chars
+      // before the paragraph proper — boundary-gram coincidence, not a bug
+      assert(s0 >= sharedStart - 4 && s1 <= sharedEnd + 4,
+        s"doc $id: span [$s0,$s1] must sit inside the shared region [$sharedStart,$sharedEnd] ± k-1")
+      assert(s1 - s0 >= shared.length - 2 * 9,
+        s"doc $id: span [$s0,$s1] must cover most of the ${shared.length}-char shared run")
+    }
+    // two shared runs separated by >gap unique chars stay two islands
+    val s2 = "another duplicated sentence that is long enough to fingerprint"
+    val mid1 = "aardvark interlude zzz yyy xxx aardvark interlude zzz yyy xxx"
+    val mid2 = "numeric gapfiller 987 654 321 numeric gapfiller 987 654 321 ppp"
+    val d2 = docs(10L -> s"$shared $mid1 $s2", 11L -> s"$shared $mid2 $s2")
+    val out2 = Dedup.dupSpans(d2).collect().groupBy(_.getLong(0))
+    for (id <- Seq(10L, 11L))
+      assert(out2(id).length == 2, s"doc $id: the two separated shared runs must stay two spans")
+  }
 }
