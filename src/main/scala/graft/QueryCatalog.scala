@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1129,6 +1129,81 @@ object QueryCatalog {
        |       -1.5 + coalesce(agg.s, 0.0) AS logit
        |FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
        |LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** Shared scored-and-labeled relation for the classifier-evaluation
+    * gates: the `quality_logit` score joined with a deterministic
+    * content-derived label (`n_chars >= 300` — long docs as positives;
+    * the threshold sits near the corpus median so every source carries
+    * both classes). The oracle wraps the `quality_logit` oracle verbatim
+    * as a derived table, so the evaluation gates inherit its bitwise
+    * score definition rather than restating it.
+    */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    qQualityLogit(s, dir).join(
+      table(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), (col("n_chars") >= 300).as("label")),
+      Seq("doc_id"))
+      .select(col("source"), col("logit").as("score"), col("label"))
+
+  private val scoredCte: String =
+    s"""j AS (SELECT d.source, ql.logit AS score, d.n_chars >= 300 AS label
+       |      FROM (${oQualityLogit.replace("\n", "\n       ")}) ql
+       |      JOIN (SELECT doc_id, source, n_chars FROM documents
+       |            WHERE doc_id IS NOT NULL) d USING (doc_id))""".stripMargin
+
+  /** Exact grouped ROC-AUC ([[graft.ext.Evaluation.groupAuc]]) of the
+    * quality-logit score against the length label, per source — the
+    * Mann–Whitney rank-sum identity with integer tie-midranks
+    * (`2·midrank = rank_asc + n − rank_desc + 1`), so the only floating
+    * operation is the final division of exact BIGINTs. The oracle replays
+    * both rank windows, the tie algebra, the positive-rank sum, and the
+    * one-class drop — a biased tie treatment (rank without midranking),
+    * a transposed label, or an off-by-one in the n⁺(n⁺+1) term fails the
+    * hash.
+    */
+  private val qGroupAuc: (SparkSession, String) => DataFrame = (s, dir) =>
+    Evaluation.groupAuc(qualityScored(s, dir))
+
+  private val oGroupAuc: String =
+    s"""WITH $scoredCte,
+       |r AS (SELECT source, label,
+       |        rank() OVER (PARTITION BY source ORDER BY score ASC)
+       |        + count(*) OVER (PARTITION BY source)
+       |        - rank() OVER (PARTITION BY source ORDER BY score DESC) + 1 AS r2
+       |      FROM j),
+       |a AS (SELECT source,
+       |        sum(CASE WHEN label THEN r2 ELSE 0 END)::BIGINT AS s2,
+       |        sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |        sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS n_neg
+       |      FROM r GROUP BY 1)
+       |SELECT source, n_pos, n_neg,
+       |       (s2 - n_pos * (n_pos + 1))::DOUBLE / (n_pos * n_neg * 2)::DOUBLE AS auc
+       |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin
+
+  /** Reliability-diagram calibration bins
+    * ([[graft.ext.Evaluation.calibrationBins]]) of the quality-logit
+    * score: logit-space bins (floor + clamp — no sigmoid, `exp` is not
+    * ulp-portable across engines), positives and mean score per bin, the
+    * |acc − conf| ECE term. Mean score sums in round-half-away
+    * micro-units (BIGINT), so every emitted double is one IEEE division
+    * of exact integers; the oracle replays the clamp boundaries, the 10⁻⁶
+    * quantization, and the gap arithmetic.
+    */
+  private val qCalibrationBins: (SparkSession, String) => DataFrame = (s, dir) =>
+    Evaluation.calibrationBins(qualityScored(s, dir))
+
+  private val oCalibrationBins: String =
+    s"""WITH $scoredCte,
+       |b AS (SELECT least(greatest(floor(score), -8), 7)::BIGINT AS bin, label,
+       |             round(score * 1000000.0)::BIGINT AS s6 FROM j),
+       |g AS (SELECT bin, count(*)::BIGINT AS n,
+       |             sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       |             sum(s6)::BIGINT AS c6 FROM b GROUP BY 1)
+       |SELECT bin, n, n_pos,
+       |       n_pos::DOUBLE / n::DOUBLE AS acc,
+       |       c6::DOUBLE / (n * 1000000)::DOUBLE AS conf,
+       |       abs(n_pos::DOUBLE / n::DOUBLE - c6::DOUBLE / (n * 1000000)::DOUBLE) AS gap
+       |FROM g""".stripMargin
 
   private val qFingerprints: (SparkSession, String) => DataFrame = (s, dir) =>
     TextAnalysis.fingerprints(table(s, dir, "documents"))
@@ -5112,6 +5187,8 @@ object QueryCatalog {
     "trending_terms" -> qTrendingTerms,
     "event_transitions" -> qEventTransitions,
     "quality_logit" -> qQualityLogit,
+    "group_auc" -> qGroupAuc,
+    "calibration_bins" -> qCalibrationBins,
     "ngram_jaccard" -> qNgramJaccard,
     "minhash_lsh_verified" -> qMinhashVerified,
     "simhash_pairs" -> qSimhashPairs,
@@ -5284,6 +5361,8 @@ object QueryCatalog {
     "trending_terms" -> oTrendingTerms,
     "event_transitions" -> oEventTransitions,
     "quality_logit" -> oQualityLogit,
+    "group_auc" -> oGroupAuc,
+    "calibration_bins" -> oCalibrationBins,
     "ngram_jaccard" -> oNgramJaccard,
     "minhash_lsh_verified" -> oNgramJaccard,
     "simhash_md5_pairs" -> oSimhashMd5Pairs,
