@@ -3085,6 +3085,39 @@ object QueryCatalog {
        |GROUP BY h HAVING count(*) >= $k""".stripMargin
   }
 
+  /** Synchronous label-propagation communities (8 rounds) over the
+    * undirected host graph ([[graft.ext.Graph.lpa]]) — the community
+    * assignment companion to `dedup_clusters`' connected components:
+    * LPA separates densely-linked groups INSIDE one component. The
+    * oracle unrolls every round as chained CTEs — neighbor-label count,
+    * then the (count DESC, label ASC) argmax via a window row_number —
+    * so a self-vote, an asynchronous update leak, a transposed
+    * neighbor relation, or a tie broken toward the larger label fails
+    * the hash. All-integer, order-free, bitwise on any engine.
+    */
+  private val qHostCommunities: (SparkSession, String) => DataFrame = (s, dir) =>
+    Graph.lpa(Graph.hostEdges(table(s, dir, "documents")), rounds = 8)
+
+  private val oHostCommunities: String = {
+    val iters = (1 to 8).map { r =>
+      s"""c$r AS (SELECT nb.h, l.lbl, count(*) AS cnt
+         |  FROM nb JOIN l${r - 1} l ON l.h = nb.nbr GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT h, lbl FROM (
+         |  SELECT h, lbl, row_number() OVER (PARTITION BY h ORDER BY cnt DESC, lbl ASC) AS rn
+         |  FROM c$r) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dd AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |e0 AS (SELECT doc_id % 64 AS src,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 64 AS dst
+       |       FROM dd),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM e0 WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT u AS h, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT h, h AS lbl FROM nb),
+       |$iters
+       |SELECT h AS host, lbl AS community FROM l8""".stripMargin
+  }
+
   /** Blocked exact edit-distance pairs ([[graft.ext.Dedup
     * .editDistancePairs]]): `(lang, length DIV 16)` blocking, banded
     * levenshtein kernel at maxDist 64. The oracle replays the block
@@ -3108,6 +3141,43 @@ object QueryCatalog {
       |      FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
+
+  /** Fellegi–Sunter match scoring over the edit-distance blocks
+    * ([[graft.ext.Dedup.erMatchScores]]): agreement vector (exact /
+    * near / source / length) + fixed centi-log-odds evidence sum +
+    * three-way decision. The oracle replays the identical blocking,
+    * recomputes every field with DuckDB's own comparators (full
+    * levenshtein <= 4 where Spark runs the banded kernel — equal on the
+    * ASCII-gated input), and re-spells the weight table as CASE arms —
+    * so a drifted weight, a wrong threshold, or a field comparator slip
+    * fails the hash.
+    */
+  private val qErMatchScores: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.erMatchScores(table(s, dir, "documents"))
+
+  private val oErMatchScores: String = {
+    import Dedup.{ErWeights => W}
+    s"""WITH b AS (SELECT doc_id, text, source, lang, len(text) // 16 AS lb FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+       |             AND source IS NOT NULL AND octet_length(text::BLOB) = len(text)),
+       |bc AS MATERIALIZED (SELECT lang, lb FROM b GROUP BY 1, 2 HAVING count(*) <= 4096),
+       |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |        a.text = c.text AS g_exact,
+       |        levenshtein(a.text, c.text) <= 4 AS g_near,
+       |        a.source = c.source AS g_source,
+       |        abs(len(a.text) - len(c.text)) <= 2 AS g_len
+       |      FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb),
+       |sc AS (SELECT id_a, id_b, g_exact, g_near, g_source, g_len,
+       |        (CASE WHEN g_exact THEN ${W.exactAgree} ELSE ${W.exactDis} END
+       |       + CASE WHEN g_near THEN ${W.nearAgree} ELSE ${W.nearDis} END
+       |       + CASE WHEN g_source THEN ${W.sourceAgree} ELSE ${W.sourceDis} END
+       |       + CASE WHEN g_len THEN ${W.lenAgree} ELSE ${W.lenDis} END)::BIGINT AS score
+       |      FROM p)
+       |SELECT id_a, id_b, g_exact, g_near, g_source, g_len, score,
+       |       CASE WHEN score >= ${W.matchAt} THEN 'match' ELSE 'possible' END AS decision
+       |FROM sc WHERE score >= ${W.possibleAt}""".stripMargin
+  }
 
   /** Crawl-frontier prioritization ([[graft.ext.Graph.crawlPriority]]):
     * the top-32 hosts by `pagerank DIV (1 + bfs_depth)` with k-core
@@ -4754,6 +4824,35 @@ object QueryCatalog {
        |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
        |SELECT series, t, bucket, x, ewma, resid FROM r""".stripMargin
 
+  /** Holt linear-trend smoother (TimeSeries.holt, α = 0.2, β = 0.1) in
+    * error-correction form: f = l + b, e = x − f, l' = f + α·e,
+    * b' = b + (α·β)·e — replayed by the recursive-CTE skeleton shared
+    * with the EWMA/CUSUM oracles. α·β is spelled as a DOUBLE·DOUBLE
+    * product in the SQL (not a decimal-literal product, which DuckDB
+    * would fold in DECIMAL to exactly 0.02 instead of the IEEE
+    * 0.020000000000000004 the Scala scan multiplies by). resid NULL at
+    * t = 1.
+    */
+  private val qHoltSmooth: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.holt(table(s, dir, "events"), alpha = 0.2, beta = 0.1)
+
+  private val oHoltSmooth: String =
+    s"""WITH RECURSIVE ${oTsSeries.stripPrefix("WITH ")},
+       |r AS (
+       |  SELECT series, t, bucket, x,
+       |         CAST(x AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend,
+       |         CAST(NULL AS DOUBLE) AS resid
+       |  FROM st WHERE t = 1
+       |  UNION ALL
+       |  SELECT st.series, st.t, st.bucket, st.x,
+       |         (r.level + r.trend)
+       |           + (0.2 * (CAST(st.x AS DOUBLE) - (r.level + r.trend))) AS level,
+       |         r.trend + ((CAST(0.2 AS DOUBLE) * CAST(0.1 AS DOUBLE))
+       |           * (CAST(st.x AS DOUBLE) - (r.level + r.trend))) AS trend,
+       |         CAST(st.x AS DOUBLE) - (r.level + r.trend) AS resid
+       |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
+       |SELECT series, t, bucket, x, level, trend, resid FROM r""".stripMargin
+
   /** Regular-grid gap fill with linear interpolation (TimeSeries
     * .gapFill): one row per hourly slot in each series' observed span —
     * exact cents for present hours, the fixed interpolation tree
@@ -5168,6 +5267,7 @@ object QueryCatalog {
     "containment_pairs" -> qContainmentPairs,
     "dup_spans" -> qDupSpans,
     "edit_distance_pairs" -> qEditDistancePairs,
+    "er_match_scores" -> qErMatchScores,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5280,6 +5380,7 @@ object QueryCatalog {
     "host_triangles" -> qHostTriangles,
     "host_bfs" -> qHostBfs,
     "host_kcore" -> qHostKcore,
+    "host_communities" -> qHostCommunities,
     "crawl_priority" -> qCrawlPriority,
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
@@ -5311,6 +5412,7 @@ object QueryCatalog {
     "dominant_period" -> qDominantPeriod,
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
+    "holt_smooth" -> qHoltSmooth,
     "ts_gapfill" -> qTsGapfill,
     "negative_samples" -> qNegativeSamples,
     "lang_source_chi2" -> qLangSourceChi2,
@@ -5342,6 +5444,7 @@ object QueryCatalog {
     "containment_pairs" -> oContainmentPairs,
     "dup_spans" -> oDupSpans,
     "edit_distance_pairs" -> oEditDistancePairs,
+    "er_match_scores" -> oErMatchScores,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
@@ -5451,6 +5554,7 @@ object QueryCatalog {
     "host_triangles" -> oHostTriangles,
     "host_bfs" -> oHostBfs,
     "host_kcore" -> oHostKcore,
+    "host_communities" -> oHostCommunities,
     "crawl_priority" -> oCrawlPriority,
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
@@ -5479,6 +5583,7 @@ object QueryCatalog {
     "dominant_period" -> oDominantPeriod,
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
+    "holt_smooth" -> oHoltSmooth,
     "ts_gapfill" -> oTsGapfill,
     "negative_samples" -> oNegativeSamples,
     "lang_source_chi2" -> oLangSourceChi2,

@@ -407,6 +407,96 @@ object Dedup {
       .filter(col("dist") >= 0)
   }
 
+  /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969) over
+    * the same sorted-neighborhood blocks as [[editDistancePairs]] — the
+    * probabilistic-ER layer above the raw distance kernel: each blocked
+    * pair gets an AGREEMENT VECTOR over four comparison fields and a
+    * total match weight, the sum of fixed per-field log-odds:
+    *
+    *   - `g_exact`:  texts identical;
+    *   - `g_near`:   banded edit distance <= `nearDist` (typo-level);
+    *   - `g_source`: same source system;
+    *   - `g_len`:    lengths within `lenTol` chars.
+    *
+    * Weights are FIXED engineered centi-log-odds constants (agree/
+    * disagree per field), not EM-estimated: the classic FS estimator is
+    * an iterative float EM whose result depends on sweep order — not
+    * replayable bitwise by a SQL oracle and not stable across engines;
+    * fixed weights keep the whole operator integer-exact while
+    * preserving the FS decision structure (field agreement -> additive
+    * evidence -> three-way match/possible/non-match rule). Pairs below
+    * the `possible` threshold are dropped (the clerical-review cut —
+    * emitting every blocked non-match would be output quadratic in
+    * block size for no downstream consumer).
+    *
+    * Correlated fields (exact ⊆ near ⊆ usually len) are the documented
+    * conditional-independence violation every practical FS deployment
+    * carries; the weights below are chosen so the three decision bands
+    * remain meaningful under that correlation.
+    *
+    * 100 TB shape: identical to [[editDistancePairs]] — one exchange on
+    * the block key, in-partition pair enumeration under the `maxBlock`
+    * admission cap (+ observed drop counters), banded kernel, no
+    * full-corpus quadratic path. ASCII gate as there (byte-vs-codepoint
+    * levenshtein coincidence — the oracle contract).
+    *
+    * Output: `(id_a < id_b, g_exact, g_near, g_source, g_len, score,
+    * decision)` for pairs scoring at least the `possible` threshold.
+    */
+  def erMatchScores(
+      docs: DataFrame,
+      nearDist: Int = 4,
+      lenTol: Int = 2,
+      blockChars: Int = 16,
+      maxBlock: Long = 4096L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      srcCol: String = "source"): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        col(langCol).isNotNull && col(srcCol).isNotNull)
+      .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
+      .select(col(idCol).as("id"), col(textCol).as("t"), col(srcCol).as("s"),
+        struct(col(langCol), expr(s"length($textCol) DIV $blockChars")).as("blk"))
+    val pairs = orderedPairsWithinGroups(base, col("blk"),
+      struct(col("id"), col("t"), col("s")),
+      maxGroup = maxBlock, observeTag = "er_match")
+      .filter(col("__a.id") < col("__b.id"))
+    val gExact = (col("__a.t") === col("__b.t")).as("g_exact")
+    val gNear = (levenshtein(col("__a.t"), col("__b.t"), nearDist) >= 0).as("g_near")
+    val gSource = (col("__a.s") === col("__b.s")).as("g_source")
+    val gLen = (abs(length(col("__a.t")) - length(col("__b.t"))) <= lenTol).as("g_len")
+    pairs
+      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        gExact, gNear, gSource, gLen)
+      .withColumn("score",
+        (when(col("g_exact"), lit(ErWeights.exactAgree)).otherwise(lit(ErWeights.exactDis)) +
+         when(col("g_near"), lit(ErWeights.nearAgree)).otherwise(lit(ErWeights.nearDis)) +
+         when(col("g_source"), lit(ErWeights.sourceAgree)).otherwise(lit(ErWeights.sourceDis)) +
+         when(col("g_len"), lit(ErWeights.lenAgree)).otherwise(lit(ErWeights.lenDis)))
+          .cast("long"))
+      .filter(col("score") >= ErWeights.possibleAt)
+      .withColumn("decision",
+        when(col("score") >= ErWeights.matchAt, lit("match")).otherwise(lit("possible")))
+  }
+
+  /** The fixed FS centi-log-odds table — one definition shared by the
+    * operator, the spec's truth table, and (numerically, re-spelled as
+    * SQL CASE arms) the DuckDB oracle.
+    */
+  object ErWeights {
+    val exactAgree = 480L; val exactDis = -20L
+    val nearAgree = 300L; val nearDis = -80L
+    val sourceAgree = 120L; val sourceDis = -100L
+    val lenAgree = 60L; val lenDis = -60L
+    val matchAt = 500L // decision thresholds on the summed evidence
+    // 100 admits every near-agreeing pair (worst case 300−20−100−60 = 120)
+    // while coincidental source+len-only co-block pairs (−20−80+120+60 = 80)
+    // stay dropped
+    val possibleAt = 100L
+  }
+
   /** MinHash signature columns: min over salted xxhash64 of each doc's grams.
     * Salting with the hash index (instead of affine permutations) keeps the
     * whole signature a single groupBy of `numHashes` min-aggregates, and each

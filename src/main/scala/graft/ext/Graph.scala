@@ -383,6 +383,86 @@ object Graph {
       when(col("d") >= Unreached, lit(null).cast("long")).otherwise(col("d")).as("depth"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan 2007)
+    * over the undirected distinct view of the edge list — the cheap
+    * community assignment that [[triangles]]/[[kcore]] robustness
+    * signals feed into: `rounds` fixed synchronous passes where every
+    * node adopts the label most frequent among its NEIGHBORS (never
+    * itself), ties broken toward the SMALLEST label; labels start as the
+    * node ids. Distinct from [[Clusters]] connected components: CC
+    * merges everything reachable; LPA keeps densely-linked groups apart
+    * even inside one component.
+    *
+    * Determinism: the update is a pure (count DESC, label ASC) integer
+    * argmax over the previous round's labels — synchronous, so no
+    * visit-order dependence (the classic async-LPA nondeterminism is
+    * engineered out), and the bounded round count makes the output
+    * well-defined even on structures where synchronous LPA oscillates
+    * (two-coloring flip-flop on bipartite subgraphs — the documented
+    * reason `rounds` is part of the contract, same convention as
+    * [[pagerank]]'s 10 rounds).
+    *
+    * 100 TB shape: per round, one (h, lbl) count aggregate (map-side
+    * combinable — the shuffle carries one row per distinct neighbor
+    * label per node, bounded by degree) and one max(struct) argmax per
+    * node; rounds persist + lineage-cut, previous rounds unpersisted;
+    * the neighbor relation partitions once and is reused every round.
+    * Driver fast path below the edge threshold runs the SAME recurrence
+    * (GraphSpec pins both paths equal). No reference citation —
+    * `/root/reference/src/flinkarima.py` has no graph path; north-star
+    * crawl-pipeline scope.
+    */
+  def lpa(edges: DataFrame, rounds: Int = 8,
+      driverEdgeThreshold: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    def cutLineage(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val und = edges
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .distinct()
+    val nb = und.select(col("u").as("h"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("h"), col("u").as("nbr")))
+      .repartition(col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (driverEdgeThreshold > 0 && nb.count() <= 2L * driverEdgeThreshold) {
+      val es = nb.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byH = es.groupBy(_._1)
+      val nodes = byH.keySet.toSeq.sorted
+      var lbl = nodes.map(h => h -> h).toMap
+      var it = 0
+      while (it < rounds) {
+        lbl = nodes.map { h =>
+          val counts = byH(h).map(e => lbl(e._2)).groupBy(identity)
+            .map { case (l, g) => (l, g.length) }
+          h -> counts.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+        it += 1
+      }
+      nb.unpersist()
+      import spark.implicits._
+      return nodes.map(h => (h, lbl(h))).toDF("host", "community")
+    }
+    var lab = cutLineage(nb.select(col("h")).distinct().select(col("h"), col("h").as("lbl")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    while (it < rounds) {
+      val counts = nb.join(lab.withColumnRenamed("h", "nbr"), "nbr")
+        .groupBy(col("h"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val next = cutLineage(
+        counts.groupBy("h")
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("h"), (-col("m.nl")).as("lbl")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      lab.unpersist()
+      lab = next
+      it += 1
+    }
+    lab.select(col("h").as("host"), col("lbl").as("community"))
+  }
+
   /** Bounded k-core peeling over the undirected distinct view of the edge
     * list: `rounds` synchronous passes of "drop every node whose degree
     * within the surviving subgraph is < k", emitting the survivors with

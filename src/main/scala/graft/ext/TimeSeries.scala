@@ -278,6 +278,66 @@ object TimeSeries {
       .toDF()
   }
 
+  /** Holt's linear-trend double exponential smoothing in ERROR-CORRECTION
+    * form — the next rung above [[ewma]] on the forecasting ladder (a
+    * plain EWMA lags any trending series by a constant offset; Holt
+    * tracks the slope explicitly, which is exactly the gap between the
+    * reference's tail-mean `_fallback_prediction` and its full SARIMAX
+    * trend term):
+    *
+    *   f = l + b          (one-step-ahead forecast)
+    *   e = x − f          (forecast error — the emitted residual)
+    *   l' = f + α·e       (level update)
+    *   b' = b + α·β·e     (trend update)
+    *
+    * Initialization l₁ = x₁, b₁ = 0, resid NULL at t = 1 (no forecast
+    * exists). The error-correction form is chosen over the textbook
+    * weighted-average form because each update is a single
+    * multiply-and-add over the shared error — three IEEE ops per step in
+    * a pinned order, replayed verbatim by the oracle's recursive CTE so
+    * the doubles match bitwise. Same secondary-sort O(1)-state scan
+    * shape as [[cusum]]/[[ewma]].
+    *
+    * Output: (series, t, bucket, x, level, trend, resid).
+    */
+  def holt(events: DataFrame, alpha: Double = 0.2, beta: Double = 0.1,
+      bucketMillis: Long = 3600000L, keyCol: String = "event_type"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(beta > 0.0 && beta <= 1.0, "beta in (0, 1]")
+    val series = bucketSeries(events, bucketMillis, keyCol)
+    val out = StructType(Seq(
+      StructField("series", StringType), StructField("t", LongType),
+      StructField("bucket", LongType), StructField("x", LongType),
+      StructField("level", DoubleType), StructField("trend", DoubleType),
+      StructField("resid", DoubleType)))
+    series
+      .select("series", "t", "bucket", "x")
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("t"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        it.map { r =>
+          val series = r.getString(0)
+          if (series != cur) { cur = series; first = true }
+          val x = r.getLong(3).toDouble
+          if (first) {
+            l = x; b = 0.0; first = false
+            Row(series, r.getLong(1), r.getLong(2), r.getLong(3), l, b, null)
+          } else {
+            val f = l + b
+            val e = x - f
+            l = f + alpha * e
+            b = b + (alpha * beta) * e
+            Row(series, r.getLong(1), r.getLong(2), r.getLong(3), l, b, e)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+      .toDF()
+  }
+
   /** Regular-grid gap fill with linear interpolation — the resampling
     * step every downstream window model assumes ([[acf]]'s lag-k
     * alignment and the SARIMAX season index are only meaningful on an

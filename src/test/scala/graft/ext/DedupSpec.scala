@@ -454,6 +454,53 @@ class DedupSpec extends AnyFunSuite {
     assert(tight == Map((1L, 2L) -> 3L))
   }
 
+  test("erMatchScores: agreement vector, evidence sum, and decision bands") {
+    import spark.implicits._
+    import Dedup.{ErWeights => W}
+    val d = Seq(
+      (1L, "acme corporation", "en", "crawl"),  // len 16, band 1
+      (2L, "acme corporation", "en", "crawl"),  // exact dup of 1: all four agree
+      (3L, "acme corporatino", "en", "feed"),   // transposition (dist 2), other source
+      (4L, "zzzz yyyy xxx ww", "en", "crawl"),  // same block, unrelated text
+      (5L, "acme corporation", "de", "crawl"),  // other lang: never compared
+      (6L, "acmé corporation", "en", "crawl")   // non-ASCII: excluded
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.erMatchScores(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)),
+          r.getLong(6), r.getString(7))).toMap
+    // 1-2: everything agrees -> full evidence, "match"
+    val full = W.exactAgree + W.nearAgree + W.sourceAgree + W.lenAgree
+    assert(got((1L, 2L)) == (((true, true, true, true)), full, "match"))
+    // 1-3 and 2-3: near but not exact, source differs, length equal
+    val near = W.exactDis + W.nearAgree + W.sourceDis + W.lenAgree
+    assert(got((1L, 3L)) == (((false, true, false, true)), near,
+      if (near >= W.matchAt) "match" else "possible"))
+    assert(got.contains((2L, 3L)))
+    // 1-4: same block but only source+len agree -> below the possible cut, dropped
+    val weak = W.exactDis + W.nearDis + W.sourceAgree + W.lenAgree
+    assert(weak < W.possibleAt && !got.contains((1L, 4L)),
+      s"weak evidence ($weak) must fall below the clerical-review cut")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L }, "cross-lang never pairs")
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L }, "non-ASCII excluded")
+  }
+
+  test("erMatchScores: near gate is the banded kernel; length tolerance is inclusive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "abcdefgh", "en", "s"),
+      (2L, "abcdefghix", "en", "s"),  // dist 2, len diff 2 (inclusive edge)
+      (3L, "abcqqqqqqqqq", "en", "s") // dist > 4 from 1, len diff 4
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.erMatchScores(d, nearDist = 4, lenTol = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(3), r.getBoolean(5), r.getLong(6))).toMap
+    assert(got((1L, 2L))._1, "dist 2 <= nearDist 4")
+    assert(got((1L, 2L))._2, "len diff exactly lenTol must agree (inclusive)")
+    // 1-3 / 2-3: not near, not len-agree, same source only -> dropped below the cut
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
   test("containmentPairs: a contained quote scores ~1 in its own direction only") {
     val rnd = new scala.util.Random(23)
     def salad(n: Int, r: scala.util.Random): String =

@@ -287,4 +287,62 @@ class GraphSpec extends AnyFunSuite {
     // the peel is monotone and must have settled inside the budget
     assert(referenceKcore(edges, 10, 9) == want, "fixture must reach its fixed point by round 8")
   }
+
+  /** Driver replica of synchronous LPA with (count desc, label asc) ties. */
+  private def referenceLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val nb = (und ++ und.map(_.swap)).groupBy(_._1).map { case (h, g) => h -> g.map(_._2) }
+    var lbl = nb.keys.map(h => h -> h).toMap
+    (0 until rounds).foreach { _ =>
+      lbl = nb.map { case (h, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).map { case (l, g) => (l, g.size) }
+        h -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("lpa: two cliques joined by one bridge edge keep separate communities") {
+    import spark.implicits._
+    val cliqueA = for (a <- 0L until 5L; b <- (a + 1) until 5L) yield (a, b)
+    val cliqueB = for (a <- 10L until 15L; b <- (a + 1) until 15L) yield (a, b)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 10L)))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight")
+    val got = Graph.lpa(edges, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comA = (0L until 5L).map(got).toSet
+    val comB = (10L until 15L).map(got).toSet
+    assert(comA.size == 1 && comB.size == 1, s"each clique must agree internally: $got")
+    assert(comA != comB, "the bridge must not merge the cliques (unlike connected components)")
+  }
+
+  test("lpa: distributed path equals the driver recurrence exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300).map { _ =>
+      val s = rnd.nextInt(50).toLong; var d = rnd.nextInt(50).toLong
+      if (d == s) d = (d + 1) % 50
+      (s, d)
+    }.distinct
+    val edf = edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "weight")
+    val want = referenceLpa(edges, 8)
+    val dist = Graph.lpa(edf, rounds = 8, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
+    val fast = Graph.lpa(edf, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == want)
+  }
+
+  test("lpa: tie-break adopts the smallest label, no self-vote") {
+    import spark.implicits._
+    // star: center 5 with leaves 1, 2 — leaves see only {5}; center sees {1, 2},
+    // tie broken toward 1. One round makes center 1, leaves 5.
+    val edges = Seq((5L, 1L), (5L, 2L)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "weight")
+    val got = Graph.lpa(edges, rounds = 1, driverEdgeThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 1L -> 5L, 2L -> 5L), s"$got")
+  }
 }

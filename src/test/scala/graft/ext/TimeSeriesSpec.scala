@@ -119,6 +119,50 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("holt matches the sequential error-correction recurrence bitwise") {
+    val vals = (1 to 60).map(i => 5.0 * i + ((i * 23) % 17) / 4.0) // trend + noise
+    val cents = vals.map(v => math.round(v * 100))
+    var l = cents.head.toDouble
+    var b = 0.0
+    val ref = ((l, 0.0, Option.empty[Double])) +:
+      cents.tail.map { c =>
+        val f = l + b
+        val e = c.toDouble - f
+        l = f + 0.2 * e
+        b = b + (0.2 * 0.1) * e
+        (l, b, Some(e))
+      }
+    val got = TimeSeries.holt(df(vals), alpha = 0.2, beta = 0.1).collect()
+      .map(r => (r.getLong(1), (r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == ref)
+  }
+
+  test("holt tracks a pure linear trend: residuals shrink toward zero; ewma's do not") {
+    val vals = (1 to 80).map(i => 10.0 * i)
+    val holtResid = TimeSeries.holt(df(vals)).collect()
+      .filter(!_.isNullAt(6)).map(r => (r.getLong(1), math.abs(r.getDouble(6))))
+      .sortBy(_._1).map(_._2)
+    val ewmaResid = TimeSeries.ewma(df(vals)).collect()
+      .filter(!_.isNullAt(5)).map(r => (r.getLong(1), math.abs(r.getDouble(5))))
+      .sortBy(_._1).map(_._2)
+    assert(holtResid.last < holtResid.head / 2,
+      s"holt residual must shrink on a linear ramp: ${holtResid.head} -> ${holtResid.last}")
+    assert(ewmaResid.last > holtResid.last * 2,
+      "a trend-blind ewma must keep lagging where holt has converged")
+  }
+
+  test("holt isolates series and restarts state at each boundary") {
+    val a = df((1 to 20).map(i => 2.0 * i), "a")
+    val c = df(Seq.fill(20)(7.0), "c")
+    val got = TimeSeries.holt(a.union(c)).collect()
+    val bySeries = got.groupBy(_.getString(0))
+    assert(bySeries("c").forall(r => r.getDouble(5) == 0.0), "flat series: zero trend")
+    val firstRows = got.filter(_.getLong(1) == 1L)
+    assert(firstRows.length == 2 && firstRows.forall(_.isNullAt(6)))
+  }
+
   test("bucketSeries sums cents per bucket and drops null keys/values") {
     import spark.implicits._
     val e = Seq(
