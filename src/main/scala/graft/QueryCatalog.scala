@@ -3142,6 +3142,53 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** WordPiece greedy longest-match tokenization ([[graft.ext.Wordpiece
+    * .tokenStats]]): per-doc token/UNK counts + the order-sensitive
+    * Σ c_w·w checksum over per-word base-31 token folds. The oracle
+    * replays the IDENTICAL greedy walk as a recursive CTE whose step is
+    * a LATERAL longest-match probe over a vocabulary VALUES table
+    * generated from [[graft.ext.Wordpiece.Vocab]] (pieces, lengths, and
+    * spelled-token folds — so vocab drift between engines is
+    * impossible), with BERT whole-word-UNK semantics (a failed match
+    * resets the word to ONE [UNK] token). A wrong greedy choice, a
+    * start/continuation mix-up, a dropped word position, or an UNK that
+    * keeps partial tokens fails the hash.
+    */
+  private val qWordpieceTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Wordpiece.tokenStats(table(s, dir, "documents"))
+
+  private val oWordpieceTokens: String = {
+    import graft.ext.{Wordpiece => W}
+    val rows = W.Vocab.map { case (p, cont) =>
+      val spelled = (if (cont) "##" else "") + p
+      s"('$p', ${cont.toString.toUpperCase}, ${p.length}, ${W.fold(spelled)})"
+    }.mkString(", ")
+    s"""WITH RECURSIVE
+       |vocab(piece, cont, len, fold) AS (VALUES $rows),
+       |w0 AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents
+       |       WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |words AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS w FROM w0),
+       |r AS (
+       |  SELECT doc_id, w, word, 0 AS pos, 0::BIGINT AS ntok, 0::BIGINT AS nunk, 0::BIGINT AS c
+       |  FROM words WHERE len(word) > 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.w, r.word,
+       |         CASE WHEN m.len IS NULL THEN len(r.word) ELSE r.pos + m.len END,
+       |         CASE WHEN m.len IS NULL THEN 1 ELSE r.ntok + 1 END,
+       |         CASE WHEN m.len IS NULL THEN 1 ELSE r.nunk END,
+       |         CASE WHEN m.len IS NULL THEN ${W.UnkFold}
+       |              ELSE (r.c * 31 + m.fold) % ${W.FoldPrime} END
+       |  FROM r LEFT JOIN LATERAL (
+       |    SELECT v.len, v.fold FROM vocab v
+       |    WHERE v.cont = (r.pos > 0) AND substr(r.word, r.pos + 1, v.len) = v.piece
+       |    ORDER BY v.len DESC LIMIT 1) m ON TRUE
+       |  WHERE r.pos < len(r.word)),
+       |done AS (SELECT * FROM r WHERE pos = len(word) AND len(word) > 0)
+       |SELECT doc_id, count(*)::BIGINT AS n_words, sum(ntok)::BIGINT AS n_tokens,
+       |       sum(nunk)::BIGINT AS n_unk, sum(c * w)::BIGINT AS checksum
+       |FROM done GROUP BY doc_id""".stripMargin
+  }
+
   /** Fellegi–Sunter match scoring over the edit-distance blocks
     * ([[graft.ext.Dedup.erMatchScores]]): agreement vector (exact /
     * near / source / length) + fixed centi-log-odds evidence sum +
@@ -5268,6 +5315,7 @@ object QueryCatalog {
     "dup_spans" -> qDupSpans,
     "edit_distance_pairs" -> qEditDistancePairs,
     "er_match_scores" -> qErMatchScores,
+    "wordpiece_tokens" -> qWordpieceTokens,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5445,6 +5493,7 @@ object QueryCatalog {
     "dup_spans" -> oDupSpans,
     "edit_distance_pairs" -> oEditDistancePairs,
     "er_match_scores" -> oErMatchScores,
+    "wordpiece_tokens" -> oWordpieceTokens,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
