@@ -4900,6 +4900,66 @@ object QueryCatalog {
        |  FROM r JOIN st ON st.series = r.series AND st.t = r.t + 1)
        |SELECT series, t, bucket, x, level, trend, resid FROM r""".stripMargin
 
+  /** Viterbi HMM regime decode (TimeSeries.viterbi): 3 states, integer
+    * band observations against per-series exact-third thresholds, fixed
+    * centi-log-odds score tables, ties toward the smaller state. The
+    * oracle replays the ENTIRE dynamic program: the forward recursion
+    * carries all three dp scores plus a 2-bits-per-state packed
+    * backpointer appended to a list each step, and a second recursion
+    * walks the list backwards from the final argmax — so a drifted
+    * score table, a transposed transition, a tie broken upward, or an
+    * off-by-one in the backtrace fails the hash on every affected row.
+    */
+  private val qHmmStates: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TimeSeries.viterbi(table(s, dir, "events"))
+
+  private val oHmmStates: String = {
+    def e(s: String, b: String) =
+      s"(CASE WHEN abs($s - $b) = 0 THEN 0 WHEN abs($s - $b) = 1 THEN -80 ELSE -400 END)"
+    def tr(s: Int, sp: Int) =
+      s"(CASE WHEN abs($s - $sp) = 0 THEN 0 WHEN abs($s - $sp) = 1 THEN -120 ELSE -240 END)"
+    def cands(sp: Int) = (0 until 3).map(s => s"(r.dp$s + ${tr(s, sp)})")
+    def stepdp(sp: Int) = {
+      val c = cands(sp)
+      s"(greatest(${c(0)}, ${c(1)}, ${c(2)}) + ${e(sp.toString, "sb.b")})"
+    }
+    def stepbp(sp: Int) = {
+      val c = cands(sp)
+      val m = s"greatest(${c(0)}, ${c(1)}, ${c(2)})"
+      s"(CASE WHEN ${c(0)} = $m THEN 0 WHEN ${c(1)} = $m THEN 1 ELSE 2 END)"
+    }
+    s"""WITH RECURSIVE ${oTsSeries.stripPrefix("WITH ")},
+       |th AS (SELECT series, min(x) + (max(x) - min(x)) // 3 AS t1,
+       |              min(x) + (2 * (max(x) - min(x))) // 3 AS t2
+       |       FROM st GROUP BY 1),
+       |sb AS (SELECT st.series, st.t, st.bucket, st.x,
+       |              CASE WHEN st.x < th.t1 THEN 0 WHEN st.x < th.t2 THEN 1 ELSE 2 END AS b
+       |       FROM st JOIN th USING (series)),
+       |r AS (
+       |  SELECT series, t, dp0, dp1, dp2, [0::BIGINT] AS bps FROM (
+       |    SELECT series, t, ${e("0", "b")}::BIGINT AS dp0, ${e("1", "b")}::BIGINT AS dp1,
+       |           ${e("2", "b")}::BIGINT AS dp2 FROM sb WHERE t = 1)
+       |  UNION ALL
+       |  SELECT sb.series, sb.t,
+       |         ${stepdp(0)}, ${stepdp(1)}, ${stepdp(2)},
+       |         list_append(r.bps, (${stepbp(0)} + ${stepbp(1)} * 4 + ${stepbp(2)} * 16)::BIGINT)
+       |  FROM r JOIN sb ON sb.series = r.series AND sb.t = r.t + 1),
+       |fin AS (SELECT r.series, r.t AS n, r.dp0, r.dp1, r.dp2, r.bps
+       |        FROM r JOIN (SELECT series, max(t) AS n FROM sb GROUP BY 1) mx
+       |          ON mx.series = r.series AND mx.n = r.t),
+       |bt AS (
+       |  SELECT series, n, n AS t, bps,
+       |         CASE WHEN dp0 >= dp1 AND dp0 >= dp2 THEN 0
+       |              WHEN dp1 >= dp2 THEN 1 ELSE 2 END AS state
+       |  FROM fin
+       |  UNION ALL
+       |  SELECT bt.series, bt.n, bt.t - 1, bt.bps,
+       |         ((bt.bps[bt.t] >> (2 * bt.state)) & 3)::INTEGER
+       |  FROM bt WHERE bt.t > 1)
+       |SELECT sb.series, sb.t, sb.bucket, sb.x, sb.b::BIGINT AS band, bt.state::BIGINT AS state
+       |FROM sb JOIN bt ON bt.series = sb.series AND bt.t = sb.t""".stripMargin
+  }
+
   /** Regular-grid gap fill with linear interpolation (TimeSeries
     * .gapFill): one row per hourly slot in each series' observed span —
     * exact cents for present hours, the fixed interpolation tree
@@ -5461,6 +5521,7 @@ object QueryCatalog {
     "cusum_scan" -> qCusumScan,
     "ewma_smooth" -> qEwmaSmooth,
     "holt_smooth" -> qHoltSmooth,
+    "hmm_states" -> qHmmStates,
     "ts_gapfill" -> qTsGapfill,
     "negative_samples" -> qNegativeSamples,
     "lang_source_chi2" -> qLangSourceChi2,
@@ -5633,6 +5694,7 @@ object QueryCatalog {
     "cusum_scan" -> oCusumScan,
     "ewma_smooth" -> oEwmaSmooth,
     "holt_smooth" -> oHoltSmooth,
+    "hmm_states" -> oHmmStates,
     "ts_gapfill" -> oTsGapfill,
     "negative_samples" -> oNegativeSamples,
     "lang_source_chi2" -> oLangSourceChi2,

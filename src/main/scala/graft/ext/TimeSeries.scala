@@ -338,6 +338,115 @@ object TimeSeries {
       .toDF()
   }
 
+  /** Viterbi maximum-a-posteriori regime decoding over a 3-state HMM —
+    * the SEQUENCE-level classifier next to the pointwise detectors
+    * ([[cusum]] sees shifts, [[mad]]-style rules see outliers; neither
+    * assigns each step a latent regime consistent with its NEIGHBORS):
+    * observations are the integer band of each bucket value against the
+    * series' own exact integer-third thresholds
+    * (`t1 = min + (max−min) DIV 3`, `t2 = min + 2·(max−min) DIV 3`),
+    * and the decode maximizes the summed integer score
+    *
+    *   Σₜ E[sₜ][bₜ] + Σₜ T[sₜ₋₁][sₜ]
+    *
+    * with fixed centi-log-odds tables (stay 0 / adjacent −120 / far
+    * −240 transitions; match 0 / adjacent −80 / far −400 emissions) —
+    * fixed for the same reason [[Dedup.ErWeights]] fixes its weights:
+    * Baum–Welch is float-EM, not oracle-replayable; fixed integer
+    * scores keep the whole DP exact. A single-bucket band spike costs
+    * less as an emission miss (−80) than as two transitions (−240), so
+    * decoded regimes are STICKY — the smoothing a per-sample z-score
+    * cannot provide. Ties break toward the smaller state at every
+    * argmax (step backpointers and the final state).
+    *
+    * Scale shape: the [[cusum]] secondary-sort scan, except the decode
+    * needs the backpointer matrix for its backward pass, so memory is
+    * O(T·K) per series (K = 3) — a series must fit one task's MEMORY,
+    * not just stream through it (the [[Suffix]]-style documented bound;
+    * cap upstream if a key can outlive millions of buckets). Series
+    * count provides the parallelism.
+    *
+    * Output: (series, t, bucket, x, band, state).
+    */
+  def viterbi(events: DataFrame, bucketMillis: Long = 3600000L,
+      keyCol: String = "event_type"): DataFrame = {
+    val series = bucketSeries(events, bucketMillis, keyCol)
+    // DIV (floor on the non-negative span), never `/` (double division)
+    val th = series.groupBy("series").agg(
+      expr("min(x) + (max(x) - min(x)) DIV 3").as("t1"),
+      expr("min(x) + (2 * (max(x) - min(x))) DIV 3").as("t2"))
+    val banded = series.join(th, "series")
+      .select(col("series"), col("t"), col("bucket"), col("x"),
+        when(col("x") < col("t1"), 0L).when(col("x") < col("t2"), 1L)
+          .otherwise(2L).as("band"))
+    val out = StructType(Seq(
+      StructField("series", StringType), StructField("t", LongType),
+      StructField("bucket", LongType), StructField("x", LongType),
+      StructField("band", LongType), StructField("state", LongType)))
+    banded
+      .repartition(col("series"))
+      .sortWithinPartitions(col("series"), col("t"))
+      .mapPartitions { it =>
+        val bit = it.buffered
+        new Iterator[Seq[Row]] {
+          def hasNext: Boolean = bit.hasNext
+          def next(): Seq[Row] = {
+            val s = bit.head.getString(0)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (bit.hasNext && bit.head.getString(0) == s) buf += bit.next()
+            decodeSeries(buf)
+          }
+        }.flatten
+      }(org.apache.spark.sql.Encoders.row(out))
+      .toDF()
+  }
+
+  private def emit(s: Int, b: Int): Long =
+    math.abs(s - b) match { case 0 => 0L; case 1 => -80L; case _ => -400L }
+  private def trans(s: Int, sp: Int): Long =
+    math.abs(s - sp) match { case 0 => 0L; case 1 => -120L; case _ => -240L }
+
+  /** Forward DP + backtrace over one series' buffered, t-ordered rows
+    * (series, t, bucket, x, band). Argmax ties -> smallest state,
+    * mirrored exactly by the oracle's CASE ladders.
+    */
+  private def decodeSeries(rows: scala.collection.Seq[Row]): Seq[Row] = {
+    val n = rows.length
+    val bands = Array.tabulate(n)(i => rows(i).getLong(4).toInt)
+    val dp = Array.tabulate(3)(s => emit(s, bands(0)))
+    val bp = Array.ofDim[Int](n, 3)
+    var t = 1
+    while (t < n) {
+      val nd = new Array[Long](3)
+      var sp = 0
+      while (sp < 3) {
+        var best = Long.MinValue
+        var arg = 0
+        var s = 0
+        while (s < 3) {
+          val c = dp(s) + trans(s, sp)
+          if (c > best) { best = c; arg = s } // strict: first max wins = smallest
+          s += 1
+        }
+        nd(sp) = best + emit(sp, bands(t))
+        bp(t)(sp) = arg
+        sp += 1
+      }
+      System.arraycopy(nd, 0, dp, 0, 3)
+      t += 1
+    }
+    val path = new Array[Int](n)
+    path(n - 1) =
+      if (dp(0) >= dp(1) && dp(0) >= dp(2)) 0 else if (dp(1) >= dp(2)) 1 else 2
+    t = n - 1
+    while (t > 0) { path(t - 1) = bp(t)(path(t)); t -= 1 }
+    (0 until n).map { i =>
+      val r = rows(i)
+      Row(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), path(i).toLong)
+    }
+  }
+
   /** Regular-grid gap fill with linear interpolation — the resampling
     * step every downstream window model assumes ([[acf]]'s lag-k
     * alignment and the SARIMAX season index are only meaningful on an

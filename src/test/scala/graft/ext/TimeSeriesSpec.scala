@@ -163,6 +163,78 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(firstRows.length == 2 && firstRows.forall(_.isNullAt(6)))
   }
 
+  /** Independent sequential Viterbi over integer bands (mirrors the
+    * operator's fixed score tables and smallest-state tie-breaks). */
+  private def refViterbi(cents: Seq[Long]): Seq[Int] = {
+    val mn = cents.min; val mx = cents.max
+    val t1 = mn + (mx - mn) / 3; val t2 = mn + 2 * (mx - mn) / 3
+    val bands = cents.map(x => if (x < t1) 0 else if (x < t2) 1 else 2)
+    def e(s: Int, b: Int) = math.abs(s - b) match { case 0 => 0L; case 1 => -80L; case _ => -400L }
+    def tr(s: Int, sp: Int) = math.abs(s - sp) match { case 0 => 0L; case 1 => -120L; case _ => -240L }
+    val n = bands.length
+    var dp = (0 until 3).map(s => e(s, bands(0))).toArray
+    val bp = Array.ofDim[Int](n, 3)
+    for (t <- 1 until n) {
+      val nd = new Array[Long](3)
+      for (sp <- 0 until 3) {
+        val c = (0 until 3).map(s => dp(s) + tr(s, sp))
+        val m = c.max
+        bp(t)(sp) = c.indexOf(m)
+        nd(sp) = m + e(sp, bands(t))
+      }
+      dp = nd
+    }
+    val path = new Array[Int](n)
+    path(n - 1) = if (dp(0) >= dp(1) && dp(0) >= dp(2)) 0 else if (dp(1) >= dp(2)) 1 else 2
+    for (t <- n - 1 until 0 by -1) path(t - 1) = bp(t)(path(t))
+    path.toSeq
+  }
+
+  test("viterbi equals the sequential DP reference on a noisy two-regime series") {
+    val vals = (0 until 40).map(i => 10.0 + ((i * 13) % 7) * 0.25) ++
+      (0 until 40).map(i => 30.0 + ((i * 11) % 7) * 0.25)
+    val cents = vals.map(v => math.round(v * 100))
+    val want = refViterbi(cents)
+    val got = TimeSeries.viterbi(df(vals)).collect()
+      .map(r => r.getLong(1) -> r.getLong(5).toInt).sortBy(_._1).map(_._2).toSeq
+    assert(got == want)
+    // the planted regimes are actually recovered
+    assert(got.take(40).forall(_ == 0) && got.drop(40).count(_ == 2) > 30, s"$got")
+  }
+
+  test("viterbi smooths a single-bucket spike but follows a sustained shift") {
+    // long low run with ONE mid-band bucket: emission miss (-80) beats
+    // two adjacent transitions (-240), so the spike decodes as state 0
+    val lo = 10.0; val mid = 20.0; val hi = 31.0
+    val spike = Seq.fill(10)(lo) ++ Seq(mid) ++ Seq.fill(10)(lo) ++ Seq(hi) // hi pins t2
+    val got = TimeSeries.viterbi(df(spike)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(got(11L)._1 == 1L, "the spike bucket is band 1")
+    assert(got(11L)._2 == 0L, "but decodes to the surrounding regime")
+    // sustained: five mid buckets flip the state
+    val shift = Seq.fill(10)(lo) ++ Seq.fill(5)(mid) ++ Seq.fill(10)(lo) ++ Seq(hi)
+    val got2 = TimeSeries.viterbi(df(shift)).collect()
+      .map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert((11L to 15L).forall(got2(_) == 1L), s"sustained mid run must decode as state 1: $got2")
+  }
+
+  test("viterbi: constant series bands 2 everywhere and decodes constant state 2") {
+    val got = TimeSeries.viterbi(df(Seq.fill(12)(5.0))).collect()
+    assert(got.length == 12 && got.forall(r => r.getLong(4) == 2L && r.getLong(5) == 2L))
+  }
+
+  test("viterbi isolates series and is partition-invariant") {
+    val a = df((0 until 30).map(i => if (i < 15) 10.0 else 30.0), "a")
+    val c = df(Seq.fill(30)(7.0), "c")
+    def run(parts: Int) = TimeSeries.viterbi(a.union(c).repartition(parts)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5))).sortBy(x => (x._1, x._2)).toSeq
+    val got = run(1)
+    assert(got == run(13))
+    val byS = got.groupBy(_._1)
+    assert(byS("c").forall(_._3 == 2L), "constant neighbor stays in its own regime")
+    assert(byS("a").map(_._3).distinct.size == 2, "the shifted series uses two states")
+  }
+
   test("bucketSeries sums cents per bucket and drops null keys/values") {
     import spark.implicits._
     val e = Seq(
