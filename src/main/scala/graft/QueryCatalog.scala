@@ -3142,6 +3142,48 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Dremel record shredding ([[graft.ext.Dremel.shredStats]]): the
+    * doc→words[]→{optional code, repeated chars} schema shredded into
+    * per-leaf (r, d, v) streams, each stream folded order-sensitively,
+    * plus a checksum of the records REASSEMBLED from the streams alone.
+    * The oracle recomputes the level streams closed-form from the word
+    * positions (the engineered j%3 / j%4 arms) and the reassembled
+    * checksum DIRECTLY from the source text — so level slips, lost
+    * elements, and reassembly-FSM bugs each fail independently.
+    */
+  private val qDremelShred: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Dremel.shredStats(table(s, dir, "documents"))
+
+  private val oDremelShred: String = {
+    val P = graft.ext.Dremel.FoldPrime
+    val nullV = 262143
+    s"""WITH d0 AS (SELECT doc_id, $normSql AS n
+       |        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |w0 AS (SELECT doc_id, string_split(n, ' ') AS ws FROM d0 WHERE n <> ''),
+       |s AS (SELECT doc_id,
+       |  list_transform(range(1, len(ws) + 1), j ->
+       |    (((CASE WHEN j = 1 THEN 0 ELSE 1 END) * 4 + (CASE WHEN j % 3 <> 0 THEN 2 ELSE 1 END)) * 262144
+       |    + (CASE WHEN j % 3 <> 0 THEN length(ws[j]) ELSE $nullV END))::BIGINT) AS code_encs,
+       |  flatten(list_transform(range(1, len(ws) + 1), j ->
+       |    CASE WHEN j % 4 = 0
+       |      THEN [(((CASE WHEN j = 1 THEN 0 ELSE 1 END) * 4 + 1) * 262144 + $nullV)::BIGINT]
+       |      ELSE list_transform(range(1, length(ws[j]) + 1), i ->
+       |        (((CASE WHEN i = 1 THEN (CASE WHEN j = 1 THEN 0 ELSE 1 END) ELSE 2 END) * 4 + 2) * 262144
+       |        + (ord(substr(ws[j], i, 1)) % 65536))::BIGINT)
+       |    END)) AS char_encs,
+       |  list_transform(range(1, len(ws) + 1), j ->
+       |    (((CASE WHEN j % 4 = 0 THEN $nullV
+       |       ELSE list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(ws[j]) + 1),
+       |              i -> (ord(substr(ws[j], i, 1)) % 65536)::BIGINT)), (a, b) -> (a * 31 + b) % $P) END) * 31
+       |     + (CASE WHEN j % 3 <> 0 THEN length(ws[j]) ELSE $nullV END)) % $P)::BIGINT) AS word_terms
+       |  FROM w0)
+       |SELECT doc_id, len(code_encs)::BIGINT AS n_code, len(char_encs)::BIGINT AS n_chars,
+       |  list_reduce(list_prepend(0::BIGINT, code_encs), (a, b) -> (a * 31 + b) % $P)::BIGINT AS code_checksum,
+       |  list_reduce(list_prepend(0::BIGINT, char_encs), (a, b) -> (a * 31 + b) % $P)::BIGINT AS chars_checksum,
+       |  list_reduce(list_prepend(0::BIGINT, word_terms), (a, b) -> (a * 31 + b) % $P)::BIGINT AS reassembled_checksum
+       |FROM s""".stripMargin
+  }
+
   /** WordPiece greedy longest-match tokenization ([[graft.ext.Wordpiece
     * .tokenStats]]): per-doc token/UNK counts + the order-sensitive
     * Σ c_w·w checksum over per-word base-31 token folds. The oracle
@@ -5376,6 +5418,7 @@ object QueryCatalog {
     "edit_distance_pairs" -> qEditDistancePairs,
     "er_match_scores" -> qErMatchScores,
     "wordpiece_tokens" -> qWordpieceTokens,
+    "dremel_shred" -> qDremelShred,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5555,6 +5598,7 @@ object QueryCatalog {
     "edit_distance_pairs" -> oEditDistancePairs,
     "er_match_scores" -> oErMatchScores,
     "wordpiece_tokens" -> oWordpieceTokens,
+    "dremel_shred" -> oDremelShred,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
