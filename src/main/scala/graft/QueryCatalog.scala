@@ -3142,6 +3142,69 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** V-optimal histogram construction ([[graft.ext.Vopt.histogram]]):
+    * B = 4 buckets per event series by exact integer DP over prefix
+    * moments (cost = n·Σx² − (Σx)², never a float), per-series input
+    * capped at the first 2048 bucket positions (the bounded-sample
+    * convention of every production statistics builder — replayed by
+    * the oracle). The oracle unrolls all four DP levels as CTEs — each
+    * level an (i, j) join with a (cost ASC, j ASC) window argmin — and
+    * walks the parents back from dp4(n), so a drifted cost term, a tie
+    * broken toward the larger split, or an off-by-one boundary fails
+    * the hash on every downstream bucket row.
+    */
+  private val qVoptHistogram: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Vopt.histogram(table(s, dir, "events"), buckets = 4, maxN = 2048)
+
+  private val oVoptHistogram: String = {
+    def dplevel(b: Int) =
+      s"""dp$b AS (SELECT series, i, p, q, v, j FROM (
+         |  SELECT i.series, i.t AS i, i.p, i.q,
+         |         (d.v + ((i.t - d.i) * (i.q - d.q) - (i.p - d.p) * (i.p - d.p)))::BIGINT AS v,
+         |         d.i AS j,
+         |         row_number() OVER (PARTITION BY i.series, i.t
+         |           ORDER BY (d.v + ((i.t - d.i) * (i.q - d.q) - (i.p - d.p) * (i.p - d.p))) ASC, d.i ASC) AS rn
+         |  FROM pre i JOIN dp${b - 1} d ON d.series = i.series AND d.i < i.t AND d.i >= ${b - 1}) z WHERE rn = 1)""".stripMargin
+    s"""WITH se AS (
+       |  SELECT event_type AS series, epoch_ms(ts) // 3600000 AS bucket,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |st0 AS (SELECT series, bucket, x,
+       |              row_number() OVER (PARTITION BY series ORDER BY bucket) AS t
+       |       FROM se),
+       |stc AS (SELECT * FROM st0 WHERE t <= 2048),
+       |nn AS (SELECT series, max(t) AS n FROM stc GROUP BY 1 HAVING max(t) >= 4),
+       |pre AS (SELECT s.series, s.t, s.x,
+       |        sum(s.x) OVER (PARTITION BY s.series ORDER BY s.t)::BIGINT AS p,
+       |        sum(s.x * s.x) OVER (PARTITION BY s.series ORDER BY s.t)::BIGINT AS q
+       |        FROM stc s JOIN nn ON nn.series = s.series),
+       |dp1 AS (SELECT series, t AS i, p, q, (t * q - p * p)::BIGINT AS v FROM pre),
+       |${dplevel(2)},
+       |${dplevel(3)},
+       |${dplevel(4)},
+       |bounds AS (
+       |  SELECT nn.series, nn.n AS e4, d4.j AS e3, d3.j AS e2, d2.j AS e1
+       |  FROM nn
+       |  JOIN dp4 d4 ON d4.series = nn.series AND d4.i = nn.n
+       |  JOIN dp3 d3 ON d3.series = nn.series AND d3.i = d4.j
+       |  JOIN dp2 d2 ON d2.series = nn.series AND d2.i = d3.j),
+       |bk AS (
+       |  SELECT series, 1 AS bkt, 1 AS t_start, e1 AS t_end FROM bounds
+       |  UNION ALL SELECT series, 2, e1 + 1, e2 FROM bounds
+       |  UNION ALL SELECT series, 3, e2 + 1, e3 FROM bounds
+       |  UNION ALL SELECT series, 4, e3 + 1, e4 FROM bounds)
+       |SELECT bk.series AS series, bk.bkt::BIGINT AS bkt, bk.t_start::BIGINT AS t_start,
+       |       bk.t_end::BIGINT AS t_end, (bk.t_end - bk.t_start + 1)::BIGINT AS n,
+       |       (pe.p - coalesce(ps.p, 0))::BIGINT AS sum_cents,
+       |       ((bk.t_end - bk.t_start + 1) * (pe.q - coalesce(ps.q, 0))
+       |         - (pe.p - coalesce(ps.p, 0)) * (pe.p - coalesce(ps.p, 0)))::BIGINT AS sse_n
+       |FROM bk
+       |JOIN pre pe ON pe.series = bk.series AND pe.t = bk.t_end
+       |LEFT JOIN pre ps ON ps.series = bk.series AND ps.t = bk.t_start - 1""".stripMargin
+  }
+
   /** Dremel record shredding ([[graft.ext.Dremel.shredStats]]): the
     * doc→words[]→{optional code, repeated chars} schema shredded into
     * per-leaf (r, d, v) streams, each stream folded order-sensitively,
@@ -5419,6 +5482,7 @@ object QueryCatalog {
     "er_match_scores" -> qErMatchScores,
     "wordpiece_tokens" -> qWordpieceTokens,
     "dremel_shred" -> qDremelShred,
+    "vopt_histogram" -> qVoptHistogram,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5599,6 +5663,7 @@ object QueryCatalog {
     "er_match_scores" -> oErMatchScores,
     "wordpiece_tokens" -> oWordpieceTokens,
     "dremel_shred" -> oDremelShred,
+    "vopt_histogram" -> oVoptHistogram,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
