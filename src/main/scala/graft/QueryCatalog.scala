@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -3142,6 +3142,27 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Two-phase distributed skyline ([[graft.ext.Skyline.skyline]]):
+    * the Pareto frontier of parts minimizing (retail price, size).
+    * The oracle is the direct NOT EXISTS dominance definition — ground
+    * truth, not another BNL — so a lost frontier point, a kept
+    * dominated point, or equal-pair mishandling (duplicates of a
+    * frontier point must ALL survive) fails rows/hash.
+    */
+  private val qSkylineParts: (SparkSession, String) => DataFrame = (s, dir) =>
+    Skyline.skyline(
+      table(s, dir, "part").withColumn("price_c", expr("CAST(round(p_retailprice * 100) AS LONG)")),
+      "p_partkey", "price_c", "p_size")
+
+  private val oSkylineParts: String =
+    """WITH p AS (SELECT p_partkey AS id, CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+      |                  p_size::BIGINT AS y
+      |           FROM part
+      |           WHERE p_partkey IS NOT NULL AND p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+      |SELECT a.id, a.x, a.y FROM p a WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))""".stripMargin
+
   /** V-optimal histogram construction ([[graft.ext.Vopt.histogram]]):
     * B = 4 buckets per event series by exact integer DP over prefix
     * moments (cost = n·Σx² − (Σx)², never a float), per-series input
@@ -5483,6 +5504,7 @@ object QueryCatalog {
     "wordpiece_tokens" -> qWordpieceTokens,
     "dremel_shred" -> qDremelShred,
     "vopt_histogram" -> qVoptHistogram,
+    "skyline_parts" -> qSkylineParts,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5664,6 +5686,7 @@ object QueryCatalog {
     "wordpiece_tokens" -> oWordpieceTokens,
     "dremel_shred" -> oDremelShred,
     "vopt_histogram" -> oVoptHistogram,
+    "skyline_parts" -> oSkylineParts,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
