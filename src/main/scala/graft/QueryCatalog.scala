@@ -3142,6 +3142,67 @@ object QueryCatalog {
       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Incremental view maintenance ([[graft.ext.Ivm.maintainAgg]]): the
+    * per-type (count, sum, avg) view maintained from a base aggregate
+    * plus a SIGNED delta aggregate (inserts `event_id % 5 = 4`,
+    * retractions of base rows `event_id % 13 = 0`), merged by one outer
+    * join — never a base rescan. The oracle computes the view DIRECTLY
+    * from the effective multiset with no delta algebra anywhere, so the
+    * incremental path must equal a full recompute bitwise (the IVM
+    * identity itself is the gate).
+    */
+  private val qIvmAgg: (SparkSession, String) => DataFrame = (s, dir) => {
+    val ev = table(s, dir, "events")
+      .filter(col("event_id").isNotNull && col("event_id") >= 0)
+      .withColumn("cents", expr("CAST(round(value * 100) AS LONG)"))
+    val base = ev.filter(col("event_id") % 5 =!= 4)
+    val ins = ev.filter(col("event_id") % 5 === 4).withColumn("op", lit("I"))
+    val ret = base.filter(col("event_id") % 13 === 0).withColumn("op", lit("R"))
+    graft.ext.Ivm.maintainAgg(base, ins.unionByName(ret), "event_type", "cents")
+  }
+
+  private val oIvmAgg: String =
+    """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |            FROM events
+      |            WHERE event_id IS NOT NULL AND event_id >= 0
+      |              AND event_type IS NOT NULL AND value IS NOT NULL),
+      |eff AS (SELECT * FROM ev WHERE event_id % 5 = 4 OR event_id % 13 <> 0)
+      |SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
+      |       (sum(cents)::DOUBLE / count(*)::DOUBLE) AS avg_value
+      |FROM eff GROUP BY 1""".stripMargin
+
+  /** Row-pattern matching ([[graft.ext.EventAnalytics.patternRuns]]):
+    * `view+ click+ purchase+` over contiguous maximal runs per user —
+    * MATCH_RECOGNIZE semantics (greedy quantifiers, skip-past-last-row)
+    * via gaps-and-islands + a consecutive-run self-join. Micros feed
+    * the gate (the `funnel` nano-tie convention). The oracle replays
+    * the identical window/island/join pipeline, so a broken run
+    * boundary, an interleaved-event leak, or an off-by-one run id
+    * fails the hash.
+    */
+  private val qPatternMatch: (SparkSession, String) => DataFrame = (s, dir) =>
+    EventAnalytics.patternRuns(
+      table(s, dir, "events").withColumn("ts", expr("CAST(ts DIV 1000 AS BIGINT)")),
+      "view", "click", "purchase")
+
+  private val oPatternMatch: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t, event_id AS eid
+      |           FROM events
+      |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |             AND ts IS NOT NULL AND event_id IS NOT NULL),
+      |r0 AS (SELECT *, CASE WHEN lag(et) OVER (PARTITION BY u ORDER BY t, eid) = et
+      |                      THEN 0 ELSE 1 END AS brk FROM e),
+      |r1 AS (SELECT *, sum(brk) OVER (PARTITION BY u ORDER BY t, eid) AS run_id FROM r0),
+      |runs AS (SELECT u, run_id, min(et) AS et, min(t) AS t0, max(t) AS t1,
+      |                count(*)::BIGINT AS len
+      |         FROM r1 GROUP BY 1, 2)
+      |SELECT a.u AS user_id, a.t0 AS match_start, c.t1 AS match_end,
+      |       a.len AS n_a, b.len AS n_b, c.len AS n_c
+      |FROM runs a
+      |JOIN runs b ON b.u = a.u AND b.run_id = a.run_id + 1
+      |JOIN runs c ON c.u = a.u AND c.run_id = b.run_id + 1
+      |WHERE a.et = 'view' AND b.et = 'click' AND c.et = 'purchase'""".stripMargin
+
   /** Two-phase distributed skyline ([[graft.ext.Skyline.skyline]]):
     * the Pareto frontier of parts minimizing (retail price, size).
     * The oracle is the direct NOT EXISTS dominance definition — ground
@@ -5505,6 +5566,8 @@ object QueryCatalog {
     "dremel_shred" -> qDremelShred,
     "vopt_histogram" -> qVoptHistogram,
     "skyline_parts" -> qSkylineParts,
+    "ivm_agg" -> qIvmAgg,
+    "event_pattern_match" -> qPatternMatch,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5687,6 +5750,8 @@ object QueryCatalog {
     "dremel_shred" -> oDremelShred,
     "vopt_histogram" -> oVoptHistogram,
     "skyline_parts" -> oSkylineParts,
+    "ivm_agg" -> oIvmAgg,
+    "event_pattern_match" -> oPatternMatch,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,

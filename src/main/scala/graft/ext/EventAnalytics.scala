@@ -219,4 +219,58 @@ object EventAnalytics {
         col("mad"),
         ((col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))).as("rob_z"))
   }
+
+  /** SQL-2016 `MATCH_RECOGNIZE`-style row-pattern matching for the fixed
+    * pattern `A+ B+ C+` over each user's time-ordered event stream —
+    * complex-event processing that [[funnel]] cannot express: the funnel
+    * asks "did steps happen in order, ever", this asks for CONTIGUOUS
+    * runs (a `view+ click+ purchase+` match breaks if any other event
+    * interleaves). Greedy `+` quantifiers over maximal runs and
+    * non-overlapping matches — the MATCH_RECOGNIZE `AFTER MATCH SKIP
+    * PAST LAST ROW` defaults — fall out for free: matches are triples of
+    * CONSECUTIVE maximal runs, and maximal runs cannot overlap.
+    *
+    * Relational form (no state machine needed for a fixed pattern):
+    * gaps-and-islands run detection (one per-user window pass), a run
+    * roll-up, then the runs relation self-joined on consecutive run ids
+    * with the type filter. Ordering ties break by `idCol` — pinned, so
+    * the decode is deterministic on any engine.
+    *
+    * Output: (user, match start/end ts, per-step run lengths).
+    *
+    * Shape: ONE user-partitioned exchange carries the window, the run
+    * roll-up (same clustering), and all three self-join sides; the runs
+    * relation is one row per run, never per event.
+    */
+  def patternRuns(
+      events: DataFrame,
+      a: String, b: String, c: String,
+      keyCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("u").orderBy(col("t"), col("eid"))
+    val runs = events
+      .filter(col(keyCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"),
+        col(idCol).as("eid"))
+      .withColumn("brk",
+        when(lag(col("et"), 1).over(ord) === col("et"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("run_id", sum(col("brk")).over(ord))
+      .groupBy(col("u"), col("run_id"))
+      .agg(first(col("et")).as("et"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"), count(lit(1)).as("len"))
+    def side(n: Int, et: String) = runs.filter(col("et") === et)
+      .select(col("u"), col("run_id").as(s"r$n"), col("t0").as(s"t0_$n"),
+        col("t1").as(s"t1_$n"), col("len").as(s"len$n"))
+    side(1, a)
+      .join(side(2, b), Seq("u"))
+      .join(side(3, c), Seq("u"))
+      .filter(col("r2") === col("r1") + 1 && col("r3") === col("r2") + 1)
+      .select(col("u").as(keyCol), col("t0_1").as("match_start"),
+        col("t1_3").as("match_end"), col("len1").as("n_a"),
+        col("len2").as("n_b"), col("len3").as("n_c"))
+  }
 }

@@ -134,4 +134,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // a mean/stddev z-test would wash out as big grows; MAD keeps flagging
     assert(flagged(100.0) == Set(19L) && flagged(1.0e6) == Set(19L))
   }
+
+  private def patternMatches(events: Seq[(Long, String, Long, Long)]) = {
+    import spark.implicits._
+    EventAnalytics.patternRuns(
+      events.toDF("user_id", "event_type", "ts", "event_id"),
+      "view", "click", "purchase")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+  }
+
+  test("patternRuns: contiguous view+ click+ purchase+ matches; interleaving breaks it") {
+    val ok = Seq( // u1: VV C PPP -> one match with run lengths 2,1,3
+      (1L, "view", 10L, 1L), (1L, "view", 20L, 2L), (1L, "click", 30L, 3L),
+      (1L, "purchase", 40L, 4L), (1L, "purchase", 50L, 5L), (1L, "purchase", 60L, 6L))
+    val broken = Seq( // u2: V C ERROR P -> the error event splits the runs
+      (2L, "view", 10L, 7L), (2L, "click", 20L, 8L),
+      (2L, "error", 30L, 9L), (2L, "purchase", 40L, 10L))
+    assert(patternMatches(ok ++ broken) == Set((1L, 10L, 60L, 2L, 1L, 3L)))
+  }
+
+  test("patternRuns: non-overlapping repeated matches per user; funnel would count once") {
+    val twice = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "purchase", 30L, 3L),
+      (1L, "view", 40L, 4L), (1L, "click", 50L, 5L), (1L, "purchase", 60L, 6L))
+    assert(patternMatches(twice) ==
+      Set((1L, 10L, 30L, 1L, 1L, 1L), (1L, 40L, 60L, 1L, 1L, 1L)))
+  }
+
+  test("patternRuns: equal timestamps break by event id; users are isolated") {
+    // same ts everywhere: order is the event-id order V C P -> one match
+    val tied = Seq((1L, "view", 10L, 1L), (1L, "click", 10L, 2L), (1L, "purchase", 10L, 3L))
+    assert(patternMatches(tied) == Set((1L, 10L, 10L, 1L, 1L, 1L)))
+    // flipping ids reverses the decoded order: P C V -> no match
+    val flipped = Seq((1L, "view", 10L, 3L), (1L, "click", 10L, 2L), (1L, "purchase", 10L, 1L))
+    assert(patternMatches(flipped).isEmpty)
+    // a cross-user "continuation" must not stitch
+    val split = Seq((1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (2L, "purchase", 30L, 3L))
+    assert(patternMatches(split).isEmpty)
+  }
 }
