@@ -1934,13 +1934,13 @@ object QueryCatalog {
     * containment direction fails the hash.
     */
   private val qContainmentPairs: (SparkSession, String) => DataFrame = (s, dir) =>
-    Dedup.containmentPairs(table(s, dir, "documents"), threshold = 0.5, maxDf = 100000L)
+    Dedup.containmentPairs(table(s, dir, "documents"), threshold = 0.5, maxDf = 256L)
 
   private val oContainmentPairs: String =
     s"""WITH $winnowCtes,
        |fs AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
        |sz AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS sz FROM fs GROUP BY 1),
-       |dfok AS MATERIALIZED (SELECT fp FROM fs GROUP BY fp HAVING count(*) <= 100000),
+       |dfok AS MATERIALIZED (SELECT fp FROM fs GROUP BY fp HAVING count(*) <= 256),
        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
        |       FROM fs a JOIN fs b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |       JOIN dfok ON dfok.fp = a.fp
@@ -3129,18 +3129,115 @@ object QueryCatalog {
     * bug in the −1 cutoff all fail the hash.
     */
   private val qEditDistancePairs: (SparkSession, String) => DataFrame = (s, dir) =>
-    Dedup.editDistancePairs(table(s, dir, "documents"), maxDist = 64)
+    Dedup.editDistancePairs(table(s, dir, "documents"), maxDist = 64, window = 16)
 
   private val oEditDistancePairs: String =
-    """WITH b AS (SELECT doc_id, text, lang, len(text) // 16 AS lb FROM documents
+    """WITH b AS (SELECT doc_id, text, lang FROM documents
       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
       |             AND octet_length(text::BLOB) = len(text)),
-      |bc AS MATERIALIZED (SELECT lang, lb FROM b GROUP BY 1, 2 HAVING count(*) <= 4096),
-      |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+      |r AS (SELECT doc_id, text, lang,
+      |        row_number() OVER (PARTITION BY lang ORDER BY len(text), text, doc_id) AS rn
+      |      FROM b),
+      |p AS (SELECT least(a.doc_id, c.doc_id) AS id_a, greatest(a.doc_id, c.doc_id) AS id_b,
       |        levenshtein(a.text, c.text) AS dist
-      |      FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
-      |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb)
+      |      FROM r a JOIN r c ON a.lang = c.lang AND c.rn > a.rn AND c.rn <= a.rn + 16)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
+
+  /** Greedy max-coverage selection ([[graft.ext.Coverage.greedySelect]],
+    * k = 8): submodular data curation over distinct word bigrams. The
+    * oracle unrolls every greedy round as MATERIALIZED CTE levels —
+    * covered-set, marginal-gain aggregate, (gain DESC, id ASC) argmax —
+    * so a drifted marginal count, a tie toward the larger id, or a
+    * round that double-counts covered grams fails rows/hash.
+    */
+  private val qCoverageSelect: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Coverage.greedySelect(table(s, dir, "documents"), k = 8)
+
+  private val oCoverageSelect: String = {
+    val k = 8
+    val rounds = (1 to k).map { r =>
+      if (r == 1)
+        s"""m1 AS MATERIALIZED (SELECT g.doc_id AS d, count(*) AS marg FROM g GROUP BY 1),
+           |s1 AS MATERIALIZED (SELECT d, marg FROM (
+           |  SELECT d, marg, row_number() OVER (ORDER BY marg DESC, d ASC) AS rn FROM m1) z
+           |  WHERE rn = 1)""".stripMargin
+      else {
+        val selset = "(" + (1 until r).map(i => s"(SELECT d FROM s$i)").mkString(", ") + ")"
+        s"""cov${r - 1} AS MATERIALIZED (SELECT DISTINCT gr FROM g WHERE doc_id IN $selset),
+           |m$r AS MATERIALIZED (SELECT g.doc_id AS d, count(*) AS marg FROM g
+           |  WHERE g.doc_id NOT IN $selset AND g.gr NOT IN (SELECT gr FROM cov${r - 1})
+           |  GROUP BY 1),
+           |s$r AS MATERIALIZED (SELECT d, marg FROM (
+           |  SELECT d, marg, row_number() OVER (ORDER BY marg DESC, d ASC) AS rn FROM m$r) z
+           |  WHERE rn = 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT $r::BIGINT AS rank, d AS doc_id, marg::BIGINT AS marginal_gain FROM s$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH w0 AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |         WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |g AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |      unnest(list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))) AS gr
+       |    FROM w0 WHERE len(w) >= 2),
+       |$rounds
+       |$out""".stripMargin
+  }
+
+  /** Grid DBSCAN ([[graft.ext.Density.gridDbscan]]): density clustering
+    * of the (hour-of-week, value-band) event grid — dense cells (>= 8
+    * points) cluster by 8-connectivity, sparse cells are NOISE (NULL).
+    * The oracle replays the grid, the density cut, the adjacency edges,
+    * and a recursive reachability closure with min-cell labels, so a
+    * wrong neighbor offset, a density off-by-one, or a dropped isolated
+    * dense cell fails the hash.
+    */
+  private val qGridDbscan: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Density.gridDbscan(
+      table(s, dir, "events").filter(col("value") >= 0),
+      xExpr = "(ts DIV 1000000 DIV 3600000) % 168",
+      yExpr = "CAST(round(value * 100) AS LONG) DIV 500",
+      minPts = 8L)
+
+  private val oGridDbscan: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT (epoch_ms(ts) // 3600000) % 168 AS cx,
+      |         CAST(round(value * 100) AS BIGINT) // 500 AS cy, count(*)::BIGINT AS n_points
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+      |  GROUP BY 1, 2),
+      |cc AS (SELECT *, cx * 4000000 + (cy + 1000000) AS cell FROM c
+      |       WHERE cx >= 0 AND abs(cy) < 1000000),
+      |dense AS (SELECT * FROM cc WHERE n_points >= 8),
+      |e0 AS (SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+      |       ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cell < b.cell),
+      |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach AS (SELECT src AS id, src AS r FROM sym
+      |          UNION SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
+      |comp AS (SELECT id AS cell, min(r) AS comp FROM reach GROUP BY 1)
+      |SELECT cc.cx, cc.cy, cc.n_points,
+      |       CASE WHEN d.cell IS NULL THEN NULL
+      |            ELSE coalesce(comp.comp, d.cell) END AS cluster
+      |FROM cc LEFT JOIN dense d ON d.cell = cc.cell
+      |LEFT JOIN comp ON comp.cell = cc.cell""".stripMargin
+
+  /** Rendezvous shard assignment ([[graft.plans.ScaleOps
+    * .rendezvousShards]], n = 16): per-key argmax over md5 weights for
+    * 16 and 17 shards — the elastic-repartitioning contract (moved keys
+    * land ONLY on the new shard, expected churn 1/17) is pinned in
+    * ScaleOpsSpec; the oracle replays the identical hex-string argmax.
+    */
+  private val qRendezvousShards: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.plans.ScaleOps.rendezvousShards(table(s, dir, "documents"), "doc_id", 16)
+
+  private val oRendezvousShards: String = {
+    def w(k: Int) = (0 until k).map(s => s"md5(id::VARCHAR || '#$s')").mkString("[", ", ", "]")
+    s"""WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
+       |x AS (SELECT id,
+       |        (list_position(${w(16)}, list_max(${w(16)})) - 1)::BIGINT AS shard,
+       |        (list_position(${w(17)}, list_max(${w(17)})) - 1)::BIGINT AS shard_next
+       |      FROM ids)
+       |SELECT id, shard, shard_next, shard <> shard_next AS moved FROM x""".stripMargin
+  }
 
   /** Incremental view maintenance ([[graft.ext.Ivm.maintainAgg]]): the
     * per-type (count, sum, avg) view maintained from a base aggregate
@@ -3391,17 +3488,18 @@ object QueryCatalog {
 
   private val oErMatchScores: String = {
     import Dedup.{ErWeights => W}
-    s"""WITH b AS (SELECT doc_id, text, source, lang, len(text) // 16 AS lb FROM documents
+    s"""WITH b AS (SELECT doc_id, text, source, lang FROM documents
        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
        |             AND source IS NOT NULL AND octet_length(text::BLOB) = len(text)),
-       |bc AS MATERIALIZED (SELECT lang, lb FROM b GROUP BY 1, 2 HAVING count(*) <= 4096),
-       |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |r AS (SELECT doc_id, text, source, lang,
+       |        row_number() OVER (PARTITION BY lang ORDER BY len(text), text, doc_id) AS rn
+       |      FROM b),
+       |p AS (SELECT least(a.doc_id, c.doc_id) AS id_a, greatest(a.doc_id, c.doc_id) AS id_b,
        |        a.text = c.text AS g_exact,
        |        levenshtein(a.text, c.text) <= 4 AS g_near,
        |        a.source = c.source AS g_source,
        |        abs(len(a.text) - len(c.text)) <= 2 AS g_len
-       |      FROM b a JOIN b c ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
-       |      JOIN bc ON bc.lang = a.lang AND bc.lb = a.lb),
+       |      FROM r a JOIN r c ON a.lang = c.lang AND c.rn > a.rn AND c.rn <= a.rn + 16),
        |sc AS (SELECT id_a, id_b, g_exact, g_near, g_source, g_len,
        |        (CASE WHEN g_exact THEN ${W.exactAgree} ELSE ${W.exactDis} END
        |       + CASE WHEN g_near THEN ${W.nearAgree} ELSE ${W.nearDis} END
@@ -5568,6 +5666,9 @@ object QueryCatalog {
     "skyline_parts" -> qSkylineParts,
     "ivm_agg" -> qIvmAgg,
     "event_pattern_match" -> qPatternMatch,
+    "grid_dbscan" -> qGridDbscan,
+    "rendezvous_shards" -> qRendezvousShards,
+    "coverage_select" -> qCoverageSelect,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5752,6 +5853,9 @@ object QueryCatalog {
     "skyline_parts" -> oSkylineParts,
     "ivm_agg" -> oIvmAgg,
     "event_pattern_match" -> oPatternMatch,
+    "grid_dbscan" -> oGridDbscan,
+    "rendezvous_shards" -> oRendezvousShards,
+    "coverage_select" -> oCoverageSelect,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,

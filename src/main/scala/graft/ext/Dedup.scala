@@ -268,14 +268,23 @@ object Dedup {
     * fingerprints past `maxDf` are excluded from the intersection only
     * (sizes keep them) — the documented df-capped-containment contract,
     * mirrored exactly by the oracle. The quadratic hazard (a boilerplate
-    * fingerprint shared by millions of docs) is bounded by that cap.
+    * fingerprint shared by millions of docs) is bounded by that cap —
+    * and the cap must be a CONSTANT, not a corpus fraction: candidate
+    * pairs are Σ df², so on a corpus whose fingerprint diversity grows
+    * slower than its size (boilerplate-heavy crawls) any df cap that
+    * scales with N reintroduces the N² cliff. 256 is the production
+    * default (a fingerprint on >256 documents is boilerplate by any
+    * measure, and counting it toward containment only manufactures
+    * false quote pairs — measured on the fixture corpus: cap 10⁵ yields
+    * 5 965 "containment" pairs at sf0.01, all boilerplate artifacts;
+    * cap 256 keeps the 25 genuinely-shared-content pairs).
     */
   def containmentPairs(
       docs: DataFrame,
       threshold: Double = 0.5,
       k: Int = 5,
       w: Int = 4,
-      maxDf: Long = 100000L,
+      maxDf: Long = 256L,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val fpSets = TextAnalysis.winnow(docs, k, w, idCol, textCol)
@@ -359,59 +368,82 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("anchors"))
   }
 
-  /** Blocked exact edit-distance pairs — the entity-resolution primitive
-    * for SHORT near-identical records (titles, names, OCR'd lines) where
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, "The
+    * Merge/Purge Problem", SIGMOD 1995): rank records per language by
+    * `(length, text, id)` and pair each record with its next `window`
+    * neighbors in rank order. Candidate volume is window·N — LINEAR in
+    * the corpus at ANY scale, unlike length-band blocking whose block
+    * sizes (and therefore pair counts) grow with the corpus: measured
+    * on the fixture, banded blocking ran 26.9× slower on 10× data (the
+    * N² cliff the bench's scale_ratio gate exists to catch) while the
+    * windowed form is 10× by construction. Near-identical records sort
+    * adjacently (equal-prefix texts of equal length are rank
+    * neighbors), which is the recall argument; records further than
+    * `window` apart in sort order are missed — the documented SNM
+    * recall trade (multi-pass SNM with a second sort key is the
+    * documented next rung). The ASCII gate rides on `t` (byte==
+    * codepoint semantics, and byte-wise string ranking identical in
+    * both engines). Payload columns ride the rank structs.
+    */
+  private[ext] def snmCandidates(
+      base: DataFrame, // columns: lang, id, t (+ payload columns)
+      window: Int,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy("lang").orderBy(length(col("t")), col("t"), col("id")))
+    val cols = Seq("id", "t") ++ payload
+    val ranked = base.withColumn("__rn", rn)
+      .select(col("lang"), col("__rn"), struct(cols.map(col): _*).as("__a"))
+    val probe = ranked.select(col("lang"),
+      explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn"),
+      col("__a"))
+    probe.join(ranked.withColumnRenamed("__a", "__b"), Seq("lang", "__rn"))
+      .select(col("__a"), col("__b"))
+  }
+
+  /** Exact edit-distance pairs — the entity-resolution primitive for
+    * SHORT near-identical records (titles, names, OCR'd lines) where
     * set-based similarity ([[ngramJaccardPairs]]) is too coarse: two
     * strings one typo apart and two sharing the same word multiset score
     * identically under Jaccard but differ by edit distance.
     *
-    * Candidate generation is standard sorted-neighborhood-style blocking:
-    * `(langCol, length(text) DIV blockChars)` — only same-language docs in
-    * the same length band are compared, so the quadratic kernel runs
-    * within bounded blocks only ([[orderedPairsWithinGroups]]' `maxGroup`
-    * admission cap + `graft.oversize.edit_distance` observed drop
-    * counters bound the degenerate block). Docs whose lengths straddle a
-    * band boundary can be missed — the documented recall trade of every
-    * blocked ER scheme; widen with a second offset banding if the corpus
-    * needs it.
-    *
-    * The kernel is Spark's built-in banded `levenshtein(l, r, threshold)`
-    * (O(maxDist·n) per pair, returns −1 past the threshold — no full DP
-    * matrix at scale). Comparisons restrict to single-byte (ASCII) text
-    * on BOTH sides: Spark counts codepoints while DuckDB's oracle
-    * levenshtein counts bytes, and on ASCII the two meanings coincide —
-    * the documented gate contract (non-ASCII docs are excluded, not
-    * mis-measured; a codepoint-true unicode path would need a custom
-    * kernel the oracle could not replay).
+    * Candidate generation is the sorted-neighborhood method
+    * ([[snmCandidates]]) — window·N candidates, linear at any corpus
+    * size. The kernel is Spark's built-in banded `levenshtein(l, r,
+    * threshold)` (O(maxDist·n) per pair, returns −1 past the threshold —
+    * no full DP matrix at scale). Comparisons restrict to single-byte
+    * (ASCII) text on BOTH sides: Spark counts codepoints while DuckDB's
+    * oracle levenshtein counts bytes, and on ASCII the two meanings
+    * coincide — the documented gate contract (non-ASCII docs are
+    * excluded, not mis-measured).
     *
     * Output: `(id_a < id_b, dist)` for pairs at `dist <= maxDist`.
     */
   def editDistancePairs(
       docs: DataFrame,
       maxDist: Int = 64,
-      blockChars: Int = 16,
-      maxBlock: Long = 4096L,
+      window: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull && col(langCol).isNotNull)
       .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        struct(col(langCol), expr(s"length($textCol) DIV $blockChars")).as("blk"))
-    orderedPairsWithinGroups(base, col("blk"), struct(col("id"), col("t")),
-      maxGroup = maxBlock, observeTag = "edit_distance")
-      .filter(col("__a.id") < col("__b.id"))
-      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+      .select(col(idCol).as("id"), col(textCol).as("t"), col(langCol).as("lang"))
+    snmCandidates(base, window, Seq.empty)
+      .select(least(col("__a.id"), col("__b.id")).as("id_a"),
+        greatest(col("__a.id"), col("__b.id")).as("id_b"),
         levenshtein(col("__a.t"), col("__b.t"), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0)
   }
 
   /** Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969) over
-    * the same sorted-neighborhood blocks as [[editDistancePairs]] — the
-    * probabilistic-ER layer above the raw distance kernel: each blocked
-    * pair gets an AGREEMENT VECTOR over four comparison fields and a
-    * total match weight, the sum of fixed per-field log-odds:
+    * the same sorted-neighborhood candidates as [[editDistancePairs]] —
+    * the probabilistic-ER layer above the raw distance kernel: each
+    * candidate pair gets an AGREEMENT VECTOR over four comparison
+    * fields and a total match weight, the sum of fixed per-field
+    * log-odds:
     *
     *   - `g_exact`:  texts identical;
     *   - `g_near`:   banded edit distance <= `nearDist` (typo-level);
@@ -434,9 +466,8 @@ object Dedup {
     * carries; the weights below are chosen so the three decision bands
     * remain meaningful under that correlation.
     *
-    * 100 TB shape: identical to [[editDistancePairs]] — one exchange on
-    * the block key, in-partition pair enumeration under the `maxBlock`
-    * admission cap (+ observed drop counters), banded kernel, no
+    * 100 TB shape: identical to [[editDistancePairs]] — linear
+    * window·N sorted-neighborhood candidates, banded kernel, no
     * full-corpus quadratic path. ASCII gate as there (byte-vs-codepoint
     * levenshtein coincidence — the oracle contract).
     *
@@ -447,8 +478,7 @@ object Dedup {
       docs: DataFrame,
       nearDist: Int = 4,
       lenTol: Int = 2,
-      blockChars: Int = 16,
-      maxBlock: Long = 4096L,
+      window: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text",
       langCol: String = "lang",
@@ -458,17 +488,15 @@ object Dedup {
         col(langCol).isNotNull && col(srcCol).isNotNull)
       .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
       .select(col(idCol).as("id"), col(textCol).as("t"), col(srcCol).as("s"),
-        struct(col(langCol), expr(s"length($textCol) DIV $blockChars")).as("blk"))
-    val pairs = orderedPairsWithinGroups(base, col("blk"),
-      struct(col("id"), col("t"), col("s")),
-      maxGroup = maxBlock, observeTag = "er_match")
-      .filter(col("__a.id") < col("__b.id"))
+        col(langCol).as("lang"))
+    val pairs = snmCandidates(base, window, Seq("s"))
     val gExact = (col("__a.t") === col("__b.t")).as("g_exact")
     val gNear = (levenshtein(col("__a.t"), col("__b.t"), nearDist) >= 0).as("g_near")
     val gSource = (col("__a.s") === col("__b.s")).as("g_source")
     val gLen = (abs(length(col("__a.t")) - length(col("__b.t"))) <= lenTol).as("g_len")
     pairs
-      .select(col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+      .select(least(col("__a.id"), col("__b.id")).as("id_a"),
+        greatest(col("__a.id"), col("__b.id")).as("id_b"),
         gExact, gNear, gSource, gLen)
       .withColumn("score",
         (when(col("g_exact"), lit(ErWeights.exactAgree)).otherwise(lit(ErWeights.exactDis)) +

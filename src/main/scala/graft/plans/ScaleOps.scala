@@ -122,4 +122,33 @@ object ScaleOps {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment for key `idCol`
+    * under `n` shards: shard = argmax over s of md5(id || '#' || s)
+    * (hex-string order — identical ASCII comparison in every engine;
+    * first-position ties, unreachable short of an md5 collision).
+    *
+    * This is how a 100 TB corpus re-shards ELASTICALLY: unlike
+    * `hash(id) % n`, growing to n+1 shards moves ONLY the keys whose new
+    * (n+1)-th weight wins — every moved key lands on the NEW shard and
+    * the expected moved fraction is exactly 1/(n+1), versus ~100% churn
+    * for modulo (Thaler & Ravishankar, "Using Name-Based Mappings to
+    * Increase Hit Rates", ToN 1998). Pure codegen'd expressions — one
+    * md5 array + argmax per row, no shuffle, no state.
+    *
+    * Output: one row per key — (id, shard, shard_next, moved).
+    */
+  def rendezvousShards(rel: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need at least one shard")
+    def weights(k: Int): Column = array((0 until k).map(s =>
+      md5(concat(col("id").cast("string"), lit(s"#$s")))): _*)
+    def argmax(arr: Column): Column = (array_position(arr, array_max(arr)) - 1).cast("long")
+    rel
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .distinct()
+      .withColumn("shard", argmax(weights(n)))
+      .withColumn("shard_next", argmax(weights(n + 1)))
+      .withColumn("moved", col("shard") =!= col("shard_next"))
+  }
 }

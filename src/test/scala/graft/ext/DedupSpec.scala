@@ -431,27 +431,37 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("editDistancePairs: classic distances inside a block; lang/band/ascii gates hold") {
+  test("editDistancePairs: classic distances; lang/ascii gates; SNM window bound") {
     import spark.implicits._
     val d = Seq(
-      (1L, "kitten", "en"),                    // len 6, band 0
-      (2L, "sitting", "en"),                   // len 7, band 0 -> dist 3
+      (1L, "kitten", "en"),
+      (2L, "sitting", "en"),                   // dist 3 from kitten
       (3L, "kitten", "de"),                    // same text, other lang: never compared
       (4L, "kittén", "en"),                    // non-ASCII: excluded by the gate
-      (5L, "kitten kitten xx", "en"),          // len 16, band 1: other band than 1/2
-      (6L, "zzzzzzz", "en")                    // band 0 but dist 6/7 from 1,2 (kept at maxDist 8)
+      (5L, "kitten kitten xx", "en"),          // dist >= 10 from everything short
+      (6L, "zzzzzzz", "en")                    // dist 6/7 from 1,2 (kept at maxDist 8)
     ).toDF("doc_id", "text", "lang")
-    val got = Dedup.editDistancePairs(d, maxDist = 8, blockChars = 16)
+    val got = Dedup.editDistancePairs(d, maxDist = 8, window = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got((1L, 2L)) == 3L, "kitten->sitting is the textbook 3")
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }, "cross-lang must not pair")
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L }, "non-ASCII must be excluded")
-    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L }, "cross-band must not pair")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "the long doc is compared (SNM window) but every distance exceeds maxDist")
     assert(got.contains((1L, 6L)) && got.contains((2L, 6L)))
     // tighten the threshold: the banded kernel's -1 must drop the far pairs
-    val tight = Dedup.editDistancePairs(d, maxDist = 3, blockChars = 16)
+    val tight = Dedup.editDistancePairs(d, maxDist = 3, window = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(tight == Map((1L, 2L) -> 3L))
+    // the window is a hard recall bound: rank neighbors beyond it never pair.
+    // 20 equal-length docs in lexicographic order; window 2 pairs only
+    // rank-adjacent-by<=2 texts
+    val many = (0 until 20).map(i => (100L + i, s"word${('a' + i).toChar}x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val windowed = Dedup.editDistancePairs(many, maxDist = 8, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(windowed.forall { case (a, b) => b - a <= 2 }, s"window must bound rank distance: $windowed")
+    assert(windowed.size == 2 * 20 - 3, "each doc pairs with its <=2 successors")
   }
 
   test("erMatchScores: agreement vector, evidence sum, and decision bands") {

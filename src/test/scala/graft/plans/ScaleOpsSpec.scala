@@ -133,4 +133,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scanNode.exists(_.selectedPartitions.partitionCount == 1),
       s"expected 1 selected partition, got ${scanNode.map(_.selectedPartitions.partitionCount)}")
   }
+
+  test("rendezvous shards: moved keys land ONLY on the new shard; churn near 1/(n+1)") {
+    import spark.implicits._
+    val ids = (0L until 2000L).toDF("doc_id")
+    val got = ScaleOps.rendezvousShards(ids, "doc_id", 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 2000)
+    assert(got.forall(t => t._2 >= 0 && t._2 < 16 && t._3 >= 0 && t._3 < 17))
+    val moved = got.filter(_._4)
+    // THE rendezvous elasticity guarantee: a key moves iff the NEW shard's
+    // weight wins, so every move targets shard 16
+    assert(moved.forall(_._3 == 16L), "every moved key must land on the new shard")
+    assert(got.filter(!_._4).forall(t => t._2 == t._3))
+    val frac = moved.length.toDouble / got.length
+    assert(frac > 0.02 && frac < 0.10, s"expected ~1/17 = 0.059 churn, got $frac")
+  }
+
+  test("rendezvous shards: assignment is a pure function of the key (stable across runs)") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    def go() = ScaleOps.rendezvousShards(ids.repartition(7), "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(go() == go())
+    // balance sanity: no shard is empty or hoards >3x its fair share
+    val sizes = go().values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 16 && sizes.max < 3 * 500 / 16)
+  }
 }
