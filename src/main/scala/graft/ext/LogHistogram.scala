@@ -52,18 +52,25 @@ object LogHistogram {
   val SubBits = 2
   val SubPerOctave: Int = 1 << SubBits // 4
 
-  /** floor(log2(c)) for c >= 1 as a pure integer comparison cascade
-    * (descending thresholds; 62 is the top bit of a positive Long).
+  /** floor(log2(c)) for c >= 1, exactly, as `length(bin(c)) - 1` — the
+    * binary spelling has no leading zeros, so its length IS the top-bit
+    * position + 1, an integer identity both engines implement the same
+    * way (never IEEE log2, whose rounding near powers of two is
+    * engine-dependent). This replaced a 63-arm comparison CASCADE in
+    * round 9: the cascade was exact too, but it gets INLINED at every
+    * use site of the bucket expression (sub, idx, lb each reference e —
+    * Catalyst's CollapseProject duplicates the tree), and several
+    * kilobyte-scale copies of a 63-branch conditional pushed the
+    * projection out of whole-stage codegen — 6.3s at sf0.1 for what is
+    * one aggregate over 200k rows. The bin() form is three tiny
+    * expressions after duplication.
     */
   private def log2Case(c: Column): Column =
-    (62 to 0 by -1).foldLeft(when(lit(false), 0)) { (acc, k) =>
-      acc.when(c >= (1L << k), k)
-    }.otherwise(lit(null)).cast("int")
+    (length(bin(c)) - 1).cast("int")
 
-  /** The identical cascade as SQL text for the DuckDB oracle. */
+  /** The identical integer identity as SQL text for the DuckDB oracle. */
   def log2CaseSql(cExpr: String): String =
-    (62 to 0 by -1).map(k => s"WHEN $cExpr >= ${1L << k} THEN $k")
-      .mkString("CASE ", " ", " ELSE NULL END")
+    s"(length(bin($cExpr)) - 1)"
 
   /** Fixed-point cents: `round` yields an exactly-integral double, so the
     * long cast is the same number in both engines (Spark truncates,
