@@ -3143,6 +3143,43 @@ object QueryCatalog {
       |      FROM r a JOIN r c ON a.lang = c.lang AND c.rn > a.rn AND c.rn <= a.rn + 16)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** System R join-order enumeration ([[graft.plans.JoinOrder
+    * .enumerate]]): all 8 connected left-deep orders of the
+    * nation–customer–orders–lineitem chain, costed with the Selinger
+    * C_out model over EXACT data-derived statistics (counts + distinct
+    * join keys), floor-division order pinned. The oracle recomputes the
+    * stats in SQL and replays every order's cost expression — generated
+    * from the SAME `stepPlan` the operator costs with, so the two
+    * cannot drift — and a transposed denominator, a missed order, or a
+    * re-associated floor fails rows/hash.
+    */
+  private val qJoinOrderDp: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.plans.JoinOrder.enumerate(s, Map(
+      "nation" -> table(s, dir, "nation"), "customer" -> table(s, dir, "customer"),
+      "orders" -> table(s, dir, "orders"), "lineitem" -> table(s, dir, "lineitem")))
+
+  private val oJoinOrderDp: String = {
+    import graft.plans.{JoinOrder => J}
+    val pfx = Map("nation" -> "n", "customer" -> "c", "orders" -> "o", "lineitem" -> "l")
+    val cards = J.Relations.map(r => s"(SELECT count(*) FROM $r) AS c_$r").mkString(",\n|  ")
+    val dists = J.DistinctStats.map { case (r, k) =>
+      s"(SELECT count(DISTINCT ${pfx(r)}_$k) FROM $r) AS d_${r}_$k"
+    }.mkString(",\n|  ")
+    val arms = J.ConnectedOrders.map { ord =>
+      var est = s"c_${ord.head}"
+      val costs = J.stepPlan(ord).map { case (r, anchor, k) =>
+        est = s"(($est * c_$r) // greatest(d_${anchor}_$k, d_${r}_$k))"
+        est
+      }
+      val name = ord.map(pfx).mkString(".")
+      s"SELECT '$name' AS ord, (${costs.mkString(" + ")})::BIGINT AS est_cost, $est::BIGINT AS est_rows FROM s"
+    }.mkString("\n|UNION ALL ")
+    s"""WITH s AS (SELECT
+       |  $cards,
+       |  $dists)
+       |$arms""".stripMargin
+  }
+
   /** Greedy max-coverage selection ([[graft.ext.Coverage.greedySelect]],
     * k = 8): submodular data curation over distinct word bigrams. The
     * oracle unrolls every greedy round as MATERIALIZED CTE levels —
@@ -4599,6 +4636,29 @@ object QueryCatalog {
       |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00' AND l_shipdate < timestamp '1998-01-01 00:00:00'
       |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
 
+  /** TPC-H Q13 shape (customer distribution): LEFT OUTER join with the
+    * filter in the JOIN predicate — the signature that preserves
+    * zero-order customers (a WHERE filter would silently drop them) —
+    * then the two-level count histogram. o_orderpriority stands in for
+    * Q13's o_comment anti-pattern (this synthetic orders table carries
+    * no comment column); `count(o_orderkey)` skips the outer nulls
+    * exactly like the spec query.
+    */
+  private val qQ13Custdist: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+
+  private val oQ13Custdist: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
   private val qRollup: (SparkSession, String) => DataFrame = (s, dir) =>
     table(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -5669,6 +5729,7 @@ object QueryCatalog {
     "grid_dbscan" -> qGridDbscan,
     "rendezvous_shards" -> qRendezvousShards,
     "coverage_select" -> qCoverageSelect,
+    "join_order_dp" -> qJoinOrderDp,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5718,6 +5779,7 @@ object QueryCatalog {
     "q3_top10" -> qQ3,
     "q5_region_revenue" -> qQ5,
     "q6_sql_revenue" -> qQ6Sql,
+    "q13_custdist" -> qQ13Custdist,
     "top_orders_per_cust" -> qTopOrders,
     "grouped_topk_agg" -> qGroupedTopK,
     "parts_unsold_month" -> qPartsUnsold,
@@ -5856,6 +5918,7 @@ object QueryCatalog {
     "grid_dbscan" -> oGridDbscan,
     "rendezvous_shards" -> oRendezvousShards,
     "coverage_select" -> oCoverageSelect,
+    "join_order_dp" -> oJoinOrderDp,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
@@ -5904,6 +5967,7 @@ object QueryCatalog {
     "q3_top10" -> oQ3,
     "q5_region_revenue" -> oQ5,
     "q6_sql_revenue" -> oQ6Sql,
+    "q13_custdist" -> oQ13Custdist,
     "top_orders_per_cust" -> oTopOrders,
     "grouped_topk_agg" -> oGroupedTopK,
     "parts_unsold_month" -> oPartsUnsold,
