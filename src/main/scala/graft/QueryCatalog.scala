@@ -3691,6 +3691,38 @@ object QueryCatalog {
        |FROM generate_series(0, 4095) g(g)
        |LEFT JOIN cells c ON c.sketch_row = g.g // 1024 AND c.col = g.g % 1024""".stripMargin
 
+  /** CMS join-size estimation ([[graft.ext.Sketches.cmsJoinSize]]) for
+    * orders ⋈ customer on custkey: the AGMS inner-product estimator —
+    * min over sketch rows of the cellwise product — next to the exact
+    * join count as the evaluation harness. The oracle replays the
+    * sketches, the per-row inner products, the min, and the exact join,
+    * all in exact integers; the never-underestimates law is pinned in
+    * SketchesSpec.
+    */
+  private val qCmsJoinSize: (SparkSession, String) => DataFrame = (s, dir) =>
+    Sketches.cmsJoinSize(
+      table(s, dir, "orders"), "o_custkey",
+      table(s, dir, "customer"), "c_custkey")
+
+  private val oCmsJoinSize: String =
+    """WITH lk AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders WHERE o_custkey IS NOT NULL),
+      |rk AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer WHERE c_custkey IS NOT NULL),
+      |lc AS (SELECT s.i AS r, ('0x' || substr(md5(s.i || ':' || k), 1, 15))::BIGINT % 1024 AS c,
+      |         count(*) AS cnt
+      |       FROM lk CROSS JOIN generate_series(0, 3) s(i) GROUP BY 1, 2),
+      |rc AS (SELECT s.i AS r, ('0x' || substr(md5(s.i || ':' || k), 1, 15))::BIGINT % 1024 AS c,
+      |         count(*) AS cnt
+      |       FROM rk CROSS JOIN generate_series(0, 3) s(i) GROUP BY 1, 2),
+      |p AS (SELECT lc.r, sum(lc.cnt * rc.cnt) AS ip
+      |      FROM lc JOIN rc ON lc.r = rc.r AND lc.c = rc.c GROUP BY 1),
+      |ip AS (SELECT g.g AS sketch_row, coalesce(p.ip, 0)::BIGINT AS inner_product
+      |       FROM generate_series(0, 3) g(g) LEFT JOIN p ON p.r = g.g),
+      |ex AS (SELECT count(*)::BIGINT AS exact_size
+      |       FROM orders JOIN customer ON o_custkey = c_custkey),
+      |es AS (SELECT min(inner_product)::BIGINT AS est_size FROM ip)
+      |SELECT ip.sketch_row::BIGINT AS sketch_row, ip.inner_product, ex.exact_size, es.est_size
+      |FROM ip, ex, es""".stripMargin
+
   /** The SECOND from-scratch compression format under the gate: Snappy —
     * the block codec inside most real parquet files. Same round-trip
     * oracle shape as `deflate_roundtrip` (decoded length + checksum
@@ -5838,6 +5870,7 @@ object QueryCatalog {
     "hll_registers" -> qHllRegisters,
     "blocklist_match" -> qBlocklistMatch,
     "cms_counts" -> qCmsCounts,
+    "cms_join_size" -> qCmsJoinSize,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "host_triangles" -> qHostTriangles,
@@ -6024,6 +6057,7 @@ object QueryCatalog {
     "hll_registers" -> oHllRegisters,
     "blocklist_match" -> oBlocklistMatch,
     "cms_counts" -> oCmsCounts,
+    "cms_join_size" -> oCmsJoinSize,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "host_triangles" -> oHostTriangles,

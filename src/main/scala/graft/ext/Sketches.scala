@@ -193,4 +193,48 @@ object Sketches {
       .join(cells, Seq("sketch_row", "col"), "left")
       .select(col("sketch_row"), col("col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Sketch-based equi-join CARDINALITY estimation — the AGMS/Count-Min
+    * inner-product estimator (Alon, Gibbons, Matias & Szegedy 1999;
+    * Cormode & Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_v f_A(v)·f_B(v)
+    * is estimated by min over the d sketch rows of the CELLWISE inner
+    * product Σ_w cmA[i][w]·cmB[i][w]. Each row's product NEVER
+    * underestimates (hash collisions only add mass), so `est >= exact`
+    * always — pinned in spec — and the min over d independent rows
+    * tightens the overshoot. This is the statistic a distributed
+    * optimizer can afford when `join_order_dp`'s distinct-count model
+    * is too coarse: sketches build in one pass per side (map-side
+    * combinable, d·w bounded state) and the estimate costs d·w cell
+    * multiplies — no join is executed.
+    *
+    * Output (one row per sketch row): (sketch_row, inner_product,
+    * exact_size, est_size). The exact join count rides along as the
+    * EVALUATION harness — the gate grades estimate and truth together —
+    * not as the production path.
+    */
+  def cmsJoinSize(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2)
+    val spark = left.sparkSession
+    def cells(df: DataFrame, key: String): DataFrame = df
+      .filter(col(key).isNotNull)
+      .select(col(key).cast("string").as("k"))
+      .select(explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("r"), (md5Hash60(col("k"), s"$i:") % w).as("c"))
+      }: _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val prods = cells(left, leftKey).withColumnRenamed("cnt", "ln")
+      .join(cells(right, rightKey).withColumnRenamed("cnt", "rn"), Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ln") * col("rn")).as("ip"))
+    val perRow = spark.range(d.toLong).select(col("id").as("sketch_row"))
+      .join(prods.withColumnRenamed("r", "sketch_row"), Seq("sketch_row"), "left")
+      .select(col("sketch_row"), coalesce(col("ip"), lit(0L)).as("inner_product"))
+    val exact = left.join(right, col(leftKey) === col(rightKey))
+      .agg(count(lit(1)).as("exact_size"))
+    val est = perRow.agg(min(col("inner_product")).as("est_size"))
+    perRow.crossJoin(exact).crossJoin(est)
+  }
 }

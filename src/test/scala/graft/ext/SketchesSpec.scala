@@ -90,4 +90,33 @@ class SketchesSpec extends AnyFunSuite {
     // jaccard consistency
     assert(math.abs(r.getDouble(6) - estI / estU) == 0.0)
   }
+
+  test("cms join size: estimate never underestimates and min tightens the overshoot") {
+    import spark.implicits._
+    // skewed FK join: key k appears k times on the left, once on the right
+    val left = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("lk")
+    val right = (1L to 60L).toDF("rk") // 41..60 never join
+    val rows = Sketches.cmsJoinSize(left, "lk", right, "rk").collect()
+    assert(rows.length == 4)
+    val exact = rows.head.getLong(2)
+    val est = rows.head.getLong(3)
+    assert(exact == (1L to 40L).sum, "truth: sum of multiplicities")
+    assert(rows.forall(r => r.getLong(1) >= exact), "every row's inner product >= truth")
+    assert(est == rows.map(_.getLong(1)).min, "estimate is the min over rows")
+    assert(est >= exact)
+    // at 1024 cells over 60 keys, collisions are rare: the estimate is tight
+    assert(est <= exact * 2, s"est $est should be near exact $exact at this load factor")
+  }
+
+  test("cms join size: empty intersection estimates near zero; null keys drop") {
+    import spark.implicits._
+    val left = (1L to 30L).toDF("lk")
+    val right = (1000L to 1030L).toDF("rk")
+    val rows = Sketches.cmsJoinSize(left, "lk", right, "rk").collect()
+    assert(rows.head.getLong(2) == 0L)
+    assert(rows.head.getLong(3) <= 2L, "disjoint keys: only rare collisions contribute")
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("lk")
+    val r2 = Sketches.cmsJoinSize(withNull, "lk", (1L to 2L).toDF("rk"), "rk").collect()
+    assert(r2.head.getLong(2) == 2L, "null keys neither join nor sketch")
+  }
 }
