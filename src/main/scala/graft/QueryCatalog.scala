@@ -3143,6 +3143,64 @@ object QueryCatalog {
       |      FROM r a JOIN r c ON a.lang = c.lang AND c.rn > a.rn AND c.rn <= a.rn + 16)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Histogram selectivity estimation ([[graft.plans.Selectivity
+    * .estimate]]): the V-opt histogram of l_quantity answering four
+    * `<= V` range probes by full-bucket sums + floor-pinned
+    * uniform-within-bucket interpolation, graded next to the exact
+    * counts. The oracle replays the frequency relation, the full DP
+    * (the vopt CTE pattern over the value domain), the bucket bounds,
+    * and both the estimate CASE-sum and the exact counts.
+    */
+  private val qSelectivityEst: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.plans.Selectivity.estimate(table(s, dir, "lineitem"), "l_quantity",
+      probes = Seq(500L, 1300L, 2700L, 4100L))
+
+  private val oSelectivityEst: String = {
+    def dplevel(b: Int) =
+      s"""dp$b AS (SELECT i, p, q, v, j FROM (
+         |  SELECT i.t AS i, i.p, i.q,
+         |         (d.v + ((i.t - d.i) * (i.q - d.q) - (i.p - d.p) * (i.p - d.p)))::BIGINT AS v,
+         |         d.i AS j,
+         |         row_number() OVER (PARTITION BY i.t
+         |           ORDER BY (d.v + ((i.t - d.i) * (i.q - d.q) - (i.p - d.p) * (i.p - d.p))) ASC, d.i ASC) AS rn
+         |  FROM pre i JOIN dp${b - 1} d ON d.i < i.t AND d.i >= ${b - 1}) z WHERE rn = 1)""".stripMargin
+    s"""WITH fr AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS val, count(*)::BIGINT AS f
+       |        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+       |r0 AS (SELECT val, f, row_number() OVER (ORDER BY val) AS t FROM fr),
+       |r AS (SELECT * FROM r0 WHERE t <= 4096),
+       |nn AS (SELECT max(t) AS n FROM r),
+       |pre AS (SELECT t, val, f,
+       |        sum(f) OVER (ORDER BY t)::BIGINT AS p,
+       |        sum(f * f) OVER (ORDER BY t)::BIGINT AS q
+       |        FROM r),
+       |dp1 AS (SELECT t AS i, p, q, (t * q - p * p)::BIGINT AS v FROM pre),
+       |${dplevel(2)},
+       |${dplevel(3)},
+       |${dplevel(4)},
+       |bounds AS (SELECT nn.n AS e4, d4.j AS e3, d3.j AS e2, d2.j AS e1
+       |  FROM nn JOIN dp4 d4 ON d4.i = nn.n JOIN dp3 d3 ON d3.i = d4.j JOIN dp2 d2 ON d2.i = d3.j),
+       |bk0 AS (SELECT 1 AS bkt, 1 AS ts, e1 AS te FROM bounds
+       |  UNION ALL SELECT 2, e1 + 1, e2 FROM bounds
+       |  UNION ALL SELECT 3, e2 + 1, e3 FROM bounds
+       |  UNION ALL SELECT 4, e3 + 1, e4 FROM bounds),
+       |bk AS (SELECT bk0.bkt, lo.val AS v_lo, hi.val AS v_hi,
+       |         (ph.p - coalesce(pl.p, 0))::BIGINT AS f_total
+       |       FROM bk0
+       |       JOIN pre lo ON lo.t = bk0.ts JOIN pre hi ON hi.t = bk0.te
+       |       JOIN pre ph ON ph.t = bk0.te LEFT JOIN pre pl ON pl.t = bk0.ts - 1),
+       |probes(v_cut) AS (VALUES (500::BIGINT), (1300::BIGINT), (2700::BIGINT), (4100::BIGINT)),
+       |est AS (SELECT pr.v_cut,
+       |         sum(CASE WHEN bk.v_hi <= pr.v_cut THEN bk.f_total
+       |                  WHEN bk.v_lo > pr.v_cut THEN 0
+       |                  ELSE (bk.f_total * (pr.v_cut - bk.v_lo + 1)) // (bk.v_hi - bk.v_lo + 1) END)::BIGINT AS est_rows
+       |        FROM probes pr CROSS JOIN bk GROUP BY 1),
+       |ex AS (SELECT pr.v_cut, coalesce(sum(CASE WHEN fr.val <= pr.v_cut THEN fr.f ELSE 0 END), 0)::BIGINT AS exact_rows
+       |        FROM probes pr CROSS JOIN fr GROUP BY 1)
+       |SELECT est.v_cut, est.est_rows, ex.exact_rows,
+       |       (est.est_rows - ex.exact_rows)::BIGINT AS err
+       |FROM est JOIN ex ON ex.v_cut = est.v_cut""".stripMargin
+  }
+
   /** System R join-order enumeration ([[graft.plans.JoinOrder
     * .enumerate]]): all 8 connected left-deep orders of the
     * nation–customer–orders–lineitem chain, costed with the Selinger
@@ -4691,6 +4749,26 @@ object QueryCatalog {
       |  GROUP BY c_custkey) t
       |GROUP BY c_count""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): the EXISTS semi-join —
+    * orders with at least one returned line item, counted by priority.
+    * `l_returnflag = 'R'` stands in for Q4's commit-vs-receipt lateness
+    * predicate (this synthetic lineitem carries no commit/receipt
+    * dates); the plan shape — a LEFT SEMI join that never duplicates an
+    * order however many lineitems match — is the point.
+    */
+  private val qQ4PrioritySemi: (SparkSession, String) => DataFrame = (s, dir) =>
+    table(s, dir, "orders")
+      .join(table(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+
+  private val oQ4PrioritySemi: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
   private val qRollup: (SparkSession, String) => DataFrame = (s, dir) =>
     table(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
@@ -5762,6 +5840,7 @@ object QueryCatalog {
     "rendezvous_shards" -> qRendezvousShards,
     "coverage_select" -> qCoverageSelect,
     "join_order_dp" -> qJoinOrderDp,
+    "selectivity_estimate" -> qSelectivityEst,
     "inverted_postings" -> qInvertedPostings,
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
@@ -5812,6 +5891,7 @@ object QueryCatalog {
     "q5_region_revenue" -> qQ5,
     "q6_sql_revenue" -> qQ6Sql,
     "q13_custdist" -> qQ13Custdist,
+    "q4_priority_semi" -> qQ4PrioritySemi,
     "top_orders_per_cust" -> qTopOrders,
     "grouped_topk_agg" -> qGroupedTopK,
     "parts_unsold_month" -> qPartsUnsold,
@@ -5952,6 +6032,7 @@ object QueryCatalog {
     "rendezvous_shards" -> oRendezvousShards,
     "coverage_select" -> oCoverageSelect,
     "join_order_dp" -> oJoinOrderDp,
+    "selectivity_estimate" -> oSelectivityEst,
     "inverted_postings" -> oInvertedPostings,
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
@@ -6001,6 +6082,7 @@ object QueryCatalog {
     "q5_region_revenue" -> oQ5,
     "q6_sql_revenue" -> oQ6Sql,
     "q13_custdist" -> oQ13Custdist,
+    "q4_priority_semi" -> oQ4PrioritySemi,
     "top_orders_per_cust" -> oTopOrders,
     "grouped_topk_agg" -> oGroupedTopK,
     "parts_unsold_month" -> oPartsUnsold,
