@@ -3085,6 +3085,35 @@ object QueryCatalog {
        |GROUP BY h HAVING count(*) >= $k""".stripMargin
   }
 
+  /** Multi-pass SNM edit-distance pairs ([[graft.ext.Dedup
+    * .editDistancePairsMultiPass]]): forward-text + reversed-text sort
+    * passes, candidate union deduped before the kernel — the
+    * Hernández–Stolfo recall completion of `edit_distance_pairs`,
+    * still window·N linear. The oracle replays both rankings, the
+    * UNION dedup, and the kernel via a join back to the gated base.
+    */
+  private val qEditDistancePairsMp: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.editDistancePairsMultiPass(table(s, dir, "documents"), maxDist = 64, window = 16)
+
+  private val oEditDistancePairsMp: String =
+    """WITH b AS (SELECT doc_id, text, lang FROM documents
+      |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+      |             AND octet_length(text::BLOB) = len(text)),
+      |r1 AS (SELECT doc_id, text, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY len(text), text, doc_id) AS rn
+      |       FROM b),
+      |r2 AS (SELECT doc_id, text, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY len(text), reverse(text), doc_id) AS rn
+      |       FROM b),
+      |c AS (SELECT least(a.doc_id, z.doc_id) AS id_a, greatest(a.doc_id, z.doc_id) AS id_b
+      |      FROM r1 a JOIN r1 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 16
+      |      UNION
+      |      SELECT least(a.doc_id, z.doc_id), greatest(a.doc_id, z.doc_id)
+      |      FROM r2 a JOIN r2 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 16),
+      |p AS (SELECT c.id_a, c.id_b, levenshtein(x.text, y.text) AS dist
+      |      FROM c JOIN b x ON x.doc_id = c.id_a JOIN b y ON y.doc_id = c.id_b)
+      |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
+
   /** Synchronous label-propagation communities (8 rounds) over the
     * undirected host graph ([[graft.ext.Graph.lpa]]) — the community
     * assignment companion to `dedup_clusters`' connected components:
@@ -5829,6 +5858,7 @@ object QueryCatalog {
     "containment_pairs" -> qContainmentPairs,
     "dup_spans" -> qDupSpans,
     "edit_distance_pairs" -> qEditDistancePairs,
+    "edit_distance_pairs_mp" -> qEditDistancePairsMp,
     "er_match_scores" -> qErMatchScores,
     "wordpiece_tokens" -> qWordpieceTokens,
     "dremel_shred" -> qDremelShred,
@@ -6021,6 +6051,7 @@ object QueryCatalog {
     "containment_pairs" -> oContainmentPairs,
     "dup_spans" -> oDupSpans,
     "edit_distance_pairs" -> oEditDistancePairs,
+    "edit_distance_pairs_mp" -> oEditDistancePairsMp,
     "er_match_scores" -> oErMatchScores,
     "wordpiece_tokens" -> oWordpieceTokens,
     "dremel_shred" -> oDremelShred,

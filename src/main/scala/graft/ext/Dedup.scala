@@ -402,6 +402,50 @@ object Dedup {
       .select(col("__a"), col("__b"))
   }
 
+  /** Multi-pass sorted-neighborhood edit-distance pairs — the standard
+    * answer to single-pass SNM's recall trade (Hernández & Stolfo run
+    * several passes with independent sort keys and union the matches):
+    * pass 1 ranks by `(length, text, id)`, pass 2 by `(length,
+    * reverse(text), id)` — a typo in the PREFIX destroys pass-1
+    * adjacency but leaves the suffix ordering intact, and vice versa,
+    * so the union covers both error positions. Candidates from both
+    * passes dedup on the ordered id pair BEFORE the kernel runs, so a
+    * pair found twice is measured once. Cost: exactly 2× the linear
+    * single-pass candidate volume — still window·N, never N².
+    *
+    * Output contract identical to [[editDistancePairs]], whose result
+    * it SUPERSETS by construction (pass 1 alone is that operator —
+    * pinned in spec).
+    */
+  def editDistancePairsMultiPass(
+      docs: DataFrame,
+      maxDist: Int = 64,
+      window: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull && col(langCol).isNotNull)
+      .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
+      .select(col(idCol).as("id"), col(textCol).as("t"), col(langCol).as("lang"))
+    val p1 = snmCandidates(base, window, Seq.empty)
+    val p2 = snmCandidates(
+      base.withColumn("__orig", col("t")).withColumn("t", reverse(col("t")))
+        .select(col("id"), col("t"), col("lang"), col("__orig")),
+      window, Seq("__orig"))
+    val ids1 = p1.select(least(col("__a.id"), col("__b.id")).as("id_a"),
+      greatest(col("__a.id"), col("__b.id")).as("id_b"),
+      col("__a.t").as("ta"), col("__b.t").as("tb"))
+    val ids2 = p2.select(least(col("__a.id"), col("__b.id")).as("id_a"),
+      greatest(col("__a.id"), col("__b.id")).as("id_b"),
+      col("__a.__orig").as("ta"), col("__b.__orig").as("tb"))
+    ids1.unionByName(ids2)
+      .groupBy("id_a", "id_b").agg(first(col("ta")).as("ta"), first(col("tb")).as("tb"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Exact edit-distance pairs — the entity-resolution primitive for
     * SHORT near-identical records (titles, names, OCR'd lines) where
     * set-based similarity ([[ngramJaccardPairs]]) is too coarse: two

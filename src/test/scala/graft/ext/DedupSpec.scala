@@ -464,6 +464,34 @@ class DedupSpec extends AnyFunSuite {
     assert(windowed.size == 2 * 20 - 3, "each doc pairs with its <=2 successors")
   }
 
+  test("multi-pass SNM supersets single-pass and recovers prefix-typo pairs") {
+    import spark.implicits._
+    // 30 filler docs whose texts sort BETWEEN "aaa..." and "zzz..." push the
+    // prefix-typo pair ("aab...x" vs "zab...x" — same suffix) out of the
+    // forward window; the reversed-text pass sorts them adjacent again
+    val suffix = "commonsuffixpayload" // 19 chars; docs 1/2 are 22 chars
+    // fillers: same 22-char length, first letters b..y so they sort BETWEEN
+    // "aab…" and "zab…" forward, and a shared "…filler" tail that sorts far
+    // from "…payload" in the reversed pass
+    val fill = (0 until 24).map(i =>
+      (100L + i, f"${('b' + i).toChar}%c${i}%02dfillerfillerfillerz", "en"))
+    val d = (Seq(
+      (1L, "aab" + suffix, "en"),
+      (2L, "zab" + suffix, "en")) ++ fill).toDF("doc_id", "text", "lang")
+    val single = Dedup.editDistancePairs(d, maxDist = 8, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Dedup.editDistancePairsMultiPass(d, maxDist = 8, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(single.subsetOf(multi.keySet), "multi-pass must superset single-pass")
+    assert(!single.contains((1L, 2L)),
+      "the forward window alone must miss the prefix-typo pair (fixture premise)")
+    assert(multi.get((1L, 2L)).contains(1L),
+      s"the reversed pass must recover it at dist 1: $multi")
+    // a pair found by BOTH passes is measured once (no duplicate rows)
+    val rows = Dedup.editDistancePairsMultiPass(d, maxDist = 8, window = 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("erMatchScores: agreement vector, evidence sum, and decision bands") {
     import spark.implicits._
     import Dedup.{ErWeights => W}
