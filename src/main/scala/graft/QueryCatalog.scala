@@ -3093,7 +3093,10 @@ object QueryCatalog {
     * UNION dedup, and the kernel via a join back to the gated base.
     */
   private val qEditDistancePairsMp: (SparkSession, String) => DataFrame = (s, dir) =>
-    Dedup.editDistancePairsMultiPass(table(s, dir, "documents"), maxDist = 64, window = 16)
+    // window 8 per pass: two passes share the SAME total candidate budget
+    // as the single-pass key's window 16 (budget parity — the comparison
+    // the two keys invite is recall per candidate, not recall per pass)
+    Dedup.editDistancePairsMultiPass(table(s, dir, "documents"), maxDist = 64, window = 8)
 
   private val oEditDistancePairsMp: String =
     """WITH b AS (SELECT doc_id, text, lang FROM documents
@@ -3106,10 +3109,10 @@ object QueryCatalog {
       |         row_number() OVER (PARTITION BY lang ORDER BY len(text), reverse(text), doc_id) AS rn
       |       FROM b),
       |c AS (SELECT least(a.doc_id, z.doc_id) AS id_a, greatest(a.doc_id, z.doc_id) AS id_b
-      |      FROM r1 a JOIN r1 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 16
+      |      FROM r1 a JOIN r1 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 8
       |      UNION
       |      SELECT least(a.doc_id, z.doc_id), greatest(a.doc_id, z.doc_id)
-      |      FROM r2 a JOIN r2 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 16),
+      |      FROM r2 a JOIN r2 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 8),
       |p AS (SELECT c.id_a, c.id_b, levenshtein(x.text, y.text) AS dist
       |      FROM c JOIN b x ON x.doc_id = c.id_a JOIN b y ON y.doc_id = c.id_b)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
