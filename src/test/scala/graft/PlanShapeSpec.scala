@@ -375,4 +375,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pRet.contains("BroadcastHashJoin"),
       s"query-term attach must broadcast:\n${pRet.take(1200)}")
   }
+
+  test("wordpiece_tokens and dremel_shred are MAP-ONLY — zero exchanges") {
+    for (k <- Seq("wordpiece_tokens", "dremel_shred")) {
+      val p = plan(QueryCatalog.queries(k)(spark, sf))
+      assert(!p.contains("Exchange"), s"$k must not shuffle:\n${p.take(1500)}")
+    }
+  }
+
+  test("skyline: no hash shuffle of the base relation — one single-partition frontier merge") {
+    val p = plan(QueryCatalog.queries("skyline_parts")(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"phase 1 must reduce in place; only the frontier union moves:\n${p.take(1500)}")
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1)
+    assert(!p.contains("Join"), "skyline is join-free")
+  }
+
+  test("SNM pair generation: windows + equi-joins only, never a theta/cartesian join") {
+    for (k <- Seq("edit_distance_pairs", "er_match_scores", "edit_distance_pairs_mp")) {
+      val p = plan(QueryCatalog.queries(k)(spark, sf))
+      assertNoCartesian(p)
+      assert(p.contains("Window"), s"$k ranks via a per-lang window")
+    }
+  }
+
+  test("grid_dbscan: neighbor adjacency is an equi-join on generated keys, not a theta join") {
+    val p = plan(QueryCatalog.queries("grid_dbscan")(spark, sf))
+    assertNoCartesian(p)
+  }
+
+  test("per-series scans (holt/viterbi) keep their sorts partition-local") {
+    for (k <- Seq("holt_smooth", "hmm_states")) {
+      val p = plan(QueryCatalog.queries(k)(spark, sf))
+      // sortWithinPartitions renders `Sort [...], false, 0`; a global sort
+      // would render `Sort [...], true, 0`
+      assert(!p.contains("], true, 0"), s"$k must not globally sort:\n${p.take(1500)}")
+      assertNoCartesian(p)
+    }
+  }
 }
