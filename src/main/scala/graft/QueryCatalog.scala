@@ -3781,6 +3781,49 @@ object QueryCatalog {
        |FROM generate_series(0, 4095) g(g)
        |LEFT JOIN cells c ON c.sketch_row = g.g // 1024 AND c.col = g.g % 1024""".stripMargin
 
+  /** Bitmap secondary index ([[graft.ext.BitmapIndex.build]]) over
+    * documents.lang: one 62-bit word per 62-doc block per value, built
+    * by a single bit_or aggregate. 62 bits because DuckDB's shift is
+    * overflow-checked where the JVM wraps — the whole word algebra
+    * stays bit-identical. The oracle replays shift/or-fold/popcount.
+    */
+  private val qBitmapIndex: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.BitmapIndex.build(table(s, dir, "documents"), "doc_id", "lang")
+
+  private val oBitmapIndex: String =
+    """SELECT lang AS v, doc_id // 62 AS w,
+      |       bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS bits,
+      |       bit_count(bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)))::BIGINT AS popcnt
+      |FROM documents
+      |WHERE doc_id IS NOT NULL AND doc_id >= 0 AND lang IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Bitmap conjunctive queries ([[graft.ext.BitmapIndex.andCounts]]):
+    * every (lang, source) count answered THROUGH the index — word-
+    * aligned AND + popcount, no base scan — next to the exact count.
+    * The gate is the identity itself: a dropped word, a misaligned
+    * block, or a double-set bit fails on the first pair.
+    */
+  private val qBitmapAndQuery: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.BitmapIndex.andCounts(table(s, dir, "documents"), "doc_id", "lang", "source")
+
+  private val oBitmapAndQuery: String =
+    """WITH base AS (SELECT doc_id, lang, source FROM documents
+      |              WHERE doc_id IS NOT NULL AND doc_id >= 0
+      |                AND lang IS NOT NULL AND source IS NOT NULL),
+      |ia AS (SELECT lang AS a, doc_id // 62 AS w,
+      |         bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS ba
+      |       FROM base GROUP BY 1, 2),
+      |ib AS (SELECT source AS b, doc_id // 62 AS w,
+      |         bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS bb
+      |       FROM base GROUP BY 1, 2),
+      |vi AS (SELECT ia.a, ib.b, sum(bit_count(ia.ba & ib.bb))::BIGINT AS n_bitmap
+      |       FROM ia JOIN ib ON ia.w = ib.w GROUP BY 1, 2),
+      |ex AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS n_exact
+      |       FROM base GROUP BY 1, 2)
+      |SELECT ex.a, ex.b, coalesce(vi.n_bitmap, 0)::BIGINT AS n_bitmap, ex.n_exact
+      |FROM ex LEFT JOIN vi ON vi.a = ex.a AND vi.b = ex.b""".stripMargin
+
   /** CMS join-size estimation ([[graft.ext.Sketches.cmsJoinSize]]) for
     * orders ⋈ customer on custkey: the AGMS inner-product estimator —
     * min over sketch rows of the cellwise product — next to the exact
@@ -5984,6 +6027,8 @@ object QueryCatalog {
     "blocklist_match" -> qBlocklistMatch,
     "cms_counts" -> qCmsCounts,
     "cms_join_size" -> qCmsJoinSize,
+    "bitmap_index" -> qBitmapIndex,
+    "bitmap_and_query" -> qBitmapAndQuery,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "host_triangles" -> qHostTriangles,
@@ -6174,6 +6219,8 @@ object QueryCatalog {
     "blocklist_match" -> oBlocklistMatch,
     "cms_counts" -> oCmsCounts,
     "cms_join_size" -> oCmsJoinSize,
+    "bitmap_index" -> oBitmapIndex,
+    "bitmap_and_query" -> oBitmapAndQuery,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "host_triangles" -> oHostTriangles,
