@@ -3781,6 +3781,43 @@ object QueryCatalog {
        |FROM generate_series(0, 4095) g(g)
        |LEFT JOIN cells c ON c.sketch_row = g.g // 1024 AND c.col = g.g % 1024""".stripMargin
 
+  /** Soundex phonetic keys ([[graft.ext.TextAnalysis.soundexKeys]]):
+    * NARA Soundex per vocabulary token — h/w transparency, vowel
+    * adjacency reset, first-letter code suppression all replayed by
+    * the oracle's list_reduce fold carrying the (digits, lastCode)
+    * state in a packed string accumulator.
+    */
+  private val qSoundexKeys: (SparkSession, String) => DataFrame = (s, dir) =>
+    TextAnalysis.soundexKeys(table(s, dir, "documents"))
+
+  private val oSoundexKeys: String = {
+    val codecase = """CASE WHEN list_contains(['b','f','p','v'], c) THEN '1'
+      | WHEN list_contains(['c','g','j','k','q','s','x','z'], c) THEN '2'
+      | WHEN list_contains(['d','t'], c) THEN '3'
+      | WHEN c = 'l' THEN '4'
+      | WHEN list_contains(['m','n'], c) THEN '5'
+      | WHEN c = 'r' THEN '6'
+      | WHEN list_contains(['a','e','i','o','u','y'], c) THEN '0'
+      | ELSE '-' END""".stripMargin
+    s"""WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
+       |v AS (SELECT token, count(*)::BIGINT AS freq FROM t WHERE token <> '' GROUP BY 1),
+       |cd AS (SELECT token, freq,
+       |         list_transform(list_transform(range(1, length(token) + 1),
+       |           i -> substr(token, i, 1)), c -> $codecase) AS codes
+       |       FROM v),
+       |f AS (SELECT token, freq,
+       |  list_reduce(list_prepend('|' || codes[1], codes[2:]),
+       |    (acc, k) -> CASE
+       |      WHEN k = '-' THEN acc
+       |      WHEN k = '0' THEN split_part(acc, '|', 1) || '|0'
+       |      WHEN k = split_part(acc, '|', 2) THEN acc
+       |      ELSE (split_part(acc, '|', 1) || k) || ('|' || k) END) AS st
+       |  FROM cd)
+       |SELECT token, substr(token, 1, 1) || substr(split_part(st, '|', 1) || '000', 1, 3) AS sdx,
+       |       freq
+       |FROM f""".stripMargin
+  }
+
   /** Bitmap secondary index ([[graft.ext.BitmapIndex.build]]) over
     * documents.lang: one 62-bit word per 62-doc block per value, built
     * by a single bit_or aggregate. 62 bits because DuckDB's shift is
@@ -6028,6 +6065,7 @@ object QueryCatalog {
     "cms_counts" -> qCmsCounts,
     "cms_join_size" -> qCmsJoinSize,
     "bitmap_index" -> qBitmapIndex,
+    "soundex_keys" -> qSoundexKeys,
     "bitmap_and_query" -> qBitmapAndQuery,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
@@ -6220,6 +6258,7 @@ object QueryCatalog {
     "cms_counts" -> oCmsCounts,
     "cms_join_size" -> oCmsJoinSize,
     "bitmap_index" -> oBitmapIndex,
+    "soundex_keys" -> oSoundexKeys,
     "bitmap_and_query" -> oBitmapAndQuery,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,

@@ -679,4 +679,59 @@ object TextAnalysis {
         (lit(1099511627776L) - expr(s"mv DIV $maxPos")).as("fp"))
       .distinct()
   }
+
+  /** NARA Soundex of one lowercase word — the phonetic blocking key for
+    * entity resolution (Russell 1918; the NARA standard variant): first
+    * letter + three digits from coded consonants, where `h`/`w` are
+    * TRANSPARENT for adjacency (same-code consonants separated only by
+    * them still collapse — "ashcraft" → a261, the case naive
+    * implementations miss), vowels reset adjacency, and the first
+    * letter's own code suppresses an immediately following duplicate
+    * ("pfister" → p236). Characters outside the coding map (digits,
+    * punctuation, non-ASCII) are treated as non-coding, the NARA
+    * treatment of non-letters. Null/empty input → null.
+    */
+  def soundexWord(word: String): String = {
+    if (word == null || word.isEmpty) return null
+    def code(c: Char): Char = c match {
+      case 'b' | 'f' | 'p' | 'v' => '1'
+      case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => '2'
+      case 'd' | 't' => '3'
+      case 'l' => '4'
+      case 'm' | 'n' => '5'
+      case 'r' => '6'
+      case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' => '0'
+      case _ => '-'
+    }
+    var last = code(word.charAt(0))
+    val sb = new StringBuilder
+    var i = 1
+    while (i < word.length) {
+      val k = code(word.charAt(i))
+      if (k != '-') {
+        if (k == '0') last = '0'
+        else if (k != last) { sb.append(k); last = k }
+      }
+      i += 1
+    }
+    word.substring(0, 1) + (sb.toString + "000").substring(0, 3)
+  }
+
+  /** Per-token Soundex keys over the corpus vocabulary:
+    * (token, sdx, freq) — the phonetic-bucket table an ER pass blocks
+    * on. One token aggregate (the [[vocabulary]] shuffle) + a map-only
+    * encode of the distinct tokens.
+    */
+  def soundexKeys(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (t, f) => (t, soundexWord(t), f) }
+      .toDF("token", "sdx", "freq")
+  }
 }

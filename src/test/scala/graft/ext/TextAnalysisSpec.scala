@@ -414,4 +414,29 @@ class TextAnalysisSpec extends AnyFunSuite {
         r.getLong(r.fieldIndex("rank")), r.getLong(r.fieldIndex("doc_id")))).sorted.toSeq
     assert(got == ref)
   }
+
+  test("soundex: the NARA truth table including h/w transparency and head suppression") {
+    val want = Map(
+      "robert" -> "r163", "rupert" -> "r163",       // classic collision pair
+      "ashcraft" -> "a261", "ashcroft" -> "a261",   // s-h-c: h transparent, codes collapse
+      "tymczak" -> "t522",                           // y resets; c,z collapse
+      "pfister" -> "p236",                           // head p suppresses f (same code)
+      "honeyman" -> "h555", "jackson" -> "j250",
+      "ww" -> "w000", "aeiou" -> "a000")
+    want.foreach { case (w, s) =>
+      assert(TextAnalysis.soundexWord(w) == s, s"soundex($w)")
+    }
+    assert(TextAnalysis.soundexWord("") == null && TextAnalysis.soundexWord(null) == null)
+    // non-coding characters are transparent, never coded
+    assert(TextAnalysis.soundexWord("o'brien") == TextAnalysis.soundexWord("obrien"))
+  }
+
+  test("soundexKeys: vocabulary roll-up carries frequencies; phonetic buckets group typos") {
+    import spark.implicits._
+    val d = Seq((1L, "robert rupert robert"), (2L, "smith smyth")).toDF("doc_id", "text")
+    val got = TextAnalysis.soundexKeys(d).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got("robert") == ("r163", 2L) && got("rupert") == ("r163", 1L))
+    assert(got("smith")._1 == got("smyth")._1, "phonetic bucket must unite the spellings")
+  }
 }
