@@ -3781,6 +3781,53 @@ object QueryCatalog {
        |FROM generate_series(0, 4095) g(g)
        |LEFT JOIN cells c ON c.sketch_row = g.g // 1024 AND c.col = g.g % 1024""".stripMargin
 
+  /** Haar wavelet synopsis ([[graft.ext.Wavelet.synopsis]]): top-16
+    * unnormalized Haar coefficients per event series (n = 512, 9
+    * levels, zero-padded) — the third synopsis family next to the
+    * histograms and sketches, all-integer by the unnormalized-transform
+    * trade. The oracle unrolls every level as list_transform pairs and
+    * replays the (|coef| DESC, level, pos) ranking, so a transposed
+    * sum/difference, a wrong pairing parity, or an unstable tie fails
+    * the hash.
+    */
+  private val qWaveletSynopsis: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Wavelet.synopsis(table(s, dir, "events"), n = 512, k = 16)
+
+  private val oWaveletSynopsis: String = {
+    val N = 512; val LV = 9; val K = 16
+    val lvls = (1 to LV).map { lv =>
+      val prev = if (lv == 1) "l0" else s"x${lv - 1}"
+      s"""x$lv AS (SELECT series,
+         |  list_transform(range(1, len($prev.a) // 2 + 1), i -> $prev.a[2*i-1] + $prev.a[2*i]) AS a,
+         |  list_transform(range(1, len($prev.a) // 2 + 1), i -> $prev.a[2*i-1] - $prev.a[2*i]) AS d
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to LV).map(lv =>
+      s"SELECT series, $lv AS level, generate_subscripts(d, 1) AS pos, unnest(d) AS coef FROM x$lv")
+      .mkString("\n  UNION ALL ")
+    s"""WITH se AS (
+       |  SELECT event_type AS series, epoch_ms(ts) // 3600000 AS bucket,
+       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |st AS (SELECT series, bucket, x,
+       |         row_number() OVER (PARTITION BY series ORDER BY bucket) AS t FROM se),
+       |lc AS (SELECT series, list(x ORDER BY t) AS l FROM st WHERE t <= $N GROUP BY 1),
+       |l0 AS (SELECT series,
+       |  l || list_transform(range(1, $N - len(l) + 1), i -> 0::BIGINT) AS a
+       |  FROM lc),
+       |$lvls,
+       |coefs AS (
+       |  $unions
+       |  UNION ALL SELECT series, ${LV + 1} AS level, 1 AS pos, a[1] AS coef FROM x$LV),
+       |rk AS (SELECT series, level, pos, coef,
+       |         row_number() OVER (PARTITION BY series ORDER BY abs(coef) DESC, level ASC, pos ASC) AS rank
+       |       FROM coefs)
+       |SELECT series, rank::BIGINT AS rank, level::BIGINT AS level, pos::BIGINT AS pos,
+       |       coef::BIGINT AS coef
+       |FROM rk WHERE rank <= $K""".stripMargin
+  }
+
   /** Soundex phonetic keys ([[graft.ext.TextAnalysis.soundexKeys]]):
     * NARA Soundex per vocabulary token — h/w transparency, vowel
     * adjacency reset, first-letter code suppression all replayed by
@@ -6066,6 +6113,7 @@ object QueryCatalog {
     "cms_join_size" -> qCmsJoinSize,
     "bitmap_index" -> qBitmapIndex,
     "soundex_keys" -> qSoundexKeys,
+    "wavelet_synopsis" -> qWaveletSynopsis,
     "bitmap_and_query" -> qBitmapAndQuery,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
@@ -6259,6 +6307,7 @@ object QueryCatalog {
     "cms_join_size" -> oCmsJoinSize,
     "bitmap_index" -> oBitmapIndex,
     "soundex_keys" -> oSoundexKeys,
+    "wavelet_synopsis" -> oWaveletSynopsis,
     "bitmap_and_query" -> oBitmapAndQuery,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
