@@ -384,22 +384,109 @@ object Dedup {
     * documented next rung). The ASCII gate rides on `t` (byte==
     * codepoint semantics, and byte-wise string ranking identical in
     * both engines). Payload columns ride the rank structs.
+    *
+    * The per-language rank is computed DISTRIBUTIVELY, not with a
+    * `row_number() OVER (PARTITION BY lang ...)` window: a window
+    * partitioned by language funnels each language through ONE task,
+    * and a natural-language corpus is always language-skewed (the
+    * fixture's `en` holds 41% of documents — at 100 TB that window is
+    * a single task sorting ~40 TB). Instead [[snmRanked]] range-
+    * partitions on the full sort key `(lang, length, text, id)` —
+    * every partition holds a bounded contiguous slice of the global
+    * order regardless of language skew — sorts within partitions, and
+    * turns local ranks into exact global per-language ranks with a
+    * partition-offset prefix sum (one tiny count-per-(partition,lang)
+    * job whose driver state is #partitions × #languages rows). The
+    * sort key is total (`id` is unique), so the ranks — and therefore
+    * the emitted pairs — are bitwise identical to the window form at
+    * any partition count.
     */
   private[ext] def snmCandidates(
       base: DataFrame, // columns: lang, id, t (+ payload columns)
       window: Int,
       payload: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rn = row_number().over(
-      Window.partitionBy("lang").orderBy(length(col("t")), col("t"), col("id")))
     val cols = Seq("id", "t") ++ payload
-    val ranked = base.withColumn("__rn", rn)
+    val ranked = snmRanked(base)
       .select(col("lang"), col("__rn"), struct(cols.map(col): _*).as("__a"))
     val probe = ranked.select(col("lang"),
       explode(sequence(col("__rn") + 1, col("__rn") + window)).as("__rn"),
       col("__a"))
     probe.join(ranked.withColumnRenamed("__a", "__b"), Seq("lang", "__rn"))
       .select(col("__a"), col("__b"))
+  }
+
+  /** Exact per-language dense rank over `(length(t), t, id)` without a
+    * single-task-per-language window — the two-pass partition-offset
+    * scheme (the `zipWithIndex` construction, generalized to a grouped
+    * rank):
+    *
+    *   1. `repartitionByRange` on `(lang, length, t, id)` +
+    *      `sortWithinPartitions`: one range exchange; each partition is
+    *      a bounded contiguous slice of the global sort order, so a
+    *      language occupying 40% of the corpus spans ~40% of the
+    *      PARTITIONS instead of landing in one task.
+    *   2. A count job: per (partition, language) row counts — at most
+    *      #partitions × #languages rows collected to the driver, from
+    *      which exclusive per-language prefix offsets are computed.
+    *   3. A map pass over the same sorted partitions: languages are
+    *      contiguous within a sorted partition, so a running counter
+    *      that resets at each language boundary gives the local rank;
+    *      `offset(partition, lang) + local` is the exact global rank.
+    *
+    * Passes 2 and 3 re-read the SAME shuffle output (the range exchange
+    * is materialized once; only the partition-local sort re-runs), and
+    * the sort key is total, so both passes see one deterministic order.
+    * Output: `base`'s columns plus `__rn` (long, 1-based per language)
+    * — bitwise the window `row_number` ranking.
+    */
+  private[ext] def snmRanked(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = base.sparkSession
+    val sorted = base.withColumn("__len", length(col("t")))
+      .repartitionByRange(col("lang"), col("__len"), col("t"), col("id"))
+      .sortWithinPartitions(col("lang"), col("__len"), col("t"), col("id"))
+      .drop("__len")
+    val schema = sorted.schema
+    val langIdx = schema.fieldIndex("lang")
+    val rdd = sorted.rdd
+    val counts: Array[(Int, Seq[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        // languages are contiguous in the sorted partition: accumulate
+        // run lengths in encounter (= sort) order
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        it.foreach { r =>
+          val l = r.getString(langIdx)
+          if (runs.nonEmpty && runs.last._1 == l)
+            runs(runs.length - 1) = (l, runs.last._2 + 1L)
+          else runs += ((l, 1L))
+        }
+        Iterator.single((pid, runs.toSeq))
+      }.collect()
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val b = Map.newBuilder[(Int, String), Long]
+      counts.sortBy(_._1).foreach { case (pid, runs) =>
+        runs.foreach { case (l, c) =>
+          b += ((pid, l) -> running.getOrElse(l, 0L))
+          running.update(l, running.getOrElse(l, 0L) + c)
+        }
+      }
+      b.result()
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = schema.add("__rn", LongType, nullable = false)
+    val rankedRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curLang: String = null
+      var local = 0L
+      it.map { r =>
+        val l = r.getString(langIdx)
+        if (l != curLang) { curLang = l; local = 0L }
+        local += 1L
+        Row.fromSeq(r.toSeq :+ (bc.value.getOrElse((pid, l), 0L) + local))
+      }
+    }
+    spark.createDataFrame(rankedRdd, outSchema)
   }
 
   /** Multi-pass sorted-neighborhood edit-distance pairs — the standard

@@ -391,11 +391,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "skyline is join-free")
   }
 
-  test("SNM pair generation: windows + equi-joins only, never a theta/cartesian join") {
+  test("SNM pair generation: distributed rank + equi-joins — no per-lang window, no cartesian") {
+    // the rank is the two-pass partition-offset scheme (snmRanked): a
+    // `row_number() OVER (PARTITION BY lang)` window here would funnel the
+    // dominant language (en = 41% of docs) through ONE task at 100 TB
     for (k <- Seq("edit_distance_pairs", "er_match_scores", "edit_distance_pairs_mp")) {
       val p = plan(QueryCatalog.queries(k)(spark, sf))
       assertNoCartesian(p)
-      assert(p.contains("Window"), s"$k ranks via a per-lang window")
+      assert(!p.contains("Window"), s"$k must rank distributively, not via a window:\n${p.take(1500)}")
     }
   }
 
