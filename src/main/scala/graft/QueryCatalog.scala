@@ -3117,6 +3117,73 @@ object QueryCatalog {
       |      FROM c JOIN b x ON x.doc_id = c.id_a JOIN b y ON y.doc_id = c.id_b)
       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
 
+  /** Three-pass SNM edit-distance pairs ([[graft.ext.Dedup
+    * .editDistancePairsPhonetic]]): the Hernández–Stolfo multi-pass
+    * completion — forward + reversed + per-token-Soundex sort keys —
+    * catching sound-alike typos ("smyth") that break BOTH
+    * lexicographic orderings. Window 8 per pass, so passes 1–2 equal
+    * `edit_distance_pairs_mp`'s and the result supersets it by
+    * construction. The oracle replays all three rankings (the phonetic
+    * key as the `soundex_keys` SQL fold applied per token), the UNION
+    * dedup, and the kernel.
+    */
+  private val qEditDistancePairs3p: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.editDistancePairsPhonetic(table(s, dir, "documents"), maxDist = 64, window = 8)
+
+  private val oEditDistancePairs3p: String = {
+    def codeCase(c: String): String =
+      s"""CASE WHEN list_contains(['b','f','p','v'], $c) THEN '1'
+         | WHEN list_contains(['c','g','j','k','q','s','x','z'], $c) THEN '2'
+         | WHEN list_contains(['d','t'], $c) THEN '3'
+         | WHEN $c = 'l' THEN '4'
+         | WHEN list_contains(['m','n'], $c) THEN '5'
+         | WHEN $c = 'r' THEN '6'
+         | WHEN list_contains(['a','e','i','o','u','y'], $c) THEN '0'
+         | ELSE '-' END""".stripMargin
+    // per-token NARA Soundex as a nested lambda: init acc = '|' || code of
+    // the first char; fold the remaining chars with the soundex_keys fold
+    val sdx =
+      s"""substr(w, 1, 1) || substr(split_part(
+         |  list_reduce(
+         |    list_prepend('|' || (${codeCase("substr(w, 1, 1)")}),
+         |      list_transform(list_transform(range(2, length(w) + 1),
+         |        i -> substr(w, i, 1)), c -> ${codeCase("c")})),
+         |    (acc, k) -> CASE
+         |      WHEN k = '-' THEN acc
+         |      WHEN k = '0' THEN split_part(acc, '|', 1) || '|0'
+         |      WHEN k = split_part(acc, '|', 2) THEN acc
+         |      ELSE (split_part(acc, '|', 1) || k) || ('|' || k) END),
+         |  '|', 1) || '000', 1, 3)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, text, lang FROM documents
+       |           WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+       |             AND octet_length(text::BLOB) = len(text)),
+       |pk AS (SELECT doc_id, text, lang,
+       |         array_to_string(list_transform(
+       |           list_filter(string_split($normSql, ' '), w -> w <> ''),
+       |           w -> $sdx), ' ') AS ph
+       |       FROM b),
+       |r1 AS (SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY len(text), text, doc_id) AS rn
+       |       FROM b),
+       |r2 AS (SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY len(text), reverse(text), doc_id) AS rn
+       |       FROM b),
+       |r3 AS (SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY len(ph), ph, doc_id) AS rn
+       |       FROM pk),
+       |c AS (SELECT least(a.doc_id, z.doc_id) AS id_a, greatest(a.doc_id, z.doc_id) AS id_b
+       |      FROM r1 a JOIN r1 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 8
+       |      UNION
+       |      SELECT least(a.doc_id, z.doc_id), greatest(a.doc_id, z.doc_id)
+       |      FROM r2 a JOIN r2 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 8
+       |      UNION
+       |      SELECT least(a.doc_id, z.doc_id), greatest(a.doc_id, z.doc_id)
+       |      FROM r3 a JOIN r3 z ON a.lang = z.lang AND z.rn > a.rn AND z.rn <= a.rn + 8),
+       |p AS (SELECT c.id_a, c.id_b, levenshtein(x.text, y.text) AS dist
+       |      FROM c JOIN b x ON x.doc_id = c.id_a JOIN b y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, dist::BIGINT AS dist FROM p WHERE dist <= 64""".stripMargin
+  }
+
   /** Synchronous label-propagation communities (8 rounds) over the
     * undirected host graph ([[graft.ext.Graph.lpa]]) — the community
     * assignment companion to `dedup_clusters`' connected components:
@@ -3908,6 +3975,95 @@ object QueryCatalog {
       |SELECT ex.a, ex.b, coalesce(vi.n_bitmap, 0)::BIGINT AS n_bitmap, ex.n_exact
       |FROM ex LEFT JOIN vi ON vi.a = ex.a AND vi.b = ex.b""".stripMargin
 
+  /** WAH-run compression of a bitmap index
+    * ([[graft.ext.BitmapIndex.compress]]) over a range-clustered
+    * attribute (`doc_id DIV 256` — the date-partition/shard shape where
+    * fill runs actually occur): maximal runs of all-ones words collapse
+    * to (ws, we) segments inside Roaring-style 1024-word containers, so
+    * the run window is bounded at any corpus size. The oracle replays
+    * the build, the gaps-and-islands run detection, and the segment
+    * popcounts.
+    */
+  private val qBitmapCompress: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.BitmapIndex.compress(graft.ext.BitmapIndex.build(
+      table(s, dir, "documents")
+        .withColumn("shard", expr("CAST(doc_id DIV 256 AS BIGINT)")),
+      "doc_id", "shard"))
+
+  private val oBitmapCompress: String =
+    """WITH idx AS (SELECT doc_id // 256 AS v, doc_id // 62 AS w,
+      |         bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS bits
+      |       FROM documents
+      |       WHERE doc_id IS NOT NULL AND doc_id >= 0
+      |       GROUP BY 1, 2),
+      |seg AS (SELECT v, w, bits, w // 1024 AS ctr FROM idx),
+      |lits AS (SELECT v, ctr, w AS ws, w AS we, bits FROM seg
+      |         WHERE bits <> 4611686018427387903),
+      |runs0 AS (SELECT v, ctr, w,
+      |            w - row_number() OVER (PARTITION BY v, ctr ORDER BY w) AS isl
+      |          FROM seg WHERE bits = 4611686018427387903),
+      |runs AS (SELECT v, ctr, min(w) AS ws, max(w) AS we,
+      |           4611686018427387903::BIGINT AS bits
+      |         FROM runs0 GROUP BY v, ctr, isl),
+      |u AS (SELECT * FROM lits UNION ALL SELECT * FROM runs)
+      |SELECT v, ctr, ws, we, bits,
+      |       (bit_count(bits)::BIGINT * (we - ws + 1))::BIGINT AS popcnt
+      |FROM u""".stripMargin
+
+  /** Conjunctive counts through the COMPRESSED bitmap index
+    * ([[graft.ext.BitmapIndex.andCountsCompressed]]) for every
+    * (shard, lang) pair: the AND runs on run-length segments (an
+    * equi-join on the container + in-container overlap, each pair
+    * contributing popcount × overlap words), so a thousand-word fill
+    * run ANDs in one row. The gate is the identity n_bitmap == n_exact
+    * over the compressed form — a split run, an off-by-one overlap, or
+    * a double-counted boundary fails on the first pair.
+    */
+  private val qBitmapAndCompressed: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.BitmapIndex.andCountsCompressed(
+      table(s, dir, "documents")
+        .withColumn("shard", expr("CAST(doc_id DIV 256 AS BIGINT)")),
+      "doc_id", "shard", "lang")
+
+  private val oBitmapAndCompressed: String =
+    """WITH base AS (SELECT doc_id, doc_id // 256 AS shard, lang FROM documents
+      |              WHERE doc_id IS NOT NULL AND doc_id >= 0 AND lang IS NOT NULL),
+      |ia AS (SELECT shard AS v, doc_id // 62 AS w,
+      |         bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS bits
+      |       FROM base GROUP BY 1, 2),
+      |sa AS (SELECT v, w, bits, w // 1024 AS ctr FROM ia),
+      |ca AS (SELECT v, ctr, w AS ws, w AS we, bits FROM sa
+      |       WHERE bits <> 4611686018427387903
+      |       UNION ALL
+      |       SELECT v, ctr, min(w), max(w), 4611686018427387903::BIGINT
+      |       FROM (SELECT v, ctr, w,
+      |               w - row_number() OVER (PARTITION BY v, ctr ORDER BY w) AS isl
+      |             FROM sa WHERE bits = 4611686018427387903)
+      |       GROUP BY v, ctr, isl),
+      |ib AS (SELECT lang AS v, doc_id // 62 AS w,
+      |         bit_or(1::BIGINT << CAST(doc_id % 62 AS INT)) AS bits
+      |       FROM base GROUP BY 1, 2),
+      |sb AS (SELECT v, w, bits, w // 1024 AS ctr FROM ib),
+      |cb AS (SELECT v, ctr, w AS ws, w AS we, bits FROM sb
+      |       WHERE bits <> 4611686018427387903
+      |       UNION ALL
+      |       SELECT v, ctr, min(w), max(w), 4611686018427387903::BIGINT
+      |       FROM (SELECT v, ctr, w,
+      |               w - row_number() OVER (PARTITION BY v, ctr ORDER BY w) AS isl
+      |             FROM sb WHERE bits = 4611686018427387903)
+      |       GROUP BY v, ctr, isl),
+      |vi AS (SELECT ca.v AS a, cb.v AS b,
+      |         sum(bit_count(ca.bits & cb.bits)::BIGINT *
+      |             (least(ca.we, cb.we) - greatest(ca.ws, cb.ws) + 1))::BIGINT
+      |           AS n_bitmap
+      |       FROM ca JOIN cb ON ca.ctr = cb.ctr
+      |         AND ca.ws <= cb.we AND cb.ws <= ca.we
+      |       GROUP BY 1, 2),
+      |ex AS (SELECT shard AS a, lang AS b, count(*)::BIGINT AS n_exact
+      |       FROM base GROUP BY 1, 2)
+      |SELECT ex.a, ex.b, coalesce(vi.n_bitmap, 0)::BIGINT AS n_bitmap, ex.n_exact
+      |FROM ex LEFT JOIN vi ON vi.a = ex.a AND vi.b = ex.b""".stripMargin
+
   /** CMS join-size estimation ([[graft.ext.Sketches.cmsJoinSize]]) for
     * orders ⋈ customer on custkey: the AGMS inner-product estimator —
     * min over sketch rows of the cellwise product — next to the exact
@@ -3978,6 +4134,21 @@ object QueryCatalog {
       .select(col("doc_id"), col("n_bytes"), col("checksum"))
 
   private val oRansRoundtrip: String = oDeflateRoundtrip
+
+  /** The FIFTH compression format under the gate — and the capstone:
+    * the zstd frame codec (RFC 8878) built from scratch over the
+    * repo's own entropy stages (FSE tables + canonical Huffman + LZ77
+    * sequences + XXH64 checksum). The encoder emits predefined-FSE
+    * compressed blocks; the decoder reads the full grammar including
+    * Huffman literals and described/repeat tables. Same round-trip
+    * oracle; BOTH cross-differential directions vs zstd-jni (libzstd)
+    * at levels 1/3/9/19 in ZstdSpec.
+    */
+  private val qZstdRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Zstd.zstdSignal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+
+  private val oZstdRoundtrip: String = oDeflateRoundtrip
 
   /** Merge-based subword tokenization under the gate: the BPE apply
     * phase with a fixed 40-rule priority merge table. The oracle is the
@@ -5989,6 +6160,7 @@ object QueryCatalog {
     "dup_spans" -> qDupSpans,
     "edit_distance_pairs" -> qEditDistancePairs,
     "edit_distance_pairs_mp" -> qEditDistancePairsMp,
+    "edit_distance_pairs_3p" -> qEditDistancePairs3p,
     "er_match_scores" -> qErMatchScores,
     "wordpiece_tokens" -> qWordpieceTokens,
     "dremel_shred" -> qDremelShred,
@@ -6115,6 +6287,8 @@ object QueryCatalog {
     "soundex_keys" -> qSoundexKeys,
     "wavelet_synopsis" -> qWaveletSynopsis,
     "bitmap_and_query" -> qBitmapAndQuery,
+    "bitmap_compress" -> qBitmapCompress,
+    "bitmap_and_compressed" -> qBitmapAndCompressed,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "host_triangles" -> qHostTriangles,
@@ -6125,6 +6299,7 @@ object QueryCatalog {
     "snappy_roundtrip" -> qSnappyRoundtrip,
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
+    "zstd_roundtrip" -> qZstdRoundtrip,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
     "suffix_array" -> qSuffixArray,
@@ -6186,6 +6361,7 @@ object QueryCatalog {
     "dup_spans" -> oDupSpans,
     "edit_distance_pairs" -> oEditDistancePairs,
     "edit_distance_pairs_mp" -> oEditDistancePairsMp,
+    "edit_distance_pairs_3p" -> oEditDistancePairs3p,
     "er_match_scores" -> oErMatchScores,
     "wordpiece_tokens" -> oWordpieceTokens,
     "dremel_shred" -> oDremelShred,
@@ -6309,6 +6485,8 @@ object QueryCatalog {
     "soundex_keys" -> oSoundexKeys,
     "wavelet_synopsis" -> oWaveletSynopsis,
     "bitmap_and_query" -> oBitmapAndQuery,
+    "bitmap_compress" -> oBitmapCompress,
+    "bitmap_and_compressed" -> oBitmapAndCompressed,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "host_triangles" -> oHostTriangles,
@@ -6319,6 +6497,7 @@ object QueryCatalog {
     "snappy_roundtrip" -> oSnappyRoundtrip,
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,
+    "zstd_roundtrip" -> oZstdRoundtrip,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
     "suffix_array" -> oSuffixArray,

@@ -26,22 +26,47 @@ import org.apache.spark.sql.types._
   * truncates exactly where the operator stops).
   *
   * 100 TB shape: the gram relation materializes ONCE (one distinct
-  * shuffle); each round is one anti-join + one count aggregate over it
-  * (gram-keyed, map-side combinable) and collects exactly ONE row — the
-  * bounded-driver-collect convention. k rounds = k linear passes, the
-  * same inherently-multi-pass budget precedent as `bpe_train`'s 8
-  * corpus rewrites; CELF-style lazy evaluation would skip passes when
-  * gains are stable and is the documented next rung if k grows.
+  * shuffle); a CORPUS-WIDE gain pass is one anti-join + one count
+  * aggregate over it (gram-keyed, map-side combinable). Round 9 ran
+  * that full pass EVERY round (k rounds = k linear passes — the
+  * bpe_train multi-pass budget); round 10 replaced the per-round passes
+  * with CELF lazy evaluation (Leskovec et al., "Cost-effective Outbreak
+  * Detection in Networks", KDD 2007): submodularity means marginal
+  * gains only DECAY, so a gain computed in an earlier round is an upper
+  * bound — most rounds need only driver set arithmetic over a bounded
+  * candidate pool instead of a corpus pass. See [[greedySelect]] for
+  * the exactness guard; the selected set is bit-identical to plain
+  * greedy (CELF reorders evaluations, never changes the argmax), so the
+  * unrolled-CTE oracle is unchanged.
   */
 object Coverage {
 
-  /** Greedy top-`k` coverage selection over distinct word bigrams.
-    * Output: (rank, doc_id, marginal_gain) — one row per round, fewer
-    * if the corpus runs out of documents.
+  /** Greedy top-`k` coverage selection over distinct word bigrams,
+    * CELF-accelerated. Output: (rank, doc_id, marginal_gain) — one row
+    * per round, fewer if the corpus saturates.
+    *
+    * Mechanics: ONE corpus gain pass ranks all docs by marginal gain
+    * vs the covered set and collects the top `pool`+1 rows; the pool's
+    * bigram sets (≤ `pool` documents of text — the bounded-collect
+    * convention, same order as `negative_samples`' 64-row pool) come to
+    * the driver once. Subsequent rounds run the classic CELF heap: pop
+    * the highest cached bound, refresh it against the covered set
+    * (pure driver set ops — zero Spark jobs), select when the top is
+    * fresh. EXACTNESS GUARD: docs outside the pool have gain ≤ `floor`
+    * (the (pool+1)-th gain at pool time, and gains only decay), so a
+    * fresh top strictly above `floor` is the global argmax — ties at
+    * the floor inside the pool carry the smallest ids by the pool
+    * ordering, so the first selection after a (re)pool is uncondition-
+    * ally exact, and any later fresh top ≤ floor triggers a REPOOL
+    * (full pass vs current covered) instead of an unsafe pick. k picks
+    * therefore cost 1 + (#guard-trips) corpus passes instead of k —
+    * typically 1 (CoverageSpec pins the job-count cut with a listener)
+    * — while selecting the byte-identical sequence plain greedy would.
     */
   def greedySelect(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", pool: Int = 64): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(pool >= 1, "pool must be >= 1")
     val spark = docs.sparkSession
     val norm = lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", " ")))
     val grams = docs
@@ -53,23 +78,53 @@ object Coverage {
           "i -> concat_ws(' ', slice(__w, i, 2))))")).as("gr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val covered = scala.collection.mutable.HashSet.empty[String]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
+      // (re)pool: one corpus-wide gain pass vs the current covered set
       val ids: Seq[Long] = selected.map(_._2).toSeq
       val remaining = if (ids.isEmpty) grams else grams.filter(!col("d").isin(ids: _*))
       val marg =
         if (ids.isEmpty) remaining.groupBy("d").agg(count(lit(1)).as("marg"))
         else {
-          val covered = grams.filter(col("d").isin(ids: _*)).select("gr").distinct()
-          remaining.join(covered, Seq("gr"), "left_anti")
+          val coveredDf = grams.filter(col("d").isin(ids: _*)).select("gr").distinct()
+          remaining.join(coveredDf, Seq("gr"), "left_anti")
             .groupBy("d").agg(count(lit(1)).as("marg"))
         }
-      val best = marg.orderBy(col("marg").desc, col("d").asc).limit(1).collect()
-      if (best.isEmpty) exhausted = true // saturation: nothing adds a new gram
+      val top = marg.orderBy(col("marg").desc, col("d").asc).limit(pool + 1).collect()
+      if (top.isEmpty) exhausted = true // saturation: nothing adds a new gram
       else {
-        selected += ((r.toLong, best(0).getLong(0), best(0).getLong(1)))
-        r += 1
+        val floor = if (top.length == pool + 1) top.last.getLong(1) else 0L
+        val poolRows = top.take(pool)
+        val poolIds = poolRows.map(_.getLong(0)).toSeq
+        val gramSets: Map[Long, Array[String]] = grams
+          .filter(col("d").isin(poolIds: _*))
+          .groupBy("d").agg(collect_set(col("gr")).as("g"))
+          .collect()
+          .map(row => row.getLong(0) -> row.getSeq[String](1).toArray).toMap
+        // CELF heap: (cached bound, doc, round the bound was computed in)
+        case class Ent(bound: Long, d: Long, round: Int)
+        implicit val ord: Ordering[Ent] = Ordering.by((e: Ent) => (e.bound, -e.d))
+        val heap = scala.collection.mutable.PriorityQueue.empty[Ent]
+        poolRows.foreach(row => heap.enqueue(Ent(row.getLong(1), row.getLong(0), r)))
+        var sincePool = 0
+        var repool = false
+        while (r <= k && !exhausted && !repool) {
+          if (heap.isEmpty) repool = true // pool spent before k: re-rank the rest
+          else {
+            val e = heap.dequeue()
+            if (e.round == r) {
+              if (e.bound <= 0L) exhausted = true // fresh top adds nothing: saturated
+              else if (e.bound > floor || sincePool == 0) {
+                selected += ((r.toLong, e.d, e.bound))
+                covered ++= gramSets(e.d)
+                r += 1; sincePool += 1
+              } else repool = true // guard: an outside doc could now win
+            } else heap.enqueue( // stale: refresh in the driver, re-rank
+              Ent(gramSets(e.d).count(g => !covered.contains(g)).toLong, e.d, r))
+          }
+        }
       }
     }
     grams.unpersist()

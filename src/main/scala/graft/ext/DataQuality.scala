@@ -167,10 +167,35 @@ object DataQuality {
     * partitioning — and SQL-replayable, unlike a tree hash keyed on
     * physical file layout. Scale shape: one hash aggregate on the
     * bucket (per-bucket rows collect within their task; bucket count
-    * bounds driver output), then a 64-row root aggregate. Negative ids
-    * are excluded (bucket arithmetic), NULL text rows excluded — both
-    * mirrored by the oracle.
+    * bounds driver output), then a buckets-row root aggregate. Negative
+    * ids are excluded (bucket arithmetic), NULL text rows excluded —
+    * both mirrored by the oracle.
+    *
+    * SIZING RULE (the 100 TB contract): each bucket `collect_list`s its
+    * leaves into ONE task, so per-task memory is
+    * `~(n_docs / buckets) × 48 bytes` (a 32-hex digest + id per leaf) —
+    * the bucket count must GROW with the corpus, it is not a constant.
+    * Use [[manifestBuckets]] (buckets = next power of two ≥
+    * n / docsPerBucket, default 1M docs ≈ 48 MB of leaf state per task)
+    * or pass an explicit count; the fixture catalogs pin 64 at sf scale
+    * for oracle stability. Any count yields the same
+    * corruption-localization property — two snapshots are comparable
+    * only at EQUAL bucket counts (the count is part of the manifest's
+    * identity, like a hash algorithm choice).
     */
+  /** Corpus-proportional bucket count for [[manifest]]: the next power
+    * of two ≥ `nDocs / docsPerBucket` (≥ 1). Power-of-two counts keep
+    * re-manifests at adjacent scales comparable in cost and make the
+    * per-task leaf state bound explicit: `docsPerBucket × 48 bytes`.
+    */
+  def manifestBuckets(nDocs: Long, docsPerBucket: Long = 1000000L): Int = {
+    require(nDocs >= 0 && docsPerBucket >= 1, "need nDocs >= 0, docsPerBucket >= 1")
+    val needed = math.max(1L, (nDocs + docsPerBucket - 1L) / docsPerBucket)
+    var b = 1
+    while (b < needed && b < (1 << 30)) b <<= 1
+    b
+  }
+
   def manifest(docs: DataFrame, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(buckets >= 1, "need at least one bucket")

@@ -533,6 +533,70 @@ object Dedup {
       .filter(col("dist") >= 0)
   }
 
+  /** Three-pass sorted-neighborhood edit-distance pairs — the full
+    * Hernández–Stolfo multi-pass scheme with an independent PHONETIC
+    * sort key as the third pass: pass 1 ranks by `(length, text, id)`,
+    * pass 2 by `(length, reverse(text), id)`, pass 3 by the per-token
+    * NARA Soundex encoding of the text (`soundex(w1) soundex(w2) …`,
+    * [[TextAnalysis.soundexWord]]) — "smith's report" and "smyth's
+    * repport" disagree in BOTH spelling directions yet share the
+    * phonetic key exactly, so sound-alike typos that neither
+    * lexicographic pass sorts adjacently become rank neighbors.
+    * Candidates from all passes dedup on the ordered id pair before
+    * the kernel; at equal `window` the result SUPERSETS
+    * [[editDistancePairsMultiPass]] by construction (passes 1–2 are
+    * identical — pinned in spec). Cost: 3× window·N, still linear.
+    *
+    * The phonetic key itself is tokenized by the shared [[tokens]]
+    * expression and encoded per token by a typed map (the
+    * `soundexKeys` precedent — encode is map-only); the oracle replays
+    * the same encoding as a SQL fold, proven equal to the Scala coder
+    * by the `soundex_keys` bitwise gate.
+    */
+  def editDistancePairsPhonetic(
+      docs: DataFrame,
+      maxDist: Int = 64,
+      window: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull && col(langCol).isNotNull)
+      .filter(length(col(textCol)) === expr(s"octet_length($textCol)"))
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+        col(langCol).as("lang"))
+    val p1 = snmCandidates(base, window, Seq.empty)
+    val p2 = snmCandidates(
+      base.withColumn("__orig", col("t")).withColumn("t", reverse(col("t")))
+        .select(col("id"), col("t"), col("lang"), col("__orig")),
+      window, Seq("__orig"))
+    val ph = base
+      .select(col("id"), col("t"), col("lang"), tokens(col("t")).as("__toks"))
+      .as[(Long, String, String, Seq[String])]
+      .map { case (id, t, lang, toks) =>
+        val key = toks.filter(_.nonEmpty).map(TextAnalysis.soundexWord).mkString(" ")
+        (id, key, lang, t)
+      }
+      .toDF("id", "t", "lang", "__orig")
+    val p3 = snmCandidates(ph, window, Seq("__orig"))
+    val c1 = p1.select(least(col("__a.id"), col("__b.id")).as("id_a"),
+      greatest(col("__a.id"), col("__b.id")).as("id_b"),
+      col("__a.t").as("ta"), col("__b.t").as("tb"))
+    val c2 = p2.select(least(col("__a.id"), col("__b.id")).as("id_a"),
+      greatest(col("__a.id"), col("__b.id")).as("id_b"),
+      col("__a.__orig").as("ta"), col("__b.__orig").as("tb"))
+    val c3 = p3.select(least(col("__a.id"), col("__b.id")).as("id_a"),
+      greatest(col("__a.id"), col("__b.id")).as("id_b"),
+      col("__a.__orig").as("ta"), col("__b.__orig").as("tb"))
+    c1.unionByName(c2).unionByName(c3)
+      .groupBy("id_a", "id_b").agg(first(col("ta")).as("ta"), first(col("tb")).as("tb"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Exact edit-distance pairs — the entity-resolution primitive for
     * SHORT near-identical records (titles, names, OCR'd lines) where
     * set-based similarity ([[ngramJaccardPairs]]) is too coarse: two

@@ -43,6 +43,52 @@ class BitmapIndexSpec extends AnyFunSuite {
     assert(total == d.distinct.count())
   }
 
+  test("compress: maximal runs form, split at container boundaries, and round-trip") {
+    import spark.implicits._
+    // one value over ids 0 .. 62*1030-1: words 0..1029 all full — the run
+    // must split at the 1024-word container boundary (Roaring's trade)
+    val ids = (0L until 62L * 1030L)
+    val d = ids.map(i => (i, "en", "s")).toDF("doc_id", "lang", "source")
+    val segs = BitmapIndex.compress(BitmapIndex.build(d, "doc_id", "lang")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(segs.toSeq == Seq(
+      (0L, 0L, 1023L, BitmapIndex.FullWord, 62L * 1024L),
+      (1L, 1024L, 1029L, BitmapIndex.FullWord, 62L * 6L)),
+      s"expected two container-bounded runs: ${segs.toSeq}")
+    // popcount of the compressed index equals the doc count (round-trip)
+    assert(segs.map(_._5).sum == ids.length.toLong)
+    // a hole makes a literal: drop one doc mid-run
+    val holed = ids.filterNot(_ == 100L).map(i => (i, "en", "s")).toDF("doc_id", "lang", "source")
+    val hs = BitmapIndex.compress(BitmapIndex.build(holed, "doc_id", "lang")).collect()
+    assert(hs.map(_.getLong(5)).sum == ids.length - 1L)
+    val word1 = hs.find(r => r.getLong(2) == 1L && r.getLong(3) == 1L).get
+    assert(word1.getLong(4) != BitmapIndex.FullWord, "the holed word stays a literal")
+  }
+
+  test("andCountsCompressed: identity holds over runs, literals, and boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val langs = Seq("en", "de", "fr")
+    // contiguous ids so DIV-shards produce genuine fill runs; random langs
+    // produce literals — the join exercises run∧run, run∧literal, both
+    val d = (0L until 4000L).map(i => (i, langs(rnd.nextInt(3))))
+      .toDF("doc_id", "lang")
+      .withColumn("shard", org.apache.spark.sql.functions.expr("CAST(doc_id DIV 256 AS BIGINT)"))
+    val got = BitmapIndex.andCountsCompressed(d, "doc_id", "shard", "lang").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"(${r.getLong(0)}, ${r.getString(1)}): compressed ${r.getLong(2)} != exact ${r.getLong(3)}")
+    }
+    assert(got.map(_.getLong(3)).sum == 4000L)
+    // the shard index must actually compress: fewer segments than words
+    val idx = BitmapIndex.build(d, "doc_id", "shard")
+    val comp = BitmapIndex.compress(idx)
+    assert(comp.count() < idx.count(),
+      "range-clustered shards must collapse into runs")
+  }
+
   test("the AND runs on words: disjoint values share words but intersect to zero bits") {
     // same word block, different langs: the word join matches, the AND is 0
     val d = df(Seq((0L, "en", "x"), (1L, "de", "y")))

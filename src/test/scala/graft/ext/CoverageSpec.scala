@@ -71,4 +71,53 @@ class CoverageSpec extends AnyFunSuite {
     val got = run(docs, 1)
     assert(got == Seq((1L, 3L, 2L)), s"equal gains: smallest id wins: $got")
   }
+
+  test("CELF: k picks launch ~1 corpus pass, not k — and still match plain greedy") {
+    // Leskovec et al. 2007: cached gains are upper bounds under
+    // submodularity, so rounds after the first are driver set arithmetic
+    // over the bounded pool. Count Spark jobs via a job-group-filtered
+    // listener (suites share the session, so filter is required).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val rnd = new scala.util.Random(87)
+    val words = ('a' to 'p').map(_.toString)
+    val docs = (1L to 60L).map { d =>
+      d -> Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val group = s"celf-jobcount-${java.util.UUID.randomUUID()}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "celf job count")
+      val got = run(docs, 8)
+      spark.sparkContext.clearJobGroup()
+      // give the async listener bus a moment to drain; a late event could
+      // only raise the count, and the assert is an upper bound
+      Thread.sleep(1000L)
+      assert(got == ref(docs, 8), "CELF must select exactly the plain-greedy sequence")
+      assert(got.size == 8, s"fixture supports 8 positive-gain rounds: $got")
+      val n = jobs.get()
+      assert(n < 8, s"8 picks must not cost a corpus pass per round: $n jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  test("CELF guard: a tiny pool forces repools but never changes the selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val words = ('a' to 'l').map(_.toString)
+    val docs = (1L to 30L).map { d =>
+      d -> Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    // pool=2 < k=6: the heap drains / the floor guard trips repeatedly;
+    // every repool must re-rank exactly and keep parity with plain greedy
+    val got = Coverage.greedySelect(docs.toDF("doc_id", "text"), 6, pool = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == ref(docs, 6), s"pool=2 selection diverged: $got")
+  }
 }

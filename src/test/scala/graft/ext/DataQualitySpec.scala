@@ -114,6 +114,30 @@ class DataQualitySpec extends AnyFunSuite {
     assert(changed == Set((0L, 13L % 8), (1L, -1L)), s"changed: $changed")
   }
 
+  test("manifestBuckets sizing rule; localization holds at any sized count") {
+    // next power of two >= n / docsPerBucket, floor 1
+    assert(DataQuality.manifestBuckets(0L, 10L) == 1)
+    assert(DataQuality.manifestBuckets(10L, 10L) == 1)
+    assert(DataQuality.manifestBuckets(11L, 10L) == 2)
+    assert(DataQuality.manifestBuckets(95L, 10L) == 16)
+    assert(DataQuality.manifestBuckets(100000000L) == 128) // 100M docs @ 1M/bucket
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i, s"document body $i"))
+    val df = rows.toDF("doc_id", "text")
+    // sized from the corpus (40 docs @ 3/bucket -> 16), NOT the default 64:
+    // the manifest identity changes with the count, localization does not
+    val b = DataQuality.manifestBuckets(40L, 3L)
+    assert(b == 16)
+    val got = DataQuality.manifest(df, buckets = b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got.count(_._1._1 == 0L) == 16 && got.contains((1L, -1L)))
+    val tampered = rows.map { case (i, t) => (i, if (i == 29L) t + "!" else t) }.toDF("doc_id", "text")
+    val t = DataQuality.manifest(tampered, buckets = b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val changed = got.keySet.filter(k => got(k) != t(k))
+    assert(changed == Set((0L, 29L % b), (1L, -1L)), s"changed: $changed")
+  }
+
   test("chiSquare: hand-computed 2x2 with a zero cell; nulls excluded everywhere") {
     import spark.implicits._
     // x: 1 p, 1 q; y: 2 p, 0 q  (plus a null-category row that must not count)

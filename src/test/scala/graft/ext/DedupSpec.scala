@@ -492,6 +492,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
 
+  test("editDistancePairsPhonetic: the soundex pass recovers sound-alike typos both lexicographic passes miss") {
+    import spark.implicits._
+    // docs 1/2: same per-token soundex ("s530 k650 r163") but different
+    // lengths AND different first/last characters, so with straddling
+    // fillers neither the forward nor the reversed ranking puts them
+    // within the window — only the phonetic ranking (identical keys,
+    // adjacent by id tie-break) does
+    val d1 = "smith karen reports"   // 19 chars
+    val d2 = "smyth karon repports"  // 20 chars
+    // 19-char fillers sort AFTER d1 forward (start 'z') and after
+    // reverse(d1) reversed (end 'z'); 20-char fillers sort BEFORE d2
+    // forward (start 'a') and before reverse(d2) reversed (end 'a')
+    val f19 = (0 until 6).map(i => (100L + i, "z" + f"q${i}%02dfillerfiller" + "z" * 3, "en"))
+    val f20 = (0 until 6).map(i => (200L + i, "a" + f"b${i}%02dfillerfillerx" + "a" * 3, "en"))
+    val d = (Seq((1L, d1, "en"), (2L, d2, "en")) ++ f19 ++ f20).toDF("doc_id", "text", "lang")
+    assert(f19.forall(_._2.length == 19) && f20.forall(_._2.length == 20))
+    val two = Dedup.editDistancePairsMultiPass(d, maxDist = 8, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val three = Dedup.editDistancePairsPhonetic(d, maxDist = 8, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!two.contains((1L, 2L)),
+      "fixture premise: both lexicographic passes must miss the sound-alike pair")
+    assert(two.subsetOf(three.keySet), "3-pass must superset 2-pass at equal window")
+    assert(three.get((1L, 2L)).contains(3L),
+      s"the phonetic pass must recover the pair at dist 3: $three")
+    // dedup across passes: one row per pair
+    val rows = Dedup.editDistancePairsPhonetic(d, maxDist = 8, window = 4).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("erMatchScores: agreement vector, evidence sum, and decision bands") {
     import spark.implicits._
     import Dedup.{ErWeights => W}

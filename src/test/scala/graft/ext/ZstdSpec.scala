@@ -1,0 +1,124 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The zstd codec is verified the way the other codecs are: round trip
+  * against itself, then BOTH cross-differential directions against the
+  * production implementation (zstd-jni — libzstd's own binding, already
+  * on Spark's classpath), then malformed-input quarantine. The lib
+  * differential is what pins every format detail: bit order, FSE state
+  * discipline, repcodes, Huffman canonicalization, checksum.
+  */
+class ZstdSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def fixtures: Seq[Array[Byte]] = Seq(
+    "",
+    "a",
+    "ab",
+    "hello world",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "the quick brown fox jumps over the lazy dog. " * 40,
+    "abcabcabcabcabcabcabcabcabcabcabcabcabcabcabc",
+    ("tok" + "en repetition with some long range structure, ") * 200,
+    (0 until 256).map(_.toChar).mkString * 8, // all byte values
+    scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .alphanumeric.take(10000).mkString,
+    {
+      val r = new java.util.Random(7)
+      (0 until 50000).map(_ => ('a' + r.nextInt(4)).toChar).mkString // low entropy
+    },
+    {
+      val r = new java.util.Random(9)
+      (0 until 300000).map(_ => (r.nextInt(256)).toChar).mkString // multi-block
+    }
+  ).map(_.getBytes(UTF_8))
+
+  test("round trip: compress then decompress restores every fixture byte-exactly") {
+    fixtures.foreach { data =>
+      val back = Zstd.decompress(Zstd.compress(data), math.max(1, data.length))
+      assert(java.util.Arrays.equals(back, data), s"round trip broke at ${data.length} bytes")
+    }
+  }
+
+  test("xxh64 matches Spark's catalyst XXH64 (and known vectors)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    fixtures.foreach { data =>
+      assert(Zstd.xxh64(data, 0L) ==
+        XXH64.hashUnsafeBytes(data, Platform.BYTE_ARRAY_OFFSET, data.length, 0L),
+        s"xxh64 diverged at ${data.length} bytes")
+      assert(Zstd.xxh64(data, 7L) ==
+        XXH64.hashUnsafeBytes(data, Platform.BYTE_ARRAY_OFFSET, data.length, 7L),
+        s"seeded xxh64 diverged at ${data.length} bytes")
+    }
+    assert(Zstd.xxh64(Array.emptyByteArray, 0L) == 0xEF46DB3751D8E999L) // canonical vector
+  }
+
+  test("differential: OUR frames decode with libzstd (zstd-jni)") {
+    fixtures.foreach { data =>
+      val comp = Zstd.compress(data)
+      val back = com.github.luben.zstd.Zstd.decompress(comp, math.max(1, data.length))
+      assert(java.util.Arrays.equals(back, data),
+        s"libzstd could not reproduce our frame at ${data.length} bytes")
+    }
+  }
+
+  test("differential: libzstd frames at many levels decode with OUR decoder") {
+    // levels exercise different literal/sequence modes: fast levels lean
+    // raw/RLE, high levels emit 4-stream Huffman + FSE-described and
+    // repeat tables
+    for (data <- fixtures; level <- Seq(1, 3, 9, 19)) {
+      val comp = com.github.luben.zstd.Zstd.compress(data, level)
+      val back = Zstd.decompress(comp, math.max(1, data.length))
+      assert(java.util.Arrays.equals(back, data),
+        s"our decoder broke on libzstd level $level at ${data.length} bytes")
+    }
+  }
+
+  test("compression actually compresses compressible text") {
+    val data = ("the quick brown fox jumps over the lazy dog. " * 100).getBytes(UTF_8)
+    val comp = Zstd.compress(data)
+    assert(comp.length < data.length / 2,
+      s"LZ77+FSE must at least halve repetitive text: ${comp.length} vs ${data.length}")
+  }
+
+  test("malformed inputs are quarantined, never misread") {
+    val good = Zstd.compress(("some payload to damage " * 20).getBytes(UTF_8))
+    def fails(b: Array[Byte]): Boolean =
+      try { Zstd.decompress(b, 1 << 20); false } catch { case _: RuntimeException => true }
+    assert(fails(Array[Byte]()), "empty input")
+    assert(fails(good.take(3)), "truncated magic")
+    assert(fails(good.take(good.length - 1)), "truncated checksum")
+    val badMagic = good.clone(); badMagic(0) = 0x29.toByte
+    assert(fails(badMagic), "wrong magic")
+    val flipped = good.clone(); flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x40).toByte
+    assert(fails(flipped), "bit flip mid-frame must fail the strict checks or the checksum")
+    val badCks = good.clone(); badCks(good.length - 1) = (badCks(good.length - 1) ^ 1).toByte
+    assert(fails(badCks), "checksum flip")
+  }
+
+  test("zstdSignal: per-doc round-trip stats over a corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma " * 10),
+      (1L, "delta " * 50),
+      (2L, ""),
+      (3L, "unique text with no repetition at all 12345")).toDF("doc_id", "text")
+    val got = Zstd.zstdSignal(docs).collect().sortBy(_.doc_id)
+    assert(got.length == 4)
+    got.foreach { s =>
+      assert(s.n_bytes >= 0, s"round trip must not break: $s")
+      val want = docs.filter($"doc_id" === s.doc_id).head().getString(1).getBytes(UTF_8)
+      assert(s.n_bytes == want.length)
+      var c = 0L
+      want.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(s.checksum == c)
+    }
+    assert(got(1).ratio < 1.0, "repetitive doc must compress below 1.0")
+  }
+}
