@@ -48,8 +48,15 @@ object Coverage {
     * Mechanics: ONE corpus gain pass ranks all docs by marginal gain
     * vs the covered set and collects the top `pool`+1 rows; the pool's
     * bigram sets (≤ `pool` documents of text — the bounded-collect
-    * convention, same order as `negative_samples`' 64-row pool) come to
-    * the driver once. Subsequent rounds run the classic CELF heap: pop
+    * convention, same order as `negative_samples`' fixed pool) come to
+    * the driver once. POOL SIZING is the repool-rate lever: the guard
+    * floor is the (pool+1)-th gain AT POOL TIME, so in a redundant
+    * corpus (gains decay fast as coverage grows) a small pool falls
+    * below its floor after few picks and repools — measured at sf0.1:
+    * pool 16 → 43 jobs, 64 → 37, 256 → 25 (and beats the per-round
+    * plain-greedy baseline), 1024 → 19. Default 256 ≈ driver state of
+    * 256 documents' bigram sets, the same order as the other bounded
+    * collects; raise it when k is large or redundancy extreme. Subsequent rounds run the classic CELF heap: pop
     * the highest cached bound, refresh it against the covered set
     * (pure driver set ops — zero Spark jobs), select when the top is
     * fresh. EXACTNESS GUARD: docs outside the pool have gain ≤ `floor`
@@ -64,7 +71,7 @@ object Coverage {
     * — while selecting the byte-identical sequence plain greedy would.
     */
   def greedySelect(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text", pool: Int = 64): DataFrame = {
+      textCol: String = "text", pool: Int = 256): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(pool >= 1, "pool must be >= 1")
     val spark = docs.sparkSession
