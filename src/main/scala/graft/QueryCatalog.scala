@@ -3975,6 +3975,65 @@ object QueryCatalog {
       |SELECT ex.a, ex.b, coalesce(vi.n_bitmap, 0)::BIGINT AS n_bitmap, ex.n_exact
       |FROM ex LEFT JOIN vi ON vi.a = ex.a AND vi.b = ex.b""".stripMargin
 
+  /** Sequence packing ([[graft.ext.Packing.packSequences]]):
+    * next-fit-decreasing context-window binning within (lang, 256-doc
+    * shard) — the training-batch layout step after tokenization. The
+    * oracle replays the token counts, the (n_tokens DESC, doc_id)
+    * in-shard order, and the whole next-fit recurrence as a per-shard
+    * recursive CTE (the EWMA/Holt skeleton), so a wrong sort key, a
+    * capacity off-by-one, a shard leak, or a mishandled oversized doc
+    * fails the hash.
+    */
+  private val qPackSequences: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Packing.packSequences(table(s, dir, "documents"), capacity = 256, shardDocs = 256)
+
+  private def oPackBase: String =
+    s"""base AS (SELECT lang, doc_id // 256 AS shard, doc_id,
+       |    len(list_filter(string_split($normSql, ' '), w -> w <> ''))::BIGINT AS n_tokens
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND doc_id >= 0
+       |    AND text IS NOT NULL AND lang IS NOT NULL),
+       |st AS (SELECT lang, shard, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY lang, shard
+       |                       ORDER BY n_tokens DESC, doc_id) AS t
+       |  FROM base),
+       |r AS (
+       |  SELECT lang, shard, doc_id, n_tokens, t,
+       |         1::BIGINT AS bin, n_tokens AS fill
+       |  FROM st WHERE t = 1
+       |  UNION ALL
+       |  SELECT st.lang, st.shard, st.doc_id, st.n_tokens, st.t,
+       |         CASE WHEN r.fill + st.n_tokens > 256 AND r.fill > 0
+       |              THEN r.bin + 1 ELSE r.bin END,
+       |         CASE WHEN r.fill + st.n_tokens > 256 AND r.fill > 0
+       |              THEN st.n_tokens ELSE r.fill + st.n_tokens END
+       |  FROM r JOIN st ON st.lang = r.lang AND st.shard = r.shard
+       |                AND st.t = r.t + 1)""".stripMargin
+
+  private val oPackSequences: String =
+    s"""WITH RECURSIVE $oPackBase
+       |SELECT lang, shard, doc_id, n_tokens, bin, fill AS fill_after,
+       |       n_tokens > 256 AS overflow
+       |FROM r""".stripMargin
+
+  /** Packing efficiency roll-up ([[graft.ext.Packing.packStats]]):
+    * bins / docs / tokens / PADDING per language — the number packing
+    * exists to minimize, as exact integers over the same replayed
+    * recurrence.
+    */
+  private val qPackStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Packing.packStats(table(s, dir, "documents"), capacity = 256, shardDocs = 256)
+
+  private val oPackStats: String =
+    s"""WITH RECURSIVE $oPackBase,
+       |bins AS (SELECT lang, shard, bin, max(fill) AS bin_fill,
+       |                count(*)::BIGINT AS bin_docs
+       |         FROM r GROUP BY 1, 2, 3)
+       |SELECT lang, count(*)::BIGINT AS n_bins, sum(bin_docs)::BIGINT AS n_docs,
+       |       sum(bin_fill)::BIGINT AS n_tokens,
+       |       sum(greatest(0, 256 - bin_fill))::BIGINT AS padding
+       |FROM bins GROUP BY 1""".stripMargin
+
   /** WAH-run compression of a bitmap index
     * ([[graft.ext.BitmapIndex.compress]]) over a range-clustered
     * attribute (`doc_id DIV 256` — the date-partition/shard shape where
@@ -6289,6 +6348,8 @@ object QueryCatalog {
     "bitmap_and_query" -> qBitmapAndQuery,
     "bitmap_compress" -> qBitmapCompress,
     "bitmap_and_compressed" -> qBitmapAndCompressed,
+    "pack_sequences" -> qPackSequences,
+    "pack_stats" -> qPackStats,
     "csv_extract" -> qCsvExtract,
     "host_hits" -> qHostHits,
     "host_triangles" -> qHostTriangles,
@@ -6487,6 +6548,8 @@ object QueryCatalog {
     "bitmap_and_query" -> oBitmapAndQuery,
     "bitmap_compress" -> oBitmapCompress,
     "bitmap_and_compressed" -> oBitmapAndCompressed,
+    "pack_sequences" -> oPackSequences,
+    "pack_stats" -> oPackStats,
     "csv_extract" -> oCsvExtract,
     "host_hits" -> oHostHits,
     "host_triangles" -> oHostTriangles,

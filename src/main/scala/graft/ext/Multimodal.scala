@@ -970,7 +970,7 @@ object Multimodal {
     * cases get explicit handling: DEFLATE requires a decodable tree, so
     * a lone used symbol is assigned length 1.
     */
-  private def huffmanLengths(freq: Array[Int], maxLen: Int): Array[Int] = {
+  private[ext] def huffmanLengths(freq: Array[Int], maxLen: Int): Array[Int] = {
     val n = freq.length
     val lens = new Array[Int](n)
     val used = (0 until n).filter(freq(_) > 0)

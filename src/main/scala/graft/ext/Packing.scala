@@ -1,29 +1,126 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Token-budget batch packing for training-data pipelines: assign documents
-  * to consecutive batches so each batch carries ~`budget` tokens.
+import graft.functions.TextFunctions._
+
+/** ======== Sequence packing (context-window binning) ====
   *
-  * The assignment is the cumulative variant: within a partition key, docs in
-  * id order get `batch_id = floor(tokens_before / budget)` — a batch may
-  * overflow by at most one document past the budget boundary, in exchange
-  * for the whole assignment being ONE window expression (exact int64 math,
-  * identical on any engine). First-fit/greedy bin packing is sequential by
-  * nature and buys little for LLM batch assembly, where the consumer packs
-  * sequences up to a context length and an overflow doc simply starts the
-  * next batch.
+  * The training-batch layout step every LLM pipeline runs after
+  * tokenization: concatenate documents into fixed-capacity context
+  * windows so padding — dead compute at training time — is minimized.
+  * At 100 TB this is a first-class operator, not a loader detail: a
+  * 2048-token window fed average-500-token documents wastes 3/4 of
+  * every training step unless documents are packed.
   *
-  * Scale: the window partitions on `partitionCols` (e.g. the source shard),
-  * NEVER globally — a global ORDER BY window would serialize 100 TB through
-  * one task. Batches are therefore per-shard, which is what a distributed
-  * training job wants anyway (shard-local shuffling, no cross-shard
-  * coordination).
+  * Algorithm: NEXT-FIT-DECREASING within bounded shards — documents
+  * sort by (token count DESC, id) inside each (lang, id-range shard)
+  * and fill bins sequentially, opening a new bin when the next document
+  * would overflow `capacity`. NFD is the deterministic, sequential-
+  * replayable member of the bin-packing family (first-fit-decreasing
+  * packs slightly tighter but needs random access to ALL open bins —
+  * state linear in bins, not O(1), and not replayable as a linear
+  * recurrence). Oversized documents (> capacity) get a bin of their own
+  * and an `overflow` flag — the caller's truncation decision is
+  * surfaced, never silently applied.
+  *
+  * 100 TB shape: packing is per-SHARD by construction — `(lang,
+  * doc_id DIV shardDocs)` — which is both the scale bound (each
+  * sequential scan handles ≤ shardDocs documents; shard count provides
+  * the parallelism — the holt/viterbi secondary-sort pattern with an
+  * O(1)-state scan and per-group reset) and the operational reality
+  * (real packers pack within an output file, not across a corpus).
+  * One hash exchange on the shard key; the sort is partition-local.
+  *
+  * Determinism: the shard key is id-arithmetic, the in-shard order is
+  * total, and the recurrence is integer — bitwise identical under any
+  * partitioning, and replayed by the oracle as a per-shard recursive
+  * CTE (the EWMA/Holt skeleton, stepping all shards in parallel).
   */
 object Packing {
 
+  /** Per-document packing assignment: (lang, shard, doc_id, n_tokens,
+    * bin, fill_after, overflow). `bin` is 1-based per shard;
+    * `fill_after` is the bin's token total after this document.
+    */
+  def packSequences(docs: DataFrame, capacity: Int = 256, shardDocs: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    require(shardDocs >= 1, "shardDocs must be >= 1")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 &&
+        col(textCol).isNotNull && col(langCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        expr(s"CAST($idCol DIV $shardDocs AS BIGINT)").as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long").as("n_tokens"))
+    val out = StructType(Seq(
+      StructField("lang", StringType), StructField("shard", LongType),
+      StructField("doc_id", LongType), StructField("n_tokens", LongType),
+      StructField("bin", LongType), StructField("fill_after", LongType),
+      StructField("overflow", BooleanType)))
+    base
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("lang"), col("shard"), col("n_tokens").desc, col("doc_id"))
+      .mapPartitions { it =>
+        var curLang: String = null
+        var curShard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          val lang = r.getString(0)
+          val shard = r.getLong(1)
+          if (lang != curLang || shard != curShard) {
+            curLang = lang; curShard = shard; bin = 0L; fill = 0L
+          }
+          val n = r.getLong(3)
+          if (bin == 0L || (fill + n > capacity && fill > 0L)) { bin += 1L; fill = n }
+          else fill += n
+          Row(lang, shard, r.getLong(2), n, bin, fill, n > capacity)
+        }
+      }(org.apache.spark.sql.Encoders.row(out))
+      .toDF()
+  }
+
+  /** Packing efficiency roll-up per language: bins, documents, token
+    * totals and PADDING (empty slots across closed bins, the number
+    * the whole operator exists to minimize) — all exact integers.
+    * Overflow bins contribute zero padding (they are full beyond
+    * capacity by definition).
+    */
+  def packStats(docs: DataFrame, capacity: Int = 256, shardDocs: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val packed = packSequences(docs, capacity, shardDocs, idCol, textCol, langCol)
+    packed
+      .groupBy("lang", "shard", "bin")
+      .agg(max(col("fill_after")).as("bin_fill"), count(lit(1)).as("bin_docs"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("bin_docs")).as("n_docs"),
+        sum(col("bin_fill")).as("n_tokens"),
+        sum(greatest(lit(0L), lit(capacity.toLong) - col("bin_fill"))).as("padding"))
+  }
+
+  /** Token-budget BATCH assignment — the cumulative variant next to
+    * [[packSequences]]'s true bin packing: within a partition key, docs
+    * in id order get `batch_id = floor(tokens_before / budget)` — a
+    * batch may overflow by at most one document past the budget
+    * boundary, in exchange for the whole assignment being ONE window
+    * expression (exact int64 math, identical on any engine). Use this
+    * when the consumer re-packs sequences itself and only needs
+    * shard-local batch ids; use [[packSequences]] when bin fills and
+    * padding are the object of interest.
+    *
+    * Scale: the window partitions on `partitionCols` (e.g. the source
+    * shard), NEVER globally — a global ORDER BY window would serialize
+    * 100 TB through one task.
+    */
   def packByBudget(
       docs: DataFrame,
       budget: Long,

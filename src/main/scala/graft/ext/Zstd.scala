@@ -33,11 +33,18 @@ import org.apache.spark.sql.functions._
   * Encoder: valid frames any zstd implementation decodes —
   *  - single-segment frame with exact content size + XXH64 checksum;
   *  - greedy hash-table LZ77 (min match 4) emitting (LL, ML, offset)
-  *    sequences; raw literals; sequences FSE-encoded BACKWARD with the
-  *    spec's PREDEFINED distributions (mode 0 — no table description),
+  *    sequences; sequences FSE-encoded BACKWARD with the spec's
+  *    PREDEFINED distributions (mode 0 — no table description),
   *    states flushed ML→OF→LL, sentinel close;
+  *  - literals HUFFMAN-compressed (canonical depth-≤11 code from the
+  *    shared two-queue builder, codes read off the decoder's own table
+  *    layout, direct nibble-weights description, 1-stream or 4-stream
+  *    with jump table), RLE when one distinct byte, raw when entropy
+  *    coding does not win — on English text this lands within ~10-25%
+  *    of libzstd level 3 (ZstdSpec pins the factor);
   *  - per-128KB blocks with matches reaching back across blocks;
-  *  - raw-block fallback whenever entropy coding does not win.
+  *    literal-only blocks (nbSeq = 0) still compress;
+  *  - raw-block fallback whenever nothing wins.
   *
   * Everything is integer arithmetic on explicit tables, so
   * compress∘decompress is deterministic on any JVM: the oracled key
@@ -847,19 +854,151 @@ object Zstd {
     (seqs.result(), lits.toByteArray)
   }
 
-  /** One compressed block: raw-literals section + predefined-FSE
-    * sequences, written exactly as the spec's decoder consumes them
-    * (encode order: last sequence's extra bits first; states flushed
-    * ML→OF→LL). Returns null when there are no sequences or no win.
+  /** Canonical zstd Huffman encode table from byte frequencies, depth
+    * ≤ 11 (the literals limit): lengths from the shared depth-limited
+    * two-queue builder, weights `maxBits + 1 − len`, codes read off the
+    * decoder's own table layout (cells assigned in weight order then
+    * symbol order — symbol code = cellStart >> (w−1)), so encode and
+    * decode are inverses by construction. Returns null when Huffman
+    * cannot apply: < 2 present symbols (RLE territory) or a present
+    * symbol above 128 (the direct nibble-weights description addresses
+    * symbols 0..128 only — the FSE-compressed-weights description would
+    * lift this; documented fallback to raw).
+    */
+  private final class HufEncoder(freq: Array[Int]) {
+    val lastPresent: Int = freq.lastIndexWhere(_ > 0)
+    private val nPresent = freq.count(_ > 0)
+    val usable: Boolean = nPresent >= 2 && lastPresent <= 128
+    val code = new Array[Int](256)
+    val bits = new Array[Int](256)
+    var treeDesc: Array[Byte] = null
+    if (usable) {
+      val lens = Multimodal.huffmanLengths(freq, 11)
+      val maxBits = lens.max
+      val weights = new Array[Int](256)
+      var s = 0
+      while (s < 256) {
+        if (lens(s) > 0) { weights(s) = maxBits + 1 - lens(s); bits(s) = lens(s) }
+        s += 1
+      }
+      // decoder table layout: weight ascending, symbol ascending; a symbol
+      // of weight w spans 2^(w-1) cells starting at pos
+      var pos = 0
+      var w = 1
+      while (w <= maxBits) {
+        s = 0
+        while (s < 256) {
+          if (weights(s) == w) { code(s) = pos >> (w - 1); pos += 1 << (w - 1) }
+          s += 1
+        }
+        w += 1
+      }
+      // direct nibble description: weights of symbols 0..lastPresent-1,
+      // lastPresent's weight implied by power-of-two completion
+      val n = lastPresent
+      val desc = new java.io.ByteArrayOutputStream()
+      desc.write(127 + n)
+      var i = 0
+      while (i < n) {
+        val hi = weights(i)
+        val lo = if (i + 1 < n) weights(i + 1) else 0
+        desc.write((hi << 4) | lo)
+        i += 2
+      }
+      treeDesc = desc.toByteArray
+    }
+    /** One backward Huffman stream over `data[from, until)` — written in
+      * reverse so the decoder's first (top-bits) read is `data(from)`.
+      */
+    def stream(data: Array[Byte], from: Int, until: Int): Array[Byte] = {
+      val bw = new BitWriter
+      var i = until - 1
+      while (i >= from) {
+        val b = data(i) & 0xff
+        bw.addBits(code(b), bits(b))
+        i -= 1
+      }
+      bw.close()
+    }
+  }
+
+  /** Literals section bytes (header + payload), choosing the smallest
+    * legal encoding: RLE (one distinct byte), Huffman-compressed
+    * (1-stream when the 10-bit size fields fit, else 4-stream with the
+    * jump table), raw otherwise.
+    */
+  private def encodeLiterals(lits: Array[Byte]): Array[Byte] = {
+    val rs = lits.length
+    def rawSection(): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val lh = 0 | (3 << 2) | (rs << 4)
+      out.write(lh & 0xff); out.write((lh >> 8) & 0xff); out.write((lh >> 16) & 0xff)
+      out.write(lits, 0, rs)
+      out.toByteArray
+    }
+    if (rs == 0) return rawSection()
+    var allSame = true
+    var i = 1
+    while (allSame && i < rs) { allSame = lits(i) == lits(0); i += 1 }
+    if (allSame) { // RLE literals: 3-byte header + the byte
+      val out = new java.io.ByteArrayOutputStream()
+      val lh = 1 | (3 << 2) | (rs << 4)
+      out.write(lh & 0xff); out.write((lh >> 8) & 0xff); out.write((lh >> 16) & 0xff)
+      out.write(lits(0) & 0xff)
+      return out.toByteArray
+    }
+    if (rs < 32) return rawSection()
+    val freq = new Array[Int](256)
+    lits.foreach(b => freq(b & 0xff) += 1)
+    val enc = new HufEncoder(freq)
+    if (!enc.usable) return rawSection()
+    val out = new java.io.ByteArrayOutputStream()
+    if (rs <= 1023) { // 1 stream, size_format 00 (10-bit sizes)
+      val s1 = enc.stream(lits, 0, rs)
+      val cs = enc.treeDesc.length + s1.length
+      if (cs > 1023 || 3 + cs >= 3 + rs) return rawSection()
+      val lh = 2 | (0 << 2) | (rs << 4) | (cs << 14)
+      out.write(lh & 0xff); out.write((lh >> 8) & 0xff); out.write((lh >> 16) & 0xff)
+      out.write(enc.treeDesc, 0, enc.treeDesc.length)
+      out.write(s1, 0, s1.length)
+    } else { // 4 streams, size_format 11 (18-bit sizes)
+      val r123 = (rs + 3) / 4
+      val a = enc.stream(lits, 0, r123)
+      val b = enc.stream(lits, r123, 2 * r123)
+      val c = enc.stream(lits, 2 * r123, 3 * r123)
+      val d = enc.stream(lits, 3 * r123, rs)
+      if (a.length > 0xffff || b.length > 0xffff || c.length > 0xffff) return rawSection()
+      val cs = enc.treeDesc.length + 6 + a.length + b.length + c.length + d.length
+      if (cs > 262143 || 5 + cs >= 3 + rs) return rawSection()
+      val lh = 2L | (3L << 2) | (rs.toLong << 4) | (cs.toLong << 22)
+      var j = 0
+      while (j < 5) { out.write(((lh >> (8 * j)) & 0xff).toInt); j += 1 }
+      out.write(enc.treeDesc, 0, enc.treeDesc.length)
+      out.write(a.length & 0xff); out.write((a.length >> 8) & 0xff)
+      out.write(b.length & 0xff); out.write((b.length >> 8) & 0xff)
+      out.write(c.length & 0xff); out.write((c.length >> 8) & 0xff)
+      out.write(a, 0, a.length); out.write(b, 0, b.length)
+      out.write(c, 0, c.length); out.write(d, 0, d.length)
+    }
+    out.toByteArray
+  }
+
+  /** One compressed block: literals section (Huffman / RLE / raw,
+    * whichever is smallest) + predefined-FSE sequences, written exactly
+    * as the spec's decoder consumes them (encode order: last sequence's
+    * extra bits first; states flushed ML→OF→LL). A block with no
+    * sequences still compresses when its literals do (nbSeq = 0).
+    * Returns null when nothing wins over a raw block.
     */
   private def encodeBlock(seqs: Vector[Seq77], lits: Array[Byte], blockLen: Int): Array[Byte] = {
-    if (seqs.isEmpty) return null
     val out = new java.io.ByteArrayOutputStream()
-    // literals header: raw, 3-byte size_format (20-bit size)
-    val rs = lits.length
-    val lh = 0 | (3 << 2) | (rs << 4)
-    out.write(lh & 0xff); out.write((lh >> 8) & 0xff); out.write((lh >> 16) & 0xff)
-    out.write(lits, 0, rs)
+    val litSection = encodeLiterals(lits)
+    out.write(litSection, 0, litSection.length)
+    if (seqs.isEmpty) {
+      out.write(0) // no sequences: the block is its literals
+      val block = out.toByteArray
+      return if (block.length >= blockLen) null else block
+    }
     // sequences header
     val n = seqs.length
     if (n < 128) out.write(n)

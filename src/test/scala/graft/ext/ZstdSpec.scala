@@ -80,11 +80,21 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
-  test("compression actually compresses compressible text") {
-    val data = ("the quick brown fox jumps over the lazy dog. " * 100).getBytes(UTF_8)
-    val comp = Zstd.compress(data)
-    assert(comp.length < data.length / 2,
-      s"LZ77+FSE must at least halve repetitive text: ${comp.length} vs ${data.length}")
+  test("compression is competitive: within 1.5x of libzstd level 3 on text") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog. " * 100,
+      "Large language models are trained on diverse corpora of text " +
+        "documents gathered from the web, books, and code repositories. " * 30,
+      scala.util.Random.javaRandomToRandom(new java.util.Random(5))
+        .alphanumeric.take(8000).mkString)
+    texts.foreach { t =>
+      val data = t.getBytes(UTF_8)
+      val ours = Zstd.compress(data).length
+      val lib = com.github.luben.zstd.Zstd.compress(data, 3).length
+      assert(ours <= lib * 3 / 2,
+        s"Huffman literals + predefined-FSE sequences must stay within 1.5x " +
+          s"of libzstd-3: ours $ours vs lib $lib on ${data.length} bytes")
+    }
   }
 
   test("malformed inputs are quarantined, never misread") {
