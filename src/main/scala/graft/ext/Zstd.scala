@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   * Encoder: valid frames any zstd implementation decodes —
   *  - single-segment frame with exact content size + XXH64 checksum;
   *  - greedy hash-table LZ77 (min match 4) emitting (LL, ML, offset)
-  *    sequences; sequences FSE-encoded BACKWARD with the spec's
-  *    PREDEFINED distributions (mode 0 — no table description),
-  *    states flushed ML→OF→LL, sentinel close;
+  *    sequences, FSE-encoded BACKWARD (states flushed ML→OF→LL,
+  *    sentinel close) under the SMALLER of the spec's predefined
+  *    distributions and data-derived tables built from the block's own
+  *    code histograms (deterministic normalization to 2^log slots, the
+  *    variable-precision table-description writer — the exact inverse
+  *    of the reader — and RLE mode for single-code channels);
   *  - literals HUFFMAN-compressed (canonical depth-≤11 code from the
   *    shared two-queue builder, codes read off the decoder's own table
   *    layout, direct nibble-weights description, 1-stream or 4-stream
@@ -983,12 +986,171 @@ object Zstd {
     out.toByteArray
   }
 
+  /** Forward LSB-first bit writer padded to a byte boundary (no
+    * sentinel) — FSE table descriptions only.
+    */
+  private final class FwdWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nAcc = 0
+    def addBits(value: Int, n: Int): Unit = {
+      acc |= (value.toLong & ((1L << n) - 1L)) << nAcc
+      nAcc += n
+      while (nAcc >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    def close(): Array[Byte] = {
+      if (nAcc > 0) { out.write((acc & 0xff).toInt); acc = 0; nAcc = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic normalization of code counts to exactly 2^log slots,
+    * every present symbol ≥ 1 (the [[Rans]] normalization discipline:
+    * surplus off the largest entries, deficit onto the most frequent,
+    * ties to the lowest symbol).
+    */
+  private def normalizeCounts(counts: Array[Int], log: Int): Array[Int] = {
+    val tableSize = 1 << log
+    val total = counts.map(_.toLong).sum
+    val norm = new Array[Int](counts.length)
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) > 0)
+        norm(s) = math.max(1L, counts(s).toLong * tableSize / total).toInt
+      s += 1
+    }
+    var diff = tableSize - norm.sum
+    while (diff > 0) { // deficit of slots: feed the most frequent
+      var best = -1
+      s = 0
+      while (s < counts.length) {
+        if (norm(s) > 0 && (best < 0 || counts(s) > counts(best))) best = s
+        s += 1
+      }
+      norm(best) += 1; diff -= 1
+    }
+    while (diff < 0) { // surplus: shave the largest normalized, floor 1
+      var best = -1
+      s = 0
+      while (s < counts.length) {
+        if (norm(s) > 1 && (best < 0 || norm(s) > norm(best))) best = s
+        s += 1
+      }
+      norm(best) -= 1; diff += 1
+    }
+    norm
+  }
+
+  /** FSE table description writer — the exact inverse of
+    * [[readFseDescription]]: 4-bit accuracy log, variable-precision
+    * counts (count+1; small values in nbBits−1 bits when below the
+    * dynamic max), 2-bit zero-repeat flags after each zero, thresholds
+    * halving as `remaining` shrinks, byte-padded.
+    */
+  private def writeFseDescription(norm: Array[Int], log: Int): Array[Byte] = {
+    val w = new FwdWriter
+    w.addBits(log - 5, 4)
+    val tableSize = 1 << log
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = log + 1
+    var s = 0
+    while (remaining > 1 && s < norm.length) {
+      val count = norm(s)
+      s += 1
+      val value = count + 1
+      val max = (2 * threshold - 1) - remaining
+      if (value < max) w.addBits(value, nbBits - 1)
+      else w.addBits(if (value < threshold) value else value + max, nbBits)
+      remaining -= (if (count < 0) -count else count)
+      while (remaining > 1 && remaining < threshold) { nbBits -= 1; threshold >>= 1 }
+      if (count == 0 && remaining > 1) {
+        // zero-repeat flags for the run of zeros that follows
+        var zeros = 0
+        while (s < norm.length && norm(s) == 0) { zeros += 1; s += 1 }
+        while (zeros >= 3) { w.addBits(3, 2); zeros -= 3 }
+        w.addBits(zeros, 2)
+      }
+    }
+    w.close()
+  }
+
+  /** One sequence channel's encoding choice: predefined table, RLE
+    * symbol, or a data-derived FSE table with its description.
+    */
+  private final case class SeqChan(mode: Int, header: Array[Byte], ct: FseCTable) {
+    def init(sym: Int): Int = if (ct == null) 0 else ct.initState(sym)
+    def encode(w: BitWriter, state: Int, sym: Int): Int =
+      if (ct == null) 0 else ct.encode(w, state, sym)
+    def flush(w: BitWriter, state: Int): Unit = if (ct != null) ct.flush(w, state)
+  }
+
+  private def predefChan(ct: FseCTable): SeqChan = SeqChan(0, Array.emptyByteArray, ct)
+
+  /** Data-derived channel: RLE when one distinct code, else an FSE
+    * table normalized from the block's own code histogram.
+    */
+  private def describedChan(codes: Vector[Int], maxSym: Int, log: Int): SeqChan = {
+    val counts = new Array[Int](math.min(maxSym, codes.max) + 1)
+    codes.foreach(c => counts(c) += 1)
+    val present = counts.count(_ > 0)
+    if (present == 1) SeqChan(1, Array(codes.head.toByte), null)
+    else {
+      val norm = normalizeCounts(counts, log)
+      SeqChan(2, writeFseDescription(norm, log), new FseCTable(log, norm))
+    }
+  }
+
+  /** The sequences section (count header + modes + descriptions +
+    * backward bitstream) for one choice of channels.
+    */
+  private def seqSection(seqs: Vector[Seq77], llC: Vector[Int], mlC: Vector[Int],
+      ofC: Vector[Int], ll: SeqChan, of: SeqChan, ml: SeqChan): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = seqs.length
+    if (n < 128) out.write(n)
+    else if (n < 0x7f00) { out.write((n >> 8) + 128); out.write(n & 0xff) }
+    else { out.write(255); out.write((n - 0x7f00) & 0xff); out.write(((n - 0x7f00) >> 8) & 0xff) }
+    out.write((ll.mode << 6) | (of.mode << 4) | (ml.mode << 2))
+    out.write(ll.header, 0, ll.header.length)
+    out.write(of.header, 0, of.header.length)
+    out.write(ml.header, 0, ml.header.length)
+    val w = new BitWriter
+    val last = n - 1
+    var mlS = ml.init(mlC(last))
+    var ofS = of.init(ofC(last))
+    var llS = ll.init(llC(last))
+    w.addBits(seqs(last).ll - LlBase(llC(last)), LlBits(llC(last)))
+    w.addBits(seqs(last).ml - MlBase(mlC(last)), MlBits(mlC(last)))
+    w.addBits(seqs(last).offset + 3 - (1 << ofC(last)), ofC(last))
+    var k = n - 2
+    while (k >= 0) {
+      ofS = of.encode(w, ofS, ofC(k))
+      mlS = ml.encode(w, mlS, mlC(k))
+      llS = ll.encode(w, llS, llC(k))
+      w.addBits(seqs(k).ll - LlBase(llC(k)), LlBits(llC(k)))
+      w.addBits(seqs(k).ml - MlBase(mlC(k)), MlBits(mlC(k)))
+      w.addBits(seqs(k).offset + 3 - (1 << ofC(k)), ofC(k))
+      k -= 1
+    }
+    ml.flush(w, mlS)
+    of.flush(w, ofS)
+    ll.flush(w, llS)
+    val bits = w.close()
+    out.write(bits, 0, bits.length)
+    out.toByteArray
+  }
+
   /** One compressed block: literals section (Huffman / RLE / raw,
-    * whichever is smallest) + predefined-FSE sequences, written exactly
-    * as the spec's decoder consumes them (encode order: last sequence's
-    * extra bits first; states flushed ML→OF→LL). A block with no
-    * sequences still compresses when its literals do (nbSeq = 0).
-    * Returns null when nothing wins over a raw block.
+    * whichever is smallest) + sequences under the smaller of the
+    * PREDEFINED tables (no description) and DATA-DERIVED tables (RLE /
+    * FSE-described from the block's own code histograms — round 10's
+    * encoder-side FSE table construction, closing the loop with the
+    * decoder's description reader), written exactly as the spec's
+    * decoder consumes them (encode order: last sequence's extra bits
+    * first; states flushed ML→OF→LL). A block with no sequences still
+    * compresses when its literals do (nbSeq = 0). Returns null when
+    * nothing wins over a raw block.
     */
   private def encodeBlock(seqs: Vector[Seq77], lits: Array[Byte], blockLen: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -999,12 +1161,6 @@ object Zstd {
       val block = out.toByteArray
       return if (block.length >= blockLen) null else block
     }
-    // sequences header
-    val n = seqs.length
-    if (n < 128) out.write(n)
-    else if (n < 0x7f00) { out.write((n >> 8) + 128); out.write(n & 0xff) }
-    else { out.write(255); out.write((n - 0x7f00) & 0xff); out.write(((n - 0x7f00) >> 8) & 0xff) }
-    out.write(0) // modes: all predefined
     // codes per sequence
     val llC = seqs.map(s => llCode(s.ll))
     val mlC = seqs.map(s => mlCode(s.ml))
@@ -1012,39 +1168,30 @@ object Zstd {
       val v = s.offset + 3 // never repcodes
       31 - Integer.numberOfLeadingZeros(v)
     }
-    if (ofC.exists(_ > 28)) return null // beyond the predefined OF alphabet
-    val w = new BitWriter
-    val last = n - 1
-    var mlS = mlPredefC.initState(mlC(last))
-    var ofS = ofPredefC.initState(ofC(last))
-    var llS = llPredefC.initState(llC(last))
-    w.addBits(seqs(last).ll - LlBase(llC(last)), LlBits(llC(last)))
-    w.addBits(seqs(last).ml - MlBase(mlC(last)), MlBits(mlC(last)))
-    w.addBits(seqs(last).offset + 3 - (1 << ofC(last)), ofC(last))
-    var k = n - 2
-    while (k >= 0) {
-      ofS = ofPredefC.encode(w, ofS, ofC(k))
-      mlS = mlPredefC.encode(w, mlS, mlC(k))
-      llS = llPredefC.encode(w, llS, llC(k))
-      w.addBits(seqs(k).ll - LlBase(llC(k)), LlBits(llC(k)))
-      w.addBits(seqs(k).ml - MlBase(mlC(k)), MlBits(mlC(k)))
-      w.addBits(seqs(k).offset + 3 - (1 << ofC(k)), ofC(k))
-      k -= 1
-    }
-    mlPredefC.flush(w, mlS)
-    ofPredefC.flush(w, ofS)
-    llPredefC.flush(w, llS)
-    val bits = w.close()
-    out.write(bits, 0, bits.length)
+    if (ofC.exists(_ > 30)) return null // keep offsets in Int range
+    // variant A: predefined tables (zero description bytes; OF alphabet
+    // capped at code 28 there)
+    val pre: Array[Byte] =
+      if (ofC.exists(_ > 28)) null
+      else seqSection(seqs, llC, mlC, ofC,
+        predefChan(llPredefC), predefChan(ofPredefC), predefChan(mlPredefC))
+    // variant B: RLE / FSE-described tables from the block's histograms
+    val desc: Array[Byte] = seqSection(seqs, llC, mlC, ofC,
+      describedChan(llC, 35, 6), describedChan(ofC, 31, 5), describedChan(mlC, 52, 6))
+    val section =
+      if (pre == null) desc
+      else if (desc.length < pre.length) desc
+      else pre
+    out.write(section, 0, section.length)
     val block = out.toByteArray
     if (block.length >= blockLen) null else block // no win: caller emits raw
   }
 
   /** Compress to a standalone zstd frame: single-segment header with
-    * exact content size, per-≤128KB blocks (compressed with raw
-    * literals + predefined-FSE sequences, raw fallback), XXH64 content
-    * checksum. Any conforming decoder — including zstd-jni in ZstdSpec
-    * — reproduces the input bytes.
+    * exact content size, per-≤128KB blocks (Huffman/RLE/raw literals +
+    * predefined-or-described FSE sequences, raw-block fallback), XXH64
+    * content checksum. Any conforming decoder — including zstd-jni in
+    * ZstdSpec — reproduces the input bytes.
     */
   private[ext] def compress(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

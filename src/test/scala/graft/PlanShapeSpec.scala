@@ -402,6 +402,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences: one shard exchange, partition-local sort, no window") {
+    val p = plan(QueryCatalog.queries("pack_sequences")(spark, sf))
+    assert(!p.contains("], true, 0"), s"the NFD sort must stay partition-local:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "packing is a sequential scan, not a window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly one exchange on the shard key:\n${p.take(1500)}")
+    assertNoCartesian(p)
+  }
+
+  test("zstd_roundtrip is map-only — zero exchanges") {
+    val p = plan(QueryCatalog.queries("zstd_roundtrip")(spark, sf))
+    assert(!p.contains("Exchange"), s"codec keys must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("bitmap_and_compressed: container equi-join, no cartesian, no base-scan join") {
+    val p = plan(QueryCatalog.queries("bitmap_and_compressed")(spark, sf))
+    assertNoCartesian(p)
+  }
+
   test("grid_dbscan: neighbor adjacency is an equi-join on generated keys, not a theta join") {
     val p = plan(QueryCatalog.queries("grid_dbscan")(spark, sf))
     assertNoCartesian(p)

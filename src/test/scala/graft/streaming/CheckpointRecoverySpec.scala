@@ -199,4 +199,59 @@ class CheckpointRecoverySpec extends AnyFunSuite {
       assert(again.payload.contains(""""history_size": 1"""), again.payload)
     } finally query.stop()
   }
+
+  test("TTL dedup state and its eviction timers survive a checkpoint restart") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.CurationPipeline
+
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val params = CurationPipeline.Params(minChars = 20, minDistinctRatio = 0.3)
+    val text = "the dog and the cat keep the house warm and happy"
+    val checkpoint = Files.createTempDirectory("graft-ttl-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-ttl-out-").toString
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp, String)]
+      def start() = StreamingCuration.curateWithTtl(
+        input.toDF().toDF("doc_id", "ts", "text"),
+        watermarkDelay = "1 minute", ttl = java.time.Duration.ofMinutes(5), params)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      def ids(): Set[Long] =
+        scala.util.Try(spark.read.parquet(outDir).select("doc_id").collect()
+          .map(_.getLong(0)).toSet).getOrElse(Set.empty)
+
+      val q1 = start()
+      try {
+        input.addData((1L, ts(1), text))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(ids() == Set(1L))
+
+      // duplicate arrives while the query is DOWN; fingerprint state must
+      // have round-tripped through RocksDB
+      input.addData((2L, ts(2), text))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(ids() == Set(1L), "restarted state must still dedup the live fingerprint")
+        // advance the watermark past expiry: the REGISTERED TIMER (also
+        // checkpointed) must fire after restart and evict, re-admitting
+        input.addData((3L, ts(30), "der hund und die katze sind sehr gute freunde im haus"))
+        q2.processAllAvailable()
+        input.addData((4L, ts(31), text))
+        q2.processAllAvailable()
+        assert(ids() == Set(1L, 3L, 4L),
+          s"timer recovered from checkpoint evicts and re-admits: ${ids()}")
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+  }
 }
