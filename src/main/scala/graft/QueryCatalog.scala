@@ -2722,6 +2722,34 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The zstd-archive ingest path under the gate: documents packed into
+    * 16 multi-frame `.zst` streams (per record a SKIPPABLE frame
+    * carrying the doc id — the seekable-zstd metadata convention — then
+    * a data frame; frames concatenated with no outer framing, exactly
+    * the on-disk shape of concatenated zstd), then
+    * [[graft.ext.Zstd.zstExtract]] demuxes on the frame-decode END
+    * POSITION, pairs each id frame with its data frame, and verifies
+    * every frame's content size and XXH64 checksum. The oracle rebuilds
+    * the record table relationally — a slip in skippable-frame parsing,
+    * frame demux, or any entropy stage fails the per-record checksum.
+    */
+  private val qZstExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Zstd.zstExtract(
+      graft.ext.Zstd.encodeZstArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oZstExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** The dataset-bundle decode path under the gate: documents packed
     * into 16 genuine ZIP archives (EOCD + central directory + local
     * headers, methods cycling stored/fixed/dynamic DEFLATE, bit-3
@@ -6361,6 +6389,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
     "zstd_roundtrip" -> qZstdRoundtrip,
+    "zst_extract" -> qZstExtract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
     "suffix_array" -> qSuffixArray,
@@ -6561,6 +6590,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,
     "zstd_roundtrip" -> oZstdRoundtrip,
+    "zst_extract" -> oZstExtract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
     "suffix_array" -> oSuffixArray,

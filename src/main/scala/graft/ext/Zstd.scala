@@ -563,6 +563,16 @@ object Zstd {
     * content size.
     */
   private[ext] def decompress(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    val (out, end) = decodeFrame(bytes, 0, maxOut)
+    if (end != bytes.length) fail() // exactly one frame
+    out
+  }
+
+  /** One data frame starting at `start`; returns (content, end offset)
+    * so multi-frame streams ([[decompressFrames]], [[zstExtract]]) can
+    * demux on the decode end position — the WARC-member discipline.
+    */
+  private def decodeFrame(bytes: Array[Byte], start: Int, maxOut: Int): (Array[Byte], Int) = {
     val in = bytes
     def u8(i: Int): Int = { if (i >= in.length) fail(); in(i) & 0xff }
     def le(i: Int, n: Int): Long = {
@@ -570,7 +580,7 @@ object Zstd {
       while (j >= 0) { v = (v << 8) | u8(i + j); j -= 1 }
       v
     }
-    var p = 0
+    var p = start
     if (le(p, 4) != (Magic.toLong & 0xffffffffL)) fail()
     p += 4
     val desc = u8(p); p += 1
@@ -626,8 +636,37 @@ object Zstd {
       val want = le(p, 4); p += 4
       if ((xxh64(result, 0L) & 0xffffffffL) != want) fail()
     }
-    if (p != in.length) fail()
-    result
+    (result, p)
+  }
+
+  /** All data frames of a multi-frame stream (the real `.zst` file
+    * shape: frames concatenate; SKIPPABLE frames — magic 0x184D2A5x +
+    * 4-byte LE size, the container for seek tables and user metadata —
+    * are skipped). Strict to the last byte.
+    */
+  private[ext] def decompressFrames(bytes: Array[Byte], maxOutPerFrame: Int): Vector[Array[Byte]] = {
+    val out = Vector.newBuilder[Array[Byte]]
+    var p = 0
+    while (p < bytes.length) {
+      val magic = leAt(bytes, p, 4)
+      if ((magic & 0xfffffff0L) == 0x184D2A50L) {
+        val size = leAt(bytes, p + 4, 4)
+        p += 8 + size.toInt
+        if (p > bytes.length || size > bytes.length) fail()
+      } else {
+        val (content, end) = decodeFrame(bytes, p, maxOutPerFrame)
+        out += content
+        p = end
+      }
+    }
+    out.result()
+  }
+
+  private def leAt(in: Array[Byte], i: Int, n: Int): Long = {
+    if (i + n > in.length) fail()
+    var v = 0L; var j = n - 1
+    while (j >= 0) { v = (v << 8) | (in(i + j) & 0xffL); j -= 1 }
+    v
   }
 
   /** One compressed block: literals section, sequences section,
@@ -1237,6 +1276,85 @@ object Zstd {
 
   final case class ZstdStats(
       doc_id: Long, n_bytes: Long, zstd_len: Long, ratio: Double, checksum: Long)
+
+  final case class ZstEntry(
+      archive_id: Long, rec_idx: Long, rec_doc_id: Long, n_bytes: Long, checksum: Long)
+
+  /** Documents grouped into multi-frame `.zst` archives: per record,
+    * one SKIPPABLE frame carrying the doc id (8-byte LE payload — the
+    * seekable-zstd convention of metadata-in-skippable-frames) followed
+    * by one data frame with the document bytes. Frames concatenate
+    * with no outer framing — exactly how concatenated zstd streams
+    * work on disk.
+    */
+  def encodeZstArchives(docs: DataFrame, nArchives: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nArchives)
+      .mapGroups { (aid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (id, text) =>
+          out.write(0x50); out.write(0x2A); out.write(0x4D); out.write(0x18) // skippable magic LE
+          out.write(8); out.write(0); out.write(0); out.write(0)
+          var j = 0
+          while (j < 8) { out.write(((id >> (8 * j)) & 0xff).toInt); j += 1 }
+          val frame = compress(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.write(frame, 0, frame.length)
+        }
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "payload")
+  }
+
+  /** Demux + decode a multi-frame zstd archive column: each (skippable
+    * id frame, data frame) pair becomes one record row with the decoded
+    * length and base-31 checksum. Damage quarantines the WHOLE archive
+    * (the archive-family contract — a half-read archive is worse than a
+    * reported missing one). Map-only flatMap.
+    */
+  def zstExtract(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[ZstEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, payload) =>
+        try {
+          val entries = Vector.newBuilder[ZstEntry]
+          var p = 0
+          var recIdx = 0L
+          var pendingId = -1L
+          while (p < payload.length) {
+            val magic = leAt(payload, p, 4)
+            if ((magic & 0xfffffff0L) == 0x184D2A50L) {
+              val size = leAt(payload, p + 4, 4).toInt
+              if (size != 8 || p + 16 > payload.length) fail()
+              pendingId = leAt(payload, p + 8, 8)
+              p += 16
+            } else {
+              if (pendingId < 0) fail() // data frame without its id frame
+              val (content, end) = decodeFrame(payload, p, maxRecordBytes)
+              var c = 0L
+              content.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+              entries += ZstEntry(aid, recIdx, pendingId, content.length.toLong, c)
+              recIdx += 1L
+              pendingId = -1L
+              p = end
+            }
+          }
+          if (pendingId >= 0) fail() // trailing id frame with no data frame
+          entries.result()
+        } catch {
+          case scala.util.control.NonFatal(_) => Vector.empty // quarantine
+        }
+      }
+  }
 
   /** Compress-then-decode round trip per document — the `deflate_
     * roundtrip` oracle shape: the oracle recomputes length + base-31

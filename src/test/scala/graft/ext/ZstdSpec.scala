@@ -112,6 +112,58 @@ class ZstdSpec extends AnyFunSuite {
     assert(fails(badCks), "checksum flip")
   }
 
+  test("multi-frame streams: concatenated frames + skippable frames demux exactly") {
+    val parts = Seq("first frame", "second " * 20, "", "third")
+      .map(_.getBytes(UTF_8))
+    val out = new java.io.ByteArrayOutputStream()
+    // leading skippable frame (seek-table placeholder), then frames with a
+    // skippable wedged in the middle
+    def skippable(payload: Array[Byte]): Unit = {
+      out.write(0x50); out.write(0x2A); out.write(0x4D); out.write(0x18)
+      out.write(payload.length); out.write(0); out.write(0); out.write(0)
+      out.write(payload, 0, payload.length)
+    }
+    skippable("seek table goes here".getBytes(UTF_8))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      if (i == 2) skippable(Array[Byte](1, 2, 3))
+      val f = Zstd.compress(p)
+      out.write(f, 0, f.length)
+    }
+    val got = Zstd.decompressFrames(out.toByteArray, 1 << 20)
+    assert(got.length == parts.length)
+    got.zip(parts).foreach { case (g, w) => assert(java.util.Arrays.equals(g, w)) }
+    // libzstd also treats the concatenation as one stream
+    val total = parts.map(_.length).sum
+    val lib = com.github.luben.zstd.Zstd.decompress(out.toByteArray, math.max(1, total))
+    assert(java.util.Arrays.equals(lib, parts.reduce(_ ++ _)))
+    // a truncated tail frame fails instead of returning partial frames
+    val bytes = out.toByteArray
+    assertThrows[RuntimeException](Zstd.decompressFrames(bytes.dropRight(1), 1 << 20))
+  }
+
+  test("zstExtract: archives demux to per-record rows; damage quarantines the archive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta " * 30), (16L, "gamma"), (32L, ""),
+      (1L, "delta epsilon"), (17L, "zeta " * 50)).toDF("doc_id", "text")
+    val archives = Zstd.encodeZstArchives(docs, nArchives = 16)
+    val got = Zstd.zstExtract(archives).collect()
+      .map(e => (e.archive_id, e.rec_idx) -> (e.rec_doc_id, e.n_bytes)).toMap
+    assert(got.size == 5)
+    assert(got((0L, 0L))._1 == 0L && got((0L, 1L))._1 == 16L && got((0L, 2L))._1 == 32L)
+    assert(got((1L, 0L))._1 == 1L && got((1L, 1L))._1 == 17L)
+    assert(got((0L, 2L))._2 == 0L, "empty doc round-trips as zero bytes")
+    // flip one payload byte: that archive vanishes, the other survives
+    val rows = archives.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val damaged = rows.map { case (aid, p) =>
+      if (aid == 0L) { val q = p.clone(); q(p.length / 2) = (q(p.length / 2) ^ 0x10).toByte; (aid, q) }
+      else (aid, p)
+    }
+    val after = Zstd.zstExtract(damaged.toSeq.toDF("archive_id", "payload")).collect()
+    assert(after.map(_.archive_id).toSet == Set(1L),
+      "damaged archive quarantines whole; clean archive unaffected")
+  }
+
   test("zstdSignal: per-doc round-trip stats over a corpus") {
     import spark.implicits._
     val docs = Seq(
