@@ -854,43 +854,76 @@ object Zstd {
 
   private final case class Seq77(ll: Int, ml: Int, offset: Int)
 
-  /** Greedy LZ77 over one block, with the hash table persisting across
-    * blocks so matches reach back through the whole frame (the decoder
-    * keeps full history — single-segment window). Min match 4, 4-byte
-    * hash, single-probe table: the LZ4-class parse, deliberately simple
-    * — the entropy stage, not the parse, is what this codec adds.
-    * Returns (sequences, literal bytes, trailing literal count).
+  /** Hash-chain LZ77 with one-step LAZY matching over one block (the
+    * zlib parse discipline): every position links into per-hash chains
+    * (up to 32 probes pick the LONGEST match, ties to the nearest),
+    * and a found match is deferred one position — if the next position
+    * matches longer, the current byte becomes a literal and the longer
+    * match wins. Chains persist across blocks so matches reach back
+    * through the whole frame (the decoder keeps full history —
+    * single-segment window); matches never extend past the block end
+    * (sequences cannot span blocks). Min match 4.
     */
   private def lz77(data: Array[Byte], from: Int, until: Int,
-      hashTable: Array[Int]): (Vector[Seq77], Array[Byte]) = {
+      head: Array[Int], chain: Array[Int]): (Vector[Seq77], Array[Byte]) = {
+    val MaxProbes = 32
     val seqs = Vector.newBuilder[Seq77]
     val lits = new java.io.ByteArrayOutputStream()
-    var anchor = from
-    var i = from
     def hash(p: Int): Int = {
       val v = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
         ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24)
-      (v * 0x9E3779B1) >>> 18 // 14-bit table
+      (v * 0x9E3779B1) >>> 17 // 15-bit table
     }
+    def insert(p: Int): Unit = {
+      val h = hash(p)
+      chain(p) = head(h)
+      head(h) = p
+    }
+    // longest match at i among up to MaxProbes chain candidates
+    def bestLen(i: Int): (Int, Int) = { // (len, offset); (0, 0) if < 4
+      var cand = head(hash(i))
+      var probes = 0
+      var bl = 0
+      var bo = 0
+      val lim = until - i
+      while (cand >= 0 && probes < MaxProbes) {
+        var l = 0
+        while (l < lim && data(cand + l) == data(i + l)) l += 1
+        if (l > bl) { bl = l; bo = i - cand }
+        cand = chain(cand)
+        probes += 1
+      }
+      if (bl >= 4) (bl, bo) else (0, 0)
+    }
+    var anchor = from
+    var i = from
+    var pendPos = -1
+    var pendLen = 0
+    var pendOff = 0
     while (i + 4 <= until) {
-      val h = hash(i)
-      val cand = hashTable(h)
-      hashTable(h) = i
-      if (cand >= 0 && cand < i &&
-        data(cand) == data(i) && data(cand + 1) == data(i + 1) &&
-        data(cand + 2) == data(i + 2) && data(cand + 3) == data(i + 3)) {
-        var ml = 4
-        while (i + ml < until && data(cand + ml) == data(i + ml)) ml += 1
-        val ll = i - anchor
+      val (ml, off) = bestLen(i)
+      insert(i)
+      if (pendPos >= 0 && ml <= pendLen) {
+        // the deferred match stands: emit it
+        val ll = pendPos - anchor
         lits.write(data, anchor, ll)
-        seqs += Seq77(ll, ml, i - cand)
-        // index a couple of positions inside the match (cheap recall)
+        seqs += Seq77(ll, pendLen, pendOff)
+        val stop = pendPos + pendLen
         var k = i + 1
-        val kEnd = math.min(i + ml, until - 4)
-        while (k < kEnd) { hashTable(hash(k)) = k; k += 2 }
-        i += ml
-        anchor = i
-      } else i += 1
+        while (k < stop && k + 4 <= until) { insert(k); k += 1 }
+        i = stop
+        anchor = stop
+        pendPos = -1
+      } else {
+        if (ml >= 4) { pendPos = i; pendLen = ml; pendOff = off }
+        i += 1
+      }
+    }
+    if (pendPos >= 0) {
+      val ll = pendPos - anchor
+      lits.write(data, anchor, ll)
+      seqs += Seq77(ll, pendLen, pendOff)
+      anchor = pendPos + pendLen
     }
     lits.write(data, anchor, until - anchor)
     (seqs.result(), lits.toByteArray)
@@ -1246,13 +1279,14 @@ object Zstd {
         out.write(n & 0xff); out.write((n >> 8) & 0xff)
         out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
     }
-    val hashTable = Array.fill(1 << 14)(-1)
+    val head = Array.fill(1 << 15)(-1)
+    val chain = Array.fill(math.max(1, n))(-1)
     var p = 0
     var wroteBlock = false
     while (p < n || !wroteBlock) {
       val end = math.min(p + MaxBlock, n)
       val isLast = end == n
-      val (seqs, lits) = lz77(data, p, end, hashTable)
+      val (seqs, lits) = lz77(data, p, end, head, chain)
       val enc = encodeBlock(seqs, lits, end - p)
       if (enc != null) {
         val bh = (if (isLast) 1 else 0) | (2 << 1) | (enc.length << 3)
