@@ -1177,7 +1177,8 @@ object Zstd {
     * backward bitstream) for one choice of channels.
     */
   private def seqSection(seqs: Vector[Seq77], llC: Vector[Int], mlC: Vector[Int],
-      ofC: Vector[Int], ll: SeqChan, of: SeqChan, ml: SeqChan): Array[Byte] = {
+      ofC: Vector[Int], ofValues: Vector[Long],
+      ll: SeqChan, of: SeqChan, ml: SeqChan): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val n = seqs.length
     if (n < 128) out.write(n)
@@ -1194,7 +1195,7 @@ object Zstd {
     var llS = ll.init(llC(last))
     w.addBits(seqs(last).ll - LlBase(llC(last)), LlBits(llC(last)))
     w.addBits(seqs(last).ml - MlBase(mlC(last)), MlBits(mlC(last)))
-    w.addBits(seqs(last).offset + 3 - (1 << ofC(last)), ofC(last))
+    w.addBits((ofValues(last) - (1L << ofC(last))).toInt, ofC(last))
     var k = n - 2
     while (k >= 0) {
       ofS = of.encode(w, ofS, ofC(k))
@@ -1202,7 +1203,7 @@ object Zstd {
       llS = ll.encode(w, llS, llC(k))
       w.addBits(seqs(k).ll - LlBase(llC(k)), LlBits(llC(k)))
       w.addBits(seqs(k).ml - MlBase(mlC(k)), MlBits(mlC(k)))
-      w.addBits(seqs(k).offset + 3 - (1 << ofC(k)), ofC(k))
+      w.addBits((ofValues(k) - (1L << ofC(k))).toInt, ofC(k))
       k -= 1
     }
     ml.flush(w, mlS)
@@ -1233,22 +1234,49 @@ object Zstd {
       val block = out.toByteArray
       return if (block.length >= blockLen) null else block
     }
-    // codes per sequence
+    // codes per sequence; offsets use REPCODES where the decoder's
+    // three-slot history (simulated here with its exact update rules,
+    // including the LL==0 shift) already holds the offset — a repeated
+    // offset costs ofCode 0/1 and zero-to-one extra bits instead of
+    // log2(offset) bits, the big win on structured text
     val llC = seqs.map(s => llCode(s.ll))
     val mlC = seqs.map(s => mlCode(s.ml))
-    val ofC = seqs.map { s =>
-      val v = s.offset + 3 // never repcodes
-      31 - Integer.numberOfLeadingZeros(v)
+    val ofValues = {
+      var r1 = 1; var r2 = 4; var r3 = 8
+      seqs.map { s =>
+        val o = s.offset
+        val v: Long =
+          if (s.ll != 0) {
+            if (o == r1) 1L else if (o == r2) 2L else if (o == r3) 3L
+            else o.toLong + 3L
+          } else {
+            if (o == r2) 1L else if (o == r3) 2L else if (o == r1 - 1 && o > 0) 3L
+            else o.toLong + 3L
+          }
+        // decoder-identical history update for the chosen value
+        if (v > 3L) { r3 = r2; r2 = r1; r1 = o }
+        else {
+          val idx = v.toInt + (if (s.ll == 0) 1 else 0)
+          idx match {
+            case 1 => // rep1: unchanged
+            case 2 => val t = r2; r2 = r1; r1 = t
+            case 3 => val t = r3; r3 = r2; r2 = r1; r1 = t
+            case _ => r3 = r2; r2 = r1; r1 = o
+          }
+        }
+        v
+      }
     }
+    val ofC = ofValues.map(v => 63 - java.lang.Long.numberOfLeadingZeros(v))
     if (ofC.exists(_ > 30)) return null // keep offsets in Int range
     // variant A: predefined tables (zero description bytes; OF alphabet
     // capped at code 28 there)
     val pre: Array[Byte] =
       if (ofC.exists(_ > 28)) null
-      else seqSection(seqs, llC, mlC, ofC,
+      else seqSection(seqs, llC, mlC, ofC, ofValues,
         predefChan(llPredefC), predefChan(ofPredefC), predefChan(mlPredefC))
     // variant B: RLE / FSE-described tables from the block's histograms
-    val desc: Array[Byte] = seqSection(seqs, llC, mlC, ofC,
+    val desc: Array[Byte] = seqSection(seqs, llC, mlC, ofC, ofValues,
       describedChan(llC, 35, 6), describedChan(ofC, 31, 5), describedChan(mlC, 52, 6))
     val section =
       if (pre == null) desc
