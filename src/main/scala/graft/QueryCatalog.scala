@@ -3245,15 +3245,17 @@ object QueryCatalog {
        |SELECT h AS host, lbl AS community FROM l8""".stripMargin
   }
 
-  /** Blocked exact edit-distance pairs ([[graft.ext.Dedup
-    * .editDistancePairs]]): `(lang, length DIV 16)` blocking, banded
-    * levenshtein kernel at maxDist 64. The oracle replays the block
-    * construction (including the ASCII gate and the block-size admission
-    * cap) and recomputes every surviving pair with DuckDB's own
+  /** Sorted-neighborhood exact edit-distance pairs ([[graft.ext.Dedup
+    * .editDistancePairs]]): per-language `(length, text, id)` rank —
+    * computed distributively, no Window node — window-16 neighbor
+    * pairing, banded levenshtein kernel at maxDist 64. The oracle
+    * replays the ranking (as the window form, bitwise-equal to the
+    * partition-offset rank), the neighbor join (including the ASCII
+    * gate), and recomputes every surviving pair with DuckDB's own
     * levenshtein — byte-based, which equals Spark's codepoint distance
-    * exactly on the ASCII-gated input — so a wrong band boundary, a
-    * leaked non-ASCII doc, a threshold off-by-one, or a banded-kernel
-    * bug in the −1 cutoff all fail the hash.
+    * exactly on the ASCII-gated input — so a wrong rank, a leaked
+    * non-ASCII doc, a threshold off-by-one, or a banded-kernel bug in
+    * the −1 cutoff all fail the hash.
     */
   private val qEditDistancePairs: (SparkSession, String) => DataFrame = (s, dir) =>
     Dedup.editDistancePairs(table(s, dir, "documents"), maxDist = 64, window = 16)

@@ -380,8 +380,10 @@ object Dedup {
     * adjacently (equal-prefix texts of equal length are rank
     * neighbors), which is the recall argument; records further than
     * `window` apart in sort order are missed — the documented SNM
-    * recall trade (multi-pass SNM with a second sort key is the
-    * documented next rung). The ASCII gate rides on `t` (byte==
+    * recall trade, closed by the multi-pass variants
+    * ([[editDistancePairsMultiPass]] adds the reversed-text pass,
+    * [[editDistancePairsPhonetic]] the Soundex pass). The ASCII gate
+    * rides on `t` (byte==
     * codepoint semantics, and byte-wise string ranking identical in
     * both engines). Payload columns ride the rank structs.
     *
