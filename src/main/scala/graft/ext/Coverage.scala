@@ -56,7 +56,12 @@ object Coverage {
     * pool 16 → 43 jobs, 64 → 37, 256 → 25 (and beats the per-round
     * plain-greedy baseline), 1024 → 19. Default 256 ≈ driver state of
     * 256 documents' bigram sets, the same order as the other bounded
-    * collects; raise it when k is large or redundancy extreme. Subsequent rounds run the classic CELF heap: pop
+    * collects; raise it when k is large or redundancy extreme. The
+    * collect is additionally BYTE-bounded by `maxPoolChars` (Σ gram
+    * chars across the pool): the effective pool shrinks to the longest
+    * gain-ordered prefix that fits, and the guard floor rises to the
+    * first excluded gain — row-bounded AND byte-bounded driver state,
+    * bit-identical selection. Subsequent rounds run the classic CELF heap: pop
     * the highest cached bound, refresh it against the covered set
     * (pure driver set ops — zero Spark jobs), select when the top is
     * fresh. EXACTNESS GUARD: docs outside the pool have gain ≤ `floor`
@@ -71,9 +76,10 @@ object Coverage {
     * — while selecting the byte-identical sequence plain greedy would.
     */
   def greedySelect(docs: DataFrame, k: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text", pool: Int = 256): DataFrame = {
+      textCol: String = "text", pool: Int = 256, maxPoolChars: Long = 1L << 25): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(pool >= 1, "pool must be >= 1")
+    require(maxPoolChars >= 1L, "maxPoolChars must be >= 1")
     val spark = docs.sparkSession
     val norm = lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", " ")))
     val grams = docs
@@ -102,8 +108,35 @@ object Coverage {
       val top = marg.orderBy(col("marg").desc, col("d").asc).limit(pool + 1).collect()
       if (top.isEmpty) exhausted = true // saturation: nothing adds a new gram
       else {
-        val floor = if (top.length == pool + 1) top.last.getLong(1) else 0L
-        val poolRows = top.take(pool)
+        // BYTE-BOUND the driver collect: the pool's gram SETS come to the
+        // driver, and gram-set size per doc is unbounded (a handful of
+        // pathological documents could hold more text than driver heap).
+        // One tiny gram-char aggregate over the candidate pool sizes each
+        // doc; the pool then SHRINKS to the longest gain-ordered prefix
+        // whose Σ gram chars fits `maxPoolChars` (always ≥ 1 doc — a
+        // single selection's gram set is the irreducible driver state).
+        // The guard floor rises to the first EXCLUDED row's gain, so the
+        // CELF exactness argument is untouched: everything outside the
+        // effective pool — shrunk-away rows included — has gain ≤ floor.
+        val candRows = top.take(pool)
+        val candIds = candRows.map(_.getLong(0)).toSeq
+        val charSizes: Map[Long, Long] = grams
+          .filter(col("d").isin(candIds: _*))
+          .groupBy("d").agg(sum(length(col("gr"))).as("n"))
+          .collect()
+          .map(row => row.getLong(0) -> row.getLong(1)).toMap
+        var budget = maxPoolChars
+        var cut = 0
+        while (cut < candRows.length &&
+          (cut == 0 || charSizes.getOrElse(candRows(cut).getLong(0), 0L) <= budget)) {
+          budget -= charSizes.getOrElse(candRows(cut).getLong(0), 0L)
+          cut += 1
+        }
+        val poolRows = candRows.take(cut)
+        val floor =
+          if (cut < candRows.length) candRows(cut).getLong(1) // first shrunk-away row
+          else if (top.length == pool + 1) top.last.getLong(1)
+          else 0L
         val poolIds = poolRows.map(_.getLong(0)).toSeq
         val gramSets: Map[Long, Array[String]] = grams
           .filter(col("d").isin(poolIds: _*))
@@ -122,8 +155,18 @@ object Coverage {
           else {
             val e = heap.dequeue()
             if (e.round == r) {
-              if (e.bound <= 0L) exhausted = true // fresh top adds nothing: saturated
-              else if (e.bound > floor || sincePool == 0) {
+              if (e.bound <= 0L) {
+                // The fresh top adds nothing — but that's only a GLOBAL
+                // saturation statement when the pool speaks for the whole
+                // corpus: right after a (re)pool (sincePool == 0, the
+                // corpus-wide argmax is in the pool) or when no doc exists
+                // outside it (floor == 0). Otherwise outside docs can
+                // still hold gains in (0, floor] — e.g. ≥ pool+1 near-
+                // duplicates decaying every pool entry to 0 — so re-rank
+                // the remaining corpus instead of stopping early.
+                if (sincePool == 0 || floor == 0L) exhausted = true
+                else repool = true
+              } else if (e.bound > floor || sincePool == 0) {
                 selected += ((r.toLong, e.d, e.bound))
                 covered ++= gramSets(e.d)
                 r += 1; sincePool += 1

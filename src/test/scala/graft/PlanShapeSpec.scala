@@ -395,7 +395,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the rank is the two-pass partition-offset scheme (snmRanked): a
     // `row_number() OVER (PARTITION BY lang)` window here would funnel the
     // dominant language (en = 41% of docs) through ONE task at 100 TB
-    for (k <- Seq("edit_distance_pairs", "er_match_scores", "edit_distance_pairs_mp")) {
+    for (k <- Seq("edit_distance_pairs", "er_match_scores", "edit_distance_pairs_mp",
+      "edit_distance_pairs_3p")) {
       val p = plan(QueryCatalog.queries(k)(spark, sf))
       assertNoCartesian(p)
       assert(!p.contains("Window"), s"$k must rank distributively, not via a window:\n${p.take(1500)}")

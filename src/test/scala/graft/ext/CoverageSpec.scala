@@ -120,4 +120,31 @@ class CoverageSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(got == ref(docs, 6), s"pool=2 selection diverged: $got")
   }
+
+  test("CELF repools when the pool decays to zero but outside docs still have gain") {
+    import spark.implicits._
+    // pool+1 exact duplicates: after the first pick every pool entry's
+    // refreshed gain is 0, yet doc 4 outside the pool still gains 1.
+    // Declaring saturation here would drop doc 4 — the fix repools.
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "x y"))
+    val got = Coverage.greedySelect(docs.toDF("doc_id", "text"), 4, pool = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == ref(docs, 4), s"zero-decayed pool must repool, not stop: $got")
+    assert(got == Seq((1L, 1L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("byte-bounded pool collect: a tiny char budget never changes the selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val words = ('a' to 'l').map(_.toString)
+    // one oversized document dwarfing the char budget on its own: the
+    // effective pool shrinks (floor rises), repools multiply, but the
+    // selected sequence must stay bit-identical to plain greedy
+    val docs = (1L to 30L).map { d =>
+      d -> Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")
+    } :+ (31L -> Seq.fill(400)(words(rnd.nextInt(words.size))).mkString(" "))
+    val got = Coverage.greedySelect(docs.toDF("doc_id", "text"), 6, pool = 8, maxPoolChars = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == ref(docs, 6), s"char-budget shrink diverged from plain greedy: $got")
+  }
 }
