@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Decoder: the full frame grammar —
   *  - frame header (magic, descriptor, window/single-segment, content
-  *    size, dictionary rejection), XXH64 content checksum verification;
+  *    size, dictionary id), XXH64 content checksum verification;
+  *    dictionary frames decode against RFC 8878 §5 dictionaries — both
+  *    STRUCTURED (entropy-table + repcode priming, id-checked) and raw
+  *    content (history pre-seed) — with wrong-id/missing-dict damage
+  *    quarantined like any other malformed frame;
   *  - raw / RLE / compressed blocks;
   *  - literals: raw, RLE, Huffman-compressed (1- and 4-stream, with
   *    jump table), and treeless (previous-table reuse); Huffman tree
@@ -545,6 +549,7 @@ object Zstd {
   // ------------------------------------------------------- frame decoding
 
   private final val Magic = 0xFD2FB528
+  private final val EmptyBytes = new Array[Byte](0)
 
   /** Per-frame mutable decoder state: previous Huffman table (treeless
     * literals) and previous FSE tables (repeat sequence modes).
@@ -555,6 +560,81 @@ object Zstd {
     var ofT: FseDTable = null
     var mlT: FseDTable = null
     var rep1 = 1; var rep2 = 4; var rep3 = 8
+  }
+
+  /** Growable frame-decode buffer: the decoded output lives in ONE
+    * array threaded through every block, so history reads (LZ matches
+    * reaching into earlier blocks) are direct indexing. Replaces the
+    * per-block `toByteArray` history re-materialization that made
+    * multi-block frame decode O(n²) in copied bytes (~16 GB of copies
+    * for a 64 MB document).
+    */
+  private final class OutBuf(initial: Int) {
+    private var a = new Array[Byte](math.max(64, initial))
+    var len = 0
+    def byteAt(i: Int): Byte = a(i)
+    private def grow(need: Int): Unit = {
+      var cap = a.length
+      while (cap < need) cap = cap << 1
+      a = java.util.Arrays.copyOf(a, cap)
+    }
+    def append(b: Byte): Unit = {
+      if (len == a.length) grow(len + 1)
+      a(len) = b; len += 1
+    }
+    def appendRange(src: Array[Byte], from: Int, n: Int): Unit = {
+      if (len + n > a.length) grow(len + n)
+      System.arraycopy(src, from, a, len, n)
+      len += n
+    }
+    def appendFill(b: Byte, n: Int): Unit = {
+      if (len + n > a.length) grow(len + n)
+      java.util.Arrays.fill(a, len, len + n, b)
+      len += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, len)
+  }
+
+  /** A parsed zstd dictionary (RFC 8878 §5): either a STRUCTURED
+    * dictionary (magic 0xEC30A437 — id, entropy tables that seed the
+    * first block's repeat/treeless modes, initial repcodes, content) or
+    * RAW CONTENT (no magic: the whole blob is match history, id 0).
+    */
+  private final class ZDict(
+      val id: Long, val content: Array[Byte],
+      val huf: HufTable, val llT: FseDTable, val ofT: FseDTable, val mlT: FseDTable,
+      val rep1: Int, val rep2: Int, val rep3: Int)
+
+  private final val DictMagic = 0xEC30A437L
+
+  /** Parse a dictionary blob. Structured layout after magic + 4-byte LE
+    * id: entropy tables in stream order Huffman(literals), FSE(offsets),
+    * FSE(match lengths), FSE(literal lengths) — each in its in-block
+    * serialization — then three 4-byte LE initial repcodes, then the
+    * raw content. Anything not starting with the magic is a raw-content
+    * dictionary (history only, no entropy priming).
+    */
+  private def parseDictionary(bytes: Array[Byte]): ZDict = {
+    if (bytes == null || bytes.length == 0) fail()
+    if (bytes.length < 8 || leAt(bytes, 0, 4) != DictMagic)
+      return new ZDict(0L, bytes, null, null, null, null, 1, 4, 8)
+    val id = leAt(bytes, 4, 4)
+    var p = 8
+    val (huf, hufBytes) = readHufTable(bytes, p, bytes.length); p += hufBytes
+    val (ofN, ofLog, ofBytes) = readFseDescription(bytes, p, bytes.length, 8, 31); p += ofBytes
+    val ofT = new FseDTable(ofLog, ofN)
+    val (mlN, mlLog, mlBytes) = readFseDescription(bytes, p, bytes.length, 9, 52); p += mlBytes
+    val mlT = new FseDTable(mlLog, mlN)
+    val (llN, llLog, llBytes) = readFseDescription(bytes, p, bytes.length, 9, 35); p += llBytes
+    val llT = new FseDTable(llLog, llN)
+    if (p + 12 > bytes.length) fail()
+    val r1 = leAt(bytes, p, 4).toInt
+    val r2 = leAt(bytes, p + 4, 4).toInt
+    val r3 = leAt(bytes, p + 8, 4).toInt
+    p += 12
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0) fail()
+    new ZDict(id, java.util.Arrays.copyOfRange(bytes, p, bytes.length),
+      huf, llT, ofT, mlT, r1, r2, r3)
   }
 
   /** Strict whole-frame decode: magic, header, every block, content
@@ -568,11 +648,26 @@ object Zstd {
     out
   }
 
+  /** [[decompress]] against a dictionary: the frame's Dictionary_ID
+    * (when present) must match a structured dictionary's id; dictionary
+    * content pre-seeds the match history and structured entropy tables /
+    * repcodes prime the first block. A frame that DECLARES a dictionary
+    * id decoded without one is malformed — callers quarantine.
+    */
+  private[ext] def decompressWithDict(bytes: Array[Byte], dictBytes: Array[Byte],
+      maxOut: Int): Array[Byte] = {
+    val dict = parseDictionary(dictBytes)
+    val (out, end) = decodeFrame(bytes, 0, maxOut, dict)
+    if (end != bytes.length) fail()
+    out
+  }
+
   /** One data frame starting at `start`; returns (content, end offset)
     * so multi-frame streams ([[decompressFrames]], [[zstExtract]]) can
     * demux on the decode end position — the WARC-member discipline.
     */
-  private def decodeFrame(bytes: Array[Byte], start: Int, maxOut: Int): (Array[Byte], Int) = {
+  private def decodeFrame(bytes: Array[Byte], start: Int, maxOut: Int,
+      dict: ZDict = null): (Array[Byte], Int) = {
     val in = bytes
     def u8(i: Int): Int = { if (i >= in.length) fail(); in(i) & 0xff }
     def le(i: Int, n: Int): Long = {
@@ -588,8 +683,21 @@ object Zstd {
     val singleSegment = (desc & 0x20) != 0
     if ((desc & 0x08) != 0) fail() // reserved bit
     val hasChecksum = (desc & 0x04) != 0
-    if ((desc & 0x03) != 0) fail() // dictionaries unsupported
+    val didBytes = (desc & 0x03) match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
     if (!singleSegment) p += 1 // window descriptor (history is unbounded here)
+    val declaredDictId: Long =
+      if (didBytes == 0) -1L
+      else { val v = le(p, didBytes); p += didBytes; v }
+    // a frame that names a dictionary cannot decode without one; a
+    // STRUCTURED dictionary must carry the named id (raw-content
+    // dictionaries have no id — the caller vouches for the pairing)
+    if (declaredDictId >= 0 && dict == null) fail()
+    if (declaredDictId >= 0 && dict != null && dict.id != 0L && declaredDictId != dict.id) fail()
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2
@@ -604,33 +712,41 @@ object Zstd {
         if (fcsBytes == 2) raw + 256L else raw
       }
     if (contentSize > maxOut) fail()
-    val out = new java.io.ByteArrayOutputStream()
-    var history = new Array[Byte](0) // decoded-so-far, grown per block
+    val ob = new OutBuf(
+      if (contentSize >= 0) contentSize.toInt
+      else math.min(maxOut.toLong, 4L * math.max(64, in.length - start)).toInt)
     val st = new FrameState
+    val dictContent = if (dict != null) dict.content else EmptyBytes
+    if (dict != null) {
+      st.huf = dict.huf; st.llT = dict.llT; st.ofT = dict.ofT; st.mlT = dict.mlT
+      st.rep1 = dict.rep1; st.rep2 = dict.rep2; st.rep3 = dict.rep3
+    }
     var lastBlock = false
     while (!lastBlock) {
       val bh = le(p, 3).toInt; p += 3
       lastBlock = (bh & 1) != 0
       val btype = (bh >> 1) & 3
       val bsize = bh >>> 3
-      if (out.size() + bsize > maxOut + (1 << 17)) fail()
+      // RFC 8878 Block_Maximum_Size: no block — compressed or not — may
+      // exceed 128 KB, so a crafted block header cannot call for a
+      // gigabyte append before the per-block maxOut check lands
+      if (bsize > MaxBlock) fail()
       btype match {
         case 0 => // raw
           if (p + bsize > in.length) fail()
-          out.write(in, p, bsize); p += bsize
+          ob.appendRange(in, p, bsize); p += bsize
         case 1 => // RLE: bsize = regenerated size, 1 content byte
           val b = u8(p); p += 1
-          var i = 0
-          while (i < bsize) { out.write(b); i += 1 }
+          ob.appendFill(b.toByte, bsize)
         case 2 =>
           if (p + bsize > in.length) fail()
-          decodeBlock(in, p, p + bsize, out, st)
+          decodeBlock(in, p, p + bsize, ob, st, dictContent)
           p += bsize
         case _ => fail()
       }
-      if (out.size() > maxOut) fail()
+      if (ob.len > maxOut) fail()
     }
-    val result = out.toByteArray
+    val result = ob.toArray
     if (contentSize >= 0 && result.length != contentSize) fail()
     if (hasChecksum) {
       val want = le(p, 4); p += 4
@@ -670,10 +786,15 @@ object Zstd {
   }
 
   /** One compressed block: literals section, sequences section,
-    * sequence execution against the full decoded history in `out`.
+    * sequence execution appending to `ob` (the whole-frame output — LZ
+    * matches index straight into it, or into `dictContent` below
+    * position 0). Regenerated size is capped at the RFC's 128 KB
+    * Block_Maximum_Size INSIDE the execution loop, so a crafted
+    * sequence section cannot balloon memory before the frame-level
+    * check runs (decompression-bomb quarantine, not an OOM).
     */
   private def decodeBlock(in: Array[Byte], from: Int, until: Int,
-      out: java.io.ByteArrayOutputStream, st: FrameState): Unit = {
+      ob: OutBuf, st: FrameState, dictContent: Array[Byte]): Unit = {
     var p = from
     def u8(i: Int): Int = { if (i >= until) fail(); in(i) & 0xff }
     // ---- literals section
@@ -688,6 +809,7 @@ object Zstd {
           case 1 => val v = u8(p) | (u8(p + 1) << 8); p += 2; v >>> 4
           case _ => val v = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16); p += 3; v >>> 4
         }
+        if (rs > MaxBlock) fail() // literals cannot exceed the block's regenerated cap
         if (litType == 0) {
           if (p + rs > until) fail()
           literals = java.util.Arrays.copyOfRange(in, p, p + rs); p += rs
@@ -713,6 +835,7 @@ object Zstd {
             val v = (le5(in, p, until): Long); p += 5
             rs = ((v >> 4) & 0x3ffff).toInt; cs = ((v >> 22) & 0x3ffff).toInt
         }
+        if (rs > MaxBlock) fail() // literals cannot exceed the block's regenerated cap
         val litEnd = p + cs
         if (litEnd > until) fail()
         val table =
@@ -753,7 +876,7 @@ object Zstd {
       else if (b0 < 255) { val v = ((b0 - 128) << 8) + u8(p); p += 1; v }
       else { val v = u8(p) + (u8(p + 1) << 8) + 0x7f00; p += 2; v }
     if (nbSeq == 0) {
-      out.write(literals, 0, literals.length)
+      ob.appendRange(literals, 0, literals.length)
       return
     }
     val modes = u8(p); p += 1
@@ -779,16 +902,9 @@ object Zstd {
     var ofS = br.read(ofT.accuracyLog)
     var mlS = br.read(mlT.accuracyLog)
     if (br.overrun) fail()
-    val base = out.toByteArray // history before this block
+    val blockStart = ob.len // history before this block ends here
+    val blockCap = blockStart + MaxBlock // RFC 8878 Block_Maximum_Size
     var litPos = 0
-    var bufArr = new Array[Byte](64); var bufLen = 0
-    def bufAppend(b: Byte): Unit = {
-      if (bufLen == bufArr.length) bufArr = java.util.Arrays.copyOf(bufArr, bufArr.length * 2)
-      bufArr(bufLen) = b; bufLen += 1
-    }
-    def histByte(absPos: Int): Byte =
-      if (absPos < base.length) base(absPos)
-      else bufArr(absPos - base.length)
     var s = 0
     while (s < nbSeq) {
       val ofCode = ofT.symbol(ofS)
@@ -819,13 +935,21 @@ object Zstd {
           }
         }
       if (litPos + ll > literals.length) fail()
-      var i = 0
-      while (i < ll) { bufAppend(literals(litPos + i)); i += 1 }
+      // the bomb gate: nbSeq × ml can call for gigabytes; the block cap
+      // bounds the append BEFORE any memory is committed
+      if (ob.len + ll + ml > blockCap) fail()
+      ob.appendRange(literals, litPos, ll)
       litPos += ll
-      val matchStart = base.length + bufLen - offset
-      if (matchStart < 0) fail()
-      i = 0
-      while (i < ml) { bufAppend(histByte(matchStart + i)); i += 1 }
+      val matchStart = ob.len - offset
+      if (matchStart + dictContent.length < 0) fail()
+      var i = 0
+      var q = matchStart
+      while (i < ml) {
+        // q < 0 reaches into dictionary content; appends grow ob.len, so
+        // overlapping matches read the bytes just written
+        ob.append(if (q < 0) dictContent(dictContent.length + q) else ob.byteAt(q))
+        q += 1; i += 1
+      }
       s += 1
       if (s < nbSeq) {
         llS = llT.baseline(llS) + br.read(llT.nbBits(llS))
@@ -836,9 +960,9 @@ object Zstd {
     }
     if (!br.exhausted || br.overrun) fail()
     // trailing literals
-    var i = litPos
-    while (i < literals.length) { bufAppend(literals(i)); i += 1 }
-    out.write(bufArr, 0, bufLen)
+    val rest = literals.length - litPos
+    if (ob.len + rest > blockCap) fail()
+    ob.appendRange(literals, litPos, rest)
   }
 
   private def le5(in: Array[Byte], p: Int, until: Int): Long = {

@@ -183,4 +183,96 @@ class ZstdSpec extends AnyFunSuite {
     }
     assert(got(1).ratio < 1.0, "repetitive doc must compress below 1.0")
   }
+
+  test("decompression bomb: a block calling for more than 128 KB is malformed, not an OOM") {
+    def fails(b: Array[Byte]): Boolean =
+      try { Zstd.decompress(b, 1 << 26); false } catch { case _: RuntimeException => true }
+    def frame(blockBytes: Array[Byte], bsize: Int, btype: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x28); out.write(0xB5); out.write(0x2F); out.write(0xFD) // magic LE
+      out.write(0x00) // descriptor: no single-segment/FCS/checksum/dict
+      out.write(0x00) // window descriptor
+      val bh = (bsize << 3) | (btype << 1) | 1 // last block
+      out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+      out.write(blockBytes)
+      out.toByteArray
+    }
+    // RLE block declaring a 196608-byte regeneration: over Block_Maximum_Size
+    assert(fails(frame(Array('A'.toByte), 196608, 1)), "oversized RLE block")
+    // raw block declaring 196608 content bytes
+    assert(fails(frame(Array.fill(196608)('A'.toByte), 196608, 0)), "oversized raw block")
+    // crafted COMPRESSED block, 294 bytes on the wire, whose sequences
+    // regenerate ~8.3 MB (127 sequences x ml 65540): the in-loop cap
+    // must trip at 128 KB instead of materializing the expansion
+    val blk = new java.io.ByteArrayOutputStream()
+    // literals: RLE type (1), size_format 1 -> v = type | (sf<<2) | (rs<<4), rs=127
+    val lv = 1 | (1 << 2) | (127 << 4)
+    blk.write(lv & 0xff); blk.write((lv >> 8) & 0xff); blk.write('A')
+    blk.write(127) // nbSeq
+    blk.write((1 << 6) | (1 << 4) | (1 << 2)) // LL/OF/ML all RLE mode
+    blk.write(1)   // LL code 1: ll = 1, 0 extra bits
+    blk.write(2)   // OF code 2: ofValue = 4 + 2 extra bits -> offset 1
+    blk.write(52)  // ML code 52: ml = 65539 + 16 extra bits
+    // backward bitstream: 127 x (2 + 16) zero extra bits, then sentinel.
+    // 2286 zero bits = 285 zero bytes + sentinel byte 0x40 (bit index 6)
+    blk.write(new Array[Byte](285), 0, 285)
+    blk.write(0x40)
+    val seqBomb = blk.toByteArray
+    assert(seqBomb.length == 294, s"fixture drifted: ${seqBomb.length}")
+    assert(fails(frame(seqBomb, seqBomb.length, 2)), "sequence-expansion bomb")
+  }
+
+  test("dictionary frames: zstd-jni trained dictionary decodes with OUR decoder") {
+    // a corpus of similar small documents — the trained-dictionary use
+    // case: cross-document redundancy lives in the dict, not the frame
+    val rnd = new java.util.Random(31)
+    val verbs = Seq("ships", "stores", "indexes", "replays", "compacts", "audits")
+    val nouns = Seq("the manifest", "every record", "a checkpoint", "its payload")
+    def doc(i: Int): Array[Byte] =
+      (s"service-$i ${verbs(rnd.nextInt(verbs.size))} ${nouns(rnd.nextInt(nouns.size))} " +
+        s"under policy ${rnd.nextInt(100)}; " +
+        "retention applies to cold storage tiers and replicated segments.").getBytes(UTF_8)
+    val samples = (0 until 400).map(doc)
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 4096)
+    samples.foreach(s => trainer.addSample(s))
+    val dict = trainer.trainSamples()
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      cctx.loadDict(dict); cctx.setLevel(3)
+      val targets = (400 until 420).map(doc)
+      targets.foreach { data =>
+        val comp = cctx.compress(data)
+        val back = Zstd.decompressWithDict(comp, dict, 1 << 20)
+        assert(java.util.Arrays.equals(back, data),
+          "trained-dict frame did not decode against the dictionary")
+        // the frame names the dictionary: decoding without it must fail
+        assert(
+          try { Zstd.decompress(comp, 1 << 20); false } catch { case _: RuntimeException => true },
+          "a frame declaring a dictionary id must not decode bare")
+        // ... or against a DIFFERENT structured dictionary (wrong id)
+        val trainer2 = new com.github.luben.zstd.ZstdDictTrainer(1 << 20, 4096)
+        samples.reverse.take(200).foreach(s => trainer2.addSample(s))
+        val dict2 = trainer2.trainSamples()
+        if (!java.util.Arrays.equals(dict, dict2))
+          assert(
+            try { Zstd.decompressWithDict(comp, dict2, 1 << 20); false }
+            catch { case _: RuntimeException => true },
+            "wrong-id dictionary must be rejected")
+      }
+    } finally cctx.close()
+  }
+
+  test("raw-content dictionary: history pre-seed decodes negative-offset matches") {
+    val dictContent = ("shared preamble that every document starts from; " * 40).getBytes(UTF_8)
+    val data = (new String(dictContent, UTF_8) + "and a unique tail 0123456789").getBytes(UTF_8)
+    val cctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      cctx.loadDict(dictContent); cctx.setLevel(3)
+      val comp = cctx.compress(data)
+      assert(comp.length < data.length / 4,
+        s"fixture must actually use the dict history: ${comp.length} vs ${data.length}")
+      val back = Zstd.decompressWithDict(comp, dictContent, 1 << 20)
+      assert(java.util.Arrays.equals(back, data), "raw-content dict decode diverged")
+    } finally cctx.close()
+  }
 }
