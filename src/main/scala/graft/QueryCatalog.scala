@@ -2722,6 +2722,36 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** The crawl-record decode stack with CONTENT CODINGS — what real WARC
+    * response records carry: the body is gzip- or deflate-compressed
+    * BEFORE the chunked/Content-Length framing (doc id cycles all
+    * framing × coding combinations), and the reader must de-frame then
+    * decode through the from-scratch inflate. The oracle replays the
+    * DECODED body's length and checksum from the source text, so any
+    * coding-layer slip (layering order, unverified gzip trailer or
+    * zlib Adler, partial member) fails the per-record hash even though
+    * the coding never appears in the output.
+    */
+  private val qWarcHttpEncExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.warcHttpEncExtract(
+      Archives.encodeWarcHttpEncodedArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oWarcHttpEncExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, 200::BIGINT AS http_status,
+      |       'text/plain; charset=utf-8' AS content_type,
+      |       CASE doc_id % 3 WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate' ELSE '' END AS content_encoding,
+      |       n::BIGINT AS body_len,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** The zstd-archive ingest path under the gate: documents packed into
     * 16 multi-frame `.zst` streams (per record a SKIPPABLE frame
     * carrying the doc id — the seekable-zstd metadata convention — then
@@ -6359,6 +6389,7 @@ object QueryCatalog {
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
     "warc_http_extract" -> qWarcHttpExtract,
+    "warc_http_enc_extract" -> qWarcHttpEncExtract,
     "zip_extract" -> qZipExtract,
     "tar_extract" -> qTarExtract,
     "tgz_extract" -> qTgzExtract,
@@ -6560,6 +6591,7 @@ object QueryCatalog {
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
+    "warc_http_enc_extract" -> oWarcHttpEncExtract,
     "zip_extract" -> oZipExtract,
     "tar_extract" -> oTarExtract,
     "tgz_extract" -> oTarExtract,

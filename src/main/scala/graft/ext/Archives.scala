@@ -404,32 +404,60 @@ object Archives {
 
   // ----------------------------------------------------- HTTP-in-WARC layer
 
+  /** zlib (RFC 1950) writer around the from-scratch DEFLATE: 0x78 0x01
+    * header (32 KiB window, valid check bits), dynamic-Huffman body,
+    * big-endian Adler-32 trailer — what HTTP `Content-Encoding: deflate`
+    * means on the wire (RFC 9110 §8.4.1.2).
+    */
+  private def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    out.write(0x78); out.write(0x01)
+    out.write(Multimodal.deflateDynamic(data))
+    val a = Multimodal.adler32(data, 0, data.length)
+    out.write((a >>> 24) & 0xff); out.write((a >>> 16) & 0xff)
+    out.write((a >>> 8) & 0xff); out.write(a & 0xff)
+    out.toByteArray
+  }
+
   /** An HTTP/1.1 200 response around a body, the message a real crawl
     * response record stores: status line, Content-Type, then either a
     * Content-Length body or a `Transfer-Encoding: chunked` body (100-byte
     * chunks, lowercase-hex sizes, zero-chunk terminator) — the wire
-    * framings a crawler actually receives.
+    * framings a crawler actually receives. `encoding` applies a CONTENT
+    * CODING to the body BEFORE the transfer framing (RFC 9110 layering:
+    * content coding innermost, transfer coding outermost) — 0: identity,
+    * 1: gzip (a genuine member, header profile and DEFLATE block type
+    * cycled by `id`), 2: zlib deflate.
     */
-  private def httpResponse(body: Array[Byte], chunked: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(body.length + 128)
+  private def httpResponse(body: Array[Byte], chunked: Boolean, encoding: Int = 0,
+      id: Long = 0L): Array[Byte] = {
+    val (payload, encHeader) = encoding match {
+      case 1 => (gzipMember(body, (id % 4).toInt, id, method = (id % 3).toInt),
+        "Content-Encoding: gzip\r\n")
+      case 2 => (zlibDeflate(body), "Content-Encoding: deflate\r\n")
+      case _ => (body, "")
+    }
+    val out = new java.io.ByteArrayOutputStream(payload.length + 160)
     if (!chunked) {
       out.write(utf8(
         "HTTP/1.1 200 OK\r\n" +
           "Content-Type: text/plain; charset=utf-8\r\n" +
-          s"Content-Length: ${body.length}\r\n" +
+          encHeader +
+          s"Content-Length: ${payload.length}\r\n" +
           "\r\n"))
-      out.write(body)
+      out.write(payload)
     } else {
       out.write(utf8(
         "HTTP/1.1 200 OK\r\n" +
           "Content-Type: text/plain; charset=utf-8\r\n" +
+          encHeader +
           "Transfer-Encoding: chunked\r\n" +
           "\r\n"))
       var off = 0
-      while (off < body.length) {
-        val len = math.min(100, body.length - off)
+      while (off < payload.length) {
+        val len = math.min(100, payload.length - off)
         out.write(utf8(len.toHexString + "\r\n"))
-        out.write(body, off, len)
+        out.write(payload, off, len)
         out.write('\r'); out.write('\n')
         off += len
       }
@@ -443,10 +471,17 @@ object Archives {
     * decoding accepts upper/lowercase hex and chunk extensions
     * (`size;ext`), requires each chunk's trailing CRLF and the zero-chunk
     * terminator, and must consume the message exactly; a Content-Length
-    * body must likewise cover the remaining bytes exactly. Returns
-    * (status, content-type, body).
+    * body must likewise cover the remaining bytes exactly. After
+    * de-framing, the declared `Content-Encoding` is DECODED — gzip
+    * (whole-member, trailer-verified) and deflate (zlib, Adler-verified)
+    * through the repo's own inflate; an unknown coding or a damaged
+    * stream is malformed (callers quarantine the archive). `maxBody`
+    * caps the decoded size — the coding could expand the framed bytes a
+    * thousandfold, so the cap is declared to inflate, not checked after.
+    * Returns (status, content-type, content-encoding, decoded body).
     */
-  private def parseHttpResponse(msg: Array[Byte]): (Long, String, Array[Byte]) = {
+  private def parseHttpResponse(msg: Array[Byte],
+      maxBody: Int = 1 << 26): (Long, String, String, Array[Byte]) = {
     var split = -1
     var i = 0
     while (split < 0 && i + 3 < msg.length) {
@@ -462,6 +497,7 @@ object Archives {
       case _ => throw new MalformedArchive
     }
     var contentType = ""
+    var contentEncoding = ""
     var clen = -1L
     var chunked = false
     lines.iterator.drop(1).foreach { line =>
@@ -470,13 +506,14 @@ object Archives {
       val name = line.substring(0, c).trim.toLowerCase
       val value = line.substring(c + 1).trim
       if (name == "content-type") contentType = value
+      else if (name == "content-encoding") contentEncoding = value.toLowerCase
       else if (name == "content-length") {
         if (value.isEmpty || !value.forall(_.isDigit)) throw new MalformedArchive
         clen = value.toLong
       } else if (name == "transfer-encoding" && value.toLowerCase.contains("chunked")) chunked = true
     }
     val bodyFrom = split + 4
-    if (chunked) {
+    val framed: Array[Byte] = if (chunked) {
       val out = new java.io.ByteArrayOutputStream(msg.length - bodyFrom)
       var p = bodyFrom
       var done = false
@@ -504,11 +541,27 @@ object Archives {
           p += 2
         }
       }
-      (status, contentType, out.toByteArray)
+      out.toByteArray
     } else {
       if (clen < 0 || bodyFrom + clen != msg.length) throw new MalformedArchive
-      (status, contentType, java.util.Arrays.copyOfRange(msg, bodyFrom, msg.length))
+      java.util.Arrays.copyOfRange(msg, bodyFrom, msg.length)
     }
+    // content coding sits UNDER the transfer framing: de-frame first
+    // (above), decode second — the inverse of the writer's layering
+    val body = contentEncoding match {
+      case "" | "identity" => framed
+      case "gzip" | "x-gzip" =>
+        try {
+          val (data, end) = gunzipMember(framed, 0, framed.length, maxBody)
+          if (end != framed.length) throw new MalformedArchive // exactly one member
+          data
+        } catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
+      case "deflate" =>
+        try Multimodal.zlibInflate(framed, 0, framed.length, maxBody)
+        catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
+      case _ => throw new MalformedArchive // unknown codings quarantine
+    }
+    (status, contentType, contentEncoding, body)
   }
 
   /** Crawl archives whose records store full HTTP response messages
@@ -539,9 +592,83 @@ object Archives {
       .toDF("archive_id", "payload")
   }
 
+  /** [[encodeWarcHttpArchives]] with CONTENT CODINGS, which is what real
+    * WARC response records overwhelmingly carry: the server compressed
+    * the body, the crawler stored the wire bytes. Doc id selects the
+    * transfer framing (even: chunked, odd: Content-Length) and the
+    * content coding (id % 3 — 0: identity, 1: gzip, 2: zlib deflate),
+    * so all framing × coding combinations recur every 6 ids and both
+    * decode orders (de-frame → decode) sit under the oracle.
+    */
+  def encodeWarcHttpEncodedArchives(docs: DataFrame, nArchives: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nArchives)
+      .mapGroups { (aid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (id, text) =>
+          val msg = httpResponse(utf8(text), chunked = id % 2 == 0,
+            encoding = (id % 3).toInt, id = id)
+          out.write(gzipMember(
+            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+            method = (id % 3).toInt))
+        }
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "payload")
+  }
+
   final case class WarcHttpEntry(
       archive_id: Long, rec_idx: Long, rec_doc_id: Long, http_status: Long,
       content_type: String, body_len: Long, checksum: Long)
+
+  final case class WarcHttpEncEntry(
+      archive_id: Long, rec_idx: Long, rec_doc_id: Long, http_status: Long,
+      content_type: String, content_encoding: String, body_len: Long, checksum: Long)
+
+  /** [[warcHttpExtract]] surfacing the content coding: gzip member split
+    * → WARC parse → HTTP parse (de-frame, then DECODE the declared
+    * `Content-Encoding` through the from-scratch gzip/zlib inflate) →
+    * one row per record with the DECODED body's length and checksum —
+    * the oracle replays both from the source text, so a slip anywhere
+    * in the coding layer (wrong layering order, unverified trailer,
+    * partial member) fails the hash. Same map-only envelope and
+    * whole-archive-drop damage discipline as the other extractors.
+    */
+  def warcHttpEncExtract(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[WarcHttpEncEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[WarcHttpEncEntry]
+            var pos = 0
+            var idx = 0L
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (status, contentType, contentEncoding, body) = parseHttpResponse(msg, maxRecordBytes)
+              out += WarcHttpEncEntry(aid, idx, docId, status, contentType, contentEncoding,
+                body.length.toLong, rollingChecksum(body))
+              pos = next
+              idx += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+  }
 
   /** The full crawl-record decode stack: gzip member split -> WARC record
     * parse -> nested HTTP response parse (status line, headers, chunked
@@ -569,7 +696,7 @@ object Archives {
               val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
               val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
               val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
-              val (status, contentType, body) = parseHttpResponse(msg)
+              val (status, contentType, _, body) = parseHttpResponse(msg, maxRecordBytes)
               out += WarcHttpEntry(aid, idx, docId, status, contentType,
                 body.length.toLong, rollingChecksum(body))
               pos = next
@@ -604,7 +731,7 @@ object Archives {
               val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
               val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
               val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
-              val (_, _, body) = parseHttpResponse(msg)
+              val (_, _, _, body) = parseHttpResponse(msg, maxRecordBytes)
               out += ((docId, new String(body, java.nio.charset.StandardCharsets.UTF_8)))
               pos = next
             }

@@ -275,6 +275,59 @@ class ArchivesSpec extends AnyFunSuite {
       archiveOf("HTTP/2 OK\r\nContent-Length: 2\r\n\r\nab")).collect().isEmpty)
   }
 
+  test("warc http content codings: gzip and deflate bodies decode under both framings") {
+    import spark.implicits._
+    // ids 0..5 cycle all framing x coding combos: framing = id % 2
+    // (even chunked), coding = id % 3 (0 identity, 1 gzip, 2 deflate)
+    val docs = (0L to 11L).map(i => (i, s"body of document $i, " * (5 + i.toInt))).toDF("doc_id", "text")
+    val entries = Archives.warcHttpEncExtract(
+      Archives.encodeWarcHttpEncodedArchives(docs, nArchives = 3))
+      .collect().map(e => e.rec_doc_id -> e).toMap
+    assert(entries.keySet == (0L to 11L).toSet)
+    (0L to 11L).foreach { i =>
+      val e = entries(i)
+      val want = (s"body of document $i, " * (5 + i.toInt)).getBytes("UTF-8")
+      assert(e.body_len == want.length, s"doc $i decoded length")
+      var c = 0L
+      want.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(e.checksum == c, s"doc $i decoded checksum (coding ${i % 3}, chunked ${i % 2 == 0})")
+      assert(e.content_encoding == Seq("", "gzip", "deflate")((i % 3).toInt))
+    }
+  }
+
+  test("warc http content codings: damaged or unknown codings quarantine the archive") {
+    import spark.implicits._
+    def archiveOf(msg: Array[Byte], id: Long = 9L): org.apache.spark.sql.DataFrame = {
+      val rec = (s"WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/doc/$id\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${msg.length}\r\n" +
+        "\r\n").getBytes("UTF-8") ++ msg ++ "\r\n\r\n".getBytes("UTF-8")
+      Seq((id, Archives.gzipMember(rec, 0, id))).toDF("archive_id", "payload")
+    }
+    def msgOf(headers: String, payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/x\r\n$headers" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++ payload
+    val body = ("compressible payload " * 10).getBytes("UTF-8")
+    val gz = Archives.gzipMember(body, 0, 9L, method = 2)
+    // intact gzip coding decodes
+    val ok = Archives.warcHttpEncExtract(archiveOf(msgOf("Content-Encoding: gzip\r\n", gz))).collect()
+    assert(ok.length == 1 && ok(0).body_len == body.length)
+    // flipped byte inside the member: CRC fails, archive drops
+    val bad = gz.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x11).toByte
+    assert(Archives.warcHttpEncExtract(archiveOf(msgOf("Content-Encoding: gzip\r\n", bad))).collect().isEmpty)
+    // trailing garbage after the single member: not exactly one member
+    assert(Archives.warcHttpEncExtract(
+      archiveOf(msgOf("Content-Encoding: gzip\r\n", gz ++ Array[Byte](0)))).collect().isEmpty)
+    // gzip declared but identity bytes sent
+    assert(Archives.warcHttpEncExtract(
+      archiveOf(msgOf("Content-Encoding: gzip\r\n", body))).collect().isEmpty)
+    // unknown coding quarantines (br is declared-unsupported, not misread)
+    assert(Archives.warcHttpEncExtract(
+      archiveOf(msgOf("Content-Encoding: br\r\n", body))).collect().isEmpty)
+  }
+
   test("codec fuzz: corrupted and truncated streams across all four new codecs fail cleanly") {
     val rnd = new scala.util.Random(67)
     val data = ("fuzz corpus with structure structure structure and some entropy " +
