@@ -1504,6 +1504,38 @@ object Zstd {
     * (the archive-family contract — a half-read archive is worse than a
     * reported missing one). Map-only flatMap.
     */
+  /** The shared demux loop: (skippable id frame, data frame) pairs to
+    * records, THROWING on any damage so each caller applies the
+    * archive-family quarantine at its own granularity.
+    */
+  private def demuxZstArchive(aid: Long, payload: Array[Byte],
+      maxRecordBytes: Int): Vector[ZstEntry] = {
+    val entries = Vector.newBuilder[ZstEntry]
+    var p = 0
+    var recIdx = 0L
+    var pendingId = -1L
+    while (p < payload.length) {
+      val magic = leAt(payload, p, 4)
+      if ((magic & 0xfffffff0L) == 0x184D2A50L) {
+        val size = leAt(payload, p + 4, 4).toInt
+        if (size != 8 || p + 16 > payload.length) fail()
+        pendingId = leAt(payload, p + 8, 8)
+        p += 16
+      } else {
+        if (pendingId < 0) fail() // data frame without its id frame
+        val (content, end) = decodeFrame(payload, p, maxRecordBytes)
+        var c = 0L
+        content.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+        entries += ZstEntry(aid, recIdx, pendingId, content.length.toLong, c)
+        recIdx += 1L
+        pendingId = -1L
+        p = end
+      }
+    }
+    if (pendingId >= 0) fail() // trailing id frame with no data frame
+    entries.result()
+  }
+
   def zstExtract(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[ZstEntry] = {
     val spark = archives.sparkSession
     import spark.implicits._
@@ -1511,35 +1543,32 @@ object Zstd {
       .select(col("archive_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (aid, payload) =>
-        try {
-          val entries = Vector.newBuilder[ZstEntry]
-          var p = 0
-          var recIdx = 0L
-          var pendingId = -1L
-          while (p < payload.length) {
-            val magic = leAt(payload, p, 4)
-            if ((magic & 0xfffffff0L) == 0x184D2A50L) {
-              val size = leAt(payload, p + 4, 4).toInt
-              if (size != 8 || p + 16 > payload.length) fail()
-              pendingId = leAt(payload, p + 8, 8)
-              p += 16
-            } else {
-              if (pendingId < 0) fail() // data frame without its id frame
-              val (content, end) = decodeFrame(payload, p, maxRecordBytes)
-              var c = 0L
-              content.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
-              entries += ZstEntry(aid, recIdx, pendingId, content.length.toLong, c)
-              recIdx += 1L
-              pendingId = -1L
-              p = end
-            }
-          }
-          if (pendingId >= 0) fail() // trailing id frame with no data frame
-          entries.result()
-        } catch {
-          case scala.util.control.NonFatal(_) => Vector.empty // quarantine
-        }
+        try demuxZstArchive(aid, payload, maxRecordBytes)
+        catch { case scala.util.control.NonFatal(_) => Vector.empty } // quarantine
       }
+  }
+
+  /** [[zstExtract]] for an ARCHIVE STREAM: the input carries an event
+    * time (`archive_id, ts, payload`) that every extracted record
+    * inherits — the [[graft.ext.Archives.warcExtractWithTs]] twin for
+    * `.zst` segment files. Stateless flatMap over the SAME demux, so
+    * batch and stream cannot diverge on what a record is; the streaming
+    * composition lives in [[graft.streaming.StreamingArchiveIngest]].
+    */
+  def zstExtractWithTs(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("ts").cast("timestamp"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (aid, ts, payload) =>
+        try {
+          if (payload == null) Vector.empty
+          else demuxZstArchive(aid, payload, maxRecordBytes)
+            .map(e => (e.archive_id, ts, e.rec_idx, e.rec_doc_id, e.n_bytes))
+        } catch { case scala.util.control.NonFatal(_) => Vector.empty } // quarantine
+      }
+      .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
   }
 
   /** Compress-then-decode round trip per document — the `deflate_

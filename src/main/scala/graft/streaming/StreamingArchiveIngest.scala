@@ -36,7 +36,31 @@ object StreamingArchiveIngest {
       watermarkDelay: String,
       windowLength: String,
       maxRecordBytes: Int = 1 << 26): DataFrame =
-    Archives.warcExtractWithTs(archives, maxRecordBytes)
+    windowed(Archives.warcExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
+  /** The `.zst` segment twin: live multi-frame zstd archives (skippable
+    * id frame + data frame per record, the seekable-zstd layout) routed
+    * through the SAME demux the batch path uses
+    * ([[graft.ext.Zstd.zstExtractWithTs]]) and the same watermarked
+    * window reduction — a fetcher flushing `.zst` instead of `.warc.gz`
+    * gets the identical operations view, damage-drop included.
+    */
+  def ingestZst(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(graft.ext.Zstd.zstExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
+  /** The shared reduction: watermark, tumbling window per archive,
+    * records/bytes/approx-distinct docs. One state row per
+    * (window, archive) regardless of ingest rate.
+    */
+  private def windowed(records: DataFrame, watermarkDelay: String,
+      windowLength: String): DataFrame =
+    records
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("archive_id"))
       .agg(
