@@ -2745,7 +2745,7 @@ object QueryCatalog {
       |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
       |       doc_id::BIGINT AS rec_doc_id, 200::BIGINT AS http_status,
       |       'text/plain; charset=utf-8' AS content_type,
-      |       CASE doc_id % 3 WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate' ELSE '' END AS content_encoding,
+      |       CASE (doc_id // 2) % 4 WHEN 1 THEN 'gzip' WHEN 2 THEN 'deflate' WHEN 3 THEN 'br' ELSE '' END AS content_encoding,
       |       n::BIGINT AS body_len,
       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
@@ -4268,6 +4268,32 @@ object QueryCatalog {
       .select(col("doc_id"), col("n_bytes"), col("checksum"))
 
   private val oZstdRoundtrip: String = oDeflateRoundtrip
+
+  /** The FIFTH compression format under the gate: brotli (RFC 7932) —
+    * the web's second `Content-Encoding`. The round trip pairs the
+    * raw-framing writer with the FULL from-scratch decoder (prefix
+    * codes, context modeling, static dictionary + 121 transforms); the
+    * compressed-path sophistication is differentialed in BrotliSpec
+    * against committed libbrotli streams across qualities 0-11 and
+    * windows 10-24. Beyond the deflate-shape replay, the oracle also
+    * pins `br_len` via the closed-form framed-length model (empty → 1
+    * byte; one 4-nibble block → n+4; one 5-nibble block → n+5), so the
+    * encoder's framing can't drift without failing the hash.
+    */
+  private val qBrotliRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Brotli.brotliSignal(table(s, dir, "documents")).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("br_len"), col("checksum"))
+
+  private val oBrotliRoundtrip: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b)
+      |SELECT doc_id, n::BIGINT AS n_bytes,
+      |       CASE WHEN n = 0 THEN 1 WHEN n <= 65536 THEN n + 4 ELSE n + 5 END::BIGINT AS br_len,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM s""".stripMargin
 
   /** Merge-based subword tokenization under the gate: the BPE apply
     * phase with a fixed 40-rule priority merge table. The oracle is the
@@ -6422,6 +6448,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> qLz4Roundtrip,
     "rans_roundtrip" -> qRansRoundtrip,
     "zstd_roundtrip" -> qZstdRoundtrip,
+    "brotli_roundtrip" -> qBrotliRoundtrip,
     "zst_extract" -> qZstExtract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
@@ -6624,6 +6651,7 @@ object QueryCatalog {
     "lz4_roundtrip" -> oLz4Roundtrip,
     "rans_roundtrip" -> oRansRoundtrip,
     "zstd_roundtrip" -> oZstdRoundtrip,
+    "brotli_roundtrip" -> oBrotliRoundtrip,
     "zst_extract" -> oZstExtract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,

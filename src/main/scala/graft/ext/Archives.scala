@@ -427,7 +427,9 @@ object Archives {
     * CODING to the body BEFORE the transfer framing (RFC 9110 layering:
     * content coding innermost, transfer coding outermost) — 0: identity,
     * 1: gzip (a genuine member, header profile and DEFLATE block type
-    * cycled by `id`), 2: zlib deflate.
+    * cycled by `id`), 2: zlib deflate, 3: brotli (RFC 7932, the raw
+    * framing [[Brotli.compressRaw]] emits — valid input for ANY brotli
+    * decoder, libbrotli-verified by the fixture generator).
     */
   private def httpResponse(body: Array[Byte], chunked: Boolean, encoding: Int = 0,
       id: Long = 0L): Array[Byte] = {
@@ -435,6 +437,7 @@ object Archives {
       case 1 => (gzipMember(body, (id % 4).toInt, id, method = (id % 3).toInt),
         "Content-Encoding: gzip\r\n")
       case 2 => (zlibDeflate(body), "Content-Encoding: deflate\r\n")
+      case 3 => (Brotli.compressRaw(body), "Content-Encoding: br\r\n")
       case _ => (body, "")
     }
     val out = new java.io.ByteArrayOutputStream(payload.length + 160)
@@ -474,8 +477,9 @@ object Archives {
     * body must likewise cover the remaining bytes exactly. After
     * de-framing, the declared `Content-Encoding` is DECODED — gzip
     * (whole-member, trailer-verified) and deflate (zlib, Adler-verified)
-    * through the repo's own inflate; an unknown coding or a damaged
-    * stream is malformed (callers quarantine the archive). `maxBody`
+    * through the repo's own inflate, br through the from-scratch RFC
+    * 7932 decoder; an unknown coding or a damaged stream is malformed
+    * (callers quarantine the archive). `maxBody`
     * caps the decoded size — the coding could expand the framed bytes a
     * thousandfold, so the cap is declared to inflate, not checked after.
     * Returns (status, content-type, content-encoding, decoded body).
@@ -559,6 +563,9 @@ object Archives {
       case "deflate" =>
         try Multimodal.zlibInflate(framed, 0, framed.length, maxBody)
         catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
+      case "br" =>
+        try Brotli.decompress(framed, maxBody)
+        catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
       case _ => throw new MalformedArchive // unknown codings quarantine
     }
     (status, contentType, contentEncoding, body)
@@ -596,9 +603,10 @@ object Archives {
     * WARC response records overwhelmingly carry: the server compressed
     * the body, the crawler stored the wire bytes. Doc id selects the
     * transfer framing (even: chunked, odd: Content-Length) and the
-    * content coding (id % 3 — 0: identity, 1: gzip, 2: zlib deflate),
-    * so all framing × coding combinations recur every 6 ids and both
-    * decode orders (de-frame → decode) sit under the oracle.
+    * content coding ((id / 2) % 4 — 0: identity, 1: gzip, 2: zlib
+    * deflate, 3: brotli), so all 8 framing × coding combinations recur
+    * every 8 ids and both decode orders (de-frame → decode) sit under
+    * the oracle.
     */
   def encodeWarcHttpEncodedArchives(docs: DataFrame, nArchives: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -614,7 +622,7 @@ object Archives {
         val out = new java.io.ByteArrayOutputStream()
         recs.foreach { case (id, text) =>
           val msg = httpResponse(utf8(text), chunked = id % 2 == 0,
-            encoding = (id % 3).toInt, id = id)
+            encoding = ((id / 2) % 4).toInt, id = id)
           out.write(gzipMember(
             warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
             method = (id % 3).toInt))

@@ -275,23 +275,23 @@ class ArchivesSpec extends AnyFunSuite {
       archiveOf("HTTP/2 OK\r\nContent-Length: 2\r\n\r\nab")).collect().isEmpty)
   }
 
-  test("warc http content codings: gzip and deflate bodies decode under both framings") {
+  test("warc http content codings: gzip/deflate/br bodies decode under both framings") {
     import spark.implicits._
-    // ids 0..5 cycle all framing x coding combos: framing = id % 2
-    // (even chunked), coding = id % 3 (0 identity, 1 gzip, 2 deflate)
-    val docs = (0L to 11L).map(i => (i, s"body of document $i, " * (5 + i.toInt))).toDF("doc_id", "text")
+    // ids 0..7 cycle all 8 framing x coding combos: framing = id % 2
+    // (even chunked), coding = (id / 2) % 4 (identity, gzip, deflate, br)
+    val docs = (0L to 15L).map(i => (i, s"body of document $i, " * (5 + i.toInt))).toDF("doc_id", "text")
     val entries = Archives.warcHttpEncExtract(
       Archives.encodeWarcHttpEncodedArchives(docs, nArchives = 3))
       .collect().map(e => e.rec_doc_id -> e).toMap
-    assert(entries.keySet == (0L to 11L).toSet)
-    (0L to 11L).foreach { i =>
+    assert(entries.keySet == (0L to 15L).toSet)
+    (0L to 15L).foreach { i =>
       val e = entries(i)
       val want = (s"body of document $i, " * (5 + i.toInt)).getBytes("UTF-8")
       assert(e.body_len == want.length, s"doc $i decoded length")
       var c = 0L
       want.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
-      assert(e.checksum == c, s"doc $i decoded checksum (coding ${i % 3}, chunked ${i % 2 == 0})")
-      assert(e.content_encoding == Seq("", "gzip", "deflate")((i % 3).toInt))
+      assert(e.checksum == c, s"doc $i decoded checksum (coding ${(i / 2) % 4}, chunked ${i % 2 == 0})")
+      assert(e.content_encoding == Seq("", "gzip", "deflate", "br")(((i / 2) % 4).toInt))
     }
   }
 
@@ -323,9 +323,17 @@ class ArchivesSpec extends AnyFunSuite {
     // gzip declared but identity bytes sent
     assert(Archives.warcHttpEncExtract(
       archiveOf(msgOf("Content-Encoding: gzip\r\n", body))).collect().isEmpty)
-    // unknown coding quarantines (br is declared-unsupported, not misread)
+    // intact br coding decodes through the RFC 7932 decoder
+    val brOk = Archives.warcHttpEncExtract(
+      archiveOf(msgOf("Content-Encoding: br\r\n", graft.ext.Brotli.compressRaw(body)))).collect()
+    assert(brOk.length == 1 && brOk(0).body_len == body.length)
+    // truncated br stream: strict decode fails, archive drops
     assert(Archives.warcHttpEncExtract(
-      archiveOf(msgOf("Content-Encoding: br\r\n", body))).collect().isEmpty)
+      archiveOf(msgOf("Content-Encoding: br\r\n",
+        graft.ext.Brotli.compressRaw(body).dropRight(1)))).collect().isEmpty)
+    // unknown coding quarantines
+    assert(Archives.warcHttpEncExtract(
+      archiveOf(msgOf("Content-Encoding: zstd\r\n", body))).collect().isEmpty)
   }
 
   test("codec fuzz: corrupted and truncated streams across all four new codecs fail cleanly") {
