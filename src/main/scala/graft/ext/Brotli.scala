@@ -539,6 +539,12 @@ object Brotli {
             // ---- command loop
             var mpos = 0
             while (mpos < mlen) {
+              // no-progress guard: with single-symbol (0-bit) codes and an
+              // empty transformed dictionary word (omit >= word length), a
+              // crafted stream could make an iteration that consumes no
+              // bits and emits no bytes — an infinite loop, not just junk
+              val loopBit = br.bitPos
+              val loopM = mpos
               bsI.tick(br)
               val sym = icCodes(bsI.btype).decode(br)
               val cell = sym >> 6
@@ -625,6 +631,7 @@ object Brotli {
                   // ring NOT updated for dictionary references
                 }
               } else if (mpos > mlen) fail()
+              if (mpos == loopM && br.bitPos == loopBit) fail()
             }
           }
         }

@@ -219,6 +219,39 @@ class BrotliSpec extends AnyFunSuite {
     assert(fails(Brotli.compressRaw("hi".getBytes(UTF_8)).dropRight(1)), "truncated raw framing")
   }
 
+  test("fuzz: corrupted and truncated brotli streams fail cleanly, never hang or overrun") {
+    // brotli carries no payload checksum, so a mutation may legally decode
+    // to wrong bytes — the contract is the untrusted-ingest one: every
+    // mutation either throws MalformedBrotli (the ONLY documented failure
+    // — an escaping OOB/NPE fails this test) or returns within the
+    // declared maxOut, with no hang or unbounded allocation.
+    val rnd = new scala.util.Random(68)
+    val want = textEnglish(9000, 1)
+    val seeds = Seq(
+      resource("/graft/brotli/english50k_q5.br"),
+      resource("/graft/brotli/english50k_q11.br"),
+      Brotli.compressRaw(want))
+    seeds.foreach { good =>
+      (0 until 400).foreach { _ =>
+        val mutated = good.clone()
+        rnd.nextInt(3) match {
+          case 0 =>
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+          case 1 =>
+            val i = rnd.nextInt(mutated.length)
+            mutated(i) = rnd.nextInt(256).toByte
+          case _ => ()
+        }
+        val bytes = if (rnd.nextBoolean()) mutated.take(rnd.nextInt(mutated.length + 1)) else mutated
+        try {
+          val out = Brotli.decompress(bytes, want.length + 64)
+          assert(out.length <= want.length + 64, "maxOut overrun")
+        } catch { case _: Brotli.MalformedBrotli => () }
+      }
+    }
+  }
+
   test("brotliSignal: per-doc round trip over a corpus") {
     import spark.implicits._
     val docs = Seq(
