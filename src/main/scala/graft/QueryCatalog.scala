@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sitemaps, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -1820,6 +1820,72 @@ object QueryCatalog {
       |       CASE WHEN best IS NULL OR best % 2 = 1 THEN 'allow' ELSE 'disallow' END AS decision
       |FROM mt""".stripMargin
 
+  /** The robots.txt TEXT protocol under the gate: per-host files are
+    * SERIALIZED with real-world parse hazards (comments, Sitemap
+    * outside groups, Crawl-delay inside, mixed/lower-case and no-space
+    * field spellings, empty patterns, blank lines inside a group,
+    * stacked user-agent lines, CRLF on half the hosts), then PARSED per
+    * RFC 9309 and evaluated with `*`/`$` wildcard longest-match. Hosts
+    * with even nib 7 carry a GraftBot group the graftbot agent must
+    * select INSTEAD of `*` — mixing groups, breaking a group at a blank
+    * line, mis-scoring a wildcard pattern, or missing the trailing-$
+    * anchor all change decisions and fail the hash. The oracle replays
+    * the DECISION table closed-form from the same md5 nibs (directory
+    * rules by prefix, slash-star-digit-$ rules by last-character test, preference
+    * packed as len·2+allowFlag), never parsing text — only a correct
+    * parse reaches the same answers.
+    */
+  private val qRobotsTxtDecisions: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    Robots.evaluateTxt(urls, Robots.encodeRobotsTxt(urls), "graftbot").toDF()
+  }
+
+  private val oRobotsTxtDecisions: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d),
+      |g AS (SELECT host, md5(host) AS hm,
+      |        ('0x' || substr(md5(host), 7, 1))::BIGINT % 2 = 0 AS gb
+      |      FROM (SELECT DISTINCT host FROM c)),
+      |w AS (SELECT host,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 8 ELSE 1 END, 1))::BIGINT % 8 AS INT)) AS w1,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 9 ELSE 2 END, 1))::BIGINT % 8 AS INT)) AS w2,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 10 ELSE 3 END, 1))::BIGINT % 8 AS INT)) AS w3,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 11 ELSE 4 END, 1))::BIGINT % 8 AS INT)) AS w4,
+      |        CAST(('0x' || substr(hm, CASE WHEN gb THEN 12 ELSE 5 END, 1))::BIGINT % 10 AS VARCHAR) AS d1,
+      |        CAST(('0x' || substr(hm, CASE WHEN gb THEN 13 ELSE 6 END, 1))::BIGINT % 10 AS VARCHAR) AS d2
+      |      FROM g),
+      |rules AS (SELECT host, 0 AS af, len('/' || w1)::BIGINT AS plen, '/' || w1 AS pref, NULL AS dg FROM w
+      |          UNION ALL SELECT host, 1, len('/' || w1 || '/' || w2), '/' || w1 || '/' || w2, NULL FROM w
+      |          UNION ALL SELECT host, 0, len('/' || w3 || '/' || w4), '/' || w3 || '/' || w4, NULL FROM w
+      |          UNION ALL SELECT host, 0, 4, NULL, d1 FROM w
+      |          UNION ALL SELECT host, 1, 4, NULL, d2 FROM w),
+      |mt AS (SELECT c.doc_id, c.host, c.path, max(r.plen * 2 + r.af) AS best
+      |       FROM c LEFT JOIN rules r ON r.host = c.host AND
+      |         ((r.dg IS NULL AND starts_with(c.path, r.pref))
+      |          OR (r.dg IS NOT NULL AND substr(c.path, len(c.path), 1) = r.dg))
+      |       GROUP BY 1, 2, 3)
+      |SELECT doc_id, host, path, coalesce(best // 2, 0)::BIGINT AS matched_len,
+      |       CASE WHEN best IS NULL OR best % 2 = 1 THEN 'allow' ELSE 'disallow' END AS decision
+      |FROM mt""".stripMargin
+
   /** Block-structured inverted index under the gate: distinct (term, doc)
     * postings ranked per term, segmented into 4096-doc blocks, each block
     * delta + varint encoded (protobuf/Lucene VInt wire form). The emitted
@@ -2751,6 +2817,46 @@ object QueryCatalog {
       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
+
+  /** Sitemap-protocol ingestion under the gate: per-host sitemap FILE
+    * sets — a `sitemapindex` naming a plain child and a GZIPPED child
+    * (decoded by composition through the repo's own gzip reader) — are
+    * parsed by a real strict XML walker (declaration, comments, CDATA,
+    * attribute-tolerant tags, named + numeric entity decoding) and
+    * flattened to one row per URL. Hazards cycle by doc id (ampersand
+    * query strings entity-escaped vs CDATA-wrapped) and by host
+    * (pretty-printed vs flat); the oracle rebuilds the URL table
+    * closed-form, so an entity slip, a CDATA misread, a shard/order
+    * slip, or one damaged gzip byte fails the compare.
+    */
+  private val qSitemapExtract: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    Sitemaps.sitemapExtract(Sitemaps.encodeSitemaps(urls)).toDF()
+  }
+
+  private val oSitemapExtract: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d)
+      |SELECT host, (doc_id % 2)::BIGINT AS shard,
+      |       (row_number() OVER (PARTITION BY host, doc_id % 2 ORDER BY doc_id) - 1)::BIGINT AS ord,
+      |       'https://' || host || path ||
+      |         CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+      |       '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+      |FROM c""".stripMargin
 
   /** The zstd-archive ingest path under the gate: documents packed into
     * 16 multi-frame `.zst` streams (per record a SKIPPABLE frame
@@ -6322,6 +6428,8 @@ object QueryCatalog {
     "boolean_retrieval" -> qBooleanRetrieval,
     "url_normalize" -> qUrlNormalize,
     "robots_decisions" -> qRobotsDecisions,
+    "robots_txt_decisions" -> qRobotsTxtDecisions,
+    "sitemap_extract" -> qSitemapExtract,
     "unicode_nfc" -> qUnicodeNfc,
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
@@ -6528,6 +6636,8 @@ object QueryCatalog {
     "boolean_retrieval" -> oBooleanRetrieval,
     "url_normalize" -> oUrlNormalize,
     "robots_decisions" -> oRobotsDecisions,
+    "robots_txt_decisions" -> oRobotsTxtDecisions,
+    "sitemap_extract" -> oSitemapExtract,
     "unicode_nfc" -> oUnicodeNfc,
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,

@@ -60,6 +60,183 @@ object Robots {
       }
   }
 
+  // ------------------------------------------- robots.txt TEXT protocol
+
+  /** Serialize each host's rule set as an actual robots.txt file — the
+    * bytes a fetcher receives — salted with every parse hazard the wild
+    * serves: comment lines, a Sitemap line outside any group, unknown
+    * in-group directives (Crawl-delay), mixed-case field names, a
+    * no-space `disallow:` spelling, empty-pattern rules (ignored per
+    * REP), blank lines inside a group (groups end at the next
+    * user-agent line per RFC 9309, NOT at blank lines), stacked
+    * user-agent lines sharing one group, and CRLF line endings on half
+    * the hosts. Rule content is md5-derived like [[rulesFor]] so the
+    * DuckDB oracle replays the DECISIONS closed-form while the Spark
+    * side must actually parse the text to reach them: the `*` group
+    * carries the nib-1..4 directory rules plus two slash-star-digit-$
+    * wildcard
+    * rules (nibs 5/6), and hosts with even nib 7 add a GraftBot group
+    * (nibs 8..13) that the graftbot agent must select INSTEAD of `*`.
+    */
+  def encodeRobotsTxt(hosts: DataFrame, hostCol: String = "host"): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    hosts
+      .select(col(hostCol).cast("string"))
+      .filter(col(hostCol).isNotNull)
+      .distinct()
+      .as[String]
+      .map { host =>
+        val m = md5Hex(host)
+        def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+        def w(i: Int) = words(nib(i) % 8)
+        def d(i: Int) = ('0' + nib(i) % 10).toChar
+        val sb = new StringBuilder
+        sb.append(s"# robots.txt for $host\n")
+        sb.append(s"Sitemap: https://$host/sitemap.xml\n")
+        sb.append("\n")
+        sb.append("User-agent: *\n")
+        sb.append("Crawl-delay: 5\n")
+        sb.append(s"Disallow: /${w(1)}\n")
+        sb.append(s"Allow: /${w(1)}/${w(2)}\n")
+        sb.append(s"disallow:/${w(3)}/${w(4)}\n")
+        sb.append("\n") // blank line inside the group: must NOT end it
+        sb.append(s"Disallow: /*${d(5)}$$\n")
+        sb.append(s"Allow: /*${d(6)}$$  # trailing comment\n")
+        sb.append("Disallow:\n") // empty pattern: ignored, not allow-all
+        if (nib(7) % 2 == 0) {
+          sb.append("\n")
+          sb.append("User-Agent: GraftBot\n")
+          sb.append("User-agent: otherbot\n")
+          sb.append(s"Disallow: /${w(8)}\n")
+          sb.append(s"Allow: /${w(8)}/${w(9)}\n")
+          sb.append(s"Disallow: /${w(10)}/${w(11)}\n")
+          sb.append(s"Disallow: /*${d(12)}$$\n")
+          sb.append(s"Allow: /*${d(13)}$$\n")
+        }
+        val txt = sb.toString
+        (host, if (nib(14) % 2 == 0) txt.replace("\n", "\r\n") else txt)
+      }
+      .toDF("host", "robots_txt")
+  }
+
+  /** Parse a robots.txt per RFC 9309: lines split on LF (CR trimmed),
+    * `#` comments stripped, `field: value` on the first colon with the
+    * field case-insensitive; consecutive user-agent lines stack into
+    * one group and a user-agent line after rules starts a new one;
+    * blank lines and unknown directives neither end nor break a group.
+    * Returns the (isAllow, pattern) rules of the MOST SPECIFIC
+    * applicable group set: all groups naming `agent` (case-insensitive
+    * product token) if any exist, else all `*` groups — never a mix.
+    * Empty patterns are dropped.
+    */
+  private[ext] def parseRobotsTxt(txt: String, agent: String): Array[(Boolean, String)] = {
+    val wanted = agent.toLowerCase
+    // group = (agents, rules)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.Set[String], scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    var inAgents = false // last significant line was a user-agent line
+    txt.split("\n", -1).foreach { raw =>
+      val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+      val hash = noCr.indexOf('#')
+      val line = (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim.toLowerCase
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!inAgents || groups.isEmpty) {
+                groups += ((scala.collection.mutable.Set.empty[String], scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]))
+                inAgents = true
+              }
+              groups.last._1 += value.toLowerCase
+            case "allow" | "disallow" =>
+              inAgents = false
+              if (groups.nonEmpty && value.nonEmpty)
+                groups.last._2 += ((field == "allow", value))
+            case _ =>
+              // unknown directive (crawl-delay, sitemap, ...): part of the
+              // group but ignored; it DOES end an agent-line run
+              inAgents = false
+          }
+        }
+      }
+    }
+    val named = groups.filter(_._1.contains(wanted))
+    val chosen = if (named.nonEmpty) named else groups.filter(_._1.contains("*"))
+    chosen.flatMap(_._2).toArray
+  }
+
+  /** RFC 9309 path-pattern match: `*` matches any byte run, a TRAILING
+    * `$` anchors the pattern to the path end (elsewhere `$` is
+    * literal); without the anchor the pattern matches any path PREFIX.
+    * Iterative glob with star backtracking — linear in practice,
+    * worst-case |pat|·|path| with tiny patterns.
+    */
+  private[ext] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = 0
+    while (si < path.length) {
+      if (!anchored && pi == pat.length) return true // prefix consumed
+      if (pi < pat.length && pat.charAt(pi) == '*') {
+        starPi = pi; pi += 1; starSi = si
+      } else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0) {
+        starSi += 1; si = starSi; pi = starPi + 1
+      } else return false
+    }
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
+  }
+
+  final case class TxtDecision(doc_id: Long, host: String, path: String,
+      matched_len: Long, decision: String)
+
+  /** [[evaluate]]'s text-protocol sibling: decisions computed from the
+    * actual robots.txt BYTES. The per-host files broadcast (a rule set
+    * is tiny next to any URL table); each partition parses a host's
+    * file once through a local cache, then every URL row is one
+    * in-memory longest-match scan — map-only after the broadcast join,
+    * no shuffle, no skew beyond host popularity. Preference packs as
+    * `len(pattern)·2 + allowFlag` (length counts `*`/`$` as written —
+    * the de-facto octet-length rule), so one integer max IS
+    * longest-match-wins-tie-allows; no rule → allow with matched_len 0.
+    */
+  def evaluateTxt(urls: DataFrame, robots: DataFrame, agent: String = "graftbot"): Dataset[TxtDecision] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val r = robots.select(col("host").as("r_host"), col("robots_txt"))
+    urls
+      .select(col("doc_id").cast("long"), col("host").cast("string"), col("path").cast("string"))
+      .join(broadcast(r), col("host") === col("r_host"), "left")
+      .select(col("doc_id"), col("host"), col("path"), col("robots_txt"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[(Boolean, String)]]
+        it.map { case (id, host, path, txt) =>
+          val rules =
+            if (txt == null) Array.empty[(Boolean, String)]
+            else cache.getOrElseUpdate(host, parseRobotsTxt(txt, agent))
+          var best = -1L
+          var i = 0
+          while (i < rules.length) {
+            val (allow, pat) = rules(i)
+            if (patternMatches(pat, path)) {
+              val score = pat.length.toLong * 2 + (if (allow) 1 else 0)
+              if (score > best) best = score
+            }
+            i += 1
+          }
+          if (best < 0) TxtDecision(id, host, path, 0L, "allow")
+          else TxtDecision(id, host, path, best / 2, if (best % 2 == 1) "allow" else "disallow")
+        }
+      }
+  }
+
   /** Longest-match evaluation of `urls` (doc_id, host, path) against
     * `rules` (host, rule_type, prefix). Output: one row per URL with the
     * matched prefix length (0 = no rule applied) and the decision.

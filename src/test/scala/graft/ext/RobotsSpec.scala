@@ -60,6 +60,98 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("patternMatches: RFC 9309 wildcard truth table") {
+    val m = Robots.patternMatches _
+    // plain prefix
+    assert(m("/data", "/data/x") && m("/data", "/data") && !m("/data", "/dat"))
+    assert(!m("/data", "/files/data"))
+    // * matches any run, including empty
+    assert(m("/*/private", "/a/private/x") && m("/*/private", "//private"))
+    assert(m("/d*a", "/da") && m("/d*a", "/dxxxa/more") && !m("/d*a", "/dxxxb"))
+    // trailing $ anchors; embedded $ is literal
+    assert(m("/exact$", "/exact") && !m("/exact$", "/exactly"))
+    assert(m("/*7$", "/a/b7") && !m("/*7$", "/a/b71") && !m("/*7$", "/a/b8"))
+    assert(m("/a$b", "/a$b/c") && !m("/a$b", "/ab"))
+    // star backtracking: first candidate fails, later one succeeds
+    assert(m("/*ab$", "/abab") && !m("/*ab$", "/aba"))
+    // multiple stars
+    assert(m("/*/x/*/y", "/1/x/2/y-tail") && !m("/*/x/*/y", "/1/x/2/z"))
+  }
+
+  test("parseRobotsTxt: group selection, stacking, hazards, empty patterns") {
+    val txt =
+      "# comment only\r\n" +
+      "Sitemap: https://h/s.xml\n" +
+      "Disallow: /orphan-before-any-group\n" + // no group yet: dropped
+      "\n" +
+      "User-agent: *\n" +
+      "Crawl-delay: 5\n" +
+      "Disallow: /star\n" +
+      "\n" + // blank line must NOT end the group
+      "Allow: /star/ok  # trailing comment\n" +
+      "disallow:/nospace\n" +
+      "Disallow:\n" + // empty pattern: ignored
+      "User-Agent: GraftBot\n" +
+      "User-agent: otherbot\n" +
+      "Disallow: /gb\n"
+    // graftbot (case-insensitive) selects the stacked group, NOT *
+    assert(Robots.parseRobotsTxt(txt, "GRAFTBOT").toSeq == Seq((false, "/gb")))
+    assert(Robots.parseRobotsTxt(txt, "otherbot").toSeq == Seq((false, "/gb")))
+    // unknown agent falls back to the * group; blank line kept it open
+    assert(Robots.parseRobotsTxt(txt, "randombot").toSeq ==
+      Seq((false, "/star"), (true, "/star/ok"), (false, "/nospace")))
+    // two groups naming the same agent merge
+    val two = "User-agent: a\nDisallow: /1\nUser-agent: b\nDisallow: /2\nUser-agent: a\nAllow: /3\n"
+    assert(Robots.parseRobotsTxt(two, "a").toSeq == Seq((false, "/1"), (true, "/3")))
+    // no groups at all -> no rules -> default allow downstream
+    assert(Robots.parseRobotsTxt("# empty\n", "x").isEmpty)
+  }
+
+  test("evaluateTxt: text-protocol decisions match the structured evaluator's semantics") {
+    import spark.implicits._
+    val robots = Seq(
+      ("h.io", "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /*9$\n"),
+      ("g.io", "User-agent: *\nDisallow: /all\nUser-agent: graftbot\nAllow: /all\nDisallow: /all/secret$\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.evaluateTxt(urls(
+      (1L, "h.io", "/private/secret"),   // dir disallow
+      (2L, "h.io", "/private/ok/file"),  // deeper allow overrides
+      (3L, "h.io", "/public/page9"),     // wildcard $ disallow, len 4
+      (4L, "h.io", "/nothing"),          // default allow
+      (5L, "g.io", "/all/page"),         // graftbot group allow overrides * disallow
+      (6L, "g.io", "/all/secret"),       // anchored disallow wins inside graftbot group
+      (7L, "g.io", "/all/secrets"),      // anchor must NOT match the longer path
+      (8L, "x.io", "/no/robots")), robots) // host without a file: allow
+      .collect().map(x => x.doc_id -> ((x.matched_len, x.decision))).toMap
+    assert(got(1L) == ((8L, "disallow")))
+    assert(got(2L) == ((11L, "allow")))
+    assert(got(3L) == ((4L, "disallow")))
+    assert(got(4L) == ((0L, "allow")))
+    assert(got(5L) == ((4L, "allow")))
+    assert(got(6L) == ((12L, "disallow")))
+    assert(got(7L) == ((4L, "allow")))
+    assert(got(8L) == ((0L, "allow")))
+  }
+
+  test("encodeRobotsTxt + evaluateTxt: end-to-end over the URL fixture, partition-stable") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val u = Url.normalize(Url.attachUrls(docs)).toDF().select("doc_id", "host", "path")
+    val robots = Robots.encodeRobotsTxt(u)
+    // both serializations occur (CRLF parity) and GraftBot groups exist on some hosts
+    val txts = robots.collect().map(_.getString(1))
+    assert(txts.exists(_.contains("\r\n")) && txts.exists(t => !t.contains("\r\n")))
+    assert(txts.exists(_.contains("User-Agent: GraftBot")) && txts.exists(t => !t.contains("GraftBot")))
+    val out = Robots.evaluateTxt(u, robots).collect().map(d => (d.doc_id, d.matched_len, d.decision))
+    assert(out.length == 400)
+    assert(out.exists(_._3 == "disallow") && out.exists(_._3 == "allow"))
+    assert(out.exists(o => o._2 == 4L), "a wildcard rule decides somewhere")
+    assert(out.exists(o => o._2 > 4L && o._3 == "allow"), "a directory allow-override decides somewhere")
+    val again = Robots.evaluateTxt(u.repartition(13), robots).collect()
+      .map(d => (d.doc_id, d.matched_len, d.decision))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("end-to-end over the URL fixture: every decision arm occurs and is partition-stable") {
     import spark.implicits._
     val docs = (0L until 300L).toDF("doc_id")
