@@ -561,7 +561,10 @@ object Archives {
           data
         } catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
       case "deflate" =>
-        try Multimodal.zlibInflate(framed, 0, framed.length, maxBody)
+        // hint ~4x the framed size: the buffer grows geometrically toward
+        // maxBody for outliers instead of zeroing maxBody per record
+        try Multimodal.zlibInflate(framed, 0, framed.length, maxBody,
+          sizeHint = math.min(framed.length.toLong * 4 + 64, maxBody.toLong).toInt)
         catch { case scala.util.control.NonFatal(_) => throw new MalformedArchive }
       case "br" =>
         try Brotli.decompress(framed, maxBody)

@@ -829,13 +829,17 @@ object Multimodal {
     * verify the trailing big-endian Adler-32 against the decompressed
     * bytes — a real decoder's integrity check, not an option.
     */
-  private[ext] def zlibInflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int): Array[Byte] = {
+  private[ext] def zlibInflate(bytes: Array[Byte], from: Int, until: Int, expectedMax: Int,
+      sizeHint: Int = -1): Array[Byte] = {
     if (until - from < 6) throw new MalformedPng
     val cmf = bytes(from) & 0xff
     val flg = bytes(from + 1) & 0xff
     if ((cmf & 0x0f) != 8 || (cmf * 256 + flg) % 31 != 0 || (flg & 0x20) != 0)
       throw new MalformedPng
-    val data = inflate(bytes, from + 2, until - 4, expectedMax)
+    // sizeHint < 0 keeps the one-exact-allocation contract (PNG knows the
+    // decoded size); callers that only hold a CAP must hint, or every
+    // record pays an expectedMax-sized zeroed allocation up front
+    val data = inflateWithEnd(bytes, from + 2, until - 4, expectedMax, sizeHint)._1
     val stored = ((bytes(until - 4) & 0xff) << 24) | ((bytes(until - 3) & 0xff) << 16) |
       ((bytes(until - 2) & 0xff) << 8) | (bytes(until - 1) & 0xff)
     if (stored != adler32(data, 0, data.length)) throw new MalformedPng
