@@ -4401,6 +4401,65 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM s""".stripMargin
 
+  /** Distributed zstd dictionary TRAINING under the gate: the
+    * COVER-style selection — shingle frequencies → top-gram table →
+    * stride-sampled candidate segments scored by covered-shingle mass →
+    * top-k — with every ordering pinned to (count DESC, UTF-8 bytes
+    * ASC), so the whole selection replays relationally in DuckDB. One
+    * drifted tie-break, a missed segment position, or an off-by-one in
+    * the shingle window changes the ranked table and fails the hash.
+    */
+  private val qZstdDictTrain: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Zstd.dictTrain(table(s, dir, "documents"))
+
+  private val oZstdDictTrain: String =
+    """WITH d AS (SELECT text FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |g AS (SELECT unnest(list_transform(range(length(text) - 7), i ->
+      |        substr(text, CAST(i + 1 AS INT), 8))) AS gram
+      |      FROM d WHERE length(text) >= 8),
+      |f AS (SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1),
+      |tf AS (SELECT gram, cnt FROM
+      |        (SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, encode(gram)) AS rk FROM f)
+      |       WHERE rk <= 2048),
+      |s AS (SELECT DISTINCT segment FROM
+      |        (SELECT unnest(list_transform(range((length(text) - 64) // 32 + 1), j ->
+      |           substr(text, CAST(j * 32 + 1 AS INT), 64))) AS segment
+      |         FROM d WHERE length(text) >= 64)),
+      |sg AS (SELECT s.segment, unnest(list_transform(range(57), k ->
+      |         substr(s.segment, CAST(k + 1 AS INT), 8))) AS gram
+      |       FROM s),
+      |sc AS (SELECT sg.segment, sum(coalesce(tf.cnt, 0))::BIGINT AS score
+      |       FROM sg LEFT JOIN tf ON sg.gram = tf.gram GROUP BY 1),
+      |r AS (SELECT segment, score,
+      |        row_number() OVER (ORDER BY score DESC, encode(segment)) AS rk
+      |      FROM sc)
+      |SELECT (rk - 1)::BIGINT AS seg_rank, score, segment FROM r WHERE rk <= 128""".stripMargin
+
+  /** The dictionary PAIR under the gate: compress every document
+    * against the corpus-trained raw-content dictionary (LZ77 window
+    * pre-seeded, offsets reaching past the output start), decode
+    * through the dictionary-aware decoder, replay length + checksum
+    * from source text. ZstdSpec pins the other halves: libzstd decodes
+    * our dict frames against the same dictionary, and the dict must
+    * strictly beat the no-dict encoder on the fixture corpus.
+    */
+  private val qZstdDictRoundtrip: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val dict = graft.ext.Zstd.assembleDict(graft.ext.Zstd.dictTrain(docs))
+    graft.ext.Zstd.dictSignal(docs, dict).toDF()
+  }
+
+  private val oZstdDictRoundtrip: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |s AS (SELECT doc_id, hex(p) AS hx, octet_length(p) AS n FROM b)
+      |SELECT doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM s""".stripMargin
+
   /** Merge-based subword tokenization under the gate: the BPE apply
     * phase with a fixed 40-rule priority merge table. The oracle is the
     * ENTIRE tokenizer replayed in SQL — codepoint spelling via
@@ -6557,6 +6616,8 @@ object QueryCatalog {
     "rans_roundtrip" -> qRansRoundtrip,
     "zstd_roundtrip" -> qZstdRoundtrip,
     "brotli_roundtrip" -> qBrotliRoundtrip,
+    "zstd_dict_train" -> qZstdDictTrain,
+    "zstd_dict_roundtrip" -> qZstdDictRoundtrip,
     "zst_extract" -> qZstExtract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
@@ -6762,6 +6823,8 @@ object QueryCatalog {
     "rans_roundtrip" -> oRansRoundtrip,
     "zstd_roundtrip" -> oZstdRoundtrip,
     "brotli_roundtrip" -> oBrotliRoundtrip,
+    "zstd_dict_train" -> oZstdDictTrain,
+    "zstd_dict_roundtrip" -> oZstdDictRoundtrip,
     "zst_extract" -> oZstExtract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,

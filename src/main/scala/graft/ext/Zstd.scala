@@ -1349,14 +1349,27 @@ object Zstd {
     * compresses when its literals do (nbSeq = 0). Returns null when
     * nothing wins over a raw block.
     */
-  private def encodeBlock(seqs: Vector[Seq77], lits: Array[Byte], blockLen: Int): Array[Byte] = {
+  /** Encode one compressed block. `rep1/rep2/rep3` is the DECODER's
+    * offset history entering the block — it persists across blocks
+    * within a frame (RFC 8878 §3.1.1.5: only a frame, not a block,
+    * resets it), so the caller threads it through and the returned
+    * triple is the post-block history. A per-block (1,4,8) reset here
+    * was a live corruption: block 2's first offset-1 run match would be
+    * emitted as a repcode the decoder resolves against block 1's last
+    * offset (regression-pinned vs zstd-jni in ZstdSpec). Returns
+    * (block bytes or null for the raw fallback, r1', r2', r3'); on null
+    * the caller must NOT advance the history — raw blocks never touch
+    * it on the decode side.
+    */
+  private def encodeBlock(seqs: Vector[Seq77], lits: Array[Byte], blockLen: Int,
+      rep1: Int, rep2: Int, rep3: Int): (Array[Byte], Int, Int, Int) = {
     val out = new java.io.ByteArrayOutputStream()
     val litSection = encodeLiterals(lits)
     out.write(litSection, 0, litSection.length)
     if (seqs.isEmpty) {
       out.write(0) // no sequences: the block is its literals
       val block = out.toByteArray
-      return if (block.length >= blockLen) null else block
+      return (if (block.length >= blockLen) null else block, rep1, rep2, rep3)
     }
     // codes per sequence; offsets use REPCODES where the decoder's
     // three-slot history (simulated here with its exact update rules,
@@ -1365,8 +1378,8 @@ object Zstd {
     // log2(offset) bits, the big win on structured text
     val llC = seqs.map(s => llCode(s.ll))
     val mlC = seqs.map(s => mlCode(s.ml))
+    var r1 = rep1; var r2 = rep2; var r3 = rep3
     val ofValues = {
-      var r1 = 1; var r2 = 4; var r3 = 8
       seqs.map { s =>
         val o = s.offset
         val v: Long =
@@ -1392,7 +1405,7 @@ object Zstd {
       }
     }
     val ofC = ofValues.map(v => 63 - java.lang.Long.numberOfLeadingZeros(v))
-    if (ofC.exists(_ > 30)) return null // keep offsets in Int range
+    if (ofC.exists(_ > 30)) return (null, rep1, rep2, rep3) // keep offsets in Int range
     // variant A: predefined tables (zero description bytes; OF alphabet
     // capped at code 28 there)
     val pre: Array[Byte] =
@@ -1408,7 +1421,8 @@ object Zstd {
       else pre
     out.write(section, 0, section.length)
     val block = out.toByteArray
-    if (block.length >= blockLen) null else block // no win: caller emits raw
+    // no win: caller emits raw and must keep the ENTERING history
+    if (block.length >= blockLen) (null, rep1, rep2, rep3) else (block, r1, r2, r3)
   }
 
   /** Compress to a standalone zstd frame: single-segment header with
@@ -1435,12 +1449,14 @@ object Zstd {
     val chain = Array.fill(math.max(1, n))(-1)
     var p = 0
     var wroteBlock = false
+    var r1 = 1; var r2 = 4; var r3 = 8 // decoder history: per FRAME, not per block
     while (p < n || !wroteBlock) {
       val end = math.min(p + MaxBlock, n)
       val isLast = end == n
       val (seqs, lits) = lz77(data, p, end, head, chain)
-      val enc = encodeBlock(seqs, lits, end - p)
+      val (enc, nr1, nr2, nr3) = encodeBlock(seqs, lits, end - p, r1, r2, r3)
       if (enc != null) {
+        r1 = nr1; r2 = nr2; r3 = nr3
         val bh = (if (isLast) 1 else 0) | (2 << 1) | (enc.length << 3)
         out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
         out.write(enc, 0, enc.length)
@@ -1458,6 +1474,65 @@ object Zstd {
     out.toByteArray
   }
 
+  /** [[compress]] against a RAW-CONTENT dictionary: the dictionary
+    * bytes pre-seed the LZ77 window — hash chains are primed over the
+    * dictionary region (emitting nothing), so matches from the first
+    * data byte on may carry offsets reaching PAST the output start,
+    * which [[decompressWithDict]] (and libzstd, cross-pinned in
+    * ZstdSpec) resolve against the dictionary content. The frame is
+    * otherwise the standard single-segment layout with the DATA's
+    * content size and checksum; raw-content dictionaries carry no id
+    * (the caller vouches for the pairing, per the zstd raw-dict
+    * contract), so the header declares none and repcode history starts
+    * at the spec's 1/4/8 on both sides.
+    */
+  private[ext] def compressWithRawDict(data: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    if (dict == null || dict.length == 0) return compress(data)
+    val full = new Array[Byte](dict.length + data.length)
+    System.arraycopy(dict, 0, full, 0, dict.length)
+    System.arraycopy(data, 0, full, dict.length, data.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x28); out.write(0xB5); out.write(0x2F); out.write(0xFD)
+    val n = data.length
+    val fcsFlag = if (n < 256) 0 else if (n < 65536 + 256) 1 else 2
+    out.write((fcsFlag << 6) | 0x20 | 0x04) // single-segment + checksum
+    fcsFlag match {
+      case 0 => out.write(n)
+      case 1 => val v = n - 256; out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      case _ =>
+        out.write(n & 0xff); out.write((n >> 8) & 0xff)
+        out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    }
+    val head = Array.fill(1 << 15)(-1)
+    val chain = Array.fill(math.max(1, full.length))(-1)
+    lz77(full, 0, dict.length, head, chain) // prime the chains; output discarded
+    var p = dict.length
+    var wroteBlock = false
+    var r1 = 1; var r2 = 4; var r3 = 8 // raw dicts leave the spec history
+    while (p < full.length || !wroteBlock) {
+      val end = math.min(p + MaxBlock, full.length)
+      val isLast = end == full.length
+      val (seqs, lits) = lz77(full, p, end, head, chain)
+      val (enc, nr1, nr2, nr3) = encodeBlock(seqs, lits, end - p, r1, r2, r3)
+      if (enc != null) {
+        r1 = nr1; r2 = nr2; r3 = nr3
+        val bh = (if (isLast) 1 else 0) | (2 << 1) | (enc.length << 3)
+        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+        out.write(enc, 0, enc.length)
+      } else {
+        val bh = (if (isLast) 1 else 0) | (0 << 1) | ((end - p) << 3)
+        out.write(bh & 0xff); out.write((bh >> 8) & 0xff); out.write((bh >> 16) & 0xff)
+        out.write(full, p, end - p)
+      }
+      p = end
+      wroteBlock = true
+    }
+    val cks = xxh64(data, 0L)
+    out.write((cks & 0xff).toInt); out.write(((cks >> 8) & 0xff).toInt)
+    out.write(((cks >> 16) & 0xff).toInt); out.write(((cks >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- operator
 
   final case class ZstdStats(
@@ -1465,6 +1540,105 @@ object Zstd {
 
   final case class ZstEntry(
       archive_id: Long, rec_idx: Long, rec_doc_id: Long, n_bytes: Long, checksum: Long)
+
+  final case class DictSegment(seg_rank: Long, score: Long, segment: String)
+
+  /** Distributed zstd dictionary TRAINING — the COVER/fastcover idea
+    * (Liao et al.; zstd's own trainer family) re-expressed as three
+    * bounded Spark stages: (1) count all `gramLen`-char shingles across
+    * the corpus (the one big shuffle, map-side combined), keep the
+    * `topGrams` most frequent (deterministic tie-break on UTF-8 bytes
+    * — Spark binary sort and DuckDB BLOB compare agree, where raw
+    * string orderings would not); (2) score fixed-length candidate
+    * segments (stride-sampled from every document, exact-deduped) by
+    * the summed frequency of the shingles they cover, via a broadcast
+    * join against the bounded top-gram table; (3) take the `nSegments`
+    * best (same byte-wise tie-break) — the dictionary is their
+    * concatenation, BEST SEGMENT LAST, nearest the window edge where
+    * offsets are cheapest (libzstd's own layout convention). Every
+    * stage is bounded (topGrams rows broadcast, nSegments·segLen dict)
+    * and every ordering is a pinned total order, so the selection is
+    * bit-reproducible and the DuckDB oracle replays it relationally.
+    */
+  def dictTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      segLen: Int = 64, stride: Int = 32, gramLen: Int = 8,
+      topGrams: Int = 2048, nSegments: Int = 128): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(textCol).as("text"))
+    val freqs = base
+      .filter(length(col("text")) >= gramLen)
+      .select(explode(expr(
+        s"transform(sequence(0, length(text) - $gramLen), i -> substring(text, i + 1, $gramLen))"))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val topf = freqs
+      .orderBy(col("cnt").desc, encode(col("gram"), "UTF-8"))
+      .limit(topGrams)
+    val segments = base
+      .filter(length(col("text")) >= segLen)
+      .select(explode(expr(
+        s"transform(sequence(0, (length(text) - $segLen) div $stride), j -> substring(text, j * $stride + 1, $segLen))"))
+        .as("segment"))
+      .distinct()
+    val scored = segments
+      .select(col("segment"), explode(expr(
+        s"transform(sequence(0, ${segLen - gramLen}), k -> substring(segment, k + 1, $gramLen))"))
+        .as("gram"))
+      .join(broadcast(topf), Seq("gram"), "left")
+      .groupBy("segment")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("score"))
+    // the final rank: nSegments rows — a single-partition window over a
+    // LIMITed frame this small is bounded driver-free state
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, encode(col("segment"), "UTF-8"))
+    scored
+      .orderBy(col("score").desc, encode(col("segment"), "UTF-8"))
+      .limit(nSegments)
+      .select((row_number().over(w) - 1).cast("long").as("seg_rank"),
+        col("score").cast("long"), col("segment"))
+  }
+
+  /** Assemble the trained dictionary bytes from [[dictTrain]]'s output:
+    * segments concatenated WORST-first so the best segment sits at the
+    * end, adjacent to the compression window. Bounded collect —
+    * nSegments · segLen chars by construction.
+    */
+  def assembleDict(ranked: DataFrame): Array[Byte] = {
+    val rows = ranked.select(col("seg_rank"), col("segment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(-_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    rows.foreach { case (_, s) => out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+    out.toByteArray
+  }
+
+  final case class ZstdDictStats(doc_id: Long, n_bytes: Long, checksum: Long)
+
+  /** Per-document round trip through the DICTIONARY pair:
+    * [[compressWithRawDict]] against a corpus-trained dictionary, then
+    * [[decompressWithDict]]. The oracle replays length + checksum from
+    * source text (the deflate-shape contract; compressed size is the
+    * engine-model half, pinned by ZstdSpec's libzstd differential and
+    * the spec's dict-must-beat-no-dict ratio gate). The dictionary
+    * broadcasts as a closure constant — KBs by construction.
+    */
+  def dictSignal(docs: DataFrame, dict: Array[Byte],
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[ZstdDictStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val comp = compressWithRawDict(data, dict)
+        val back = decompressWithDict(comp, dict, math.max(1, data.length))
+        var c = 0L
+        back.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+        ZstdDictStats(id, back.length.toLong, c)
+      }
+  }
 
   /** Documents grouped into multi-frame `.zst` archives: per record,
     * one SKIPPABLE frame carrying the doc id (8-byte LE payload — the

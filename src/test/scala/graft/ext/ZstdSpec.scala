@@ -222,6 +222,30 @@ class ZstdSpec extends AnyFunSuite {
     assert(fails(frame(seqBomb, seqBomb.length, 2)), "sequence-expansion bomb")
   }
 
+  test("regression: repcode history persists across blocks within a frame") {
+    // block 2 opens with an offset-1 run match; a per-block (1,4,8)
+    // reset in the encoder's history simulation made it a repcode the
+    // decoder resolves against block 1's LAST offset — a corrupt frame
+    // both our decoder and libzstd rejected by checksum
+    val sb = new StringBuilder
+    val rnd = new scala.util.Random(7)
+    while (sb.length < 131072) {
+      sb.append("the quick brown fox jumps over the lazy dog ")
+      sb.append(rnd.alphanumeric.take(20).mkString)
+      sb.append(' ')
+    }
+    sb.setLength(131072)
+    sb.append('q').append("Z" * 300)
+    sb.append("tail text to finish the block with content ")
+    val data = sb.toString.getBytes(UTF_8)
+    val comp = Zstd.compress(data)
+    assert(java.util.Arrays.equals(Zstd.decompress(comp, data.length), data),
+      "multi-block frame with an early block-2 run must round-trip")
+    assert(java.util.Arrays.equals(
+      com.github.luben.zstd.Zstd.decompress(comp, data.length), data),
+      "libzstd must agree on the cross-block repcode frame")
+  }
+
   test("dictionary frames: zstd-jni trained dictionary decodes with OUR decoder") {
     // a corpus of similar small documents — the trained-dictionary use
     // case: cross-document redundancy lives in the dict, not the frame
@@ -274,5 +298,84 @@ class ZstdSpec extends AnyFunSuite {
       val back = Zstd.decompressWithDict(comp, dictContent, 1 << 20)
       assert(java.util.Arrays.equals(back, data), "raw-content dict decode diverged")
     } finally cctx.close()
+  }
+
+  test("compressWithRawDict: our dict frames round-trip AND decode through libzstd") {
+    val dict = ("common phrase bank: the quick brown fox; lorem ipsum dolor sit amet; " +
+      "shared boilerplate header and footer text every doc reuses; " * 10).getBytes(UTF_8)
+    val docs = Seq(
+      "lorem ipsum dolor sit amet, plus a unique suffix A17",
+      "shared boilerplate header and footer text every doc reuses; middle bit; " +
+        "shared boilerplate header and footer text every doc reuses;",
+      "completely unrelated content with no dictionary overlap at all 998877",
+      "", // empty document
+      "the quick brown fox; " * 50) // dict hit + self-repetition
+      .map(_.getBytes(UTF_8))
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    try {
+      dctx.loadDict(dict)
+      docs.foreach { data =>
+        val comp = Zstd.compressWithRawDict(data, dict)
+        assert(java.util.Arrays.equals(Zstd.decompressWithDict(comp, dict, math.max(1, data.length)), data),
+          "our decoder must round-trip the dict frame")
+        assert(java.util.Arrays.equals(dctx.decompress(comp, data.length), data),
+          "libzstd must decode our dict frame against the same dictionary")
+      }
+      // the dictionary must actually help on dict-overlapping content
+      val overlapping = docs(0)
+      assert(Zstd.compressWithRawDict(overlapping, dict).length < Zstd.compress(overlapping).length,
+        "dict frame should beat the bare frame on overlapping content")
+      // decoding against the WRONG raw dictionary is caught by the checksum
+      val other = new Array[Byte](dict.length)
+      java.util.Arrays.fill(other, 'x'.toByte)
+      val comp = Zstd.compressWithRawDict(overlapping, dict)
+      assert(
+        try { Zstd.decompressWithDict(comp, other, 1 << 20); false }
+        catch { case _: RuntimeException => true },
+        "wrong raw dict must fail the content checksum")
+    } finally dctx.close()
+  }
+
+  test("dictTrain: deterministic bounded selection; dictSignal round-trips and the dict wins") {
+    import spark.implicits._
+    // a corpus with heavy cross-document phrase reuse — the trained-dict use case
+    val phrases = Array(
+      "the committee approved the quarterly budget report. ",
+      "users reported intermittent latency on the search endpoint. ",
+      "this document is confidential and for internal use only. ",
+      "release notes: bug fixes and performance improvements. ")
+    val docs = (0L until 300L).map { i =>
+      val sb = new StringBuilder
+      (0 until 4).foreach(k => sb.append(phrases(((i + k) % 4).toInt)))
+      sb.append(s"unique tail $i")
+      (i, sb.toString)
+    }.toDF("doc_id", "text")
+    val ranked = Zstd.dictTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(ranked.length <= 128 && ranked.nonEmpty)
+    assert(ranked.map(_._1).toSeq == ranked.indices.map(_.toLong), "dense ranks")
+    assert(ranked.sortBy(_._1).map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "scores nonincreasing by rank")
+    // deterministic under repartition
+    val again = Zstd.dictTrain(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(ranked.toSeq == again.toSeq)
+    val dict = Zstd.assembleDict(Zstd.dictTrain(docs))
+    assert(dict.length <= 128 * 64 && dict.length > 0)
+    // round trip every doc through the dict pair
+    val stats = Zstd.dictSignal(docs, dict).collect()
+    assert(stats.length == 300)
+    docs.collect().foreach { r =>
+      val want = r.getString(1).getBytes(UTF_8)
+      val s = stats.find(_.doc_id == r.getLong(0)).get
+      var c = 0L
+      want.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(s.n_bytes == want.length && s.checksum == c)
+    }
+    // the dictionary must strictly beat the no-dict encoder on this corpus
+    val texts = docs.select("text").as[String].collect()
+    val withDict = texts.map(t => Zstd.compressWithRawDict(t.getBytes(UTF_8), dict).length.toLong).sum
+    val without = texts.map(t => Zstd.compress(t.getBytes(UTF_8)).length.toLong).sum
+    assert(withDict < without, s"trained dict must win: $withDict vs $without")
   }
 }
