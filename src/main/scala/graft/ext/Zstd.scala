@@ -988,6 +988,27 @@ object Zstd {
     * single-segment window); matches never extend past the block end
     * (sequences cannot span blocks). Min match 4.
     */
+  /** Insert-only chain build over a region that will never be emitted
+    * (dictionary priming). [[lz77]] inserts every position 0..until-4 in
+    * ascending order while ALSO running its match search; this builds
+    * the IDENTICAL chains (same hash, same insertion order) without the
+    * wasted probes — per-document dictionary priming went from the
+    * dominant cost of `zstd_dict_roundtrip` to noise. The hash MUST
+    * stay in lockstep with [[lz77]]'s.
+    */
+  private def primeChains(data: Array[Byte], from: Int, until: Int,
+      head: Array[Int], chain: Array[Int]): Unit = {
+    var i = from
+    while (i + 4 <= until) {
+      val v = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      val h = (v * 0x9E3779B1) >>> 17
+      chain(i) = head(h)
+      head(h) = i
+      i += 1
+    }
+  }
+
   private def lz77(data: Array[Byte], from: Int, until: Int,
       head: Array[Int], chain: Array[Int]): (Vector[Seq77], Array[Byte]) = {
     val MaxProbes = 32
@@ -1505,7 +1526,7 @@ object Zstd {
     }
     val head = Array.fill(1 << 15)(-1)
     val chain = Array.fill(math.max(1, full.length))(-1)
-    lz77(full, 0, dict.length, head, chain) // prime the chains; output discarded
+    primeChains(full, 0, dict.length, head, chain)
     var p = dict.length
     var wroteBlock = false
     var r1 = 1; var r2 = 4; var r3 = 8 // raw dicts leave the spec history
