@@ -302,13 +302,45 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("warc/csv extraction: exactly one exchange — the shard-synthesis grouping") {
-    Seq("warc_extract", "warc_http_extract", "csv_extract").foreach { key =>
+    Seq("warc_extract", "warc_http_extract", "warc_http_enc_extract",
+      "csv_extract").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 1,
         s"$key: the only shuffle should be building the archives (got $exchanges):\n${p.take(1500)}")
       assertNoCartesian(p)
     }
+  }
+
+  test("sitemap_extract: two host exchanges — fixture staging plus the file-set grouping") {
+    // unlike the WARC keys (archive -> map-only flatMap), sitemap ingestion
+    // genuinely needs a host's FILES together (index + children), so the
+    // extract side is its own groupByKey on host; the first exchange is the
+    // fixture writer, absent in real ingestion where files come from storage
+    val p = plan(QueryCatalog.queries("sitemap_extract")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"got $exchanges exchanges:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "no joins in the sitemap path")
+    assertNoCartesian(p)
+  }
+
+  test("robots decisions: the rule/file side broadcasts — never a shuffled join") {
+    Seq("robots_decisions", "robots_txt_decisions").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$key: per-host rules must broadcast into the URL side:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"), s"$key: the URL table must not shuffle for the join")
+      assertNoCartesian(p)
+    }
+  }
+
+  test("zstd_dict_train: the top-gram table broadcasts; rank is top-k, not a corpus window") {
+    val p = plan(QueryCatalog.queries("zstd_dict_train")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 2048-row top-gram table must broadcast into the segment scorer:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the segment rank must be a bounded top-k, not a global sort")
+    assertNoCartesian(p)
   }
 
   test("pagerank: one contribution shuffle per iteration, no cartesian, no window") {
