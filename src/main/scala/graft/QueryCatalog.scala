@@ -4401,6 +4401,31 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM s""".stripMargin
 
+  /** IDNA/punycode under the gate: a deterministic unicode host per doc
+    * (one non-ASCII code point in the site label; every fifth id pure
+    * ASCII) goes through the from-scratch RFC 3492 bootstring ENCODER
+    * to its `xn--` form and back through the strict DECODER; the oracle
+    * rebuilds the expected unicode host closed-form with `chr()`, so
+    * the decode must invert the encode bit-exactly — one bias
+    * adaptation or insertion-point slip changes a code point and fails
+    * the hash. Both directions are additionally differentialed against
+    * `java.net.IDN` in PunycodeSpec.
+    */
+  private val qIdnaHostDecode: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Punycode.idnaSignal(table(s, dir, "documents")).toDF()
+
+  private val oIdnaHostDecode: String =
+    """SELECT doc_id,
+      |  list_extract(['news','shop','blog','mail','docs','wiki','cloud','store'],
+      |    1 + CAST(doc_id % 8 AS INT)) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ''
+      |       ELSE chr(list_extract([233, 252, 241, 20013, 1076, 945],
+      |              1 + CAST(doc_id % 6 AS INT))) END ||
+      |  CAST(doc_id % 10 AS VARCHAR) || '.' ||
+      |  list_extract(['com','org','net','io'], 1 + CAST(doc_id % 4 AS INT)) AS host_unicode,
+      |  (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_idn_labels
+      |FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0""".stripMargin
+
   /** Distributed zstd dictionary TRAINING under the gate: the
     * COVER-style selection — shingle frequencies → top-gram table →
     * stride-sampled candidate segments scored by covered-shingle mass →
@@ -6489,6 +6514,7 @@ object QueryCatalog {
     "robots_decisions" -> qRobotsDecisions,
     "robots_txt_decisions" -> qRobotsTxtDecisions,
     "sitemap_extract" -> qSitemapExtract,
+    "idna_host_decode" -> qIdnaHostDecode,
     "unicode_nfc" -> qUnicodeNfc,
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
@@ -6699,6 +6725,7 @@ object QueryCatalog {
     "robots_decisions" -> oRobotsDecisions,
     "robots_txt_decisions" -> oRobotsTxtDecisions,
     "sitemap_extract" -> oSitemapExtract,
+    "idna_host_decode" -> oIdnaHostDecode,
     "unicode_nfc" -> oUnicodeNfc,
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,
