@@ -1580,6 +1580,14 @@ object Zstd {
     * stage is bounded (topGrams rows broadcast, nSegments·segLen dict)
     * and every ordering is a pinned total order, so the selection is
     * bit-reproducible and the DuckDB oracle replays it relationally.
+    *
+    * 100 TB note: a dictionary saturates on a tiny fraction of a large
+    * corpus — pass a SAMPLE as `docs` (e.g. a deterministic hash
+    * sample of a few hundred MB, zstd's own trainers cap samples the
+    * same way); the shingle count and the segment distinct() are the
+    * two corpus-linear shuffles, and both scale with the SAMPLE, not
+    * the corpus. The driver key trains on the whole fixture table
+    * because at test scale the fixture IS the sample.
     */
   def dictTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       segLen: Int = 64, stride: Int = 32, gramLen: Int = 8,
