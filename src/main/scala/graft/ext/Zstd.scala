@@ -569,14 +569,18 @@ object Zstd {
     * multi-block frame decode O(n²) in copied bytes (~16 GB of copies
     * for a 64 MB document).
     */
-  private final class OutBuf(initial: Int) {
+  private final class OutBuf(initial: Int, limit: Long) {
     private var a = new Array[Byte](math.max(64, initial))
     var len = 0
     def byteAt(i: Int): Byte = a(i)
     private def grow(need: Int): Unit = {
-      var cap = a.length
-      while (cap < need) cap = cap << 1
-      a = java.util.Arrays.copyOf(a, cap)
+      // Long arithmetic with a hard clamp at `limit`: a caller passing
+      // maxOut near Int.MaxValue must not send `cap << 1` negative
+      // (doubling past 2^30 overflows Int and the loop never ends).
+      if (need < 0 || need > limit) fail()
+      var cap = a.length.toLong
+      while (cap < need) cap = math.min(cap << 1, limit)
+      a = java.util.Arrays.copyOf(a, cap.toInt)
     }
     def append(b: Byte): Unit = {
       if (len == a.length) grow(len + 1)
@@ -714,7 +718,11 @@ object Zstd {
     if (contentSize > maxOut) fail()
     val ob = new OutBuf(
       if (contentSize >= 0) contentSize.toInt
-      else math.min(maxOut.toLong, 4L * math.max(64, in.length - start)).toInt)
+      else math.min(maxOut.toLong, 4L * math.max(64, in.length - start)).toInt,
+      // headroom of one max-size block: appends are bounds-checked per
+      // block AFTER landing, so the buffer may legitimately overshoot
+      // maxOut by < MaxBlock before the check fails the frame
+      math.min(Int.MaxValue - 8L, maxOut.toLong + MaxBlock))
     val st = new FrameState
     val dictContent = if (dict != null) dict.content else EmptyBytes
     if (dict != null) {
@@ -1660,12 +1668,19 @@ object Zstd {
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val comp = compressWithRawDict(data, dict)
-        val back = decompressWithDict(comp, dict, math.max(1, data.length))
-        var c = 0L
-        back.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
-        ZstdDictStats(id, back.length.toLong, c)
+        // family convention (zstdSignal, brotliSignal): one damaged
+        // round trip quarantines as a (-1, -1) sentinel row instead of
+        // failing the whole job
+        try {
+          val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val comp = compressWithRawDict(data, dict)
+          val back = decompressWithDict(comp, dict, math.max(1, data.length))
+          var c = 0L
+          back.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+          ZstdDictStats(id, back.length.toLong, c)
+        } catch {
+          case scala.util.control.NonFatal(_) => ZstdDictStats(id, -1L, -1L)
+        }
       }
   }
 
