@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sitemaps, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Charset, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sitemaps, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -3065,6 +3065,49 @@ object QueryCatalog {
       |       ((fs2 // 32) % 1048576)::BIGINT AS n_invalid,
       |       ((fs2 // 32) % 1048576) = 0 AS is_valid
       |FROM g""".stripMargin
+
+  /** Charset detection + transcoding under the gate ([[graft.ext.Charset]]):
+    * the WHATWG precedence chain (BOM > Content-Type header > `<meta>`
+    * prescan > windows-1252 default, with ISO-8859-1→cp1252 label
+    * aliasing) over a declaration-hazard fixture — per doc, md5 nibbles
+    * pick an actual encoding (utf-8 / cp1252 / utf-8+BOM / utf-16le+BOM),
+    * a declaration mode (correct header / meta-only / WRONG header /
+    * undeclared / header-vs-meta conflict) and a non-ASCII snippet.
+    * The oracle replays the identical picks and joins a closed-form
+    * 160-row expected-outcome table whose decoded strings were computed
+    * with the JDK's decoders (an implementation INDEPENDENT of the
+    * from-scratch WHATWG decoders being graded), then hashes the decoded
+    * UTF-8 bytes positionally — so a slip in precedence, aliasing, BOM
+    * stripping, or replacement-character semantics fails bitwise.
+    */
+  private val qCharsetDecode: (SparkSession, String) => DataFrame = (s, dir) =>
+    Charset.charsetSignal(Charset.encodeCharsetDocs(table(s, dir, "documents"))).toDF()
+
+  private val oCharsetDecode: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val rows = Charset.oracleCombos.map { case (a, d, p, prefix, piece, detected, source) =>
+      s"($a, $d, $p, '${esc(prefix)}', '${esc(piece)}', '$detected', '$source')"
+    }.mkString(",\n      |    ")
+    s"""WITH d0 AS (SELECT doc_id FROM documents
+       |            WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+       |q AS (SELECT doc_id,
+       |        ('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT % 4 AS a,
+       |        ('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)), 2, 1))::BIGINT % 5 AS d,
+       |        ('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)), 3, 1))::BIGINT % 8 AS p
+       |      FROM d0),
+       |t AS (SELECT * FROM (VALUES
+       |    $rows) v(a, d, p, prefix, piece, detected, source)),
+       |j AS (SELECT q.doc_id, t.prefix || 'id:' || CAST(q.doc_id AS VARCHAR) || ':' || t.piece AS dec,
+       |             t.detected, t.source
+       |      FROM q JOIN t ON t.a = q.a AND t.d = q.d AND t.p = q.p),
+       |h AS (SELECT doc_id, detected, source, hex(encode(dec)) AS hx,
+       |             octet_length(encode(dec)) AS n FROM j)
+       |SELECT doc_id, detected, source, n::BIGINT AS n_bytes_out,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (s, b) -> (s * 31 + b) % 1000000007)::BIGINT AS checksum
+       |FROM h""".stripMargin
+  }
 
   /** Link-graph authority under the gate: 10 rounds of fixed-point
     * integer PageRank over the deterministic host graph (one link per
@@ -6617,6 +6660,7 @@ object QueryCatalog {
     "host_link_edges" -> qHostLinkEdges,
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
+    "charset_decode" -> qCharsetDecode,
     "host_pagerank" -> qHostPagerank,
     "hll_registers" -> qHllRegisters,
     "blocklist_match" -> qBlocklistMatch,
@@ -6825,6 +6869,7 @@ object QueryCatalog {
     "host_link_edges" -> oHostLinkEdges,
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
+    "charset_decode" -> oCharsetDecode,
     "host_pagerank" -> oHostPagerank,
     "hll_registers" -> oHllRegisters,
     "blocklist_match" -> oBlocklistMatch,
