@@ -2873,6 +2873,33 @@ object QueryCatalog {
     graft.ext.Zstd.zstExtract(
       graft.ext.Zstd.encodeZstArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
 
+  /** The `.bz2` ingest path under the gate ([[graft.ext.Bzip2]] — the
+    * Wikipedia-dump container): documents packed into 16 multi-stream
+    * archives (one stream per record, the lbzip2 convention), then
+    * demuxed back through the full from-scratch pipeline — Huffman
+    * groups, MTF/RLE2, inverse BWT, RLE1, per-block and combined
+    * CRC-32 — down to per-record integers the oracle recomputes from
+    * source text. Any slip in any stage fails the per-record checksum;
+    * a damaged archive quarantines whole. Same oracle shape as
+    * `zst_extract`, so the two container families grade identically.
+    */
+  private val qBz2Extract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Bzip2.bz2Extract(
+      graft.ext.Bzip2.encodeBz2Archives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oBz2Extract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   private val oZstExtract: String =
     """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
@@ -6689,6 +6716,7 @@ object QueryCatalog {
     "zstd_dict_train" -> qZstdDictTrain,
     "zstd_dict_roundtrip" -> qZstdDictRoundtrip,
     "zst_extract" -> qZstExtract,
+    "bz2_extract" -> qBz2Extract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
     "suffix_array" -> qSuffixArray,
@@ -6898,6 +6926,7 @@ object QueryCatalog {
     "zstd_dict_train" -> oZstdDictTrain,
     "zstd_dict_roundtrip" -> oZstdDictRoundtrip,
     "zst_extract" -> oZstExtract,
+    "bz2_extract" -> oBz2Extract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
     "suffix_array" -> oSuffixArray,
