@@ -4471,6 +4471,23 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM s""".stripMargin
 
+  /** The REAL brotli encoder under the gate: [[graft.ext.Brotli.compressQ1]]
+    * emits genuinely COMPRESSED meta-blocks (greedy hash-4 LZ77,
+    * per-block literal/insert-copy/distance prefix codes in the simple
+    * or complex serialization, distance ring mirroring) which the full
+    * decoder — itself differentialed against committed libbrotli
+    * streams — must invert bit-exactly. The oracle replays length +
+    * checksum from source text; a sentinel (-1, -1) surfaces any
+    * document whose round trip breaks, so one bad prefix-code
+    * serialization in 500 documents fails the hash. Compressed SIZE is
+    * the engine-model half, pinned in BrotliSpec (q1 beats raw framing
+    * on compressible text).
+    */
+  private val qBrotliQ1Roundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Brotli.brotliQ1Signal(table(s, dir, "documents")).toDF()
+
+  private val oBrotliQ1Roundtrip: String = oDeflateRoundtrip
+
   /** IDNA/punycode under the gate: a deterministic unicode host per doc
     * (one non-ASCII code point in the site label; every fifth id pure
     * ASCII) goes through the from-scratch RFC 3492 bootstring ENCODER
@@ -6713,6 +6730,7 @@ object QueryCatalog {
     "rans_roundtrip" -> qRansRoundtrip,
     "zstd_roundtrip" -> qZstdRoundtrip,
     "brotli_roundtrip" -> qBrotliRoundtrip,
+    "brotli_q1_roundtrip" -> qBrotliQ1Roundtrip,
     "zstd_dict_train" -> qZstdDictTrain,
     "zstd_dict_roundtrip" -> qZstdDictRoundtrip,
     "zst_extract" -> qZstExtract,
@@ -6923,6 +6941,7 @@ object QueryCatalog {
     "rans_roundtrip" -> oRansRoundtrip,
     "zstd_roundtrip" -> oZstdRoundtrip,
     "brotli_roundtrip" -> oBrotliRoundtrip,
+    "brotli_q1_roundtrip" -> oBrotliQ1Roundtrip,
     "zstd_dict_train" -> oZstdDictTrain,
     "zstd_dict_roundtrip" -> oZstdDictRoundtrip,
     "zst_extract" -> oZstExtract,

@@ -427,9 +427,10 @@ object Archives {
     * CODING to the body BEFORE the transfer framing (RFC 9110 layering:
     * content coding innermost, transfer coding outermost) — 0: identity,
     * 1: gzip (a genuine member, header profile and DEFLATE block type
-    * cycled by `id`), 2: zlib deflate, 3: brotli (RFC 7932, the raw
-    * framing [[Brotli.compressRaw]] emits — valid input for ANY brotli
-    * decoder, libbrotli-verified by the fixture generator).
+    * cycled by `id`), 2: zlib deflate, 3: brotli (RFC 7932, genuinely
+    * COMPRESSED meta-blocks from the quality-1 encoder
+    * [[Brotli.compressQ1]] — LZ77 + per-block prefix codes, decodable
+    * by any brotli decoder).
     */
   private def httpResponse(body: Array[Byte], chunked: Boolean, encoding: Int = 0,
       id: Long = 0L): Array[Byte] = {
@@ -437,7 +438,7 @@ object Archives {
       case 1 => (gzipMember(body, (id % 4).toInt, id, method = (id % 3).toInt),
         "Content-Encoding: gzip\r\n")
       case 2 => (zlibDeflate(body), "Content-Encoding: deflate\r\n")
-      case 3 => (Brotli.compressRaw(body), "Content-Encoding: br\r\n")
+      case 3 => (Brotli.compressQ1(body), "Content-Encoding: br\r\n")
       case _ => (body, "")
     }
     val out = new java.io.ByteArrayOutputStream(payload.length + 160)

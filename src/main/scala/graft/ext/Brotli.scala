@@ -724,6 +724,366 @@ object Brotli {
     out.toByteArray
   }
 
+  // ----------------------------------------------------- REAL encoder
+
+  /** LSB-first bit writer (RFC 7932 §1.5): `put` appends value bits
+    * least-significant first (the mirror of BitReader.read); `putCode`
+    * appends a canonical prefix code most-significant code bit first
+    * (the mirror of PrefixCode.decode).
+    */
+  private final class BitWriterLsb(hint: Int) {
+    private var a = new Array[Byte](math.max(64, hint))
+    private var len = 0
+    private var acc = 0L
+    private var nb = 0
+    def put(v: Long, n: Int): Unit = {
+      acc |= (v & ((1L << n) - 1)) << nb
+      nb += n
+      while (nb >= 8) {
+        if (len == a.length) a = java.util.Arrays.copyOf(a, len << 1)
+        a(len) = (acc & 0xff).toByte; len += 1
+        acc >>>= 8; nb -= 8
+      }
+    }
+    def putCode(code: Int, clen: Int): Unit = {
+      var k = clen - 1
+      while (k >= 0) { put((code >> k) & 1, 1); k -= 1 }
+    }
+    def alignZero(): Unit = if (nb > 0) put(0, 8 - nb)
+    def toArray: Array[Byte] = { alignZero(); java.util.Arrays.copyOf(a, len) }
+  }
+
+  /** Kraft-exact Huffman code lengths over `freq` (used symbols only,
+    * every entry > 0), length-limited by the flattening loop
+    * (freq = freq/2 + 1, rebuild) — ≤ 15 for symbol codes, ≤ 5 for the
+    * code-length code whose lengths must fit the fixed meta-code.
+    */
+  private def huffLens(freq0: Array[Long], maxLen: Int): Array[Int] = {
+    val n = freq0.length
+    if (n == 1) return Array(1)
+    val freq = freq0.clone()
+    while (true) {
+      val weight = new Array[Long](2 * n)
+      val parent = new Array[Int](2 * n)
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+        Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)))
+      var i = 0
+      while (i < n) { weight(i) = freq(i); pq.enqueue((weight(i), i)); i += 1 }
+      var nextId = n
+      while (pq.size > 1) {
+        val (w1, x) = pq.dequeue(); val (w2, y) = pq.dequeue()
+        weight(nextId) = w1 + w2; parent(x) = nextId; parent(y) = nextId
+        pq.enqueue((weight(nextId), nextId)); nextId += 1
+      }
+      val root = pq.dequeue()._2
+      val lens = new Array[Int](n)
+      var deep = false
+      i = 0
+      while (i < n) {
+        var d = 0; var p = i
+        while (p != root) { p = parent(p); d += 1 }
+        lens(i) = d
+        if (d > maxLen) deep = true
+        i += 1
+      }
+      if (!deep) return lens
+      i = 0
+      while (i < n) { freq(i) = (freq(i) >> 1) + 1; i += 1 }
+    }
+    null // unreachable
+  }
+
+  /** Canonical code values for (syms, lens) listed in the decoder's
+    * normalized order — the EXACT assignment [[PrefixCode]] makes:
+    * grouped by ascending length, stable in listed order. Returns
+    * (codeBySymbol, lenBySymbol) arrays over the full alphabet.
+    */
+  private def canonAssign(alphabetSize: Int, syms: Array[Int], lens: Array[Int]): (Array[Int], Array[Int]) = {
+    val code = new Array[Int](alphabetSize)
+    val len = new Array[Int](alphabetSize)
+    var maxLen = 0
+    lens.foreach(l => if (l > maxLen) maxLen = l)
+    val count = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) count(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var c = 0
+    var l = 1
+    while (l <= maxLen) { nextCode(l) = c; c = (c + count(l)) << 1; l += 1 }
+    var i = 0
+    while (i < syms.length) {
+      if (lens(i) > 0) {
+        code(syms(i)) = nextCode(lens(i)); nextCode(lens(i)) += 1
+        len(syms(i)) = lens(i)
+      }
+      i += 1
+    }
+    (code, len)
+  }
+
+  /** Fixed meta-code encoding (mirror of [[metaCode]]): value →
+    * (canonical code, length) for code-length-code lengths 0..5.
+    */
+  private val MetaEnc: Array[(Int, Int)] =
+    Array((0, 2), (14, 4), (6, 3), (1, 2), (2, 2), (15, 4))
+
+  /** Serialize one prefix code over `alphabetSize` symbols from symbol
+    * frequencies, choosing the SIMPLE form for ≤ 4 used symbols and the
+    * COMPLEX form (code-length code + 17-runs for zero gaps) above.
+    * Returns the canonical (codeBySymbol, lenBySymbol) the decoder will
+    * reconstruct — bit-for-bit the inverse of [[readPrefixCode]].
+    */
+  private def writePrefixCode(w: BitWriterLsb, alphabetSize: Int,
+      freq: Array[Long]): (Array[Int], Array[Int]) = {
+    var abits = 0
+    while ((1 << abits) < alphabetSize) abits += 1
+    val used0 = (0 until alphabetSize).filter(freq(_) > 0L).toArray
+    val used = if (used0.isEmpty) Array(0) else used0
+    if (used.length == 1) {
+      w.put(1, 2) // simple form
+      w.put(0, 2) // NSYM = 1
+      w.put(used(0).toLong, abits)
+      (new Array[Int](alphabetSize), new Array[Int](alphabetSize)) // 0-bit code
+    } else if (used.length == 2) {
+      w.put(1, 2); w.put(1, 2)
+      w.put(used(0).toLong, abits); w.put(used(1).toLong, abits)
+      canonAssign(alphabetSize, used, Array(1, 1))
+    } else if (used.length == 3) {
+      // lengths 1,2,2 with the FIRST LISTED symbol depth 1: most frequent first
+      val top = used.maxBy(s => (freq(s), -s))
+      val rest = used.filter(_ != top) // ascending already
+      w.put(1, 2); w.put(2, 2)
+      w.put(top.toLong, abits); w.put(rest(0).toLong, abits); w.put(rest(1).toLong, abits)
+      canonAssign(alphabetSize, Array(top, rest(0), rest(1)), Array(1, 2, 2))
+    } else if (used.length == 4) {
+      w.put(1, 2); w.put(3, 2)
+      used.foreach(s => w.put(s.toLong, abits))
+      w.put(0, 1) // tree-select: flat 2,2,2,2
+      canonAssign(alphabetSize, used, Array(2, 2, 2, 2))
+    } else {
+      // ---- complex form
+      val lensUsed = huffLens(used.map(freq), 15)
+      val symLens = new Array[Int](alphabetSize)
+      var i = 0
+      while (i < used.length) { symLens(used(i)) = lensUsed(i); i += 1 }
+      val lastNz = used.last
+      // CL stream: lengths in symbol order, zero gaps as 17-runs
+      // (bijective base-8 accumulation — the decoder recurrence is
+      // T_k = 8 T_{k-1} - 13 + e_k), trailing zeros omitted (the
+      // decoder stops at Kraft-exact space)
+      val clSyms = Array.newBuilder[Int]
+      val clExtra = Array.newBuilder[Int] // -1 = no extra
+      def zeroRun(z0: Int): Unit = {
+        var z = z0
+        if (z < 3) { var k = 0; while (k < z) { clSyms += 0; clExtra += -1; k += 1 } }
+        else {
+          val digits = Array.newBuilder[Int]
+          while (z > 10) {
+            val e = (z + 13) % 8
+            digits += e
+            z = (z + 13 - e) / 8
+          }
+          val ds = digits.result()
+          clSyms += 17; clExtra += (z - 3)
+          var k = ds.length - 1
+          while (k >= 0) { clSyms += 17; clExtra += ds(k); k -= 1 }
+        }
+      }
+      i = 0
+      while (i <= lastNz) {
+        if (symLens(i) != 0) { clSyms += symLens(i); clExtra += -1; i += 1 }
+        else {
+          var j = i
+          while (symLens(j) == 0) j += 1 // lastNz bounds the scan
+          zeroRun(j - i)
+          i = j
+        }
+      }
+      val cls = clSyms.result()
+      val cle = clExtra.result()
+      val clFreqMap = new Array[Long](18)
+      cls.foreach(s => clFreqMap(s) += 1)
+      val clUsed = (0 until 18).filter(clFreqMap(_) > 0).toArray
+      val clLensUsed = huffLens(clUsed.map(clFreqMap), 5)
+      val clLens = new Array[Int](18)
+      i = 0
+      while (i < clUsed.length) { clLens(clUsed(i)) = clLensUsed(i); i += 1 }
+      // a single-symbol CL code decodes as 0 bits per symbol (the
+      // under-full numNonZero==1 path) — emit nothing for it
+      val (clCode, clLen) =
+        if (clUsed.length == 1) (new Array[Int](18), new Array[Int](18))
+        else canonAssign(18, clUsed, clLensUsed)
+      w.put(0, 2) // HSKIP = 0
+      // CL lengths in ClOrder; stop exactly where the decoder stops
+      var space = 0
+      i = 0
+      while (i < 18 && space < 32) {
+        val v = clLens(ClOrder(i))
+        val (mc, ml) = MetaEnc(v)
+        w.putCode(mc, ml)
+        if (v != 0) space += 32 >> v
+        i += 1
+      }
+      // symbol lengths through the CL code (extras are LSB-first values)
+      i = 0
+      while (i < cls.length) {
+        val s = cls(i)
+        w.putCode(clCode(s), clLen(s))
+        if (s == 17) w.put(cle(i).toLong, 3)
+        i += 1
+      }
+      canonAssign(alphabetSize, used, lensUsed)
+    }
+  }
+
+  // insert/copy code lookup: largest code whose base is ≤ the length
+  private def lenCode(base: Array[Int], v: Int): Int = {
+    var c = base.length - 1
+    while (base(c) > v) c -= 1
+    c
+  }
+
+  // cell for (insCode>>3, copyCode>>3) among the EXPLICIT-distance cells
+  private val CellOf = Array(2, 3, 6, 4, 5, 8, 7, 9, 10)
+
+  private final case class Cmd(insPos: Int, insLen: Int, copyLen: Int,
+      dcode: Int, dbits: Int, dval: Int)
+
+  /** REAL compressed-meta-block brotli encoder — the quality-1 rung:
+    * greedy hash-4 LZ77 over the ring (single-candidate table, the
+    * reference encoder's fast-path shape), one literal / one
+    * insert©-length / one distance prefix code per meta-block, each
+    * computed from the block's actual frequencies and serialized in
+    * the simple or complex form as size dictates. Distances use code 0
+    * (reuse, no ring update) when the match repeats the last distance
+    * and the NPOSTFIX=0/NDIRECT=0 long form otherwise; the encoder
+    * mirrors the decoder's ring exactly. No static-dictionary
+    * references and no context modeling — those are the q5+/q11 rungs;
+    * this one exists so `Content-Encoding: br` writer paths emit
+    * genuinely COMPRESSED streams ([[compressRaw]] stays as the
+    * framing-only fallback).
+    */
+  def compressQ1(data: Array[Byte]): Array[Byte] = {
+    val w = new BitWriterLsb(math.max(64, data.length / 2))
+    // window: smallest wbits whose window covers the input (distances
+    // never exceed the data length), floored at 10, capped at 24
+    var wbits = 10
+    while (wbits < 24 && ((1 << wbits) - 16) < data.length) wbits += 1
+    if (wbits == 16) w.put(0, 1)
+    else if (wbits >= 18) { w.put(1, 1); w.put((wbits - 17).toLong, 3) }
+    else if (wbits == 17) { w.put(1, 1); w.put(0, 3); w.put(0, 3) }
+    else { w.put(1, 1); w.put(0, 3); w.put((wbits - 8).toLong, 3) }
+    val maxBackward = (1 << wbits) - 16
+    if (data.isEmpty) {
+      w.put(1, 1); w.put(1, 1) // ISLAST, ISLASTEMPTY
+      return w.toArray
+    }
+    val hashBits = 16
+    val table = new Array[Int](1 << hashBits)
+    java.util.Arrays.fill(table, -1)
+    def hash4(i: Int): Int = {
+      val v = ((data(i) & 0xff) << 24) | ((data(i + 1) & 0xff) << 16) |
+        ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+      (v * 0x9e3779b1) >>> (32 - hashBits)
+    }
+    var d1 = 4; var d2 = 11; var d3 = 15; var d4 = 16
+    val chunkMax = 1 << 22
+    var off = 0
+    while (off < data.length) {
+      val end = math.min(off + chunkMax, data.length)
+      val isLast = end == data.length
+      val mlen = end - off
+      // ---- greedy parse
+      val cmds = scala.collection.mutable.ArrayBuffer.empty[Cmd]
+      val litFreq = new Array[Long](256)
+      val icFreq = new Array[Long](704)
+      val dFreq = new Array[Long](64)
+      var anchor = off
+      var i = off
+      def pushCmd(insPos: Int, insLen: Int, copyLen: Int, dist: Int): Unit = {
+        var dcode = 0; var dbits = 0; var dval = 0
+        if (copyLen >= 0) {
+          if (dist == d1) { dcode = 0 }
+          else {
+            var nb = 1
+            while (dist.toLong > (4L << nb) - 4) nb += 1
+            val odd = (dist - 1).toLong >= (3L << nb) - 4
+            val offset = ((2L + (if (odd) 1 else 0)) << nb) - 4
+            dcode = 16 + 2 * (nb - 1) + (if (odd) 1 else 0)
+            dbits = nb
+            dval = (dist - 1 - offset).toInt
+            d4 = d3; d3 = d2; d2 = d1; d1 = dist
+          }
+          dFreq(dcode) += 1
+        }
+        val insCode = lenCode(InsBase, insLen)
+        val copyCode = if (copyLen >= 0) lenCode(CopyBase, copyLen) else 2 // fake clen 4, 0 extras
+        val cell = CellOf((insCode >> 3) * 3 + (copyCode >> 3))
+        val sym = (cell << 6) | ((insCode & 7) << 3) | (copyCode & 7)
+        icFreq(sym) += 1
+        var k = insPos
+        while (k < insPos + insLen) { litFreq(data(k) & 0xff) += 1; k += 1 }
+        cmds += Cmd(insPos, insLen, copyLen, dcode, dbits, dval)
+      }
+      while (i + 4 <= end) {
+        val h = hash4(i)
+        val cand = table(h)
+        table(h) = i
+        if (cand >= 0 && i - cand <= maxBackward &&
+            data(cand) == data(i) && data(cand + 1) == data(i + 1) &&
+            data(cand + 2) == data(i + 2) && data(cand + 3) == data(i + 3)) {
+          var m = 4
+          while (i + m < end && data(cand + m) == data(i + m)) m += 1
+          pushCmd(anchor, i - anchor, m, i - cand)
+          // index the matched span (every position keeps total work linear)
+          var j = i + 1
+          val stop = math.min(i + m, end - 4)
+          while (j < stop) { table(hash4(j)) = j; j += 1 }
+          i += m
+          anchor = i
+        } else i += 1
+      }
+      if (anchor < end || cmds.isEmpty) pushCmd(anchor, end - anchor, -1, 0)
+      // ---- meta-block header
+      w.put(if (isLast) 1 else 0, 1)
+      if (isLast) w.put(0, 1) // not ISLASTEMPTY
+      val nib = if (mlen - 1 < (1 << 16)) 4 else if (mlen - 1 < (1 << 20)) 5 else 6
+      w.put((nib - 4).toLong, 2)
+      w.put((mlen - 1).toLong, 4 * nib)
+      if (!isLast) w.put(0, 1) // not ISUNCOMPRESSED
+      w.put(0, 1); w.put(0, 1); w.put(0, 1) // NBLTYPES L/I/D = 1
+      w.put(0, 2) // NPOSTFIX
+      w.put(0, 4) // NDIRECT
+      w.put(0, 2) // literal context mode (unused: single tree)
+      w.put(0, 1) // NTREESL = 1
+      w.put(0, 1) // NTREESD = 1
+      val (litCode, litLen) = writePrefixCode(w, 256, litFreq)
+      val (icCode, icLen) = writePrefixCode(w, 704, icFreq)
+      val (dCode, dLen) = writePrefixCode(w, 64, dFreq)
+      // ---- commands
+      cmds.foreach { c =>
+        val insCode = lenCode(InsBase, c.insLen)
+        val copyCode = if (c.copyLen >= 0) lenCode(CopyBase, c.copyLen) else 2
+        val cell = CellOf((insCode >> 3) * 3 + (copyCode >> 3))
+        val sym = (cell << 6) | ((insCode & 7) << 3) | (copyCode & 7)
+        w.putCode(icCode(sym), icLen(sym))
+        w.put((c.insLen - InsBase(insCode)).toLong, InsExtra(insCode))
+        if (c.copyLen >= 0) w.put((c.copyLen - CopyBase(copyCode)).toLong, CopyExtra(copyCode))
+        var k = c.insPos
+        while (k < c.insPos + c.insLen) {
+          val b = data(k) & 0xff
+          w.putCode(litCode(b), litLen(b))
+          k += 1
+        }
+        if (c.copyLen >= 0) {
+          w.putCode(dCode(c.dcode), dLen(c.dcode))
+          if (c.dbits > 0) w.put(c.dval.toLong, c.dbits)
+        }
+      }
+      off = end
+    }
+    w.toArray
+  }
+
   // ------------------------------------------------------------ operator
 
   final case class BrotliStats(doc_id: Long, n_bytes: Long, br_len: Long, checksum: Long)
@@ -734,6 +1094,35 @@ object Brotli {
     * (header-nibble model) and the base-31 checksum from the source
     * text; a framing or decode slip fails the hash. Map-only.
     */
+  final case class BrotliQ1Stats(doc_id: Long, n_bytes: Long, checksum: Long)
+
+  /** Per-document round trip through the REAL quality-1 encoder
+    * ([[compressQ1]]) and the full decoder. The oracle replays length +
+    * base-31 checksum from the source text — the compressed size is the
+    * engine-model half, pinned instead by BrotliSpec (q1 must beat the
+    * raw framing on compressible text; streams decode through the
+    * libbrotli-differentialed decoder). Map-only, zero shuffles.
+    */
+  def brotliQ1Signal(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[BrotliQ1Stats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        try {
+          val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val back = decompress(compressQ1(data), math.max(1, data.length))
+          var c = 0L
+          back.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+          BrotliQ1Stats(id, back.length.toLong, c)
+        } catch {
+          case scala.util.control.NonFatal(_) => BrotliQ1Stats(id, -1L, -1L)
+        }
+      }
+  }
+
   def brotliSignal(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): Dataset[BrotliStats] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -272,4 +272,63 @@ class BrotliSpec extends AnyFunSuite {
       assert(s.br_len == frame, s"framed length model: $s")
     }
   }
+
+  // ------------------------------------------------- quality-1 encoder
+
+  test("q1 encoder: round trips every fixture corpus through the pinned decoder") {
+    fixtures.foreach { case (name, input) =>
+      val c = Brotli.compressQ1(input)
+      val got = Brotli.decompress(c, math.max(1, input.length))
+      assert(java.util.Arrays.equals(got, input), s"$name: q1 round trip (${input.length} bytes)")
+    }
+  }
+
+  test("q1 encoder: genuinely compresses — beats raw framing on compressible text") {
+    Seq(textEnglish(9000, 1), lowEntropy(200000, 5), jsonLike(2000, 7),
+      repeat(Utf8Para, 200)).foreach { d =>
+      val q1 = Brotli.compressQ1(d).length
+      val raw = Brotli.compressRaw(d).length
+      assert(q1 < (raw * 3) / 4, s"q1=$q1 raw=$raw on ${d.length} compressible bytes")
+    }
+    // incompressible input must not blow up badly (prefix-code overhead only)
+    val rnd = randomBytes(100000, 4)
+    assert(Brotli.compressQ1(rnd).length < rnd.length + rnd.length / 8)
+  }
+
+  test("q1 encoder: fuzz round trips across sizes, alphabets, and run shapes") {
+    val rnd = new scala.util.Random(0x0b107111)
+    for (t <- 0 until 120) {
+      val n = rnd.nextInt(1 << (4 + rnd.nextInt(13))) // 0 .. ~128k, size-skewed
+      val d = (t % 5) match {
+        case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+        case 1 => Array.fill(n)((rnd.nextInt(3) + 'a').toByte) // tiny alphabet
+        case 2 => Array.fill(n)('z'.toByte) // single giant run
+        case 3 => Array.tabulate(n)(i => ((i / 7) % 251).toByte)
+        case _ =>
+          val w = "the quick brown fox jumps over the lazy dog "
+          (w * (n / w.length + 1)).substring(0, n).getBytes(UTF_8)
+      }
+      val got = Brotli.decompress(Brotli.compressQ1(d), math.max(1, n))
+      assert(java.util.Arrays.equals(got, d), s"t=$t n=$n shape=${t % 5}")
+    }
+  }
+
+  test("q1 encoder: multi-meta-block input (> 4 MB chunk) round trips") {
+    val big = {
+      val b = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (b.size < (1 << 22) + 70000) { b.write(s"record $i with some shared structure\n".getBytes(UTF_8)); i += 1 }
+      b.toByteArray
+    }
+    val c = Brotli.compressQ1(big)
+    assert(java.util.Arrays.equals(Brotli.decompress(c, big.length + 16), big))
+    assert(c.length < big.length / 2, s"multi-block text should compress well: ${c.length}/${big.length}")
+  }
+
+  test("q1 encoder: small windows force re-referenced distances within range") {
+    // data longer than the wbits-10 window would be, to exercise window capping
+    val d = textEnglish(40000, 11) // ~200 KB, wbits ends up > 10
+    val c = Brotli.compressQ1(d)
+    assert(java.util.Arrays.equals(Brotli.decompress(c, d.length + 16), d))
+  }
 }
