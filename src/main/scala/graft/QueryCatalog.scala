@@ -4614,6 +4614,33 @@ object QueryCatalog {
 
   private val oBpeTrain: String = Bpe.oracleTrainSql("text", rounds = 8)
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING under the gate
+    * ([[graft.ext.Unigram]]): seed vocabulary from corpus substrings,
+    * two Viterbi-EM rounds in exact integer space (the Σ(score − B)
+    * objective orders by fewest-tokens-then-highest-score), shrinking
+    * top-K pruning with the md5 tie-break. The oracle UNROLLS the whole
+    * loop relationally — chunking, the 4-way substring seed, all 8
+    * forward DP stages and all 8 min-j backtrack stages per round, the
+    * count re-estimation, the prune — so a slip in the DP recurrence,
+    * the tie-break, or the EM bookkeeping anywhere fails the hash.
+    */
+  private val qUnigramTrain: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Unigram.train(table(s, dir, "documents"))
+
+  private val oUnigramTrain: String = graft.ext.Unigram.oracleTrainSql("text")
+
+  /** The APPLY half: train-then-segment end-to-end. Per document, chunk
+    * count and total Viterbi token count under the FINAL vocabulary;
+    * the oracle re-derives the vocabulary (same chain as
+    * `unigram_train`), runs one more DP under it, and recovers each
+    * chunk's token count exactly from the DP value
+    * (`ntok = (B−1−v) // B`).
+    */
+  private val qUnigramTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Unigram.tokenStats(table(s, dir, "documents")).toDF()
+
+  private val oUnigramTokens: String = graft.ext.Unigram.oracleTokensSql("text")
+
   /** Per-document suffix arrays under the gate — the exact-substring
     * dedup index — built by prefix doubling out of `lead` + `dense_rank`
     * alone, so the oracle unrolls all 10 rounds as MATERIALIZED window
@@ -6737,6 +6764,8 @@ object QueryCatalog {
     "bz2_extract" -> qBz2Extract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
+    "unigram_train" -> qUnigramTrain,
+    "unigram_tokens" -> qUnigramTokens,
     "suffix_array" -> qSuffixArray,
     "quantize_stats" -> qQuantize,
     "pq_codes" -> qPqCodes,
@@ -6948,6 +6977,8 @@ object QueryCatalog {
     "bz2_extract" -> oBz2Extract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
+    "unigram_train" -> oUnigramTrain,
+    "unigram_tokens" -> oUnigramTokens,
     "suffix_array" -> oSuffixArray,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
