@@ -682,6 +682,44 @@ object Archives {
       }
   }
 
+  /** [[warcHttpEncExtract]] for an ARCHIVE STREAM: the input carries an
+    * event time (`archive_id, ts, payload`) every extracted record
+    * inherits, and `content_length` is the DECODED body length — the
+    * streaming twin reports post-Content-Encoding bytes, the number a
+    * crawl operator actually budgets. Stateless flatMap over the same
+    * gzip→WARC→HTTP→coding stack as the batch path, so the two cannot
+    * diverge on what a record is; the streaming composition lives in
+    * [[graft.streaming.StreamingArchiveIngest.ingestHttpEnc]].
+    */
+  def warcHttpEncExtractWithTs(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("ts").cast("timestamp"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (aid, ts, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[(Long, java.sql.Timestamp, Long, Long, Long)]
+            var pos = 0
+            var idx = 0L
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (_, _, _, body) = parseHttpResponse(msg, maxRecordBytes)
+              out += ((aid, ts, idx, docId, body.length.toLong))
+              pos = next
+              idx += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
+      .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
+  }
+
   /** The full crawl-record decode stack: gzip member split -> WARC record
     * parse -> nested HTTP response parse (status line, headers, chunked
     * de-framing or Content-Length slicing) -> per-record row. This is

@@ -54,6 +54,23 @@ object StreamingArchiveIngest {
     windowed(graft.ext.Zstd.zstExtractWithTs(archives, maxRecordBytes),
       watermarkDelay, windowLength)
 
+  /** The CODED-BODY twin: live `.warc.gz` segments whose HTTP payloads
+    * carry `Content-Encoding` (gzip/deflate/br, RFC 9110 layering)
+    * routed through the SAME six-layer decode the batch path uses
+    * ([[Archives.warcHttpEncExtractWithTs]]) and the same watermarked
+    * window reduction — `total_bytes` reports DECODED body bytes, the
+    * number a crawl operator budgets. Damage anywhere in any layer
+    * (member framing, WARC header, HTTP framing, content coding) drops
+    * the whole segment, exactly like batch.
+    */
+  def ingestHttpEnc(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(Archives.warcHttpEncExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.

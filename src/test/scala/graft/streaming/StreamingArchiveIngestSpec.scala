@@ -97,6 +97,67 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("content-encoding stream: decoded byte totals finalize exactly once; damage drops whole") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ids 0..11 cycle all four coding arms (identity/gzip/deflate/br)
+    val blobs = Archives.encodeWarcHttpEncodedArchives(
+      (0L until 12L).map(i => (i, s"coded streamed document $i with some body text")).toDF("doc_id", "text"),
+      nArchives = 2)
+      .as[(Long, Array[Byte])].collect().toMap // 6 records per archive
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = StreamingArchiveIngest.ingestHttpEnc(
+      input.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("enc_ingest_out").outputMode("append").start()
+    try {
+      val corrupt = blobs(1L).clone()
+      corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x7f).toByte
+      input.addData((0L, ts(1), blobs(0L)), (0L, ts(4), blobs(0L)), (1L, ts(3), corrupt))
+      query.processAllAvailable()
+      input.addData((1L, ts(8), blobs(1L)))
+      query.processAllAvailable()
+      input.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      query.processAllAvailable()
+      val rows = spark.table("enc_ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // total_bytes must be the DECODED body lengths — the plain text,
+      // whatever coding arm each record went through
+      val expectedBytes = (0L until 12L by 2)
+        .map(i => s"coded streamed document $i with some body text".getBytes("UTF-8").length.toLong).sum
+      assert(rows((0, 0L))._1 == 12L, "two clean segments of archive 0")
+      assert(rows((0, 0L))._2 == 2 * expectedBytes, "decoded — not on-the-wire — byte totals")
+      assert(rows((0, 1L))._1 == 6L, "damaged coded segment must not contribute records")
+      assert(spark.table("enc_ingest_out").collect()
+        .count(r => r.getTimestamp(0).getTime == 0L && r.getLong(1) == 0L) == 1, "exactly-once finalization")
+    } finally query.stop()
+  }
+
+  test("content-encoding stream: batch and streaming agree record-for-record") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (0L until 20L).map(i => (i, s"parity doc $i body " + ("y" * (i % 9).toInt))).toDF("doc_id", "text")
+    val blobs = Archives.encodeWarcHttpEncodedArchives(docs, nArchives = 4)
+      .as[(Long, Array[Byte])].collect()
+    // batch rows
+    val batch = Archives.warcHttpEncExtract(
+      blobs.toSeq.toDF("archive_id", "payload")).collect()
+      .map(e => (e.archive_id, e.rec_idx, e.rec_doc_id, e.body_len)).sorted.toSeq
+    // streaming rows through the identical stack (raw extract, no window)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = Archives.warcHttpEncExtractWithTs(
+      input.toDF().toDF("archive_id", "ts", "payload"))
+      .writeStream.format("memory").queryName("enc_parity_out").outputMode("append").start()
+    try {
+      input.addData(blobs.map { case (aid, p) => (aid, ts(1), p) }.toSeq: _*)
+      query.processAllAvailable()
+      val stream = spark.table("enc_parity_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      assert(stream == batch, "batch == streaming row identity")
+    } finally query.stop()
+  }
+
   test("archive stream: late-arriving segment beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
