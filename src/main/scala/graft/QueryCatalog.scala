@@ -2858,6 +2858,52 @@ object QueryCatalog {
       |       '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
       |FROM c""".stripMargin
 
+  /** RSS/Atom feed ingestion under the gate ([[graft.ext.Feeds]]): each
+    * host's doc set serialized as a real feed PAIR — RSS 2.0 items
+    * (entity/CDATA link hazards, RFC 822 pubDates across GMT/±HHMM
+    * zones) and Atom entries (link in the href ATTRIBUTE, CDATA ids,
+    * RFC 3339 updated across Z/±HH:MM) — then re-parsed through the
+    * shared strict XML walker down to (link, guid, epoch seconds). The
+    * oracle rebuilds the item table closed-form including the full zone
+    * arithmetic, so a slip in either date grammar, the attribute
+    * capture, entity decoding, or document ordering fails the hash;
+    * damage quarantines the whole host.
+    */
+  private val qFeedExtract: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    graft.ext.Feeds.feedExtract(graft.ext.Feeds.encodeFeeds(urls)).toDF()
+  }
+
+  private val oFeedExtract: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d)
+      |SELECT host,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect,
+      |       (row_number() OVER (PARTITION BY host, doc_id % 2 ORDER BY doc_id) - 1)::BIGINT AS ord,
+      |       'https://' || host || path ||
+      |         CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS link,
+      |       'urn:feed:' || host || ':' || CAST(doc_id AS VARCHAR) AS guid,
+      |       (1767225600
+      |        + list_extract([0,31,59,90,120,151,181,212,243,273,304,334],
+      |            1 + CAST(doc_id % 12 AS INT)) * 86400
+      |        + (doc_id % 28) * 86400 + (doc_id % 24) * 3600 + (doc_id % 60) * 60
+      |        - CASE doc_id % 4 WHEN 2 THEN 19800 WHEN 3 THEN -28800 ELSE 0 END)::BIGINT AS published
+      |FROM c""".stripMargin
+
   /** The zstd-archive ingest path under the gate: documents packed into
     * 16 multi-frame `.zst` streams (per record a SKIPPABLE frame
     * carrying the doc id — the seekable-zstd metadata convention — then
@@ -6628,6 +6674,7 @@ object QueryCatalog {
     "robots_decisions" -> qRobotsDecisions,
     "robots_txt_decisions" -> qRobotsTxtDecisions,
     "sitemap_extract" -> qSitemapExtract,
+    "feed_extract" -> qFeedExtract,
     "idna_host_decode" -> qIdnaHostDecode,
     "unicode_nfc" -> qUnicodeNfc,
     "cdc_chunks" -> qCdcChunks,
@@ -6844,6 +6891,7 @@ object QueryCatalog {
     "robots_decisions" -> oRobotsDecisions,
     "robots_txt_decisions" -> oRobotsTxtDecisions,
     "sitemap_extract" -> oSitemapExtract,
+    "feed_extract" -> oFeedExtract,
     "idna_host_decode" -> oIdnaHostDecode,
     "unicode_nfc" -> oUnicodeNfc,
     "cdc_chunks" -> oCdcChunks,

@@ -148,8 +148,16 @@ object Sitemaps {
     * Handles declarations, comments, CDATA (returned VERBATIM, not
     * entity-decoded, per XML), attribute-tolerant open tags, and
     * self-closing tags; mismatched close tags or trailing content fail.
+    *
+    * With `withAttrs = true` (the [[Feeds]] profile — Atom carries its
+    * link in an attribute), every attribute of an open or self-closing
+    * tag ALSO emits a `path@name → entity-decoded value` entry at the
+    * tag's position in document order; malformed attribute syntax
+    * (missing `=`, unquoted or unterminated value) fails. The default
+    * keeps the sitemap behavior byte-identical: attributes tolerated,
+    * ignored.
     */
-  private[ext] def parseLeaves(xml: String): Vector[(String, String)] = {
+  private[ext] def parseLeaves(xml: String, withAttrs: Boolean = false): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     val stack = scala.collection.mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
@@ -198,6 +206,27 @@ object Sitemaps {
           }
           if (text.exists(!Character.isWhitespace(_))) fail() // mixed content: not in profile
           text.setLength(0); textIsCdata = false
+          if (withAttrs) {
+            val path = (stack :+ name).mkString("/")
+            var p = name.length
+            while (p < body.length) {
+              while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1
+              if (p < body.length) {
+                val eq = body.indexOf('=', p)
+                if (eq < 0) fail()
+                val an = body.substring(p, eq).trim
+                if (an.isEmpty || an.exists(Character.isWhitespace)) fail()
+                var v = eq + 1
+                while (v < body.length && Character.isWhitespace(body.charAt(v))) v += 1
+                if (v >= body.length || (body.charAt(v) != '"' && body.charAt(v) != '\'')) fail()
+                val q = body.charAt(v)
+                val ve = body.indexOf(q, v + 1)
+                if (ve < 0) fail()
+                out += ((path + "@" + an, unescapeXml(body.substring(v + 1, ve))))
+                p = ve + 1
+              }
+            }
+          }
           if (!selfClosing) stack += name
           i = e + 1
         }
