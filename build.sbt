@@ -35,5 +35,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g on a 128 GiB box: across a 217-query bench suite at 8g, major
+  // collections of accumulated cross-query garbage landed inside the
+  // heaviest keys' timed reps (dup_spans spread 5.5s in-suite vs 0.4s
+  // isolated, bpe_train 20.8s vs 0.8s — round-12 A/B); headroom drops
+  // the major-GC frequency so the pre-rep System.gc() absorbs cleanup
+  // outside the timers
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
