@@ -3156,12 +3156,17 @@ object QueryCatalog {
   private val qCharsetDecode: (SparkSession, String) => DataFrame = (s, dir) =>
     Charset.charsetSignal(Charset.encodeCharsetDocs(table(s, dir, "documents"))).toDF()
 
-  private val oCharsetDecode: String = {
+  /** The charset expected-outcome CTE chain (shared by the standalone
+    * gate and the seven-layer crawl composition): per-doc md5 picks
+    * joined to the JDK-computed 160-combo table, reduced to the decoded
+    * text's hex image. Ends with `h(doc_id, detected, source, hx, n)`.
+    */
+  private def charsetOracleCtes: String = {
     def esc(s: String) = s.replace("'", "''")
     val rows = Charset.oracleCombos.map { case (a, d, p, prefix, piece, detected, source) =>
       s"($a, $d, $p, '${esc(prefix)}', '${esc(piece)}', '$detected', '$source')"
     }.mkString(",\n      |    ")
-    s"""WITH d0 AS (SELECT doc_id FROM documents
+    s"""d0 AS (SELECT doc_id FROM documents
        |            WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
        |q AS (SELECT doc_id,
        |        ('0x' || substr(md5('cs:' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT % 4 AS a,
@@ -3174,13 +3179,45 @@ object QueryCatalog {
        |             t.detected, t.source
        |      FROM q JOIN t ON t.a = q.a AND t.d = q.d AND t.p = q.p),
        |h AS (SELECT doc_id, detected, source, hex(encode(dec)) AS hx,
-       |             octet_length(encode(dec)) AS n FROM j)
+       |             octet_length(encode(dec)) AS n FROM j)""".stripMargin
+  }
+
+  private val oCharsetDecode: String =
+    s"""WITH $charsetOracleCtes
        |SELECT doc_id, detected, source, n::BIGINT AS n_bytes_out,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
        |         (s, b) -> (s * 31 + b) % 1000000007)::BIGINT AS checksum
        |FROM h""".stripMargin
-  }
+
+  /** The crawl stack's TEXT-PLANE capstone ([[graft.ext.Archives.warcHttpCharsetExtract]]):
+    * SEVEN layers under one bitwise hash — gzip member framing, WARC
+    * record parse, HTTP de-framing (chunked or Content-Length),
+    * RFC 9110 content-coding decode (identity/gzip/deflate/br — the br
+    * arm through the REAL q1 encoder), WHATWG charset precedence (the
+    * HTTP Content-Type is the transport tier; BOM and meta prescan read
+    * the decoded payload), transcoding to canonical UTF-8, and the
+    * positional checksum. The body recipe is the SAME declaration-hazard
+    * fixture as `charset_decode` ([[graft.ext.Charset.fixtureRecord]]),
+    * so the standalone and composed gates grade identical semantics —
+    * a regression in any layer, or in how the layers hand off, fails
+    * exactly one of them and localizes itself.
+    */
+  private val qCrawlCharsetPipeline: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.warcHttpCharsetExtract(
+      Archives.encodeWarcHttpCharsetArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oCrawlCharsetPipeline: String =
+    s"""WITH $charsetOracleCtes,
+       |r AS (SELECT doc_id, doc_id % 16 AS archive_id,
+       |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+       |      FROM d0)
+       |SELECT r.archive_id::BIGINT AS archive_id, r.rec_idx::BIGINT AS rec_idx,
+       |       r.doc_id AS rec_doc_id, h.detected, h.source, h.n::BIGINT AS n_bytes_out,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(h.n), i ->
+       |         ('0x' || substr(h.hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (s, b) -> (s * 31 + b) % 1000000007)::BIGINT AS checksum
+       |FROM r JOIN h ON h.doc_id = r.doc_id""".stripMargin
 
   /** Link-graph authority under the gate: 10 rounds of fixed-point
     * integer PageRank over the deterministic host graph (one link per
@@ -6779,6 +6816,7 @@ object QueryCatalog {
     "deflate_roundtrip" -> qDeflateRoundtrip,
     "utf8_stats" -> qUtf8Stats,
     "charset_decode" -> qCharsetDecode,
+    "crawl_charset_pipeline" -> qCrawlCharsetPipeline,
     "host_pagerank" -> qHostPagerank,
     "hll_registers" -> qHllRegisters,
     "blocklist_match" -> qBlocklistMatch,
@@ -6993,6 +7031,7 @@ object QueryCatalog {
     "deflate_roundtrip" -> oDeflateRoundtrip,
     "utf8_stats" -> oUtf8Stats,
     "charset_decode" -> oCharsetDecode,
+    "crawl_charset_pipeline" -> oCrawlCharsetPipeline,
     "host_pagerank" -> oHostPagerank,
     "hll_registers" -> oHllRegisters,
     "blocklist_match" -> oBlocklistMatch,

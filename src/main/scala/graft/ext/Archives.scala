@@ -433,7 +433,8 @@ object Archives {
     * by any brotli decoder).
     */
   private def httpResponse(body: Array[Byte], chunked: Boolean, encoding: Int = 0,
-      id: Long = 0L): Array[Byte] = {
+      id: Long = 0L,
+      contentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
     val (payload, encHeader) = encoding match {
       case 1 => (gzipMember(body, (id % 4).toInt, id, method = (id % 3).toInt),
         "Content-Encoding: gzip\r\n")
@@ -445,7 +446,7 @@ object Archives {
     if (!chunked) {
       out.write(utf8(
         "HTTP/1.1 200 OK\r\n" +
-          "Content-Type: text/plain; charset=utf-8\r\n" +
+          s"Content-Type: $contentType\r\n" +
           encHeader +
           s"Content-Length: ${payload.length}\r\n" +
           "\r\n"))
@@ -453,7 +454,7 @@ object Archives {
     } else {
       out.write(utf8(
         "HTTP/1.1 200 OK\r\n" +
-          "Content-Type: text/plain; charset=utf-8\r\n" +
+          s"Content-Type: $contentType\r\n" +
           encHeader +
           "Transfer-Encoding: chunked\r\n" +
           "\r\n"))
@@ -634,6 +635,84 @@ object Archives {
         (aid, out.toByteArray)
       }
       .toDF("archive_id", "payload")
+  }
+
+  /** The CHARSET composition fixture: like
+    * [[encodeWarcHttpEncodedArchives]], but each record's body and
+    * `Content-Type` charset declaration come from the SHARED
+    * declaration-hazard recipe ([[Charset.fixtureRecord]]) — bodies
+    * serialized in md5-chosen encodings with correct / missing / WRONG /
+    * conflicting labels — then content-coded, HTTP-framed, WARC-wrapped
+    * and gzip-membered like every crawl record. The seven-layer gate's
+    * input.
+    */
+  def encodeWarcHttpCharsetArchives(docs: DataFrame, nArchives: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nArchives)
+      .mapGroups { (aid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { case (id, _) =>
+          val (ct, body) = Charset.fixtureRecord(id)
+          val msg = httpResponse(body, chunked = id % 2 == 0,
+            encoding = ((id / 2) % 4).toInt, id = id, contentType = ct)
+          out.write(gzipMember(
+            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+            method = (id % 3).toInt))
+        }
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "payload")
+  }
+
+  final case class WarcCharsetEntry(
+      archive_id: Long, rec_idx: Long, rec_doc_id: Long,
+      detected: String, source: String, n_bytes_out: Long, checksum: Long)
+
+  /** The crawl stack's TEXT-PLANE capstone: gzip member split → WARC
+    * parse → HTTP de-framing → Content-Encoding decode → WHATWG charset
+    * detection (the HTTP `Content-Type` is the transport-layer tier;
+    * BOM and in-body meta come from the decoded payload) → transcode to
+    * canonical UTF-8 → per-record checksum. Seven layers under one
+    * bitwise oracle; damage anywhere quarantines the archive whole.
+    */
+  def warcHttpCharsetExtract(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[WarcCharsetEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = Vector.newBuilder[WarcCharsetEntry]
+            var pos = 0
+            var idx = 0L
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (_, contentType, _, body) = parseHttpResponse(msg, maxRecordBytes)
+              val (name, source) = Charset.detect(body, contentType)
+              val text = Charset.decodeAs(name, body)
+              val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var c = 0L
+              b.foreach(x => c = (c * 31 + (x & 0xff)) % 1000000007L)
+              out += WarcCharsetEntry(aid, idx, docId, name, source, b.length.toLong, c)
+              pos = next
+              idx += 1
+            }
+            out.result().iterator
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+      }
   }
 
   final case class WarcHttpEntry(

@@ -54,6 +54,21 @@ object StreamingArchiveIngest {
     windowed(graft.ext.Zstd.zstExtractWithTs(archives, maxRecordBytes),
       watermarkDelay, windowLength)
 
+  /** The `.bz2` segment twin: live multi-stream bzip2 archives (one
+    * stream per record, the lbzip2 convention — the shape Wikipedia
+    * dump splitters emit) routed through the SAME demux as the batch
+    * path ([[graft.ext.Bzip2.bz2ExtractWithTs]] — block and stream CRCs
+    * both verified) and the same watermarked window reduction, with
+    * whole-segment damage drop.
+    */
+  def ingestBz2(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(graft.ext.Bzip2.bz2ExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
   /** The CODED-BODY twin: live `.warc.gz` segments whose HTTP payloads
     * carry `Content-Encoding` (gzip/deflate/br, RFC 9110 layering)
     * routed through the SAME six-layer decode the batch path uses

@@ -396,4 +396,40 @@ class ArchivesSpec extends AnyFunSuite {
     val archive = Seq((9L, Archives.gzipMember(rec, 0, 9))).toDF("archive_id", "payload")
     assert(Archives.warcExtract(archive).collect().isEmpty)
   }
+
+  test("charset composition: seven-layer extract agrees with the standalone charset gate") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val composed = Archives.warcHttpCharsetExtract(
+      Archives.encodeWarcHttpCharsetArchives(docs, nArchives = 4)).collect()
+      .map(e => e.rec_doc_id -> (e.detected, e.source, e.n_bytes_out, e.checksum)).toMap
+    val standalone = Charset.charsetSignal(Charset.encodeCharsetDocs(docs)).collect()
+      .map(s => s.doc_id -> (s.detected, s.source, s.n_bytes_out, s.checksum)).toMap
+    assert(composed.keySet == standalone.keySet && composed.keySet == (0L until 48L).toSet)
+    composed.foreach { case (id, v) => assert(v == standalone(id), s"doc $id") }
+    // every source tier survives the six framing layers (BOM lives in
+    // the coded payload, header in HTTP, meta in the decoded body)
+    val sources = composed.values.map(_._2).toSet
+    assert(sources == Set("bom", "header", "meta", "default"), sources)
+  }
+
+  test("charset composition: damage in any layer quarantines the archive whole") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val archives = Archives.encodeWarcHttpCharsetArchives(docs, nArchives = 4)
+      .as[(Long, Array[Byte])].collect()
+    val damaged = archives.map { case (aid, p) =>
+      if (aid == 1L) {
+        // a 16-byte burst: a single flipped byte can land in a gzip
+        // MTIME/FNAME field the format legitimately ignores; a burst
+        // cannot miss the member's CRC-covered stream
+        val m = p.clone()
+        for (k <- 0 until 16) m(m.length / 3 + k) = (m(m.length / 3 + k) ^ 0x55).toByte
+        (aid, m)
+      } else (aid, p)
+    }
+    val left = Archives.warcHttpCharsetExtract(
+      damaged.toSeq.toDF("archive_id", "payload")).collect()
+    assert(left.forall(_.archive_id != 1L) && left.length == 36)
+  }
 }
