@@ -2933,6 +2933,35 @@ object QueryCatalog {
     graft.ext.Bzip2.bz2Extract(
       graft.ext.Bzip2.encodeBz2Archives(table(s, dir, "documents"), nArchives = 16)).toDF()
 
+  /** The `.xz` ingest path under the gate ([[graft.ext.Xz]] — the last
+    * classic corpus container): documents packed into 16 multistream
+    * archives (one xz stream per record, 4-byte stream padding after
+    * every other — the Wikimedia multistream convention), then demuxed
+    * through the full from-scratch container stack — stream/block
+    * header CRCs, LZMA2 chunk decode (the writer's uncompressed chunks
+    * here; genuinely LZMA-coded streams are differentialed in XzSpec
+    * against tukaani across presets, props, dict sizes and all four
+    * check types), per-block CRC32 integrity check, index
+    * cross-check, footer backward-size check. Damage quarantines the
+    * archive whole; same oracle shape as `bz2_extract`/`zst_extract`.
+    */
+  private val qXzExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Xz.xzExtract(
+      graft.ext.Xz.encodeXzArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oXzExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   private val oBz2Extract: String =
     """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
@@ -6847,6 +6876,7 @@ object QueryCatalog {
     "zstd_dict_roundtrip" -> qZstdDictRoundtrip,
     "zst_extract" -> qZstExtract,
     "bz2_extract" -> qBz2Extract,
+    "xz_extract" -> qXzExtract,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
     "unigram_train" -> qUnigramTrain,
@@ -7062,6 +7092,7 @@ object QueryCatalog {
     "zstd_dict_roundtrip" -> oZstdDictRoundtrip,
     "zst_extract" -> oZstExtract,
     "bz2_extract" -> oBz2Extract,
+    "xz_extract" -> oXzExtract,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
     "unigram_train" -> oUnigramTrain,
