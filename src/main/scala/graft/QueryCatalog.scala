@@ -3033,6 +3033,14 @@ object QueryCatalog {
   private val qTgzExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     Tar.tgzExtract(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16, gzipped = true)).toDF()
 
+  /** `.tar.xz` under the gate: the ustar parser composed over the full
+    * xz container/LZMA2 stack — the modern dist-tarball layering, same
+    * oracle as the plain/gzip tar keys so only the compression layer
+    * differs between the three.
+    */
+  private val qTxzExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tar.txzExtract(Tar.xzWrap(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16))).toDF()
+
   private val oTarExtract: String =
     """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
@@ -6839,6 +6847,7 @@ object QueryCatalog {
     "zip_extract" -> qZipExtract,
     "tar_extract" -> qTarExtract,
     "tgz_extract" -> qTgzExtract,
+    "txz_extract" -> qTxzExtract,
     "html_extract" -> qHtmlExtract,
     "link_extract" -> qLinkExtract,
     "host_link_edges" -> qHostLinkEdges,
@@ -7055,6 +7064,7 @@ object QueryCatalog {
     "zip_extract" -> oZipExtract,
     "tar_extract" -> oTarExtract,
     "tgz_extract" -> oTarExtract,
+    "txz_extract" -> oTarExtract,
     "html_extract" -> oHtmlExtract,
     "link_extract" -> oLinkExtract,
     "host_link_edges" -> oHostLinkEdges,

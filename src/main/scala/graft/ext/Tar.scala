@@ -245,6 +245,43 @@ object Tar {
       }
   }
 
+  /** Wrap each archive payload in an xz stream ([[Xz.compressRaw]]) —
+    * the `.tar.xz` fixture writer, composing the two codecs exactly the
+    * way `dist` tarballs do on disk.
+    */
+  def xzWrap(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (aid, p) => (aid, Xz.compressRaw(p)) }
+      .toDF("archive_id", "payload")
+  }
+
+  /** Decode `.tar.xz` archives: the full xz container/LZMA2 stack
+    * (multistream-aware) feeding the same strict tar parser — the
+    * layering contract `tgz_extract` established for gzip, on the
+    * container modern dist tarballs actually use.
+    */
+  def txzExtract(archives: DataFrame, maxArchiveBytes: Int = 1 << 28): Dataset[TarEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, payload) =>
+        try {
+          val streams = Xz.decompressStreams(payload, maxArchiveBytes)
+          val total = streams.map(_.length).sum
+          val tar = new Array[Byte](total)
+          var off = 0
+          streams.foreach { m => System.arraycopy(m, 0, tar, off, m.length); off += m.length }
+          parseTar(aid, tar, maxArchiveBytes)
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+  }
+
   /** Decode `.tar.gz` archives: gzip member walk (all header variants,
     * multi-member concatenation) feeding the same strict tar parser.
     */

@@ -69,6 +69,21 @@ object StreamingArchiveIngest {
     windowed(graft.ext.Bzip2.bz2ExtractWithTs(archives, maxRecordBytes),
       watermarkDelay, windowLength)
 
+  /** The `.xz` segment twin: live multistream xz archives (one stream
+    * per record — the Wikimedia multistream convention) routed through
+    * the SAME demux as the batch path
+    * ([[graft.ext.Xz.xzExtractWithTs]] — container CRCs, LZMA2 decode,
+    * index and footer cross-checks all live) and the shared watermarked
+    * window reduction, with whole-segment damage drop.
+    */
+  def ingestXz(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(graft.ext.Xz.xzExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
   /** The CODED-BODY twin: live `.warc.gz` segments whose HTTP payloads
     * carry `Content-Encoding` (gzip/deflate/br, RFC 9110 layering)
     * routed through the SAME six-layer decode the batch path uses

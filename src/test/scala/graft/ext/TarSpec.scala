@@ -106,4 +106,21 @@ class TarSpec extends AnyFunSuite {
     assert(Tar.tarExtract(df).collect().isEmpty)
     assert(Tar.tgzExtract(df).collect().isEmpty)
   }
+
+  test("tar.xz: the xz layer composes under the same tar parse, damage drops whole") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"txz doc $i " + ("v" * (i % 30).toInt))).toDF("doc_id", "text")
+    val plain = Tar.tarExtract(Tar.encodeTarArchives(docs, nArchives = 4)).collect()
+      .map(e => (e.archive_id, e.rec_idx, e.rec_doc_id, e.n_bytes, e.checksum)).sorted.toSeq
+    val archives = Tar.xzWrap(Tar.encodeTarArchives(docs, nArchives = 4))
+    val viaXz = Tar.txzExtract(archives).collect()
+      .map(e => (e.archive_id, e.rec_idx, e.rec_doc_id, e.n_bytes, e.checksum)).sorted.toSeq
+    assert(viaXz == plain, "xz layer must be transparent to the tar parse")
+    val damaged = archives.as[(Long, Array[Byte])].map { case (aid, p) =>
+      if (aid == 2L) { val m = p.clone(); m(m.length / 2) = (m(m.length / 2) ^ 1).toByte; (aid, m) }
+      else (aid, p)
+    }.toDF("archive_id", "payload")
+    val left = Tar.txzExtract(damaged).collect()
+    assert(left.forall(_.archive_id != 2L) && left.nonEmpty)
+  }
 }

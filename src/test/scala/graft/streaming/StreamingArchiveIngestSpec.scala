@@ -97,6 +97,40 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("xz stream: windows finalize exactly once; damaged segments drop whole") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val blobs = graft.ext.Xz.encodeXzArchives(
+      (0L until 12L).map(i => (i, s"xz streamed document $i with some body text")).toDF("doc_id", "text"),
+      nArchives = 2)
+      .as[(Long, Array[Byte])].collect().toMap // 6 records per archive
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = StreamingArchiveIngest.ingestXz(
+      input.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("xz_ingest_out").outputMode("append").start()
+    try {
+      val corrupt = blobs(1L).clone()
+      corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x7f).toByte
+      input.addData((0L, ts(1), blobs(0L)), (0L, ts(4), blobs(0L)), (1L, ts(3), corrupt))
+      query.processAllAvailable()
+      input.addData((1L, ts(8), blobs(1L)))
+      query.processAllAvailable()
+      input.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      query.processAllAvailable()
+      val rows = spark.table("xz_ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expectedBytes = (0L until 12L by 2)
+        .map(i => s"xz streamed document $i with some body text".getBytes("UTF-8").length.toLong).sum
+      assert(rows((0, 0L))._1 == 12L, "two clean segments of archive 0")
+      assert(rows((0, 0L))._2 == 2 * expectedBytes)
+      assert(rows((0, 1L))._1 == 6L, "corrupt xz segment must not contribute records")
+      assert(spark.table("xz_ingest_out").collect()
+        .count(r => r.getTimestamp(0).getTime == 0L && r.getLong(1) == 0L) == 1, "exactly-once finalization")
+    } finally query.stop()
+  }
+
   test("bz2 stream: windows finalize exactly once; damaged segments drop whole") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
