@@ -2933,6 +2933,18 @@ object QueryCatalog {
     graft.ext.Bzip2.bz2Extract(
       graft.ext.Bzip2.encodeBz2Archives(table(s, dir, "documents"), nArchives = 16)).toDF()
 
+  /** The LZMA round trip under the gate: [[graft.ext.Xz.compress]] —
+    * the real greedy-LZMA encoder (range-coded chunks, rep0
+    * continuation, raw fallback on expansion) — inverted by the full
+    * from-scratch decoder per document, with the (-1,-1) sentinel
+    * surfacing any broken stream. Oracle replays length + checksum
+    * from source text.
+    */
+  private val qXzLzmaRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Xz.xzSignal(table(s, dir, "documents")).toDF()
+
+  private val oXzLzmaRoundtrip: String = oDeflateRoundtrip
+
   /** The `.xz` ingest path under the gate ([[graft.ext.Xz]] — the last
     * classic corpus container): documents packed into 16 multistream
     * archives (one xz stream per record, 4-byte stream padding after
@@ -6886,6 +6898,7 @@ object QueryCatalog {
     "zst_extract" -> qZstExtract,
     "bz2_extract" -> qBz2Extract,
     "xz_extract" -> qXzExtract,
+    "xz_lzma_roundtrip" -> qXzLzmaRoundtrip,
     "bpe_tokens" -> qBpeTokens,
     "bpe_train" -> qBpeTrain,
     "unigram_train" -> qUnigramTrain,
@@ -7103,6 +7116,7 @@ object QueryCatalog {
     "zst_extract" -> oZstExtract,
     "bz2_extract" -> oBz2Extract,
     "xz_extract" -> oXzExtract,
+    "xz_lzma_roundtrip" -> oXzLzmaRoundtrip,
     "bpe_tokens" -> oBpeTokens,
     "bpe_train" -> oBpeTrain,
     "unigram_train" -> oUnigramTrain,

@@ -255,7 +255,7 @@ object Tar {
     archives
       .select(col("archive_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (aid, p) => (aid, Xz.compressRaw(p)) }
+      .map { case (aid, p) => (aid, Xz.compress(p)) }
       .toDF("archive_id", "payload")
   }
 

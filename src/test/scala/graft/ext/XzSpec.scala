@@ -142,6 +142,50 @@ class XzSpec extends AnyFunSuite {
     intercept[RuntimeException](Xz.decompress(bomb, 1 << 16))
   }
 
+  test("real LZMA encoder: round trips in both decoders across the corpus") {
+    corpus.foreach { d =>
+      val c = Xz.compress(d)
+      assert(Xz.decompress(c, d.length + 16).sameElements(d), s"self len=${d.length}")
+      assert(tkDecompress(c).sameElements(d), s"tukaani rejects our LZMA, len=${d.length}")
+    }
+  }
+
+  test("real LZMA encoder: genuinely compresses — beats raw chunks on compressible text") {
+    Seq(
+      ("the quick brown fox jumps over the lazy dog. " * 2000).getBytes,
+      ("z" * 200000).getBytes,
+      { val sb = new StringBuilder
+        for (i <- 0 until 4000) sb.append(s"""{"id":$i,"host":"h${i % 7}.example","ok":true}\n""")
+        sb.toString.getBytes }).foreach { d =>
+      val real = Xz.compress(d).length
+      val raw = Xz.compressRaw(d).length
+      assert(real < raw / 2, s"real=$real raw=$raw on ${d.length} compressible bytes")
+    }
+    // incompressible input falls back to raw chunks: bounded overhead
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(100000)(rnd.nextInt(256).toByte)
+    assert(Xz.compress(noise).length < noise.length + noise.length / 8)
+  }
+
+  test("real LZMA encoder: fuzz round trips across sizes, alphabets, and run shapes") {
+    val rnd = new scala.util.Random(0x17a5e)
+    for (t <- 0 until 80) {
+      val n = rnd.nextInt(1 << (4 + rnd.nextInt(13)))
+      val d = (t % 5) match {
+        case 0 => Array.fill(n)(rnd.nextInt(256).toByte)
+        case 1 => Array.fill(n)((rnd.nextInt(3) + 'a').toByte)
+        case 2 => Array.fill(n)('q'.toByte)
+        case 3 => Array.tabulate(n)(i => ((i / 11) % 251).toByte)
+        case _ =>
+          val w = "lzma chunk boundary test "
+          w.*(n / w.length + 2).substring(0, n).getBytes
+      }
+      val c = Xz.compress(d)
+      assert(Xz.decompress(c, n + 16).sameElements(d), s"self t=$t n=$n")
+      assert(tkDecompress(c).sameElements(d), s"tukaani t=$t n=$n")
+    }
+  }
+
   test("xzExtract end-to-end: archives demux, damage quarantines one archive") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, s"doc $i body " + ("u" * (i % 40).toInt))).toDF("doc_id", "text")
