@@ -101,6 +101,20 @@ object StreamingArchiveIngest {
     windowed(Archives.warcHttpEncExtractWithTs(archives, maxRecordBytes),
       watermarkDelay, windowLength)
 
+  /** The TEXT-PLANE twin: the seven-layer charset capstone as live
+    * ingest ([[Archives.warcHttpCharsetExtractWithTs]]) — per-window
+    * totals count TRANSCODED UTF-8 bytes, the corpus-operator number
+    * after both the coding and charset planes; damage in any of the
+    * seven layers drops the segment whole.
+    */
+  def ingestCharset(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(Archives.warcHttpCharsetExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.

@@ -227,6 +227,41 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("charset stream: transcoded byte totals agree with the batch capstone per record") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (0L until 24L).map(i => (i, s"cs doc $i")).toDF("doc_id", "text")
+    val blobs = Archives.encodeWarcHttpCharsetArchives(docs, nArchives = 3)
+      .as[(Long, Array[Byte])].collect()
+    val batch = Archives.warcHttpCharsetExtract(blobs.toSeq.toDF("archive_id", "payload"))
+      .collect().map(e => (e.archive_id, e.rec_idx, e.rec_doc_id, e.n_bytes_out)).sorted.toSeq
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val query = Archives.warcHttpCharsetExtractWithTs(
+      input.toDF().toDF("archive_id", "ts", "payload"))
+      .writeStream.format("memory").queryName("cs_parity_out").outputMode("append").start()
+    try {
+      input.addData(blobs.map { case (aid, p) => (aid, ts(1), p) }.toSeq: _*)
+      query.processAllAvailable()
+      val stream = spark.table("cs_parity_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      assert(stream == batch, "batch == streaming transcoded-byte identity")
+    } finally query.stop()
+    // the windowed composition runs end to end
+    val input2 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q2 = StreamingArchiveIngest.ingestCharset(
+      input2.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("cs_ingest_out").outputMode("append").start()
+    try {
+      input2.addData(blobs.map { case (aid, p) => (aid, ts(1), p) }.toSeq: _*)
+      q2.processAllAvailable()
+      input2.addData((0L, ts(40), blobs.head._2))
+      q2.processAllAvailable()
+      val rows = spark.table("cs_ingest_out").collect()
+      assert(rows.count(_.getTimestamp(0).getTime == 0L) == 3, "one finalized window per archive")
+    } finally q2.stop()
+  }
+
   test("archive stream: late-arriving segment beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
