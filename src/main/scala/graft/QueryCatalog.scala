@@ -2234,6 +2234,40 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Sixth REAL image format — and a THIRD entropy coder: baseline TIFF
+    * ([[graft.ext.Tiff]], the scan/scientific-corpus format). The
+    * fixture cycles byte order (II/MM), compression (none / PackBits /
+    * TIFF-variant LZW — MSB-first with the early-change width bump,
+    * sharing nothing with GIF's LSB-first LZW), and RowsPerStrip 2–5
+    * (short last strips live), with the IFD at the END of the file and
+    * external value areas — the layout real writers emit. The decoder
+    * walks the dual-endian IFD, assembles strips, and normalizes to
+    * the shared logical plane, so the oracle replay is the SAME byte
+    * model as PNG/GIF: compression, endianness and strip segmentation
+    * are all transparent, and any slip in any of them shifts bytes and
+    * fails the positional checksum. Differentialed both directions
+    * against ImageIO's TIFF plugin in TiffSpec.
+    */
+  private val qMultimodalTiff: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Tiff.tiffFeatures(graft.ext.Tiff.encodeTiff(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalTiff: String = {
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"3 * p + $c")})), (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       ${chanSum(0)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(2)} AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+       |           j -> ${ppmByteSql("j")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** Fourth REAL image format, second COMPRESSED one — and a second
     * entropy coder: GIF with from-scratch LZW.
     * [[graft.ext.Multimodal.encodeGif]] writes genuine GIF89a files — a
@@ -6839,6 +6873,7 @@ object QueryCatalog {
     "label_centroids" -> qLabelCentroids,
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_bmp_decode" -> qMultimodalBmp,
+    "multimodal_tiff_decode" -> qMultimodalTiff,
     "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_gif_decode" -> qMultimodalGif,
     "multimodal_jpeg_decode" -> qMultimodalJpeg,
@@ -7059,6 +7094,7 @@ object QueryCatalog {
     "label_centroids" -> oLabelCentroids,
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_bmp_decode" -> oMultimodalBmp,
+    "multimodal_tiff_decode" -> oMultimodalTiff,
     "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_gif_decode" -> oMultimodalGif,
     "multimodal_jpeg_decode" -> oMultimodalJpeg,
