@@ -761,7 +761,7 @@ object Xz {
     * body (no chunk header), mutating the shared model `st`. Returns
     * the range-coded bytes.
     */
-  private def lzmaEncodeSpan(data: Array[Byte], from: Int, until: Int,
+  private def lzmaEncodeSpan(data: Array[Byte], from: Int, until: Int, dictBase: Int,
       st: LzmaState, table: Array[Int], maxBack: Int, hardCap: Int): Array[Byte] = {
     val rc = new RangeEnc
     val posMask = (1 << st.pb) - 1
@@ -774,11 +774,13 @@ object Xz {
     var i = from
     while (i < until) {
       if (rc.size > hardCap) return null // expansion guard: caller falls back to raw
-      val posState = i & posMask
+      // positions and history are relative to the block's dict epoch —
+      // the decoder's dictionary restarts at each block
+      val posState = (i - dictBase) & posMask
       // ---- candidate search: rep0 continuation + one hash candidate
       var repLen = 0
       val repDist = st.rep0 + 1
-      if (i >= repDist) {
+      if (i - repDist >= dictBase) {
         while (repLen < MaxMatchLen && i + repLen < until &&
           data(i + repLen - repDist) == data(i + repLen)) repLen += 1
       }
@@ -788,7 +790,7 @@ object Xz {
         val h = hash4(i)
         val cand = table(h)
         table(h) = i
-        if (cand >= 0 && cand < i && i - cand <= maxBack &&
+        if (cand >= dictBase && cand < i && i - cand <= maxBack &&
           data(cand) == data(i) && data(cand + 1) == data(i + 1) &&
           data(cand + 2) == data(i + 2) && data(cand + 3) == data(i + 3)) {
           candLen = 4
@@ -842,12 +844,12 @@ object Xz {
       } else {
         // ---- literal
         rc.encodeBit(st.isMatch, (st.state << 4) + posState, 0)
-        val prev = if (i > 0) data(i - 1) & 0xff else 0
-        val litState = ((i & litPosMask) << st.lc) + (prev >> (8 - st.lc))
+        val prev = if (i > dictBase) data(i - 1) & 0xff else 0
+        val litState = (((i - dictBase) & litPosMask) << st.lc) + (prev >> (8 - st.lc))
         val base = 0x300 * litState
         val sym = data(i) & 0xff
         if (st.state >= 7) {
-          var matchByte = (if (i >= st.rep0 + 1) data(i - st.rep0 - 1) else 0) & 0xff
+          var matchByte = (if (i - st.rep0 - 1 >= dictBase) data(i - st.rep0 - 1) else 0) & 0xff
           var m = 1
           var k = 7
           var steered = true
@@ -891,84 +893,92 @@ object Xz {
     * here AND in tukaani (XzSpec pins both, plus the ratio win over
     * [[compressRaw]]).
     */
-  def compress(data: Array[Byte]): Array[Byte] = {
+  def compress(data: Array[Byte], blockSize: Int = 1 << 20): Array[Byte] = {
     if (data.isEmpty) return compressRaw(data)
+    require(blockSize > 0)
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     out.write(Magic, 0, 6)
     val flags = Array[Byte](0, 0x01) // CRC32 check
     out.write(flags, 0, 2)
     writeLeInt(out, crc32(flags, 0, 2))
-    // ---- block header (same as compressRaw)
-    val hdr = new java.io.ByteArrayOutputStream(16)
-    hdr.write(0); hdr.write(0)
-    writeVli(hdr, 0x21); writeVli(hdr, 1); hdr.write(26)
-    while ((hdr.size + 4) % 4 != 0) hdr.write(0)
-    val h = hdr.toByteArray
-    h(0) = (((h.length + 4) / 4) - 1).toByte
-    out.write(h, 0, h.length)
-    writeLeInt(out, crc32(h, 0, h.length))
-    // ---- LZMA2 chunks
-    val dataStart = out.size
-    val table = new Array[Int](1 << 16)
-    java.util.Arrays.fill(table, -1)
     val lc = 3; val lp = 0; val pb = 2
     val props = (pb * 5 + lp) * 9 + lc
-    var st: LzmaState = null
-    var dictResetDone = false
-    var stateLive = false
     val chunkCap = 56 * 1024
-    var off = 0
-    while (off < data.length) {
-      val until = math.min(off + chunkCap, data.length)
-      val stForSpan = if (stateLive) st else new LzmaState(lc, lp, pb)
-      // snapshot rep/state mutation happens inside; on fallback we rebuild
-      val packed = lzmaEncodeSpan(data, off, until, stForSpan, table, (1 << 25) - 273, 60 * 1024)
-      val unpacked = until - off
-      if (packed != null && packed.length < unpacked && packed.length <= 65536) {
-        val reset =
-          if (!dictResetDone) 3
-          else if (!stateLive) 2 // props resend keeps the decoder honest
-          else 0
-        val control = 0x80 | (reset << 5) | ((unpacked - 1) >> 16)
-        out.write(control)
-        out.write(((unpacked - 1) >> 8) & 0xff); out.write((unpacked - 1) & 0xff)
-        out.write((packed.length - 1) >> 8); out.write((packed.length - 1) & 0xff)
-        if (reset >= 2) out.write(props)
-        out.write(packed, 0, packed.length)
-        st = stForSpan
-        stateLive = true
-        dictResetDone = true
-      } else {
-        // expansion fallback: raw chunk(s); drops the LZMA state (the
-        // decoder's rule), so the next LZMA chunk resends props
-        var o2 = off
-        while (o2 < until) {
-          val n = math.min(1 << 16, until - o2)
-          out.write(if (!dictResetDone) 0x01 else 0x02)
-          out.write((n - 1) >> 8); out.write((n - 1) & 0xff)
-          out.write(data, o2, n)
-          o2 += n
+    var records = List.newBuilder[(Long, Long)] // (unpaddedSize, uncompressedSize)
+    var blockStart = 0
+    while (blockStart < data.length) {
+      val blockEnd = math.min(blockStart + blockSize, data.length)
+      // ---- block header (one LZMA2 filter, 32 MB dict byte, no sizes)
+      val hdr = new java.io.ByteArrayOutputStream(16)
+      hdr.write(0); hdr.write(0)
+      writeVli(hdr, 0x21); writeVli(hdr, 1); hdr.write(26)
+      while ((hdr.size + 4) % 4 != 0) hdr.write(0)
+      val h = hdr.toByteArray
+      h(0) = (((h.length + 4) / 4) - 1).toByte
+      out.write(h, 0, h.length)
+      writeLeInt(out, crc32(h, 0, h.length))
+      // ---- LZMA2 chunks: fresh dict epoch per block (matches and
+      // position context never cross a block boundary — each block's
+      // first chunk dict-resets, mirroring the decoder's per-block
+      // lzma2Decode call)
+      val dataStart = out.size
+      val table = new Array[Int](1 << 16)
+      java.util.Arrays.fill(table, -1)
+      var st: LzmaState = null
+      var dictResetDone = false
+      var stateLive = false
+      var off = blockStart
+      while (off < blockEnd) {
+        val until = math.min(off + chunkCap, blockEnd)
+        val stForSpan = if (stateLive) st else new LzmaState(lc, lp, pb)
+        val packed = lzmaEncodeSpan(data, off, until, blockStart, stForSpan, table,
+          (1 << 25) - 273, 60 * 1024)
+        val unpacked = until - off
+        if (packed != null && packed.length < unpacked && packed.length <= 65536) {
+          val reset =
+            if (!dictResetDone) 3
+            else if (!stateLive) 2 // props resend keeps the decoder honest
+            else 0
+          val control = 0x80 | (reset << 5) | ((unpacked - 1) >> 16)
+          out.write(control)
+          out.write(((unpacked - 1) >> 8) & 0xff); out.write((unpacked - 1) & 0xff)
+          out.write((packed.length - 1) >> 8); out.write((packed.length - 1) & 0xff)
+          if (reset >= 2) out.write(props)
+          out.write(packed, 0, packed.length)
+          st = stForSpan
+          stateLive = true
           dictResetDone = true
+        } else {
+          // expansion fallback: raw chunk(s); drops the LZMA state (the
+          // decoder's rule), so the next LZMA chunk resends props
+          var o2 = off
+          while (o2 < until) {
+            val n = math.min(1 << 16, until - o2)
+            out.write(if (!dictResetDone) 0x01 else 0x02)
+            out.write((n - 1) >> 8); out.write((n - 1) & 0xff)
+            out.write(data, o2, n)
+            o2 += n
+            dictResetDone = true
+          }
+          st = null
+          stateLive = false
         }
-        // the aborted span polluted the shared model: drop it
-        st = null
-        stateLive = false
-        // hash entries planted by the aborted span stay valid (they
-        // index real positions) — no rollback needed
+        off = until
       }
-      off = until
+      out.write(0x00) // LZMA2 end marker
+      val dataLen = out.size - dataStart
+      var pad = 0
+      while ((h.length + 4 + dataLen + pad) % 4 != 0) { out.write(0); pad += 1 }
+      writeLeInt(out, crc32(data, blockStart, blockEnd))
+      records += (((h.length + 4 + dataLen).toLong + 4, (blockEnd - blockStart).toLong))
+      blockStart = blockEnd
     }
-    out.write(0x00) // LZMA2 end marker
-    val dataLen = out.size - dataStart
-    var pad = 0
-    while ((h.length + 4 + dataLen + pad) % 4 != 0) { out.write(0); pad += 1 }
-    writeLeInt(out, crc32(data, 0, data.length))
-    val unpaddedSize = (h.length + 4 + dataLen).toLong + 4
-    // ---- index + footer (same as compressRaw)
+    // ---- index + footer
+    val recs = records.result()
     val idx = new java.io.ByteArrayOutputStream(32)
     idx.write(0x00)
-    writeVli(idx, 1L)
-    writeVli(idx, unpaddedSize); writeVli(idx, data.length.toLong)
+    writeVli(idx, recs.length.toLong)
+    recs.foreach { case (u, s) => writeVli(idx, u); writeVli(idx, s) }
     while ((idx.size % 4) != 0) idx.write(0)
     val ib = idx.toByteArray
     out.write(ib, 0, ib.length)

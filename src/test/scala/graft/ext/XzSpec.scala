@@ -186,6 +186,26 @@ class XzSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-block streams: our writer splits blocks; both decoders agree; tukaani's multi-block decodes here") {
+    val d = ("block boundary corpus " * 20000).getBytes // ~440 KB
+    // our writer with 64 KB blocks: 7 blocks, 7 index records
+    val c = Xz.compress(d, blockSize = 1 << 16)
+    assert(Xz.decompress(c, d.length + 16).sameElements(d), "self multi-block")
+    assert(tkDecompress(c).sameElements(d), "tukaani rejects our multi-block stream")
+    // matches must not cross block boundaries: a block-sized periodic
+    // input still round-trips (worst case for a cross-boundary matcher)
+    val periodic = ("ab" * 100000).getBytes
+    val cp = Xz.compress(periodic, blockSize = 4096)
+    assert(Xz.decompress(cp, periodic.length + 16).sameElements(periodic))
+    assert(tkDecompress(cp).sameElements(periodic))
+    // tukaani-written multi-block stream (explicit endBlock) decodes here
+    val bos = new ByteArrayOutputStream()
+    val z = new XZOutputStream(bos, new LZMA2Options(4))
+    z.write(d, 0, d.length / 2); z.endBlock()
+    z.write(d, d.length / 2, d.length - d.length / 2); z.close()
+    assert(Xz.decompress(bos.toByteArray, d.length + 16).sameElements(d), "tukaani multi-block")
+  }
+
   test("xzExtract end-to-end: archives demux, damage quarantines one archive") {
     import spark.implicits._
     val docs = (0L until 60L).map(i => (i, s"doc $i body " + ("u" * (i % 40).toInt))).toDF("doc_id", "text")
