@@ -2938,6 +2938,102 @@ object QueryCatalog {
       |        - CASE doc_id % 4 WHEN 2 THEN 19800 WHEN 3 THEN -28800 ELSE 0 END)::BIGINT AS published
       |FROM c""".stripMargin
 
+  /** The DISCOVERY FRONTIER — the integration gate over the whole
+    * discovery stack: URLs surfaced by the sitemap protocol AND by both
+    * feed dialects (each through its full serialize→strict-parse path)
+    * union into one frontier, freshness normalized to epoch seconds
+    * (sitemap lastmod dates at midnight UTC; feed pubDate/updated with
+    * their zone arithmetic), and every URL is admitted or refused by
+    * the robots longest-match evaluator over the SAME per-host rule
+    * universe — one broadcast join + integer argmax, the
+    * `robots_decisions` plan. Each document surfaces twice (its
+    * sitemap shard and its feed dialect), which is the point: a real
+    * frontier dedups and prioritizes multi-source discoveries, and the
+    * oracle pins that both sources agree on the URL while carrying
+    * different freshness signals. Composes five operators; a slip in
+    * any parser, the date arithmetic, or the admission precedence
+    * fails the hash.
+    */
+  private val qDiscoveryFrontier: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    val sm = Sitemaps.sitemapExtract(Sitemaps.encodeSitemaps(urls)).toDF()
+      .select(col("host"), col("loc").as("url"), lit("sitemap").as("source"),
+        (unix_date(to_date(col("lastmod"))).cast("long") * 86400L).as("freshness"))
+    val fd = graft.ext.Feeds.feedExtract(graft.ext.Feeds.encodeFeeds(urls)).toDF()
+      .select(col("host"), col("link").as("url"), col("dialect").as("source"),
+        col("published").as("freshness"))
+    val frontier = sm.unionByName(fd)
+      .withColumn("upath", expr("substring(url, length(host) + 9)")) // after 'https://<host>'
+    val r = Robots.rulesFor(urls).toDF().select(
+      col("host").as("r_host"),
+      (length(col("prefix")) * 2 +
+        when(col("rule_type") === "allow", 1).otherwise(0)).cast("long").as("score"),
+      col("prefix"))
+    frontier
+      .join(broadcast(r),
+        col("host") === col("r_host") && col("upath").startsWith(col("prefix")), "left")
+      .groupBy(col("host"), col("url"), col("source"), col("freshness"))
+      .agg(max(col("score")).as("best"))
+      .select(col("host"), col("url"), col("source"), col("freshness"),
+        when(col("best").isNull || col("best") % 2 === 1, "allow")
+          .otherwise("disallow").as("decision"))
+  }
+
+  private val oDiscoveryFrontier: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d),
+      |u2 AS (SELECT doc_id, host,
+      |         path || CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2' ELSE '' END AS upath
+      |       FROM c),
+      |fr AS (
+      |  SELECT doc_id, host, upath, 'sitemap' AS source,
+      |         (1767225600 + (doc_id % 28) * 86400)::BIGINT AS freshness FROM u2
+      |  UNION ALL
+      |  SELECT doc_id, host, upath,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END,
+      |         (1767225600
+      |          + list_extract([0,31,59,90,120,151,181,212,243,273,304,334],
+      |              1 + CAST(doc_id % 12 AS INT)) * 86400
+      |          + (doc_id % 28) * 86400 + (doc_id % 24) * 3600 + (doc_id % 60) * 60
+      |          - CASE doc_id % 4 WHEN 2 THEN 19800 WHEN 3 THEN -28800 ELSE 0 END)::BIGINT
+      |  FROM u2),
+      |hr AS (SELECT host, md5(host) AS hm FROM (SELECT DISTINCT host FROM c)),
+      |w AS (SELECT host,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 1, 1))::BIGINT % 8 AS INT)) AS w1,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 2, 1))::BIGINT % 8 AS INT)) AS w2,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 3, 1))::BIGINT % 8 AS INT)) AS w3,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, 4, 1))::BIGINT % 8 AS INT)) AS w4
+      |      FROM hr),
+      |rules AS (SELECT host, 0 AS af, '/' || w1 AS prefix FROM w
+      |          UNION ALL SELECT host, 1, '/' || w1 || '/' || w2 FROM w
+      |          UNION ALL SELECT host, 0, '/' || w3 || '/' || w4 FROM w),
+      |mt AS (SELECT f.host, f.upath, f.source, f.freshness,
+      |         max(len(r.prefix) * 2 + r.af) AS best
+      |       FROM fr f LEFT JOIN rules r
+      |         ON r.host = f.host AND starts_with(f.upath, r.prefix)
+      |       GROUP BY f.host, f.upath, f.source, f.freshness)
+      |SELECT host, 'https://' || host || upath AS url, source, freshness,
+      |       CASE WHEN best IS NULL OR best % 2 = 1 THEN 'allow' ELSE 'disallow' END AS decision
+      |FROM mt""".stripMargin
+
   /** The zstd-archive ingest path under the gate: documents packed into
     * 16 multi-frame `.zst` streams (per record a SKIPPABLE frame
     * carrying the doc id — the seekable-zstd metadata convention — then
@@ -6795,6 +6891,7 @@ object QueryCatalog {
     "robots_txt_decisions" -> qRobotsTxtDecisions,
     "sitemap_extract" -> qSitemapExtract,
     "feed_extract" -> qFeedExtract,
+    "discovery_frontier" -> qDiscoveryFrontier,
     "idna_host_decode" -> qIdnaHostDecode,
     "unicode_nfc" -> qUnicodeNfc,
     "cdc_chunks" -> qCdcChunks,
@@ -7017,6 +7114,7 @@ object QueryCatalog {
     "robots_txt_decisions" -> oRobotsTxtDecisions,
     "sitemap_extract" -> oSitemapExtract,
     "feed_extract" -> oFeedExtract,
+    "discovery_frontier" -> oDiscoveryFrontier,
     "idna_host_decode" -> oIdnaHostDecode,
     "unicode_nfc" -> oUnicodeNfc,
     "cdc_chunks" -> oCdcChunks,
