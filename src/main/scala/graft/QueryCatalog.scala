@@ -1886,6 +1886,81 @@ object QueryCatalog {
       |       CASE WHEN best IS NULL OR best % 2 = 1 THEN 'allow' ELSE 'disallow' END AS decision
       |FROM mt""".stripMargin
 
+  /** Politeness scheduling under the gate ([[graft.ext.Robots.schedule]])
+    * — the step between admission and fetching: each host's
+    * robots-ALLOWED URLs laid out on the host's fetch timeline, one
+    * slot every Crawl-delay seconds. The fixture files now carry
+    * md5-derived delays (1–9s in the `*` group, an INDEPENDENT 1–9s in
+    * the GraftBot group when present), so the oracle only matches if
+    * group selection for the delay is exactly rule-group selection —
+    * a graftbot crawler reading `*`'s delay on a GraftBot host fails
+    * the hash, as does scheduling a disallowed URL or drifting the
+    * per-host order (path BYTES then doc id, pinned via encode()).
+    * Plan: the map-only text evaluation, a per-host delay broadcast,
+    * and ONE host-partitioned rank window — the frontier-scale shuffle
+    * a real fetch scheduler does to shard its queues.
+    */
+  private val qCrawlSchedule: (SparkSession, String) => DataFrame = (s, dir) => {
+    val urls = Url.normalize(Url.attachUrls(table(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("host"), col("path"))
+    Robots.schedule(urls, Robots.encodeRobotsTxt(urls), "graftbot").toDF()
+  }
+
+  private val oCrawlSchedule: String =
+    """WITH d AS (SELECT doc_id, md5('u:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract(['alpha','beta','gamma','delta'],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 4 AS INT)) || '.' ||
+      |        list_extract(['example','testsite'],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 2 AS INT)) || '.' ||
+      |        list_extract(['com','org','net','io'],
+      |          1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 4 AS INT)) AS host,
+      |        '/' || list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || '/' ||
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) ||
+      |        CAST(doc_id % 100 AS VARCHAR) AS path
+      |      FROM d),
+      |g AS (SELECT host, md5(host) AS hm,
+      |        ('0x' || substr(md5(host), 7, 1))::BIGINT % 2 = 0 AS gb
+      |      FROM (SELECT DISTINCT host FROM c)),
+      |w AS (SELECT host,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 8 ELSE 1 END, 1))::BIGINT % 8 AS INT)) AS w1,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 9 ELSE 2 END, 1))::BIGINT % 8 AS INT)) AS w2,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 10 ELSE 3 END, 1))::BIGINT % 8 AS INT)) AS w3,
+      |        list_extract(['data','files','api','docs','img','posts','user','item'],
+      |          1 + CAST(('0x' || substr(hm, CASE WHEN gb THEN 11 ELSE 4 END, 1))::BIGINT % 8 AS INT)) AS w4,
+      |        CAST(('0x' || substr(hm, CASE WHEN gb THEN 12 ELSE 5 END, 1))::BIGINT % 10 AS VARCHAR) AS d1,
+      |        CAST(('0x' || substr(hm, CASE WHEN gb THEN 13 ELSE 6 END, 1))::BIGINT % 10 AS VARCHAR) AS d2
+      |      FROM g),
+      |rules AS (SELECT host, 0 AS af, len('/' || w1)::BIGINT AS plen, '/' || w1 AS pref, NULL AS dg FROM w
+      |          UNION ALL SELECT host, 1, len('/' || w1 || '/' || w2), '/' || w1 || '/' || w2, NULL FROM w
+      |          UNION ALL SELECT host, 0, len('/' || w3 || '/' || w4), '/' || w3 || '/' || w4, NULL FROM w
+      |          UNION ALL SELECT host, 0, 4, NULL, d1 FROM w
+      |          UNION ALL SELECT host, 1, 4, NULL, d2 FROM w),
+      |mt AS (SELECT c.doc_id, c.host, c.path, max(r.plen * 2 + r.af) AS best
+      |       FROM c LEFT JOIN rules r ON r.host = c.host AND
+      |         ((r.dg IS NULL AND starts_with(c.path, r.pref))
+      |          OR (r.dg IS NOT NULL AND substr(c.path, len(c.path), 1) = r.dg))
+      |       GROUP BY 1, 2, 3),
+      |adm AS (SELECT doc_id, host, path FROM mt
+      |        WHERE best IS NULL OR best % 2 = 1),
+      |dl AS (SELECT host,
+      |         CASE WHEN gb THEN 1 + ('0x' || substr(hm, 16, 1))::BIGINT % 9
+      |              ELSE 1 + ('0x' || substr(hm, 15, 1))::BIGINT % 9 END AS delay_s
+      |       FROM g),
+      |rk AS (SELECT a.host, a.doc_id, a.path, dl.delay_s,
+      |         (row_number() OVER (PARTITION BY a.host
+      |            ORDER BY encode(a.path), a.doc_id) - 1)::BIGINT AS rank
+      |       FROM adm a JOIN dl ON dl.host = a.host)
+      |SELECT host, doc_id, path, delay_s::BIGINT AS delay_s, rank,
+      |       (rank * delay_s)::BIGINT AS fetch_at
+      |FROM rk""".stripMargin
+
   /** Block-structured inverted index under the gate: distinct (term, doc)
     * postings ranked per term, segmented into 4096-doc blocks, each block
     * delta + varint encoded (protobuf/Lucene VInt wire form). The emitted
@@ -6889,6 +6964,7 @@ object QueryCatalog {
     "url_normalize" -> qUrlNormalize,
     "robots_decisions" -> qRobotsDecisions,
     "robots_txt_decisions" -> qRobotsTxtDecisions,
+    "crawl_schedule" -> qCrawlSchedule,
     "sitemap_extract" -> qSitemapExtract,
     "feed_extract" -> qFeedExtract,
     "discovery_frontier" -> qDiscoveryFrontier,
@@ -7112,6 +7188,7 @@ object QueryCatalog {
     "url_normalize" -> oUrlNormalize,
     "robots_decisions" -> oRobotsDecisions,
     "robots_txt_decisions" -> oRobotsTxtDecisions,
+    "crawl_schedule" -> oCrawlSchedule,
     "sitemap_extract" -> oSitemapExtract,
     "feed_extract" -> oFeedExtract,
     "discovery_frontier" -> oDiscoveryFrontier,

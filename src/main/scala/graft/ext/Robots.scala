@@ -96,7 +96,7 @@ object Robots {
         sb.append(s"Sitemap: https://$host/sitemap.xml\n")
         sb.append("\n")
         sb.append("User-agent: *\n")
-        sb.append("Crawl-delay: 5\n")
+        sb.append(s"Crawl-delay: ${1 + nib(15) % 9}\n")
         sb.append(s"Disallow: /${w(1)}\n")
         sb.append(s"Allow: /${w(1)}/${w(2)}\n")
         sb.append(s"disallow:/${w(3)}/${w(4)}\n")
@@ -108,6 +108,7 @@ object Robots {
           sb.append("\n")
           sb.append("User-Agent: GraftBot\n")
           sb.append("User-agent: otherbot\n")
+          sb.append(s"crawl-delay: ${1 + nib(16) % 9}\n")
           sb.append(s"Disallow: /${w(8)}\n")
           sb.append(s"Allow: /${w(8)}/${w(9)}\n")
           sb.append(s"Disallow: /${w(10)}/${w(11)}\n")
@@ -130,10 +131,19 @@ object Robots {
     * product token) if any exist, else all `*` groups — never a mix.
     * Empty patterns are dropped.
     */
-  private[ext] def parseRobotsTxt(txt: String, agent: String): Array[(Boolean, String)] = {
+  private final class Group {
+    val agents = scala.collection.mutable.Set.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var delay: Option[Long] = None // last Crawl-delay line in the group wins
+  }
+
+  /** The shared group walk: parse `txt` into agent groups and return the
+    * MOST SPECIFIC applicable set — all groups naming `agent` if any
+    * exist, else all `*` groups, never a mix.
+    */
+  private def parseGroups(txt: String, agent: String): Seq[Group] = {
     val wanted = agent.toLowerCase
-    // group = (agents, rules)
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.Set[String], scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var inAgents = false // last significant line was a user-agent line
     txt.split("\n", -1).foreach { raw =>
       val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
@@ -147,26 +157,46 @@ object Robots {
           field match {
             case "user-agent" =>
               if (!inAgents || groups.isEmpty) {
-                groups += ((scala.collection.mutable.Set.empty[String], scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]))
+                groups += new Group
                 inAgents = true
               }
-              groups.last._1 += value.toLowerCase
+              groups.last.agents += value.toLowerCase
             case "allow" | "disallow" =>
               inAgents = false
               if (groups.nonEmpty && value.nonEmpty)
-                groups.last._2 += ((field == "allow", value))
+                groups.last.rules += ((field == "allow", value))
+            case "crawl-delay" =>
+              // the de-facto politeness directive (not in RFC 9309 but
+              // honored by most crawlers): whole non-negative seconds
+              // only; anything else (fractions, units, garbage) is
+              // ignored like any unknown value. Capped so a hostile
+              // file can't park a scheduler for centuries.
+              inAgents = false
+              if (groups.nonEmpty && value.nonEmpty && value.length <= 6 &&
+                  value.forall(c => c >= '0' && c <= '9'))
+                groups.last.delay = Some(value.toLong)
             case _ =>
-              // unknown directive (crawl-delay, sitemap, ...): part of the
+              // unknown directive (sitemap, host, ...): part of the
               // group but ignored; it DOES end an agent-line run
               inAgents = false
           }
         }
       }
     }
-    val named = groups.filter(_._1.contains(wanted))
-    val chosen = if (named.nonEmpty) named else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2).toArray
+    val named = groups.filter(_.agents.contains(wanted))
+    (if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))).toSeq
   }
+
+  private[ext] def parseRobotsTxt(txt: String, agent: String): Array[(Boolean, String)] =
+    parseGroups(txt, agent).flatMap(_.rules).toArray
+
+  /** The Crawl-delay (seconds) the selected group set imposes on `agent`:
+    * the last declared delay among the chosen groups, 0 when none —
+    * group selection is IDENTICAL to rule selection, so a GraftBot
+    * group's delay replaces `*`'s, never merges with it.
+    */
+  private[ext] def parseCrawlDelay(txt: String, agent: String): Long =
+    parseGroups(txt, agent).flatMap(_.delay).lastOption.getOrElse(0L)
 
   /** RFC 9309 path-pattern match: `*` matches any byte run, a TRAILING
     * `$` anchors the pattern to the path end (elsewhere `$` is
@@ -257,5 +287,45 @@ object Robots {
         coalesce(expr("best DIV 2"), lit(0L)).as("matched_len"),
         when(col("best").isNull || col("best") % 2 === 1, "allow")
           .otherwise("disallow").as("decision"))
+  }
+
+  final case class FetchSlot(host: String, doc_id: Long, path: String,
+      delay_s: Long, rank: Long, fetch_at: Long)
+
+  /** Politeness scheduling — the step between admission and fetching: the
+    * robots-ALLOWED URLs of each host are laid out on that host's fetch
+    * timeline, one slot every Crawl-delay seconds (`fetch_at = rank ·
+    * delay`, rank 0-based over a deterministic per-host order: path
+    * BYTES then doc id — UTF-8 byte order so any engine agrees). Hosts
+    * without a delay directive schedule everything at 0 (rank still
+    * orders the queue). Plan shape: the admission decisions are the
+    * map-only [[evaluateTxt]] pass; per-host delays are a second tiny
+    * broadcast (one row per host — a crawler holds every host's policy
+    * in memory today); the ONLY frontier-scale shuffle is the per-host
+    * rank, a window partitioned exactly how a real fetch scheduler
+    * shards its queues. At 100 TB the host is the natural unit: no
+    * global sort, no cross-host coordination, skew bounded by the
+    * biggest single host's URL count — which is what politeness
+    * serializes anyway.
+    */
+  def schedule(urls: DataFrame, robots: DataFrame, agent: String = "graftbot"): Dataset[FetchSlot] = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val delays = robots.select(col("host").cast("string"), col("robots_txt").cast("string"))
+      .as[(String, String)]
+      .map { case (h, txt) => (h, parseCrawlDelay(txt, agent)) }
+      .toDF("d_host", "delay_s")
+    val admitted = evaluateTxt(urls, robots, agent).toDF()
+      .filter(col("decision") === "allow")
+      .join(broadcast(delays), col("host") === col("d_host"), "left")
+      .select(col("host"), col("doc_id"), col("path"),
+        coalesce(col("delay_s"), lit(0L)).as("delay_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(encode(col("path"), "UTF-8"), col("doc_id"))
+    admitted
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at", col("rank") * col("delay_s"))
+      .as[FetchSlot]
   }
 }

@@ -167,4 +167,88 @@ class RobotsSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(3), x.getString(4)))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("parseCrawlDelay: group selection, last-wins, value hygiene") {
+    // named group's delay REPLACES *'s (selection, not merge)
+    val txt =
+      "User-agent: *\nCrawl-delay: 5\nDisallow: /a\n\n" +
+      "User-agent: graftbot\ncrawl-delay: 2\nDisallow: /b\n"
+    assert(Robots.parseCrawlDelay(txt, "graftbot") == 2L)
+    assert(Robots.parseCrawlDelay(txt, "randombot") == 5L)
+    // no directive anywhere -> 0
+    assert(Robots.parseCrawlDelay("User-agent: *\nDisallow: /x\n", "a") == 0L)
+    // last declared delay among the chosen groups wins
+    val twice = "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\nDisallow: /x\n"
+    assert(Robots.parseCrawlDelay(twice, "a") == 7L)
+    // merged same-agent groups: later group's delay wins too
+    val merged = "User-agent: a\nCrawl-delay: 1\nDisallow: /1\n\n" +
+      "User-agent: a\nCrawl-delay: 9\nDisallow: /2\n"
+    assert(Robots.parseCrawlDelay(merged, "a") == 9L)
+    // hygiene: fractions, units, negatives, empties, and >6-digit values
+    // are ignored (treated as absent), falling back to an earlier value
+    for (bad <- Seq("0.5", "10s", "-3", "", "10000000"))
+      assert(Robots.parseCrawlDelay(
+        s"User-agent: *\nCrawl-delay: 4\nCrawl-delay: $bad\nDisallow: /x\n", "a") == 4L,
+        s"value '$bad' must be ignored")
+    // a GraftBot group with rules but NO delay: selection still replaces
+    // * wholesale -> 0, never *'s 5
+    val noDelay = "User-agent: *\nCrawl-delay: 5\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nDisallow: /b\n"
+    assert(Robots.parseCrawlDelay(noDelay, "graftbot") == 0L)
+    // crawl-delay must NOT leak into the rule list
+    assert(Robots.parseRobotsTxt(txt, "graftbot").toSeq == Seq((false, "/b")))
+  }
+
+  test("schedule: per-host timelines honor the delay; disallowed URLs never scheduled") {
+    import spark.implicits._
+    val robots = Seq(
+      ("h.io", "User-agent: *\nCrawl-delay: 5\nDisallow: /private\n"),
+      ("g.io", "User-agent: *\nCrawl-delay: 2\nUser-agent: graftbot\nCrawl-delay: 3\nDisallow: /b\n"))
+      .toDF("host", "robots_txt")
+    val u = urls(
+      (1L, "h.io", "/a"), (2L, "h.io", "/b"), (3L, "h.io", "/private/x"),
+      (4L, "g.io", "/a"), (5L, "g.io", "/b"), (6L, "g.io", "/c"),
+      (7L, "x.io", "/no/robots"), (8L, "x.io", "/also"))
+    val got = Robots.schedule(u, robots).collect().map(s =>
+      s.doc_id -> ((s.delay_s, s.rank, s.fetch_at))).toMap
+    // h.io: /private/x excluded; /a then /b at 5s spacing
+    assert(!got.contains(3L))
+    assert(got(1L) == ((5L, 0L, 0L)) && got(2L) == ((5L, 1L, 5L)))
+    // g.io: graftbot group selected (delay 3, disallow /b)
+    assert(!got.contains(5L))
+    assert(got(4L) == ((3L, 0L, 0L)) && got(6L) == ((3L, 1L, 3L)))
+    // x.io has no robots file: all allowed, delay 0, everything at t=0
+    assert(got(8L) == ((0L, 0L, 0L)) && got(7L) == ((0L, 1L, 0L)))
+  }
+
+  test("schedule: end-to-end over the URL fixture — spacing law, admission consistency, partition-stable") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val u = Url.normalize(Url.attachUrls(docs)).toDF().select("doc_id", "host", "path")
+    val robots = Robots.encodeRobotsTxt(u)
+    val slots = Robots.schedule(u, robots).collect()
+    // exactly the allowed set is scheduled
+    val allowed = Robots.evaluateTxt(u, robots).collect()
+      .filter(_.decision == "allow").map(_.doc_id).toSet
+    assert(slots.map(_.doc_id).toSet == allowed)
+    // per host: delays uniform, ranks dense from 0, fetch_at = rank * delay,
+    // and the order is (path bytes, doc_id)
+    slots.groupBy(_.host).foreach { case (host, hs) =>
+      assert(hs.map(_.delay_s).distinct.length == 1, s"$host: one delay per host")
+      val d = hs.head.delay_s
+      assert(d >= 1 && d <= 9, s"$host: fixture delay in 1..9")
+      assert(hs.map(_.rank).sorted.toSeq == (0L until hs.length).toSeq, s"$host: dense ranks")
+      hs.foreach(s => assert(s.fetch_at == s.rank * d))
+      val byRank = hs.sortBy(_.rank).map(s => (s.path, s.doc_id)).toSeq
+      val expected = hs.map(s => (s.path, s.doc_id)).toSeq
+        .sortBy { case (p, id) => (p, id) } // ASCII paths: string order == byte order
+      assert(byRank == expected, s"$host: rank order is (path, doc_id)")
+    }
+    // both the * arm and the GraftBot arm of the delay fixture occur
+    val delays = slots.groupBy(_.host).map { case (h, hs) => (h, hs.head.delay_s) }
+    assert(delays.values.toSet.size > 1, "delays vary across hosts")
+    val again = Robots.schedule(u.repartition(13), robots).collect()
+      .map(s => (s.doc_id, s.rank, s.fetch_at)).sortBy(_._1)
+    assert(again.toSeq == slots.map(s => (s.doc_id, s.rank, s.fetch_at)).sortBy(_._1).toSeq)
+  }
 }
