@@ -3258,6 +3258,28 @@ object QueryCatalog {
   private val qTxzExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     Tar.txzExtract(Tar.xzWrap(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16))).toDF()
 
+  /** The `.tar.Z` ingest path under the gate ([[graft.ext.UnixCompress]]
+    * — the PRE-gzip distribution container, still what the oldest
+    * mirrors serve): per-archive tarballs wrapped by the from-scratch
+    * compress(1) LZW encoder (width ladder 9→maxbits with the classic
+    * code-group realign at every width change, CLEAR on table-full,
+    * maxbits cycling 12..16 by archive), then demuxed back through the
+    * from-scratch decoder (same realign, burned-slot arithmetic after
+    * CLEAR) feeding the strict tar parser. Same oracle shape as
+    * tgz/txz — the container is graded as transparent; damage
+    * quarantines the archive whole.
+    */
+  private val qTazExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tar.tazExtract(Tar.zWrap(Tar.encodeTarArchives(table(s, dir, "documents"), nArchives = 16))).toDF()
+
+  /** The compress(1) round trip under the gate: per-document `.Z`
+    * compress→decompress across maxbits 12..16, reduced to length +
+    * checksum the oracle recomputes from source text; a broken stream
+    * surfaces as the (-1,-1) sentinel.
+    */
+  private val qZRoundtrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.UnixCompress.zSignal(table(s, dir, "documents")).toDF()
+
   private val oTarExtract: String =
     """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
       |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
@@ -7068,6 +7090,8 @@ object QueryCatalog {
     "tar_extract" -> qTarExtract,
     "tgz_extract" -> qTgzExtract,
     "txz_extract" -> qTxzExtract,
+    "taz_extract" -> qTazExtract,
+    "z_roundtrip" -> qZRoundtrip,
     "html_extract" -> qHtmlExtract,
     "link_extract" -> qLinkExtract,
     "host_link_edges" -> qHostLinkEdges,
@@ -7289,6 +7313,8 @@ object QueryCatalog {
     "tar_extract" -> oTarExtract,
     "tgz_extract" -> oTarExtract,
     "txz_extract" -> oTarExtract,
+    "taz_extract" -> oTarExtract,
+    "z_roundtrip" -> oDeflateRoundtrip,
     "html_extract" -> oHtmlExtract,
     "link_extract" -> oLinkExtract,
     "host_link_edges" -> oHostLinkEdges,

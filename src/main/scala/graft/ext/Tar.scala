@@ -282,6 +282,39 @@ object Tar {
       }
   }
 
+  /** Wrap each tar archive as `archive.tar.Z` — Unix compress(1) over
+    * the whole tarball, the pre-gzip distribution convention. maxbits
+    * cycles by archive id so the decoder's width ladder is exercised at
+    * every top width the on-disk flag allows.
+    */
+  def zWrap(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (aid, p) => (aid, UnixCompress.compress(p, maxbits = 12 + (aid % 5).toInt)) }
+      .toDF("archive_id", "payload")
+  }
+
+  /** Decode `.tar.Z` archives: the from-scratch compress(1) LZW decoder
+    * ([[UnixCompress]] — group realign, burned slot, width ladder)
+    * feeding the same strict tar parser; the layering contract
+    * `tgz_extract`/`txz_extract` established, on the container the
+    * oldest mirrors actually use. Damage quarantines the archive whole.
+    */
+  def tazExtract(archives: DataFrame, maxArchiveBytes: Int = 1 << 28): Dataset[TarEntry] = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, payload) =>
+        try parseTar(aid, UnixCompress.decompress(payload, maxArchiveBytes), maxArchiveBytes)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+  }
+
   /** Decode `.tar.gz` archives: gzip member walk (all header variants,
     * multi-member concatenation) feeding the same strict tar parser.
     */
