@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{PipelineConfig, SarimaxOrder, SeasonalOrder}
-import graft.ext.{Archives, BitPack, Blocklist, Bpe, Cdc, Charset, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sitemaps, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
+import graft.ext.{Archives, BitPack, Blocklist, Boilerplate, Bpe, Cdc, Charset, Clusters, Csv, Dedup, Encoding, EventAnalytics, Evaluation, Gorilla, Graph, Html, InvertedIndex, Lz4, Multimodal, Packing, Projection, Rans, Rle, Robots, Sampling, Similarity, Sitemaps, Sketches, Skyline, Snappy, Suffix, Tar, TextAnalysis, Url, Zip}
 import graft.model.{Metric, WindowAggregate}
 import graft.operators.{BaselineOp, MetricParse, NodePipeline, WindowAgg}
 import graft.sources.MetricDatagen
@@ -3301,6 +3301,88 @@ object QueryCatalog {
     * source text exactly, whose stats the oracle recomputes directly —
     * any tag-walk, RAWTEXT, or entity-decode slip fails the hash.
     */
+  /** Main-content extraction under the gate ([[graft.ext.Boilerplate]])
+    * — the curation step that separates prose from chrome. Pages carry
+    * a nav bar, a short heading, 2–4 content paragraphs (one with an
+    * inline link that must NOT flip it, one with a character
+    * reference), an optional high-link-density related-links div
+    * OUTSIDE any semantic tag (the link rule's test), an optional
+    * aside, and a footer — plus the parser hazards (script/comment
+    * decoys, quoted-'>' attribute, uppercase tags, `&nbsp;`). The
+    * oracle rebuilds every block's rendered text closed-form and
+    * replays all three label rules in integer space, then hashes the
+    * text — so segmentation, entity decoding, whitespace collapse,
+    * link counting, semantic nesting, and the decision table all sit
+    * under one bitwise hash.
+    */
+  private val qContentExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    Boilerplate.contentBlocks(Boilerplate.encodePages(table(s, dir, "documents"))).toDF()
+
+  private val oContentExtract: String =
+    """WITH d AS (SELECT doc_id, md5('bp:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |nb AS (SELECT doc_id, m,
+      |         2 + ('0x' || substr(m, 4, 1))::BIGINT % 3 AS np,
+      |         CASE WHEN ('0x' || substr(m, 21, 1))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS relp,
+      |         CASE WHEN ('0x' || substr(m, 17, 1))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS asdp
+      |       FROM d),
+      |wt AS (SELECT ['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel'] AS ws),
+      |blocks AS (
+      |  SELECT doc_id, 0::BIGINT AS block_id, 'Home About News Contact' AS s,
+      |         20::BIGINT AS lc, 'boilerplate' AS label
+      |  FROM nb
+      |  UNION ALL
+      |  SELECT doc_id, 1,
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)),
+      |         0, 'boilerplate'
+      |  FROM nb, wt
+      |  UNION ALL
+      |  SELECT doc_id, 2 + j,
+      |         'id:' || CAST(doc_id AS VARCHAR) || ':p' || CAST(j AS VARCHAR) || ' ' ||
+      |           wa || ' ' || wb || ' ' || wa || ' ' || wb || ' ' || wa || ' ' || wb ||
+      |           CASE WHEN j = 0 AND doc_id % 4 = 1 THEN ' A&B' ELSE '' END,
+      |         CASE WHEN j = 0 AND doc_id % 3 = 0 THEN len(wb) ELSE 0 END,
+      |         'content'
+      |  FROM (SELECT doc_id, np, j,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(5 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wa,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(9 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wb
+      |        FROM nb, wt, (SELECT unnest([0, 1, 2, 3]) AS j))
+      |  WHERE j < np
+      |  UNION ALL
+      |  SELECT doc_id, 2 + np,
+      |         'More: ' || r1 || ' ' || r2 || ' ' || r3,
+      |         len(r1) + len(r2) + len(r3), 'boilerplate'
+      |  FROM (SELECT doc_id, np, relp,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 22, 1))::BIGINT % 8 AS INT)) AS r1,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 23, 1))::BIGINT % 8 AS INT)) AS r2,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 24, 1))::BIGINT % 8 AS INT)) AS r3
+      |        FROM nb, wt)
+      |  WHERE relp = 1
+      |  UNION ALL
+      |  SELECT doc_id, 2 + np + relp,
+      |         a1 || ' ' || a2 || ' ' || a3,
+      |         len(a1) + len(a2) + len(a3), 'boilerplate'
+      |  FROM (SELECT doc_id, np, relp, asdp,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 18, 1))::BIGINT % 8 AS INT)) AS a1,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 19, 1))::BIGINT % 8 AS INT)) AS a2,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 20, 1))::BIGINT % 8 AS INT)) AS a3
+      |        FROM nb, wt)
+      |  WHERE asdp = 1
+      |  UNION ALL
+      |  SELECT doc_id, 2 + np + relp + asdp,
+      |         '(c) 2026 example.com All rights reserved', 0, 'boilerplate'
+      |  FROM nb),
+      |h AS (SELECT doc_id, block_id, s, lc, label,
+      |        hex(encode(s)) AS hx, octet_length(encode(s)) AS n FROM blocks)
+      |SELECT doc_id, block_id::BIGINT AS block_id, n::BIGINT AS n_chars,
+      |       lc::BIGINT AS n_link_chars, label,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   private val qHtmlExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     Html.htmlTextStats(Html.encodeHtmlDocs(table(s, dir, "documents"))).toDF()
 
@@ -7093,6 +7175,7 @@ object QueryCatalog {
     "taz_extract" -> qTazExtract,
     "z_roundtrip" -> qZRoundtrip,
     "html_extract" -> qHtmlExtract,
+    "content_extract" -> qContentExtract,
     "link_extract" -> qLinkExtract,
     "host_link_edges" -> qHostLinkEdges,
     "deflate_roundtrip" -> qDeflateRoundtrip,
@@ -7316,6 +7399,7 @@ object QueryCatalog {
     "taz_extract" -> oTarExtract,
     "z_roundtrip" -> oDeflateRoundtrip,
     "html_extract" -> oHtmlExtract,
+    "content_extract" -> oContentExtract,
     "link_extract" -> oLinkExtract,
     "host_link_edges" -> oHostLinkEdges,
     "deflate_roundtrip" -> oDeflateRoundtrip,

@@ -97,7 +97,7 @@ object Html {
     * (decoded, positionAfter); an invalid reference returns the literal
     * '&' and advances one char — the browser-compatible fallback.
     */
-  private def entity(s: String, amp: Int): (String, Int) = {
+  private[ext] def entity(s: String, amp: Int): (String, Int) = {
     val semi = s.indexOf(';', amp + 1)
     if (semi < 0 || semi - amp > 12) return ("&", amp + 1)
     val body = s.substring(amp + 1, semi)
@@ -120,7 +120,7 @@ object Html {
   /** True if `s` at `p` starts the close tag `</name` (case-insensitive)
     * followed by '>' or whitespace or EOF — the RAWTEXT exit condition.
     */
-  private def closes(s: String, p: Int, name: String): Boolean = {
+  private[ext] def closes(s: String, p: Int, name: String): Boolean = {
     if (p + 2 + name.length > s.length) return false
     if (s.charAt(p) != '<' || s.charAt(p + 1) != '/') return false
     var i = 0
@@ -135,7 +135,7 @@ object Html {
   /** Lower-cased tag name opening at `p` (p points at '<'); empty if not
     * a name-start.
     */
-  private def tagName(s: String, p: Int): String = {
+  private[ext] def tagName(s: String, p: Int): String = {
     var i = p + 1
     val sb = new StringBuilder
     while (i < s.length && Character.isLetter(s.charAt(i))) {
