@@ -2616,6 +2616,36 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** ISO-BMFF (MP4) demux under the gate ([[graft.ext.Mp4]]): genuine
+    * box trees — ftyp (+ a `free` skip-unknown hazard every 3rd doc),
+    * mdat FIRST (the non-faststart camera layout), moov with an AUDIO
+    * trak ahead of the video trak every 2nd doc (the hdlr-selection
+    * hazard) — resolved through the four sample tables (two-run stts,
+    * paired-chunk stsc, uniform stsz, stco) into per-sample byte
+    * ranges and decode times, each sample's REAL bytes checksummed.
+    * The oracle recomputes offsets from the writer's closed-form
+    * layout (ftyp 20 + free + mdat header + audio prefix + 288/chunk)
+    * and the checksums from the shared AVI plane model — a walker that
+    * picks the wrong track, misses a box, or mis-expands any table
+    * cannot reproduce the offsets or the sample bytes.
+    */
+  private val qMp4Frames: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Mp4.mp4SampleTable(graft.ext.Mp4.encodeMp4(table(s, dir, "documents"))).toDF()
+
+  private val oMp4Frames: String =
+    s"""$aviDocsCte
+      |SELECT doc_id, k::BIGINT AS sample_idx, (k // 2)::BIGINT AS chunk_idx,
+      |       (20 + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END + 8 +
+      |        CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END +
+      |        288 * (k // 2) + 144 * (k % 2))::BIGINT AS offset,
+      |       144::BIGINT AS n_bytes,
+      |       (100 * k)::BIGINT AS dts,
+      |       (CASE WHEN doc_id % 5 > 0 AND k = doc_id % 5 THEN 200 ELSE 100 END)::BIGINT AS dur,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(144), j ->
+      |         ${ppmByteSql("k + j")})),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM f""".stripMargin
+
   /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
     * — an actual byte-level decode, not a byte-statistics stub — framed
     * into 256-sample windows with exact integer RMS/peak statistics. The
@@ -7159,6 +7189,7 @@ object QueryCatalog {
     "multimodal_frames" -> qMultimodalFrames,
     "multimodal_thumbnail" -> qMultimodalThumbnail,
     "video_frame_stats" -> qVideoFrameStats,
+    "mp4_frames" -> qMp4Frames,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7445,6 +7476,7 @@ object QueryCatalog {
     "suffix_array" -> oSuffixArray,
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
+    "mp4_frames" -> oMp4Frames,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
