@@ -2616,6 +2616,50 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** mbox/MIME email ingestion under the gate ([[graft.ext.Mbox]]):
+    * documents become real mbox archives — mboxrd `From ` framing with
+    * `>From ` body quoting, RFC 5322 headers with folding and case
+    * hazards, and three transfer arms cycling by doc id (7bit with
+    * quoting, quoted-printable with soft breaks and the line-start
+    * `From ` escape, multipart/alternative with an html DECOY part
+    * ahead of a base64 text/plain leaf), plus RFC 2047 Q- and
+    * B-encoded Subjects. Every arm must decode to the SAME closed-form
+    * body, whose bytes the oracle rebuilds and hashes — a slip in any
+    * decoder, the part selection, the unfolding, or the mboxrd
+    * unquoting fails the checksum. Damage quarantines the archive.
+    */
+  private val qMboxExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Mbox.mboxExtract(
+      graft.ext.Mbox.encodeMboxArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oMboxExtract: String =
+    """WITH d AS (SELECT doc_id, md5('mm:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['amber','birch','cedar','dune','ember','fjord','grove','heath'] AS ws),
+      |b AS (SELECT doc_id,
+      |        'id:' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 6, 1))::BIGINT % 8 AS INT)) ||
+      |        CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'From here onward plain text' ELSE '' END AS body,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 7, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 8, 1))::BIGINT % 8 AS INT)) AS subject
+      |      FROM d, wt),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, body, subject,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS msg_idx
+      |      FROM b),
+      |h AS (SELECT archive_id, msg_idx, doc_id, subject,
+      |        hex(encode(body)) AS hx, octet_length(encode(body)) AS n FROM r)
+      |SELECT archive_id::BIGINT AS archive_id, msg_idx::BIGINT AS msg_idx,
+      |       doc_id, subject, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** ISO-BMFF (MP4) demux under the gate ([[graft.ext.Mp4]]): genuine
     * box trees — ftyp (+ a `free` skip-unknown hazard every 3rd doc),
     * mdat FIRST (the non-faststart camera layout), moov with an AUDIO
@@ -7190,6 +7234,7 @@ object QueryCatalog {
     "multimodal_thumbnail" -> qMultimodalThumbnail,
     "video_frame_stats" -> qVideoFrameStats,
     "mp4_frames" -> qMp4Frames,
+    "mbox_extract" -> qMboxExtract,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7477,6 +7522,7 @@ object QueryCatalog {
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "mp4_frames" -> oMp4Frames,
+    "mbox_extract" -> oMboxExtract,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

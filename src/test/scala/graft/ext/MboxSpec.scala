@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class MboxSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("base64: both directions against java.util.Base64 across sizes") {
+    val r = new scala.util.Random(0xb64L)
+    for (len <- Seq(0, 1, 2, 3, 4, 57, 58, 100, 1000)) {
+      val data = Array.fill(len)(r.nextInt(256).toByte)
+      val ours = Mbox.b64Encode(data)
+      // our encoder line-wraps at 76 chars, the MIME convention
+      assert(ours.split("\n").forall(_.length <= 76))
+      val jdk = java.util.Base64.getMimeDecoder.decode(ours)
+      assert(jdk.sameElements(data), s"len=$len jdk decodes ours")
+      assert(Mbox.b64Decode(ours).sameElements(data), s"len=$len we decode ours")
+      val theirs = java.util.Base64.getMimeEncoder.encodeToString(data)
+      assert(Mbox.b64Decode(theirs).sameElements(data), s"len=$len we decode jdk")
+    }
+    intercept[RuntimeException](Mbox.b64Decode("QUJ$"))
+    intercept[RuntimeException](Mbox.b64Decode("QQ==QQ")) // data after padding
+  }
+
+  test("quoted-printable: round trip, soft breaks, line-start From escape, _-as-space") {
+    val hazard = "equals = sign\nFrom the top\nplain tail"
+    val enc = Mbox.qpEncode(hazard)
+    assert(enc.contains("=3D") && enc.contains("=46rom"), enc)
+    assert(Mbox.qpDecode(enc) == hazard)
+    val long = ("x" * 200) + "=" + ("y" * 200)
+    val encLong = Mbox.qpEncode(long)
+    assert(encLong.split("\n").forall(_.length <= 76))
+    assert(Mbox.qpDecode(encLong) == long)
+    // RFC 2047 variant: underscore means space ONLY inside encoded words
+    assert(Mbox.qpDecode("a_b", underscoreIsSpace = true) == "a b")
+    assert(Mbox.qpDecode("a_b") == "a_b")
+    intercept[RuntimeException](Mbox.qpDecode("=XY"))
+  }
+
+  test("RFC 2047 encoded words: Q and B forms, mixed with plain text") {
+    assert(Mbox.decodeWords("=?utf-8?Q?amber_birch?=") == "amber birch")
+    val b = java.util.Base64.getEncoder.encodeToString("cedar dune".getBytes("UTF-8"))
+    assert(Mbox.decodeWords(s"=?utf-8?B?$b?=") == "cedar dune")
+    assert(Mbox.decodeWords("plain stays") == "plain stays")
+    assert(Mbox.decodeWords("pre =?utf-8?Q?mid?= post") == "pre mid post")
+  }
+
+  test("end-to-end: all transfer arms, subjects, quoting recover the closed-form plane") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val out = Mbox.mboxExtract(Mbox.encodeMboxArchives(docs, nArchives = 4)).collect()
+    assert(out.length == 120)
+    out.foreach { e =>
+      val body = Mbox.bodyFor(e.doc_id)
+      val bytes = body.getBytes("UTF-8")
+      var c = 0L
+      bytes.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(e.checksum == c, s"doc ${e.doc_id} (arm ${e.doc_id % 3}) body")
+      assert(e.n_bytes == bytes.length)
+      assert(e.subject == Mbox.subjectFor(e.doc_id), s"doc ${e.doc_id} subject")
+    }
+    // every arm and hazard actually occurred
+    assert((0L until 120L).exists(i => i % 3 == 2 && i % 4 == 0), "base64 + From-line combo")
+    // msg order inside an archive is doc order
+    out.groupBy(_.archive_id).foreach { case (_, es) =>
+      val sorted = es.sortBy(_.msg_idx)
+      assert(sorted.map(_.doc_id).toSeq == es.map(_.doc_id).sorted.toSeq)
+    }
+    val again = Mbox.mboxExtract(Mbox.encodeMboxArchives(docs.repartition(7), nArchives = 4)).collect()
+    assert(again.map(e => (e.doc_id, e.checksum)).sorted.toSeq == out.map(e => (e.doc_id, e.checksum)).sorted.toSeq)
+  }
+
+  test("damage quarantines the whole archive; other archives survive") {
+    import spark.implicits._
+    val docs = (0L until 80L).toDF("doc_id")
+    val arch = Mbox.encodeMboxArchives(docs, nArchives = 4)
+    val rows = arch.collect().map(r => (r.getLong(0), r.getString(1)))
+    // corrupt archive 1: break a base64 body character into an illegal one
+    val damaged = rows.map { case (aid, m) =>
+      if (aid == 1L) (aid, m.replaceFirst("base64\n\n[A-Za-z0-9+/]", "base64\n\n!")) else (aid, m)
+    }.toSeq.toDF("archive_id", "mbox")
+    val after = Mbox.mboxExtract(damaged).collect()
+    assert(!after.exists(_.archive_id == 1L), "damaged archive fully quarantined")
+    assert(after.count(_.archive_id == 0L) == 20 && after.count(_.archive_id == 2L) == 20)
+    // a message whose headers never terminate also kills its archive
+    val headless = rows.map { case (aid, m) =>
+      if (aid == 2L) (aid, m.replace("\n\n", "\n")) else (aid, m)
+    }.toSeq.toDF("archive_id", "mbox")
+    val after2 = Mbox.mboxExtract(headless).collect()
+    assert(!after2.exists(_.archive_id == 2L))
+  }
+}
