@@ -91,7 +91,7 @@ object Mbox {
   // ------------------------------------------------------------- fixture
 
   /** The decoded text/plain body every arm must recover. */
-  private[ext] def bodyFor(id: Long): String = {
+  private[graft] def bodyFor(id: Long): String = {
     val m = md5Hex(s"mm:$id")
     def w(i: Int) = words(Integer.parseInt(m.substring(i - 1, i), 16) % 8)
     val base = s"id:$id ${w(1)} ${w(2)} ${w(3)} ${w(4)} ${w(5)} ${w(6)}"
@@ -326,6 +326,28 @@ object Mbox {
       bytes.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
       MboxEntry(aid, k.toLong, id, subject, bytes.length.toLong, c)
     }.toSeq
+  }
+
+  /** [[mboxExtract]] for an ARCHIVE STREAM: the input carries an event
+    * time (`archive_id, ts, mbox`) every extracted message inherits —
+    * mail genuinely arrives as a stream, so this is the family's most
+    * natural twin. Stateless flatMap over the SAME parse as the batch
+    * path; the streaming composition lives in
+    * [[graft.streaming.StreamingArchiveIngest.ingestMbox]].
+    */
+  def mboxExtractWithTs(archives: DataFrame): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("ts").cast("timestamp"), col("mbox").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .flatMap { case (aid, ts, mbox) =>
+        try {
+          if (mbox == null) Nil
+          else parseMbox(aid, mbox).map(e => (e.archive_id, ts, e.msg_idx, e.doc_id, e.n_bytes))
+        } catch { case scala.util.control.NonFatal(_) => Nil } // quarantine
+      }
+      .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
   }
 
   /** The operator: archives → per-message rows; a damaged archive

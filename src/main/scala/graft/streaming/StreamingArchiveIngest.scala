@@ -119,6 +119,21 @@ object StreamingArchiveIngest {
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.
     */
+  /** The MAIL twin: live mbox segments (mail genuinely arrives as a
+    * stream) routed through the SAME four-layer parse as the batch path
+    * ([[graft.ext.Mbox.mboxExtractWithTs]] — mboxrd framing, header
+    * unfolding, multipart leaf selection, transfer decode) and the
+    * shared watermarked window reduction; `total_bytes` counts DECODED
+    * text/plain bytes, and a damaged archive contributes nothing,
+    * exactly like batch.
+    */
+  def ingestMbox(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Mbox.mboxExtractWithTs(archives),
+      watermarkDelay, windowLength)
+
   private def windowed(records: DataFrame, watermarkDelay: String,
       windowLength: String): DataFrame =
     records

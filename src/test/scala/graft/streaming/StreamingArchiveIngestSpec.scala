@@ -282,4 +282,44 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
       assert(w0.length == 1 && w0(0).getLong(2) == 4L, "late segment must not reopen the window")
     } finally query.stop()
   }
+
+  test("mbox stream: windows finalize exactly once; damaged archives drop whole; batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val blobs = graft.ext.Mbox.encodeMboxArchives(
+      (0L until 12L).toDF("doc_id"), nArchives = 2)
+      .as[(Long, String)].collect().toMap // 6 messages per archive
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingArchiveIngest.ingestMbox(
+      input.toDF().toDF("archive_id", "ts", "mbox"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("mbox_ingest_out").outputMode("append").start()
+    try {
+      val corrupt = blobs(1L).replaceFirst("base64\n\n[A-Za-z0-9+/]", "base64\n\n!")
+      assert(corrupt != blobs(1L), "fixture must contain a base64 arm to corrupt")
+      input.addData((0L, ts(1), blobs(0L)), (0L, ts(4), blobs(0L)), (1L, ts(3), corrupt))
+      query.processAllAvailable()
+      input.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      query.processAllAvailable()
+      val rows = spark.table("mbox_ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // total_bytes counts DECODED text/plain bytes - the batch plane
+      val expectedBytes = (0L until 12L by 2)
+        .map(i => graft.ext.Mbox.bodyFor(i).getBytes("UTF-8").length.toLong).sum
+      assert(rows((0, 0L))._1 == 12L, "two clean archives of stream 0")
+      assert(rows((0, 0L))._2 == 2 * expectedBytes)
+      assert(!rows.contains((0, 1L)), "corrupt mbox archive contributes nothing")
+      assert(spark.table("mbox_ingest_out").collect()
+        .count(r => r.getTimestamp(0).getTime == 0L && r.getLong(1) == 0L) == 1, "exactly-once finalization")
+      // record-for-record batch parity on the clean archive
+      val streamed = graft.ext.Mbox.mboxExtractWithTs(
+        Seq((0L, ts(1), blobs(0L))).toDF("archive_id", "ts", "mbox")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Mbox.mboxExtract(
+        Seq((0L, blobs(0L))).toDF("archive_id", "mbox")).collect()
+        .map(e => (e.msg_idx, e.doc_id, e.n_bytes)).sorted.toSeq
+      assert(streamed == batch, "batch and streaming agree record for record")
+    } finally query.stop()
+  }
 }
