@@ -2616,6 +2616,21 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** The TFRecord ingest path under the gate ([[graft.ext.TfRecord]] —
+    * the ML-native record container a training pipeline feeds from):
+    * documents packed into 16 length-framed shards, each record
+    * protected by TWO masked CRC-32Cs (length and payload), then
+    * demuxed with both checksums verified per record. The CRC-32C is
+    * from scratch (table-driven Castagnoli) and differentialed against
+    * the JDK's independent java.util.zip.CRC32C in TfRecordSpec; the
+    * mask round-trip, framing, truncation ladder, and whole-shard
+    * quarantine are pinned there too. Same oracle shape as
+    * zst/bz2/xz/zip — the container is graded as transparent.
+    */
+  private val qTfrecordExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TfRecord.tfrecordExtract(
+      graft.ext.TfRecord.encodeTfrecordArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
   /** mbox/MIME email ingestion under the gate ([[graft.ext.Mbox]]):
     * documents become real mbox archives — mboxrd `From ` framing with
     * `>From ` body quoting, RFC 5322 headers with folding and case
@@ -7235,6 +7250,7 @@ object QueryCatalog {
     "video_frame_stats" -> qVideoFrameStats,
     "mp4_frames" -> qMp4Frames,
     "mbox_extract" -> qMboxExtract,
+    "tfrecord_extract" -> qTfrecordExtract,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7523,6 +7539,7 @@ object QueryCatalog {
     "video_frame_stats" -> oVideoFrameStats,
     "mp4_frames" -> oMp4Frames,
     "mbox_extract" -> oMboxExtract,
+    "tfrecord_extract" -> oZstExtract,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

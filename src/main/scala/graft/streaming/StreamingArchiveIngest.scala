@@ -119,6 +119,19 @@ object StreamingArchiveIngest {
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.
     */
+  /** The ML-SHARD twin: live TFRecord shards (a conversion fleet lands
+    * shards continuously) routed through the SAME double-CRC demux as
+    * the batch path ([[graft.ext.TfRecord.tfrecordExtractWithTs]]) and
+    * the shared watermarked window reduction, damage-drop included.
+    */
+  def ingestTfrecord(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxRecordBytes: Int = 1 << 26): DataFrame =
+    windowed(graft.ext.TfRecord.tfrecordExtractWithTs(archives, maxRecordBytes),
+      watermarkDelay, windowLength)
+
   /** The MAIL twin: live mbox segments (mail genuinely arrives as a
     * stream) routed through the SAME four-layer parse as the batch path
     * ([[graft.ext.Mbox.mboxExtractWithTs]] — mboxrd framing, header
