@@ -2616,6 +2616,22 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** The Avro Object Container ingest path under the gate
+    * ([[graft.ext.Avro]] — the data-lake interchange format corpus
+    * drops arrive in): documents packed into 16 containers (codec
+    * cycling null/deflate by archive — deflate composes the repo's own
+    * RFC 1951 coder), then demuxed through the full from-scratch stack:
+    * magic, the map-encoded metadata (both signed-count arms), per-block
+    * sync-marker verification against the header's, bounded block
+    * sizes, and exact record-count/byte-consumption cross-checks.
+    * Differentialed BOTH directions against the real Avro library in
+    * AvroSpec. Same oracle shape as zst/bz2/xz — the container grades
+    * transparent; damage quarantines whole.
+    */
+  private val qAvroExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Avro.avroExtract(
+      graft.ext.Avro.encodeAvroArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
   /** The TFRecord ingest path under the gate ([[graft.ext.TfRecord]] —
     * the ML-native record container a training pipeline feeds from):
     * documents packed into 16 length-framed shards, each record
@@ -7251,6 +7267,7 @@ object QueryCatalog {
     "mp4_frames" -> qMp4Frames,
     "mbox_extract" -> qMboxExtract,
     "tfrecord_extract" -> qTfrecordExtract,
+    "avro_extract" -> qAvroExtract,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7540,6 +7557,7 @@ object QueryCatalog {
     "mp4_frames" -> oMp4Frames,
     "mbox_extract" -> oMboxExtract,
     "tfrecord_extract" -> oZstExtract,
+    "avro_extract" -> oZstExtract,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
