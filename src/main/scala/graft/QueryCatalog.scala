@@ -2616,6 +2616,45 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** Subtitle ingestion under the gate ([[graft.ext.Subtitles]] — the
+    * caption half of a multimodal corpus, the text the demuxers'
+    * sample times align against): per doc a real SRT (even ids, CRLF
+    * on every 3rd) or WebVTT file (odd ids — header text after the
+    * magic, NOTE blocks, cue identifiers, cue settings dropped), both
+    * grammars' timestamp forms, multi-line cue text. The oracle
+    * rebuilds the cue table closed-form — spans, exact text bytes,
+    * per-cue checksum — so either grammar slipping a millisecond or a
+    * line fails the hash; malformation quarantines the file whole.
+    */
+  private val qSubtitleCues: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Subtitles.subtitleCues(
+      graft.ext.Subtitles.encodeSubtitles(table(s, dir, "documents"))).toDF()
+
+  private val oSubtitleCues: String =
+    """WITH d AS (SELECT doc_id, md5('st:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['align','batch','cue','delta','edge','frame','glyph','hold'] AS ws),
+      |c AS (SELECT doc_id, m, j,
+      |        (doc_id % 7) * 977 + 4000 * j AS start_ms,
+      |        (doc_id % 7) * 977 + 4000 * j + 1500 +
+      |          100 * ('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT AS end_ms,
+      |        'cue ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(6 + j AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(9 + j AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |          CASE WHEN (doc_id + j) % 3 = 0 THEN chr(10) || 'second line ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(12 + j AS INT), 1))::BIGINT % 8 AS INT))
+      |          ELSE '' END AS text
+      |      FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |      WHERE j < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |h AS (SELECT doc_id, j, start_ms, end_ms,
+      |        hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM c)
+      |SELECT doc_id, j::BIGINT AS cue_idx, start_ms::BIGINT AS start_ms,
+      |       end_ms::BIGINT AS end_ms, n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The Avro Object Container ingest path under the gate
     * ([[graft.ext.Avro]] — the data-lake interchange format corpus
     * drops arrive in): documents packed into 16 containers (codec
@@ -7268,6 +7307,7 @@ object QueryCatalog {
     "mbox_extract" -> qMboxExtract,
     "tfrecord_extract" -> qTfrecordExtract,
     "avro_extract" -> qAvroExtract,
+    "subtitle_cues" -> qSubtitleCues,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7558,6 +7598,7 @@ object QueryCatalog {
     "mbox_extract" -> oMboxExtract,
     "tfrecord_extract" -> oZstExtract,
     "avro_extract" -> oZstExtract,
+    "subtitle_cues" -> oSubtitleCues,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,
