@@ -2616,6 +2616,23 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** The 7z ingest path under the gate ([[graft.ext.SevenZip]] — the
+    * container capstone of the LZMA family): documents packed into 16
+    * archives (single-coder folders, COPY on even archives, the repo's
+    * own LZMA2 encoder on odd), property-tree headers with folder CRCs
+    * and UTF-16LE names, then demuxed through the full from-scratch
+    * reader — signature + start-header CRCs, the 7z first-byte-mask
+    * number coding, PackInfo/UnpackInfo/SubStreamsInfo/FilesInfo, the
+    * kEncodedHeader arm, unpack sizes capped before allocation, folder
+    * CRCs verified. Differentialed BOTH directions against
+    * commons-compress in SevenZipSpec (its LZMA2-coded archives decode
+    * here through OUR LZMA2 decoder). Same oracle shape as the archive
+    * family; damage quarantines whole.
+    */
+  private val qSevenZExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.SevenZip.sevenZExtract(
+      graft.ext.SevenZip.encode7zArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
   /** Subtitle ingestion under the gate ([[graft.ext.Subtitles]] — the
     * caption half of a multimodal corpus, the text the demuxers'
     * sample times align against): per doc a real SRT (even ids, CRLF
@@ -7308,6 +7325,7 @@ object QueryCatalog {
     "tfrecord_extract" -> qTfrecordExtract,
     "avro_extract" -> qAvroExtract,
     "subtitle_cues" -> qSubtitleCues,
+    "sevenz_extract" -> qSevenZExtract,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7599,6 +7617,7 @@ object QueryCatalog {
     "tfrecord_extract" -> oZstExtract,
     "avro_extract" -> oZstExtract,
     "subtitle_cues" -> oSubtitleCues,
+    "sevenz_extract" -> oZstExtract,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

@@ -893,6 +893,75 @@ object Xz {
     * here AND in tukaani (XzSpec pins both, plus the ratio win over
     * [[compressRaw]]).
     */
+  /** Encode `[from, until)` as one COMPLETE LZMA2 stream — first chunk
+    * dict-resets, greedy-LZMA chunks with raw fallback on expansion,
+    * 0x00 end marker. Shared by the xz block writer (one call per
+    * block = the per-block dict epoch) and the 7z folder writer
+    * ([[SevenZip]] — LZMA2 is the same coder in both containers).
+    */
+  private[ext] def lzma2EncodeBody(data: Array[Byte], from: Int, until0: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    val lc = 3; val lp = 0; val pb = 2
+    val props = (pb * 5 + lp) * 9 + lc
+    val chunkCap = 56 * 1024
+    val table = new Array[Int](1 << 16)
+    java.util.Arrays.fill(table, -1)
+    var st: LzmaState = null
+    var dictResetDone = false
+    var stateLive = false
+    var off = from
+    while (off < until0) {
+      val until = math.min(off + chunkCap, until0)
+      val stForSpan = if (stateLive) st else new LzmaState(lc, lp, pb)
+      val packed = lzmaEncodeSpan(data, off, until, from, stForSpan, table,
+        (1 << 25) - 273, 60 * 1024)
+      val unpacked = until - off
+      if (packed != null && packed.length < unpacked && packed.length <= 65536) {
+        val reset =
+          if (!dictResetDone) 3
+          else if (!stateLive) 2 // props resend keeps the decoder honest
+          else 0
+        val control = 0x80 | (reset << 5) | ((unpacked - 1) >> 16)
+        out.write(control)
+        out.write(((unpacked - 1) >> 8) & 0xff); out.write((unpacked - 1) & 0xff)
+        out.write((packed.length - 1) >> 8); out.write((packed.length - 1) & 0xff)
+        if (reset >= 2) out.write(props)
+        out.write(packed, 0, packed.length)
+        st = stForSpan
+        stateLive = true
+        dictResetDone = true
+      } else {
+        // expansion fallback: raw chunk(s); drops the LZMA state (the
+        // decoder's rule), so the next LZMA chunk resends props
+        var o2 = off
+        while (o2 < until) {
+          val n = math.min(1 << 16, until - o2)
+          out.write(if (!dictResetDone) 0x01 else 0x02)
+          out.write((n - 1) >> 8); out.write((n - 1) & 0xff)
+          out.write(data, o2, n)
+          o2 += n
+          dictResetDone = true
+        }
+        st = null
+        stateLive = false
+      }
+      off = until
+    }
+    out.write(0x00) // LZMA2 end marker
+  }
+
+  /** Decode one complete raw LZMA2 stream occupying EXACTLY
+    * `[from, until)` (end marker included) — the 7z folder shape; the
+    * xz block path uses [[lzma2Decode]] directly with its own
+    * end-position bookkeeping.
+    */
+  private[ext] def lzma2Raw(b: Array[Byte], from: Int, until: Int, maxOut: Int): Array[Byte] = {
+    val out = new ExpandBuf(math.min(maxOut, 1 << 16), maxOut)
+    val end = lzma2Decode(b, from, until, out)
+    if (end != until) fail() // stream must consume exactly its region
+    out.slice(0)
+  }
+
   def compress(data: Array[Byte], blockSize: Int = 1 << 20): Array[Byte] = {
     if (data.isEmpty) return compressRaw(data)
     require(blockSize > 0)
@@ -901,9 +970,6 @@ object Xz {
     val flags = Array[Byte](0, 0x01) // CRC32 check
     out.write(flags, 0, 2)
     writeLeInt(out, crc32(flags, 0, 2))
-    val lc = 3; val lp = 0; val pb = 2
-    val props = (pb * 5 + lp) * 9 + lc
-    val chunkCap = 56 * 1024
     var records = List.newBuilder[(Long, Long)] // (unpaddedSize, uncompressedSize)
     var blockStart = 0
     while (blockStart < data.length) {
@@ -922,50 +988,7 @@ object Xz {
       // first chunk dict-resets, mirroring the decoder's per-block
       // lzma2Decode call)
       val dataStart = out.size
-      val table = new Array[Int](1 << 16)
-      java.util.Arrays.fill(table, -1)
-      var st: LzmaState = null
-      var dictResetDone = false
-      var stateLive = false
-      var off = blockStart
-      while (off < blockEnd) {
-        val until = math.min(off + chunkCap, blockEnd)
-        val stForSpan = if (stateLive) st else new LzmaState(lc, lp, pb)
-        val packed = lzmaEncodeSpan(data, off, until, blockStart, stForSpan, table,
-          (1 << 25) - 273, 60 * 1024)
-        val unpacked = until - off
-        if (packed != null && packed.length < unpacked && packed.length <= 65536) {
-          val reset =
-            if (!dictResetDone) 3
-            else if (!stateLive) 2 // props resend keeps the decoder honest
-            else 0
-          val control = 0x80 | (reset << 5) | ((unpacked - 1) >> 16)
-          out.write(control)
-          out.write(((unpacked - 1) >> 8) & 0xff); out.write((unpacked - 1) & 0xff)
-          out.write((packed.length - 1) >> 8); out.write((packed.length - 1) & 0xff)
-          if (reset >= 2) out.write(props)
-          out.write(packed, 0, packed.length)
-          st = stForSpan
-          stateLive = true
-          dictResetDone = true
-        } else {
-          // expansion fallback: raw chunk(s); drops the LZMA state (the
-          // decoder's rule), so the next LZMA chunk resends props
-          var o2 = off
-          while (o2 < until) {
-            val n = math.min(1 << 16, until - o2)
-            out.write(if (!dictResetDone) 0x01 else 0x02)
-            out.write((n - 1) >> 8); out.write((n - 1) & 0xff)
-            out.write(data, o2, n)
-            o2 += n
-            dictResetDone = true
-          }
-          st = null
-          stateLive = false
-        }
-        off = until
-      }
-      out.write(0x00) // LZMA2 end marker
+      lzma2EncodeBody(data, blockStart, blockEnd, out)
       val dataLen = out.size - dataStart
       var pad = 0
       while ((h.length + 4 + dataLen + pad) % 4 != 0) { out.write(0); pad += 1 }
