@@ -2616,6 +2616,55 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** Caption↔frame alignment — the integration gate the two multimodal
+    * fixtures exist FOR: every subtitle cue is paired with the video
+    * frame on screen at its start (the as-of join a thumbnail/caption
+    * training pair needs): the [[graft.ext.Mp4]] sample table joins the
+    * [[graft.ext.Subtitles]] cue table per doc, and the cue takes the
+    * LAST sample whose decode time is ≤ its start — one equi-join on
+    * doc plus an integer argmax, the `robots_decisions` plan shape, no
+    * window over the corpus. The oracle replays both fixtures
+    * closed-form and the as-of rule as `least(start_ms // 100, nf−1)`,
+    * so a drift in EITHER demuxer's timing or the join semantics fails
+    * the hash. At 100 TB both sides are co-partitioned on doc id and
+    * the argmax group is the only shuffle.
+    */
+  private val qCaptionAlign: (SparkSession, String) => DataFrame = (s, dir) => {
+    val docs = table(s, dir, "documents")
+    val samples = graft.ext.Mp4.mp4SampleTable(graft.ext.Mp4.encodeMp4(docs)).toDF()
+      .select(col("doc_id").as("s_doc"), col("sample_idx"), col("dts"))
+    val cues = graft.ext.Subtitles.subtitleCues(graft.ext.Subtitles.encodeSubtitles(docs)).toDF()
+      .select(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"))
+    cues
+      .join(samples, col("doc_id") === col("s_doc") && col("dts") <= col("start_ms"))
+      .groupBy(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"))
+      // dts and sample_idx order identically (dts = 100·idx), so one
+      // argmax carries both: pack idx into the low bits of a scaled dts
+      .agg(max(col("dts") * 1000 + col("sample_idx")).as("best"))
+      .select(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"),
+        (col("best") % 1000).as("sample_idx"),
+        expr("best DIV 1000").as("sample_dts"),
+        (col("start_ms") - expr("best DIV 1000")).as("gap_ms"))
+  }
+
+  private val oCaptionAlign: String =
+    """WITH d AS (SELECT doc_id, md5('st:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id, j,
+      |        (doc_id % 7) * 977 + 4000 * j AS start_ms,
+      |        (doc_id % 7) * 977 + 4000 * j + 1500 +
+      |          100 * ('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT AS end_ms
+      |      FROM d, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |      WHERE j < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |a AS (SELECT doc_id, j, start_ms, end_ms,
+      |        least(start_ms // 100, doc_id % 5) AS si
+      |      FROM c)
+      |SELECT doc_id, j::BIGINT AS cue_idx, start_ms::BIGINT AS start_ms,
+      |       end_ms::BIGINT AS end_ms, si::BIGINT AS sample_idx,
+      |       (si * 100)::BIGINT AS sample_dts,
+      |       (start_ms - si * 100)::BIGINT AS gap_ms
+      |FROM a""".stripMargin
+
   /** The 7z ingest path under the gate ([[graft.ext.SevenZip]] — the
     * container capstone of the LZMA family): documents packed into 16
     * archives (single-coder folders, COPY on even archives, the repo's
@@ -2702,6 +2751,40 @@ object QueryCatalog {
   private val qTfrecordExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.TfRecord.tfrecordExtract(
       graft.ext.TfRecord.encodeTfrecordArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  /** tf.Example over TFRecord under the gate ([[graft.ext.TfExample]]
+    * — the ACTUAL on-disk shape of a converted training corpus, protos
+    * inside double-CRC frames): the from-scratch protobuf wire parser
+    * (varints, tags, nested length-delimited messages, unknown-field
+    * skip — one planted inside Features — and BOTH repeated-int64
+    * encodings, packed and unpacked, cycling by doc) reduces each
+    * example's features map to integers, floats carried as IEEE BITS
+    * chosen closed-form so the whole plane stays bitwise. Wire bytes
+    * differentialed against protobuf's own CodedOutputStream in
+    * TfExampleSpec. Damage in the framing OR proto plane quarantines
+    * the shard whole.
+    */
+  private val qTfExampleExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.TfExample.tfExampleExtract(
+      graft.ext.TfExample.encodeTfExampleArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+
+  private val oTfExampleExtract: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx, doc_id,
+      |       n::BIGINT AS n_text_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS text_checksum,
+      |       (1 + doc_id % 8)::BIGINT AS n_tokens,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(1 + doc_id % 8), i ->
+      |         (doc_id + i) % 1000)), (a, x) -> a + x)::BIGINT AS tokens_sum,
+      |       ((doc_id * 2654435761) & 2139095039)::BIGINT AS score_bits,
+      |       4::BIGINT AS n_features
+      |FROM r""".stripMargin
 
   /** mbox/MIME email ingestion under the gate ([[graft.ext.Mbox]]):
     * documents become real mbox archives — mboxrd `From ` framing with
@@ -7323,9 +7406,11 @@ object QueryCatalog {
     "mp4_frames" -> qMp4Frames,
     "mbox_extract" -> qMboxExtract,
     "tfrecord_extract" -> qTfrecordExtract,
+    "tfexample_extract" -> qTfExampleExtract,
     "avro_extract" -> qAvroExtract,
     "subtitle_cues" -> qSubtitleCues,
     "sevenz_extract" -> qSevenZExtract,
+    "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
@@ -7615,9 +7700,11 @@ object QueryCatalog {
     "mp4_frames" -> oMp4Frames,
     "mbox_extract" -> oMboxExtract,
     "tfrecord_extract" -> oZstExtract,
+    "tfexample_extract" -> oTfExampleExtract,
     "avro_extract" -> oZstExtract,
     "subtitle_cues" -> oSubtitleCues,
     "sevenz_extract" -> oZstExtract,
+    "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,
     "line_dedup" -> oLineDedup,
     "mixture_sample" -> oMixtureSample,

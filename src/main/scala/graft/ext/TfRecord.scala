@@ -127,10 +127,12 @@ object TfRecord {
   private def u32(b: Array[Byte], p: Int): Int =
     (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
 
-  private[ext] def demux(aid: Long, b: Array[Byte], maxRecordBytes: Int): Vector[TfEntry] = {
-    val entries = Vector.newBuilder[TfEntry]
+  /** The framing layer alone: verified payload spans, in file order —
+    * what [[TfExample]] composes the proto plane onto.
+    */
+  private[ext] def demuxPayloads(b: Array[Byte], maxRecordBytes: Int): Vector[(Int, Int)] = {
+    val spans = Vector.newBuilder[(Int, Int)]
     var p = 0
-    var recIdx = 0L
     while (p < b.length) {
       if (p + 12 > b.length) fail() // truncated frame header
       val lenLo = u32(b, p).toLong & 0xffffffffL
@@ -142,6 +144,14 @@ object TfRecord {
       val dataEnd = dataStart + len.toInt
       if (dataEnd + 4 > b.length) fail() // truncated payload
       if (unmask(u32(b, dataEnd)) != crc32c(b, dataStart, dataEnd)) fail() // data crc
+      spans += ((dataStart, dataEnd))
+      p = dataEnd + 4
+    }
+    spans.result()
+  }
+
+  private[ext] def demux(aid: Long, b: Array[Byte], maxRecordBytes: Int): Vector[TfEntry] = {
+    demuxPayloads(b, maxRecordBytes).zipWithIndex.map { case ((dataStart, dataEnd), recIdx) =>
       // payload: "<doc_id>\n" + text
       var nl = dataStart
       while (nl < dataEnd && b(nl) != '\n') nl += 1
@@ -150,11 +160,8 @@ object TfRecord {
       var c = 0L
       var i = nl + 1
       while (i < dataEnd) { c = (c * 31 + (b(i) & 0xff)) % 1000000007L; i += 1 }
-      entries += TfEntry(aid, recIdx, id, (dataEnd - nl - 1).toLong, c)
-      recIdx += 1L
-      p = dataEnd + 4
+      TfEntry(aid, recIdx.toLong, id, (dataEnd - nl - 1).toLong, c)
     }
-    entries.result()
   }
 
   /** The ingest gate: demux shards, verify every frame's BOTH CRCs,
