@@ -2752,6 +2752,21 @@ object QueryCatalog {
     graft.ext.TfRecord.tfrecordExtract(
       graft.ext.TfRecord.encodeTfrecordArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
 
+  /** WET conversion under the gate ([[graft.ext.Archives.wetConvert]] —
+    * the Common Crawl deliverable): documents become HTML pages inside
+    * full-HTTP .warc.gz segments, each segment is CONVERTED to a real
+    * `WARC-Type: conversion` plaintext segment (gzip member walk →
+    * WARC → HTTP → HTML text extraction → re-serialize + re-gzip), and
+    * the standard warcExtract reader then ingests the WET output
+    * unchanged. Since every layer is identity-recovering, the oracle
+    * computes the final record table straight from the source
+    * documents — a slip in EITHER direction of the gzip/WARC framing,
+    * the HTTP de-framing, or the HTML extraction fails the checksum.
+    */
+  private val qWetConvert: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.warcExtract(Archives.wetConvert(Archives.encodeWarcHttpArchives(
+      Html.encodeHtmlDocs(table(s, dir, "documents")), nArchives = 16, textCol = "html"))).toDF()
+
   /** tf.Example over TFRecord under the gate ([[graft.ext.TfExample]]
     * — the ACTUAL on-disk shape of a converted training corpus, protos
     * inside double-CRC frames): the from-scratch protobuf wire parser
@@ -7418,6 +7433,7 @@ object QueryCatalog {
     "audio_resample_filtered" -> qAudioResampleFiltered,
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
+    "wet_convert" -> qWetConvert,
     "warc_http_extract" -> qWarcHttpExtract,
     "warc_http_enc_extract" -> qWarcHttpEncExtract,
     "zip_extract" -> qZipExtract,
@@ -7642,6 +7658,7 @@ object QueryCatalog {
     "audio_resample_filtered" -> oAudioResampleFiltered,
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
+    "wet_convert" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
     "warc_http_enc_extract" -> oWarcHttpEncExtract,
     "zip_extract" -> oZipExtract,

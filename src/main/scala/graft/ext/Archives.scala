@@ -909,6 +909,61 @@ object Archives {
       .toDF("doc_id", "body")
   }
 
+  /** WET conversion — the Common Crawl deliverable: response segments
+    * (.warc.gz of full HTTP messages with HTML bodies) become
+    * CONVERSION segments (.warc.gz of `WARC-Type: conversion` records
+    * holding the extracted PLAINTEXT), which is the artifact most
+    * text-corpus consumers actually download. Per archive: gzip member
+    * walk → WARC parse → HTTP de-framing → [[Html.extractText]] →
+    * re-serialize each document as a conversion record (Refers-To
+    * pointing back at the source record's URI, text/plain block,
+    * Content-Length in BYTES) gzip'd as its own member — so the output
+    * is a REAL warc.gz the standard [[warcExtract]] reader ingests
+    * unchanged. Map-only per archive, the input segment's blast radius
+    * preserved: damage anywhere drops the whole segment, never emits a
+    * half-converted one.
+    */
+  def wetConvert(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = new java.io.ByteArrayOutputStream()
+            var pos = 0
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (_, _, _, body) = parseHttpResponse(msg, maxRecordBytes)
+              val text = utf8(Html.extractText(new String(body, java.nio.charset.StandardCharsets.UTF_8)))
+              val head = utf8(
+                "WARC/1.0\r\n" +
+                  "WARC-Type: conversion\r\n" +
+                  s"WARC-Refers-To: http://example.com/doc/$docId\r\n" +
+                  s"WARC-Target-URI: http://example.com/doc/$docId\r\n" +
+                  "Content-Type: text/plain\r\n" +
+                  s"Content-Length: ${text.length}\r\n" +
+                  "\r\n")
+              val wet = new Array[Byte](head.length + text.length + 4)
+              System.arraycopy(head, 0, wet, 0, head.length)
+              System.arraycopy(text, 0, wet, head.length, text.length)
+              wet(wet.length - 4) = '\r'; wet(wet.length - 3) = '\n'
+              wet(wet.length - 2) = '\r'; wet(wet.length - 1) = '\n'
+              out.write(gzipMember(wet, (docId % 4).toInt, docId, method = (docId % 3).toInt))
+              pos = next
+            }
+            Iterator.single((aid, out.toByteArray))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty } // drop segment whole
+      }
+      .toDF("archive_id", "payload")
+  }
+
   /** [[warcExtract]] for an ARCHIVE STREAM: same member-split + record
     * parse, but the input carries an event time (`archive_id, ts,
     * payload`) that every extracted record inherits — what a watermarked

@@ -432,4 +432,40 @@ class ArchivesSpec extends AnyFunSuite {
       damaged.toSeq.toDF("archive_id", "payload")).collect()
     assert(left.forall(_.archive_id != 1L) && left.length == 36)
   }
+
+  test("wetConvert: conversion segments are real warc.gz; text plane exact; damage drops the segment") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"wet plane doc $i with <b>markup</b> & entities"))
+      .toDF("doc_id", "text")
+    val html = Html.encodeHtmlDocs(docs)
+    val responses = Archives.encodeWarcHttpArchives(html, nArchives = 4, textCol = "html")
+    val wet = Archives.wetConvert(responses)
+    // the standard reader ingests the WET output unchanged, and the
+    // recovered text plane is byte-exact the SOURCE text (the html
+    // layer is identity-recovering)
+    val entries = Archives.warcExtract(wet).collect()
+    assert(entries.length == 40)
+    entries.foreach { e =>
+      val text = s"wet plane doc ${e.rec_doc_id} with <b>markup</b> & entities"
+      val tb = text.getBytes("UTF-8")
+      var c = 0L
+      tb.foreach(x => c = (c * 31 + (x & 0xff)) % 1000000007L)
+      assert(e.content_length == tb.length && e.checksum == c, s"doc ${e.rec_doc_id}")
+    }
+    // the records really are WARC conversion records
+    val blob = wet.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload"))).toMap
+    val first = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(blob(0L)))
+    val head = new Array[Byte](64)
+    var got = 0
+    while (got < 64) { val n = first.read(head, got, 64 - got); if (n < 0) got = 64 else got += n }
+    assert(new String(head, "UTF-8").contains("WARC-Type: conversion"))
+    // a damaged response segment converts to NOTHING (never half a segment)
+    val rows = responses.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val damaged = rows.map { case (aid, p) =>
+      if (aid == 2L) { val q = p.clone(); q(q.length / 2) = (q(q.length / 2) ^ 0x3c).toByte; (aid, q) }
+      else (aid, p)
+    }.toSeq.toDF("archive_id", "payload")
+    val after = Archives.warcExtract(Archives.wetConvert(damaged)).collect()
+    assert(!after.exists(_.archive_id == 2L) && after.length == 30)
+  }
 }
