@@ -119,6 +119,20 @@ object StreamingArchiveIngest {
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.
     */
+  /** The DATA-LAKE twin: live Avro Object Container drops routed
+    * through the SAME sync-verified demux as the batch path
+    * ([[graft.ext.Avro.avroExtractWithTs]] — metadata, codecs, block
+    * sync markers, exact-consumption checks all live) and the shared
+    * watermarked window reduction, damage-drop included.
+    */
+  def ingestAvro(
+      archives: DataFrame,
+      watermarkDelay: String,
+      windowLength: String,
+      maxBlockBytes: Int = 1 << 26): DataFrame =
+    windowed(graft.ext.Avro.avroExtractWithTs(archives, maxBlockBytes),
+      watermarkDelay, windowLength)
+
   /** The ML-SHARD twin: live TFRecord shards (a conversion fleet lands
     * shards continuously) routed through the SAME double-CRC demux as
     * the batch path ([[graft.ext.TfRecord.tfrecordExtractWithTs]]) and

@@ -322,4 +322,56 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
       assert(streamed == batch, "batch and streaming agree record for record")
     } finally query.stop()
   }
+
+  test("avro and tfrecord streams: twins finalize exactly once with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (0L until 12L).map(i => (i, s"twin streamed doc $i body")).toDF("doc_id", "text")
+    // ---- avro
+    val avroBlobs = graft.ext.Avro.encodeAvroArchives(docs, nArchives = 2)
+      .as[(Long, Array[Byte])].collect().toMap
+    val in1 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q1 = StreamingArchiveIngest.ingestAvro(
+      in1.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("avro_ingest_out").outputMode("append").start()
+    try {
+      val corrupt = avroBlobs(1L).clone()
+      corrupt(corrupt.length - 8) = (corrupt(corrupt.length - 8) ^ 1).toByte // final sync marker
+      in1.addData((0L, ts(1), avroBlobs(0L)), (1L, ts(2), corrupt))
+      q1.processAllAvailable()
+      in1.addData((0L, ts(40), avroBlobs(0L)))
+      q1.processAllAvailable()
+      val rows = spark.table("avro_ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows((0, 0L)) == 6L && !rows.contains((0, 1L)))
+    } finally q1.stop()
+    // ---- tfrecord
+    val tfBlobs = graft.ext.TfRecord.encodeTfrecordArchives(docs, nArchives = 2)
+      .as[(Long, Array[Byte])].collect().toMap
+    val in2 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q2 = StreamingArchiveIngest.ingestTfrecord(
+      in2.toDF().toDF("archive_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("tf_ingest_out").outputMode("append").start()
+    try {
+      val corrupt = tfBlobs(1L).clone()
+      corrupt(20) = (corrupt(20) ^ 1).toByte
+      in2.addData((0L, ts(1), tfBlobs(0L)), (1L, ts(2), corrupt))
+      q2.processAllAvailable()
+      in2.addData((0L, ts(40), tfBlobs(0L)))
+      q2.processAllAvailable()
+      val rows = spark.table("tf_ingest_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows((0, 0L)) == 6L && !rows.contains((0, 1L)))
+      // batch parity on the clean shard
+      val streamed = graft.ext.TfRecord.tfrecordExtractWithTs(
+        Seq((0L, ts(1), tfBlobs(0L))).toDF("archive_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.TfRecord.tfrecordExtract(
+        Seq((0L, tfBlobs(0L))).toDF("archive_id", "payload")).collect()
+        .map(e => (e.rec_idx, e.rec_doc_id, e.n_bytes)).sorted.toSeq
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
 }
