@@ -51,16 +51,24 @@ object Mbox {
     val sb = new StringBuilder
     var col = 0
     var i = 0
-    def emit(t: String): Unit = {
-      if (col + t.length > 72) { sb.append("=\n"); col = 0 } // soft break
-      sb.append(t); col += t.length
-    }
+    // wrap FIRST, then decide the escape: the mboxrd hazard is a
+    // PHYSICAL line starting "From ", and a soft break can put any
+    // mid-text 'F' at column 0 — so the col==0 test must run after
+    // the wrap decision, not before (the ordering bug the review
+    // pass caught: an unescaped "From " landing at a wrap boundary
+    // would split the message on re-read)
+    def wrapFor(n: Int): Unit =
+      if (col + n > 72) { sb.append("=\n"); col = 0 } // soft break
+    def emit(t: String): Unit = { sb.append(t); col += t.length }
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\n') { sb.append('\n'); col = 0 }
-      else if (c == '=' || c < ' ' || c > '~') emit(f"=${c.toInt}%02X")
-      else if (col == 0 && c == 'F' && s.startsWith("From ", i)) emit("=46")
-      else emit(c.toString) // incl. a leading-line "From " hazard: F escaped
+      else if (c == '=' || c < ' ' || c > '~') { wrapFor(3); emit(f"=${c.toInt}%02X") }
+      else {
+        wrapFor(1)
+        if (col == 0 && c == 'F' && s.startsWith("From ", i)) emit("=46")
+        else emit(c.toString)
+      }
       i += 1
     }
     sb.toString
@@ -134,6 +142,24 @@ object Mbox {
         sb.append("Content-Type: text/plain; charset=utf-8\n")
         sb.append("Content-Transfer-Encoding: quoted-printable\n\n")
         sb.append(qpEncode(body)).append('\n')
+      case _ if id % 12 == 2 => // NESTED multipart: mixed > alternative,
+        // the most common real-mail shape — the text/plain leaf sits one
+        // level down and the walk must recurse to find it
+        sb.append(s"Content-Type: multipart/mixed; boundary=\"m$id\"\n\n")
+        sb.append(s"--m$id\n")
+        sb.append("Content-Type: text/html\n\n")
+        sb.append("<p>OUTER DECOY must not surface</p>\n")
+        sb.append(s"--m$id\n")
+        sb.append(s"Content-Type: multipart/alternative; boundary=\"b$id\"\n\n")
+        sb.append(s"--b$id\n")
+        sb.append("Content-Type: text/html\n\n")
+        sb.append("<p>INNER DECOY must not surface</p>\n")
+        sb.append(s"--b$id\n")
+        sb.append("Content-Type: text/plain; charset=utf-8\n")
+        sb.append("Content-Transfer-Encoding: base64\n\n")
+        sb.append(b64Encode(body.getBytes("UTF-8"))).append('\n')
+        sb.append(s"--b$id--\n")
+        sb.append(s"--m$id--\n")
       case _ => // multipart: html decoy first, text/plain in base64 second
         sb.append(s"Content-Type: multipart/alternative; boundary=\"b$id\"\n\n")
         sb.append("preamble to be ignored\n")
@@ -147,7 +173,11 @@ object Mbox {
         sb.append(s"--b$id--\n")
         sb.append("epilogue to be ignored\n")
     }
-    sb.toString
+    // CRLF arm: RFC 5322's canonical line ending; id % 7 == 3 cycles
+    // through all three transfer arms mod 3 (the review pass found the
+    // parser rejected CRLF archives outright)
+    val txt = sb.toString
+    if (id % 7 == 3) txt.replace("\n", "\r\n") else txt
   }
 
   /** Documents grouped into 16 mbox archives (id % 16, messages in id
@@ -264,50 +294,57 @@ object Mbox {
     case _ => raw.split("\n", -1).map(unquoteMboxrd).mkString("\n") // 7bit/8bit
   }
 
-  /** The first text/plain leaf of a message body (possibly multipart),
-    * decoded. `headers` are the message's; multipart parts carry their
-    * own nested header blocks.
+  /** The first text/plain LEAF of a message body, decoded — a real
+    * walk: multiparts nest (multipart/mixed holding a
+    * multipart/alternative is the most common shape in actual mail),
+    * so parts whose content-type is itself multipart/… recurse, depth
+    * capped against hostile nesting. `headers` are the enclosing
+    * entity's; multipart parts carry their own nested header blocks.
     */
-  private def extractPlain(headers: Map[String, String], bodyLines: Array[String]): String = {
-    val ct = headers.getOrElse("content-type", "text/plain")
-    if (ct.toLowerCase.startsWith("multipart/")) {
+  private def extractPlain(headers: Map[String, String], bodyLines: Array[String]): String =
+    extractPlainDepth(headers, bodyLines, 0, bodyLines.length, depth = 0).getOrElse(fail())
+
+  private def extractPlainDepth(headers: Map[String, String], lines: Array[String],
+      from: Int, until: Int, depth: Int): Option[String] = {
+    if (depth > 8) fail() // hostile nesting bomb
+    val ct = headers.getOrElse("content-type", "text/plain").toLowerCase
+    if (ct.startsWith("multipart/")) {
       val bRe = "boundary=\"?([^\";]+)\"?".r
       val boundary = bRe.findFirstMatchIn(ct).map(_.group(1)).getOrElse(fail())
       val delim = "--" + boundary
       val close = delim + "--"
       // collect part line-ranges between delimiter lines
-      var i = 0
+      var i = from
       val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var start = -1
-      while (i < bodyLines.length) {
-        val l = bodyLines(i)
-        if (l == close) { if (start >= 0) { parts += ((start, i)); start = -1 }; i = bodyLines.length }
+      while (i < until) {
+        val l = lines(i)
+        if (l == close) { if (start >= 0) { parts += ((start, i)); start = -1 }; i = until }
         else { if (l == delim) { if (start >= 0) parts += ((start, i)); start = i + 1 }; i += 1 }
       }
       if (start >= 0) fail() // no closing delimiter
-      var found: String = null
+      var found: Option[String] = None
       val it = parts.iterator
-      while (found == null && it.hasNext) {
+      while (found.isEmpty && it.hasNext) {
         val (s, e) = it.next()
-        val (ph, pb) = parseHeaders(bodyLines, s)
-        if (pb <= e && ph.getOrElse("content-type", "text/plain").toLowerCase.startsWith("text/plain")) {
-          val raw = bodyLines.slice(pb, e).mkString("\n")
-          found = decodeBody(ph.getOrElse("content-transfer-encoding", "7bit").toLowerCase, raw)
-        }
+        val (ph, pb) = parseHeaders(lines, s)
+        if (pb <= e) found = extractPlainDepth(ph, lines, pb, e, depth + 1)
       }
-      if (found == null) fail() // no text/plain leaf
       found
-    } else {
-      decodeBody(headers.getOrElse("content-transfer-encoding", "7bit").toLowerCase,
-        bodyLines.mkString("\n"))
-    }
+    } else if (ct.startsWith("text/plain")) {
+      Some(decodeBody(headers.getOrElse("content-transfer-encoding", "7bit").toLowerCase,
+        lines.slice(from, until).mkString("\n")))
+    } else None // a non-plain leaf (html decoy, attachment): keep looking
   }
 
   final case class MboxEntry(archive_id: Long, msg_idx: Long, doc_id: Long,
       subject: String, n_bytes: Long, checksum: Long)
 
   private[ext] def parseMbox(aid: Long, mbox: String): Seq[MboxEntry] = {
-    val lines = mbox.split("\n", -1)
+    // RFC 5322's canonical line ending IS CRLF: strip the \r at the
+    // split so CRLF archives (Windows exporters, POP3 dumps) parse —
+    // the same per-line normalization Subtitles and Robots do
+    val lines = mbox.split("\n", -1).map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
     // message start line indices: every unquoted 'From ' line
     val starts = lines.indices.filter(i => lines(i).startsWith("From ")).toArray
     if (starts.isEmpty || starts(0) != 0) fail()

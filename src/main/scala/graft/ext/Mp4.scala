@@ -219,8 +219,10 @@ object Mp4 {
             walk(ts, te) { (t3, ms, me) =>
               if (t3 == "mdia") walk(ms, me) { (t4, is, ie) =>
                 if (t4 == "mdhd") {
+                  // v0: ver/flags + 2×u32 times; v1: ver/flags + 2×u64
+                  // times — timescale sits at +12 / +20 from the body
                   val version = (u32(is) >>> 24) & 0xff
-                  timescale = if (version == 1) u32(is + 4 + 20) else u32(is + 4 + 8)
+                  timescale = if (version == 1) u32(is + 4 + 16) else u32(is + 4 + 8)
                 } else if (t4 == "hdlr") {
                   if (ie - is >= 12) handler = fourcc(is + 8)
                 } else if (t4 == "minf") walk(is, ie) { (t5, ss, se) =>

@@ -131,6 +131,7 @@ object SevenZip {
       out
     }
     def leInt(): Int = {
+      if (p + 4 > until) fail() // same guard as u8()/bytes()
       val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
       p += 4
       v

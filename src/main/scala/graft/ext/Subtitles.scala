@@ -133,7 +133,7 @@ object Subtitles {
     val (hh, mm) =
       if (parts.length == 3) (num(parts(0)), num(parts(1)))
       else (0L, num(parts(0)))
-    if (mm > 59 && parts.length == 3) fail()
+    if (mm > 59) fail() // both forms: minutes are 00-59 (hours absorb the rest)
     hh * 3600000 + mm * 60000 + sec * 1000 + ms
   }
 

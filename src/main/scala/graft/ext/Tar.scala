@@ -293,7 +293,12 @@ object Tar {
     archives
       .select(col("archive_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (aid, p) => (aid, UnixCompress.compress(p, maxbits = 12 + (aid % 5).toInt)) }
+      .map { case (aid, p) =>
+        // floorMod: a negative archive id must not drive maxbits below
+        // the format's floor of 9 (an uncaught require would abort the
+        // job instead of the family's quarantine convention)
+        (aid, UnixCompress.compress(p, maxbits = 12 + java.lang.Math.floorMod(aid, 5L).toInt))
+      }
       .toDF("archive_id", "payload")
   }
 

@@ -115,10 +115,6 @@ object StreamingArchiveIngest {
     windowed(Archives.warcHttpCharsetExtractWithTs(archives, maxRecordBytes),
       watermarkDelay, windowLength)
 
-  /** The shared reduction: watermark, tumbling window per archive,
-    * records/bytes/approx-distinct docs. One state row per
-    * (window, archive) regardless of ingest rate.
-    */
   /** The DATA-LAKE twin: live Avro Object Container drops routed
     * through the SAME sync-verified demux as the batch path
     * ([[graft.ext.Avro.avroExtractWithTs]] — metadata, codecs, block
@@ -161,6 +157,10 @@ object StreamingArchiveIngest {
     windowed(graft.ext.Mbox.mboxExtractWithTs(archives),
       watermarkDelay, windowLength)
 
+  /** The shared reduction: watermark, tumbling window per archive,
+    * records/bytes/approx-distinct docs. One state row per
+    * (window, archive) regardless of ingest rate.
+    */
   private def windowed(records: DataFrame, watermarkDelay: String,
       windowLength: String): DataFrame =
     records

@@ -47,6 +47,50 @@ class MboxSpec extends AnyFunSuite {
     assert(Mbox.decodeWords("pre =?utf-8?Q?mid?= post") == "pre mid post")
   }
 
+  test("qpEncode: a wrap boundary can never put an unescaped 'From ' at a physical line start") {
+    // sweep paddings so the 'F' lands on every position around the
+    // 72-column wrap; the encoded body must never contain a physical
+    // line starting "From " (the mboxrd message-start hazard)
+    for (pad <- 60 to 80) {
+      val body = ("x" * pad) + " From here onward and some trailing text to force wraps"
+      val enc = Mbox.qpEncode(body)
+      assert(!enc.split("\n", -1).exists(_.startsWith("From ")), s"pad=$pad\n$enc")
+      assert(Mbox.qpDecode(enc) == body, s"pad=$pad round trip")
+    }
+  }
+
+  test("CRLF archives parse: the canonical RFC 5322 line ending across all arms") {
+    import spark.implicits._
+    // ids 3, 10, 17, 24 hit the CRLF arm (id % 7 == 3) across transfer
+    // arms 0, 1, 2, 0; the fixture end-to-end below covers them, but pin
+    // the CRLF property explicitly
+    val docs = Seq(3L, 10L, 17L, 24L).toDF("doc_id")
+    val arch = Mbox.encodeMboxArchives(docs, nArchives = 1)
+    val txts = arch.collect().map(_.getString(1))
+    assert(txts.exists(_.contains("\r\n")), "CRLF serialization occurs")
+    val out = Mbox.mboxExtract(arch).collect()
+    assert(out.length == 4)
+    out.foreach { e =>
+      val body = Mbox.bodyFor(e.doc_id).getBytes("UTF-8")
+      var c = 0L
+      body.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(e.checksum == c, s"doc ${e.doc_id} under CRLF")
+    }
+  }
+
+  test("nested multipart: the text/plain leaf one level down is found past both decoys") {
+    import spark.implicits._
+    // id 2 and 14 hit the nested arm (id % 12 == 2)
+    val out = Mbox.mboxExtract(Mbox.encodeMboxArchives(Seq(2L, 14L).toDF("doc_id"), nArchives = 1)).collect()
+    assert(out.length == 2)
+    out.foreach { e =>
+      val body = Mbox.bodyFor(e.doc_id).getBytes("UTF-8")
+      var c = 0L
+      body.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(e.checksum == c && e.n_bytes == body.length, s"doc ${e.doc_id} nested")
+    }
+  }
+
   test("end-to-end: all transfer arms, subjects, quoting recover the closed-form plane") {
     import spark.implicits._
     val docs = (0L until 120L).toDF("doc_id")

@@ -99,6 +99,40 @@ class Mp4Spec extends AnyFunSuite {
     assert(shifted.samples.map(_.dts) == want.samples.map(_.dts))
   }
 
+  test("version-1 mdhd (64-bit times) reads the timescale at the right offset") {
+    val plain = Mp4.mp4For(1L, "v-one header doc".getBytes("UTF-8")) // odd id: single trak
+    def find(b: Array[Byte], tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (0 to b.length - 4).find(i => b(i) == t(0) && b(i+1) == t(1) && b(i+2) == t(2) && b(i+3) == t(3)).get
+    }
+    val tagAt = find(plain, "mdhd")
+    val boxStart = tagAt - 4
+    val oldSize = ((plain(boxStart) & 0xff) << 24) | ((plain(boxStart+1) & 0xff) << 16) |
+      ((plain(boxStart+2) & 0xff) << 8) | (plain(boxStart+3) & 0xff)
+    // v0 body: ver(4) c(4) m(4) ts(4) d(4) lang+pre(4); v1 widens the
+    // two times and the duration to 64 bits -> body grows by 12
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(plain, 0, boxStart)
+    out.write(be32(oldSize + 12))
+    out.write("mdhd".getBytes("US-ASCII"))
+    out.write(be32(0x01000000)) // version 1
+    (0 until 4).foreach(_ => out.write(be32(0))) // creation + modification u64s
+    out.write(be32(1000)) // timescale
+    out.write(be32(0)); out.write(be32(0)) // duration u64
+    out.write(be32(0)) // language + pre_defined
+    out.write(plain, boxStart + oldSize, plain.length - boxStart - oldSize)
+    val grown = out.toByteArray
+    for (tag <- Seq("moov", "trak", "mdia")) { // grow the enclosing boxes
+      val p = find(grown, tag) - 4
+      val sz = ((grown(p) & 0xff) << 24) | ((grown(p+1) & 0xff) << 16) | ((grown(p+2) & 0xff) << 8) | (grown(p+3) & 0xff)
+      val ns = be32(sz + 12)
+      grown(p) = ns(0); grown(p+1) = ns(1); grown(p+2) = ns(2); grown(p+3) = ns(3)
+    }
+    val idx = Mp4.parseMp4(grown).get
+    assert(idx.timescale == 1000, "v1 mdhd timescale must read at body offset 20")
+    assert(idx.samples == Mp4.parseMp4(plain).get.samples)
+  }
+
   test("malformed containers drop: truncation, table inconsistencies, hostile counts") {
     val good = Mp4.mp4For(1L, "hello world hello".getBytes)
     assert(Mp4.parseMp4(good).isDefined)

@@ -13,7 +13,8 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(Subtitles.parseTimestamp("02:03.456", '.') == 123456L) // VTT hourless
     assert(Subtitles.parseTimestamp("99:00:00.000", '.') == 99L * 3600000)
     for (bad <- Seq("1:2", "01:02:03.45", "01:02:03.4567", "01:02:60.000",
-      "01:0a:03.000", "01:02:03,456", "", "01:02:03"))
+      "01:0a:03.000", "01:02:03,456", "", "01:02:03",
+      "99:00.000", "01:60:00.000")) // minutes 00-59 in BOTH forms
       intercept[RuntimeException](Subtitles.parseTimestamp(bad, '.'))
   }
 
