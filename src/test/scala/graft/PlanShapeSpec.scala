@@ -468,4 +468,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assertNoCartesian(p)
     }
   }
+
+  test("round-12 composition keys: broadcasts where claimed, no cartesian, no corpus window") {
+    // discovery_frontier: the per-host rule universe broadcasts into the
+    // unioned frontier; the only frontier-scale shuffle is the argmax group
+    val pf = plan(QueryCatalog.queries("discovery_frontier")(spark, sf))
+    assert(pf.contains("BroadcastHashJoin"), s"frontier: rules must broadcast:\n${pf.take(1200)}")
+    assert(!pf.contains("Window"), "frontier has no window")
+    assertNoCartesian(pf)
+    // crawl_schedule: robots files + per-host delays broadcast; the rank
+    // window is HOST-partitioned (local sort, never a global one)
+    val ps = plan(QueryCatalog.queries("crawl_schedule")(spark, sf))
+    assert(ps.contains("BroadcastHashJoin"), s"schedule: files/delays must broadcast:\n${ps.take(1200)}")
+    assert(ps.contains("Window"), "schedule: per-host rank window expected")
+    assert(!ps.matches("(?s).*Sort \\[.*\\], true.*"), "schedule: global sort must not appear")
+    assertNoCartesian(ps)
+    // caption_align: equi-join on doc + argmax, no window, no cartesian
+    val pc = plan(QueryCatalog.queries("caption_align")(spark, sf))
+    assert(!pc.contains("Window"), "alignment is an argmax, not a window")
+    assertNoCartesian(pc)
+    // wet_convert: map-only conversion — no joins, no windows anywhere
+    val pw = plan(QueryCatalog.queries("wet_convert")(spark, sf))
+    assert(!pw.contains("Join") && !pw.contains("Window"), "wet conversion stays map-only")
+  }
 }
