@@ -2875,6 +2875,42 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM f""".stripMargin
 
+  /** MP3 frame indexing under the gate ([[graft.ext.Mp3]] — the audio
+    * shelf's dominant container, indexed headers-only like MP4): real
+    * MPEG-1 Layer III streams (self-describing 4-byte frame headers,
+    * bitrate/rate/padding cycling every arm, ID3v2 syncsafe-length tag
+    * every 2nd doc, ID3v1 trailer every 4th ≡ 1), frames required to
+    * TILE the region between the tags exactly. The oracle replays the
+    * frame table closed-form — per-frame sizes from the header
+    * arithmetic, offsets as the running sum, payload checksums from
+    * the shared plane model — so a mis-skipped tag, a size slip, or a
+    * lost sync fails the hash; malformed documents drop whole.
+    */
+  private val qMp3Frames: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Mp3.mp3Frames(graft.ext.Mp3.encodeMp3(table(s, dir, "documents"))).toDF()
+
+  private val oMp3Frames: String =
+    s"""$aviDocsCte,
+      |fr AS (SELECT doc_id, hx, n, k,
+      |        list_extract([128, 160, 192, 224, 256], 1 + CAST((doc_id + k) % 5 AS INT)) AS br,
+      |        list_extract([44100, 48000, 32000], 1 + CAST((doc_id + k) % 3 AS INT)) AS sr,
+      |        CAST((doc_id + k) % 2 AS INT) AS pad
+      |      FROM f),
+      |sz AS (SELECT doc_id, hx, n, k, br, sr,
+      |        144 * br * 1000 // sr + pad AS fsize
+      |      FROM fr),
+      |o AS (SELECT doc_id, hx, n, k, br, sr, fsize,
+      |        CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 0 END +
+      |          COALESCE(sum(fsize) OVER (PARTITION BY doc_id ORDER BY k
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM sz)
+      |SELECT doc_id, k::BIGINT AS frame_idx, off::BIGINT AS offset,
+      |       fsize::BIGINT AS n_bytes, br::BIGINT AS bitrate_kbps, sr::BIGINT AS sample_rate,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(fsize - 4), j ->
+      |         ${ppmByteSql("k + j")})),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM o""".stripMargin
+
   /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
     * — an actual byte-level decode, not a byte-statistics stub — framed
     * into 256-sample windows with exact integer RMS/peak statistics. The
@@ -7419,6 +7455,7 @@ object QueryCatalog {
     "multimodal_thumbnail" -> qMultimodalThumbnail,
     "video_frame_stats" -> qVideoFrameStats,
     "mp4_frames" -> qMp4Frames,
+    "mp3_frames" -> qMp3Frames,
     "mbox_extract" -> qMboxExtract,
     "tfrecord_extract" -> qTfrecordExtract,
     "tfexample_extract" -> qTfExampleExtract,
@@ -7715,6 +7752,7 @@ object QueryCatalog {
     "multimodal_thumbnail" -> oMultimodalThumbnail,
     "video_frame_stats" -> oVideoFrameStats,
     "mp4_frames" -> oMp4Frames,
+    "mp3_frames" -> oMp3Frames,
     "mbox_extract" -> oMboxExtract,
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
