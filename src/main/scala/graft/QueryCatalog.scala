@@ -2911,6 +2911,40 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM o""".stripMargin
 
+  /** OGG page demux under the gate ([[graft.ext.Ogg]] — the free-codec
+    * audio container next to MP3's frame walk): real RFC 3533 streams
+    * with BOS/EOS flags, consecutive sequence numbers, lacing tables
+    * crossing the 255 boundary both ways, and the format's OWN CRC
+    * (MSB-first 0x04C11DB7, init 0 — the fourth checksum flavor in
+    * house) verified per page with the CRC field zeroed. The oracle
+    * replays the page table closed-form — payload sizes, lacing-derived
+    * header lengths, running offsets, granule arithmetic, payload
+    * checksums — so a mis-sized lacing walk, a CRC slip, or a sequence
+    * drift fails the hash; malformed documents drop whole.
+    */
+  private val qOggPages: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Ogg.oggPages(graft.ext.Ogg.encodeOgg(table(s, dir, "documents"))).toDF()
+
+  private val oOggPages: String =
+    s"""$aviDocsCte,
+      |sz AS (SELECT doc_id, hx, n, k,
+      |        200 + 77 * ((doc_id + k) % 7) AS psize
+      |      FROM f),
+      |tot AS (SELECT doc_id, hx, n, k, psize,
+      |        27 + (psize // 255 + 1) + psize AS ptotal
+      |      FROM sz),
+      |o AS (SELECT doc_id, hx, n, k, psize,
+      |        COALESCE(sum(ptotal) OVER (PARTITION BY doc_id ORDER BY k
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |      FROM tot)
+      |SELECT doc_id, k::BIGINT AS page_idx, off::BIGINT AS offset,
+      |       (1152 * (k + 1))::BIGINT AS granule, 1::BIGINT AS n_packets,
+      |       psize::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(psize), j ->
+      |         ${ppmByteSql("k + j")})),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM o""".stripMargin
+
   /** The REAL multimodal codec path: the payload decoded as raw s16le PCM
     * — an actual byte-level decode, not a byte-statistics stub — framed
     * into 256-sample windows with exact integer RMS/peak statistics. The
@@ -7456,6 +7490,7 @@ object QueryCatalog {
     "video_frame_stats" -> qVideoFrameStats,
     "mp4_frames" -> qMp4Frames,
     "mp3_frames" -> qMp3Frames,
+    "ogg_pages" -> qOggPages,
     "mbox_extract" -> qMboxExtract,
     "tfrecord_extract" -> qTfrecordExtract,
     "tfexample_extract" -> qTfExampleExtract,
@@ -7753,6 +7788,7 @@ object QueryCatalog {
     "video_frame_stats" -> oVideoFrameStats,
     "mp4_frames" -> oMp4Frames,
     "mp3_frames" -> oMp3Frames,
+    "ogg_pages" -> oOggPages,
     "mbox_extract" -> oMboxExtract,
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
