@@ -2801,6 +2801,50 @@ object QueryCatalog {
       |       4::BIGINT AS n_features
       |FROM r""".stripMargin
 
+  /** Sentence segmentation under the gate ([[graft.ext.Sentences]] —
+    * the unit sentence-level dedup/filtering runs on): the classical
+    * rule set (terminator run + optional closing quote + whitespace +
+    * upper/digit opener, with an abbreviation guard) over prose whose
+    * four hazard arms each make the naive split differ from the ruled
+    * one — an honorific `Dr. Capword` the guard must hold, an ellipsis
+    * trailing into lower case, a quoted mid-sentence `?"`, and plain
+    * `.`/`!` boundaries. The oracle rebuilds every sentence SPAN
+    * closed-form and hashes its bytes — wrong boundaries change spans,
+    * not just counts.
+    */
+  private val qSentenceSplit: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sentences.sentenceSplit(
+      graft.ext.Sentences.encodeProse(table(s, dir, "documents"))).toDF()
+
+  private val oSentenceSplit: String =
+    """WITH d AS (SELECT doc_id, md5('ss:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['alpha','breeze','copper','drift','ember','frost','glint','haze'] AS ws),
+      |c AS (SELECT doc_id, j,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wa,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(6 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wb
+      |      FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |      WHERE j < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |s AS (SELECT doc_id, j,
+      |        CASE (doc_id + j) % 4
+      |          WHEN 0 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' mentions ' || wa || ' plus ' || wb ||
+      |            CASE WHEN (doc_id + j) % 8 < 4 THEN '.' ELSE '!' END
+      |          WHEN 1 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' cites Dr. ' || upper(substr(wb, 1, 1)) || substr(wb, 2) || ' on ' || wa || '.'
+      |          WHEN 2 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' trails off... then ' || wa || ' resumes.'
+      |          ELSE 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' asked "' || wa || '?" and kept going.'
+      |        END AS sent
+      |      FROM c),
+      |h AS (SELECT doc_id, j, hex(encode(sent)) AS hx, octet_length(encode(sent)) AS n FROM s)
+      |SELECT doc_id, j::BIGINT AS sent_idx, n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** mbox/MIME email ingestion under the gate ([[graft.ext.Mbox]]):
     * documents become real mbox archives — mboxrd `From ` framing with
     * `>From ` body quoting, RFC 5322 headers with folding and case
@@ -7492,6 +7536,7 @@ object QueryCatalog {
     "mp3_frames" -> qMp3Frames,
     "ogg_pages" -> qOggPages,
     "mbox_extract" -> qMboxExtract,
+    "sentence_split" -> qSentenceSplit,
     "tfrecord_extract" -> qTfrecordExtract,
     "tfexample_extract" -> qTfExampleExtract,
     "avro_extract" -> qAvroExtract,
@@ -7790,6 +7835,7 @@ object QueryCatalog {
     "mp3_frames" -> oMp3Frames,
     "ogg_pages" -> oOggPages,
     "mbox_extract" -> oMboxExtract,
+    "sentence_split" -> oSentenceSplit,
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
     "avro_extract" -> oZstExtract,
