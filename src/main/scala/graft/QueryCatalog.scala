@@ -2832,8 +2832,7 @@ object QueryCatalog {
       |            CASE WHEN (doc_id + j) % 8 < 4 THEN '.' ELSE '!' END
       |          WHEN 1 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
       |            ' cites Dr. ' || upper(substr(wb, 1, 1)) || substr(wb, 2) || ' on ' || wa || '.'
-      |          WHEN 2 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
-      |            ' trails off... then ' || wa || ' resumes.'
+      |          WHEN 2 THEN 'Ellipsis drifts off... then ' || wa || ' resumes near ' || wb || '.'
       |          ELSE 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
       |            ' asked "' || wa || '?" and kept going.'
       |        END AS sent
@@ -2844,6 +2843,56 @@ object QueryCatalog {
       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
+
+  /** Sentence-level dedup — `sentence_split`'s stated consumer under
+    * the gate: the corpus's sentences collapse on their exact spans
+    * (checksum + length), counting occurrences and keeping the first
+    * reference (min packed (doc, idx)); the fixture's id-free arm
+    * guarantees genuine cross-document duplicates. One hash aggregate
+    * over the split's output — precisely the shuffle the PLANS entry
+    * for sentence_split says belongs to the consumer.
+    */
+  private val qSentenceDedup: (SparkSession, String) => DataFrame = (s, dir) => {
+    val sents = graft.ext.Sentences.sentenceSplit(
+      graft.ext.Sentences.encodeProse(table(s, dir, "documents"))).toDF()
+    sents
+      .groupBy(col("checksum").as("sent_checksum"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col("doc_id") * 4 + col("sent_idx")).as("first_ref"))
+  }
+
+  private val oSentenceDedup: String =
+    """WITH d AS (SELECT doc_id, md5('ss:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['alpha','breeze','copper','drift','ember','frost','glint','haze'] AS ws),
+      |c AS (SELECT doc_id, j,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wa,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(6 + j AS INT), 1))::BIGINT % 8 AS INT)) AS wb
+      |      FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |      WHERE j < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |s AS (SELECT doc_id, j,
+      |        CASE (doc_id + j) % 4
+      |          WHEN 0 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' mentions ' || wa || ' plus ' || wb ||
+      |            CASE WHEN (doc_id + j) % 8 < 4 THEN '.' ELSE '!' END
+      |          WHEN 1 THEN 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' cites Dr. ' || upper(substr(wb, 1, 1)) || substr(wb, 2) || ' on ' || wa || '.'
+      |          WHEN 2 THEN 'Ellipsis drifts off... then ' || wa || ' resumes near ' || wb || '.'
+      |          ELSE 'Sentence ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) ||
+      |            ' asked "' || wa || '?" and kept going.'
+      |        END AS sent
+      |      FROM c),
+      |h AS (SELECT doc_id, j, hex(encode(sent)) AS hx, octet_length(encode(sent)) AS n FROM s),
+      |k AS (SELECT doc_id, j, n,
+      |        list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |          ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |          (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS ck
+      |      FROM h)
+      |SELECT ck AS sent_checksum, n::BIGINT AS n_chars,
+      |       count(*)::BIGINT AS n_dups,
+      |       min(doc_id * 4 + j)::BIGINT AS first_ref
+      |FROM k GROUP BY ck, n""".stripMargin
 
   /** mbox/MIME email ingestion under the gate ([[graft.ext.Mbox]]):
     * documents become real mbox archives — mboxrd `From ` framing with
@@ -7537,6 +7586,7 @@ object QueryCatalog {
     "ogg_pages" -> qOggPages,
     "mbox_extract" -> qMboxExtract,
     "sentence_split" -> qSentenceSplit,
+    "sentence_dedup" -> qSentenceDedup,
     "tfrecord_extract" -> qTfrecordExtract,
     "tfexample_extract" -> qTfExampleExtract,
     "avro_extract" -> qAvroExtract,
@@ -7836,6 +7886,7 @@ object QueryCatalog {
     "ogg_pages" -> oOggPages,
     "mbox_extract" -> oMboxExtract,
     "sentence_split" -> oSentenceSplit,
+    "sentence_dedup" -> oSentenceDedup,
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
     "avro_extract" -> oZstExtract,

@@ -101,7 +101,10 @@ object Sentences {
           val term = if ((id + j) % 8 < 4) "." else "!"
           s"Sentence $j of doc $id mentions $wa plus $wb$term"
         case 1 => s"Sentence $j of doc $id cites Dr. $cap on $wa."
-        case 2 => s"Sentence $j of doc $id trails off... then $wa resumes."
+        // arm 2 carries NO doc id on purpose: 64 possible strings across
+        // the corpus, so cross-doc duplicates occur — the plane
+        // sentence-level dedup (sentence_dedup) collapses
+        case 2 => s"Ellipsis drifts off... then $wa resumes near $wb."
         case _ => s"""Sentence $j of doc $id asked "$wa?" and kept going."""
       }
     }
