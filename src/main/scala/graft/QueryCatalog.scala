@@ -2638,13 +2638,14 @@ object QueryCatalog {
     cues
       .join(samples, col("doc_id") === col("s_doc") && col("dts") <= col("start_ms"))
       .groupBy(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"))
-      // dts and sample_idx order identically (dts = 100·idx), so one
-      // argmax carries both: pack idx into the low bits of a scaled dts
-      .agg(max(col("dts") * 1000 + col("sample_idx")).as("best"))
+      // struct max = lexicographic (dts, sample_idx) argmax — safe at any
+      // per-track sample cardinality (a packed dts*1000+idx would overflow
+      // the idx digits at >=1000 samples)
+      .agg(max(struct(col("dts"), col("sample_idx"))).as("best"))
       .select(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"),
-        (col("best") % 1000).as("sample_idx"),
-        expr("best DIV 1000").as("sample_dts"),
-        (col("start_ms") - expr("best DIV 1000")).as("gap_ms"))
+        col("best.sample_idx").as("sample_idx"),
+        col("best.dts").as("sample_dts"),
+        (col("start_ms") - col("best.dts")).as("gap_ms"))
   }
 
   private val oCaptionAlign: String =

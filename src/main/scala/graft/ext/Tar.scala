@@ -245,7 +245,8 @@ object Tar {
       }
   }
 
-  /** Wrap each archive payload in an xz stream ([[Xz.compressRaw]]) —
+  /** Wrap each archive payload in an xz stream ([[Xz.compress]] — the
+    * real greedy-LZMA encoder, multi-block) —
     * the `.tar.xz` fixture writer, composing the two codecs exactly the
     * way `dist` tarballs do on disk.
     */

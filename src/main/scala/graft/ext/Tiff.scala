@@ -392,6 +392,12 @@ object Tiff {
       e += 1
     }
     if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
+    // Bomb guard: the decoded-pixel allocation below is 3*w*h bytes. A hostile
+    // ~200-byte header declaring 2^14 x 2^14 would otherwise pre-allocate 768 MB
+    // per record BEFORE any strip validation runs (24 GB dead allocation at 32
+    // concurrent tasks). Cap at the family-wide 1<<26 output budget, matching
+    // SevenZip/Mp4/Mp3/Ogg and the Multimodal.inflate size-hint contract.
+    if (3L * width * height > (1L << 26)) return None
     if (photometric != 2L || samples != 3L || planar != 1L || !bpsOk) return None
     if (compression != 1L && compression != 5L && compression != 32773L) return None
     if (soPos < 0 || sbcPos < 0 || soCount != sbcCount || soCount <= 0) return None

@@ -172,4 +172,42 @@ class TiffSpec extends AnyFunSuite {
     val surviving = Tiff.tiffFeatures(junk).collect().map(_.doc_id).toSet
     assert(!surviving.contains(0L) && !surviving.contains(1L) && !surviving.contains(2L), surviving)
   }
+
+  test("hostile dims: a ~150-byte 2^14 x 2^14 header drops WITHOUT the 768 MB allocation") {
+    // Structurally valid LE header that passes every pre-allocation check
+    // (dims, photometric, bps, strips) so only the 3L*w*h > 1<<26 bomb cap
+    // can reject it before the output allocation.
+    val buf = java.nio.ByteBuffer.allocate(160).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    buf.putShort(10) // entry count
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) { buf.putShort(value.toInt.toShort); buf.putShort(0) }
+      else buf.putInt(value.toInt)
+    }
+    val bpsOff = 8 + 2 + 12 * 10 + 4 // three SHORT 8s live right after nextIFD
+    entry(256, 3, 1, 16384) // width
+    entry(257, 3, 1, 16384) // height
+    entry(258, 3, 3, bpsOff)
+    entry(259, 3, 1, 1) // compression = none
+    entry(262, 3, 1, 2) // photometric = RGB
+    entry(273, 4, 1, bpsOff + 6) // one strip, points into the buffer
+    entry(277, 3, 1, 3) // samples
+    entry(278, 4, 1, 16384) // rows per strip = h -> nStrips = 1
+    entry(279, 4, 1, 4) // strip byte count (tiny, in-bounds)
+    entry(284, 3, 1, 1) // planar
+    buf.putInt(0) // next IFD
+    buf.putShort(8).putShort(8).putShort(8) // bps values
+    buf.putInt(0) // strip bytes
+    val bomb = java.util.Arrays.copyOf(buf.array(), buf.position())
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val before = tmx.getThreadAllocatedBytes(tid)
+    (0 until 16).foreach(_ => assert(Tiff.parseTiff(bomb).isEmpty))
+    val allocated = tmx.getThreadAllocatedBytes(tid) - before
+    // 16 parses of a 768 MB-declaring bomb must not allocate even one output
+    // plane (pre-cap behavior would be >= 12 GB here)
+    assert(allocated < (8L << 20), s"allocated $allocated bytes across 16 bomb parses")
+  }
 }
