@@ -2722,6 +2722,59 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** PDF text extraction under the gate ([[graft.ext.Pdf]] — the books/
+    * papers shelf of a crawled corpus): per doc a complete classic-xref
+    * PDF (catalog → page tree → per-page content streams, Flate-compressed
+    * through the repo's own DEFLATE on even `id+p`, `/Length` indirect on
+    * the mod-3 arm, and a REAL incremental update appending a page on
+    * `id % 5 == 0` — trailer `/Prev` chain, later-section-wins), then the
+    * full from-scratch reader: xref walk, object parse, page-tree
+    * recursion, FlateDecode, and the BT/ET text extractor over all five
+    * show forms (`Tj`, hex-string `Tj`, kerned `TJ`, `'`, `"`) with
+    * WinAnsi high bytes and literal-string escapes in the text plane.
+    * The oracle replays the closed-form per-page text and hashes its
+    * UTF-8 bytes — a slip in ANY layer (xref, Flate, page order, string
+    * unescaping, WinAnsi mapping, line breaks) fails the hash. Damage
+    * quarantines the whole document.
+    */
+  private val qPdfExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Pdf.pdfExtract(graft.ext.Pdf.encodePdf(table(s, dir, "documents"))).toDF()
+
+  private val oPdfExtract: String =
+    """WITH d AS (SELECT doc_id, md5('pdf:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |pg AS (SELECT doc_id, m, p
+      |       FROM d, (SELECT unnest([0, 1, 2, 3]) AS p)
+      |       WHERE p < 1 + ('0x' || substr(m, 1, 1))::BIGINT % 3
+      |                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END),
+      |ln AS (SELECT doc_id, m, p, l
+      |       FROM pg, (SELECT unnest([0, 1, 2, 3]) AS l)
+      |       WHERE l < 2 + ('0x' || substr(m, CAST(2 + p AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, p, l,
+      |         'Line ' || CAST(l AS VARCHAR) || ' of page ' || CAST(p AS VARCHAR) ||
+      |         ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(6 + 4 * p + l AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(22 + (4 * p + l) % 10 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + p + l) % 4
+      |           WHEN 0 THEN ' (' || chr(92) || ')'
+      |           WHEN 1 THEN ' ' || chr(233)
+      |           WHEN 2 THEN ' ' || chr(8220) || 'q' || chr(8221)
+      |           ELSE '' END AS t
+      |       FROM ln, wt),
+      |page AS (SELECT doc_id, p, count(*) AS n_lines,
+      |           string_agg(t, chr(10) ORDER BY l) AS text
+      |         FROM tx GROUP BY doc_id, p),
+      |h AS (SELECT doc_id, p, n_lines, hex(encode(text)) AS hx,
+      |        octet_length(encode(text)) AS n
+      |      FROM page)
+      |SELECT doc_id, p::BIGINT AS page_idx, n_lines::BIGINT AS n_lines,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The Avro Object Container ingest path under the gate
     * ([[graft.ext.Avro]] — the data-lake interchange format corpus
     * drops arrive in): documents packed into 16 containers (codec
@@ -7592,6 +7645,7 @@ object QueryCatalog {
     "tfexample_extract" -> qTfExampleExtract,
     "avro_extract" -> qAvroExtract,
     "subtitle_cues" -> qSubtitleCues,
+    "pdf_extract" -> qPdfExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -7892,6 +7946,7 @@ object QueryCatalog {
     "tfexample_extract" -> oTfExampleExtract,
     "avro_extract" -> oZstExtract,
     "subtitle_cues" -> oSubtitleCues,
+    "pdf_extract" -> oPdfExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

@@ -1,0 +1,732 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ======== PDF text extraction (classic-xref subset, from scratch) ========
+  *
+  * Books and papers — the largest non-HTML text shelf in a crawled corpus —
+  * ship as PDF, and a training-data pipeline has to get the text OUT of the
+  * object graph: cross-reference table → trailer → catalog → page tree →
+  * per-page content streams → text-showing operators. This module implements
+  * the classic (pre-1.5, table-xref) subset end to end:
+  *
+  *  - '''lexer/object model''': the eight PDF object kinds — numbers, names
+  *    (with `#xx` escapes), literal strings (balanced parens, `\`-escapes,
+  *    octal escapes, line continuations, EOL normalization), hex strings
+  *    (odd-digit pad), arrays, dictionaries, booleans/null, and `N G R`
+  *    indirect references (resolved by integer-lookahead with rewind);
+  *    comments (`%` to EOL) are whitespace everywhere.
+  *  - '''xref walk''': `startxref` located from the tail, classic `xref`
+  *    tables with multiple subsections, free (`f`) entries skipped, and the
+  *    incremental-update chain via trailer `/Prev` — walked newest-first
+  *    with first-seen-wins per object number, exactly the later-update-
+  *    shadows-original semantics Acrobat appends produce. Chain capped.
+  *  - '''streams''': `/Length` direct or INDIRECT (a real-producer habit:
+  *    writers emit the length object after the stream), validated against
+  *    the remaining bytes BEFORE any slice (a hostile declared length can't
+  *    allocate); `/Filter /FlateDecode` rides the repo's own zlib/DEFLATE
+  *    decoder ([[Multimodal.zlibInflate]]) with the family 1<<26 output cap
+  *    and an explicit size hint (the inflate hint contract).
+  *  - '''page tree''': `/Root → /Pages → /Kids` recursion with interior
+  *    `/Pages` nodes, a visited set (cycle guard) and a depth cap; page
+  *    `/Contents` as a single stream or an array of streams (concatenated
+  *    with one newline, per spec).
+  *  - '''text extractor''': BT/ET blocks, `Tj`/`'`/`"`/`TJ` show operators
+  *    (TJ's kerning numbers skipped), with the classical line model — any
+  *    positioning operator (`Td`/`TD`/`Tm`/`T*`) or next-line show (`'`/`"`)
+  *    breaks the line iff text was shown since the last break. Strings are
+  *    WinAnsiEncoding; the byte→char map rides [[Charset.cp1252Decode]]
+  *    (WinAnsi and cp1252 agree on every assigned slot; the fixture and the
+  *    extractor never touch the five unassigned bytes).
+  *
+  * STRICT container semantics like every archive family here: a bad header,
+  * a dangling xref offset, an object-number mismatch at an offset, a
+  * truncated or over-declared stream, a broken Flate stream, or a cyclic
+  * page tree quarantines the whole document — a damaged PDF signals a
+  * damaged fetch, and partial text from a broken object graph is worse than
+  * none.
+  *
+  * Scale shape: map-only per document (parse + extract inside one typed
+  * flatMap), zero shuffles; decoded output is bounds-capped before
+  * allocation. No reference citation possible — the reference
+  * (`src/flinkarima.py:379-416`) has no file surface; north-star scope next
+  * to the HTML/mbox/subtitle text extractors.
+  */
+object Pdf {
+
+  private val words = Array("anchor", "bloom", "cedar", "dune", "ember", "flint", "grove", "harbor")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ------------------------------------------------------------- fixture
+
+  /** Closed-form text model (the oracle replays exactly this):
+    * doc `id` carries `1 + nib(1)%3` base pages, plus one more appended by
+    * an INCREMENTAL UPDATE when `id % 5 == 0`; page `p` carries
+    * `2 + nib(2+p)%3` lines; line `l` is fixture words plus a hazard suffix
+    * cycling by `(id+p+l)%4`: parens-and-backslash (escape arm), é (WinAnsi
+    * high byte), curly quotes (two more high bytes), or nothing.
+    */
+  private[ext] def basePages(id: Long): Int = {
+    val m = md5Hex(s"pdf:$id")
+    1 + Integer.parseInt(m.substring(0, 1), 16) % 3
+  }
+
+  private[ext] def nLines(id: Long, p: Int): Int = {
+    val m = md5Hex(s"pdf:$id")
+    2 + Integer.parseInt(m.substring(1 + p, 2 + p), 16) % 3
+  }
+
+  private[ext] def lineText(id: Long, p: Int, l: Int): String = {
+    val m = md5Hex(s"pdf:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    val w1 = words(nib(6 + 4 * p + l) % 8)
+    val w2 = words(nib(22 + (4 * p + l) % 10) % 8)
+    val suffix = ((id + p + l) % 4) match {
+      case 0 => " (\\)"
+      case 1 => " \u00e9"
+      case 2 => " \u201cq\u201d"
+      case _ => ""
+    }
+    s"Line $l of page $p in doc $id: $w1 $w2$suffix"
+  }
+
+  private[ext] def pageText(id: Long, p: Int): String =
+    (0 until nLines(id, p)).map(l => lineText(id, p, l)).mkString("\n")
+
+  // --------------------------------------------------------------- writer
+
+  /** Escape a WinAnsi-encoded byte string for a PDF literal string. */
+  private def escapeLiteral(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length + 8)
+    bytes.foreach { b =>
+      if (b == '\\' || b == '(' || b == ')') out.write('\\')
+      out.write(b)
+    }
+    out.toByteArray
+  }
+
+  private def hexLiteral(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02X").mkString
+
+  /** Serialize one page's content stream: BT/ET blocks, `Tf`/`TL` setup,
+    * and per line one of the show forms — hex-string `Tj`, a kerned `TJ`
+    * array, next-line `'`, spacing-operand `"`, or plain `Td` + `Tj` —
+    * chosen by `(id + 2p + 3l) % 6`. Pages with ≥3 lines and odd `id+p`
+    * split across TWO BT/ET blocks (block-start lines forced to the
+    * Td-form so the break model stays one-break-per-line).
+    */
+  private[ext] def renderContent(id: Long, p: Int): Array[Byte] = {
+    val n = nLines(id, p)
+    val twoBlocks = (id + p) % 2 == 1 && n >= 3
+    val sb = new StringBuilder
+    val out = new java.io.ByteArrayOutputStream
+    def flush(): Unit = { out.write(sb.toString.getBytes("ISO-8859-1")); sb.clear() }
+    def openBlock(first: Boolean): Unit = {
+      sb.append("BT\n/F1 12 Tf\n14 TL\n")
+      if (first && (id + p) % 3 == 0) sb.append("1 0 0 1 72 720 Tm\n")
+      else if (first) sb.append("72 720 Td\n")
+      else sb.append("72 600 Td\n")
+    }
+    openBlock(first = true)
+    var l = 0
+    while (l < n) {
+      if (twoBlocks && l == 2) { sb.append("ET\n"); openBlock(first = false) }
+      val blockStart = l == 0 || (twoBlocks && l == 2)
+      val enc = Charset.cp1252Encode(lineText(id, p, l))
+      val sel = ((id + 2 * p + 3 * l) % 6).toInt
+      if (!blockStart && sel == 2) {
+        flush(); out.write('('); out.write(escapeLiteral(enc)); sb.append(") '\n")
+      } else if (!blockStart && sel == 3) {
+        flush(); sb.append("1.5 0 "); flush()
+        out.write('('); out.write(escapeLiteral(enc)); sb.append(") \"\n")
+      } else {
+        if (!blockStart) sb.append("0 -14 Td\n")
+        sel match {
+          case 0 => sb.append('<').append(hexLiteral(enc)).append("> Tj\n")
+          case 1 if enc.length >= 2 =>
+            val cut = math.min(10, enc.length - 1)
+            flush(); out.write('['); out.write('(')
+            out.write(escapeLiteral(java.util.Arrays.copyOfRange(enc, 0, cut)))
+            sb.append(") -120 ("); flush()
+            out.write(escapeLiteral(java.util.Arrays.copyOfRange(enc, cut, enc.length)))
+            sb.append(")] TJ\n")
+          case _ =>
+            flush(); out.write('('); out.write(escapeLiteral(enc)); sb.append(") Tj\n")
+        }
+      }
+      l += 1
+    }
+    sb.append("ET\n")
+    flush()
+    out.toByteArray
+  }
+
+  private def zlibCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    out.write(0x78); out.write(0x9c) // CMF/FLG: deflate, 32K window, check ok
+    out.write(Multimodal.deflateDynamic(data))
+    val a = Multimodal.adler32(data, 0, data.length)
+    out.write((a >>> 24) & 0xff); out.write((a >>> 16) & 0xff)
+    out.write((a >>> 8) & 0xff); out.write(a & 0xff)
+    out.toByteArray
+  }
+
+  /** One complete PDF for doc `id`: header with a binary comment line,
+    * catalog/pages/font objects, per page a page object + content stream
+    * (Flate-compressed on even `id+p`, raw otherwise; `/Length` INDIRECT on
+    * `id+p ≡ 0 (mod 3)`), a classic xref table + trailer — and for
+    * `id % 5 == 0` a real INCREMENTAL UPDATE appending one more page (new
+    * objects + re-emitted Pages + a second xref section with `/Prev`).
+    */
+  private[ext] def renderPdf(id: Long): Array[Byte] = {
+    val np = basePages(id)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    def raw(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size.toLong
+      raw(s"$num 0 obj\n"); body; raw("endobj\n")
+    }
+    def contentObj(num: Int, p: Int): Unit = {
+      val data = renderContent(id, p)
+      val flate = (id + p) % 2 == 0
+      val bytes = if (flate) zlibCompress(data) else data
+      val indirectLen = (id + p) % 3 == 0
+      obj(num) {
+        raw("<< /Length " + (if (indirectLen) s"${num + 1} 0 R" else s"${bytes.length}"))
+        if (flate) raw(" /Filter /FlateDecode")
+        raw(" >>\nstream\n")
+        out.write(bytes)
+        raw("\nendstream\n")
+      }
+      if (indirectLen) obj(num + 1) { raw(s"${bytes.length}\n") }
+    }
+    def pageObj(num: Int, contentNum: Int): Unit = obj(num) {
+      raw("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >>" +
+        s" /Contents $contentNum 0 R >>\n")
+    }
+
+    // object numbering: 1 catalog, 2 pages, 3 font; per page a page obj +
+    // content obj (+ length obj on the indirect arm), assigned sequentially
+    val pageNum = new Array[Int](np + 1)
+    val contNum = new Array[Int](np + 1)
+    var next = 4
+    for (p <- 0 to np) { // slot np is the update page (may go unused)
+      pageNum(p) = next; contNum(p) = next + 1
+      next += (if ((id + p) % 3 == 0) 3 else 2)
+    }
+    val baseSize = pageNum(np) // first number NOT in the base file
+
+    raw("%PDF-1.4\n%")
+    out.write(0xe2); out.write(0xe3); out.write(0xcf); out.write(0xd3)
+    raw("\n")
+    obj(1) { raw("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) {
+      raw("<< /Type /Pages /Kids [" +
+        (0 until np).map(p => s"${pageNum(p)} 0 R").mkString(" ") +
+        s"] /Count $np >>\n")
+    }
+    obj(3) {
+      raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+        " /Encoding /WinAnsiEncoding >>\n")
+    }
+    for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
+
+    val xref1 = out.size.toLong
+    raw(s"xref\n0 $baseSize\n")
+    raw("0000000000 65535 f \n")
+    for (num <- 1 until baseSize) raw(f"${offsets(num)}%010d 00000 n \n")
+    raw(s"trailer\n<< /Size $baseSize /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
+
+    if (id % 5 == 0) { // incremental update: append page np
+      val p = np
+      obj(2) {
+        raw("<< /Type /Pages /Kids [" +
+          (0 to np).map(q => s"${pageNum(q)} 0 R").mkString(" ") +
+          s"] /Count ${np + 1} >>\n")
+      }
+      pageObj(pageNum(p), contNum(p))
+      contentObj(contNum(p), p)
+      val size2 = if ((id + p) % 3 == 0) contNum(p) + 2 else contNum(p) + 1
+      val xref2 = out.size.toLong
+      raw(s"xref\n2 1\n")
+      raw(f"${offsets(2)}%010d 00000 n \n")
+      raw(s"${pageNum(p)} ${size2 - pageNum(p)}\n")
+      for (num <- pageNum(p) until size2) raw(f"${offsets(num)}%010d 00000 n \n")
+      raw(s"trailer\n<< /Size $size2 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+    }
+    out.toByteArray
+  }
+
+  /** Fixture writer: one PDF per document row. */
+  def encodePdf(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderPdf(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  // --------------------------------------------------------------- parser
+
+  private final class MalformedPdf
+      extends RuntimeException("malformed pdf", null, false, false)
+  private def fail(): Nothing = throw new MalformedPdf
+
+  private sealed trait PObj
+  private final case class PNum(v: Double) extends PObj {
+    def int: Long = { val l = v.toLong; if (l.toDouble != v) fail(); l }
+  }
+  private final case class PName(s: String) extends PObj
+  private final case class PStr(bytes: Array[Byte]) extends PObj
+  private final case class PArr(items: Vector[PObj]) extends PObj
+  private final case class PDict(m: Map[String, PObj]) extends PObj
+  private final case class PRef(num: Int, gen: Int) extends PObj
+  private final case class PKeyword(s: String) extends PObj
+  private case object PNull extends PObj
+  private final case class PBool(b: Boolean) extends PObj
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Tokenizer/parser over a byte range; `%` comments count as whitespace. */
+  private final class Lexer(val bytes: Array[Byte], var pos: Int, val end: Int) {
+    def eof: Boolean = pos >= end
+    def peek: Int = if (eof) -1 else bytes(pos) & 0xff
+    def skipWs(): Unit = {
+      while (!eof) {
+        val c = peek
+        if (isWs(c)) pos += 1
+        else if (c == '%') { while (!eof && peek != '\n' && peek != '\r') pos += 1 }
+        else return
+      }
+    }
+    def keyword(): String = {
+      skipWs()
+      val start = pos
+      if (!eof && (peek == '\'' || peek == '"')) { pos += 1; return new String(bytes, start, 1, "ISO-8859-1") }
+      while (!eof && !isWs(peek) && !isDelim(peek)) pos += 1
+      if (pos == start) fail()
+      new String(bytes, start, pos - start, "ISO-8859-1")
+    }
+    def expect(kw: String): Unit = if (keyword() != kw) fail()
+
+    def parseNumberToken(): PNum = {
+      skipWs()
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      while (!eof && peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      if (peek == '.') { pos += 1; while (!eof && peek >= '0' && peek <= '9') { pos += 1; digits = true } }
+      if (!digits) fail()
+      PNum(new String(bytes, start, pos - start, "ISO-8859-1").toDouble)
+    }
+
+    private def name(): PName = {
+      pos += 1 // '/'
+      val sb = new java.lang.StringBuilder
+      while (!eof && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < end) {
+          val h = Character.digit(bytes(pos + 1) & 0xff, 16)
+          val lo = Character.digit(bytes(pos + 2) & 0xff, 16)
+          if (h < 0 || lo < 0) fail()
+          sb.append(((h << 4) | lo).toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def literalString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream(32)
+      var depth = 1
+      while (true) {
+        if (eof) fail()
+        val c = peek; pos += 1
+        c match {
+          case '(' => depth += 1; out.write('(')
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return PStr(out.toByteArray)
+            out.write(')')
+          case '\\' =>
+            if (eof) fail()
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (!eof && peek == '\n') pos += 1 // continuation
+              case '\n' => // continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'; var k = 0
+                while (k < 2 && !eof && peek >= '0' && peek <= '7') { v = v * 8 + (peek - '0'); pos += 1; k += 1 }
+                out.write(v & 0xff)
+              case other => out.write(other) // backslash dropped, per spec
+            }
+          case '\r' => // EOL inside string → one \n (CRLF collapses)
+            if (!eof && peek == '\n') pos += 1
+            out.write('\n')
+          case other => out.write(other)
+        }
+      }
+      fail()
+    }
+
+    private def hexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream(32)
+      var hi = -1
+      while (true) {
+        if (eof) fail()
+        val c = peek; pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd digit: pad low nibble 0
+          return PStr(out.toByteArray)
+        } else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail()
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      fail()
+    }
+
+    /** One object; integers look ahead for `N G R` references (rewind on
+      * mismatch). Depth-capped against hostile nesting.
+      */
+    def parseObject(depth: Int = 0): PObj = {
+      if (depth > 64) fail()
+      skipWs()
+      if (eof) fail()
+      peek match {
+        case '/' => name()
+        case '(' => literalString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          var n = 0
+          while ({ skipWs(); if (eof) fail(); peek != ']' }) {
+            items += parseObject(depth + 1)
+            n += 1; if (n > (1 << 20)) fail()
+          }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < end && bytes(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PObj]
+            var n = 0
+            while ({ skipWs(); if (eof) fail(); peek != '>' }) {
+              val k = parseObject(depth + 1) match { case PName(s) => s; case _ => fail() }
+              m += k -> parseObject(depth + 1)
+              n += 1; if (n > (1 << 16)) fail()
+            }
+            if (pos + 1 >= end || bytes(pos + 1) != '>') fail()
+            pos += 2
+            PDict(m.result())
+          } else hexString()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val first = parseNumberToken()
+          if (first.v >= 0 && first.v == math.floor(first.v) && c != '+' && c != '.') {
+            val save = pos
+            try {
+              skipWs()
+              if (!eof && peek >= '0' && peek <= '9') {
+                val gen = parseNumberToken()
+                skipWs()
+                if (!eof && peek == 'R' &&
+                    (pos + 1 >= end || isWs(bytes(pos + 1) & 0xff) || isDelim(bytes(pos + 1) & 0xff))) {
+                  pos += 1
+                  return PRef(first.int.toInt, gen.int.toInt)
+                }
+              }
+            } catch { case _: MalformedPdf => }
+            pos = save
+          }
+          first
+        case _ =>
+          keyword() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case _ => fail()
+          }
+      }
+    }
+  }
+
+  // ----------------------------------------------------- document loading
+
+  private final class PdfDoc(val bytes: Array[Byte]) {
+    private val n = bytes.length
+    /** object number → byte offset, newest xref section wins. */
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    var root: PRef = _
+
+    locate()
+
+    private def locate(): Unit = {
+      if (n < 16) fail()
+      val head = new String(bytes, 0, math.min(8, n), "ISO-8859-1")
+      if (!head.startsWith("%PDF-1.")) fail()
+      // find `startxref` in the tail
+      val tailFrom = math.max(0, n - 64)
+      val tail = new String(bytes, tailFrom, n - tailFrom, "ISO-8859-1")
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) fail()
+      val lex = new Lexer(bytes, tailFrom + sx + "startxref".length, n)
+      val off = lex.parseNumberToken().int
+      if (off < 0 || off >= n) fail()
+      var at = off.toInt
+      var sections = 0
+      while (at >= 0) {
+        sections += 1; if (sections > 16) fail() // Prev-chain cap
+        val x = new Lexer(bytes, at, n)
+        x.expect("xref")
+        var done = false
+        while (!done) {
+          x.skipWs()
+          if (x.eof) fail()
+          if (x.peek >= '0' && x.peek <= '9') {
+            val start = x.parseNumberToken().int
+            val count = x.parseNumberToken().int
+            if (start < 0 || count < 0 || count > (1 << 20)) fail()
+            var k = 0L
+            while (k < count) {
+              val entryOff = x.parseNumberToken().int
+              x.parseNumberToken() // generation
+              val kw = x.keyword()
+              val num = (start + k).toInt
+              if (kw == "n") {
+                if (entryOff < 0 || entryOff >= n) fail()
+                if (num > 0 && !offsets.contains(num)) offsets(num) = entryOff.toInt
+              } else if (kw != "f") fail()
+              k += 1
+            }
+          } else done = true
+        }
+        x.expect("trailer")
+        val trailer = x.parseObject() match { case d: PDict => d; case _ => fail() }
+        if (root == null) trailer.m.get("Root") match {
+          case Some(r: PRef) => root = r
+          case _ => // absent here; maybe in an older section
+        }
+        at = trailer.m.get("Prev") match {
+          case Some(p: PNum) => val v = p.int; if (v < 0 || v >= n) fail(); v.toInt
+          case None => -1
+          case _ => fail()
+        }
+      }
+      if (root == null) fail()
+    }
+
+    /** Parse the indirect object `num` at its xref offset; verifies the
+      * `N G obj` header matches. Returns (object, stream bytes or null).
+      */
+    def load(num: Int, allowStream: Boolean): (PObj, Array[Byte]) = {
+      val off = offsets.getOrElse(num, fail())
+      val lex = new Lexer(bytes, off, n)
+      if (lex.parseNumberToken().int != num) fail()
+      lex.parseNumberToken() // generation
+      lex.expect("obj")
+      val body = lex.parseObject()
+      // `stream` follows a dict; `endobj` follows everything else
+      val kw = lex.keyword()
+      if (kw == "stream") {
+        if (!allowStream) fail()
+        val dict = body match { case d: PDict => d; case _ => fail() }
+        // EOL after `stream`: CRLF or LF only
+        if (lex.peek == '\r') lex.pos += 1
+        if (lex.peek != '\n') fail()
+        lex.pos += 1
+        val len = dict.m.getOrElse("Length", fail()) match {
+          case l: PNum => l.int
+          case r: PRef =>
+            load(r.num, allowStream = false)._1 match { case l: PNum => l.int; case _ => fail() }
+          case _ => fail()
+        }
+        // hostile /Length guard: validate against remaining bytes BEFORE
+        // slicing — a 2^31 declared length must not allocate
+        if (len < 0 || len > n - lex.pos) fail()
+        val data = java.util.Arrays.copyOfRange(bytes, lex.pos, lex.pos + len.toInt)
+        lex.pos += len.toInt
+        lex.expect("endstream")
+        lex.expect("endobj")
+        (body, data)
+      } else if (kw == "endobj") (body, null)
+      else fail()
+    }
+
+    def loadDict(r: PRef): PDict =
+      load(r.num, allowStream = false)._1 match { case d: PDict => d; case _ => fail() }
+  }
+
+  // --------------------------------------------------------- text extract
+
+  /** Decode one content stream object: raw when no /Filter, FlateDecode via
+    * the repo's own zlib decoder (output capped, hint passed).
+    */
+  private def decodeContent(doc: PdfDoc, r: PRef): Array[Byte] = {
+    val (obj, data) = doc.load(r.num, allowStream = true)
+    if (data == null) fail()
+    val dict = obj match { case d: PDict => d; case _ => fail() }
+    dict.m.get("Filter") match {
+      case None => data
+      case Some(PName("FlateDecode")) =>
+        Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
+          sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
+      case Some(PArr(Vector(PName("FlateDecode")))) =>
+        Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
+          sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
+      case _ => fail() // unsupported filter chain: quarantine
+    }
+  }
+
+  /** The classical line-model extractor over one page's content bytes:
+    * positioning ops (`Td`/`TD`/`Tm`/`T*`) and next-line shows (`'`/`"`)
+    * break the line iff text was shown since the last break; `Tj`/`'`/`"`
+    * show their string operand, `TJ` its array's strings (kern numbers
+    * skipped). Returns (text, nLines).
+    */
+  private[ext] def extractText(content: Array[Byte]): (String, Long) = {
+    val lex = new Lexer(content, 0, content.length)
+    val sb = new java.lang.StringBuilder
+    var lines = 0L
+    var shownSinceBreak = false
+    var anyText = false
+    val stack = scala.collection.mutable.ArrayBuffer[PObj]()
+    def break(): Unit = if (shownSinceBreak) { sb.append('\n'); lines += 1; shownSinceBreak = false }
+    def show(o: PObj): Unit = o match {
+      case PStr(b) =>
+        sb.append(Charset.cp1252Decode(b))
+        shownSinceBreak = true; anyText = true
+      case _ => fail()
+    }
+    var ops = 0
+    while ({ lex.skipWs(); !lex.eof }) {
+      ops += 1; if (ops > (1 << 22)) fail()
+      val c = lex.peek
+      if (c == '(' || c == '<' || c == '[' || c == '/' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        if (stack.size > 64) fail()
+        stack += lex.parseObject()
+      } else {
+        lex.keyword() match {
+          case "Td" | "TD" | "Tm" | "T*" => break()
+          case "Tj" => if (stack.isEmpty) fail(); show(stack.last)
+          case "'" => if (stack.isEmpty) fail(); break(); show(stack.last)
+          case "\"" => if (stack.isEmpty) fail(); break(); show(stack.last)
+          case "TJ" =>
+            stack.lastOption match {
+              case Some(PArr(items)) => items.foreach {
+                case s: PStr => show(s)
+                case _: PNum => // kerning adjustment: skipped
+                case _ => fail()
+              }
+              case _ => fail()
+            }
+          case _ => // graphics/state operators: operands consumed below
+        }
+        stack.clear()
+      }
+    }
+    val total = if (anyText) lines + 1 else 0L
+    (sb.toString, total)
+  }
+
+  final case class PdfPage(doc_id: Long, page_idx: Long, n_lines: Long,
+      n_chars: Long, checksum: Long)
+
+  /** Parse one document: xref walk → page tree (cycle-guarded) → per page
+    * decode `/Contents` (single or array; concatenated with one newline) →
+    * text extraction.
+    */
+  private[ext] def parsePdf(id: Long, bytes: Array[Byte]): Seq[PdfPage] = {
+    val doc = new PdfDoc(bytes)
+    val catalog = doc.loadDict(doc.root)
+    val pagesRef = catalog.m.getOrElse("Pages", fail()) match { case r: PRef => r; case _ => fail() }
+    val leaves = Vector.newBuilder[PDict]
+    val visited = scala.collection.mutable.Set[Int]()
+    var count = 0
+    def walk(r: PRef, depth: Int): Unit = {
+      if (depth > 32 || visited.contains(r.num)) fail()
+      visited += r.num
+      val d = doc.loadDict(r)
+      d.m.get("Type") match {
+        case Some(PName("Pages")) =>
+          d.m.getOrElse("Kids", fail()) match {
+            case PArr(kids) => kids.foreach {
+              case k: PRef => walk(k, depth + 1)
+              case _ => fail()
+            }
+            case _ => fail()
+          }
+        case Some(PName("Page")) =>
+          count += 1; if (count > (1 << 16)) fail()
+          leaves += d
+        case _ => fail()
+      }
+    }
+    walk(pagesRef, 0)
+    leaves.result().zipWithIndex.map { case (page, idx) =>
+      val content = page.m.getOrElse("Contents", fail()) match {
+        case r: PRef => decodeContent(doc, r)
+        case PArr(refs) =>
+          val out = new java.io.ByteArrayOutputStream
+          refs.foreach {
+            case r: PRef =>
+              if (out.size > 0) out.write('\n') // spec: whitespace between
+              out.write(decodeContent(doc, r))
+            case _ => fail()
+          }
+          out.toByteArray
+        case _ => fail()
+      }
+      val (text, nLines) = extractText(content)
+      val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var cs = 0L
+      utf8.foreach(b => cs = (cs * 31 + (b & 0xff)) % 1000000007L)
+      PdfPage(id, idx.toLong, nLines, utf8.length.toLong, cs)
+    }
+  }
+
+  /** [[parsePdf]] with the operator's quarantine semantics (Nil on any
+    * structural damage) — the unit the spec's malformed table drives.
+    */
+  private[ext] def parsePdfSafe(id: Long, bytes: Array[Byte]): Seq[PdfPage] =
+    try parsePdf(id, bytes) catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** The operator: PDF documents → the per-page text table; any structural
+    * damage quarantines the whole document. Map-only, zero shuffles.
+    */
+  def pdfExtract(pdfs: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[PdfPage] = {
+    val spark = pdfs.sparkSession
+    import spark.implicits._
+    pdfs
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        try { if (payload == null) Nil else parsePdf(id, payload) }
+        catch { case scala.util.control.NonFatal(_) => Nil } // quarantine
+      }
+  }
+}
