@@ -2775,6 +2775,52 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** EPUB ingestion under the gate ([[graft.ext.Epub]] — the other book
+    * format, pure composition): per doc a complete OCF/EPUB — `mimetype`
+    * first and STORED (the OCF wire rule, enforced by the reader),
+    * container.xml → OPF manifest + spine (manifest shuffled against
+    * spine order on the mod-3 arm plus a non-spine `style.css` item, so
+    * reading order provably follows `idref`s), XHTML chapters riding the
+    * shared HTML plane — through the strict ZIP walk
+    * ([[graft.ext.Zip.parseArchiveFiles]]), the attribute-capturing XML
+    * walker, and [[graft.ext.Html.extractText]]. The oracle replays
+    * per-chapter text closed-form (the HTML plane is
+    * identity-recovering); damage in ANY layer quarantines the book.
+    */
+  private val qEpubExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Epub.epubExtract(graft.ext.Epub.encodeEpub(table(s, dir, "documents"))).toDF()
+
+  private val oEpubExtract: String =
+    """WITH d AS (SELECT doc_id, md5('epub:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |ch AS (SELECT doc_id, m, k
+      |       FROM d, (SELECT unnest([0, 1, 2, 3]) AS k)
+      |       WHERE k < 1 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |sn AS (SELECT doc_id, m, k, s
+      |       FROM ch, (SELECT unnest([0, 1, 2, 3]) AS s)
+      |       WHERE s < 2 + ('0x' || substr(m, CAST(2 + k AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, m, k, s,
+      |         'Chapter ' || CAST(k AS VARCHAR) || ' sentence ' || CAST(s AS VARCHAR) ||
+      |         ' of book ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(6 + 4 * k + s AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(22 + (4 * k + s) % 10 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         '.' AS t
+      |       FROM sn, wt),
+      |page AS (SELECT doc_id, m, k, string_agg(t, ' ' ORDER BY s) AS text
+      |         FROM tx GROUP BY doc_id, m, k),
+      |h AS (SELECT doc_id, k,
+      |        'Book ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT)) AS title,
+      |        hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |      FROM page, wt)
+      |SELECT doc_id, k::BIGINT AS chapter_idx, title,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The Avro Object Container ingest path under the gate
     * ([[graft.ext.Avro]] — the data-lake interchange format corpus
     * drops arrive in): documents packed into 16 containers (codec
@@ -7646,6 +7692,7 @@ object QueryCatalog {
     "avro_extract" -> qAvroExtract,
     "subtitle_cues" -> qSubtitleCues,
     "pdf_extract" -> qPdfExtract,
+    "epub_extract" -> qEpubExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -7947,6 +7994,7 @@ object QueryCatalog {
     "avro_extract" -> oZstExtract,
     "subtitle_cues" -> oSubtitleCues,
     "pdf_extract" -> oPdfExtract,
+    "epub_extract" -> oEpubExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

@@ -37,7 +37,7 @@ object Sitemaps {
 
   // ------------------------------------------------------------- writer
 
-  private def esc(s: String): String =
+  private[ext] def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Serialize each host's URL set as sitemap FILES: an index

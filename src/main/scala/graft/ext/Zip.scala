@@ -114,6 +114,50 @@ object Zip {
       .toDF("archive_id", "payload")
   }
 
+  /** Generic single-archive builder (plain profile: no descriptors, no
+    * extra fields) for container formats layered ON zip — OCF/EPUB needs
+    * exact control of entry names, order and methods (`mimetype` must be
+    * FIRST and STORED). `method` per entry: 0 stored, 8 deflate (the
+    * repo's own dynamic-Huffman coder).
+    */
+  private[ext] def buildZip(entries: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val cd = Array.newBuilder[(Array[Byte], Int, Long, Int, Int, Int)]
+    entries.foreach { case (nameS, data, method) =>
+      val name = utf8(nameS)
+      val crc = Multimodal.crc32(data, 0, data.length) & 0xffffffffL
+      val comp = method match {
+        case 0 => data
+        case 8 => Multimodal.deflateDynamic(data)
+        case _ => throw new MalformedZip
+      }
+      val lfhOffset = out.size()
+      w32(out, 0x04034b50L); w16(out, 20); w16(out, 0); w16(out, method)
+      w16(out, 0); w16(out, 0x21)
+      w32(out, crc); w32(out, comp.length.toLong); w32(out, data.length.toLong)
+      w16(out, name.length); w16(out, 0)
+      out.write(name); out.write(comp)
+      cd += ((name, method, crc, comp.length, data.length, lfhOffset))
+    }
+    val cdOffset = out.size()
+    val built = cd.result()
+    built.foreach { case (name, method, crc, csize, usize, lfhOffset) =>
+      w32(out, 0x02014b50L); w16(out, 20); w16(out, 20); w16(out, 0); w16(out, method)
+      w16(out, 0); w16(out, 0x21)
+      w32(out, crc); w32(out, csize.toLong); w32(out, usize.toLong)
+      w16(out, name.length); w16(out, 0); w16(out, 0)
+      w16(out, 0); w16(out, 0); w32(out, 0)
+      w32(out, lfhOffset.toLong)
+      out.write(name)
+    }
+    val cdSize = out.size() - cdOffset
+    w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+    w16(out, built.length); w16(out, built.length)
+    w32(out, cdSize.toLong); w32(out, cdOffset.toLong)
+    w16(out, 0)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- reader
 
   private def u16(b: Array[Byte], p: Int): Int = {
@@ -158,13 +202,32 @@ object Zip {
     * caller.
     */
   private[ext] def parseArchive(aid: Long, b: Array[Byte], maxEntryBytes: Int): Seq[ZipEntry] = {
+    parseArchiveFiles(b, maxEntryBytes).zipWithIndex.map { case ((name, data, _), idx) =>
+      val docId = name match {
+        case s if s.startsWith("d") && s.endsWith(".txt") =>
+          try s.substring(1, s.length - 4).toLong
+          catch { case _: NumberFormatException => throw new MalformedZip }
+        case _ => throw new MalformedZip
+      }
+      ZipEntry(aid, idx.toLong, docId, data.length.toLong, rollingChecksum(data))
+    }
+  }
+
+  /** The generic strict walk [[parseArchive]] rides: EOCD → central
+    * directory → per entry LFH cross-check → decode → CRC-32 + size
+    * verification. Returns `(name, data, method)` in central-directory
+    * order — the unit other container formats built ON ZIP (OCF/EPUB,
+    * office documents, JARs) consume. Any violation throws.
+    */
+  private[ext] def parseArchiveFiles(b: Array[Byte],
+      maxEntryBytes: Int): Seq[(String, Array[Byte], Int)] = {
     val eocd = findEocd(b)
     val nEntries = u16(b, eocd + 10)
     if (u16(b, eocd + 8) != nEntries || u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0)
       throw new MalformedZip // single-disk archives only
     val cdOffset = u32(b, eocd + 16)
     if (cdOffset + u32(b, eocd + 12) != eocd) throw new MalformedZip
-    val entries = Array.newBuilder[ZipEntry]
+    val entries = Array.newBuilder[(String, Array[Byte], Int)]
     var p = cdOffset.toInt
     var idx = 0
     while (idx < nEntries) {
@@ -224,13 +287,7 @@ object Zip {
         if (u32(b, d) != crc || u32(b, d + 4) != csize || u32(b, d + 8) != usize)
           throw new MalformedZip
       }
-      val docId = name match {
-        case s if s.startsWith("d") && s.endsWith(".txt") =>
-          try s.substring(1, s.length - 4).toLong
-          catch { case _: NumberFormatException => throw new MalformedZip }
-        case _ => throw new MalformedZip
-      }
-      entries += ZipEntry(aid, idx.toLong, docId, usize, rollingChecksum(data))
+      entries += ((name, data, method))
       p += 46 + nameLen + extraLen + commentLen
       idx += 1
     }

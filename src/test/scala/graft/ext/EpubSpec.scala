@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class EpubSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def model(id: Long, k: Int): (Long, Long) = {
+    val b = Epub.chapterText(id, k).getBytes("UTF-8")
+    var cs = 0L
+    b.foreach(x => cs = (cs * 31 + (x & 0xff)) % 1000000007L)
+    (b.length.toLong, cs)
+  }
+
+  test("round-trip: spine-ordered chapters recover the closed-form text model") {
+    for (id <- 0L until 48L) {
+      val chapters = Epub.parseEpub(id, Epub.renderEpub(id), 1 << 26)
+      assert(chapters.length == Epub.nChapters(id), s"book $id chapter count")
+      chapters.foreach { ch =>
+        val (nc, cs) = model(id, ch.chapter_idx.toInt)
+        assert(ch.title == Epub.bookTitle(id), s"book $id title")
+        assert(ch.n_chars == nc && ch.checksum == cs, s"book $id ch ${ch.chapter_idx}")
+      }
+    }
+  }
+
+  test("reading order follows the spine, not the manifest (mod-3 reversed manifest)") {
+    // id 3: manifest emitted REVERSED; chapters must still come back 0..n-1
+    val id = 3L
+    assert(id % 3 == 0 && Epub.nChapters(id) >= 2)
+    val chapters = Epub.parseEpub(id, Epub.renderEpub(id), 1 << 26)
+    assert(chapters.map(_.chapter_idx) == (0 until Epub.nChapters(id)).map(_.toLong))
+    chapters.foreach { ch =>
+      assert(ch.checksum == model(id, ch.chapter_idx.toInt)._2)
+    }
+  }
+
+  test("groupAttrs: order-robust element correlation") {
+    val leaves = Vector(
+      "p/m/item@id" -> "a", "p/m/item@href" -> "1",
+      "p/m/item@href" -> "2", "p/m/item@id" -> "b", // foreign attr order
+      "p/m/item@id" -> "c",
+      "other/leaf" -> "x")
+    assert(Epub.groupAttrs(leaves, "p/m/item") == Vector(
+      Map("id" -> "a", "href" -> "1"), Map("href" -> "2", "id" -> "b"), Map("id" -> "c")))
+  }
+
+  private def rebuild(id: Long)(f: Seq[(String, Array[Byte], Int)] => Seq[(String, Array[Byte], Int)]): Array[Byte] = {
+    val entries = Zip.parseArchiveFiles(Epub.renderEpub(id), 1 << 26)
+    Zip.buildZip(f(entries))
+  }
+
+  test("OCF strictness: each violation quarantines the whole book") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def parse(b: Array[Byte]) =
+      try Epub.parseEpub(1L, b, 1 << 26) catch { case scala.util.control.NonFatal(_) => Nil }
+    assert(parse(Epub.renderEpub(1L)).nonEmpty) // baseline sanity
+    // mimetype not first
+    assert(parse(rebuild(1L)(es => es.tail :+ es.head)).isEmpty)
+    // mimetype compressed instead of stored
+    assert(parse(rebuild(1L)(es => es.updated(0, (es.head._1, es.head._2, 8)))).isEmpty)
+    // wrong mimetype content
+    assert(parse(rebuild(1L)(es =>
+      es.updated(0, ("mimetype", "application/zip".getBytes(utf8), 0)))).isEmpty)
+    // container.xml missing
+    assert(parse(rebuild(1L)(_.filterNot(_._1 == "META-INF/container.xml"))).isEmpty)
+    // a spine chapter file missing
+    assert(parse(rebuild(1L)(_.filterNot(_._1 == "OEBPS/ch0.xhtml"))).isEmpty)
+    // dangling idref: drop a manifest item the spine needs
+    assert(parse(rebuild(1L)(es => es.map {
+      case (n, d, m) if n == "OEBPS/content.opf" =>
+        (n, new String(d, utf8).replace("""<item id="c0" href="ch0.xhtml"""",
+          """<item id="cX" href="ch0.xhtml"""").getBytes(utf8), m)
+      case e => e
+    })).isEmpty)
+    // path traversal in a manifest href
+    assert(parse(rebuild(1L)(es => es.map {
+      case (n, d, m) if n == "OEBPS/content.opf" =>
+        (n, new String(d, utf8).replace("""href="ch0.xhtml"""",
+          """href="../ch0.xhtml"""").getBytes(utf8), m)
+      case e => e
+    })).isEmpty)
+    // XML damage in the OPF
+    assert(parse(rebuild(1L)(es => es.map {
+      case (n, d, m) if n == "OEBPS/content.opf" =>
+        (n, new String(d, utf8).replace("</package>", "</packag>").getBytes(utf8), m)
+      case e => e
+    })).isEmpty)
+    // non-spine manifest entries (style.css) are tolerated and NOT emitted:
+    // already pinned by the round-trip count == nChapters
+  }
+
+  test("operator: per-chapter table, damage quarantines per book") {
+    import spark.implicits._
+    val docs = (0L until 16L).toDF("doc_id")
+    val rows = Epub.epubExtract(Epub.encodeEpub(docs)).collect()
+    assert(rows.groupBy(_.doc_id).view.mapValues(_.length).toMap ==
+      (0L until 16L).map(id => id -> Epub.nChapters(id)).toMap)
+    val mixed = Epub.encodeEpub(docs.filter($"doc_id" < 2)).as[(Long, Array[Byte])]
+      .map { case (id, p) => if (id == 0L) (id, p.take(60)) else (id, p) }
+      .toDF("doc_id", "payload")
+    val surviving = Epub.epubExtract(mixed).collect().map(_.doc_id).distinct
+    assert(surviving.sameElements(Array(1L)))
+  }
+}
