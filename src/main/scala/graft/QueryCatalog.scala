@@ -2867,6 +2867,55 @@ object QueryCatalog {
     Archives.warcExtract(Archives.wetConvert(Archives.encodeWarcHttpArchives(
       Html.encodeHtmlDocs(table(s, dir, "documents")), nArchives = 16, textCol = "html"))).toDF()
 
+  /** WAT conversion under the gate ([[graft.ext.Archives.watConvert]] —
+    * the metadata deliverable completing the response/WET/WAT trio): the
+    * LINKED-page fixture (with a real `<title>` injected) rides the full
+    * crawl stack into response segments, each segment is converted to
+    * `WARC-Type: metadata` records whose block is one canonical JSON
+    * object (envelope URI, HTTP status/Content-Type, page title, every
+    * outlink resolved against the record's own URI host), and the
+    * standard warcExtract reader ingests the WAT output unchanged. The
+    * oracle rebuilds the exact JSON text closed-form — link order, the
+    * root-relative links re-based onto example.com, title, status — and
+    * hashes its bytes, so the gzip/WARC/HTTP framing, the link extractor
+    * AND the canonical serializer are all graded bitwise.
+    */
+  private val qWatConvert: (SparkSession, String) => DataFrame = (s, dir) => {
+    val linked = Html.encodeLinkedDocs(table(s, dir, "documents"))
+      .withColumn("html", expr(
+        "replace(html, '<title></title>', concat('<title>Doc ', doc_id, ' metadata</title>'))"))
+    Archives.warcExtract(Archives.watConvert(
+      Archives.encodeWarcHttpArchives(linked, nArchives = 16, textCol = "html"))).toDF()
+  }
+
+  private val oWatConvert: String =
+    """WITH d AS (SELECT doc_id FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |l AS (SELECT doc_id, unnest(range(1, CAST(doc_id % 4 AS BIGINT) + 2)) AS j FROM d),
+      |u AS (SELECT doc_id, j,
+      |        CASE WHEN j % 2 = 1
+      |          THEN 'https://host' || CAST(('0x' || substr(md5('l:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1))::BIGINT % 16 AS VARCHAR) || '.example/p/' || CAST(j AS VARCHAR) || '?a=1&b=2'
+      |          ELSE 'https://example.com/r/' || CAST(j AS VARCHAR) END AS url
+      |      FROM l),
+      |ls AS (SELECT doc_id, string_agg('"' || url || '"', ',' ORDER BY j) AS links
+      |       FROM u GROUP BY doc_id),
+      |js AS (SELECT d.doc_id,
+      |         '{"Container":{"Target-URI":"http://example.com/doc/' || CAST(d.doc_id AS VARCHAR) ||
+      |         '"},"Response":{"Status":200,"Content-Type":"text/plain; charset=utf-8"},' ||
+      |         '"HTML-Metadata":{"Title":"Doc ' || CAST(d.doc_id AS VARCHAR) || ' metadata",' ||
+      |         '"Links":[' || ls.links || ']}}' AS json
+      |       FROM d JOIN ls ON d.doc_id = ls.doc_id),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(encode(json)) AS hx,
+      |        octet_length(encode(json)) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM js)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS content_length,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+      |FROM r""".stripMargin
+
   /** tf.Example over TFRecord under the gate ([[graft.ext.TfExample]]
     * — the ACTUAL on-disk shape of a converted training corpus, protos
     * inside double-CRC frames): the from-scratch protobuf wire parser
@@ -7703,6 +7752,7 @@ object QueryCatalog {
     "text_gunzip" -> qGunzipStats,
     "warc_extract" -> qWarcExtract,
     "wet_convert" -> qWetConvert,
+    "wat_convert" -> qWatConvert,
     "warc_http_extract" -> qWarcHttpExtract,
     "warc_http_enc_extract" -> qWarcHttpEncExtract,
     "zip_extract" -> qZipExtract,
@@ -7928,6 +7978,7 @@ object QueryCatalog {
     "text_gunzip" -> oGunzipStats,
     "warc_extract" -> oWarcExtract,
     "wet_convert" -> oWarcExtract,
+    "wat_convert" -> oWatConvert,
     "warc_http_extract" -> oWarcHttpExtract,
     "warc_http_enc_extract" -> oWarcHttpEncExtract,
     "zip_extract" -> oZipExtract,

@@ -964,6 +964,89 @@ object Archives {
       .toDF("archive_id", "payload")
   }
 
+  /** Escape a string for a JSON string literal (quote, backslash, and
+    * control characters — the canonical-writer subset).
+    */
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** WAT conversion — the METADATA deliverable next to [[wetConvert]]
+    * (Common Crawl ships response/WET/WAT as a trio): per response
+    * record, a `WARC-Type: metadata` record whose block is one canonical
+    * JSON object carrying the envelope target URI, the HTTP response
+    * status/Content-Type, the page `<title>`, and every extracted
+    * outlink RESOLVED against the record's own URI host (root-relative
+    * hrefs inherit the crawl URI, not the markup's host) — the link
+    * graph + head metadata consumers mine WAT files for. Same segment
+    * semantics as WET: the output is a REAL .warc.gz the standard
+    * [[warcExtract]] reader ingests unchanged, and damage anywhere
+    * drops the whole segment. Map-only per archive.
+    */
+  def watConvert(archives: DataFrame, maxRecordBytes: Int = 1 << 26): DataFrame = {
+    val spark = archives.sparkSession
+    import spark.implicits._
+    archives
+      .select(col("archive_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (aid, blob) =>
+        try {
+          if (blob == null || blob.length == 0) Iterator.empty
+          else {
+            val out = new java.io.ByteArrayOutputStream()
+            var pos = 0
+            while (pos < blob.length) {
+              val (rec, next) = gunzipMember(blob, pos, blob.length, maxRecordBytes)
+              val (docId, bodyFrom, bodyUntil) = parseWarcRecord(rec)
+              val msg = java.util.Arrays.copyOfRange(rec, bodyFrom, bodyUntil)
+              val (status, contentType, _, body) = parseHttpResponse(msg, maxRecordBytes)
+              val html = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+              val targetUri = s"http://example.com/doc/$docId"
+              val links = Html.extractLinks(html, baseHost = "example.com")
+              val json = utf8(
+                "{\"Container\":{\"Target-URI\":\"" + jsonEsc(targetUri) + "\"}," +
+                  "\"Response\":{\"Status\":" + status +
+                  ",\"Content-Type\":\"" + jsonEsc(contentType) + "\"}," +
+                  "\"HTML-Metadata\":{\"Title\":\"" + jsonEsc(Html.titleOf(html)) + "\"," +
+                  "\"Links\":[" + links.map(l => "\"" + jsonEsc(l._2) + "\"").mkString(",") + "]}}")
+              val head = utf8(
+                "WARC/1.0\r\n" +
+                  "WARC-Type: metadata\r\n" +
+                  s"WARC-Refers-To: $targetUri\r\n" +
+                  s"WARC-Target-URI: $targetUri\r\n" +
+                  "Content-Type: application/json\r\n" +
+                  s"Content-Length: ${json.length}\r\n" +
+                  "\r\n")
+              val wat = new Array[Byte](head.length + json.length + 4)
+              System.arraycopy(head, 0, wat, 0, head.length)
+              System.arraycopy(json, 0, wat, head.length, json.length)
+              wat(wat.length - 4) = '\r'; wat(wat.length - 3) = '\n'
+              wat(wat.length - 2) = '\r'; wat(wat.length - 1) = '\n'
+              out.write(gzipMember(wat, (docId % 4).toInt, docId, method = (docId % 3).toInt))
+              pos = next
+            }
+            Iterator.single((aid, out.toByteArray))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty } // drop segment whole
+      }
+      .toDF("archive_id", "payload")
+  }
+
   /** [[warcExtract]] for an ARCHIVE STREAM: same member-split + record
     * parse, but the input carries an event time (`archive_id, ts,
     * payload`) that every extracted record inherits — what a watermarked

@@ -389,6 +389,32 @@ object Html {
     out.toSeq
   }
 
+  /** First `<title>` element's text, entity-decoded and trimmed — the
+    * head-metadata field a WAT conversion record carries. Empty string
+    * when absent/unclosed (real crawls are full of both).
+    */
+  private[ext] def titleOf(html: String): String = {
+    val n = html.length
+    var p = 0
+    var found = -1
+    while (found < 0 && p < n) {
+      if (html.charAt(p) == '<' && html.regionMatches(true, p + 1, "title", 0, 5) &&
+          p + 6 < n && (html.charAt(p + 6) == '>' || Character.isWhitespace(html.charAt(p + 6))))
+        found = p
+      p += 1
+    }
+    if (found < 0) return ""
+    val gt = html.indexOf('>', found)
+    if (gt < 0) return ""
+    var q = gt + 1
+    val sb = new java.lang.StringBuilder
+    while (q < n && !(html.charAt(q) == '<' && html.regionMatches(true, q + 1, "/title", 0, 6))) {
+      if (html.charAt(q) == '&') { val (s2, np) = entity(html, q); sb.append(s2); q = np }
+      else { sb.append(html.charAt(q)); q += 1 }
+    }
+    if (q >= n) "" else sb.toString.trim // unclosed title: no metadata
+  }
+
   final case class PageLink(doc_id: Long, link_idx: Long, url: String, host: String)
 
   /** Extract resolved links from linked pages; host parsed off the url. */

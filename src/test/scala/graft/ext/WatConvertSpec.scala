@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class WatConvertSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("titleOf: entity decode, trim, case-insensitive tag, absence and unclosed forms") {
+    assert(Html.titleOf("<html><head><title>Plain</title></head></html>") == "Plain")
+    assert(Html.titleOf("<TITLE> padded &amp; decoded </TITLE>") == "padded & decoded")
+    assert(Html.titleOf("<title lang=\"en\">attr form</title>") == "attr form")
+    assert(Html.titleOf("<html><body>no title</body></html>") == "")
+    assert(Html.titleOf("<title>unclosed forever") == "")
+    assert(Html.titleOf("<titlefoo>not a title</titlefoo>") == "")
+  }
+
+  test("watConvert: canonical JSON per response record, root-relative links re-based") {
+    import spark.implicits._
+    val docs = (0L until 12L).map(id => (id, s"body text $id")).toDF("doc_id", "text")
+    val linked = Html.encodeLinkedDocs(docs)
+      .withColumn("html", org.apache.spark.sql.functions.expr(
+        "replace(html, '<title></title>', concat('<title>Doc ', doc_id, ' metadata</title>'))"))
+    val wat = Archives.watConvert(
+      Archives.encodeWarcHttpArchives(linked, nArchives = 4, textCol = "html"))
+    // the WAT output is a real .warc.gz: the standard reader ingests it
+    val rows = Archives.warcExtract(wat).collect()
+    assert(rows.length == 12)
+    // replay the expected JSON for every doc and compare the checksums
+    rows.foreach { r =>
+      val id = r.rec_doc_id
+      val links = (1 to Html.linkCount(id)).map { j =>
+        if (j % 2 == 1) Html.linkUrl(id, j)
+        else s"https://example.com/r/$j" // re-based on the crawl URI host
+      }
+      val json = "{\"Container\":{\"Target-URI\":\"http://example.com/doc/" + id + "\"}," +
+        "\"Response\":{\"Status\":200,\"Content-Type\":\"text/plain; charset=utf-8\"}," +
+        "\"HTML-Metadata\":{\"Title\":\"Doc " + id + " metadata\"," +
+        "\"Links\":[" + links.map("\"" + _ + "\"").mkString(",") + "]}}"
+      val b = json.getBytes("UTF-8")
+      var cs = 0L
+      b.foreach(x => cs = (cs * 31 + (x & 0xff)) % 1000000007L)
+      assert(r.content_length == b.length && r.checksum == cs, s"doc $id")
+    }
+  }
+
+  test("watConvert: a damaged segment drops whole, clean segments survive") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(id => (id, s"t$id")).toDF("doc_id", "text")
+    val segs = Archives.encodeWarcHttpArchives(Html.encodeLinkedDocs(docs),
+      nArchives = 4, textCol = "html")
+      .as[(Long, Array[Byte])]
+      .map { case (aid, p) =>
+        if (aid == 1L) (aid, { val m = p.clone(); m(m.length / 2) = (m(m.length / 2) ^ 0x7f).toByte; m })
+        else (aid, p)
+      }
+      .toDF("archive_id", "payload")
+    val out = Archives.warcExtract(Archives.watConvert(segs)).collect()
+    assert(out.map(_.archive_id).distinct.sorted.sameElements(Array(0L, 2L, 3L)))
+  }
+}
