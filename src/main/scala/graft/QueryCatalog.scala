@@ -2121,6 +2121,50 @@ object QueryCatalog {
        |       (max(pos) + 4)::BIGINT AS span_end, count(*)::BIGINT AS anchors
        |FROM il GROUP BY doc_id, island""".stripMargin
 
+  /** Span-removal consumer ([[graft.ext.Dedup.dupSpansRemove]] — the Lee
+    * et al. deliverable `dup_spans` exists for): duplicated spans excised
+    * and kept segments reassembled per doc in order. The oracle reuses the
+    * full span CTE chain, then rebuilds the cleaned text RELATIONALLY —
+    * kept segments via a lag window over span starts plus the tail
+    * segment, concatenated in position order — so an off-by-one at either
+    * span edge, a dropped empty segment, or wrong reassembly order changes
+    * the cleaned string and fails the hash. Docs with no spans pass
+    * through whole (normalized text), pinning the left-join arm.
+    */
+  private val qDupSpansRemove: (SparkSession, String) => DataFrame = (s, dir) =>
+    Dedup.dupSpansRemove(table(s, dir, "documents"))
+
+  private val oDupSpansRemove: String =
+    s"""WITH $winnowCtes,
+       |dc AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel) df
+       |       GROUP BY fp HAVING count(*) >= 2),
+       |an AS (SELECT sel.doc_id, sel.pos FROM sel JOIN dc ON dc.fp = sel.fp),
+       |br AS (SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |              THEN 0 ELSE 1 END AS brk FROM an),
+       |il AS (SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM br),
+       |sp AS (SELECT doc_id, min(pos)::BIGINT AS s, (max(pos) + 4)::BIGINT AS e
+       |       FROM il GROUP BY doc_id, island),
+       |mx AS (SELECT doc_id, max(e) AS me, count(*)::BIGINT AS n_spans,
+       |         sum(e - s + 1)::BIGINT AS n_removed
+       |       FROM sp GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS f,
+       |         s - 1 AS u
+       |  FROM sp
+       |  UNION ALL
+       |  SELECT mx.doc_id, me + 1 AS f, len(d.t) AS u FROM mx JOIN d USING (doc_id)),
+       |ct AS (SELECT segs.doc_id,
+       |         string_agg(substr(d.t, CAST(f AS INT), CAST(greatest(u - f + 1, 0) AS INT)),
+       |                    '' ORDER BY f) AS clean
+       |       FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id)
+       |SELECT d.doc_id, coalesce(mx.n_spans, 0)::BIGINT AS n_spans,
+       |       coalesce(mx.n_removed, 0)::BIGINT AS n_removed,
+       |       CASE WHEN ct.clean IS NULL THEN d.t ELSE ct.clean END AS clean_text
+       |FROM d LEFT JOIN mx USING (doc_id) LEFT JOIN ct ON ct.doc_id = d.doc_id""".stripMargin
+
   /** Shared oracle for the exact n-gram jaccard pairs and the MinHash-LSH +
     * exact-verify path. Sizes use ALL grams; the df cap limits only the
     * intersection join (mirrored by BOTH Dedup.ngramJaccardPairs and the
@@ -7619,6 +7663,7 @@ object QueryCatalog {
     "winnow_fingerprints" -> qWinnowFingerprints,
     "containment_pairs" -> qContainmentPairs,
     "dup_spans" -> qDupSpans,
+    "dup_spans_remove" -> qDupSpansRemove,
     "edit_distance_pairs" -> qEditDistancePairs,
     "edit_distance_pairs_mp" -> qEditDistancePairsMp,
     "edit_distance_pairs_3p" -> qEditDistancePairs3p,
@@ -7862,6 +7907,7 @@ object QueryCatalog {
     "winnow_fingerprints" -> oWinnowFingerprints,
     "containment_pairs" -> oContainmentPairs,
     "dup_spans" -> oDupSpans,
+    "dup_spans_remove" -> oDupSpansRemove,
     "edit_distance_pairs" -> oEditDistancePairs,
     "edit_distance_pairs_mp" -> oEditDistancePairsMp,
     "edit_distance_pairs_3p" -> oEditDistancePairs3p,

@@ -368,6 +368,51 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("anchors"))
   }
 
+  /** The REMOVAL consumer [[dupSpans]] localizes for — the actual Lee et
+    * al. deliverable: each document's duplicated spans are EXCISED and the
+    * kept segments reassembled in order, yielding the cleaned corpus a
+    * training pipeline feeds from (plus per-doc accounting: span count and
+    * characters removed). Positions live in [[TextFunctions.normText]]
+    * space, the same text the spans reference; islands are maximal and
+    * disjoint by construction (consecutive spans sit > gap apart), so
+    * reassembly is a single ordered fold — no overlap merging needed.
+    *
+    * 100 TB shape: [[dupSpans]]'s three linear shuffles, plus one doc_id
+    * aggregate packing each doc's spans into a sorted array and one doc_id
+    * equi-join back to the text — both ride the same hash partitioning;
+    * the fold over each doc's span array is a scalar expression, no
+    * per-span row explosion of the text.
+    */
+  def dupSpansRemove(
+      docs: DataFrame,
+      k: Int = 5,
+      w: Int = 4,
+      minDocs: Long = 2L,
+      gap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = dupSpans(docs, k, w, minDocs, gap, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end")))).as("spans"))
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), normText(col(textCol)).as("t"))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        expr("aggregate(spans, 0L, (a, sp) -> a + sp.span_end - sp.span_start + 1)")
+          .as("n_removed"),
+        expr("""aggregate(spans,
+          named_struct('acc', '', 'nxt', 1L),
+          (s, sp) -> named_struct(
+            'acc', concat(s.acc, substring(t, CAST(s.nxt AS INT), CAST(sp.span_start - s.nxt AS INT))),
+            'nxt', sp.span_end + 1L),
+          s -> concat(s.acc, substring(t, CAST(s.nxt AS INT), length(t) - CAST(s.nxt AS INT) + 1)))""")
+          .as("clean_text"))
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, "The
     * Merge/Purge Problem", SIGMOD 1995): rank records per language by
     * `(length, text, id)` and pair each record with its next `window`

@@ -635,4 +635,46 @@ class DedupSpec extends AnyFunSuite {
     for (id <- Seq(10L, 11L))
       assert(out2(id).length == 2, s"doc $id: the two separated shared runs must stay two spans")
   }
+
+  test("dupSpansRemove: excises exactly the reported spans, passes unique docs whole") {
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val ua = "abc def ghi jkl mno abc ghi jkl def mno"
+    val ub = "pqr stu vwx yz0 123 stu vwx pqr 123 yz0"
+    val uc = "completely unrelated content using its own distinct words qqq www eee"
+    val d = docs(1L -> s"$ua $shared $ua", 2L -> s"$ub $shared $ub", 3L -> uc)
+    val spans = Dedup.dupSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = Dedup.dupSpansRemove(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // unique doc passes through whole with zero accounting
+    assert(out(3L) == ((0L, 0L, uc)))
+    // excision replays the span table exactly, per doc
+    val texts = Map(1L -> s"$ua $shared $ua", 2L -> s"$ub $shared $ub")
+    for (id <- Seq(1L, 2L)) {
+      val t = texts(id)
+      val sp = spans(id).sortBy(_._2)
+      val expected = {
+        val sb = new StringBuilder
+        var nxt = 1L
+        sp.foreach { case (_, s0, s1) =>
+          sb.append(t.substring(nxt.toInt - 1, s0.toInt - 1)); nxt = s1 + 1
+        }
+        sb.append(t.substring(nxt.toInt - 1)).toString
+      }
+      val (nSpans, nRemoved, clean) = out(id)
+      assert(nSpans == sp.length.toLong, s"doc $id span count")
+      assert(nRemoved == sp.map(x => x._3 - x._2 + 1).sum, s"doc $id removed chars")
+      assert(clean == expected, s"doc $id cleaned text")
+      assert(clean.length == t.length - nRemoved)
+    }
+    // span touching position 1: an empty leading segment must not break the fold
+    val s2 = "another duplicated sentence that is long enough to fingerprint"
+    val d2 = docs(20L -> s"$s2 unique tail twenty one", 21L -> s"$s2 different ending here")
+    val rem = Dedup.dupSpansRemove(d2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rem(20L).endsWith("one") && !rem(20L).contains("duplicated"))
+    assert(rem(21L).endsWith("here") && !rem(21L).contains("duplicated"))
+  }
 }
