@@ -1768,6 +1768,84 @@ object QueryCatalog {
       |       strlen(nfc_normalize(raw))::BIGINT AS bytes_after
       |FROM t""".stripMargin
 
+  /** Unicode NFKC compatibility folding ([[graft.ext.Encoding.nfkcStats]])
+    * — ligatures, fullwidth forms, circled digits, superscripts, vulgar
+    * fractions and the ohm sign folded to their compatibility
+    * equivalents, plus one decomposed sequence pinning that NFKC includes
+    * canonical composition. DuckDB ships no NFKC, so the oracle carries
+    * the EXPECTED folded forms as `chr()` literals straight from the
+    * published UCD mappings — the JDK Normalizer's tables must agree with
+    * the standard byte-for-byte.
+    */
+  private val qUnicodeNfkc: (SparkSession, String) => DataFrame = (s, dir) =>
+    Encoding.nfkcStats(Encoding.attachCompat(table(s, dir, "documents")))
+
+  private val oUnicodeNfkc: String =
+    """WITH d AS (SELECT doc_id, md5('k:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |pt AS (SELECT [chr(64257), chr(65313), chr(9312), chr(178), chr(101)||chr(769),
+      |               chr(189), 'x', chr(8486)] AS rawp,
+      |              ['fi', 'A', '1', '2', chr(233),
+      |               '1'||chr(8260)||'2', 'x', chr(937)] AS expp),
+      |t AS (SELECT doc_id,
+      |        'w' || list_extract(rawp, 1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT))
+      |            || list_extract(rawp, 1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT))
+      |            || list_extract(rawp, 1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)) AS raw,
+      |        'w' || list_extract(expp, 1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT))
+      |            || list_extract(expp, 1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT))
+      |            || list_extract(expp, 1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)) AS nfkc
+      |      FROM d, pt)
+      |SELECT doc_id, nfkc, nfkc <> raw AS changed,
+      |       strlen(raw)::BIGINT AS bytes_before,
+      |       strlen(nfkc)::BIGINT AS bytes_after
+      |FROM t""".stripMargin
+
+  /** Script-aware tokenization ([[graft.ext.Cjk.cjkTokens]] — the CJK
+    * twin of token_counts): codepoint-class segmentation over a
+    * mixed-script fixture — per-ideograph han tokens, same-script kana /
+    * hangul run tokens (the hiragana↔katakana boundary arm decided by
+    * md5 picks), latin alphanumeric runs, everything else separating.
+    * The oracle rebuilds every token and its index closed-form with
+    * `chr()`, including the variable-index shift when the two kana picks
+    * straddle sub-scripts.
+    */
+  private val qCjkTokens: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Cjk.cjkTokens(graft.ext.Cjk.encodeCjk(table(s, dir, "documents"))).toDF()
+
+  private val oCjkTokens: String =
+    """WITH d AS (SELECT doc_id, md5('cjk:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        list_extract([20013, 25991, 25968, 25454, 27169, 22411, 23398, 32722],
+      |          1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT)) AS h1c,
+      |        list_extract([20013, 25991, 25968, 25454, 27169, 22411, 23398, 32722],
+      |          1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT)) AS h2c,
+      |        CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT) AS k1i,
+      |        CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT) AS k2i,
+      |        list_extract([54620, 44397, 50612, 45936, 51060, 53552, 47784, 45944],
+      |          1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) AS g1c,
+      |        list_extract([54620, 44397, 50612, 45936, 51060, 53552, 47784, 45944],
+      |          1 + CAST(('0x' || substr(m, 6, 1))::BIGINT % 8 AS INT)) AS g2c
+      |      FROM d),
+      |k AS (SELECT doc_id, chr(h1c) AS h1, chr(h2c) AS h2,
+      |        chr(list_extract([12354, 12356, 12363, 12383, 12450, 12459, 12487, 12479], 1 + k1i)) AS k1,
+      |        chr(list_extract([12354, 12356, 12363, 12383, 12450, 12459, 12487, 12479], 1 + k2i)) AS k2,
+      |        (k1i < 4) = (k2i < 4) AS same,
+      |        CASE WHEN k1i < 4 THEN 'hiragana' ELSE 'katakana' END AS s1,
+      |        CASE WHEN k2i < 4 THEN 'hiragana' ELSE 'katakana' END AS s2,
+      |        chr(g1c) AS g1, chr(g2c) AS g2
+      |      FROM c),
+      |tok AS (
+      |  SELECT doc_id, 0 AS i, 'ai' AS token, 'latin' AS script FROM k
+      |  UNION ALL SELECT doc_id, 1, h1, 'han' FROM k
+      |  UNION ALL SELECT doc_id, 2, h2, 'han' FROM k
+      |  UNION ALL SELECT doc_id, 3, CASE WHEN same THEN k1 || k2 ELSE k1 END, s1 FROM k
+      |  UNION ALL SELECT doc_id, 4, k2, s2 FROM k WHERE NOT same
+      |  UNION ALL SELECT doc_id, CASE WHEN same THEN 4 ELSE 5 END,
+      |    'x' || CAST(doc_id % 10 AS VARCHAR), 'latin' FROM k
+      |  UNION ALL SELECT doc_id, CASE WHEN same THEN 5 ELSE 6 END, g1 || g2, 'hangul' FROM k)
+      |SELECT doc_id, i::BIGINT AS token_idx, token, script FROM tok""".stripMargin
+
   /** robots.txt admission control (RFC 9309 semantics) over the
     * normalized URL fixture: per-host md5-derived rule sets — a
     * directory Disallow, a deeper Allow override, an independent
@@ -7690,6 +7768,8 @@ object QueryCatalog {
     "discovery_frontier" -> qDiscoveryFrontier,
     "idna_host_decode" -> qIdnaHostDecode,
     "unicode_nfc" -> qUnicodeNfc,
+    "unicode_nfkc" -> qUnicodeNfkc,
+    "cjk_tokens" -> qCjkTokens,
     "cdc_chunks" -> qCdcChunks,
     "cdc_dedup" -> qCdcDedup,
     "ranked_retrieval" -> qRankedRetrieval,
@@ -7934,6 +8014,8 @@ object QueryCatalog {
     "discovery_frontier" -> oDiscoveryFrontier,
     "idna_host_decode" -> oIdnaHostDecode,
     "unicode_nfc" -> oUnicodeNfc,
+    "unicode_nfkc" -> oUnicodeNfkc,
+    "cjk_tokens" -> oCjkTokens,
     "cdc_chunks" -> oCdcChunks,
     "cdc_dedup" -> oCdcDedup,
     "ranked_retrieval" -> oRankedRetrieval,

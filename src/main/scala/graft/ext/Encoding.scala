@@ -170,4 +170,62 @@ object Encoding {
       }
       .toDF("doc_id", "nfc", "changed", "bytes_before", "bytes_after")
   }
+
+  /** Compatibility-form FIXTURE for the NFKC gate: per doc, three pieces
+    * chosen by md5 nibbles from a table of COMPATIBILITY characters — the
+    * ﬁ ligature, a fullwidth A, a circled digit, a superscript, a vulgar
+    * fraction, the ohm sign — plus one decomposed combining sequence (so
+    * canonical composition inside NFKC is exercised too) and plain ASCII.
+    * The oracle rebuilds both the raw strings AND the expected folded
+    * forms with `chr()` from the published UCD mappings, making the gate
+    * a JDK-vs-UCD-tables differential.
+    */
+  def attachCompat(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = Array(
+      "\ufb01", // LATIN SMALL LIGATURE FI -> "fi"
+      "\uff21", // FULLWIDTH LATIN CAPITAL A -> "A"
+      "\u2460", // CIRCLED DIGIT ONE -> "1"
+      "\u00b2", // SUPERSCRIPT TWO -> "2"
+      "e\u0301", // decomposed e + combining acute -> U+00E9 (canonical composition)
+      "\u00bd", // VULGAR FRACTION ONE HALF -> "1" U+2044 "2"
+      "x", // ASCII: identity
+      "\u2126") // OHM SIGN -> U+03A9 GREEK CAPITAL OMEGA
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map { id =>
+        val m = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"k:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+        (id, "w" + pieces(nib(1) % 8) + pieces(nib(2) % 8) + pieces(nib(3) % 8))
+      }
+      .toDF("doc_id", "raw")
+  }
+
+  /** Unicode NFKC normalization (UAX #15 compatibility composition) — the
+    * fold tokenizers and dedup actually want on crawled text, where the
+    * SAME word arrives as fullwidth forms, ligatures, circled digits or
+    * superscripts ([[nfcStats]]'s canonical composition leaves all of
+    * those distinct). Backed by the JDK Normalizer; graded against the
+    * oracle's UCD-literal expected table (DuckDB ships no NFKC), so the
+    * JDK's tables and the published mappings must agree byte-for-byte.
+    * Map-only, zero shuffles.
+    */
+  def nfkcStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "raw"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, raw) =>
+        val nfkc = java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFKC)
+        (id, nfkc, nfkc != raw,
+          raw.getBytes("UTF-8").length.toLong, nfkc.getBytes("UTF-8").length.toLong)
+      }
+      .toDF("doc_id", "nfkc", "changed", "bytes_before", "bytes_after")
+  }
 }

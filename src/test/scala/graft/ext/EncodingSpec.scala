@@ -142,4 +142,36 @@ class EncodingSpec extends AnyFunSuite {
     }
     assert(pieceSel.toSet == (0 until 8).toSet)
   }
+
+  test("nfkcStats: compatibility folds match the published UCD mappings") {
+    import spark.implicits._
+    // the UCD-literal truth table the oracle carries, checked here against
+    // the JDK directly so a JDK-vs-UCD drift fails in-suite too
+    val table = Seq(
+      "\ufb01" -> "fi", // fi ligature
+      "\uff21" -> "A", // fullwidth A
+      "\u2460" -> "1", // circled one
+      "\u00b2" -> "2", // superscript two
+      "é" -> "é", // canonical composition inside NFKC
+      "\u00bd" -> "1\u20442", // vulgar fraction -> 1 FRACTION SLASH 2
+      "x" -> "x",
+      "\u2126" -> "\u03a9") // ohm -> omega
+    table.foreach { case (raw, expected) =>
+      assert(java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFKC) == expected,
+        f"U+${raw.codePointAt(0)}%04X")
+    }
+    // operator end-to-end over the fixture: NFKC output is a fixpoint and
+    // both changed/unchanged arms occur (id 339 is an all-ASCII pick:
+    // md5("k:339") selects piece 'x' three times, the identity arm)
+    val withRaw = Encoding.attachCompat(((0L until 300L) :+ 339L).toDF("doc_id"))
+    val out = Encoding.nfkcStats(withRaw).collect()
+    assert(out.length == 301)
+    assert(out.exists(_.getBoolean(2)))
+    assert(out.find(_.getLong(0) == 339L).exists(r => !r.getBoolean(2) && r.getString(1) == "wxxx"))
+    val again = Encoding.nfkcStats(
+      Encoding.nfkcStats(withRaw).selectExpr("doc_id", "nfkc AS raw")).collect()
+    assert(again.forall(!_.getBoolean(2)), "NFKC must be a fixpoint of itself")
+    // NFC alone must NOT fold compatibility forms (the gap this key closes)
+    assert(java.text.Normalizer.normalize("\ufb01", java.text.Normalizer.Form.NFC) == "\ufb01")
+  }
 }
