@@ -3371,6 +3371,20 @@ object QueryCatalog {
       |       CAST(list_max(list_transform(xs, x -> abs(x))) AS BIGINT) AS peak
       |FROM sm""".stripMargin
 
+  /** LOSSLESS-COMPRESSED audio under the gate: FLAC ([[graft.ext.Flac]]
+    * — rice-coded fixed-LPC subset, both directions from scratch). The
+    * fixture encodes the SAME s16le-from-text sample plane as the WAV
+    * family into real FLAC streams (256-sample frames, subframe arm
+    * cycling constant/verbatim/fixed-1/fixed-2, exact cost-minimizing
+    * rice parameters with the escape arm, CRC-8 + CRC-16 + STREAMINFO
+    * MD5 all real), and the decoder must reproduce the WAV oracle's
+    * per-frame RMS/peak table bitwise — the whole codec grades as
+    * transparent, and the sample-MD5 check makes a single wrong sample
+    * quarantine the document rather than drift the stats.
+    */
+  private val qFlacFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Flac.flacFrameStats(graft.ext.Flac.encodeFlac(table(s, dir, "documents"))).toDF()
+
   /** COMPRESSED audio under the gate: G.711 μ-law — the telephony
     * companding codec. [[graft.ext.Multimodal.encodeWavUlaw]] writes a
     * genuine RIFF/WAVE container declaring wFormatTag 7 / mono / 8 kHz /
@@ -7871,6 +7885,7 @@ object QueryCatalog {
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
     "audio_wav_frame_stats" -> qWavFrames,
+    "audio_flac_frame_stats" -> qFlacFrames,
     "audio_ulaw_frame_stats" -> qUlawFrames,
     "audio_resample" -> qAudioResample,
     "audio_resample_filtered" -> qAudioResampleFiltered,
@@ -8100,6 +8115,8 @@ object QueryCatalog {
     "multimodal_frames" -> oMultimodalFrames,
     "audio_frame_stats" -> oAudioFrames,
     "audio_wav_frame_stats" -> oWavFrames,
+    "audio_flac_frame_stats" -> oWavFrames, // shared sample plane: same table
+
     "audio_ulaw_frame_stats" -> oUlawFrames,
     "audio_resample" -> oAudioResample,
     "audio_resample_filtered" -> oAudioResampleFiltered,
