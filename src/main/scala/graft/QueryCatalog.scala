@@ -2465,6 +2465,38 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Seventh REAL image format — and a FOURTH entropy coder: WebP
+    * lossless ([[graft.ext.Webp]], the modern crawled-web rung). The
+    * fixture cycles all four VP8L encoder arms by id — color-cache
+    * literals / subtract-green + hash-chain LZ77 / predictor transform /
+    * color-indexing with sub-byte packing — through real canonical
+    * prefix codes serialized in both the simple and full (RLE'd
+    * code-length) forms; the decoder walks RIFF → VP8L → transforms →
+    * entropy plane and normalizes to the shared logical plane, so the
+    * oracle replay is the SAME byte model as PNG/GIF/TIFF: every
+    * transform and entropy arm is transparent, and any slip shifts
+    * bytes and fails the positional checksum.
+    */
+  private val qMultimodalWebp: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Webp.webpFeatures(graft.ext.Webp.encodeWebp(table(s, dir, "documents"))).toDF()
+
+  private val oMultimodalWebp: String = {
+    def chanSum(c: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+         |    p -> ${ppmByteSql(s"3 * p + $c")})), (a, x) -> a + x)""".stripMargin
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+       |       ${chanSum(0)} AS sum_r,
+       |       ${chanSum(1)} AS sum_g,
+       |       ${chanSum(2)} AS sum_b,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
+       |           j -> ${ppmByteSql("j")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** Fourth REAL image format, second COMPRESSED one — and a second
     * entropy coder: GIF with from-scratch LZW.
     * [[graft.ext.Multimodal.encodeGif]] writes genuine GIF89a files — a
@@ -2541,14 +2573,16 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
-  /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 5 picks
-    * PPM/BMP/PNG/GIF/JPEG) decoded through one magic-byte dispatcher
+  /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
+    * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
-    * oracle is a UNION of the five formats' distinct byte models — PPM and
-    * PNG read the identity plane, GIF triples its palette indices, BMP
-    * re-derives every byte through the bottom-up/BGR/stride arithmetic,
-    * JPEG rebuilds the DC-exact block raster — so a regression in any one
-    * parser, or a payload routed to the wrong parser, breaks the hash.
+    * oracle is a UNION of the six formats' distinct byte models — PPM,
+    * PNG and WebP-lossless read the identity plane, GIF triples its
+    * palette indices, BMP re-derives every byte through the
+    * bottom-up/BGR/stride arithmetic, JPEG rebuilds the DC-exact block
+    * raster — so a regression in any one parser, or a payload routed to
+    * the wrong parser (the RIFF magic must further distinguish WEBP from
+    * AVI), breaks the hash.
     */
   private val qMultimodalSniff: (SparkSession, String) => DataFrame = (s, dir) =>
     Multimodal.sniffFeatures(Multimodal.encodeMixed(table(s, dir, "documents"))).toDF()
@@ -2569,7 +2603,7 @@ object QueryCatalog {
          |       ${planeSum(0)} AS sum_r, ${planeSum(1)} AS sum_g, ${planeSum(2)} AS sum_b,
          |       $planeChecksum AS checksum
          |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
-         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = $res)""".stripMargin
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 6 = $res)""".stripMargin
     // BMP: logical channel c sits at file offset 2-c; plane byte j maps
     // through the bottom-up flip + BGR swap + stride arithmetic
     def bmpSum(fileC: Int): String =
@@ -2585,7 +2619,7 @@ object QueryCatalog {
          |           j -> $bmpByte)), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
          |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h,
          |             ((3 * (8 + doc_id % 8) + 3) // 4) * 4 AS st
-         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 1)""".stripMargin
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 6 = 1)""".stripMargin
     // GIF: identity palette triples each index byte across r,g,b
     val gifIdxSum =
       s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
@@ -2597,7 +2631,7 @@ object QueryCatalog {
          |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 3 * w * h),
          |           j -> ${ppmByteSql("j // 3")})), (a, x) -> (a * 31 + x) % 1000000007) AS checksum
          |FROM (SELECT doc_id, $common, 8 + doc_id % 8 AS w, 8 + (doc_id // 8) % 8 AS h
-         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 3)""".stripMargin
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 6 = 3)""".stripMargin
     // JPEG: DC-exact block raster; gray replicates across the channels
     val jpegBlockSum =
       s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, bw * bh),
@@ -2613,8 +2647,9 @@ object QueryCatalog {
          |         (a, x) -> (((a * 31 + x) * 31 + x) * 31 + x) % 1000000007) AS checksum
          |FROM (SELECT doc_id, $common, 1 + doc_id % 4 AS bw, 1 + (doc_id // 4) % 3 AS bh,
          |             8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id // 4) % 3) AS h
-         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 5 = 4)""".stripMargin
-    Seq(identityBranch("ppm", 0), bmpBranch, identityBranch("png", 2), gifBranch, jpegBranch)
+         |      FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0 AND doc_id % 6 = 4)""".stripMargin
+    Seq(identityBranch("ppm", 0), bmpBranch, identityBranch("png", 2), gifBranch, jpegBranch,
+      identityBranch("webp", 5))
       .mkString("", "\nUNION ALL\n", "")
   }
 
@@ -7861,6 +7896,7 @@ object QueryCatalog {
     "salted_join_agg" -> qSaltedJoin,
     "multimodal_bmp_decode" -> qMultimodalBmp,
     "multimodal_tiff_decode" -> qMultimodalTiff,
+    "multimodal_webp_decode" -> qMultimodalWebp,
     "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_gif_decode" -> qMultimodalGif,
     "multimodal_jpeg_decode" -> qMultimodalJpeg,
@@ -8107,6 +8143,7 @@ object QueryCatalog {
     "salted_join_agg" -> oSaltedJoin,
     "multimodal_bmp_decode" -> oMultimodalBmp,
     "multimodal_tiff_decode" -> oMultimodalTiff,
+    "multimodal_webp_decode" -> oMultimodalWebp,
     "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_gif_decode" -> oMultimodalGif,
     "multimodal_jpeg_decode" -> oMultimodalJpeg,

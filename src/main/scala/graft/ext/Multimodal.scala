@@ -2494,22 +2494,28 @@ object Multimodal {
       case (0x89, 0x50) => parsePng(bytes).map(("png", _)) // \x89"P"
       case (0x47, 0x49) => parseGif(bytes).map(("gif", _)) // "GI"
       case (0xff, 0xd8) => parseJpeg(bytes).map(("jpeg", _)) // SOI
+      case (0x52, 0x49) // "RI" — RIFF: WEBP only (AVI has its own operator)
+          if bytes.length >= 12 && bytes(8) == 'W' && bytes(9) == 'E' &&
+            bytes(10) == 'B' && bytes(11) == 'P' =>
+        Webp.parseWebp(bytes).map(("webp", _))
       case _ => None
     })
 
-  /** A deterministically mixed-format corpus: document id % 5 picks the
-    * encoder (0 PPM, 1 BMP, 2 PNG, 3 GIF, 4 JPEG), modeling the real shape
-    * of a crawled 100 TB image set where format is data, not schema. Five
-    * disjoint filters over one scan union into a single binary column; all
-    * encoders share the (payload, meta) contract so the union is by name.
+  /** A deterministically mixed-format corpus: document id % 6 picks the
+    * encoder (0 PPM, 1 BMP, 2 PNG, 3 GIF, 4 JPEG, 5 WebP/VP8L), modeling
+    * the real shape of a crawled 100 TB image set where format is data,
+    * not schema. Six disjoint filters over one scan union into a single
+    * binary column; all encoders share the (payload, meta) contract so
+    * the union is by name.
     */
   def encodeMixed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def slice(k: Int) = docs.filter(col(idCol).cast("long") % 5 === k)
+    def slice(k: Int) = docs.filter(col(idCol).cast("long") % 6 === k)
     encodePpm(slice(0), idCol, textCol)
       .unionByName(encodeBmp(slice(1), idCol, textCol))
       .unionByName(encodePng(slice(2), idCol, textCol))
       .unionByName(encodeGif(slice(3), idCol, textCol))
       .unionByName(encodeJpeg(slice(4), idCol, textCol))
+      .unionByName(Webp.encodeWebp(slice(5), idCol, textCol))
   }
 
   final case class SniffedImageFeatures(

@@ -524,7 +524,7 @@ class MultimodalSpec extends AnyFunSuite {
     val idatBody = payload.slice(8 + 25 + 8, 8 + 25 + 8 + idatLen)
     val (a, b) = idatBody.splitAt(idatBody.length / 2)
     val rebuilt = payload.slice(0, 8) ++ ihdrChunk ++
-      chunk("tEXt", "Comment hi".getBytes("US-ASCII")) ++
+      chunk("tEXt", "Comment\u0000hi".getBytes("US-ASCII")) ++
       chunk("IDAT", a) ++ chunk("IDAT", b) ++ chunk("IEND", Array.emptyByteArray)
     val reparsed = Multimodal.parsePng(rebuilt).get
     assert(reparsed.width == reference.width && reparsed.pixels.toSeq == reference.pixels.toSeq)
@@ -950,17 +950,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.doc_id).toSeq == Seq(11L))
   }
 
-  test("sniff: magic-byte dispatch routes a mixed corpus to all five decoders") {
+  test("sniff: magic-byte dispatch routes a mixed corpus to all six decoders") {
     import spark.implicits._
-    // ids 0..4 cover each format residue exactly once; 6 re-hits bmp with
+    // ids 0..5 cover each format residue exactly once; 7 re-hits bmp with
     // a second canvas; empty text exercises the 0-plane through gif
     val docs = Seq((0L, "ppm doc"), (1L, "bmp doc"), (2L, "png doc"), (3L, ""),
-      (4L, "jpeg doc"), (6L, "second bmp")).toDF("doc_id", "text")
+      (4L, "jpeg doc"), (5L, "webp doc"), (7L, "second bmp")).toDF("doc_id", "text")
     val feats = Multimodal.sniffFeatures(Multimodal.encodeMixed(docs)).collect()
       .map(f => f.doc_id -> f).toMap
-    assert(feats.keySet == Set(0L, 1L, 2L, 3L, 4L, 6L))
+    assert(feats.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 7L))
     assert(feats(0L).format == "ppm" && feats(1L).format == "bmp" && feats(2L).format == "png")
-    assert(feats(3L).format == "gif" && feats(4L).format == "jpeg" && feats(6L).format == "bmp")
+    assert(feats(3L).format == "gif" && feats(4L).format == "jpeg" && feats(7L).format == "bmp")
+    assert(feats(5L).format == "webp")
     // empty-text gif decodes to the all-zero plane
     assert(feats(3L).sum_r == 0 && feats(3L).checksum == 0)
     // cross-check the unified reduction against each single-format path
@@ -969,8 +970,10 @@ class MultimodalSpec extends AnyFunSuite {
       ((viaPpm.sum_r, viaPpm.sum_g, viaPpm.sum_b)))
     val viaJpeg = Multimodal.jpegFeatures(Multimodal.encodeJpeg(docs.filter($"doc_id" === 4))).head()
     assert(feats(4L).checksum == viaJpeg.checksum && feats(4L).sum_g == viaJpeg.sum_g)
-    val viaBmp = Multimodal.bmpFeatures(Multimodal.encodeBmp(docs.filter($"doc_id" === 6))).head()
-    assert(feats(6L).checksum == viaBmp.checksum && feats(6L).sum_r == viaBmp.sum_r)
+    val viaBmp = Multimodal.bmpFeatures(Multimodal.encodeBmp(docs.filter($"doc_id" === 7))).head()
+    assert(feats(7L).checksum == viaBmp.checksum && feats(7L).sum_r == viaBmp.sum_r)
+    val viaWebp = Webp.webpFeatures(Webp.encodeWebp(docs.filter($"doc_id" === 5))).head()
+    assert(feats(5L).checksum == viaWebp.checksum && feats(5L).sum_b == viaWebp.sum_b)
     // unknown signatures and mis-parsing payloads drop row-by-row
     assert(Multimodal.sniffImage("XX not an image".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.sniffImage(Array[Byte](0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
