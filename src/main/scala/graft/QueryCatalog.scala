@@ -3073,6 +3073,43 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007) AS checksum
       |FROM r""".stripMargin
 
+  /** CDX indexing under the gate ([[graft.ext.Archives.cdxIndex]] — the
+    * third Common Crawl deliverable, completing response/WET/WAT/CDX):
+    * per record the SURT url key, content length and body digest, all
+    * replayed closed-form by the oracle. The member OFFSET/LENGTH columns
+    * are compression-dependent (not SQL-expressible) and are graded by
+    * the `cdx_seek` twin instead.
+    */
+  private val qCdxRecords: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.cdxIndex(Archives.encodeWarcArchives(table(s, dir, "documents"))).toDF()
+      .select(col("archive_id"), col("rec_idx"), col("urlkey"), col("rec_doc_id"),
+        col("n_bytes"), col("digest"))
+
+  private val oCdxRecords: String =
+    """WITH d AS (SELECT doc_id, encode(text) AS p FROM documents
+      |           WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL),
+      |r AS (SELECT doc_id % 16 AS archive_id, doc_id, hex(p) AS hx, octet_length(p) AS n,
+      |        row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS rec_idx
+      |      FROM d)
+      |SELECT archive_id::BIGINT AS archive_id, rec_idx::BIGINT AS rec_idx,
+      |       'com,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+      |       doc_id::BIGINT AS rec_doc_id, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007) AS digest
+      |FROM r""".stripMargin
+
+  /** The CDX offsets graded end to end ([[graft.ext.Archives.cdxSeek]]):
+    * every record re-extracted by RANDOM ACCESS — slice the segment at
+    * the index's (offset, length), decode that one member alone, parse —
+    * and the result must reproduce the standard warcExtract table
+    * bitwise (same oracle). A wrong offset or length makes the slice
+    * stop being a whole valid gzip member and the row disappears, so the
+    * two columns SQL cannot compute are still pinned exactly.
+    */
+  private val qCdxSeek: (SparkSession, String) => DataFrame = (s, dir) =>
+    Archives.cdxSeek(Archives.encodeWarcArchives(table(s, dir, "documents"))).toDF()
+
   /** tf.Example over TFRecord under the gate ([[graft.ext.TfExample]]
     * — the ACTUAL on-disk shape of a converted training corpus, protos
     * inside double-CRC frames): the from-scratch protobuf wire parser
@@ -7929,6 +7966,8 @@ object QueryCatalog {
     "warc_extract" -> qWarcExtract,
     "wet_convert" -> qWetConvert,
     "wat_convert" -> qWatConvert,
+    "cdx_records" -> qCdxRecords,
+    "cdx_seek" -> qCdxSeek,
     "warc_http_extract" -> qWarcHttpExtract,
     "warc_http_enc_extract" -> qWarcHttpEncExtract,
     "zip_extract" -> qZipExtract,
@@ -8161,6 +8200,8 @@ object QueryCatalog {
     "warc_extract" -> oWarcExtract,
     "wet_convert" -> oWarcExtract,
     "wat_convert" -> oWatConvert,
+    "cdx_records" -> oCdxRecords,
+    "cdx_seek" -> oWarcExtract,
     "warc_http_extract" -> oWarcHttpExtract,
     "warc_http_enc_extract" -> oWarcHttpEncExtract,
     "zip_extract" -> oZipExtract,
