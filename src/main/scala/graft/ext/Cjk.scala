@@ -73,12 +73,19 @@ object Cjk {
 
   // ------------------------------------------------------------ segmenter
 
-  /** UAX #24-range script class of one code point; null = separator. */
+  /** UAX #24-range script class of one code point; null = separator.
+    * The kana blocks carry a few Common codepoints that must SEPARATE,
+    * not glue: U+3040 (unassigned), U+309B/309C (voiced sound marks),
+    * U+30A0 (double hyphen) and U+30FB (katakana middle dot — the name
+    * separator in e.g. デ・ニーロ). U+30FC (prolonged sound mark) is
+    * Common-with-kana Script_Extensions and deliberately KEPT as
+    * katakana so デニーロ stays one token.
+    */
   private[ext] def scriptOf(cp: Int): String = {
     if ((cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) "latin"
     else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) "han"
-    else if (cp >= 0x3040 && cp <= 0x309f) "hiragana"
-    else if (cp >= 0x30a0 && cp <= 0x30ff) "katakana"
+    else if (cp >= 0x3041 && cp <= 0x309f && cp != 0x309b && cp != 0x309c) "hiragana"
+    else if (cp >= 0x30a1 && cp <= 0x30ff && cp != 0x30fb) "katakana"
     else if (cp >= 0xac00 && cp <= 0xd7af) "hangul"
     else null
   }

@@ -150,21 +150,26 @@ object Epub {
   private def fail(): Nothing = throw new MalformedEpub
 
   /** Correlate repeated attribute leaves (`prefix@name → value`) back into
-    * per-element maps: a new element starts when an attribute name repeats
-    * in the current group — robust to foreign producers' attribute order.
+    * per-element maps. Elements are delimited by the walker's `@<` boundary
+    * markers (parseLeaves withMarkers) — attribute-order-robust AND safe
+    * against adjacent elements merging when one is missing an attribute
+    * (an item without `href` must quarantine, not borrow its neighbor's).
     */
   private[ext] def groupAttrs(leaves: Vector[(String, String)],
       prefix: String): Vector[Map[String, String]] = {
     val out = Vector.newBuilder[Map[String, String]]
-    var cur = Map.empty[String, String]
+    var cur: Map[String, String] = null
     leaves.foreach { case (path, v) =>
-      if (path.startsWith(prefix + "@")) {
+      if (path == prefix + "@<") {
+        if (cur != null) out += cur
+        cur = Map.empty
+      } else if (path.startsWith(prefix + "@") && cur != null) {
         val an = path.substring(prefix.length + 1)
-        if (cur.contains(an)) { out += cur; cur = Map.empty }
+        if (cur.contains(an)) fail() // duplicate attribute in one element
         cur += an -> v
       }
     }
-    if (cur.nonEmpty) out += cur
+    if (cur != null) out += cur
     out.result()
   }
 
@@ -197,7 +202,8 @@ object Epub {
     }
 
     val opf = byName.getOrElse(opfPath, fail())
-    val leaves = Sitemaps.parseLeaves(new String(opf, utf8), withAttrs = true)
+    val leaves = Sitemaps.parseLeaves(new String(opf, utf8), withAttrs = true,
+      withMarkers = true)
     val title = leaves.collectFirst { case ("package/metadata/dc:title", t) => t }.getOrElse("")
     val items = groupAttrs(leaves, "package/manifest/item")
     val hrefById = items.map { it =>

@@ -391,28 +391,52 @@ object Html {
 
   /** First `<title>` element's text, entity-decoded and trimmed — the
     * head-metadata field a WAT conversion record carries. Empty string
-    * when absent/unclosed (real crawls are full of both).
+    * when absent/unclosed (real crawls are full of both). Walks tags the
+    * way [[extractLinks]] does — comments and script/style RAWTEXT are
+    * skipped, so a `<title>` decoy inside either cannot be picked over
+    * the real element.
     */
   private[ext] def titleOf(html: String): String = {
     val n = html.length
     var p = 0
-    var found = -1
-    while (found < 0 && p < n) {
-      if (html.charAt(p) == '<' && html.regionMatches(true, p + 1, "title", 0, 5) &&
-          p + 6 < n && (html.charAt(p + 6) == '>' || Character.isWhitespace(html.charAt(p + 6))))
-        found = p
-      p += 1
+    while (p < n) {
+      if (html.charAt(p) == '<') {
+        if (html.startsWith("<!--", p)) {
+          val end = html.indexOf("-->", p + 4)
+          p = if (end < 0) n else end + 3
+        } else {
+          val name = tagName(html, p)
+          var q = p + 1
+          var quote: Char = 0
+          var closed = -1
+          while (closed < 0 && q < n) {
+            val ch = html.charAt(q)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') closed = q
+            q += 1
+          }
+          if (closed < 0) return ""
+          p = closed + 1
+          if ((name == "script" || name == "style") && html.charAt(closed - 1) != '/') {
+            var r = p
+            while (r < n && !closes(html, r, name)) r += 1
+            if (r >= n) return ""
+            val gt = html.indexOf('>', r)
+            p = if (gt < 0) n else gt + 1
+          } else if (name == "title" && html.charAt(closed - 1) != '/') {
+            val sb = new java.lang.StringBuilder
+            var r = p
+            while (r < n && !closes(html, r, "title")) {
+              if (html.charAt(r) == '&') { val (s2, np) = entity(html, r); sb.append(s2); r = np }
+              else { sb.append(html.charAt(r)); r += 1 }
+            }
+            return if (r >= n) "" else sb.toString.trim // unclosed: no metadata
+          }
+        }
+      } else p += 1
     }
-    if (found < 0) return ""
-    val gt = html.indexOf('>', found)
-    if (gt < 0) return ""
-    var q = gt + 1
-    val sb = new java.lang.StringBuilder
-    while (q < n && !(html.charAt(q) == '<' && html.regionMatches(true, q + 1, "/title", 0, 6))) {
-      if (html.charAt(q) == '&') { val (s2, np) = entity(html, q); sb.append(s2); q = np }
-      else { sb.append(html.charAt(q)); q += 1 }
-    }
-    if (q >= n) "" else sb.toString.trim // unclosed title: no metadata
+    ""
   }
 
   final case class PageLink(doc_id: Long, link_idx: Long, url: String, host: String)

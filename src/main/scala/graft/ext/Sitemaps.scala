@@ -157,7 +157,8 @@ object Sitemaps {
     * keeps the sitemap behavior byte-identical: attributes tolerated,
     * ignored.
     */
-  private[ext] def parseLeaves(xml: String, withAttrs: Boolean = false): Vector[(String, String)] = {
+  private[ext] def parseLeaves(xml: String, withAttrs: Boolean = false,
+      withMarkers: Boolean = false): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     val stack = scala.collection.mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
@@ -208,6 +209,11 @@ object Sitemaps {
           text.setLength(0); textIsCdata = false
           if (withAttrs) {
             val path = (stack :+ name).mkString("/")
+            // element-boundary marker: attribute-correlating consumers
+            // (OPF manifests) must not merge adjacent elements when one
+            // is missing an attribute — `@<` cannot collide with real
+            // attribute names ('<' is a delimiter)
+            if (withMarkers) out += ((path + "@<", ""))
             var p = name.length
             while (p < body.length) {
               while (p < body.length && Character.isWhitespace(body.charAt(p))) p += 1

@@ -103,36 +103,46 @@ object Webp {
     * (all lengths 0 except bookkeeping) reads zero bits.
     */
   private final class Huffman(lengths: Array[Int], singleSymbol: Int = -1) {
-    private val map = new java.util.HashMap[Integer, Integer]()
+    // canonical first-code/offset tables: O(1) array walk per bit, no
+    // boxing in the per-pixel hot loop
     private var maxLen = 0
-    if (singleSymbol < 0) {
-      val counts = new Array[Int](16)
+    private val firstCode = new Array[Int](16)
+    private val firstIdx = new Array[Int](16)
+    private val counts = new Array[Int](16)
+    private val symbols: Array[Int] = if (singleSymbol >= 0) null else {
       var kraft = 0L
       lengths.foreach { l =>
         if (l < 0 || l > 15) fail()
         if (l > 0) { counts(l) += 1; kraft += 1L << (15 - l); if (l > maxLen) maxLen = l }
       }
       if (kraft != (1L << 15)) fail() // complete codes only
-      val next = new Array[Int](16)
       var code = 0
+      var idx = 0
       var l = 1
-      while (l <= 15) { code = (code + counts(l - 1)) << 1; next(l) = code; l += 1 }
+      while (l <= 15) {
+        code = (code + counts(l - 1)) << 1
+        firstCode(l) = code; firstIdx(l) = idx; idx += counts(l)
+        l += 1
+      }
+      val syms = new Array[Int](idx)
+      val next = new Array[Int](16)
       var s = 0
       while (s < lengths.length) {
         val len = lengths(s)
-        if (len > 0) { map.put((len << 16) | next(len), s); next(len) += 1 }
+        if (len > 0) { syms(firstIdx(len) + next(len)) = s; next(len) += 1 }
         s += 1
       }
+      syms
     }
     def decode(br: BitReader): Int = {
       if (singleSymbol >= 0) return singleSymbol
       var code = 0
       var len = 0
-      while (len <= maxLen) {
+      while (len < maxLen) {
         code = (code << 1) | br.readBit()
         len += 1
-        val hit = map.get((len << 16) | code)
-        if (hit != null) return hit.intValue()
+        val off = code - firstCode(len)
+        if (off >= 0 && off < counts(len)) return symbols(firstIdx(len) + off)
       }
       fail()
     }
@@ -529,7 +539,10 @@ object Webp {
     */
   private def writeHuffmanCode(bw: BitWriter, freq: Array[Long]): CodeWriter = {
     val used = freq.zipWithIndex.filter(_._1 > 0).map(_._2)
-    if (used.length <= 2) {
+    // the SIMPLE form carries symbols in at most 8 bits — green-alphabet
+    // length/cache symbols (>= 256) MUST go through the full form, or
+    // they'd be silently truncated (constant planes hit exactly this)
+    if (used.length <= 2 && used.forall(_ <= 255)) {
       bw.writeBits(1, 1) // simple
       val s0 = if (used.isEmpty) 0 else used(0)
       if (used.length <= 1) {
@@ -548,7 +561,14 @@ object Webp {
         new CodeWriter(lengths)
       }
     } else {
-      val lengths = buildLengths(freq)
+      // full form; 1-2 used symbols (reachable only with symbols >= 256)
+      // get degenerate length tables — a single symbol becomes the
+      // decoder's zero-bit nonzero==1 arm, two symbols a 1-bit code
+      val lengths =
+        if (used.length == 1) { val l = new Array[Int](freq.length); l(used(0)) = 1; l }
+        else if (used.length == 2) {
+          val l = new Array[Int](freq.length); l(used(0)) = 1; l(used(1)) = 1; l
+        } else buildLengths(freq)
       // RLE the length sequence: literal lengths + 17/18 zero runs
       val clSyms = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (symbol, extraValue)
       var i = 0
@@ -596,7 +616,10 @@ object Webp {
         else if (s == 18) bw.writeBits(extra, 7)
         else if (s == 16) bw.writeBits(extra, 2)
       }
-      new CodeWriter(lengths)
+      // a single used symbol decodes through the zero-bit nonzero==1 arm;
+      // the writer must be zero-bit too
+      if (used.length == 1) new CodeWriter(null, singleSymbol = used(0))
+      else new CodeWriter(lengths)
     }
   }
 

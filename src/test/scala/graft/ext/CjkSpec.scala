@@ -18,6 +18,11 @@ class CjkSpec extends AnyFunSuite {
     // hangul run + fullwidth punctuation separating
     assert(Cjk.segment("한국、어") == Seq(
       "한국" -> "hangul", "어" -> "hangul"))
+    // kana-block Common codepoints separate: the katakana middle dot
+    // (name separator) and double hyphen; the prolonged sound mark GLUES
+    assert(Cjk.segment("ア・カ") == Seq("ア" -> "katakana", "カ" -> "katakana"))
+    assert(Cjk.segment("あ゠い") == Seq("あ" -> "hiragana", "い" -> "hiragana"))
+    assert(Cjk.segment("デニーロ") == Seq("デニーロ" -> "katakana"))
     // empty / separator-only / astral (outside all classes) inputs
     assert(Cjk.segment("").isEmpty)
     assert(Cjk.segment(" ,.;　").isEmpty)

@@ -37,14 +37,30 @@ class EpubSpec extends AnyFunSuite {
     }
   }
 
-  test("groupAttrs: order-robust element correlation") {
+  test("groupAttrs: marker-delimited, order-robust, no cross-element merging") {
     val leaves = Vector(
-      "p/m/item@id" -> "a", "p/m/item@href" -> "1",
-      "p/m/item@href" -> "2", "p/m/item@id" -> "b", // foreign attr order
-      "p/m/item@id" -> "c",
+      "p/m/item@<" -> "", "p/m/item@id" -> "a", "p/m/item@href" -> "1",
+      "p/m/item@<" -> "", "p/m/item@href" -> "2", "p/m/item@id" -> "b", // foreign attr order
+      "p/m/item@<" -> "", "p/m/item@id" -> "c", // attr missing: stays its own group
       "other/leaf" -> "x")
     assert(Epub.groupAttrs(leaves, "p/m/item") == Vector(
       Map("id" -> "a", "href" -> "1"), Map("href" -> "2", "id" -> "b"), Map("id" -> "c")))
+    // a manifest item missing href must QUARANTINE the book, not borrow
+    // its neighbor's href (the silent cross-wiring the markers prevent)
+    val opf =
+      """<?xml version="1.0"?>
+        |<package xmlns="x">
+        |  <metadata><dc:title>t</dc:title></metadata>
+        |  <manifest>
+        |    <item id="a"/>
+        |    <item href="ch0.xhtml" id="b" media-type="application/xhtml+xml"/>
+        |  </manifest>
+        |  <spine><itemref idref="a"/></spine>
+        |</package>""".stripMargin
+    val groups = Epub.groupAttrs(
+      Sitemaps.parseLeaves(opf, withAttrs = true, withMarkers = true), "package/manifest/item")
+    assert(groups == Vector(
+      Map("id" -> "a"), Map("href" -> "ch0.xhtml", "id" -> "b", "media-type" -> "application/xhtml+xml")))
   }
 
   private def rebuild(id: Long)(f: Seq[(String, Array[Byte], Int)] => Seq[(String, Array[Byte], Int)]): Array[Byte] = {

@@ -14,6 +14,12 @@ class WatConvertSpec extends AnyFunSuite {
     assert(Html.titleOf("<html><body>no title</body></html>") == "")
     assert(Html.titleOf("<title>unclosed forever") == "")
     assert(Html.titleOf("<titlefoo>not a title</titlefoo>") == "")
+    // decoys inside comments and script/style RAWTEXT must not be picked
+    // over the real element (same walk as extractLinks)
+    assert(Html.titleOf("<!-- <title>decoy</title> --><title>Real</title>") == "Real")
+    assert(Html.titleOf("<script>var t=\"<title>decoy</title>\";</script><title>Real</title>") == "Real")
+    assert(Html.titleOf("<style>q{content:\"<title>x</title>\"}</style><title>Real</title>") == "Real")
+    assert(Html.titleOf("<!-- <title>only a decoy</title> -->") == "")
   }
 
   test("watConvert: canonical JSON per response record, root-relative links re-based") {

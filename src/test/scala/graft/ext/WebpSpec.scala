@@ -31,6 +31,17 @@ class WebpSpec extends AnyFunSuite {
       val img = Webp.parseWebp(Webp.encodeVp8l(arm, lowW, lowH, low)).getOrElse(fail(s"arm $arm"))
       assert(img.pixels.sameElements(low), s"low-color arm $arm")
     }
+    // CONSTANT planes (the empty-text fixture shape): degenerate green
+    // alphabets whose used symbols include length/cache codes >= 256 —
+    // these must ride the FULL serialization, not the 8-bit simple form
+    // (regression: simple-form truncation corrupted arm 0 silently and
+    // broke arm 1's parse)
+    for (arm <- 0L until 4L; v <- Seq(0, 77)) {
+      val const = Array.fill(3 * 9 * 10)(v.toByte)
+      val img = Webp.parseWebp(Webp.encodeVp8l(arm, 9, 10, const))
+        .getOrElse(fail(s"constant plane arm $arm v=$v did not parse"))
+      assert(img.pixels.sameElements(const), s"constant plane arm $arm v=$v")
+    }
   }
 
   test("hand-built streams: predictor modes and color transform decode per spec") {
