@@ -3,13 +3,18 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** ======== PDF text extraction (classic-xref subset, from scratch) ========
+/** ======== PDF text extraction (classic + 1.5 xref forms, from scratch) ========
   *
   * Books and papers — the largest non-HTML text shelf in a crawled corpus —
   * ship as PDF, and a training-data pipeline has to get the text OUT of the
-  * object graph: cross-reference table → trailer → catalog → page tree →
+  * object graph: cross-reference data → trailer → catalog → page tree →
   * per-page content streams → text-showing operators. This module implements
-  * the classic (pre-1.5, table-xref) subset end to end:
+  * BOTH cross-reference forms end to end — the classic table AND the PDF 1.5
+  * form modern writers emit (cross-reference STREAMS with /W-packed binary
+  * entries, plus /ObjStm object streams holding the non-stream objects,
+  * reached through type-2 entries) — with hybrid /Prev chains (a classic
+  * append over a modern base, the Acrobat update shape) dispatched per
+  * section:
   *
   *  - '''lexer/object model''': the eight PDF object kinds — numbers, names
   *    (with `#xx` escapes), literal strings (balanced parens, `\`-escapes,
@@ -178,9 +183,13 @@ object Pdf {
   /** One complete PDF for doc `id`: header with a binary comment line,
     * catalog/pages/font objects, per page a page object + content stream
     * (Flate-compressed on even `id+p`, raw otherwise; `/Length` INDIRECT on
-    * `id+p ≡ 0 (mod 3)`), a classic xref table + trailer — and for
-    * `id % 5 == 0` a real INCREMENTAL UPDATE appending one more page (new
-    * objects + re-emitted Pages + a second xref section with `/Prev`).
+    * `id+p ≡ 0 (mod 3)`), and for `id % 5 == 0` a real INCREMENTAL UPDATE
+    * appending one more page. EVEN ids use the classic xref table + trailer;
+    * ODD ids use the PDF 1.5 form — every non-stream object packed into one
+    * Flate'd /ObjStm (so the mod-3 arm's indirect length is a TYPE-2
+    * object), plus a Flate'd cross-reference stream (`/W [1 3 1]`) whose
+    * dict is the trailer. The update section is always classic, making odd
+    * multiple-of-5 ids hybrid chains.
     */
   private[ext] def renderPdf(id: Long): Array[Byte] = {
     val np = basePages(id)
@@ -221,44 +230,123 @@ object Pdf {
       next += (if ((id + p) % 3 == 0) 3 else 2)
     }
     val baseSize = pageNum(np) // first number NOT in the base file
+    // modern arm (odd ids): two extra numbers PAST the update range, so a
+    // later classic update never collides with them
+    val updateEnd = if ((id + np) % 3 == 0) contNum(np) + 2 else contNum(np) + 1
+    val modern = id % 2 == 1
+    val objStmNum = updateEnd
+    val xrefNum = updateEnd + 1
 
-    raw("%PDF-1.4\n%")
+    def catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
+    def pagesBody(k: Int) =
+      "<< /Type /Pages /Kids [" + (0 until k).map(p => s"${pageNum(p)} 0 R").mkString(" ") +
+        s"] /Count $k >>"
+    def fontBody =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    def pageBody(contentNum: Int) =
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+        " /Resources << /Font << /F1 3 0 R >> >>" +
+        s" /Contents $contentNum 0 R >>"
+
+    raw("%PDF-" + (if (modern) "1.5" else "1.4") + "\n%")
     out.write(0xe2); out.write(0xe3); out.write(0xcf); out.write(0xd3)
     raw("\n")
-    obj(1) { raw("<< /Type /Catalog /Pages 2 0 R >>\n") }
-    obj(2) {
-      raw("<< /Type /Pages /Kids [" +
-        (0 until np).map(p => s"${pageNum(p)} 0 R").mkString(" ") +
-        s"] /Count $np >>\n")
-    }
-    obj(3) {
-      raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
-        " /Encoding /WinAnsiEncoding >>\n")
-    }
-    for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
+    var baseXrefOff = -1L
 
-    val xref1 = out.size.toLong
-    raw(s"xref\n0 $baseSize\n")
-    raw("0000000000 65535 f \n")
-    for (num <- 1 until baseSize) raw(f"${offsets(num)}%010d 00000 n \n")
-    raw(s"trailer\n<< /Size $baseSize /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
-
-    if (id % 5 == 0) { // incremental update: append page np
-      val p = np
-      obj(2) {
-        raw("<< /Type /Pages /Kids [" +
-          (0 to np).map(q => s"${pageNum(q)} 0 R").mkString(" ") +
-          s"] /Count ${np + 1} >>\n")
+    if (!modern) { // classic cross-reference table
+      obj(1) { raw(catalogBody + "\n") }
+      obj(2) { raw(pagesBody(np) + "\n") }
+      obj(3) { raw(fontBody + "\n") }
+      for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
+      val xref1 = out.size.toLong
+      baseXrefOff = xref1
+      raw(s"xref\n0 $baseSize\n")
+      raw("0000000000 65535 f \n")
+      for (num <- 1 until baseSize) raw(f"${offsets(num)}%010d 00000 n \n")
+      raw(s"trailer\n<< /Size $baseSize /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
+    } else {
+      // PDF 1.5 form: content streams stay top-level; every non-stream
+      // object (catalog, pages, font, page dicts, indirect lengths) lives
+      // in ONE Flate-compressed /ObjStm, referenced by type-2 entries of a
+      // Flate-compressed cross-reference STREAM whose dict is the trailer
+      val packed = Vector.newBuilder[(Int, String)]
+      packed += ((1, catalogBody))
+      packed += ((2, pagesBody(np)))
+      packed += ((3, fontBody))
+      for (p <- 0 until np) {
+        packed += ((pageNum(p), pageBody(contNum(p))))
+        val data = renderContent(id, p)
+        val flate = (id + p) % 2 == 0
+        val bytes = if (flate) zlibCompress(data) else data
+        val indirectLen = (id + p) % 3 == 0
+        obj(contNum(p)) {
+          raw("<< /Length " + (if (indirectLen) s"${contNum(p) + 1} 0 R" else s"${bytes.length}"))
+          if (flate) raw(" /Filter /FlateDecode")
+          raw(" >>\nstream\n")
+          out.write(bytes)
+          raw("\nendstream\n")
+        }
+        // the length VALUE rides the object stream: a type-2 indirect /Length
+        if (indirectLen) packed += ((contNum(p) + 1, s"${bytes.length}"))
       }
+      val entries = packed.result()
+      val bodies = new StringBuilder
+      val relOffs = entries.map { case (_, body) =>
+        val o = bodies.length; bodies.append(body).append('\n'); o
+      }
+      val header = entries.zip(relOffs).map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+      val stmRaw = (header + bodies).getBytes("ISO-8859-1")
+      val stmZ = zlibCompress(stmRaw)
+      obj(objStmNum) {
+        raw(s"<< /Type /ObjStm /N ${entries.length} /First ${header.length}" +
+          s" /Length ${stmZ.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(stmZ)
+        raw("\nendstream\n")
+      }
+      // cross-reference stream: W = [1 3 1], Index default [0, Size]
+      val xrefOff = out.size.toLong
+      baseXrefOff = xrefOff
+      val packedIdx = entries.map(_._1).zipWithIndex.toMap
+      val rows = new java.io.ByteArrayOutputStream()
+      def row(t: Int, f2: Long, f3: Int): Unit = {
+        if (f2 > 0xffffffL) fail() // 3-byte offset field; fixtures stay far under
+        rows.write(t)
+        rows.write(((f2 >> 16) & 0xff).toInt); rows.write(((f2 >> 8) & 0xff).toInt)
+        rows.write((f2 & 0xff).toInt)
+        rows.write(f3 & 0xff)
+      }
+      row(0, 0L, 255) // object 0: free
+      for (num <- 1 to xrefNum) {
+        if (num == xrefNum) row(1, xrefOff, 0)
+        else if (offsets.contains(num)) row(1, offsets(num), 0)
+        else packedIdx.get(num) match {
+          case Some(i) => row(2, objStmNum.toLong, i)
+          case None => row(0, 0L, 255) // the (unused) update range
+        }
+      }
+      val xrefZ = zlibCompress(rows.toByteArray)
+      obj(xrefNum) {
+        raw(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 3 1] /Root 1 0 R" +
+          s" /Length ${xrefZ.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(xrefZ)
+        raw("\nendstream\n")
+      }
+      raw(s"startxref\n$xrefOff\n%%EOF\n")
+    }
+
+    if (id % 5 == 0) { // incremental update: a CLASSIC section appended
+      // over EITHER base form — the hybrid chain real Acrobat appends make
+      val p = np
+      obj(2) { raw(pagesBody(np + 1) + "\n") }
       pageObj(pageNum(p), contNum(p))
       contentObj(contNum(p), p)
-      val size2 = if ((id + p) % 3 == 0) contNum(p) + 2 else contNum(p) + 1
+      val size2 = if (modern) xrefNum + 1 else updateEnd
       val xref2 = out.size.toLong
       raw(s"xref\n2 1\n")
       raw(f"${offsets(2)}%010d 00000 n \n")
-      raw(s"${pageNum(p)} ${size2 - pageNum(p)}\n")
-      for (num <- pageNum(p) until size2) raw(f"${offsets(num)}%010d 00000 n \n")
-      raw(s"trailer\n<< /Size $size2 /Root 1 0 R /Prev $xref1 >>\nstartxref\n$xref2\n%%EOF\n")
+      raw(s"${pageNum(p)} ${updateEnd - pageNum(p)}\n")
+      for (num <- pageNum(p) until updateEnd) raw(f"${offsets(num)}%010d 00000 n \n")
+      raw(s"trailer\n<< /Size $size2 /Root 1 0 R /Prev $baseXrefOff >>\nstartxref\n$xref2\n%%EOF\n")
     }
     out.toByteArray
   }
@@ -479,9 +567,19 @@ object Pdf {
     private val n = bytes.length
     /** object number → byte offset, newest xref section wins. */
     val offsets = scala.collection.mutable.Map[Int, Int]()
+    /** object number → (object-stream number, index within it) — PDF 1.5
+      * type-2 cross-reference entries (objects living inside /ObjStm
+      * streams, the layout every modern writer emits).
+      */
+    val compressed = scala.collection.mutable.Map[Int, (Int, Int)]()
+    private val objStmCache =
+      scala.collection.mutable.Map[Int, (Array[Byte], Vector[(Int, Int)], Int)]()
     var root: PRef = _
 
     locate()
+
+    private def known(num: Int): Boolean =
+      offsets.contains(num) || compressed.contains(num)
 
     private def locate(): Unit = {
       if (n < 16) fail()
@@ -499,32 +597,14 @@ object Pdf {
       var sections = 0
       while (at >= 0) {
         sections += 1; if (sections > 16) fail() // Prev-chain cap
-        val x = new Lexer(bytes, at, n)
-        x.expect("xref")
-        var done = false
-        while (!done) {
-          x.skipWs()
-          if (x.eof) fail()
-          if (x.peek >= '0' && x.peek <= '9') {
-            val start = x.parseNumberToken().int
-            val count = x.parseNumberToken().int
-            if (start < 0 || count < 0 || count > (1 << 20)) fail()
-            var k = 0L
-            while (k < count) {
-              val entryOff = x.parseNumberToken().int
-              x.parseNumberToken() // generation
-              val kw = x.keyword()
-              val num = (start + k).toInt
-              if (kw == "n") {
-                if (entryOff < 0 || entryOff >= n) fail()
-                if (num > 0 && !offsets.contains(num)) offsets(num) = entryOff.toInt
-              } else if (kw != "f") fail()
-              k += 1
-            }
-          } else done = true
-        }
-        x.expect("trailer")
-        val trailer = x.parseObject() match { case d: PDict => d; case _ => fail() }
+        // dispatch per section: a classic table starts with the `xref`
+        // keyword, a PDF 1.5 cross-reference STREAM with `N G obj` —
+        // hybrid /Prev chains (classic update over a modern base, the
+        // Acrobat append shape) mix both forms
+        val probe = new Lexer(bytes, at, n)
+        probe.skipWs()
+        val trailer =
+          if (probe.peek == 'x') locateClassic(at) else locateXrefStream(at)
         if (root == null) trailer.m.get("Root") match {
           case Some(r: PRef) => root = r
           case _ => // absent here; maybe in an older section
@@ -538,10 +618,116 @@ object Pdf {
       if (root == null) fail()
     }
 
-    /** Parse the indirect object `num` at its xref offset; verifies the
-      * `N G obj` header matches. Returns (object, stream bytes or null).
+    private def locateClassic(at: Int): PDict = {
+      val x = new Lexer(bytes, at, n)
+      x.expect("xref")
+      var done = false
+      while (!done) {
+        x.skipWs()
+        if (x.eof) fail()
+        if (x.peek >= '0' && x.peek <= '9') {
+          val start = x.parseNumberToken().int
+          val count = x.parseNumberToken().int
+          if (start < 0 || count < 0 || count > (1 << 20)) fail()
+          var k = 0L
+          while (k < count) {
+            val entryOff = x.parseNumberToken().int
+            x.parseNumberToken() // generation
+            val kw = x.keyword()
+            val num = (start + k).toInt
+            if (kw == "n") {
+              if (entryOff < 0 || entryOff >= n) fail()
+              if (num > 0 && !known(num)) offsets(num) = entryOff.toInt
+            } else if (kw != "f") fail()
+            k += 1
+          }
+        } else done = true
+      }
+      x.expect("trailer")
+      x.parseObject() match { case d: PDict => d; case _ => fail() }
+    }
+
+    /** PDF 1.5 cross-reference stream: an indirect stream object whose
+      * dict is also the trailer — /W field widths, /Index subsections
+      * (default [0, Size]), binary big-endian entries of types 0 (free),
+      * 1 (offset) and 2 (object-stream member). /Length must be direct
+      * (resolving an indirect one would need the xref being built).
+      */
+    private def locateXrefStream(at: Int): PDict = {
+      val lex = new Lexer(bytes, at, n)
+      lex.parseNumberToken(); lex.parseNumberToken()
+      lex.expect("obj")
+      val dict = lex.parseObject() match { case d: PDict => d; case _ => fail() }
+      if (!dict.m.get("Type").contains(PName("XRef"))) fail()
+      lex.expect("stream")
+      if (lex.peek == '\r') lex.pos += 1
+      if (lex.peek != '\n') fail()
+      lex.pos += 1
+      val len = dict.m.getOrElse("Length", fail()) match {
+        case l: PNum => l.int
+        case _ => fail()
+      }
+      if (len < 0 || len > n - lex.pos) fail()
+      val data = decodeStreamData(dict,
+        java.util.Arrays.copyOfRange(bytes, lex.pos, lex.pos + len.toInt))
+      val w = dict.m.getOrElse("W", fail()) match {
+        case PArr(items) if items.length == 3 =>
+          items.map { case p: PNum => p.int.toInt; case _ => fail() }
+        case _ => fail()
+      }
+      if (w.exists(x => x < 0 || x > 4)) fail()
+      val rowLen = w.sum
+      if (rowLen <= 0) fail()
+      val size = dict.m.getOrElse("Size", fail()) match { case p: PNum => p.int; case _ => fail() }
+      if (size < 0 || size > (1 << 20)) fail()
+      val index: Vector[(Long, Long)] = dict.m.get("Index") match {
+        case None => Vector((0L, size))
+        case Some(PArr(items)) if items.length % 2 == 0 =>
+          items.grouped(2).map {
+            case Vector(a: PNum, b: PNum) => (a.int, b.int)
+            case _ => fail()
+          }.toVector
+        case _ => fail()
+      }
+      var p = 0
+      index.foreach { case (start, count) =>
+        if (start < 0 || count < 0 || count > (1 << 20)) fail()
+        var k = 0L
+        while (k < count) {
+          if (p + rowLen > data.length) fail()
+          def field(i: Int): Long = {
+            var v = 0L
+            val from = p + w.take(i).sum
+            var j = 0
+            while (j < w(i)) { v = (v << 8) | (data(from + j) & 0xffL); j += 1 }
+            v
+          }
+          val typ = if (w(0) == 0) 1L else field(0)
+          val num = (start + k).toInt
+          if (num > 0 && !known(num)) typ match {
+            case 0L => // free
+            case 1L =>
+              val o = field(1)
+              if (o < 0 || o >= n) fail()
+              offsets(num) = o.toInt
+            case 2L =>
+              compressed(num) = (field(1).toInt, field(2).toInt)
+            case _ => fail()
+          }
+          p += rowLen
+          k += 1
+        }
+      }
+      dict
+    }
+
+    /** Parse the indirect object `num` — at its xref offset, or out of
+      * its /ObjStm for type-2 entries; verifies the header/pair matches.
+      * Returns (object, stream bytes or null).
       */
     def load(num: Int, allowStream: Boolean): (PObj, Array[Byte]) = {
+      if (!offsets.contains(num) && compressed.contains(num))
+        return (loadCompressed(num), null) // objects in streams carry no stream
       val off = offsets.getOrElse(num, fail())
       val lex = new Lexer(bytes, off, n)
       if (lex.parseNumberToken().int != num) fail()
@@ -575,29 +761,68 @@ object Pdf {
       else fail()
     }
 
+    /** Pull object `num` out of its /ObjStm: the stream object itself
+      * must be a TOP-LEVEL type-1 entry (the spec forbids nesting object
+      * streams, which also bounds this recursion), its decoded bytes
+      * start with /N (objnum, offset) integer pairs, offsets relative to
+      * /First. Decoded streams are cached per document.
+      */
+    private def loadCompressed(num: Int): PObj = {
+      val (stmNum, idx) = compressed(num)
+      if (!offsets.contains(stmNum)) fail() // objstm-in-objstm: out of spec
+      val (data, pairs, first) = objStmCache.getOrElseUpdate(stmNum, {
+        val (obj, raw) = load(stmNum, allowStream = true)
+        if (raw == null) fail()
+        val dict = obj match { case d: PDict => d; case _ => fail() }
+        if (!dict.m.get("Type").contains(PName("ObjStm"))) fail()
+        val count = dict.m.getOrElse("N", fail()) match { case p: PNum => p.int; case _ => fail() }
+        val firstOff = dict.m.getOrElse("First", fail()) match { case p: PNum => p.int; case _ => fail() }
+        if (count < 0 || count > (1 << 16)) fail()
+        val decoded = decodeStreamData(dict, raw)
+        if (firstOff < 0 || firstOff > decoded.length) fail()
+        val hl = new Lexer(decoded, 0, firstOff.toInt)
+        val ps = Vector.newBuilder[(Int, Int)]
+        var k = 0L
+        while (k < count) {
+          ps += ((hl.parseNumberToken().int.toInt, hl.parseNumberToken().int.toInt))
+          k += 1
+        }
+        (decoded, ps.result(), firstOff.toInt)
+      })
+      if (idx < 0 || idx >= pairs.length) fail()
+      val (declaredNum, rel) = pairs(idx)
+      if (declaredNum != num) fail() // the xref entry and the header must agree
+      val at = first + rel
+      if (at < 0 || at > data.length) fail()
+      new Lexer(data, at, data.length).parseObject()
+    }
+
     def loadDict(r: PRef): PDict =
       load(r.num, allowStream = false)._1 match { case d: PDict => d; case _ => fail() }
   }
 
-  // --------------------------------------------------------- text extract
-
-  /** Decode one content stream object: raw when no /Filter, FlateDecode via
-    * the repo's own zlib decoder (output capped, hint passed).
+  /** Decode one stream's data per its dict's /Filter: raw when absent,
+    * FlateDecode via the repo's own zlib decoder (output capped under the
+    * family budget, hint passed per the inflate contract). Shared by
+    * content streams, cross-reference streams and object streams.
     */
-  private def decodeContent(doc: PdfDoc, r: PRef): Array[Byte] = {
-    val (obj, data) = doc.load(r.num, allowStream = true)
-    if (data == null) fail()
-    val dict = obj match { case d: PDict => d; case _ => fail() }
+  private def decodeStreamData(dict: PDict, data: Array[Byte]): Array[Byte] =
     dict.m.get("Filter") match {
       case None => data
-      case Some(PName("FlateDecode")) =>
-        Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
-          sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
-      case Some(PArr(Vector(PName("FlateDecode")))) =>
+      case Some(PName("FlateDecode")) | Some(PArr(Vector(PName("FlateDecode")))) =>
         Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
           sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
       case _ => fail() // unsupported filter chain: quarantine
     }
+
+  // --------------------------------------------------------- text extract
+
+  /** Decode one content stream object via the shared filter plane. */
+  private def decodeContent(doc: PdfDoc, r: PRef): Array[Byte] = {
+    val (obj, data) = doc.load(r.num, allowStream = true)
+    if (data == null) fail()
+    val dict = obj match { case d: PDict => d; case _ => fail() }
+    decodeStreamData(dict, data)
   }
 
   /** The classical line-model extractor over one page's content bytes:
@@ -713,6 +938,28 @@ object Pdf {
     */
   private[ext] def parsePdfSafe(id: Long, bytes: Array[Byte]): Seq[PdfPage] =
     try parsePdf(id, bytes) catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** [[pdfExtract]] for a BOOK STREAM: `(doc_id, ts, payload)` rows, each
+    * page inheriting its book's event time — the shape the shared
+    * watermarked ingest reduction consumes (books shard by `doc_id % 16`,
+    * the unit a conversion fleet writes). Stateless flatMap, so it runs
+    * identically under batch and Structured Streaming; the composition
+    * lives in [[graft.streaming.StreamingArchiveIngest.ingestPdf]].
+    */
+  def pdfExtractWithTs(books: DataFrame): DataFrame = {
+    val spark = books.sparkSession
+    import spark.implicits._
+    books
+      .select(col("doc_id").cast("long"), col("ts").cast("timestamp"), col("payload"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (id, ts, payload) =>
+        try {
+          if (payload == null) Nil
+          else parsePdf(id, payload).map(p => (id % 16, ts, p.page_idx, id, p.n_chars))
+        } catch { case scala.util.control.NonFatal(_) => Nil } // quarantine
+      }
+      .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
+  }
 
   /** The operator: PDF documents → the per-page text table; any structural
     * damage quarantines the whole document. Map-only, zero shuffles.

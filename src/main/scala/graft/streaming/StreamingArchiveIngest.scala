@@ -157,6 +157,28 @@ object StreamingArchiveIngest {
     windowed(graft.ext.Mbox.mboxExtractWithTs(archives),
       watermarkDelay, windowLength)
 
+  /** The BOOKS twins: live PDF / EPUB drops (a books shelf lands in
+    * batches from scanners and publisher feeds) routed through the SAME
+    * whole-document parses as the batch keys
+    * ([[graft.ext.Pdf.pdfExtractWithTs]] /
+    * [[graft.ext.Epub.epubExtractWithTs]] — xref/object-graph walk and
+    * OCF/OPF/XHTML composition respectively) and the shared watermarked
+    * window reduction; `total_bytes` counts EXTRACTED text bytes per
+    * page/chapter, and a damaged book contributes nothing, exactly like
+    * batch.
+    */
+  def ingestPdf(
+      books: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Pdf.pdfExtractWithTs(books), watermarkDelay, windowLength)
+
+  def ingestEpub(
+      books: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Epub.epubExtractWithTs(books), watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.

@@ -151,6 +151,34 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parsePdfSafe(0L, dam).isEmpty)
   }
 
+  test("xref streams + object streams: modern-form arms and their damage ladder") {
+    // odd ids write the PDF 1.5 form; odd multiples of 5 are HYBRID chains
+    // (classic update over a modern base) — both covered by the roundtrip
+    // test; here pin the form actually in the bytes, then the damage arms
+    val modern = Pdf.renderPdf(7L)
+    val s = new String(modern, "ISO-8859-1")
+    assert(s.contains("/Type /ObjStm") && s.contains("/Type /XRef"))
+    assert(!s.contains("trailer"), "the xref stream's dict IS the trailer")
+    assert(Pdf.parsePdfSafe(7L, modern).nonEmpty)
+    val hybrid = Pdf.renderPdf(5L)
+    val hs = new String(hybrid, "ISO-8859-1")
+    assert(hs.contains("/Type /XRef") && hs.contains("trailer") && hs.contains("/Prev"))
+    assert(Pdf.parsePdfSafe(5L, hybrid).nonEmpty)
+    // damage inside the object stream's Flate bytes -> whole doc drops
+    val osAt = s.indexOf("stream\n", s.indexOf("/Type /ObjStm"))
+    val d1 = modern.clone()
+    for (k <- 0 until 6) d1(osAt + 8 + k) = (d1(osAt + 8 + k) ^ 0x33).toByte
+    assert(Pdf.parsePdfSafe(7L, d1).isEmpty)
+    // damage inside the xref stream's Flate bytes -> whole doc drops
+    val xrAt = s.indexOf("stream\n", s.indexOf("/Type /XRef"))
+    val d2 = modern.clone()
+    for (k <- 0 until 6) d2(xrAt + 8 + k) = (d2(xrAt + 8 + k) ^ 0x55).toByte
+    assert(Pdf.parsePdfSafe(7L, d2).isEmpty)
+    // /W widths vandalized (3 -> 9 exceeds the 4-byte field cap)
+    val d3 = new String(modern, "ISO-8859-1").replace("/W [1 3 1]", "/W [1 9 1]")
+    assert(Pdf.parsePdfSafe(7L, d3.getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("hostile /Length: a 2 GB declaration drops without allocating") {
     val bomb = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

@@ -374,4 +374,70 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q2.stop()
   }
+
+  test("book streams (pdf + epub): twins finalize exactly once with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = 0L until 8L
+    val idsDf = ids.toDF("doc_id")
+    // ---- pdf
+    val pdfBlobs = graft.ext.Pdf.encodePdf(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val pdfBatch = graft.ext.Pdf.pdfExtract(graft.ext.Pdf.encodePdf(idsDf)).collect()
+    val in1 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q1 = StreamingArchiveIngest.ingestPdf(
+      in1.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("pdf_ingest_out").outputMode("append").start()
+    try {
+      in1.addData(ids.map(i => (i, ts(2), if (i == 3L) pdfBlobs(i).take(40) else pdfBlobs(i))): _*)
+      q1.processAllAvailable()
+      in1.addData((0L, ts(40), pdfBlobs(0L))) // advance watermark: finalize [0,10)
+      q1.processAllAvailable()
+      val rows = spark.table("pdf_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(4)))).toMap
+      // books shard by doc_id % 16; the damaged book 3 contributes nothing
+      val expected = pdfBatch.filterNot(_.doc_id == 3L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows.view.mapValues(_._1).toMap == expected, "per-shard page counts")
+      assert(!rows.contains(3L), "damaged pdf contributes nothing")
+      // record-for-record batch parity on one clean book
+      val streamed = graft.ext.Pdf.pdfExtractWithTs(
+        Seq((1L, ts(2), pdfBlobs(1L))).toDF("doc_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Pdf.pdfExtract(
+        Seq((1L, pdfBlobs(1L))).toDF("doc_id", "payload")).collect()
+        .map(p => (p.page_idx, p.doc_id, p.n_chars)).sorted.toSeq
+      assert(streamed == batch, "pdf batch and streaming agree record for record")
+    } finally q1.stop()
+    // ---- epub
+    val epubBlobs = graft.ext.Epub.encodeEpub(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val epubBatch = graft.ext.Epub.epubExtract(graft.ext.Epub.encodeEpub(idsDf)).collect()
+    val in2 = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q2 = StreamingArchiveIngest.ingestEpub(
+      in2.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("epub_ingest_out").outputMode("append").start()
+    try {
+      in2.addData(ids.map(i => (i, ts(2), if (i == 2L) epubBlobs(i).take(60) else epubBlobs(i))): _*)
+      q2.processAllAvailable()
+      in2.addData((0L, ts(40), epubBlobs(0L)))
+      q2.processAllAvailable()
+      val rows = spark.table("epub_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expected = epubBatch.filterNot(_.doc_id == 2L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows == expected, "per-shard chapter counts; damaged epub drops")
+      val streamed = graft.ext.Epub.epubExtractWithTs(
+        Seq((1L, ts(2), epubBlobs(1L))).toDF("doc_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Epub.epubExtract(
+        Seq((1L, epubBlobs(1L))).toDF("doc_id", "payload")).collect()
+        .map(c => (c.chapter_idx, c.doc_id, c.n_chars)).sorted.toSeq
+      assert(streamed == batch, "epub batch and streaming agree record for record")
+    } finally q2.stop()
+  }
 }
