@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *    forms), mono channel assignment, UTF-8-style coded frame numbers
   *    (the format's own multi-byte integer coding, up to 36 bits), CRC-8
   *    over the header, CRC-16 over the whole frame — both verified.
-  *  - '''subframes''': CONSTANT, VERBATIM, and FIXED orders 0–4 (warm-up
-  *    samples + polynomial-difference residuals), residuals rice-coded
+  *  - '''subframes''': CONSTANT, VERBATIM, FIXED orders 0–4 (warm-up
+  *    samples + polynomial-difference residuals), and LPC orders 1–32
+  *    (quantized coefficient predictor: 4-bit precision, 5-bit signed
+  *    shift, signed coefficients, 64-bit accumulator, arithmetic
+  *    right-shift — the format's general predictor), residuals rice-coded
   *    (4-bit parameter, partition order 0, zigzag + unary quotient +
   *    binary remainder) with the 0b1111 ESCAPE arm (raw n-bit residuals).
   *  - '''integrity''': decoded sample count must equal STREAMINFO's
@@ -230,9 +233,12 @@ object Flac {
 
   /** One FLAC stream for `nSamples` s16 mono 16 kHz samples: STREAMINFO
     * (real MD5), then 256-sample fixed-blocksize frames whose subframe
-    * arm cycles verbatim / fixed-1 / fixed-2 by `(seed + frame) % 3`
-    * (constant when the block really is constant; verbatim fallback when
-    * the block is shorter than the order).
+    * arm cycles verbatim / fixed-1 / fixed-2 / LPC-2 by
+    * `(seed + frame) % 4` (constant when the block really is constant;
+    * verbatim fallback when the block is shorter than the order). The
+    * LPC arm uses the smoothing predictor (3·x[i−1] − x[i−2]) >> 1 —
+    * precision 4, shift 1, coefficients [3, −1] — so the general
+    * quantized-coefficient path decodes under the same oracle.
     */
   private[ext] def encodeFlacStream(xs: Array[Int], seed: Long): Array[Byte] = {
     val block = 256
@@ -278,18 +284,36 @@ object Flac {
       bw.writeBits(16000L, 16)
       // subframe selection
       val allEqual = (from until until).forall(j => xs(j) == xs(from))
-      val sel = if (allEqual) -1 else Math.floorMod(seed + f, 3L).toInt
-      val order = sel match { case 1 => 1; case 2 => 2; case _ => 0 }
-      val useFixed = sel > 0 && n > order
+      val sel = if (allEqual) -1 else Math.floorMod(seed + f, 4L).toInt
+      val order = sel match { case 1 => 1; case 2 | 3 => 2; case _ => 0 }
+      val usePred = sel > 0 && n > order
       val headerSnapshot = bw.bytesSoFar
       bw.writeBits(crc8(headerSnapshot, 0, headerSnapshot.length).toLong, 8)
       if (allEqual) {
         bw.writeBits(0, 1); bw.writeBits(0, 6); bw.writeBits(0, 1) // CONSTANT
         bw.writeBits((xs(from) & 0xffff).toLong, 16)
-      } else if (!useFixed) {
+      } else if (!usePred) {
         bw.writeBits(0, 1); bw.writeBits(1, 6); bw.writeBits(0, 1) // VERBATIM
         var j = from
         while (j < until) { bw.writeBits((xs(j) & 0xffff).toLong, 16); j += 1 }
+      } else if (sel == 3) {
+        // LPC order 2: pred = (3*x[i-1] - x[i-2]) >> 1 — precision 4,
+        // shift 1, coefficients [3, -1]
+        bw.writeBits(0, 1); bw.writeBits((0x20 | (order - 1)).toLong, 6); bw.writeBits(0, 1)
+        var j = from
+        while (j < from + order) { bw.writeBits((xs(j) & 0xffff).toLong, 16); j += 1 }
+        bw.writeBits(3, 4) // precision - 1
+        bw.writeBits(1, 5) // shift (signed, non-negative here)
+        bw.writeBits(3L & 0xf, 4) // coef[0] = 3
+        bw.writeBits(-1L & 0xf, 4) // coef[1] = -1 (two's complement)
+        val res = new Array[Int](n - order)
+        var i = from + order
+        while (i < until) {
+          val pred = ((3L * xs(i - 1) - xs(i - 2)) >> 1).toInt
+          res(i - from - order) = xs(i) - pred
+          i += 1
+        }
+        writeResiduals(bw, res)
       } else {
         bw.writeBits(0, 1); bw.writeBits((0x8 | order).toLong, 6); bw.writeBits(0, 1) // FIXED
         var j = from
@@ -465,7 +489,35 @@ object Flac {
           xs(i) = v.toInt
           i += 1
         }
-      } else fail() // LPC not in this subset
+      } else if ((sfType & 0x20) != 0) { // LPC, orders 1..32
+        val order = (sfType & 0x1f) + 1
+        if (order > blockSize) fail()
+        var i = 0
+        while (i < order) { xs(i) = s16(br.readBits(16)); i += 1 }
+        val precision = br.readBits(4).toInt + 1
+        if (precision == 16) fail() // 0b1111 is the spec's invalid marker
+        var shift = br.readBits(5).toInt
+        if (shift >= 16) fail() // sign bit set: negative shifts are invalid
+        val coefs = new Array[Long](order)
+        var k = 0
+        while (k < order) {
+          var c = br.readBits(precision)
+          if ((c & (1L << (precision - 1))) != 0) c -= (1L << precision) // sign extend
+          coefs(k) = c
+          k += 1
+        }
+        val res = readResiduals(br, blockSize, order)
+        i = order
+        while (i < blockSize) {
+          var sum = 0L
+          k = 0
+          while (k < order) { sum += coefs(k) * xs(i - 1 - k); k += 1 }
+          val v = (sum >> shift) + res(i - order)
+          if (v < -32768 || v > 32767) fail()
+          xs(i) = v.toInt
+          i += 1
+        }
+      } else fail() // reserved subframe types
       br.alignByte()
       val bodyEnd = br.bytePos
       if (br.readBits(16).toInt != crc16(bytes, frameStart, bodyEnd)) fail()

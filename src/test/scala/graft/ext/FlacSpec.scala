@@ -26,7 +26,7 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
-  test("round-trip: every subframe arm (constant/verbatim/fixed-1/fixed-2, rice + escape)") {
+  test("round-trip: every subframe arm (constant/verbatim/fixed/LPC, rice + escape)") {
     val rnd = new scala.util.Random(11)
     // seeds cycle the subframe arm; shapes force specific coder paths
     val shapes: Seq[Array[Int]] = Seq(
@@ -36,7 +36,7 @@ class FlacSpec extends AnyFunSuite {
       Array.tabulate(300)(i => i - 150), // perfect order-2 fit (zero residuals)
       Array.fill(1)(-32768), // single-sample stream
       Array.empty[Int]) // zero samples: header-only stream
-    for ((xs, si) <- shapes.zipWithIndex; seed <- 0L until 3L) {
+    for ((xs, si) <- shapes.zipWithIndex; seed <- 0L until 4L) { // seed 3 starts on the LPC arm
       val stream = Flac.encodeFlacStream(xs, seed)
       val got = Flac.parseFlac(9L, stream)
       val want = statsOf(xs)
