@@ -20,14 +20,14 @@ class WebpSpec extends AnyFunSuite {
     for (id <- 0L until 64L) {
       val (w, h, p) = plane(id, s"webp fixture body $id " + ("z" * (id % 29).toInt))
       val bytes = Webp.encodeVp8l(id, w, h, p)
-      val img = Webp.parseWebp(bytes).getOrElse(fail(s"id $id (arm ${id % 4}) did not parse"))
+      val img = Webp.parseWebp(bytes).getOrElse(fail(s"id $id (arm ${id % 5}) did not parse"))
       assert(img.width == w && img.height == h, s"id $id dims")
-      assert(img.pixels.sameElements(p), s"id $id (arm ${id % 4}) pixels")
+      assert(img.pixels.sameElements(p), s"id $id (arm ${id % 5}) pixels")
     }
     // low-color plane: the palette arm packs sub-byte (<= 16 distinct colors)
     val lowW = 12; val lowH = 8
     val low = Array.tabulate(3 * lowW * lowH)(k => ((k / 3) % 2 * 7 + 3).toByte) // 2 colors
-    for (arm <- 0L until 4L) {
+    for (arm <- 0L until 5L) {
       val img = Webp.parseWebp(Webp.encodeVp8l(arm, lowW, lowH, low)).getOrElse(fail(s"arm $arm"))
       assert(img.pixels.sameElements(low), s"low-color arm $arm")
     }
@@ -36,7 +36,7 @@ class WebpSpec extends AnyFunSuite {
     // these must ride the FULL serialization, not the 8-bit simple form
     // (regression: simple-form truncation corrupted arm 0 silently and
     // broke arm 1's parse)
-    for (arm <- 0L until 4L; v <- Seq(0, 77)) {
+    for (arm <- 0L until 5L; v <- Seq(0, 77)) {
       val const = Array.fill(3 * 9 * 10)(v.toByte)
       val img = Webp.parseWebp(Webp.encodeVp8l(arm, 9, 10, const))
         .getOrElse(fail(s"constant plane arm $arm v=$v did not parse"))
