@@ -117,21 +117,77 @@ object Pdf {
   private def hexLiteral(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 
+  /** CID encoding for the fixture's Type0/Identity-H font (/F2): the
+    * three WinAnsi-high fixture chars get low CIDs via `bfchar` entries,
+    * everything else (printable ASCII) shifts by 0x0100 through the
+    * `bfrange` — deliberately NON-identity, so an extractor that skips
+    * the ToUnicode CMap (or reads CIDs as UTF-16) produces shifted text
+    * and fails the oracle. Two bytes per CID, big-endian.
+    */
+  private[ext] def cidEncode(s: String): Array[Byte] = {
+    val out = new Array[Byte](2 * s.length)
+    var i = 0
+    while (i < s.length) {
+      val cid = s.charAt(i) match {
+        case '\u00e9' => 1
+        case '\u201c' => 2
+        case '\u201d' => 3
+        case c if c >= 0x20 && c <= 0x7e => c.toInt + 0x100
+        case _ => fail() // fixture text is ASCII + the three high chars
+      }
+      out(2 * i) = ((cid >> 8) & 0xff).toByte
+      out(2 * i + 1) = (cid & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** The /F2 ToUnicode CMap (the inverse of [[cidEncode]]), in the
+    * standard CMap serialization real subset-font producers embed.
+    */
+  private val FixtureCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |3 beginbfchar
+      |<0001> <00e9>
+      |<0002> <201c>
+      |<0003> <201d>
+      |endbfchar
+      |1 beginbfrange
+      |<0120> <017e> <0020>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end
+      |""".stripMargin
+
+  /** Whether page `p` of doc `id` shows its text through the CID font
+    * (/F2, 2-byte codes through the ToUnicode CMap) instead of /F1
+    * WinAnsi — the subset-embedded-font shape modern producers emit.
+    */
+  private[ext] def cidPage(id: Long, p: Int): Boolean = (id + p) % 4 == 2
+
   /** Serialize one page's content stream: BT/ET blocks, `Tf`/`TL` setup,
     * and per line one of the show forms — hex-string `Tj`, a kerned `TJ`
     * array, next-line `'`, spacing-operand `"`, or plain `Td` + `Tj` —
     * chosen by `(id + 2p + 3l) % 6`. Pages with ≥3 lines and odd `id+p`
     * split across TWO BT/ET blocks (block-start lines forced to the
-    * Td-form so the break model stays one-break-per-line).
+    * Td-form so the break model stays one-break-per-line). CID pages
+    * ([[cidPage]]) show every string as 2-byte /F2 codes; the TJ cut
+    * lands on a CID boundary.
     */
   private[ext] def renderContent(id: Long, p: Int): Array[Byte] = {
     val n = nLines(id, p)
+    val cid = cidPage(id, p)
+    val font = if (cid) "/F2" else "/F1"
     val twoBlocks = (id + p) % 2 == 1 && n >= 3
     val sb = new StringBuilder
     val out = new java.io.ByteArrayOutputStream
     def flush(): Unit = { out.write(sb.toString.getBytes("ISO-8859-1")); sb.clear() }
     def openBlock(first: Boolean): Unit = {
-      sb.append("BT\n/F1 12 Tf\n14 TL\n")
+      sb.append(s"BT\n$font 12 Tf\n14 TL\n")
       if (first && (id + p) % 3 == 0) sb.append("1 0 0 1 72 720 Tm\n")
       else if (first) sb.append("72 720 Td\n")
       else sb.append("72 600 Td\n")
@@ -141,7 +197,8 @@ object Pdf {
     while (l < n) {
       if (twoBlocks && l == 2) { sb.append("ET\n"); openBlock(first = false) }
       val blockStart = l == 0 || (twoBlocks && l == 2)
-      val enc = Charset.cp1252Encode(lineText(id, p, l))
+      val text = lineText(id, p, l)
+      val enc = if (cid) cidEncode(text) else Charset.cp1252Encode(text)
       val sel = ((id + 2 * p + 3 * l) % 6).toInt
       if (!blockStart && sel == 2) {
         flush(); out.write('('); out.write(escapeLiteral(enc)); sb.append(") '\n")
@@ -153,7 +210,8 @@ object Pdf {
         sel match {
           case 0 => sb.append('<').append(hexLiteral(enc)).append("> Tj\n")
           case 1 if enc.length >= 2 =>
-            val cut = math.min(10, enc.length - 1)
+            val cut0 = math.min(10, enc.length - 1)
+            val cut = if (cid) cut0 & ~1 else cut0 // never split a CID pair
             flush(); out.write('['); out.write('(')
             out.write(escapeLiteral(java.util.Arrays.copyOfRange(enc, 0, cut)))
             sb.append(") -120 ("); flush()
@@ -214,17 +272,13 @@ object Pdf {
       }
       if (indirectLen) obj(num + 1) { raw(s"${bytes.length}\n") }
     }
-    def pageObj(num: Int, contentNum: Int): Unit = obj(num) {
-      raw("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
-        " /Resources << /Font << /F1 3 0 R >> >>" +
-        s" /Contents $contentNum 0 R >>\n")
-    }
 
-    // object numbering: 1 catalog, 2 pages, 3 font; per page a page obj +
-    // content obj (+ length obj on the indirect arm), assigned sequentially
+    // object numbering: 1 catalog, 2 pages, 3 /F1, 4 /F2 (Type0), 5 its
+    // ToUnicode CMap stream; per page a page obj + content obj (+ length
+    // obj on the indirect arm), assigned sequentially
     val pageNum = new Array[Int](np + 1)
     val contNum = new Array[Int](np + 1)
-    var next = 4
+    var next = 6
     for (p <- 0 to np) { // slot np is the update page (may go unused)
       pageNum(p) = next; contNum(p) = next + 1
       next += (if ((id + p) % 3 == 0) 3 else 2)
@@ -243,10 +297,22 @@ object Pdf {
         s"] /Count $k >>"
     def fontBody =
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    def font2Body =
+      "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID" +
+        " /Encoding /Identity-H /ToUnicode 5 0 R >>"
     def pageBody(contentNum: Int) =
       "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
-        " /Resources << /Font << /F1 3 0 R >> >>" +
+        " /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>" +
         s" /Contents $contentNum 0 R >>"
+    def pageObj(num: Int, contentNum: Int): Unit = obj(num) {
+      raw(pageBody(contentNum) + "\n")
+    }
+    val cmapBytes = FixtureCMap.getBytes("ISO-8859-1")
+    def cmapObj(): Unit = obj(5) {
+      raw(s"<< /Length ${cmapBytes.length} >>\nstream\n")
+      out.write(cmapBytes)
+      raw("\nendstream\n")
+    }
 
     raw("%PDF-" + (if (modern) "1.5" else "1.4") + "\n%")
     out.write(0xe2); out.write(0xe3); out.write(0xcf); out.write(0xd3)
@@ -257,6 +323,8 @@ object Pdf {
       obj(1) { raw(catalogBody + "\n") }
       obj(2) { raw(pagesBody(np) + "\n") }
       obj(3) { raw(fontBody + "\n") }
+      obj(4) { raw(font2Body + "\n") }
+      cmapObj()
       for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
       val xref1 = out.size.toLong
       baseXrefOff = xref1
@@ -273,6 +341,8 @@ object Pdf {
       packed += ((1, catalogBody))
       packed += ((2, pagesBody(np)))
       packed += ((3, fontBody))
+      packed += ((4, font2Body)) // the CMap is a STREAM: top-level below
+      cmapObj()
       for (p <- 0 until np) {
         packed += ((pageNum(p), pageBody(contNum(p))))
         val data = renderContent(id, p)
@@ -825,13 +895,72 @@ object Pdf {
     decodeStreamData(dict, data)
   }
 
+  /** Parse a ToUnicode CMap stream's `bfchar`/`bfrange` sections into a
+    * CID → text map (2-byte sources; range destinations increment their
+    * last UTF-16 code unit, per the CMap spec). Everything else in the
+    * PostScript-ish wrapper — names, numbers, `findresource`/`dict`
+    * bookkeeping — is skipped by the shared lexer. Entry counts capped.
+    */
+  private[ext] def parseCMap(data: Array[Byte]): Map[Int, String] = {
+    val lex = new Lexer(data, 0, data.length)
+    val out = Map.newBuilder[Int, String]
+    var entries = 0
+    def cidOf(o: PObj): Int = o match {
+      case PStr(b) if b.length == 2 => ((b(0) & 0xff) << 8) | (b(1) & 0xff)
+      case _ => fail()
+    }
+    def dstOf(o: PObj): String = o match {
+      case PStr(b) if b.length >= 2 && b.length % 2 == 0 =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+      case _ => fail()
+    }
+    def bump(): Unit = { entries += 1; if (entries > (1 << 16)) fail() }
+    while ({ lex.skipWs(); !lex.eof }) {
+      val c = lex.peek
+      if (c == '/' || c == '<' || c == '(' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        lex.parseObject() // operands and wrapper values: discarded
+      } else lex.keyword() match {
+        case "beginbfchar" =>
+          while ({ lex.skipWs(); !lex.eof && lex.peek == '<' }) {
+            val src = cidOf(lex.parseObject())
+            out += src -> dstOf(lex.parseObject())
+            bump()
+          }
+          lex.expect("endbfchar")
+        case "beginbfrange" =>
+          while ({ lex.skipWs(); !lex.eof && lex.peek == '<' }) {
+            val lo = cidOf(lex.parseObject())
+            val hi = cidOf(lex.parseObject())
+            val dst = dstOf(lex.parseObject())
+            if (hi < lo || hi - lo > (1 << 16)) fail()
+            val head = dst.substring(0, dst.length - 1)
+            val lastU = dst.charAt(dst.length - 1).toInt
+            var cid = lo
+            while (cid <= hi) {
+              if (lastU + (cid - lo) > 0xffff) fail()
+              out += cid -> (head + (lastU + (cid - lo)).toChar)
+              bump()
+              cid += 1
+            }
+          }
+          lex.expect("endbfrange")
+        case _ => // wrapper keywords (begincmap, dict, begin, ...): skipped
+      }
+    }
+    out.result()
+  }
+
   /** The classical line-model extractor over one page's content bytes:
     * positioning ops (`Td`/`TD`/`Tm`/`T*`) and next-line shows (`'`/`"`)
     * break the line iff text was shown since the last break; `Tj`/`'`/`"`
     * show their string operand, `TJ` its array's strings (kern numbers
-    * skipped). Returns (text, nLines).
+    * skipped). `fonts` maps resource names to a ToUnicode CID map (2-byte
+    * codes) or null for WinAnsi; `Tf` switches the active decode — the
+    * subset-embedded-font reality of modern PDFs. Returns (text, nLines).
     */
-  private[ext] def extractText(content: Array[Byte]): (String, Long) = {
+  private[ext] def extractText(content: Array[Byte],
+      fonts: Map[String, Map[Int, String]] = Map.empty): (String, Long) = {
     val lex = new Lexer(content, 0, content.length)
     val sb = new java.lang.StringBuilder
     var lines = 0L
@@ -839,9 +968,19 @@ object Pdf {
     var anyText = false
     val stack = scala.collection.mutable.ArrayBuffer[PObj]()
     def break(): Unit = if (shownSinceBreak) { sb.append('\n'); lines += 1; shownSinceBreak = false }
+    var curCid: Map[Int, String] = null // null = WinAnsi (the default)
     def show(o: PObj): Unit = o match {
       case PStr(b) =>
-        sb.append(Charset.cp1252Decode(b))
+        if (curCid == null) sb.append(Charset.cp1252Decode(b))
+        else {
+          if (b.length % 2 != 0) fail() // CID strings are 2 bytes per code
+          var i = 0
+          while (i < b.length) {
+            val cid = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+            sb.append(curCid.getOrElse(cid, fail())) // unmapped CID: quarantine
+            i += 2
+          }
+        }
         shownSinceBreak = true; anyText = true
       case _ => fail()
     }
@@ -855,6 +994,11 @@ object Pdf {
         stack += lex.parseObject()
       } else {
         lex.keyword() match {
+          case "Tf" => // operands: /FontName size — switch the decode map
+            stack.headOption match {
+              case Some(PName(f)) => curCid = fonts.getOrElse(f, null)
+              case _ => // malformed Tf: keep the current font (lenient)
+            }
           case "Td" | "TD" | "Tm" | "T*" => break()
           case "Tj" => if (stack.isEmpty) fail(); show(stack.last)
           case "'" => if (stack.isEmpty) fail(); break(); show(stack.last)
@@ -925,7 +1069,28 @@ object Pdf {
           out.toByteArray
         case _ => fail()
       }
-      val (text, nLines) = extractText(content)
+      // page font resources: name -> ToUnicode CID map (null = WinAnsi).
+      // CMaps are cached per (doc, font object) via the ref's number.
+      val fonts: Map[String, Map[Int, String]] = page.m.get("Resources") match {
+        case Some(res: PDict) => res.m.get("Font") match {
+          case Some(fd: PDict) => fd.m.collect { case (name, r: PRef) =>
+            val fontDict = doc.loadDict(r)
+            val cmap = fontDict.m.get("ToUnicode") match {
+              case Some(tu: PRef) =>
+                val (obj, data) = doc.load(tu.num, allowStream = true)
+                if (data == null) fail()
+                val d = obj match { case dd: PDict => dd; case _ => fail() }
+                parseCMap(decodeStreamData(d, data))
+              case None => null
+              case _ => fail()
+            }
+            name -> cmap
+          }
+          case _ => Map.empty[String, Map[Int, String]]
+        }
+        case _ => Map.empty[String, Map[Int, String]]
+      }
+      val (text, nLines) = extractText(content, fonts)
       val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var cs = 0L
       utf8.foreach(b => cs = (cs * 31 + (b & 0xff)) % 1000000007L)

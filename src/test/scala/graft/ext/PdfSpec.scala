@@ -179,6 +179,46 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parsePdfSafe(7L, d3.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("CID fonts: ToUnicode CMap parse, Tf-switched decode, strict unmapped quarantine") {
+    // parseCMap: bfchar singles + an incrementing bfrange, wrapper skipped
+    val cmap = Pdf.parseCMap(
+      ("""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |2 beginbfchar
+         |<0001> <00e9>
+         |<0007> <0041>
+         |endbfchar
+         |1 beginbfrange
+         |<0100> <0102> <0061>
+         |endbfrange
+         |endcmap end
+         |""".stripMargin).getBytes("ISO-8859-1"))
+    assert(cmap == Map(1 -> "\u00e9", 7 -> "A", 0x100 -> "a", 0x101 -> "b", 0x102 -> "c"))
+    // Tf switches decode mid-stream: same bytes, two fonts, two meanings
+    val content = ("BT /F1 12 Tf (AB) Tj /FX 12 Tf " +
+      "<00010100> Tj ET").getBytes("ISO-8859-1")
+    val fonts = Map[String, Map[Int, String]]("F1" -> null, "FX" -> cmap)
+    assert(Pdf.extractText(content, fonts)._1 == "AB\u00e9a")
+    // unmapped CID and odd-length CID strings quarantine
+    intercept[RuntimeException](Pdf.extractText(
+      "BT /FX 12 Tf <0099> Tj ET".getBytes("ISO-8859-1"), fonts))
+    intercept[RuntimeException](Pdf.extractText(
+      "BT /FX 12 Tf <000101> Tj ET".getBytes("ISO-8859-1"), fonts))
+    // the fixture's mapping is NON-identity: stripping /ToUnicode from a
+    // CID page's font makes extraction produce different bytes (an
+    // extractor that ignores the CMap cannot pass the oracle)
+    val id = 2L // (2 + 0) % 4 == 2: page 0 is a CID page
+    assert(Pdf.cidPage(id, 0))
+    val good = Pdf.renderPdf(id)
+    val stripped = new String(good, "ISO-8859-1")
+      .replace("/ToUnicode 5 0 R", "                ") // same length: offsets survive
+    val viaCmap = Pdf.parsePdfSafe(id, good)
+    val without = Pdf.parsePdfSafe(id, stripped.getBytes("ISO-8859-1"))
+    assert(viaCmap.nonEmpty)
+    assert(without.isEmpty || without.head.checksum != viaCmap.head.checksum,
+      "skipping the CMap must not reproduce the oracle text")
+  }
+
   test("hostile /Length: a 2 GB declaration drops without allocating") {
     val bomb = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
