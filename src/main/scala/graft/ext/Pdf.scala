@@ -258,7 +258,9 @@ object Pdf {
       offsets(num) = out.size.toLong
       raw(s"$num 0 obj\n"); body; raw("endobj\n")
     }
-    def contentObj(num: Int, p: Int): Unit = {
+    // the indirect-length VALUE lands wherever the arm puts non-stream
+    // objects: top-level (classic, null sink) or the ObjStm (modern)
+    def contentObj(num: Int, p: Int, packLength: (Int, String) => Unit = null): Unit = {
       val data = renderContent(id, p)
       val flate = (id + p) % 2 == 0
       val bytes = if (flate) zlibCompress(data) else data
@@ -270,7 +272,10 @@ object Pdf {
         out.write(bytes)
         raw("\nendstream\n")
       }
-      if (indirectLen) obj(num + 1) { raw(s"${bytes.length}\n") }
+      if (indirectLen) {
+        if (packLength != null) packLength(num + 1, s"${bytes.length}")
+        else obj(num + 1) { raw(s"${bytes.length}\n") }
+      }
     }
 
     // object numbering: 1 catalog, 2 pages, 3 /F1, 4 /F2 (Type0), 5 its
@@ -345,19 +350,8 @@ object Pdf {
       cmapObj()
       for (p <- 0 until np) {
         packed += ((pageNum(p), pageBody(contNum(p))))
-        val data = renderContent(id, p)
-        val flate = (id + p) % 2 == 0
-        val bytes = if (flate) zlibCompress(data) else data
-        val indirectLen = (id + p) % 3 == 0
-        obj(contNum(p)) {
-          raw("<< /Length " + (if (indirectLen) s"${contNum(p) + 1} 0 R" else s"${bytes.length}"))
-          if (flate) raw(" /Filter /FlateDecode")
-          raw(" >>\nstream\n")
-          out.write(bytes)
-          raw("\nendstream\n")
-        }
         // the length VALUE rides the object stream: a type-2 indirect /Length
-        if (indirectLen) packed += ((contNum(p) + 1, s"${bytes.length}"))
+        contentObj(contNum(p), p, (n, body) => packed += ((n, body)))
       }
       val entries = packed.result()
       val bodies = new StringBuilder
@@ -394,9 +388,26 @@ object Pdf {
           case None => row(0, 0L, 255) // the (unused) update range
         }
       }
-      val xrefZ = zlibCompress(rows.toByteArray)
+      // the real-producer shape: rows PNG-Up filtered (/Predictor 12)
+      // before Flate — Acrobat/pdflatex emit exactly this
+      val flat = rows.toByteArray
+      val rowLen = 5
+      val filtered = new java.io.ByteArrayOutputStream(flat.length + flat.length / rowLen)
+      var ri = 0
+      while (ri < flat.length) {
+        filtered.write(2) // PNG filter type: Up
+        var j = 0
+        while (j < rowLen) {
+          val up = if (ri >= rowLen) flat(ri - rowLen + j) & 0xff else 0
+          filtered.write(((flat(ri + j) & 0xff) - up) & 0xff)
+          j += 1
+        }
+        ri += rowLen
+      }
+      val xrefZ = zlibCompress(filtered.toByteArray)
       obj(xrefNum) {
         raw(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 3 1] /Root 1 0 R" +
+          s" /DecodeParms << /Predictor 12 /Columns $rowLen >>" +
           s" /Length ${xrefZ.length} /Filter /FlateDecode >>\nstream\n")
         out.write(xrefZ)
         raw("\nendstream\n")
@@ -644,6 +655,10 @@ object Pdf {
     val compressed = scala.collection.mutable.Map[Int, (Int, Int)]()
     private val objStmCache =
       scala.collection.mutable.Map[Int, (Array[Byte], Vector[(Int, Int)], Int)]()
+    /** ToUnicode stream object number → parsed CMap — one inflate+parse
+      * per font object per document, not per page.
+      */
+    val cmapCache = scala.collection.mutable.Map[Int, Map[Int, String]]()
     var root: PRef = _
 
     locate()
@@ -873,17 +888,79 @@ object Pdf {
 
   /** Decode one stream's data per its dict's /Filter: raw when absent,
     * FlateDecode via the repo's own zlib decoder (output capped under the
-    * family budget, hint passed per the inflate contract). Shared by
-    * content streams, cross-reference streams and object streams.
+    * family budget, hint passed per the inflate contract), then the
+    * /DecodeParms PNG predictor when declared — real PDF 1.5 writers emit
+    * cross-reference streams almost universally with /Predictor 12, so
+    * ignoring it would misparse the very files the 1.5 path exists for.
+    * Shared by content, cross-reference, object and CMap streams.
     */
-  private def decodeStreamData(dict: PDict, data: Array[Byte]): Array[Byte] =
-    dict.m.get("Filter") match {
+  private def decodeStreamData(dict: PDict, data: Array[Byte]): Array[Byte] = {
+    val raw = dict.m.get("Filter") match {
       case None => data
       case Some(PName("FlateDecode")) | Some(PArr(Vector(PName("FlateDecode")))) =>
         Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
           sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
       case _ => fail() // unsupported filter chain: quarantine
     }
+    dict.m.get("DecodeParms") match {
+      case None => raw
+      case Some(dp: PDict) => applyPredictor(dp, raw)
+      case _ => fail()
+    }
+  }
+
+  /** Invert the /DecodeParms predictor: 1 = none; 10–15 = the PNG row
+    * filters (every row prefixed by its filter-type byte — None, Sub, Up,
+    * Average, Paeth — over `Colors`×`Columns` 8-bit components). The TIFF
+    * predictor (2) is out of profile and quarantines.
+    */
+  private def applyPredictor(parms: PDict, data: Array[Byte]): Array[Byte] = {
+    def intOf(k: String, dflt: Long): Long = parms.m.get(k) match {
+      case Some(p: PNum) => p.int
+      case None => dflt
+      case _ => fail()
+    }
+    val pred = intOf("Predictor", 1)
+    if (pred == 1) return data
+    if (pred < 10 || pred > 15) fail()
+    val colors = intOf("Colors", 1)
+    val bpc = intOf("BitsPerComponent", 8)
+    val columns = intOf("Columns", 1)
+    if (colors < 1 || colors > 4 || bpc != 8 || columns < 1 || columns > (1 << 20)) fail()
+    val bpp = colors.toInt
+    val rowLen = (colors * columns).toInt
+    if (rowLen <= 0 || data.length % (rowLen + 1) != 0) fail()
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var j = 0
+      while (j < rowLen) {
+        val x = data(src + j) & 0xff
+        val left = if (j >= bpp) out(dst + j - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + j) & 0xff else 0
+        val upLeft = if (r > 0 && j >= bpp) out(dst - rowLen + j - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) >> 1)
+          case 4 =>
+            val pth = left + up - upLeft
+            val pa = math.abs(pth - left); val pb = math.abs(pth - up); val pc = math.abs(pth - upLeft)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => fail()
+        }
+        out(dst + j) = (v & 0xff).toByte
+        j += 1
+      }
+      r += 1
+    }
+    out
+  }
 
   // --------------------------------------------------------- text extract
 
@@ -951,16 +1028,30 @@ object Pdf {
     out.result()
   }
 
+  /** How a font's show strings decode — dispatched on the font dict's
+    * /Subtype, not on ToUnicode presence: simple fonts (Type1/TrueType)
+    * carry ONE-byte codes, mapped through their ToUnicode CMap when the
+    * producer embedded one (pdflatex does on nearly every subset font) and
+    * WinAnsi otherwise; Type0 fonts carry TWO-byte CIDs and are
+    * text-extractable ONLY through a ToUnicode CMap — a Type0 without one
+    * quarantines at show time rather than emitting cp1252 garbage.
+    */
+  private[ext] sealed trait FontDecode
+  private[ext] case object WinAnsiFont extends FontDecode
+  private[ext] final case class SimpleMapped(cmap: Map[Int, String]) extends FontDecode
+  private[ext] final case class CidMapped(cmap: Map[Int, String]) extends FontDecode
+  private[ext] case object CidUnmapped extends FontDecode
+
   /** The classical line-model extractor over one page's content bytes:
     * positioning ops (`Td`/`TD`/`Tm`/`T*`) and next-line shows (`'`/`"`)
     * break the line iff text was shown since the last break; `Tj`/`'`/`"`
     * show their string operand, `TJ` its array's strings (kern numbers
-    * skipped). `fonts` maps resource names to a ToUnicode CID map (2-byte
-    * codes) or null for WinAnsi; `Tf` switches the active decode — the
-    * subset-embedded-font reality of modern PDFs. Returns (text, nLines).
+    * skipped). `fonts` maps resource names to their [[FontDecode]]; `Tf`
+    * switches the active decode — the subset-embedded-font reality of
+    * modern PDFs. Returns (text, nLines).
     */
   private[ext] def extractText(content: Array[Byte],
-      fonts: Map[String, Map[Int, String]] = Map.empty): (String, Long) = {
+      fonts: Map[String, FontDecode] = Map.empty): (String, Long) = {
     val lex = new Lexer(content, 0, content.length)
     val sb = new java.lang.StringBuilder
     var lines = 0L
@@ -968,18 +1059,26 @@ object Pdf {
     var anyText = false
     val stack = scala.collection.mutable.ArrayBuffer[PObj]()
     def break(): Unit = if (shownSinceBreak) { sb.append('\n'); lines += 1; shownSinceBreak = false }
-    var curCid: Map[Int, String] = null // null = WinAnsi (the default)
+    var curFont: FontDecode = WinAnsiFont
     def show(o: PObj): Unit = o match {
       case PStr(b) =>
-        if (curCid == null) sb.append(Charset.cp1252Decode(b))
-        else {
-          if (b.length % 2 != 0) fail() // CID strings are 2 bytes per code
-          var i = 0
-          while (i < b.length) {
-            val cid = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-            sb.append(curCid.getOrElse(cid, fail())) // unmapped CID: quarantine
-            i += 2
-          }
+        curFont match {
+          case WinAnsiFont => sb.append(Charset.cp1252Decode(b))
+          case SimpleMapped(m) =>
+            var i = 0
+            while (i < b.length) {
+              sb.append(m.getOrElse(b(i) & 0xff, fail())) // unmapped code: quarantine
+              i += 1
+            }
+          case CidMapped(m) =>
+            if (b.length % 2 != 0) fail() // CID strings are 2 bytes per code
+            var i = 0
+            while (i < b.length) {
+              val cid = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+              sb.append(m.getOrElse(cid, fail())) // unmapped CID: quarantine
+              i += 2
+            }
+          case CidUnmapped => fail() // Type0 without ToUnicode: no text
         }
         shownSinceBreak = true; anyText = true
       case _ => fail()
@@ -996,7 +1095,7 @@ object Pdf {
         lex.keyword() match {
           case "Tf" => // operands: /FontName size — switch the decode map
             stack.headOption match {
-              case Some(PName(f)) => curCid = fonts.getOrElse(f, null)
+              case Some(PName(f)) => curFont = fonts.getOrElse(f, WinAnsiFont)
               case _ => // malformed Tf: keep the current font (lenient)
             }
           case "Td" | "TD" | "Tm" | "T*" => break()
@@ -1069,26 +1168,39 @@ object Pdf {
           out.toByteArray
         case _ => fail()
       }
-      // page font resources: name -> ToUnicode CID map (null = WinAnsi).
-      // CMaps are cached per (doc, font object) via the ref's number.
-      val fonts: Map[String, Map[Int, String]] = page.m.get("Resources") match {
-        case Some(res: PDict) => res.m.get("Font") match {
-          case Some(fd: PDict) => fd.m.collect { case (name, r: PRef) =>
-            val fontDict = doc.loadDict(r)
-            val cmap = fontDict.m.get("ToUnicode") match {
-              case Some(tu: PRef) =>
-                val (obj, data) = doc.load(tu.num, allowStream = true)
-                if (data == null) fail()
-                val d = obj match { case dd: PDict => dd; case _ => fail() }
-                parseCMap(decodeStreamData(d, data))
-              case None => null
-              case _ => fail()
-            }
-            name -> cmap
-          }
-          case _ => Map.empty[String, Map[Int, String]]
+      // page font resources: name -> FontDecode, dispatched on /Subtype
+      // (Type0 = 2-byte CIDs, anything else = 1-byte codes); the entry
+      // value may be an indirect ref OR a direct dict — both legal PDF.
+      // CMaps are cached per document via the ToUnicode ref's number.
+      def fontDecodeOf(fontDict: PDict): FontDecode = {
+        val isType0 = fontDict.m.get("Subtype").contains(PName("Type0"))
+        val cmap: Map[Int, String] = fontDict.m.get("ToUnicode") match {
+          case Some(tu: PRef) => doc.cmapCache.getOrElseUpdate(tu.num, {
+            val (obj, data) = doc.load(tu.num, allowStream = true)
+            if (data == null) fail()
+            val d = obj match { case dd: PDict => dd; case _ => fail() }
+            parseCMap(decodeStreamData(d, data))
+          })
+          case None => null
+          case _ => fail()
         }
-        case _ => Map.empty[String, Map[Int, String]]
+        (isType0, cmap) match {
+          case (true, null) => CidUnmapped
+          case (true, m) => CidMapped(m)
+          case (false, null) => WinAnsiFont
+          case (false, m) => SimpleMapped(m)
+        }
+      }
+      val fonts: Map[String, FontDecode] = page.m.get("Resources") match {
+        case Some(res: PDict) => res.m.get("Font") match {
+          case Some(fd: PDict) => fd.m.map {
+            case (name, r: PRef) => name -> fontDecodeOf(doc.loadDict(r))
+            case (name, d: PDict) => name -> fontDecodeOf(d) // inline dict
+            case _ => fail()
+          }
+          case _ => Map.empty[String, FontDecode]
+        }
+        case _ => Map.empty[String, FontDecode]
       }
       val (text, nLines) = extractText(content, fonts)
       val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -234,19 +234,27 @@ object Webp {
     * sub-images and palettes).
     */
   private def decodeEntropyImage(br: BitReader, w: Int, h: Int): Array[Int] =
-    decodeImage(br, w, h, meta = None)
+    decodeImage(br, w, h, allowMeta = false)
 
-  /** Decode one entropy-coded image to `w*h` ARGB pixels; `meta` carries
-    * the spatially-varying Huffman-group assignment (subsample bits +
-    * the decoded entropy image whose (red<<8 | green) is each block's
-    * group index) when the main image declared meta codes.
+  /** Decode one spatially-coded image to `w*h` ARGB pixels. Wire order
+    * per the spec (and libwebp): color-cache-info FIRST, then — main
+    * image only (`allowMeta`) — the meta-prefix bit, subsample bits and
+    * the group entropy image (whose (red<<8 | green) is each block's
+    * group index), then every group's five codes.
     */
   private def decodeImage(br: BitReader, w: Int, h: Int,
-      meta: Option[(Int, Array[Int])]): Array[Int] = {
+      allowMeta: Boolean): Array[Int] = {
     val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
     if (cacheBits > 11) fail()
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    val meta: Option[(Int, Array[Int])] =
+      if (allowMeta && br.readBit() == 1) {
+        val bits = br.readBits(3) + 2
+        val mw = (w + (1 << bits) - 1) >> bits
+        val mh = (h + (1 << bits) - 1) >> bits
+        Some((bits, decodeEntropyImage(br, mw, mh)))
+      } else None
     val numGroups = meta match {
       case None => 1
       case Some((_, img)) =>
@@ -256,15 +264,18 @@ object Webp {
         mx + 1
     }
     val groups = Array.fill(numGroups)(new HGroup(br, cacheSize))
+    // hot-loop group lookup: no Option match per pixel; divisions only on
+    // the meta path
+    val metaBits = meta.map(_._1).getOrElse(0)
+    val metaImg: Array[Int] = meta.map(_._2).orNull
     val metaW = meta.map { case (bits, _) => (w + (1 << bits) - 1) >> bits }.getOrElse(0)
-    def groupAt(p: Int): HGroup = meta match {
-      case None => groups(0)
-      case Some((bits, img)) =>
-        val x = p % w; val y = p / w
-        val v = img((y >> bits) * metaW + (x >> bits))
-        val idx = (sub(v, 16) << 8) | sub(v, 8)
-        groups(idx)
-    }
+    val g0 = groups(0)
+    def groupAt(p: Int): HGroup =
+      if (metaImg == null) g0
+      else {
+        val v = metaImg(((p / w) >> metaBits) * metaW + ((p % w) >> metaBits))
+        groups((sub(v, 16) << 8) | sub(v, 8))
+      }
     val n = w * h
     val out = new Array[Int](n)
     def insert(argb: Int): Unit =
@@ -460,16 +471,7 @@ object Webp {
       }
     }
     if (transforms.size > 1 && transforms.exists(_.isInstanceOf[IndexT])) fail()
-    // spatially-varying Huffman groups (meta codes): subsample bits + an
-    // entropy image whose (red<<8 | green) indexes each block's group
-    val meta: Option[(Int, Array[Int])] =
-      if (br.readBit() == 1) {
-        val bits = br.readBits(3) + 2
-        val mw = (effW + (1 << bits) - 1) >> bits
-        val mh = (h + (1 << bits) - 1) >> bits
-        Some((bits, decodeEntropyImage(br, mw, mh)))
-      } else None
-    var px = decodeImage(br, effW, h, meta)
+    var px = decodeImage(br, effW, h, allowMeta = true)
     transforms.reverseIterator.foreach {
       case PredictorT(bb, modes) => inversePredictor(px, effW, h, modes, bb)
       case ColorT(bb, ctes) => inverseColorTransform(px, effW, h, ctes, bb)
@@ -688,10 +690,15 @@ object Webp {
     }
   }
 
-  /** Serialize one entropy-coded image from a token stream. */
-  private def writeEntropyImage(bw: BitWriter, toks: Seq[Tok], cacheBits: Int): Unit = {
+  /** Serialize one entropy-coded image from a token stream. `mainImage`
+    * emits the meta-prefix bit (0) in its wire position — AFTER the
+    * color-cache info, per spec.
+    */
+  private def writeEntropyImage(bw: BitWriter, toks: Seq[Tok], cacheBits: Int,
+      mainImage: Boolean = false): Unit = {
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) } else bw.writeBits(0, 1)
+    if (mainImage) bw.writeBits(0, 1) // single group: no meta codes
     val gFreq = new Array[Long](256 + 24 + cacheSize)
     val rFreq = new Array[Long](256)
     val bFreq = new Array[Long](256)
@@ -781,8 +788,7 @@ object Webp {
     (Math.floorMod(id, 5L).toInt: @annotation.switch) match {
       case 0 => // no transform, color-cache literals
         bw.writeBits(0, 1) // no more transforms
-        bw.writeBits(0, 1) // no meta-huffman
-        writeEntropyImage(bw, cacheToks(px, 6), 6)
+        writeEntropyImage(bw, cacheToks(px, 6), 6, mainImage = true)
       case 1 => // subtract-green + LZ77
         bw.writeBits(1, 1); bw.writeBits(2, 2) // transform: subtract green
         bw.writeBits(0, 1) // no more transforms
@@ -790,8 +796,7 @@ object Webp {
           val g = sub(v, 8)
           argb(sub(v, 24), (sub(v, 16) - g) & 0xff, g, (sub(v, 0) - g) & 0xff)
         }
-        bw.writeBits(0, 1) // no meta-huffman
-        writeEntropyImage(bw, lz77Toks(t), 0)
+        writeEntropyImage(bw, lz77Toks(t), 0, mainImage = true)
       case 2 => // predictor transform, mode 2 (T) in one block
         bw.writeBits(1, 1); bw.writeBits(0, 2) // transform: predictor
         bw.writeBits(6, 3) // size_bits 6 + 2 = 8 -> 256-px blocks (one block)
@@ -814,24 +819,26 @@ object Webp {
           }
           y += 1
         }
-        bw.writeBits(0, 1) // no meta-huffman
-        writeEntropyImage(bw, literalToks(res), 0)
-      case 4 => // meta-Huffman: two groups, split at the half-height row
+        writeEntropyImage(bw, literalToks(res), 0, mainImage = true)
+      case 4 => // meta-Huffman: groups split at the half-height block row
         bw.writeBits(0, 1) // no transforms
+        bw.writeBits(0, 1) // no color cache (cache info comes FIRST per spec)
         bw.writeBits(1, 1) // meta codes present
         bw.writeBits(0, 3) // subsample bits 0+2 -> 4-pixel blocks
         val split = h / 2
         def grpOfY(y: Int): Int = if (((y >> 2) << 2) < split) 0 else 1
+        // the written group COUNT must equal the meta image's max+1 — at
+        // h <= 4 every block is group 0 and only one group exists
+        val nGroups = (0 until h by 4).map(grpOfY).max + 1
         val mw = (w + 3) >> 2
         val mh = (h + 3) >> 2
         val metaPx = Array.tabulate(mw * mh)(i => argb(0, 0, grpOfY((i / mw) << 2), 0))
         writeEntropyImage(bw, literalToks(metaPx), 0) // the meta image itself
-        bw.writeBits(0, 1) // no color cache
-        val gFreq = Array.fill(2)(new Array[Long](280))
-        val rFreq = Array.fill(2)(new Array[Long](256))
-        val bFreq = Array.fill(2)(new Array[Long](256))
-        val aFreq = Array.fill(2)(new Array[Long](256))
-        val dFreq = Array.fill(2)(new Array[Long](40))
+        val gFreq = Array.fill(nGroups)(new Array[Long](280))
+        val rFreq = Array.fill(nGroups)(new Array[Long](256))
+        val bFreq = Array.fill(nGroups)(new Array[Long](256))
+        val aFreq = Array.fill(nGroups)(new Array[Long](256))
+        val dFreq = Array.fill(nGroups)(new Array[Long](40))
         var p = 0
         while (p < px.length) {
           val grp = grpOfY(p / w)
@@ -840,7 +847,7 @@ object Webp {
           bFreq(grp)(sub(v, 0)) += 1; aFreq(grp)(sub(v, 24)) += 1
           p += 1
         }
-        val ws = (0 until 2).map { grp =>
+        val ws = (0 until nGroups).map { grp =>
           (writeHuffmanCode(bw, gFreq(grp)), writeHuffmanCode(bw, rFreq(grp)),
             writeHuffmanCode(bw, bFreq(grp)), writeHuffmanCode(bw, aFreq(grp)),
             writeHuffmanCode(bw, dFreq(grp)))
@@ -886,8 +893,7 @@ object Webp {
           }
           y += 1
         }
-        bw.writeBits(0, 1) // no meta-huffman
-        writeEntropyImage(bw, literalToks(packed), 0)
+        writeEntropyImage(bw, literalToks(packed), 0, mainImage = true)
     }
     val payload = bw.toByteArray
     val out = new java.io.ByteArrayOutputStream(payload.length + 32)

@@ -197,13 +197,24 @@ class PdfSpec extends AnyFunSuite {
     // Tf switches decode mid-stream: same bytes, two fonts, two meanings
     val content = ("BT /F1 12 Tf (AB) Tj /FX 12 Tf " +
       "<00010100> Tj ET").getBytes("ISO-8859-1")
-    val fonts = Map[String, Map[Int, String]]("F1" -> null, "FX" -> cmap)
+    val fonts = Map[String, Pdf.FontDecode](
+      "F1" -> Pdf.WinAnsiFont, "FX" -> Pdf.CidMapped(cmap))
     assert(Pdf.extractText(content, fonts)._1 == "AB\u00e9a")
     // unmapped CID and odd-length CID strings quarantine
     intercept[RuntimeException](Pdf.extractText(
       "BT /FX 12 Tf <0099> Tj ET".getBytes("ISO-8859-1"), fonts))
     intercept[RuntimeException](Pdf.extractText(
       "BT /FX 12 Tf <000101> Tj ET".getBytes("ISO-8859-1"), fonts))
+    // a SIMPLE font with a ToUnicode CMap decodes 1-byte codes through it
+    // (the pdflatex shape); a Type0 WITHOUT ToUnicode quarantines at show
+    val simple = Map[String, Pdf.FontDecode](
+      "FS" -> Pdf.SimpleMapped(Map('A'.toInt -> "x", 'B'.toInt -> "yz")),
+      "F0" -> Pdf.CidUnmapped)
+    assert(Pdf.extractText("BT /FS 12 Tf (AB) Tj ET".getBytes("ISO-8859-1"), simple)._1 == "xyz")
+    intercept[RuntimeException](Pdf.extractText(
+      "BT /FS 12 Tf (AC) Tj ET".getBytes("ISO-8859-1"), simple)) // unmapped byte
+    intercept[RuntimeException](Pdf.extractText(
+      "BT /F0 12 Tf <0001> Tj ET".getBytes("ISO-8859-1"), simple))
     // the fixture's mapping is NON-identity: stripping /ToUnicode from a
     // CID page's font makes extraction produce different bytes (an
     // extractor that ignores the CMap cannot pass the oracle)
