@@ -182,11 +182,17 @@ object Epub {
   private[ext] def parseEpub(id: Long, bytes: Array[Byte],
       maxEntryBytes: Int): Seq[EpubChapter] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val files = Zip.parseArchiveFiles(bytes, maxEntryBytes)
-    if (files.isEmpty) fail()
-    // OCF 3.0 §3.3: first entry, named `mimetype`, STORED, exact content
-    val (n0, d0, m0) = files.head
-    if (n0 != "mimetype" || m0 != 0 || new String(d0, utf8) != "application/epub+zip") fail()
+    val withOff = Zip.parseArchiveFilesWithOffsets(bytes, maxEntryBytes)
+    if (withOff.isEmpty) fail()
+    // OCF 3.0 §3.3 is a PHYSICAL layout rule: the `mimetype` entry must be
+    // the physically first file in the archive (local header at byte 0),
+    // STORED, with exact content. CD order is NOT the criterion — a foreign
+    // EPUB whose central directory lists entries in a different order than
+    // they sit on disk is still conforming, so the check keys on lfhOffset.
+    val (n0, d0, m0, off0) = withOff.minBy(_._4)
+    if (off0 != 0L || n0 != "mimetype" || m0 != 0 ||
+      new String(d0, utf8) != "application/epub+zip") fail()
+    val files = withOff.map(e => (e._1, e._2, e._3))
     val byName = files.map(f => f._1 -> f._2).toMap
     if (byName.size != files.size) fail() // duplicate entry names
 

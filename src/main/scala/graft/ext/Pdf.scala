@@ -30,9 +30,14 @@ import org.apache.spark.sql.functions._
   *  - '''streams''': `/Length` direct or INDIRECT (a real-producer habit:
   *    writers emit the length object after the stream), validated against
   *    the remaining bytes BEFORE any slice (a hostile declared length can't
-  *    allocate); `/Filter /FlateDecode` rides the repo's own zlib/DEFLATE
-  *    decoder ([[Multimodal.zlibInflate]]) with the family 1<<26 output cap
-  *    and an explicit size hint (the inflate hint contract).
+  *    allocate); `/Filter` as a single name OR a chain array —
+  *    `/FlateDecode` rides the repo's own zlib/DEFLATE decoder
+  *    ([[Multimodal.zlibInflate]]) with the family 1<<26 output cap and an
+  *    explicit size hint (the inflate hint contract), `/LZWDecode` the
+  *    in-house early-change LZW kernel (the [[Tiff]] convention, with
+  *    `/EarlyChange 0` supported), and `/ASCIIHexDecode`/`/ASCII85Decode`
+  *    the armorings scanned/legacy producers wrap them in; per-entry
+  *    `/DecodeParms` PNG predictors invert after their filter.
   *  - '''page tree''': `/Root → /Pages → /Kids` recursion with interior
   *    `/Pages` nodes, a visited set (cycle guard) and a depth cap; page
   *    `/Contents` as a single stream or an array of streams (concatenated
@@ -40,10 +45,13 @@ import org.apache.spark.sql.functions._
   *  - '''text extractor''': BT/ET blocks, `Tj`/`'`/`"`/`TJ` show operators
   *    (TJ's kerning numbers skipped), with the classical line model — any
   *    positioning operator (`Td`/`TD`/`Tm`/`T*`) or next-line show (`'`/`"`)
-  *    breaks the line iff text was shown since the last break. Strings are
-  *    WinAnsiEncoding; the byte→char map rides [[Charset.cp1252Decode]]
-  *    (WinAnsi and cp1252 agree on every assigned slot; the fixture and the
-  *    extractor never touch the five unassigned bytes).
+  *    breaks the line iff text was shown since the last break. Per-font
+  *    decode via `Tf`: WinAnsi simple fonts ride [[Charset.cp1252Decode]]
+  *    (WinAnsi and cp1252 agree on every assigned slot), `/Differences`
+  *    simple fonts build base-plus-overrides maps through the AGL-subset
+  *    glyph table, Type0 fonts decode 2-byte CIDs through their ToUnicode
+  *    CMap; a `Tf` naming a font absent from a non-empty resource map
+  *    quarantines at show time instead of falling back.
   *
   * STRICT container semantics like every archive family here: a bad header,
   * a dangling xref offset, an object-number mismatch at an offset, a
@@ -169,6 +177,31 @@ object Pdf {
     */
   private[ext] def cidPage(id: Long, p: Int): Boolean = (id + p) % 4 == 2
 
+  /** Whether page `p` of doc `id` shows its text through /F3 — the simple
+    * font whose `/Encoding << /Differences [...] >>` array remaps codes
+    * non-identity (a/b swapped; the three fixture high chars moved onto
+    * 128..130). Disjoint from [[cidPage]] by construction.
+    */
+  private[ext] def diffPage(id: Long, p: Int): Boolean = (id + p) % 4 == 0
+
+  /** Encode text under /F3's effective encoding: cp1252, then the
+    * /Differences overrides applied in reverse — the writer dual of the
+    * reader's base-plus-overrides map.
+    */
+  private[ext] def diffEncode(s: String): Array[Byte] = {
+    val base = Charset.cp1252Encode(s)
+    base.map { b =>
+      (b & 0xff) match {
+        case 0x61 => 0x62.toByte // 'a' shows via code 98 (/a at 98)
+        case 0x62 => 0x61.toByte // 'b' shows via code 97 (/b at 97)
+        case 0xe9 => 128.toByte  // é via /eacute at 128
+        case 0x93 => 129.toByte  // curly open quote via /quotedblleft
+        case 0x94 => 130.toByte  // curly close quote via /quotedblright
+        case o => o.toByte
+      }
+    }
+  }
+
   /** Serialize one page's content stream: BT/ET blocks, `Tf`/`TL` setup,
     * and per line one of the show forms — hex-string `Tj`, a kerned `TJ`
     * array, next-line `'`, spacing-operand `"`, or plain `Td` + `Tj` —
@@ -181,7 +214,8 @@ object Pdf {
   private[ext] def renderContent(id: Long, p: Int): Array[Byte] = {
     val n = nLines(id, p)
     val cid = cidPage(id, p)
-    val font = if (cid) "/F2" else "/F1"
+    val diff = diffPage(id, p)
+    val font = if (cid) "/F2" else if (diff) "/F3" else "/F1"
     val twoBlocks = (id + p) % 2 == 1 && n >= 3
     val sb = new StringBuilder
     val out = new java.io.ByteArrayOutputStream
@@ -198,7 +232,10 @@ object Pdf {
       if (twoBlocks && l == 2) { sb.append("ET\n"); openBlock(first = false) }
       val blockStart = l == 0 || (twoBlocks && l == 2)
       val text = lineText(id, p, l)
-      val enc = if (cid) cidEncode(text) else Charset.cp1252Encode(text)
+      val enc =
+        if (cid) cidEncode(text)
+        else if (diff) diffEncode(text)
+        else Charset.cp1252Encode(text)
       val sel = ((id + 2 * p + 3 * l) % 6).toInt
       if (!blockStart && sel == 2) {
         flush(); out.write('('); out.write(escapeLiteral(enc)); sb.append(") '\n")
@@ -259,15 +296,23 @@ object Pdf {
       raw(s"$num 0 obj\n"); body; raw("endobj\n")
     }
     // the indirect-length VALUE lands wherever the arm puts non-stream
-    // objects: top-level (classic, null sink) or the ObjStm (modern)
+    // objects: top-level (classic, null sink) or the ObjStm (modern).
+    // Filter arm cycles by (id+p)%6 — even keeps the historical Flate,
+    // odd splits raw / LZW (the Tiff.lzwEncode early-change kernel, the
+    // PDF default) / an ASCII85-armored Flate CHAIN, so every filter the
+    // reader supports is graded end to end by the text oracle
     def contentObj(num: Int, p: Int, packLength: (Int, String) => Unit = null): Unit = {
       val data = renderContent(id, p)
-      val flate = (id + p) % 2 == 0
-      val bytes = if (flate) zlibCompress(data) else data
+      val (bytes, filterDecl) = ((id + p) % 6).toInt match {
+        case 0 | 2 | 4 => (zlibCompress(data), " /Filter /FlateDecode")
+        case 1 => (data, "")
+        case 3 => (Tiff.lzwEncode(data), " /Filter /LZWDecode")
+        case _ => (ascii85Encode(zlibCompress(data)), " /Filter [/ASCII85Decode /FlateDecode]")
+      }
       val indirectLen = (id + p) % 3 == 0
       obj(num) {
         raw("<< /Length " + (if (indirectLen) s"${num + 1} 0 R" else s"${bytes.length}"))
-        if (flate) raw(" /Filter /FlateDecode")
+        raw(filterDecl)
         raw(" >>\nstream\n")
         out.write(bytes)
         raw("\nendstream\n")
@@ -279,11 +324,12 @@ object Pdf {
     }
 
     // object numbering: 1 catalog, 2 pages, 3 /F1, 4 /F2 (Type0), 5 its
-    // ToUnicode CMap stream; per page a page obj + content obj (+ length
-    // obj on the indirect arm), assigned sequentially
+    // ToUnicode CMap stream, 6 /F3 (the /Differences simple font); per
+    // page a page obj + content obj (+ length obj on the indirect arm),
+    // assigned sequentially
     val pageNum = new Array[Int](np + 1)
     val contNum = new Array[Int](np + 1)
-    var next = 6
+    var next = 7
     for (p <- 0 to np) { // slot np is the update page (may go unused)
       pageNum(p) = next; contNum(p) = next + 1
       next += (if ((id + p) % 3 == 0) 3 else 2)
@@ -305,17 +351,30 @@ object Pdf {
     def font2Body =
       "<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID" +
         " /Encoding /Identity-H /ToUnicode 5 0 R >>"
+    // the /Differences font: WinAnsi base with a NON-identity override —
+    // a/b swapped, and the three fixture high chars moved to 128..130
+    // (WinAnsi €//‚ slots), so an extractor that ignores the
+    // /Differences array produces different text and fails the hash
+    def font3Body =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding" +
+        " << /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences" +
+        " [97 /b 98 /a 128 /eacute /quotedblleft /quotedblright] >> >>"
     def pageBody(contentNum: Int) =
       "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
-        " /Resources << /Font << /F1 3 0 R /F2 4 0 R >> >>" +
+        " /Resources << /Font << /F1 3 0 R /F2 4 0 R /F3 6 0 R >> >>" +
         s" /Contents $contentNum 0 R >>"
     def pageObj(num: Int, contentNum: Int): Unit = obj(num) {
       raw(pageBody(contentNum) + "\n")
     }
     val cmapBytes = FixtureCMap.getBytes("ISO-8859-1")
+    // odd ids armor the CMap stream in ASCIIHexDecode (line-wrapped, so
+    // the decoder's whitespace skip is exercised); even ids keep it raw
     def cmapObj(): Unit = obj(5) {
-      raw(s"<< /Length ${cmapBytes.length} >>\nstream\n")
-      out.write(cmapBytes)
+      val hexArm = id % 2 == 1
+      val body = if (hexArm) asciiHexEncode(cmapBytes) else cmapBytes
+      raw(s"<< /Length ${body.length}" +
+        (if (hexArm) " /Filter /ASCIIHexDecode" else "") + " >>\nstream\n")
+      out.write(body)
       raw("\nendstream\n")
     }
 
@@ -330,6 +389,7 @@ object Pdf {
       obj(3) { raw(fontBody + "\n") }
       obj(4) { raw(font2Body + "\n") }
       cmapObj()
+      obj(6) { raw(font3Body + "\n") }
       for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
       val xref1 = out.size.toLong
       baseXrefOff = xref1
@@ -347,6 +407,7 @@ object Pdf {
       packed += ((2, pagesBody(np)))
       packed += ((3, fontBody))
       packed += ((4, font2Body)) // the CMap is a STREAM: top-level below
+      packed += ((6, font3Body))
       cmapObj()
       for (p <- 0 until np) {
         packed += ((pageNum(p), pageBody(contNum(p))))
@@ -670,8 +731,10 @@ object Pdf {
       if (n < 16) fail()
       val head = new String(bytes, 0, math.min(8, n), "ISO-8859-1")
       if (!head.startsWith("%PDF-1.")) fail()
-      // find `startxref` in the tail
-      val tailFrom = math.max(0, n - 64)
+      // find `startxref` in the tail — the spec tolerates up to 1024 bytes
+      // of trailing junk after %%EOF (truncating proxies and appenders
+      // produce exactly this), so the scan window is 1024, not a tight 64
+      val tailFrom = math.max(0, n - 1024)
       val tail = new String(bytes, tailFrom, n - tailFrom, "ISO-8859-1")
       val sx = tail.lastIndexOf("startxref")
       if (sx < 0) fail()
@@ -886,27 +949,237 @@ object Pdf {
       load(r.num, allowStream = false)._1 match { case d: PDict => d; case _ => fail() }
   }
 
-  /** Decode one stream's data per its dict's /Filter: raw when absent,
+  /** ASCIIHexDecode: hex digits to bytes, whitespace skipped, `>` is the
+    * required EOD marker, an odd final digit pads a low 0 nibble. Bytes
+    * past the marker are ignored (the /Length slice may overshoot).
+    */
+  private[ext] def asciiHexDecode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < src.length) {
+      val c = src(i) & 0xff
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      }
+      if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) fail()
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    fail() // missing EOD marker
+  }
+
+  /** ASCIIHexDecode's writer side (the fixture's CMap arm): wrapped hex
+    * lines plus the `>` EOD.
+    */
+  private[ext] def asciiHexEncode(src: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(src.length * 2 + src.length / 32 + 2)
+    var i = 0
+    while (i < src.length) {
+      sb.append(f"${src(i) & 0xff}%02X")
+      if ((i + 1) % 32 == 0) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** ASCII85Decode: base-85 groups of 5 chars `!`..`u` → 4 bytes, `z` a
+    * whole zero group (only BETWEEN groups), whitespace skipped, `~>` the
+    * required EOD; a partial final group of n chars pads with `u` and
+    * yields n−1 bytes (n = 1 is malformed). Group values above 2^32−1
+    * quarantine.
+    */
+  private[ext] def ascii85Decode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    def flush(n: Int): Unit = {
+      if (n == 1) fail()
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < n) grp(j) else 84); j += 1 }
+      if (v > 0xffffffffL) fail()
+      var sh = 24
+      var m = 0
+      while (m < n - 1) { out.write(((v >> sh) & 0xff).toInt); sh -= 8; m += 1 }
+    }
+    while (i < src.length) {
+      val c = src(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= src.length || src(i + 1) != '>') fail()
+        if (k > 0) flush(k)
+        return out.toByteArray
+      } else if (c == 'z') {
+        if (k != 0) fail() // z inside a group is malformed
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!isWs(c)) {
+        if (c < '!' || c > 'u') fail()
+        grp(k) = c - '!'; k += 1
+        if (k == 5) { flush(5); k = 0 }
+      }
+      i += 1
+    }
+    fail() // missing ~> EOD
+  }
+
+  /** ASCII85Decode's writer side (the chain arm): `z` for zero groups,
+    * line-wrapped (exercising the decoder's whitespace skip), `~>` EOD.
+    */
+  private[ext] def ascii85Encode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length * 5 / 4 + 8)
+    var col = 0
+    var i = 0
+    while (i < src.length) {
+      val n = math.min(4, src.length - i)
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (if (j < n) src(i + j) & 0xffL else 0L); j += 1 }
+      if (v == 0L && n == 4) { out.write('z'); col += 1 }
+      else {
+        val cs = new Array[Int](5)
+        var k = 4
+        var r = v
+        while (k >= 0) { cs(k) = (r % 85).toInt; r /= 85; k -= 1 }
+        var m = 0
+        while (m <= n) { out.write('!' + cs(m)); m += 1 }
+        col += n + 1
+      }
+      if (col >= 72) { out.write('\n'); col = 0 }
+      i += 4
+    }
+    out.write('~'); out.write('>')
+    out.toByteArray
+  }
+
+  /** PDF LZWDecode: MSB-first code packing, Clear=256, EOD=257, first
+    * dynamic code 258, widths 9→12. With `/EarlyChange 1` (the default)
+    * the width bumps one code early — byte-identical to the TIFF variant
+    * (the [[Tiff.lzwDecode]]/[[Tiff.lzwEncode]] kernel this mirrors, which
+    * is also why the fixture writer encodes through `Tiff.lzwEncode`);
+    * `/EarlyChange 0` bumps at the exact table-full point. Unlike the TIFF
+    * side the decoded size is unknown in advance, so output grows up to
+    * `maxOut` and the EOD code is REQUIRED — exhaustion without it, an
+    * out-of-range code, or an oversized output quarantines.
+    */
+  private[ext] def lzwDecode(src: Array[Byte], maxOut: Int, earlyChange: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(src.length.toLong * 4 + 64, maxOut.toLong).toInt)
+    var bitPos = 0L
+    val totalBits = src.length.toLong * 8
+    def read(width: Int): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var k = 0
+      while (k < width) {
+        v = (v << 1) | ((src((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    val length = new Array[Int](4096)
+    val scratch = new Array[Byte](4096)
+    def emit(code: Int): Unit = {
+      val len = if (code < 256) 1 else length(code)
+      if (out.size.toLong + len > maxOut) fail()
+      var c = code
+      var p = len - 1
+      while (c >= 256) { scratch(p) = append(c); p -= 1; c = prefix(c) }
+      scratch(p) = c.toByte
+      out.write(scratch, 0, len)
+    }
+    def firstByte(code: Int): Byte = { var c = code; while (c >= 256) c = prefix(c); c.toByte }
+    var width = 9
+    var next = 258
+    var prev = -1
+    val bump = if (earlyChange) 1 else 0
+    def add(p: Int, b: Byte): Unit =
+      if (next < 4096) {
+        prefix(next) = p; append(next) = b
+        length(next) = (if (p < 256) 1 else length(p)) + 1
+        next += 1
+        if (next == (1 << width) - bump && width < 12) width += 1
+      }
+    while (true) {
+      val code = read(width)
+      if (code < 0) fail() // exhaustion before EOD
+      else if (code == 257) return out.toByteArray
+      else if (code == 256) { width = 9; next = 258; prev = -1 }
+      else {
+        if (prev < 0) { if (code > 255) fail(); emit(code) }
+        else if (code < next) { emit(code); add(prev, firstByte(code)) }
+        else if (code == next) { add(prev, firstByte(prev)); emit(code) } // KwKwK
+        else fail()
+        prev = code
+      }
+    }
+    fail() // unreachable
+  }
+
+  /** Decode one stream's data per its dict's /Filter — a single name or a
+    * CHAIN (an array applied in list order, the spec's decode order):
     * FlateDecode via the repo's own zlib decoder (output capped under the
-    * family budget, hint passed per the inflate contract), then the
-    * /DecodeParms PNG predictor when declared — real PDF 1.5 writers emit
-    * cross-reference streams almost universally with /Predictor 12, so
-    * ignoring it would misparse the very files the 1.5 path exists for.
-    * Shared by content, cross-reference, object and CMap streams.
+    * family budget, hint passed per the inflate contract), LZWDecode via
+    * the in-house early-change kernel (the /EarlyChange DecodeParms
+    * toggles the GIF-style late bump), and the two ASCII armorings real
+    * producers wrap binary filters in. /DecodeParms aligns with /Filter
+    * (a single dict for a single filter, an array with null holes for a
+    * chain) and each entry's PNG predictor is inverted after its filter —
+    * real PDF 1.5 writers emit cross-reference streams almost universally
+    * with /Predictor 12, so ignoring it would misparse the very files the
+    * 1.5 path exists for. An unknown filter name quarantines. Shared by
+    * content, cross-reference, object and CMap streams.
     */
   private def decodeStreamData(dict: PDict, data: Array[Byte]): Array[Byte] = {
-    val raw = dict.m.get("Filter") match {
-      case None => data
-      case Some(PName("FlateDecode")) | Some(PArr(Vector(PName("FlateDecode")))) =>
-        Multimodal.zlibInflate(data, 0, data.length, 1 << 26,
-          sizeHint = math.min(16L * data.length + 1024L, 1L << 26).toInt)
-      case _ => fail() // unsupported filter chain: quarantine
-    }
-    dict.m.get("DecodeParms") match {
-      case None => raw
-      case Some(dp: PDict) => applyPredictor(dp, raw)
+    val filters: Vector[String] = dict.m.get("Filter") match {
+      case None => Vector.empty
+      case Some(PName(f)) => Vector(f)
+      case Some(PArr(items)) => items.map { case PName(f) => f; case _ => fail() }
       case _ => fail()
     }
+    if (filters.length > 8) fail() // hostile filter-chain depth
+    val parms: Vector[Option[PDict]] = dict.m.get("DecodeParms") match {
+      case None | Some(PNull) => Vector.fill(filters.length)(None)
+      case Some(dp: PDict) =>
+        if (filters.length != 1) fail()
+        Vector(Some(dp))
+      case Some(PArr(items)) =>
+        if (items.length != filters.length) fail()
+        items.map { case dp: PDict => Some(dp); case PNull => None; case _ => fail() }
+      case _ => fail()
+    }
+    var cur = data
+    var i = 0
+    while (i < filters.length) {
+      val dp = parms(i)
+      cur = filters(i) match {
+        case "FlateDecode" =>
+          Multimodal.zlibInflate(cur, 0, cur.length, 1 << 26,
+            sizeHint = math.min(16L * cur.length + 1024L, 1L << 26).toInt)
+        case "LZWDecode" =>
+          val early = dp.flatMap(_.m.get("EarlyChange")) match {
+            case Some(p: PNum) => p.int match { case 0L => false; case 1L => true; case _ => fail() }
+            case None => true // the spec default
+            case _ => fail()
+          }
+          lzwDecode(cur, 1 << 26, early)
+        case "ASCIIHexDecode" => asciiHexDecode(cur)
+        case "ASCII85Decode" => ascii85Decode(cur)
+        case _ => fail() // unsupported filter: quarantine
+      }
+      // the entry's predictor (if declared) inverts AFTER its filter;
+      // applyPredictor is a no-op for dicts without /Predictor (LZW's
+      // bare /EarlyChange dict lands here)
+      dp.foreach(p => cur = applyPredictor(p, cur))
+      i += 1
+    }
+    cur
   }
 
   /** Invert the /DecodeParms predictor: 1 = none; 10–15 = the PNG row
@@ -1041,6 +1314,132 @@ object Pdf {
   private[ext] final case class SimpleMapped(cmap: Map[Int, String]) extends FontDecode
   private[ext] final case class CidMapped(cmap: Map[Int, String]) extends FontDecode
   private[ext] case object CidUnmapped extends FontDecode
+  /** `Tf` named a font ABSENT from the page's (non-empty) resource map: a
+    * show under it quarantines instead of silently decoding as WinAnsi —
+    * the content stream may be carrying 2-byte CIDs for a font the broken
+    * object graph lost, and cp1252 garbage would violate the module's
+    * partial-text-is-worse-than-none policy. When the page declares NO
+    * font resources at all, WinAnsi stays the decode (the classic
+    * minimal-PDF shape, where /Resources is legitimately absent).
+    */
+  private[ext] case object MissingFont extends FontDecode
+
+  /** The glyph names a simple-font `/Differences` array may carry in this
+    * profile — the Adobe Glyph List rows for ASCII letters/digits/
+    * punctuation plus the Latin-1 accents and typographic quotes real
+    * Type1 subsets re-encode. A name outside the table quarantines the
+    * document (decoding an unknown glyph as anything would be a guess).
+    */
+  private[ext] val GlyphNames: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    ('a' to 'z').foreach(c => b += c.toString -> c.toString)
+    ('A' to 'Z').foreach(c => b += c.toString -> c.toString)
+    Vector("zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
+      .zipWithIndex.foreach { case (nm, i) => b += nm -> ('0' + i).toChar.toString }
+    b += "space" -> " "
+    b += "exclam" -> "!"
+    b += "quotedbl" -> "\""
+    b += "numbersign" -> "#"
+    b += "dollar" -> "$"
+    b += "percent" -> "%"
+    b += "ampersand" -> "&"
+    b += "quotesingle" -> "'"
+    b += "parenleft" -> "("
+    b += "parenright" -> ")"
+    b += "asterisk" -> "*"
+    b += "plus" -> "+"
+    b += "comma" -> ","
+    b += "hyphen" -> "-"
+    b += "period" -> "."
+    b += "slash" -> "/"
+    b += "colon" -> ":"
+    b += "semicolon" -> ";"
+    b += "less" -> "<"
+    b += "equal" -> "="
+    b += "greater" -> ">"
+    b += "question" -> "?"
+    b += "at" -> "@"
+    b += "bracketleft" -> "["
+    b += "backslash" -> "\\"
+    b += "bracketright" -> "]"
+    b += "underscore" -> "_"
+    b += "braceleft" -> "{"
+    b += "bar" -> "|"
+    b += "braceright" -> "}"
+    b += "quoteleft" -> "‘"
+    b += "quoteright" -> "’"
+    b += "quotedblleft" -> "“"
+    b += "quotedblright" -> "”"
+    b += "endash" -> "–"
+    b += "emdash" -> "—"
+    b += "bullet" -> "•"
+    b += "Euro" -> "€"
+    b += "agrave" -> "à"
+    b += "aacute" -> "á"
+    b += "acircumflex" -> "â"
+    b += "adieresis" -> "ä"
+    b += "ccedilla" -> "ç"
+    b += "egrave" -> "è"
+    b += "eacute" -> "é"
+    b += "ecircumflex" -> "ê"
+    b += "edieresis" -> "ë"
+    b += "igrave" -> "ì"
+    b += "iacute" -> "í"
+    b += "ograve" -> "ò"
+    b += "oacute" -> "ó"
+    b += "odieresis" -> "ö"
+    b += "ugrave" -> "ù"
+    b += "uacute" -> "ú"
+    b += "udieresis" -> "ü"
+    b += "ntilde" -> "ñ"
+    b.result()
+  }
+
+  /** WinAnsi as a code → text map (one entry per byte, the cp1252 plane
+    * [[extractText]]'s default decode rides) — the base a `/Differences`
+    * array overrides.
+    */
+  private lazy val WinAnsiMap: Map[Int, String] =
+    (0 to 255).map(c => c -> Charset.cp1252Decode(Array(c.toByte))).toMap
+
+  /** The printable-ASCII sub-map every standard simple-font base encoding
+    * agrees on — the decode for MacRoman/Standard-encoded fonts, where a
+    * high byte (the bytes those tables DISAGREE on) must quarantine.
+    */
+  private lazy val AsciiOnlyMap: Map[Int, String] =
+    (0x20 to 0x7e).map(c => c -> c.toChar.toString).toMap
+
+  /** Build a simple font's effective decode map from its `/Encoding`
+    * dictionary: the base (absent or /WinAnsiEncoding — other named bases
+    * are out of profile and quarantine) overridden by the `/Differences`
+    * array's (code, glyph-name...) runs — an integer sets the next code,
+    * each following name assigns consecutive codes, per spec.
+    */
+  private[ext] def differencesMap(ed: PDict): Map[Int, String] = {
+    ed.m.get("BaseEncoding") match {
+      case None | Some(PName("WinAnsiEncoding")) => // the supported profile
+      case _ => fail()
+    }
+    val diffs = ed.m.get("Differences") match {
+      case Some(PArr(items)) => items
+      case None => Vector.empty[PObj]
+      case _ => fail()
+    }
+    var code = -1
+    var m = WinAnsiMap
+    diffs.foreach {
+      case p: PNum =>
+        val v = p.int
+        if (v < 0 || v > 255) fail()
+        code = v.toInt
+      case PName(g) =>
+        if (code < 0 || code > 255) fail()
+        m += code -> GlyphNames.getOrElse(g, fail())
+        code += 1
+      case _ => fail()
+    }
+    m
+  }
 
   /** The classical line-model extractor over one page's content bytes:
     * positioning ops (`Td`/`TD`/`Tm`/`T*`) and next-line shows (`'`/`"`)
@@ -1079,6 +1478,7 @@ object Pdf {
               i += 2
             }
           case CidUnmapped => fail() // Type0 without ToUnicode: no text
+          case MissingFont => fail() // show under an unresolvable Tf name
         }
         shownSinceBreak = true; anyText = true
       case _ => fail()
@@ -1095,7 +1495,12 @@ object Pdf {
         lex.keyword() match {
           case "Tf" => // operands: /FontName size — switch the decode map
             stack.headOption match {
-              case Some(PName(f)) => curFont = fonts.getOrElse(f, WinAnsiFont)
+              case Some(PName(f)) =>
+                // a name missing from a NON-EMPTY resource map is a broken
+                // graph: decode under it must fail, not fall back (see
+                // [[MissingFont]]); with no declared fonts at all WinAnsi
+                // remains the classic default
+                curFont = fonts.getOrElse(f, if (fonts.isEmpty) WinAnsiFont else MissingFont)
               case _ => // malformed Tf: keep the current font (lenient)
             }
           case "Td" | "TD" | "Tm" | "T*" => break()
@@ -1187,8 +1592,25 @@ object Pdf {
         (isType0, cmap) match {
           case (true, null) => CidUnmapped
           case (true, m) => CidMapped(m)
-          case (false, null) => WinAnsiFont
-          case (false, m) => SimpleMapped(m)
+          case (false, m) if m != null => SimpleMapped(m) // ToUnicode wins
+          case (false, _) =>
+            // no ToUnicode: the /Encoding entry decides — a dictionary
+            // (direct or indirect, both legal) carries /Differences over
+            // its base; a named base or nothing is the WinAnsi plane
+            val encObj = fontDict.m.get("Encoding") match {
+              case Some(r: PRef) => Some(doc.load(r.num, allowStream = false)._1)
+              case other => other
+            }
+            encObj match {
+              case Some(ed: PDict) => SimpleMapped(differencesMap(ed))
+              case None | Some(PName("WinAnsiEncoding")) => WinAnsiFont
+              case Some(PName("MacRomanEncoding")) | Some(PName("StandardEncoding")) =>
+                // these bases agree with WinAnsi on ASCII only — decode
+                // that, and let a high byte quarantine at show time
+                // rather than silently decoding it under the wrong table
+                SimpleMapped(AsciiOnlyMap)
+              case _ => fail()
+            }
         }
       }
       val fonts: Map[String, FontDecode] = page.m.get("Resources") match {

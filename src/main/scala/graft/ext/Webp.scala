@@ -34,11 +34,17 @@ import org.apache.spark.sql.functions._
   *
   * Meta-Huffman codes (spatially-varying groups) are decoded: the main
   * image may declare an entropy image whose (red<<8 | green) indexes each
-  * block's group of five codes, group count bomb-capped. ONE documented
-  * profile restriction remains (a hard `fail`, never a wrong answer): the
-  * 120 two-dimensional short-distance codes are not decoded — the writer
-  * emits linear distances (`dist + 120`), and a foreign file using the 2D
-  * table quarantines cleanly.
+  * block's group of five codes, group count bomb-capped. TWO documented
+  * profile restrictions remain (each a hard `fail`, never a wrong
+  * answer): (1) the 120 two-dimensional short-distance codes are not
+  * decoded — the writer emits linear distances (`dist + 120`), and a
+  * foreign file using the 2D table quarantines cleanly; (2)
+  * COLOR-INDEXING combined with any OTHER transform quarantines (the
+  * profile-check sites below) — spec-legal but rare (palette images gain
+  * little from predictor/cross-talk passes; libwebp's encoder never emits
+  * the combination), and supporting it would need each inverse transform
+  * applied at the width the stream recorded for it rather than one shared
+  * effective width.
   *
   * The encoder cycles five REAL arms by doc id — color-cache literals /
   * subtract-green + hash-chain LZ77 / predictor transform (top mode,

@@ -220,14 +220,24 @@ object Zip {
     * office documents, JARs) consume. Any violation throws.
     */
   private[ext] def parseArchiveFiles(b: Array[Byte],
-      maxEntryBytes: Int): Seq[(String, Array[Byte], Int)] = {
+      maxEntryBytes: Int): Seq[(String, Array[Byte], Int)] =
+    parseArchiveFilesWithOffsets(b, maxEntryBytes).map(e => (e._1, e._2, e._3))
+
+  /** [[parseArchiveFiles]] plus each entry's local-file-header offset as the
+    * 4th element. CD order need not match physical (LFH) order, and some
+    * container rules are about PHYSICAL layout — OCF 3.0 §3.3 requires the
+    * `mimetype` entry to be the physically FIRST file (lfhOffset == 0), so
+    * [[Epub]]/[[Docx]]-style consumers check the offset, not CD position.
+    */
+  private[ext] def parseArchiveFilesWithOffsets(b: Array[Byte],
+      maxEntryBytes: Int): Seq[(String, Array[Byte], Int, Long)] = {
     val eocd = findEocd(b)
     val nEntries = u16(b, eocd + 10)
     if (u16(b, eocd + 8) != nEntries || u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0)
       throw new MalformedZip // single-disk archives only
     val cdOffset = u32(b, eocd + 16)
     if (cdOffset + u32(b, eocd + 12) != eocd) throw new MalformedZip
-    val entries = Array.newBuilder[(String, Array[Byte], Int)]
+    val entries = Array.newBuilder[(String, Array[Byte], Int, Long)]
     var p = cdOffset.toInt
     var idx = 0
     while (idx < nEntries) {
@@ -287,7 +297,7 @@ object Zip {
         if (u32(b, d) != crc || u32(b, d + 4) != csize || u32(b, d + 8) != usize)
           throw new MalformedZip
       }
-      entries += ((name, data, method))
+      entries += ((name, data, method, lfh.toLong))
       p += 46 + nameLen + extraLen + commentLen
       idx += 1
     }

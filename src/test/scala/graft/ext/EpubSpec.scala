@@ -108,6 +108,31 @@ class EpubSpec extends AnyFunSuite {
     // already pinned by the round-trip count == nChapters
   }
 
+  test("OCF mimetype-first is a PHYSICAL rule: shuffled central directory still accepted") {
+    // swap the first two central-directory records in place — the physical
+    // layout (mimetype's local header at byte 0) is untouched, but a reader
+    // keying the OCF 3.0 §3.3 check on CD order would now reject the book
+    val book = Epub.renderEpub(2L)
+    def u16(b: Array[Byte], p: Int) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    def u32(b: Array[Byte], p: Int) =
+      (u16(b, p).toLong | (u16(b, p + 2).toLong << 16)).toInt
+    var eocd = book.length - 22
+    while (!(book(eocd) == 0x50 && book(eocd + 1) == 0x4b &&
+      book(eocd + 2) == 5 && book(eocd + 3) == 6)) eocd -= 1
+    val cd = u32(book, eocd + 16)
+    def recLen(p: Int) = 46 + u16(book, p + 28) + u16(book, p + 30) + u16(book, p + 32)
+    val len1 = recLen(cd)
+    val len2 = recLen(cd + len1)
+    val swapped = book.clone()
+    System.arraycopy(book, cd + len1, swapped, cd, len2)
+    System.arraycopy(book, cd, swapped, cd + len2, len1)
+    val viaSwapped = Epub.parseEpub(2L, swapped, 1 << 26)
+    assert(viaSwapped.nonEmpty && viaSwapped == Epub.parseEpub(2L, book, 1 << 26))
+    // the negative (physically-first entry not mimetype quarantines) is
+    // covered by the strictness test's `es.tail :+ es.head` arm — buildZip
+    // keeps physical and CD order together, so that arm moves both
+  }
+
   test("operator: per-chapter table, damage quarantines per book") {
     import spark.implicits._
     val docs = (0L until 16L).toDF("doc_id")

@@ -230,6 +230,182 @@ class PdfSpec extends AnyFunSuite {
       "skipping the CMap must not reproduce the oracle text")
   }
 
+  test("filters: ASCIIHex/ASCII85 units, LZW EarlyChange toggle, the new writer arms") {
+    // ASCIIHex: whitespace skipped, odd final digit pads a low 0, EOD required
+    assert(Pdf.asciiHexDecode("48 65\n6C6C 6F2>".getBytes("ISO-8859-1"))
+      .sameElements("Hello ".getBytes("ISO-8859-1")))
+    intercept[RuntimeException](Pdf.asciiHexDecode("4865".getBytes("ISO-8859-1"))) // no EOD
+    intercept[RuntimeException](Pdf.asciiHexDecode("4G>".getBytes("ISO-8859-1")))
+    val data = {
+      // LCG bytes: enough distinct pairs that LZW crosses the 9→10→11
+      // width bumps, where the EarlyChange convention actually matters
+      var x = 12345L
+      Array.fill[Byte](5000) { x = (x * 1103515245L + 12345L) & 0x7fffffffL; (x >> 16).toByte }
+    }
+    assert(Pdf.asciiHexDecode(Pdf.asciiHexEncode(data)).sameElements(data))
+    // ASCII85: z shorthand, partial groups, wrap/ws, EOD, overflow guard
+    assert(Pdf.ascii85Decode(Pdf.ascii85Encode(data)).sameElements(data))
+    val zeros = new Array[Byte](12)
+    assert(new String(Pdf.ascii85Encode(zeros), "ISO-8859-1") == "zzz~>")
+    assert(Pdf.ascii85Decode(Pdf.ascii85Encode(zeros)).sameElements(zeros))
+    assert(Pdf.ascii85Decode(Pdf.ascii85Encode(Array[Byte](65))).sameElements(Array[Byte](65)))
+    intercept[RuntimeException](Pdf.ascii85Decode("abcd".getBytes("ISO-8859-1"))) // no EOD
+    intercept[RuntimeException](Pdf.ascii85Decode("uuuuu~>".getBytes("ISO-8859-1"))) // > 2^32-1
+    // LZW, early change (the PDF default == the TIFF kernel convention)
+    val lz = Tiff.lzwEncode(data)
+    assert(Pdf.lzwDecode(lz, 1 << 20, earlyChange = true).sameElements(data))
+    // decoding the same bytes under the WRONG convention must not
+    // silently reproduce the input
+    val wrong = try Some(Pdf.lzwDecode(lz, 1 << 20, earlyChange = false))
+      catch { case _: RuntimeException => None }
+    assert(wrong.forall(!_.sameElements(data)))
+    // a late-change (EarlyChange 0) producer: encoder bumps one entry
+    // past the decoder's exact table-full point
+    def lzwEncodeLate(src: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(src.length / 2 + 16)
+      var acc = 0L; var nb = 0
+      def put(code: Int, width: Int): Unit = {
+        acc = (acc << width) | code; nb += width
+        while (nb >= 8) { out.write(((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
+      }
+      val dict = new java.util.HashMap[Long, Integer](8192)
+      var width = 9; var next = 258
+      put(256, width)
+      var prev = -1; var i = 0
+      while (i < src.length) {
+        val b = src(i) & 0xff
+        if (prev < 0) prev = b
+        else {
+          val key = (prev.toLong << 8) | b
+          val hit = dict.get(key)
+          if (hit != null) prev = hit.intValue()
+          else {
+            put(prev, width)
+            if (next < 4094) {
+              dict.put(key, Integer.valueOf(next)); next += 1
+              if (next == (1 << width) + 1 && width < 12) width += 1
+            } else { put(256, width); dict.clear(); width = 9; next = 258 }
+            prev = b
+          }
+        }
+        i += 1
+      }
+      if (prev >= 0) put(prev, width)
+      put(257, width)
+      if (nb > 0) out.write(((acc << (8 - nb)) & 0xff).toInt)
+      out.toByteArray
+    }
+    assert(Pdf.lzwDecode(lzwEncodeLate(data), 1 << 20, earlyChange = false).sameElements(data))
+    // the fixture arms actually exercise the filters end to end
+    val withLzw = new String(Pdf.renderPdf(3L), "ISO-8859-1") // (3+0)%6==3: LZW page
+    assert(withLzw.contains("/LZWDecode"))
+    assert(withLzw.contains("/Filter /ASCIIHexDecode")) // odd id: hex CMap arm
+    val withChain = new String(Pdf.renderPdf(5L), "ISO-8859-1") // (5+0)%6==5: chain page
+    assert(withChain.contains("[/ASCII85Decode /FlateDecode]"))
+  }
+
+  test("/Differences encoding: non-identity remap; stripping the array changes the text") {
+    val id = 4L // (4+0)%4 == 0: page 0 shows through /F3
+    assert(Pdf.diffPage(id, 0))
+    val good = Pdf.renderPdf(id)
+    val viaDiff = Pdf.parsePdfSafe(id, good)
+    assert(viaDiff.nonEmpty)
+    val (nl, nc, cs) = utf8Model(id, 0)
+    assert(viaDiff.head.n_lines == nl && viaDiff.head.n_chars == nc && viaDiff.head.checksum == cs)
+    val s = new String(good, "ISO-8859-1")
+    val target = "/Differences [97 /b 98 /a 128 /eacute /quotedblleft /quotedblright]"
+    assert(s.contains(target))
+    // same-length blank keeps every offset; the font falls back to plain
+    // WinAnsi, so the swapped a/b codes and the 128..130 high chars now
+    // decode differently — an extractor ignoring /Differences cannot pass
+    val stripped = Pdf.parsePdfSafe(id, s.replace(target, " " * target.length).getBytes("ISO-8859-1"))
+    assert(stripped.isEmpty || stripped.head.checksum != viaDiff.head.checksum)
+  }
+
+  test("Tf naming a font absent from a NON-EMPTY resource map quarantines at show") {
+    val fonts = Map[String, Pdf.FontDecode]("F1" -> Pdf.WinAnsiFont)
+    intercept[RuntimeException](
+      Pdf.extractText("BT /F9 12 Tf (x) Tj ET".getBytes("ISO-8859-1"), fonts))
+    // a dangling Tf with no subsequent show is harmless
+    assert(Pdf.extractText("BT /F9 12 Tf ET".getBytes("ISO-8859-1"), fonts)._1 == "")
+    // with NO declared fonts the classic WinAnsi default still applies
+    assert(Pdf.extractText("BT /F9 12 Tf (ok) Tj ET".getBytes("ISO-8859-1"))._1 == "ok")
+  }
+
+  test("trailing junk after %%EOF: tolerated to 1024 bytes, quarantined past it") {
+    val good = Pdf.renderPdf(1L)
+    val junk = ("\n% appended by a truncating proxy\n" + "#" * 500).getBytes("ISO-8859-1")
+    val padded = good ++ junk
+    assert(Pdf.parsePdfSafe(1L, padded).map(_.checksum) == Pdf.parsePdfSafe(1L, good).map(_.checksum))
+    assert(Pdf.parsePdfSafe(1L, padded).nonEmpty)
+    val far = good ++ ("#" * 2000).getBytes("ISO-8859-1")
+    assert(Pdf.parsePdfSafe(1L, far).isEmpty)
+  }
+
+  test("foreign producer, PDF 1.5: xref stream with /W [2 4 2], multi-subsection /Index," +
+      " Predictor 12, ObjStm, java.util.zip Flate") {
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val content = "BT 72 720 Td (Foreign xref stream) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream
+    def raw(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    raw("%PDF-1.5\r\n%Âµ\r\n")
+    // ObjStm packs catalog (1), pages (2), page (4): the numbering gaps
+    // force a multi-subsection /Index; foreign style writes no spaces
+    val b1 = "<</Type/Catalog/Pages 2 0 R>>"
+    val b2 = "<</Type/Pages/Kids[4 0 R]/Count 1>>"
+    val b4 = "<</Type/Page/Parent 2 0 R/Contents 5 0 R>>"
+    val o2 = b1.length + 1
+    val o4 = o2 + b2.length + 1
+    val header = s"1 0 2 $o2 4 $o4 "
+    val stmZ = deflate((header + b1 + "\n" + b2 + "\n" + b4 + "\n").getBytes("ISO-8859-1"))
+    val off7 = out.size
+    raw(s"7 0 obj\r\n<</Type/ObjStm/N 3/First ${header.length}/Filter/FlateDecode" +
+      s"/Length ${stmZ.length}>>\r\nstream\r\n")
+    out.write(stmZ); raw("\r\nendstream\r\nendobj\r\n")
+    val off5 = out.size
+    raw(s"5 0 obj\r\n<</Length ${content.length}>>\r\nstream\r\n")
+    out.write(content); raw("\r\nendstream\r\nendobj\r\n")
+    val off9 = out.size
+    val rowLen = 8 // /W [2 4 2]
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      ((t >> 8) & 0xff).toByte, (t & 0xff).toByte,
+      ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+      ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+      ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val rows: Array[Array[Byte]] = Array(
+      row(2, 7, 0), row(2, 7, 1), // objects 1, 2
+      row(2, 7, 2), row(1, off5, 0), // objects 4, 5
+      row(1, off7, 0), // object 7
+      row(1, off9, 0)) // object 9 (the xref stream itself)
+    val filtered = new java.io.ByteArrayOutputStream
+    var prevRow = new Array[Byte](rowLen)
+    rows.foreach { r =>
+      filtered.write(2) // PNG filter: Up
+      (0 until rowLen).foreach(j => filtered.write(((r(j) & 0xff) - (prevRow(j) & 0xff)) & 0xff))
+      prevRow = r
+    }
+    val xz = deflate(filtered.toByteArray)
+    raw(s"9 0 obj\r\n<</Type/XRef/Size 10/W[2 4 2]/Index[1 2 4 2 7 1 9 1]/Root 1 0 R" +
+      s"/DecodeParms<</Predictor 12/Columns $rowLen>>/Filter/FlateDecode" +
+      s"/Length ${xz.length}>>\r\nstream\r\n")
+    out.write(xz); raw("\r\nendstream\r\nendobj\r\n")
+    raw(s"startxref\r\n$off9\r\n%%EOF")
+    val pages = Pdf.parsePdf(123L, out.toByteArray)
+    assert(pages.length == 1)
+    val expected = "Foreign xref stream".getBytes("UTF-8")
+    var cs = 0L
+    expected.foreach(v => cs = (cs * 31 + (v & 0xff)) % 1000000007L)
+    assert(pages.head.n_lines == 1 && pages.head.n_chars == expected.length &&
+      pages.head.checksum == cs)
+  }
+
   test("hostile /Length: a 2 GB declaration drops without allocating") {
     val bomb = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
