@@ -2978,6 +2978,65 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** DOCX (OOXML) ingestion under the gate ([[graft.ext.Docx]] — the
+    * office-document shelf, pure composition like EPUB): per doc a
+    * complete OPC package — `[Content_Types].xml` with the main-document
+    * Override, `_rels/.rels` resolved by relationship TYPE (order
+    * shuffled and a styles relationship added on the mod-3 arm, so
+    * position cannot be what the reader keys on), `word/document.xml`
+    * with `w:p`/`w:r`/`w:t` paragraphs, `xml:space="preserve"` edge
+    * whitespace, pretty-printed-inside-`w:t` trim arms, `w:tab`/`w:br`
+    * separators and entity/UTF-8 hazard suffixes, plus `dc:title` off
+    * `docProps/core.xml` (absent entirely on the mod-7 arm) — through
+    * the strict ZIP walk and the raw-text XML walker. The oracle replays
+    * per-paragraph text closed-form and hashes its UTF-8 bytes; a slip
+    * in ANY layer (zip, relationship resolution, preserve-vs-trim,
+    * separator mapping, entity decode) fails the hash. Damage
+    * quarantines the whole document.
+    */
+  private val qDocxExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Docx.docxExtract(graft.ext.Docx.encodeDocx(table(s, dir, "documents"))).toDF()
+
+  private val oDocxExtract: String =
+    """WITH d AS (SELECT doc_id, md5('docx:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |pa AS (SELECT doc_id, m, k
+      |       FROM d, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+      |       WHERE k < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |rn AS (SELECT doc_id, m, k, r,
+      |         1 + ('0x' || substr(m, CAST(2 + k AS INT), 1))::BIGINT % 3 AS nr
+      |       FROM pa, (SELECT unnest([0, 1, 2]) AS r)
+      |       WHERE r < 1 + ('0x' || substr(m, CAST(2 + k AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, m, k, r,
+      |         CASE WHEN (doc_id + k + r) % 4 = 1 THEN ' ' ELSE '' END ||
+      |         'Para ' || CAST(k AS VARCHAR) || ' run ' || CAST(r AS VARCHAR) ||
+      |         ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * k + r) % 12 AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * k + r) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + k + r) % 5
+      |           WHEN 0 THEN ' & more' WHEN 2 THEN ' <tag>' WHEN 4 THEN ' ' || chr(233)
+      |           ELSE '' END ||
+      |         CASE WHEN r < nr - 1 THEN
+      |           CASE (doc_id + k + r) % 3 WHEN 0 THEN chr(9) WHEN 1 THEN chr(10) ELSE '' END
+      |         ELSE '' END AS t
+      |       FROM rn, wt),
+      |para AS (SELECT doc_id, m, k, string_agg(t, '' ORDER BY r) AS text
+      |         FROM tx GROUP BY doc_id, m, k),
+      |h AS (SELECT doc_id, k,
+      |        CASE WHEN doc_id % 7 = 3 THEN '' ELSE
+      |          'Doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT))
+      |        END AS title,
+      |        hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |      FROM para, wt)
+      |SELECT doc_id, k::BIGINT AS para_idx, title,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The Avro Object Container ingest path under the gate
     * ([[graft.ext.Avro]] — the data-lake interchange format corpus
     * drops arrive in): documents packed into 16 containers (codec
@@ -7954,6 +8013,7 @@ object QueryCatalog {
     "subtitle_cues" -> qSubtitleCues,
     "pdf_extract" -> qPdfExtract,
     "epub_extract" -> qEpubExtract,
+    "docx_extract" -> qDocxExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8269,6 +8329,7 @@ object QueryCatalog {
     "subtitle_cues" -> oSubtitleCues,
     "pdf_extract" -> oPdfExtract,
     "epub_extract" -> oEpubExtract,
+    "docx_extract" -> oDocxExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

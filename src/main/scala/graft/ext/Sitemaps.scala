@@ -156,9 +156,18 @@ object Sitemaps {
     * (missing `=`, unquoted or unterminated value) fails. The default
     * keeps the sitemap behavior byte-identical: attributes tolerated,
     * ignored.
+    *
+    * With `withRawText = true` (the [[Docx]] profile — OOXML `w:t` runs
+    * carry `xml:space="preserve"` edge whitespace the consumer must keep
+    * or trim PER ELEMENT), text leaves are emitted UNTRIMMED (still
+    * entity-decoded) and even when whitespace-only, leaving the
+    * trim-unless-preserve decision to the caller, which correlates each
+    * text leaf with its element's `@<` marker and `@xml:space` attribute
+    * entry. Inter-element indentation then surfaces as whitespace leaves
+    * on container paths — consumers filter by path.
     */
   private[ext] def parseLeaves(xml: String, withAttrs: Boolean = false,
-      withMarkers: Boolean = false): Vector[(String, String)] = {
+      withMarkers: Boolean = false, withRawText: Boolean = false): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     val stack = scala.collection.mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
@@ -188,7 +197,10 @@ object Sitemaps {
           val name = xml.substring(i + 2, e).trim
           if (name != stack.last) fail()
           val t = text.toString
-          if (t.exists(!Character.isWhitespace(_)) || textIsCdata)
+          if (withRawText) {
+            if (t.nonEmpty || textIsCdata)
+              out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t)))
+          } else if (t.exists(!Character.isWhitespace(_)) || textIsCdata)
             out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t.trim)))
           text.setLength(0); textIsCdata = false
           stack.remove(stack.length - 1)

@@ -179,6 +179,19 @@ object StreamingArchiveIngest {
       windowLength: String): DataFrame =
     windowed(graft.ext.Epub.epubExtractWithTs(books), watermarkDelay, windowLength)
 
+  /** The OFFICE twin: live DOCX drops through the same OPC/
+    * WordprocessingML parse as the batch key
+    * ([[graft.ext.Docx.docxExtractWithTs]]) and the shared watermarked
+    * window reduction; `total_bytes` counts extracted PARAGRAPH text
+    * bytes, and a damaged document contributes nothing, exactly like
+    * batch.
+    */
+  def ingestDocx(
+      docs: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Docx.docxExtractWithTs(docs), watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.

@@ -440,4 +440,38 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
       assert(streamed == batch, "epub batch and streaming agree record for record")
     } finally q2.stop()
   }
+
+  test("docx stream: twin finalizes with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = 0L until 8L
+    val idsDf = ids.toDF("doc_id")
+    val blobs = graft.ext.Docx.encodeDocx(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val batchRows = graft.ext.Docx.docxExtract(graft.ext.Docx.encodeDocx(idsDf)).collect()
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamingArchiveIngest.ingestDocx(
+      in.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("docx_ingest_out").outputMode("append").start()
+    try {
+      in.addData(ids.map(i => (i, ts(2), if (i == 5L) blobs(i).take(70) else blobs(i))): _*)
+      q.processAllAvailable()
+      in.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("docx_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expected = batchRows.filterNot(_.doc_id == 5L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows == expected, "per-shard paragraph counts; damaged docx drops")
+      val streamed = graft.ext.Docx.docxExtractWithTs(
+        Seq((1L, ts(2), blobs(1L))).toDF("doc_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Docx.docxExtract(
+        Seq((1L, blobs(1L))).toDF("doc_id", "payload")).collect()
+        .map(p => (p.para_idx, p.doc_id, p.n_chars)).sorted.toSeq
+      assert(streamed == batch, "docx batch and streaming agree record for record")
+    } finally q.stop()
+  }
 }
