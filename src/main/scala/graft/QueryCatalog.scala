@@ -3420,6 +3420,39 @@ object QueryCatalog {
   private val qOggPages: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Ogg.oggPages(graft.ext.Ogg.encodeOgg(table(s, dir, "documents"))).toDF()
 
+  /** Ogg codec identification headers under the gate ([[graft.ext.Ogg]]
+    * — the metadata-level parity MP4/MP3 already have): per doc a
+    * single-codec stream whose BOS page carries a REAL Vorbis (even ids)
+    * or OpusHead (odd ids) identification header, then junk-audio pages
+    * with codec-stepped granules and EOS. The reader re-walks the page
+    * layer (CRCs, sequencing), extracts the first BOS packet, validates
+    * the header fields (version, framing bit, blocksizes, mapping
+    * family), and maps the final granule to a duration per the CODEC's
+    * clock — Opus always 48 kHz minus pre-skip (RFC 7845), Vorbis at
+    * the header rate. The oracle replays channels/rate/pre-skip/
+    * duration closed-form; a slip in either the granule rule or any
+    * header offset fails the row.
+    */
+  private val qOggStreams: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Ogg.oggStreams(graft.ext.Ogg.encodeOggStreams(table(s, dir, "documents"))).toDF()
+
+  private val oOggStreams: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |c AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+      |        CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id // 2) % 2
+      |             ELSE 1 + (doc_id // 2) % 4 END AS channels,
+      |        list_extract([8000, 16000, 22050, 44100, 48000],
+      |          1 + CAST(doc_id % 5 AS INT)) AS sample_rate,
+      |        CASE WHEN doc_id % 2 = 1 THEN 312 + (doc_id % 5) * 24 ELSE 0 END AS pre_skip,
+      |        2 + doc_id % 4 AS nf
+      |      FROM d)
+      |SELECT doc_id, doc_id AS serial, codec, channels::BIGINT AS channels,
+      |       sample_rate::BIGINT AS sample_rate, pre_skip::BIGINT AS pre_skip,
+      |       (CASE WHEN codec = 'opus' THEN (960 * nf - pre_skip) * 1000000 // 48000
+      |             ELSE 1024 * nf * 1000000 // sample_rate END)::BIGINT AS duration_us
+      |FROM c""".stripMargin
+
   private val oOggPages: String =
     s"""$aviDocsCte,
       |sz AS (SELECT doc_id, hx, n, k,
@@ -8004,6 +8037,7 @@ object QueryCatalog {
     "mp4_frames" -> qMp4Frames,
     "mp3_frames" -> qMp3Frames,
     "ogg_pages" -> qOggPages,
+    "ogg_streams" -> qOggStreams,
     "mbox_extract" -> qMboxExtract,
     "sentence_split" -> qSentenceSplit,
     "sentence_dedup" -> qSentenceDedup,
@@ -8320,6 +8354,7 @@ object QueryCatalog {
     "mp4_frames" -> oMp4Frames,
     "mp3_frames" -> oMp3Frames,
     "ogg_pages" -> oOggPages,
+    "ogg_streams" -> oOggStreams,
     "mbox_extract" -> oMboxExtract,
     "sentence_split" -> oSentenceSplit,
     "sentence_dedup" -> oSentenceDedup,

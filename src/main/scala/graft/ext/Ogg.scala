@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * lacing runs), and a rolling checksum of the payload are emitted.
   * Malformed documents drop whole; map-only per payload.
   *
+  * On top of the page layer, [[oggStreams]] parses the CODEC
+  * identification header off the BOS page — the Vorbis ID packet
+  * (version/channels/rate/blocksizes/framing) and OpusHead
+  * (version/channels/pre-skip/input rate/mapping family) — and maps the
+  * final granule position to a duration per each codec's clock rule:
+  * Opus granules always tick at 48 kHz with pre-skip subtracted (RFC
+  * 7845), Vorbis at the header's sample rate. This is the
+  * metadata-level parity [[Mp4]] (mdhd/stts) and [[Mp3]] (frame walk)
+  * already have.
+  *
   * No reference citation — north-star scope completing the audio
   * container pair.
   */
@@ -201,6 +211,217 @@ object Ogg {
     }
     if (count == 0 || !sawEos) fail() // empty, or the stream never ended
     pages.result()
+  }
+
+  // ---------------------------------------- codec identification headers
+
+  /** The Vorbis rate ladder the stream fixture cycles through. */
+  private[ext] val StreamRates = Array(8000, 16000, 22050, 44100, 48000)
+  private[ext] def isOpusDoc(id: Long): Boolean = id % 2 == 1
+  private[ext] def streamPages(id: Long): Int = 2 + java.lang.Math.floorMod(id, 4L).toInt
+  private[ext] def streamChannels(id: Long): Int =
+    if (isOpusDoc(id)) 1 + java.lang.Math.floorMod(id / 2, 2L).toInt
+    else 1 + java.lang.Math.floorMod(id / 2, 4L).toInt
+  private[ext] def headerRate(id: Long): Int =
+    StreamRates(java.lang.Math.floorMod(id, 5L).toInt)
+  private[ext] def opusPreSkip(id: Long): Int =
+    312 + java.lang.Math.floorMod(id, 5L).toInt * 24
+
+  /** Frame one Ogg page around `payload` with real CRC. */
+  private def buildPage(htype: Int, granule: Long, serial: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val nFull = payload.length / 255
+    val rest = payload.length % 255
+    val out = new java.io.ByteArrayOutputStream(27 + nFull + 1 + payload.length)
+    out.write('O'); out.write('g'); out.write('g'); out.write('S')
+    out.write(0) // version
+    out.write(htype)
+    var j = 0
+    while (j < 8) { out.write(((granule >>> (8 * j)) & 0xff).toInt); j += 1 }
+    j = 0
+    while (j < 4) { out.write(((serial >>> (8 * j)) & 0xff).toInt); j += 1 }
+    j = 0
+    while (j < 4) { out.write(((seq >>> (8 * j)) & 0xff).toInt); j += 1 }
+    val crcPos = out.size()
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(nFull + 1)
+    var s = 0
+    while (s < nFull) { out.write(255); s += 1 }
+    out.write(rest) // rest < 255 ends the packet
+    out.write(payload, 0, payload.length)
+    val bytes = out.toByteArray
+    val crc = oggCrc(bytes, 0, bytes.length)
+    bytes(crcPos) = (crc & 0xff).toByte
+    bytes(crcPos + 1) = ((crc >>> 8) & 0xff).toByte
+    bytes(crcPos + 2) = ((crc >>> 16) & 0xff).toByte
+    bytes(crcPos + 3) = ((crc >>> 24) & 0xff).toByte
+    bytes
+  }
+
+  /** The Vorbis identification header (30 bytes: packet type 1, "vorbis",
+    * version 0, channels, rate, three bitrate fields, blocksizes 2^8/2^11,
+    * framing bit) — the first packet of a Vorbis stream's BOS page.
+    */
+  private[ext] def vorbisIdHeader(channels: Int, rate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(30)
+    out.write(1)
+    "vorbis".foreach(c => out.write(c))
+    var j = 0
+    while (j < 4) { out.write(0); j += 1 } // version 0
+    out.write(channels)
+    j = 0
+    while (j < 4) { out.write((rate >>> (8 * j)) & 0xff); j += 1 }
+    (0 until 12).foreach(_ => out.write(0)) // bitrate max/nominal/min
+    out.write(0xb8) // blocksize_0 = 2^8 (low nibble), blocksize_1 = 2^11
+    out.write(1) // framing flag
+    out.toByteArray
+  }
+
+  /** The OpusHead identification header (19 bytes, channel mapping family
+    * 0): magic, version 1, channels, pre-skip, input sample rate, output
+    * gain 0, family 0.
+    */
+  private[ext] def opusIdHeader(channels: Int, preSkip: Int, inputRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(19)
+    "OpusHead".foreach(c => out.write(c))
+    out.write(1) // version
+    out.write(channels)
+    out.write(preSkip & 0xff); out.write((preSkip >>> 8) & 0xff)
+    var j = 0
+    while (j < 4) { out.write((inputRate >>> (8 * j)) & 0xff); j += 1 }
+    out.write(0); out.write(0) // output gain
+    out.write(0) // mapping family 0
+    out.toByteArray
+  }
+
+  /** A complete single-codec stream for doc `id`: a BOS page carrying the
+    * REAL identification header (Vorbis on even ids, Opus on odd) at
+    * granule 0, then [[streamPages]] junk-audio pages whose granule
+    * advances by the codec's step (1024 Vorbis ticks at the header rate;
+    * 960 Opus ticks on the ALWAYS-48kHz granule clock), EOS on the last.
+    */
+  private[ext] def oggStreamFor(id: Long): Array[Byte] = {
+    val opus = isOpusDoc(id)
+    val header =
+      if (opus) opusIdHeader(streamChannels(id), opusPreSkip(id), headerRate(id))
+      else vorbisIdHeader(streamChannels(id), headerRate(id))
+    val serial = id & 0xffffffffL
+    val out = new java.io.ByteArrayOutputStream()
+    var page = buildPage(2, 0L, serial, 0, header) // BOS, granule 0
+    out.write(page, 0, page.length)
+    val nf = streamPages(id)
+    val step = if (opus) 960L else 1024L
+    var k = 1
+    while (k <= nf) {
+      val size = 180 + 73 * ((id + k) % 7).toInt // crosses the 255 boundary
+      val payload = new Array[Byte](size)
+      var p = 0
+      while (p < size) { payload(p) = ((id * 31 + k * 7 + p) % 251).toByte; p += 1 }
+      page = buildPage(if (k == nf) 4 else 0, step * k, serial, k, payload)
+      out.write(page, 0, page.length)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Fixture writer for the stream-metadata key: one single-codec Ogg
+    * stream per document row.
+    */
+  def encodeOggStreams(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, oggStreamFor(id)))
+      .toDF("doc_id", "payload")
+  }
+
+  final case class OggStreamRow(doc_id: Long, serial: Long, codec: String,
+      channels: Long, sample_rate: Long, pre_skip: Long, duration_us: Long)
+
+  /** Parse the identification header off a stream's BOS page and map the
+    * final granule position to a duration per the codec's rule — Opus
+    * granules ALWAYS tick at 48 kHz with the pre-skip subtracted (RFC
+    * 7845 §4/§5.1); Vorbis granules tick at the header's sample rate.
+    * The header packet must END on the BOS page (real ID headers are
+    * ≤ 30 bytes); an unknown magic, a bad version/framing bit, zero
+    * channels, a family-0 Opus with more than two channels, or a final
+    * granule below the pre-skip quarantines the document.
+    */
+  private[ext] def parseStreamInfo(id: Long, bytes: Array[Byte]): Option[OggStreamRow] = {
+    parseOgg(bytes).flatMap { pages =>
+      try {
+        val bos = pages.head // parseStrict guarantees BOS-first, EOS-last
+        // first packet of the BOS page: laces until the first < 255
+        val off = bos.offset.toInt
+        val nSegs = bytes(off + 26) & 0xff
+        var len = 0
+        var j = 0
+        var ended = false
+        while (j < nSegs && !ended) {
+          val lace = bytes(off + 27 + j) & 0xff
+          len += lace
+          if (lace < 255) ended = true
+          j += 1
+        }
+        if (!ended) fail() // header packet spans pages: out of profile
+        val pk = java.util.Arrays.copyOfRange(bytes, bos.payloadFrom, bos.payloadFrom + len)
+        def u16le(p: Int) = (pk(p) & 0xff) | ((pk(p + 1) & 0xff) << 8)
+        def u32le(p: Int) = (pk(p) & 0xffL) | ((pk(p + 1) & 0xffL) << 8) |
+          ((pk(p + 2) & 0xffL) << 16) | ((pk(p + 3) & 0xffL) << 24)
+        val gran = pages.last.granule
+        if (gran < 0) fail()
+        val isVorbis = pk.length == 30 && pk(0) == 1 &&
+          new String(pk, 1, 6, "ISO-8859-1") == "vorbis"
+        val isOpus = pk.length >= 19 &&
+          new String(pk, 0, 8, "ISO-8859-1") == "OpusHead"
+        if (isVorbis) {
+          if (u32le(7) != 0L) fail() // version
+          val channels = pk(11) & 0xff
+          val rate = u32le(12)
+          if (channels == 0 || rate <= 0) fail()
+          val bs0 = pk(28) & 0x0f
+          val bs1 = (pk(28) >>> 4) & 0x0f
+          if (bs0 < 6 || bs1 > 13 || bs0 > bs1) fail()
+          if ((pk(29) & 1) != 1) fail() // framing bit
+          Some(OggStreamRow(id, bos.serial, "vorbis", channels.toLong, rate,
+            0L, gran * 1000000L / rate))
+        } else if (isOpus) {
+          if ((pk(8) & 0xff) != 1) fail() // version
+          val channels = pk(9) & 0xff
+          val preSkip = u16le(10)
+          val inputRate = u32le(12)
+          if (channels == 0) fail()
+          val family = pk(18) & 0xff
+          if (family == 0 && (channels > 2 || pk.length != 19)) fail()
+          if (family == 1 && pk.length != 21 + channels) fail()
+          if (family > 1) fail()
+          if (gran < preSkip) fail()
+          Some(OggStreamRow(id, bos.serial, "opus", channels.toLong, inputRate,
+            preSkip.toLong, (gran - preSkip) * 1000000L / 48000L))
+        } else fail() // unknown codec magic
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** The operator: payloads → one metadata row per stream (serial, codec,
+    * channels, header sample rate, pre-skip, granule-derived duration);
+    * malformed documents drop whole. Map-only, zero shuffles.
+    */
+  def oggStreams(withBinary: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): Dataset[OggStreamRow] = {
+    val spark = withBinary.sparkSession
+    import spark.implicits._
+    withBinary
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytesOrNull) =>
+        val bytes = Option(bytesOrNull).getOrElse(Array.empty)
+        parseStreamInfo(id, bytes)
+      }
   }
 
   final case class OggPageRow(doc_id: Long, page_idx: Long, offset: Long,

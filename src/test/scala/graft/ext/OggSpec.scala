@@ -107,4 +107,71 @@ class OggSpec extends AnyFunSuite {
     assert(again.map(r => (r.doc_id, r.page_idx, r.offset, r.checksum)).sorted.toSeq ==
       out.map(r => (r.doc_id, r.page_idx, r.offset, r.checksum)).sorted.toSeq)
   }
+
+  test("codec identification headers: fields + granule clocks per codec") {
+    for (id <- 0L until 32L) {
+      val row = Ogg.parseStreamInfo(id, Ogg.oggStreamFor(id)).getOrElse(fail(s"doc $id dropped"))
+      val nf = Ogg.streamPages(id)
+      assert(row.serial == (id & 0xffffffffL))
+      assert(row.channels == Ogg.streamChannels(id), s"doc $id channels")
+      assert(row.sample_rate == Ogg.headerRate(id), s"doc $id rate")
+      if (id % 2 == 1) {
+        assert(row.codec == "opus" && row.pre_skip == Ogg.opusPreSkip(id))
+        // Opus granules tick at 48 kHz regardless of the input rate
+        assert(row.duration_us == (960L * nf - Ogg.opusPreSkip(id)) * 1000000L / 48000L)
+      } else {
+        assert(row.codec == "vorbis" && row.pre_skip == 0L)
+        assert(row.duration_us == 1024L * nf * 1000000L / Ogg.headerRate(id))
+      }
+    }
+  }
+
+  test("codec header damage quarantines: magic, version, framing, channels, family") {
+    def mutate(id: Long)(f: Array[Byte] => Unit): Option[Ogg.OggStreamRow] = {
+      val b = Ogg.oggStreamFor(id)
+      f(b)
+      // recompute the BOS page CRC so ONLY the header-field damage is
+      // under test, not the page-integrity layer
+      val nSegs = b(26) & 0xff
+      var size = 0
+      var j = 0
+      while (j < nSegs) { size += b(27 + j) & 0xff; j += 1 }
+      val end = 27 + nSegs + size
+      b(22) = 0; b(23) = 0; b(24) = 0; b(25) = 0
+      val crc = Ogg.oggCrc(b, 0, end)
+      b(22) = (crc & 0xff).toByte; b(23) = ((crc >>> 8) & 0xff).toByte
+      b(24) = ((crc >>> 16) & 0xff).toByte; b(25) = ((crc >>> 24) & 0xff).toByte
+      Ogg.parseStreamInfo(id, b)
+    }
+    val vor = 2L // vorbis doc; BOS payload starts at 27 + 1 lacing byte = 28
+    val pay = 28
+    assert(mutate(vor)(b => b(pay + 1) = 'x').isEmpty) // "vorbis" magic broken
+    assert(mutate(vor)(b => b(pay + 7) = 9).isEmpty) // version != 0
+    assert(mutate(vor)(b => b(pay + 11) = 0).isEmpty) // zero channels
+    assert(mutate(vor)(b => b(pay + 28) = 0x8b.toByte).isEmpty) // blocksize_0 > blocksize_1
+    assert(mutate(vor)(b => b(pay + 29) = 0).isEmpty) // framing bit clear
+    val opu = 1L
+    assert(mutate(opu)(b => b(pay) = 'Q').isEmpty) // OpusHead magic broken
+    assert(mutate(opu)(b => b(pay + 8) = 2).isEmpty) // version != 1
+    assert(mutate(opu)(b => b(pay + 9) = 3).isEmpty) // family 0 with 3 channels
+    assert(mutate(opu)(b => b(pay + 18) = 5).isEmpty) // unknown mapping family
+    // pre-skip past the final granule quarantines (duration would be negative)
+    assert(mutate(opu) { b =>
+      b(pay + 10) = 0xff.toByte; b(pay + 11) = 0x7f.toByte
+    }.isEmpty)
+    // a stream whose BOS packet is neither codec quarantines
+    assert(mutate(vor)(b => b(pay) = 9).isEmpty)
+  }
+
+  test("ogg_streams operator: per-doc metadata rows, damage drops whole") {
+    import spark.implicits._
+    val docs = (0L until 16L).toDF("doc_id")
+    val rows = Ogg.oggStreams(Ogg.encodeOggStreams(docs)).collect()
+    assert(rows.length == 16)
+    assert(rows.count(_.codec == "opus") == 8 && rows.count(_.codec == "vorbis") == 8)
+    val mixed = Ogg.encodeOggStreams(docs.filter($"doc_id" < 2)).as[(Long, Array[Byte])]
+      .map { case (id, p) => if (id == 0L) (id, p.take(30)) else (id, p) }
+      .toDF("doc_id", "payload")
+    assert(Ogg.oggStreams(mixed).collect().map(_.doc_id).toSeq == Seq(1L))
+  }
 }
