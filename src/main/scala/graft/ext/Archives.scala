@@ -1100,6 +1100,112 @@ object Archives {
     * length) pair becomes a ranged GET against the blob store and the
     * join disappears — the offsets' correctness is what this key pins.
     */
+  final case class CdxjEntry(urlkey: String, timestamp: String, url: String,
+      offset: Long, length: Long, digest: String, filename: String)
+
+  /** Serialize one index row as a CDXJ line — the TEXTUAL index format
+    * the big crawl corpora ship next to their segments (`cdx-*.gz`):
+    * `SURT-key SP 14-digit-timestamp SP {flat JSON}` where every value
+    * is a JSON STRING (offsets and lengths included — the format's
+    * quirk). The writer dual of [[parseCdxjLine]], used by the spec's
+    * round-trip differential.
+    */
+  private[ext] def cdxjLineOf(e: CdxjEntry): String =
+    e.urlkey + " " + e.timestamp + " {\"url\": \"" + jsonEsc(e.url) +
+      "\", \"digest\": \"" + jsonEsc(e.digest) +
+      "\", \"length\": \"" + e.length + "\", \"offset\": \"" + e.offset +
+      "\", \"filename\": \"" + jsonEsc(e.filename) + "\"}"
+
+  /** Flat JSON object with STRING values only — the CDXJ profile. Strict:
+    * anything but `{"k": "v", ...}` with the standard string escapes
+    * fails; duplicate keys fail; non-string values are out of profile.
+    */
+  private[ext] def parseFlatJsonStrings(s: String): Map[String, String] = {
+    var i = 0
+    val n = s.length
+    def ws(): Unit = while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= n || s.charAt(i) != c) throw new MalformedArchive
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      while (true) {
+        if (i >= n) throw new MalformedArchive
+        val c = s.charAt(i); i += 1
+        if (c == '"') return sb.toString
+        else if (c == '\\') {
+          if (i >= n) throw new MalformedArchive
+          val e = s.charAt(i); i += 1
+          e match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 4 > n) throw new MalformedArchive
+              val cp = try Integer.parseInt(s.substring(i, i + 4), 16)
+                catch { case _: NumberFormatException => throw new MalformedArchive }
+              sb.append(cp.toChar); i += 4
+            case _ => throw new MalformedArchive
+          }
+        } else if (c < 0x20) throw new MalformedArchive
+        else sb.append(c)
+      }
+      throw new MalformedArchive // unreachable
+    }
+    val out = Map.newBuilder[String, String]
+    var count = 0
+    val seen = scala.collection.mutable.Set[String]()
+    ws(); expect('{'); ws()
+    if (i < n && s.charAt(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = str()
+        if (!seen.add(k)) throw new MalformedArchive
+        ws(); expect(':'); ws()
+        out += k -> str()
+        count += 1; if (count > 64) throw new MalformedArchive
+        ws()
+        if (i < n && s.charAt(i) == ',') { i += 1; ws() }
+        else { expect('}'); more = false }
+      }
+    }
+    ws()
+    if (i != n) throw new MalformedArchive // trailing bytes
+    out.result()
+  }
+
+  /** Parse one CDXJ line into its typed entry. Foreign producers carry
+    * extra keys (mime, status, languages) — tolerated; the five the
+    * random-access contract needs (url, digest, length, offset,
+    * filename) are required, with numeric strings for offset/length and
+    * a 14-digit timestamp. Any violation fails the line.
+    */
+  private[ext] def parseCdxjLine(line: String): CdxjEntry = {
+    val sp1 = line.indexOf(' ')
+    val sp2 = if (sp1 < 0) -1 else line.indexOf(' ', sp1 + 1)
+    if (sp1 <= 0 || sp2 <= sp1 + 1) throw new MalformedArchive
+    val urlkey = line.substring(0, sp1)
+    val ts = line.substring(sp1 + 1, sp2)
+    if (ts.length != 14 || !ts.forall(_.isDigit)) throw new MalformedArchive
+    val m = parseFlatJsonStrings(line.substring(sp2 + 1))
+    def req(k: String): String = m.getOrElse(k, throw new MalformedArchive)
+    def num(k: String): Long = {
+      val v = req(k)
+      if (v.isEmpty || v.length > 18 || !v.forall(_.isDigit)) throw new MalformedArchive
+      v.toLong
+    }
+    CdxjEntry(urlkey, ts, req("url"), num("offset"), num("length"),
+      req("digest"), req("filename"))
+  }
+
   def cdxSeek(archives: DataFrame, maxRecordBytes: Int = 1 << 26): Dataset[WarcEntry] = {
     val spark = archives.sparkSession
     import spark.implicits._

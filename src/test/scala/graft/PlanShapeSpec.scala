@@ -491,4 +491,54 @@ class PlanShapeSpec extends AnyFunSuite {
     val pw = plan(QueryCatalog.queries("wet_convert")(spark, sf))
     assert(!pw.contains("Join") && !pw.contains("Window"), "wet conversion stays map-only")
   }
+
+  test("round-13/14 ingest keys: per-document decode stays map-only") {
+    // books/office/codec ingestion is one typed flatMap per document —
+    // a shuffle or join appearing here means fixture staging or decode
+    // stopped being per-row
+    Seq("pdf_extract", "epub_extract", "docx_extract", "multimodal_webp_decode",
+      "audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
+      "sentence_split").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
+      assert(!p.contains("Join"), s"$key must not join")
+      assert(!p.contains("Window"), s"$key must not window")
+    }
+  }
+
+  test("round-13 archive keys: wat/cdx shapes — shard grouping only; cdx_seek one equi-join") {
+    // wat_convert / cdx_records ride the same shard-synthesis grouping as
+    // the warc family: exactly one hash exchange, nothing else
+    Seq("wat_convert", "cdx_records").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$key: the only shuffle should be building the archives (got $exchanges):\n${p.take(1500)}")
+      assert(!p.contains("Window"), s"$key must not window")
+      assertNoCartesian(p)
+    }
+    // cdx_seek: the documented fixture-scale equi-join of index records to
+    // their segment blobs — exactly one join, never a cartesian
+    val ps = plan(QueryCatalog.queries("cdx_seek")(spark, sf))
+    assert("Join".r.findAllIn(ps).length >= 1, "cdx_seek joins records to segments")
+    assert(!ps.contains("Window"), "cdx_seek must not window")
+    assertNoCartesian(ps)
+  }
+
+  test("dup_spans_remove: the consumer adds one equi-join + fold over its producer — no window") {
+    // the span-removal consumer must stay: producer pipeline + ONE join
+    // (spans back onto documents) + a per-doc ordered fold — a Window or
+    // cartesian appearing here is the per-span-explosion regression the
+    // round-13 design explicitly avoided
+    val producer = plan(QueryCatalog.queries("dup_spans")(spark, sf))
+    val consumer = plan(QueryCatalog.queries("dup_spans_remove")(spark, sf))
+    assertNoCartesian(consumer)
+    val pw = "Window".r.findAllIn(producer).length
+    val cw = "Window".r.findAllIn(consumer).length
+    assert(cw <= pw, s"span removal added a window over its producer ($pw -> $cw)")
+    val pe = "Exchange hashpartitioning".r.findAllIn(producer).length
+    val ce = "Exchange hashpartitioning".r.findAllIn(consumer).length
+    assert(ce <= pe + 2,
+      s"span removal should add at most the span-pack + join exchanges (producer $pe, consumer $ce):\n${consumer.take(1500)}")
+  }
 }

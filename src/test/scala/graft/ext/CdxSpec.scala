@@ -53,4 +53,39 @@ class CdxSpec extends AnyFunSuite {
     val survivors = Archives.cdxIndex(damaged).collect().map(_.archive_id).distinct.sorted
     assert(survivors.sameElements(Array(0L, 1L, 3L)))
   }
+
+  test("CDXJ line format: foreign Common-Crawl-style lines parse; extras tolerated; damage fails") {
+    // a hand-built foreign line with the real index files' quirks: ALL
+    // values as JSON strings, extra keys (mime/status/languages), an
+    // escaped URL, a deep filename path
+    val foreign = """com,example)/path?q=a%20b 20240315120000 {"url": "http://example.com/path?q=a&b", "mime": "text/html", "status": "200", "digest": "WWLJH5E3KQN7DOHQPLXAI4TJ5LHVABBA", "length": "527", "offset": "88193", "languages": "eng", "filename": "crawl-data/CC-MAIN-2024-10/segments/1707947474594.56/warc/CC-MAIN-20240315120000-20240315150000-00000.warc.gz"}"""
+    val e = Archives.parseCdxjLine(foreign)
+    assert(e.urlkey == "com,example)/path?q=a%20b")
+    assert(e.timestamp == "20240315120000")
+    assert(e.url == "http://example.com/path?q=a&b") // & decoded
+    assert(e.offset == 88193L && e.length == 527L)
+    assert(e.digest == "WWLJH5E3KQN7DOHQPLXAI4TJ5LHVABBA")
+    assert(e.filename.endsWith("-00000.warc.gz"))
+    // writer/parser round trip over OUR index rows
+    val rows = Archives.cdxIndex(archives(12L)).collect()
+    rows.foreach { r =>
+      val entry = Archives.CdxjEntry(r.urlkey, "20240101000000",
+        s"http://example.com/doc/${r.rec_doc_id}", r.offset, r.length,
+        s"G${r.digest}", s"segments/seg-${r.archive_id}.warc.gz")
+      assert(Archives.parseCdxjLine(Archives.cdxjLineOf(entry)) == entry)
+    }
+    // malformed ladder
+    val bad = Seq(
+      "nospace", // no fields
+      "k 2024031512000 {}", // 13-digit timestamp
+      "k 20240315120000 {\"url\": \"u\"}", // required keys missing
+      foreign.replace("\"88193\"", "\"-88193\""), // non-numeric offset
+      foreign.replace("\"88193\"", "88193"), // non-string value: out of profile
+      foreign.replace("\"status\": \"200\", ", "\"status\": \"200\", \"status\": \"301\", "), // dup key
+      foreign + "x", // trailing bytes
+      foreign.replace("}", "")) // unterminated object
+    bad.zipWithIndex.foreach { case (line, i) =>
+      intercept[RuntimeException](Archives.parseCdxjLine(line))
+    }
+  }
 }

@@ -65,4 +65,40 @@ class WatConvertSpec extends AnyFunSuite {
     val out = Archives.warcExtract(Archives.watConvert(segs)).collect()
     assert(out.map(_.archive_id).distinct.sorted.sameElements(Array(0L, 2L, 3L)))
   }
+
+  test("foreign-layout WAT record: CC-style envelope + extra headers + foreign gzip ingests") {
+    import spark.implicits._
+    // hand-built from another producer's conventions: WARC-Record-ID /
+    // WARC-Date / WARC-Warcinfo-ID headers our writer never emits, a
+    // different header ORDER, the Common Crawl Envelope JSON nesting, and
+    // the member gzipped by java.util.zip (a foreign DEFLATE stream)
+    val json = ("""{"Envelope":{"Format":"WARC","WARC-Header-Length":"438",""" +
+      """"Payload-Metadata":{"Trailing-Slop-Length":"4","Actual-Content-Type":"application/metadata-fields",""" +
+      """"HTTP-Response-Metadata":{"Headers":{"Content-Type":"text/html"},""" +
+      """"HTML-Metadata":{"Head":{"Title":"A foreign page"},""" +
+      """"Links":[{"path":"A@/href","url":"http://other.example/x"}]}}}}}""").getBytes("UTF-8")
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:3e2b4d61-0000-4a5e-9d2f-77aa0cc00042>\r\n" +
+      "WARC-Date: 2024-03-15T12:00:00Z\r\n" +
+      "WARC-Warcinfo-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n" +
+      "Content-Type: application/json\r\n" +
+      s"Content-Length: ${json.length}\r\n" +
+      "WARC-Target-URI: http://example.org/page/777\r\n" + // target LAST
+      "\r\n").getBytes("UTF-8")
+    val rec = head ++ json ++ "\r\n\r\n".getBytes("UTF-8")
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec); g.close()
+      bos.toByteArray
+    }
+    val rows = Archives.warcExtract(Seq((9L, gz)).toDF("archive_id", "payload")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    var cs = 0L
+    json.foreach(b => cs = (cs * 31 + (b & 0xff)) % 1000000007L)
+    assert(r.archive_id == 9L && r.rec_doc_id == 777L &&
+      r.content_length == json.length.toLong && r.checksum == cs)
+  }
 }
