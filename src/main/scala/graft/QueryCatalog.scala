@@ -3037,6 +3037,63 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** ODT (OpenDocument) ingestion under the gate ([[graft.ext.Odt]] —
+    * the LibreOffice half of the office shelf next to docx_extract):
+    * per doc a complete ODF package — mimetype physically first and
+    * STORED (the §3.3 wire rule), the manifest with every part listed,
+    * `content.xml` whose paragraphs are MIXED CONTENT (plain text +
+    * `text:span` wrappers, graded through the walker's allowMixed mode),
+    * explicit `text:s`/`text:tab`/`text:line-break` whitespace elements,
+    * source pretty-printing folded back by the ODF collapse rule, and
+    * `dc:title` off `meta.xml` (absent on the mod-7 arm). The oracle
+    * replays per-paragraph text closed-form; a slip in mixed-content
+    * ordering, the collapse rule, `text:c` counts, or entity decode
+    * fails the hash. Damage quarantines the whole document.
+    */
+  private val qOdtExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Odt.odtExtract(graft.ext.Odt.encodeOdt(table(s, dir, "documents"))).toDF()
+
+  private val oOdtExtract: String =
+    """WITH d AS (SELECT doc_id, md5('odt:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |pa AS (SELECT doc_id, m, k
+      |       FROM d, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+      |       WHERE k < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |sg AS (SELECT doc_id, m, k, s,
+      |         1 + ('0x' || substr(m, CAST(2 + k AS INT), 1))::BIGINT % 3 AS nsg
+      |       FROM pa, (SELECT unnest([0, 1, 2]) AS s)
+      |       WHERE s < 1 + ('0x' || substr(m, CAST(2 + k AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, m, k, s,
+      |         'Seg ' || CAST(s AS VARCHAR) || ' of para ' || CAST(k AS VARCHAR) ||
+      |         ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * k + s) % 12 AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * k + s) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + k + s) % 5
+      |           WHEN 0 THEN ' & co' WHEN 2 THEN ' <b>' WHEN 4 THEN ' ' || chr(233)
+      |           ELSE '' END ||
+      |         CASE WHEN s < nsg - 1 THEN
+      |           CASE (doc_id + k + s) % 3
+      |             WHEN 0 THEN repeat(' ', CAST(2 + doc_id % 2 AS INT))
+      |             WHEN 1 THEN chr(9) ELSE chr(10) END
+      |         ELSE '' END AS t
+      |       FROM sg, wt),
+      |para AS (SELECT doc_id, m, k, string_agg(t, '' ORDER BY s) AS text
+      |         FROM tx GROUP BY doc_id, m, k),
+      |h AS (SELECT doc_id, k,
+      |        CASE WHEN doc_id % 7 = 5 THEN '' ELSE
+      |          'Odt ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT))
+      |        END AS title,
+      |        hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |      FROM para, wt)
+      |SELECT doc_id, k::BIGINT AS para_idx, title,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The Avro Object Container ingest path under the gate
     * ([[graft.ext.Avro]] — the data-lake interchange format corpus
     * drops arrive in): documents packed into 16 containers (codec
@@ -8048,6 +8105,7 @@ object QueryCatalog {
     "pdf_extract" -> qPdfExtract,
     "epub_extract" -> qEpubExtract,
     "docx_extract" -> qDocxExtract,
+    "odt_extract" -> qOdtExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8365,6 +8423,7 @@ object QueryCatalog {
     "pdf_extract" -> oPdfExtract,
     "epub_extract" -> oEpubExtract,
     "docx_extract" -> oDocxExtract,
+    "odt_extract" -> oOdtExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

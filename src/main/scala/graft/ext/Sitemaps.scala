@@ -165,14 +165,34 @@ object Sitemaps {
     * text leaf with its element's `@<` marker and `@xml:space` attribute
     * entry. Inter-element indentation then surfaces as whitespace leaves
     * on container paths — consumers filter by path.
+    *
+    * With `allowMixed = true` (the [[Odt]] profile — ODF paragraphs are
+    * inherently mixed content: `<text:p>plain <text:span>styled</text:span>
+    * tail</text:p>`), text pending when a CHILD element opens is emitted
+    * as a leaf of the current path at that position instead of failing,
+    * so a consumer walking leaves in order sees text and child-element
+    * markers interleaved exactly as the document had them. The default
+    * keeps mixed content a hard failure for every existing profile.
     */
   private[ext] def parseLeaves(xml: String, withAttrs: Boolean = false,
-      withMarkers: Boolean = false, withRawText: Boolean = false): Vector[(String, String)] = {
+      withMarkers: Boolean = false, withRawText: Boolean = false,
+      allowMixed: Boolean = false): Vector[(String, String)] = {
     val out = Vector.newBuilder[(String, String)]
     val stack = scala.collection.mutable.ArrayBuffer.empty[String]
     val text = new StringBuilder
     var sawRoot = false
     var textIsCdata = false
+    // emit pending text as a leaf of the CURRENT stack path (close tags
+    // and, under allowMixed, child-element opens), then clear
+    def flushText(): Unit = {
+      val t = text.toString
+      if (withRawText) {
+        if (t.nonEmpty || textIsCdata)
+          out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t)))
+      } else if (t.exists(!Character.isWhitespace(_)) || textIsCdata)
+        out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t.trim)))
+      text.setLength(0); textIsCdata = false
+    }
     var i = 0
     while (i < xml.length) {
       val c = xml.charAt(i)
@@ -196,13 +216,7 @@ object Sitemaps {
           if (e < 0 || stack.isEmpty) fail()
           val name = xml.substring(i + 2, e).trim
           if (name != stack.last) fail()
-          val t = text.toString
-          if (withRawText) {
-            if (t.nonEmpty || textIsCdata)
-              out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t)))
-          } else if (t.exists(!Character.isWhitespace(_)) || textIsCdata)
-            out += ((stack.mkString("/"), if (textIsCdata) t else unescapeXml(t.trim)))
-          text.setLength(0); textIsCdata = false
+          flushText()
           stack.remove(stack.length - 1)
           i = e + 1
         } else {
@@ -217,8 +231,13 @@ object Sitemaps {
             if (sawRoot) fail() // two top-level elements
             sawRoot = true
           }
-          if (text.exists(!Character.isWhitespace(_))) fail() // mixed content: not in profile
-          text.setLength(0); textIsCdata = false
+          // mixed-content text belongs to an ELEMENT — prolog whitespace
+          // (before the root) is not content even in mixed mode
+          if (allowMixed && stack.nonEmpty) flushText()
+          else {
+            if (text.exists(!Character.isWhitespace(_))) fail() // mixed content: not in profile
+            text.setLength(0); textIsCdata = false
+          }
           if (withAttrs) {
             val path = (stack :+ name).mkString("/")
             // element-boundary marker: attribute-correlating consumers

@@ -192,6 +192,12 @@ object StreamingArchiveIngest {
       windowLength: String): DataFrame =
     windowed(graft.ext.Docx.docxExtractWithTs(docs), watermarkDelay, windowLength)
 
+  def ingestOdt(
+      docs: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Odt.odtExtractWithTs(docs), watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.
