@@ -3037,6 +3037,56 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** PPTX (PresentationML) ingestion under the gate ([[graft.ext.Pptx]]
+    * — the slide-deck third of the OOXML shelf): per deck a complete
+    * OPC package whose slide ORDER comes from `p:sldIdLst` r:ids
+    * resolved through the presentation part's OWN rels file, with slide
+    * FILE numbers stored REVERSED against presentation order and the
+    * rels shuffled on the mod-3 arm — resolving by filename or by rels
+    * position instead of by r:id cannot pass. DrawingML `a:t` runs are
+    * VERBATIM (a two-run split arm leads with a space a trim would
+    * eat), `a:br` maps to newline. The oracle replays per-slide text
+    * closed-form; damage quarantines the whole deck.
+    */
+  private val qPptxExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Pptx.pptxExtract(graft.ext.Pptx.encodePptx(table(s, dir, "documents"))).toDF()
+
+  private val oPptxExtract: String =
+    """WITH d AS (SELECT doc_id, md5('pptx:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |sl AS (SELECT doc_id, m, j
+      |       FROM d, (SELECT unnest([0, 1, 2, 3]) AS j)
+      |       WHERE j < 1 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |pr AS (SELECT doc_id, m, j, p
+      |       FROM sl, (SELECT unnest([0, 1, 2]) AS p)
+      |       WHERE p < 1 + ('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, m, j, p,
+      |         'Slide ' || CAST(j AS VARCHAR) || ' para ' || CAST(p AS VARCHAR) ||
+      |         ' of deck ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * j + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE WHEN (doc_id + j + p) % 4 = 3 THEN chr(10) ELSE ' ' END ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * j + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + j + p) % 5
+      |           WHEN 0 THEN ' & x' WHEN 2 THEN ' <t>' WHEN 4 THEN ' ' || chr(233)
+      |           ELSE '' END AS t
+      |       FROM pr, wt),
+      |slide AS (SELECT doc_id, m, j, string_agg(t, chr(10) ORDER BY p) AS text
+      |          FROM tx GROUP BY doc_id, m, j),
+      |h AS (SELECT doc_id, j,
+      |        CASE WHEN doc_id % 7 = 2 THEN '' ELSE
+      |          'Deck ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT))
+      |        END AS title,
+      |        hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |      FROM slide, wt)
+      |SELECT doc_id, j::BIGINT AS slide_idx, title,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** ODT (OpenDocument) ingestion under the gate ([[graft.ext.Odt]] —
     * the LibreOffice half of the office shelf next to docx_extract):
     * per doc a complete ODF package — mimetype physically first and
@@ -8106,6 +8156,7 @@ object QueryCatalog {
     "epub_extract" -> qEpubExtract,
     "docx_extract" -> qDocxExtract,
     "odt_extract" -> qOdtExtract,
+    "pptx_extract" -> qPptxExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8424,6 +8475,7 @@ object QueryCatalog {
     "epub_extract" -> oEpubExtract,
     "docx_extract" -> oDocxExtract,
     "odt_extract" -> oOdtExtract,
+    "pptx_extract" -> oPptxExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

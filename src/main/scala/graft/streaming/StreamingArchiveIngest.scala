@@ -198,6 +198,12 @@ object StreamingArchiveIngest {
       windowLength: String): DataFrame =
     windowed(graft.ext.Odt.odtExtractWithTs(docs), watermarkDelay, windowLength)
 
+  def ingestPptx(
+      decks: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Pptx.pptxExtractWithTs(decks), watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.

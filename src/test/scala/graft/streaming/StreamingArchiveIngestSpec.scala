@@ -508,4 +508,38 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
       assert(streamed == batch, "odt batch and streaming agree record for record")
     } finally q.stop()
   }
+
+  test("pptx stream: twin finalizes with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = 0L until 8L
+    val idsDf = ids.toDF("doc_id")
+    val blobs = graft.ext.Pptx.encodePptx(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val batchRows = graft.ext.Pptx.pptxExtract(graft.ext.Pptx.encodePptx(idsDf)).collect()
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamingArchiveIngest.ingestPptx(
+      in.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("pptx_ingest_out").outputMode("append").start()
+    try {
+      in.addData(ids.map(i => (i, ts(2), if (i == 6L) blobs(i).take(96) else blobs(i))): _*)
+      q.processAllAvailable()
+      in.addData((0L, ts(40), blobs(0L)))
+      q.processAllAvailable()
+      val rows = spark.table("pptx_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expected = batchRows.filterNot(_.doc_id == 6L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows == expected, "per-shard slide counts; damaged pptx drops")
+      val streamed = graft.ext.Pptx.pptxExtractWithTs(
+        Seq((1L, ts(2), blobs(1L))).toDF("doc_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Pptx.pptxExtract(
+        Seq((1L, blobs(1L))).toDF("doc_id", "payload")).collect()
+        .map(s => (s.slide_idx, s.doc_id, s.n_chars)).sorted.toSeq
+      assert(streamed == batch, "pptx batch and streaming agree record for record")
+    } finally q.stop()
+  }
 }
