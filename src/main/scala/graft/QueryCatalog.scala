@@ -3037,6 +3037,55 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** RTF extraction under the gate ([[graft.ext.Rtf]] — the legacy
+    * office format, a from-scratch brace-group/control-word tokenizer
+    * rather than a ZIP+XML composition): per doc a complete RTF with
+    * fonttbl/colortbl destinations, an ignorable `{\*\generator}`, a
+    * `{\pict}` blob arm, the `{\info{\title}}` metadata route, and per
+    * paragraph the hazard arms — escaped braces, `\'hh` WinAnsi bytes,
+    * `\uN` Unicode escapes under BOTH `\uc0` and `\uc1` fallback
+    * protocols, embedded `\tab`/`\line`/`\~`, raw CR/LF wrapping that
+    * must stay invisible. The oracle replays per-paragraph text
+    * closed-form; a slip in the delimiter rule, the uc skip, or
+    * destination handling fails the hash.
+    */
+  private val qRtfExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Rtf.rtfExtract(graft.ext.Rtf.encodeRtf(table(s, dir, "documents"))).toDF()
+
+  private val oRtfExtract: String =
+    """WITH d AS (SELECT doc_id, md5('rtf:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |pa AS (SELECT doc_id, m, k
+      |       FROM d, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+      |       WHERE k < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |tx AS (SELECT doc_id, m, k,
+      |         'Rtf para ' || CAST(k AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * k) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE WHEN (doc_id + k) % 7 = 1 THEN chr(10) ELSE ' ' END ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * k) % 12 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + k) % 6
+      |           WHEN 0 THEN ' {x}'
+      |           WHEN 1 THEN ' ' || chr(233)
+      |           WHEN 2 THEN ' ' || chr(8220) || 'q' || chr(8221)
+      |           WHEN 3 THEN ' a' || chr(9) || 'b'
+      |           WHEN 4 THEN ' x' || chr(160) || 'y'
+      |           ELSE '' END AS t
+      |       FROM pa, wt),
+      |h AS (SELECT doc_id, k,
+      |        CASE WHEN doc_id % 7 = 6 THEN '' ELSE
+      |          'Rtf doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT))
+      |        END AS title,
+      |        hex(encode(t)) AS hx, octet_length(encode(t)) AS n
+      |      FROM tx, wt)
+      |SELECT doc_id, k::BIGINT AS para_idx, title,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** PPTX (PresentationML) ingestion under the gate ([[graft.ext.Pptx]]
     * — the slide-deck third of the OOXML shelf): per deck a complete
     * OPC package whose slide ORDER comes from `p:sldIdLst` r:ids
@@ -8157,6 +8206,7 @@ object QueryCatalog {
     "docx_extract" -> qDocxExtract,
     "odt_extract" -> qOdtExtract,
     "pptx_extract" -> qPptxExtract,
+    "rtf_extract" -> qRtfExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8476,6 +8526,7 @@ object QueryCatalog {
     "docx_extract" -> oDocxExtract,
     "odt_extract" -> oOdtExtract,
     "pptx_extract" -> oPptxExtract,
+    "rtf_extract" -> oRtfExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

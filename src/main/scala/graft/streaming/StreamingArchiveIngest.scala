@@ -204,6 +204,12 @@ object StreamingArchiveIngest {
       windowLength: String): DataFrame =
     windowed(graft.ext.Pptx.pptxExtractWithTs(decks), watermarkDelay, windowLength)
 
+  def ingestRtf(
+      docs: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Rtf.rtfExtractWithTs(docs), watermarkDelay, windowLength)
+
   /** The shared reduction: watermark, tumbling window per archive,
     * records/bytes/approx-distinct docs. One state row per
     * (window, archive) regardless of ingest rate.
