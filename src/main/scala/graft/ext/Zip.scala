@@ -168,6 +168,32 @@ object Zip {
     if (p < 0 || p + 4 > b.length) throw new MalformedZip
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
   }
+  private def u64(b: Array[Byte], p: Int): Long = {
+    val v = u32(b, p) | (u32(b, p + 4) << 32)
+    if (v < 0) throw new MalformedZip // 2^63+ offsets: hostile
+    v
+  }
+
+  /** Resolve one value out of an extra-field ZIP64 block (header 0x0001):
+    * the block carries 8-byte values ONLY for the fixed fields that were
+    * saturated to 0xFFFFFFFF, in the fixed order usize, csize, lfhOffset.
+    * `slot` = how many saturated fields PRECEDE the requested one.
+    */
+  private def zip64Field(b: Array[Byte], extraFrom: Int, extraLen: Int, slot: Int): Long = {
+    var p = extraFrom
+    val end = extraFrom + extraLen
+    while (p + 4 <= end) {
+      val id = u16(b, p)
+      val len = u16(b, p + 2)
+      if (p + 4 + len > end) throw new MalformedZip
+      if (id == 0x0001) {
+        if (8 * (slot + 1) > len) throw new MalformedZip
+        return u64(b, p + 4 + 8 * slot)
+      }
+      p += 4 + len
+    }
+    throw new MalformedZip // saturated field with no ZIP64 extra block
+  }
 
   /** Locate the end-of-central-directory record by scanning backwards
     * from EOF over the (0..65535-byte) archive comment — the only
@@ -232,27 +258,60 @@ object Zip {
   private[ext] def parseArchiveFilesWithOffsets(b: Array[Byte],
       maxEntryBytes: Int): Seq[(String, Array[Byte], Int, Long)] = {
     val eocd = findEocd(b)
-    val nEntries = u16(b, eocd + 10)
-    if (u16(b, eocd + 8) != nEntries || u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0)
+    var nEntries: Long = u16(b, eocd + 10)
+    if (u16(b, eocd + 8).toLong != nEntries || u16(b, eocd + 4) != 0 || u16(b, eocd + 6) != 0)
       throw new MalformedZip // single-disk archives only
-    val cdOffset = u32(b, eocd + 16)
-    if (cdOffset + u32(b, eocd + 12) != eocd) throw new MalformedZip
+    var cdSize = u32(b, eocd + 12)
+    var cdOffset = u32(b, eocd + 16)
+    var cdEnd = eocd.toLong
+    if (nEntries == 0xffffL || cdSize == 0xffffffffL || cdOffset == 0xffffffffL) {
+      // ZIP64 (APPNOTE 4.3.14/4.3.15): a saturated EOCD field means the
+      // real figures live in the ZIP64 EOCD record, reached through the
+      // 20-byte locator that sits immediately before the classic EOCD —
+      // the format every >4 GiB / >65535-entry archive on a real corpus
+      // store uses, so the walker must speak it even though fixtures are
+      // small (the spec forces the structures onto small archives)
+      val loc = eocd - 20
+      if (loc < 0 || u32(b, loc) != 0x07064b50L) throw new MalformedZip
+      if (u32(b, loc + 4) != 0 || u32(b, loc + 16) != 1) throw new MalformedZip // one disk
+      val e64 = u64(b, loc + 8)
+      if (e64 + 56 > loc) throw new MalformedZip
+      val z = e64.toInt
+      if (u32(b, z) != 0x06064b50L) throw new MalformedZip
+      if (u32(b, z + 16) != 0 || u32(b, z + 20) != 0) throw new MalformedZip // disks
+      nEntries = u64(b, z + 24)
+      if (u64(b, z + 32) != nEntries) throw new MalformedZip
+      cdSize = u64(b, z + 40)
+      cdOffset = u64(b, z + 48)
+      cdEnd = e64
+    }
+    if (nEntries > (1L << 20)) throw new MalformedZip // entry-count bomb
+    if (cdOffset + cdSize != cdEnd) throw new MalformedZip
     val entries = Array.newBuilder[(String, Array[Byte], Int, Long)]
     var p = cdOffset.toInt
-    var idx = 0
+    var idx = 0L
     while (idx < nEntries) {
       if (u32(b, p) != 0x02014b50L) throw new MalformedZip
       val flags = u16(b, p + 8)
       val method = u16(b, p + 10)
       val crc = u32(b, p + 16)
-      val csize = u32(b, p + 20)
-      val usize = u32(b, p + 24)
+      var csize = u32(b, p + 20)
+      var usize = u32(b, p + 24)
       val nameLen = u16(b, p + 28)
       val extraLen = u16(b, p + 30)
       val commentLen = u16(b, p + 32)
-      val lfh = u32(b, p + 42).toInt
-      if (p + 46 + nameLen > b.length) throw new MalformedZip
+      var lfhL = u32(b, p + 42)
+      if (p + 46 + nameLen + extraLen > b.length) throw new MalformedZip
       val name = new String(b, p + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      // per-entry ZIP64: saturated fixed fields resolve out of the 0x0001
+      // extra block, 8-byte values in fixed order for the saturated ones
+      val extraFrom = p + 46 + nameLen
+      var slot = 0
+      if (usize == 0xffffffffL) { usize = zip64Field(b, extraFrom, extraLen, slot); slot += 1 }
+      if (csize == 0xffffffffL) { csize = zip64Field(b, extraFrom, extraLen, slot); slot += 1 }
+      if (lfhL == 0xffffffffL) { lfhL = zip64Field(b, extraFrom, extraLen, slot); slot += 1 }
+      if (lfhL < 0 || lfhL >= b.length) throw new MalformedZip
+      val lfh = lfhL.toInt
       if (csize > maxEntryBytes || usize > maxEntryBytes) throw new MalformedZip
       // LFH cross-check
       if (u32(b, lfh) != 0x04034b50L) throw new MalformedZip
@@ -265,9 +324,18 @@ object Zip {
       var i = 0
       while (i < nameLen) { if (b(q + i) != b(p + 46 + i)) throw new MalformedZip; i += 1 }
       if ((flags & 0x08) == 0) {
-        // sizes present in the LFH must agree with the CD
-        if (u32(b, lfh + 14) != crc || u32(b, lfh + 18) != csize || u32(b, lfh + 22) != usize)
-          throw new MalformedZip
+        // sizes present in the LFH must agree with the CD; a ZIP64 LFH
+        // saturates both and carries them in ITS 0x0001 block (usize
+        // then csize, both mandatory there per APPNOTE 4.5.3)
+        if (u32(b, lfh + 14) != crc) throw new MalformedZip
+        var lcs = u32(b, lfh + 18)
+        var lus = u32(b, lfh + 22)
+        if (lcs == 0xffffffffL || lus == 0xffffffffL) {
+          val lext = lfh + 30 + nameLen
+          lus = zip64Field(b, lext, lfhExtraLen, 0)
+          lcs = zip64Field(b, lext, lfhExtraLen, 1)
+        }
+        if (lcs != csize || lus != usize) throw new MalformedZip
       } else {
         if (u32(b, lfh + 14) != 0 || u32(b, lfh + 18) != 0 || u32(b, lfh + 22) != 0)
           throw new MalformedZip
@@ -301,8 +369,65 @@ object Zip {
       p += 46 + nameLen + extraLen + commentLen
       idx += 1
     }
-    if (p != eocd) throw new MalformedZip
+    if (p.toLong != cdEnd) throw new MalformedZip
     entries.result().toSeq
+  }
+
+  /** [[buildZip]]'s FORCED-ZIP64 twin: every entry saturates its LFH and
+    * CD size/offset fields to 0xFFFFFFFF with the real values in 0x0001
+    * extra blocks, and the archive closes with the ZIP64 EOCD record +
+    * locator + a saturated classic EOCD — exactly the layout a >4 GiB
+    * producer emits, forced onto a small archive so the reader's ZIP64
+    * paths sit under tests (and under java.util.zip.ZipFile as the
+    * foreign differential).
+    */
+  private[ext] def buildZip64(entries: Seq[(String, Array[Byte], Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w64(v: Long): Unit = { w32(out, v & 0xffffffffL); w32(out, (v >>> 32) & 0xffffffffL) }
+    val cd = Array.newBuilder[(Array[Byte], Int, Long, Int, Int, Long)]
+    entries.foreach { case (nameS, data, method) =>
+      val name = utf8(nameS)
+      val crc = Multimodal.crc32(data, 0, data.length) & 0xffffffffL
+      val comp = method match {
+        case 0 => data
+        case 8 => Multimodal.deflateDynamic(data)
+        case _ => throw new MalformedZip
+      }
+      val lfhOffset = out.size().toLong
+      w32(out, 0x04034b50L); w16(out, 45); w16(out, 0); w16(out, method)
+      w16(out, 0); w16(out, 0x21)
+      w32(out, crc); w32(out, 0xffffffffL); w32(out, 0xffffffffL) // saturated sizes
+      w16(out, name.length); w16(out, 20) // ZIP64 extra: 4 + 16
+      out.write(name)
+      w16(out, 0x0001); w16(out, 16); w64(data.length.toLong); w64(comp.length.toLong)
+      out.write(comp)
+      cd += ((name, method, crc, comp.length, data.length, lfhOffset))
+    }
+    val cdOffset = out.size().toLong
+    val built = cd.result()
+    built.foreach { case (name, method, crc, csize, usize, lfhOffset) =>
+      w32(out, 0x02014b50L); w16(out, 45); w16(out, 45); w16(out, 0); w16(out, method)
+      w16(out, 0); w16(out, 0x21)
+      w32(out, crc); w32(out, 0xffffffffL); w32(out, 0xffffffffL)
+      w16(out, name.length); w16(out, 28); w16(out, 0) // ZIP64 extra: 4 + 24
+      w16(out, 0); w16(out, 0); w32(out, 0)
+      w32(out, 0xffffffffL) // saturated LFH offset
+      out.write(name)
+      w16(out, 0x0001); w16(out, 24)
+      w64(usize.toLong); w64(csize.toLong); w64(lfhOffset)
+    }
+    val cdSize = out.size().toLong - cdOffset
+    val e64 = out.size().toLong
+    w32(out, 0x06064b50L); w64(44L) // size of remainder
+    w16(out, 45); w16(out, 45); w32(out, 0); w32(out, 0)
+    w64(built.length.toLong); w64(built.length.toLong)
+    w64(cdSize); w64(cdOffset)
+    w32(out, 0x07064b50L); w32(out, 0); w64(e64); w32(out, 1) // locator
+    w32(out, 0x06054b50L); w16(out, 0); w16(out, 0)
+    w16(out, 0xffff); w16(out, 0xffff)
+    w32(out, 0xffffffffL); w32(out, 0xffffffffL)
+    w16(out, 0)
+    out.toByteArray
   }
 
   /** Decode ZIP archives end to end, map-only; damaged archives are

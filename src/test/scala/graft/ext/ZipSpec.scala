@@ -107,4 +107,54 @@ class ZipSpec extends AnyFunSuite {
     ).toDF("archive_id", "payload")
     assert(Zip.zipExtract(df).collect().isEmpty)
   }
+
+  test("ZIP64: forced structures parse identically; java.util.zip reads our writer") {
+    val entries = Seq(
+      ("a/first.txt", ("alpha " * 40).getBytes(UTF_8), 0),
+      ("second.bin", (0 until 5000).map(i => ((i * 37 + 11) % 251).toByte).toArray, 8),
+      ("third.txt", "tiny".getBytes(UTF_8), 0))
+    val plain = Zip.parseArchiveFilesWithOffsets(Zip.buildZip(entries), 1 << 26)
+    val z64bytes = Zip.buildZip64(entries)
+    val z64 = Zip.parseArchiveFilesWithOffsets(z64bytes, 1 << 26)
+    assert(z64.map(e => (e._1, e._2.toSeq, e._3)) == plain.map(e => (e._1, e._2.toSeq, e._3)))
+    // foreign differential: the JDK's CD-driven reader accepts the layout
+    val tmp = java.io.File.createTempFile("graft-z64", ".zip")
+    try {
+      java.nio.file.Files.write(tmp.toPath, z64bytes)
+      val zf = new java.util.zip.ZipFile(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        val got = zf.entries().asScala.map { e =>
+          val in = zf.getInputStream(e)
+          val bytes = in.readAllBytes(); in.close()
+          (e.getName, bytes.toSeq)
+        }.toMap
+        assert(got == entries.map(e => e._1 -> e._2.toSeq).toMap)
+      } finally zf.close()
+    } finally tmp.delete()
+    // damage ladder: each ZIP64 structure violation quarantines
+    def parse(b: Array[Byte]) =
+      try { Zip.parseArchiveFiles(b, 1 << 26); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    assert(parse(z64bytes))
+    val noLocator = z64bytes.clone()
+    noLocator(z64bytes.length - 42) = 'X' // locator signature (20 + 22 from EOF)
+    assert(!parse(noLocator))
+    val badE64 = z64bytes.clone()
+    // the locator's eocd64-offset field (8 bytes into the locator)
+    badE64(z64bytes.length - 42 + 8) = (badE64(z64bytes.length - 42 + 8) ^ 0x7f).toByte
+    assert(!parse(badE64))
+    // a saturated CD field whose 0x0001 extra block is renamed away
+    val noExtra = z64bytes.clone()
+    var i = 0
+    var patched = 0
+    while (i + 4 <= noExtra.length) {
+      if ((noExtra(i) & 0xff) == 0x01 && noExtra(i + 1) == 0 &&
+        (noExtra(i + 2) & 0xff) == 24 && noExtra(i + 3) == 0) {
+        noExtra(i) = 0x7a; patched += 1
+      }
+      i += 1
+    }
+    assert(patched == entries.length && !parse(noExtra))
+  }
 }
