@@ -3037,6 +3037,53 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** XLSX (SpreadsheetML) ingestion under the gate ([[graft.ext.Xlsx]]
+    * — the tabular third of the OOXML shelf): per workbook a complete
+    * OPC package whose cells hold INDEXES into the shared string table
+    * (`xl/sharedStrings.xml`, rich-text runs + `xml:space="preserve"`
+    * edge whitespace, writer-side interning graded by a repeated-string
+    * arm), sheet order via workbook rels r:ids over reverse-numbered
+    * files, bijective base-26 cell refs cross-checked against their row
+    * elements, and all four cell types (shared / numeric / inlineStr /
+    * formula-str). The oracle replays every cell closed-form; a wrong
+    * table index, a trimmed preserved space, or a mis-parsed ref fails
+    * the row. Damage quarantines the whole workbook.
+    */
+  private val qXlsxExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Xlsx.xlsxExtract(graft.ext.Xlsx.encodeXlsx(table(s, dir, "documents"))).toDF()
+
+  private val oXlsxExtract: String =
+    """WITH d AS (SELECT doc_id, md5('xlsx:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |sh AS (SELECT doc_id, m, s
+      |       FROM d, (SELECT unnest([0, 1, 2]) AS s)
+      |       WHERE s < 1 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |rw AS (SELECT doc_id, m, s, r
+      |       FROM sh, (SELECT unnest([0, 1, 2, 3]) AS r)
+      |       WHERE r < 2 + ('0x' || substr(m, CAST(2 + s AS INT), 1))::BIGINT % 3),
+      |cl AS (SELECT doc_id, m, s, r, c
+      |       FROM rw, (SELECT unnest([0, 1, 2]) AS c)
+      |       WHERE c < 2 + (doc_id + s) % 2),
+      |x AS (SELECT doc_id, s, r, c,
+      |        'S' || CAST(s AS VARCHAR) || ' ' ||
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(28 + s AS INT), 1))::BIGINT % 8 AS INT)) AS sheet_name,
+      |        CASE (doc_id + s + r + c) % 5
+      |          WHEN 1 THEN 'n' WHEN 2 THEN 'inlineStr' ELSE 's' END AS ctype,
+      |        CASE (doc_id + s + r + c) % 5
+      |          WHEN 0 THEN 'Cell ' || CAST(r AS VARCHAR) || ' ' || CAST(c AS VARCHAR) ||
+      |            ' of sheet ' || CAST(s AS VARCHAR) || ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * s + 2 * r + c) % 12 AS INT), 1))::BIGINT % 8 AS INT))
+      |          WHEN 1 THEN CAST(doc_id * 7 + s * 5 + r * 3 + c AS VARCHAR)
+      |          WHEN 2 THEN 'Inline ' || CAST(r AS VARCHAR) || ' ' || CAST(c AS VARCHAR) || ': ' ||
+      |            list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (s + r + 2 * c) % 12 AS INT), 1))::BIGINT % 8 AS INT))
+      |          WHEN 3 THEN 'Repeated of sheet ' || CAST(s AS VARCHAR) || ' doc ' || CAST(doc_id AS VARCHAR)
+      |          ELSE ' padded ' || CAST(r AS VARCHAR) || CAST(c AS VARCHAR) END AS text
+      |      FROM cl, wt)
+      |SELECT doc_id, s::BIGINT AS sheet_idx, sheet_name,
+      |       r::BIGINT AS row_idx, c::BIGINT AS col_idx, ctype, text
+      |FROM x""".stripMargin
+
   /** RTF extraction under the gate ([[graft.ext.Rtf]] — the legacy
     * office format, a from-scratch brace-group/control-word tokenizer
     * rather than a ZIP+XML composition): per doc a complete RTF with
@@ -8207,6 +8254,7 @@ object QueryCatalog {
     "odt_extract" -> qOdtExtract,
     "pptx_extract" -> qPptxExtract,
     "rtf_extract" -> qRtfExtract,
+    "xlsx_extract" -> qXlsxExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8527,6 +8575,7 @@ object QueryCatalog {
     "odt_extract" -> oOdtExtract,
     "pptx_extract" -> oPptxExtract,
     "rtf_extract" -> oRtfExtract,
+    "xlsx_extract" -> oXlsxExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,
