@@ -3037,6 +3037,83 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** LaTeX extraction under the gate ([[graft.ext.Latex]] — the arXiv
+    * shelf, a from-scratch TeX-subset tokenizer): per doc a real-paper
+    * source — preamble with discarded commands, `\title`/`\maketitle`,
+    * sections with labeled headers, paragraphs wrapped across source
+    * lines, a skipped `figure` environment arm, an `itemize`, a raw
+    * `verbatim` block — whose paragraphs cycle the eight hazard arms
+    * (transparent `\emph` groups, accents, verbatim math, quote/dash
+    * ligatures, escaped specials, `~`/`--`, a COMMENT-SPLIT word — the
+    * TeX rule that `%` eats the newline and the next line's leading
+    * whitespace). One row per block with its structural kind. The
+    * oracle replays every block's text AND position closed-form; a slip
+    * in comment joining, ligatures, discard-arg handling, or block
+    * ordering fails the hash. Structural damage quarantines whole.
+    */
+  private val qLatexExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Latex.latexExtract(graft.ext.Latex.encodeLatex(table(s, dir, "documents"))).toDF()
+
+  private val oLatexExtract: String =
+    """WITH d AS (SELECT doc_id, md5('latex:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |base AS (SELECT doc_id, m,
+      |           1 + ('0x' || substr(m, 1, 1))::BIGINT % 3 AS ns,
+      |           1 + ('0x' || substr(m, 2, 1))::BIGINT % 3 AS np0,
+      |           1 + ('0x' || substr(m, 3, 1))::BIGINT % 3 AS np1,
+      |           1 + ('0x' || substr(m, 4, 1))::BIGINT % 3 AS np2
+      |         FROM d),
+      |blocks AS (
+      |  SELECT doc_id, 0 AS bi, 'title' AS kind,
+      |         'Latex doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |           list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT)) AS text
+      |  FROM base, wt
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 + np0 ELSE 5 + np0 + np1 END AS bi,
+      |         'section' AS kind,
+      |         'Section ' || CAST(k AS VARCHAR) || ' ' ||
+      |           list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(26 + k AS INT), 1))::BIGINT % 8 AS INT)) AS text
+      |  FROM base, wt, (SELECT unnest([0, 1, 2]) AS k) WHERE k < ns
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 + np0 ELSE 5 + np0 + np1 END + 1 + p AS bi,
+      |         'para' AS kind,
+      |         'Para ' || CAST(p AS VARCHAR) || ' of sec ' || CAST(k AS VARCHAR) ||
+      |         ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * k + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         CASE (doc_id + k + p) % 8
+      |           WHEN 0 THEN w2 || ' end'
+      |           WHEN 1 THEN 'caf' || chr(233) || ' ' || w2
+      |           WHEN 2 THEN '$x^{2}_{' || w2 || '} + 1$'
+      |           WHEN 3 THEN chr(8220) || w2 || chr(8221) || chr(8212) || 'q'
+      |           WHEN 4 THEN '5% & ' || w2 || '_x'
+      |           WHEN 5 THEN 'a' || chr(160) || w2 || chr(8211) || 'c'
+      |           ELSE w2 END AS text
+      |  FROM (SELECT doc_id, m, ns, np0, np1, np2, k, p,
+      |          CASE k WHEN 0 THEN np0 WHEN 1 THEN np1 ELSE np2 END AS npk,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * k + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) AS w2
+      |        FROM base, wt, (SELECT unnest([0, 1, 2]) AS k), (SELECT unnest([0, 1, 2]) AS p)
+      |        WHERE k < ns) q, wt
+      |  WHERE p < npk
+      |  UNION ALL
+      |  SELECT doc_id, 3 + np0 + np1 + j AS bi, 'item' AS kind,
+      |         'Item ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM base, (SELECT unnest([0, 1]) AS j) WHERE ns >= 2
+      |  UNION ALL
+      |  SELECT doc_id, 6 + np0 + np1 + np2 AS bi, 'verbatim' AS kind,
+      |         'x_' || CAST(doc_id AS VARCHAR) || ' & 100% raw $stuff' AS text
+      |  FROM base WHERE ns = 3),
+      |h AS (SELECT doc_id, bi, kind, hex(encode(text)) AS hx,
+      |        octet_length(encode(text)) AS n FROM blocks)
+      |SELECT doc_id, bi::BIGINT AS block_idx, kind,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** XLSX (SpreadsheetML) ingestion under the gate ([[graft.ext.Xlsx]]
     * — the tabular third of the OOXML shelf): per workbook a complete
     * OPC package whose cells hold INDEXES into the shared string table
@@ -8255,6 +8332,7 @@ object QueryCatalog {
     "pptx_extract" -> qPptxExtract,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
+    "latex_extract" -> qLatexExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8576,6 +8654,7 @@ object QueryCatalog {
     "pptx_extract" -> oPptxExtract,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
+    "latex_extract" -> oLatexExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,
