@@ -3114,6 +3114,87 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** Markdown extraction under the gate ([[graft.ext.Markdown]] — the
+    * README/docs shelf): per doc a CommonMark-subset source — closing-
+    * hash ATX title, BOTH heading syntaxes (ATX and setext, with
+    * standalone `---` thematic breaks that must NOT read as underlines),
+    * soft-wrapped paragraphs cycling seven inline arms (emphasis strip,
+    * verbatim code spans, link text, escapes, lenient entities, the
+    * intraword-underscore rule), a multi-line blockquote arm, one-line
+    * list items, and a fenced code block captured raw. One row per
+    * block with its kind; the oracle replays text AND position
+    * closed-form.
+    */
+  private val qMarkdownExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Markdown.markdownExtract(
+      graft.ext.Markdown.encodeMarkdown(table(s, dir, "documents"))).toDF()
+
+  private val oMarkdownExtract: String =
+    """WITH d AS (SELECT doc_id, md5('md:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |base AS (SELECT doc_id, m,
+      |           1 + ('0x' || substr(m, 1, 1))::BIGINT % 3 AS ns,
+      |           1 + ('0x' || substr(m, 2, 1))::BIGINT % 3 AS np0,
+      |           1 + ('0x' || substr(m, 3, 1))::BIGINT % 3 AS np1,
+      |           1 + ('0x' || substr(m, 4, 1))::BIGINT % 3 AS np2,
+      |           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS q
+      |         FROM d),
+      |blocks AS (
+      |  SELECT doc_id, 0 AS bi, 'h1' AS kind,
+      |         'Md doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |           list_extract(ws, 1 + CAST(('0x' || substr(m, 32, 1))::BIGINT % 8 AS INT)) AS text
+      |  FROM base, wt
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 + np0 + q ELSE 5 + np0 + np1 + q END AS bi,
+      |         'h2' AS kind,
+      |         'Section ' || CAST(k AS VARCHAR) || ' ' ||
+      |           list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(26 + k AS INT), 1))::BIGINT % 8 AS INT)) AS text
+      |  FROM base, wt, (SELECT unnest([0, 1, 2]) AS k) WHERE k < ns
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         CASE k WHEN 0 THEN 1 WHEN 1 THEN 2 + np0 + q ELSE 5 + np0 + np1 + q END
+      |           + 1 + p + (CASE WHEN k = 0 AND p >= 1 THEN q ELSE 0 END) AS bi,
+      |         'para' AS kind,
+      |         'Para ' || CAST(p AS VARCHAR) || ' of sec ' || CAST(k AS VARCHAR) ||
+      |         ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + (3 * k + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         CASE (doc_id + k + p) % 7
+      |           WHEN 0 THEN w2 || ' bold'
+      |           WHEN 1 THEN w2 || ' em'
+      |           WHEN 2 THEN 'a*b ' || w2
+      |           WHEN 3 THEN w2 || ' link'
+      |           WHEN 4 THEN '*lit* ' || w2
+      |           WHEN 5 THEN 'a & b ' || w2
+      |           ELSE 'snake_case ' || w2 END AS text
+      |  FROM (SELECT doc_id, m, ns, np0, np1, np2, q, k, p,
+      |          CASE k WHEN 0 THEN np0 WHEN 1 THEN np1 ELSE np2 END AS npk,
+      |          list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * k + p) % 12 AS INT), 1))::BIGINT % 8 AS INT)) AS w2
+      |        FROM base, wt, (SELECT unnest([0, 1, 2]) AS k), (SELECT unnest([0, 1, 2]) AS p)
+      |        WHERE k < ns) sq, wt
+      |  WHERE p < npk
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS bi, 'quote' AS kind,
+      |         'Quoted ' || CAST(doc_id AS VARCHAR) || ' across lines' AS text
+      |  FROM base WHERE q = 1
+      |  UNION ALL
+      |  SELECT doc_id, 3 + np0 + q + np1 + j AS bi, 'item' AS kind,
+      |         'Item ' || CAST(j AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM base, (SELECT unnest([0, 1]) AS j) WHERE ns >= 2
+      |  UNION ALL
+      |  SELECT doc_id, 6 + np0 + np1 + np2 + q AS bi, 'code' AS kind,
+      |         'code(x_' || CAST(doc_id AS VARCHAR) || ') # raw **not bold**' AS text
+      |  FROM base WHERE ns = 3),
+      |h AS (SELECT doc_id, bi, kind, hex(encode(text)) AS hx,
+      |        octet_length(encode(text)) AS n FROM blocks)
+      |SELECT doc_id, bi::BIGINT AS block_idx, kind,
+      |       n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** XLSX (SpreadsheetML) ingestion under the gate ([[graft.ext.Xlsx]]
     * — the tabular third of the OOXML shelf): per workbook a complete
     * OPC package whose cells hold INDEXES into the shared string table
@@ -8333,6 +8414,7 @@ object QueryCatalog {
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
+    "markdown_extract" -> qMarkdownExtract,
     "sevenz_extract" -> qSevenZExtract,
     "caption_align" -> qCaptionAlign,
     "audio_frame_stats" -> qAudioFrames,
@@ -8655,6 +8737,7 @@ object QueryCatalog {
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
+    "markdown_extract" -> oMarkdownExtract,
     "sevenz_extract" -> oZstExtract,
     "caption_align" -> oCaptionAlign,
     "quantize_stats" -> oQuantize,

@@ -496,7 +496,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // books/office/codec ingestion is one typed flatMap per document —
     // a shuffle or join appearing here means fixture staging or decode
     // stopped being per-row
-    Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract", "pptx_extract", "rtf_extract", "xlsx_extract", "latex_extract", "multimodal_webp_decode",
+    Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract", "pptx_extract", "rtf_extract", "xlsx_extract", "latex_extract", "markdown_extract", "multimodal_webp_decode",
       "audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
       "sentence_split").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
