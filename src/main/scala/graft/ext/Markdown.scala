@@ -226,13 +226,26 @@ object Markdown {
         val nextWord = i + 1 < n && isWordChar(s.charAt(i + 1))
         if (prevWord && nextWord) sb.append('_') // intraword: literal
         i += 1
+      } else if (c == '&') {
+        // entities decode HERE, in the non-code scan — running a decode
+        // pass over the assembled string would also hit code-span
+        // content, which must stay verbatim (entity references are not
+        // recognized inside code spans)
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val rep = decodeEntities(s.substring(i, semi + 1))
+          if (rep.length < semi + 1 - i) { sb.append(rep); i = semi + 1 }
+          else { sb.append('&'); i += 1 }
+        } else { sb.append('&'); i += 1 }
       } else { sb.append(c); i += 1 }
     }
-    decodeEntities(sb.toString)
+    sb.toString
   }
 
   private val ListItem = "^([-*+]|\\d{1,9}[.)])\\s+(.*)$".r
-  private val AtxHeading = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+  // the closing-hash run only strips when preceded by whitespace
+  // (CommonMark: '# C#' keeps its trailing #)
+  private val AtxHeading = "^(#{1,6})\\s+(.*?)(?:\\s+#+)?\\s*$".r
 
   private def isThematic(line: String): Boolean = {
     val t = line.replace(" ", "")
@@ -286,10 +299,6 @@ object Markdown {
             i += 1
           }
           blocks += (("quote", inline(q.toString.trim)))
-        case ListItem(_, rest) =>
-          flushPara()
-          blocks += (("item", inline(rest.trim)))
-          i += 1
         case _ if para.length() > 0 && trimmed.nonEmpty &&
             (trimmed.forall(_ == '=') || trimmed.forall(_ == '-')) =>
           // setext underline closes the open paragraph as a heading
@@ -298,7 +307,12 @@ object Markdown {
           para.setLength(0)
           blocks += ((kind, t))
           i += 1
+        // spaced thematic breaks ('- - -', '* * *') outrank list items
         case _ if isThematic(trimmed) => flushPara(); i += 1
+        case ListItem(_, rest) =>
+          flushPara()
+          blocks += (("item", inline(rest.trim)))
+          i += 1
         case _ =>
           if (para.length() > 0) para.append(' ')
           para.append(inline(trimmed))

@@ -239,11 +239,35 @@ object Odt {
     sb.toString
   }
 
+  /** Whether every path segment BETWEEN the last `text:p`/`text:h` and
+    * the leaf is an in-profile text wrapper — the elements whose text IS
+    * paragraph content. Anything else (footnote bodies, annotations,
+    * citation numbers, change tracking) carrying text inside a paragraph
+    * is OUT of profile and must quarantine, never merge: partial text
+    * from a structure this walker does not understand is worse than
+    * none.
+    */
+  private val TextWrappers: Set[String] = Set("text:span", "text:a")
+  private def wrapperChainOk(core: String): Boolean = {
+    val segs = core.split('/')
+    var last = -1
+    var i = 0
+    while (i < segs.length) {
+      if (segs(i) == "text:p" || segs(i) == "text:h") last = i
+      i += 1
+    }
+    if (last < 0) return false
+    (last + 1 until segs.length).forall(j => TextWrappers.contains(segs(j)))
+  }
+
   /** Assemble paragraphs from a `content.xml` leaf walk (mixed-content
     * mode): `text:p`/`text:h` markers open paragraphs; in-paragraph text
     * leaves append collapsed (a paragraph-LEADING space stripped);
     * `text:s` appends its `text:c` count of spaces (the attr leaf
     * follows the marker), `text:tab`/`text:line-break` append verbatim.
+    * NESTED paragraphs (footnote bodies: `text:p → text:note → … →
+    * text:p`) and text under non-wrapper descendants quarantine — out of
+    * profile, and merging them would produce silently wrong text.
     */
   private[ext] def paragraphsOf(contentXml: String): Vector[String] = {
     val leaves = Sitemaps.parseLeaves(contentXml, withAttrs = true,
@@ -260,21 +284,37 @@ object Odt {
       pendingSpaces = -1
     }
     def close(): Unit = if (cur != null) { flushSpaces(); out += cur.toString; cur = null }
+    def core(path: String): String = path.indexOf('@') match {
+      case -1 => path
+      case at => path.substring(0, at)
+    }
     leaves.foreach { case (path, v) =>
       if (path.endsWith("/text:p@<") || path.endsWith("/text:h@<")) {
+        // a paragraph marker NESTED inside an open paragraph (footnote
+        // bodies etc.) is out of profile
+        val c = core(path)
+        val parent = c.substring(0, c.lastIndexOf('/'))
+        if (parent.split('/').exists(seg => seg == "text:p" || seg == "text:h")) fail()
         close()
         cur = new StringBuilder
         nParas += 1
         if (nParas > (1 << 20)) fail()
       } else if (cur != null && inPara(path)) {
-        if (path.endsWith("/text:s@<")) { flushSpaces(); pendingSpaces = 1 }
-        else if (path.endsWith("/text:s@text:c")) {
+        if (path.endsWith("/text:s@<")) {
+          if (!wrapperChainOk(core(path).dropRight("/text:s".length))) fail()
+          flushSpaces(); pendingSpaces = 1
+        } else if (path.endsWith("/text:s@text:c")) {
           if (pendingSpaces < 0) fail()
           if (v.isEmpty || v.length > 4 || !v.forall(_.isDigit)) fail()
           pendingSpaces = v.toInt
-        } else if (path.endsWith("/text:tab@<")) { flushSpaces(); cur.append('\t') }
-        else if (path.endsWith("/text:line-break@<")) { flushSpaces(); cur.append('\n') }
-        else if (path.indexOf('@') < 0) { // a text leaf inside the paragraph
+        } else if (path.endsWith("/text:tab@<")) {
+          if (!wrapperChainOk(core(path).dropRight("/text:tab".length))) fail()
+          flushSpaces(); cur.append('\t')
+        } else if (path.endsWith("/text:line-break@<")) {
+          if (!wrapperChainOk(core(path).dropRight("/text:line-break".length))) fail()
+          flushSpaces(); cur.append('\n')
+        } else if (path.indexOf('@') < 0) { // a text leaf inside the paragraph
+          if (!wrapperChainOk(path)) fail() // citation numbers etc.: out of profile
           flushSpaces()
           val t = collapseWs(v)
           cur.append(if (cur.isEmpty && t.startsWith(" ")) t.substring(1) else t)

@@ -1147,6 +1147,10 @@ object Pdf {
     val parms: Vector[Option[PDict]] = dict.m.get("DecodeParms") match {
       case None | Some(PNull) => Vector.fill(filters.length)(None)
       case Some(dp: PDict) =>
+        // a stale /DecodeParms on an UNFILTERED stream is spec-tolerable
+        // (writers leave them behind); apply the predictor directly —
+        // a no-op without /Predictor — instead of quarantining
+        if (filters.isEmpty) return applyPredictor(dp, data)
         if (filters.length != 1) fail()
         Vector(Some(dp))
       case Some(PArr(items)) =>

@@ -227,8 +227,11 @@ object Rtf {
         else if (d == '_') { emit("\u2011"); groupJustOpened = false; i += 2 }
         else if (d == '-') { groupJustOpened = false; i += 2 } // soft hyphen: zero width
         else if (d == '*') {
-          // ignorable destination: meaningful right after '{'
-          if (groupJustOpened) sink = SinkSkip
+          // ignorable destination: meaningful right after '{'; MUST go
+          // through setSink so nested groups inside the destination
+          // restore to Skip, not to the pre-\* parent sink (real Word
+          // output nests groups inside {\*\listtable}/{\*\themedata})
+          if (groupJustOpened) setSink(SinkSkip)
           groupJustOpened = false
           i += 2
         } else if (d == '\'') {

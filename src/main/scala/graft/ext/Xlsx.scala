@@ -294,6 +294,7 @@ object Xlsx {
     var ctype: String = null
     var raw: String = null
     var inCell = false
+    var isPreserve = false // inline-string <t> xml:space state
     var n = 0
     def parseRef(r: String): (Int, Int) = {
       var i = 0
@@ -319,9 +320,15 @@ object Xlsx {
       if (ref == null) fail()
       val (r, c) = parseRef(ref)
       if (rowR >= 0 && r != rowR - 1) fail() // ref disagrees with its row
+      // a VALUE-LESS cell is routine Excel output (a styled-but-empty
+      // cell in the used range, <c r="A1" s="1"/>) — skipped, not fatal;
+      // a declared string/inline type with no value IS damage
+      if (raw == null && (ctype == null || ctype == "n")) {
+        inCell = false; ref = null; ctype = null; raw = null
+        return
+      }
       val t = ctype match {
         case null | "n" =>
-          if (raw == null) fail()
           raw.trim
         case "s" =>
           val v = if (raw == null) fail() else raw.trim
@@ -346,11 +353,24 @@ object Xlsx {
       else if (path.endsWith("/row@r")) {
         if (v.isEmpty || v.length > 8 || !v.forall(_.isDigit)) fail()
         rowR = v.toInt
-      } else if (path.endsWith("/c@<")) { closeCell(); inCell = true }
+      } else if (path.endsWith("/c@<")) { closeCell(); inCell = true; isPreserve = false }
       else if (inCell && path.endsWith("/c@r")) ref = v
       else if (inCell && path.endsWith("/c@t")) ctype = v
       else if (inCell && path.endsWith("/c/v")) raw = v.trim
-      else if (inCell && path.endsWith("/c/is/t")) raw = v // verbatim inline
+      else if (inCell && (path.endsWith("/c/is/t@<") || path.endsWith("/c/is/r/t@<")))
+        isPreserve = false
+      else if (inCell && (path.endsWith("/c/is/t@xml:space") || path.endsWith("/c/is/r/t@xml:space")))
+        v match {
+          case "preserve" => isPreserve = true
+          case "default" => isPreserve = false
+          case _ => fail()
+        }
+      else if (inCell && (path.endsWith("/c/is/t") || path.endsWith("/c/is/r/t"))) {
+        // inline strings follow the SAME xml:space rule as the shared
+        // table (trim unless preserved); rich-text runs concatenate
+        val piece = if (isPreserve) v else v.trim
+        raw = (if (raw == null) "" else raw) + piece
+      }
     }
     closeCell()
     out.result()

@@ -275,7 +275,9 @@ object Zip {
       if (loc < 0 || u32(b, loc) != 0x07064b50L) throw new MalformedZip
       if (u32(b, loc + 4) != 0 || u32(b, loc + 16) != 1) throw new MalformedZip // one disk
       val e64 = u64(b, loc + 8)
-      if (e64 + 56 > loc) throw new MalformedZip
+      // subtraction form: `e64 + 56` can wrap for a hostile offset near
+      // Long.MaxValue, silently passing the addition-form guard
+      if (e64 > loc.toLong - 56) throw new MalformedZip
       val z = e64.toInt
       if (u32(b, z) != 0x06064b50L) throw new MalformedZip
       if (u32(b, z + 16) != 0 || u32(b, z + 20) != 0) throw new MalformedZip // disks

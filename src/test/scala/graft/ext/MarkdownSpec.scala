@@ -65,6 +65,16 @@ class MarkdownSpec extends AnyFunSuite {
     assert(blocks("_em_ snake_case a_b_\n") == Seq(("para", cs("em snake_case a_b"))))
     // code span protects emphasis markers; one-space trim rule
     assert(blocks("`` `lit` `` and ` *raw* `\n") == Seq(("para", cs("`lit` and *raw*"))))
+    // review-pass regressions:
+    // entities inside code spans stay VERBATIM (decode is scan-local)
+    assert(blocks("use `a &amp; b` here &amp; now\n") ==
+      Seq(("para", cs("use a &amp; b here & now"))))
+    // a trailing # without a preceding space is heading TEXT
+    assert(blocks("# C#\n") == Seq(("h1", cs("C#"))))
+    assert(blocks("## Title ##\n") == Seq(("h2", cs("Title"))))
+    // spaced thematic breaks are breaks, not list items
+    assert(blocks("a\n\n- - -\n\n* * *\n\nb\n") ==
+      Seq(("para", cs("a")), ("para", cs("b"))))
   }
 
   test("operator: per-block table over the fixture") {

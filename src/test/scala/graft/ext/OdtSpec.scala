@@ -48,6 +48,15 @@ class OdtSpec extends AnyFunSuite {
       "a   b c\td\ne",
       "A heading",
       "link to a page."))
+    // out-of-profile structures INSIDE a paragraph quarantine instead of
+    // merging wrong text (the review-pass regression): footnote bodies
+    // nest text:p, citation numbers are not paragraph content
+    val footnote = doc.replace("<text:p>Hello <text:span text:style-name=\"T1\">bold</text:span> world</text:p>",
+      "<text:p>body<text:note text:note-class=\"footnote\">" +
+        "<text:note-citation>1</text:note-citation>" +
+        "<text:note-body><text:p>note text</text:p></text:note-body>" +
+        "</text:note> tail</text:p>")
+    intercept[RuntimeException](Odt.paragraphsOf(footnote))
   }
 
   test("ODF strictness: each package violation quarantines the whole document") {

@@ -302,6 +302,16 @@ class PdfSpec extends AnyFunSuite {
     assert(withLzw.contains("/Filter /ASCIIHexDecode")) // odd id: hex CMap arm
     val withChain = new String(Pdf.renderPdf(5L), "ISO-8859-1") // (5+0)%6==5: chain page
     assert(withChain.contains("[/ASCII85Decode /FlateDecode]"))
+    // a stale /DecodeParms on an UNFILTERED stream is spec-tolerable and
+    // must parse (review-pass regression), not quarantine
+    val stale = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Contents 4 0 R >>",
+      4 -> ("<< /Length 22 /DecodeParms << /Predictor 1 >> >>\n" +
+        "stream\nBT (stale parms) Tj ET\nendstream")), " /Root 1 0 R")
+    val stalePages = Pdf.parsePdfSafe(55L, stale)
+    assert(stalePages.length == 1 &&
+      stalePages.head.n_chars == "stale parms".getBytes("UTF-8").length)
   }
 
   test("/Differences encoding: non-identity remap; stripping the array changes the text") {

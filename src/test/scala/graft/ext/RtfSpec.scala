@@ -69,6 +69,13 @@ class RtfSpec extends AnyFunSuite {
     assert(paras("{\\rtf1 a\\par b\\par c\\par}").length == 3)
     // an unterminated final paragraph still emits
     assert(paras("{\\rtf1 a\\par tail}").length == 2)
+    // an ignorable destination with NESTED groups stays skipped after the
+    // inner group closes (the review-pass regression: {\*\listtable{...}})
+    val (_, c7, _) = text1("{\\rtf1{\\*\\listtable{\\list\\listid1 junk}LEAK}body\\par}")
+    assert(c7 == cs("body"))
+    // same for a known destination word
+    val (_, c8, _) = text1("{\\rtf1{\\fonttbl{\\f0 Times;}ALSO-LEAK}body\\par}")
+    assert(c8 == cs("body"))
   }
 
   test("malformed documents quarantine: magic, braces, escapes, bin overrun") {

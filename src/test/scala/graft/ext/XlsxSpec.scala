@@ -74,6 +74,28 @@ class XlsxSpec extends AnyFunSuite {
     intercept[RuntimeException](Xlsx.parseSheet(sheet.replace("<v>1</v>", "<v>9</v>"), shared))
     // a ref disagreeing with its row quarantines
     intercept[RuntimeException](Xlsx.parseSheet(sheet.replace("\"C3\"", "\"C9\""), shared))
+    // review-pass regressions:
+    // a value-less styled cell (routine Excel output) is SKIPPED, not fatal
+    val withEmpty = sheet.replace("<c r=\"D1\"><v> 42 </v></c>",
+      "<c r=\"C1\" s=\"3\"/><c r=\"D1\"><v> 42 </v></c>")
+    assert(Xlsx.parseSheet(withEmpty, shared) == cells)
+    // a declared string cell with no value IS damage
+    intercept[RuntimeException](Xlsx.parseSheet(
+      sheet.replace("<c r=\"D1\"><v> 42 </v></c>", "<c r=\"D1\" t=\"s\"/>"), shared))
+    // inline strings follow the same xml:space rule as the shared table
+    val inlinePretty =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData><row r="1">
+        |<c r="A1" t="inlineStr"><is><t>
+        |    wrapped
+        |  </t></is></c>
+        |<c r="B1" t="inlineStr"><is><r><t xml:space="preserve"> kept</t></r><r><t>tail</t></r></is></c>
+        |</row></sheetData>
+        |</worksheet>
+        |""".stripMargin
+    assert(Xlsx.parseSheet(inlinePretty, Vector.empty) == Vector(
+      (0, 0, "inlineStr", "wrapped"), (0, 1, "inlineStr", " kepttail")))
   }
 
   test("shared strings: rich-text runs concatenate; preserve kept, default trimmed") {

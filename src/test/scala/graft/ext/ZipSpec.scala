@@ -144,6 +144,13 @@ class ZipSpec extends AnyFunSuite {
     // the locator's eocd64-offset field (8 bytes into the locator)
     badE64(z64bytes.length - 42 + 8) = (badE64(z64bytes.length - 42 + 8) ^ 0x7f).toByte
     assert(!parse(badE64))
+    // a hostile eocd64 offset near Long.MaxValue must hit the guard, not
+    // wrap past it (review-pass regression: e64 + 56 overflowed)
+    val hostile = z64bytes.clone()
+    val locAt = z64bytes.length - 42
+    val hugeOff = 0x7fffffffffffffc8L
+    (0 until 8).foreach(k => hostile(locAt + 8 + k) = ((hugeOff >> (8 * k)) & 0xff).toByte)
+    assert(!parse(hostile))
     // a saturated CD field whose 0x0001 extra block is renamed away
     val noExtra = z64bytes.clone()
     var i = 0
