@@ -2889,10 +2889,13 @@ object QueryCatalog {
     * recursion, FlateDecode, and the BT/ET text extractor over all five
     * show forms (`Tj`, hex-string `Tj`, kerned `TJ`, `'`, `"`) with
     * WinAnsi high bytes and literal-string escapes in the text plane.
-    * The oracle replays the closed-form per-page text and hashes its
-    * UTF-8 bytes — a slip in ANY layer (xref, Flate, page order, string
-    * unescaping, WinAnsi mapping, line breaks) fails the hash. Damage
-    * quarantines the whole document.
+    * `id % 3 == 1` docs are ENCRYPTED under the standard security
+    * handler (empty user password, R2/40 and R3/128 RC4 cycling) — the
+    * same text must come back through key derivation + per-object
+    * decryption, so the arm grades transparently under this unchanged
+    * oracle. A slip in ANY layer (xref, Flate, RC4/key schedule, page
+    * order, string unescaping, WinAnsi mapping, line breaks) fails the
+    * hash. Damage quarantines the whole document.
     */
   private val qPdfExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Pdf.pdfExtract(graft.ext.Pdf.encodePdf(table(s, dir, "documents"))).toDF()

@@ -53,6 +53,17 @@ import org.apache.spark.sql.functions._
   *    CMap; a `Tf` naming a font absent from a non-empty resource map
   *    quarantines at show time instead of falling back.
   *
+  *  - '''encryption''': the standard security handler's RC4 revisions
+  *    (V1/R2 40-bit, V2/R3 up to 128-bit) with an EMPTY user password —
+  *    the owner-locked shape most "encrypted" corpus PDFs have. Key
+  *    derivation per Algorithm 2 (50 re-hash rounds on R3), verified
+  *    against /U (Algorithms 4/5) before any decrypt; per-object keys per
+  *    Algorithm 1; streams decrypt BEFORE their filters decode, strings
+  *    decrypt after parse; the cross-reference stream and the encrypt
+  *    dictionary stay cleartext per spec. A real user password, /V 4+
+  *    (AES/crypt filters), or a /U mismatch quarantines — clean fail,
+  *    never silently-wrong text.
+  *
   * STRICT container semantics like every archive family here: a bad header,
   * a dangling xref offset, an object-number mismatch at an offset, a
   * truncated or over-declared stream, a broken Flate stream, or a cyclic
@@ -73,6 +84,111 @@ object Pdf {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  // ---------------------------------------------- standard security handler
+  //
+  // ISO 32000-1 §7.6.3, the RC4 revisions (V1/R2 40-bit, V2/R3 up to
+  // 128-bit). The overwhelmingly common "encrypted" corpus PDF has an OWNER
+  // password only — the user password is EMPTY, so conforming readers (and
+  // this extractor) decrypt transparently. The reader attempts exactly that:
+  // derive the key from the empty user password (Algorithm 2), check it
+  // against /U (Algorithms 4/5), and quarantine on mismatch (a real user
+  // password) or on any other handler (/V 4+ AES — a documented clean-fail
+  // restriction, never a wrong answer).
+
+  /** The 32-byte standard padding string (ISO 32000-1 Table 22 context). */
+  private[ext] val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** RC4 (spec-published KSA + PRGA), the cipher of revisions 2/3. */
+  private[ext] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def md5bytes(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** Algorithm 2: the document key from the EMPTY user password. /P is
+    * hashed as a sign-extended 32-bit little-endian int; R3 re-hashes the
+    * first `keyLen` bytes 50 times.
+    */
+  private[ext] def pdfDocKey(r: Int, keyLen: Int, o: Array[Byte], p: Int,
+                             idFirst: Array[Byte]): Array[Byte] = {
+    val pBytes = Array[Byte](
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var h = md5bytes(PdfPad, o, pBytes, idFirst)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5bytes(java.util.Arrays.copyOf(h, keyLen)); i += 1 }
+    }
+    java.util.Arrays.copyOf(h, keyLen)
+  }
+
+  /** Algorithm 3 for owner == user == empty password: /O is the padding
+    * string RC4'd under MD5(padding) (R3: 50 extra hash rounds, then the
+    * 19 XOR-keyed re-encryptions).
+    */
+  private[ext] def pdfOwnerValue(r: Int, keyLen: Int): Array[Byte] = {
+    var h = md5bytes(PdfPad)
+    if (r >= 3) { var i = 0; while (i < 50) { h = md5bytes(h); i += 1 } }
+    val rk = java.util.Arrays.copyOf(h, keyLen)
+    var o = rc4(rk, PdfPad)
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { o = rc4(rk.map(b => (b ^ i).toByte), o); i += 1 }
+    }
+    o
+  }
+
+  /** Algorithm 4 (R2) / Algorithm 5 (R3): the /U check value. R3's trailing
+    * 16 bytes are arbitrary padding per spec (zeros here) and excluded from
+    * the reader's comparison.
+    */
+  private[ext] def pdfUserValue(r: Int, key: Array[Byte],
+                                idFirst: Array[Byte]): Array[Byte] = {
+    if (r == 2) rc4(key, PdfPad)
+    else {
+      var u = rc4(key, md5bytes(PdfPad, idFirst))
+      var i = 1
+      while (i <= 19) { u = rc4(key.map(b => (b ^ i).toByte), u); i += 1 }
+      u ++ new Array[Byte](16)
+    }
+  }
+
+  /** Algorithm 1: the per-object key — MD5(docKey ‖ objnum LE24 ‖ gen LE16),
+    * truncated to min(keyLen + 5, 16).
+    */
+  private[ext] def pdfObjectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array[Byte](
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    java.util.Arrays.copyOf(md5bytes(key, ext), math.min(key.length + 5, 16))
+  }
 
   // ------------------------------------------------------------- fixture
 
@@ -295,6 +411,36 @@ object Pdf {
       offsets(num) = out.size.toLong
       raw(s"$num 0 obj\n"); body; raw("endobj\n")
     }
+    // encryption arm: `id % 3 == 1` wraps the document in the standard
+    // security handler with an EMPTY user password (the owner-locked shape
+    // most "encrypted" corpus PDFs have) — R2/40-bit and R3/128-bit RC4
+    // cycle by `id / 3`, every stream RC4'd under its per-object key
+    // AFTER its filters (decrypt-then-decode, the storage order the spec
+    // mandates); the cross-reference stream stays cleartext per spec
+    val encArm = id % 3 == 1
+    val encR = if ((id / 3) % 2 == 0) 2 else 3
+    val encKeyLen = if (encR == 2) 5 else 16
+    val encP = -44
+    val fileId =
+      java.security.MessageDigest.getInstance("MD5").digest(s"pdfid:$id".getBytes("ISO-8859-1"))
+    val encO = if (encArm) pdfOwnerValue(encR, encKeyLen) else null
+    val encKey = if (encArm) pdfDocKey(encR, encKeyLen, encO, encP, fileId) else null
+    val encU = if (encArm) pdfUserValue(encR, encKey, fileId) else null
+    def crypt(num: Int, data: Array[Byte]): Array[Byte] =
+      if (!encArm) data else rc4(pdfObjectKey(encKey, num, 0), data)
+    def hexOf(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    // every trailer form repeats /Encrypt + /ID (appenders must: the newest
+    // trailer is the one a reader consults)
+    def encTrailer: String =
+      if (!encArm) ""
+      else s" /Encrypt 7 0 R /ID [<${hexOf(fileId)}> <${hexOf(fileId)}>]"
+    def encryptObj(): Unit = if (encArm) obj(7) {
+      val v = if (encR == 2) 1 else 2
+      raw(s"<< /Filter /Standard /V $v /R $encR" +
+        (if (encR == 3) s" /Length ${encKeyLen * 8}" else "") +
+        s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
+    }
+
     // the indirect-length VALUE lands wherever the arm puts non-stream
     // objects: top-level (classic, null sink) or the ObjStm (modern).
     // Filter arm cycles by (id+p)%6 — even keeps the historical Flate,
@@ -303,12 +449,13 @@ object Pdf {
     // reader supports is graded end to end by the text oracle
     def contentObj(num: Int, p: Int, packLength: (Int, String) => Unit = null): Unit = {
       val data = renderContent(id, p)
-      val (bytes, filterDecl) = ((id + p) % 6).toInt match {
+      val (bytes0, filterDecl) = ((id + p) % 6).toInt match {
         case 0 | 2 | 4 => (zlibCompress(data), " /Filter /FlateDecode")
         case 1 => (data, "")
         case 3 => (Tiff.lzwEncode(data), " /Filter /LZWDecode")
         case _ => (ascii85Encode(zlibCompress(data)), " /Filter [/ASCII85Decode /FlateDecode]")
       }
+      val bytes = crypt(num, bytes0)
       val indirectLen = (id + p) % 3 == 0
       obj(num) {
         raw("<< /Length " + (if (indirectLen) s"${num + 1} 0 R" else s"${bytes.length}"))
@@ -324,12 +471,13 @@ object Pdf {
     }
 
     // object numbering: 1 catalog, 2 pages, 3 /F1, 4 /F2 (Type0), 5 its
-    // ToUnicode CMap stream, 6 /F3 (the /Differences simple font); per
-    // page a page obj + content obj (+ length obj on the indirect arm),
-    // assigned sequentially
+    // ToUnicode CMap stream, 6 /F3 (the /Differences simple font), 7 the
+    // encryption dictionary when the arm is on (top-level in BOTH forms —
+    // the spec bars it from object streams); per page a page obj + content
+    // obj (+ length obj on the indirect arm), assigned sequentially
     val pageNum = new Array[Int](np + 1)
     val contNum = new Array[Int](np + 1)
-    var next = 7
+    var next = if (encArm) 8 else 7
     for (p <- 0 to np) { // slot np is the update page (may go unused)
       pageNum(p) = next; contNum(p) = next + 1
       next += (if ((id + p) % 3 == 0) 3 else 2)
@@ -371,7 +519,7 @@ object Pdf {
     // the decoder's whitespace skip is exercised); even ids keep it raw
     def cmapObj(): Unit = obj(5) {
       val hexArm = id % 2 == 1
-      val body = if (hexArm) asciiHexEncode(cmapBytes) else cmapBytes
+      val body = crypt(5, if (hexArm) asciiHexEncode(cmapBytes) else cmapBytes)
       raw(s"<< /Length ${body.length}" +
         (if (hexArm) " /Filter /ASCIIHexDecode" else "") + " >>\nstream\n")
       out.write(body)
@@ -390,13 +538,14 @@ object Pdf {
       obj(4) { raw(font2Body + "\n") }
       cmapObj()
       obj(6) { raw(font3Body + "\n") }
+      encryptObj()
       for (p <- 0 until np) { pageObj(pageNum(p), contNum(p)); contentObj(contNum(p), p) }
       val xref1 = out.size.toLong
       baseXrefOff = xref1
       raw(s"xref\n0 $baseSize\n")
       raw("0000000000 65535 f \n")
       for (num <- 1 until baseSize) raw(f"${offsets(num)}%010d 00000 n \n")
-      raw(s"trailer\n<< /Size $baseSize /Root 1 0 R >>\nstartxref\n$xref1\n%%EOF\n")
+      raw(s"trailer\n<< /Size $baseSize /Root 1 0 R$encTrailer >>\nstartxref\n$xref1\n%%EOF\n")
     } else {
       // PDF 1.5 form: content streams stay top-level; every non-stream
       // object (catalog, pages, font, page dicts, indirect lengths) lives
@@ -409,6 +558,7 @@ object Pdf {
       packed += ((4, font2Body)) // the CMap is a STREAM: top-level below
       packed += ((6, font3Body))
       cmapObj()
+      encryptObj() // top-level even here: the spec bars it from the ObjStm
       for (p <- 0 until np) {
         packed += ((pageNum(p), pageBody(contNum(p))))
         // the length VALUE rides the object stream: a type-2 indirect /Length
@@ -421,7 +571,7 @@ object Pdf {
       }
       val header = entries.zip(relOffs).map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
       val stmRaw = (header + bodies).getBytes("ISO-8859-1")
-      val stmZ = zlibCompress(stmRaw)
+      val stmZ = crypt(objStmNum, zlibCompress(stmRaw))
       obj(objStmNum) {
         raw(s"<< /Type /ObjStm /N ${entries.length} /First ${header.length}" +
           s" /Length ${stmZ.length} /Filter /FlateDecode >>\nstream\n")
@@ -467,7 +617,7 @@ object Pdf {
       }
       val xrefZ = zlibCompress(filtered.toByteArray)
       obj(xrefNum) {
-        raw(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 3 1] /Root 1 0 R" +
+        raw(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 3 1] /Root 1 0 R$encTrailer" +
           s" /DecodeParms << /Predictor 12 /Columns $rowLen >>" +
           s" /Length ${xrefZ.length} /Filter /FlateDecode >>\nstream\n")
         out.write(xrefZ)
@@ -488,7 +638,7 @@ object Pdf {
       raw(f"${offsets(2)}%010d 00000 n \n")
       raw(s"${pageNum(p)} ${updateEnd - pageNum(p)}\n")
       for (num <- pageNum(p) until updateEnd) raw(f"${offsets(num)}%010d 00000 n \n")
-      raw(s"trailer\n<< /Size $size2 /Root 1 0 R /Prev $baseXrefOff >>\nstartxref\n$xref2\n%%EOF\n")
+      raw(s"trailer\n<< /Size $size2 /Root 1 0 R /Prev $baseXrefOff$encTrailer >>\nstartxref\n$xref2\n%%EOF\n")
     }
     out.toByteArray
   }
@@ -721,11 +871,80 @@ object Pdf {
       */
     val cmapCache = scala.collection.mutable.Map[Int, Map[Int, String]]()
     var root: PRef = _
+    // standard security handler state: the trailer's /Encrypt target (newest
+    // section wins, like /Root), the first /ID element feeding Algorithm 2,
+    // the derived document key, and the encrypt dict's own object number
+    // (its strings — /O, /U — are stored cleartext and must not decrypt)
+    private var encryptTarget: PObj = _
+    private var idFirst: Array[Byte] = _
+    private var encKey: Array[Byte] = _
+    private var encNum: Int = -1
 
     locate()
+    initEncryption()
 
     private def known(num: Int): Boolean =
       offsets.contains(num) || compressed.contains(num)
+
+    /** Resolve the standard security handler with the EMPTY user password —
+      * the owner-locked shape most encrypted corpus PDFs have. Runs AFTER
+      * locate() and BEFORE any content load: the loads it performs itself
+      * see `encKey == null` and correctly read the encrypt dict cleartext.
+      * Anything but /Standard V1/V2 R2/R3 RC4 (AES, crypt filters, a real
+      * user password) quarantines — a clean fail, never silent garbage.
+      */
+    private def initEncryption(): Unit = if (encryptTarget != null) {
+      val d = encryptTarget match {
+        case r: PRef =>
+          encNum = r.num
+          load(r.num, allowStream = false)._1 match { case d: PDict => d; case _ => fail() }
+        case d: PDict => d
+        case _ => fail()
+      }
+      if (!d.m.get("Filter").contains(PName("Standard"))) fail()
+      def intOf(k: String, dflt: Long): Long = d.m.get(k) match {
+        case Some(p: PNum) => p.int
+        case None => dflt
+        case _ => fail()
+      }
+      val v = intOf("V", 0)
+      val r = intOf("R", 0)
+      if ((v != 1 && v != 2) || (r != 2 && r != 3)) fail()
+      val bits = if (v == 1) 40L else intOf("Length", 40)
+      if (bits < 40 || bits > 128 || bits % 8 != 0) fail()
+      if (r == 2 && bits != 40) fail()
+      val keyLen = (bits / 8).toInt
+      def str32(k: String): Array[Byte] = d.m.get(k) match {
+        case Some(s: PStr) if s.bytes.length >= 32 => java.util.Arrays.copyOf(s.bytes, 32)
+        case _ => fail()
+      }
+      val o = str32("O")
+      val u = str32("U")
+      val p = d.m.get("P") match {
+        case Some(pn: PNum) => pn.int.toInt
+        case _ => fail()
+      }
+      if (idFirst == null) fail()
+      val key = pdfDocKey(r.toInt, keyLen, o, p, idFirst)
+      val expU = pdfUserValue(r.toInt, key, idFirst)
+      val matches =
+        if (r == 2) java.util.Arrays.equals(expU, u)
+        else java.util.Arrays.equals( // R3: the last 16 bytes are arbitrary pad
+          java.util.Arrays.copyOf(expU, 16), java.util.Arrays.copyOf(u, 16))
+      if (!matches) fail() // a real (non-empty) user password: quarantine
+      encKey = key
+    }
+
+    /** RC4-decrypt every string in an object parsed from a top-level
+      * position (strings inside object streams ride the stream's own
+      * decryption and must NOT decrypt again).
+      */
+    private def decryptStrings(o: PObj, num: Int, gen: Int): PObj = o match {
+      case PStr(b) => PStr(rc4(pdfObjectKey(encKey, num, gen), b))
+      case PArr(items) => PArr(items.map(decryptStrings(_, num, gen)))
+      case PDict(m) => PDict(m.map { case (k, v) => k -> decryptStrings(v, num, gen) })
+      case other => other
+    }
 
     private def locate(): Unit = {
       if (n < 16) fail()
@@ -756,6 +975,17 @@ object Pdf {
         if (root == null) trailer.m.get("Root") match {
           case Some(r: PRef) => root = r
           case _ => // absent here; maybe in an older section
+        }
+        if (encryptTarget == null) trailer.m.get("Encrypt") match {
+          case Some(e @ (_: PRef | _: PDict)) => encryptTarget = e
+          case Some(_) => fail()
+          case None =>
+        }
+        if (idFirst == null) trailer.m.get("ID") match {
+          case Some(PArr(items)) if items.length == 2 =>
+            items.head match { case s: PStr => idFirst = s.bytes; case _ => fail() }
+          case Some(_) => fail()
+          case None =>
         }
         at = trailer.m.get("Prev") match {
           case Some(p: PNum) => val v = p.int; if (v < 0 || v >= n) fail(); v.toInt
@@ -879,9 +1109,11 @@ object Pdf {
       val off = offsets.getOrElse(num, fail())
       val lex = new Lexer(bytes, off, n)
       if (lex.parseNumberToken().int != num) fail()
-      lex.parseNumberToken() // generation
+      val gen = lex.parseNumberToken().int.toInt // feeds the per-object key
       lex.expect("obj")
-      val body = lex.parseObject()
+      val body0 = lex.parseObject()
+      val body =
+        if (encKey != null && num != encNum) decryptStrings(body0, num, gen) else body0
       // `stream` follows a dict; `endobj` follows everything else
       val kw = lex.keyword()
       if (kw == "stream") {
@@ -900,7 +1132,15 @@ object Pdf {
         // hostile /Length guard: validate against remaining bytes BEFORE
         // slicing — a 2^31 declared length must not allocate
         if (len < 0 || len > n - lex.pos) fail()
-        val data = java.util.Arrays.copyOfRange(bytes, lex.pos, lex.pos + len.toInt)
+        val data0 = java.util.Arrays.copyOfRange(bytes, lex.pos, lex.pos + len.toInt)
+        // decrypt-then-decode: stored stream bytes are RC4'd AFTER filters,
+        // so decryption comes first; the xref stream never takes this path
+        // (it decodes inside locate(), before encryption init — cleartext
+        // per spec), and the encrypt object's own data never decrypts
+        val data =
+          if (encKey != null && num != encNum)
+            rc4(pdfObjectKey(encKey, num, gen), data0)
+          else data0
         lex.pos += len.toInt
         lex.expect("endstream")
         lex.expect("endobj")

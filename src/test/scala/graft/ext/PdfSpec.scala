@@ -416,6 +416,65 @@ class PdfSpec extends AnyFunSuite {
       pages.head.checksum == cs)
   }
 
+  test("RC4 core matches the published test vectors") {
+    def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+    assert(hex(Pdf.rc4("Key".getBytes("US-ASCII"), "Plaintext".getBytes("US-ASCII"))) ==
+      "BBF316E8D940AF0AD3")
+    assert(hex(Pdf.rc4("Wiki".getBytes("US-ASCII"), "pedia".getBytes("US-ASCII"))) ==
+      "1021BF0420")
+    // decryption is the same operation
+    val ct = Pdf.rc4("Key".getBytes("US-ASCII"), "Plaintext".getBytes("US-ASCII"))
+    assert(new String(Pdf.rc4("Key".getBytes("US-ASCII"), ct), "US-ASCII") == "Plaintext")
+  }
+
+  test("encryption arm: ciphertext on the wire, transparent text recovery, R2 and R3") {
+    // id 1: modern form, R2/40-bit; id 4: classic, R3/128; id 10: classic,
+    // R3, PLUS an incremental update whose trailer must repeat /Encrypt
+    for (id <- Seq(1L, 4L, 7L, 10L, 25L)) {
+      val bytes = Pdf.renderPdf(id)
+      val wire = new String(bytes, "ISO-8859-1")
+      assert(wire.contains("/Encrypt 7 0 R"), s"doc $id carries the trailer entry")
+      // no cleartext content sneaks through: the raw-filter arm pages would
+      // otherwise show literal fixture text
+      assert(!wire.contains("Line 0 of page"), s"doc $id content is ciphertext")
+      val pages = Pdf.parsePdf(id, bytes)
+      assert(pages.length == Pdf.basePages(id) + (if (id % 5 == 0) 1 else 0))
+      pages.foreach { pg =>
+        val (nl, nc, cs) = utf8Model(id, pg.page_idx.toInt)
+        assert(pg.n_lines == nl && pg.n_chars == nc && pg.checksum == cs,
+          s"doc $id page ${pg.page_idx}")
+      }
+    }
+    // an unencrypted raw-arm doc DOES carry cleartext (the assertion above
+    // is meaningful): id 3 has a raw content stream on page 0 ((3+0)%6==3 is
+    // LZW — use id 0 page 1: (0+1)%6==1 raw)
+    assert(new String(Pdf.renderPdf(0L), "ISO-8859-1").contains("Line 0 of page"))
+  }
+
+  test("encryption: tampered /U, AES /V, and a missing /ID all quarantine") {
+    def mutate(id: Long, from: String, to: String): Array[Byte] = {
+      require(from.length == to.length) // offsets must survive the surgery
+      val s = new String(Pdf.renderPdf(id), "ISO-8859-1")
+      assert(s.contains(from), s"doc $id wire carries $from")
+      s.replace(from, to).getBytes("ISO-8859-1")
+    }
+    for (id <- Seq(1L, 4L)) { // one modern/R2, one classic/R3
+      val wire = new String(Pdf.renderPdf(id), "ISO-8859-1")
+      val ui = wire.indexOf("/U <")
+      assert(ui > 0)
+      val uHex = wire.substring(ui + 4, ui + 4 + 64)
+      val flipped = (if (uHex.head == '0') "1" else "0") + uHex.tail
+      assert(Pdf.parsePdfSafe(id, mutate(id, "/U <" + uHex, "/U <" + flipped)).isEmpty,
+        s"doc $id tampered /U")
+      val vDecl = if (id == 1L) "/V 1" else "/V 2"
+      assert(Pdf.parsePdfSafe(id, mutate(id, vDecl, "/V 4")).isEmpty, s"doc $id AES /V")
+      assert(Pdf.parsePdfSafe(id, mutate(id, "/ID [", "/XD [")).isEmpty, s"doc $id no /ID")
+    }
+    // sanity: the untampered docs extract
+    assert(Pdf.parsePdfSafe(1L, Pdf.renderPdf(1L)).nonEmpty)
+    assert(Pdf.parsePdfSafe(4L, Pdf.renderPdf(4L)).nonEmpty)
+  }
+
   test("hostile /Length: a 2 GB declaration drops without allocating") {
     val bomb = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
