@@ -2573,6 +2573,86 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** EXIF metadata extraction ([[graft.ext.Exif]] — the multimodal-PII
+    * shelf): the fixture splices a deterministic EXIF APP1 (both TIFF byte
+    * orders by `id % 2`, GPS IFD dropped on `id % 3 == 2`, no EXIF at all
+    * on `id % 7 == 3`) into the real baseline JPEGs, and the reader walks
+    * markers → TIFF IFD0 → Exif/GPS sub-IFDs, emitting coordinates in
+    * EXACT integer centi-arcseconds (no IEEE division). The oracle replays
+    * every field closed-form from the same md5 nibbles — a wrong endian
+    * read, a mis-followed sub-IFD pointer, an inline-value packing slip,
+    * or a broken rational scale fails the hash.
+    */
+  private val qExifMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Exif.exifFeatures(graft.ext.Exif.encodeExifJpeg(
+      Multimodal.encodeJpeg(table(s, dir, "documents")))).toDF()
+
+  private val oExifMeta: String = {
+    def nib(i: Int) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('exif:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |mk AS (SELECT ['aperture','bellows','contour','dial','emulsion','fstop','grain','halide'] AS ws),
+       |f AS (SELECT doc_id,
+       |        doc_id % 7 <> 3 AS has_exif,
+       |        doc_id % 7 <> 3 AND doc_id % 3 <> 2 AS gps,
+       |        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS bo,
+       |        1 + (${nib(1)} % 8) AS orient,
+       |        list_extract(ws, 1 + CAST(${nib(2)} % 8 AS INT)) AS mke,
+       |        'M-' || CAST(${nib(3)} AS VARCHAR) AS mdl,
+       |        CAST(2000 + ${nib(4)} AS VARCHAR) || ':' ||
+       |          lpad(CAST(1 + ${nib(5)} % 12 AS VARCHAR), 2, '0') || ':' ||
+       |          lpad(CAST(1 + ${nib(6)} % 28 AS VARCHAR), 2, '0') || ' ' ||
+       |          lpad(CAST(${nib(7)} * 2 % 24 AS VARCHAR), 2, '0') || ':' ||
+       |          lpad(CAST(${nib(8)} * 4 % 60 AS VARCHAR), 2, '0') || ':' ||
+       |          lpad(CAST(${nib(9)} * 4 % 60 AS VARCHAR), 2, '0') AS tstr,
+       |        8 * (1 + doc_id % 4) AS pw, 8 * (1 + (doc_id // 4) % 3) AS ph,
+       |        (CASE WHEN ${nib(11)} % 2 = 0 THEN 1 ELSE -1 END) *
+       |          (${nib(12)} * 6 * 360000 + ${nib(13)} * 3 * 6000 +
+       |           ${nib(14)} * 350 + ${nib(15)}) AS latc,
+       |        (CASE WHEN ${nib(16)} % 2 = 0 THEN 1 ELSE -1 END) *
+       |          (${nib(17)} * 11 * 360000 + ${nib(18)} * 3 * 6000 +
+       |           ${nib(19)} * 350 + ${nib(20)}) AS lonc
+       |      FROM d, mk)
+       |SELECT doc_id, has_exif,
+       |       CASE WHEN has_exif THEN bo END AS byte_order,
+       |       CAST(CASE WHEN has_exif THEN orient END AS BIGINT) AS orientation,
+       |       CASE WHEN has_exif THEN mke END AS make,
+       |       CASE WHEN has_exif THEN mdl END AS model,
+       |       CASE WHEN has_exif THEN tstr END AS ts,
+       |       CAST(CASE WHEN has_exif THEN pw END AS BIGINT) AS px_w,
+       |       CAST(CASE WHEN has_exif THEN ph END AS BIGINT) AS px_h,
+       |       gps AS has_gps,
+       |       CAST(CASE WHEN gps THEN latc END AS BIGINT) AS lat_casec,
+       |       CAST(CASE WHEN gps THEN lonc END AS BIGINT) AS lon_casec
+       |FROM f""".stripMargin
+  }
+
+  /** EXIF scrub-then-verify ([[graft.ext.Exif.exifStrip]]): strip every
+    * APP1–APP15/COM segment and PROVE it — a re-parse must find no EXIF,
+    * and the stripped payload must still decode to the identical pixel
+    * plane (the JPEG DC-exact block-raster oracle, checksum and all). A
+    * scrubber that breaks the image, or one that leaves a metadata
+    * segment behind, fails its column.
+    */
+  private val qExifStrip: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Exif.exifStrip(graft.ext.Exif.encodeExifJpeg(
+      Multimodal.encodeJpeg(table(s, dir, "documents")))).toDF()
+
+  private val oExifStrip: String = {
+    val pixByte = ppmByteSql("((p // w) // 8) * bw + (p % w) // 8")
+    s"""WITH b AS (SELECT doc_id, hex(CAST(COALESCE(text, '') AS BLOB)) AS hx,
+       |                  octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n,
+       |                  1 + doc_id % 4 AS bw, 1 + (doc_id // 4) % 3 AS bh,
+       |                  8 * (1 + doc_id % 4) AS w, 8 * (1 + (doc_id // 4) % 3) AS h
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, doc_id % 7 <> 3 AS had_exif, FALSE AS exif_after,
+       |       w::INT AS width, h::INT AS height,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h),
+       |           p -> $pixByte)),
+       |         (a, x) -> (((a * 31 + x) * 31 + x) * 31 + x) % 1000000007) AS checksum
+       |FROM b""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8393,6 +8473,8 @@ object QueryCatalog {
     "multimodal_png_decode" -> qMultimodalPng,
     "multimodal_gif_decode" -> qMultimodalGif,
     "multimodal_jpeg_decode" -> qMultimodalJpeg,
+    "exif_meta" -> qExifMeta,
+    "exif_strip" -> qExifStrip,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8650,6 +8732,8 @@ object QueryCatalog {
     "multimodal_png_decode" -> oMultimodalPng,
     "multimodal_gif_decode" -> oMultimodalGif,
     "multimodal_jpeg_decode" -> oMultimodalJpeg,
+    "exif_meta" -> oExifMeta,
+    "exif_strip" -> oExifStrip,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
