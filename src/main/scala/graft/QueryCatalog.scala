@@ -2653,6 +2653,59 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Jupyter notebook ingestion ([[graft.ext.Ipynb]] — the code-training
+    * shelf): nbformat-4 JSON through Spark's OWN codegen'd JSON parser —
+    * `from_json` with an explicit cell schema (outputs/attachments
+    * projected away at parse time), `posexplode` over cells, `array_join`
+    * reassembling the per-cell text from the source-line array (trailing
+    * `\n` on every element but the last, the nbformat wire convention).
+    * JSON-escape hazards in the text plane (escaped quote + backslash, a
+    * tab, é cycling raw UTF-8 vs `é` by id parity) grade the escape
+    * decoding bitwise. The oracle replays cells, lines, text and checksum
+    * closed-form; a doc that fails JSON parse or is not nbformat 4
+    * quarantines via the null filter.
+    */
+  private val qIpynbCells: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Ipynb.ipynbCells(graft.ext.Ipynb.encodeIpynb(table(s, dir, "documents"))).toDF()
+
+  private val oIpynbCells: String =
+    """WITH d AS (SELECT doc_id, md5('ipynb:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws,
+      |              ['code','markdown','raw'] AS ct, ['python','julia','r','scala'] AS lg),
+      |c AS (SELECT doc_id, m, j, ws, ct, lg
+      |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS j)
+      |      WHERE j < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 4),
+      |ln AS (SELECT doc_id, m, j, ws, ct, lg, l
+      |       FROM c, (SELECT unnest([0, 1, 2]) AS l)
+      |       WHERE l < 1 + ('0x' || substr(m, CAST(2 + j AS INT), 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, m, j, l, ct, lg,
+      |         'line ' || CAST(l AS VARCHAR) || ' of cell ' || CAST(j AS VARCHAR) ||
+      |         ' in doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(8 + 2 * j + l AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(20 + (2 * j + l) % 10 AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + j + l) % 4
+      |           WHEN 0 THEN ' "q' || chr(92) || '"'
+      |           WHEN 1 THEN ' ' || chr(233)
+      |           WHEN 2 THEN chr(9) || 'x'
+      |           ELSE '' END AS t
+      |       FROM ln),
+      |cell AS (SELECT doc_id, m, j, ct, lg, count(*) AS n_lines,
+      |           string_agg(t, chr(10) ORDER BY l) AS text
+      |         FROM tx GROUP BY doc_id, m, j, ct, lg),
+      |h AS (SELECT doc_id, m, j, ct, lg, n_lines, hex(encode(text)) AS hx,
+      |        octet_length(encode(text)) AS n FROM cell)
+      |SELECT doc_id,
+      |       list_extract(lg, 1 + CAST(('0x' || substr(m, 30, 1))::BIGINT % 4 AS INT)) AS language,
+      |       j::BIGINT AS cell_idx,
+      |       list_extract(ct, 1 + CAST((doc_id + j) % 3 AS INT)) AS cell_type,
+      |       CAST(CASE WHEN (doc_id + j) % 3 = 0 THEN 1 + (doc_id + j) % 7 END AS BIGINT) AS exec_count,
+      |       n_lines::BIGINT AS n_lines, n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8475,6 +8528,7 @@ object QueryCatalog {
     "multimodal_jpeg_decode" -> qMultimodalJpeg,
     "exif_meta" -> qExifMeta,
     "exif_strip" -> qExifStrip,
+    "ipynb_cells" -> qIpynbCells,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8734,6 +8788,7 @@ object QueryCatalog {
     "multimodal_jpeg_decode" -> oMultimodalJpeg,
     "exif_meta" -> oExifMeta,
     "exif_strip" -> oExifStrip,
+    "ipynb_cells" -> oIpynbCells,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
