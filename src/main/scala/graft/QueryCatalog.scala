@@ -2706,6 +2706,71 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** Git packfile ingestion ([[graft.ext.Git]] — the code-repo shelf):
+    * per doc a complete pack (2-4 blobs with blob 1 stored as a REAL
+    * delta — OFS_DELTA on even ids, REF_DELTA on odd — the tree naming
+    * every blob by raw SHA-1, 1-2 commits with a parent link) through
+    * the from-scratch reader: header walk, per-object zlib
+    * inflate-to-find-the-end, delta resolution, and BOTH SHA-1 gates
+    * (the pack trailer, and REF_DELTA base lookup BY id — a wrong
+    * object-id computation quarantines the repo, so the from-scratch
+    * SHA-1 is graded structurally). The oracle replays object order,
+    * types, content lengths and the per-object text probes (blob text,
+    * tree entry names, commit message) closed-form.
+    */
+  private val qGitObjects: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Git.gitObjects(graft.ext.Git.encodePack(table(s, dir, "documents"))).toDF()
+
+  private val oGitObjects: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    val msg = s"'commit ' || CAST(cc AS VARCHAR) || ' of repo ' || CAST(doc_id AS VARCHAR)" +
+      s" || ': ' || ${w("CAST(12 + cc AS INT)")}"
+    s"""WITH d AS (SELECT doc_id, md5('git:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |base AS (SELECT doc_id, m, ws,
+       |           2 + ${nib("1")} % 3 AS nb,
+       |           1 + ${nib("10")} % 2 AS nc,
+       |           8 + ${nib("2")} AS c
+       |         FROM d, wt),
+       |b0 AS (SELECT *, 'blob 0 of repo ' || CAST(doc_id AS VARCHAR) || ': ' ||
+       |         ${w("4")} || ' ' || ${w("9")} AS t0 FROM base),
+       |blobs AS (
+       |  SELECT doc_id, k AS idx, 'blob' AS typ,
+       |    CASE WHEN k = 0 THEN t0
+       |         WHEN k = 1 THEN substr(t0, 1, CAST(c AS INT)) || ' tail ' || ${w("3")}
+       |         ELSE 'blob ' || CAST(k AS VARCHAR) || ' of repo ' || CAST(doc_id AS VARCHAR)
+       |           || ': ' || ${w("CAST(4 + k AS INT)")} || ' ' || ${w("CAST(9 + k AS INT)")}
+       |    END AS probe, NULL::BIGINT AS nbytes_fixed
+       |  FROM b0, (SELECT unnest([0, 1, 2, 3]) AS k) WHERE k < nb),
+       |tre AS (
+       |  SELECT doc_id, nb AS idx, 'tree' AS typ,
+       |    array_to_string(list_transform(range(CAST(nb AS INT)),
+       |      k -> 'f' || CAST(k AS VARCHAR) || '.txt'), ',') AS probe,
+       |    34 * nb AS nbytes_fixed FROM b0),
+       |cms AS (
+       |  SELECT doc_id, nb + 1 + cc AS idx, 'commit' AS typ, $msg AS probe,
+       |    octet_length(encode('tree ' || repeat('x', 40) || chr(10) ||
+       |      CASE WHEN cc = 1 THEN 'parent ' || repeat('x', 40) || chr(10) ELSE '' END ||
+       |      'author Graft Author <author@example.com> ' ||
+       |        CAST(1700000000 + cc AS VARCHAR) || ' +0000' || chr(10) ||
+       |      'committer Graft Author <author@example.com> ' ||
+       |        CAST(1700000000 + cc AS VARCHAR) || ' +0000' || chr(10) ||
+       |      chr(10) || $msg || chr(10)))::BIGINT AS nbytes_fixed
+       |  FROM b0, (SELECT unnest([0, 1]) AS cc) WHERE cc < nc),
+       |u AS (SELECT * FROM blobs UNION ALL SELECT * FROM tre UNION ALL SELECT * FROM cms),
+       |h AS (SELECT doc_id, idx, typ, probe,
+       |        COALESCE(nbytes_fixed, octet_length(encode(probe))) AS nbytes,
+       |        hex(encode(probe)) AS hx, octet_length(encode(probe)) AS pn FROM u)
+       |SELECT doc_id AS repo_id, idx::BIGINT AS obj_idx, typ AS obj_type,
+       |       nbytes::BIGINT AS n_bytes, probe,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(pn), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+       |FROM h""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8529,6 +8594,7 @@ object QueryCatalog {
     "exif_meta" -> qExifMeta,
     "exif_strip" -> qExifStrip,
     "ipynb_cells" -> qIpynbCells,
+    "git_objects" -> qGitObjects,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8789,6 +8855,7 @@ object QueryCatalog {
     "exif_meta" -> oExifMeta,
     "exif_strip" -> oExifStrip,
     "ipynb_cells" -> oIpynbCells,
+    "git_objects" -> oGitObjects,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
