@@ -2771,6 +2771,46 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** Legacy Word binary ingestion ([[graft.ext.Doc]] — the .doc half of
+    * the office shelf, completing it): a complete OLE2 compound file per
+    * document (header DIFAT → FAT chains → directory → the MINI-stream
+    * layer carrying the small Table stream as 64-byte mini sectors, the
+    * padded WordDocument stream as regular multi-sector chains), then
+    * the Word piece table: self-describing FIB walk, Clx in the
+    * id-parity 0Table/1Table stream, pieces cycling cp1252-compressed vs
+    * UTF-16LE (a Δ hazard forces genuine unicode pieces) with cuts that
+    * deliberately fall MID-paragraph. The oracle replays paragraphs
+    * closed-form; a slip in any layer (FAT walk, mini chain, FIB counts,
+    * CP arithmetic, fCompressed decode) shifts text across paragraph
+    * marks and fails the hash.
+    */
+  private val qDocExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Doc.docExtract(graft.ext.Doc.encodeDoc(table(s, dir, "documents"))).toDF()
+
+  private val oDocExtract: String =
+    """WITH d AS (SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+      |pp AS (SELECT doc_id, m, ws, p
+      |       FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS p)
+      |       WHERE p < 2 + ('0x' || substr(m, 1, 1))::BIGINT % 3),
+      |tx AS (SELECT doc_id, p,
+      |         'Para ' || CAST(p AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR) || ': ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(2 + p AS INT), 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |         list_extract(ws, 1 + CAST(('0x' || substr(m, CAST(7 + p AS INT), 1))::BIGINT % 8 AS INT)) ||
+      |         CASE (doc_id + p) % 4
+      |           WHEN 0 THEN ' ' || chr(233)
+      |           WHEN 1 THEN ' ' || chr(8220) || 'q' || chr(8221)
+      |           WHEN 2 THEN ' ' || chr(916) || 'x'
+      |           ELSE '' END AS t
+      |       FROM pp),
+      |h AS (SELECT doc_id, p, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM tx)
+      |SELECT doc_id, p::BIGINT AS para_idx, n::BIGINT AS n_chars,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8595,6 +8635,7 @@ object QueryCatalog {
     "exif_strip" -> qExifStrip,
     "ipynb_cells" -> qIpynbCells,
     "git_objects" -> qGitObjects,
+    "doc_extract" -> qDocExtract,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8856,6 +8897,7 @@ object QueryCatalog {
     "exif_strip" -> oExifStrip,
     "ipynb_cells" -> oIpynbCells,
     "git_objects" -> oGitObjects,
+    "doc_extract" -> oDocExtract,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
