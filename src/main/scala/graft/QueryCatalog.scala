@@ -2811,6 +2811,54 @@ object QueryCatalog {
       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
       |FROM h""".stripMargin
 
+  /** Legacy Excel binary ingestion ([[graft.ext.Xls]] — BIFF8 over the
+    * SHARED OLE2 reader from [[graft.ext.Doc]]): per doc a compound file
+    * whose Workbook stream carries the globals substream (BOUNDSHEETs
+    * with ABSOLUTE sheet positions the reader must seek by; the SST with
+    * per-string compressed-vs-UTF-16 storage and real cross-sheet string
+    * sharing so cstTotal > cstUnique grades the indirection) and per-sheet
+    * substreams of LABELSST / NUMBER / RK cells — both integer RK layouts
+    * including negatives (arithmetic shift) and the ×1/100 multiplier.
+    * Numerics surface as exact integer micro-units; the oracle replays
+    * every sheet, cell, string and value closed-form.
+    */
+  private val qXlsCells: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Xls.xlsCells(graft.ext.Xls.encodeXls(table(s, dir, "documents"))).toDF()
+
+  private val oXlsCells: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('xls:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |sh AS (SELECT doc_id, m, ws, s
+       |       FROM d, wt, (SELECT unnest([0, 1]) AS s)
+       |       WHERE s < 1 + ${nib("1")} % 2),
+       |rw AS (SELECT doc_id, m, ws, s, r,
+       |         'Sheet' || CAST(s AS VARCHAR) || '-' || ${w("CAST(2 + s AS INT)")} AS sname
+       |       FROM sh, (SELECT unnest([0, 1, 2]) AS r)
+       |       WHERE r < 1 + ${nib("CAST(4 + s AS INT)")} % 3)
+       |SELECT doc_id, s::BIGINT AS sheet_idx, sname AS sheet_name,
+       |       r::BIGINT AS row_idx, 0::BIGINT AS col_idx, 's' AS kind,
+       |       ${w("CAST(6 + 2 * (s + r) AS INT)")} ||
+       |         CASE (doc_id + s + r) % 3
+       |           WHEN 0 THEN ' ' || chr(233)
+       |           WHEN 1 THEN ' ' || chr(916)
+       |           ELSE '' END AS s_val,
+       |       NULL::BIGINT AS num_micro
+       |FROM rw
+       |UNION ALL
+       |SELECT doc_id, s::BIGINT, sname, r::BIGINT, 1::BIGINT, 'n', NULL,
+       |       (doc_id * 100 + s * 10 + r) * 1000000
+       |FROM rw
+       |UNION ALL
+       |SELECT doc_id, s::BIGINT, sname, r::BIGINT, 2::BIGINT, 'rk', NULL,
+       |       CASE WHEN (doc_id + r) % 2 = 0
+       |         THEN (${nib("CAST(8 + r AS INT)")} * 3 - 20) * 1000000
+       |         ELSE (${nib("CAST(8 + r AS INT)")} * 7 + 3) * 10000 END
+       |FROM rw""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8636,6 +8684,7 @@ object QueryCatalog {
     "ipynb_cells" -> qIpynbCells,
     "git_objects" -> qGitObjects,
     "doc_extract" -> qDocExtract,
+    "xls_cells" -> qXlsCells,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8898,6 +8947,7 @@ object QueryCatalog {
     "ipynb_cells" -> oIpynbCells,
     "git_objects" -> oGitObjects,
     "doc_extract" -> oDocExtract,
+    "xls_cells" -> oXlsCells,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,

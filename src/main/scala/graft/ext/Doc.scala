@@ -209,16 +209,36 @@ object Doc {
     val (wd, table) = renderWordStreams(id)
     val oneTable = id % 2 == 1
     require(wd.length > MiniCutoff && table.length < MiniCutoff)
+    renderCfb(Seq(
+      ("WordDocument", wd),
+      (if (oneTable) "1Table" else "0Table", table)))
+  }
 
-    val wdSectors = (wd.length + SectorSize - 1) / SectorSize
-    val miniCount = (table.length + MiniSize - 1) / MiniSize
-    val miniContainerBytes = miniCount * MiniSize
+  /** Generic CFB writer shared by the 97-2003 office modules ([[Doc]],
+    * [[Xls]]): each stream lands in the MINI layer (64-byte sectors
+    * inside the root's mini-stream container, chained via the miniFAT)
+    * when under the 4096 cutoff, else in regular 512-byte FAT chains —
+    * the same rule the reader applies. At most 3 streams (one directory
+    * sector); one FAT sector bounds total size at ~64 KB, plenty for
+    * fixtures.
+    */
+  private[ext] def renderCfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(streams.nonEmpty && streams.length <= 3)
+    val regular = streams.filter(_._2.length >= MiniCutoff)
+    val minis = streams.filter(_._2.length < MiniCutoff)
+
+    val regSectors = regular.map { case (_, b) => (b.length + SectorSize - 1) / SectorSize }
+    val miniCounts = minis.map { case (_, b) => (b.length + MiniSize - 1) / MiniSize }
+    val miniTotal = miniCounts.sum
+    val miniContainerBytes = miniTotal * MiniSize
     val miniContainerSectors = (miniContainerBytes + SectorSize - 1) / SectorSize
-    // sector map: 0 FAT, 1 directory, 2 miniFAT, 3.. WordDocument,
-    // then the mini container
-    val wdStart = 3
-    val miniStart = wdStart + wdSectors
+    // sector map: 0 FAT, 1 directory, 2 miniFAT, then the regular
+    // streams' chains in order, then the mini container
+    val regStarts = regSectors.scanLeft(3)(_ + _)
+    val miniStart = regStarts.last
     val totalSectors = miniStart + miniContainerSectors
+    // mini-sector start index of each mini stream inside the container
+    val miniStarts = miniCounts.scanLeft(0)(_ + _)
 
     val out = java.nio.ByteBuffer.allocate(SectorSize * (1 + totalSectors))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -252,13 +272,17 @@ object Doc {
     fat(0) = FatSect
     fat(1) = EndOfChain // directory
     fat(2) = EndOfChain // miniFAT
-    for (k <- 0 until wdSectors)
-      fat(wdStart + k) = if (k == wdSectors - 1) EndOfChain else wdStart + k + 1
+    regular.indices.foreach { i =>
+      val start = regStarts(i)
+      val count = regSectors(i)
+      for (k <- 0 until count)
+        fat(start + k) = if (k == count - 1) EndOfChain else start + k + 1
+    }
     for (k <- 0 until miniContainerSectors)
       fat(miniStart + k) = if (k == miniContainerSectors - 1) EndOfChain else miniStart + k + 1
     fat.foreach(out.putInt)
 
-    // ---- directory (sector 1): Root Entry, WordDocument, xTable
+    // ---- directory (sector 1): Root Entry then the streams in order
     def dirEntry(name: String, typ: Int, left: Int, right: Int, child: Int,
                  start: Int, size: Int): Unit = {
       val base = out.position()
@@ -278,29 +302,47 @@ object Doc {
       require(out.position() == base + 128)
     }
     out.position(sectorBase(1))
-    dirEntry("Root Entry", 5, NoStream, NoStream, 1, miniStart, miniContainerBytes)
-    dirEntry("WordDocument", 2, NoStream, NoStream, NoStream, wdStart, wd.length)
-    dirEntry(if (oneTable) "1Table" else "0Table", 2, NoStream, NoStream, NoStream,
-      0, table.length) // mini-stream sector 0
-    // 4th slot: unused entry (all zeros is fine; type 0 = unknown)
-    // wire the sibling tree: WordDocument's right sibling is the table
-    out.position(sectorBase(1) + 128 + 72)
-    out.putInt(2) // WordDocument.right = entry 2
+    dirEntry("Root Entry", 5, NoStream, NoStream, 1,
+      if (miniTotal > 0) miniStart else EndOfChain, miniContainerBytes)
+    var regIdx = 0
+    var miniIdx = 0
+    streams.zipWithIndex.foreach { case ((name, b), i) =>
+      // a degenerate right-spine sibling list: valid for tree walkers and
+      // for readers that scan entries
+      val right = if (i + 1 < streams.length) i + 2 else NoStream
+      if (b.length >= MiniCutoff) {
+        dirEntry(name, 2, NoStream, right, NoStream, regStarts(regIdx), b.length)
+        regIdx += 1
+      } else {
+        dirEntry(name, 2, NoStream, right, NoStream, miniStarts(miniIdx), b.length)
+        miniIdx += 1
+      }
+    }
 
-    // ---- miniFAT (sector 2)
+    // ---- miniFAT (sector 2): each mini stream's chain, packed in order
     out.position(sectorBase(2))
     val mfat = Array.fill(SectorSize / 4)(FreeSect)
-    for (k <- 0 until miniCount)
-      mfat(k) = if (k == miniCount - 1) EndOfChain else k + 1
+    minis.indices.foreach { i =>
+      val start = miniStarts(i)
+      val count = miniCounts(i)
+      for (k <- 0 until count)
+        mfat(start + k) = if (k == count - 1) EndOfChain else start + k + 1
+    }
     mfat.foreach(out.putInt)
 
-    // ---- WordDocument sectors
-    out.position(sectorBase(wdStart))
-    out.put(wd)
-    // ---- mini container: the table stream's mini sectors
-    out.position(sectorBase(miniStart))
-    out.put(java.util.Arrays.copyOf(table, miniContainerBytes))
-
+    // ---- regular streams' sectors
+    regular.indices.foreach { i =>
+      out.position(sectorBase(regStarts(i)))
+      out.put(regular(i)._2)
+    }
+    // ---- mini container
+    if (miniTotal > 0) {
+      out.position(sectorBase(miniStart))
+      minis.zipWithIndex.foreach { case ((_, b), i) =>
+        out.position(sectorBase(miniStart) + miniStarts(i) * MiniSize)
+        out.put(b)
+      }
+    }
     out.array()
   }
 
