@@ -198,6 +198,18 @@ object StreamingArchiveIngest {
       windowLength: String): DataFrame =
     windowed(graft.ext.Odt.odtExtractWithTs(docs), watermarkDelay, windowLength)
 
+  def ingestDoc(
+      docs: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Doc.docExtractWithTs(docs), watermarkDelay, windowLength)
+
+  def ingestXls(
+      workbooks: DataFrame,
+      watermarkDelay: String,
+      windowLength: String): DataFrame =
+    windowed(graft.ext.Xls.xlsCellsWithTs(workbooks), watermarkDelay, windowLength)
+
   def ingestPptx(
       decks: DataFrame,
       watermarkDelay: String,

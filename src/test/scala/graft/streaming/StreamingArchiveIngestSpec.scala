@@ -475,6 +475,67 @@ class StreamingArchiveIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("doc stream: legacy Word twin finalizes with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = 0L until 8L
+    val idsDf = ids.toDF("doc_id")
+    val blobs = graft.ext.Doc.encodeDoc(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val batchRows = graft.ext.Doc.docExtract(graft.ext.Doc.encodeDoc(idsDf)).collect()
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamingArchiveIngest.ingestDoc(
+      in.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("doc_ingest_out").outputMode("append").start()
+    try {
+      in.addData(ids.map(i => (i, ts(2), if (i == 5L) blobs(i).take(700) else blobs(i))): _*)
+      q.processAllAvailable()
+      in.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("doc_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expected = batchRows.filterNot(_.doc_id == 5L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows == expected, "per-shard paragraph counts; damaged doc drops")
+      val streamed = graft.ext.Doc.docExtractWithTs(
+        Seq((1L, ts(2), blobs(1L))).toDF("doc_id", "ts", "payload")).collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+      val batch = graft.ext.Doc.docExtract(
+        Seq((1L, blobs(1L))).toDF("doc_id", "payload")).collect()
+        .map(p => (p.para_idx, p.doc_id, p.n_chars)).sorted.toSeq
+      assert(streamed == batch, "doc batch and streaming agree record for record")
+    } finally q.stop()
+  }
+
+  test("xls stream: twin finalizes with damage drop and batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = 0L until 8L
+    val idsDf = ids.toDF("doc_id")
+    val blobs = graft.ext.Xls.encodeXls(idsDf)
+      .as[(Long, Array[Byte])].collect().toMap
+    val batchRows = graft.ext.Xls.xlsCells(graft.ext.Xls.encodeXls(idsDf)).collect()
+    val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = StreamingArchiveIngest.ingestXls(
+      in.toDF().toDF("doc_id", "ts", "payload"),
+      watermarkDelay = "5 minutes", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("xls_ingest_out").outputMode("append").start()
+    try {
+      in.addData(ids.map(i => (i, ts(2), if (i == 3L) blobs(i).take(600) else blobs(i))): _*)
+      q.processAllAvailable()
+      in.addData((0L, ts(40), blobs(0L))) // advance watermark: finalize [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("xls_ingest_out").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val expected = batchRows.filterNot(_.doc_id == 3L)
+        .groupBy(_.doc_id % 16).view.mapValues(_.length.toLong).toMap
+      assert(rows == expected, "per-shard cell counts; damaged workbook drops")
+    } finally q.stop()
+  }
+
   test("odt stream: twin finalizes with damage drop and batch parity") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
