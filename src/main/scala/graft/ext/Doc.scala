@@ -531,6 +531,7 @@ object Doc {
     val ccpText = wb.getInt(p + 4 * 3)
     if (ccpText < 0 || ccpText > (1 << 26)) fail()
     p += 4 * cslw
+    if (p + 2 > wd.length) fail()
     val cbRgFcLcb = wb.getShort(p) & 0xffff; p += 2
     if (cbRgFcLcb < 34 || p + 8 * cbRgFcLcb > wd.length) fail()
     val fcClx = wb.getInt(p + 8 * 33)
@@ -576,12 +577,10 @@ object Doc {
       }
     }
     val text = sb.toString
-    // paragraphs: every para ends with \r; trailing content without a
-    // final mark still surfaces as a last paragraph
-    val paras = {
-      val split = text.split('\r')
-      if (text.endsWith("\r")) split.toSeq else split.toSeq
-    }
+    // paragraphs: every para ends with \r; split drops the trailing empty
+    // either way, so trailing content without a final mark still surfaces
+    // as a last paragraph
+    val paras = text.split('\r').toSeq
     paras.zipWithIndex.map { case (t, i) =>
       val b = t.getBytes("UTF-8")
       var cs = 0L

@@ -217,28 +217,32 @@ object Exif {
       ts: Option[String], px_w: Option[Long], px_h: Option[Long],
       has_gps: Boolean, lat_casec: Option[Long], lon_casec: Option[Long])
 
-  /** Walk JPEG markers from SOI to SOS/EOI, returning each segment as
-    * (marker, payload offset, payload length). Standalone markers carry
-    * no length; anything structurally broken fails.
+  /** THE marker walk, shared by extract and scrub (one structural-validity
+    * definition, so the pair can never disagree): every segment between
+    * SOI and SOS/EOI as (marker, segStart, payloadOff, payloadLen) —
+    * standalone markers carry payloadLen 0 with payloadOff = segStart+2,
+    * so `payloadOff + payloadLen` is the segment end uniformly — plus the
+    * TAIL position (the SOS or EOI marker, from which bytes flow
+    * verbatim). Anything structurally broken fails.
     */
-  private def segments(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+  private def walkSegments(bytes: Array[Byte]): (Vector[(Int, Int, Int, Int)], Int) = {
     val n = bytes.length
     if (n < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) fail()
-    val segs = Vector.newBuilder[(Int, Int, Int)]
+    val segs = Vector.newBuilder[(Int, Int, Int, Int)]
     var p = 2
     var guard = 0
     while (p < n) {
       guard += 1; if (guard > (1 << 16)) fail()
       if (p + 2 > n || (bytes(p) & 0xff) != 0xff) fail()
       val m = bytes(p + 1) & 0xff
-      if (m == 0xd9) return segs.result() // EOI
-      if (m == 0xda) { segs += ((m, p + 2, n - p - 2)); return segs.result() }
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
-      else {
+      if (m == 0xd9 || m == 0xda) return (segs.result(), p) // EOI / SOS
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        segs += ((m, p, p + 2, 0)); p += 2
+      } else {
         if (p + 4 > n) fail()
         val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > n) fail()
-        segs += ((m, p + 4, len - 2))
+        segs += ((m, p, p + 4, len - 2))
         p += 2 + len
       }
     }
@@ -346,11 +350,11 @@ object Exif {
   private val ExifSig = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0)
 
   private[ext] def parseExif(id: Long, bytes: Array[Byte]): ExifMeta = {
-    val app1 = segments(bytes).find { case (m, off, len) =>
+    val app1 = walkSegments(bytes)._1.find { case (m, _, off, len) =>
       m == 0xe1 && len >= 6 && (0 until 6).forall(i => bytes(off + i) == ExifSig(i))
     }
     app1 match {
-      case Some((_, off, len)) => parseTiffBlock(id, bytes, off, len)
+      case Some((_, _, off, len)) => parseTiffBlock(id, bytes, off, len)
       case None => ExifMeta(id, has_exif = false, None, None, None, None, None,
         None, None, has_gps = false, None, None)
     }
@@ -377,35 +381,20 @@ object Exif {
   // --------------------------------------------------------------- scrub
 
   /** Remove every APP1–APP15 and COM segment; APP0 and all structural
-    * segments stay; the entropy stream from SOS on is untouched.
+    * segments stay; the entropy stream from SOS on is untouched. Rides
+    * the SAME [[walkSegments]] the extractor uses, so scrub and verify
+    * cannot disagree on structural validity.
     */
   private[ext] def stripMetadata(bytes: Array[Byte]): Array[Byte] = {
-    val n = bytes.length
-    if (n < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) fail()
-    val out = new java.io.ByteArrayOutputStream(n)
+    val (segs, tail) = walkSegments(bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
     out.write(0xff); out.write(0xd8)
-    var p = 2
-    var guard = 0
-    while (p < n) {
-      guard += 1; if (guard > (1 << 16)) fail()
-      if (p + 2 > n || (bytes(p) & 0xff) != 0xff) fail()
-      val m = bytes(p + 1) & 0xff
-      if (m == 0xd9 || m == 0xda) { // EOI / SOS: verbatim to the end
-        out.write(bytes, p, n - p)
-        return out.toByteArray
-      }
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
-        out.write(bytes, p, 2); p += 2
-      } else {
-        if (p + 4 > n) fail()
-        val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-        if (len < 2 || p + 2 + len > n) fail()
-        val drop = (m >= 0xe1 && m <= 0xef) || m == 0xfe
-        if (!drop) out.write(bytes, p, 2 + len)
-        p += 2 + len
-      }
+    segs.foreach { case (m, start, payOff, payLen) =>
+      val drop = (m >= 0xe1 && m <= 0xef) || m == 0xfe
+      if (!drop) out.write(bytes, start, payOff + payLen - start)
     }
-    fail()
+    out.write(bytes, tail, bytes.length - tail)
+    out.toByteArray
   }
 
   final case class ExifStrip(

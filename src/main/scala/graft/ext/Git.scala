@@ -431,8 +431,10 @@ object Git {
     }
     // seed ids of non-delta objects first (bases precede deltas in
     // well-formed packs; REF_DELTA to a LATER non-delta object also works
-    // because all full objects are seeded before any delta resolves)
-    all.foreach { e =>
+    // because all full objects are seeded before any delta resolves) —
+    // but only when a REF_DELTA exists at all: OFS-only packs (most real
+    // ones) skip the per-object SHA-1 cost entirely
+    if (all.exists(_.typ == 7)) all.foreach { e =>
       if (e.typ <= 4) byId(objectId(TypeNames(e.typ), e.data).toSeq) = e.offset
     }
     all.zipWithIndex.map { case (e, i) =>
@@ -513,7 +515,9 @@ object Git {
           i += 1
         }
         if (sz == 0) sz = 0x10000 // the spec's size-0 quirk
-        if (off < 0 || sz < 0 || off + sz > base.length || w + sz > resultSize) fail()
+        // off can carry 4 hostile bytes (up to 0x7FFFFFFF): compare in Long
+        // so off + sz cannot wrap negative and sneak past the bound
+        if (off < 0 || sz < 0 || off.toLong + sz > base.length || w + sz > resultSize) fail()
         System.arraycopy(base, off, out, w, sz)
         w += sz
       } else { // insert

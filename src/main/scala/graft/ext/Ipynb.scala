@@ -170,6 +170,9 @@ object Ipynb {
       .filter(col("nb").isNotNull && col("nb.nbformat") === 4 && col("nb.cells").isNotNull)
       .select(col("doc_id"), col("nb.metadata.language_info.name").as("language"),
         posexplode(col("nb.cells")))
+      // a cell without source or cell_type is non-conforming: quarantine
+      // the row rather than NPE in the checksum map
+      .filter(col("col.source").isNotNull && col("col.cell_type").isNotNull)
       .select(col("doc_id"), col("language"), col("pos").cast("long").as("cell_idx"),
         col("col.cell_type").as("cell_type"),
         col("col.execution_count").as("exec_count"),

@@ -252,6 +252,7 @@ object Xls {
       if (body + len > n) fail()
       typ match {
         case 0x0085 => // BOUNDSHEET
+          if (len < 8) fail() // lbPlyPos(4) + grbit(2) + cch(1) + flags(1)
           val pos = u32(body)
           if (pos < 0 || pos > n - 4) fail()
           val cch = wb(body + 6) & 0xff

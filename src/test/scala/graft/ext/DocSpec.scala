@@ -84,6 +84,17 @@ class DocSpec extends AnyFunSuite {
     // an empty table stream quarantines
     val cfb = new Doc.Cfb(good)
     assert(cfb.stream("1Table").isDefined) // id 1 is the 1Table arm
+    // crafted FIB whose cslw pushes the walk exactly to the stream end:
+    // the cbRgFcLcb read past it must quarantine, not crash (review
+    // finding) — patch cslw to a huge count in the real WordDocument
+    val hostile = good.clone()
+    // WordDocument sector 3 → FIB at 2048; cslw sits at 32 + 2 + 28 = 62.
+    // cslw = 1520 makes 64 + 4*cslw land EXACTLY at wd.length (6144): the
+    // in-bounds guard passes with equality and the cbRgFcLcb read past the
+    // end must quarantine, not throw BufferUnderflow
+    val cslwAt = 2048 + 62
+    hostile(cslwAt) = 0xf0.toByte; hostile(cslwAt + 1) = 0x05.toByte
+    assert(Doc.parseDocSafe(id, hostile).isEmpty)
   }
 
   test("operator: damaged doc quarantines alone (Spark)") {

@@ -67,6 +67,15 @@ class GitSpec extends AnyFunSuite {
     def v3(x: Int): Unit = { var q = x; while (q >= 0x80) { bad2.write((q & 0x7f) | 0x80); q >>>= 7 }; bad2.write(q) }
     v3(base.length + 1); v3(1); bad2.write(1); bad2.write('q')
     assertThrows[RuntimeException](Git.applyDelta(base, bad2.toByteArray))
+    // hostile copy offset 0x7FFFFFFF: off + sz must not wrap Int-negative
+    // past the bounds check (review finding) — quarantine, not arraycopy
+    val bad3 = new java.io.ByteArrayOutputStream()
+    def v4(x: Int): Unit = { var q = x; while (q >= 0x80) { bad3.write((q & 0x7f) | 0x80); q >>>= 7 }; bad3.write(q) }
+    v4(base.length); v4(2)
+    bad3.write(0x80 | 0x0f | 0x10) // all 4 offset bytes + 1 size byte
+    bad3.write(0xff); bad3.write(0xff); bad3.write(0xff); bad3.write(0x7f) // off = 0x7FFFFFFF
+    bad3.write(2) // sz = 2: off + sz wraps negative in Int
+    assertThrows[RuntimeException](Git.applyDelta(base, bad3.toByteArray))
   }
 
   test("damage ladder: trailer, magic, version, zlib, ref-to-missing, truncation") {

@@ -46,7 +46,12 @@ class IpynbSpec extends AnyFunSuite {
       (2L, good.replace("\"nbformat\": 4", "\"nbformat\": 3")), // v3
       (3L, "{\"nbformat\": 4}"), // no cells
       (4L, "[1, 2, 3]"), // not an object
-      (5L, Ipynb.renderIpynb(5L))).toDF("doc_id", "nb_json")
+      (5L, Ipynb.renderIpynb(5L)),
+      // a cell missing `source` (and one missing cell_type): the rows must
+      // quarantine, not NPE in the checksum map (review finding)
+      (6L, "{\"nbformat\": 4, \"metadata\": {}, \"cells\": [{\"cell_type\": \"raw\"}]}"),
+      (7L, "{\"nbformat\": 4, \"metadata\": {}, \"cells\": [{\"source\": [\"x\"]}]}"))
+      .toDF("doc_id", "nb_json")
     val got = Ipynb.ipynbCells(rows).collect().map(_.doc_id).distinct.sorted
     assert(got.toSeq == Seq(0L, 5L))
   }

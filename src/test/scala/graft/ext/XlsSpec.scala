@@ -71,6 +71,12 @@ class XlsSpec extends AnyFunSuite {
     assert(Xls.parseXlsSafe(id, pack(badIdx)).isEmpty)
     // truncated mid-record
     assert(Xls.parseXlsSafe(id, pack(java.util.Arrays.copyOf(wb, wb.length - 3))).isEmpty)
+    // BOUNDSHEET whose declared len (4) is shorter than its fixed fields:
+    // the cch/flags reads must be bounds-gated (review finding)
+    val shortBs = new java.io.ByteArrayOutputStream()
+    shortBs.write(wb, 0, 20) // globals BOF
+    shortBs.write(Array[Byte](0x85.toByte, 0x00, 0x04, 0x00, 0, 0, 0, 0)) // len=4 at stream end
+    assert(Xls.parseXlsSafe(id, pack(shortBs.toByteArray)).isEmpty)
     // a Continue record in the globals quarantines (splicing unsupported)
     val cont = new java.io.ByteArrayOutputStream()
     cont.write(wb, 0, fdAt) // ends somewhere inside a sheet — rebuild simpler:
