@@ -2859,6 +2859,51 @@ object QueryCatalog {
        |FROM rw""".stripMargin
   }
 
+  /** Outlook .msg ingestion ([[graft.ext.Msg]] — MS-OXMSG, the THIRD
+    * rider on the shared OLE2 container, and a two-sector directory
+    * chain): the property stream's 16-byte records resolve subject /
+    * sender / body values from their `__substg1.0_XXXXYYYY` streams,
+    * the sender cycling PT_UNICODE vs PT_STRING8 (cp1252) by id parity
+    * and every declared size cross-checked. The oracle replays all
+    * three properties and the body checksum closed-form.
+    */
+  private val qMsgExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Msg.msgExtract(graft.ext.Msg.encodeMsg(table(s, dir, "documents"))).toDF()
+
+  private val oMsgExtract: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('msg:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |ln AS (SELECT doc_id, m, ws, l
+       |       FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS l)
+       |       WHERE l < 1 + ${nib("3")} % 4),
+       |tx AS (SELECT doc_id, m, ws, l,
+       |         'line ' || CAST(l AS VARCHAR) || ' of msg ' || CAST(doc_id AS VARCHAR)
+       |           || ': ' || ${w("CAST(4 + l AS INT)")} || ' ' || ${w("CAST(9 + l AS INT)")} ||
+       |         CASE WHEN (doc_id + l) % 3 = 0
+       |           THEN ' ' || chr(8220) || 'q' || chr(8221) ELSE '' END AS t
+       |       FROM ln),
+       |body AS (SELECT doc_id, m, ws,
+       |           string_agg(t, chr(13) || chr(10) ORDER BY l) AS b
+       |         FROM tx GROUP BY doc_id, m, ws),
+       |h AS (SELECT doc_id, m, ws, hex(encode(b)) AS hx, octet_length(encode(b)) AS n
+       |      FROM body)
+       |SELECT doc_id,
+       |       'Subject ' || CAST(doc_id AS VARCHAR) || ': ' || ${w("1")} ||
+       |         CASE doc_id % 3 WHEN 0 THEN ' ' || chr(233)
+       |           WHEN 1 THEN ' ' || chr(916) ELSE '' END AS subject,
+       |       'Sender ' || ${w("2")} ||
+       |         CASE WHEN doc_id % 4 = 1 THEN ' ' || chr(233) ELSE '' END AS sender,
+       |       3::BIGINT AS n_props,
+       |       n::BIGINT AS body_n_chars,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS body_checksum
+       |FROM h""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8685,6 +8730,7 @@ object QueryCatalog {
     "git_objects" -> qGitObjects,
     "doc_extract" -> qDocExtract,
     "xls_cells" -> qXlsCells,
+    "msg_extract" -> qMsgExtract,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8948,6 +8994,7 @@ object QueryCatalog {
     "git_objects" -> oGitObjects,
     "doc_extract" -> oDocExtract,
     "xls_cells" -> oXlsCells,
+    "msg_extract" -> oMsgExtract,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,

@@ -215,15 +215,15 @@ object Doc {
   }
 
   /** Generic CFB writer shared by the 97-2003 office modules ([[Doc]],
-    * [[Xls]]): each stream lands in the MINI layer (64-byte sectors
-    * inside the root's mini-stream container, chained via the miniFAT)
-    * when under the 4096 cutoff, else in regular 512-byte FAT chains —
-    * the same rule the reader applies. At most 3 streams (one directory
-    * sector); one FAT sector bounds total size at ~64 KB, plenty for
-    * fixtures.
+    * [[Xls]], [[Msg]]): each stream lands in the MINI layer (64-byte
+    * sectors inside the root's mini-stream container, chained via the
+    * miniFAT) when under the 4096 cutoff, else in regular 512-byte FAT
+    * chains — the same rule the reader applies. The directory spans as
+    * many chained sectors as root + streams need (4 entries each); one
+    * FAT sector bounds total size at ~64 KB, plenty for fixtures.
     */
   private[ext] def renderCfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
-    require(streams.nonEmpty && streams.length <= 3)
+    require(streams.nonEmpty && streams.length <= 15)
     val regular = streams.filter(_._2.length >= MiniCutoff)
     val minis = streams.filter(_._2.length < MiniCutoff)
 
@@ -232,9 +232,11 @@ object Doc {
     val miniTotal = miniCounts.sum
     val miniContainerBytes = miniTotal * MiniSize
     val miniContainerSectors = (miniContainerBytes + SectorSize - 1) / SectorSize
-    // sector map: 0 FAT, 1 directory, 2 miniFAT, then the regular
-    // streams' chains in order, then the mini container
-    val regStarts = regSectors.scanLeft(3)(_ + _)
+    // sector map: 0 FAT, then the directory chain, then the miniFAT, then
+    // the regular streams' chains in order, then the mini container
+    val nDir = (1 + streams.length + 3) / 4 // 4 dir entries per sector
+    val miniFatSector = 1 + nDir
+    val regStarts = regSectors.scanLeft(miniFatSector + 1)(_ + _)
     val miniStart = regStarts.last
     val totalSectors = miniStart + miniContainerSectors
     // mini-sector start index of each mini stream inside the container
@@ -256,7 +258,7 @@ object Doc {
     out.putInt(1) // first directory sector
     out.putInt(0) // transaction signature
     out.putInt(MiniCutoff) // mini stream cutoff
-    out.putInt(2) // first miniFAT sector
+    out.putInt(miniFatSector) // first miniFAT sector
     out.putInt(1) // csectMiniFat
     out.putInt(EndOfChain) // first DIFAT sector
     out.putInt(0) // csectDifat
@@ -270,8 +272,9 @@ object Doc {
     out.position(sectorBase(0))
     val fat = Array.fill(SectorSize / 4)(FreeSect)
     fat(0) = FatSect
-    fat(1) = EndOfChain // directory
-    fat(2) = EndOfChain // miniFAT
+    for (k <- 0 until nDir) // the directory chain
+      fat(1 + k) = if (k == nDir - 1) EndOfChain else 2 + k
+    fat(miniFatSector) = EndOfChain
     regular.indices.foreach { i =>
       val start = regStarts(i)
       val count = regSectors(i)
@@ -319,8 +322,8 @@ object Doc {
       }
     }
 
-    // ---- miniFAT (sector 2): each mini stream's chain, packed in order
-    out.position(sectorBase(2))
+    // ---- miniFAT: each mini stream's chain, packed in order
+    out.position(sectorBase(miniFatSector))
     val mfat = Array.fill(SectorSize / 4)(FreeSect)
     minis.indices.foreach { i =>
       val start = miniStarts(i)
