@@ -2904,6 +2904,66 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** iCalendar ingestion ([[graft.ext.Ics]] — RFC 5545): real line
+    * folding (every description exceeds 75 octets, with an é so a
+    * byte-level unfold slip shifts the checksum), the full §3.3.11
+    * escape set cycling through summaries, a quoted parameter carrying a
+    * colon (the value-start scan must respect DQUOTE), and DTSTART
+    * converted to epoch seconds in pure integer math. The oracle
+    * replays events, fields and the date arithmetic via `date_diff`.
+    */
+  private val qIcsEvents: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Ics.icsEvents(graft.ext.Ics.encodeIcs(table(s, dir, "documents"))).toDF()
+
+  private val oIcsEvents: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('ics:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |ev AS (SELECT doc_id, m, ws, e
+       |       FROM d, wt, (SELECT unnest([0, 1, 2]) AS e)
+       |       WHERE e < 1 + ${nib("1")} % 3),
+       |f AS (SELECT doc_id, m, ws, e,
+       |        2020 + ${nib("CAST(2 + e AS INT)")} AS y,
+       |        1 + ${nib("CAST(5 + e AS INT)")} % 12 AS mo,
+       |        1 + ${nib("CAST(8 + e AS INT)")} % 28 AS dd,
+       |        ${nib("CAST(11 + e AS INT)")} % 24 AS hh,
+       |        (${nib("CAST(14 + e AS INT)")} * 4) % 60 AS mi,
+       |        (${nib("CAST(17 + e AS INT)")} * 4) % 60 AS ss,
+       |        'Event ' || CAST(e AS VARCHAR) || ' of cal ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(20 + e AS INT)")} ||
+       |          CASE (doc_id + e) % 4
+       |            WHEN 0 THEN ', half; done'
+       |            WHEN 1 THEN ' line1' || chr(10) || 'line2'
+       |            WHEN 2 THEN ' back' || chr(92) || 'slash'
+       |            ELSE '' END AS summ,
+       |        concat_ws(' ',
+       |          'part 0 of event ' || CAST(e AS VARCHAR) || ' in cal ' ||
+       |            CAST(doc_id AS VARCHAR) || ' is ' || ${w("CAST(23 + e % 9 AS INT)")},
+       |          'part 1 of event ' || CAST(e AS VARCHAR) || ' in cal ' ||
+       |            CAST(doc_id AS VARCHAR) || ' is ' || ${w("CAST(23 + (e + 1) % 9 AS INT)")},
+       |          'part 2 of event ' || CAST(e AS VARCHAR) || ' in cal ' ||
+       |            CAST(doc_id AS VARCHAR) || ' is ' || ${w("CAST(23 + (e + 2) % 9 AS INT)")})
+       |          || ' ' || chr(233) || 'nd' AS descr
+       |      FROM ev),
+       |h AS (SELECT doc_id, e, y, mo, dd, hh, mi, ss, summ,
+       |        hex(encode(descr)) AS hx, octet_length(encode(descr)) AS n
+       |      FROM f)
+       |SELECT doc_id, e::BIGINT AS event_idx,
+       |       'evt-' || CAST(doc_id AS VARCHAR) || '-' || CAST(e AS VARCHAR)
+       |         || '@example.com' AS uid,
+       |       (date_diff('day', DATE '1970-01-01',
+       |          make_date(CAST(y AS INT), CAST(mo AS INT), CAST(dd AS INT))) * 86400
+       |         + hh * 3600 + mi * 60 + ss)::BIGINT AS start_epoch,
+       |       summ AS summary,
+       |       n::BIGINT AS desc_n_chars,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS desc_checksum
+       |FROM h""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8731,6 +8791,7 @@ object QueryCatalog {
     "doc_extract" -> qDocExtract,
     "xls_cells" -> qXlsCells,
     "msg_extract" -> qMsgExtract,
+    "ics_events" -> qIcsEvents,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -8995,6 +9056,7 @@ object QueryCatalog {
     "doc_extract" -> oDocExtract,
     "xls_cells" -> oXlsCells,
     "msg_extract" -> oMsgExtract,
+    "ics_events" -> oIcsEvents,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,

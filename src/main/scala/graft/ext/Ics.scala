@@ -1,0 +1,310 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** iCalendar (.ics, RFC 5545) ingestion — the calendar/scheduling shelf
+  * (public event feeds, meeting exports, the `text/calendar` slice of a
+  * crawl).
+  *
+  * The wire format's three hazards, each graded bitwise:
+  *
+  *  - '''Line folding''' (§3.1): content lines longer than 75 octets are
+  *    folded with CRLF + one space/HTAB; the reader unfolds by deleting
+  *    exactly that pair. The fixture's descriptions exceed the limit so
+  *    every document carries real folds.
+  *  - '''Text escaping''' (§3.3.11): `\\`, `\;`, `\,`, and `\n`/`\N`
+  *    (a real newline) unescape in property VALUES; a backslash before
+  *    anything else is damage.
+  *  - '''Parameters''': `NAME;PARAM=VAL;PARAM2=VAL2:VALUE` — the value
+  *    starts after the first `:` OUTSIDE a quoted parameter string
+  *    (`DQUOTE`-delimited params may contain colons, §3.2).
+  *
+  * Events are `BEGIN:VEVENT`..`END:VEVENT` blocks inside `VCALENDAR`;
+  * extracted per event: UID, DTSTART (the UTC `yyyymmddThhmmssZ` basic
+  * form converted to epoch seconds in PURE INTEGER math — `toEpochDay *
+  * 86400 + ...`, replayed exactly by the oracle's `date_diff`), SUMMARY
+  * (unescaped), and the DESCRIPTION's UTF-8 length + rolling checksum.
+  * A block missing any of the four, unbalanced BEGIN/END nesting, a bad
+  * DTSTART shape, or an illegal escape quarantines the whole document.
+  *
+  * Scale shape: map-only per document, zero shuffles. No reference
+  * citation possible — the reference (`src/flinkarima.py:379-416`) has
+  * no file surface; north-star scope beside the [[Feeds]]/[[Sitemaps]]
+  * structured-text family.
+  */
+object Ics {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val words = Array("anchor", "bloom", "cedar", "dune", "ember", "flint", "grove", "harbor")
+
+  // ------------------------------------------------------------- fixture
+
+  private[ext] def nEvents(id: Long): Int = {
+    val m = md5Hex(s"ics:$id")
+    1 + Integer.parseInt(m.substring(0, 1), 16) % 3
+  }
+
+  /** (year, month, day, hour, minute, second) — all closed-form. */
+  private[ext] def startOf(id: Long, e: Int): (Int, Int, Int, Int, Int, Int) = {
+    val m = md5Hex(s"ics:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    (2020 + nib(2 + e), 1 + nib(5 + e) % 12, 1 + nib(8 + e) % 28,
+      nib(11 + e) % 24, (nib(14 + e) * 4) % 60, (nib(17 + e) * 4) % 60)
+  }
+
+  private[ext] def startEpoch(id: Long, e: Int): Long = {
+    val (y, mo, d, h, mi, s) = startOf(id, e)
+    java.time.LocalDate.of(y, mo, d).toEpochDay * 86400L + h * 3600L + mi * 60L + s
+  }
+
+  private[ext] def uidOf(id: Long, e: Int): String = s"evt-$id-$e@example.com"
+
+  /** Summary with every §3.3.11 escape in play. */
+  private[ext] def summaryOf(id: Long, e: Int): String = {
+    val m = md5Hex(s"ics:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    val hazard = ((id + e) % 4) match {
+      case 0 => ", half; done" // comma + semicolon: both escape
+      case 1 => " line1\nline2" // literal newline: the \n escape
+      case 2 => " back\\slash" // the \\ escape
+      case _ => ""
+    }
+    s"Event $e of cal $id: " + words(nib(20 + e) % 8) + hazard
+  }
+
+  private[ext] def descriptionOf(id: Long, e: Int): String = {
+    val m = md5Hex(s"ics:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    // long enough that the writer MUST fold (> 75 octets), with an é so a
+    // byte-level unfold slip shifts the checksum
+    (0 until 3).map(k =>
+      s"part $k of event $e in cal $id is " + words(nib(23 + (e + k) % 9) % 8))
+      .mkString(" ") + " \u00e9nd"
+  }
+
+  private def escapeText(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case ';' => "\\;"
+      case ',' => "\\,"
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+
+  /** Fold a content line at 75 octets (UTF-8), continuation prefixed by
+    * one space, CRLF line ends — the RFC 5545 writer rule.
+    */
+  private[ext] def foldLine(line: String): String = {
+    val bytes = line.getBytes("UTF-8")
+    if (bytes.length <= 75) line + "\r\n"
+    else {
+      val sb = new StringBuilder
+      var first = true
+      val chars = line.toCharArray
+      var i = 0
+      var lineOctets = 0
+      val limit = 75
+      while (i < chars.length) {
+        // char-boundary folding: stay within the octet budget, never split
+        // a UTF-8 sequence (the RFC prefers character boundaries)
+        val c = chars(i)
+        val w = if (c < 0x80) 1 else if (c < 0x800) 2 else 3
+        val budget = if (first) limit else limit - 1 // continuation space
+        if (lineOctets + w > budget) {
+          sb.append("\r\n ")
+          first = false
+          lineOctets = 0
+        }
+        sb.append(c)
+        lineOctets += w
+        i += 1
+      }
+      sb.append("\r\n")
+      sb.toString
+    }
+  }
+
+  private[ext] def renderIcs(id: Long): String = {
+    val sb = new StringBuilder
+    def line(s: String): Unit = sb.append(foldLine(s))
+    line("BEGIN:VCALENDAR")
+    line("VERSION:2.0")
+    line("PRODID:-//graft//calendar 1.0//EN")
+    for (e <- 0 until nEvents(id)) {
+      val (y, mo, d, h, mi, s) = startOf(id, e)
+      line("BEGIN:VEVENT")
+      line(s"UID:${uidOf(id, e)}")
+      line(f"DTSTART:$y%04d$mo%02d$d%02dT$h%02d$mi%02d$s%02dZ")
+      // a quoted parameter carrying a colon: the value-start scan must
+      // respect DQUOTE sections
+      line("SUMMARY;X-GRAFT=\"x:y\":" + escapeText(summaryOf(id, e)))
+      line("DESCRIPTION:" + escapeText(descriptionOf(id, e)))
+      line("END:VEVENT")
+    }
+    line("END:VCALENDAR")
+    sb.toString
+  }
+
+  /** Fixture writer: one .ics text per document row. */
+  def encodeIcs(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderIcs(id)))
+      .toDF("doc_id", "ics_text")
+  }
+
+  // --------------------------------------------------------------- parser
+
+  private final class MalformedIcs
+      extends RuntimeException("malformed ics", null, false, false)
+  private def fail(): Nothing = throw new MalformedIcs
+
+  final case class IcsEvent(
+      doc_id: Long, event_idx: Long, uid: String, start_epoch: Long,
+      summary: String, desc_n_chars: Long, desc_checksum: Long)
+
+  /** Unfold (§3.1): CRLF (or bare LF, the liberal read) followed by one
+    * SP/HTAB deletes both; then split into content lines.
+    */
+  private[ext] def unfold(text: String): Seq[String] = {
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\r' && i + 2 < n && text.charAt(i + 1) == '\n' &&
+          (text.charAt(i + 2) == ' ' || text.charAt(i + 2) == '\t')) i += 3
+      else if (c == '\n' && i + 1 < n &&
+          (text.charAt(i + 1) == ' ' || text.charAt(i + 1) == '\t')) i += 2
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString.split("\r\n|\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private[ext] def unescapeText(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= s.length) fail()
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\')
+          case ';' => sb.append(';')
+          case ',' => sb.append(',')
+          case 'n' | 'N' => sb.append('\n')
+          case _ => fail() // an illegal escape is damage
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a content line into (NAME, value) — the value starts at the
+    * first `:` outside a double-quoted parameter section.
+    */
+  private[ext] def splitLine(line: String): (String, String) = {
+    var i = 0
+    var inQuote = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      else if (c == ':' && !inQuote) {
+        val head = line.substring(0, i)
+        val name = head.takeWhile(_ != ';').toUpperCase
+        return (name, line.substring(i + 1))
+      }
+      i += 1
+    }
+    fail() // no value separator
+  }
+
+  private[ext] def parseDtstartUtc(v: String): Long = {
+    // basic form, UTC only: yyyymmddThhmmssZ
+    if (v.length != 16 || v.charAt(8) != 'T' || v.charAt(15) != 'Z') fail()
+    def num(from: Int, until: Int): Int = {
+      var acc = 0
+      var i = from
+      while (i < until) {
+        val c = v.charAt(i)
+        if (c < '0' || c > '9') fail()
+        acc = acc * 10 + (c - '0')
+        i += 1
+      }
+      acc
+    }
+    val y = num(0, 4); val mo = num(4, 6); val d = num(6, 8)
+    val h = num(9, 11); val mi = num(11, 13); val s = num(13, 15)
+    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || s > 60) fail()
+    val days =
+      try java.time.LocalDate.of(y, mo, d).toEpochDay
+      catch { case _: java.time.DateTimeException => fail() }
+    days * 86400L + h * 3600L + mi * 60L + s
+  }
+
+  private[ext] def parseIcs(id: Long, text: String): Seq[IcsEvent] = {
+    val lines = unfold(text)
+    if (!lines.headOption.contains("BEGIN:VCALENDAR")) fail()
+    if (!lines.lastOption.contains("END:VCALENDAR")) fail()
+    val out = Vector.newBuilder[IcsEvent]
+    var idx = 0L
+    var i = 1
+    var inEvent = false
+    var uid: String = null
+    var epoch = -1L
+    var summary: String = null
+    var desc: String = null
+    while (i < lines.length - 1) {
+      val line = lines(i)
+      if (line == "BEGIN:VEVENT") {
+        if (inEvent) fail() // nesting is damage
+        inEvent = true; uid = null; epoch = -1L; summary = null; desc = null
+      } else if (line == "END:VEVENT") {
+        if (!inEvent || uid == null || epoch < 0 || summary == null || desc == null) fail()
+        val b = desc.getBytes("UTF-8")
+        var cs = 0L
+        b.foreach(x => cs = (cs * 31 + (x & 0xff)) % 1000000007L)
+        out += IcsEvent(id, idx, uid, epoch, summary, b.length.toLong, cs)
+        idx += 1
+        inEvent = false
+      } else if (inEvent) {
+        val (name, value) = splitLine(line)
+        name match {
+          case "UID" => uid = value
+          case "DTSTART" => epoch = parseDtstartUtc(value)
+          case "SUMMARY" => summary = unescapeText(value)
+          case "DESCRIPTION" => desc = unescapeText(value)
+          case _ => // other event properties: skipped
+        }
+      }
+      i += 1
+    }
+    if (inEvent) fail() // unterminated event
+    out.result()
+  }
+
+  private[ext] def parseIcsSafe(id: Long, text: String): Seq[IcsEvent] =
+    try parseIcs(id, Option(text).getOrElse(""))
+    catch { case _: MalformedIcs => Seq.empty }
+
+  /** `ics_events`: every VEVENT of every calendar. Map-only. */
+  def icsEvents(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "ics_text"): Dataset[IcsEvent] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => parseIcsSafe(id, text) }
+  }
+}

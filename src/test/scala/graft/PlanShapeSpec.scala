@@ -499,7 +499,8 @@ class PlanShapeSpec extends AnyFunSuite {
     Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract", "pptx_extract", "rtf_extract", "xlsx_extract", "latex_extract", "markdown_extract", "multimodal_webp_decode",
       "audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
       "sentence_split", "exif_meta", "exif_strip", "ipynb_cells",
-      "git_objects", "doc_extract", "xls_cells", "msg_extract").foreach { key =>
+      "git_objects", "doc_extract", "xls_cells", "msg_extract",
+      "ics_events").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
