@@ -2964,6 +2964,42 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** vCard ingestion ([[graft.ext.Vcard]] — RFC 6350, sharing [[Ics]]'s
+    * content-line machinery): multi-card exports with the STRUCTURED
+    * `N` value — components split on UNESCAPED semicolons THEN
+    * unescaped (a family name carries a literal `\;` to punish the
+    * opposite order), folding, and a quoted-param colon. The oracle
+    * replays every card's fields closed-form.
+    */
+  private val qVcardContacts: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Vcard.vcardContacts(graft.ext.Vcard.encodeVcf(table(s, dir, "documents"))).toDF()
+
+  private val oVcardContacts: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    def cap(e: String) = s"upper(substr($e, 1, 1)) || substr($e, 2)"
+    s"""WITH d AS (SELECT doc_id, md5('vcf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |cd AS (SELECT doc_id, m, ws, c
+       |       FROM d, wt, (SELECT unnest([0, 1, 2]) AS c)
+       |       WHERE c < 1 + ${nib("1")} % 3),
+       |f AS (SELECT doc_id, c,
+       |        ${cap(w("CAST(2 + c AS INT)"))} ||
+       |          CASE (doc_id + c) % 3
+       |            WHEN 0 THEN '; jr' WHEN 1 THEN ' ' || chr(233) ELSE '' END AS family,
+       |        ${cap(w("CAST(5 + c AS INT)"))} AS given,
+       |        ${w("CAST(5 + c AS INT)")} AS givenWord,
+       |        'Org, ' || ${w("CAST(8 + c AS INT)")} AS org
+       |      FROM cd)
+       |SELECT doc_id, c::BIGINT AS card_idx,
+       |       given || ' ' || family AS fn, family, given,
+       |       givenWord || '.' || CAST(c AS VARCHAR) || '.' || CAST(doc_id AS VARCHAR)
+       |         || '@example.com' AS email,
+       |       org
+       |FROM f""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8792,6 +8828,7 @@ object QueryCatalog {
     "xls_cells" -> qXlsCells,
     "msg_extract" -> qMsgExtract,
     "ics_events" -> qIcsEvents,
+    "vcard_contacts" -> qVcardContacts,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -9057,6 +9094,7 @@ object QueryCatalog {
     "xls_cells" -> oXlsCells,
     "msg_extract" -> oMsgExtract,
     "ics_events" -> oIcsEvents,
+    "vcard_contacts" -> oVcardContacts,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
