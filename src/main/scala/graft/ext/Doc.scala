@@ -239,6 +239,13 @@ object Doc {
     val regStarts = regSectors.scanLeft(miniFatSector + 1)(_ + _)
     val miniStart = regStarts.last
     val totalSectors = miniStart + miniContainerSectors
+    // capacity bounds the single-FAT/single-miniFAT layout actually
+    // written: one 128-entry FAT sector and one 128-entry miniFAT sector
+    // (the header hardcodes csectFat = csectMiniFat = 1)
+    require(totalSectors <= SectorSize / 4,
+      s"renderCfb: $totalSectors sectors exceed the one-FAT-sector layout")
+    require(miniTotal <= SectorSize / 4,
+      s"renderCfb: $miniTotal mini sectors exceed the one-miniFAT-sector layout")
     // mini-sector start index of each mini stream inside the container
     val miniStarts = miniCounts.scanLeft(0)(_ + _)
 

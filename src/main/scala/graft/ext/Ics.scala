@@ -86,7 +86,7 @@ object Ics {
       .mkString(" ") + " \u00e9nd"
   }
 
-  private def escapeText(s: String): String =
+  private[ext] def escapeText(s: String): String =
     s.flatMap {
       case '\\' => "\\\\"
       case ';' => "\\;"
@@ -109,10 +109,13 @@ object Ics {
       var lineOctets = 0
       val limit = 75
       while (i < chars.length) {
-        // char-boundary folding: stay within the octet budget, never split
-        // a UTF-8 sequence (the RFC prefers character boundaries)
+        // codepoint-boundary folding: stay within the octet budget, never
+        // split a UTF-8 sequence OR a surrogate pair (a fold between the
+        // halves would materialize lone surrogates downstream)
         val c = chars(i)
-        val w = if (c < 0x80) 1 else if (c < 0x800) 2 else 3
+        val pair = Character.isHighSurrogate(c) && i + 1 < chars.length &&
+          Character.isLowSurrogate(chars(i + 1))
+        val w = if (pair) 4 else if (c < 0x80) 1 else if (c < 0x800) 2 else 3
         val budget = if (first) limit else limit - 1 // continuation space
         if (lineOctets + w > budget) {
           sb.append("\r\n ")
@@ -120,6 +123,7 @@ object Ics {
           lineOctets = 0
         }
         sb.append(c)
+        if (pair) { sb.append(chars(i + 1)); i += 1 }
         lineOctets += w
         i += 1
       }
@@ -163,7 +167,7 @@ object Ics {
 
   // --------------------------------------------------------------- parser
 
-  private final class MalformedIcs
+  private[ext] final class MalformedIcs
       extends RuntimeException("malformed ics", null, false, false)
   private def fail(): Nothing = throw new MalformedIcs
 
@@ -260,16 +264,17 @@ object Ics {
     var i = 1
     var inEvent = false
     var uid: String = null
-    var epoch = -1L
+    var epoch = 0L
+    var haveStart = false // NOT an epoch sentinel: pre-1970 dates are legal
     var summary: String = null
     var desc: String = null
     while (i < lines.length - 1) {
       val line = lines(i)
       if (line == "BEGIN:VEVENT") {
         if (inEvent) fail() // nesting is damage
-        inEvent = true; uid = null; epoch = -1L; summary = null; desc = null
+        inEvent = true; uid = null; haveStart = false; summary = null; desc = null
       } else if (line == "END:VEVENT") {
-        if (!inEvent || uid == null || epoch < 0 || summary == null || desc == null) fail()
+        if (!inEvent || uid == null || !haveStart || summary == null || desc == null) fail()
         val b = desc.getBytes("UTF-8")
         var cs = 0L
         b.foreach(x => cs = (cs * 31 + (x & 0xff)) % 1000000007L)
@@ -280,7 +285,7 @@ object Ics {
         val (name, value) = splitLine(line)
         name match {
           case "UID" => uid = value
-          case "DTSTART" => epoch = parseDtstartUtc(value)
+          case "DTSTART" => epoch = parseDtstartUtc(value); haveStart = true
           case "SUMMARY" => summary = unescapeText(value)
           case "DESCRIPTION" => desc = unescapeText(value)
           case _ => // other event properties: skipped

@@ -69,14 +69,6 @@ object Vcard {
     "Org, " + words(nib(8 + c) % 8) // the comma escapes on the wire
   }
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '\\' => "\\\\"
-      case ';' => "\\;"
-      case ',' => "\\,"
-      case '\n' => "\\n"
-      case ch => ch.toString
-    }
 
   private[ext] def renderVcf(id: Long): String = {
     val sb = new StringBuilder
@@ -84,11 +76,11 @@ object Vcard {
     for (c <- 0 until nCards(id)) {
       line("BEGIN:VCARD")
       line("VERSION:4.0")
-      line("FN:" + esc(fnOf(id, c)))
+      line("FN:" + Ics.escapeText(fnOf(id, c)))
       // N: Family;Given;Additional;Prefixes;Suffixes — components escaped
-      line("N:" + esc(familyOf(id, c)) + ";" + esc(givenOf(id, c)) + ";;;")
+      line("N:" + Ics.escapeText(familyOf(id, c)) + ";" + Ics.escapeText(givenOf(id, c)) + ";;;")
       line("EMAIL;TYPE=\"work:main\":" + emailOf(id, c)) // quoted-param colon
-      line("ORG:" + esc(orgOf(id, c)) + ";Unit " + c)
+      line("ORG:" + Ics.escapeText(orgOf(id, c)) + ";Unit " + c)
       line("END:VCARD")
     }
     sb.toString
@@ -180,7 +172,7 @@ object Vcard {
 
   private[ext] def parseVcfSafe(id: Long, text: String): Seq[VcardRow] =
     try parseVcf(id, Option(text).getOrElse(""))
-    catch { case _: RuntimeException => Seq.empty }
+    catch { case _: MalformedVcf | _: Ics.MalformedIcs => Seq.empty }
 
   /** `vcard_contacts`: every card of every .vcf export. Map-only. */
   def vcardContacts(docs: DataFrame, idCol: String = "doc_id",
