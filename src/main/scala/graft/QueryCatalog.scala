@@ -3000,6 +3000,65 @@ object QueryCatalog {
        |FROM f""".stripMargin
   }
 
+  /** TOML ingestion ([[graft.ext.Toml]] — the config-file shelf of a
+    * code corpus: Cargo.toml / pyproject.toml): dotted keys + table
+    * headers flattened to full paths, basic-vs-LITERAL string semantics
+    * (the fixture's literal `'C:\new\dir'` must keep its backslash-n as
+    * two characters while the basic description decodes `\n \t \" \u`),
+    * signed integers with `_` separators, booleans, arrays element-per-
+    * row. The oracle replays every scalar closed-form.
+    */
+  private val qTomlEntries: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Toml.tomlEntries(graft.ext.Toml.encodeToml(table(s, dir, "documents"))).toDF()
+
+  private val oTomlEntries: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('toml:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, ws FROM d, wt)
+       |SELECT doc_id, 'package.name' AS key, 0::BIGINT AS arr_idx, 's' AS vtype,
+       |       'pkg-' || CAST(doc_id AS VARCHAR) AS s_val, NULL::BIGINT AS i_val FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.description', 0, 's',
+       |       'pkg ' || CAST(doc_id AS VARCHAR) || ': ' || ${w("14")} ||
+       |         ' "quoted"' || chr(10) || 'line2' || chr(9) || 'col ' || chr(233),
+       |       NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.raw-path', 0, 's',
+       |       'C:' || chr(92) || 'new' || chr(92) || 'dir', NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.edition', 0, 'i', NULL, 2021 FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.build-count', 0, 'i', NULL,
+       |       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END *
+       |         ('0x' || substr(m, 17, 6))::BIGINT FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.publish', 0, 'b', NULL,
+       |       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END FROM b
+       |UNION ALL
+       |SELECT doc_id, 'package.features', j::BIGINT, 's',
+       |       ${w("CAST(23 + j AS INT)")}, NULL
+       |FROM b, (SELECT unnest([0, 1, 2]) AS j)
+       |WHERE j < 1 + ${nib("22")} % 3
+       |UNION ALL
+       |SELECT doc_id,
+       |       'dependencies.' || ${w("CAST(2 + k AS INT)")} || '-rs' || CAST(k AS VARCHAR),
+       |       0, 's',
+       |       CAST(${nib("CAST(5 + k AS INT)")} AS VARCHAR) || '.' ||
+       |         CAST(${nib("CAST(8 + k AS INT)")} AS VARCHAR) || '.' ||
+       |         CAST(${nib("CAST(11 + k AS INT)")} AS VARCHAR), NULL
+       |FROM b, (SELECT unnest([0, 1, 2]) AS k)
+       |WHERE k < 1 + ${nib("1")} % 3
+       |UNION ALL
+       |SELECT doc_id, 'profile.release.debug', 0, 'b', NULL, 0 FROM b
+       |UNION ALL
+       |SELECT doc_id, 'profile.release.opt-level', 0, 'i', NULL, 3 FROM b
+       |UNION ALL
+       |SELECT doc_id, 'meta.owner.team', 0, 's', 'graft', NULL FROM b""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8829,6 +8888,7 @@ object QueryCatalog {
     "msg_extract" -> qMsgExtract,
     "ics_events" -> qIcsEvents,
     "vcard_contacts" -> qVcardContacts,
+    "toml_entries" -> qTomlEntries,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -9095,6 +9155,7 @@ object QueryCatalog {
     "msg_extract" -> oMsgExtract,
     "ics_events" -> oIcsEvents,
     "vcard_contacts" -> oVcardContacts,
+    "toml_entries" -> oTomlEntries,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
