@@ -3059,6 +3059,45 @@ object QueryCatalog {
        |SELECT doc_id, 'meta.owner.team', 0, 's', 'graft', NULL FROM b""".stripMargin
   }
 
+  /** Java .properties ingestion ([[graft.ext.JavaProps]] — the Maven/
+    * Gradle/Spring config shelf, with a PERFECT in-JVM differential in
+    * the spec): logical-line continuations (odd-trailing-backslash rule,
+    * leading-whitespace strip), escaped separators binding into keys,
+    * the full escape set incl. the JDK's lenient drop rule and `\u`
+    * forms, whitespace separators with an optional trailing `=`/`:`,
+    * and last-wins duplicate keys. The oracle replays every pair.
+    */
+  private val qJavaProperties: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.JavaProps.propEntries(
+      graft.ext.JavaProps.encodeProps(table(s, dir, "documents"))).toDF()
+
+  private val oJavaProperties: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('props:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |pp AS (SELECT doc_id, m, ws, k
+       |       FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+       |       WHERE k < 2 + ${nib("1")} % 4)
+       |SELECT doc_id,
+       |       ${w("CAST(2 + k AS INT)")} || '.' || CAST(k AS VARCHAR) ||
+       |         CASE (doc_id + k) % 4
+       |           WHEN 0 THEN ' sp' WHEN 1 THEN '=eq' WHEN 2 THEN ':co'
+       |           ELSE '' END AS key,
+       |       'value ' || CAST(k AS VARCHAR) || ' of doc ' || CAST(doc_id AS VARCHAR)
+       |         || ': ' || ${w("CAST(8 + k AS INT)")} ||
+       |         CASE (doc_id + k) % 5
+       |           WHEN 0 THEN ' tab' || chr(9) || 'here'
+       |           WHEN 1 THEN ' nl' || chr(10) || 'there'
+       |           WHEN 2 THEN ' ' || chr(233) || chr(916)
+       |           WHEN 3 THEN ' back' || chr(92) || 'slash'
+       |           ELSE '' END AS value
+       |FROM pp
+       |UNION ALL
+       |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8889,6 +8928,7 @@ object QueryCatalog {
     "ics_events" -> qIcsEvents,
     "vcard_contacts" -> qVcardContacts,
     "toml_entries" -> qTomlEntries,
+    "java_properties" -> qJavaProperties,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -9156,6 +9196,7 @@ object QueryCatalog {
     "ics_events" -> oIcsEvents,
     "vcard_contacts" -> oVcardContacts,
     "toml_entries" -> oTomlEntries,
+    "java_properties" -> oJavaProperties,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
