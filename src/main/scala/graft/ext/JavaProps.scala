@@ -163,6 +163,9 @@ object JavaProps {
 
   private def isWs(c: Char): Boolean = c == ' ' || c == '\t' || c == '\f'
 
+  private def isAsciiHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   /** Natural lines → logical lines per the JDK rule. */
   private[ext] def logicalLines(text: String): Seq[String] = {
     val naturals = text.split("\r\n|\r|\n", -1)
@@ -212,7 +215,9 @@ object JavaProps {
           case 'u' =>
             if (i + 6 > s.length) fail()
             val hex = s.substring(i + 2, i + 6)
-            if (!hex.forall(h => Character.digit(h, 16) >= 0)) fail()
+            // ASCII hex ONLY: Character.digit accepts fullwidth digits the
+            // JDK's Properties loader rejects — the differential is law
+            if (!hex.forall(isAsciiHex)) fail()
             sb.append(Integer.parseInt(hex, 16).toChar)
             i += 6
           case other => sb.append(other); i += 2 // the JDK's lenient drop

@@ -212,12 +212,19 @@ object Toml {
           case 'u' =>
             if (c.pos + 4 > c.line.length) fail()
             val hex = c.line.substring(c.pos, c.pos + 4)
-            if (!hex.forall(h => Character.digit(h, 16) >= 0)) fail()
+            // ASCII hex only: Character.digit's Unicode leniency would
+            // fabricate a value from invalid TOML
+            if (!hex.forall(h => (h >= '0' && h <= '9') ||
+              (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F'))) fail()
             sb.append(Integer.parseInt(hex, 16).toChar)
             c.pos += 4
           case _ => fail() // unknown escape: damage per spec
         }
-      } else sb.append(ch)
+      } else {
+        // raw control chars (other than TAB) are invalid in basic strings
+        if (ch < 0x20 && ch != '\t' || ch == 0x7f) fail()
+        sb.append(ch)
+      }
     }
     fail()
   }
@@ -226,7 +233,11 @@ object Toml {
     if (c.peek != '\'') fail()
     c.pos += 1
     val start = c.pos
-    while (!c.eol && c.peek != '\'') c.pos += 1
+    while (!c.eol && c.peek != '\'') {
+      val ch = c.peek
+      if (ch < 0x20 && ch != '\t' || ch == 0x7f) fail() // control chars invalid
+      c.pos += 1
+    }
     if (c.eol) fail()
     val s = c.line.substring(start, c.pos)
     c.pos += 1
@@ -239,7 +250,7 @@ object Toml {
     var digits = 0
     var lastWasDigit = false
     var lastWasUnderscore = false
-    while (!c.eol && (c.peek.isDigit || c.peek == '_')) {
+    while (!c.eol && ((c.peek >= '0' && c.peek <= '9') || c.peek == '_')) {
       if (c.peek == '_') {
         if (!lastWasDigit) fail() // separators sit BETWEEN digits
         lastWasUnderscore = true; lastWasDigit = false
@@ -247,7 +258,10 @@ object Toml {
       c.pos += 1
     }
     if (digits == 0 || lastWasUnderscore || digits > 18) fail()
-    java.lang.Long.parseLong(c.line.substring(start, c.pos).replace("_", ""))
+    val raw = c.line.substring(start, c.pos).replace("_", "")
+    val body = raw.dropWhile(ch => ch == '+' || ch == '-')
+    if (body.length > 1 && body.charAt(0) == '0') fail() // leading zeros: invalid TOML
+    java.lang.Long.parseLong(raw)
   }
 
   private def parseValue(c: Cursor, depth: Int): TVal = {
@@ -283,7 +297,7 @@ object Toml {
         if (c.line.startsWith("true", c.pos)) { c.pos += 4; TBool(true) }
         else if (c.line.startsWith("false", c.pos)) { c.pos += 5; TBool(false) }
         else fail()
-      case ch if ch == '+' || ch == '-' || ch.isDigit =>
+      case ch if ch == '+' || ch == '-' || (ch >= '0' && ch <= '9') =>
         val v = parseInt(c)
         // floats/dates out of the subset: a '.' or ':' next is damage
         if (!c.eol && (c.peek == '.' || c.peek == ':' || c.peek == 'e' || c.peek == 'E')) fail()
@@ -323,7 +337,6 @@ object Toml {
           if (c.peek != '=') fail()
           c.pos += 1
           val v = parseValue(c, 0)
-          if (v == null) fail()
           if (!c.restIsNoise) fail()
           val full = if (prefix.isEmpty) key else s"$prefix.$key"
           if (!seen.add(full)) fail() // duplicate key: damage per spec

@@ -48,6 +48,10 @@ class JavaPropsSpec extends AnyFunSuite {
     assertThrows[Exception](viaJdk("a=\\u00g9")) // pin: the JDK rejects it
     assert(JavaProps.parsePropsSafe(0L, "a=\\u00g9").isEmpty)
     assert(JavaProps.parsePropsSafe(0L, "a=\\u00").isEmpty)
+    // review arm: fullwidth hex digits — Character.digit accepts them, the
+    // JDK loader does NOT; the differential is law
+    assertThrows[Exception](viaJdk("a=\\u0\uFF1123"))
+    assert(JavaProps.parsePropsSafe(0L, "a=\\u0\uFF1123").isEmpty)
   }
 
   test("operator: per-document rows with the duplicate-key row resolved (Spark)") {

@@ -58,6 +58,15 @@ class TomlSpec extends AnyFunSuite {
     // unterminated strings
     assert(Toml.parseTomlSafe(0L, "a = \"x").isEmpty)
     assert(Toml.parseTomlSafe(0L, "a = 'x").isEmpty)
+    // review arms: Unicode-lenient digits, leading zeros, control chars
+    assert(Toml.parseTomlSafe(0L, "a = １２３").isEmpty) // fullwidth digits
+    assert(Toml.parseTomlSafe(0L, "a = \"x\\u0１23\"").isEmpty) // fullwidth hex in \\u
+    assert(Toml.parseTomlSafe(0L, "a = 007").isEmpty)
+    assert(Toml.parseTomlSafe(0L, "a = -007").isEmpty)
+    assert(parse("a = 0")(0).i_val.contains(0L)) // bare zero stays legal
+    assert(Toml.parseTomlSafe(0L, "a = \"x\u0001y\"").isEmpty) // raw control char
+    assert(Toml.parseTomlSafe(0L, "a = 'x\u0001y'").isEmpty)
+    assert(parse("a = \"x\ty\"")(0).s_val.contains("x\ty")) // raw TAB stays legal
   }
 
   test("operator: damaged manifest quarantines alone (Spark)") {
