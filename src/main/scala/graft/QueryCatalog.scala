@@ -3098,6 +3098,44 @@ object QueryCatalog {
        |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
   }
 
+  /** SVG text extraction ([[graft.ext.Svg]] — the vector half of the
+    * image shelf): mixed-content `<text>` assembly across `tspan` runs
+    * in document order (the allowMixed XML walker), integer anchors,
+    * entity-decoded hazards, and a shape census riding every row. The
+    * oracle replays anchors, text, and counts closed-form.
+    */
+  private val qSvgText: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Svg.svgText(graft.ext.Svg.encodeSvg(table(s, dir, "documents"))).toDF()
+
+  private val oSvgText: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('svg:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |tx AS (SELECT doc_id, m, ws, t
+       |       FROM d, wt, (SELECT unnest([0, 1, 2]) AS t)
+       |       WHERE t < 1 + ${nib("1")} % 3),
+       |f AS (SELECT doc_id, t,
+       |        10 + ${nib("CAST(3 + t AS INT)")} * 7 AS x,
+       |        20 + ${nib("CAST(6 + t AS INT)")} * 11 AS y,
+       |        ${nib("2")} % 4 AS shapes,
+       |        'label ' || CAST(t AS VARCHAR) || ' of svg ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(9 + t AS INT)")} || ' mid-'
+       |          || ${w("CAST(12 + t AS INT)")} || ' post' ||
+       |          CASE (doc_id + t) % 3
+       |            WHEN 0 THEN ' <&>' WHEN 1 THEN ' ' || chr(233) ELSE '' END AS txt
+       |      FROM tx),
+       |h AS (SELECT doc_id, t, x, y, shapes, hex(encode(txt)) AS hx,
+       |        octet_length(encode(txt)) AS n FROM f)
+       |SELECT doc_id, t::BIGINT AS text_idx, x::BIGINT AS x, y::BIGINT AS y,
+       |       shapes::BIGINT AS n_shapes, n::BIGINT AS n_chars,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x2) -> (a * 31 + x2) % 1000000007)::BIGINT AS checksum
+       |FROM h""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8929,6 +8967,7 @@ object QueryCatalog {
     "vcard_contacts" -> qVcardContacts,
     "toml_entries" -> qTomlEntries,
     "java_properties" -> qJavaProperties,
+    "svg_text" -> qSvgText,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -9197,6 +9236,7 @@ object QueryCatalog {
     "vcard_contacts" -> oVcardContacts,
     "toml_entries" -> oTomlEntries,
     "java_properties" -> oJavaProperties,
+    "svg_text" -> oSvgText,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
