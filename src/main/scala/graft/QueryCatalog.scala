@@ -3136,6 +3136,43 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** GPX track ingestion ([[graft.ext.Gpx]] — the geo-trace shelf,
+    * pairing with [[graft.ext.Exif]]'s coordinate surface): decimal-
+    * degree attributes converted to EXACT micro-degrees with string/
+    * integer math (1-6 fraction digits scaled by position, signs
+    * cycling), ISO-8601 extended UTC times to epoch seconds, segment
+    * boundaries preserved as indices. The oracle replays coordinates,
+    * elevations, and the date arithmetic closed-form.
+    */
+  private val qGpxPoints: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Gpx.gpxPoints(graft.ext.Gpx.encodeGpx(table(s, dir, "documents"))).toDF()
+
+  private val oGpxPoints: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('gpx:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |sg AS (SELECT doc_id, m, s
+       |       FROM d, (SELECT unnest([0, 1]) AS s)
+       |       WHERE s < 1 + ${nib("1")} % 2),
+       |pt AS (SELECT doc_id, m, s, p
+       |       FROM sg, (SELECT unnest([0, 1, 2, 3]) AS p)
+       |       WHERE p < 2 + ${nib("CAST(2 + s AS INT)")} % 3)
+       |SELECT doc_id, s::BIGINT AS seg_idx, p::BIGINT AS pt_idx,
+       |       (CASE WHEN ${nib("4")} % 2 = 0 THEN 1 ELSE -1 END *
+       |         (${nib("CAST(5 + s AS INT)")} * 5 * 1000000 +
+       |          (${nib("CAST(7 + p AS INT)")} * 61 + ${nib("CAST(10 + p AS INT)")}) * 37 % 1000000))::BIGINT AS lat_micro,
+       |       (CASE WHEN ${nib("14")} % 2 = 0 THEN 1 ELSE -1 END *
+       |         (${nib("CAST(15 + s AS INT)")} * 11 * 1000000 +
+       |          (${nib("CAST(17 + p AS INT)")} * 53 + ${nib("CAST(20 + p AS INT)")}) * 41 % 1000000))::BIGINT AS lon_micro,
+       |       (${nib("CAST(23 + (s + p) % 9 AS INT)")} * 37 - 100)::BIGINT AS ele_m,
+       |       (date_diff('day', DATE '1970-01-01',
+       |          make_date(CAST(2015 + ${nib("3")} AS INT),
+       |                    CAST(1 + ${nib("6")} % 12 AS INT),
+       |                    CAST(1 + ${nib("9")} % 28 AS INT))) * 86400
+       |         + s * 3600 + p * 60 + ${nib("12")} % 60)::BIGINT AS t_epoch
+       |FROM pt""".stripMargin
+  }
+
   /** The codec-ladder capstone: a MIXED-format corpus (doc_id % 6 picks
     * PPM/BMP/PNG/GIF/JPEG/WebP) decoded through one magic-byte dispatcher
     * ([[graft.ext.Multimodal.sniffImage]]) into a unified reduction. The
@@ -8968,6 +9005,7 @@ object QueryCatalog {
     "toml_entries" -> qTomlEntries,
     "java_properties" -> qJavaProperties,
     "svg_text" -> qSvgText,
+    "gpx_points" -> qGpxPoints,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
     "multimodal_frames" -> qMultimodalFrames,
@@ -9237,6 +9275,7 @@ object QueryCatalog {
     "toml_entries" -> oTomlEntries,
     "java_properties" -> oJavaProperties,
     "svg_text" -> oSvgText,
+    "gpx_points" -> oGpxPoints,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
     "multimodal_frames" -> oMultimodalFrames,
