@@ -142,7 +142,7 @@ object Gpx {
   /** A decimal-degree string → exact micro-degrees: sign, integer part,
     * then 1-6 fraction digits scaled by position. Never a float parse.
     */
-  private[ext] def parseMicro(v: String): Long = {
+  private[ext] def parseMicro(v: String, maxDeg: Long): Long = {
     if (v.isEmpty) fail()
     var i = 0
     var sign = 1L
@@ -153,7 +153,7 @@ object Gpx {
     while (i < v.length && v.charAt(i) >= '0' && v.charAt(i) <= '9') {
       intPart = intPart * 10 + (v.charAt(i) - '0')
       intDigits += 1
-      if (intDigits > 3) fail() // |degrees| <= 180
+      if (intDigits > 3) fail()
       i += 1
     }
     if (intDigits == 0) fail()
@@ -172,7 +172,9 @@ object Gpx {
     if (i != v.length) fail()
     var scale = 6 - fracDigits
     while (scale > 0) { frac *= 10; scale -= 1 }
-    sign * (intPart * 1000000L + frac)
+    val micro = intPart * 1000000L + frac
+    if (micro > maxDeg * 1000000L) fail() // physically impossible coordinate
+    sign * micro
   }
 
   /** ISO-8601 extended UTC (`YYYY-MM-DDTHH:MM:SSZ`) → epoch seconds. */
@@ -193,7 +195,7 @@ object Gpx {
     }
     val y = num(0, 4); val mo = num(5, 7); val d = num(8, 10)
     val h = num(11, 13); val mi = num(14, 16); val s = num(17, 19)
-    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || s > 60) fail()
+    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || s > 59) fail()
     val days =
       try java.time.LocalDate.of(y, mo, d).toEpochDay
       catch { case _: java.time.DateTimeException => fail() }
@@ -204,7 +206,7 @@ object Gpx {
     val leaves =
       try Sitemaps.parseLeaves(Option(xml).getOrElse(""), withAttrs = true, withMarkers = true)
       catch { case scala.util.control.NonFatal(_) => fail() }
-    if (!leaves.headOption.map(_._1).exists(p => p == "gpx@<" || p.startsWith("gpx@"))) fail()
+    if (!leaves.headOption.map(_._1).exists(_.startsWith("gpx@"))) fail()
     val out = Vector.newBuilder[GpxPoint]
     var seg = -1L
     var pt = -1L
@@ -221,28 +223,34 @@ object Gpx {
       out += GpxPoint(id, seg, pt, lat, lon, ele, epoch)
     }
     val base = "gpx/trk/trkseg"
+    val segMarker = base + "@<"
+    val ptMarker = base + "/trkpt@<"
+    val latAttr = base + "/trkpt@lat"
+    val lonAttr = base + "/trkpt@lon"
+    val eleLeaf = base + "/trkpt/ele"
+    val timeLeaf = base + "/trkpt/time"
     leaves.foreach { case (path, v) =>
       path match {
-        case p2 if p2 == s"$base@<" =>
+        case `segMarker` =>
           closePoint(); pt = -1L
           seg += 1
           if (seg > (1 << 16)) fail()
-        case p2 if p2 == s"$base/trkpt@<" =>
+        case `ptMarker` =>
           if (seg < 0) fail()
           closePoint()
           pt += 1
           haveLat = false; haveLon = false; haveEle = false; haveTime = false
-        case p2 if p2 == s"$base/trkpt@lat" =>
-          if (pt < 0) fail(); lat = parseMicro(v); haveLat = true
-        case p2 if p2 == s"$base/trkpt@lon" =>
-          if (pt < 0) fail(); lon = parseMicro(v); haveLon = true
-        case p2 if p2 == s"$base/trkpt/ele" =>
+        case `latAttr` =>
+          if (pt < 0) fail(); lat = parseMicro(v, maxDeg = 90L); haveLat = true
+        case `lonAttr` =>
+          if (pt < 0) fail(); lon = parseMicro(v, maxDeg = 180L); haveLon = true
+        case `eleLeaf` =>
           if (pt < 0) fail()
           if (v.isEmpty || !v.forall(c => (c >= '0' && c <= '9') || c == '-') ||
             v.lastIndexOf('-') > 0 || v.length > 8 ||
             !v.exists(c => c >= '0' && c <= '9')) fail()
           ele = v.toLong; haveEle = true
-        case p2 if p2 == s"$base/trkpt/time" =>
+        case `timeLeaf` =>
           if (pt < 0) fail(); epoch = parseIsoUtc(v); haveTime = true
         case _ => // name, metadata, other leaves: ignore
       }

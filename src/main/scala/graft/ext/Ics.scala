@@ -248,7 +248,7 @@ object Ics {
     }
     val y = num(0, 4); val mo = num(4, 6); val d = num(6, 8)
     val h = num(9, 11); val mi = num(11, 13); val s = num(13, 15)
-    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || s > 60) fail()
+    if (mo < 1 || mo > 12 || d < 1 || d > 31 || h > 23 || mi > 59 || s > 59) fail()
     val days =
       try java.time.LocalDate.of(y, mo, d).toEpochDay
       catch { case _: java.time.DateTimeException => fail() }

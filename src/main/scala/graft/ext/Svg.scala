@@ -139,8 +139,7 @@ object Svg {
       try Sitemaps.parseLeaves(Option(xml).getOrElse(""), withAttrs = true,
         withMarkers = true, withRawText = true, allowMixed = true)
       catch { case scala.util.control.NonFatal(_) => fail() }
-    if (!leaves.headOption.map(_._1).exists(p => p == "svg@<" || p.startsWith("svg@")))
-      fail()
+    if (!leaves.headOption.map(_._1).exists(_.startsWith("svg@"))) fail()
     var shapes = 0L
     final case class Acc(var x: Long, var y: Long, val sb: StringBuilder)
     val texts = Vector.newBuilder[Acc]

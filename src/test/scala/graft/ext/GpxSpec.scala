@@ -24,17 +24,20 @@ class GpxSpec extends AnyFunSuite {
   }
 
   test("parseMicro: positional fraction scaling, never a float; profile gates") {
-    assert(Gpx.parseMicro("12.345678") == 12345678L)
-    assert(Gpx.parseMicro("-12.3") == -12300000L)
-    assert(Gpx.parseMicro("0.000001") == 1L)
-    assert(Gpx.parseMicro("7") == 7000000L)
-    assert(Gpx.parseMicro("+3.14") == 3140000L)
-    assertThrows[RuntimeException](Gpx.parseMicro("1.2345678")) // sub-micro
-    assertThrows[RuntimeException](Gpx.parseMicro("12."))
-    assertThrows[RuntimeException](Gpx.parseMicro(".5"))
-    assertThrows[RuntimeException](Gpx.parseMicro("1e3"))
-    assertThrows[RuntimeException](Gpx.parseMicro("1234.0")) // > 3 int digits
-    assertThrows[RuntimeException](Gpx.parseMicro(""))
+    assert(Gpx.parseMicro("12.345678", 90L) == 12345678L)
+    assert(Gpx.parseMicro("-12.3", 90L) == -12300000L)
+    assert(Gpx.parseMicro("0.000001", 90L) == 1L)
+    assert(Gpx.parseMicro("7", 90L) == 7000000L)
+    assert(Gpx.parseMicro("+3.14", 90L) == 3140000L)
+    assert(Gpx.parseMicro("180.000000", 180L) == 180000000L) // boundary legal
+    assertThrows[RuntimeException](Gpx.parseMicro("1.2345678", 90L)) // sub-micro
+    assertThrows[RuntimeException](Gpx.parseMicro("12.", 90L))
+    assertThrows[RuntimeException](Gpx.parseMicro(".5", 90L))
+    assertThrows[RuntimeException](Gpx.parseMicro("1e3", 90L))
+    assertThrows[RuntimeException](Gpx.parseMicro("1234.0", 180L)) // > 3 int digits
+    assertThrows[RuntimeException](Gpx.parseMicro("91.0", 90L)) // impossible latitude
+    assertThrows[RuntimeException](Gpx.parseMicro("180.000001", 180L)) // past the pole-to-pole bound
+    assertThrows[RuntimeException](Gpx.parseMicro("", 90L))
   }
 
   test("parseIsoUtc: extended form only, leap-day valid, junk rejected") {
@@ -43,6 +46,8 @@ class GpxSpec extends AnyFunSuite {
     assertThrows[RuntimeException](Gpx.parseIsoUtc("2023-02-29T01:02:03Z"))
     assertThrows[RuntimeException](Gpx.parseIsoUtc("20240229T010203Z")) // basic form
     assertThrows[RuntimeException](Gpx.parseIsoUtc("2024-02-28T01:02:03+01:00"))
+    // an arbitrary :60 would alias to the next minute: out of profile
+    assertThrows[RuntimeException](Gpx.parseIsoUtc("2016-12-31T23:59:60Z"))
   }
 
   test("damage: missing lat, bad ele, truncation all quarantine (Spark operator)") {
