@@ -3136,6 +3136,78 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** SVG document metadata ([[graft.ext.Svg.svgMeta]] — the curation
+    * fields beside the text: width/height attributes, the optional
+    * viewBox (four integer tokens, -1 sentinels when absent — aspect
+    * and origin survive user-unit scaling only there), and the
+    * `<title>`/`<desc>` accessibility text alt-text mining reads
+    * (entity hazard in desc), plus the text/shape census. The oracle
+    * replays all of it closed-form from the writer's recipe.
+    */
+  private val qSvgMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Svg.svgMeta(graft.ext.Svg.encodeSvg(table(s, dir, "documents"))).toDF()
+
+  private val oSvgMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('svg:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |f AS (SELECT doc_id, m, ws,
+       |        64 * (1 + ${nib("15")}) AS w, 48 * (1 + ${nib("16")}) AS h
+       |      FROM d, wt)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       |       (CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 ELSE -1 END)::BIGINT AS vb_minx,
+       |       (CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 ELSE -1 END)::BIGINT AS vb_miny,
+       |       (CASE WHEN doc_id % 2 = 0 THEN w ELSE -1 END)::BIGINT AS vb_w,
+       |       (CASE WHEN doc_id % 2 = 0 THEN h ELSE -1 END)::BIGINT AS vb_h,
+       |       'figure ' || CAST(doc_id AS VARCHAR) AS title,
+       |       CASE WHEN doc_id % 3 <> 1
+       |         THEN 'vector ' || ${w("15")} || ' & co' ELSE '' END AS desc_text,
+       |       (1 + ${nib("1")} % 3)::BIGINT AS n_texts,
+       |       (${nib("2")} % 4)::BIGINT AS n_shapes
+       |FROM f""".stripMargin
+  }
+
+  /** Standalone .eml ingestion ([[graft.ext.Mbox.emlExtract]] — the
+    * single-message twin of `mbox_extract`, riding the same RFC 5322 /
+    * MIME / transfer machinery): no `From ` framing, an optional
+    * mail-client `From - <date>` export envelope every ninth file, raw
+    * 7bit bodies with a planted literal `>From ` line that a wrongly
+    * applied mboxrd unquote would corrupt. The oracle rebuilds the
+    * .eml body plane (mbox body + the `>From ` arm) and hashes it.
+    */
+  private val qEmlExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Mbox.emlExtract(
+      graft.ext.Mbox.encodeEmlFiles(table(s, dir, "documents"))).toDF()
+
+  private val oEmlExtract: String =
+    """WITH d AS (SELECT doc_id, md5('mm:' || CAST(doc_id AS VARCHAR)) AS m
+      |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+      |wt AS (SELECT ['amber','birch','cedar','dune','ember','fjord','grove','heath'] AS ws),
+      |b AS (SELECT doc_id,
+      |        'id:' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 1, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 2, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 3, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 4, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 5, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 6, 1))::BIGINT % 8 AS INT)) ||
+      |        CASE WHEN doc_id % 4 = 0
+      |          THEN chr(10) || 'From here onward plain text' ||
+      |               chr(10) || '>From an archived quote'
+      |          ELSE '' END AS body,
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 7, 1))::BIGINT % 8 AS INT)) || ' ' ||
+      |        list_extract(ws, 1 + CAST(('0x' || substr(m, 8, 1))::BIGINT % 8 AS INT)) AS subject
+      |      FROM d, wt),
+      |h AS (SELECT doc_id, subject, hex(encode(body)) AS hx,
+      |        octet_length(encode(body)) AS n FROM b)
+      |SELECT doc_id, subject, n::BIGINT AS n_bytes,
+      |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+      |FROM h""".stripMargin
+
   /** GPX track ingestion ([[graft.ext.Gpx]] — the geo-trace shelf,
     * pairing with [[graft.ext.Exif]]'s coordinate surface): decimal-
     * degree attributes converted to EXACT micro-degrees with string/
@@ -9005,6 +9077,7 @@ object QueryCatalog {
     "toml_entries" -> qTomlEntries,
     "java_properties" -> qJavaProperties,
     "svg_text" -> qSvgText,
+    "svg_meta" -> qSvgMeta,
     "gpx_points" -> qGpxPoints,
     "multimodal_sniff_decode" -> qMultimodalSniff,
     "multimodal_resize" -> qMultimodalResize,
@@ -9016,6 +9089,7 @@ object QueryCatalog {
     "ogg_pages" -> qOggPages,
     "ogg_streams" -> qOggStreams,
     "mbox_extract" -> qMboxExtract,
+    "eml_extract" -> qEmlExtract,
     "sentence_split" -> qSentenceSplit,
     "sentence_dedup" -> qSentenceDedup,
     "tfrecord_extract" -> qTfrecordExtract,
@@ -9275,6 +9349,7 @@ object QueryCatalog {
     "toml_entries" -> oTomlEntries,
     "java_properties" -> oJavaProperties,
     "svg_text" -> oSvgText,
+    "svg_meta" -> oSvgMeta,
     "gpx_points" -> oGpxPoints,
     "multimodal_sniff_decode" -> oMultimodalSniff,
     "multimodal_resize" -> oMultimodalResize,
@@ -9352,6 +9427,7 @@ object QueryCatalog {
     "ogg_pages" -> oOggPages,
     "ogg_streams" -> oOggStreams,
     "mbox_extract" -> oMboxExtract,
+    "eml_extract" -> oEmlExtract,
     "sentence_split" -> oSentenceSplit,
     "sentence_dedup" -> oSentenceDedup,
     "tfrecord_extract" -> oZstExtract,

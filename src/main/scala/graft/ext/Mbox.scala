@@ -98,6 +98,14 @@ object Mbox {
 
   // ------------------------------------------------------------- fixture
 
+  /** [[bodyFor]] under STANDALONE .eml framing: every fourth body also
+    * carries a literal `>From ` line — real content in a file with no
+    * `From ` separators, so a parser that wrongly applies the mboxrd
+    * unquote there corrupts the text and fails the checksum.
+    */
+  private[graft] def emlBodyFor(id: Long): String =
+    bodyFor(id) + (if (id % 4 == 0) "\n>From an archived quote" else "")
+
   /** The decoded text/plain body every arm must recover. */
   private[graft] def bodyFor(id: Long): String = {
     val m = md5Hex(s"mm:$id")
@@ -112,8 +120,10 @@ object Mbox {
     s"${w(7)} ${w(8)}"
   }
 
-  private def renderMessage(id: Long): String = {
-    val body = bodyFor(id)
+  private def renderMessage(id: Long): String = renderRfc5322(id, mbox = true)
+
+  private def renderRfc5322(id: Long, mbox: Boolean): String = {
+    val body = if (mbox) bodyFor(id) else emlBodyFor(id)
     val subject = subjectFor(id)
     val subjHeader = (id % 5) match {
       case 0 => s"=?utf-8?Q?${subject.replace(' ', '_')}?=" // RFC 2047 Q
@@ -121,7 +131,12 @@ object Mbox {
       case _ => subject
     }
     val sb = new StringBuilder
-    sb.append(s"From archivist@example.com Thu Jan  1 00:00:0$id 2026\n")
+    if (mbox)
+      sb.append(s"From archivist@example.com Thu Jan  1 00:00:0$id 2026\n")
+    else if (id % 9 == 4)
+      // the mail-client export envelope (Thunderbird writes `From - <date>`
+      // at the top of saved .eml) — not an RFC 5322 header, must be skipped
+      sb.append("From - Thu Jan  1 00:00:00 2026\n")
     sb.append(s"X-Doc-Id: $id\n")
     sb.append("from: \"The Archivist\" <archivist@example.com>\n") // case hazard
     sb.append("To: corpus@example.com\n")
@@ -132,11 +147,13 @@ object Mbox {
     } else sb.append(s"Subject: $subjHeader\n")
     sb.append("MIME-Version: 1.0\n")
     (id % 3) match {
-      case 0 => // 7bit: mboxrd quoting protects body "From " lines
+      case 0 => // 7bit: mboxrd quoting protects body "From " lines —
+        // under MBOX framing only; a standalone .eml carries the body raw
         sb.append("Content-Type: text/plain; charset=utf-8\n")
         sb.append("CONTENT-TRANSFER-ENCODING: 7bit\n\n") // case hazard
-        sb.append(body.split("\n", -1).map(l =>
-          if (l.startsWith("From ") || l.matches("^>+From .*")) ">" + l else l).mkString("\n"))
+        sb.append(if (mbox) body.split("\n", -1).map(l =>
+          if (l.startsWith("From ") || l.matches("^>+From .*")) ">" + l else l).mkString("\n")
+        else body)
         sb.append('\n')
       case 1 =>
         sb.append("Content-Type: text/plain; charset=utf-8\n")
@@ -288,10 +305,14 @@ object Mbox {
   private def unquoteMboxrd(l: String): String =
     if (l.matches("^>+From .*")) l.substring(1) else l
 
-  private def decodeBody(cte: String, raw: String): String = cte match {
+  // mboxrd unquoting applies ONLY under mbox framing — a standalone .eml
+  // has no `From ` separator, so a `>From ` body line is literal content
+  // there and stripping it would corrupt the text (the fixture plants one)
+  private def decodeBody(cte: String, raw: String, mboxrd: Boolean): String = cte match {
     case "quoted-printable" => qpDecode(raw)
     case "base64" => new String(b64Decode(raw), java.nio.charset.StandardCharsets.UTF_8)
-    case _ => raw.split("\n", -1).map(unquoteMboxrd).mkString("\n") // 7bit/8bit
+    case _ => // 7bit/8bit
+      if (mboxrd) raw.split("\n", -1).map(unquoteMboxrd).mkString("\n") else raw
   }
 
   /** The first text/plain LEAF of a message body, decoded — a real
@@ -301,11 +322,13 @@ object Mbox {
     * capped against hostile nesting. `headers` are the enclosing
     * entity's; multipart parts carry their own nested header blocks.
     */
-  private def extractPlain(headers: Map[String, String], bodyLines: Array[String]): String =
-    extractPlainDepth(headers, bodyLines, 0, bodyLines.length, depth = 0).getOrElse(fail())
+  private def extractPlain(headers: Map[String, String], bodyLines: Array[String],
+      mboxrd: Boolean = true): String =
+    extractPlainDepth(headers, bodyLines, 0, bodyLines.length, depth = 0, mboxrd)
+      .getOrElse(fail())
 
   private def extractPlainDepth(headers: Map[String, String], lines: Array[String],
-      from: Int, until: Int, depth: Int): Option[String] = {
+      from: Int, until: Int, depth: Int, mboxrd: Boolean = true): Option[String] = {
     if (depth > 8) fail() // hostile nesting bomb
     val ct = headers.getOrElse("content-type", "text/plain").toLowerCase
     if (ct.startsWith("multipart/")) {
@@ -328,12 +351,12 @@ object Mbox {
       while (found.isEmpty && it.hasNext) {
         val (s, e) = it.next()
         val (ph, pb) = parseHeaders(lines, s)
-        if (pb <= e) found = extractPlainDepth(ph, lines, pb, e, depth + 1)
+        if (pb <= e) found = extractPlainDepth(ph, lines, pb, e, depth + 1, mboxrd)
       }
       found
     } else if (ct.startsWith("text/plain")) {
       Some(decodeBody(headers.getOrElse("content-transfer-encoding", "7bit").toLowerCase,
-        lines.slice(from, until).mkString("\n")))
+        lines.slice(from, until).mkString("\n"), mboxrd))
     } else None // a non-plain leaf (html decoy, attachment): keep looking
   }
 
@@ -385,6 +408,62 @@ object Mbox {
         } catch { case scala.util.control.NonFatal(_) => Nil } // quarantine
       }
       .toDF("archive_id", "ts", "rec_idx", "rec_doc_id", "content_length")
+  }
+
+  // ---------------------------------------------------- standalone .eml
+
+  /** Fixture writer: one standalone RFC 5322 .eml file per document —
+    * the same header/MIME/transfer arms as the mbox messages, but with
+    * .eml framing semantics: no `From ` separator (every fourth file
+    * instead opens with a mail-client `From - <date>` envelope the
+    * parser must skip), no mboxrd quoting (7bit bodies ship raw, and
+    * [[emlBodyFor]] plants a literal `>From ` line to catch a parser
+    * that unquotes anyway).
+    */
+  def encodeEmlFiles(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderRfc5322(id, mbox = false)))
+      .toDF("doc_id", "eml")
+  }
+
+  final case class EmlEntry(doc_id: Long, subject: String, n_bytes: Long, checksum: Long)
+
+  private[ext] def parseEml(docId: Long, eml: String): EmlEntry = {
+    val lines = eml.split("\n", -1).map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+    // optional export envelope (`From - <date>`): not an RFC 5322 header
+    // (no colon), skipped — only ever the FIRST line
+    val start = if (lines.nonEmpty && lines(0).startsWith("From ")) 1 else 0
+    val (hs, bodyStart) = parseHeaders(lines, start)
+    if (hs.getOrElse("x-doc-id", fail()).toLong != docId) fail()
+    var e = lines.length
+    while (e > bodyStart && lines(e - 1).isEmpty) e -= 1
+    if (bodyStart > e) fail()
+    val body = extractPlain(hs, lines.slice(bodyStart, e), mboxrd = false)
+    val subject = decodeWords(hs.getOrElse("subject", ""))
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var c = 0L
+    bytes.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+    EmlEntry(docId, subject, bytes.length.toLong, c)
+  }
+
+  /** The operator: .eml files → one row per message; damage quarantines
+    * the file. Map-only, zero shuffle.
+    */
+  def emlExtract(files: DataFrame): Dataset[EmlEntry] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files
+      .select(col("doc_id").cast("long"), col("eml").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, eml) =>
+        try { if (eml == null) Nil else Seq(parseEml(id, eml)) }
+        catch { case scala.util.control.NonFatal(_) => Nil } // quarantine
+      }
   }
 
   /** The operator: archives → per-message rows; a damaged archive

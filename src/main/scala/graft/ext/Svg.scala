@@ -77,11 +77,32 @@ object Svg {
       case c => c.toString
     }
 
+  // document-level metadata (nibbles 15/16 — the only two the text and
+  // shape recipes leave free)
+  private[ext] def dimsOf(id: Long): (Int, Int) = {
+    val m = md5Hex(s"svg:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    (64 * (1 + nib(15)), 48 * (1 + nib(16)))
+  }
+
+  private[ext] def descOf(id: Long): String = {
+    val m = md5Hex(s"svg:$id")
+    def nib(i: Int) = Integer.parseInt(m.substring(i - 1, i), 16)
+    if (id % 3 != 1) s"vector ${words(nib(15) % 8)} & co" else ""
+  }
+
   private[ext] def renderSvg(id: Long): String = {
     val sb = new StringBuilder
+    val (w, h) = dimsOf(id)
+    // half the corpus carries a viewBox with a non-zero origin — the
+    // attribute alt-text/figure-curation filters actually read (aspect
+    // ratio survives user-unit scaling only through the viewBox)
+    val vb = if (id % 2 == 0) s""" viewBox="${id % 7} ${id % 5} $w $h"""" else ""
     sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
-    sb.append("""<svg xmlns="http://www.w3.org/2000/svg" width="640" height="480">""").append('\n')
+    sb.append(s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h"$vb>""").append('\n')
     sb.append(s"  <title>figure $id</title>\n")
+    val desc = descOf(id)
+    if (desc.nonEmpty) sb.append(s"  <desc>${xmlEscape(desc)}</desc>\n")
     for (s0 <- 0 until nShapes(id)) {
       val tag = shapeTags(((id + s0) % 3).toInt)
       tag match {
@@ -194,5 +215,76 @@ object Svg {
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, xml) => parseSvgSafe(id, xml) }
+  }
+
+  // ------------------------------------------------------------- metadata
+
+  /** Document-level metadata: dimensions, viewBox, and the
+    * `<title>`/`<desc>` accessibility text — the fields an image-corpus
+    * curation filter reads (alt-text mining keys on title/desc; aspect
+    * and origin come from the viewBox, which survives user-unit scaling
+    * where width/height do not). Absent viewBox → -1 sentinels (the
+    * attribute is genuinely optional); absent desc → empty string.
+    */
+  final case class SvgMeta(
+      doc_id: Long, width: Long, height: Long,
+      vb_minx: Long, vb_miny: Long, vb_w: Long, vb_h: Long,
+      title: String, desc_text: String, n_texts: Long, n_shapes: Long)
+
+  /** `viewBox` value: exactly four non-negative integer tokens split on
+    * whitespace (the fixture profile — real-world floats/negatives
+    * quarantine rather than round, the [[Gpx]] convention).
+    */
+  private def parseViewBox(v: String): (Long, Long, Long, Long) = {
+    val toks = v.trim.split("[ \\t]+")
+    if (toks.length != 4) fail()
+    val n = toks.map(intAttr)
+    (n(0), n(1), n(2), n(3))
+  }
+
+  private[ext] def parseSvgMeta(id: Long, xml: String): SvgMeta = {
+    val leaves =
+      try Sitemaps.parseLeaves(Option(xml).getOrElse(""), withAttrs = true,
+        withMarkers = true, withRawText = true, allowMixed = true)
+      catch { case scala.util.control.NonFatal(_) => fail() }
+    if (!leaves.headOption.map(_._1).exists(_.startsWith("svg@"))) fail()
+    var width = -1L; var height = -1L
+    var vb: (Long, Long, Long, Long) = (-1L, -1L, -1L, -1L)
+    var title: String = null; var desc: String = null
+    var nTexts = 0L; var nShapes = 0L
+    leaves.foreach { case (path, v) =>
+      path match {
+        case "svg@width" => width = intAttr(v)
+        case "svg@height" => height = intAttr(v)
+        case "svg@viewBox" => vb = parseViewBox(v)
+        case "svg/title" => if (title != null) fail() else title = v
+        case "svg/desc" => if (desc != null) fail() else desc = v
+        case "svg/text@<" => nTexts += 1
+        case p if p.endsWith("@<") =>
+          val c = p.substring(0, p.length - 2)
+          val tag = c.substring(c.lastIndexOf('/') + 1)
+          if (shapeTags.contains(tag) && c == s"svg/$tag") nShapes += 1
+        case _ => ()
+      }
+    }
+    if (width < 0 || height < 0 || title == null) fail()
+    SvgMeta(id, width, height, vb._1, vb._2, vb._3, vb._4,
+      title, if (desc == null) "" else desc, nTexts, nShapes)
+  }
+
+  private[ext] def parseSvgMetaSafe(id: Long, xml: String): Seq[SvgMeta] =
+    try Seq(parseSvgMeta(id, xml))
+    catch { case _: MalformedSvg => Seq.empty }
+
+  /** `svg_meta`: one metadata row per vector image. Map-only. */
+  def svgMeta(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "svg_text"): Dataset[SvgMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, xml) => parseSvgMetaSafe(id, xml) }
   }
 }

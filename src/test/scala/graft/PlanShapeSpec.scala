@@ -501,7 +501,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "sentence_split", "exif_meta", "exif_strip", "ipynb_cells",
       "git_objects", "doc_extract", "xls_cells", "msg_extract",
       "ics_events", "vcard_contacts", "toml_entries",
-      "java_properties", "svg_text", "gpx_points").foreach { key =>
+      "java_properties", "svg_text", "svg_meta", "gpx_points",
+      "eml_extract").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")

@@ -116,6 +116,47 @@ class MboxSpec extends AnyFunSuite {
     assert(again.map(e => (e.doc_id, e.checksum)).sorted.toSeq == out.map(e => (e.doc_id, e.checksum)).sorted.toSeq)
   }
 
+  test("eml: all arms recover the .eml body plane; >From stays literal; envelope skipped") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val files = Mbox.encodeEmlFiles(docs)
+    // the export-envelope arm (id % 9 == 4) actually serializes
+    assert(files.as[(Long, String)].collect().exists {
+      case (id, t) => id % 9 == 4 && t.startsWith("From - ") }, "envelope arm occurs")
+    // a raw 7bit body with a line-start 'From ' serializes UNquoted
+    assert(files.as[(Long, String)].collect().exists {
+      case (id, t) => id % 3 == 0 && id % 4 == 0 && t.contains("\nFrom here onward") },
+      "eml 7bit bodies are not mboxrd-quoted")
+    val out = Mbox.emlExtract(files).collect()
+    assert(out.length == 120)
+    out.foreach { e =>
+      val bytes = Mbox.emlBodyFor(e.doc_id).getBytes("UTF-8")
+      var c = 0L
+      bytes.foreach(b => c = (c * 31 + (b & 0xff)) % 1000000007L)
+      assert(e.checksum == c, s"doc ${e.doc_id} (arm ${e.doc_id % 3}) body")
+      assert(e.n_bytes == bytes.length)
+      assert(e.subject == Mbox.subjectFor(e.doc_id), s"doc ${e.doc_id} subject")
+    }
+    // the planted literal '>From ' line survives (a parser that unquotes
+    // mboxrd in .eml mode would have produced 'From ' and a short body)
+    assert((0L until 120L).exists(i => i % 4 == 0 && i % 3 == 0), ">From in a raw 7bit arm")
+  }
+
+  test("eml damage: bad base64, headless file, wrong doc id each quarantine alone") {
+    import spark.implicits._
+    val files = Mbox.encodeEmlFiles((0L until 24L).toDF("doc_id"))
+      .as[(Long, String)].collect()
+    val damaged = files.map { case (id, t) =>
+      if (id == 2L) (id, t.replaceFirst("base64\n\n[A-Za-z0-9+/]", "base64\n\n!"))
+      else if (id == 5L) (id, t.replace("\n\n", "\n")) // headers never end
+      else if (id == 7L) (id, t.replace("X-Doc-Id: 7", "X-Doc-Id: 8"))
+      else (id, t)
+    }.toSeq.toDF("doc_id", "eml")
+    val got = Mbox.emlExtract(damaged).collect().map(_.doc_id).toSet
+    assert(!got.contains(2L) && !got.contains(5L) && !got.contains(7L))
+    assert(got.size == 21, "undamaged files all survive")
+  }
+
   test("damage quarantines the whole archive; other archives survive") {
     import spark.implicits._
     val docs = (0L until 80L).toDF("doc_id")

@@ -35,6 +35,35 @@ class SvgSpec extends AnyFunSuite {
     assert(Svg.parseSvgSafe(1L, "").isEmpty)
   }
 
+  test("metadata round-trip: dims, viewBox sentinels, title/desc, census") {
+    for (id <- 0L until 64L) {
+      val m = Svg.parseSvgMeta(id, Svg.renderSvg(id))
+      val (w, h) = Svg.dimsOf(id)
+      assert(m.width == w && m.height == h, s"svg $id dims")
+      if (id % 2 == 0)
+        assert(m.vb_minx == id % 7 && m.vb_miny == id % 5 && m.vb_w == w && m.vb_h == h, s"svg $id viewBox")
+      else
+        assert(m.vb_minx == -1 && m.vb_miny == -1 && m.vb_w == -1 && m.vb_h == -1, s"svg $id no viewBox")
+      assert(m.title == s"figure $id", s"svg $id title")
+      assert(m.desc_text == Svg.descOf(id), s"svg $id desc")
+      assert(m.n_texts == Svg.nTexts(id) && m.n_shapes == Svg.nShapes(id), s"svg $id census")
+    }
+  }
+
+  test("metadata damage: missing dims, malformed viewBox, duplicate title quarantine") {
+    val good = Svg.renderSvg(2L) // even id: carries a viewBox
+    assert(Svg.parseSvgMetaSafe(2L, good).nonEmpty)
+    assert(Svg.parseSvgMetaSafe(2L, good.replaceFirst(" width=\"\\d+\"", "")).isEmpty)
+    // three-token viewBox: quarantine, never a guessed fourth value
+    assert(Svg.parseSvgMetaSafe(2L,
+      good.replaceFirst("viewBox=\"[^\"]+\"", "viewBox=\"0 0 64\"")).isEmpty)
+    // float viewBox token: quarantine, never rounded
+    assert(Svg.parseSvgMetaSafe(2L,
+      good.replaceFirst("viewBox=\"[^\"]+\"", "viewBox=\"0 0 64.5 48\"")).isEmpty)
+    val dupTitle = good.replaceFirst("</title>", "</title>\n  <title>again</title>")
+    assert(Svg.parseSvgMetaSafe(2L, dupTitle).isEmpty)
+  }
+
   test("operator: damaged document quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
