@@ -3098,6 +3098,80 @@ object QueryCatalog {
        |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
   }
 
+  /** YAML ingestion ([[graft.ext.Yaml]] — the single most common config
+    * format in a crawled code corpus: CI pipelines, k8s manifests,
+    * docker-compose; SnakeYAML differential in the spec): block mappings
+    * and sequences (including the compact `- key: value` k8s shape, the
+    * lone-dash item, and sequences at the parent key's indent), double-
+    * vs single-quoted scalar semantics (the literal `'C:\new\dir'` must
+    * keep its backslashes while the motto decodes the full escape set),
+    * plain-scalar resolution gated so acceptance always agrees with
+    * SnakeYAML, trailing comments. The oracle replays every scalar
+    * closed-form.
+    */
+  private val qYamlEntries: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Yaml.yamlEntries(graft.ext.Yaml.encodeYaml(table(s, dir, "documents"))).toDF()
+
+  private val oYamlEntries: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('yaml:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, ws FROM d, wt)
+       |SELECT doc_id, 'name' AS path, 's' AS vtype,
+       |       'svc-' || CAST(doc_id AS VARCHAR) AS s_val, NULL::BIGINT AS i_val FROM b
+       |UNION ALL
+       |SELECT doc_id, 'replicas', 'i', NULL, ${nib("3")} FROM b
+       |UNION ALL
+       |SELECT doc_id, 'enabled', 'b', NULL,
+       |       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END FROM b
+       |UNION ALL
+       |SELECT doc_id, 'version', 's',
+       |       CAST(${nib("4")} AS VARCHAR) || '.' || CAST(${nib("5")} AS VARCHAR)
+       |         || '.' || CAST(${nib("6")} AS VARCHAR), NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'motto', 's',
+       |       'm ' || ${w("7")} || ' "q" \\ ' || chr(10) || 'line2' || chr(9)
+       |         || 'col ' || chr(233), NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'raw_label', 's', 'C:\\new\\dir', NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'limits.cpu_ms', 'i', NULL,
+       |       ('0x' || substr(m, 17, 4))::BIGINT FROM b
+       |UNION ALL
+       |SELECT doc_id, 'limits.burst', 'i', NULL,
+       |       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+       |         ('0x' || substr(m, 21, 4))::BIGINT FROM b
+       |UNION ALL
+       |SELECT doc_id, 'limits.tier', 's', ${w("8")}, NULL FROM b
+       |UNION ALL
+       |SELECT doc_id, 'env.' || CAST(k AS VARCHAR), 's',
+       |       CASE (doc_id + k) % 3
+       |         WHEN 0 THEN ${w("CAST(9 + k AS INT)")}
+       |         WHEN 1 THEN 'qa ' || ${w("CAST(9 + k AS INT)")} || chr(9) || '!'
+       |         ELSE 'it''s ' || ${w("CAST(9 + k AS INT)")} END, NULL
+       |FROM b, (SELECT unnest([0, 1, 2]) AS k)
+       |WHERE k < 1 + ${nib("1")} % 3
+       |UNION ALL
+       |SELECT doc_id, 'containers.' || CAST(j AS VARCHAR) || '.name', 's',
+       |       'app' || CAST(j AS VARCHAR) || '-' || ${w("CAST(12 + j AS INT)")}, NULL
+       |FROM b, (SELECT unnest([0, 1]) AS j) WHERE j < 1 + ${nib("2")} % 2
+       |UNION ALL
+       |SELECT doc_id, 'containers.' || CAST(j AS VARCHAR) || '.image', 's',
+       |       'repo/' || ${w("CAST(14 + j AS INT)")}, NULL
+       |FROM b, (SELECT unnest([0, 1]) AS j) WHERE j < 1 + ${nib("2")} % 2
+       |UNION ALL
+       |SELECT doc_id, 'containers.' || CAST(j AS VARCHAR) || '.port', 'i', NULL,
+       |       1024 + ('0x' || substr(m, CAST(25 + 2 * j AS INT), 2))::BIGINT
+       |FROM b, (SELECT unnest([0, 1]) AS j) WHERE j < 1 + ${nib("2")} % 2
+       |UNION ALL
+       |SELECT doc_id, 'volumes.0.kind', 's', 'tmp', NULL FROM b WHERE doc_id % 5 = 0
+       |UNION ALL
+       |SELECT doc_id, 'volumes.0.size_mb', 'i', NULL,
+       |       ('0x' || substr(m, 29, 3))::BIGINT FROM b WHERE doc_id % 5 = 0""".stripMargin
+  }
+
   /** SVG text extraction ([[graft.ext.Svg]] — the vector half of the
     * image shelf): mixed-content `<text>` assembly across `tspan` runs
     * in document order (the allowMixed XML walker), integer anchors,
@@ -9075,6 +9149,7 @@ object QueryCatalog {
     "ics_events" -> qIcsEvents,
     "vcard_contacts" -> qVcardContacts,
     "toml_entries" -> qTomlEntries,
+    "yaml_entries" -> qYamlEntries,
     "java_properties" -> qJavaProperties,
     "svg_text" -> qSvgText,
     "svg_meta" -> qSvgMeta,
@@ -9347,6 +9422,7 @@ object QueryCatalog {
     "ics_events" -> oIcsEvents,
     "vcard_contacts" -> oVcardContacts,
     "toml_entries" -> oTomlEntries,
+    "yaml_entries" -> oYamlEntries,
     "java_properties" -> oJavaProperties,
     "svg_text" -> oSvgText,
     "svg_meta" -> oSvgMeta,
