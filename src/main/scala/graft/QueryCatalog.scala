@@ -3098,6 +3098,53 @@ object QueryCatalog {
        |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
   }
 
+  /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
+    * office binary, on the shared CFB layer): the full persist-directory
+    * resolution chain (CurrentUserAtom magic → UserEditAtom →
+    * PersistDirectoryAtom packed entries → DocumentContainer), slide
+    * text from SlideListWithText as TextCharsAtom (UTF-16LE) /
+    * TextBytesAtom (cp1252 incl. the 0x80-0x9F block), each slide's
+    * persist ref cross-checked to a SlideContainer and its declared text
+    * count enforced. The fixture plants a STALE previous-edit document
+    * container with decoy text ahead of the live one — a reader that
+    * scans instead of following the chain fails the oracle.
+    */
+  private val qPptExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Ppt.pptExtract(graft.ext.Ppt.encodePpt(table(s, dir, "documents"))).toDF()
+
+  private val oPptExtract: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('ppt:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |sl AS (SELECT doc_id, m, ws, j
+       |       FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |       WHERE j < 1 + ${nib("1")} % 3),
+       |tx AS (SELECT doc_id, m, ws, j, t
+       |       FROM sl, (SELECT unnest([0, 1]) AS t)
+       |       WHERE t < 1 + ${nib("CAST(2 + j AS INT)")} % 2),
+       |f AS (SELECT doc_id, j, t,
+       |        's' || CAST(j AS VARCHAR) || ' t' || CAST(t AS VARCHAR) ||
+       |          ' of ppt ' || CAST(doc_id AS VARCHAR) || ': ' ||
+       |          ${w("CAST(5 + 2 * j + t AS INT)")} ||
+       |          CASE (doc_id + j + t) % 3
+       |            WHEN 0 THEN ' ' || chr(8220) || 'q' || chr(8221) || chr(8230)
+       |            WHEN 1 THEN ' ' || chr(233) ELSE '' END ||
+       |          CASE WHEN (doc_id + j + t) % 2 = 0 AND (doc_id + j + t) % 5 = 0
+       |            THEN ' ' || chr(916) ELSE '' END AS txt
+       |      FROM tx),
+       |h AS (SELECT doc_id, j, t, hex(encode(txt)) AS hx,
+       |        octet_length(encode(txt)) AS n FROM f)
+       |SELECT doc_id, j::BIGINT AS slide_idx,
+       |       (256 + 4 * j + doc_id % 4)::BIGINT AS slide_id,
+       |       t::BIGINT AS text_idx, n::BIGINT AS n_bytes,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(n), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS checksum
+       |FROM h""".stripMargin
+  }
+
   /** YAML ingestion ([[graft.ext.Yaml]] — the single most common config
     * format in a crawled code corpus: CI pipelines, k8s manifests,
     * docker-compose; SnakeYAML differential in the spec): block mappings
@@ -9176,6 +9223,7 @@ object QueryCatalog {
     "docx_extract" -> qDocxExtract,
     "odt_extract" -> qOdtExtract,
     "pptx_extract" -> qPptxExtract,
+    "ppt_extract" -> qPptExtract,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9515,6 +9563,7 @@ object QueryCatalog {
     "docx_extract" -> oDocxExtract,
     "odt_extract" -> oOdtExtract,
     "pptx_extract" -> oPptxExtract,
+    "ppt_extract" -> oPptExtract,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

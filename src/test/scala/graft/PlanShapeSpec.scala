@@ -502,7 +502,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "git_objects", "doc_extract", "xls_cells", "msg_extract",
       "ics_events", "vcard_contacts", "toml_entries",
       "java_properties", "svg_text", "svg_meta", "gpx_points",
-      "eml_extract", "yaml_entries").foreach { key =>
+      "eml_extract", "yaml_entries", "ppt_extract").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
