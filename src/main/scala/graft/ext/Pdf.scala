@@ -53,16 +53,23 @@ import org.apache.spark.sql.functions._
   *    CMap; a `Tf` naming a font absent from a non-empty resource map
   *    quarantines at show time instead of falling back.
   *
-  *  - '''encryption''': the standard security handler's RC4 revisions
-  *    (V1/R2 40-bit, V2/R3 up to 128-bit) with an EMPTY user password —
-  *    the owner-locked shape most "encrypted" corpus PDFs have. Key
-  *    derivation per Algorithm 2 (50 re-hash rounds on R3), verified
-  *    against /U (Algorithms 4/5) before any decrypt; per-object keys per
-  *    Algorithm 1; streams decrypt BEFORE their filters decode, strings
-  *    decrypt after parse; the cross-reference stream and the encrypt
-  *    dictionary stay cleartext per spec. A real user password, /V 4+
-  *    (AES/crypt filters), or a /U mismatch quarantines — clean fail,
-  *    never silently-wrong text.
+  *  - '''encryption''': the standard security handler's four living
+  *    generations with an EMPTY user password — the owner-locked shape
+  *    most "encrypted" corpus PDFs have: V1/R2 40-bit and V2/R3 128-bit
+  *    RC4 (Algorithm 2 key derivation, 50 re-hash rounds on R3, /U
+  *    verified via Algorithms 4/5 before any decrypt, per-object keys
+  *    per Algorithm 1); V4/R4 /AESV2 (AES-128-CBC from scratch —
+  *    [[Aes]] — same RC4-era derivation plus the sAlT object-key
+  *    suffix, IV-prefixed data with validated padding, crypt-filter
+  *    routing checked); and V5/R6 /AESV3 (AES-256, the ISO 32000-2
+  *    SHA-2 handler: Algorithm 2.B iterated hash validates /U, the
+  *    file key unwraps from /UE, and /Perms must decrypt to the 'adb'
+  *    magic echoing /P before anything else decrypts). Streams decrypt
+  *    BEFORE their filters decode, strings decrypt after parse; the
+  *    cross-reference stream and the encrypt dictionary stay cleartext
+  *    per spec. A real user password, the withdrawn R5 handler,
+  *    non-StdCF crypt filters, or any check value mismatch quarantines
+  *    — clean fail, never silently-wrong text.
   *
   * STRICT container semantics like every archive family here: a bad header,
   * a dangling xref offset, an object-number mismatch at an offset, a
@@ -188,6 +195,63 @@ object Pdf {
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
       (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
     java.util.Arrays.copyOf(md5bytes(key, ext), math.min(key.length + 5, 16))
+  }
+
+  /** Algorithm 1's /AESV2 variant: the same MD5 with the 4-byte `sAlT`
+    * suffix the spec adds for AES crypt filters.
+    */
+  private[ext] def pdfObjectKeyAes(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array[Byte](
+      (num & 0xff).toByte, ((num >> 8) & 0xff).toByte, ((num >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte,
+      0x73, 0x41, 0x6C, 0x54) // 'sAlT'
+    java.util.Arrays.copyOf(md5bytes(key, ext), math.min(key.length + 5, 16))
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 iterated password hash: SHA-256
+    * seed, then rounds of (64 copies of pwd‖K‖udata) AES-128-CBC-encrypted
+    * under K's halves, re-hashed by SHA-256/384/512 picked by the
+    * ciphertext's first-16-byte sum mod 3, until ≥64 rounds AND the last
+    * ciphertext byte ≤ rounds−32. `udata` is empty for /U-side hashes and
+    * the 48-byte /U value for /O-side ones.
+    */
+  private[ext] def pdfHash2B(password: Array[Byte], salt: Array[Byte],
+                             udata: Array[Byte]): Array[Byte] = {
+    val seed = java.security.MessageDigest.getInstance("SHA-256")
+    seed.update(password); seed.update(salt); seed.update(udata)
+    var k = seed.digest()
+    var i = 0
+    var last = 0
+    while (i < 64 || last > i - 32) {
+      val one = password ++ k ++ udata
+      val k1 = new Array[Byte](64 * one.length)
+      var j = 0
+      while (j < 64) { System.arraycopy(one, 0, k1, j * one.length, one.length); j += 1 }
+      val e = Aes.cbcEncrypt(java.util.Arrays.copyOf(k, 16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      var sum = 0
+      var b = 0
+      while (b < 16) { sum += e(b) & 0xff; b += 1 }
+      val algo = (sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(algo).digest(e)
+      last = e(e.length - 1) & 0xff
+      i += 1
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
+  /** The CBC padding ISO 32000 mandates for AES filters (PKCS#7 shape:
+    * 1–16 bytes, each the pad length).
+    */
+  private[ext] def aesPad(data: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - (data.length % 16)
+    val out = java.util.Arrays.copyOf(data, data.length + padLen)
+    java.util.Arrays.fill(out, data.length, out.length, padLen.toByte)
+    out
   }
 
   // ------------------------------------------------------------- fixture
@@ -413,21 +477,60 @@ object Pdf {
     }
     // encryption arm: `id % 3 == 1` wraps the document in the standard
     // security handler with an EMPTY user password (the owner-locked shape
-    // most "encrypted" corpus PDFs have) — R2/40-bit and R3/128-bit RC4
-    // cycle by `id / 3`, every stream RC4'd under its per-object key
-    // AFTER its filters (decrypt-then-decode, the storage order the spec
-    // mandates); the cross-reference stream stays cleartext per spec
+    // most "encrypted" corpus PDFs have) — the four handler generations
+    // cycle by `id / 3`: R2/40-bit RC4, R3/128-bit RC4, R4 /AESV2
+    // (AES-128-CBC, the PDF 1.6 default every modern producer emits), and
+    // R6 /AESV3 (AES-256, PDF 2.0's SHA-2 handler). Every stream is
+    // encrypted AFTER its filters (decrypt-then-decode, the storage order
+    // the spec mandates); the cross-reference stream and the encrypt
+    // dictionary stay cleartext per spec
     val encArm = id % 3 == 1
-    val encR = if ((id / 3) % 2 == 0) 2 else 3
-    val encKeyLen = if (encR == 2) 5 else 16
+    val encR = ((id / 3) % 4) match { case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }
+    val encKeyLen = encR match { case 2 => 5; case 6 => 32; case _ => 16 }
     val encP = -44
-    val fileId =
-      java.security.MessageDigest.getInstance("MD5").digest(s"pdfid:$id".getBytes("ISO-8859-1"))
-    val encO = if (encArm) pdfOwnerValue(encR, encKeyLen) else null
-    val encKey = if (encArm) pdfDocKey(encR, encKeyLen, encO, encP, fileId) else null
-    val encU = if (encArm) pdfUserValue(encR, encKey, fileId) else null
+    def md5of(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("ISO-8859-1"))
+    val fileId = md5of(s"pdfid:$id")
+    // R2/R3/R4 share the RC4-era key-derivation algorithms (R4 reuses
+    // Algorithms 2/3/5 verbatim per spec, only the cipher changes)
+    val encO = if (encArm && encR != 6) pdfOwnerValue(encR, encKeyLen) else null
+    val encKey = if (encArm && encR != 6) pdfDocKey(encR, encKeyLen, encO, encP, fileId) else null
+    val encU = if (encArm && encR != 6) pdfUserValue(encR, encKey, fileId) else null
+    // R6 material: a 32-byte file key and the four 8-byte salts, all
+    // deterministic from the id (the fixture convention); /U //UE //O //OE
+    // //Perms per ISO 32000-2 Algorithms 8/9/10 with empty passwords
+    val empty = Array.emptyByteArray
+    val zeroIv = new Array[Byte](16)
+    val r6Key = if (encArm && encR == 6) md5of(s"pdfkey:$id") ++ md5of(s"pdfkey2:$id") else null
+    val r6U: Array[Byte] = if (r6Key == null) null else {
+      val s = md5of(s"pdfsalt:$id") // validation salt 0..8, key salt 8..16
+      pdfHash2B(empty, java.util.Arrays.copyOf(s, 8), empty) ++ s
+    }
+    val r6UE = if (r6Key == null) null else Aes.cbcEncrypt(
+      pdfHash2B(empty, java.util.Arrays.copyOfRange(r6U, 40, 48), empty), zeroIv, r6Key)
+    val r6O: Array[Byte] = if (r6Key == null) null else {
+      val s = md5of(s"pdfosalt:$id")
+      pdfHash2B(empty, java.util.Arrays.copyOf(s, 8), r6U) ++ s
+    }
+    val r6OE = if (r6Key == null) null else Aes.cbcEncrypt(
+      pdfHash2B(empty, java.util.Arrays.copyOfRange(r6O, 40, 48), r6U), zeroIv, r6Key)
+    val r6Perms = if (r6Key == null) null else Aes.encryptBlock(r6Key, Array[Byte](
+      (encP & 0xff).toByte, ((encP >> 8) & 0xff).toByte,
+      ((encP >> 16) & 0xff).toByte, ((encP >> 24) & 0xff).toByte,
+      -1, -1, -1, -1, 'T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte,
+      md5of(s"pdfperm:$id")(0), md5of(s"pdfperm:$id")(1),
+      md5of(s"pdfperm:$id")(2), md5of(s"pdfperm:$id")(3)))
     def crypt(num: Int, data: Array[Byte]): Array[Byte] =
-      if (!encArm) data else rc4(pdfObjectKey(encKey, num, 0), data)
+      if (!encArm) data
+      else encR match {
+        case 2 | 3 => rc4(pdfObjectKey(encKey, num, 0), data)
+        case 4 =>
+          val iv = md5of(s"pdfiv:$id:$num")
+          iv ++ Aes.cbcEncrypt(pdfObjectKeyAes(encKey, num, 0), iv, aesPad(data))
+        case _ =>
+          val iv = md5of(s"pdfiv:$id:$num")
+          iv ++ Aes.cbcEncrypt(r6Key, iv, aesPad(data))
+      }
     def hexOf(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
     // every trailer form repeats /Encrypt + /ID (appenders must: the newest
     // trailer is the one a reader consults)
@@ -435,10 +538,24 @@ object Pdf {
       if (!encArm) ""
       else s" /Encrypt 7 0 R /ID [<${hexOf(fileId)}> <${hexOf(fileId)}>]"
     def encryptObj(): Unit = if (encArm) obj(7) {
-      val v = if (encR == 2) 1 else 2
-      raw(s"<< /Filter /Standard /V $v /R $encR" +
-        (if (encR == 3) s" /Length ${encKeyLen * 8}" else "") +
-        s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
+      if (encR == 6)
+        raw("<< /Filter /Standard /V 5 /R 6 /Length 256" +
+          " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
+          " /StmF /StdCF /StrF /StdCF" +
+          s" /O <${hexOf(r6O)}> /U <${hexOf(r6U)}>" +
+          s" /OE <${hexOf(r6OE)}> /UE <${hexOf(r6UE)}>" +
+          s" /Perms <${hexOf(r6Perms)}> /P $encP >>\n")
+      else if (encR == 4)
+        raw("<< /Filter /Standard /V 4 /R 4 /Length 128" +
+          " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+          " /StmF /StdCF /StrF /StdCF" +
+          s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
+      else {
+        val v = if (encR == 2) 1 else 2
+        raw(s"<< /Filter /Standard /V $v /R $encR" +
+          (if (encR == 3) s" /Length ${encKeyLen * 8}" else "") +
+          s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
+      }
     }
 
     // the indirect-length VALUE lands wherever the arm puts non-stream
@@ -650,6 +767,15 @@ object Pdf {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // Spread fixture SYNTHESIS across cores: the bench's documents
+      // table is one small parquet row group (one scan partition), which
+      // would serialize ~100 ms/doc of render+extract CPU (zlib + the R6
+      // handler's Algorithm 2.B) onto a single thread. A real corpus
+      // arrives as many files — many scan partitions — so this one
+      // round-robin exchange of (doc_id) longs models the production
+      // layout rather than distorting it. The EXTRACTOR itself stays
+      // map-only.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderPdf(id)))
       .toDF("doc_id", "payload")
@@ -878,6 +1004,7 @@ object Pdf {
     private var encryptTarget: PObj = _
     private var idFirst: Array[Byte] = _
     private var encKey: Array[Byte] = _
+    private var encMode: Int = 0 // 0 = RC4, 1 = AESV2, 2 = AESV3
     private var encNum: Int = -1
 
     locate()
@@ -890,7 +1017,8 @@ object Pdf {
       * the owner-locked shape most encrypted corpus PDFs have. Runs AFTER
       * locate() and BEFORE any content load: the loads it performs itself
       * see `encKey == null` and correctly read the encrypt dict cleartext.
-      * Anything but /Standard V1/V2 R2/R3 RC4 (AES, crypt filters, a real
+      * Handlers resolved: V1/V2 R2/R3 RC4, V4/R4 /AESV2, V5/R6 /AESV3.
+      * Anything else (the withdrawn R5, non-StdCF crypt filters, a real
       * user password) quarantines — a clean fail, never silent garbage.
       */
     private def initEncryption(): Unit = if (encryptTarget != null) {
@@ -907,40 +1035,116 @@ object Pdf {
         case None => dflt
         case _ => fail()
       }
-      val v = intOf("V", 0)
-      val r = intOf("R", 0)
-      if ((v != 1 && v != 2) || (r != 2 && r != 3)) fail()
-      val bits = if (v == 1) 40L else intOf("Length", 40)
-      if (bits < 40 || bits > 128 || bits % 8 != 0) fail()
-      if (r == 2 && bits != 40) fail()
-      val keyLen = (bits / 8).toInt
-      def str32(k: String): Array[Byte] = d.m.get(k) match {
-        case Some(s: PStr) if s.bytes.length >= 32 => java.util.Arrays.copyOf(s.bytes, 32)
+      def strOf(k: String, len: Int): Array[Byte] = d.m.get(k) match {
+        case Some(s: PStr) if s.bytes.length >= len => java.util.Arrays.copyOf(s.bytes, len)
         case _ => fail()
       }
-      val o = str32("O")
-      val u = str32("U")
       val p = d.m.get("P") match {
         case Some(pn: PNum) => pn.int.toInt
         case _ => fail()
       }
+      /** /V 4+ crypt-filter plumbing: the standard /StdCF filter must be
+        * the one named CFM, and BOTH the stream and string defaults must
+        * route through it (an /Identity default would mean cleartext
+        * parts this reader would then wrongly decrypt).
+        */
+      def requireStdCf(cfm: String): Unit = {
+        val cf = d.m.get("CF") match { case Some(c: PDict) => c; case _ => fail() }
+        val std = cf.m.get("StdCF") match { case Some(c: PDict) => c; case _ => fail() }
+        if (!std.m.get("CFM").contains(PName(cfm))) fail()
+        if (!d.m.get("StmF").contains(PName("StdCF"))) fail()
+        if (!d.m.get("StrF").contains(PName("StdCF"))) fail()
+      }
+      val v = intOf("V", 0)
+      val r = intOf("R", 0)
       if (idFirst == null) fail()
-      val key = pdfDocKey(r.toInt, keyLen, o, p, idFirst)
-      val expU = pdfUserValue(r.toInt, key, idFirst)
-      val matches =
-        if (r == 2) java.util.Arrays.equals(expU, u)
-        else java.util.Arrays.equals( // R3: the last 16 bytes are arbitrary pad
-          java.util.Arrays.copyOf(expU, 16), java.util.Arrays.copyOf(u, 16))
-      if (!matches) fail() // a real (non-empty) user password: quarantine
-      encKey = key
+      (v, r) match {
+        case (1, 2) | (2, 2) | (2, 3) =>
+          val bits = if (v == 1) 40L else intOf("Length", 40)
+          if (bits < 40 || bits > 128 || bits % 8 != 0) fail()
+          if (r == 2 && bits != 40) fail()
+          val keyLen = (bits / 8).toInt
+          val o = strOf("O", 32)
+          val u = strOf("U", 32)
+          val key = pdfDocKey(r.toInt, keyLen, o, p, idFirst)
+          val expU = pdfUserValue(r.toInt, key, idFirst)
+          val matches =
+            if (r == 2) java.util.Arrays.equals(expU, u)
+            else java.util.Arrays.equals( // R3: the last 16 bytes are arbitrary pad
+              java.util.Arrays.copyOf(expU, 16), java.util.Arrays.copyOf(u, 16))
+          if (!matches) fail() // a real (non-empty) user password: quarantine
+          encMode = 0
+          encKey = key
+        case (4, 4) =>
+          // the PDF 1.6 AES handler: RC4-era key derivation (Algorithms
+          // 2/5 verbatim), AES-128-CBC data with the sAlT object key
+          if (intOf("Length", 40) != 128) fail()
+          requireStdCf("AESV2")
+          val o = strOf("O", 32)
+          val u = strOf("U", 32)
+          val key = pdfDocKey(4, 16, o, p, idFirst)
+          val expU = pdfUserValue(4, key, idFirst)
+          if (!java.util.Arrays.equals(
+            java.util.Arrays.copyOf(expU, 16), java.util.Arrays.copyOf(u, 16))) fail()
+          encMode = 1
+          encKey = key
+        case (5, 6) =>
+          // the PDF 2.0 SHA-2 handler: validate the empty user password
+          // against /U (Algorithm 2.B over the validation salt), unwrap
+          // the 32-byte file key from /UE, then prove the key by
+          // decrypting /Perms (the 'adb' magic + /P echo)
+          if (intOf("Length", 256) != 256) fail()
+          requireStdCf("AESV3")
+          val u = strOf("U", 48)
+          val empty = Array.emptyByteArray
+          val valSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+          val keySalt = java.util.Arrays.copyOfRange(u, 40, 48)
+          if (!java.util.Arrays.equals(pdfHash2B(empty, valSalt, empty),
+            java.util.Arrays.copyOf(u, 32))) fail() // a real user password
+          val ue = strOf("UE", 32)
+          val key = Aes.cbcDecrypt(pdfHash2B(empty, keySalt, empty),
+            new Array[Byte](16), ue)
+          val perms = Aes.decryptBlock(key, strOf("Perms", 16))
+          if (perms(9) != 'a'.toByte || perms(10) != 'd'.toByte ||
+            perms(11) != 'b'.toByte) fail()
+          if (perms(8) != 'T'.toByte && perms(8) != 'F'.toByte) fail()
+          val pEcho = (perms(0) & 0xff) | ((perms(1) & 0xff) << 8) |
+            ((perms(2) & 0xff) << 16) | ((perms(3) & 0xff) << 24)
+          if (pEcho != p) fail()
+          encMode = 2
+          encKey = key
+        case _ => fail() // R5 (the withdrawn Acrobat 9 handler) and the rest
+      }
     }
+
+    /** Decrypt one object's bytes (stream data or a string) under the
+      * resolved handler: RC4 per-object key, AES-128-CBC with the sAlT
+      * per-object key, or AES-256-CBC with the file key — the AES forms
+      * carry a 16-byte IV prefix and mandatory 1–16 byte padding, both
+      * validated (garbage padding = wrong key or damage: quarantine).
+      */
+    private def decryptBytes(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      encMode match {
+        case 0 => rc4(pdfObjectKey(encKey, num, gen), data)
+        case _ =>
+          val key = if (encMode == 1) pdfObjectKeyAes(encKey, num, gen) else encKey
+          if (data.length < 32 || data.length % 16 != 0) fail()
+          val iv = java.util.Arrays.copyOf(data, 16)
+          val pt = Aes.cbcDecrypt(key, iv,
+            java.util.Arrays.copyOfRange(data, 16, data.length))
+          val pad = pt(pt.length - 1) & 0xff
+          if (pad < 1 || pad > 16) fail()
+          var i = pt.length - pad
+          while (i < pt.length) { if ((pt(i) & 0xff) != pad) fail(); i += 1 }
+          java.util.Arrays.copyOf(pt, pt.length - pad)
+      }
 
     /** RC4-decrypt every string in an object parsed from a top-level
       * position (strings inside object streams ride the stream's own
       * decryption and must NOT decrypt again).
       */
     private def decryptStrings(o: PObj, num: Int, gen: Int): PObj = o match {
-      case PStr(b) => PStr(rc4(pdfObjectKey(encKey, num, gen), b))
+      case PStr(b) => PStr(decryptBytes(num, gen, b))
       case PArr(items) => PArr(items.map(decryptStrings(_, num, gen)))
       case PDict(m) => PDict(m.map { case (k, v) => k -> decryptStrings(v, num, gen) })
       case other => other
@@ -1138,8 +1342,7 @@ object Pdf {
         // (it decodes inside locate(), before encryption init — cleartext
         // per spec), and the encrypt object's own data never decrypts
         val data =
-          if (encKey != null && num != encNum)
-            rc4(pdfObjectKey(encKey, num, gen), data0)
+          if (encKey != null && num != encNum) decryptBytes(num, gen, data0)
           else data0
         lex.pos += len.toInt
         lex.expect("endstream")

@@ -475,6 +475,54 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.parsePdfSafe(4L, Pdf.renderPdf(4L)).nonEmpty)
   }
 
+  test("AES handlers: AESV2 and AESV3 arms decode; every check value is load-bearing") {
+    // id 7: classic form, R4 /AESV2; id 10: classic + incremental update,
+    // R6 /AESV3; id 19: modern (xref-stream) form, R4; id 22: modern, R6
+    for (id <- Seq(7L, 10L, 19L, 22L)) {
+      val bytes = Pdf.renderPdf(id)
+      val wire = new String(bytes, "ISO-8859-1")
+      val expCfm = if ((id / 3) % 4 == 2) "/CFM /AESV2" else "/CFM /AESV3"
+      assert(wire.contains(expCfm), s"doc $id declares $expCfm")
+      assert(!wire.contains("Line 0 of page"), s"doc $id content is ciphertext")
+      val pages = Pdf.parsePdf(id, bytes)
+      assert(pages.length == Pdf.basePages(id) + (if (id % 5 == 0) 1 else 0))
+      pages.foreach { pg =>
+        val (nl, nc, cs) = utf8Model(id, pg.page_idx.toInt)
+        assert(pg.n_lines == nl && pg.n_chars == nc && pg.checksum == cs,
+          s"doc $id page ${pg.page_idx}")
+      }
+    }
+    def mutate(id: Long, from: String, to: String): Array[Byte] = {
+      require(from.length == to.length)
+      val s = new String(Pdf.renderPdf(id), "ISO-8859-1")
+      assert(s.contains(from), s"doc $id wire carries $from")
+      s.replace(from, to).getBytes("ISO-8859-1")
+    }
+    def flipHexAfter(id: Long, tag: String, hexLen: Int): Array[Byte] = {
+      val wire = new String(Pdf.renderPdf(id), "ISO-8859-1")
+      val at = wire.indexOf(tag)
+      assert(at > 0, s"doc $id carries $tag")
+      val hx = wire.substring(at + tag.length, at + tag.length + hexLen)
+      val flipped = (if (hx.head == '0') "1" else "0") + hx.tail
+      mutate(id, tag + hx, tag + flipped)
+    }
+    // R4: a tampered /U fails Algorithm 5; a non-AESV2 crypt filter or an
+    // Identity default quarantines before any decrypt
+    assert(Pdf.parsePdfSafe(7L, flipHexAfter(7L, "/U <", 64)).isEmpty, "R4 tampered /U")
+    assert(Pdf.parsePdfSafe(7L, mutate(7L, "/CFM /AESV2", "/CFM /AESV9")).isEmpty)
+    assert(Pdf.parsePdfSafe(7L, mutate(7L, "/StmF /StdCF", "/StmF /StdCX")).isEmpty)
+    // R6: a tampered /U fails the 2.B validation hash; a tampered /UE
+    // unwraps a wrong key that /Perms then refuses; tampered /Perms
+    // fails the adb magic; a wrong /P fails the echo
+    assert(Pdf.parsePdfSafe(10L, flipHexAfter(10L, "/U <", 96)).isEmpty, "R6 tampered /U")
+    assert(Pdf.parsePdfSafe(10L, flipHexAfter(10L, "/UE <", 64)).isEmpty, "R6 tampered /UE")
+    assert(Pdf.parsePdfSafe(10L, flipHexAfter(10L, "/Perms <", 32)).isEmpty, "R6 tampered /Perms")
+    assert(Pdf.parsePdfSafe(10L, mutate(10L, "/P -44 >>", "/P -45 >>")).isEmpty, "R6 /P echo")
+    // sanity: untampered AES docs extract
+    assert(Pdf.parsePdfSafe(7L, Pdf.renderPdf(7L)).nonEmpty)
+    assert(Pdf.parsePdfSafe(10L, Pdf.renderPdf(10L)).nonEmpty)
+  }
+
   test("hostile /Length: a 2 GB declaration drops without allocating") {
     val bomb = build(Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
