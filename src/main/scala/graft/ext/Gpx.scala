@@ -124,6 +124,12 @@ object Gpx {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // one round-robin staging exchange: the bench's documents table is
+      // a single parquet row group (one scan partition), which would
+      // serialize the per-document render+extract CPU onto one thread; a
+      // real corpus is many files (many partitions), so this models the
+      // production layout (see Pdf.encodePdf for the full rationale)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderGpx(id)))
       .toDF("doc_id", "gpx_text")

@@ -496,32 +496,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // books/office/codec ingestion is one typed flatMap per document —
     // a shuffle or join appearing here means fixture staging or decode
     // stopped being per-row
-    // pdf_extract moved to its own pin below: its fixture staging carries
-    // one deliberate round-robin exchange (multi-file corpus model)
-    Seq("epub_extract", "docx_extract", "odt_extract", "pptx_extract", "rtf_extract", "xlsx_extract", "latex_extract", "markdown_extract", "multimodal_webp_decode",
+    // the keys whose fixture writers stage CHEAP documents: no exchange
+    // anywhere — decode is per-row and the single-partition scan is fine
+    Seq("rtf_extract", "latex_extract", "markdown_extract",
+      "multimodal_webp_decode",
       "audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
-      "sentence_split", "exif_meta", "exif_strip", "ipynb_cells",
-      "git_objects", "doc_extract", "xls_cells", "msg_extract",
+      "sentence_split", "exif_meta", "exif_strip",
+      "doc_extract", "xls_cells", "msg_extract",
       "ics_events", "vcard_contacts", "toml_entries",
-      "java_properties", "svg_text", "svg_meta", "gpx_points",
-      "eml_extract", "yaml_entries", "ppt_extract").foreach { key =>
+      "java_properties", "svg_text", "svg_meta",
+      "eml_extract", "yaml_entries").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
       assert(!p.contains("Window"), s"$key must not window")
     }
-    // pdf_extract: decode stays per-row, but the fixture STAGING carries
+    // the EXPENSIVE per-document writers (zlib, CFB, AES, packfile
+    // synthesis): decode stays per-row, but the fixture STAGING carries
     // exactly one round-robin exchange of bare doc ids — the bench's
     // documents table is a single parquet row group (one scan partition),
-    // and the render+extract CPU (zlib, AES, the R6 Algorithm 2.B hash)
-    // must spread across cores the way a real multi-file corpus scan
-    // would. More than one exchange, or any join/window, is a regression.
-    val pPdf = plan(QueryCatalog.queries("pdf_extract")(spark, sf))
-    val pdfExchanges = "Exchange".r.findAllIn(pPdf).length
-    assert(pdfExchanges == 1, s"pdf_extract: one staging exchange expected, got $pdfExchanges:\n${pPdf.take(1200)}")
-    assert(pPdf.contains("REPARTITION_BY_NUM") || pPdf.contains("RoundRobinPartitioning"),
-      "pdf_extract: the staging exchange must be the round-robin repartition")
-    assert(!pPdf.contains("Join") && !pPdf.contains("Window"), "pdf_extract stays join/window-free")
+    // and the render+extract CPU must spread across cores the way a real
+    // multi-file corpus scan would. More than one exchange, or any
+    // join/window, is a regression.
+    Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract",
+      "pptx_extract", "xlsx_extract", "ipynb_cells", "git_objects",
+      "gpx_points", "ppt_extract").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$key: one staging exchange expected, got $exchanges:\n${p.take(1200)}")
+      assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
+        s"$key: the staging exchange must be the round-robin repartition")
+      assert(!p.contains("Join") && !p.contains("Window"), s"$key stays join/window-free")
+    }
   }
 
   test("round-13 archive keys: wat/cdx shapes — shard grouping only; cdx_seek one equi-join") {
