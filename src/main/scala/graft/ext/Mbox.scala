@@ -454,11 +454,13 @@ object Mbox {
   /** The operator: .eml files → one row per message; damage quarantines
     * the file. Map-only, zero shuffle.
     */
-  def emlExtract(files: DataFrame): Dataset[EmlEntry] = {
+  def emlExtract(files: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "eml"): Dataset[EmlEntry] = {
     val spark = files.sparkSession
     import spark.implicits._
     files
-      .select(col("doc_id").cast("long"), col("eml").cast("string"))
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, eml) =>
         try { if (eml == null) Nil else Seq(parseEml(id, eml)) }

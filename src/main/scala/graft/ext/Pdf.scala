@@ -486,7 +486,12 @@ object Pdf {
     // dictionary stay cleartext per spec
     val encArm = id % 3 == 1
     val encR = ((id / 3) % 4) match { case 0 => 2; case 1 => 3; case 2 => 4; case _ => 6 }
-    val encKeyLen = encR match { case 2 => 5; case 6 => 32; case _ => 16 }
+    // every second R3 document is the OLD-ACROBAT shape: /V 1 (40-bit, no
+    // /Length entry) with /R 3's 50-round derivation — real Distiller
+    // output, and the combination a careless version gate drops (the
+    // round-15 review caught exactly that regression; this arm pins it)
+    val v1r3 = encR == 3 && (id / 12) % 2 == 1
+    val encKeyLen = encR match { case 2 => 5; case 3 => if (v1r3) 5 else 16; case 6 => 32; case _ => 16 }
     val encP = -44
     def md5of(s: String): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("ISO-8859-1"))
@@ -514,12 +519,14 @@ object Pdf {
     }
     val r6OE = if (r6Key == null) null else Aes.cbcEncrypt(
       pdfHash2B(empty, java.util.Arrays.copyOfRange(r6O, 40, 48), r6U), zeroIv, r6Key)
-    val r6Perms = if (r6Key == null) null else Aes.encryptBlock(r6Key, Array[Byte](
-      (encP & 0xff).toByte, ((encP >> 8) & 0xff).toByte,
-      ((encP >> 16) & 0xff).toByte, ((encP >> 24) & 0xff).toByte,
-      -1, -1, -1, -1, 'T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte,
-      md5of(s"pdfperm:$id")(0), md5of(s"pdfperm:$id")(1),
-      md5of(s"pdfperm:$id")(2), md5of(s"pdfperm:$id")(3)))
+    val r6Perms = if (r6Key == null) null else {
+      val rnd = md5of(s"pdfperm:$id")
+      Aes.encryptBlock(r6Key, Array[Byte](
+        (encP & 0xff).toByte, ((encP >> 8) & 0xff).toByte,
+        ((encP >> 16) & 0xff).toByte, ((encP >> 24) & 0xff).toByte,
+        -1, -1, -1, -1, 'T'.toByte, 'a'.toByte, 'd'.toByte, 'b'.toByte,
+        rnd(0), rnd(1), rnd(2), rnd(3)))
+    }
     def crypt(num: Int, data: Array[Byte]): Array[Byte] =
       if (!encArm) data
       else encR match {
@@ -551,9 +558,9 @@ object Pdf {
           " /StmF /StdCF /StrF /StdCF" +
           s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
       else {
-        val v = if (encR == 2) 1 else 2
+        val v = if (encR == 2 || v1r3) 1 else 2
         raw(s"<< /Filter /Standard /V $v /R $encR" +
-          (if (encR == 3) s" /Length ${encKeyLen * 8}" else "") +
+          (if (encR == 3 && !v1r3) s" /Length ${encKeyLen * 8}" else "") +
           s" /O <${hexOf(encO)}> /U <${hexOf(encU)}> /P $encP >>\n")
       }
     }
@@ -1059,7 +1066,7 @@ object Pdf {
       val r = intOf("R", 0)
       if (idFirst == null) fail()
       (v, r) match {
-        case (1, 2) | (2, 2) | (2, 3) =>
+        case (1, 2) | (1, 3) | (2, 2) | (2, 3) =>
           val bits = if (v == 1) 40L else intOf("Length", 40)
           if (bits < 40 || bits > 128 || bits % 8 != 0) fail()
           if (r == 2 && bits != 40) fail()

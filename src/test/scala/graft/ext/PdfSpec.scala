@@ -449,6 +449,13 @@ class PdfSpec extends AnyFunSuite {
     // is meaningful): id 3 has a raw content stream on page 0 ((3+0)%6==3 is
     // LZW — use id 0 page 1: (0+1)%6==1 raw)
     assert(new String(Pdf.renderPdf(0L), "ISO-8859-1").contains("Line 0 of page"))
+    // the old-Acrobat /V 1 /R 3 40-bit shape (id 16): declared without a
+    // /Length entry, still decodes — the review-pass regression pin
+    val v1r3 = Pdf.renderPdf(16L)
+    val v1r3Wire = new String(v1r3, "ISO-8859-1")
+    assert(v1r3Wire.contains("/V 1 /R 3") && !v1r3Wire.contains("/Length 40"),
+      "id 16 is the V1/R3 arm")
+    assert(Pdf.parsePdf(16L, v1r3).nonEmpty, "V1/R3 decodes")
   }
 
   test("encryption: tampered /U, AES /V, and a missing /ID all quarantine") {
