@@ -3098,6 +3098,65 @@ object QueryCatalog {
        |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
   }
 
+  /** SQLite database-file ingestion ([[graft.ext.Sqlite]] — the most
+    * deployed database file format; browser/app-data corpora): real
+    * page-level databases — sqlite_master catalog walk on page 1, table
+    * b-trees with interior pages at the 512-byte fixture page size,
+    * varint records across every live serial type (width-1..8 two's-
+    * complement ints incl. the 0/1 constant forms, float64, UTF-8 text
+    * with hazards, blobs, NULL), the INTEGER-PRIMARY-KEY rowid alias
+    * substituted exactly as SQLite defines. The oracle replays every
+    * cell closed-form; blobs grade as md5-prefix hex.
+    */
+  private val qSqliteRows: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sqlite.sqliteRows(graft.ext.Sqlite.encodeSqlite(table(s, dir, "documents"))).toDF()
+
+  private val oSqliteRows: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('sqlite:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k
+       |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 4)
+       |SELECT doc_id, 'docs' AS tbl, (k + 1)::BIGINT AS rowid, 0::BIGINT AS col_idx,
+       |       'i' AS vtype, (k + 1)::BIGINT AS i_val,
+       |       NULL::DOUBLE AS r_val, NULL::VARCHAR AS s_val FROM r
+       |UNION ALL
+       |SELECT doc_id, 'docs', k + 1, 1, 's', NULL, NULL,
+       |       'doc ' || CAST(doc_id AS VARCHAR) || ' row ' || CAST(k AS VARCHAR)
+       |         || ': ' || ${w("CAST(2 + k AS INT)")} || ' '
+       |         || repeat('x', CAST(40 + ${nib("CAST(3 + k AS INT)")} * 4 AS INT))
+       |         || CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END
+       |FROM r
+       |UNION ALL
+       |SELECT doc_id, 'docs', k + 1, 2, 'i',
+       |       CASE (doc_id + k) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+       |         ELSE (CASE WHEN (doc_id + k) % 2 = 0 THEN 1 ELSE -1 END) *
+       |           ('0x' || substr(m, CAST(9 + k AS INT), 3))::BIGINT END,
+       |       NULL, NULL FROM r
+       |UNION ALL
+       |SELECT doc_id, 'docs', k + 1, 3, 'f', NULL,
+       |       (${nib("6")} + k) / 4.0, NULL FROM r
+       |UNION ALL
+       |SELECT doc_id, 'docs', k + 1, 4, 'b', NULL, NULL,
+       |       substr(md5('sb:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+       |         1, CAST(2 * (2 + k % 3) AS INT)) FROM r
+       |UNION ALL
+       |SELECT doc_id, 'docs', k + 1, 5,
+       |       CASE WHEN (doc_id + k) % 4 = 0 THEN 'z' ELSE 's' END, NULL, NULL,
+       |       CASE WHEN (doc_id + k) % 4 = 0 THEN NULL
+       |         ELSE ${w("CAST(10 + k AS INT)")} END FROM r
+       |UNION ALL
+       |SELECT doc_id, 'tags', k + 1, 0, 's', NULL, NULL,
+       |       'tag-' || ${w("CAST(14 + k AS INT)")}
+       |FROM d, wt, (SELECT unnest([0, 1]) AS k)
+       |UNION ALL
+       |SELECT doc_id, 'tags', k + 1, 1, 'i', ${nib("CAST(15 + k AS INT)")}, NULL, NULL
+       |FROM d, wt, (SELECT unnest([0, 1]) AS k)""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9224,6 +9283,7 @@ object QueryCatalog {
     "odt_extract" -> qOdtExtract,
     "pptx_extract" -> qPptxExtract,
     "ppt_extract" -> qPptExtract,
+    "sqlite_rows" -> qSqliteRows,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9564,6 +9624,7 @@ object QueryCatalog {
     "odt_extract" -> oOdtExtract,
     "pptx_extract" -> oPptxExtract,
     "ppt_extract" -> oPptExtract,
+    "sqlite_rows" -> oSqliteRows,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqliteSpec extends AnyFunSuite {
+
+  test("round-trip: catalog walk, interior pages, every serial type, IPK alias") {
+    var sawInterior = false
+    var sawSingleLeaf = false
+    for (id <- 0L until 96L) {
+      val db = Sqlite.renderSqlite(id)
+      // header sanity readable by any tool: magic + page size
+      assert(new String(db, 0, 15, "ISO-8859-1") == "SQLite format 3" && db(15) == 0)
+      val rows = Sqlite.parseSqlite(id, db)
+      val byKey = rows.map(r => (r.tbl, r.rowid, r.col_idx) -> r).toMap
+      val n = Sqlite.nRows(id)
+      for (k <- 0 until n) {
+        val rid = (k + 1).toLong
+        assert(byKey(("docs", rid, 0L)).i_val.contains(rid), s"db $id row $k IPK")
+        assert(byKey(("docs", rid, 1L)).s_val.contains(Sqlite.titleOf(id, k)), s"db $id row $k title")
+        assert(byKey(("docs", rid, 2L)).i_val.contains(Sqlite.scoreOf(id, k)), s"db $id row $k score")
+        assert(byKey(("docs", rid, 3L)).r_val.contains(Sqlite.ratioOf(id, k)), s"db $id row $k ratio")
+        assert(byKey(("docs", rid, 4L)).s_val.contains(
+          Sqlite.blobOf(id, k).map("%02x".format(_)).mkString), s"db $id row $k blob")
+        val note = byKey(("docs", rid, 5L))
+        Sqlite.noteOf(id, k) match {
+          case Some(s) => assert(note.vtype == "s" && note.s_val.contains(s), s"db $id row $k note")
+          case None => assert(note.vtype == "z" && note.s_val.isEmpty, s"db $id row $k null note")
+        }
+      }
+      for (k <- 0 until 2) {
+        val rid = (k + 1).toLong
+        assert(byKey(("tags", rid, 0L)).s_val.contains(Sqlite.tagOf(id, k)), s"db $id tag $k")
+        assert(byKey(("tags", rid, 1L)).i_val.contains(Sqlite.weightOf(id, k)), s"db $id weight $k")
+      }
+      assert(rows.length == 6 * n + 4, s"db $id cell count")
+      // page census: >4 pages means leaves + an interior root existed
+      val pages = db.length / 512
+      if (pages >= 5) sawInterior = true
+      if (pages == 3) sawSingleLeaf = true
+    }
+    assert(sawInterior, "multi-leaf + interior-root databases occurred")
+    assert(sawSingleLeaf, "single-leaf databases occurred")
+  }
+
+  test("serial-type arms all occur across the sweep") {
+    val ids = 0L until 96L
+    assert(ids.exists(i => (0 until Sqlite.nRows(i)).exists(k => Sqlite.scoreOf(i, k) == 0L)), "serial 8")
+    assert(ids.exists(i => (0 until Sqlite.nRows(i)).exists(k => Sqlite.scoreOf(i, k) == 1L)), "serial 9")
+    assert(ids.exists(i => (0 until Sqlite.nRows(i)).exists(k => Sqlite.scoreOf(i, k) < -255)), "negative multi-byte int")
+    assert(ids.exists(i => (0 until Sqlite.nRows(i)).exists(k => Sqlite.noteOf(i, k).isEmpty)), "NULL arm")
+    assert(ids.exists(i => (0 until Sqlite.nRows(i)).exists(k => Sqlite.titleOf(i, k).contains("é"))), "UTF-8 hazard")
+  }
+
+  test("damage ladder: bad magic, wrong encoding, page-type garbage, truncation quarantine") {
+    val id = 5L
+    val good = Sqlite.renderSqlite(id)
+    assert(Sqlite.parseSqliteSafe(id, good).nonEmpty)
+    def mut(at: Int, v: Byte): Array[Byte] = { val b = good.clone(); b(at) = v; b }
+    assert(Sqlite.parseSqliteSafe(id, mut(0, 'X'.toByte)).isEmpty, "magic")
+    assert(Sqlite.parseSqliteSafe(id, mut(59, 2.toByte)).isEmpty, "UTF-16 encoding (offset 56 u32 = 2)")
+    assert(Sqlite.parseSqliteSafe(id, mut(100, 0x0A.toByte)).isEmpty, "index page as catalog root")
+    assert(Sqlite.parseSqliteSafe(id, mut(20, 32.toByte)).isEmpty, "reserved bytes")
+    assert(Sqlite.parseSqliteSafe(id, good.take(good.length - 100)).isEmpty, "truncated file")
+    assert(Sqlite.parseSqliteSafe(id, Array.emptyByteArray).isEmpty)
+    // rowid order violation: swap the two cell pointers of the tags leaf
+    val tagsBase = good.length - 512
+    val swapped = good.clone()
+    for (i <- 0 until 2) {
+      swapped(tagsBase + 8 + i) = good(tagsBase + 10 + i)
+      swapped(tagsBase + 10 + i) = good(tagsBase + 8 + i)
+    }
+    assert(Sqlite.parseSqliteSafe(id, swapped).isEmpty, "descending rowids quarantine")
+  }
+
+  test("operator: damaged database quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 24L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = Sqlite.encodeSqlite(docs).as[(Long, Array[Byte])].map { case (id, b) =>
+      if (id == 13L) (id, b.take(700)) else (id, b)
+    }.toDF("doc_id", "db")
+    val got = Sqlite.sqliteRows(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(13L))
+    for (id <- (0L until 24L) if id != 13L)
+      assert(byDoc(id).length == 6 * Sqlite.nRows(id) + 4, s"db $id")
+  }
+}
