@@ -3098,6 +3098,56 @@ object QueryCatalog {
        |SELECT doc_id, 'dup.key', 'second' FROM d""".stripMargin
   }
 
+  /** Parquet internals ([[graft.ext.ParquetFile]] — the engine's OWN
+    * storage format at the byte level, no parquet library): Thrift
+    * compact protocol both directions (with the generic skip graded by
+    * a planted key_value_metadata list), footer structs, v1 PLAIN data
+    * pages for INT64/DOUBLE/BYTE_ARRAY. The oracle replays per-column
+    * per-row-group aggregates of the decoded values; the spec closes
+    * the loop both ways — SPARK reads the from-scratch files bit-exact,
+    * and the footer reader agrees field-for-field with parquet-mr on
+    * the real pyarrow-written testdata files.
+    */
+  private val qParquetMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ParquetFile.parquetMeta(
+      graft.ext.ParquetFile.encodeParquet(table(s, dir, "documents"))).toDF()
+
+  private val oParquetMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('pqf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k, k // 3 AS g
+       |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 4),
+       |t AS (SELECT doc_id, g, k,
+       |        'row ' || CAST(k AS VARCHAR) || ' of pq ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(2 + k AS INT)")} ||
+       |          CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END AS title,
+       |        (doc_id * 100 + k)::BIGINT AS iv,
+       |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv
+       |      FROM r),
+       |a AS (SELECT doc_id, g, count(*)::BIGINT AS cnt, sum(iv)::BIGINT AS isum,
+       |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat
+       |      FROM t GROUP BY doc_id, g),
+       |h AS (SELECT doc_id, g, cnt, isum, rsum, hex(encode(cat)) AS hx,
+       |        octet_length(encode(cat)) AS nb FROM a)
+       |SELECT doc_id, g::BIGINT AS row_group, 0::BIGINT AS col_idx, 'id' AS path,
+       |       'INT64' AS ptype, 'UNCOMPRESSED' AS codec, cnt AS num_values,
+       |       'i' AS vtype, isum AS i_sum, NULL::DOUBLE AS r_sum,
+       |       NULL::BIGINT AS s_bytes, NULL::BIGINT AS s_checksum FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 1, 'title', 'BYTE_ARRAY', 'UNCOMPRESSED', cnt, 's',
+       |       NULL, NULL, nb::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nb), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 2, 'score', 'DOUBLE', 'UNCOMPRESSED', cnt, 'f',
+       |       NULL, rsum, NULL, NULL FROM h""".stripMargin
+  }
+
   /** SQLite database-file ingestion ([[graft.ext.Sqlite]] — the most
     * deployed database file format; browser/app-data corpora): real
     * page-level databases — sqlite_master catalog walk on page 1, table
@@ -9284,6 +9334,7 @@ object QueryCatalog {
     "pptx_extract" -> qPptxExtract,
     "ppt_extract" -> qPptExtract,
     "sqlite_rows" -> qSqliteRows,
+    "parquet_meta" -> qParquetMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9625,6 +9676,7 @@ object QueryCatalog {
     "pptx_extract" -> oPptxExtract,
     "ppt_extract" -> oPptExtract,
     "sqlite_rows" -> oSqliteRows,
+    "parquet_meta" -> oParquetMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

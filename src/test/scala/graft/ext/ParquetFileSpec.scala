@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+class ParquetFileSpec extends AnyFunSuite {
+
+  test("round-trip: footer walk + PLAIN decode recover the closed-form aggregates") {
+    for (id <- 0L until 96L) {
+      val rows = ParquetFile.parseParquet(id, ParquetFile.renderParquet(id))
+      val n = ParquetFile.nRows(id)
+      val nGroups = (n + 2) / 3
+      assert(rows.length == 3 * nGroups, s"pq $id chunk count")
+      for (g <- 0 until nGroups) {
+        val ks = (3 * g) until math.min(3 * g + 3, n)
+        val byCol = rows.filter(_.row_group == g).map(r => r.col_idx -> r).toMap
+        val c0 = byCol(0L)
+        assert(c0.path == "id" && c0.ptype == "INT64" && c0.codec == "UNCOMPRESSED")
+        assert(c0.num_values == ks.length && c0.i_sum.contains(
+          ks.map(k => ParquetFile.idVal(id, k)).sum), s"pq $id g$g ids")
+        val c1 = byCol(1L)
+        assert(c1.path == "title" && c1.ptype == "BYTE_ARRAY")
+        val cat = ks.map(k => ParquetFile.titleVal(id, k)).mkString("")
+        val b = cat.getBytes("UTF-8")
+        var ck = 0L
+        b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
+        assert(c1.s_bytes.contains(b.length.toLong) && c1.s_checksum.contains(ck),
+          s"pq $id g$g titles")
+        val c2 = byCol(2L)
+        assert(c2.path == "score" && c2.ptype == "DOUBLE")
+        assert(c2.r_sum.contains(ks.map(k => ParquetFile.scoreVal(id, k)).sum),
+          s"pq $id g$g scores")
+      }
+    }
+    // multi-row-group files occur
+    assert((0L until 96L).exists(ParquetFile.nRows(_) > 3), "two-group files occur")
+  }
+
+  test("SPARK reads the from-scratch files: exact rows, exact types") {
+    val spark = graft.SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqf").toFile
+    try {
+      val ids = Seq(0L, 1L, 5L, 17L)
+      ids.foreach { id =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"part-$id.parquet").toPath, ParquetFile.renderParquet(id))
+      }
+      val df = spark.read.parquet(dir.getAbsolutePath)
+      val sch = df.schema
+      assert(sch("id").dataType == org.apache.spark.sql.types.LongType)
+      assert(sch("title").dataType == org.apache.spark.sql.types.StringType,
+        "UTF8 converted type must surface as StringType")
+      assert(sch("score").dataType == org.apache.spark.sql.types.DoubleType)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val expected = ids.flatMap { id =>
+        (0 until ParquetFile.nRows(id)).map(k =>
+          (ParquetFile.idVal(id, k), ParquetFile.titleVal(id, k), ParquetFile.scoreVal(id, k)))
+      }.toSet
+      assert(got == expected, "Spark must decode exactly the fixture rows")
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
+  test("foreign differential: the footer reader agrees with parquet-mr on REAL pyarrow files") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (table <- Seq("region", "nation", "documents", "embeddings", "lineitem")) {
+      val path = s"/root/testdata/sf0.001/$table.parquet"
+      val ours = ParquetFile.parseFooter(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fm = reader.getFooter
+        val blocks = fm.getBlocks.asScala.toSeq
+        assert(ours.rowGroups.length == blocks.length, s"$table row group count")
+        assert(ours.numRows == blocks.map(_.getRowCount).sum, s"$table num rows")
+        assert(ours.createdBy == fm.getFileMetaData.getCreatedBy, s"$table created_by")
+        ours.rowGroups.zip(blocks).zipWithIndex.foreach { case ((og, tb), g) =>
+          assert(og.numRows == tb.getRowCount, s"$table g$g rows")
+          val theirs = tb.getColumns.asScala.toSeq
+          assert(og.columns.length == theirs.length, s"$table g$g column count")
+          og.columns.zip(theirs).foreach { case (oc, tc) =>
+            val ctx = s"$table g$g ${oc.path}"
+            assert(oc.path == tc.getPath.toDotString, ctx)
+            // parquet-mr's PrimitiveTypeName spells thrift BYTE_ARRAY "BINARY"
+            val typeNames = Seq("BOOLEAN", "INT32", "INT64", "INT96", "FLOAT",
+              "DOUBLE", "BINARY", "FIXED_LEN_BYTE_ARRAY")
+            assert(typeNames(oc.typ) == tc.getPrimitiveType.getPrimitiveTypeName.name(),
+              s"$ctx type")
+            val codecNames = Seq("UNCOMPRESSED", "SNAPPY", "GZIP", "LZO", "BROTLI",
+              "LZ4", "ZSTD", "LZ4_RAW")
+            assert(codecNames(oc.codec) == tc.getCodec.name(), s"$ctx codec")
+            assert(oc.numValues == tc.getValueCount, s"$ctx value count")
+            assert(oc.dataPageOffset == tc.getFirstDataPageOffset, s"$ctx data page offset")
+            assert(oc.totalCompressed == tc.getTotalSize, s"$ctx compressed size")
+            assert(oc.totalUncompressed == tc.getTotalUncompressedSize, s"$ctx uncompressed size")
+            val theirEncs = tc.getEncodings.asScala.map(_.name()).toSet
+            val ourEncs = oc.encodings.map {
+              case 0 => "PLAIN"; case 2 => "PLAIN_DICTIONARY"; case 3 => "RLE"
+              case 4 => "BIT_PACKED"; case 5 => "DELTA_BINARY_PACKED"
+              case 6 => "DELTA_LENGTH_BYTE_ARRAY"; case 7 => "DELTA_BYTE_ARRAY"
+              case 8 => "RLE_DICTIONARY"; case 9 => "BYTE_STREAM_SPLIT"
+              case other => s"?$other"
+            }.toSet
+            assert(ourEncs == theirEncs, s"$ctx encodings $ourEncs vs $theirEncs")
+          }
+        }
+      } finally reader.close()
+    }
+  }
+
+  test("damage ladder: magic, footer length, thrift garbage, page mismatch quarantine") {
+    val id = 7L
+    val good = ParquetFile.renderParquet(id)
+    assert(ParquetFile.parseParquetSafe(id, good).nonEmpty)
+    def mut(at: Int, v: Byte): Array[Byte] = { val b = good.clone(); b(at) = v; b }
+    assert(ParquetFile.parseParquetSafe(id, mut(0, 'X'.toByte)).isEmpty, "head magic")
+    assert(ParquetFile.parseParquetSafe(id, mut(good.length - 1, 'X'.toByte)).isEmpty, "tail magic")
+    // footer length pointing past the file
+    assert(ParquetFile.parseParquetSafe(id, mut(good.length - 5, 0x7f.toByte)).isEmpty, "footer length")
+    assert(ParquetFile.parseParquetSafe(id, good.take(20)).isEmpty, "truncation")
+    assert(ParquetFile.parseParquetSafe(id, Array.emptyByteArray).isEmpty)
+    // corrupt a byte mid-footer: thrift structure breaks -> quarantine,
+    // never a wrong row (flip the created_by tail, which IS consumed)
+    val fLen = (good(good.length - 8) & 0xff) | ((good(good.length - 7) & 0xff) << 8)
+    val footerStart = good.length - 8 - fLen
+    val damaged = good.clone()
+    // zero the first footer byte (the version field header)
+    damaged(footerStart) = 0x00.toByte
+    val r = ParquetFile.parseParquetSafe(id, damaged)
+    // an immediate stop byte means an empty FileMetaData: num_rows missing -> quarantine
+    assert(r.isEmpty, "empty footer struct quarantines")
+  }
+
+  test("operator: damaged file quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 24L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = ParquetFile.encodeParquet(docs).as[(Long, Array[Byte])].map { case (id, b) =>
+      if (id == 8L) (id, b.take(b.length - 6)) else (id, b)
+    }.toDF("doc_id", "pq")
+    val got = ParquetFile.parquetMeta(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(8L))
+    for (id <- (0L until 24L) if id != 8L) {
+      val nGroups = (ParquetFile.nRows(id) + 2) / 3
+      assert(byDoc(id).length == 3 * nGroups, s"pq $id")
+    }
+  }
+}
