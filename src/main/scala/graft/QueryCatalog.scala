@@ -3204,6 +3204,13 @@ object QueryCatalog {
        |FROM d, wt, (SELECT unnest([0, 1]) AS k)
        |UNION ALL
        |SELECT doc_id, 'tags', k + 1, 1, 'i', ${nib("CAST(15 + k AS INT)")}, NULL, NULL
+       |FROM d, wt, (SELECT unnest([0, 1]) AS k)
+       |UNION ALL
+       |SELECT doc_id, 'notes', k + 1, 0, 's', NULL, NULL,
+       |       'note-' || ${w("CAST(14 + k AS INT)")}
+       |FROM d, wt, (SELECT unnest([0, 1]) AS k)
+       |UNION ALL
+       |SELECT doc_id, 'notes', k + 1, 1, 'i', (k + 1)::BIGINT, NULL, NULL
        |FROM d, wt, (SELECT unnest([0, 1]) AS k)""".stripMargin
   }
 

@@ -38,10 +38,11 @@ import org.apache.spark.sql.functions._
   * (`ParquetFileReader`, test classpath only) — the strongest possible
   * reader check, against a foreign writer.
   *
-  * Out of scope, clean quarantines: compressed pages in the DECODE path
-  * (codecs other than UNCOMPRESSED are surfaced in metadata but their
-  * pages are not decoded here), v2 data pages, dictionary encoding,
-  * OPTIONAL/REPEATED columns in the decode path, encrypted footers.
+  * Decode-subset boundary: chunks with compressed codecs, dictionary/v2
+  * pages, multi-page layouts, or exotic types surface their METADATA
+  * row (vtype 'm', no aggregates) rather than quarantining the file —
+  * only structural damage (bad magic, broken thrift, bounds violations)
+  * quarantines. Encrypted footers are damage.
   *
   * Scale shape: map-only per file, zero shuffles; at 100 TB the footer
   * walk is a range read of the file tail, never a full-file scan.
@@ -292,17 +293,26 @@ object ParquetFile {
       (size, t)
     }
 
-    /** Skip one value of compact type `t` (bools ride the header). */
+    /** Skip one STRUCT FIELD value of compact type `t` (a bool field's
+      * value rides its header, so 1/2 consume nothing here).
+      */
     def skip(t: Int): Unit = t match {
       case 1 | 2 => ()
-      case 3 => pos += 1
+      case other => skipElem(other)
+    }
+
+    /** Skip one LIST/SET/MAP ELEMENT of compact type `t` — unlike field
+      * values, a bool ELEMENT occupies one byte.
+      */
+    private def skipElem(t: Int): Unit = t match {
+      case 1 | 2 | 3 => pos += 1; if (pos > limit) fail()
       case 4 | 5 | 6 => varint()
       case 7 => pos += 8; if (pos > limit) fail()
       case 8 => binary()
       case 9 | 10 =>
         val (size, et) = listHeader()
         var i = 0
-        while (i < size) { skip(et); i += 1 }
+        while (i < size) { skipElem(et); i += 1 }
       case 11 =>
         val n = varint().toInt
         if (n < 0) fail()
@@ -311,7 +321,7 @@ object ParquetFile {
           val kt = (kv >> 4) & 0x0f
           val vt = kv & 0x0f
           var i = 0
-          while (i < n) { skip(kt); skip(vt); i += 1 }
+          while (i < n) { skipElem(kt); skipElem(vt); i += 1 }
         }
       case 12 =>
         structBegin()
@@ -368,7 +378,7 @@ object ParquetFile {
       else Some(PqSchemaCol(name, typ, converted))
     }
 
-    def readColumnMeta(): (PqColumn, Boolean) = {
+    def readColumnMeta(): PqColumn = {
       r.structBegin()
       var typ = -1; var codec = -1; var numValues = -1L
       var tu = -1L; var tc = -1L; var dpo = -1L
@@ -395,7 +405,7 @@ object ParquetFile {
       }
       r.structEnd()
       if (typ < 0 || codec < 0 || numValues < 0 || dpo < 0 || tu < 0 || tc < 0) fail()
-      (PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L), true)
+      PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L)
     }
 
     def readColumnChunk(): PqColumn = {
@@ -405,7 +415,7 @@ object ParquetFile {
       var more = true
       while (more) r.field() match {
         case Some((2, 6)) => fileOffset = r.zigzag()
-        case Some((3, 12)) => col = readColumnMeta()._1
+        case Some((3, 12)) => col = readColumnMeta()
         case Some((_, t)) => r.skip(t)
         case None => more = false
       }
@@ -455,11 +465,16 @@ object ParquetFile {
     PqFooter(version, numRows, schema.result(), rowGroups.result(), createdBy)
   }
 
-  /** Decode one UNCOMPRESSED PLAIN v1 data page; returns typed values. */
-  private def decodePage(bytes: Array[Byte], chunk: PqColumn): Seq[Any] = {
-    if (chunk.codec != 0) fail() // decode path: UNCOMPRESSED only
-    val r = new TReader(bytes, chunk.dataPageOffset.toInt, bytes.length)
+  /** Decode one UNCOMPRESSED PLAIN v1 data page. Returns None for
+    * chunks OUTSIDE the decode subset (compressed codecs, dictionary/v2
+    * pages, multi-page chunks, exotic types) — their metadata still
+    * surfaces; only structural damage fails.
+    */
+  private def decodePage(bytes: Array[Byte], chunk: PqColumn): Option[Seq[Any]] = {
+    if (chunk.codec != 0) return None // compressed: metadata-only
+    if (chunk.typ != 2 && chunk.typ != 5 && chunk.typ != 6) return None
     if (chunk.dataPageOffset < 0 || chunk.dataPageOffset > bytes.length) fail()
+    val r = new TReader(bytes, chunk.dataPageOffset.toInt, bytes.length)
     r.structBegin()
     var pageType = -1; var uncomp = -1; var comp = -1; var numValues = -1
     var encoding = -1
@@ -482,8 +497,8 @@ object ParquetFile {
       case None => more = false
     }
     r.structEnd()
-    if (pageType != 0 || encoding != 0) fail() // v1 PLAIN only
-    if (numValues.toLong != chunk.numValues) fail() // single-page subset
+    if (pageType != 0 || encoding != 0) return None // dict/v2/non-PLAIN
+    if (numValues.toLong != chunk.numValues) return None // multi-page chunk
     if (uncomp != comp || uncomp < 0) fail()
     var p = r.pos
     val end = p + uncomp
@@ -511,12 +526,12 @@ object ParquetFile {
           if (len < 0 || p + 4 + len > end) fail()
           out += new String(bytes, p + 4, len, java.nio.charset.StandardCharsets.UTF_8)
           p += 4 + len
-        case _ => fail() // decode subset
+        case _ => fail() // unreachable: gated above
       }
       i += 1
     }
     if (p != end) fail() // the page must be consumed exactly
-    out.result()
+    Some(out.result())
   }
 
   final case class ParquetColStat(
@@ -532,18 +547,22 @@ object ParquetFile {
       rg.columns.zipWithIndex.map { case (c, ci) =>
         if (c.typ < 0 || c.typ >= TypeNames.length) fail()
         if (c.codec < 0 || c.codec >= CodecNames.length) fail()
-        val values = decodePage(bytes, c)
-        val (vtype, iSum, rSum, sBytes, sCk) = c.typ match {
-          case 2 =>
-            ("i", Some(values.map(_.asInstanceOf[Long]).sum), None, None, None)
-          case 5 =>
-            ("f", None, Some(values.map(_.asInstanceOf[Double]).sum), None, None)
-          case _ =>
-            val cat = values.map(_.asInstanceOf[String]).mkString("")
-            val b = cat.getBytes("UTF-8")
-            var ck = 0L
-            b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
-            ("s", None, None, Some(b.length.toLong), Some(ck))
+        val (vtype, iSum, rSum, sBytes, sCk) = decodePage(bytes, c) match {
+          case None =>
+            // out of the decode subset: the footer metadata still grades
+            ("m", None, None, None, None)
+          case Some(values) => c.typ match {
+            case 2 =>
+              ("i", Some(values.map(_.asInstanceOf[Long]).sum), None, None, None)
+            case 5 =>
+              ("f", None, Some(values.map(_.asInstanceOf[Double]).sum), None, None)
+            case _ =>
+              val cat = values.map(_.asInstanceOf[String]).mkString("")
+              val b = cat.getBytes("UTF-8")
+              var ck = 0L
+              b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
+              ("s", None, None, Some(b.length.toLong), Some(ck))
+          }
         }
         ParquetColStat(id, g.toLong, ci.toLong, c.path, TypeNames(c.typ),
           CodecNames(c.codec), c.numValues, vtype, iSum, rSum, sBytes, sCk)

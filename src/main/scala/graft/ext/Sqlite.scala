@@ -227,15 +227,29 @@ object Sqlite {
     // interior root iff L > 1, then the tags leaf
     val nLeaves = docLeaves.length
     val docsRoot = if (nLeaves == 1) 2 else 2 + nLeaves
-    val tagsRoot = docsRoot + (if (nLeaves == 1) 1 else 1)
-    val totalPages = tagsRoot
-    val masterRows = Seq(
-      ("docs", docsRoot,
-        "CREATE TABLE docs(id INTEGER PRIMARY KEY, title TEXT, score INTEGER, ratio REAL, data BLOB, note TEXT)"),
-      ("tags", tagsRoot, "CREATE TABLE tags(label TEXT, weight INTEGER)"))
-    val masterCells = masterRows.zipWithIndex.map { case ((name, root, sql), i) =>
+    val tagsRoot = docsRoot + 1
+    val notesRoot = tagsRoot + 1
+    val hasIndex = id % 3 == 0
+    val indexRoot = notesRoot + 1
+    val totalPages = if (hasIndex) indexRoot else notesRoot
+    // the catalog: three tables (notes puts its INTEGER PRIMARY KEY at
+    // column 1, grading the DDL-resolved alias index), plus — on every
+    // third database — an auto-index row whose sql is NULL and whose
+    // type is not 'table': real files always carry these, and a reader
+    // that fails instead of skipping them quarantines everything
+    val masterRows = Seq[(String, String, Int, SVal)](
+      ("table", "docs", docsRoot, SText(
+        "CREATE TABLE docs(id INTEGER PRIMARY KEY, title TEXT, score INTEGER, ratio REAL, data BLOB, note TEXT)")),
+      ("table", "tags", tagsRoot, SText("CREATE TABLE tags(label TEXT, weight INTEGER)")),
+      ("table", "notes", notesRoot, SText(
+        "CREATE TABLE notes(label TEXT, nid INTEGER PRIMARY KEY)"))) ++
+      (if (hasIndex)
+        Seq(("index", "sqlite_autoindex_docs_1", indexRoot, SNull))
+      else Nil)
+    val masterCells = masterRows.zipWithIndex.map { case ((typ, name, root, sql), i) =>
       leafCell((i + 1).toLong, record(Seq[SVal](
-        SText("table"), SText(name), SText(name), SInt(root.toLong), SText(sql))))
+        SText(typ), SText(name), SText(if (typ == "table") name else "docs"),
+        SInt(root.toLong), sql)))
     }
     val buf = new Array[Byte](PageSize * totalPages)
     // ---- 100-byte file header
@@ -272,6 +286,12 @@ object Sqlite {
       renderPage(buf, docsRoot, 0, 0x05, interiorCells, 2 + nLeaves - 1)
     }
     renderPage(buf, tagsRoot, 0, 0x0D, tagCells.map(_._2), 0)
+    val noteCells = (0 until 2).map { k =>
+      // (label TEXT, nid IPK): the alias column stores NULL at index 1
+      leafCell((k + 1).toLong, record(Seq[SVal](SText(tagOf(id, k).replace("tag-", "note-")), SNull)))
+    }
+    renderPage(buf, notesRoot, 0, 0x0D, noteCells, 0)
+    if (hasIndex) renderPage(buf, indexRoot, 0, 0x0A, Nil, 0) // empty index leaf
     buf
   }
 
@@ -415,9 +435,10 @@ object Sqlite {
         typ match {
           case 0x0D => // table leaf
             val ptrBase = hdrAt + 8
+            val contentMin = ptrBase + 2 * nCells // header + pointer array
             for (i <- 0 until nCells) {
               val off = base + rdU16(bytes, ptrBase + 2 * i)
-              if (off < base || off >= pageEnd) fail()
+              if (off < contentMin || off >= pageEnd) fail()
               val (payloadLen, c1) = rdVarint(bytes, off, pageEnd)
               val (rowid, c2) = rdVarint(bytes, off + c1, pageEnd)
               // inline-only subset: the whole payload must fit this cell
@@ -432,9 +453,10 @@ object Sqlite {
             }
           case 0x05 => // table interior
             val ptrBase = hdrAt + 12
+            val contentMin = ptrBase + 2 * nCells
             for (i <- 0 until nCells) {
               val off = base + rdU16(bytes, ptrBase + 2 * i)
-              if (off < base || off + 4 >= pageEnd) fail()
+              if (off < contentMin || off + 4 >= pageEnd) fail()
               val child = rdU32(bytes, off)
               walk(child.toInt, depth + 1)
             }
@@ -447,23 +469,55 @@ object Sqlite {
     }
   }
 
+  /** The column index of the table's INTEGER-PRIMARY-KEY rowid alias,
+    * resolved from the DDL's column list (top-level comma split inside
+    * the outer parens) — never a whole-string grep: the alias can sit
+    * at any position, and `INTEGER PRIMARY KEY DESC` is NOT an alias
+    * per SQLite's rule.
+    */
+  private[ext] def ipkColIndex(sql: String): Option[Int] = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    if (open < 0 || close <= open) return None
+    val body = sql.substring(open + 1, close)
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    body.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => cols += cur.toString; cur.setLength(0)
+      case c => cur.append(c)
+    }
+    cols += cur.toString
+    cols.zipWithIndex.collectFirst {
+      case (c, i) if c.toUpperCase.contains("INTEGER PRIMARY KEY") &&
+        !c.toUpperCase.contains("INTEGER PRIMARY KEY DESC") => i
+    }
+  }
+
   private[ext] def parseSqlite(id: Long, bytes: Array[Byte]): Seq[SqliteCell] = {
     val db = new Db(Option(bytes).getOrElse(fail()))
-    // the catalog: sqlite_master rows are (type, name, tbl_name, rootpage, sql)
-    val master = db.walkTable(1).map {
+    // the catalog: sqlite_master rows are (type, name, tbl_name,
+    // rootpage, sql); only 'table' rows are data sources — indexes,
+    // views, triggers (whose sql may legitimately be NULL for
+    // auto-indexes) are skipped, exactly like a real reader
+    val master = db.walkTable(1).flatMap {
       case (_, Vector(SText("table"), SText(name), SText(_), SInt(root), SText(sql))) =>
-        (name, root.toInt, sql)
-      case _ => fail()
+        Some((name, root.toInt, sql))
+      case (_, Vector(SText(_), SText(_), SText(_), SInt(_) | SNull, SText(_) | SNull)) =>
+        None // index/view/trigger rows: not data sources
+      case _ => fail() // wrong arity / types: catalog damage
     }
     if (master.map(_._1).distinct.length != master.length) fail() // dup table
     val out = Vector.newBuilder[SqliteCell]
     master.foreach { case (name, root, sql) =>
-      val ipk = sql.contains("INTEGER PRIMARY KEY")
+      val ipkAt = ipkColIndex(sql).getOrElse(-1)
       db.walkTable(root).foreach { case (rowid, vals) =>
         vals.zipWithIndex.foreach { case (v, i) =>
           val cell = v match {
             // the IPK column stores NULL; SQLite defines its value as the rowid
-            case SNull if ipk && i == 0 =>
+            case SNull if i == ipkAt =>
               SqliteCell(id, name, rowid, i.toLong, "i", Some(rowid), None, None)
             case SNull => SqliteCell(id, name, rowid, i.toLong, "z", None, None, None)
             case SInt(x) => SqliteCell(id, name, rowid, i.toLong, "i", Some(x), None, None)

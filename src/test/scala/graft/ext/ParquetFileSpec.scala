@@ -113,6 +113,20 @@ class ParquetFileSpec extends AnyFunSuite {
     }
   }
 
+  test("real pyarrow file through the FULL key path: metadata surfaces, decode stays gated") {
+    // snappy + dictionary chunks are outside the decode subset — the
+    // contract is metadata-only rows (vtype 'm'), never a quarantine of
+    // the whole file (the second review pass caught exactly that)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))
+    val rows = ParquetFile.parseParquet(99L, bytes)
+    assert(rows.nonEmpty, "foreign file must surface its metadata")
+    assert(rows.forall(_.vtype == "m"), "compressed chunks stay metadata-only")
+    assert(rows.forall(_.codec == "SNAPPY"))
+    assert(rows.map(_.path).toSet == Set("r_regionkey", "r_name"))
+    assert(rows.forall(_.num_values == 5L), "sf0.001 region has 5 rows")
+  }
+
   test("damage ladder: magic, footer length, thrift garbage, page mismatch quarantine") {
     val id = 7L
     val good = ParquetFile.renderParquet(id)

@@ -32,12 +32,20 @@ class SqliteSpec extends AnyFunSuite {
         val rid = (k + 1).toLong
         assert(byKey(("tags", rid, 0L)).s_val.contains(Sqlite.tagOf(id, k)), s"db $id tag $k")
         assert(byKey(("tags", rid, 1L)).i_val.contains(Sqlite.weightOf(id, k)), s"db $id weight $k")
+        // notes: the IPK alias sits at column 1 — DDL-resolved, not col 0
+        assert(byKey(("notes", rid, 0L)).s_val.contains(
+          Sqlite.tagOf(id, k).replace("tag-", "note-")), s"db $id note $k")
+        assert(byKey(("notes", rid, 1L)).i_val.contains(rid), s"db $id note IPK $k")
       }
-      assert(rows.length == 6 * n + 4, s"db $id cell count")
-      // page census: >4 pages means leaves + an interior root existed
+      // the auto-index catalog row (every third db, NULL sql) contributes
+      // no data rows — the reader skips it rather than quarantining
+      assert(!rows.exists(_.tbl == "sqlite_autoindex_docs_1"), s"db $id index skipped")
+      assert(rows.length == 6 * n + 8, s"db $id cell count")
+      // page census: interior root exists when docs spans multiple leaves
       val pages = db.length / 512
-      if (pages >= 5) sawInterior = true
-      if (pages == 3) sawSingleLeaf = true
+      val indexPages = if (id % 3 == 0) 1 else 0
+      if (pages >= 6 + indexPages) sawInterior = true
+      if (pages == 4 + indexPages) sawSingleLeaf = true
     }
     assert(sawInterior, "multi-leaf + interior-root databases occurred")
     assert(sawSingleLeaf, "single-leaf databases occurred")
@@ -63,14 +71,32 @@ class SqliteSpec extends AnyFunSuite {
     assert(Sqlite.parseSqliteSafe(id, mut(20, 32.toByte)).isEmpty, "reserved bytes")
     assert(Sqlite.parseSqliteSafe(id, good.take(good.length - 100)).isEmpty, "truncated file")
     assert(Sqlite.parseSqliteSafe(id, Array.emptyByteArray).isEmpty)
-    // rowid order violation: swap the two cell pointers of the tags leaf
-    val tagsBase = good.length - 512
+    // rowid order violation: swap the two cell pointers of the notes leaf
+    // (id 5 has no index arm, so notes is the LAST page)
+    val notesBase = good.length - 512
     val swapped = good.clone()
     for (i <- 0 until 2) {
-      swapped(tagsBase + 8 + i) = good(tagsBase + 10 + i)
-      swapped(tagsBase + 10 + i) = good(tagsBase + 8 + i)
+      swapped(notesBase + 8 + i) = good(notesBase + 10 + i)
+      swapped(notesBase + 10 + i) = good(notesBase + 8 + i)
     }
     assert(Sqlite.parseSqliteSafe(id, swapped).isEmpty, "descending rowids quarantine")
+    // a cell pointer aimed INTO the pointer array itself must quarantine,
+    // never parse header bytes as a record
+    val lowPtr = good.clone()
+    lowPtr(notesBase + 8) = 0; lowPtr(notesBase + 9) = 9 // offset 9 < content area
+    assert(Sqlite.parseSqliteSafe(id, lowPtr).isEmpty, "pointer into header quarantines")
+  }
+
+  test("ipkColIndex: DDL-resolved position, DESC exclusion, no substring traps") {
+    assert(Sqlite.ipkColIndex("CREATE TABLE t(a INTEGER PRIMARY KEY, b TEXT)").contains(0))
+    assert(Sqlite.ipkColIndex("CREATE TABLE t(a TEXT, b INTEGER PRIMARY KEY)").contains(1))
+    assert(Sqlite.ipkColIndex("CREATE TABLE t(a TEXT, b integer primary key)").contains(1))
+    assert(Sqlite.ipkColIndex("CREATE TABLE t(a TEXT, b INTEGER PRIMARY KEY DESC)").isEmpty,
+      "DESC is not a rowid alias per SQLite")
+    assert(Sqlite.ipkColIndex("CREATE TABLE t(a TEXT, b INT)").isEmpty)
+    assert(Sqlite.ipkColIndex(
+      "CREATE TABLE t(a TEXT, c CHECK (length(a) > 1), b INTEGER PRIMARY KEY)").contains(2),
+      "parenthesized constraint must not break the top-level comma split")
   }
 
   test("operator: damaged database quarantines alone (Spark)") {
@@ -84,6 +110,6 @@ class SqliteSpec extends AnyFunSuite {
     val byDoc = got.groupBy(_.doc_id)
     assert(!byDoc.contains(13L))
     for (id <- (0L until 24L) if id != 13L)
-      assert(byDoc(id).length == 6 * Sqlite.nRows(id) + 4, s"db $id")
+      assert(byDoc(id).length == 6 * Sqlite.nRows(id) + 8, s"db $id")
   }
 }
