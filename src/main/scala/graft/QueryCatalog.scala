@@ -4324,7 +4324,17 @@ object QueryCatalog {
     */
   private val qAvroExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Avro.avroExtract(
-      graft.ext.Avro.encodeAvroArchives(table(s, dir, "documents"), nArchives = 16)).toDF()
+      // 32 shards, not the container family's 16: the avro demux is the
+      // family's most CPU-expensive member (per-archive deflate both
+      // directions), and 16 shards left half of local[32] idle — a real
+      // avro dataset is sharded to the cluster, so more shards IS the
+      // production shape
+      graft.ext.Avro.encodeAvroArchives(table(s, dir, "documents"), nArchives = 32)).toDF()
+
+  /** [[oZstExtract]] with the avro key's 32-way sharding. (lazy: the
+    * shared container oracle is defined later in this object)
+    */
+  private lazy val oAvroExtract: String = oZstExtract.replace("% 16", "% 32")
 
   /** The TFRecord ingest path under the gate ([[graft.ext.TfRecord]] —
     * the ML-native record container a training pipeline feeds from):
@@ -9674,7 +9684,7 @@ object QueryCatalog {
     "sentence_dedup" -> oSentenceDedup,
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
-    "avro_extract" -> oZstExtract,
+    "avro_extract" -> oAvroExtract,
     "subtitle_cues" -> oSubtitleCues,
     "pdf_extract" -> oPdfExtract,
     "epub_extract" -> oEpubExtract,
