@@ -1603,6 +1603,11 @@ object Zstd {
     val base = docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(textCol).as("text"))
+      // one staging exchange: the bench's documents table is a single
+      // parquet row group (one scan partition), which would serialize
+      // the 8-gram explosion onto one thread before the groupBy; a real
+      // corpus scan is many partitions (see Pdf.encodePdf)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val freqs = base
       .filter(length(col("text")) >= gramLen)
       .select(explode(expr(
@@ -1666,6 +1671,11 @@ object Zstd {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
+      // one staging exchange: per-document dictionary compress+decompress
+      // is the repo's most expensive per-row codec work, and the bench's
+      // single-row-group documents scan would serialize it (see
+      // Pdf.encodePdf for the full rationale)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         // family convention (zstdSignal, brotliSignal): one damaged
