@@ -3214,6 +3214,60 @@ object QueryCatalog {
        |FROM d, wt, (SELECT unnest([0, 1]) AS k)""".stripMargin
   }
 
+  /** ORC internals ([[graft.ext.Orc]] — the other columnar lake format,
+    * at the byte level, no ORC library): protobuf wire format both
+    * directions, postscript/footer/stripe-footer walk, compression
+    * chunk framing (NONE/ZLIB/SNAPPY over the shared from-scratch
+    * inflate + snappy), all four RLEv2 sub-encodings read and three
+    * written, string DIRECT_V2 + DICTIONARY_V2, IEEE-LE doubles. The
+    * oracle replays per-stripe per-column aggregates; OrcSpec closes
+    * the loop both ways — SPARK reads the from-scratch files bit-exact,
+    * and the reader decodes REAL orc-core-written files (NONE, SNAPPY,
+    * ZLIB; a forced PATCHED_BASE column; dictionary strings) bit-exact.
+    */
+  private val qOrcMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Orc.orcMeta(graft.ext.Orc.encodeOrc(table(s, dir, "documents"))).toDF()
+
+  private val oOrcMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('orcf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k, k // 3 AS g
+       |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 4),
+       |t AS (SELECT doc_id, g, k,
+       |        'row ' || CAST(k AS VARCHAR) || ' of orc ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(2 + k AS INT)")} ||
+       |          CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END AS title,
+       |        (doc_id * 100 + k)::BIGINT AS iv,
+       |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv,
+       |        (${nib("16")} % 13 - 6)::BIGINT AS cv
+       |      FROM r),
+       |a AS (SELECT doc_id, g, count(*)::BIGINT AS cnt, sum(iv)::BIGINT AS isum,
+       |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat, min(cv) AS cv
+       |      FROM t GROUP BY doc_id, g),
+       |h AS (SELECT doc_id, g, cnt, isum, rsum, cv, hex(encode(cat)) AS hx,
+       |        octet_length(encode(cat)) AS nb FROM a)
+       |SELECT doc_id, g::BIGINT AS stripe, 1::BIGINT AS col_idx, 'id' AS name,
+       |       'LONG' AS ctype, 'DIRECT_V2' AS enc, cnt AS n_vals,
+       |       'i' AS vtype, isum AS i_sum, NULL::DOUBLE AS r_sum,
+       |       NULL::BIGINT AS s_bytes, NULL::BIGINT AS s_checksum FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 2, 'title', 'STRING', 'DIRECT_V2', cnt, 's',
+       |       NULL, NULL, nb::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nb), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 3, 'score', 'DOUBLE', 'DIRECT', cnt, 'f',
+       |       NULL, rsum, NULL, NULL FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 4, 'cat', 'LONG', 'DIRECT_V2', cnt, 'i',
+       |       (cv * cnt)::BIGINT, NULL, NULL, NULL FROM h""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9352,6 +9406,7 @@ object QueryCatalog {
     "ppt_extract" -> qPptExtract,
     "sqlite_rows" -> qSqliteRows,
     "parquet_meta" -> qParquetMeta,
+    "orc_meta" -> qOrcMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9694,6 +9749,7 @@ object QueryCatalog {
     "ppt_extract" -> oPptExtract,
     "sqlite_rows" -> oSqliteRows,
     "parquet_meta" -> oParquetMeta,
+    "orc_meta" -> oOrcMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
