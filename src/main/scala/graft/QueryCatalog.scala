@@ -3268,6 +3268,63 @@ object QueryCatalog {
        |       (cv * cnt)::BIGINT, NULL, NULL, NULL FROM h""".stripMargin
   }
 
+  /** Arrow IPC internals ([[graft.ext.Arrow]] — the interchange format,
+    * at the byte level with no Arrow or FlatBuffers library): the
+    * flatbuffers wire format BOTH directions (vtables, soffsets,
+    * struct/ref vectors, back-to-front build), encapsulated-message
+    * framing, footer blocks, validity bitmaps, Int/Float/Utf8 buffers.
+    * The oracle replays per-batch per-column aggregates (nulls
+    * excluded, null counts surfaced); ArrowSpec closes the loop both
+    * ways — ARROW-JAVA reads the from-scratch files value-exact, and
+    * the reader decodes real ArrowFileWriter output bit-exact.
+    */
+  private val qArrowBatches: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Arrow.arrowBatches(graft.ext.Arrow.encodeArrow(table(s, dir, "documents"))).toDF()
+
+  private val oArrowBatches: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('arrw:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k, k // 3 AS g
+       |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 4),
+       |t AS (SELECT doc_id, g, k,
+       |        'row ' || CAST(k AS VARCHAR) || ' of arrow ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(2 + k AS INT)")} ||
+       |          CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END AS title,
+       |        (doc_id * 100 + k)::BIGINT AS iv,
+       |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv,
+       |        CASE WHEN (doc_id + k) % 3 = 0 THEN NULL
+       |          ELSE ${nib("CAST(12 + k AS INT)")} - 7 END AS fv
+       |      FROM r),
+       |a AS (SELECT doc_id, g, count(*)::BIGINT AS cnt, sum(iv)::BIGINT AS isum,
+       |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat,
+       |        coalesce(sum(fv), 0)::BIGINT AS fsum,
+       |        (count(*) - count(fv))::BIGINT AS fnulls
+       |      FROM t GROUP BY doc_id, g),
+       |h AS (SELECT doc_id, g, cnt, isum, rsum, fsum, fnulls,
+       |        hex(encode(cat)) AS hx, octet_length(encode(cat)) AS nb FROM a)
+       |SELECT doc_id, g::BIGINT AS batch, 0::BIGINT AS col_idx, 'id' AS name,
+       |       'INT64' AS ctype, FALSE AS nullable, cnt AS n_rows,
+       |       0::BIGINT AS null_count, 'i' AS vtype, isum AS i_sum,
+       |       NULL::DOUBLE AS r_sum, NULL::BIGINT AS s_bytes,
+       |       NULL::BIGINT AS s_checksum FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 1, 'title', 'UTF8', FALSE, cnt, 0, 's',
+       |       NULL, NULL, nb::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nb), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 2, 'score', 'FLOAT64', FALSE, cnt, 0, 'f',
+       |       NULL, rsum, NULL, NULL FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 3, 'flag', 'INT32', TRUE, cnt, fnulls, 'i',
+       |       fsum, NULL, NULL, NULL FROM h""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9407,6 +9464,7 @@ object QueryCatalog {
     "sqlite_rows" -> qSqliteRows,
     "parquet_meta" -> qParquetMeta,
     "orc_meta" -> qOrcMeta,
+    "arrow_batches" -> qArrowBatches,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9750,6 +9808,7 @@ object QueryCatalog {
     "sqlite_rows" -> oSqliteRows,
     "parquet_meta" -> oParquetMeta,
     "orc_meta" -> oOrcMeta,
+    "arrow_batches" -> oArrowBatches,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
