@@ -3325,6 +3325,82 @@ object QueryCatalog {
        |       fsum, NULL, NULL, NULL FROM h""".stripMargin
   }
 
+  /** Debian package ingestion ([[graft.ext.Deb]] — the package-mining
+    * shelf): the ar layer (both real-world name styles), the shared
+    * RFC 1952 gzip machinery (all three DEFLATE strategies + all
+    * header-flag variants cycled), a ustar walk, and RFC-822 control
+    * fields with continuation folding. commons-compress differentials
+    * both directions in DebSpec; damage anywhere quarantines whole.
+    */
+  private val qDebExtract: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Deb.debExtract(graft.ext.Deb.encodeDeb(table(s, dir, "documents"))).toDF()
+
+  private val oDebExtract: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('deb:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |f AS (SELECT doc_id, m, ws, j,
+       |        repeat('payload ' || CAST(j AS VARCHAR) || ' of deb '
+       |            || CAST(doc_id AS VARCHAR) || ': ' || ${w("CAST(8 + j AS INT)")} || chr(10),
+       |          CAST(1 + (doc_id + j) % 4 AS INT)) AS body
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("7")} % 3),
+       |a AS (SELECT doc_id, string_agg(body, '' ORDER BY j) AS cat,
+       |        count(*)::BIGINT AS nf FROM f GROUP BY doc_id),
+       |h AS (SELECT doc_id, nf, hex(encode(cat)) AS hx,
+       |        octet_length(encode(cat))::BIGINT AS nb FROM a)
+       |SELECT d.doc_id,
+       |       'pkg-' || ${w("2")} AS package_name,
+       |       '1.' || CAST(${nib("3")} AS VARCHAR) || '.' || CAST(${nib("4")} AS VARCHAR) AS version,
+       |       CASE WHEN d.doc_id % 2 = 0 THEN 'amd64' ELSE 'arm64' END AS arch,
+       |       (100 + ${nib("5")} * 7)::BIGINT AS installed_size,
+       |       CASE WHEN d.doc_id % 3 = 0
+       |         THEN 'libc6 (>= 2.' || CAST(${nib("6")} AS VARCHAR) || ')' END AS depends,
+       |       h.nf AS n_files, h.nb AS data_bytes,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(h.nb), i ->
+       |         ('0x' || substr(h.hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT AS data_checksum
+       |FROM d JOIN h ON d.doc_id = h.doc_id, wt""".stripMargin
+  }
+
+  /** cpio ingestion ([[graft.ext.Cpio]] — initramfs / RPM payloads):
+    * SVR4 newc + crc formats, the crc variant's check field VERIFIED
+    * against the data sum; commons-compress differentials both
+    * directions in CpioSpec.
+    */
+  private val qCpioEntries: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Cpio.cpioEntries(graft.ext.Cpio.encodeCpio(table(s, dir, "documents"))).toDF()
+
+  private val oCpioEntries: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('cpio:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |f AS (SELECT doc_id, m, ws, j,
+       |        repeat('cpio member ' || CAST(j AS VARCHAR) || ' of '
+       |            || CAST(doc_id AS VARCHAR) || ': ' || ${w("CAST(2 + j AS INT)")} || chr(10),
+       |          CAST(1 + (doc_id + j) % 4 AS INT)) AS body
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("1")} % 3),
+       |h AS (SELECT doc_id, j, hex(encode(body)) AS hx,
+       |        octet_length(encode(body))::BIGINT AS nb FROM f)
+       |SELECT doc_id, 0::BIGINT AS entry_idx,
+       |       'payload' || CAST(doc_id AS VARCHAR) AS name, 'd' AS ftype,
+       |       (1700000000 + doc_id % 1000)::BIGINT AS mtime,
+       |       0::BIGINT AS n_bytes, 0::BIGINT AS checksum FROM d
+       |UNION ALL
+       |SELECT doc_id, (j + 1)::BIGINT,
+       |       'payload' || CAST(doc_id AS VARCHAR) || '/f' || CAST(j AS VARCHAR) || '.dat',
+       |       'f', (1700000000 + doc_id % 1000 + j)::BIGINT, nb,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nb), i ->
+       |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT
+       |FROM h""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9465,6 +9541,8 @@ object QueryCatalog {
     "parquet_meta" -> qParquetMeta,
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
+    "deb_extract" -> qDebExtract,
+    "cpio_entries" -> qCpioEntries,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9809,6 +9887,8 @@ object QueryCatalog {
     "parquet_meta" -> oParquetMeta,
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
+    "deb_extract" -> oDebExtract,
+    "cpio_entries" -> oCpioEntries,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
