@@ -3401,6 +3401,34 @@ object QueryCatalog {
        |FROM h""".stripMargin
   }
 
+  /** Font metadata ([[graft.ext.Sfnt]] — web-corpus curation): complete
+    * loadable TrueType fonts from scratch (offset table, real table +
+    * whole-font checksums, cmap format 4, glyf/loca, name format 0 in
+    * both platform arms, OS/2 weight) and the WOFF 1.0 zlib wrapper.
+    * The JDK's native sfnt loader accepts the fonts and agrees on
+    * family/glyph count in SfntSpec.
+    */
+  private val qTtfMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sfnt.ttfMeta(graft.ext.Sfnt.encodeFonts(table(s, dir, "documents"))).toDF()
+
+  private val oTtfMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('sfnt:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['Anchor','Bloom','Cedar','Dune','Ember','Flint','Grove','Harbor'] AS ws)
+       |SELECT doc_id,
+       |       CASE WHEN doc_id % 3 = 2 THEN 'woff' ELSE 'ttf' END AS container,
+       |       10::BIGINT AS n_tables,
+       |       CASE WHEN doc_id % 2 = 0 THEN 1024 ELSE 2048 END::BIGINT AS units_per_em,
+       |       (2 + ${nib("3")} % 3)::BIGINT AS num_glyphs,
+       |       'Graft ' || list_extract(ws, 1 + CAST(${nib("2")} % 8 AS INT)) AS family,
+       |       'Graft ' || list_extract(ws, 1 + CAST(${nib("2")} % 8 AS INT))
+       |         || ' Regular' AS full_name,
+       |       (300 + 100 * (${nib("4")} % 5))::BIGINT AS weight_class,
+       |       8::BIGINT AS n_name_records
+       |FROM d, wt""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9543,6 +9571,7 @@ object QueryCatalog {
     "arrow_batches" -> qArrowBatches,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
+    "ttf_meta" -> qTtfMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9889,6 +9918,7 @@ object QueryCatalog {
     "arrow_batches" -> oArrowBatches,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
+    "ttf_meta" -> oTtfMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
