@@ -614,7 +614,7 @@ object Orc {
         case (_, w) => r.skip(w)
       }
     }
-    if (off < 0 || dl < 0 || fl < 0 || rows < 0) fail()
+    if (off < 0 || il < 0 || dl < 0 || fl < 0 || rows < 0) fail()
     OrcStripe(off, il, dl, fl, rows)
   }
 
@@ -723,8 +723,15 @@ object Orc {
     * names; deeper nesting dotted through parents.
     */
   private def columnNames(types: Seq[OrcType]): Map[Int, String] = {
+    if (types.isEmpty || types.length > (1 << 16)) fail()
     val out = scala.collection.mutable.Map[Int, String]()
-    def walk(id: Int, prefix: String): Unit = {
+    // explicit stack, not recursion: a corrupt footer can chain tens of
+    // thousands of single-child types, and a StackOverflowError would
+    // escape the NonFatal quarantine and kill the task
+    var stack = List((0, ""))
+    while (stack.nonEmpty) {
+      val (id, prefix) = stack.head
+      stack = stack.tail
       if (id < 0 || id >= types.length) fail()
       val t = types(id)
       t.subtypes.zipWithIndex.foreach { case (sub, i) =>
@@ -736,11 +743,9 @@ object Orc {
           else s"_col$i"
         val full = if (prefix.isEmpty) nm else s"$prefix.$nm"
         out(sub) = full
-        walk(sub, full)
+        stack = (sub, full) :: stack
       }
     }
-    if (types.isEmpty) fail()
-    walk(0, "")
     out.toMap
   }
 
@@ -763,8 +768,13 @@ object Orc {
     val names = columnNames(footer.types)
 
     footer.stripes.zipWithIndex.flatMap { case (st, si) =>
-      if (st.offset < 3 || st.offset + st.indexLength + st.dataLength +
-        st.footerLength > footerStart) fail()
+      // each term individually bounded BEFORE the sum: negative varints
+      // are rejected in parseStripeInfo, and capping every length at the
+      // footer start makes the four-term sum overflow-free
+      if (st.offset < 3 || st.offset > footerStart ||
+        st.indexLength > footerStart || st.dataLength > footerStart ||
+        st.footerLength > footerStart ||
+        st.offset + st.indexLength + st.dataLength + st.footerLength > footerStart) fail()
       val sfStart = (st.offset + st.indexLength + st.dataLength).toInt
       val sf = parseStripeFooter(
         streamBytes(bytes, sfStart, sfStart + st.footerLength.toInt, ps.compression, MaxStream))
@@ -784,8 +794,8 @@ object Orc {
           if (out == null) fail()
           out
         }
+      if (st.numRows < 0 || st.numRows > (1 << 22)) fail() // bound the LONG first
       val rows = st.numRows.toInt
-      if (rows < 0 || rows > (1 << 22)) fail()
 
       (1 until footer.types.length).map { ci =>
         val t = footer.types(ci)

@@ -213,6 +213,8 @@ object Sfnt {
     out.write("GRFT".getBytes("ISO-8859-1"), 0, 4) // achVendID
     w16(0x0040) // fsSelection: REGULAR
     w16(0x41); w16(0x41) // first/last char index
+    w16(800); w16(-200); w16(200) // sTypoAscender/Descender/LineGap
+    w16(800); w16(200) // usWinAscent/Descent
     out.toByteArray
   }
 

@@ -43,6 +43,15 @@ class SfntSpec extends AnyFunSuite {
       "identical metadata through both containers")
   }
 
+  test("OS/2 version 0 is exactly the spec's 78 bytes") {
+    val b = Sfnt.renderTtf(3L)
+    val n = ((b(4) & 0xff) << 8) | (b(5) & 0xff)
+    val entry = (0 until n).find(i => new String(b, 12 + 16 * i, 4, "ISO-8859-1") == "OS/2").get
+    val len = (((b(12 + 16 * entry + 12) & 0xffL) << 24) | ((b(12 + 16 * entry + 13) & 0xffL) << 16) |
+      ((b(12 + 16 * entry + 14) & 0xffL) << 8) | (b(12 + 16 * entry + 15) & 0xffL)).toInt
+    assert(len == 78, "version-0 OS/2 must be 78 bytes (sTypo/usWin fields included)")
+  }
+
   test("checksums: table sums and the 0xB1B0AFBA whole-font rule hold as written") {
     val b = Sfnt.renderTtf(5L)
     def u32(p: Int): Long = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
