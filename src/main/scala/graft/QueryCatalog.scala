@@ -3429,6 +3429,50 @@ object QueryCatalog {
        |FROM d, wt""".stripMargin
   }
 
+  /** RPM ingestion ([[graft.ext.Rpm]] — the other package half beside
+    * deb): lead + signature/main header sections (big-endian index,
+    * aligned store, bounds-checked strings), tags extracted with the
+    * payload format/compressor ENFORCED, SIZE cross-checked against
+    * the decoded gzip-cpio inventory (the crc cpio variant rides under
+    * the rpm path too).
+    */
+  private val qRpmMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Rpm.rpmMeta(graft.ext.Rpm.encodeRpm(table(s, dir, "documents"))).toDF()
+
+  private val oRpmMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('rpm:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |f AS (SELECT doc_id, m, ws, j,
+       |        repeat('rpm file ' || CAST(j AS VARCHAR) || ' of lib' || ${w("2")}
+       |            || ': ' || ${w("CAST(8 + j AS INT)")} || chr(10),
+       |          CAST(1 + (doc_id + j) % 4 AS INT)) AS body
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("7")} % 3),
+       |pf AS (SELECT doc_id, j, octet_length(encode(body))::BIGINT AS nb,
+       |         list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(range(octet_length(encode(body))), i ->
+       |             ('0x' || substr(hex(encode(body)), CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |           (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT AS fck
+       |       FROM f),
+       |a AS (SELECT doc_id, count(*)::BIGINT AS nf, sum(nb)::BIGINT AS sz,
+       |        list_reduce(list_prepend(0::BIGINT, list(fck ORDER BY j)),
+       |          (a2, x) -> (a2 * 131 + x) % 1000000007)::BIGINT AS ck
+       |      FROM pf GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       'lib' || ${w("2")} AS name,
+       |       '2.' || CAST(${nib("3")} AS VARCHAR) || '.' || CAST(${nib("4")} AS VARCHAR) AS version,
+       |       CAST(1 + ${nib("5")} AS VARCHAR) AS release,
+       |       CASE WHEN d.doc_id % 2 = 0 THEN 'x86_64' ELSE 'noarch' END AS arch,
+       |       list_extract(['MIT', 'Apache-2.0', 'GPL-2.0'],
+       |         1 + CAST(${nib("6")} % 3 AS INT)) AS license,
+       |       a.sz AS size, a.nf AS n_payload_files, a.sz AS payload_bytes,
+       |       a.ck AS payload_checksum
+       |FROM d JOIN a ON d.doc_id = a.doc_id, wt""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9572,6 +9616,7 @@ object QueryCatalog {
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
+    "rpm_meta" -> qRpmMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9919,6 +9964,7 @@ object QueryCatalog {
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,
+    "rpm_meta" -> oRpmMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

@@ -62,7 +62,8 @@ object Cpio {
     s
   }
 
-  private def entry(out: java.io.ByteArrayOutputStream, magic: String, ino: Long,
+  /** One newc/crc entry ([[Rpm]] composes this for RPM payloads). */
+  private[ext] def entry(out: java.io.ByteArrayOutputStream, magic: String, ino: Long,
       name: String, mode: Long, mtime: Long, data: Array[Byte]): Unit = {
     val nb = utf8(name)
     val nameSize = nb.length + 1
