@@ -3473,6 +3473,36 @@ object QueryCatalog {
        |FROM d JOIN a ON d.doc_id = a.doc_id, wt""".stripMargin
   }
 
+  /** Java class-file ingestion ([[graft.ext.ClassFile]] — jar mining):
+    * the full constant-pool tag walk (incl. the Long/Double two-slot
+    * quirk, always planted), member/attribute tables, SourceFile, and
+    * the Code attribute of the fixture's method parsed down to the
+    * bipush operand. The fixture classes are complete and verifiable:
+    * ClassFileSpec defineClass-loads them and INVOKES the bytecode,
+    * and the reader walks 200 real scalac classes from the Scala jar.
+    */
+  private val qClassMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ClassFile.classMeta(graft.ext.ClassFile.encodeClasses(table(s, dir, "documents"))).toDF()
+
+  private val oClassMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('cls:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['Anchor','Bloom','Cedar','Dune','Ember','Flint','Grove','Harbor'] AS ws)
+       |SELECT doc_id,
+       |       'graftfx.Fixture' || CAST(doc_id AS VARCHAR)
+       |         || list_extract(ws, 1 + CAST(${nib("2")} % 8 AS INT)) AS class_name,
+       |       'java.lang.Object' AS super_name,
+       |       61::BIGINT AS major_version,
+       |       (12 + ${nib("4")} % 3)::BIGINT AS n_cp,
+       |       (${nib("4")} % 3)::BIGINT AS n_fields,
+       |       1::BIGINT AS n_methods, 0::BIGINT AS n_interfaces,
+       |       'Fixture' || CAST(doc_id AS VARCHAR) || '.java' AS source_file,
+       |       (7 + ${nib("5")})::BIGINT AS answer_const,
+       |       ((doc_id * 2654435761) & 4294967295)::BIGINT AS long_const
+       |FROM d, wt""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9617,6 +9647,7 @@ object QueryCatalog {
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
     "rpm_meta" -> qRpmMeta,
+    "class_meta" -> qClassMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9965,6 +9996,7 @@ object QueryCatalog {
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,
     "rpm_meta" -> oRpmMeta,
+    "class_meta" -> oClassMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
