@@ -3503,6 +3503,41 @@ object QueryCatalog {
        |FROM d, wt""".stripMargin
   }
 
+  /** ELF binary triage ([[graft.ext.Elf]] — executables in code
+    * corpora): both 32/64-bit classes written and read, PT_INTERP via
+    * program headers, section names via e_shstrndx, DT_NEEDED through
+    * the SHT_DYNAMIC section's sh_link string table — the loader's own
+    * resolution rules. ElfSpec parses the running JVM's real java
+    * launcher and finds libjli in its dependency set.
+    */
+  private val qElfMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Elf.elfMeta(graft.ext.Elf.encodeElf(table(s, dir, "documents"))).toDF()
+
+  private val oElfMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('elf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |f AS (SELECT doc_id, m, ws, j,
+       |        'lib' || ${w("CAST(8 + j AS INT)")} || '.so.'
+       |          || CAST(${nib("CAST(12 + j AS INT)")} % 4 AS VARCHAR) AS dep
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("7")} % 3),
+       |a AS (SELECT doc_id, count(*)::BIGINT AS nn,
+       |        string_agg(dep, ',' ORDER BY j) AS deps FROM f GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN d.doc_id % 3 = 1 THEN 32 ELSE 64 END::BIGINT AS bits,
+       |       CASE WHEN d.doc_id % 2 = 0 THEN 'DYN' ELSE 'EXEC' END AS etype,
+       |       CASE WHEN ${nib("6")} % 2 = 0 THEN 'x86_64' ELSE 'aarch64' END AS machine,
+       |       3::BIGINT AS n_phdrs, 6::BIGINT AS n_shdrs,
+       |       CASE WHEN ${nib("6")} % 2 = 0 THEN '/lib64/ld-linux-x86-64.so.2'
+       |         ELSE '/lib/ld-linux-aarch64.so.1' END AS interp,
+       |       (64 + ${nib("9")} * 8)::BIGINT AS text_size,
+       |       a.nn AS n_needed, a.deps AS needed
+       |FROM d JOIN a ON d.doc_id = a.doc_id, wt""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9648,6 +9683,7 @@ object QueryCatalog {
     "ttf_meta" -> qTtfMeta,
     "rpm_meta" -> qRpmMeta,
     "class_meta" -> qClassMeta,
+    "elf_meta" -> qElfMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -9997,6 +10033,7 @@ object QueryCatalog {
     "ttf_meta" -> oTtfMeta,
     "rpm_meta" -> oRpmMeta,
     "class_meta" -> oClassMeta,
+    "elf_meta" -> oElfMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
