@@ -3538,6 +3538,103 @@ object QueryCatalog {
        |FROM d JOIN a ON d.doc_id = a.doc_id, wt""".stripMargin
   }
 
+  /** safetensors ingestion ([[graft.ext.Safetensors]] — the ML-artifact
+    * shelf): u64 header length, a strict local JSON-subset parser, the
+    * reference implementation's offset-coverage rule (gapless,
+    * non-overlapping, exact), F32/F16/BF16/I64 decode with shape/span
+    * cross-checks, __metadata__ skipped but validated.
+    */
+  private val qSafetensorsMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Safetensors.safetensorsMeta(
+      graft.ext.Safetensors.encodeSafetensors(table(s, dir, "documents"))).toDF()
+
+  private val oSafetensorsMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('sft:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |t AS (SELECT doc_id, m, j,
+       |        list_extract(['F32', 'F16', 'I64', 'BF16'],
+       |          1 + CAST((doc_id + j) % 4 AS INT)) AS dtype,
+       |        CASE WHEN j % 2 = 1 THEN 2 ELSE 1 END::BIGINT AS nd,
+       |        (CASE WHEN j % 2 = 1 THEN 2 ELSE 1 END
+       |          * (2 + ${nib("CAST(3 + j AS INT)")} % 3))::BIGINT AS ne,
+       |        (doc_id % 7 + j)::BIGINT AS b
+       |      FROM d, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("1")} % 3)
+       |SELECT doc_id, 't' || CAST(j AS VARCHAR) AS tensor, dtype, nd AS n_dims,
+       |       ne AS n_elems,
+       |       ne * CASE dtype WHEN 'I64' THEN 8 WHEN 'F32' THEN 4 ELSE 2 END AS byte_len,
+       |       CASE WHEN dtype = 'I64' THEN (ne * b + ne * (ne - 1) // 2)::DOUBLE
+       |         ELSE (ne * b + ne * (ne - 1) // 2) / 4.0 END AS val_sum
+       |FROM t""".stripMargin
+  }
+
+  /** NumPy array ingestion ([[graft.ext.Npy]]): v1/v2 headers, the
+    * Python-dict-literal header grammar, dtype decode with payload-size
+    * cross-checks, and .npz zip containers through the shared [[Zip]]
+    * reader.
+    */
+  private val qNpyMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Npy.npyMeta(graft.ext.Npy.encodeNpy(table(s, dir, "documents"))).toDF()
+
+  private val oNpyMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('npy:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |t AS (SELECT doc_id, m, j,
+       |        list_extract(['<f8', '<f4', '<i8', '<i4'],
+       |          1 + CAST((doc_id + j) % 4 AS INT)) AS descr,
+       |        CASE WHEN (doc_id + j) % 2 = 1 THEN 2 ELSE 1 END::BIGINT AS nd,
+       |        (CASE WHEN (doc_id + j) % 2 = 1 THEN 2 ELSE 1 END
+       |          * (2 + ${nib("CAST(3 + j AS INT)")} % 3))::BIGINT AS ne,
+       |        (doc_id % 7 + j)::BIGINT AS b,
+       |        ${nib("CAST(6 + j AS INT)")} % 2 = 1 AS fortran
+       |      FROM d, (SELECT unnest([0, 1]) AS j)
+       |      WHERE j < CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END)
+       |SELECT doc_id,
+       |       CASE WHEN doc_id % 3 = 2 THEN 'arr_' || CAST(j AS VARCHAR) || '.npy'
+       |         ELSE '' END AS member,
+       |       CASE WHEN ${nib("2")} % 4 = 0 THEN 2 ELSE 1 END::BIGINT AS version,
+       |       descr, fortran, nd AS n_dims, ne AS n_elems,
+       |       CASE WHEN descr LIKE '<i%' THEN (ne * b + ne * (ne - 1) // 2)::DOUBLE
+       |         ELSE (ne * b + ne * (ne - 1) // 2) / 4.0 END AS val_sum
+       |FROM t""".stripMargin
+  }
+
+  /** Pickle scanning ([[graft.ext.Pickle]] — the checkpoint safety
+    * pass): a shallow abstract interpreter over protocols 2/4 whose
+    * GLOBAL/STACK_GLOBAL inventory is the attack-surface listing;
+    * REDUCE requires an attributable GLOBAL callee.
+    */
+  private val qPickleScan: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Pickle.pickleScan(graft.ext.Pickle.encodePickles(table(s, dir, "documents"))).toDF()
+
+  private val oPickleScan: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('pkl:' || CAST(doc_id AS VARCHAR)) AS m,
+       |             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END::BIGINT AS proto
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |g AS (SELECT doc_id, m, proto, gi,
+       |        list_extract(['numpy.core.multiarray._reconstruct',
+       |          'torch._utils._rebuild_tensor_v2', 'collections.OrderedDict'],
+       |          1 + CAST(${nib("CAST(7 + gi AS INT)")} % 3 AS INT)) AS ref,
+       |        list_extract([33, 30, 22],
+       |          1 + CAST(${nib("CAST(7 + gi AS INT)")} % 3 AS INT)) AS reflen
+       |      FROM d, (SELECT unnest([0, 1]) AS gi)
+       |      WHERE gi < 1 + ${nib("4")} % 2),
+       |a AS (SELECT doc_id, count(*)::BIGINT AS ng,
+       |        string_agg(ref, ',' ORDER BY gi) AS refs,
+       |        sum(reflen)::BIGINT AS reflens FROM g GROUP BY doc_id)
+       |SELECT d.doc_id, d.proto AS protocol,
+       |       CASE WHEN d.proto = 2 THEN 14 + 5 * a.ng
+       |         ELSE 15 + 7 * a.ng END::BIGINT AS n_opcodes,
+       |       a.ng AS n_globals, a.refs AS globals, a.ng AS n_reduce,
+       |       (20 + length(CAST(d.doc_id AS VARCHAR)) + 2 * a.ng
+       |         + CASE WHEN d.proto = 4 THEN a.reflens ELSE 0 END)::BIGINT AS str_bytes,
+       |       (${nib("5")} * 3 + d.doc_id % 11 + 1000 + ${nib("6")})::BIGINT AS int_sum
+       |FROM d JOIN a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9684,6 +9781,9 @@ object QueryCatalog {
     "rpm_meta" -> qRpmMeta,
     "class_meta" -> qClassMeta,
     "elf_meta" -> qElfMeta,
+    "safetensors_meta" -> qSafetensorsMeta,
+    "npy_meta" -> qNpyMeta,
+    "pickle_scan" -> qPickleScan,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10034,6 +10134,9 @@ object QueryCatalog {
     "rpm_meta" -> oRpmMeta,
     "class_meta" -> oClassMeta,
     "elf_meta" -> oElfMeta,
+    "safetensors_meta" -> oSafetensorsMeta,
+    "npy_meta" -> oNpyMeta,
+    "pickle_scan" -> oPickleScan,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

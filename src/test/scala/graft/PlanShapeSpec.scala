@@ -507,7 +507,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "java_properties", "svg_text", "svg_meta",
       "eml_extract", "yaml_entries", "sqlite_rows", "parquet_meta",
       "orc_meta", "arrow_batches", "deb_extract", "cpio_entries",
-      "ttf_meta", "rpm_meta", "class_meta", "elf_meta").foreach { key =>
+      "ttf_meta", "rpm_meta", "class_meta", "elf_meta",
+      "safetensors_meta", "npy_meta", "pickle_scan").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
