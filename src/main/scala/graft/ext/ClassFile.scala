@@ -143,6 +143,35 @@ object ClassFile {
       extends RuntimeException("malformed class", null, false, false)
   private def fail(): Nothing = throw new MalformedClass
 
+  /** JVMS §4.4.7 modified UTF-8 — NOT standard UTF-8: NUL is the
+    * two-byte 0xC0 0x80 form, supplementary characters are six-byte
+    * surrogate-pair (CESU-8) sequences, and no byte may be 0x00 or in
+    * 0xF0-0xFF. Decoding as java.nio UTF-8 would smash both special
+    * forms to U+FFFD and corrupt names.
+    */
+  private def modifiedUtf8(b: Array[Byte], from: Int, len: Int): String = {
+    val sb = new java.lang.StringBuilder(len)
+    var p = from
+    val end = from + len
+    while (p < end) {
+      val c = b(p) & 0xff
+      if (c == 0x00 || c >= 0xf0) fail()
+      if (c < 0x80) { sb.append(c.toChar); p += 1 }
+      else if ((c & 0xe0) == 0xc0) {
+        if (p + 2 > end || (b(p + 1) & 0xc0) != 0x80) fail()
+        sb.append((((c & 0x1f) << 6) | (b(p + 1) & 0x3f)).toChar)
+        p += 2
+      } else if ((c & 0xf0) == 0xe0) {
+        if (p + 3 > end || (b(p + 1) & 0xc0) != 0x80 || (b(p + 2) & 0xc0) != 0x80) fail()
+        // surrogate halves come through as chars — a CESU-8 pair
+        // naturally reassembles into the supplementary code point
+        sb.append((((c & 0x0f) << 12) | ((b(p + 1) & 0x3f) << 6) | (b(p + 2) & 0x3f)).toChar)
+        p += 3
+      } else fail()
+    }
+    sb.toString
+  }
+
   private final class BE(val b: Array[Byte]) {
     var p = 0
     def u8(): Int = { if (p + 1 > b.length) fail(); val v = b(p) & 0xff; p += 1; v }
@@ -184,7 +213,7 @@ object ClassFile {
         case 1 =>
           val len = r.u16()
           if (r.p + len > b.length) fail()
-          utf8s(i) = new String(b, r.p, len, java.nio.charset.StandardCharsets.UTF_8)
+          utf8s(i) = modifiedUtf8(b, r.p, len)
           r.skip(len.toLong)
         case 7 => classIdx(i) = r.u16()
         case 3 | 4 => r.skip(4) // Integer / Float
@@ -226,9 +255,11 @@ object ClassFile {
           val end = r.p + len
           r.u16(); r.u16() // max_stack, max_locals
           val codeLen = r.u32()
-          if (codeLen < 2 || r.p + codeLen > b.length) fail()
-          // the fixture shape: bipush N; ireturn
-          if ((b(r.p) & 0xff) == 0x10 && (b(r.p + 2) & 0xff) == 0xAC) answer = b(r.p + 1).toLong
+          if (codeLen < 1 || r.p + codeLen > b.length) fail()
+          // the fixture shape: bipush N; ireturn — the peek stays INSIDE
+          // the declared code array (a 2-byte code must not read byte 3)
+          if (codeLen >= 3 && (b(r.p) & 0xff) == 0x10 && (b(r.p + 2) & 0xff) == 0xAC)
+            answer = b(r.p + 1).toLong
           r.skip(codeLen)
           val excN = r.u16()
           r.skip(8L * excN)

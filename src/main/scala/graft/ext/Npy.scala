@@ -231,7 +231,9 @@ object Npy {
     val size = descrSize(descr)
     if (size < 0) fail()
     val nElems = shape.foldLeft(1L)((a, d) => {
-      if (d < 0) fail()
+      // per-dimension bound BEFORE the multiply: a crafted 2^24 x 2^40
+      // shape would otherwise wrap the Long product past the cap
+      if (d < 0 || d > MaxElems) fail()
       val m = a * d
       if (m > MaxElems) fail()
       m

@@ -191,6 +191,14 @@ object Rpm {
       val off = u32(b, e + 8)
       val count = u32(b, e + 12)
       if (off < 0 || off >= hsize || count <= 0 || count > (1 << 20)) fail()
+      // fixed-width values must fit INSIDE the store, not merely start there
+      val width = typ match {
+        case 3 => 2L
+        case 4 => 4L
+        case 5 => 8L
+        case _ => 1L
+      }
+      if (off + width * (if (typ >= 3 && typ <= 5) count.toLong else 1L) > hsize) fail()
       tag -> ((typ, off.toInt, count.toInt))
     }.toMap
     (entries, storeStart, storeStart + hsize.toInt)
@@ -235,9 +243,13 @@ object Rpm {
     val license = strTag(1014)
     val arch = strTag(1022)
     if (strTag(1124) != "cpio" || strTag(1125) != "gzip") fail() // enforced, not echoed
-    val payload =
-      try Archives.gunzipMember(b, storeEnd, b.length, MaxPayload)._1
-      catch { case scala.util.control.NonFatal(_) => fail() }
+    val payload = {
+      val (data, end) =
+        try Archives.gunzipMember(b, storeEnd, b.length, MaxPayload)
+        catch { case scala.util.control.NonFatal(_) => fail() }
+      if (end != b.length) fail() // trailing bytes after the payload are damage
+      data
+    }
     val entries = Cpio.parseCpio(id, payload)
     if (entries.isEmpty) fail()
     val files = entries.filter(_.ftype == "f")

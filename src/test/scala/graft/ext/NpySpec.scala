@@ -45,6 +45,23 @@ class NpySpec extends AnyFunSuite {
       "{'descr': '<f8', 'fortran_order': False, 'shape': (3,), 'extra': 1, }"))
   }
 
+  test("a shape product that would wrap Long quarantines (per-dimension bound)") {
+    // build a v1 npy whose declared shape is (16777216, 1099511627776):
+    // the product wraps to 0 and would otherwise pass the empty-payload check
+    val dict = "{'descr': '<f8', 'fortran_order': False, 'shape': (16777216, 1099511627776), }"
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x93)
+    out.write("NUMPY".getBytes("ISO-8859-1"), 0, 5)
+    out.write(1); out.write(0)
+    out.write(header.length & 0xff); out.write((header.length >> 8) & 0xff)
+    out.write(header.getBytes("ISO-8859-1"), 0, header.length)
+    assert(Npy.parseFileSafe(0L, out.toByteArray).isEmpty,
+      "astronomical shapes must quarantine, not wrap")
+  }
+
   test("damage ladder: magic, version, alignment, payload size, zip member names") {
     val id = 0L // an npy arm
     assert(!Npy.isNpz(id))

@@ -60,6 +60,13 @@ class RpmSpec extends AnyFunSuite {
     assert(Rpm.parseRpmSafe(4L, bad).isEmpty, "SIZE mismatch must quarantine")
   }
 
+  test("trailing garbage after the gzip payload quarantines") {
+    val good = Rpm.renderRpm(5L)
+    assert(Rpm.parseRpmSafe(5L, good).isDefined)
+    assert(Rpm.parseRpmSafe(5L, good ++ "junk".getBytes("UTF-8")).isEmpty,
+      "concatenated junk must not parse")
+  }
+
   test("damage ladder: lead magic, header magic, store bounds, gzip, truncation") {
     val id = 7L
     val good = Rpm.renderRpm(id)
