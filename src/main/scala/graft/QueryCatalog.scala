@@ -3404,8 +3404,10 @@ object QueryCatalog {
   /** Font metadata ([[graft.ext.Sfnt]] — web-corpus curation): complete
     * loadable TrueType fonts from scratch (offset table, real table +
     * whole-font checksums, cmap format 4, glyf/loca, name format 0 in
-    * both platform arms, OS/2 weight) and the WOFF 1.0 zlib wrapper.
-    * The JDK's native sfnt loader accepts the fonts and agrees on
+    * both platform arms, OS/2 weight), the WOFF 1.0 zlib wrapper, and
+    * the WOFF 2.0 brotli wrapper (known-tag directory, UIntBase128,
+    * null glyf/loca transforms; transformed tables quarantine). The
+    * JDK's native sfnt loader accepts the fonts and agrees on
     * family/glyph count in SfntSpec.
     */
   private val qTtfMeta: (SparkSession, String) => DataFrame = (s, dir) =>
@@ -3417,7 +3419,9 @@ object QueryCatalog {
        |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |wt AS (SELECT ['Anchor','Bloom','Cedar','Dune','Ember','Flint','Grove','Harbor'] AS ws)
        |SELECT doc_id,
-       |       CASE WHEN doc_id % 3 = 2 THEN 'woff' ELSE 'ttf' END AS container,
+       |       CASE WHEN doc_id % 3 = 2 THEN
+       |         (CASE WHEN doc_id % 2 = 0 THEN 'woff' ELSE 'woff2' END)
+       |         ELSE 'ttf' END AS container,
        |       10::BIGINT AS n_tables,
        |       CASE WHEN doc_id % 2 = 0 THEN 1024 ELSE 2048 END::BIGINT AS units_per_em,
        |       (2 + ${nib("3")} % 3)::BIGINT AS num_glyphs,

@@ -156,13 +156,18 @@ object Deb {
     out.toByteArray
   }
 
-  /** Fixture writer: one .deb per document row. */
+  /** Fixture writer: one .deb per document row. The per-document DEFLATE
+    * of two tars makes this an EXPENSIVE writer — the one round-robin
+    * exchange of bare doc ids spreads synthesis across cores, modeling a
+    * real many-files corpus scan (the [[Pdf]] staging pattern).
+    */
   def encodeDeb(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderDeb(id)))
       .toDF("doc_id", "deb")

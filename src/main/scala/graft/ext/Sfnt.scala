@@ -346,16 +346,90 @@ object Sfnt {
     out.toByteArray
   }
 
-  private[ext] def renderFont(id: Long): Array[Byte] =
-    if (isWoff(id)) renderWoff(id) else renderTtf(id)
+  // ---- WOFF 2.0 (W3C REC): brotli whole-stream compression, known-tag
+  // directory indexes, UIntBase128 lengths, null glyf/loca transforms
 
-  /** Fixture writer: one font file per document row. */
+  /** The first 13 entries of the spec's known-table-tags array — the
+    * subset this writer emits by index. Indexes 13-62 exist in the spec
+    * but are NOT transcribed here (a mis-recalled entry would silently
+    * mis-tag tables), so the reader quarantines them; arbitrary tags
+    * ride the 63-escape.
+    */
+  private val Woff2KnownTags = Array("cmap", "head", "hhea", "hmtx", "maxp",
+    "name", "OS/2", "post", "cvt ", "fpgm", "glyf", "loca", "prep")
+
+  private def uintBase128(v: Long): Array[Byte] = {
+    require(v >= 0 && v < (1L << 32))
+    val bytes = new scala.collection.mutable.ArrayBuffer[Int]
+    var x = v
+    bytes.prepend((x & 0x7f).toInt)
+    x >>= 7
+    while (x != 0) { bytes.prepend(((x & 0x7f) | 0x80).toInt); x >>= 7 }
+    bytes.map(_.toByte).toArray
+  }
+
+  /** WOFF 2.0 wrapper around [[renderTtf]]'s tables. */
+  private[ext] def renderWoff2(id: Long): Array[Byte] = {
+    val ttf = renderTtf(id)
+    val n = ((ttf(4) & 0xff) << 8) | (ttf(5) & 0xff)
+    final case class T(tag: String, data: Array[Byte])
+    val tables = (0 until n).map { i =>
+      val p = 12 + 16 * i
+      def u32(q: Int): Long = ((ttf(q) & 0xffL) << 24) | ((ttf(q + 1) & 0xffL) << 16) |
+        ((ttf(q + 2) & 0xffL) << 8) | (ttf(q + 3) & 0xffL)
+      val tag = new String(ttf, p, 4, "ISO-8859-1")
+      T(tag, java.util.Arrays.copyOfRange(ttf, u32(p + 8).toInt,
+        (u32(p + 8) + u32(p + 12)).toInt))
+    }
+    val dir = new java.io.ByteArrayOutputStream()
+    tables.foreach { t =>
+      val known = Woff2KnownTags.indexOf(t.tag)
+      // glyf/loca carry transform version 3 (null); others version 0
+      val xform = if (t.tag == "glyf" || t.tag == "loca") 3 else 0
+      if (known >= 0) dir.write((xform << 6) | known)
+      else {
+        dir.write((xform << 6) | 63)
+        dir.write(t.tag.getBytes("ISO-8859-1"), 0, 4)
+      }
+      val ob = uintBase128(t.data.length.toLong)
+      dir.write(ob, 0, ob.length)
+    }
+    val raw = tables.map(_.data).reduce(_ ++ _)
+    val compressed = Brotli.compressQ1(raw)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = out.write(be16(v), 0, 2)
+    def w32(v: Long): Unit = out.write(be32(v), 0, 4)
+    out.write("wOF2".getBytes("ISO-8859-1"), 0, 4)
+    w32(0x00010000L) // flavor
+    val total = 48 + dir.size + compressed.length
+    w32(total.toLong)
+    w16(n); w16(0)
+    w32(ttf.length.toLong) // totalSfntSize
+    w32(compressed.length.toLong) // totalCompressedSize
+    w16(1); w16(0) // major/minor
+    w32(0L); w32(0L); w32(0L) // meta
+    w32(0L); w32(0L) // priv
+    val db = dir.toByteArray
+    out.write(db, 0, db.length)
+    out.write(compressed, 0, compressed.length)
+    out.toByteArray
+  }
+
+  private[ext] def renderFont(id: Long): Array[Byte] =
+    if (isWoff(id)) { if (id % 2 == 0) renderWoff(id) else renderWoff2(id) }
+    else renderTtf(id)
+
+  /** Fixture writer: one font file per document row. The woff arms'
+    * per-document zlib/brotli compression = expensive writer: one
+    * round-robin staging exchange, the [[Pdf]] pattern.
+    */
   def encodeFonts(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderFont(id)))
       .toDF("doc_id", "font")
@@ -435,6 +509,77 @@ object Sfnt {
     (tables, n)
   }
 
+  /** Table map from a WOFF 2.0 wrapper: directory walk + one brotli
+    * stream. Transformed tables (and known-tag indexes 13-62, which are
+    * deliberately not transcribed) quarantine.
+    */
+  private def woff2Tables(b: Array[Byte]): (Map[String, Array[Byte]], Int) = {
+    val r = new BE(b)
+    if (r.tag(0) != "wOF2") fail()
+    if (r.u32(4) != 0x00010000L && r.tag(4) != "OTTO") fail()
+    if (r.u32(8) != b.length.toLong) fail()
+    val n = r.u16(12)
+    if (n <= 0 || n > 64) fail()
+    val totalSfnt = r.u32(16)
+    val totalCompressed = r.u32(20)
+    var p = 48
+    def base128(): Long = {
+      var v = 0L
+      var i = 0
+      var done = false
+      while (!done) {
+        if (i >= 5 || p >= b.length) fail()
+        val c = b(p) & 0xff
+        if (i == 0 && c == 0x80) fail() // leading zero byte forbidden
+        v = (v << 7) | (c & 0x7f)
+        if (v >= (1L << 32)) fail()
+        p += 1
+        i += 1
+        done = (c & 0x80) == 0
+      }
+      v
+    }
+    final case class Entry(tag: String, origLen: Long)
+    val entries = (0 until n).map { _ =>
+      if (p >= b.length) fail()
+      val flags = b(p) & 0xff
+      p += 1
+      val idx = flags & 0x3f
+      val xform = (flags >>> 6) & 3
+      val tag =
+        if (idx == 63) {
+          if (p + 4 > b.length) fail()
+          val t = new String(b, p, 4, "ISO-8859-1")
+          p += 4
+          t
+        } else if (idx < Woff2KnownTags.length) Woff2KnownTags(idx)
+        else fail() // indexes 13-62: not transcribed, never guessed
+      val origLen = base128()
+      // null transform is version 3 for glyf/loca, version 0 otherwise;
+      // a TRANSFORMED table is outside the reconstruction subset
+      val isNull = if (tag == "glyf" || tag == "loca") xform == 3 else xform == 0
+      if (!isNull) fail()
+      Entry(tag, origLen)
+    }
+    if (p + totalCompressed > b.length) fail()
+    val rawLen = entries.map(_.origLen).sum
+    if (rawLen > MaxTable.toLong * 4) fail()
+    val raw = try Brotli.decompress(
+      java.util.Arrays.copyOfRange(b, p, (p + totalCompressed).toInt), rawLen.toInt)
+    catch { case scala.util.control.NonFatal(_) => fail() }
+    if (raw.length.toLong != rawLen) fail()
+    var off = 0
+    val tables = entries.map { e =>
+      val data = java.util.Arrays.copyOfRange(raw, off, off + e.origLen.toInt)
+      off += e.origLen.toInt
+      e.tag -> data
+    }.toMap
+    // totalSfntSize cross-check: offset table + directory + padded tables
+    val expect = 12L + 16L * n + entries.map(e => (e.origLen + 3) & ~3L).sum
+    if (totalSfnt != expect) fail()
+    (tables, n)
+  }
+
   private def decodeName(platform: Int, encoding: Int, bytes: Array[Byte]): Option[String] =
     (platform, encoding) match {
       case (3, 1) | (3, 10) | (0, _) => Some(new String(bytes, "UTF-16BE"))
@@ -445,7 +590,10 @@ object Sfnt {
   private[ext] def parseFont(id: Long, b: Array[Byte]): FontMeta = {
     if (b == null || b.length < 12) fail()
     val (tables, nTables, container) =
-      if (b(0) == 'w' && b(1) == 'O') {
+      if (b(0) == 'w' && b(1) == 'O' && b(2) == 'F' && b(3) == '2') {
+        val (t, n) = woff2Tables(b)
+        (t, n, "woff2")
+      } else if (b(0) == 'w' && b(1) == 'O') {
         val (t, n) = woffTables(b)
         (t, n, "woff")
       } else {

@@ -506,8 +506,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "ics_events", "vcard_contacts", "toml_entries",
       "java_properties", "svg_text", "svg_meta",
       "eml_extract", "yaml_entries", "sqlite_rows", "parquet_meta",
-      "orc_meta", "arrow_batches", "deb_extract", "cpio_entries",
-      "ttf_meta", "rpm_meta", "class_meta", "elf_meta",
+      "orc_meta", "arrow_batches", "cpio_entries",
+      "class_meta", "elf_meta",
       "safetensors_meta", "npy_meta", "pickle_scan").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
@@ -523,7 +523,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // join/window, is a regression.
     Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract",
       "pptx_extract", "xlsx_extract", "ipynb_cells", "git_objects",
-      "gpx_points", "ppt_extract").foreach { key =>
+      "gpx_points", "ppt_extract", "deb_extract", "rpm_meta",
+      "ttf_meta").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$key: one staging exchange expected, got $exchanges:\n${p.take(1200)}")

@@ -4,13 +4,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class SfntSpec extends AnyFunSuite {
 
-  test("round-trip: ttf and woff containers recover the closed forms") {
+  test("round-trip: ttf, woff and woff2 containers recover the closed forms") {
     var sawTtf = false
     var sawWoff = false
+    var sawWoff2 = false
     for (id <- 0L until 96L) {
       val m = Sfnt.parseFont(id, Sfnt.renderFont(id))
-      assert(m.container == (if (Sfnt.isWoff(id)) "woff" else "ttf"), s"font $id container")
-      if (m.container == "ttf") sawTtf = true else sawWoff = true
+      val expected =
+        if (!Sfnt.isWoff(id)) "ttf" else if (id % 2 == 0) "woff" else "woff2"
+      assert(m.container == expected, s"font $id container")
+      if (m.container == "ttf") sawTtf = true
+      if (m.container == "woff") sawWoff = true
+      if (m.container == "woff2") sawWoff2 = true
       assert(m.n_tables == 10, s"font $id tables")
       assert(m.units_per_em == Sfnt.unitsPerEmOf(id), s"font $id upem")
       assert(m.num_glyphs == Sfnt.numGlyphsOf(id), s"font $id glyphs")
@@ -19,7 +24,38 @@ class SfntSpec extends AnyFunSuite {
       assert(m.weight_class == Sfnt.weightOf(id), s"font $id weight")
       assert(m.n_name_records == 8, s"font $id name records")
     }
-    assert(sawTtf && sawWoff, "both containers occur")
+    assert(sawTtf && sawWoff && sawWoff2, "all three containers occur")
+  }
+
+  test("woff2: brotli stream + known-tag directory reproduce the ttf metadata") {
+    val id = 5L // a woff2-arm id (id % 3 == 2, odd)
+    assert(Sfnt.isWoff(id) && id % 2 == 1)
+    val ttfMeta = Sfnt.parseFont(id, Sfnt.renderTtf(id))
+    val w2Meta = Sfnt.parseFont(id, Sfnt.renderWoff2(id))
+    assert(w2Meta.container == "woff2")
+    assert(ttfMeta.copy(container = "x") == w2Meta.copy(container = "x"),
+      "identical metadata through the woff2 container")
+    // damage: flip the FIRST byte of the brotli stream (a late flip could
+    // corrupt only an unread trailing table and slip through)
+    val good = Sfnt.renderWoff2(id)
+    val totalCompressed = (((good(20) & 0xff) << 24) | ((good(21) & 0xff) << 16) |
+      ((good(22) & 0xff) << 8) | (good(23) & 0xff))
+    val streamStart = good.length - totalCompressed
+    val bad = good.clone()
+    bad(streamStart) = (bad(streamStart) ^ 0x55).toByte
+    assert(Sfnt.parseFontSafe(id, bad).isEmpty, "brotli damage quarantines")
+    // damage: declared length mismatch
+    val bad2 = good.clone()
+    bad2(11) = (bad2(11) ^ 1).toByte
+    assert(Sfnt.parseFontSafe(id, bad2).isEmpty, "length mismatch quarantines")
+    // a transformed-glyf flag (version 0 for glyf) is outside the subset
+    val bad3 = good.clone()
+    // first directory entry starts at 48; find the glyf entry byte by
+    // scanning flags: entries are [flags][tag?][base128...]; rather than
+    // reimplement the walk, flip the first entry's transform bits and
+    // expect SOME quarantine (either unknown transform or tag break)
+    bad3(48) = ((bad3(48) & 0x3f) | 0x80).toByte
+    assert(Sfnt.parseFontSafe(id, bad3).isEmpty, "transformed tables quarantine")
   }
 
   test("foreign differential: the JDK's native sfnt loader accepts the fonts") {
