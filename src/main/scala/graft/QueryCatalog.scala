@@ -3639,6 +3639,73 @@ object QueryCatalog {
        |FROM d JOIN a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** GGUF model-checkpoint ingestion ([[graft.ext.Gguf]] — the llama.cpp
+    * single-file format beside safetensors): typed metadata KVs (all 13
+    * value types, arrays, strict bools), general.alignment consumed and
+    * enforced, tensor infos with gapless aligned offsets and exact EOF,
+    * F32/F16 value sums; quantized ggml types surface metadata-only.
+    */
+  private val qGgufMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Gguf.ggufMeta(graft.ext.Gguf.encodeGguf(table(s, dir, "documents"))).toDF()
+
+  private val oGgufMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('gguf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |t AS (SELECT doc_id, m, j,
+       |        CASE WHEN (doc_id + j) % 2 = 0 THEN 'F32' ELSE 'F16' END AS gt,
+       |        CASE WHEN (doc_id + j) % 2 = 0 THEN 4 ELSE 2 END::BIGINT AS w,
+       |        CASE WHEN j % 2 = 1 THEN 2 ELSE 1 END::BIGINT AS nd,
+       |        (CASE WHEN j % 2 = 1 THEN 2 ELSE 1 END
+       |          * (2 + ${nib("CAST(3 + j AS INT)")} % 3))::BIGINT AS ne,
+       |        (doc_id % 7 + j)::BIGINT AS b
+       |      FROM d, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("1")} % 3),
+       |o AS (SELECT *, coalesce(sum((ne * w + 31) // 32 * 32) OVER
+       |        (PARTITION BY doc_id ORDER BY j
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |      FROM t)
+       |SELECT o.doc_id,
+       |       list_extract(['llama', 'gptneox', 'qwen2'],
+       |         1 + CAST(${nib("2")} % 3 AS INT)) AS arch,
+       |       6::BIGINT AS n_kv, 'blk.' || CAST(j AS VARCHAR) || '.weight' AS tensor,
+       |       gt AS ggml_type, nd AS n_dims, ne AS n_elems, off AS offset,
+       |       'f' AS vtype, (ne * b + ne * (ne - 1) // 2) / 4.0 AS val_sum
+       |FROM o""".stripMargin
+  }
+
+  /** WebAssembly module triage ([[graft.ext.Wasm]] — web-corpus
+    * binaries): section walk with the spec's ordering rule, typed
+    * imports counting into the function index space, export indexes
+    * bounds-checked, code bodies consumed exactly and end-byte
+    * enforced, memory limits validated.
+    */
+  private val qWasmMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Wasm.wasmMeta(graft.ext.Wasm.encodeWasm(table(s, dir, "documents"))).toDF()
+
+  private val oWasmMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('wasm:' || CAST(doc_id AS VARCHAR)) AS m,
+       |             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END::BIGINT AS imp
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |e AS (SELECT doc_id, string_agg(${w("CAST(5 + j AS INT)")}
+       |          || '_' || CAST(j AS VARCHAR), ',' ORDER BY j) AS ex,
+       |        count(*)::BIGINT AS nf
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("1")} % 3 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       (5 + d.imp)::BIGINT AS n_sections, 2::BIGINT AS n_types,
+       |       d.imp AS n_imports, (e.nf + d.imp)::BIGINT AS n_funcs,
+       |       (e.nf + 1)::BIGINT AS n_exports, e.ex AS exports,
+       |       (1 + ${nib("3")} % 4)::BIGINT AS mem_min,
+       |       CASE WHEN ${nib("4")} % 2 = 0 THEN 1 + ${nib("3")} % 4 + 16
+       |         ELSE -1 END::BIGINT AS mem_max,
+       |       (3 * e.nf - e.nf % 2)::BIGINT AS code_bytes
+       |FROM d JOIN e ON d.doc_id = e.doc_id""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9788,6 +9855,8 @@ object QueryCatalog {
     "safetensors_meta" -> qSafetensorsMeta,
     "npy_meta" -> qNpyMeta,
     "pickle_scan" -> qPickleScan,
+    "gguf_meta" -> qGgufMeta,
+    "wasm_meta" -> qWasmMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10141,6 +10210,8 @@ object QueryCatalog {
     "safetensors_meta" -> oSafetensorsMeta,
     "npy_meta" -> oNpyMeta,
     "pickle_scan" -> oPickleScan,
+    "gguf_meta" -> oGgufMeta,
+    "wasm_meta" -> oWasmMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

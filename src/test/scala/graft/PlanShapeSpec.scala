@@ -508,7 +508,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "eml_extract", "yaml_entries", "sqlite_rows", "parquet_meta",
       "orc_meta", "arrow_batches", "cpio_entries",
       "class_meta", "elf_meta",
-      "safetensors_meta", "npy_meta", "pickle_scan").foreach { key =>
+      "safetensors_meta", "npy_meta", "pickle_scan", "gguf_meta",
+      "wasm_meta").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")

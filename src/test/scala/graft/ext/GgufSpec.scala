@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GgufSpec extends AnyFunSuite {
+
+  test("round-trip: typed KVs + tensor infos + F32/F16 data recover the closed forms") {
+    for (id <- 0L until 96L) {
+      val rows = Gguf.parseGguf(id, Gguf.renderGguf(id))
+      assert(rows.length == Gguf.nTensors(id), s"gguf $id tensor count")
+      assert(rows.forall(_.arch == Gguf.archOf(id)), s"gguf $id arch")
+      assert(rows.forall(_.n_kv == 6), s"gguf $id kv count")
+      for (j <- 0 until Gguf.nTensors(id)) {
+        val t = rows.find(_.tensor == s"blk.$j.weight").getOrElse(fail(s"gguf $id t$j"))
+        val shape = Gguf.shapeOf(id, j)
+        assert(t.ggml_type == (if (Gguf.dtypeOf(id, j) == 0) "F32" else "F16"), s"gguf $id t$j type")
+        assert(t.n_dims == shape.length && t.n_elems == shape.product, s"gguf $id t$j shape")
+        assert(t.vtype == "f", s"gguf $id t$j decodable")
+        val expected = (0 until shape.product.toInt).map(Gguf.elemValue(id, j, _)).sum
+        assert(t.val_sum.contains(expected), s"gguf $id t$j sum")
+      }
+    }
+  }
+
+  test("alignment is consumed from the KV and enforced on offsets") {
+    val good = Gguf.renderGguf(2L)
+    assert(Gguf.parseGguf(2L, good).nonEmpty)
+    // corrupt general.alignment's value (u32 at its KV) to a non-power-of-two
+    val key = "general.alignment".getBytes("UTF-8")
+    val at = good.indexOfSlice(key)
+    assert(at > 0)
+    val bad = good.clone()
+    bad(at + key.length + 4) = 33.toByte // value after the 4-byte type tag
+    assert(Gguf.parseGgufSafe(2L, bad).isEmpty, "non-power-of-two alignment quarantines")
+  }
+
+  test("damage ladder: magic, version, kv type, bool range, offsets, truncation") {
+    val id = 7L
+    val good = Gguf.renderGguf(id)
+    def mut(at: Int, v: Byte): Array[Byte] = { val b = good.clone(); b(at) = v; b }
+    assert(Gguf.parseGgufSafe(id, mut(0, 'X'.toByte)).isEmpty, "magic")
+    assert(Gguf.parseGgufSafe(id, mut(4, 9.toByte)).isEmpty, "version")
+    assert(Gguf.parseGgufSafe(id, good.take(good.length - 1)).isEmpty, "EOF rule")
+    assert(Gguf.parseGgufSafe(id, good ++ Array[Byte](0)).isEmpty, "trailing byte")
+    assert(Gguf.parseGgufSafe(id, good.take(30)).isEmpty, "truncation")
+    assert(Gguf.parseGgufSafe(id, Array.emptyByteArray).isEmpty)
+    // the bool kv must be 0/1: find "graft.tied" and smash its value
+    val key = "graft.tied".getBytes("UTF-8")
+    val at = good.indexOfSlice(key)
+    val bad = good.clone()
+    bad(at + key.length + 4) = 7.toByte
+    assert(Gguf.parseGgufSafe(id, bad).isEmpty, "bool out of range")
+  }
+
+  test("operator: damaged file quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 24L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = Gguf.encodeGguf(docs).as[(Long, Array[Byte])].map { case (id, b) =>
+      if (id == 8L) (id, b.take(b.length - 5)) else (id, b)
+    }.toDF("doc_id", "gguf")
+    val got = Gguf.ggufMeta(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(8L))
+    for (id <- (0L until 24L) if id != 8L)
+      assert(byDoc(id).length == Gguf.nTensors(id), s"gguf $id")
+  }
+}
