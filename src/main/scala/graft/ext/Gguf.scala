@@ -198,7 +198,10 @@ object Gguf {
         if (count < 0 || count > (1 << 20)) fail()
         if (et == 8) { var i = 0L; while (i < count) { gstring(); i += 1 } }
         else if (et == 9) fail() // nested arrays of arrays: not in the spec's use
-        else {
+        else if (et == 7) { // bool elements carry the same 0/1 rule as scalars
+          var i = 0L
+          while (i < count) { val v = leN(1); if (v != 0 && v != 1) fail(); i += 1 }
+        } else {
           val w = scalarSize(et)
           if (w < 0) fail()
           if (p + count * w > b.length) fail()
@@ -235,7 +238,10 @@ object Gguf {
       }
       val ggml = leN(4).toInt
       val off = leN(8)
-      if (off < 0) fail()
+      // bound the offset by the FILE size before any arithmetic — an
+      // astronomical value would wrap `dataStart + offset` past the
+      // later bounds check and decode garbage instead of quarantining
+      if (off < 0 || off > b.length.toLong) fail()
       TInfo(name, dims, ggml, off)
     }
     // data begins at the next alignment boundary after the header

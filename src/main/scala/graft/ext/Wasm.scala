@@ -184,7 +184,15 @@ object Wasm {
       case 0x7f | 0x7e | 0x7d | 0x7c | 0x7b | 0x70 | 0x6f => ()
       case _ => fail()
     }
-    var lastId = 0
+    // the spec's REQUIRED order is not numeric: DataCount (12) sits
+    // between element (9) and code (10) — rank by position, not id
+    def rank(sid: Int): Int = sid match {
+      case 12 => 10
+      case 10 => 11
+      case 11 => 12
+      case other => other
+    }
+    var lastRank = 0
     var nSections = 0L
     var nTypes = 0L
     var nImports = 0L
@@ -195,6 +203,9 @@ object Wasm {
     var codeBytes = 0L
     var memMin = -1L
     var memMax = -1L
+    var nTables = 0L
+    var nMems = 0L
+    var nGlobals = 0L
     val exports = Vector.newBuilder[String]
     while (p < b.length) {
       val sid = u8()
@@ -203,8 +214,8 @@ object Wasm {
       val end = p + size.toInt
       nSections += 1
       if (sid != 0) {
-        if (sid <= lastId || sid > 12) fail() // ordering rule
-        lastId = sid
+        if (sid > 12 || rank(sid) <= lastRank) fail() // ordering rule
+        lastRank = rank(sid)
       }
       sid match {
         case 0 => // custom: name + opaque payload
@@ -236,13 +247,16 @@ object Wasm {
                 val f = u8()
                 leb()
                 if (f == 1) leb() else if (f != 0) fail()
+                nTables += 1
               case 0x02 => // memory limits
                 val f = u8()
                 leb()
                 if (f == 1) leb() else if (f != 0) fail()
+                nMems += 1
               case 0x03 => // global: valtype + mutability
                 valType()
                 if (u8() > 1) fail()
+                nGlobals += 1
               case _ => fail()
             }
           }
@@ -250,9 +264,15 @@ object Wasm {
           declaredFuncs = leb()
           if (declaredFuncs > 4096) fail()
           for (_ <- 0L until declaredFuncs) if (leb() >= nTypes) fail()
+        case 4 => // table section: only the count matters for index spaces
+          val n = leb()
+          if (n > 4096) fail()
+          nTables += n
+          p = end
         case 5 =>
           val n = leb()
           if (n > 1) fail() // MVP: at most one memory
+          nMems += n
           if (n == 1) {
             val f = u8()
             memMin = leb()
@@ -261,6 +281,11 @@ object Wasm {
               if (memMax < memMin) fail()
             } else if (f != 0) fail()
           }
+        case 6 => // global section: count for the index space, skip bodies
+          val n = leb()
+          if (n > 4096) fail()
+          nGlobals += n
+          p = end
         case 7 =>
           nExports = leb()
           if (nExports > 4096) fail()
@@ -270,7 +295,9 @@ object Wasm {
               case 0x00 =>
                 if (leb() >= importedFuncs + declaredFuncs) fail()
                 exports += nm
-              case 0x01 | 0x02 | 0x03 => leb()
+              case 0x01 => if (leb() >= nTables) fail()
+              case 0x02 => if (leb() >= nMems) fail()
+              case 0x03 => if (leb() >= nGlobals) fail()
               case _ => fail()
             }
           }
@@ -288,7 +315,7 @@ object Wasm {
             if (bodyEnd <= p || (b(bodyEnd - 1) & 0xff) != 0x0b) fail() // must end with end
             p = bodyEnd
           }
-        case 4 | 6 | 8 | 9 | 11 | 12 =>
+        case 8 | 9 | 11 | 12 =>
           p = end // valid ids we inventory but do not dissect
         case _ => fail()
       }

@@ -34,6 +34,28 @@ class GgufSpec extends AnyFunSuite {
     assert(Gguf.parseGgufSafe(2L, bad).isEmpty, "non-power-of-two alignment quarantines")
   }
 
+  test("bool ARRAY elements carry the 0/1 rule, same as scalar bools") {
+    // rebuild the fixture's i32 array kv as a bool array with a 7 in it:
+    // craft a minimal file manually — header + one bad kv quarantines
+    // before tensors are reached
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def gstr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); le(b.length.toLong, 8); out.write(b, 0, b.length)
+    }
+    out.write("GGUF".getBytes("ISO-8859-1"), 0, 4)
+    le(3L, 4); le(0L, 8); le(1L, 8)
+    gstr("graft.flags"); le(9L, 4) // array
+    le(7L, 4) // elem type bool
+    le(2L, 8) // two elements
+    out.write(1); out.write(7) // the second is out of range
+    assert(Gguf.parseGgufSafe(1L, out.toByteArray).isEmpty,
+      "a non-0/1 bool array element quarantines")
+  }
+
   test("damage ladder: magic, version, kv type, bool range, offsets, truncation") {
     val id = 7L
     val good = Gguf.renderGguf(id)

@@ -39,6 +39,38 @@ class WasmSpec extends AnyFunSuite {
     assert(Wasm.parseWasmSafe(1L, out.toByteArray).isEmpty, "descending ids")
   }
 
+  test("DataCount (12) is accepted in its spec position BEFORE code, not after") {
+    // type(empty) + function(empty) + datacount + code(empty): valid order
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0), 0, 8)
+    out.write(1); out.write(1); out.write(0) // type: 0 entries
+    out.write(3); out.write(1); out.write(0) // function: 0 entries
+    out.write(12); out.write(1); out.write(0) // datacount: 0
+    out.write(10); out.write(1); out.write(0) // code: 0 bodies
+    assert(Wasm.parseWasmSafe(1L, out.toByteArray).isDefined,
+      "LLVM's datacount-before-code order must parse")
+    // and code BEFORE datacount (numerically ascending!) must NOT
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0), 0, 8)
+    bad.write(10); bad.write(1); bad.write(0)
+    bad.write(12); bad.write(1); bad.write(0)
+    assert(Wasm.parseWasmSafe(1L, bad.toByteArray).isEmpty,
+      "datacount after code violates the spec order")
+  }
+
+  test("memory/table/global export indexes are bounds-checked too") {
+    // export a memory at index 1 while defining none
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 'a', 's', 'm', 1, 0, 0, 0), 0, 8)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(1) // one export
+    body.write(3); body.write('m'); body.write('e'); body.write('m')
+    body.write(0x02); body.write(1) // memory index 1, no memory defined
+    out.write(7); out.write(body.size); out.write(body.toByteArray, 0, body.size)
+    assert(Wasm.parseWasmSafe(1L, out.toByteArray).isEmpty,
+      "memory export past the index space quarantines")
+  }
+
   test("cross-section rules: code/function count mismatch and bad export index") {
     val good = Wasm.renderWasm(0L)
     assert(Wasm.parseWasmSafe(0L, good).isDefined)
