@@ -3706,6 +3706,40 @@ object QueryCatalog {
        |FROM d JOIN e ON d.doc_id = e.doc_id""".stripMargin
   }
 
+  /** PE/COFF binary triage ([[graft.ext.Pe]] — the Windows half beside
+    * elf_meta): MZ stub + PE signature, COFF header, BOTH optional
+    * header layouts (PE32 with BaseOfData, PE32+ with 8-byte
+    * ImageBase), section table, and the import directory resolved
+    * through the loader's RVA→file-offset mapping — DLL names are the
+    * load surface curation filters on.
+    */
+  private val qPeMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Pe.peMeta(graft.ext.Pe.encodePe(table(s, dir, "documents"))).toDF()
+
+  private val oPeMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('pe:' || CAST(doc_id AS VARCHAR)) AS m,
+       |             doc_id % 3 <> 1 AS is64
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |i AS (SELECT doc_id, string_agg(${w("CAST(5 + j AS INT)")}
+       |          || CAST(j AS VARCHAR) || '.dll', ',' ORDER BY j) AS imps,
+       |        count(*)::BIGINT AS ni
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE j < 1 + ${nib("4")} % 3 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN ${nib("2")} % 3 = 0 THEN 'arm64'
+       |         WHEN d.is64 THEN 'x86_64' ELSE 'i386' END AS machine,
+       |       CASE WHEN d.is64 THEN 'PE32+' ELSE 'PE32' END AS pe_format,
+       |       d.doc_id % 2 = 1 AS is_dll,
+       |       CASE WHEN ${nib("3")} % 2 = 0 THEN 3 ELSE 2 END::BIGINT AS subsystem,
+       |       (4096 + ${nib("8")} * 16)::BIGINT AS entry_rva,
+       |       3::BIGINT AS n_sections, '.text,.rdata,.data' AS sections,
+       |       i.ni AS n_imports, i.imps AS imports
+       |FROM d JOIN i ON d.doc_id = i.doc_id, wt""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9857,6 +9891,7 @@ object QueryCatalog {
     "pickle_scan" -> qPickleScan,
     "gguf_meta" -> qGgufMeta,
     "wasm_meta" -> qWasmMeta,
+    "pe_meta" -> qPeMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10212,6 +10247,7 @@ object QueryCatalog {
     "pickle_scan" -> oPickleScan,
     "gguf_meta" -> oGgufMeta,
     "wasm_meta" -> oWasmMeta,
+    "pe_meta" -> oPeMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
