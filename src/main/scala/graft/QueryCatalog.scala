@@ -3740,6 +3740,37 @@ object QueryCatalog {
        |FROM d JOIN i ON d.doc_id = i.doc_id, wt""".stripMargin
   }
 
+  /** BSON dump ingestion ([[graft.ext.Bson]] — mongodump corpora):
+    * self-inclusive document lengths matched exactly at every nesting
+    * level, the full element-type walk (strings length-prefixed AND
+    * NUL-terminated, bools strictly 0/1, array index keys validated in
+    * order, duplicate keys damage), depth-capped recursion.
+    */
+  private val qBsonDocs: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Bson.bsonDocs(graft.ext.Bson.encodeBson(table(s, dir, "documents"))).toDF()
+
+  private val oBsonDocs: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('bson:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws)
+       |SELECT doc_id, r::BIGINT AS rec_idx, 8::BIGINT AS n_fields,
+       |       substr(md5('oid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
+       |         1, 24) AS oid,
+       |       'rec ' || CAST(r AS VARCHAR) || ' of bson ' || CAST(doc_id AS VARCHAR)
+       |         || ': ' || ${w("CAST(2 + r AS INT)")} AS name,
+       |       (doc_id * 10 + r)::BIGINT AS seq,
+       |       (${nib("CAST(5 + r AS INT)")} + r) / 4.0 AS score,
+       |       (doc_id + r) % 2 = 0 AS ok,
+       |       2::BIGINT AS n_tags,
+       |       't-' || ${w("CAST(8 + r AS INT)")} || ',u-' || ${w("CAST(9 + r AS INT)")} AS tags,
+       |       (500 + ${nib("CAST(11 + r AS INT)")})::BIGINT AS meta_k,
+       |       (1700000000000 + doc_id * 1000 + r)::BIGINT AS created_ms
+       |FROM d, wt, (SELECT unnest([0, 1, 2]) AS r)
+       |WHERE r < 1 + ${nib("1")} % 3""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9892,6 +9923,7 @@ object QueryCatalog {
     "gguf_meta" -> qGgufMeta,
     "wasm_meta" -> qWasmMeta,
     "pe_meta" -> qPeMeta,
+    "bson_docs" -> qBsonDocs,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10248,6 +10280,7 @@ object QueryCatalog {
     "gguf_meta" -> oGgufMeta,
     "wasm_meta" -> oWasmMeta,
     "pe_meta" -> oPeMeta,
+    "bson_docs" -> oBsonDocs,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
