@@ -3737,7 +3737,7 @@ object QueryCatalog {
        |       (4096 + ${nib("8")} * 16)::BIGINT AS entry_rva,
        |       3::BIGINT AS n_sections, '.text,.rdata,.data' AS sections,
        |       i.ni AS n_imports, i.imps AS imports
-       |FROM d JOIN i ON d.doc_id = i.doc_id, wt""".stripMargin
+       |FROM d JOIN i ON d.doc_id = i.doc_id""".stripMargin
   }
 
   /** BSON dump ingestion ([[graft.ext.Bson]] — mongodump corpora):
@@ -3755,12 +3755,13 @@ object QueryCatalog {
     s"""WITH d AS (SELECT doc_id, md5('bson:' || CAST(doc_id AS VARCHAR)) AS m
        |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
        |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws)
-       |SELECT doc_id, r::BIGINT AS rec_idx, 8::BIGINT AS n_fields,
+       |SELECT doc_id, r::BIGINT AS rec_idx, 9::BIGINT AS n_fields,
        |       substr(md5('oid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)),
        |         1, 24) AS oid,
        |       'rec ' || CAST(r AS VARCHAR) || ' of bson ' || CAST(doc_id AS VARCHAR)
        |         || ': ' || ${w("CAST(2 + r AS INT)")} AS name,
        |       (doc_id * 10 + r)::BIGINT AS seq,
+       |       (${nib("14")} * 4 + r)::BIGINT AS gen,
        |       (${nib("CAST(5 + r AS INT)")} + r) / 4.0 AS score,
        |       (doc_id + r) % 2 = 0 AS ok,
        |       2::BIGINT AS n_tags,

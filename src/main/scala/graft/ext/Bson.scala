@@ -47,6 +47,7 @@ object Bson {
   private[ext] def nameOf(id: Long, r: Int): String =
     s"rec $r of bson $id: ${words(nib(id, 2 + r) % 8)}"
   private[ext] def seqOf(id: Long, r: Int): Long = id * 10 + r
+  private[ext] def genOf(id: Long, r: Int): Int = nib(id, 14) * 4 + r
   private[ext] def scoreOf(id: Long, r: Int): Double = (nib(id, 5 + r) + r) / 4.0
   private[ext] def okOf(id: Long, r: Int): Boolean = (id + r) % 2 == 0
   private[ext] def tagOf(id: Long, r: Int, t: Int): String =
@@ -88,7 +89,11 @@ object Bson {
         w.u8(0x02); w.cstr("name")
         val nb = utf8(nameOf(id, r))
         w.i32(nb.length + 1L); w.raw(nb); w.u8(0)
-        w.u8(0x10); w.cstr("seq"); w.i32(seqOf(id, r))
+        // seq is a LONG closed form (doc_id*10): int64, never int32 —
+        // a 0x10 element would truncate for doc_id >= 2^31/10
+        w.u8(0x12); w.cstr("seq"); w.i64(seqOf(id, r))
+        // the int32 element type stays graded via a value that FITS
+        w.u8(0x10); w.cstr("gen"); w.i32(genOf(id, r))
         w.u8(0x01); w.cstr("score")
         w.i64(java.lang.Double.doubleToLongBits(scoreOf(id, r)))
         w.u8(0x08); w.cstr("ok"); w.u8(if (okOf(id, r)) 1 else 0)
@@ -135,16 +140,17 @@ object Bson {
 
   final case class BsonRec(
     doc_id: Long, rec_idx: Long, n_fields: Long, oid: String, name: String,
-    seq: Long, score: Double, ok: Boolean, n_tags: Long, tags: String,
+    seq: Long, gen: Long, score: Double, ok: Boolean, n_tags: Long, tags: String,
     meta_k: Long, created_ms: Long)
 
-  private final case class Val(kind: Char, s: String = "", i: Long = 0L,
+  private[ext] final case class Val(kind: Char, s: String = "", i: Long = 0L,
     d: Double = 0.0, items: Seq[Val] = Nil, fields: Map[String, Val] = Map.empty)
 
   /** Parse one document at [from, from+declared); returns the field map
-    * and the end position.
+    * and the end position. private[ext] so BsonSpec can probe the
+    * structural rules (array index keys, duplicates) in isolation.
     */
-  private def parseDoc(b: Array[Byte], from: Int, depth: Int): (Map[String, Val], Int) = {
+  private[ext] def parseDoc(b: Array[Byte], from: Int, depth: Int): (Map[String, Val], Int) = {
     if (depth > MaxDepth) fail()
     if (from + 5 > b.length) fail()
     def i32(p: Int): Long = (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
@@ -277,8 +283,9 @@ object Bson {
         }
         case _ => fail()
       }
-      out += BsonRec(id, idx, f.size.toLong, oid, str("name"), lng("seq"), score,
-        ok, tags.length.toLong, tags.mkString(","), metaK, lng("created"))
+      out += BsonRec(id, idx, f.size.toLong, oid, str("name"), lng("seq"),
+        lng("gen"), score, ok, tags.length.toLong, tags.mkString(","),
+        metaK, lng("created"))
       idx += 1
     }
     out.result()

@@ -9,7 +9,8 @@ class BsonSpec extends AnyFunSuite {
       val recs = Bson.parseBson(id, Bson.renderBson(id))
       assert(recs.length == Bson.nRecords(id), s"bson $id record count")
       recs.zipWithIndex.foreach { case (rec, r) =>
-        assert(rec.rec_idx == r && rec.n_fields == 8, s"bson $id r$r shape")
+        assert(rec.rec_idx == r && rec.n_fields == 9, s"bson $id r$r shape")
+        assert(rec.gen == Bson.genOf(id, r), s"bson $id r$r gen (int32 lane)")
         assert(rec.oid == Bson.oidOf(id, r), s"bson $id r$r oid")
         assert(rec.name == Bson.nameOf(id, r), s"bson $id r$r name")
         assert(rec.seq == Bson.seqOf(id, r), s"bson $id r$r seq")
@@ -41,6 +42,53 @@ class BsonSpec extends AnyFunSuite {
     assert(Bson.parseBsonSafe(3L, good ++ Array[Byte](5, 0, 0, 0, 0)).isEmpty,
       "a trailing empty document (no _id) quarantines the dump")
     assert(Bson.parseBsonSafe(3L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("array index keys must be the in-order decimal sequence") {
+    // hand-craft: {_arr: ["x"]} but with key "1" instead of "0"
+    def mini(arrKey: String): Array[Byte] = {
+      val inner = {
+        val o = new java.io.ByteArrayOutputStream()
+        o.write(0x02); o.write(arrKey.getBytes("UTF-8")); o.write(0)
+        o.write(2); o.write(0); o.write(0); o.write(0)
+        o.write('x'); o.write(0)
+        val body = o.toByteArray
+        val w = new java.io.ByteArrayOutputStream()
+        val t = body.length + 5
+        w.write(t & 0xff); w.write((t >> 8) & 0xff); w.write(0); w.write(0)
+        w.write(body, 0, body.length); w.write(0)
+        w.toByteArray
+      }
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(0x04); o.write("a".getBytes("UTF-8")); o.write(0)
+      o.write(inner, 0, inner.length)
+      val body = o.toByteArray
+      val w = new java.io.ByteArrayOutputStream()
+      val t = body.length + 5
+      w.write(t & 0xff); w.write((t >> 8) & 0xff); w.write(0); w.write(0)
+      w.write(body, 0, body.length); w.write(0)
+      w.toByteArray
+    }
+    // probe the structural rule directly: the doc with index key "0"
+    // parses, the one with "1" dies in parseDoc itself
+    val (fields, _) = Bson.parseDoc(mini("0"), 0, 0)
+    assert(fields.contains("a"), "well-formed array parses")
+    intercept[RuntimeException](Bson.parseDoc(mini("1"), 0, 0))
+  }
+
+  test("duplicate keys are damage") {
+    val o = new java.io.ByteArrayOutputStream()
+    def strElem(k: String): Unit = {
+      o.write(0x02); o.write(k.getBytes("UTF-8")); o.write(0)
+      o.write(2); o.write(0); o.write(0); o.write(0); o.write('v'); o.write(0)
+    }
+    strElem("k"); strElem("k")
+    val body = o.toByteArray
+    val w = new java.io.ByteArrayOutputStream()
+    val t = body.length + 5
+    w.write(t & 0xff); w.write((t >> 8) & 0xff); w.write(0); w.write(0)
+    w.write(body, 0, body.length); w.write(0)
+    assert(Bson.parseBsonSafe(1L, w.toByteArray).isEmpty, "duplicate key quarantines")
   }
 
   test("operator: damaged dump quarantines alone (Spark)") {
