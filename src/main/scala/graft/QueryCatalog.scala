@@ -3772,6 +3772,39 @@ object QueryCatalog {
        |WHERE r < 1 + ${nib("1")} % 3""".stripMargin
   }
 
+  /** Mach-O binary triage ([[graft.ext.Macho]] — completes the binary
+    * trio with elf_meta and pe_meta): FAT (universal) wrappers with
+    * per-slice bounds and declared-vs-actual cputype cross-checks, thin
+    * 64-bit headers, the cmdsize-aligned load-command walk (segments
+    * with exact section accounting, dylib paths through the command's
+    * name-offset indirection, LC_MAIN, LC_UUID), sizeofcmds consumed
+    * exactly. One row per slice.
+    */
+  private val qMachoMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Macho.machoMeta(graft.ext.Macho.encodeMacho(table(s, dir, "documents"))).toDF()
+
+  private val oMachoMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('macho:' || CAST(doc_id AS VARCHAR)) AS m,
+       |             doc_id % 3 = 2 AS fat, doc_id % 2 = 0 AS exe
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws)
+       |SELECT doc_id, s::BIGINT AS slice_idx, fat,
+       |       CASE WHEN fat THEN (CASE WHEN s = 0 THEN 'arm64' ELSE 'x86_64' END)
+       |         WHEN ${nib("2")} % 2 = 0 THEN 'arm64' ELSE 'x86_64' END AS cputype,
+       |       CASE WHEN exe THEN 'EXECUTE' ELSE 'DYLIB' END AS filetype,
+       |       (3 + 1 + ${nib("3")} % 2 + CASE WHEN exe THEN 1 ELSE 0 END)::BIGINT AS ncmds,
+       |       2::BIGINT AS n_segs, '__TEXT,__LINKEDIT' AS segs,
+       |       (1 + ${nib("3")} % 2)::BIGINT AS n_dylibs,
+       |       '/usr/lib/libSystem.B.dylib' || CASE WHEN ${nib("3")} % 2 = 1
+       |         THEN ',/usr/lib/lib' || ${w("4")} || '.dylib' ELSE '' END AS dylibs,
+       |       TRUE AS has_uuid,
+       |       CASE WHEN exe THEN 16384 + ${nib("5")} * 16 ELSE -1 END::BIGINT AS entry_off
+       |FROM d, wt, (SELECT unnest([0, 1]) AS s)
+       |WHERE s < CASE WHEN fat THEN 2 ELSE 1 END""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9925,6 +9958,7 @@ object QueryCatalog {
     "wasm_meta" -> qWasmMeta,
     "pe_meta" -> qPeMeta,
     "bson_docs" -> qBsonDocs,
+    "macho_meta" -> qMachoMeta,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10282,6 +10316,7 @@ object QueryCatalog {
     "wasm_meta" -> oWasmMeta,
     "pe_meta" -> oPeMeta,
     "bson_docs" -> oBsonDocs,
+    "macho_meta" -> oMachoMeta,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,
