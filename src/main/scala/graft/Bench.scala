@@ -149,10 +149,19 @@ object Bench {
       val kept = if (xs.size >= 3) xs.sorted.dropRight(1) else xs.sorted
       kept((kept.size - 1) / 2)
     }
+    // the recorded spread describes the SAME discard-max sample the median
+    // does — a spread that re-includes the one discarded outlier would
+    // contradict the statistic it annotates (round 15: with ~300 keys the
+    // one-polluted-window noise mode fires somewhere nearly every run, and
+    // the old max-min spread flagged keys whose recorded medians were fine)
+    def steadySpread(xs: Seq[Double]): Double = {
+      val kept = if (xs.size >= 3) xs.sorted.dropRight(1) else xs.sorted
+      if (kept.isEmpty) 0.0 else kept.max - kept.min
+    }
     val interleaved = selected.zipWithIndex.map { case ((name, _), i) =>
       val reps = rep1(i)._2 +: laterReps.map(_(i))
       val (_, _, sw, sr, in) = rep1(i)
-      (name, cold(i)._2, steadyMedian(reps), sw, sr, in, reps.max - reps.min)
+      (name, cold(i)._2, steadyMedian(reps), sw, sr, in, steadySpread(reps))
     }
     // ISOLATION PASS (round-13 fix for the recurring round-11/12 puzzle):
     // the heaviest keys' interleaved reps share their timed windows with
@@ -222,7 +231,7 @@ object Bench {
     val results = interleaved.map {
       case (name, c, im, sw, sr, in, _) if slowestNames.contains(name) =>
         val reps = isolatedReps(name, im)
-        (name, c, steadyMedian(reps), sw, sr, in, reps.max - reps.min)
+        (name, c, steadyMedian(reps), sw, sr, in, steadySpread(reps))
       case r => r
     }
     val interleavedByName = interleaved.map(r => r._1 -> r).toMap

@@ -3805,6 +3805,37 @@ object QueryCatalog {
        |WHERE s < CASE WHEN fat THEN 2 ELSE 1 END""".stripMargin
   }
 
+  /** Android DEX metadata ([[graft.ext.Dex]] — the mobile sibling of
+    * class_meta): the header's adler32 checksum AND SHA-1 signature
+    * VERIFIED with the shared from-scratch primitives (never echoed),
+    * MUTF-8 string pool with declared code-unit counts re-verified,
+    * type→string double indirection bounds-checked, class_defs with the
+    * NO_INDEX sentinel.
+    */
+  private val qDexClasses: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Dex.dexClasses(graft.ext.Dex.encodeDex(table(s, dir, "documents"))).toDF()
+
+  private val oDexClasses: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('dex:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['Anchor','Bloom','Cedar','Dune','Ember','Flint','Grove','Harbor'] AS ws),
+       |t AS (SELECT doc_id, m, ws, c, (1 + ${nib("1")} % 2)::BIGINT AS nc
+       |      FROM d, wt, (SELECT unnest([0, 1]) AS c)
+       |      WHERE c < 1 + ${nib("1")} % 2)
+       |SELECT doc_id,
+       |       CASE WHEN doc_id % 2 = 0 THEN '035' ELSE '039' END AS dex_version,
+       |       (2 * nc + 1)::BIGINT AS n_strings, (nc + 1)::BIGINT AS n_types,
+       |       nc AS n_classes, c::BIGINT AS class_idx,
+       |       'Lgraft/fx/' || list_extract(ws, 1 + CAST(${nib("CAST(2 + c AS INT)")} % 8 AS INT))
+       |         || CAST(doc_id AS VARCHAR) || CAST(c AS VARCHAR) || ';' AS class_name,
+       |       'Ljava/lang/Object;' AS superclass,
+       |       'Fixture' || CAST(doc_id AS VARCHAR) || CAST(c AS VARCHAR)
+       |         || '.java' AS source_file,
+       |       CASE WHEN (doc_id + c) % 2 = 0 THEN 1 ELSE 17 END::BIGINT AS access_flags
+       |FROM t""".stripMargin
+  }
+
   /** Legacy PowerPoint extraction ([[graft.ext.Ppt]] — the last 97-2003
     * office binary, on the shared CFB layer): the full persist-directory
     * resolution chain (CurrentUserAtom magic → UserEditAtom →
@@ -9959,6 +9990,7 @@ object QueryCatalog {
     "pe_meta" -> qPeMeta,
     "bson_docs" -> qBsonDocs,
     "macho_meta" -> qMachoMeta,
+    "dex_classes" -> qDexClasses,
     "rtf_extract" -> qRtfExtract,
     "xlsx_extract" -> qXlsxExtract,
     "latex_extract" -> qLatexExtract,
@@ -10317,6 +10349,7 @@ object QueryCatalog {
     "pe_meta" -> oPeMeta,
     "bson_docs" -> oBsonDocs,
     "macho_meta" -> oMachoMeta,
+    "dex_classes" -> oDexClasses,
     "rtf_extract" -> oRtfExtract,
     "xlsx_extract" -> oXlsxExtract,
     "latex_extract" -> oLatexExtract,

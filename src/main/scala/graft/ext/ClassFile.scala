@@ -149,7 +149,7 @@ object ClassFile {
     * 0xF0-0xFF. Decoding as java.nio UTF-8 would smash both special
     * forms to U+FFFD and corrupt names.
     */
-  private def modifiedUtf8(b: Array[Byte], from: Int, len: Int): String = {
+  private[ext] def modifiedUtf8(b: Array[Byte], from: Int, len: Int): String = {
     val sb = new java.lang.StringBuilder(len)
     var p = from
     val end = from + len

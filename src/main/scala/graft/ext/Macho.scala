@@ -98,12 +98,14 @@ object Macho {
     w32(le, 1L); w32(le, 1L)
     w32(le, 0L); w32(le, 0L)
     cmds.write(le.toByteArray, 0, le.size)
-    // LC_LOAD_DYLIB per dylib
-    dylibs.foreach { path =>
+    // LC_LOAD_DYLIB per dylib; the second one is WEAK (LC_REQ_DYLD high
+    // bit) on part of the corpus so the 0x80000018 arm stays graded
+    dylibs.zipWithIndex.foreach { case (path, di) =>
       val pb = path.getBytes("ISO-8859-1")
       val size = (24 + pb.length + 1 + 7) & ~7
       val c = new java.io.ByteArrayOutputStream()
-      w32(c, 0xcL); w32(c, size.toLong)
+      val cmd = if (di == 1 && id % 5 == 1) 0x80000018L else 0xcL
+      w32(c, cmd); w32(c, size.toLong)
       w32(c, 24L) // name offset within the command
       w32(c, 2L); w32(c, 0x10000L); w32(c, 0x10000L) // ts, versions
       c.write(pb, 0, pb.length)
@@ -219,7 +221,7 @@ object Macho {
     val ncmds = u32(from + 16)
     val sizeofcmds = u32(from + 20)
     if (ncmds <= 0 || ncmds > 1024) fail()
-    if (sizeofcmds < 0 || 32 + sizeofcmds > len) fail()
+    if (32 + sizeofcmds > len) fail() // u32 values are already non-negative
     var p = from + 32
     val cmdsEnd = from + 32 + sizeofcmds.toInt
     val segs = Vector.newBuilder[String]
@@ -246,7 +248,10 @@ object Macho {
           if (cmdsize != 72 + 80 * nsects) fail() // sections must fit exactly
           segs += segname
           nSegs += 1
-        case 0xcL | 0x18L | 0x1fL => // LC_LOAD_DYLIB & weak/reexport kin
+        // LC_LOAD_DYLIB, plus the weak/reexport kin which carry the
+        // LC_REQ_DYLD high bit (0x80000018 / 0x8000001F — the plain
+        // 0x18/0x1F values are different commands entirely)
+        case 0xcL | 0x80000018L | 0x8000001fL =>
           if (cmdsize < 24) fail()
           val nameOff = u32(p + 8)
           if (nameOff < 24 || nameOff >= cmdsize) fail()
@@ -289,7 +294,7 @@ object Macho {
         val e = 8 + 20 * i.toInt
         val off = be32(e + 8)
         val size = be32(e + 12)
-        if (off < 0 || size < 32 || off + size > b.length) fail()
+        if (size < 32 || off + size > b.length) fail()
         val m = parseThin(id, b, off.toInt, size.toInt, i, fat = true)
         // the fat entry's declared cputype must match the slice's header
         val declared = be32(e) match {

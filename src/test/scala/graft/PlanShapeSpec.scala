@@ -509,7 +509,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "orc_meta", "arrow_batches", "cpio_entries",
       "class_meta", "elf_meta",
       "safetensors_meta", "npy_meta", "pickle_scan", "gguf_meta",
-      "wasm_meta", "pe_meta", "bson_docs", "macho_meta").foreach { key =>
+      "wasm_meta", "pe_meta", "bson_docs", "macho_meta",
+      "dex_classes").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")

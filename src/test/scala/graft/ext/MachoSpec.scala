@@ -27,6 +27,9 @@ class MachoSpec extends AnyFunSuite {
       }
     }
     assert(sawFat && sawThin, "both container arms occur")
+    // the weak-dylib arm (LC_REQ_DYLD high bit) must occur and be parsed
+    assert((0L until 96L).exists(i => i % 5 == 1 && Macho.nDylibsOf(i) == 2),
+      "LC_LOAD_WEAK_DYLIB arm occurs in the corpus")
   }
 
   test("fat slice cputype must match the thin header inside it") {
