@@ -4944,6 +4944,32 @@ object QueryCatalog {
     * AvroSpec. Same oracle shape as zst/bz2/xz — the container grades
     * transparent; damage quarantines whole.
     */
+  /** Per-process cache of the staged avro containers, keyed by (session,
+    * dir). The ENCODE side is fixture staging, not the operator under
+    * test (a real pipeline's containers sit in the lake; nobody
+    * re-encodes them per query), and it is the suite's most
+    * allocation-intensive stage — 32 concurrent dynamic-Huffman deflates
+    * over the whole corpus on every bench rep. Staging once per process
+    * keeps every timed window on the measured query: the full
+    * from-scratch demux + inflate. (The r13/r15 multi-minute stall reps
+    * themselves turned out to be a DECODE-side bug — an unhinted inflate
+    * allocating the 64 MB cap per block, fixed at graft.ext.Avro.demux —
+    * but the staging economy stands on its own.) Keyed by session
+    * reference so a fresh session (tests, a restarted driver) re-stages
+    * against its own context; entries for stopped sessions are dropped
+    * on access.
+    */
+  private val avroFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def avroArchives(s: SparkSession, dir: String): DataFrame = {
+    avroFixtureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    avroFixtureCache.computeIfAbsent((s, dir), { _ =>
+      graft.ext.Avro.encodeAvroArchives(table(s, dir, "documents"), nArchives = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   private val qAvroExtract: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Avro.avroExtract(
       // 32 shards, not the container family's 16: the avro demux is the
@@ -4951,7 +4977,7 @@ object QueryCatalog {
       // directions), and 16 shards left half of local[32] idle — a real
       // avro dataset is sharded to the cluster, so more shards IS the
       // production shape
-      graft.ext.Avro.encodeAvroArchives(table(s, dir, "documents"), nArchives = 32)).toDF()
+      avroArchives(s, dir)).toDF()
 
   /** [[oZstExtract]] with the avro key's 32-way sharding. (lazy: the
     * shared container oracle is defined later in this object)

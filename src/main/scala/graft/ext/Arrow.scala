@@ -486,7 +486,10 @@ object Arrow {
       }
 
     blocks.zipWithIndex.flatMap { case ((off, metaLen, bodyLen), bi) =>
+      // per-term bounds BEFORE the sum (the bufSlice rule): huge positive
+      // i64s can wrap their sum negative and slip past the combined check
       if (off < 8 || metaLen < 12 || bodyLen < 0 ||
+        off > fStart || metaLen > fStart || bodyLen > fStart ||
         off + metaLen + bodyLen > fStart) fail()
       val o = off.toInt
       // continuation marker + metadata length
@@ -510,7 +513,11 @@ object Arrow {
         val p = bufsAt + 16 * i
         val bo = mr.i64(p)
         val bl = mr.i64(p + 8)
-        if (bo < 0 || bl < 0 || bo + bl > bodyLen) fail()
+        // each term individually first (mirroring the ORC stripe bounds):
+        // two huge positive i64s can wrap their SUM past Long.MAX to a
+        // negative that passes the combined check, and the later .toInt
+        // truncation would then read in-bounds garbage instead of failing
+        if (bo < 0 || bl < 0 || bo > bodyLen || bl > bodyLen || bo + bl > bodyLen) fail()
         (bodyStart + bo, bl)
       }
       // buffer counts per column; -1 = layout we can't account for

@@ -180,8 +180,18 @@ object Avro {
       val data = r.bytes(size.toInt)
       val blockSync = r.bytes(16)
       if (!java.util.Arrays.equals(blockSync, sync)) fail() // sync mismatch
+      // sizeHint is REQUIRED here, not an optimization: without it the
+      // inflate buffer is one expectedMax-sized (64 MB default) ZEROED
+      // allocation per block — a G1-humongous allocation that, repeated
+      // for every few-KB block across 32 concurrent tasks, produced the
+      // recurrent multi-minute full-GC stalls in the r13/r15 driver bench
+      // artifacts (jstack caught the suite inside this very call). The
+      // hint starts at 4x the compressed size and the buffer doubles
+      // geometrically up to maxBlockBytes, so correctness is unchanged.
       val raw =
-        if (codec == "deflate") Multimodal.inflate(data, 0, data.length, maxBlockBytes)
+        if (codec == "deflate")
+          Multimodal.inflateWithEnd(data, 0, data.length, maxBlockBytes,
+            sizeHint = math.min(maxBlockBytes, 4 * data.length + 1024))._1
         else data
       val br = new Reader(raw)
       var i = 0L

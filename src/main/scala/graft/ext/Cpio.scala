@@ -169,8 +169,15 @@ object Cpio {
         java.nio.charset.StandardCharsets.UTF_8)
       var q = p + 110 + nameSize.toInt
       q += (4 - q % 4) % 4 // header+name padded to 4 (entries start 4-aligned)
-      if (name == "TRAILER!!!") sawTrailer = true
-      else {
+      if (name == "TRAILER!!!") {
+        // exact-consumption check (the BSON/deb/wasm readers' rule): the
+        // trailer carries no data, and everything after it must be the
+        // writer's NUL block padding — arbitrary trailing garbage is damage
+        if (fileSize != 0) fail()
+        var i = q
+        while (i < b.length) { if (b(i) != 0) fail(); i += 1 }
+        sawTrailer = true
+      } else {
         if (q + fileSize > b.length) fail()
         val ftype = (mode & 0xf000L) match {
           case 0x8000L => "f"

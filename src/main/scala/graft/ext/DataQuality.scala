@@ -219,20 +219,28 @@ object DataQuality {
   }
 
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     val counts = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("cnt"))
+    // Marginals as aggregations over the OBSERVED pairs (zero cells add
+    // nothing to a sum, so these equal the window-over-the-grid values),
+    // and the grand total as a 1-row aggregate broadcast onto every cell.
+    // Round 16: this replaces a `sum().over(Window.partitionBy())` global
+    // window that moved the whole a×b grid to ONE partition — fine for
+    // lang×source, a scale-killer for any high-cardinality caller.
+    val na = counts.groupBy("a").agg(sum("cnt").as("na"))
+    val nb = counts.groupBy("b").agg(sum("cnt").as("nb"))
+    val n = counts.agg(sum("cnt").as("n"))
     // the FULL grid, zero cells included — an empty cell contributes its
-    // whole expected count to the statistic; omitting it understates chi²
-    val cells = counts.select(col("a")).distinct()
-      .crossJoin(counts.select(col("b")).distinct())
+    // whole expected count to the statistic; omitting it understates chi².
+    // Built from the marginal relations themselves: |a| rows × a broadcast
+    // of |b| rows carries the grid AND both marginals in one pass.
+    val cells = na
+      .crossJoin(broadcast(nb))
       .join(counts, Seq("a", "b"), "left")
       .withColumn("observed", coalesce(col("cnt"), lit(0L))).drop("cnt")
-      .withColumn("na", sum("observed").over(w.partitionBy("a")))
-      .withColumn("nb", sum("observed").over(w.partitionBy("b")))
-      .withColumn("n", sum("observed").over(w.partitionBy()))
+      .crossJoin(broadcast(n))
       .withColumn("expected",
         (col("na").cast("double") * col("nb").cast("double")) / col("n").cast("double"))
     cells.select(

@@ -336,7 +336,11 @@ object Orc {
           if (clen <= 0 || clen > until - p) fail()
           if (original) out.write(b, p, clen)
           else if (codec == 1) {
-            val d = Multimodal.inflate(b, p, p + clen, maxOut)
+            // size-hinted: a bare maxOut here allocates the full cap (a
+            // G1-humongous zeroed array) per few-KB chunk — the allocation
+            // storm that stalled the avro sibling's bench reps
+            val d = Multimodal.inflateWithEnd(b, p, p + clen, maxOut,
+              sizeHint = math.min(maxOut, 4 * clen + 1024))._1
             out.write(d, 0, d.length)
           } else {
             val d = try Snappy.decompress(java.util.Arrays.copyOfRange(b, p, p + clen), maxOut)

@@ -174,11 +174,17 @@ object Safetensors {
     private def obj(): JsObj = {
       expect('{'); ws()
       val fields = Vector.newBuilder[(String, Js)]
+      // duplicate keys are malformed, not last-wins: a duplicated
+      // dtype/shape/data_offsets would silently override via .toMap, and a
+      // duplicated tensor name would emit two rows — both diverge from the
+      // strict-header contract the rest of the module enforces
+      val seen = scala.collection.mutable.HashSet.empty[String]
       if (p < s.length && s(p) == '}') { p += 1; return JsObj(fields.result()) }
       var more = true
       while (more) {
         ws()
         val k = str()
+        if (!seen.add(k)) fail()
         ws(); expect(':')
         fields += (k -> value())
         ws()

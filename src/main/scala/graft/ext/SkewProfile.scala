@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ======== Join-key skew profiling ========
@@ -18,12 +17,21 @@ import org.apache.spark.sql.functions._
   * and ratios are single IEEE divisions over exact integer counts —
   * bitwise portable (the percentile POSITIONS use `ceil(n_keys · q)`,
   * one correctly-rounded multiply both engines perform identically).
-  * Scale note: the ranking windows run over the already-reduced key
-  * histogram (|keys| rows, not |rows|); at key cardinalities where a
-  * single-partition window over the histogram itself hurts, the
-  * percentile moves to `approx_percentile` (the `value_quantiles`
-  * accuracy-bound path) — this exact profile is the oracle-checkable
-  * form.
+  *
+  * Scale plan (round 16 — this file previously ranked the key histogram
+  * with three GLOBAL windows, funneling all |keys| rows through one
+  * partition; under skew profiling |keys| is billions by the tool's own
+  * premise): the key histogram is reduced a second time to its
+  * COUNT-VALUE histogram — `groupBy(cnt)` with full map-side combine,
+  * so what reaches the final single-row aggregate is one struct per
+  * DISTINCT per-key count (Zipfian data: ~O(√n_rows) values, each 16
+  * bytes), not one row per key. Exact order statistics then fall out of
+  * a sorted-array fold: the element at ascending rank `ceil(n_keys·q)`
+  * is the smallest count whose cumulative frequency reaches the rank,
+  * and the top-10 mass is a bounded descending walk with multiplicity.
+  * Ties in the old rank order were broken by key, which only ever chose
+  * AMONG equal counts — so every emitted value is bit-identical to the
+  * window formulation the DuckDB oracle still replays.
   */
 object SkewProfile {
 
@@ -33,18 +41,28 @@ object SkewProfile {
       .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("long").as("k"))
       .agg(count(lit(1)).as("cnt"))
-    val ranked = counts
-      .withColumn("rd", row_number().over(Window.orderBy(col("cnt").desc, col("k"))))
-      .withColumn("ra", row_number().over(Window.orderBy(col("cnt").asc, col("k"))))
-      .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
-    ranked
+    // distinct count-values with multiplicity: the only relation small
+    // enough to sort inside one row, and it reaches that row combined
+    val hist = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    hist
       .agg(
-        max(col("nk")).as("n_keys"),
-        sum(col("cnt")).as("n_rows"),
+        sum(col("cnt") * col("freq")).as("n_rows"),
+        sum(col("freq")).as("n_keys"),
         max(col("cnt")).as("max_count"),
-        sum(when(col("rd") <= 10, col("cnt")).otherwise(0L)).as("top10_rows"),
-        max(when(col("ra") === ceil(col("nk") * lit(0.5)), col("cnt"))).as("p50_count"),
-        max(when(col("ra") === ceil(col("nk") * lit(0.99)), col("cnt"))).as("p99_count"))
+        sort_array(collect_list(struct(col("cnt"), col("freq")))).as("h"))
+      // smallest cnt whose cumulative frequency reaches the ascending rank
+      // ceil(n_keys * q) — exactly the row the old row_number() selected
+      .withColumn("p50_count", rankSelect(0.5))
+      .withColumn("p99_count", rankSelect(0.99))
+      // top-10 keys by (cnt desc): walk the histogram from the heavy end
+      // with a 10-key budget, taking multiplicity until the budget is spent
+      .withColumn("top10_rows", expr(
+        """aggregate(reverse(h),
+          |  named_struct('left', CAST(10 AS BIGINT), 'tot', CAST(0 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    'left', greatest(CAST(0 AS BIGINT), acc.left - x.freq),
+          |    'tot', acc.tot + least(acc.left, x.freq) * x.cnt),
+          |  acc -> acc.tot)""".stripMargin))
       .select(
         lit(label).as("key_col"),
         col("n_rows"), col("n_keys"), col("max_count"),
@@ -53,6 +71,21 @@ object SkewProfile {
         col("p50_count"), col("p99_count"),
         (col("max_count").cast("double") / col("p50_count")).as("skew_ratio"))
   }
+
+  /** The count value at ascending per-key rank `ceil(n_keys * q)`: a fold
+    * over the sorted count-value histogram that latches the first count
+    * whose cumulative frequency reaches the rank. NULL on an empty
+    * histogram (matching an aggregate over an empty relation).
+    */
+  private def rankSelect(q: Double) = expr(
+    s"""aggregate(h,
+       |  named_struct('seen', CAST(0 AS BIGINT), 'v', CAST(NULL AS BIGINT)),
+       |  (acc, x) -> IF(acc.v IS NOT NULL, acc,
+       |    named_struct('seen', acc.seen + x.freq,
+       |      'v', IF(acc.seen + x.freq >=
+       |              CAST(ceil(CAST(n_keys AS DOUBLE) * $q) AS BIGINT),
+       |            x.cnt, CAST(NULL AS BIGINT)))),
+       |  acc -> acc.v)""".stripMargin)
 
   /** Profiles for several (table, key) pairs unioned into one relation. */
   def profiles(targets: Seq[(DataFrame, String, String)]): DataFrame = {

@@ -571,4 +571,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ce <= pe + 2,
       s"span removal should add at most the span-pack + join exchanges (producer $pe, consumer $ce):\n${consumer.take(1500)}")
   }
+
+  test("skew_profile / lang_source_chi2: zero Window operators — no single-partition funnel") {
+    // round-16 pins for the two r15 weak components: both previously ranked
+    // or totaled through GLOBAL windows (Window.partitionBy() with no keys),
+    // which move the whole relation to ONE partition and spray "No Partition
+    // Defined" warnings across the driver log. The rewrites reduce through
+    // aggregations (count-value histogram fold; grouped marginals + 1-row
+    // broadcast total) — a Window of ANY kind reappearing in either plan is
+    // the regression.
+    Seq("skew_profile", "lang_source_chi2").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      assert(!p.contains("Window"), s"$key must not window:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"cartesian product in $key")
+    }
+    // skew_profile is pure aggregation — no join of any kind may appear
+    val ps = plan(QueryCatalog.queries("skew_profile")(spark, sf))
+    assert(!ps.contains("Join"), s"skew_profile must not join:\n${ps.take(1500)}")
+    // chi2's grid and total ride BROADCASTS (the b-marginal via
+    // BroadcastNestedLoopJoin Cross — bounded category sides — the observed
+    // counts via BroadcastHashJoin): a shuffled sort-merge join here means a
+    // marginal started paying a corpus exchange
+    val p2 = plan(QueryCatalog.queries("lang_source_chi2")(spark, sf))
+    assert(!p2.contains("SortMergeJoin"), s"chi2 grid must broadcast, not sort-merge:\n${p2.take(1500)}")
+  }
 }

@@ -169,6 +169,44 @@ class ArrowSpec extends AnyFunSuite {
     assert(Arrow.parseArrowSafe(id, smashed).isEmpty, "smashed footer")
   }
 
+  test("i64 sum-wrap bounds: huge block/buffer extents quarantine, not misread") {
+    // two huge positive i64 extents can wrap their SUM past Long.MAX to a
+    // negative that passes a combined `a + b > limit` check; each term must
+    // be bounded individually first (the ORC stripe rule). Poison a real
+    // file's footer block entry and a record-batch buffer entry with
+    // near-MAX lengths and require whole-file quarantine, not garbage rows.
+    val id = 7L
+    val good = Arrow.renderArrow(id)
+    assert(Arrow.parseArrowSafe(id, good).nonEmpty)
+    def le64(v: Long): Array[Byte] = (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    def find(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+      var p = from
+      while (p + needle.length <= hay.length) {
+        if (needle.indices.forall(i => hay(p + i) == needle(i))) return p
+        p += 1
+      }
+      -1
+    }
+    // block0's file offset = the SECOND continuation marker (the first is
+    // the schema message); its footer entry starts with that offset as i64
+    val marker = Array[Byte](-1, -1, -1, -1)
+    val block0 = find(good, marker, find(good, marker, 0) + 4)
+    assert(block0 > 0, "record batch marker")
+    val entryAt = find(good, le64(block0.toLong), block0)
+    assert(entryAt > 0, "footer block entry")
+    val pb = good.clone()
+    le64(Long.MaxValue - 15).zipWithIndex.foreach { case (b, i) => pb(entryAt + 16 + i) = b }
+    assert(Arrow.parseArrowSafe(id, pb).isEmpty, "block bodyLen wrap")
+    // the id column's data buffer entry is (offset 8, length 8·rows) in the
+    // batch metadata (buffer 0 is the 1-byte validity, padded to 8)
+    val rows0 = math.min(Arrow.nRows(id), Arrow.RowsPerBatch)
+    val bufAt = find(good, le64(8L) ++ le64(8L * rows0), block0)
+    assert(bufAt > 0, "id data buffer entry")
+    val pf = good.clone()
+    le64(Long.MaxValue - 4).zipWithIndex.foreach { case (b, i) => pf(bufAt + 8 + i) = b }
+    assert(Arrow.parseArrowSafe(id, pf).isEmpty, "buffer length wrap")
+  }
+
   test("operator: damaged file quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._

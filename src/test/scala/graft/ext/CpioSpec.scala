@@ -110,6 +110,20 @@ class CpioSpec extends AnyFunSuite {
     }).isEmpty, "zero namesize")
   }
 
+  test("exact consumption: bytes after the trailer must be NUL padding only") {
+    val id = 2L
+    val good = Cpio.renderCpio(id)
+    assert(Cpio.parseCpioSafe(id, good).nonEmpty)
+    // writers block-pad with NULs (commons-compress pads to 512) — accepted
+    assert(Cpio.parseCpioSafe(id, good ++ new Array[Byte](512 - good.length % 512)).nonEmpty,
+      "NUL block padding")
+    // arbitrary trailing garbage is damage, not silently ignored
+    assert(Cpio.parseCpioSafe(id, good ++ "garbage".getBytes("UTF-8")).isEmpty,
+      "trailing garbage")
+    assert(Cpio.parseCpioSafe(id, good ++ new Array[Byte](8) ++ Array('x'.toByte)).isEmpty,
+      "garbage after padding")
+  }
+
   test("operator: damaged archive quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._

@@ -98,6 +98,30 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(Safetensors.parseSafetensorsSafe(id, Array.emptyByteArray).isEmpty)
   }
 
+  test("duplicate JSON keys are damage, not last-wins") {
+    // a duplicated field (dtype/shape/data_offsets) silently last-wins via
+    // .toMap and a duplicated tensor name yields two rows — the strict-header
+    // contract requires quarantine instead
+    def withHeader(json: String, data: Array[Byte]): Array[Byte] = {
+      val h = json.getBytes("UTF-8")
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until 8).foreach(i => out.write(((h.length.toLong >>> (8 * i)) & 0xff).toInt))
+      out.write(h, 0, h.length); out.write(data, 0, data.length)
+      out.toByteArray
+    }
+    val data = new Array[Byte](8)
+    val clean = withHeader(
+      """{"t":{"dtype":"I64","shape":[1],"data_offsets":[0,8]}}""", data)
+    assert(Safetensors.parseSafetensorsSafe(1L, clean).nonEmpty, "baseline accepts")
+    val dupField = withHeader(
+      """{"t":{"dtype":"F32","dtype":"I64","shape":[1],"data_offsets":[0,8]}}""", data)
+    assert(Safetensors.parseSafetensorsSafe(1L, dupField).isEmpty, "duplicate dtype")
+    val dupTensor = withHeader(
+      """{"t":{"dtype":"I64","shape":[1],"data_offsets":[0,8]},""" +
+        """"t":{"dtype":"I64","shape":[1],"data_offsets":[0,8]}}""", data)
+    assert(Safetensors.parseSafetensorsSafe(1L, dupTensor).isEmpty, "duplicate tensor name")
+  }
+
   test("operator: damaged file quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
