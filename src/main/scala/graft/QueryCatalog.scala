@@ -3101,12 +3101,19 @@ object QueryCatalog {
   /** Parquet internals ([[graft.ext.ParquetFile]] — the engine's OWN
     * storage format at the byte level, no parquet library): Thrift
     * compact protocol both directions (with the generic skip graded by
-    * a planted key_value_metadata list), footer structs, v1 PLAIN data
-    * pages for INT64/DOUBLE/BYTE_ARRAY. The oracle replays per-column
+    * a planted key_value_metadata list), footer structs with a full
+    * schema-tree def/rep-level walk, and the real v1 page stack —
+    * SNAPPY (the repo's own coder), dictionary pages + RLE/bit-packed
+    * hybrid RLE_DICTIONARY indices, and 1-bit definition levels for an
+    * OPTIONAL column with planted nulls. The fixture cycles
+    * UNCOMPRESSED/SNAPPY by file and PLAIN/dictionary by column so
+    * every decode arm sits under this oracle, which replays per-column
     * per-row-group aggregates of the decoded values; the spec closes
-    * the loop both ways — SPARK reads the from-scratch files bit-exact,
-    * and the footer reader agrees field-for-field with parquet-mr on
-    * the real pyarrow-written testdata files.
+    * the loop both ways — SPARK reads the from-scratch files bit-exact
+    * (its snappy-java must accept our compressor), and on the REAL
+    * pyarrow-written testdata files the reader agrees with parquet-mr
+    * footer-field-for-field and with Spark's own decode
+    * value-for-value.
     */
   private val qParquetMeta: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.ParquetFile.parquetMeta(
@@ -3125,27 +3132,41 @@ object QueryCatalog {
        |        'row ' || CAST(k AS VARCHAR) || ' of pq ' || CAST(doc_id AS VARCHAR)
        |          || ': ' || ${w("CAST(2 + k AS INT)")} ||
        |          CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END AS title,
+       |        CASE WHEN (doc_id + k) % 3 = 0 THEN NULL ELSE
+       |          'note ' || CAST(k AS VARCHAR) || ' of pq ' || CAST(doc_id AS VARCHAR)
+       |            || ': ' || ${w("CAST(14 + k AS INT)")} ||
+       |            CASE WHEN (doc_id + k) % 4 = 0 THEN ' ' || chr(252) ELSE '' END END AS note,
        |        (doc_id * 100 + k)::BIGINT AS iv,
        |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv
        |      FROM r),
        |a AS (SELECT doc_id, g, count(*)::BIGINT AS cnt, sum(iv)::BIGINT AS isum,
-       |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat
+       |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat,
+       |        coalesce(string_agg(note, '' ORDER BY k), '') AS ncat
        |      FROM t GROUP BY doc_id, g),
        |h AS (SELECT doc_id, g, cnt, isum, rsum, hex(encode(cat)) AS hx,
-       |        octet_length(encode(cat)) AS nb FROM a)
+       |        octet_length(encode(cat)) AS nb, hex(encode(ncat)) AS nhx,
+       |        octet_length(encode(ncat)) AS nnb,
+       |        CASE WHEN doc_id % 2 = 1 THEN 'SNAPPY' ELSE 'UNCOMPRESSED' END AS cdc
+       |      FROM a)
        |SELECT doc_id, g::BIGINT AS row_group, 0::BIGINT AS col_idx, 'id' AS path,
-       |       'INT64' AS ptype, 'UNCOMPRESSED' AS codec, cnt AS num_values,
+       |       'INT64' AS ptype, cdc AS codec, cnt AS num_values,
        |       'i' AS vtype, isum AS i_sum, NULL::DOUBLE AS r_sum,
        |       NULL::BIGINT AS s_bytes, NULL::BIGINT AS s_checksum FROM h
        |UNION ALL
-       |SELECT doc_id, g, 1, 'title', 'BYTE_ARRAY', 'UNCOMPRESSED', cnt, 's',
+       |SELECT doc_id, g, 1, 'title', 'BYTE_ARRAY', cdc, cnt, 's',
        |       NULL, NULL, nb::BIGINT,
        |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nb), i ->
        |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
        |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h
        |UNION ALL
-       |SELECT doc_id, g, 2, 'score', 'DOUBLE', 'UNCOMPRESSED', cnt, 'f',
-       |       NULL, rsum, NULL, NULL FROM h""".stripMargin
+       |SELECT doc_id, g, 2, 'score', 'DOUBLE', cdc, cnt, 'f',
+       |       NULL, rsum, NULL, NULL FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 3, 'note', 'BYTE_ARRAY', cdc, cnt, 's',
+       |       NULL, NULL, nnb::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(nnb), i ->
+       |         ('0x' || substr(nhx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h""".stripMargin
   }
 
   /** SQLite database-file ingestion ([[graft.ext.Sqlite]] — the most

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * "runs on Spark" and "understands its storage".
   *
   * Implemented per the published format (parquet-format's
-  * `parquet.thrift` + the Thrift Compact Protocol spec):
+  * `parquet.thrift` + the Thrift Compact Protocol spec + the
+  * Encodings.md RLE/bit-packed hybrid):
   *
   *  - '''Thrift compact protocol''': zigzag varints, short/long-form
   *    field headers with delta field ids, bool-in-header, strings,
@@ -20,29 +21,42 @@ import org.apache.spark.sql.functions._
   *    pass through safely. The fixture deliberately plants a
   *    key_value_metadata list so the skip path is graded.
   *  - '''file layout''': `PAR1` magic both ends, footer length u32 LE;
-  *    FileMetaData → schema (SchemaElement list with REQUIRED
-  *    primitives + the UTF8 converted type), row groups → column
-  *    chunks → ColumnMetaData (type, encodings, path, codec, value
-  *    counts, sizes, offsets).
-  *  - '''data pages''': v1 DataPageHeader + PLAIN encoding for INT64
-  *    (8-byte LE), DOUBLE (LE bits) and BYTE_ARRAY (u32 LE length
-  *    prefix) — REQUIRED columns, so no definition/repetition levels,
-  *    exactly as the spec stores them.
+  *    FileMetaData → schema (a full SchemaElement TREE walk computing
+  *    each leaf's max definition/repetition level) → row groups →
+  *    column chunks → ColumnMetaData (type, encodings, path, codec,
+  *    value counts, sizes, data + dictionary page offsets).
+  *  - '''pages''': the v1 chunk layout real writers emit — an optional
+  *    PLAIN dictionary page followed by data pages, walked until the
+  *    chunk's value count is consumed. Per page: SNAPPY decompression
+  *    (the repo's own [[Snappy]] coder), 1-bit definition levels for
+  *    OPTIONAL columns (4-byte-length-prefixed RLE/bit-packed hybrid),
+  *    then values as PLAIN (INT32/INT64/FLOAT/DOUBLE LE,
+  *    length-prefixed BYTE_ARRAY) or RLE_DICTIONARY /
+  *    PLAIN_DICTIONARY indices (1-byte bit width + hybrid runs)
+  *    resolved through the chunk's dictionary. This is exactly the
+  *    layout parquet-cpp/pyarrow writes (SNAPPY + RLE_DICTIONARY with
+  *    PLAIN fallback), so the REAL testdata files decode to values.
   *
   * Grading is three-sided (ParquetFileSpec): (1) the bitwise DuckDB
   * oracle replays per-column per-row-group aggregates of the decoded
-  * values; (2) SPARK ITSELF reads the from-scratch files and must see
-  * the exact fixture rows — the strongest possible writer check; (3)
-  * the footer reader runs against the REAL pyarrow-written testdata
-  * parquet files and must agree field-for-field with parquet-mr
-  * (`ParquetFileReader`, test classpath only) — the strongest possible
-  * reader check, against a foreign writer.
+  * values — the fixture cycles UNCOMPRESSED/SNAPPY by file and
+  * PLAIN/dictionary by column, and plants an OPTIONAL column with
+  * nulls, so every decode arm sits under the hash; (2) SPARK ITSELF
+  * reads the from-scratch files and must see the exact fixture rows —
+  * the strongest possible writer check; (3) the reader runs against
+  * the REAL pyarrow-written testdata parquet files and must agree
+  * with parquet-mr footer-field-for-field AND with Spark's own decode
+  * value-for-value — the strongest possible reader check, against a
+  * foreign writer.
   *
-  * Decode-subset boundary: chunks with compressed codecs, dictionary/v2
-  * pages, multi-page layouts, or exotic types surface their METADATA
-  * row (vtype 'm', no aggregates) rather than quarantining the file —
-  * only structural damage (bad magic, broken thrift, bounds violations)
-  * quarantines. Encrypted footers are damage.
+  * Decode-subset boundary: v2 data pages, nested/repeated columns
+  * (max repetition level > 0 or definition level > 1), codecs beyond
+  * UNCOMPRESSED/SNAPPY, and types beyond
+  * INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY surface their METADATA row
+  * (vtype 'm', no aggregates) rather than quarantining the file —
+  * only structural damage (bad magic, broken thrift, bounds
+  * violations, a dictionary index past its dictionary) quarantines.
+  * Encrypted footers are damage.
   *
   * Scale shape: map-only per file, zero shuffles; at 100 TB the footer
   * walk is a range read of the file tail, never a full-file scan.
@@ -76,6 +90,18 @@ object ParquetFile {
       (if ((id + k) % 3 == 0) " é" else "")
   private[ext] def scoreVal(id: Long, k: Int): Double =
     (nib(id, 9 + k) + 4 * k + id % 7) / 4.0
+  /** OPTIONAL column: null every third row — the definition-level arm. */
+  private[ext] def noteIsNull(id: Long, k: Int): Boolean = (id + k) % 3 == 0
+  private[ext] def noteVal(id: Long, k: Int): String =
+    s"note $k of pq $id: ${words(nib(id, 14 + k) % 8)}" +
+      (if ((id + k) % 4 == 0) " ü" else "")
+  /** SNAPPY files alternate with UNCOMPRESSED ones. */
+  private[ext] def useSnappy(id: Long): Boolean = id % 2 == 1
+  /** title dictionary-encodes on two of three files, score on one of four
+    * — every (codec, encoding) pair occurs across the corpus.
+    */
+  private[ext] def titleDict(id: Long): Boolean = id % 3 != 0
+  private[ext] def scoreDict(id: Long): Boolean = id % 4 == 0
 
   // ---- thrift compact protocol writer
 
@@ -115,72 +141,190 @@ object ParquetFile {
     def bytes: Array[Byte] = out.toByteArray
   }
 
-  /** v1 PLAIN data page (header thrift + values) for one column of one
-    * row group; returns the full page bytes.
+  // ---- RLE/bit-packed hybrid writer pieces (Encodings.md)
+
+  private def uvarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    out.write(x.toInt)
+  }
+
+  /** One bit-packed run covering all `values` (LSB-first packing, groups
+    * of 8, zero-padded tail) — the layout every hybrid consumer accepts.
     */
-  private def dataPage(numValues: Int, values: Array[Byte]): Array[Byte] = {
+  private def hybridBitPacked(values: Seq[Int], bitWidth: Int): Array[Byte] = {
+    val groups = (values.length + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    uvarint(out, (groups.toLong << 1) | 1L)
+    val packed = new Array[Byte](groups * bitWidth)
+    var i = 0
+    while (i < values.length) {
+      var k = 0
+      while (k < bitWidth) {
+        if (((values(i) >> k) & 1) != 0) {
+          val bit = i.toLong * bitWidth + k
+          packed((bit >> 3).toInt) = (packed((bit >> 3).toInt) | (1 << (bit & 7))).toByte
+        }
+        k += 1
+      }
+      i += 1
+    }
+    out.write(packed, 0, packed.length)
+    out.toByteArray
+  }
+
+  /** 4-byte-length-prefixed 1-bit definition levels for one v1 data page. */
+  private def defLevels(flags: Seq[Boolean]): Array[Byte] = {
+    val hybrid = hybridBitPacked(flags.map(f => if (f) 1 else 0), 1)
+    val out = new java.io.ByteArrayOutputStream()
+    val n = hybrid.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >>> 24) & 0xff)
+    out.write(hybrid, 0, hybrid.length)
+    out.toByteArray
+  }
+
+  private def bitWidthFor(dictSize: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(dictSize - 1, 1)))
+
+  /** v1 data page (header thrift + body) for one column of one row
+    * group; `body` is the UNCOMPRESSED page body (def levels + values),
+    * compressed here when the file's codec says so. Returns (page bytes,
+    * uncompressed total = header + raw body) for the footer's size
+    * bookkeeping.
+    */
+  private def dataPage(numValues: Int, encoding: Int, body: Array[Byte],
+      snappy: Boolean): (Array[Byte], Long) = {
+    val stored = if (snappy) Snappy.compress(body) else body
     val w = new TWriter
     w.i32(1, 0) // type = DATA_PAGE
-    w.i32(2, values.length) // uncompressed_page_size
-    w.i32(3, values.length) // compressed_page_size (UNCOMPRESSED)
+    w.i32(2, body.length) // uncompressed_page_size
+    w.i32(3, stored.length) // compressed_page_size
     w.structBegin(5) // data_page_header
     w.i32(1, numValues)
-    w.i32(2, 0) // encoding = PLAIN
-    w.i32(3, 3) // definition_level_encoding = RLE (no levels: REQUIRED)
+    w.i32(2, encoding)
+    w.i32(3, 3) // definition_level_encoding = RLE
     w.i32(4, 3) // repetition_level_encoding
     w.structEnd()
     w.out.write(0) // end of PageHeader struct
-    w.bytes ++ values
+    val header = w.bytes
+    (header ++ stored, header.length.toLong + body.length)
+  }
+
+  /** PLAIN dictionary page (header thrift + values). */
+  private def dictPage(numValues: Int, values: Array[Byte], snappy: Boolean): (Array[Byte], Long) = {
+    val stored = if (snappy) Snappy.compress(values) else values
+    val w = new TWriter
+    w.i32(1, 2) // type = DICTIONARY_PAGE
+    w.i32(2, values.length)
+    w.i32(3, stored.length)
+    w.structBegin(7) // dictionary_page_header
+    w.i32(1, numValues)
+    w.i32(2, 2) // encoding = PLAIN_DICTIONARY
+    w.structEnd()
+    w.out.write(0)
+    val header = w.bytes
+    (header ++ stored, header.length.toLong + values.length)
   }
 
   private def leI64(v: Long): Array[Byte] =
     Array.tabulate(8)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def leI32(v: Int): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def plainString(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    leI32(b.length) ++ b
+  }
 
   private[ext] def renderParquet(id: Long): Array[Byte] = {
     val n = nRows(id)
+    val snappy = useSnappy(id)
     val groups = (0 until n).grouped(RowsPerGroup).toSeq
     val out = new java.io.ByteArrayOutputStream()
     out.write("PAR1".getBytes("ISO-8859-1"))
     // pages, row-group-major then column-major; record offsets/sizes
     final case class Chunk(typ: Int, path: String, numValues: Long,
-      offset: Long, size: Long)
+      offset: Long, dictOffset: Long, dataOffset: Long, size: Long,
+      uncompressed: Long, encodings: Seq[Int])
+    // page body for a dictionary-encoded column: first-occurrence dict +
+    // indices; PLAIN otherwise. `plain` renders one value.
+    def dictColumn(optional: Boolean, present: Seq[Boolean],
+        vals: Seq[Array[Byte]]): (Array[Byte], Array[Byte], Int) = {
+      val keys = vals.map(_.toSeq)
+      val dictKeys = keys.distinct
+      val dict = dictKeys.flatten.toArray
+      val idx = keys.map(dictKeys.indexOf)
+      val bw = bitWidthFor(dictKeys.length)
+      // an OPTIONAL column's v1 page ALWAYS carries a def-levels section
+      // — even when every value in this page happens to be present
+      val levels = if (optional) defLevels(present) else Array.emptyByteArray
+      val body = levels ++ Array(bw.toByte) ++ hybridBitPacked(idx, bw)
+      (dict, body, dictKeys.length)
+    }
     val rowGroups = groups.map { ks =>
-      val cols = Seq[(Int, String, Array[Byte])](
-        (2, "id", ks.flatMap(k => leI64(idVal(id, k))).toArray),
-        (6, "title", ks.flatMap { k =>
-          val b = titleVal(id, k).getBytes("UTF-8")
-          Array[Byte]((b.length & 0xff).toByte, ((b.length >> 8) & 0xff).toByte,
-            ((b.length >> 16) & 0xff).toByte, ((b.length >>> 24) & 0xff).toByte) ++ b
-        }.toArray),
-        (5, "score", ks.flatMap(k =>
-          leI64(java.lang.Double.doubleToLongBits(scoreVal(id, k)))).toArray))
-      cols.map { case (typ, path, values) =>
+      final case class ColSpec(typ: Int, path: String, optional: Boolean, dict: Boolean,
+        present: Seq[Boolean], values: Seq[Array[Byte]])
+      val cols = Seq(
+        ColSpec(2, "id", optional = false, dict = false,
+          ks.map(_ => true), ks.map(k => leI64(idVal(id, k)))),
+        ColSpec(6, "title", optional = false, dict = titleDict(id),
+          ks.map(_ => true), ks.map(k => plainString(titleVal(id, k)))),
+        ColSpec(5, "score", optional = false, dict = scoreDict(id),
+          ks.map(_ => true),
+          ks.map(k => leI64(java.lang.Double.doubleToLongBits(scoreVal(id, k))))),
+        ColSpec(6, "note", optional = true, dict = false,
+          ks.map(k => !noteIsNull(id, k)),
+          ks.filter(k => !noteIsNull(id, k)).map(k => plainString(noteVal(id, k)))))
+      cols.map { c =>
         val off = out.size.toLong
-        val page = dataPage(ks.length, values)
-        out.write(page)
-        Chunk(typ, path, ks.length.toLong, off, page.length.toLong)
+        var dictOff = -1L
+        var uncompressed = 0L
+        val (dataOff, encs) =
+          if (c.dict) {
+            val (dict, body, nDict) = dictColumn(c.optional, c.present, c.values)
+            val (dp, dpUncomp) = dictPage(nDict, dict, snappy)
+            dictOff = off
+            out.write(dp, 0, dp.length)
+            uncompressed += dpUncomp
+            val dataOff = out.size.toLong
+            val (page, pgUncomp) = dataPage(ks.length, 8, body, snappy) // RLE_DICTIONARY
+            out.write(page, 0, page.length)
+            uncompressed += pgUncomp
+            (dataOff, Seq(3, 8, 0)) // RLE, RLE_DICTIONARY, PLAIN (the dict page)
+          } else {
+            // see dictColumn: OPTIONAL pages carry def levels unconditionally
+            val levels = if (c.optional) defLevels(c.present) else Array.emptyByteArray
+            val body = levels ++ c.values.flatten.toArray
+            val (page, pgUncomp) = dataPage(ks.length, 0, body, snappy) // PLAIN
+            out.write(page, 0, page.length)
+            uncompressed += pgUncomp
+            (off, Seq(0, 3)) // PLAIN, RLE
+          }
+        Chunk(c.typ, c.path, ks.length.toLong, off, dictOff, dataOff,
+          out.size.toLong - off, uncompressed, encs)
       }
     }
     // footer
     val w = new TWriter
     w.i32(1, 1) // version
-    // schema: root + 3 primitive REQUIRED elements
-    w.listBegin(2, 4, 12)
+    // schema: root + 4 primitive elements (3 REQUIRED, note OPTIONAL)
+    w.listBegin(2, 5, 12)
     w.structElemBegin() // root
     w.str(4, "schema")
-    w.i32(5, 3)
+    w.i32(5, 4)
     w.structEnd()
-    def prim(typ: Int, name: String, converted: Option[Int]): Unit = {
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
       w.structElemBegin()
       w.i32(1, typ)
-      w.i32(3, 0) // repetition_type = REQUIRED
+      w.i32(3, repetition)
       w.str(4, name)
       converted.foreach(c => w.i32(6, c)) // converted_type (UTF8 = 0)
       w.structEnd()
     }
-    prim(2, "id", None)
-    prim(6, "title", Some(0))
-    prim(5, "score", None)
+    prim(2, "id", 0, None)
+    prim(6, "title", 0, Some(0))
+    prim(5, "score", 0, None)
+    prim(6, "note", 1, Some(0)) // OPTIONAL
     w.i64(3, n.toLong) // num_rows
     w.listBegin(4, rowGroups.length, 12)
     rowGroups.zipWithIndex.foreach { case (chunks, g) =>
@@ -191,17 +335,17 @@ object ParquetFile {
         w.i64(2, c.offset) // file_offset
         w.structBegin(3) // ColumnMetaData
         w.i32(1, c.typ)
-        w.listBegin(2, 2, 5)
-        w.varint(0L) // PLAIN — list elements of i32 are zigzag varints
-        w.varint((3L << 1)) // RLE, zigzag(3) = 6
+        w.listBegin(2, c.encodings.length, 5)
+        c.encodings.foreach(e => w.varint((e.toLong << 1))) // zigzag of non-negative
         w.listBegin(3, 1, 8)
         val pb = c.path.getBytes("UTF-8")
         w.varint(pb.length.toLong); w.out.write(pb)
-        w.i32(4, 0) // codec = UNCOMPRESSED
+        w.i32(4, if (snappy) 1 else 0) // codec
         w.i64(5, c.numValues)
-        w.i64(6, c.size) // total_uncompressed_size (incl page header)
+        w.i64(6, c.uncompressed) // total_uncompressed_size (incl page headers)
         w.i64(7, c.size) // total_compressed_size
-        w.i64(9, c.offset) // data_page_offset
+        w.i64(9, c.dataOffset) // data_page_offset
+        if (c.dictOffset >= 0) w.i64(11, c.dictOffset) // dictionary_page_offset
         w.structEnd()
         w.structEnd()
       }
@@ -337,9 +481,11 @@ object ParquetFile {
 
   final case class PqColumn(path: String, typ: Int, codec: Int,
     encodings: Seq[Int], numValues: Long, dataPageOffset: Long,
-    totalCompressed: Long, totalUncompressed: Long, fileOffset: Long)
+    totalCompressed: Long, totalUncompressed: Long, fileOffset: Long,
+    dictPageOffset: Long)
   final case class PqRowGroup(numRows: Long, totalByteSize: Long, columns: Seq[PqColumn])
-  final case class PqSchemaCol(name: String, typ: Int, converted: Int)
+  final case class PqSchemaCol(name: String, typ: Int, converted: Int,
+    repetition: Int, maxDef: Int, maxRep: Int)
   final case class PqFooter(version: Int, numRows: Long,
     schema: Seq[PqSchemaCol], rowGroups: Seq[PqRowGroup], createdBy: String)
 
@@ -358,15 +504,19 @@ object ParquetFile {
     var version = 0
     var numRows = -1L
     var createdBy = ""
-    val schema = Vector.newBuilder[PqSchemaCol]
+    var schema = Vector.empty[PqSchemaCol]
     val rowGroups = Vector.newBuilder[PqRowGroup]
 
-    def readSchemaElement(): Option[PqSchemaCol] = {
+    final case class RawElem(typ: Int, repetition: Int, name: String,
+      children: Int, converted: Int)
+    def readSchemaElementRaw(): RawElem = {
       r.structBegin()
       var typ = -1; var name = ""; var converted = -1; var children = 0
+      var repetition = 0
       var more = true
       while (more) r.field() match {
         case Some((1, 5)) => typ = r.zigzag().toInt
+        case Some((3, 5)) => repetition = r.zigzag().toInt
         case Some((4, 8)) => name = r.string()
         case Some((5, 5)) => children = r.zigzag().toInt
         case Some((6, 5)) => converted = r.zigzag().toInt
@@ -374,14 +524,41 @@ object ParquetFile {
         case None => more = false
       }
       r.structEnd()
-      if (children > 0 || typ < 0) None // group node (the root)
-      else Some(PqSchemaCol(name, typ, converted))
+      RawElem(typ, repetition, name, children, converted)
+    }
+
+    /** The SchemaElement list is a preorder tree serialization; walking
+      * the children counts yields each LEAF's max definition/repetition
+      * level (OPTIONAL adds a def level, REPEATED adds both) — the
+      * numbers the page decoder needs. Leaves come out in column order.
+      */
+    def walkSchema(raw: Seq[RawElem]): Vector[PqSchemaCol] = {
+      if (raw.isEmpty || raw.head.children <= 0) fail()
+      val out = Vector.newBuilder[PqSchemaCol]
+      var stack = List((raw.head.children, 0, 0)) // remaining, maxDef, maxRep
+      raw.tail.foreach { e =>
+        if (stack.isEmpty) fail()
+        val (rem, d0, r0) = stack.head
+        if (rem <= 0) fail()
+        stack = (rem - 1, d0, r0) :: stack.tail
+        if (e.repetition < 0 || e.repetition > 2) fail()
+        val d = d0 + (if (e.repetition != 0) 1 else 0)
+        val rp = r0 + (if (e.repetition == 2) 1 else 0)
+        if (e.children > 0) stack = (e.children, d, rp) :: stack
+        else {
+          if (e.typ < 0) fail()
+          out += PqSchemaCol(e.name, e.typ, e.converted, e.repetition, d, rp)
+        }
+        while (stack.nonEmpty && stack.head._1 == 0) stack = stack.tail
+      }
+      if (stack.nonEmpty) fail() // declared children missing
+      out.result()
     }
 
     def readColumnMeta(): PqColumn = {
       r.structBegin()
       var typ = -1; var codec = -1; var numValues = -1L
-      var tu = -1L; var tc = -1L; var dpo = -1L
+      var tu = -1L; var tc = -1L; var dpo = -1L; var dicto = -1L
       var path = ""
       val encs = Vector.newBuilder[Int]
       var more = true
@@ -400,12 +577,13 @@ object ParquetFile {
         case Some((6, 6)) => tu = r.zigzag()
         case Some((7, 6)) => tc = r.zigzag()
         case Some((9, 6)) => dpo = r.zigzag()
+        case Some((11, 6)) => dicto = r.zigzag()
         case Some((_, t)) => r.skip(t)
         case None => more = false
       }
       r.structEnd()
       if (typ < 0 || codec < 0 || numValues < 0 || dpo < 0 || tu < 0 || tc < 0) fail()
-      PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L)
+      PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L, dicto)
     }
 
     def readColumnChunk(): PqColumn = {
@@ -451,7 +629,7 @@ object ParquetFile {
       case Some((2, 9)) =>
         val (size, et) = r.listHeader()
         if (et != 12) fail()
-        for (_ <- 0 until size) readSchemaElement().foreach(schema += _)
+        schema = walkSchema((0 until size).map(_ => readSchemaElementRaw()))
       case Some((3, 6)) => numRows = r.zigzag()
       case Some((4, 9)) =>
         val (size, et) = r.listHeader()
@@ -462,75 +640,232 @@ object ParquetFile {
       case None => more = false
     }
     if (numRows < 0) fail()
-    PqFooter(version, numRows, schema.result(), rowGroups.result(), createdBy)
+    PqFooter(version, numRows, schema, rowGroups.result(), createdBy)
   }
 
-  /** Decode one UNCOMPRESSED PLAIN v1 data page. Returns None for
-    * chunks OUTSIDE the decode subset (compressed codecs, dictionary/v2
-    * pages, multi-page chunks, exotic types) — their metadata still
-    * surfaces; only structural damage fails.
+  // ---- RLE/bit-packed hybrid reader (Encodings.md)
+
+  /** Decode `count` hybrid-encoded values of `bitWidth` bits from
+    * `b[from, until)`. RLE runs carry their value in ceil(bitWidth/8) LE
+    * bytes; bit-packed runs hold groups of 8 LSB-first values (the tail
+    * group's surplus values are padding and are discarded).
     */
-  private def decodePage(bytes: Array[Byte], chunk: PqColumn): Option[Seq[Any]] = {
-    if (chunk.codec != 0) return None // compressed: metadata-only
-    if (chunk.typ != 2 && chunk.typ != 5 && chunk.typ != 6) return None
-    if (chunk.dataPageOffset < 0 || chunk.dataPageOffset > bytes.length) fail()
-    val r = new TReader(bytes, chunk.dataPageOffset.toInt, bytes.length)
-    r.structBegin()
-    var pageType = -1; var uncomp = -1; var comp = -1; var numValues = -1
-    var encoding = -1
-    var more = true
-    while (more) r.field() match {
-      case Some((1, 5)) => pageType = r.zigzag().toInt
-      case Some((2, 5)) => uncomp = r.zigzag().toInt
-      case Some((3, 5)) => comp = r.zigzag().toInt
-      case Some((5, 12)) =>
-        r.structBegin()
-        var m2 = true
-        while (m2) r.field() match {
-          case Some((1, 5)) => numValues = r.zigzag().toInt
-          case Some((2, 5)) => encoding = r.zigzag().toInt
-          case Some((_, t)) => r.skip(t)
-          case None => m2 = false
+  private def hybrid(b: Array[Byte], from: Int, until: Int, bitWidth: Int, count: Int): Array[Int] = {
+    if (bitWidth < 0 || bitWidth > 32) fail()
+    val out = new Array[Int](count)
+    var n = 0
+    var p = from
+    val byteW = (bitWidth + 7) / 8
+    while (n < count) {
+      var header = 0L
+      var shift = 0
+      var cont = true
+      while (cont) {
+        if (p >= until) fail()
+        val x = b(p) & 0xff; p += 1
+        header |= (x & 0x7fL) << shift; shift += 7
+        if ((x & 0x80) == 0) cont = false
+        else if (shift > 35) fail()
+      }
+      if ((header & 1L) == 0L) { // RLE run
+        val run = header >>> 1
+        if (run <= 0L || run > (count - n).toLong) fail()
+        var v = 0L
+        var i = 0
+        while (i < byteW) { if (p >= until) fail(); v |= (b(p) & 0xffL) << (8 * i); p += 1; i += 1 }
+        val vi = v.toInt
+        var j = 0L
+        while (j < run) { out(n) = vi; n += 1; j += 1 }
+      } else { // bit-packed run
+        val groups = (header >>> 1).toInt
+        if (groups <= 0 || groups > (1 << 26)) fail()
+        val nbytes = groups * bitWidth
+        if (p + nbytes > until) fail()
+        val totalVals = groups * 8
+        var j = 0
+        var bitPos = 0L
+        while (j < totalVals && n < count) {
+          var v = 0L
+          var k = 0
+          while (k < bitWidth) {
+            val bit = bitPos + k
+            v |= (((b(p + (bit >> 3).toInt) >> (bit & 7).toInt) & 1).toLong) << k
+            k += 1
+          }
+          bitPos += bitWidth
+          out(n) = v.toInt; n += 1; j += 1
         }
-        r.structEnd()
-      case Some((_, t)) => r.skip(t)
-      case None => more = false
+        p += nbytes
+      }
     }
-    r.structEnd()
-    if (pageType != 0 || encoding != 0) return None // dict/v2/non-PLAIN
-    if (numValues.toLong != chunk.numValues) return None // multi-page chunk
-    if (uncomp != comp || uncomp < 0) fail()
-    var p = r.pos
-    val end = p + uncomp
-    if (end > bytes.length) fail()
-    def leI64At(q: Int): Long = {
+    out
+  }
+
+  /** PLAIN-decode exactly `count` values of physical `typ` consuming
+    * `b[from, until)` exactly.
+    */
+  private def decodePlain(b: Array[Byte], from: Int, until: Int, typ: Int, count: Int): Seq[Any] = {
+    def le32(q: Int): Int =
+      (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8) | ((b(q + 2) & 0xff) << 16) | ((b(q + 3) & 0xff) << 24)
+    def le64(q: Int): Long = {
       var v = 0L
       var i = 0
-      while (i < 8) { v |= (bytes(q + i) & 0xffL) << (8 * i); i += 1 }
+      while (i < 8) { v |= (b(q + i) & 0xffL) << (8 * i); i += 1 }
       v
     }
+    var p = from
     val out = Vector.newBuilder[Any]
     var i = 0
-    while (i < numValues) {
-      chunk.typ match {
+    while (i < count) {
+      typ match {
+        case 1 => // INT32
+          if (p + 4 > until) fail()
+          out += le32(p).toLong; p += 4
         case 2 => // INT64
-          if (p + 8 > end) fail()
-          out += leI64At(p); p += 8
+          if (p + 8 > until) fail()
+          out += le64(p); p += 8
+        case 4 => // FLOAT
+          if (p + 4 > until) fail()
+          out += java.lang.Float.intBitsToFloat(le32(p)).toDouble; p += 4
         case 5 => // DOUBLE
-          if (p + 8 > end) fail()
-          out += java.lang.Double.longBitsToDouble(leI64At(p)); p += 8
+          if (p + 8 > until) fail()
+          out += java.lang.Double.longBitsToDouble(le64(p)); p += 8
         case 6 => // BYTE_ARRAY
-          if (p + 4 > end) fail()
-          val len = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
-            ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
-          if (len < 0 || p + 4 + len > end) fail()
-          out += new String(bytes, p + 4, len, java.nio.charset.StandardCharsets.UTF_8)
+          if (p + 4 > until) fail()
+          val len = le32(p)
+          if (len < 0 || p + 4 + len > until) fail()
+          out += new String(b, p + 4, len, java.nio.charset.StandardCharsets.UTF_8)
           p += 4 + len
-        case _ => fail() // unreachable: gated above
+        case _ => fail() // unreachable: gated by the caller
       }
       i += 1
     }
-    if (p != end) fail() // the page must be consumed exactly
+    if (p != until) fail() // the section must be consumed exactly
+    out.result()
+  }
+
+  private val MaxPageBytes = 1 << 26
+
+  /** Decode every value of one column chunk by walking its pages from
+    * the dictionary page (when present) through the data pages until
+    * the chunk's value count is consumed. Returns the NON-NULL values;
+    * None for chunks OUTSIDE the decode subset (v2 pages, repeated or
+    * nested columns, codecs beyond UNCOMPRESSED/SNAPPY, exotic types)
+    * — their metadata still surfaces; only structural damage fails.
+    */
+  private def decodeChunk(bytes: Array[Byte], chunk: PqColumn,
+      maxDef: Int, maxRep: Int): Option[Seq[Any]] = {
+    if (maxRep > 0 || maxDef > 1) return None // nested/repeated: metadata-only
+    if (chunk.codec != 0 && chunk.codec != 1) return None // only raw + snappy
+    if (chunk.typ != 1 && chunk.typ != 2 && chunk.typ != 4 && chunk.typ != 5 && chunk.typ != 6)
+      return None
+    val start =
+      if (chunk.dictPageOffset >= 0 && chunk.dictPageOffset < chunk.dataPageOffset)
+        chunk.dictPageOffset
+      else chunk.dataPageOffset
+    if (start < 0 || start > bytes.length) fail()
+    var pos = start.toInt
+    var dict: IndexedSeq[Any] = null
+    val out = Vector.newBuilder[Any]
+    var read = 0L
+    while (read < chunk.numValues) {
+      // ---- PageHeader thrift
+      val r = new TReader(bytes, pos, bytes.length)
+      r.structBegin()
+      var pageType = -1; var uncomp = -1; var comp = -1
+      var dNum = -1; var dEnc = -1
+      var vNum = -1; var vEnc = -1; var dlEnc = -1
+      var sawV2 = false
+      var more = true
+      while (more) r.field() match {
+        case Some((1, 5)) => pageType = r.zigzag().toInt
+        case Some((2, 5)) => uncomp = r.zigzag().toInt
+        case Some((3, 5)) => comp = r.zigzag().toInt
+        case Some((5, 12)) =>
+          r.structBegin()
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((1, 5)) => vNum = r.zigzag().toInt
+            case Some((2, 5)) => vEnc = r.zigzag().toInt
+            case Some((3, 5)) => dlEnc = r.zigzag().toInt
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
+        case Some((7, 12)) =>
+          r.structBegin()
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((1, 5)) => dNum = r.zigzag().toInt
+            case Some((2, 5)) => dEnc = r.zigzag().toInt
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
+        case Some((8, 12)) => sawV2 = true; r.skip(12)
+        case Some((_, t)) => r.skip(t)
+        case None => more = false
+      }
+      r.structEnd()
+      if (uncomp < 0 || uncomp > MaxPageBytes || comp < 0) fail()
+      val dataStart = r.pos
+      if (comp > bytes.length - dataStart) fail()
+      pos = dataStart + comp
+      if (pageType == 3 || sawV2) return None // v2 data pages: out of subset
+      // ---- page body (decompressed)
+      lazy val page: Array[Byte] =
+        if (chunk.codec == 0) {
+          if (comp != uncomp) fail()
+          java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + comp)
+        } else {
+          val d = try Snappy.decompress(
+            java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + comp), MaxPageBytes)
+          catch { case scala.util.control.NonFatal(_) => fail() }
+          if (d.length != uncomp) fail()
+          d
+        }
+      pageType match {
+        case 2 => // dictionary page
+          if (dict != null || dNum < 0) fail()
+          if (dEnc != 0 && dEnc != 2) return None // PLAIN(_DICTIONARY) only
+          dict = decodePlain(page, 0, page.length, chunk.typ, dNum).toIndexedSeq
+        case 0 => // v1 data page
+          if (vNum < 0 || vEnc < 0) fail()
+          var p = 0
+          val nDefined =
+            if (maxDef == 1) {
+              if (dlEnc != 3) return None // definition levels must be RLE-hybrid
+              if (p + 4 > page.length) fail()
+              val len = (page(p) & 0xff) | ((page(p + 1) & 0xff) << 8) |
+                ((page(p + 2) & 0xff) << 16) | ((page(p + 3) & 0xff) << 24)
+              p += 4
+              if (len < 0 || p + len > page.length) fail()
+              val flags = hybrid(page, p, p + len, 1, vNum)
+              p += len
+              flags.count(_ == 1)
+            } else vNum
+          vEnc match {
+            case 0 => // PLAIN
+              out ++= decodePlain(page, p, page.length, chunk.typ, nDefined)
+            case 2 | 8 => // (PLAIN_|RLE_)DICTIONARY indices
+              if (dict == null) fail()
+              if (nDefined > 0) {
+                if (p >= page.length) fail()
+                val bw = page(p) & 0xff
+                p += 1
+                val idx = hybrid(page, p, page.length, bw, nDefined)
+                idx.foreach { i =>
+                  if (i < 0 || i >= dict.length) fail()
+                  out += dict(i)
+                }
+              }
+            case _ => return None // delta encodings etc.: out of subset
+          }
+          read += vNum
+        case _ => return None // index/bloom pages: out of subset
+      }
+    }
+    if (read != chunk.numValues) fail()
     Some(out.result())
   }
 
@@ -547,14 +882,17 @@ object ParquetFile {
       rg.columns.zipWithIndex.map { case (c, ci) =>
         if (c.typ < 0 || c.typ >= TypeNames.length) fail()
         if (c.codec < 0 || c.codec >= CodecNames.length) fail()
-        val (vtype, iSum, rSum, sBytes, sCk) = decodePage(bytes, c) match {
+        if (ci >= f.schema.length) fail() // chunks must map onto schema leaves
+        val leaf = f.schema(ci)
+        val decoded = decodeChunk(bytes, c, leaf.maxDef, leaf.maxRep)
+        val (vtype, iSum, rSum, sBytes, sCk) = decoded match {
           case None =>
             // out of the decode subset: the footer metadata still grades
             ("m", None, None, None, None)
           case Some(values) => c.typ match {
-            case 2 =>
+            case 1 | 2 =>
               ("i", Some(values.map(_.asInstanceOf[Long]).sum), None, None, None)
-            case 5 =>
+            case 4 | 5 =>
               ("f", None, Some(values.map(_.asInstanceOf[Double]).sum), None, None)
             case _ =>
               val cat = values.map(_.asInstanceOf[String]).mkString("")

@@ -6,35 +6,51 @@ import scala.jdk.CollectionConverters._
 
 class ParquetFileSpec extends AnyFunSuite {
 
-  test("round-trip: footer walk + PLAIN decode recover the closed-form aggregates") {
+  test("round-trip: footer walk + full page decode recover the closed-form aggregates") {
+    def strStats(ss: Seq[String]): (Long, Long) = {
+      val b = ss.mkString("").getBytes("UTF-8")
+      var ck = 0L
+      b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
+      (b.length.toLong, ck)
+    }
     for (id <- 0L until 96L) {
       val rows = ParquetFile.parseParquet(id, ParquetFile.renderParquet(id))
       val n = ParquetFile.nRows(id)
       val nGroups = (n + 2) / 3
-      assert(rows.length == 3 * nGroups, s"pq $id chunk count")
+      assert(rows.length == 4 * nGroups, s"pq $id chunk count")
+      val codec = if (ParquetFile.useSnappy(id)) "SNAPPY" else "UNCOMPRESSED"
       for (g <- 0 until nGroups) {
         val ks = (3 * g) until math.min(3 * g + 3, n)
         val byCol = rows.filter(_.row_group == g).map(r => r.col_idx -> r).toMap
         val c0 = byCol(0L)
-        assert(c0.path == "id" && c0.ptype == "INT64" && c0.codec == "UNCOMPRESSED")
+        assert(c0.path == "id" && c0.ptype == "INT64" && c0.codec == codec)
         assert(c0.num_values == ks.length && c0.i_sum.contains(
           ks.map(k => ParquetFile.idVal(id, k)).sum), s"pq $id g$g ids")
         val c1 = byCol(1L)
-        assert(c1.path == "title" && c1.ptype == "BYTE_ARRAY")
-        val cat = ks.map(k => ParquetFile.titleVal(id, k)).mkString("")
-        val b = cat.getBytes("UTF-8")
-        var ck = 0L
-        b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
-        assert(c1.s_bytes.contains(b.length.toLong) && c1.s_checksum.contains(ck),
-          s"pq $id g$g titles")
+        assert(c1.path == "title" && c1.ptype == "BYTE_ARRAY" && c1.codec == codec)
+        val (nb, ck) = strStats(ks.map(k => ParquetFile.titleVal(id, k)))
+        assert(c1.s_bytes.contains(nb) && c1.s_checksum.contains(ck), s"pq $id g$g titles")
         val c2 = byCol(2L)
         assert(c2.path == "score" && c2.ptype == "DOUBLE")
         assert(c2.r_sum.contains(ks.map(k => ParquetFile.scoreVal(id, k)).sum),
           s"pq $id g$g scores")
+        // the OPTIONAL column: num_values counts nulls, aggregates don't
+        val c3 = byCol(3L)
+        assert(c3.path == "note" && c3.num_values == ks.length && c3.vtype == "s")
+        val (nb3, ck3) = strStats(
+          ks.filter(k => !ParquetFile.noteIsNull(id, k)).map(k => ParquetFile.noteVal(id, k)))
+        assert(c3.s_bytes.contains(nb3) && c3.s_checksum.contains(ck3), s"pq $id g$g notes")
       }
     }
-    // multi-row-group files occur
+    // every decode arm occurs across the corpus
     assert((0L until 96L).exists(ParquetFile.nRows(_) > 3), "two-group files occur")
+    assert((0L until 96L).exists(ParquetFile.useSnappy), "snappy files occur")
+    assert((0L until 96L).exists(id => ParquetFile.titleDict(id) && ParquetFile.useSnappy(id)),
+      "snappy + dictionary chunks occur")
+    assert((0L until 96L).exists { id =>
+      (0 until ParquetFile.nRows(id)).grouped(3).exists(ks =>
+        ks.forall(k => !ParquetFile.noteIsNull(id, k)))
+    }, "all-present optional PAGES occur (def levels must still be written)")
   }
 
   test("SPARK reads the from-scratch files: exact rows, exact types") {
@@ -52,12 +68,16 @@ class ParquetFileSpec extends AnyFunSuite {
       assert(sch("title").dataType == org.apache.spark.sql.types.StringType,
         "UTF8 converted type must surface as StringType")
       assert(sch("score").dataType == org.apache.spark.sql.types.DoubleType)
-      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(sch("note").dataType == org.apache.spark.sql.types.StringType)
+      val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
       val expected = ids.flatMap { id =>
         (0 until ParquetFile.nRows(id)).map(k =>
-          (ParquetFile.idVal(id, k), ParquetFile.titleVal(id, k), ParquetFile.scoreVal(id, k)))
+          (ParquetFile.idVal(id, k), ParquetFile.titleVal(id, k), ParquetFile.scoreVal(id, k),
+            if (ParquetFile.noteIsNull(id, k)) None else Some(ParquetFile.noteVal(id, k))))
       }.toSet
-      assert(got == expected, "Spark must decode exactly the fixture rows")
+      assert(got == expected,
+        "Spark must decode exactly the fixture rows — snappy, dictionary and nulls included")
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()
@@ -113,18 +133,62 @@ class ParquetFileSpec extends AnyFunSuite {
     }
   }
 
-  test("real pyarrow file through the FULL key path: metadata surfaces, decode stays gated") {
-    // snappy + dictionary chunks are outside the decode subset — the
-    // contract is metadata-only rows (vtype 'm'), never a quarantine of
-    // the whole file (the second review pass caught exactly that)
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet"))
-    val rows = ParquetFile.parseParquet(99L, bytes)
-    assert(rows.nonEmpty, "foreign file must surface its metadata")
-    assert(rows.forall(_.vtype == "m"), "compressed chunks stay metadata-only")
-    assert(rows.forall(_.codec == "SNAPPY"))
-    assert(rows.map(_.path).toSet == Set("r_regionkey", "r_name"))
-    assert(rows.forall(_.num_values == 5L), "sf0.001 region has 5 rows")
+  test("foreign VALUES differential: real pyarrow chunks decode to Spark's own numbers") {
+    // the strongest reader check: snappy + RLE_DICTIONARY (with PLAIN
+    // fallback) + optional-column def levels, written by parquet-cpp,
+    // decoded by the from-scratch page walk — and every aggregate must
+    // equal what Spark's own parquet reader computes over the same file.
+    // Both sides fold values in file order within the single row group,
+    // so double sums compare exactly, not within an epsilon.
+    import org.apache.spark.sql.types._
+    val spark = graft.SparkSpec.spark
+    for (table <- Seq("region", "nation", "documents", "lineitem", "embeddings")) {
+      val path = s"/root/testdata/sf0.001/$table.parquet"
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val rows = ParquetFile.parseParquet(0L, bytes)
+      assert(rows.nonEmpty, s"$table must surface")
+      val byPath = rows.map(r => r.path -> r).toMap
+      val df = spark.read.parquet(path)
+      df.schema.fields.foreach { f =>
+        byPath.get(f.name).foreach { r =>
+          val ctx = s"$table.${f.name}"
+          f.dataType match {
+            case LongType =>
+              assert(r.vtype == "i", s"$ctx must decode")
+              val want = df.selectExpr(s"sum(${f.name})").head.getLong(0)
+              assert(r.i_sum.contains(want), s"$ctx i_sum ${r.i_sum} vs $want")
+            case IntegerType =>
+              assert(r.vtype == "i", s"$ctx must decode")
+              val want = df.selectExpr(s"sum(CAST(${f.name} AS BIGINT))").head.getLong(0)
+              assert(r.i_sum.contains(want), s"$ctx i_sum ${r.i_sum} vs $want")
+            case TimestampType | TimestampNTZType =>
+              assert(r.vtype == "i", s"$ctx must decode")
+              val want = df.selectExpr(
+                s"sum(unix_micros(CAST(${f.name} AS TIMESTAMP)))").head.getLong(0)
+              assert(r.i_sum.contains(want), s"$ctx ts i_sum ${r.i_sum} vs $want")
+            case DoubleType =>
+              assert(r.vtype == "f", s"$ctx must decode")
+              val want = df.selectExpr(s"sum(${f.name})").head.getDouble(0)
+              assert(r.r_sum.contains(want), s"$ctx r_sum ${r.r_sum} vs $want")
+            case StringType =>
+              assert(r.vtype == "s", s"$ctx must decode")
+              val vals = df.select(f.name).collect().map(_.getString(0))
+              val b = vals.mkString("").getBytes("UTF-8")
+              var ck = 0L
+              b.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
+              assert(r.s_bytes.contains(b.length.toLong), s"$ctx s_bytes")
+              assert(r.s_checksum.contains(ck), s"$ctx s_checksum (file-order fold)")
+            case _ => ()
+          }
+        }
+      }
+    }
+    // the nested (repeated) float leaf stays OUTSIDE the decode subset:
+    // metadata-only, never a misattributed value row
+    val emb = ParquetFile.parseParquet(0L, java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet")))
+    val leaf = emb.find(_.path == "embedding.list.element")
+    assert(leaf.exists(_.vtype == "m"), "repeated leaf must stay metadata-only")
   }
 
   test("damage ladder: magic, footer length, thrift garbage, page mismatch quarantine") {
@@ -162,7 +226,7 @@ class ParquetFileSpec extends AnyFunSuite {
     assert(!byDoc.contains(8L))
     for (id <- (0L until 24L) if id != 8L) {
       val nGroups = (ParquetFile.nRows(id) + 2) / 3
-      assert(byDoc(id).length == 3 * nGroups, s"pq $id")
+      assert(byDoc(id).length == 4 * nGroups, s"pq $id")
     }
   }
 }
