@@ -3176,8 +3176,11 @@ object QueryCatalog {
     * varint records across every live serial type (width-1..8 two's-
     * complement ints incl. the 0/1 constant forms, float64, UTF-8 text
     * with hazards, blobs, NULL), the INTEGER-PRIMARY-KEY rowid alias
-    * substituted exactly as SQLite defines. The oracle replays every
-    * cell closed-form; blobs grade as md5-prefix hex.
+    * substituted exactly as SQLite defines, and OVERFLOW-PAGE chains —
+    * the `big` table's row always spills past the 512-byte page's
+    * inline threshold and is reassembled across one to four chained
+    * pages (File Format §1.5 local-prefix arithmetic). The oracle
+    * replays every cell closed-form; blobs grade as md5-prefix hex.
     */
   private val qSqliteRows: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Sqlite.sqliteRows(graft.ext.Sqlite.encodeSqlite(table(s, dir, "documents"))).toDF()
@@ -3232,7 +3235,12 @@ object QueryCatalog {
        |FROM d, wt, (SELECT unnest([0, 1]) AS k)
        |UNION ALL
        |SELECT doc_id, 'notes', k + 1, 1, 'i', (k + 1)::BIGINT, NULL, NULL
-       |FROM d, wt, (SELECT unnest([0, 1]) AS k)""".stripMargin
+       |FROM d, wt, (SELECT unnest([0, 1]) AS k)
+       |UNION ALL
+       |SELECT doc_id, 'big', 1, 0, 's', NULL, NULL,
+       |       'big ' || CAST(doc_id AS VARCHAR) || ': ' ||
+       |         repeat(${w("5")} || ' ', CAST(120 + ${nib("7")} * 8 AS INT))
+       |FROM d, wt""".stripMargin
   }
 
   /** ORC internals ([[graft.ext.Orc]] — the other columnar lake format,

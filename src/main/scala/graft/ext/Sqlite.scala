@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
   *    scanning;
   *  - the INTEGER PRIMARY KEY alias: a table whose DDL declares one
   *    stores NULL in that column and the ROWID is the value — the
-  *    reader substitutes it exactly like SQLite does.
+  *    reader substitutes it exactly like SQLite does;
+  *  - overflow-page chains (§1.5): payloads past the leaf threshold
+  *    X = U − 35 keep a local prefix K = M + ((P − M) mod (U − 4))
+  *    (falling back to M past X) and spill the rest onto chained
+  *    pages of (next-pointer, content) — any TEXT/BLOB longer than a
+  *    few hundred bytes in a real browser-history or messaging DB
+  *    rides one, so the fixture's `big` table always spills; a chain
+  *    that cycles, leaves the file, or ends early is damage.
   *
-  * Out of scope, each a clean per-document quarantine: overflow-page
-  * payload chains, index b-trees (0x02/0x0A are skipped as data
-  * sources but their presence in a table walk is damage), freelist
-  * traversal, WAL sidecars, non-UTF-8 encodings, schema format
-  * surprises.
+  * Out of scope, each a clean per-document quarantine: index b-trees
+  * (0x02/0x0A are skipped as data sources but their presence in a
+  * table walk is damage), freelist traversal, WAL sidecars, non-UTF-8
+  * encodings, schema format surprises.
   *
   * Output: one row per CELL VALUE — (table, rowid, column index, type
   * tag, integer/real/text-or-hex value) — exact and SQL-replayable.
@@ -93,6 +99,12 @@ object Sqlite {
 
   private[ext] def tagOf(id: Long, k: Int): String = s"tag-${words(nib(id, 14 + k) % 8)}"
   private[ext] def weightOf(id: Long, k: Int): Long = nib(id, 15 + k).toLong
+  /** ≥600 bytes — always past the 512-byte page's inline threshold
+    * (usable − 35 = 477), so the row ALWAYS rides an overflow chain of
+    * one to four pages depending on the md5 nibbles.
+    */
+  private[ext] def bodyOf(id: Long): String =
+    s"big $id: " + (words(nib(id, 5) % 8) + " ") * (120 + nib(id, 7) * 8)
 
   // ---- record / varint / b-tree serialization
 
@@ -231,18 +243,34 @@ object Sqlite {
     val notesRoot = tagsRoot + 1
     val hasIndex = id % 3 == 0
     val indexRoot = notesRoot + 1
-    val totalPages = if (hasIndex) indexRoot else notesRoot
-    // the catalog: three tables (notes puts its INTEGER PRIMARY KEY at
-    // column 1, grading the DDL-resolved alias index), plus — on every
-    // third database — an auto-index row whose sql is NULL and whose
-    // type is not 'table': real files always carry these, and a reader
-    // that fails instead of skipping them quarantines everything
+    val bigRoot = (if (hasIndex) indexRoot else notesRoot) + 1
+    // the big table's one row always spills: local prefix K per the
+    // File Format's threshold arithmetic, remainder on overflow pages
+    // of (next u32 | 508 content bytes) chained after the big leaf
+    val bigPayload = record(Seq[SVal](SText(bodyOf(id))))
+    val bigP = bigPayload.length
+    val bigLocal = {
+      val x = PageSize - 35
+      val m = (PageSize - 12) * 32 / 255 - 23
+      val k = m + ((bigP - m) % (PageSize - 4))
+      if (k <= x) k else m
+    }
+    require(bigP > PageSize - 35, "big row must overflow")
+    val nOverflow = (bigP - bigLocal + (PageSize - 4) - 1) / (PageSize - 4)
+    val totalPages = bigRoot + nOverflow
+    // the catalog: four tables (notes puts its INTEGER PRIMARY KEY at
+    // column 1, grading the DDL-resolved alias index; big's row rides
+    // an overflow chain), plus — on every third database — an
+    // auto-index row whose sql is NULL and whose type is not 'table':
+    // real files always carry these, and a reader that fails instead
+    // of skipping them quarantines everything
     val masterRows = Seq[(String, String, Int, SVal)](
       ("table", "docs", docsRoot, SText(
         "CREATE TABLE docs(id INTEGER PRIMARY KEY, title TEXT, score INTEGER, ratio REAL, data BLOB, note TEXT)")),
       ("table", "tags", tagsRoot, SText("CREATE TABLE tags(label TEXT, weight INTEGER)")),
       ("table", "notes", notesRoot, SText(
-        "CREATE TABLE notes(label TEXT, nid INTEGER PRIMARY KEY)"))) ++
+        "CREATE TABLE notes(label TEXT, nid INTEGER PRIMARY KEY)")),
+      ("table", "big", bigRoot, SText("CREATE TABLE big(body TEXT)"))) ++
       (if (hasIndex)
         Seq(("index", "sqlite_autoindex_docs_1", indexRoot, SNull))
       else Nil)
@@ -292,6 +320,22 @@ object Sqlite {
     }
     renderPage(buf, notesRoot, 0, 0x0D, noteCells, 0)
     if (hasIndex) renderPage(buf, indexRoot, 0, 0x0A, Nil, 0) // empty index leaf
+    // big leaf: one cell whose payload spills to the overflow chain
+    val firstOvp = bigRoot + 1
+    val bigCell = varint(bigP.toLong) ++ varint(1L) ++
+      bigPayload.take(bigLocal) ++
+      Array[Byte](((firstOvp >>> 24) & 0xff).toByte, ((firstOvp >> 16) & 0xff).toByte,
+        ((firstOvp >> 8) & 0xff).toByte, (firstOvp & 0xff).toByte)
+    renderPage(buf, bigRoot, 0, 0x0D, Seq(bigCell), 0)
+    (0 until nOverflow).foreach { i =>
+      val base = (firstOvp - 1 + i) * PageSize
+      val next = if (i == nOverflow - 1) 0 else firstOvp + i + 1
+      buf(base) = ((next >>> 24) & 0xff).toByte; buf(base + 1) = ((next >> 16) & 0xff).toByte
+      buf(base + 2) = ((next >> 8) & 0xff).toByte; buf(base + 3) = (next & 0xff).toByte
+      val from = bigLocal + i * (PageSize - 4)
+      val take = math.min(PageSize - 4, bigP - from)
+      System.arraycopy(bigPayload, from, buf, base + 4, take)
+    }
     buf
   }
 
@@ -380,15 +424,18 @@ object Sqlite {
       (page - 1) * pageSize
     }
 
-    /** Decode one record payload into typed values. */
-    private def readRecord(p0: Int, limit: Int): Vector[SVal] = {
-      val (hdrLen, hc) = rdVarint(bytes, p0, limit)
+    /** Decode one record payload into typed values. `buf` is the file
+      * itself for inline payloads, or the reassembled buffer for
+      * payloads that spilled to overflow pages.
+      */
+    private def readRecord(buf: Array[Byte], p0: Int, limit: Int): Vector[SVal] = {
+      val (hdrLen, hc) = rdVarint(buf, p0, limit)
       if (hdrLen < hc || p0 + hdrLen > limit) fail()
       val hdrEnd = p0 + hdrLen.toInt
       var p = p0 + hc
       val serials = Vector.newBuilder[Long]
       while (p < hdrEnd) {
-        val (t, c) = rdVarint(bytes, p, hdrEnd)
+        val (t, c) = rdVarint(buf, p, hdrEnd)
         serials += t
         p += c
       }
@@ -402,18 +449,53 @@ object Sqlite {
           case 9 => SInt(1L)
           case 7 =>
             var bits = 0L
-            for (i <- 0 until 8) bits = (bits << 8) | (bytes(body + i) & 0xffL)
+            for (i <- 0 until 8) bits = (bits << 8) | (buf(body + i) & 0xffL)
             SReal(java.lang.Double.longBitsToDouble(bits))
-          case n if n >= 1 && n <= 6 => SInt(readBe(bytes, body, size))
+          case n if n >= 1 && n <= 6 => SInt(readBe(buf, body, size))
           case n if n >= 13 && n % 2 == 1 =>
-            SText(new String(bytes, body, size, java.nio.charset.StandardCharsets.UTF_8))
-          case _ => SBlob(java.util.Arrays.copyOfRange(bytes, body, body + size))
+            SText(new String(buf, body, size, java.nio.charset.StandardCharsets.UTF_8))
+          case _ => SBlob(java.util.Arrays.copyOfRange(buf, body, body + size))
         }
         body += size
         v
       }
       if (body != limit) fail() // payload length must match exactly
       out
+    }
+
+    /** Reassemble a payload that exceeds the leaf's inline threshold by
+      * following its overflow-page chain (File Format §1.5/§2.4: each
+      * overflow page is a 4-byte next-page pointer then content; the
+      * local prefix K = M + ((P − M) mod (U − 4)) falls back to M when
+      * it exceeds X). Damage — an out-of-range page, a cycle, a chain
+      * that ends before the payload is complete — quarantines.
+      */
+    private def assembleOverflow(cellStart: Int, pageEnd: Int, payloadLen: Long): Array[Byte] = {
+      val u = pageSize // reserved bytes are enforced 0
+      val x = u - 35
+      val m = (u - 12) * 32 / 255 - 23
+      val k = m + ((payloadLen - m) % (u - 4)).toInt
+      val local = if (k <= x) k else m
+      if (payloadLen > (1 << 26)) fail() // hostile declared size
+      if (cellStart + local + 4 > pageEnd) fail()
+      val payload = new Array[Byte](payloadLen.toInt)
+      System.arraycopy(bytes, cellStart, payload, 0, local)
+      var dst = local
+      var need = payloadLen.toInt - local
+      var ovp = rdU32(bytes, cellStart + local).toInt
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      while (need > 0) {
+        if (ovp == 0) fail() // chain ended before the payload did
+        if (!seen.add(ovp)) fail() // cycle
+        val ob = pageBase(ovp)
+        val next = rdU32(bytes, ob)
+        val take = math.min(need, u - 4)
+        System.arraycopy(bytes, ob + 4, payload, dst, take)
+        dst += take
+        need -= take
+        ovp = next.toInt
+      }
+      payload
     }
 
     /** Walk one TABLE b-tree; emits (rowid, record values) in rowid
@@ -441,15 +523,19 @@ object Sqlite {
               if (off < contentMin || off >= pageEnd) fail()
               val (payloadLen, c1) = rdVarint(bytes, off, pageEnd)
               val (rowid, c2) = rdVarint(bytes, off + c1, pageEnd)
-              // inline-only subset: the whole payload must fit this cell
-              // (the overflow threshold for table leaves is usable-35;
-              // anything larger means overflow pages — out of scope)
-              if (payloadLen > pageSize - 35) fail()
-              val start = off + c1 + c2
-              if (start + payloadLen > pageEnd) fail()
               if (rowid <= lastRowid) fail() // b-tree order violated
               lastRowid = rowid
-              out += ((rowid, readRecord(start, start + payloadLen.toInt)))
+              val start = off + c1 + c2
+              if (payloadLen <= pageSize - 35) {
+                // inline: the whole payload sits in this cell
+                if (start + payloadLen > pageEnd) fail()
+                out += ((rowid, readRecord(bytes, start, start + payloadLen.toInt)))
+              } else {
+                // spilled: local prefix + overflow-page chain (real
+                // browser-history/messaging rows hit this constantly)
+                val payload = assembleOverflow(start, pageEnd, payloadLen)
+                out += ((rowid, readRecord(payload, 0, payload.length)))
+              }
             }
           case 0x05 => // table interior
             val ptrBase = hdrAt + 12

@@ -37,18 +37,23 @@ class SqliteSpec extends AnyFunSuite {
           Sqlite.tagOf(id, k).replace("tag-", "note-")), s"db $id note $k")
         assert(byKey(("notes", rid, 1L)).i_val.contains(rid), s"db $id note IPK $k")
       }
+      // the big table's single row ALWAYS rides an overflow chain —
+      // recovering it bitwise proves the chain reassembly
+      assert(byKey(("big", 1L, 0L)).s_val.contains(Sqlite.bodyOf(id)), s"db $id overflow body")
       // the auto-index catalog row (every third db, NULL sql) contributes
       // no data rows — the reader skips it rather than quarantining
       assert(!rows.exists(_.tbl == "sqlite_autoindex_docs_1"), s"db $id index skipped")
-      assert(rows.length == 6 * n + 8, s"db $id cell count")
+      assert(rows.length == 6 * n + 9, s"db $id cell count")
       // page census: interior root exists when docs spans multiple leaves
       val pages = db.length / 512
-      val indexPages = if (id % 3 == 0) 1 else 0
-      if (pages >= 6 + indexPages) sawInterior = true
-      if (pages == 4 + indexPages) sawSingleLeaf = true
+      if ((1 until pages).exists(p => (db(p * 512) & 0xff) == 0x05)) sawInterior = true
+      else sawSingleLeaf = true
     }
     assert(sawInterior, "multi-leaf + interior-root databases occurred")
     assert(sawSingleLeaf, "single-leaf databases occurred")
+    // chains of MORE than one overflow page occur (payload − local > U−4)
+    assert((0L until 96L).exists(id => Sqlite.bodyOf(id).getBytes("UTF-8").length >= 1100),
+      "multi-page overflow chains occurred")
   }
 
   test("serial-type arms all occur across the sweep") {
@@ -72,8 +77,11 @@ class SqliteSpec extends AnyFunSuite {
     assert(Sqlite.parseSqliteSafe(id, good.take(good.length - 100)).isEmpty, "truncated file")
     assert(Sqlite.parseSqliteSafe(id, Array.emptyByteArray).isEmpty)
     // rowid order violation: swap the two cell pointers of the notes leaf
-    // (id 5 has no index arm, so notes is the LAST page)
-    val notesBase = good.length - 512
+    // (located by content scan — trailing pages are now the overflow chain)
+    val notesBase = (1 until good.length / 512).collectFirst {
+      case p if (good(p * 512) & 0xff) == 0x0D &&
+        new String(good, p * 512, 512, "ISO-8859-1").contains("note-") => p * 512
+    }.get
     val swapped = good.clone()
     for (i <- 0 until 2) {
       swapped(notesBase + 8 + i) = good(notesBase + 10 + i)
@@ -85,6 +93,40 @@ class SqliteSpec extends AnyFunSuite {
     val lowPtr = good.clone()
     lowPtr(notesBase + 8) = 0; lowPtr(notesBase + 9) = 9 // offset 9 < content area
     assert(Sqlite.parseSqliteSafe(id, lowPtr).isEmpty, "pointer into header quarantines")
+  }
+
+  test("overflow damage ladder: early end, out-of-range page, cycle quarantine") {
+    // an id whose chain spans ≥2 overflow pages, so a broken link is
+    // observable mid-chain
+    val id = (0L until 96L).find(i => Sqlite.bodyOf(i).getBytes("UTF-8").length >= 1100).get
+    val good = Sqlite.renderSqlite(id)
+    assert(Sqlite.parseSqliteSafe(id, good).nonEmpty)
+    val pages = good.length / 512
+    // the big leaf is the page whose content carries the body prefix; the
+    // chain is the trailing pages after it
+    // scan index p addresses the page at byte p*512, i.e. page NUMBER p+1
+    val bigIdx = (1 until pages).collectFirst {
+      case p if (good(p * 512) & 0xff) == 0x0D &&
+        new String(good, p * 512, 512, "ISO-8859-1").contains(s"big $id: ") => p
+    }.get
+    val firstOvpNo = bigIdx + 2 // the page right after the big leaf
+    val firstOvpBase = (firstOvpNo - 1) * 512
+    def setNext(buf: Array[Byte], pageBase: Int, v: Int): Unit = {
+      buf(pageBase) = ((v >>> 24) & 0xff).toByte; buf(pageBase + 1) = ((v >> 16) & 0xff).toByte
+      buf(pageBase + 2) = ((v >> 8) & 0xff).toByte; buf(pageBase + 3) = (v & 0xff).toByte
+    }
+    // chain ends before the payload does
+    val early = good.clone()
+    setNext(early, firstOvpBase, 0)
+    assert(Sqlite.parseSqliteSafe(id, early).isEmpty, "early chain end quarantines")
+    // next pointer leaves the file
+    val oob = good.clone()
+    setNext(oob, firstOvpBase, pages + 50)
+    assert(Sqlite.parseSqliteSafe(id, oob).isEmpty, "out-of-range overflow page quarantines")
+    // self-cycle
+    val cyc = good.clone()
+    setNext(cyc, firstOvpBase, firstOvpNo)
+    assert(Sqlite.parseSqliteSafe(id, cyc).isEmpty, "overflow cycle quarantines")
   }
 
   test("ipkColIndex: DDL-resolved position, DESC exclusion, no substring traps") {
@@ -110,6 +152,6 @@ class SqliteSpec extends AnyFunSuite {
     val byDoc = got.groupBy(_.doc_id)
     assert(!byDoc.contains(13L))
     for (id <- (0L until 24L) if id != 13L)
-      assert(byDoc(id).length == 6 * Sqlite.nRows(id) + 8, s"db $id")
+      assert(byDoc(id).length == 6 * Sqlite.nRows(id) + 9, s"db $id")
   }
 }
