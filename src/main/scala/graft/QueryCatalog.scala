@@ -3693,14 +3693,32 @@ object QueryCatalog {
        |o AS (SELECT *, coalesce(sum((ne * w + 31) // 32 * 32) OVER
        |        (PARTITION BY doc_id ORDER BY j
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
-       |      FROM t)
+       |      FROM t),
+       |q AS (SELECT d.doc_id, m,
+       |        (32 * (1 + ${nib("9")} % 2))::BIGINT AS qne,
+       |        (1 + ${nib("10")}) / 16.0 AS qd,
+       |        coalesce((SELECT sum((ne * w + 31) // 32 * 32)::BIGINT
+       |                  FROM t WHERE t.doc_id = d.doc_id), 0) AS qoff
+       |      FROM d)
        |SELECT o.doc_id,
        |       list_extract(['llama', 'gptneox', 'qwen2'],
        |         1 + CAST(${nib("2")} % 3 AS INT)) AS arch,
        |       6::BIGINT AS n_kv, 'blk.' || CAST(j AS VARCHAR) || '.weight' AS tensor,
        |       gt AS ggml_type, nd AS n_dims, ne AS n_elems, off AS offset,
        |       'f' AS vtype, (ne * b + ne * (ne - 1) // 2) / 4.0 AS val_sum
-       |FROM o""".stripMargin
+       |FROM o
+       |UNION ALL
+       |SELECT doc_id,
+       |       list_extract(['llama', 'gptneox', 'qwen2'],
+       |         1 + CAST(${nib("2")} % 3 AS INT)),
+       |       6, 'blk.q.weight',
+       |       CASE WHEN doc_id % 2 = 0 THEN 'Q8_0' ELSE 'Q4_0' END,
+       |       1, qne, qoff, 'f',
+       |       qd * list_reduce(list_prepend(0::BIGINT, list_transform(range(qne), e ->
+       |         CASE WHEN doc_id % 2 = 0 THEN (doc_id + e) % 17 - 8
+       |              ELSE (doc_id + 3 * e) % 16 - 8 END)),
+       |         (a, x) -> a + x)
+       |FROM q""".stripMargin
   }
 
   /** WebAssembly module triage ([[graft.ext.Wasm]] — web-corpus

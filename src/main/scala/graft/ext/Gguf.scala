@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   *    order), ggml type, offset — offsets must be alignment-multiples,
   *    in declaration order, gapless for the sized types, and the data
   *    section must end exactly at the last tensor's end;
-  *  - '''value decode''' for F32/F16 tensors (the half decoder shared
-  *    with [[Safetensors]]'s approach); quantized ggml types surface
-  *    their metadata with vtype 'm' (their block layouts are versioned
-  *    ggml internals — out of the gradeable subset by design).
+  *  - '''value decode''' for F32/F16/F64/BF16 tensors (the half
+  *    decoder shared with [[Safetensors]]'s approach) AND for the two
+  *    workhorse quantizations — Q8_0 (34-byte blocks: f16 scale + 32
+  *    signed bytes) and Q4_0 (18-byte blocks: f16 scale + 16 nibble
+  *    bytes, low nibble = element e, high = e+16, dequant − 8) — the
+  *    layouts the deployed llama.cpp checkpoints actually carry; other
+  *    quantized ggml types surface their metadata with vtype 'm'
+  *    (K-quants and IQ layouts are versioned ggml internals — out of
+  *    the gradeable subset by design).
   *
   * Damage (magic, version, a KV type outside the spec, misaligned or
   * overlapping offsets, a data section with trailing bytes)
@@ -56,6 +61,17 @@ object Gguf {
   }
   private[ext] def elemValue(id: Long, j: Int, e: Int): Double = ((id % 7) + j + e) / 4.0
   private[ext] def ctxLenOf(id: Long): Long = 2048L * (1 + nib(id, 5) % 4)
+  // ---- the quantized tensor (appended after the float tensors): Q8_0 on
+  // even ids, Q4_0 on odd; 1-2 blocks of 32; the f16 block scale and the
+  // int lanes are dyadic so every dequantized sum is EXACT in double —
+  // order-independent, hence DuckDB-replayable
+  private[ext] def qTypeOf(id: Long): Int = if (id % 2 == 0) 8 else 2 // Q8_0 / Q4_0
+  private[ext] def qElemsOf(id: Long): Int = 32 * (1 + nib(id, 9) % 2)
+  private[ext] def qScaleOf(id: Long): Double = (1 + nib(id, 10)) / 16.0
+  /** Q8_0 signed lane for element e (−8..8). */
+  private[ext] def q8Of(id: Long, e: Int): Int = (((id + e) % 17) - 8).toInt
+  /** Q4_0 RAW nibble for element e (0..15); dequant subtracts 8. */
+  private[ext] def q4RawOf(id: Long, e: Int): Int = ((id + 3L * e) % 16).toInt
 
   private def le(out: java.io.ByteArrayOutputStream, v: Long, n: Int): Unit = {
     var i = 0
@@ -81,7 +97,7 @@ object Gguf {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GGUF".getBytes("ISO-8859-1"), 0, 4)
     le(out, 3L, 4) // version
-    le(out, nt.toLong, 8)
+    le(out, nt.toLong + 1L, 8) // float tensors + the quantized one
     le(out, 6L, 8) // kv count
     // kvs: architecture, alignment, name, context_length, an i32 array, a bool
     gstr(out, "general.architecture"); le(out, 8L, 4); gstr(out, archOf(id))
@@ -109,6 +125,15 @@ object Gguf {
       offset += padded
       (j, o, bytes, padded)
     }
+    // the quantized tensor: 32-element blocks of (f16 scale, int lanes)
+    val qn = qElemsOf(id)
+    val qBytes = (qn / 32).toLong * (if (qTypeOf(id) == 8) 34L else 18L)
+    val qPadded = (qBytes + 31) & ~31L
+    gstr(out, "blk.q.weight")
+    le(out, 1L, 4)
+    le(out, qn.toLong, 8)
+    le(out, qTypeOf(id).toLong, 4)
+    le(out, offset, 8)
     // pad header to the 32-byte alignment, then tensor data
     while (out.size % 32 != 0) out.write(0)
     sizes.foreach { case (j, _, bytes, padded) =>
@@ -122,6 +147,22 @@ object Gguf {
       var pad = padded - bytes
       while (pad > 0) { out.write(0); pad -= 1 }
     }
+    // quantized blocks
+    val dHalf = floatToHalf(qScaleOf(id).toFloat).toLong
+    (0 until qn / 32).foreach { blk =>
+      le(out, dHalf, 2)
+      if (qTypeOf(id) == 8) { // Q8_0: 32 signed bytes
+        (0 until 32).foreach(i => out.write(q8Of(id, blk * 32 + i) & 0xff))
+      } else { // Q4_0: 16 bytes, low nibble = element i, high = element i+16
+        (0 until 16).foreach { i =>
+          val lo = q4RawOf(id, blk * 32 + i)
+          val hi = q4RawOf(id, blk * 32 + 16 + i)
+          out.write(lo | (hi << 4))
+        }
+      }
+    }
+    var qPad = qPadded - qBytes
+    while (qPad > 0) { out.write(0); qPad -= 1 }
     out.toByteArray
   }
 
@@ -247,8 +288,20 @@ object Gguf {
     // data begins at the next alignment boundary after the header
     val dataStart = ((p.toLong + alignment - 1) / alignment) * alignment
     if (dataStart > b.length) fail()
+    // IEEE half → double; non-finite scales are outside the gradeable set
+    def half(h: Int): Double = {
+      val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
+      val exp = (h >>> 10) & 0x1f
+      val man = h & 0x3ff
+      if (exp == 31) fail()
+      else if (exp == 0) sign * man * math.pow(2, -24)
+      else sign * (1024 + man) * math.pow(2, exp - 25)
+    }
+    def le16(q: Int): Int = (b(q) & 0xff) | ((b(q + 1) & 0xff) << 8)
     // offsets: declaration-ordered, aligned; sized types must tile the
-    // data section exactly (quantized sizes are ggml internals: unsized)
+    // data section exactly. Q8_0/Q4_0 are sized too (their 32-element
+    // block layouts are published in ggml: f16 scale + int lanes);
+    // other quantizations stay unsized metadata.
     var cursor = 0L
     var allSized = true
     val rows = infos.map { t =>
@@ -259,44 +312,66 @@ object Gguf {
         if (m > MaxElems) fail()
         m
       })
-      val width = t.ggml match {
-        case 0 => 4
-        case 1 => 2
-        case 28 => 8
-        case 30 => 2
-        case _ => -1
+      // total byte length for the types we can size
+      val sized: Option[Long] = t.ggml match {
+        case 0 => Some(4L * n)
+        case 1 | 30 => Some(2L * n)
+        case 28 => Some(8L * n)
+        case 8 if n % 32 == 0 => Some(34L * (n / 32)) // Q8_0: f16 d + 32×i8
+        case 2 if n % 32 == 0 => Some(18L * (n / 32)) // Q4_0: f16 d + 16 nibble bytes
+        case _ => None
       }
-      val (vtype, sum) =
-        if (width < 0) { allSized = false; ("m", None) }
-        else {
+      val (vtype, sum) = sized match {
+        case None => allSized = false; ("m", None)
+        case Some(nBytes) =>
           val begin = dataStart + t.offset
-          if (begin + n * width > b.length) fail()
+          if (begin + nBytes > b.length) fail()
           var s = 0.0
-          var e = 0L
-          while (e < n) {
-            val q = (begin + e * width).toInt
-            var bits = 0L
-            var i = width - 1
-            while (i >= 0) { bits = (bits << 8) | (b(q + i) & 0xffL); i -= 1 }
-            s += (t.ggml match {
-              case 0 => java.lang.Float.intBitsToFloat(bits.toInt).toDouble
-              case 1 =>
-                val h = bits.toInt
-                val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
-                val exp = (h >>> 10) & 0x1f
-                val man = h & 0x3ff
-                if (exp == 31) fail()
-                else if (exp == 0) sign * man * math.pow(2, -24)
-                else sign * (1024 + man) * math.pow(2, exp - 25)
-              case 28 => java.lang.Double.longBitsToDouble(bits)
-              case 30 => java.lang.Float.intBitsToFloat((bits << 16).toInt).toDouble
-              case _ => fail()
-            })
-            e += 1
+          t.ggml match {
+            case 8 => // Q8_0 blocks: value = d · q, q a signed byte
+              var blk = 0L
+              while (blk < n / 32) {
+                val q0 = (begin + blk * 34).toInt
+                val d = half(le16(q0))
+                var i = 0
+                while (i < 32) { s += d * b(q0 + 2 + i); i += 1 }
+                blk += 1
+              }
+            case 2 => // Q4_0 blocks: value = d · (nibble − 8), low = e, high = e+16
+              var blk = 0L
+              while (blk < n / 32) {
+                val q0 = (begin + blk * 18).toInt
+                val d = half(le16(q0))
+                var e = 0
+                while (e < 32) {
+                  val byte = b(q0 + 2 + (e % 16)) & 0xff
+                  val raw = if (e < 16) byte & 0x0f else byte >>> 4
+                  s += d * (raw - 8)
+                  e += 1
+                }
+                blk += 1
+              }
+            case _ => // fixed-width floats
+              val width = (nBytes / n).toInt
+              var e = 0L
+              while (e < n) {
+                val q = (begin + e * width).toInt
+                var bits = 0L
+                var i = width - 1
+                while (i >= 0) { bits = (bits << 8) | (b(q + i) & 0xffL); i -= 1 }
+                s += (t.ggml match {
+                  case 0 => java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+                  case 1 => half(bits.toInt)
+                  case 28 => java.lang.Double.longBitsToDouble(bits)
+                  case 30 => java.lang.Float.intBitsToFloat((bits << 16).toInt).toDouble
+                  case _ => fail()
+                })
+                e += 1
+              }
           }
-          cursor = ((t.offset + n * width + alignment - 1) / alignment) * alignment
+          cursor = ((t.offset + nBytes + alignment - 1) / alignment) * alignment
           ("f", Some(s))
-        }
+      }
       GgufTensor(id, arch, kvCount, t.name,
         GgmlTypes.getOrElse(t.ggml, s"T${t.ggml}"), t.dims.length.toLong, n,
         t.offset, vtype, sum)

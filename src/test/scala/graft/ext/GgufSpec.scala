@@ -4,10 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GgufSpec extends AnyFunSuite {
 
-  test("round-trip: typed KVs + tensor infos + F32/F16 data recover the closed forms") {
+  test("round-trip: typed KVs + tensor infos + F32/F16 + Q8_0/Q4_0 recover the closed forms") {
     for (id <- 0L until 96L) {
       val rows = Gguf.parseGguf(id, Gguf.renderGguf(id))
-      assert(rows.length == Gguf.nTensors(id), s"gguf $id tensor count")
+      assert(rows.length == Gguf.nTensors(id) + 1, s"gguf $id tensor count")
       assert(rows.forall(_.arch == Gguf.archOf(id)), s"gguf $id arch")
       assert(rows.forall(_.n_kv == 6), s"gguf $id kv count")
       for (j <- 0 until Gguf.nTensors(id)) {
@@ -19,7 +19,19 @@ class GgufSpec extends AnyFunSuite {
         val expected = (0 until shape.product.toInt).map(Gguf.elemValue(id, j, _)).sum
         assert(t.val_sum.contains(expected), s"gguf $id t$j sum")
       }
+      // the quantized tensor dequantizes exactly (dyadic scale × int lanes)
+      val q = rows.find(_.tensor == "blk.q.weight").getOrElse(fail(s"gguf $id q"))
+      assert(q.ggml_type == (if (id % 2 == 0) "Q8_0" else "Q4_0"), s"gguf $id q type")
+      assert(q.n_elems == Gguf.qElemsOf(id) && q.vtype == "f", s"gguf $id q shape")
+      val d = Gguf.qScaleOf(id)
+      val expected = (0 until Gguf.qElemsOf(id)).map { e =>
+        if (id % 2 == 0) d * Gguf.q8Of(id, e) else d * (Gguf.q4RawOf(id, e) - 8)
+      }.sum
+      assert(q.val_sum.contains(expected), s"gguf $id q sum ${q.val_sum} vs $expected")
     }
+    // both quantizations and both block counts occur across the sweep
+    assert((0L until 96L).exists(id => id % 2 == 0 && Gguf.qElemsOf(id) == 64), "2-block Q8_0")
+    assert((0L until 96L).exists(id => id % 2 == 1 && Gguf.qElemsOf(id) == 64), "2-block Q4_0")
   }
 
   test("alignment is consumed from the KV and enforced on offsets") {
@@ -85,6 +97,6 @@ class GgufSpec extends AnyFunSuite {
     val byDoc = got.groupBy(_.doc_id)
     assert(!byDoc.contains(8L))
     for (id <- (0L until 24L) if id != 8L)
-      assert(byDoc(id).length == Gguf.nTensors(id), s"gguf $id")
+      assert(byDoc(id).length == Gguf.nTensors(id) + 1, s"gguf $id")
   }
 }
