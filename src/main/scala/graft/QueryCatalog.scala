@@ -3326,15 +3326,18 @@ object QueryCatalog {
        |        (doc_id * 100 + k)::BIGINT AS iv,
        |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv,
        |        CASE WHEN (doc_id + k) % 3 = 0 THEN NULL
-       |          ELSE ${nib("CAST(12 + k AS INT)")} - 7 END AS fv
+       |          ELSE ${nib("CAST(12 + k AS INT)")} - 7 END AS fv,
+       |        ${w("CAST(20 + k AS INT)")} AS tag
        |      FROM r),
        |a AS (SELECT doc_id, g, count(*)::BIGINT AS cnt, sum(iv)::BIGINT AS isum,
        |        sum(rv) AS rsum, string_agg(title, '' ORDER BY k) AS cat,
+       |        string_agg(tag, '' ORDER BY k) AS tcat,
        |        coalesce(sum(fv), 0)::BIGINT AS fsum,
        |        (count(*) - count(fv))::BIGINT AS fnulls
        |      FROM t GROUP BY doc_id, g),
        |h AS (SELECT doc_id, g, cnt, isum, rsum, fsum, fnulls,
-       |        hex(encode(cat)) AS hx, octet_length(encode(cat)) AS nb FROM a)
+       |        hex(encode(cat)) AS hx, octet_length(encode(cat)) AS nb,
+       |        hex(encode(tcat)) AS thx, octet_length(encode(tcat)) AS tnb FROM a)
        |SELECT doc_id, g::BIGINT AS batch, 0::BIGINT AS col_idx, 'id' AS name,
        |       'INT64' AS ctype, FALSE AS nullable, cnt AS n_rows,
        |       0::BIGINT AS null_count, 'i' AS vtype, isum AS i_sum,
@@ -3351,7 +3354,13 @@ object QueryCatalog {
        |       NULL, rsum, NULL, NULL FROM h
        |UNION ALL
        |SELECT doc_id, g, 3, 'flag', 'INT32', TRUE, cnt, fnulls, 'i',
-       |       fsum, NULL, NULL, NULL FROM h""".stripMargin
+       |       fsum, NULL, NULL, NULL FROM h
+       |UNION ALL
+       |SELECT doc_id, g, 4, 'tag', 'UTF8', FALSE, cnt, 0, 's',
+       |       NULL, NULL, tnb::BIGINT,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(tnb), i ->
+       |         ('0x' || substr(thx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h""".stripMargin
   }
 
   /** Debian package ingestion ([[graft.ext.Deb]] — the package-mining

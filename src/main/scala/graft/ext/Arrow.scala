@@ -29,17 +29,31 @@ import org.apache.spark.sql.functions._
   *  - '''columnar decode''': validity bitmaps (LSB-first, absent or
   *    zero-length = no nulls), Int 8/16/32/64 signed/unsigned (LE,
   *    sign-extended per is_signed), FloatingPoint single/double, Utf8
-  *    (i32 offsets + data). Columns outside the subset (nested types,
-  *    dictionary-encoded, compressed bodies) surface their METADATA
-  *    row (vtype 'm'); only structural damage quarantines the file.
+  *    (i32 offsets + data);
+  *  - '''BodyCompression''' (what arrow-java emits at scale): per-batch
+  *    LZ4_FRAME or ZSTD with method BUFFER — each non-empty buffer an
+  *    i64 uncompressed-length prefix (−1 = raw) plus a frame decoded by
+  *    the repo's own [[Lz4]] frame reader / [[Zstd]] decoder;
+  *  - '''dictionary encoding''': DictionaryBatch messages (footer
+  *    `dictionaries` blocks, decoded before use, replacement semantics)
+  *    feeding columns whose signed-int indices resolve through the
+  *    decoded values — Utf8/Int/FloatingPoint value types.
+  *    Columns outside the subset (nested types, delta dictionaries,
+  *    unsigned/odd index widths, unknown codecs) surface their METADATA
+  *    row (vtype 'm'); only structural damage — including a referenced
+  *    dictionary that never arrives or an index past its dictionary —
+  *    quarantines the file.
   *
   * Grading is three-sided (ArrowSpec): (1) the bitwise DuckDB oracle
-  * replays per-batch per-column aggregates; (2) ARROW-JAVA ITSELF (the
-  * runtime Spark ships) reads the from-scratch files and must see the
-  * exact fixture values, nulls included; (3) the reader decodes REAL
-  * arrow-java-written files (`ArrowFileWriter`) bit-exact — the
-  * strongest possible check on each side, against a foreign
-  * implementation.
+  * replays per-batch per-column aggregates — the fixture cycles
+  * none/LZ4/ZSTD compression by file and always carries a
+  * dictionary-encoded column, so every arm sits under the hash; (2)
+  * ARROW-JAVA ITSELF (the runtime Spark ships) reads the from-scratch
+  * files — compressed and dictionary-encoded included — and must see
+  * the exact fixture values, nulls included; (3) the reader decodes
+  * REAL arrow-java-written files (`ArrowFileWriter`, plain and
+  * compressed) bit-exact — the strongest possible check on each side,
+  * against a foreign implementation.
   *
   * Scale shape: map-only per file; at 100 TB the footer walk is a
   * range read of the file tail and each batch decodes independently —
@@ -74,6 +88,20 @@ object Arrow {
     */
   private[ext] def flagIsNull(id: Long, k: Int): Boolean = (id + k) % 3 == 0
   private[ext] def flagVal(id: Long, k: Int): Int = nib(id, 12 + k) - 7
+  /** Dictionary-encoded Utf8 column: every file carries dictionary id 1
+    * (all eight words) and int32 indices — the layout arrow-java emits
+    * for categorical columns.
+    */
+  private[ext] def tagIdx(id: Long, k: Int): Int = nib(id, 20 + k) % 8
+  private[ext] def tagVal(id: Long, k: Int): String = words(tagIdx(id, k))
+  /** Body compression cycles by file: none / LZ4_FRAME / ZSTD — both
+    * codecs ride the repo's own coders.
+    */
+  private[ext] def compressionOf(id: Long): Int = (id % 3) match {
+    case 0 => -1
+    case 1 => 0 // LZ4_FRAME
+    case _ => 1 // ZSTD
+  }
 
   // ---- flatbuffers builder (back-to-front, forward uoffsets only)
 
@@ -191,27 +219,34 @@ object Arrow {
   private def pad8(n: Int): Int = (n + 7) & ~7
 
   /** Schema flatbuffer table (shared by the schema message and the
-    * footer): fields id/title/score/flag.
+    * footer): fields id/title/score/flag/tag — tag dictionary-encoded
+    * (id 1, int32 indices).
     */
   private def buildSchema(fb: FB): Int = {
-    def field(name: String, nullable: Boolean, typeTag: Int, typeTable: Int): Int = {
+    def field(name: String, nullable: Boolean, typeTag: Int, typeTable: Int,
+        dictEnc: Int = -1): Int = {
       val n = fb.string(name)
       fb.table(Seq(
         fb.SRef(0, n),
         fb.SScalar(1, if (nullable) 1L else 0L, 1),
         fb.SScalar(2, typeTag.toLong, 1),
-        fb.SRef(3, typeTable)))
+        fb.SRef(3, typeTable)) ++
+        (if (dictEnc >= 0) Seq(fb.SRef(4, dictEnc)) else Nil))
     }
     // type tables first (children precede parents in a back-to-front build)
     val tInt64 = fb.table(Seq(fb.SScalar(0, 64L, 4), fb.SScalar(1, 1L, 1)))
     val tUtf8 = fb.table(Seq.empty)
     val tF64 = fb.table(Seq(fb.SScalar(0, 2L, 2))) // precision DOUBLE
     val tInt32 = fb.table(Seq(fb.SScalar(0, 32L, 4), fb.SScalar(1, 1L, 1)))
+    // DictionaryEncoding: id 1, indexType int32 signed
+    val tIdx32 = fb.table(Seq(fb.SScalar(0, 32L, 4), fb.SScalar(1, 1L, 1)))
+    val dictEnc = fb.table(Seq(fb.SScalar(0, 1L, 8), fb.SRef(1, tIdx32)))
     val fields = Seq(
       field("id", nullable = false, 2, tInt64), // Type union: Int = 2
       field("title", nullable = false, 5, tUtf8), // Utf8 = 5
       field("score", nullable = false, 3, tF64), // FloatingPoint = 3
-      field("flag", nullable = true, 2, tInt32))
+      field("flag", nullable = true, 2, tInt32),
+      field("tag", nullable = false, 5, tUtf8, dictEnc))
     val fv = fb.refVector(fields)
     fb.table(Seq(fb.SScalar(0, 0L, 2), fb.SRef(1, fv))) // endianness Little
   }
@@ -248,8 +283,55 @@ object Arrow {
     out
   }
 
+  /** One buffer body under the file's codec: compressed buffers carry
+    * the i64 uncompressed-length prefix; tiny buffers take the spec's
+    * `-1` marker (compression not profitable — raw body follows), which
+    * keeps that reader arm graded; empty buffers stay empty.
+    */
+  private def bufBody(codec: Int, raw: Array[Byte]): Array[Byte] =
+    if (codec < 0 || raw.length == 0) raw
+    else if (raw.length <= 16) leBytes(-1L, 8) ++ raw
+    else leBytes(raw.length.toLong, 8) ++
+      (if (codec == 0) Lz4.frameCompress(raw) else Zstd.compress(raw))
+
+  /** Lay buffers into a body (8-aligned) and return (body, locations). */
+  private def assembleBody(codec: Int, buffers: Seq[Array[Byte]]): (Array[Byte], Seq[(Long, Long)]) = {
+    val body = new java.io.ByteArrayOutputStream()
+    val locs = buffers.map { raw =>
+      val b = bufBody(codec, raw)
+      val off = body.size
+      body.write(b, 0, b.length)
+      body.write(new Array[Byte](pad8(b.length) - b.length), 0, pad8(b.length) - b.length)
+      (off.toLong, b.length.toLong)
+    }
+    (body.toByteArray, locs)
+  }
+
+  /** The RecordBatch flatbuffer table (shared by record and dictionary
+    * batches): length, nodes, buffers, and the BodyCompression table
+    * when the file compresses.
+    */
+  private def recordBatchTable(fb: FB, rows: Int, nulls: Seq[Int],
+      locs: Seq[(Long, Long)], codec: Int): Int = {
+    val nodesBlob = nulls.flatMap(nc =>
+      leBytes(rows.toLong, 8) ++ leBytes(nc.toLong, 8)).toArray
+    val nodes = fb.structVector(nulls.length, nodesBlob)
+    val bufBlob = locs.flatMap { case (o, l) => leBytes(o, 8) ++ leBytes(l, 8) }.toArray
+    val bufVec = fb.structVector(locs.length, bufBlob)
+    val base = Seq(
+      fb.SScalar(0, rows.toLong, 8),
+      fb.SRef(1, nodes),
+      fb.SRef(2, bufVec))
+    if (codec < 0) fb.table(base)
+    else {
+      val bc = fb.table(Seq(fb.SScalar(0, codec.toLong, 1))) // method BUFFER = default
+      fb.table(base :+ fb.SRef(3, bc))
+    }
+  }
+
   private[ext] def renderArrow(id: Long): Array[Byte] = {
     val n = nRows(id)
+    val codec = compressionOf(id)
     val batches = (0 until n).grouped(RowsPerBatch).toSeq
     val out = new java.io.ByteArrayOutputStream()
     out.write("ARROW1".getBytes("ISO-8859-1"), 0, 6)
@@ -259,6 +341,22 @@ object Arrow {
     out.write(schemaMsg, 0, schemaMsg.length)
 
     final case class Block(offset: Long, metaLen: Int, bodyLen: Long)
+    // ---- dictionary batch (id 1): the eight words, before any record batch
+    val dictBlock = {
+      val wordBytes = words.toSeq.map(_.getBytes("UTF-8"))
+      val offsets = wordBytes.scanLeft(0)(_ + _.length)
+      val (body, locs) = assembleBody(codec, Seq(
+        validity(Seq.fill(words.length)(true)),
+        offsets.flatMap(o => leBytes(o.toLong, 4)).toArray,
+        wordBytes.flatten.toArray))
+      val (msg, metaLen, bodyLen) = message(2, { fb => // DictionaryBatch = 2
+        val rbT = recordBatchTable(fb, words.length, Seq(0), locs, codec)
+        fb.table(Seq(fb.SScalar(0, 1L, 8), fb.SRef(1, rbT)))
+      }, body)
+      val offset = out.size.toLong
+      out.write(msg, 0, msg.length)
+      Block(offset, metaLen, pad8(bodyLen).toLong)
+    }
     val blocks = batches.map { ks =>
       val rows = ks.length
       // buffers, preorder per field: validity [+ offsets] + data
@@ -277,26 +375,13 @@ object Arrow {
       bufs += validity(flagValid) // flag
       bufs += ks.flatMap(k =>
         leBytes((if (flagIsNull(id, k)) 0 else flagVal(id, k)).toLong & 0xffffffffL, 4)).toArray
-      val buffers = bufs.result()
-      val body = new java.io.ByteArrayOutputStream()
-      val locs = buffers.map { b =>
-        val off = body.size
-        body.write(b, 0, b.length)
-        body.write(new Array[Byte](pad8(b.length) - b.length), 0, pad8(b.length) - b.length)
-        (off.toLong, b.length.toLong)
-      }
-      val nulls = Seq(0, 0, 0, flagValid.count(!_))
+      bufs += validity(Seq.fill(rows)(true)) // tag: validity + int32 indices
+      bufs += ks.flatMap(k => leBytes(tagIdx(id, k).toLong, 4)).toArray
+      val (body, locs) = assembleBody(codec, bufs.result())
+      val nulls = Seq(0, 0, 0, flagValid.count(!_), 0)
       val (msg, metaLen, bodyLen) = message(3, { fb => // RecordBatch = 3
-        val nodesBlob = nulls.flatMap(nc =>
-          leBytes(rows.toLong, 8) ++ leBytes(nc.toLong, 8)).toArray
-        val nodes = fb.structVector(nulls.length, nodesBlob)
-        val bufBlob = locs.flatMap { case (o, l) => leBytes(o, 8) ++ leBytes(l, 8) }.toArray
-        val bufVec = fb.structVector(locs.length, bufBlob)
-        fb.table(Seq(
-          fb.SScalar(0, rows.toLong, 8),
-          fb.SRef(1, nodes),
-          fb.SRef(2, bufVec)))
-      }, body.toByteArray)
+        recordBatchTable(fb, rows, nulls, locs, codec)
+      }, body)
       val offset = out.size.toLong
       out.write(msg, 0, msg.length)
       Block(offset, metaLen, pad8(bodyLen).toLong)
@@ -307,13 +392,15 @@ object Arrow {
     // footer flatbuffer
     val fb = new FB
     val schema = buildSchema(fb)
-    val blockBlob = blocks.flatMap(b =>
+    def blockBlob(bs: Seq[Block]): Array[Byte] = bs.flatMap(b =>
       leBytes(b.offset, 8) ++ leBytes(b.metaLen.toLong, 4) ++ leBytes(0L, 4) ++
         leBytes(b.bodyLen, 8)).toArray
-    val rbVec = fb.structVector(blocks.length, blockBlob)
+    val dictVec = fb.structVector(1, blockBlob(Seq(dictBlock)))
+    val rbVec = fb.structVector(blocks.length, blockBlob(blocks))
     val footerTable = fb.table(Seq(
       fb.SScalar(0, 4L, 2), // version V5
       fb.SRef(1, schema),
+      fb.SRef(2, dictVec),
       fb.SRef(3, rbVec)))
     val footer = fb.finish(footerTable)
     out.write(footer, 0, footer.length)
@@ -405,8 +492,13 @@ object Arrow {
     }
   }
 
+  /** `dictId` −1 = plain, ≥ 0 = dictionary-encoded with signed
+    * `dictIdxWidth`-bit indices, −2 = a dictionary encoding whose index
+    * type is outside the subset (unsigned / odd width) — metadata-only.
+    */
   private final case class AField(name: String, nullable: Boolean, ctype: String,
-    kind: Int, bitWidth: Int, signed: Boolean, nChildren: Int)
+    kind: Int, bitWidth: Int, signed: Boolean, nChildren: Int,
+    dictId: Long, dictIdxWidth: Int)
 
   private def parseSchema(r: FbReader, schemaTable: Int): Seq[AField] = {
     val fv = r.field(schemaTable, 1)
@@ -421,7 +513,6 @@ object Arrow {
       val typeT = r.fieldTable(f, 3)
       val childrenP = r.field(f, 5)
       val nChildren = if (childrenP < 0) 0 else r.vector(childrenP, 4)._1
-      val hasDict = r.field(f, 4) >= 0
       val (ctype, bw, signed) = typeTag match {
         case 2 =>
           if (typeT < 0) fail()
@@ -443,9 +534,19 @@ object Arrow {
         case 13 => ("STRUCT", 0, false)
         case other => (s"TYPE_$other", 0, false)
       }
-      // dictionary-encoded columns are outside the decode subset: keep
-      // the metadata but flag via kind = -1
-      AField(name, nullable, ctype, if (hasDict) -1 else typeTag, bw, signed, nChildren)
+      // DictionaryEncoding: id + index type (spec default int32 signed)
+      val dictT = r.fieldTable(f, 4)
+      val (dictId, idxW) =
+        if (dictT < 0) (-1L, 0)
+        else {
+          val id = r.fieldI64(dictT, 0, 0L)
+          val it = r.fieldTable(dictT, 1)
+          val w = if (it < 0) 32 else r.fieldI32(it, 0, 0)
+          val s = if (it < 0) true else r.fieldU8(it, 1, 0) != 0
+          if (id < 0 || !s || (w != 8 && w != 16 && w != 32 && w != 64)) (-2L, 0)
+          else (id, w)
+        }
+      AField(name, nullable, ctype, typeTag, bw, signed, nChildren, dictId, idxW)
     }
   }
 
@@ -456,6 +557,166 @@ object Arrow {
     s_bytes: Option[Long], s_checksum: Option[Long])
 
   private val MaxRows = 1 << 22
+  private val MaxBufBytes = 1 << 26
+
+  /** Decoded per-column aggregate: (vtype, i_sum, r_sum, s_bytes, s_checksum). */
+  private type ColAgg = (String, Option[Long], Option[Double], Option[Long], Option[Long])
+
+  private def le32At(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  private def leAt(b: Array[Byte], p: Int, w: Int): Long = {
+    var u = 0L
+    var j = w - 1
+    while (j >= 0) { u = (u << 8) | (b(p + j) & 0xffL); j -= 1 }
+    u
+  }
+
+  /** Validity predicate over a MATERIALIZED validity buffer (empty =
+    * all valid, which contradicts a positive null count).
+    */
+  private def mkValid(v: Array[Byte], rows: Int, nullCount: Long): Int => Boolean =
+    if (v.length == 0) { if (nullCount > 0) fail(); _ => true }
+    else {
+      if (v.length < (rows + 7) / 8) fail()
+      i => ((v(i / 8) >> (i % 8)) & 1) != 0
+    }
+
+  /** Aggregate one PLAIN column from its materialized non-validity
+    * buffers; None = type outside the decode subset.
+    */
+  private def aggPlain(f: AField, rows: Int, valid: Int => Boolean,
+      bufs: Seq[Array[Byte]]): Option[ColAgg] =
+    f.kind match {
+      case 2 if f.bitWidth == 8 || f.bitWidth == 16 || f.bitWidth == 32 || f.bitWidth == 64 =>
+        val d = bufs.head
+        val w = f.bitWidth / 8
+        if (d.length.toLong < rows.toLong * w) fail()
+        var sum = 0L
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val u = leAt(d, i * w, w)
+            // sign-extend signed ints narrower than 64 bits
+            sum += (if (f.signed && f.bitWidth < 64) (u << (64 - f.bitWidth)) >> (64 - f.bitWidth) else u)
+          }
+          i += 1
+        }
+        Some(("i", Some(sum), None, None, None))
+      case 3 if f.bitWidth == 32 || f.bitWidth == 64 =>
+        val d = bufs.head
+        val w = f.bitWidth / 8
+        if (d.length.toLong < rows.toLong * w) fail()
+        var sum = 0.0
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val u = leAt(d, i * w, w)
+            sum += (if (f.bitWidth == 32) java.lang.Float.intBitsToFloat(u.toInt).toDouble
+            else java.lang.Double.longBitsToDouble(u))
+          }
+          i += 1
+        }
+        Some(("f", None, Some(sum), None, None))
+      case 5 =>
+        val offs = bufs.head
+        val d = bufs(1)
+        if (offs.length.toLong < (rows + 1).toLong * 4) fail()
+        var ck = 0L
+        var nb = 0L
+        var i = 0
+        while (i < rows) {
+          val s = le32At(offs, 4 * i)
+          val e = le32At(offs, 4 * (i + 1))
+          if (s < 0 || e < s || e > d.length) fail()
+          if (valid(i)) {
+            var p = s
+            while (p < e) { ck = (ck * 31 + (d(p) & 0xff)) % 1000000007L; p += 1 }
+            nb += e - s
+          }
+          i += 1
+        }
+        Some(("s", None, None, Some(nb), Some(ck)))
+      case _ => None
+    }
+
+  /** Materialize one column's actual VALUES (the dictionary-batch path —
+    * dictionaries are small by nature); None = unsupported value type.
+    */
+  private def columnValues(f: AField, rows: Int, valid: Int => Boolean,
+      bufs: Seq[Array[Byte]]): Option[Vector[Any]] =
+    f.kind match {
+      case 2 if f.bitWidth == 8 || f.bitWidth == 16 || f.bitWidth == 32 || f.bitWidth == 64 =>
+        val d = bufs.head
+        val w = f.bitWidth / 8
+        if (d.length.toLong < rows.toLong * w) fail()
+        Some((0 until rows).map { i =>
+          val u = leAt(d, i * w, w)
+          (if (f.signed && f.bitWidth < 64) (u << (64 - f.bitWidth)) >> (64 - f.bitWidth) else u): Any
+        }.toVector)
+      case 3 if f.bitWidth == 32 || f.bitWidth == 64 =>
+        val d = bufs.head
+        val w = f.bitWidth / 8
+        if (d.length.toLong < rows.toLong * w) fail()
+        Some((0 until rows).map { i =>
+          val u = leAt(d, i * w, w)
+          (if (f.bitWidth == 32) java.lang.Float.intBitsToFloat(u.toInt).toDouble
+          else java.lang.Double.longBitsToDouble(u)): Any
+        }.toVector)
+      case 5 =>
+        val offs = bufs.head
+        val d = bufs(1)
+        if (offs.length.toLong < (rows + 1).toLong * 4) fail()
+        Some((0 until rows).map { i =>
+          val s = le32At(offs, 4 * i)
+          val e = le32At(offs, 4 * (i + 1))
+          if (s < 0 || e < s || e > d.length) fail()
+          new String(d, s, e - s, java.nio.charset.StandardCharsets.UTF_8): Any
+        }.toVector)
+      case _ => None
+    }
+
+  /** Aggregate one DICTIONARY-ENCODED column: decode its indices, look
+    * each up in the decoded dictionary, aggregate by the VALUE type.
+    */
+  private def aggDict(f: AField, rows: Int, valid: Int => Boolean,
+      idxBuf: Array[Byte], dict: Vector[Any]): Option[ColAgg] = {
+    val w = f.dictIdxWidth / 8
+    if (idxBuf.length.toLong < rows.toLong * w) fail()
+    def idxAt(i: Int): Int = {
+      val u = leAt(idxBuf, i * w, w)
+      val v = if (f.dictIdxWidth < 64) (u << (64 - f.dictIdxWidth)) >> (64 - f.dictIdxWidth) else u
+      if (v < 0 || v >= dict.length) fail()
+      v.toInt
+    }
+    f.kind match {
+      case 2 =>
+        var sum = 0L
+        var i = 0
+        while (i < rows) { if (valid(i)) sum += dict(idxAt(i)).asInstanceOf[Long]; i += 1 }
+        Some(("i", Some(sum), None, None, None))
+      case 3 =>
+        var sum = 0.0
+        var i = 0
+        while (i < rows) { if (valid(i)) sum += dict(idxAt(i)).asInstanceOf[Double]; i += 1 }
+        Some(("f", None, Some(sum), None, None))
+      case 5 =>
+        var ck = 0L
+        var nb = 0L
+        var i = 0
+        while (i < rows) {
+          if (valid(i)) {
+            val b = dict(idxAt(i)).asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var p = 0
+            while (p < b.length) { ck = (ck * 31 + (b(p) & 0xff)) % 1000000007L; p += 1 }
+            nb += b.length
+          }
+          i += 1
+        }
+        Some(("s", None, None, Some(nb), Some(ck)))
+      case _ => None
+    }
+  }
 
   private[ext] def parseArrow(id: Long, bytes: Array[Byte]): Seq[ArrowColStat] = {
     val n = Option(bytes).map(_.length).getOrElse(fail())
@@ -474,18 +735,22 @@ object Arrow {
     if (schemaT < 0) fail()
     val fields = parseSchema(fr, schemaT)
     if (fields.isEmpty) fail()
-    val rbP = fr.field(footer, 3)
-    val blocks: Seq[(Long, Int, Long)] =
-      if (rbP < 0) Seq.empty
+    def footerBlocks(slot: Int): Seq[(Long, Int, Long)] = {
+      val p = fr.field(footer, slot)
+      if (p < 0) Seq.empty
       else {
-        val (count, at) = fr.vector(rbP, 24)
+        val (count, at) = fr.vector(p, 24)
         (0 until count).map { i =>
-          val p = at + 24 * i
-          (fr.i64(p), fr.i32(p + 8), fr.i64(p + 16))
+          val q = at + 24 * i
+          (fr.i64(q), fr.i32(q + 8), fr.i64(q + 16))
         }
       }
+    }
+    val dictBlocks = footerBlocks(2)
+    val blocks = footerBlocks(3)
 
-    blocks.zipWithIndex.flatMap { case ((off, metaLen, bodyLen), bi) =>
+    // ---- one encapsulated message: bounds + framing + flatbuffer root
+    def openMessage(off: Long, metaLen: Int, bodyLen: Long): (FbReader, Int) = {
       // per-term bounds BEFORE the sum (the bufSlice rule): huge positive
       // i64s can wrap their sum negative and slip past the combined check
       if (off < 8 || metaLen < 12 || bodyLen < 0 ||
@@ -496,10 +761,18 @@ object Arrow {
       val hasCont = bytes(o) == -1 && bytes(o + 1) == -1 && bytes(o + 2) == -1 && bytes(o + 3) == -1
       val mStart = if (hasCont) o + 8 else o + 4 // pre-V5 framing has no marker
       val mr = new FbReader(bytes, mStart, o + metaLen)
-      val msg = mr.root()
-      if (mr.fieldU8(msg, 1, 0) != 3) fail() // not a RecordBatch block
-      val rb = mr.fieldTable(msg, 2)
-      if (rb < 0) fail()
+      (mr, mr.root())
+    }
+
+    /** The open RecordBatch table + its body extent + buffer access.
+      * `codec` None = BodyCompression present but outside the subset.
+      */
+    final case class OpenRb(mr: FbReader, rows: Long, nNodes: Int, nodesAt: Int,
+        codec: Option[Int], getBuf: Int => Array[Byte]) {
+      def node(i: Int): (Long, Long) =
+        (mr.i64(nodesAt + 16 * i), mr.i64(nodesAt + 16 * i + 8))
+    }
+    def openRb(mr: FbReader, rb: Int, off: Long, metaLen: Int, bodyLen: Long): OpenRb = {
       val rows = mr.fieldI64(rb, 0, -1L)
       if (rows < 0 || rows > MaxRows) fail()
       val nodesP = mr.field(rb, 1)
@@ -508,6 +781,15 @@ object Arrow {
       val (nNodes, nodesAt) = mr.vector(nodesP, 16)
       val (nBufs, bufsAt) = mr.vector(bufsP, 16)
       val bodyStart = off + metaLen
+      val codec: Option[Int] = {
+        val bc = mr.fieldTable(rb, 3)
+        if (bc < 0) Some(-1)
+        else {
+          val c = mr.fieldU8(bc, 0, 0)
+          val m = mr.fieldU8(bc, 1, 0)
+          if (m != 0 || c > 1) None else Some(c) // method BUFFER; LZ4_FRAME/ZSTD
+        }
+      }
       def bufSlice(i: Int): (Long, Long) = {
         if (i >= nBufs) fail()
         val p = bufsAt + 16 * i
@@ -520,18 +802,99 @@ object Arrow {
         if (bo < 0 || bl < 0 || bo > bodyLen || bl > bodyLen || bo + bl > bodyLen) fail()
         (bodyStart + bo, bl)
       }
-      // buffer counts per column; -1 = layout we can't account for
-      val bufCounts = fields.map(_.kind match {
+      // materialize a buffer: decompress under the batch codec (each
+      // non-empty buffer carries an i64 uncompressed-length prefix; −1
+      // marks a raw body the writer left uncompressed)
+      def getBuf(i: Int): Array[Byte] = {
+        val (bo, bl) = bufSlice(i)
+        if (bl == 0) Array.emptyByteArray
+        else codec match {
+          case Some(-1) | None =>
+            java.util.Arrays.copyOfRange(bytes, bo.toInt, (bo + bl).toInt)
+          case Some(c) =>
+            if (bl < 8) fail()
+            val ulen = leAt(bytes, bo.toInt, 8)
+            if (ulen == -1L) java.util.Arrays.copyOfRange(bytes, bo.toInt + 8, (bo + bl).toInt)
+            else {
+              if (ulen < 0 || ulen > MaxBufBytes) fail()
+              val d =
+                try {
+                  if (c == 0) Lz4.frameDecompress(bytes, bo.toInt + 8, (bo + bl).toInt, ulen.toInt)
+                  else Zstd.decompress(
+                    java.util.Arrays.copyOfRange(bytes, bo.toInt + 8, (bo + bl).toInt), ulen.toInt)
+                } catch { case scala.util.control.NonFatal(_) => fail() }
+              if (d.length.toLong != ulen) fail() // a short stream is damage
+              d
+            }
+        }
+      }
+      OpenRb(mr, rows, nNodes, nodesAt, codec, getBuf)
+    }
+
+    def bufCountOf(f: AField): Int =
+      if (f.dictId != -1L) 2 // validity + indices, whatever the value type
+      else f.kind match {
         case 2 | 3 | 6 | 10 => 2 // validity + data
         case 4 | 5 => 3 // validity + offsets + data
         case _ => -1
-      })
-      // the decode subset holds flat uncompressed schemas only; anything
-      // else surfaces metadata rows WITHOUT buffer accounting — never a
-      // misattributed buffer
-      val compressed = mr.field(rb, 3) >= 0 // BodyCompression
+      }
+
+    // ---- dictionaries decode first (the spec orders them before use)
+    val dicts = scala.collection.mutable.Map.empty[Long, Vector[Any]]
+    val dictBad = scala.collection.mutable.Set.empty[Long]
+    dictBlocks.foreach { case (off, metaLen, bodyLen) =>
+      val (mr, msg) = openMessage(off, metaLen, bodyLen)
+      if (mr.fieldU8(msg, 1, 0) != 2) fail() // not a DictionaryBatch block
+      val db = mr.fieldTable(msg, 2)
+      if (db < 0) fail()
+      val dictId = mr.fieldI64(db, 0, 0L)
+      if (dictId < 0) fail()
+      val rbT = mr.fieldTable(db, 1)
+      if (rbT < 0) fail()
+      val isDelta = mr.fieldU8(db, 2, 0) != 0
+      if (isDelta) dictBad += dictId // delta dictionaries: out of subset
+      else fields.find(_.dictId == dictId) match {
+        case None => () // a dictionary nothing references: skip, like a real reader
+        case Some(vf) =>
+          val o = openRb(mr, rbT, off, metaLen, bodyLen)
+          val rowsI = o.rows.toInt
+          val supported = o.codec.isDefined && o.nNodes >= 1 && {
+            val (len0, nulls0) = o.node(0)
+            // null dictionary ENTRIES are representable but rare — out of subset
+            len0 == o.rows && nulls0 == 0
+          }
+          if (!supported) dictBad += dictId
+          else {
+            val nBufs = bufCountOf(vf.copy(dictId = -1L))
+            if (nBufs < 0) dictBad += dictId
+            else {
+              val valid = mkValid(o.getBuf(0), rowsI, 0L)
+              columnValues(vf, rowsI, valid, (1 until nBufs).map(o.getBuf)) match {
+                case Some(vals) => dicts(dictId) = vals
+                case None => dictBad += dictId
+              }
+            }
+          }
+      }
+    }
+    // a referenced dictionary that never arrived is structural damage
+    fields.foreach { f =>
+      if (f.dictId >= 0 && !dicts.contains(f.dictId) && !dictBad.contains(f.dictId)) fail()
+    }
+
+    blocks.zipWithIndex.flatMap { case ((off, metaLen, bodyLen), bi) =>
+      val (mr, msg) = openMessage(off, metaLen, bodyLen)
+      if (mr.fieldU8(msg, 1, 0) != 3) fail() // not a RecordBatch block
+      val rb = mr.fieldTable(msg, 2)
+      if (rb < 0) fail()
+      val o = openRb(mr, rb, off, metaLen, bodyLen)
+      val rows = o.rows
+      val bufCounts = fields.map(bufCountOf)
+      // the decode subset holds flat schemas under known codecs only;
+      // anything else surfaces metadata rows WITHOUT buffer accounting —
+      // never a misattributed buffer
       val flat = fields.forall(_.nChildren == 0)
-      if (compressed || !flat || nNodes < fields.length || bufCounts.contains(-1)) {
+      if (o.codec.isEmpty || !flat || o.nNodes < fields.length || bufCounts.contains(-1)) {
         fields.zipWithIndex.map { case (f, ci) =>
           ArrowColStat(id, bi.toLong, ci.toLong, f.name, f.ctype, f.nullable,
             rows, -1L, "m", None, None, None, None)
@@ -539,96 +902,27 @@ object Arrow {
       } else {
         var bufIdx = 0
         fields.zipWithIndex.map { case (f, ci) =>
-          val nodeP = nodesAt + 16 * ci
-          val nodeLen = mr.i64(nodeP)
-          val nullCount = mr.i64(nodeP + 8)
+          val (nodeLen, nullCount) = o.node(ci)
           if (nodeLen != rows || nullCount < 0 || nullCount > rows) fail()
           val nBuffersOf = bufCounts(ci)
-          locally {
-            val (vOff, vLen) = bufSlice(bufIdx)
-            val rest = (1 until nBuffersOf).map(j => bufSlice(bufIdx + j))
-            bufIdx += nBuffersOf
-            val rowsI = rows.toInt
-            def validAt(i: Int): Boolean =
-              if (vLen == 0) true
-              else {
-                if (vLen < (rowsI + 7) / 8) fail()
-                ((bytes((vOff + i / 8).toInt) >> (i % 8)) & 1) != 0
-              }
-            if (vLen == 0 && nullCount > 0) fail()
-            val decoded: Option[(String, Option[Long], Option[Double], Option[Long], Option[Long])] =
-              f.kind match {
-                case 2 if f.bitWidth == 8 || f.bitWidth == 16 || f.bitWidth == 32 || f.bitWidth == 64 =>
-                  val (dOff, dLen) = rest.head
-                  val w = f.bitWidth / 8
-                  if (dLen < rows * w) fail()
-                  var sum = 0L
-                  var i = 0
-                  while (i < rowsI) {
-                    if (validAt(i)) {
-                      var u = 0L
-                      var j = w - 1
-                      while (j >= 0) { u = (u << 8) | (bytes((dOff + i.toLong * w + j).toInt) & 0xffL); j -= 1 }
-                      // sign-extend signed ints narrower than 64 bits
-                      val v =
-                        if (f.signed && f.bitWidth < 64) (u << (64 - f.bitWidth)) >> (64 - f.bitWidth)
-                        else u
-                      sum += v
-                    }
-                    i += 1
-                  }
-                  Some(("i", Some(sum), None, None, None))
-                case 3 if f.bitWidth == 32 || f.bitWidth == 64 =>
-                  val (dOff, dLen) = rest.head
-                  val w = f.bitWidth / 8
-                  if (dLen < rows * w) fail()
-                  var sum = 0.0
-                  var i = 0
-                  while (i < rowsI) {
-                    if (validAt(i)) {
-                      var u = 0L
-                      var j = w - 1
-                      while (j >= 0) { u = (u << 8) | (bytes((dOff + i.toLong * w + j).toInt) & 0xffL); j -= 1 }
-                      sum += (if (f.bitWidth == 32) java.lang.Float.intBitsToFloat(u.toInt).toDouble
-                      else java.lang.Double.longBitsToDouble(u))
-                    }
-                    i += 1
-                  }
-                  Some(("f", None, Some(sum), None, None))
-                case 5 =>
-                  val (oOff, oLen) = rest.head
-                  val (dOff, dLen) = rest(1)
-                  if (oLen < (rows + 1) * 4) fail()
-                  def offAt(i: Int): Int = {
-                    val p = (oOff + 4L * i).toInt
-                    (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
-                      ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
-                  }
-                  var ck = 0L
-                  var nb = 0L
-                  var i = 0
-                  while (i < rowsI) {
-                    val s = offAt(i)
-                    val e = offAt(i + 1)
-                    if (s < 0 || e < s || e > dLen) fail()
-                    if (validAt(i)) {
-                      var p = dOff + s
-                      while (p < dOff + e) { ck = (ck * 31 + (bytes(p.toInt) & 0xff)) % 1000000007L; p += 1 }
-                      nb += e - s
-                    }
-                    i += 1
-                  }
-                  Some(("s", None, None, Some(nb), Some(ck)))
-                case _ => None
-              }
-            decoded match {
-              case Some((vt, is, rs, sb, sc)) =>
-                ArrowColStat(id, bi.toLong, ci.toLong, f.name, f.ctype, f.nullable,
-                  rows, nullCount, vt, is, rs, sb, sc)
-              case None =>
-                ArrowColStat(id, bi.toLong, ci.toLong, f.name, f.ctype, f.nullable,
-                  rows, nullCount, "m", None, None, None, None)
-            }
+          val vBuf = o.getBuf(bufIdx)
+          val rest = (1 until nBuffersOf).map(j => o.getBuf(bufIdx + j))
+          bufIdx += nBuffersOf
+          val rowsI = rows.toInt
+          val valid = mkValid(vBuf, rowsI, nullCount)
+          val decoded: Option[ColAgg] =
+            if (f.dictId == -2L) None // unsupported index type: metadata-only
+            else if (f.dictId >= 0L) {
+              if (dictBad.contains(f.dictId)) None
+              else aggDict(f, rowsI, valid, rest.head, dicts(f.dictId))
+            } else aggPlain(f, rowsI, valid, rest)
+          decoded match {
+            case Some((vt, is, rs, sb, sc)) =>
+              ArrowColStat(id, bi.toLong, ci.toLong, f.name, f.ctype, f.nullable,
+                rows, nullCount, vt, is, rs, sb, sc)
+            case None =>
+              ArrowColStat(id, bi.toLong, ci.toLong, f.name, f.ctype, f.nullable,
+                rows, nullCount, "m", None, None, None, None)
           }
         }
       }

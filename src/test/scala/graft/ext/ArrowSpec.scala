@@ -18,7 +18,7 @@ class ArrowSpec extends AnyFunSuite {
       val n = Arrow.nRows(id)
       val nBatches = (n + 2) / 3
       if (nBatches > 1) twoBatches = true
-      assert(rows.length == 4 * nBatches, s"arrow $id column-row count")
+      assert(rows.length == 5 * nBatches, s"arrow $id column-row count")
       for (g <- 0 until nBatches) {
         val ks = (3 * g) until math.min(3 * g + 3, n)
         val byCol = rows.filter(_.batch == g).map(r => r.col_idx -> r).toMap
@@ -42,38 +42,57 @@ class ArrowSpec extends AnyFunSuite {
         assert(c3.i_sum.contains(
           ks.filterNot(Arrow.flagIsNull(id, _)).map(Arrow.flagVal(id, _).toLong).sum),
           s"arrow $id b$g flags")
+        // the dictionary-encoded column resolves through the decoded
+        // dictionary batch — under whichever codec the file carries
+        val c4 = byCol(4L)
+        assert(c4.name == "tag" && c4.ctype == "UTF8" && c4.vtype == "s")
+        val tcat = ks.map(Arrow.tagVal(id, _)).mkString("")
+        assert(c4.s_bytes.contains(tcat.getBytes("UTF-8").length.toLong) &&
+          c4.s_checksum.contains(checksum(tcat)), s"arrow $id b$g tags")
       }
     }
     assert(twoBatches, "multi-batch files occur")
     assert(sawNull, "null slots occur (validity bitmaps graded)")
+    // all three compression arms occur across the sweep
+    assert((0L until 96L).map(Arrow.compressionOf).toSet == Set(-1, 0, 1),
+      "none/LZ4_FRAME/ZSTD files all occur")
   }
 
-  test("ARROW-JAVA reads the from-scratch files: exact values, nulls included") {
+  test("ARROW-JAVA reads the from-scratch files: exact values, nulls, dictionary, codecs") {
     val alloc = new org.apache.arrow.memory.RootAllocator()
     try {
-      for (id <- Seq(0L, 1L, 5L, 17L)) {
+      // ids cover all three compression arms: 0/6 none, 1/7 LZ4_FRAME, 5/17 ZSTD
+      for (id <- Seq(0L, 1L, 5L, 6L, 7L, 17L)) {
         val bytes = Arrow.renderArrow(id)
         val ch = new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes)
         val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(
-          new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), alloc)
+          new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), alloc,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
         try {
           val root = reader.getVectorSchemaRoot
           val sch = root.getSchema
-          assert(sch.getFields.size() == 4, s"arrow $id field count")
+          assert(sch.getFields.size() == 5, s"arrow $id field count")
           assert(sch.getFields.get(0).getName == "id" && !sch.getFields.get(0).isNullable)
           assert(sch.getFields.get(3).getName == "flag" && sch.getFields.get(3).isNullable)
+          assert(sch.getFields.get(4).getDictionary != null, s"arrow $id tag dict encoding")
           var k = 0
           while (reader.loadNextBatch()) {
             val idV = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
             val tV = root.getVector("title").asInstanceOf[org.apache.arrow.vector.VarCharVector]
             val sV = root.getVector("score").asInstanceOf[org.apache.arrow.vector.Float8Vector]
             val fV = root.getVector("flag").asInstanceOf[org.apache.arrow.vector.IntVector]
+            val gV = root.getVector("tag").asInstanceOf[org.apache.arrow.vector.IntVector]
+            val dict = reader.getDictionaryVectors.get(1L)
+            assert(dict != null, s"arrow $id dictionary 1 loaded")
+            val dictV = dict.getVector.asInstanceOf[org.apache.arrow.vector.VarCharVector]
             for (i <- 0 until root.getRowCount) {
               assert(idV.get(i) == Arrow.idVal(id, k), s"arrow $id row $k id")
               assert(new String(tV.get(i), "UTF-8") == Arrow.titleVal(id, k), s"arrow $id row $k title")
               assert(sV.get(i) == Arrow.scoreVal(id, k), s"arrow $id row $k score")
               if (Arrow.flagIsNull(id, k)) assert(fV.isNull(i), s"arrow $id row $k null")
               else assert(!fV.isNull(i) && fV.get(i) == Arrow.flagVal(id, k), s"arrow $id row $k flag")
+              assert(new String(dictV.get(gV.get(i)), "UTF-8") == Arrow.tagVal(id, k),
+                s"arrow $id row $k tag via dictionary")
               k += 1
             }
           }
@@ -152,6 +171,56 @@ class ArrowSpec extends AnyFunSuite {
     } finally alloc.close()
   }
 
+  test("foreign differential: arrow-java COMPRESSED files decode bit-exact") {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo._
+    import scala.jdk.CollectionConverters._
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      for (codecType <- Seq(
+        org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME,
+        org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)) {
+        val schema = new Schema(Seq(
+          new Field("a", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+          new Field("b", FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+        val root = VectorSchemaRoot.create(schema, alloc)
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+          root, null, java.nio.channels.Channels.newChannel(bos),
+          new java.util.HashMap[String, String](),
+          org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, codecType)
+        writer.start()
+        val ks = 0 until 40 // large enough that compression actually engages
+        root.allocateNew()
+        val aV = root.getVector("a").asInstanceOf[BigIntVector]
+        val bV = root.getVector("b").asInstanceOf[VarCharVector]
+        def bVal(i: Int): Option[String] =
+          if (i % 7 == 3) None else Some(s"v$i-${"abcabc" * (1 + i % 5)}")
+        ks.foreach { i =>
+          aV.setSafe(i, i.toLong * 37 - 100)
+          bVal(i) match {
+            case Some(s) => bV.setSafe(i, s.getBytes("UTF-8"))
+            case None => bV.setNull(i)
+          }
+        }
+        root.setRowCount(ks.length)
+        writer.writeBatch()
+        writer.end(); writer.close(); root.close()
+
+        val got = Arrow.parseArrow(3L, bos.toByteArray)
+        val byCol = got.map(r => r.name -> r).toMap
+        assert(byCol("a").vtype == "i" &&
+          byCol("a").i_sum.contains(ks.map(i => i.toLong * 37 - 100).sum), s"$codecType a")
+        val cat = ks.flatMap(bVal).mkString("")
+        assert(byCol("b").vtype == "s" &&
+          byCol("b").s_bytes.contains(cat.getBytes("UTF-8").length.toLong) &&
+          byCol("b").s_checksum.contains(checksum(cat)), s"$codecType b")
+        assert(byCol("b").null_count == ks.count(i => bVal(i).isEmpty), s"$codecType nulls")
+      }
+    } finally alloc.close()
+  }
+
   test("damage ladder: magic, footer length, truncation, garbage quarantine") {
     val id = 7L
     val good = Arrow.renderArrow(id)
@@ -175,7 +244,7 @@ class ArrowSpec extends AnyFunSuite {
     // be bounded individually first (the ORC stripe rule). Poison a real
     // file's footer block entry and a record-batch buffer entry with
     // near-MAX lengths and require whole-file quarantine, not garbage rows.
-    val id = 7L
+    val id = 6L // 6 % 3 == 0: an UNCOMPRESSED file, so buffer extents are raw
     val good = Arrow.renderArrow(id)
     assert(Arrow.parseArrowSafe(id, good).nonEmpty)
     def le64(v: Long): Array[Byte] = (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
@@ -187,10 +256,12 @@ class ArrowSpec extends AnyFunSuite {
       }
       -1
     }
-    // block0's file offset = the SECOND continuation marker (the first is
-    // the schema message); its footer entry starts with that offset as i64
+    // record batch 0's file offset = the THIRD continuation marker (the
+    // first is the schema message, the second the dictionary batch); its
+    // footer entry starts with that offset as i64
     val marker = Array[Byte](-1, -1, -1, -1)
-    val block0 = find(good, marker, find(good, marker, 0) + 4)
+    val block0 = find(good, marker,
+      find(good, marker, find(good, marker, 0) + 4) + 4)
     assert(block0 > 0, "record batch marker")
     val entryAt = find(good, le64(block0.toLong), block0)
     assert(entryAt > 0, "footer block entry")
@@ -219,7 +290,7 @@ class ArrowSpec extends AnyFunSuite {
     assert(!byDoc.contains(8L))
     for (id <- (0L until 24L) if id != 8L) {
       val nBatches = (Arrow.nRows(id) + 2) / 3
-      assert(byDoc(id).length == 4 * nBatches, s"arrow $id")
+      assert(byDoc(id).length == 5 * nBatches, s"arrow $id")
     }
   }
 }
