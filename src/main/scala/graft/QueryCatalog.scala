@@ -3102,12 +3102,15 @@ object QueryCatalog {
     * storage format at the byte level, no parquet library): Thrift
     * compact protocol both directions (with the generic skip graded by
     * a planted key_value_metadata list), footer structs with a full
-    * schema-tree def/rep-level walk, and the real v1 page stack —
+    * schema-tree def/rep-level walk, and BOTH real page stacks —
     * SNAPPY (the repo's own coder), dictionary pages + RLE/bit-packed
-    * hybrid RLE_DICTIONARY indices, and 1-bit definition levels for an
-    * OPTIONAL column with planted nulls. The fixture cycles
-    * UNCOMPRESSED/SNAPPY by file and PLAIN/dictionary by column so
-    * every decode arm sits under this oracle, which replays per-column
+    * hybrid RLE_DICTIONARY indices, 1-bit definition levels for an
+    * OPTIONAL column with planted nulls, and v2 data pages (levels
+    * outside the compressed region, is_compressed flag, the DELTA
+    * encoding family for parquet-mr v2 files). The fixture cycles
+    * UNCOMPRESSED/SNAPPY by file, PLAIN/dictionary by column, and
+    * v1/v2 pages every fifth file so every decode arm sits under
+    * this oracle, which replays per-column
     * per-row-group aggregates of the decoded values; the spec closes
     * the loop both ways — SPARK reads the from-scratch files bit-exact
     * (its snappy-java must accept our compressor), and on the REAL

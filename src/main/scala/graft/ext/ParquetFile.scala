@@ -25,17 +25,23 @@ import org.apache.spark.sql.functions._
   *    each leaf's max definition/repetition level) → row groups →
   *    column chunks → ColumnMetaData (type, encodings, path, codec,
   *    value counts, sizes, data + dictionary page offsets).
-  *  - '''pages''': the v1 chunk layout real writers emit — an optional
+  *  - '''pages''': BOTH chunk layouts real writers emit — an optional
   *    PLAIN dictionary page followed by data pages, walked until the
-  *    chunk's value count is consumed. Per page: SNAPPY decompression
-  *    (the repo's own [[Snappy]] coder), 1-bit definition levels for
-  *    OPTIONAL columns (4-byte-length-prefixed RLE/bit-packed hybrid),
-  *    then values as PLAIN (INT32/INT64/FLOAT/DOUBLE LE,
-  *    length-prefixed BYTE_ARRAY) or RLE_DICTIONARY /
-  *    PLAIN_DICTIONARY indices (1-byte bit width + hybrid runs)
-  *    resolved through the chunk's dictionary. This is exactly the
-  *    layout parquet-cpp/pyarrow writes (SNAPPY + RLE_DICTIONARY with
-  *    PLAIN fallback), so the REAL testdata files decode to values.
+  *    chunk's value count is consumed. v1 pages: SNAPPY decompression
+  *    (the repo's own [[Snappy]] coder) over the whole body, 1-bit
+  *    definition levels for OPTIONAL columns (4-byte-length-prefixed
+  *    RLE/bit-packed hybrid), then values as PLAIN
+  *    (INT32/INT64/FLOAT/DOUBLE LE, length-prefixed BYTE_ARRAY) or
+  *    RLE_DICTIONARY / PLAIN_DICTIONARY indices (1-byte bit width +
+  *    hybrid runs) resolved through the chunk's dictionary. v2 pages:
+  *    level sections OUTSIDE the compressed region with header-carried
+  *    byte lengths, the `is_compressed` flag, and the DELTA family —
+  *    DELTA_BINARY_PACKED (block/miniblock packed deltas, INT32
+  *    wrapping arithmetic), DELTA_LENGTH_BYTE_ARRAY and
+  *    DELTA_BYTE_ARRAY (front coding) — what parquet-mr v2 writers
+  *    emit when the dictionary overflows. This covers both
+  *    parquet-cpp/pyarrow v1 files (the REAL testdata decodes to
+  *    values) and parquet-mr/Spark `parquet.writer.version=v2` files.
   *
   * Grading is three-sided (ParquetFileSpec): (1) the bitwise DuckDB
   * oracle replays per-column per-row-group aggregates of the decoded
@@ -97,6 +103,11 @@ object ParquetFile {
       (if ((id + k) % 4 == 0) " ü" else "")
   /** SNAPPY files alternate with UNCOMPRESSED ones. */
   private[ext] def useSnappy(id: Long): Boolean = id % 2 == 1
+  /** Every fifth file carries v2 data pages (levels outside the
+    * compressed region, header-carried level lengths) — both page
+    * versions sit under the oracle.
+    */
+  private[ext] def useV2(id: Long): Boolean = id % 5 == 0
   /** title dictionary-encodes on two of three files, score on one of four
     * — every (codec, encoding) pair occurs across the corpus.
     */
@@ -124,6 +135,8 @@ object ParquetFile {
     }
     def i32(id: Int, v: Int): Unit = { fieldHeader(id, 5); varint(zigzag(v.toLong)) }
     def i64(id: Int, v: Long): Unit = { fieldHeader(id, 6); varint(zigzag(v)) }
+    /** Compact-protocol bool: the VALUE rides the field header type. */
+    def bool(id: Int, v: Boolean): Unit = fieldHeader(id, if (v) 1 else 2)
     def str(id: Int, s: String): Unit = {
       fieldHeader(id, 8)
       val b = s.getBytes("UTF-8")
@@ -211,6 +224,31 @@ object ParquetFile {
     (header ++ stored, header.length.toLong + body.length)
   }
 
+  /** v2 data page: definition levels sit OUTSIDE the compressed region
+    * (no 4-byte length prefix — their byte length rides the header), and
+    * only the values section compresses when `is_compressed` says so.
+    */
+  private def dataPageV2(numValues: Int, numNulls: Int, encoding: Int,
+      levels: Array[Byte], values: Array[Byte], snappy: Boolean): (Array[Byte], Long) = {
+    val stored = if (snappy) Snappy.compress(values) else values
+    val w = new TWriter
+    w.i32(1, 3) // type = DATA_PAGE_V2
+    w.i32(2, levels.length + values.length) // uncompressed_page_size
+    w.i32(3, levels.length + stored.length) // compressed_page_size
+    w.structBegin(8) // data_page_header_v2
+    w.i32(1, numValues)
+    w.i32(2, numNulls)
+    w.i32(3, numValues) // num_rows (flat columns: one value per row)
+    w.i32(4, encoding)
+    w.i32(5, levels.length) // definition_levels_byte_length
+    w.i32(6, 0) // repetition_levels_byte_length
+    w.bool(7, snappy) // is_compressed
+    w.structEnd()
+    w.out.write(0) // end of PageHeader struct
+    val header = w.bytes
+    (header ++ levels ++ stored, header.length.toLong + levels.length + values.length)
+  }
+
   /** PLAIN dictionary page (header thrift + values). */
   private def dictPage(numValues: Int, values: Array[Byte], snappy: Boolean): (Array[Byte], Long) = {
     val stored = if (snappy) Snappy.compress(values) else values
@@ -279,18 +317,31 @@ object ParquetFile {
         val off = out.size.toLong
         var dictOff = -1L
         var uncompressed = 0L
+        val v2 = useV2(id)
+        val numNulls = c.present.count(!_)
+        // v2 levels ride OUTSIDE the page body with no length prefix
+        val levelsV2 = if (c.optional) hybridBitPacked(
+          c.present.map(f => if (f) 1 else 0), 1) else Array.emptyByteArray
         val (dataOff, encs) =
           if (c.dict) {
-            val (dict, body, nDict) = dictColumn(c.optional, c.present, c.values)
+            val (dict, body, nDict) = dictColumn(c.optional && !v2, c.present, c.values)
             val (dp, dpUncomp) = dictPage(nDict, dict, snappy)
             dictOff = off
             out.write(dp, 0, dp.length)
             uncompressed += dpUncomp
             val dataOff = out.size.toLong
-            val (page, pgUncomp) = dataPage(ks.length, 8, body, snappy) // RLE_DICTIONARY
+            val (page, pgUncomp) =
+              if (v2) dataPageV2(ks.length, numNulls, 8, levelsV2, body, snappy)
+              else dataPage(ks.length, 8, body, snappy) // RLE_DICTIONARY
             out.write(page, 0, page.length)
             uncompressed += pgUncomp
             (dataOff, Seq(3, 8, 0)) // RLE, RLE_DICTIONARY, PLAIN (the dict page)
+          } else if (v2) {
+            val (page, pgUncomp) =
+              dataPageV2(ks.length, numNulls, 0, levelsV2, c.values.flatten.toArray, snappy)
+            out.write(page, 0, page.length)
+            uncompressed += pgUncomp
+            (off, Seq(0, 3)) // PLAIN, RLE
           } else {
             // see dictColumn: OPTIONAL pages carry def levels unconditionally
             val levels = if (c.optional) defLevels(c.present) else Array.emptyByteArray
@@ -679,8 +730,11 @@ object ParquetFile {
       } else { // bit-packed run
         val groups = (header >>> 1).toInt
         if (groups <= 0 || groups > (1 << 26)) fail()
-        val nbytes = groups * bitWidth
-        if (p + nbytes > until) fail()
+        // Long arithmetic: at the group cap, groups * 32 bits overflows Int
+        // (2^31 negative) and would slip past the bounds check below
+        val nbytesL = groups.toLong * bitWidth
+        if (nbytesL > until - p) fail()
+        val nbytes = nbytesL.toInt
         val totalVals = groups * 8
         var j = 0
         var bitPos = 0L
@@ -746,12 +800,141 @@ object ParquetFile {
 
   private val MaxPageBytes = 1 << 26
 
+  // ---- the DELTA encoding family (Encodings.md) — what parquet-mr v2
+  // writers emit when the dictionary overflows: ints as
+  // DELTA_BINARY_PACKED, strings as DELTA_(LENGTH_)BYTE_ARRAY.
+
+  /** DELTA_BINARY_PACKED: `<block size> <miniblocks/block> <total count>
+    * <first value>` then per block `<min delta> <bit widths> <miniblock
+    * bit-packed deltas>`; value = prev + minDelta + packed. `wrap32`
+    * applies INT32's wrapping arithmetic. Returns (values, end position)
+    * — the caller of the composite string encodings keeps reading.
+    */
+  private def deltaBinaryPacked(b: Array[Byte], from: Int, until: Int,
+      wrap32: Boolean): (Array[Long], Int) = {
+    var p = from
+    def uvarint(): Long = {
+      var v = 0L
+      var shift = 0
+      var cont = true
+      while (cont) {
+        if (p >= until) fail()
+        val x = b(p) & 0xff; p += 1
+        v |= (x & 0x7fL) << shift; shift += 7
+        if ((x & 0x80) == 0) cont = false
+        else if (shift > 63) fail()
+      }
+      v
+    }
+    def zz(): Long = { val v = uvarint(); (v >>> 1) ^ -(v & 1) }
+    val blockSize = uvarint()
+    val mbPerBlock = uvarint()
+    if (blockSize <= 0 || blockSize % 128 != 0 || blockSize > (1 << 20)) fail()
+    if (mbPerBlock <= 0 || mbPerBlock > blockSize || blockSize % mbPerBlock != 0) fail()
+    val mbSize = (blockSize / mbPerBlock).toInt
+    if (mbSize % 32 != 0) fail()
+    val total = uvarint()
+    if (total < 0 || total > MaxPageBytes) fail()
+    val totalI = total.toInt
+    val out = new Array[Long](totalI)
+    var n = 0
+    var cur = zz() // first value
+    if (wrap32) cur = cur.toInt.toLong
+    if (totalI > 0) { out(0) = cur; n = 1 }
+    while (n < totalI) {
+      val minDelta = zz()
+      val widths = new Array[Int](mbPerBlock.toInt)
+      var i = 0
+      while (i < widths.length) {
+        if (p >= until) fail()
+        widths(i) = b(p) & 0xff; p += 1; i += 1
+      }
+      var mb = 0
+      while (mb < widths.length && n < totalI) {
+        val w = widths(mb)
+        if (w > 64) fail()
+        val nbytesL = mbSize.toLong * w / 8
+        if (nbytesL > until - p) fail()
+        val nbytes = nbytesL.toInt
+        var j = 0
+        var bitPos = 0L
+        while (j < mbSize && n < totalI) {
+          var v = 0L
+          var k = 0
+          while (k < w) {
+            val bit = bitPos + k
+            v |= (((b(p + (bit >> 3).toInt) >> (bit & 7).toInt) & 1).toLong) << k
+            k += 1
+          }
+          bitPos += w
+          cur = cur + minDelta + v
+          if (wrap32) cur = cur.toInt.toLong
+          out(n) = cur; n += 1; j += 1
+        }
+        p += nbytes
+        mb += 1
+      }
+    }
+    (out, p)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths, then the concatenated
+    * bytes — consumed exactly.
+    */
+  private def deltaLengthByteArray(b: Array[Byte], from: Int, until: Int,
+      count: Int): Seq[Any] = {
+    val (lens, p0) = deltaBinaryPacked(b, from, until, wrap32 = true)
+    if (lens.length != count) fail()
+    var q = p0
+    val out = lens.toSeq.map { len =>
+      if (len < 0 || len > until - q) fail()
+      val s = new String(b, q, len.toInt, java.nio.charset.StandardCharsets.UTF_8)
+      q += len.toInt
+      s
+    }
+    if (q != until) fail()
+    out
+  }
+
+  /** DELTA_BYTE_ARRAY (incremental/front coding): delta-packed prefix
+    * lengths, then suffixes as DELTA_LENGTH_BYTE_ARRAY; value_i =
+    * value_{i−1}[0, prefix_i) ++ suffix_i.
+    */
+  private def deltaByteArray(b: Array[Byte], from: Int, until: Int,
+      count: Int): Seq[Any] = {
+    val (prefixes, p0) = deltaBinaryPacked(b, from, until, wrap32 = true)
+    if (prefixes.length != count) fail()
+    val (suffixLens, p1) = deltaBinaryPacked(b, p0, until, wrap32 = true)
+    if (suffixLens.length != count) fail()
+    var q = p1
+    var prev = Array.emptyByteArray
+    val out = Vector.newBuilder[Any]
+    var i = 0
+    while (i < count) {
+      val pre = prefixes(i)
+      val suf = suffixLens(i)
+      if (pre < 0 || pre > prev.length || suf < 0 || suf > until - q) fail()
+      val v = new Array[Byte](pre.toInt + suf.toInt)
+      System.arraycopy(prev, 0, v, 0, pre.toInt)
+      System.arraycopy(b, q, v, pre.toInt, suf.toInt)
+      q += suf.toInt
+      out += new String(v, java.nio.charset.StandardCharsets.UTF_8)
+      prev = v
+      i += 1
+    }
+    if (q != until) fail()
+    out.result()
+  }
+
   /** Decode every value of one column chunk by walking its pages from
     * the dictionary page (when present) through the data pages until
-    * the chunk's value count is consumed. Returns the NON-NULL values;
-    * None for chunks OUTSIDE the decode subset (v2 pages, repeated or
-    * nested columns, codecs beyond UNCOMPRESSED/SNAPPY, exotic types)
-    * — their metadata still surfaces; only structural damage fails.
+    * the chunk's value count is consumed — v1 pages (prefix-length RLE
+    * levels inside the body) and v2 pages (header-carried level lengths
+    * outside the compressed region, delta encodings) alike. Returns the
+    * NON-NULL values; None for chunks OUTSIDE the decode subset
+    * (repeated or nested columns, codecs beyond UNCOMPRESSED/SNAPPY,
+    * exotic types or encodings) — their metadata still surfaces; only
+    * structural damage fails.
     */
   private def decodeChunk(bytes: Array[Byte], chunk: PqColumn,
       maxDef: Int, maxRep: Int): Option[Seq[Any]] = {
@@ -775,7 +958,8 @@ object ParquetFile {
       var pageType = -1; var uncomp = -1; var comp = -1
       var dNum = -1; var dEnc = -1
       var vNum = -1; var vEnc = -1; var dlEnc = -1
-      var sawV2 = false
+      var v2Num = -1; var v2Nulls = -1; var v2Enc = -1
+      var v2DefLen = -1; var v2RepLen = 0; var v2Compressed = true // spec default
       var more = true
       while (more) r.field() match {
         case Some((1, 5)) => pageType = r.zigzag().toInt
@@ -802,7 +986,20 @@ object ParquetFile {
             case None => m2 = false
           }
           r.structEnd()
-        case Some((8, 12)) => sawV2 = true; r.skip(12)
+        case Some((8, 12)) => // data_page_header_v2
+          r.structBegin()
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((1, 5)) => v2Num = r.zigzag().toInt
+            case Some((2, 5)) => v2Nulls = r.zigzag().toInt
+            case Some((4, 5)) => v2Enc = r.zigzag().toInt
+            case Some((5, 5)) => v2DefLen = r.zigzag().toInt
+            case Some((6, 5)) => v2RepLen = r.zigzag().toInt
+            case Some((7, t)) if t == 1 || t == 2 => v2Compressed = t == 1
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
         case Some((_, t)) => r.skip(t)
         case None => more = false
       }
@@ -811,7 +1008,6 @@ object ParquetFile {
       val dataStart = r.pos
       if (comp > bytes.length - dataStart) fail()
       pos = dataStart + comp
-      if (pageType == 3 || sawV2) return None // v2 data pages: out of subset
       // ---- page body (decompressed)
       lazy val page: Array[Byte] =
         if (chunk.codec == 0) {
@@ -830,7 +1026,10 @@ object ParquetFile {
           if (dEnc != 0 && dEnc != 2) return None // PLAIN(_DICTIONARY) only
           dict = decodePlain(page, 0, page.length, chunk.typ, dNum).toIndexedSeq
         case 0 => // v1 data page
-          if (vNum < 0 || vEnc < 0) fail()
+          // bound num_values by the chunk's REMAINING count before it
+          // sizes any decode allocation — a hostile header would
+          // otherwise drive a huge def-level array
+          if (vNum < 0 || vEnc < 0 || read + vNum > chunk.numValues) fail()
           var p = 0
           val nDefined =
             if (maxDef == 1) {
@@ -862,6 +1061,72 @@ object ParquetFile {
             case _ => return None // delta encodings etc.: out of subset
           }
           read += vNum
+        case 3 => // v2 data page: levels OUTSIDE the compressed region
+          if (v2Num < 0 || v2Enc < 0 || read + v2Num > chunk.numValues) fail()
+          if (v2RepLen != 0) return None // flat columns carry no rep levels
+          if (v2DefLen < 0 || v2DefLen > comp) fail()
+          val nDefined =
+            if (maxDef == 1) {
+              if (v2DefLen == 0) {
+                // writers may omit levels only when nothing is null
+                if (v2Nulls > 0) fail()
+                v2Num
+              } else {
+                val flags = hybrid(bytes, dataStart, dataStart + v2DefLen, 1, v2Num)
+                flags.count(_ == 1)
+              }
+            } else {
+              if (v2DefLen != 0) return None // unexpected level section
+              v2Num
+            }
+          // the header's null count must agree with the decoded levels
+          if (v2Nulls >= 0 && v2Num - nDefined != v2Nulls) fail()
+          val valsAt = dataStart + v2DefLen
+          val valsComp = comp - v2DefLen
+          val valsUncomp = uncomp - v2DefLen
+          if (valsUncomp < 0) fail()
+          val values: Array[Byte] =
+            if (chunk.codec == 0 || !v2Compressed) {
+              if (valsComp != valsUncomp) fail()
+              java.util.Arrays.copyOfRange(bytes, valsAt, valsAt + valsComp)
+            } else {
+              val d = try Snappy.decompress(
+                java.util.Arrays.copyOfRange(bytes, valsAt, valsAt + valsComp), MaxPageBytes)
+              catch { case scala.util.control.NonFatal(_) => fail() }
+              if (d.length != valsUncomp) fail()
+              d
+            }
+          v2Enc match {
+            case 0 => // PLAIN
+              out ++= decodePlain(values, 0, values.length, chunk.typ, nDefined)
+            case 2 | 8 => // dictionary indices
+              if (dict == null) fail()
+              if (nDefined > 0) {
+                if (values.length == 0) fail()
+                val bw = values(0) & 0xff
+                val idx = hybrid(values, 1, values.length, bw, nDefined)
+                idx.foreach { i =>
+                  if (i < 0 || i >= dict.length) fail()
+                  out += dict(i)
+                }
+              }
+            case 5 if chunk.typ == 1 || chunk.typ == 2 => // DELTA_BINARY_PACKED
+              // an all-null page may carry an empty values section
+              if (nDefined > 0 || values.length > 0) {
+                val (vals, end) = deltaBinaryPacked(values, 0, values.length,
+                  wrap32 = chunk.typ == 1)
+                if (vals.length != nDefined || end != values.length) fail()
+                vals.foreach(out += _)
+              }
+            case 6 if chunk.typ == 6 => // DELTA_LENGTH_BYTE_ARRAY
+              if (nDefined > 0 || values.length > 0)
+                out ++= deltaLengthByteArray(values, 0, values.length, nDefined)
+            case 7 if chunk.typ == 6 => // DELTA_BYTE_ARRAY
+              if (nDefined > 0 || values.length > 0)
+                out ++= deltaByteArray(values, 0, values.length, nDefined)
+            case _ => return None // other encodings: out of subset
+          }
+          read += v2Num
         case _ => return None // index/bloom pages: out of subset
       }
     }

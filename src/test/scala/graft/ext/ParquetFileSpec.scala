@@ -51,6 +51,10 @@ class ParquetFileSpec extends AnyFunSuite {
       (0 until ParquetFile.nRows(id)).grouped(3).exists(ks =>
         ks.forall(k => !ParquetFile.noteIsNull(id, k)))
     }, "all-present optional PAGES occur (def levels must still be written)")
+    assert((0L until 96L).exists(id => ParquetFile.useV2(id) && ParquetFile.useSnappy(id)),
+      "snappy v2 pages occur (is_compressed + levels outside the region)")
+    assert((0L until 96L).exists(id => ParquetFile.useV2(id) && ParquetFile.titleDict(id)),
+      "dictionary-encoded v2 pages occur")
   }
 
   test("SPARK reads the from-scratch files: exact rows, exact types") {
@@ -189,6 +193,55 @@ class ParquetFileSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet")))
     val leaf = emb.find(_.path == "embedding.list.element")
     assert(leaf.exists(_.vtype == "m"), "repeated leaf must stay metadata-only")
+  }
+
+  test("foreign differential: Spark-written V2 pages (delta encodings) decode bit-exact") {
+    // parquet.writer.version=v2 makes parquet-mr emit DataPageHeaderV2
+    // with the DELTA family when the dictionary is off (ints as
+    // DELTA_BINARY_PACKED incl. INT32 wrapping, strings as
+    // DELTA_BYTE_ARRAY front coding) and RLE_DICTIONARY v2 pages when on
+    // — all snappy-compressed with levels outside the compressed region
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqv2").toFile
+    try {
+      for (dict <- Seq(true, false)) {
+        val sub = new java.io.File(dir, s"dict_$dict")
+        val n = 500
+        def aVal(i: Int): Long = i.toLong * 37 - 7777
+        def bVal(i: Int): String = s"prefix-common-$i-${"pad" * (i % 4)}"
+        def cVal(i: Int): Double = i / 8.0
+        val df = (0 until n).map(i => (aVal(i), bVal(i), cVal(i), i)).toDF("a", "b", "c", "d")
+        df.coalesce(1).write
+          .option("parquet.writer.version", "v2")
+          .option("parquet.enable.dictionary", dict.toString)
+          .option("compression", "snappy")
+          .parquet(sub.getAbsolutePath)
+        val file = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        val rows = ParquetFile.parseParquet(1L, bytes)
+        assert(rows.map(_.row_group).distinct == Seq(0L), s"dict=$dict one row group")
+        val byPath = rows.map(r => r.path -> r).toMap
+        assert(byPath("a").vtype == "i" &&
+          byPath("a").i_sum.contains((0 until n).map(aVal).sum), s"dict=$dict a (int64)")
+        val cat = (0 until n).map(bVal).mkString("")
+        val cb = cat.getBytes("UTF-8")
+        var ck = 0L
+        cb.foreach(x => ck = (ck * 31 + (x & 0xff)) % 1000000007L)
+        assert(byPath("b").vtype == "s" && byPath("b").s_bytes.contains(cb.length.toLong) &&
+          byPath("b").s_checksum.contains(ck), s"dict=$dict b (strings, file order)")
+        assert(byPath("c").vtype == "f" &&
+          byPath("c").r_sum.contains((0 until n).map(cVal).sum), s"dict=$dict c (double)")
+        assert(byPath("d").vtype == "i" &&
+          byPath("d").i_sum.contains((0 until n).map(_.toLong).sum), s"dict=$dict d (int32)")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
   }
 
   test("damage ladder: magic, footer length, thrift garbage, page mismatch quarantine") {
