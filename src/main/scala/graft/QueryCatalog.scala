@@ -3366,6 +3366,19 @@ object QueryCatalog {
        |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h""".stripMargin
   }
 
+  /** The Arrow STREAM format under the gate ([[graft.ext.Arrow.arrowStream]]
+    * — `.arrows`, the no-footer wire variant Flight and IPC pipes carry):
+    * the same per-document fixture rides the stream framing (schema
+    * message first, dictionary batch, record batches, explicit EOS,
+    * nothing after), and decode is byte-for-byte the file format's —
+    * so the oracle is IDENTICAL to `arrow_batches`; only the framing
+    * walk differs. ArrowSpec grades the stream twin with
+    * arrow-java's ArrowStreamReader/Writer both directions.
+    */
+  private val qArrowStream: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Arrow.arrowStream(
+      graft.ext.Arrow.encodeArrowStream(table(s, dir, "documents"))).toDF()
+
   /** Debian package ingestion ([[graft.ext.Deb]] — the package-mining
     * shelf): the ar layer (both real-world name styles), the shared
     * RFC 1952 gzip machinery (all three DEFLATE strategies + all
@@ -10061,6 +10074,7 @@ object QueryCatalog {
     "parquet_meta" -> qParquetMeta,
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
+    "arrow_stream" -> qArrowStream,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
@@ -10420,6 +10434,7 @@ object QueryCatalog {
     "parquet_meta" -> oParquetMeta,
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
+    "arrow_stream" -> oArrowBatches,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,

@@ -329,18 +329,21 @@ object Arrow {
     }
   }
 
-  private[ext] def renderArrow(id: Long): Array[Byte] = {
+  private final case class MsgBlock(offset: Long, metaLen: Int, bodyLen: Long)
+
+  /** Append the encapsulated-message section — schema, the dictionary
+    * batch, every record batch, EOS — shared by the FILE writer (which
+    * wraps it in magic + footer) and the STREAM writer (which is
+    * exactly this). Returned block offsets are absolute in `out`.
+    */
+  private def writeMessages(out: java.io.ByteArrayOutputStream, id: Long): (MsgBlock, Seq[MsgBlock]) = {
     val n = nRows(id)
     val codec = compressionOf(id)
     val batches = (0 until n).grouped(RowsPerBatch).toSeq
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("ARROW1".getBytes("ISO-8859-1"), 0, 6)
-    out.write(0); out.write(0)
 
     val (schemaMsg, _, _) = message(1, buildSchema, Array.emptyByteArray)
     out.write(schemaMsg, 0, schemaMsg.length)
 
-    final case class Block(offset: Long, metaLen: Int, bodyLen: Long)
     // ---- dictionary batch (id 1): the eight words, before any record batch
     val dictBlock = {
       val wordBytes = words.toSeq.map(_.getBytes("UTF-8"))
@@ -355,7 +358,7 @@ object Arrow {
       }, body)
       val offset = out.size.toLong
       out.write(msg, 0, msg.length)
-      Block(offset, metaLen, pad8(bodyLen).toLong)
+      MsgBlock(offset, metaLen, pad8(bodyLen).toLong)
     }
     val blocks = batches.map { ks =>
       val rows = ks.length
@@ -384,15 +387,23 @@ object Arrow {
       }, body)
       val offset = out.size.toLong
       out.write(msg, 0, msg.length)
-      Block(offset, metaLen, pad8(bodyLen).toLong)
+      MsgBlock(offset, metaLen, pad8(bodyLen).toLong)
     }
     // EOS
     out.write(Array[Byte](-1, -1, -1, -1), 0, 4)
     out.write(leBytes(0L, 4), 0, 4)
+    (dictBlock, blocks)
+  }
+
+  private[ext] def renderArrow(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ARROW1".getBytes("ISO-8859-1"), 0, 6)
+    out.write(0); out.write(0)
+    val (dictBlock, blocks) = writeMessages(out, id)
     // footer flatbuffer
     val fb = new FB
     val schema = buildSchema(fb)
-    def blockBlob(bs: Seq[Block]): Array[Byte] = bs.flatMap(b =>
+    def blockBlob(bs: Seq[MsgBlock]): Array[Byte] = bs.flatMap(b =>
       leBytes(b.offset, 8) ++ leBytes(b.metaLen.toLong, 4) ++ leBytes(0L, 4) ++
         leBytes(b.bodyLen, 8)).toArray
     val dictVec = fb.structVector(1, blockBlob(Seq(dictBlock)))
@@ -409,6 +420,15 @@ object Arrow {
     out.toByteArray
   }
 
+  /** The STREAM format (`.arrows` — the wire/FIFO variant): exactly the
+    * message section, no magic and no footer.
+    */
+  private[ext] def renderArrowStream(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeMessages(out, id)
+    out.toByteArray
+  }
+
   /** Fixture writer: one Arrow IPC file per document row. */
   def encodeArrow(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
@@ -419,6 +439,18 @@ object Arrow {
       .as[Long]
       .map(id => (id, renderArrow(id)))
       .toDF("doc_id", "arrow")
+  }
+
+  /** Fixture writer: one Arrow IPC STREAM per document row. */
+  def encodeArrowStream(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderArrowStream(id)))
+      .toDF("doc_id", "arrows")
   }
 
   // --------------------------------------------------------------- reader
@@ -748,14 +780,24 @@ object Arrow {
     }
     val dictBlocks = footerBlocks(2)
     val blocks = footerBlocks(3)
+    decodeBatches(id, bytes, fields, dictBlocks, blocks, fStart.toLong)
+  }
+
+  /** Decode dictionary batches then record batches — shared by the FILE
+    * format (blocks from the footer, `bound` = footer start) and the
+    * STREAM format (blocks from the sequential walk, `bound` = length).
+    */
+  private def decodeBatches(id: Long, bytes: Array[Byte], fields: Seq[AField],
+      dictBlocks: Seq[(Long, Int, Long)], blocks: Seq[(Long, Int, Long)],
+      bound: Long): Seq[ArrowColStat] = {
 
     // ---- one encapsulated message: bounds + framing + flatbuffer root
     def openMessage(off: Long, metaLen: Int, bodyLen: Long): (FbReader, Int) = {
       // per-term bounds BEFORE the sum (the bufSlice rule): huge positive
       // i64s can wrap their sum negative and slip past the combined check
       if (off < 8 || metaLen < 12 || bodyLen < 0 ||
-        off > fStart || metaLen > fStart || bodyLen > fStart ||
-        off + metaLen + bodyLen > fStart) fail()
+        off > bound || metaLen > bound || bodyLen > bound ||
+        off + metaLen + bodyLen > bound) fail()
       val o = off.toInt
       // continuation marker + metadata length
       val hasCont = bytes(o) == -1 && bytes(o + 1) == -1 && bytes(o + 2) == -1 && bytes(o + 3) == -1
@@ -927,6 +969,72 @@ object Arrow {
         }
       }
     }
+  }
+
+  /** Parse the STREAM format: a sequential walk — the schema message
+    * first, then dictionary and record batches in arrival order, the
+    * EOS marker, and nothing after it. Decoding is the file format's,
+    * byte for byte; only the framing differs (no magic, no footer —
+    * batch extents come from each message's own header).
+    */
+  private[ext] def parseArrowStream(id: Long, bytes: Array[Byte]): Seq[ArrowColStat] = {
+    val n = Option(bytes).map(_.length).getOrElse(fail())
+    var p = 0
+    var fields: Seq[AField] = null
+    val dictBlocks = Vector.newBuilder[(Long, Int, Long)]
+    val blocks = Vector.newBuilder[(Long, Int, Long)]
+    var sawBatch = false
+    var eos = false
+    while (!eos) {
+      if (p + 4 > n) fail() // the stream must END with an explicit EOS
+      val w0 = le32At(bytes, p)
+      val lenPos = if (w0 == -1) p + 4 else p // pre-V5 framing has no marker
+      if (lenPos + 4 > n) fail()
+      val metaLen = le32At(bytes, lenPos)
+      if (metaLen == 0) { eos = true; p = lenPos + 4 }
+      else {
+        if (metaLen < 0 || metaLen > n - (lenPos + 4)) fail()
+        val mStart = lenPos + 4
+        val mr = new FbReader(bytes, mStart, mStart + metaLen)
+        val msg = mr.root()
+        val htype = mr.fieldU8(msg, 1, 0)
+        val bodyLen = mr.fieldI64(msg, 3, 0L)
+        if (bodyLen < 0 || bodyLen > n - (mStart + metaLen)) fail()
+        val totalMeta = mStart + metaLen - p
+        htype match {
+          case 1 => // schema: exactly one, first
+            if (fields != null || sawBatch) fail()
+            if (bodyLen != 0) fail()
+            val schemaT = mr.fieldTable(msg, 2)
+            if (schemaT < 0) fail()
+            fields = parseSchema(mr, schemaT)
+            if (fields.isEmpty) fail()
+          case 2 => sawBatch = true; dictBlocks += ((p.toLong, totalMeta, bodyLen))
+          case 3 => sawBatch = true; blocks += ((p.toLong, totalMeta, bodyLen))
+          case _ => fail() // unknown message kinds are damage
+        }
+        p = mStart + metaLen + bodyLen.toInt
+      }
+    }
+    if (p != n) fail() // trailing bytes after EOS are damage
+    if (fields == null) fail()
+    decodeBatches(id, bytes, fields, dictBlocks.result(), blocks.result(), n.toLong)
+  }
+
+  private[ext] def parseArrowStreamSafe(id: Long, bytes: Array[Byte]): Seq[ArrowColStat] =
+    try parseArrowStream(id, bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `arrow_stream`: the stream-format twin of [[arrowBatches]]. */
+  def arrowStream(docs: DataFrame, idCol: String = "doc_id",
+                  binCol: String = "arrows"): Dataset[ArrowColStat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parseArrowStreamSafe(id, b) }
   }
 
   private[ext] def parseArrowSafe(id: Long, bytes: Array[Byte]): Seq[ArrowColStat] =

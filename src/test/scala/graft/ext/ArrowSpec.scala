@@ -221,6 +221,70 @@ class ArrowSpec extends AnyFunSuite {
     } finally alloc.close()
   }
 
+  test("stream format: round trip + arrow-java both directions + damage") {
+    // the stream twin must decode IDENTICALLY to the file format
+    for (id <- Seq(0L, 1L, 5L, 7L)) {
+      val fileRows = Arrow.parseArrow(id, Arrow.renderArrow(id))
+      val streamRows = Arrow.parseArrowStream(id, Arrow.renderArrowStream(id))
+      assert(streamRows == fileRows, s"arrows $id stream == file")
+    }
+    // arrow-java's ArrowStreamReader consumes our streams (all codecs)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try {
+      for (id <- Seq(0L, 1L, 5L)) {
+        val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new java.io.ByteArrayInputStream(Arrow.renderArrowStream(id)), alloc,
+          org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE)
+        try {
+          val root = reader.getVectorSchemaRoot
+          var k = 0
+          while (reader.loadNextBatch()) {
+            val idV = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+            for (i <- 0 until root.getRowCount) {
+              assert(idV.get(i) == Arrow.idVal(id, k), s"arrows $id row $k")
+              k += 1
+            }
+          }
+          assert(k == Arrow.nRows(id), s"arrows $id rows")
+        } finally reader.close()
+      }
+      // ...and we consume arrow-java's ArrowStreamWriter output
+      import org.apache.arrow.vector._
+      import org.apache.arrow.vector.types.pojo._
+      import scala.jdk.CollectionConverters._
+      val schema = new Schema(Seq(
+        new Field("a", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+        new Field("b", FieldType.nullable(new ArrowType.Utf8()), null)).asJava)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, java.nio.channels.Channels.newChannel(bos))
+      writer.start()
+      root.allocateNew()
+      val aV = root.getVector("a").asInstanceOf[BigIntVector]
+      val bV = root.getVector("b").asInstanceOf[VarCharVector]
+      (0 until 9).foreach { i =>
+        aV.setSafe(i, i * 11L)
+        if (i % 3 == 1) bV.setNull(i) else bV.setSafe(i, s"w$i".getBytes("UTF-8"))
+      }
+      root.setRowCount(9)
+      writer.writeBatch()
+      writer.end(); writer.close(); root.close()
+      val got = Arrow.parseArrowStream(2L, bos.toByteArray)
+      val byCol = got.map(r => r.name -> r).toMap
+      assert(byCol("a").i_sum.contains((0 until 9).map(_ * 11L).sum), "foreign stream a")
+      val cat = (0 until 9).filter(_ % 3 != 1).map(i => s"w$i").mkString("")
+      assert(byCol("b").s_checksum.contains(checksum(cat)), "foreign stream b")
+    } finally alloc.close()
+    // damage: truncation mid-message, missing EOS, trailing garbage
+    val good = Arrow.renderArrowStream(3L)
+    assert(Arrow.parseArrowStreamSafe(3L, good).nonEmpty)
+    assert(Arrow.parseArrowStreamSafe(3L, good.take(good.length - 9)).isEmpty, "missing EOS")
+    assert(Arrow.parseArrowStreamSafe(3L, good.take(30)).isEmpty, "truncated message")
+    assert(Arrow.parseArrowStreamSafe(3L, good ++ Array[Byte](1)).isEmpty, "trailing garbage")
+    assert(Arrow.parseArrowStreamSafe(3L, Array.emptyByteArray).isEmpty)
+  }
+
   test("damage ladder: magic, footer length, truncation, garbage quarantine") {
     val id = 7L
     val good = Arrow.renderArrow(id)
