@@ -3379,6 +3379,44 @@ object QueryCatalog {
     graft.ext.Arrow.arrowStream(
       graft.ext.Arrow.encodeArrowStream(table(s, dir, "documents"))).toDF()
 
+  /** Delta Lake transaction-log replay ([[graft.ext.DeltaLog]] — the
+    * table format 100 TB lakes mount; listing the directory instead of
+    * replaying `_delta_log` reads compacted-away ghost files): JSON
+    * action lines per the published protocol (one action per line,
+    * protocol/metaData/add/remove/commitInfo, contiguous versions,
+    * duplicate-key-strict JSON), folded in commit order into the ACTIVE
+    * file snapshot. The fixture compacts even-indexed files away at the
+    * next commit, so the oracle's closed-form active set — last
+    * commit's files plus odd survivors — fails if removes don't
+    * tombstone, re-adds don't replace, or replay order slips. One
+    * shuffle, keyed by table: a table's log is inherently sequential;
+    * the parallelism unit is the table, as in a real lake's snapshot
+    * cache.
+    */
+  private val qDeltaState: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.DeltaLog.deltaState(
+      graft.ext.DeltaLog.encodeDeltaLog(table(s, dir, "documents"))).toDF()
+
+  private val oDeltaState: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('dlog:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |n AS (SELECT doc_id, m, ws, (2 + ${nib("1")} % 3)::BIGINT AS nc FROM d, wt),
+       |g AS (SELECT doc_id, m, ws, nc, c, j
+       |      FROM n, (SELECT unnest([0, 1, 2, 3]) AS c), (SELECT unnest([0, 1, 2]) AS j)
+       |      WHERE c < nc
+       |        AND j < CASE WHEN c = 0 THEN 3
+       |                     ELSE 1 + ${nib("CAST(2 + c AS INT)")} % 3 END
+       |        AND (c = nc - 1 OR j % 2 = 1))
+       |SELECT doc_id,
+       |       printf('part-%05d-%d.snappy.parquet', c, j) AS path,
+       |       c::BIGINT AS add_version,
+       |       (1000 + ${nib("CAST(5 + (c + j) % 8 AS INT)")} * 64 + 17 * j + c)::BIGINT AS size_bytes,
+       |       list_extract(ws, 1 + CAST(${nib("CAST(6 + (2 * c + j) % 9 AS INT)")} % 8 AS INT)) AS lang
+       |FROM g""".stripMargin
+  }
+
   /** Debian package ingestion ([[graft.ext.Deb]] — the package-mining
     * shelf): the ar layer (both real-world name styles), the shared
     * RFC 1952 gzip machinery (all three DEFLATE strategies + all
@@ -10075,6 +10113,7 @@ object QueryCatalog {
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
+    "delta_state" -> qDeltaState,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
@@ -10435,6 +10474,7 @@ object QueryCatalog {
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,
+    "delta_state" -> oDeltaState,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,
