@@ -5094,6 +5094,53 @@ object QueryCatalog {
     */
   private lazy val oAvroExtract: String = oZstExtract.replace("% 16", "% 32")
 
+  /** Schema-DRIVEN avro decode ([[graft.ext.Avro.avroGenericExtract]] —
+    * real corpus drops carry arbitrary schemas, not the fixture's):
+    * `avro.schema` is parsed from the container metadata and each
+    * record flattens against it — nullable unions, enum symbol tables,
+    * array blocks (both count arms), int/long/float/double/boolean/
+    * bytes/fixed — into one row per leaf value. The fixture's richer
+    * schema exercises every arm under this oracle; AvroSpec closes the
+    * loop both directions against avro-java's GenericDatumReader/Writer.
+    */
+  private val qAvroGeneric: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Avro.avroGenericExtract(
+      graft.ext.Avro.encodeAvroGenericArchives(table(s, dir, "documents"))).toDF()
+
+  private val oAvroGeneric: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('av:' || CAST(doc_id AS VARCHAR)) AS m,
+       |             (doc_id % 16)::BIGINT AS aid,
+       |             (row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1)::BIGINT AS ri
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, ws, aid, ri FROM d, wt)
+       |SELECT aid AS archive_id, ri AS rec_idx, 'id' AS path, 'i' AS vtype,
+       |       doc_id AS i_val, NULL::DOUBLE AS r_val, NULL::VARCHAR AS s_val FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'note', CASE WHEN doc_id % 3 = 0 THEN 'z' ELSE 's' END,
+       |       NULL, NULL,
+       |       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'n-' || ${w("2")} END FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'score', 'f', NULL, (${nib("3")} + doc_id % 5) / 4.0, NULL FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'flag', 'i', CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END,
+       |       NULL, NULL FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'color', 's', NULL, NULL,
+       |       list_extract(['RED', 'GREEN', 'BLUE'], 1 + CAST(${nib("4")} % 3 AS INT)) FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'nums[' || CAST(k AS VARCHAR) || ']', 'i',
+       |       doc_id * 10 + k, NULL, NULL
+       |FROM b, (SELECT unnest([0, 1, 2]) AS k)
+       |WHERE k < 1 + ${nib("5")} % 3
+       |UNION ALL
+       |SELECT aid, ri, 'small', 'i', ${nib("6")} - 7, NULL, NULL FROM b
+       |UNION ALL
+       |SELECT aid, ri, 'raw', 's', NULL, NULL, substr(m, 1, 4) FROM b""".stripMargin
+  }
+
   /** The TFRecord ingest path under the gate ([[graft.ext.TfRecord]] —
     * the ML-native record container a training pipeline feeds from):
     * documents packed into 16 length-framed shards, each record
@@ -10101,6 +10148,7 @@ object QueryCatalog {
     "tfrecord_extract" -> qTfrecordExtract,
     "tfexample_extract" -> qTfExampleExtract,
     "avro_extract" -> qAvroExtract,
+    "avro_generic" -> qAvroGeneric,
     "subtitle_cues" -> qSubtitleCues,
     "pdf_extract" -> qPdfExtract,
     "epub_extract" -> qEpubExtract,
@@ -10462,6 +10510,7 @@ object QueryCatalog {
     "tfrecord_extract" -> oZstExtract,
     "tfexample_extract" -> oTfExampleExtract,
     "avro_extract" -> oAvroExtract,
+    "avro_generic" -> oAvroGeneric,
     "subtitle_cues" -> oSubtitleCues,
     "pdf_extract" -> oPdfExtract,
     "epub_extract" -> oEpubExtract,

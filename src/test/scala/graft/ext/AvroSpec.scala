@@ -92,6 +92,156 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("generic decode: the schema-driven flatten recovers the closed forms") {
+    import spark.implicits._
+    val docs = (0L until 48L).map(Tuple1(_)).toDF("doc_id")
+    val arch = Avro.encodeAvroGenericArchives(docs, nArchives = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    arch.foreach { case (aid, payload) =>
+      val rows = Avro.demuxGeneric(aid, payload, 1 << 26)
+      val ids = (0L until 48L).filter(_ % 16 == aid).sorted
+      ids.zipWithIndex.foreach { case (id, ri) =>
+        val byPath = rows.filter(_.rec_idx == ri).map(r => r.path -> r).toMap
+        assert(byPath("id").i_val.contains(id), s"a$aid r$ri id")
+        Avro.gNoteOf(id) match {
+          case None => assert(byPath("note").vtype == "z", s"a$aid r$ri null note")
+          case Some(s) => assert(byPath("note").s_val.contains(s), s"a$aid r$ri note")
+        }
+        assert(byPath("score").r_val.contains(Avro.gScoreOf(id)), s"a$aid r$ri score")
+        assert(byPath("flag").i_val.contains(if (Avro.gFlagOf(id)) 1L else 0L), s"a$aid r$ri flag")
+        assert(byPath("color").s_val.contains(
+          Seq("RED", "GREEN", "BLUE")(Avro.gColorOf(id))), s"a$aid r$ri color")
+        val nums = Avro.gNumsOf(id)
+        nums.zipWithIndex.foreach { case (v, k) =>
+          assert(byPath(s"nums[$k]").i_val.contains(v), s"a$aid r$ri nums[$k]")
+        }
+        assert(byPath("small").i_val.contains(Avro.gSmallOf(id)), s"a$aid r$ri small")
+        assert(byPath("raw").s_val.contains(
+          Avro.gRawOf(id).map("%02x".format(_)).mkString), s"a$aid r$ri raw")
+      }
+    }
+  }
+
+  test("generic differential: the Avro library reads our generic containers") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(Tuple1(_)).toDF("doc_id")
+    val arch = Avro.encodeAvroGenericArchives(docs, nArchives = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val gschema = new Schema.Parser().parse(Avro.GenericSchemaJson)
+    arch.foreach { case (aid, payload) =>
+      val reader = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(payload), new GenericDatumReader[GenericRecord](gschema))
+      val ids = (0L until 20L).filter(_ % 2 == aid).sorted
+      var i = 0
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val id = ids(i)
+        assert(rec.get("id").asInstanceOf[Long] == id, s"a$aid r$i id")
+        Avro.gNoteOf(id) match {
+          case None => assert(rec.get("note") == null, s"a$aid r$i note null")
+          case Some(s) => assert(rec.get("note").toString == s, s"a$aid r$i note")
+        }
+        assert(rec.get("score").asInstanceOf[Double] == Avro.gScoreOf(id), s"a$aid r$i score")
+        assert(rec.get("flag").asInstanceOf[Boolean] == Avro.gFlagOf(id), s"a$aid r$i flag")
+        assert(rec.get("color").toString ==
+          Seq("RED", "GREEN", "BLUE")(Avro.gColorOf(id)), s"a$aid r$i color")
+        val nums = rec.get("nums").asInstanceOf[java.util.Collection[Long]]
+        assert(nums.toArray.toSeq.map(_.asInstanceOf[Long]) == Avro.gNumsOf(id), s"a$aid r$i nums")
+        assert(rec.get("small").asInstanceOf[Int].toLong == Avro.gSmallOf(id), s"a$aid r$i small")
+        val raw = rec.get("raw").asInstanceOf[GenericData.Fixed].bytes()
+        assert(raw.toSeq == Avro.gRawOf(id).toSeq, s"a$aid r$i raw")
+        i += 1
+      }
+      reader.close()
+      assert(i == ids.length, s"a$aid record count")
+    }
+  }
+
+  test("generic differential: we decode the Avro library's OWN generic files (maps too)") {
+    // avro-java writes a schema WE never emitted — map values, nested
+    // record, nullable double — and the generic decoder must flatten it
+    val json =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"k","type":"long"},
+        |{"name":"tags","type":{"type":"map","values":"int"}},
+        |{"name":"inner","type":{"type":"record","name":"I","fields":[
+        |  {"name":"a","type":"string"},{"name":"b","type":["null","double"]}]}},
+        |{"name":"blob","type":"bytes"}]}""".stripMargin.replace("\n", "")
+    val sch = new Schema.Parser().parse(json)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+    w.setCodec(CodecFactory.deflateCodec(4))
+    w.create(sch, bos)
+    val inner = sch.getField("inner").schema()
+    (0 until 6).foreach { i =>
+      val r = new GenericData.Record(sch)
+      r.put("k", i.toLong * 7)
+      val m = new java.util.LinkedHashMap[String, Int]()
+      m.put("x", i); if (i % 2 == 0) m.put("y", -i)
+      r.put("tags", m)
+      val in = new GenericData.Record(inner)
+      in.put("a", s"s$i")
+      in.put("b", if (i % 3 == 0) null else java.lang.Double.valueOf(i / 4.0))
+      r.put("inner", in)
+      r.put("blob", java.nio.ByteBuffer.wrap(Array[Byte](i.toByte, (i + 1).toByte)))
+      w.append(r)
+    }
+    w.close()
+    val rows = Avro.demuxGeneric(3L, bos.toByteArray, 1 << 26)
+    (0 until 6).foreach { i =>
+      val byPath = rows.filter(_.rec_idx == i).map(r => r.path -> r).toMap
+      assert(byPath("k").i_val.contains(i.toLong * 7), s"r$i k")
+      assert(byPath("tags.x").i_val.contains(i.toLong), s"r$i tags.x")
+      if (i % 2 == 0) assert(byPath("tags.y").i_val.contains(-i.toLong), s"r$i tags.y")
+      else assert(!byPath.contains("tags.y"), s"r$i no tags.y")
+      assert(byPath("inner.a").s_val.contains(s"s$i"), s"r$i inner.a")
+      if (i % 3 == 0) assert(byPath("inner.b").vtype == "z", s"r$i null inner.b")
+      else assert(byPath("inner.b").r_val.contains(i / 4.0), s"r$i inner.b")
+      assert(byPath("blob").s_val.contains(f"$i%02x${i + 1}%02x"), s"r$i blob")
+    }
+  }
+
+  test("generic damage: bad union/enum indices and schema garbage quarantine") {
+    import spark.implicits._
+    val docs = (0L until 4L).map(Tuple1(_)).toDF("doc_id")
+    val arch = Avro.encodeAvroGenericArchives(docs, nArchives = 1).collect()
+    val payload = arch.head.getAs[Array[Byte]]("payload")
+    assert(Avro.demuxGeneric(0L, payload, 1 << 26).nonEmpty)
+    // smash the schema json (flip the 'Obj\1' metadata value byte region):
+    // find "record" in the schema text and corrupt it
+    val at = payload.indexOfSlice("\"record\"".getBytes("UTF-8"))
+    assert(at > 0)
+    val badSchema = payload.clone()
+    badSchema(at + 1) = 'X'.toByte
+    assert((try Avro.demuxGeneric(0L, badSchema, 1 << 26) catch {
+      case _: RuntimeException => Vector.empty
+    }).isEmpty, "unknown type name quarantines")
+    // a union index past the branch table: the note field's branch varint
+    // is data-dependent; rebuild a tiny container by hand instead
+    val enumProbe = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('O'); out.write('b'); out.write('j'); out.write(1)
+      Avro.writeVarLong(out, 1L)
+      def ws(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); Avro.writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+      }
+      ws("avro.schema")
+      ws("""{"type":"record","name":"E","fields":[{"name":"c","type":{"type":"enum","name":"C","symbols":["A"]}}]}""")
+      Avro.writeVarLong(out, 0L)
+      val sync = Array.fill(16)(7.toByte)
+      out.write(sync, 0, 16)
+      val body = new java.io.ByteArrayOutputStream()
+      Avro.writeVarLong(body, 5L) // enum index 5 of 1 symbol
+      val raw = body.toByteArray
+      Avro.writeVarLong(out, 1L); Avro.writeVarLong(out, raw.length.toLong)
+      out.write(raw, 0, raw.length); out.write(sync, 0, 16)
+      out.toByteArray
+    }
+    assert((try Avro.demuxGeneric(0L, enumProbe, 1 << 26) catch {
+      case _: RuntimeException => Vector.empty
+    }).isEmpty, "enum index past the symbol table quarantines")
+  }
+
   test("damage quarantines: sync mismatch, count/byte slack, bad magic, truncation") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
