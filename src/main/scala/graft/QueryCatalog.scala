@@ -3417,6 +3417,37 @@ object QueryCatalog {
        |FROM g""".stripMargin
   }
 
+  /** Iceberg table-metadata walk ([[graft.ext.Iceberg]] — the pointer
+    * chain the OTHER lake table format uses): strict-JSON
+    * `metadata.json` resolves `current-snapshot-id` against the
+    * snapshots array (two snapshots planted — "take the newest" reads a
+    * stale one and fails the oracle), the snapshot's manifest LIST and
+    * every manifest are real Avro containers decoded through the
+    * schema-driven [[graft.ext.Avro.demuxGeneric]], and the active set
+    * keeps statuses 0/1 while every third entry is DELETED. One
+    * shuffle, keyed by table.
+    */
+  private val qIcebergState: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Iceberg.icebergState(
+      graft.ext.Iceberg.encodeIceberg(table(s, dir, "documents"))).toDF()
+
+  private val oIcebergState: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('ice:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |g AS (SELECT doc_id, m, mi, j
+       |      FROM d, (SELECT unnest([0, 1]) AS mi), (SELECT unnest([0, 1, 2, 3]) AS j)
+       |      WHERE mi < 1 + ${nib("1")} % 2
+       |        AND j < 2 + ${nib("CAST(2 + mi AS INT)")} % 3
+       |        AND (doc_id + mi + j) % 3 <> 2)
+       |SELECT doc_id,
+       |       'data/part-' || CAST(mi AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+       |         || '.parquet' AS file_path,
+       |       (100 + ${nib("CAST(4 + (mi + 2 * j) % 8 AS INT)")} * 7 + j)::BIGINT AS record_count,
+       |       (4096 + ${nib("CAST(5 + (3 * mi + j) % 8 AS INT)")} * 512 + 13 * j + mi)::BIGINT AS size_bytes
+       |FROM g""".stripMargin
+  }
+
   /** Debian package ingestion ([[graft.ext.Deb]] — the package-mining
     * shelf): the ar layer (both real-world name styles), the shared
     * RFC 1952 gzip machinery (all three DEFLATE strategies + all
@@ -10162,6 +10193,7 @@ object QueryCatalog {
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
     "delta_state" -> qDeltaState,
+    "iceberg_state" -> qIcebergState,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
@@ -10524,6 +10556,7 @@ object QueryCatalog {
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,
     "delta_state" -> oDeltaState,
+    "iceberg_state" -> oIcebergState,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,

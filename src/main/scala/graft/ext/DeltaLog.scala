@@ -120,17 +120,17 @@ object DeltaLog {
   // ---- strict JSON subset (objects / arrays / strings / integers /
   // booleans / null — what the protocol's action lines carry)
 
-  private sealed trait Js
-  private final case class JObj(fields: Vector[(String, Js)]) extends Js {
+  private[ext] sealed trait Js
+  private[ext] final case class JObj(fields: Vector[(String, Js)]) extends Js {
     lazy val map: Map[String, Js] = fields.toMap // dup keys rejected at parse
   }
-  private final case class JArr(items: Vector[Js]) extends Js
-  private final case class JStr(v: String) extends Js
-  private final case class JNum(v: Long) extends Js
-  private final case class JBool(v: Boolean) extends Js
-  private case object JNull extends Js
+  private[ext] final case class JArr(items: Vector[Js]) extends Js
+  private[ext] final case class JStr(v: String) extends Js
+  private[ext] final case class JNum(v: Long) extends Js
+  private[ext] final case class JBool(v: Boolean) extends Js
+  private[ext] case object JNull extends Js
 
-  private final class JParser(s: String) {
+  private[ext] final class JParser(s: String) {
     private var p = 0
     private def ws(): Unit = while (p < s.length && (s(p) == ' ' || s(p) == '\t' ||
       s(p) == '\n' || s(p) == '\r')) p += 1
