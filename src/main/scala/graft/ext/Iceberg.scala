@@ -179,9 +179,23 @@ object Iceberg {
   private[ext] def walkTable(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergFile] = {
     val byPath = files.toMap
     if (byPath.size != files.length) fail() // duplicate paths in the listing
-    val metaBytes = byPath.collectFirst {
-      case (p, b) if p.endsWith(".metadata.json") => b
-    }.getOrElse(fail())
+    // real tables keep EVERY metadata version around: the walk starts at
+    // the HIGHEST vN.metadata.json, never an arbitrary one
+    val metaCandidates = files.collect {
+      case (p, b) if p.endsWith(".metadata.json") => (p, b)
+    }
+    val VN = """.*v(\d+)\.metadata\.json""".r
+    val metaBytes = metaCandidates match {
+      case Seq() => fail()
+      case Seq((_, b)) => b
+      case many =>
+        val numbered = many.flatMap {
+          case (VN(n), b) if n.length <= 18 => Some((n.toLong, b))
+          case _ => None
+        }
+        if (numbered.length != many.length) fail() // unnumbered rivals: ambiguous
+        numbered.maxBy(_._1)._2
+    }
     val meta = new DeltaLog.JParser(
       new String(metaBytes, java.nio.charset.StandardCharsets.UTF_8)).parseRoot() match {
       case o: DeltaLog.JObj => o
@@ -213,6 +227,7 @@ object Iceberg {
     val manifests = mlRows.groupBy(_.rec_idx).toSeq.sortBy(_._1).map { case (_, rows) =>
       rows.find(_.path == "manifest_path").flatMap(_.s_val).getOrElse(fail())
     }
+    if (manifests.distinct.length != manifests.length) fail() // a manifest listed twice double-counts
     manifests.flatMap { mPath =>
       val mBytes = byPath.getOrElse(mPath, fail())
       val rows = Avro.demuxGeneric(id, mBytes, 1 << 26)

@@ -97,6 +97,26 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.walkTableSafe(id, good ++ good.take(1)).isEmpty, "duplicate path")
   }
 
+  test("multiple metadata versions: the HIGHEST vN wins, not an arbitrary one") {
+    val id = 8L
+    val good = files(id)
+    // plant an OLDER v0.metadata.json pointing at snapshot 999 (absent):
+    // a reader that picks arbitrarily sometimes follows it and dies
+    val stale = Iceberg.renderMetadataJson(id)
+      .replace(s""""current-snapshot-id":${Iceberg.snapshotIdOf(id)}""",
+        """"current-snapshot-id":999""")
+    val withOld = ("metadata/v0.metadata.json", stale.getBytes("UTF-8")) +: good
+    assert(Iceberg.walkTable(id, withOld).nonEmpty, "v1 beats v0")
+    // v10 beats v9 numerically (lexicographic order would pick v9)
+    val v9 = ("metadata/v9.metadata.json", stale.getBytes("UTF-8"))
+    val v10 = ("metadata/v10.metadata.json",
+      Iceberg.renderMetadataJson(id).getBytes("UTF-8"))
+    val multi = Seq(v9, v10) ++ good.filterNot(_._1.endsWith(".metadata.json"))
+    assert(Iceberg.walkTable(id, multi).nonEmpty, "v10 beats v9")
+    val multiRev = Seq(v10, v9) ++ good.filterNot(_._1.endsWith(".metadata.json"))
+    assert(Iceberg.walkTable(id, multiRev).nonEmpty, "order-independent")
+  }
+
   test("operator: damaged table quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
