@@ -3172,6 +3172,62 @@ object QueryCatalog {
        |         (a2, x) -> (a2 * 31 + x) % 1000000007)::BIGINT FROM h""".stripMargin
   }
 
+  /** Parquet footer STATISTICS ([[graft.ext.ParquetFile.parquetStats]]
+    * — the min/max/null_count rows predicate pushdown prunes row groups
+    * with at 100 TB; a wrong bound silently skips live data, so they
+    * grade bitwise like values): the writer emits the modern
+    * min_value/max_value pair (unsigned byte-wise order for
+    * BYTE_ARRAY) + null_count per chunk, the reader accepts both the
+    * modern and the deprecated legacy field pair, and the all-null
+    * page arm surfaces absent bounds rather than fabricated ones.
+    * ParquetFileSpec extends the parquet-mr differential to statistics
+    * on the REAL pyarrow files.
+    */
+  private val qParquetStats: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ParquetFile.parquetStats(
+      graft.ext.ParquetFile.encodeParquet(table(s, dir, "documents"))).toDF()
+
+  private val oParquetStats: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('pqf:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k, k // 3 AS g
+       |      FROM d, wt, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 4),
+       |t AS (SELECT doc_id, g, k,
+       |        'row ' || CAST(k AS VARCHAR) || ' of pq ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(2 + k AS INT)")} ||
+       |          CASE WHEN (doc_id + k) % 3 = 0 THEN ' ' || chr(233) ELSE '' END AS title,
+       |        CASE WHEN (doc_id + k) % 3 = 0 THEN NULL ELSE
+       |          'note ' || CAST(k AS VARCHAR) || ' of pq ' || CAST(doc_id AS VARCHAR)
+       |            || ': ' || ${w("CAST(14 + k AS INT)")} ||
+       |            CASE WHEN (doc_id + k) % 4 = 0 THEN ' ' || chr(252) ELSE '' END END AS note,
+       |        (doc_id * 100 + k)::BIGINT AS iv,
+       |        (${nib("CAST(9 + k AS INT)")} + 4 * k + doc_id % 7) / 4.0 AS rv
+       |      FROM r),
+       |a AS (SELECT doc_id, g, min(iv)::BIGINT AS imin, max(iv)::BIGINT AS imax,
+       |        min(rv) AS rmin, max(rv) AS rmax,
+       |        min(title) AS tmin, max(title) AS tmax,
+       |        min(note) AS nmin, max(note) AS nmax,
+       |        (count(*) - count(note))::BIGINT AS nnulls
+       |      FROM t GROUP BY doc_id, g)
+       |SELECT doc_id, g::BIGINT AS row_group, 0::BIGINT AS col_idx, 'id' AS path,
+       |       'INT64' AS ptype, 0::BIGINT AS null_count,
+       |       imin AS i_min, imax AS i_max, NULL::DOUBLE AS r_min,
+       |       NULL::DOUBLE AS r_max, NULL::VARCHAR AS s_min, NULL::VARCHAR AS s_max FROM a
+       |UNION ALL
+       |SELECT doc_id, g, 1, 'title', 'BYTE_ARRAY', 0,
+       |       NULL, NULL, NULL, NULL, tmin, tmax FROM a
+       |UNION ALL
+       |SELECT doc_id, g, 2, 'score', 'DOUBLE', 0,
+       |       NULL, NULL, rmin, rmax, NULL, NULL FROM a
+       |UNION ALL
+       |SELECT doc_id, g, 3, 'note', 'BYTE_ARRAY', nnulls,
+       |       NULL, NULL, NULL, NULL, nmin, nmax FROM a""".stripMargin
+  }
+
   /** SQLite database-file ingestion ([[graft.ext.Sqlite]] — the most
     * deployed database file format; browser/app-data corpora): real
     * page-level databases — sqlite_master catalog walk on page 1, table
@@ -10189,6 +10245,7 @@ object QueryCatalog {
     "ppt_extract" -> qPptExtract,
     "sqlite_rows" -> qSqliteRows,
     "parquet_meta" -> qParquetMeta,
+    "parquet_stats" -> qParquetStats,
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
@@ -10552,6 +10609,7 @@ object QueryCatalog {
     "ppt_extract" -> oPptExtract,
     "sqlite_rows" -> oSqliteRows,
     "parquet_meta" -> oParquetMeta,
+    "parquet_stats" -> oParquetStats,
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,

