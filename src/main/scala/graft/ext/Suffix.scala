@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ======== Suffix arrays by prefix doubling, under the gate ========
@@ -9,83 +8,111 @@ import org.apache.spark.sql.functions._
   * The index structure behind exact-substring deduplication of training
   * corpora (find every repeated span above a length threshold by
   * adjacent-suffix comparison): per-document suffix arrays, built with
-  * the classic prefix-doubling algorithm — and built out of exactly two
-  * relational primitives per round, `lead` and `dense_rank`, so the
-  * WHOLE construction is replayable in SQL:
+  * the classic prefix-doubling algorithm:
   *
-  *  - round 0: rank each position by its codepoint (`dense_rank` over
-  *    the doc partition);
+  *  - round 0: rank each position by its codepoint;
   *  - round k: pair each position's rank with the rank `2^(k-1)` ahead
-  *    (`lead`, 0 as the beyond-end sentinel — ranks start at 1, so the
-  *    sentinel sorts first, which is exactly "shorter suffix wins");
-  *    re-rank by the pair. After ceil(log2 maxLen) rounds every rank is
-  *    distinct and equals the suffix's lexicographic rank.
+  *    (beyond-end sentinel sorts FIRST — exactly "shorter suffix
+  *    wins"); re-rank by the pair. After ceil(log2 maxLen) rounds every
+  *    rank is distinct and equals the suffix's lexicographic rank.
   *
-  * Everything is integer arithmetic over window functions both engines
-  * implement identically, so the oracle unrolls the rounds as
-  * MATERIALIZED CTEs and hash-compares the resulting suffix ORDER
-  * per document (positions folded in SA order). `rounds` must cover
-  * log2 of the longest document; under-provisioning stays deterministic
-  * (the final order tie-breaks by position) but is no longer a true
-  * suffix order — callers size it from their corpus contract.
+  * The construction runs LOCALLY per document (round 16 — it was
+  * previously 2·rounds global window passes over the exploded position
+  * table, the suite's hottest window pipeline at ~21 partition sorts of
+  * |corpus| rows; a document is bounded by definition, so per-doc
+  * O(n log² n) in a map is the published exact-substring pipelines'
+  * own sharding and removes EVERY shuffle from the operator). The
+  * oracle still unrolls the identical doubling as MATERIALIZED
+  * relational CTEs in DuckDB and hash-compares the suffix ORDER per
+  * document — the result is algorithm-shape-independent, so the local
+  * build must land on the same fold bit-for-bit, including the
+  * `rounds`-capped semantics: under-provisioned rounds tie-break by
+  * position, exactly like the relational form.
   *
-  * 100 TB shape: positions live (doc_id, i) — every window partitions
-  * by doc_id, so after the first shuffle the partitioning is reused
-  * round to round; work is O(n log maxLen) rows through codegen'd
-  * window exchanges, no driver state. Documents are the natural
-  * parallel unit — exactly how the published exact-substring pipelines
-  * shard.
+  * 100 TB shape: map-only — zero shuffles, documents are the parallel
+  * unit, no driver state.
   */
 object Suffix {
 
   final case class SuffixStats(doc_id: Long, n: Long, sa_checksum: Long)
 
+  /** Positions sorted by (rank after ≤ `rounds` doubling iterations,
+    * position) — the relational construction's exact order, including
+    * the under-provisioned-rounds tie-break.
+    */
+  private[ext] def saOrder(cps: Array[Int], rounds: Int): Array[Int] = {
+    val n = cps.length
+    val sa = Array.range(0, n)
+    if (n <= 1) return sa
+    var rank = cps.clone() // round 0: codepoint order (dense ranks not needed)
+    var tmp = new Array[Int](n)
+    val boxed = new Array[Integer](n)
+    var i = 0
+    while (i < n) { boxed(i) = Integer.valueOf(i); i += 1 }
+    var k = 0
+    var distinct = false
+    while (k < rounds && !distinct) {
+      val d = 1 << k
+      val r = rank // stable capture for the comparator
+      def key2(p: Int): Int = if (p + d < n) r(p + d) else Int.MinValue // sentinel first
+      java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+        def compare(a: Integer, b: Integer): Int = {
+          val c1 = Integer.compare(r(a), r(b))
+          if (c1 != 0) c1 else Integer.compare(key2(a), key2(b))
+        }
+      })
+      var rr = 0
+      tmp(boxed(0)) = 0
+      var j = 1
+      while (j < n) {
+        val a = boxed(j - 1).intValue
+        val b = boxed(j).intValue
+        if (r(a) != r(b) || key2(a) != key2(b)) rr += 1
+        tmp(b) = rr
+        j += 1
+      }
+      val sw = rank; rank = tmp; tmp = sw
+      distinct = rr == n - 1
+      k += 1
+    }
+    // final order: (rank, position) — ties by position when rounds were
+    // capped below ceil(log2 n), exactly the relational tie-break
+    val fr = rank
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        val c1 = Integer.compare(fr(a), fr(b))
+        if (c1 != 0) c1 else Integer.compare(a.intValue, b.intValue)
+      }
+    })
+    i = 0
+    while (i < n) { sa(i) = boxed(i).intValue; i += 1 }
+    sa
+  }
+
   def suffixArrayStats(docs: DataFrame, rounds: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): Dataset[SuffixStats] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // a small corpus parquet arrives as ONE scan split, which would run the
-    // whole codepoint explosion single-core before the first window
-    // exchange; spread the (tiny) doc rows first. No-op at scale, where the
-    // scan already has enough splits.
+    // a small corpus parquet arrives as ONE scan split; spread the doc
+    // rows so the per-doc builds parallelize. No-op at scale.
     val target = spark.sparkContext.defaultParallelism
     val spread = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-    // one typed pass for codepoint discipline (UTF-16 chars would
-    // disagree with DuckDB's per-character substr on astral symbols)
-    val positions = spread
+    spread
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val out = Vector.newBuilder[(Long, Int, Int)]
-        val it = text.codePoints().iterator()
-        var i = 0
-        while (it.hasNext) { out += ((id, i, it.next())); i += 1 }
-        out.result()
+        // codepoint discipline: UTF-16 chars would disagree with DuckDB's
+        // per-character substr on astral symbols
+        val cps = text.codePoints().toArray
+        if (cps.isEmpty) None // the relational form emits no row for ""
+        else {
+          val sa = saOrder(cps, rounds)
+          var ck = 0L
+          sa.foreach(i => ck = (ck * 31 + i) % 1000000007L)
+          Some(SuffixStats(id, cps.length.toLong, ck))
+        }
       }
-      .toDF("doc_id", "i", "c")
-    val byDoc = Window.partitionBy("doc_id")
-    var ranked = positions
-      .withColumn("r", dense_rank().over(byDoc.orderBy(col("c"))))
-      .select(col("doc_id"), col("i"), col("r"))
-    var k = 0
-    while (k < rounds) {
-      val d = 1 << k
-      ranked = ranked
-        .withColumn("r2", lead(col("r"), d, 0).over(byDoc.orderBy(col("i"))))
-        .withColumn("rn", dense_rank().over(byDoc.orderBy(col("r"), col("r2"))))
-        .select(col("doc_id"), col("i"), col("rn").as("r"))
-      k += 1
-    }
-    ranked
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n"),
-        aggregate(
-          transform(sort_array(collect_list(struct(col("r"), col("i")))), x => x.getField("i").cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31 + x) % 1000000007L).as("sa_checksum"))
-      .as[SuffixStats]
   }
 
   /** The same construction as DuckDB SQL, rounds unrolled. */
