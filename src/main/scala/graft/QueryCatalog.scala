@@ -10070,6 +10070,131 @@ object QueryCatalog {
        |WHERE $ham <= 3""".stripMargin
   }
 
+  /** BitTorrent metainfo inventory under the gate ([[graft.ext.Torrent]]
+    * — mirror manifests as they actually ship): per doc a complete
+    * bencoded .torrent (announce, every-third-doc announce-list,
+    * comment, created by, creation date, info) alternating single-file
+    * and multi-file info dicts, with binary `pieces` (20 bytes/piece)
+    * exercising raw byte strings. The reader enforces CANONICAL
+    * bencode — strictly ascending raw-byte dict keys, no leading-zero
+    * integers or string lengths, exact top-level consumption — and
+    * records the raw byte span of the `info` value while parsing (the
+    * BEP 3 infohash span). The oracle rebuilds the writer's framing as
+    * a string (info_len graded against octet_length of the replayed
+    * encoding) and the pieces checksum from the md5 stream, so a
+    * mis-sliced span, a re-serialized info dict, or one wrong piece
+    * byte fails the hash.
+    */
+  private val qTorrentMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Torrent.torrentMeta(graft.ext.Torrent.encodeTorrent(table(s, dir, "documents"))).toDF()
+
+  private val oTorrentMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    // per-file closed forms (k = 0-based file index)
+    val fl = s"1000 + doc_id * 7 + k * 31 + ${nib("CAST(6 + k AS INT)")}"
+    val fn = s"${w("CAST(9 + k AS INT)")} || '_' || CAST(k AS VARCHAR) || '.bin'"
+    s"""WITH d AS (SELECT doc_id, md5('torrent:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m,
+       |        doc_id % 2 = 1 AS multi, doc_id % 3 = 0 AS alist,
+       |        1 + ${nib("4")} % 3 AS np,
+       |        16384 * (1 + ${nib("3")} % 4) AS pl,
+       |        CASE WHEN doc_id % 2 = 1 THEN 1 + ${nib("5")} % 3 ELSE 1 END AS nf,
+       |        ${w("1")} || '-set-' || CAST(doc_id AS VARCHAR) AS name,
+       |        'Mirror of ' || ${w("2")} || ' corpus ' || CAST(doc_id AS VARCHAR) AS comment,
+       |        'http://tracker' || CAST(${nib("12")} % 4 AS VARCHAR)
+       |          || '.example.org/announce' AS announce
+       |      FROM d, wt),
+       |f AS (SELECT doc_id,
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(range(nf), k -> $fl)), (a, x) -> a + x) AS total_length,
+       |        list_reduce(list_prepend('', list_transform(range(nf), k ->
+       |          'd6:lengthi' || CAST($fl AS VARCHAR) || 'e4:pathl'
+       |          || CASE WHEN k % 2 = 1 THEN '3:sub' ELSE '' END
+       |          || CAST(octet_length(encode($fn)) AS VARCHAR) || ':' || $fn || 'ee')),
+       |          (a, x) -> a || x) AS files_str
+       |      FROM b, wt),
+       |i AS (SELECT b.doc_id, b.m, b.multi, b.alist, b.np, b.pl, b.nf, b.name,
+       |        b.comment, b.announce, f.total_length,
+       |        CASE WHEN b.multi THEN 'd5:filesl' || f.files_str || 'e'
+       |             ELSE 'd6:lengthi' || CAST(f.total_length AS VARCHAR) || 'e' END
+       |          || '4:name' || CAST(octet_length(encode(b.name)) AS VARCHAR) || ':' || b.name
+       |          || '12:piece lengthi' || CAST(b.pl AS VARCHAR) || 'e'
+       |          || '6:pieces' || CAST(20 * b.np AS VARCHAR) || ':' AS info_prefix
+       |      FROM b JOIN f ON b.doc_id = f.doc_id)
+       |SELECT doc_id,
+       |       (5 + CASE WHEN alist THEN 1 ELSE 0 END)::BIGINT AS n_keys,
+       |       announce, alist AS has_announce_list, comment,
+       |       'graft/1.0' AS created_by,
+       |       (1700000000 + doc_id)::BIGINT AS creation_date,
+       |       name, pl::BIGINT AS piece_length, np::BIGINT AS n_pieces,
+       |       list_reduce(list_prepend(0::BIGINT, flatten(list_transform(range(np), p ->
+       |         list_transform(range(20), j -> ('0x' || substr(
+       |           md5('piece:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR))
+       |             || substr(md5('piece:' || CAST(doc_id AS VARCHAR) || ':'
+       |                           || CAST(p AS VARCHAR) || ':b'), 1, 8),
+       |           CAST(2 * j + 1 AS INT), 2))::BIGINT)))),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS pieces_checksum,
+       |       CASE WHEN multi THEN 'multi' ELSE 'single' END AS mode,
+       |       nf::BIGINT AS n_files, total_length::BIGINT AS total_length,
+       |       (octet_length(encode(info_prefix)) + 20 * np + 1)::BIGINT AS info_len
+       |FROM i""".stripMargin
+  }
+
+  /** X.509 certificate inventory under the gate ([[graft.ext.X509]] —
+    * PEM trust material as crawls actually carry it): per doc a PEM
+    * file of complete, JDK-CertificateFactory-loadable v3 certificates
+    * (every 4th doc a CA+leaf chain), DER written and read from
+    * scratch per X.690/RFC 5280 — minimal definite lengths, strict
+    * BOOLEANs, tbs/outer signature-algorithm equality, unique
+    * extension OIDs, UTCTime validity, RSA-2048 SPKI, basicConstraints
+    * / keyUsage / dNSName-SAN decode. `tbs_len` (the signed DER span)
+    * is excluded from the oracled projection — binary DER framing is
+    * pinned by X509Spec's `getTBSCertificate` differential instead,
+    * the documented deflate-ratio policy — while every relational
+    * field replays closed-form.
+    */
+  private val qX509Meta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.X509.x509Meta(graft.ext.X509.encodePem(table(s, dir, "documents")))
+      .toDF().drop("tbs_len")
+
+  private val oX509Meta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    val leafCn = s"'host' || CAST(doc_id AS VARCHAR) || '.example.org'"
+    s"""WITH d AS (SELECT doc_id, md5('x509:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |c AS (SELECT doc_id, m, c, doc_id % 4 = 0 AND c = 0 AS is_ca
+       |      FROM d, (SELECT unnest([0, 1]) AS c)
+       |      WHERE c < CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END)
+       |SELECT doc_id, c::BIGINT AS cert_idx, 2::BIGINT AS version,
+       |       (100000 + doc_id * 7 + c)::BIGINT AS serial,
+       |       '1.2.840.113549.1.1.11' AS sig_alg,
+       |       'US' AS issuer_c,
+       |       ${w("2")} || ' Trust' AS issuer_org,
+       |       ${w("1")} || ' CA ' || CAST(doc_id AS VARCHAR) AS issuer_cn,
+       |       'US' AS subject_c,
+       |       CASE WHEN is_ca THEN ${w("2")} || ' Trust'
+       |            ELSE ${w("3")} || ' Ops' END AS subject_org,
+       |       CASE WHEN is_ca THEN ${w("1")} || ' CA ' || CAST(doc_id AS VARCHAR)
+       |            ELSE $leafCn END AS subject_cn,
+       |       strftime(DATE '2023-01-01' + CAST(doc_id % 365 AS INT), '%y%m%d')
+       |         || '000000Z' AS not_before,
+       |       strftime(DATE '2023-01-01' + CAST(doc_id % 365 + 365 AS INT), '%y%m%d')
+       |         || '000000Z' AS not_after,
+       |       is_ca,
+       |       2048::BIGINT AS key_bits,
+       |       (CASE WHEN is_ca THEN 2 ELSE 3 END)::BIGINT AS n_extensions,
+       |       (CASE WHEN is_ca THEN 0 WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_san,
+       |       CASE WHEN is_ca THEN ''
+       |            WHEN doc_id % 2 = 0 THEN $leafCn || ',www.' || $leafCn
+       |            ELSE $leafCn END AS san_dns
+       |FROM c, wt""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10371,7 +10496,9 @@ object QueryCatalog {
     "ols_fit" -> qOlsFit,
     "hll_overlap" -> qHllOverlap,
     "image_dhash_pairs" -> qImageDhashPairs,
-    "audio_fp_pairs" -> qAudioFpPairs)
+    "audio_fp_pairs" -> qAudioFpPairs,
+    "torrent_meta" -> qTorrentMeta,
+    "x509_meta" -> qX509Meta)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -10665,5 +10792,7 @@ object QueryCatalog {
     "ols_fit" -> oOlsFit,
     "hll_overlap" -> oHllOverlap,
     "image_dhash_pairs" -> oImageDhashPairs,
-    "audio_fp_pairs" -> oAudioFpPairs)
+    "audio_fp_pairs" -> oAudioFpPairs,
+    "torrent_meta" -> oTorrentMeta,
+    "x509_meta" -> oX509Meta)
 }

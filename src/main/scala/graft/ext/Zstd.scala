@@ -1630,15 +1630,24 @@ object Zstd {
       .join(broadcast(topf), Seq("gram"), "left")
       .groupBy("segment")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("score"))
-    // the final rank: nSegments rows — a single-partition window over a
-    // LIMITed frame this small is bounded driver-free state
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, encode(col("segment"), "UTF-8"))
+    // the final rank: nSegments rows. orderBy+limit is a global top-k
+    // (TakeOrderedAndProject — no full sort), and the rank assignment is
+    // a single-row sort_array/posexplode aggregate over those <=128 rows
+    // (the skew_profile pattern) — no global Window, no single-partition
+    // WindowExec warning, bounded driver-free state. Scores are
+    // non-negative counts, so negation is a safe descending key; the
+    // UTF-8 bytes mirror the binary tie-break the oracle replays.
     scored
       .orderBy(col("score").desc, encode(col("segment"), "UTF-8"))
       .limit(nSegments)
-      .select((row_number().over(w) - 1).cast("long").as("seg_rank"),
-        col("score").cast("long"), col("segment"))
+      .agg(sort_array(collect_list(struct(
+        (col("score") * lit(-1L)).as("nscore"),
+        encode(col("segment"), "UTF-8").as("sbytes"),
+        col("score").as("score"),
+        col("segment").as("segment")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("seg_rank", "x")))
+      .select(col("seg_rank").cast("long").as("seg_rank"),
+        col("x.score").cast("long").as("score"), col("x.segment").as("segment"))
   }
 
   /** Assemble the trained dictionary bytes from [[dictTrain]]'s output:

@@ -580,7 +580,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // aggregations (count-value histogram fold; grouped marginals + 1-row
     // broadcast total) — a Window of ANY kind reappearing in either plan is
     // the regression.
-    Seq("skew_profile", "lang_source_chi2").foreach { key =>
+    // zstd_dict_train joined the list in the second half of round 16: its
+    // final <=128-row rank previously rode an unpartitioned row_number
+    // window (the last WindowExec warning source in the whole suite); it
+    // now ranks via TakeOrderedAndProject + a 1-row sort_array/posexplode
+    // aggregate, the skew_profile pattern
+    Seq("skew_profile", "lang_source_chi2", "zstd_dict_train").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Window"), s"$key must not window:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), s"cartesian product in $key")
