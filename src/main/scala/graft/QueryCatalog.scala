@@ -10195,6 +10195,112 @@ object QueryCatalog {
        |FROM c, wt""".stripMargin
   }
 
+  /** Schema-less protobuf wire scan under the gate
+    * ([[graft.ext.Protobuf]] — the pickle_scan discipline for the
+    * serialization format ML lakes actually carry): per doc a
+    * writeDelimitedTo-style stream of messages exercising every live
+    * wire type (varint incl. multi-byte values, fixed64, fixed32 with
+    * the high bit set, length-delimited), a NESTED message and a
+    * PACKED varint field (both surfaced as opaque length+checksum —
+    * string vs message is a schema-level fact the scan refuses to
+    * guess), and a two-byte tag (field 16). The oracle rebuilds each
+    * field row closed-form INCLUDING the nested message's four framing
+    * bytes and the packed payload, so a tag mis-decode, a wrong
+    * little-endian fold, or an off-by-one length all fail the hash.
+    * Groups (wire 3/4), reserved types, field 0, straddling values,
+    * and trailing garbage quarantine the stream.
+    */
+  private val qProtobufScan: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Protobuf.protobufScan(graft.ext.Protobuf.encodeProto(table(s, dir, "documents"))).toDF()
+
+  private val oProtobufScan: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    def txtBytes(t: String) =
+      s"list_transform(range(octet_length(encode($t))), i -> ('0x' || substr(hex(encode($t)), CAST(2 * i + 1 AS INT), 2))::BIGINT)"
+    def fold(lst: String) =
+      s"list_reduce(list_prepend(0::BIGINT, $lst), (a, x) -> (a * 31 + x) % 1000000007)"
+    s"""WITH d AS (SELECT doc_id, md5('proto:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, mi, mi % 2 = 0 AS packed,
+       |        'msg ' || CAST(mi AS VARCHAR) || ' of proto ' || CAST(doc_id AS VARCHAR)
+       |          || ': ' || ${w("CAST(2 + mi AS INT)")} AS name,
+       |        ${nib("CAST(5 + mi AS INT)")} AS k,
+       |        'note-' || ${w("CAST(8 + mi AS INT)")} AS note,
+       |        'wide-tag ' || ${w("CAST(11 + mi AS INT)")} AS wide
+       |      FROM d, wt, (SELECT unnest([0, 1, 2]) AS mi)
+       |      WHERE mi < 1 + ${nib("1")} % 3)
+       |SELECT doc_id, mi::BIGINT AS msg_idx, 0::BIGINT AS elem_idx, 1::BIGINT AS field_no,
+       |       0::BIGINT AS wire_type, (doc_id * 10 + mi)::BIGINT AS varint_val,
+       |       0::BIGINT AS len, 0::BIGINT AS checksum
+       |FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 1, 2, 2, 0, octet_length(encode(name)),
+       |       ${fold(txtBytes("name"))}
+       |FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 2, 3, 1, doc_id * 1000 + mi, 8, 0 FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 3, 4, 5, 3221225472 + ${nib("CAST(4 + mi AS INT)")}, 4, 0 FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 4, 5, 2, 0, 4 + octet_length(encode(note)),
+       |       ${fold(s"list_concat([8::BIGINT, k, 18::BIGINT, octet_length(encode(note))::BIGINT], ${txtBytes("note")})")}
+       |FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 5, 6, 0, (doc_id + mi) % 2, 0, 0 FROM b
+       |UNION ALL
+       |SELECT doc_id, mi, 6, 7, 2, 0, 3,
+       |       ${fold("[CAST(mi + 1 AS BIGINT), CAST(mi + 2 AS BIGINT), CAST(mi + 3 AS BIGINT)]")}
+       |FROM b WHERE packed
+       |UNION ALL
+       |SELECT doc_id, mi, CASE WHEN packed THEN 7 ELSE 6 END, 16, 2, 0,
+       |       octet_length(encode(wide)), ${fold(txtBytes("wide"))}
+       |FROM b""".stripMargin
+  }
+
+  /** CBOR ingestion under the gate ([[graft.ext.Cbor]] — RFC 8949 with
+    * the §4.2 deterministic-encoding discipline ENFORCED): per doc a
+    * canonical CBOR map exercising every argument width (multi-width
+    * uints, a 1-byte-argument negint, float64, definite-length
+    * strings/arrays/maps, a tag-1 epoch timestamp in a nested map, a
+    * byte string surfaced as length+checksum, null and both booleans).
+    * The reader quarantines indefinite lengths, non-minimal argument
+    * widths, unsorted/duplicate map keys (encoded-bytes order), the
+    * 1-byte simple-value form below 32, invalid UTF-8, unknown tags
+    * and simples, and inexact consumption. The oracle replays every
+    * field closed-form.
+    */
+  private val qCborItems: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Cbor.cborItems(graft.ext.Cbor.encodeCbor(table(s, dir, "documents"))).toDF()
+
+  private val oCborItems: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('cbor:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, 1 + ${nib("8")} % 3 AS nt, 8 + ${nib("7")} AS bl FROM d)
+       |SELECT doc_id, 9::BIGINT AS n_keys, (doc_id * 10)::BIGINT AS seq,
+       |       'cbor doc ' || CAST(doc_id AS VARCHAR) || ': ' || ${w("1")} AS name,
+       |       (-(25 + ${nib("5")}))::BIGINT AS neg,
+       |       (${nib("6")} + 1) / 4.0 AS score,
+       |       doc_id % 2 = 0 AS ok,
+       |       TRUE AS has_nil,
+       |       nt::BIGINT AS n_tags,
+       |       ${w("9")} || CASE WHEN nt >= 2 THEN ',' || ${w("10")} ELSE '' END
+       |         || CASE WHEN nt >= 3 THEN ',' || ${w("11")} ELSE '' END AS tags,
+       |       (500 + ${nib("11")})::BIGINT AS meta_k,
+       |       (1700000000 + doc_id)::BIGINT AS meta_ts,
+       |       bl::BIGINT AS blob_len,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(bl), i ->
+       |         ('0x' || substr(md5('blob:' || CAST(doc_id AS VARCHAR))
+       |            || md5('blob:' || CAST(doc_id AS VARCHAR) || ':b'),
+       |          CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS blob_checksum
+       |FROM b, wt""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10498,7 +10604,9 @@ object QueryCatalog {
     "image_dhash_pairs" -> qImageDhashPairs,
     "audio_fp_pairs" -> qAudioFpPairs,
     "torrent_meta" -> qTorrentMeta,
-    "x509_meta" -> qX509Meta)
+    "x509_meta" -> qX509Meta,
+    "protobuf_scan" -> qProtobufScan,
+    "cbor_items" -> qCborItems)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -10794,5 +10902,7 @@ object QueryCatalog {
     "image_dhash_pairs" -> oImageDhashPairs,
     "audio_fp_pairs" -> oAudioFpPairs,
     "torrent_meta" -> oTorrentMeta,
-    "x509_meta" -> oX509Meta)
+    "x509_meta" -> oX509Meta,
+    "protobuf_scan" -> oProtobufScan,
+    "cbor_items" -> oCborItems)
 }
