@@ -10301,6 +10301,39 @@ object QueryCatalog {
        |FROM b, wt""".stripMargin
   }
 
+  /** SSTable ingestion under the gate ([[graft.ext.Sst]] — the
+    * embedded-KV on-disk unit, per LevelDB's published
+    * table_format.md): per doc a complete block-based table — footer
+    * magic + BlockHandles, per-block MASKED crc32c VERIFIED over
+    * data+type, blocks alternating raw/snappy (the in-house coder),
+    * prefix-compressed entries under a validated restart array,
+    * INTERNAL keys ((seq << 8) | type) with tombstones surfaced as
+    * first-class rows, strict user-key ascent across blocks, index
+    * handles in file order. The oracle replays every row closed-form
+    * including the per-block compression flag, so a wrong crc mask, a
+    * mis-shared prefix byte, or a dropped tombstone fails the hash.
+    */
+  private val qSstEntries: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Sst.sstEntries(graft.ext.Sst.encodeSst(table(s, dir, "documents"))).toDF()
+
+  private val oSstEntries: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('sst:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws)
+       |SELECT doc_id, (k // 3)::BIGINT AS block_idx, (k % 3)::BIGINT AS entry_idx,
+       |       'key:' || CAST(doc_id AS VARCHAR) || ':' || lpad(CAST(k AS VARCHAR), 3, '0') AS user_key,
+       |       (1000 + doc_id * 50 + k)::BIGINT AS seq,
+       |       CASE WHEN k % 5 = 0 THEN 'del' ELSE 'put' END AS kind,
+       |       (doc_id + k // 3) % 2 = 1 AS compressed,
+       |       CASE WHEN k % 5 = 0 THEN ''
+       |            ELSE 'val ' || ${w("CAST(2 + k % 12 AS INT)")} || ' ' || CAST(k AS VARCHAR)
+       |       END AS value
+       |FROM d, wt, (SELECT unnest(range(12)) AS k)
+       |WHERE k < 6 + ${nib("1")} % 6""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10606,7 +10639,8 @@ object QueryCatalog {
     "torrent_meta" -> qTorrentMeta,
     "x509_meta" -> qX509Meta,
     "protobuf_scan" -> qProtobufScan,
-    "cbor_items" -> qCborItems)
+    "cbor_items" -> qCborItems,
+    "sst_entries" -> qSstEntries)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -10904,5 +10938,6 @@ object QueryCatalog {
     "torrent_meta" -> oTorrentMeta,
     "x509_meta" -> oX509Meta,
     "protobuf_scan" -> oProtobufScan,
-    "cbor_items" -> oCborItems)
+    "cbor_items" -> oCborItems,
+    "sst_entries" -> oSstEntries)
 }

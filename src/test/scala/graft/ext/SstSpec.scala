@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class SstSpec extends AnyFunSuite {
+
+  test("round-trip: every fixture table recovers its closed forms") {
+    for (id <- 0L until 96L) {
+      val recs = Sst.parseSst(id, Sst.renderSst(id))
+      assert(recs.length == Sst.nKeysOf(id), s"sst $id entry count")
+      recs.zipWithIndex.foreach { case (r, k) =>
+        assert(r.block_idx == k / 3 && r.entry_idx == k % 3, s"sst $id k$k position")
+        assert(r.user_key == Sst.userKeyOf(id, k), s"sst $id k$k key")
+        assert(r.seq == Sst.seqOf(id, k), s"sst $id k$k seq")
+        assert(r.kind == (if (Sst.isDel(k)) "del" else "put"), s"sst $id k$k kind")
+        assert(r.compressed == ((id + k / 3) % 2 == 1), s"sst $id k$k compression")
+        assert(r.value == Sst.valueOf(id, k), s"sst $id k$k value")
+      }
+    }
+  }
+
+  test("crc is verified: one flipped data byte quarantines the table") {
+    val good = Sst.renderSst(2L)
+    // flip a byte in the first data block (offset 0 region)
+    val bad = good.clone()
+    bad(4) = (bad(4) ^ 0x01).toByte
+    assert(Sst.parseSstSafe(2L, bad).isEmpty, "crc mismatch must quarantine")
+    // and a flipped stored-crc byte too: find any footer-safe early byte
+    assert(Sst.parseSstSafe(2L, good).nonEmpty)
+  }
+
+  test("footer rules: magic, zero padding, truncation") {
+    val good = Sst.renderSst(3L)
+    def mut(at: Int, v: Byte): Array[Byte] = { val b = good.clone(); b(at) = v; b }
+    assert(Sst.parseSstSafe(3L, mut(good.length - 1, 0x00)).isEmpty, "wrong magic")
+    // non-zero footer padding: the pad region sits just before the magic
+    assert(Sst.parseSstSafe(3L, mut(good.length - 9, 0x01)).isEmpty, "non-zero padding")
+    assert(Sst.parseSstSafe(3L, good.take(40)).isEmpty, "too short")
+    assert(Sst.parseSstSafe(3L, Array.emptyByteArray).isEmpty, "empty")
+  }
+
+  test("block structural rules: restarts, shared-prefix bounds, exact consumption") {
+    // a hand-built block: two entries, restart interval bridging them
+    def block(entries: Seq[(String, String)], restarts: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def v32(x: Int): Unit = { var v = x; while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }; out.write(v) }
+      var prev = ""
+      entries.zipWithIndex.foreach { case ((k, v), i) =>
+        val shared = if (i == 0) 0 else prev.zip(k).takeWhile { case (a, b) => a == b }.length
+        v32(shared); v32(k.length - shared); v32(v.length)
+        out.write(k.substring(shared).getBytes("UTF-8"))
+        out.write(v.getBytes("UTF-8"))
+        prev = k
+      }
+      restarts.foreach { r => (0 until 4).foreach(i => out.write((r >> (8 * i)) & 0xff)) }
+      (0 until 4).foreach(i => out.write((restarts.length >> (8 * i)) & 0xff))
+      out.toByteArray
+    }
+    val ok = block(Seq("apple" -> "1", "apricot" -> "2"), Seq(0))
+    val es = Sst.blockEntries(ok)
+    assert(es.length == 2 && new String(es(1)._1, "UTF-8") == "apricot",
+      "shared prefix reassembles")
+    def fails(b: Array[Byte]): Boolean =
+      try { Sst.blockEntries(b); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    assert(fails(block(Seq("apple" -> "1"), Seq(3))), "first entry must restart at 0")
+    assert(fails(block(Seq("apple" -> "1"), Seq(0, 0))), "restart offsets must ascend")
+    assert(fails(ok.dropRight(1)), "truncated restart array")
+    assert(fails(Array[Byte](0, 0, 0, 0)), "restart count 0")
+    // an out-of-range restart offset
+    assert(fails(block(Seq("apple" -> "1"), Seq(0, 1000))), "restart offset past entries")
+  }
+
+  test("internal-key rules: tombstone values, user-key order, unknown types") {
+    // craft a table via the writer then probe structural rules on the
+    // decoded level: the fixture plants tombstones every 5th key
+    val recs = Sst.parseSst(0L, Sst.renderSst(0L))
+    assert(recs.exists(_.kind == "del"), "tombstones surfaced")
+    assert(recs.filter(_.kind == "del").forall(_.value == ""), "tombstones carry no value")
+    // user keys strictly ascend in output order
+    val keys = recs.map(_.user_key)
+    assert(keys == keys.sorted && keys.distinct == keys, "strict user-key ascent")
+  }
+
+  test("snappy blocks decode identically to raw blocks") {
+    // ids 0 and 1 flip which blocks compress; both parse to their forms
+    for (id <- 0L until 8L) {
+      val recs = Sst.parseSst(id, Sst.renderSst(id))
+      assert(recs.exists(_.compressed) || Sst.nKeysOf(id) <= 3 && id % 2 == 0,
+        s"sst $id has at least one snappy block unless single-raw-block")
+    }
+  }
+}
