@@ -205,7 +205,12 @@ object Cbor {
     if (depth > MaxDepth) fail()
     val (major, arg, q) = readHead(b, p)
     major match {
-      case 0 => (CInt(arg), q)
+      case 0 =>
+        // uints in [2^63, 2^64) are RFC-valid but don't fit the surfaced
+        // signed-Long lane — quarantine rather than surface a wrong
+        // negative value (mirrors the negint arm below)
+        if (arg < 0) fail()
+        (CInt(arg), q)
       case 1 =>
         if (arg < 0) fail() // -1-arg would overflow Long for arg = 2^64-1 range
         (CInt(-1L - arg), q)

@@ -113,13 +113,12 @@ object Sst {
     w.out.toByteArray
   }
 
-  private def maskedCrc(data: Array[Byte], typ: Byte): Long = {
-    val c = new java.util.zip.CRC32C
-    c.update(data, 0, data.length)
-    c.update(typ & 0xff)
-    val crc = c.getValue & 0xffffffffL
-    (((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xffffffffL
-  }
+  /** Masked crc32c over block-data+type. TFRecord and LevelDB share the
+    * identical masking scheme (rotr15 + 0xa282ead8), so this rides
+    * [[graft.ext.TfRecord]]'s coder instead of duplicating the formula.
+    */
+  private def maskedCrc(data: Array[Byte], typ: Byte): Long =
+    TfRecord.mask(TfRecord.crc32c(data :+ typ, 0, data.length + 1)) & 0xffffffffL
 
   /** Emit a block (with optional snappy) + trailer; returns its handle. */
   private def writeBlock(out: W, body: Array[Byte], snappy: Boolean): (Long, Long) = {
@@ -217,7 +216,10 @@ object Sst {
 
   /** Read a block via its handle: verify the masked crc32c, decompress. */
   private def readBlock(b: Array[Byte], off: Long, size: Long): Array[Byte] = {
-    if (off < 0 || size < 0 || size > MaxLen || off + size + 5 > b.length) fail()
+    // each term capped before the sum (the Orc stripe-bounds convention) —
+    // a near-Long.MAX offset must not wrap the check
+    if (off < 0 || size < 0 || off > b.length || size > MaxLen ||
+      off + size + 5 > b.length) fail()
     val o = off.toInt
     val n = size.toInt
     val typ = b(o + n)
@@ -251,7 +253,10 @@ object Sst {
       val (shared, p1) = readVarint64(body, p, restartsStart)
       val (unshared, p2) = readVarint64(body, p1, restartsStart)
       val (vlen, p3) = readVarint64(body, p2, restartsStart)
-      if (shared < 0 || unshared < 0 || vlen < 0) fail()
+      // each term capped before the sum: two 2^62 varints would wrap
+      // `p3 + unshared + vlen` past Long.MAX and truncate to bogus Ints
+      if (shared < 0 || unshared < 0 || vlen < 0 ||
+        shared > MaxLen || unshared > MaxLen || vlen > MaxLen) fail()
       if (shared > prev.length) fail()
       if (restartSet.contains(entryStart) && shared != 0) fail() // restart entries restart
       if (p3 + unshared + vlen > restartsStart) fail()
@@ -304,8 +309,10 @@ object Sst {
       if (h2 != hv.length) fail()
       if (off <= prevEnd) fail() // blocks in file order, no overlap
       prevEnd = off + sz + 4
-      // bounds before the type-byte peek (readBlock re-checks)
-      if (off < 0 || sz < 0 || sz > MaxLen || off + sz + 5 > b.length) fail()
+      // bounds before the type-byte peek (readBlock re-checks); each term
+      // capped before the sum so a near-Long.MAX offset can't wrap
+      if (off < 0 || sz < 0 || off > b.length || sz > MaxLen ||
+        off + sz + 5 > b.length) fail()
       val snappy = (b(off.toInt + sz.toInt) & 0xff) == 1
       blockEntries(readBlock(b, off, sz)).zipWithIndex.foreach { case ((ik, v), ei) =>
         if (ik.length < 8) fail()

@@ -272,22 +272,35 @@ object X509 {
   private def readOid(b: Array[Byte], p: Int, limit: Int): (String, Int) = {
     val (cs, ce) = expect(b, p, limit, 0x06)
     if (ce - cs < 1) fail()
-    val first = b(cs) & 0xff
+    // X.690 §8.19: the FIRST subidentifier is itself base-128 encoded and
+    // packs the first two arcs as 40*X+Y (X capped at 2) — a multi-byte
+    // first subidentifier (joint-iso-itu-t arcs >= 2.48, e.g. 2.999) must
+    // decode through the same varint walk, not from a single byte
     val sb = new StringBuilder
-    sb.append(first / 40).append('.').append(first % 40)
-    var q = cs + 1
+    var q = cs
     var acc = 0L
     var inArc = false
+    var firstDone = false
     while (q < ce) {
       val x = b(q) & 0xff
       if (!inArc && x == 0x80) fail() // non-minimal arc
       acc = (acc << 7) | (x & 0x7f)
       if (acc > (1L << 56)) fail()
-      if ((x & 0x80) == 0) { sb.append('.').append(acc); acc = 0; inArc = false }
-      else inArc = true
+      if ((x & 0x80) == 0) {
+        if (!firstDone) {
+          val (arc1, arc2) =
+            if (acc < 40) (0L, acc)
+            else if (acc < 80) (1L, acc - 40)
+            else (2L, acc - 80)
+          sb.append(arc1).append('.').append(arc2)
+          firstDone = true
+        } else sb.append('.').append(acc)
+        acc = 0
+        inArc = false
+      } else inArc = true
       q += 1
     }
-    if (inArc) fail() // dangling continuation
+    if (inArc || !firstDone) fail() // dangling continuation / empty
     (sb.toString, ce)
   }
 
@@ -410,10 +423,14 @@ object X509 {
       if (seen.contains(oid)) fail() // RFC 5280: a cert MUST NOT repeat an extension
       seen += oid
       nExt += 1
-      // optional critical BOOLEAN
-      val (vq2, _) =
-        if (oq < ece && (b(oq) & 0xff) == 0x01) { val (_, x) = readBool(b, oq, ece); (x, true) }
-        else (oq, false)
+      // optional critical BOOLEAN — X.690 §11.5: DER must OMIT a component
+      // equal to its DEFAULT, so an explicit `critical FALSE` is damage
+      val vq2 =
+        if (oq < ece && (b(oq) & 0xff) == 0x01) {
+          val (crit, x) = readBool(b, oq, ece)
+          if (!crit) fail()
+          x
+        } else oq
       val (ocs, oce) = expect(b, vq2, ece, 0x04)
       if (oce != ece) fail()
       oid match {

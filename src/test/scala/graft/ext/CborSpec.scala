@@ -46,6 +46,10 @@ class CborSpec extends AnyFunSuite {
     // negint lane
     assert(value(B(0x20)).contains(Cbor.CInt(-1)), "-1")
     assert(value(B(0x38, 0x18)).contains(Cbor.CInt(-25)), "-25 via 1-byte arg")
+    // uints in [2^63, 2^64) are RFC-valid but don't fit the signed-Long
+    // lane: quarantine, never a silently-negative value (review finding)
+    assert(value(B(0x1b, 0x80, 0, 0, 0, 0, 0, 0, 0)).isEmpty, "2^63 quarantines")
+    assert(value(B(0x3b, 0x80, 0, 0, 0, 0, 0, 0, 0)).isEmpty, "-1-2^63 quarantines")
   }
 
   test("canonical map/simple rules: order, duplicates, indefinite, reserved") {

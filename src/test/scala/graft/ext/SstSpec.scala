@@ -69,6 +69,17 @@ class SstSpec extends AnyFunSuite {
     assert(fails(Array[Byte](0, 0, 0, 0)), "restart count 0")
     // an out-of-range restart offset
     assert(fails(block(Seq("apple" -> "1"), Seq(0, 1000))), "restart offset past entries")
+    // Long-wrap hardening (review finding): two 2^62 varints would wrap
+    // `p3 + unshared + vlen` past Long.MAX without the per-term caps —
+    // entry: shared=0, unshared=2^62, vlen=2^62 then a restart array
+    val wrap = new java.io.ByteArrayOutputStream()
+    wrap.write(0) // shared
+    def v64(x: Long): Unit = { var v = x; while ((v & ~0x7fL) != 0) { wrap.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }; wrap.write(v.toInt) }
+    v64(1L << 62); v64(1L << 62)
+    val entriesLen = wrap.size()
+    (0 until 4).foreach(_ => wrap.write(0)) // restart 0
+    wrap.write(1); (0 until 3).foreach(_ => wrap.write(0)) // count 1
+    assert(entriesLen > 0 && fails(wrap.toByteArray), "2^62 varint lengths quarantine, not wrap")
   }
 
   test("internal-key rules: tombstone values, user-key order, unknown types") {

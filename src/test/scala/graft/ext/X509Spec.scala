@@ -104,6 +104,33 @@ class X509Spec extends AnyFunSuite {
     val badBool = good.clone()
     badBool(boolAt + 2) = 0x01
     assert(!parses(badBool), "BER boolean (0x01) is damage")
+    // explicit `critical FALSE` violates X.690 §11.5 (DER omits DEFAULT
+    // values) — 0x00 is a well-formed BOOLEAN but must still quarantine
+    val defBool = good.clone()
+    defBool(boolAt + 2) = 0x00
+    assert(!parses(defBool), "explicit critical=FALSE (DEFAULT value) is damage")
+  }
+
+  test("OID first subidentifier decodes as a varint (X.690 §8.19)") {
+    // 2.999 encodes as 88 37 (first subid 1079 = 40*2 + 919... packed as
+    // 80 + 999): a single-byte read would misparse it. Build a leaf cert,
+    // swap the SAN extension OID 2.5.29.17 (55 1d 11) for 2.999.1
+    // (88 37 01) — same 3-byte length — and require the parse to SURFACE
+    // the right dotted string (the unknown extension is skipped, count
+    // still 3)
+    val der = X509.renderCertDer(1L, 0)
+    val at = der.indexOfSlice(Array[Byte](0x55, 0x1d, 0x11))
+    assert(at > 0)
+    val mutated = der.clone()
+    mutated(at) = 0x88.toByte
+    mutated(at + 1) = 0x37.toByte
+    mutated(at + 2) = 0x01.toByte
+    val (rec, end) = X509.parseCert(mutated, 0, mutated.length)
+    assert(end == mutated.length)
+    // the SAN fields empty out (the extension is no longer recognized as
+    // SAN) but the walk still counts three unique extensions — a
+    // misparsed first arc would have collided or produced a bogus string
+    assert(rec.n_extensions == 3 && rec.n_san == 0, "2.999.1 walked as an opaque extension")
   }
 
   test("PEM strictness: line discipline, block framing") {
