@@ -84,6 +84,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 300+-query
+      // suite compiles ~1500 distinct codegen stages, so every rep of
+      // every query re-ran Janino on an evicted class (measured: the same
+      // keys run 3-10x slower in the full suite than in a 40-key suite —
+      // ivf_topk_full 11.6s vs 1.1s — and a plain isolated run matches the
+      // 40-key number). Sized to hold the whole suite's stages at once.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM/codegen/parquet-reader initialization otherwise
@@ -109,22 +116,43 @@ object Bench {
     val listener = new BenchMetricsListener
     spark.sparkContext.addSparkListener(listener)
     // drain + collect BEFORE the timer starts: GC debt accrued by the
-    // previous query is paid outside every timed window
+    // previous query is paid outside every timed window. DEBT-TRIGGERED
+    // (round 16): an unconditional System.gc() costs ~1s on the 16g heap,
+    // and 5 passes x 300+ keys made the between-run overhead (~650s
+    // measured) rival the timed work itself. Sub-second queries allocate
+    // little debt, so the gc now fires only after an EXPENSIVE run (the
+    // one that actually accrued garbage) or every 16 runs as a backstop —
+    // the round-12 rationale (cross-query garbage landing inside heavy
+    // keys' timers) is preserved because a heavy key's own previous run
+    // was expensive, and the discard-max median absorbs the rare stray.
     val benchGc = sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ != "0")
+    var lastRunSec = Double.MaxValue // first run always pays the gc
+    var runsSinceGc = 0
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      if (benchGc) {
+      if (benchGc && (lastRunSec >= 0.5 || runsSinceGc >= 16)) {
         org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         System.gc()
+        runsSinceGc = 0
       }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      lastRunSec = t
+      runsSinceGc += 1
+      t
     }
     val steadyReps = sys.env.get("SPARK_GRAFT_STEADY_REPS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1).getOrElse(4)
+    // per-pass progress on stderr: a driver-side timeout tail should show
+    // WHICH pass the wall clock went to (the r15/r16 timeouts were
+    // undiagnosable from a silent log)
+    val wall0 = System.nanoTime()
+    def progress(msg: String): Unit =
+      System.err.println(f"[bench] $msg (wall ${(System.nanoTime() - wall0) / 1e9}%.0fs)")
     // pass 0: cold, in suite order
     val cold: Seq[(String, Double)] = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    progress(f"cold pass done: ${cold.map(_._2).sum}%.1fs over ${cold.size} keys")
     // steady rep 1 also captures the data-movement delta (bytes are
     // plan-deterministic, one capture suffices), with the listener bus
     // drained so task metrics land in the right bucket
@@ -140,8 +168,13 @@ object Bench {
         listener.inputBytes.get - in0)
     }
     // steady reps 2..N: whole-suite round-robin (see the class doc)
+    progress(f"steady rep 1 done: ${rep1.map(_._2).sum}%.1fs")
     val laterReps: Seq[Seq[Double]] =
-      (2 to steadyReps).map(_ => selected.map { case (name, fn) => timeOnce(name, fn) })
+      (2 to steadyReps).map { r =>
+        val xs = selected.map { case (name, fn) => timeOnce(name, fn) }
+        progress(f"steady rep $r done: ${xs.sum}%.1fs")
+        xs
+      }
     // discard-max median: drop the slowest rep (one polluted window per
     // query is the observed noise mode), median of the rest — the lower
     // middle on even counts, a real measurement rather than an average
@@ -262,6 +295,7 @@ object Bench {
         Some(name -> (steadyMedian(reps), steadySpread(reps)))
       }
     }.toMap
+    progress(s"isolation pass done: ${isoResults.size} keys re-run, ${isolationSkipped.size} skipped")
     val results = interleaved.map { case r @ (name, c, _, sw, sr, in, _) =>
       isoResults.get(name) match {
         case Some((m, sp)) => (name, c, m, sw, sr, in, sp)

@@ -10334,6 +10334,144 @@ object QueryCatalog {
        |WHERE k < 6 + ${nib("1")} % 6""".stripMargin
   }
 
+  /** MessagePack ingestion under the gate ([[graft.ext.Msgpack]] —
+    * the Redis/Fluentd wire format, CBOR's sibling on the
+    * serialization shelf): per doc a msgpack map exercising the int
+    * families across widths (minimal-width REQUIRED per lane — the
+    * spec's SHOULD promoted to the module's rule), fixstr/str8,
+    * bin8 (length+checksum), fixarray, nested fixmap, float64, nil,
+    * both booleans, and the TIMESTAMP extension in its two common
+    * shapes (fixext4 seconds-only and fixext8 nanos<<34|sec, minimal
+    * shape enforced, nanos bounded). 0xc1, float32, non-timestamp
+    * exts, duplicate map keys, non-minimal widths, invalid UTF-8 and
+    * inexact consumption all quarantine. The oracle replays every
+    * field closed-form.
+    */
+  private val qMsgpackItems: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Msgpack.msgpackItems(graft.ext.Msgpack.encodeMsgpack(table(s, dir, "documents"))).toDF()
+
+  private val oMsgpackItems: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    s"""WITH d AS (SELECT doc_id, md5('msgpack:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, 1 + ${nib("8")} % 3 AS nt, 5 + ${nib("7")} AS bl FROM d)
+       |SELECT doc_id, 9::BIGINT AS n_keys, (doc_id * 100)::BIGINT AS seq,
+       |       'msgpack doc ' || CAST(doc_id AS VARCHAR) || ': ' || ${w("1")} AS name,
+       |       (-(40 + ${nib("5")}))::BIGINT AS neg,
+       |       (${nib("6")} + 3) / 8.0 AS score,
+       |       doc_id % 2 = 1 AS ok,
+       |       TRUE AS has_nil,
+       |       nt::BIGINT AS n_tags,
+       |       ${w("9")} || CASE WHEN nt >= 2 THEN ',' || ${w("10")} ELSE '' END
+       |         || CASE WHEN nt >= 3 THEN ',' || ${w("11")} ELSE '' END AS tags,
+       |       (700 + ${nib("11")})::BIGINT AS meta_k,
+       |       (1700000000 + doc_id)::BIGINT AS ts_sec,
+       |       (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 500000 + ${nib("12")} END)::BIGINT AS ts_nanos,
+       |       bl::BIGINT AS blob_len,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(bl), i ->
+       |         ('0x' || substr(md5('mblob:' || CAST(doc_id AS VARCHAR))
+       |            || md5('mblob:' || CAST(doc_id AS VARCHAR) || ':b'),
+       |          CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS blob_checksum
+       |FROM b, wt""".stripMargin
+  }
+
+  /** DICOM Part 10 ingestion under the gate ([[graft.ext.Dicom]] —
+    * the medical-imaging shelf): per doc a complete Explicit-VR-LE
+    * object — zero preamble + DICM, the (0002,0000) meta GroupLength
+    * verified to cover group 0002 exactly, TransferSyntaxUID pinned to
+    * Explicit VR LE (implicit/big-endian quarantine rather than
+    * misparse), short- and long-form VR headers, the PS3.5 even-length
+    * rule with NUL/space padding stripped, strict (group,element)
+    * ascent, a defined-length SQ with (FFFE,E000) items walked
+    * recursively, and PixelData cross-checked against Rows x Columns
+    * x 2. The oracle replays every surfaced field closed-form
+    * including the pixel checksum.
+    */
+  private val qDicomMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Dicom.dicomMeta(graft.ext.Dicom.encodeDicom(table(s, dir, "documents"))).toDF()
+
+  private val oDicomMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('dicom:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |b AS (SELECT doc_id, m, 2 + ${nib("3")} % 3 AS ncols FROM d)
+       |SELECT doc_id, 6::BIGINT AS n_meta, 10::BIGINT AS n_elements,
+       |       '1.2.840.10008.1.2.1' AS transfer_syntax,
+       |       '1.2.840.10008.5.1.4.1.1.2' AS sop_class,
+       |       '1.2.840.99999.' || CAST(doc_id AS VARCHAR) AS sop_instance,
+       |       strftime(DATE '2023-01-01' + CAST(doc_id % 365 AS INT), '%Y%m%d') AS study_date,
+       |       list_extract(['CT','MR','US','XA'], 1 + CAST(${nib("1")} % 4 AS INT)) AS modality,
+       |       'Subject^S' || CAST(doc_id AS VARCHAR) AS patient_name,
+       |       'P' || CAST(doc_id AS VARCHAR) AS patient_id,
+       |       (1 + ${nib("2")} % 9)::BIGINT AS series_number,
+       |       2::BIGINT AS n_rows, ncols::BIGINT AS n_cols,
+       |       '0.5\\' || list_extract(['0.5','0.75','1.0','1.25'],
+       |         1 + CAST(${nib("4")} % 4 AS INT)) AS pixel_spacing,
+       |       (1 + doc_id % 2)::BIGINT AS n_seq_items,
+       |       '1.2.840.99999.' || CAST(doc_id AS VARCHAR) || '.1'
+       |         || CASE WHEN doc_id % 2 = 1
+       |                 THEN ',1.2.840.99999.' || CAST(doc_id AS VARCHAR) || '.2'
+       |                 ELSE '' END AS seq_refs,
+       |       (4 * ncols)::BIGINT AS pixel_len,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(4 * ncols), i ->
+       |         ('0x' || substr(md5('px:' || CAST(doc_id AS VARCHAR)),
+       |          CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS pixel_checksum
+       |FROM b""".stripMargin
+  }
+
+  /** Shapefile ingestion under the gate ([[graft.ext.Shapefile]] — the
+    * geospatial shelf, per the published ESRI white paper): per doc a
+    * complete .shp cycling the three record shapes by doc_id — Point
+    * files, PolyLine files (multi-part, plus a planted Null record),
+    * and closed Polygon rings — under the format's signature MIXED
+    * endianness (BE framing, LE geometry). The reader verifies the
+    * declared file length, sequential record numbers, per-record
+    * content lengths, the homogeneity rule, part-index discipline,
+    * ring closure, and CROSS-CHECKS both the per-record and header
+    * bounding boxes against the walked coordinates. All coordinates
+    * are exact dyadic closed forms, so the oracle replays min/max/sum
+    * per record bitwise.
+    */
+  private val qShapefileRecords: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Shapefile.shapefileRecords(graft.ext.Shapefile.encodeShp(table(s, dir, "documents"))).toDF()
+
+  private val oShapefileRecords: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('shp:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0)
+       |SELECT doc_id, (k + 1)::BIGINT AS record_no, 1::BIGINT AS shape_type,
+       |       0::BIGINT AS n_parts, 1::BIGINT AS n_points,
+       |       doc_id + 0.25 * k AS min_x, 2.0 * doc_id - 0.5 * k AS min_y,
+       |       doc_id + 0.25 * k AS max_x, 2.0 * doc_id - 0.5 * k AS max_y,
+       |       doc_id + 0.25 * k AS sum_x, 2.0 * doc_id - 0.5 * k AS sum_y
+       |FROM d, (SELECT unnest([0, 1, 2, 3, 4]) AS k)
+       |WHERE doc_id % 3 = 0 AND k < 2 + ${nib("1")} % 3
+       |UNION ALL
+       |SELECT doc_id, (r + 1)::BIGINT, 3::BIGINT,
+       |       np // 2, np,
+       |       doc_id + 2.0 * r, doc_id - r - 0.125 * (np - 1),
+       |       doc_id + 2.0 * r + 0.25 * (np - 1), CAST(doc_id - r AS DOUBLE),
+       |       np * (doc_id + 2.0 * r) + 0.25 * (np * (np - 1) // 2),
+       |       np * (doc_id - CAST(r AS DOUBLE)) - 0.125 * (np * (np - 1) // 2)
+       |FROM (SELECT doc_id, r, 2 * (1 + (r + doc_id) % 2) AS np
+       |      FROM d, (SELECT unnest([0, 1]) AS r)
+       |      WHERE doc_id % 3 = 1 AND r < 1 + doc_id % 2)
+       |UNION ALL
+       |SELECT doc_id, (1 + doc_id % 2 + 1)::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+       |       0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+       |FROM d WHERE doc_id % 3 = 1
+       |UNION ALL
+       |SELECT doc_id, 1::BIGINT, 5::BIGINT, 1::BIGINT, 5::BIGINT,
+       |       CAST(doc_id AS DOUBLE), CAST(doc_id AS DOUBLE),
+       |       CAST(doc_id + 1 AS DOUBLE), CAST(doc_id + 1 AS DOUBLE),
+       |       CAST(5 * doc_id + 2 AS DOUBLE), CAST(5 * doc_id + 2 AS DOUBLE)
+       |FROM d WHERE doc_id % 3 = 2""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10640,7 +10778,10 @@ object QueryCatalog {
     "x509_meta" -> qX509Meta,
     "protobuf_scan" -> qProtobufScan,
     "cbor_items" -> qCborItems,
-    "sst_entries" -> qSstEntries)
+    "sst_entries" -> qSstEntries,
+    "msgpack_items" -> qMsgpackItems,
+    "dicom_meta" -> qDicomMeta,
+    "shapefile_records" -> qShapefileRecords)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -10939,5 +11080,8 @@ object QueryCatalog {
     "x509_meta" -> oX509Meta,
     "protobuf_scan" -> oProtobufScan,
     "cbor_items" -> oCborItems,
-    "sst_entries" -> oSstEntries)
+    "sst_entries" -> oSstEntries,
+    "msgpack_items" -> oMsgpackItems,
+    "dicom_meta" -> oDicomMeta,
+    "shapefile_records" -> oShapefileRecords)
 }

@@ -30,6 +30,10 @@ object Verify {
       // same representation in QueryCatalog.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // hold the whole 300+-query suite's generated classes at once — the
+      // 100-entry default thrashes and re-runs Janino per query (see the
+      // measured A/B in Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
