@@ -10472,6 +10472,122 @@ object QueryCatalog {
        |FROM d WHERE doc_id % 3 = 2""".stripMargin
   }
 
+  /** pcap ingestion under the gate ([[graft.ext.Pcap]] — the
+    * network-telemetry shelf): per doc a classic libpcap capture
+    * alternating BOTH byte orders (magic-detected) and both timestamp
+    * units (micro/nano magics), linktype Ethernet, with every packet
+    * decoded three layers deep — Ethernet ethertype, IPv4 header with
+    * the RFC 1071 ones'-complement HEADER CHECKSUM VERIFIED and total
+    * length cross-checked against the captured bytes, UDP ports with
+    * the UDP length cross-checked — and the payload surfaced as
+    * length+checksum. Foreign link types, non-IPv4 ethertypes,
+    * fractional-second overflow, straddling records and trailing bytes
+    * quarantine. The oracle replays every field closed-form.
+    */
+  private val qPcapPackets: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Pcap.pcapPackets(graft.ext.Pcap.encodePcap(table(s, dir, "documents"))).toDF()
+
+  private val oPcapPackets: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('pcap:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |b AS (SELECT doc_id, m, k, doc_id % 3 = 0 AS nanos,
+       |        4 + ${nib("CAST(9 + k % 6 AS INT)")} AS plen
+       |      FROM d, (SELECT unnest(range(6)) AS k)
+       |      WHERE k < 2 + ${nib("1")} % 4)
+       |SELECT doc_id, k::BIGINT AS pkt_idx,
+       |       (1700000000 + doc_id * 10 + k)::BIGINT AS ts_sec,
+       |       (CASE WHEN nanos THEN 1000 * (1000 * k + ${nib("2")}) + ${nib("3")}
+       |             ELSE 1000 * k + ${nib("2")} END)::BIGINT AS ts_frac,
+       |       nanos,
+       |       (42 + plen)::BIGINT AS incl_len, (42 + plen)::BIGINT AS orig_len,
+       |       '10.' || CAST(${nib("4")} AS VARCHAR) || '.' || CAST(${nib("5")} AS VARCHAR)
+       |         || '.' || CAST(1 + k AS VARCHAR) AS src_ip,
+       |       '10.' || CAST(${nib("6")} AS VARCHAR) || '.' || CAST(${nib("7")} AS VARCHAR)
+       |         || '.' || CAST(200 + k AS VARCHAR) AS dst_ip,
+       |       17::BIGINT AS protocol,
+       |       (30000 + ${nib("8")} * 100 + k)::BIGINT AS sport,
+       |       (CASE WHEN k % 2 = 0 THEN 53 ELSE 443 END)::BIGINT AS dport,
+       |       plen::BIGINT AS payload_len,
+       |       list_reduce(list_prepend(0::BIGINT, list_transform(range(plen), i ->
+       |         ('0x' || substr(md5('pkt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR))
+       |            || md5('pkt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':b'),
+       |          CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS payload_checksum
+       |FROM b""".stripMargin
+  }
+
+  /** LevelDB/RocksDB write-ahead-log ingestion under the gate
+    * ([[graft.ext.LeveldbLog]] — the `.log`/`.wal` sibling of
+    * `sst_entries`, per the published log_format.md): 32 KiB blocks,
+    * per-fragment MASKED crc32c verified (type byte + payload, the
+    * log_writer.cc order), the FULL/FIRST/MIDDLE/LAST state machine
+    * enforced, zero-only block trailers, no fragment crossing a block
+    * seam, no unterminated record at EOF. Every fixture's first record
+    * EXCEEDS one block so the reassembly path runs everywhere; the
+    * oracle rebuilds each record's payload with `repeat(unhex(md5))`
+    * and grades the reassembled md5, so a byte lost at a block seam or
+    * a mis-ordered fragment fails the hash.
+    */
+  private val qWalRecords: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.LeveldbLog.walRecords(graft.ext.LeveldbLog.encodeLog(table(s, dir, "documents"))).toDF()
+
+  private val oWalRecords: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('wal:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |b AS (SELECT doc_id, m, r,
+       |        CASE WHEN r = 0 THEN 32768 + 1024 + ${nib("2")} * 32
+       |             ELSE 96 + ${nib("CAST(3 + r AS INT)")} * 32 END AS len
+       |      FROM d, (SELECT unnest([0, 1, 2, 3]) AS r)
+       |      WHERE r < 2 + ${nib("1")} % 3)
+       |SELECT doc_id, r::BIGINT AS rec_idx,
+       |       (CASE WHEN r = 0 THEN 2 ELSE 1 END)::BIGINT AS n_fragments,
+       |       len::BIGINT AS rec_len,
+       |       md5(repeat(md5('walrec:' || CAST(doc_id AS VARCHAR)
+       |         || ':' || CAST(r AS VARCHAR)), CAST(len // 32 AS INT))) AS rec_md5
+       |FROM b""".stripMargin
+  }
+
+  /** Standard MIDI File ingestion under the gate ([[graft.ext.Midi]] —
+    * the music-corpus shelf): per doc a format-1 SMF whose note track
+    * runs on RUNNING STATUS after one explicit status byte (the
+    * format's classic reader-breaking hazard) with multi-byte VLQ
+    * delta times, vel-0 note-ons as note-offs plus one explicit 0x8n,
+    * a tempo meta pinned to length 3, a track name, and end-of-track
+    * required as each track's final event. Declared track counts and
+    * chunk lengths are cross-checked; non-minimal VLQs, data bytes
+    * with no prior status, out-of-scope statuses and SMPTE division
+    * quarantine. The oracle replays counts, tick totals, and a fold
+    * over every (delta, key, velocity) triple closed-form.
+    */
+  private val qMidiMeta: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Midi.midiMeta(graft.ext.Midi.encodeMidi(table(s, dir, "documents"))).toDF()
+
+  private val oMidiMeta: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    def w(i: String) = s"list_extract(ws, 1 + CAST(${nib(i)} % 8 AS INT))"
+    val delta = s"CASE WHEN n = 0 THEN 0 ELSE 120 + ${nib("CAST(6 + n % 8 AS INT)")} * 16 END"
+    val key = "48 + (doc_id + 5 * n) % 24"
+    val vel = s"64 + ${nib("CAST(5 + n % 8 AS INT)")} % 32"
+    s"""WITH d AS (SELECT doc_id, md5('midi:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |b AS (SELECT doc_id, m, 3 + ${nib("4")} % 5 AS nn FROM d)
+       |SELECT doc_id, 1::BIGINT AS format, 2::BIGINT AS n_tracks,
+       |       (96 * (1 + ${nib("1")} % 4))::BIGINT AS division,
+       |       (400000 + ${nib("2")} * 10000)::BIGINT AS tempo_us,
+       |       ${w("3")} || ' take ' || CAST(doc_id AS VARCHAR) AS track_name,
+       |       nn::BIGINT AS n_note_on, nn::BIGINT AS n_note_off,
+       |       (list_reduce(list_prepend(0::BIGINT, list_transform(range(nn), n -> $delta)),
+       |          (a, x) -> a + x) + 60 * nn)::BIGINT AS total_ticks,
+       |       list_reduce(list_prepend(0::BIGINT, flatten(list_transform(range(nn), n ->
+       |         [$delta, $key, $vel, 60::BIGINT, $key,
+       |          CASE WHEN n = nn - 1 THEN 64 ELSE 0 END]))),
+       |         (a, x) -> (a * 31 + x) % 1000000007)::BIGINT AS notes_checksum
+       |FROM b, wt""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10781,7 +10897,10 @@ object QueryCatalog {
     "sst_entries" -> qSstEntries,
     "msgpack_items" -> qMsgpackItems,
     "dicom_meta" -> qDicomMeta,
-    "shapefile_records" -> qShapefileRecords)
+    "shapefile_records" -> qShapefileRecords,
+    "pcap_packets" -> qPcapPackets,
+    "wal_records" -> qWalRecords,
+    "midi_meta" -> qMidiMeta)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -11083,5 +11202,8 @@ object QueryCatalog {
     "sst_entries" -> oSstEntries,
     "msgpack_items" -> oMsgpackItems,
     "dicom_meta" -> oDicomMeta,
-    "shapefile_records" -> oShapefileRecords)
+    "shapefile_records" -> oShapefileRecords,
+    "pcap_packets" -> oPcapPackets,
+    "wal_records" -> oWalRecords,
+    "midi_meta" -> oMidiMeta)
 }

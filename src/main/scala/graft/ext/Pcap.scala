@@ -1,0 +1,271 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** pcap ingestion, from scratch — packet captures are the raw material
+  * of network-telemetry corpora, and the classic libpcap format is a
+  * 24-byte global header plus framed packet records. Implemented per
+  * the published format (the pcap man page / draft-ietf-opsawg-pcap):
+  *
+  *  - BOTH byte orders detected from the magic as written (0xa1b2c3d4
+  *    micro / 0xa1b23c4d nano, each in either endianness) — a reader
+  *    that assumes host order misparses half the world's captures;
+  *  - version pinned 2.4; snaplen bounded; linktype 1 (Ethernet)
+  *    required — foreign link types quarantine rather than misparse;
+  *  - per-record: ts_sec / ts_frac (unit from the magic), incl_len
+  *    <= min(snaplen, orig_len), record data consumed exactly, file
+  *    ends on a record boundary;
+  *  - the payload is DECODED, not just framed: Ethernet header
+  *    (ethertype 0x0800 required), IPv4 header (version/IHL, total
+  *    length cross-checked against the captured bytes, protocol,
+  *    dotted src/dst) with the HEADER CHECKSUM VERIFIED (ones'
+  *    complement sum — a corrupted header is damage, the same
+  *    cross-check tcpdump applies), and the UDP header (ports,
+  *    length cross-checked).
+  *
+  * Scale shape: map-only per capture, zero shuffles.
+  */
+object Pcap {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def nib(id: Long, i: Int): Int = {
+    val m = md5Hex(s"pcap:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  // ------------------------------------------------------------- fixture
+
+  private[ext] def isBigEndian(id: Long): Boolean = id % 2 == 1
+  private[ext] def isNanos(id: Long): Boolean = id % 3 == 0
+  private[ext] def nPacketsOf(id: Long): Int = 2 + nib(id, 1) % 4
+  private[ext] def tsSecOf(id: Long, k: Int): Long = 1700000000L + id * 10 + k
+  private[ext] def tsFracOf(id: Long, k: Int): Long =
+    if (isNanos(id)) 1000L * (1000 * k + nib(id, 2)) + nib(id, 3)
+    else 1000L * k + nib(id, 2)
+  private[ext] def srcIpOf(id: Long, k: Int): String =
+    s"10.${nib(id, 4)}.${nib(id, 5)}.${1 + k}"
+  private[ext] def dstIpOf(id: Long, k: Int): String =
+    s"10.${nib(id, 6)}.${nib(id, 7)}.${200 + k}"
+  private[ext] def sportOf(id: Long, k: Int): Int = 30000 + nib(id, 8) * 100 + k
+  private[ext] def dportOf(id: Long, k: Int): Int = if (k % 2 == 0) 53 else 443
+  private[ext] def payloadLenOf(id: Long, k: Int): Int = 4 + nib(id, 9 + k % 6)
+  private[ext] def payloadOf(id: Long, k: Int): Array[Byte] = {
+    val hx = md5Hex(s"pkt:$id:$k") + md5Hex(s"pkt:$id:$k:b")
+    (0 until payloadLenOf(id, k)).map(i => Integer.parseInt(hx.substring(2 * i, 2 * i + 2), 16).toByte).toArray
+  }
+
+  private final class W(be: Boolean) {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v)
+    def u16(v: Int): Unit =
+      if (be) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit =
+      if (be) (3 to 0 by -1).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+      else (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    def raw(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+  }
+
+  /** Network-order (BE) writer for the packet payload itself — wire
+    * headers are always big-endian regardless of the capture's order.
+    */
+  private def ipBytes(dotted: String): Array[Byte] =
+    dotted.split('.').map(x => (x.toInt & 0xff).toByte)
+
+  /** RFC 1071 ones' complement header checksum over 16-bit words. */
+  private[ext] def ipv4Checksum(header: Array[Byte]): Int = {
+    var sum = 0L
+    var i = 0
+    while (i < header.length) {
+      sum += ((header(i) & 0xff) << 8) | (header(i + 1) & 0xff)
+      i += 2
+    }
+    while ((sum >> 16) != 0) sum = (sum & 0xffff) + (sum >> 16)
+    (~sum & 0xffff).toInt
+  }
+
+  private[ext] def renderPacket(id: Long, k: Int): Array[Byte] = {
+    val payload = payloadOf(id, k)
+    val out = new java.io.ByteArrayOutputStream()
+    // Ethernet: dst MAC, src MAC, ethertype 0x0800
+    (0 until 6).foreach(i => out.write(0x02 + ((id + i) % 250).toInt))
+    (0 until 6).foreach(i => out.write(0x06 + ((id + k + i) % 250).toInt))
+    out.write(0x08); out.write(0x00)
+    // IPv4 header (20 bytes, checksum filled after)
+    val ip = new Array[Byte](20)
+    ip(0) = 0x45 // version 4, IHL 5
+    val total = 20 + 8 + payload.length
+    ip(2) = ((total >> 8) & 0xff).toByte; ip(3) = (total & 0xff).toByte
+    ip(4) = ((id >> 8) & 0xff).toByte; ip(5) = (id & 0xff).toByte // identification
+    ip(8) = 64 // TTL
+    ip(9) = 17 // UDP
+    System.arraycopy(ipBytes(srcIpOf(id, k)), 0, ip, 12, 4)
+    System.arraycopy(ipBytes(dstIpOf(id, k)), 0, ip, 16, 4)
+    val cks = ipv4Checksum(ip)
+    ip(10) = ((cks >> 8) & 0xff).toByte; ip(11) = (cks & 0xff).toByte
+    out.write(ip, 0, 20)
+    // UDP header
+    val sport = sportOf(id, k)
+    val dport = dportOf(id, k)
+    val ulen = 8 + payload.length
+    out.write((sport >> 8) & 0xff); out.write(sport & 0xff)
+    out.write((dport >> 8) & 0xff); out.write(dport & 0xff)
+    out.write((ulen >> 8) & 0xff); out.write(ulen & 0xff)
+    out.write(0); out.write(0) // UDP checksum 0 = none (legal over IPv4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  private[ext] def renderPcap(id: Long): Array[Byte] = {
+    val w = new W(isBigEndian(id))
+    w.u32(if (isNanos(id)) 0xa1b23c4dL else 0xa1b2c3d4L)
+    w.u16(2); w.u16(4) // version 2.4
+    w.u32(0) // thiszone
+    w.u32(0) // sigfigs
+    w.u32(65535) // snaplen
+    w.u32(1) // linktype: Ethernet
+    (0 until nPacketsOf(id)).foreach { k =>
+      val pkt = renderPacket(id, k)
+      w.u32(tsSecOf(id, k))
+      w.u32(tsFracOf(id, k))
+      w.u32(pkt.length.toLong) // incl_len
+      w.u32(pkt.length.toLong) // orig_len
+      w.raw(pkt)
+    }
+    w.out.toByteArray
+  }
+
+  /** Fixture writer: one capture per document row. */
+  def encodePcap(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderPcap(id)))
+      .toDF("doc_id", "pcap")
+  }
+
+  // --------------------------------------------------------------- reader
+
+  private final class MalformedPcap
+      extends RuntimeException("malformed pcap", null, false, false)
+  private def fail(): Nothing = throw new MalformedPcap
+
+  private val MaxLen = 1 << 26
+  private val MaxPackets = 1 << 20
+
+  final case class PcapRec(
+    doc_id: Long, pkt_idx: Long, ts_sec: Long, ts_frac: Long, nanos: Boolean,
+    incl_len: Long, orig_len: Long, src_ip: String, dst_ip: String,
+    protocol: Long, sport: Long, dport: Long, payload_len: Long, payload_checksum: Long)
+
+  private[ext] def parsePcap(id: Long, b: Array[Byte]): Seq[PcapRec] = {
+    if (b == null || b.length < 24 || b.length > MaxLen) fail()
+    def u32be(p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def u32le(p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    val magicBe = u32be(0)
+    val (be, nanos) = magicBe match {
+      case 0xa1b2c3d4L => (true, false)
+      case 0xa1b23c4dL => (true, true)
+      case 0xd4c3b2a1L => (false, false)
+      case 0x4d3cb2a1L => (false, true)
+      case _ => fail()
+    }
+    def u32(p: Int): Long = if (be) u32be(p) else u32le(p)
+    def u16(p: Int): Int =
+      if (be) ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+      else (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    if (u16(4) != 2 || u16(6) != 4) fail() // version 2.4
+    val snaplen = u32(16)
+    if (snaplen < 1 || snaplen > (1 << 24)) fail()
+    if (u32(20) != 1) fail() // Ethernet only
+    var p = 24
+    var idx = 0L
+    val out = Vector.newBuilder[PcapRec]
+    while (p < b.length) {
+      if (p + 16 > b.length || idx >= MaxPackets) fail()
+      val tsSec = u32(p)
+      val tsFrac = u32(p + 4)
+      if (!nanos && tsFrac >= 1000000L) fail()
+      if (nanos && tsFrac >= 1000000000L) fail()
+      val incl = u32(p + 8)
+      val orig = u32(p + 12)
+      if (incl > snaplen || incl > orig || p + 16 + incl > b.length) fail()
+      val d = p + 16
+      val n = incl.toInt
+      // Ethernet
+      if (n < 14) fail()
+      val ethertype = ((b(d + 12) & 0xff) << 8) | (b(d + 13) & 0xff)
+      if (ethertype != 0x0800) fail() // IPv4 only in scope
+      // IPv4
+      val ip = d + 14
+      if (n < 14 + 20) fail()
+      if ((b(ip) & 0xff) != 0x45) fail() // version 4, IHL 5 (no options in scope)
+      val total = ((b(ip + 2) & 0xff) << 8) | (b(ip + 3) & 0xff)
+      if (total != n - 14) fail() // IP total length matches capture
+      val hdr = java.util.Arrays.copyOfRange(b, ip, ip + 20)
+      // verify: checksum over the header WITH its checksum field = 0
+      if (ipv4Checksum0(hdr) != 0) fail()
+      val proto = b(ip + 9) & 0xff
+      if (proto != 17) fail() // UDP only in scope
+      val src = (0 until 4).map(i => b(ip + 12 + i) & 0xff).mkString(".")
+      val dst = (0 until 4).map(i => b(ip + 16 + i) & 0xff).mkString(".")
+      // UDP
+      val u = ip + 20
+      val sport = ((b(u) & 0xff) << 8) | (b(u + 1) & 0xff)
+      val dport = ((b(u + 2) & 0xff) << 8) | (b(u + 3) & 0xff)
+      val ulen = ((b(u + 4) & 0xff) << 8) | (b(u + 5) & 0xff)
+      if (ulen != total - 20) fail() // UDP length matches IP payload
+      val plen = ulen - 8
+      if (plen < 0) fail()
+      var cks = 0L
+      (u + 8 until u + 8 + plen).foreach(i => cks = (cks * 31 + (b(i) & 0xff)) % 1000000007L)
+      out += PcapRec(id, idx, tsSec, tsFrac, nanos, incl, orig, src, dst,
+        proto.toLong, sport.toLong, dport.toLong, plen.toLong, cks)
+      p = d + n
+      idx += 1
+    }
+    if (p != b.length) fail()
+    val res = out.result()
+    if (res.isEmpty) fail()
+    res
+  }
+
+  /** Ones' complement sum over a header INCLUDING its checksum field:
+    * zero for an intact header.
+    */
+  private def ipv4Checksum0(header: Array[Byte]): Int = {
+    var sum = 0L
+    var i = 0
+    while (i < header.length) {
+      sum += ((header(i) & 0xff) << 8) | (header(i + 1) & 0xff)
+      i += 2
+    }
+    while ((sum >> 16) != 0) sum = (sum & 0xffff) + (sum >> 16)
+    (~sum & 0xffff).toInt
+  }
+
+  private[ext] def parsePcapSafe(id: Long, b: Array[Byte]): Seq[PcapRec] =
+    try parsePcap(id, b)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `pcap_packets`: the per-packet flow inventory. Map-only. */
+  def pcapPackets(docs: DataFrame, idCol: String = "doc_id",
+                  binCol: String = "pcap"): Dataset[PcapRec] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parsePcapSafe(id, b) }
+  }
+}
