@@ -225,7 +225,10 @@ object Dicom {
     out.result()
   }
 
-  /** SQ value: defined-length (FFFE,E000) items, each a nested walk. */
+  /** SQ value: defined-length (FFFE,E000) items, each a nested walk —
+    * and any SQ element INSIDE an item recurses here too, so nested
+    * sequences are structurally validated all the way down (capped).
+    */
   private def seqItems(b: Array[Byte], from: Int, until: Int, depth: Int): Vector[Vector[Elem]] = {
     if (depth > MaxDepth) fail()
     var p = from
@@ -236,7 +239,11 @@ object Dicom {
       val len = u32At(b, p + 4)
       if (len == 0xffffffffL) fail()
       if (len > MaxLen || p + 8 + len > until) fail()
-      out += walk(b, p + 8, p + 8 + len.toInt)
+      val items = walk(b, p + 8, p + 8 + len.toInt)
+      items.foreach { e =>
+        if (e.vr == "SQ") seqItems(b, e.vStart, e.vEnd, depth + 1)
+      }
+      out += items
       p += 8 + len.toInt
     }
     if (p != until) fail()
@@ -281,7 +288,9 @@ object Dicom {
     val px = find(0x7fe0, 0x0010)
     if (px.vr != "OW") fail()
     val pxLen = px.vEnd - px.vStart
-    if (pxLen != nRows * nCols * 2) fail() // geometry/payload cross-check
+    // Long arithmetic: 2 * 46342^2 wraps a 32-bit product and would
+    // false-accept a crafted geometry (review finding)
+    if (pxLen.toLong != nRows.toLong * nCols.toLong * 2L) fail()
     var cks = 0L
     (px.vStart until px.vEnd).foreach(i => cks = (cks * 31 + (b(i) & 0xff)) % 1000000007L)
     val sq = find(0x0008, 0x1140)

@@ -239,7 +239,7 @@ object Msgpack {
         (MTimestamp(sec, nanos), body + 8)
       case 12 =>
         val nanos = be(b, body, 4)
-        val sec = be(b, body, 8)
+        val sec = be(b, body + 4, 8) // u32 nanos THEN i64 sec
         if (nanos >= 1000000000L) fail()
         if (sec >= 0 && sec < (1L << 34)) fail() // fixext8 would have fit
         (MTimestamp(sec, nanos), body + 12)

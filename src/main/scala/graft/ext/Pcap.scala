@@ -205,15 +205,19 @@ object Pcap {
       if (n < 14) fail()
       val ethertype = ((b(d + 12) & 0xff) << 8) | (b(d + 13) & 0xff)
       if (ethertype != 0x0800) fail() // IPv4 only in scope
-      // IPv4
+      // IPv4 + UDP: the whole 42-byte header stack must be captured
+      // BEFORE any field reads (review finding: the UDP reads sat past
+      // an n >= 34 record's end)
       val ip = d + 14
-      if (n < 14 + 20) fail()
+      if (n < 14 + 20 + 8) fail()
       if ((b(ip) & 0xff) != 0x45) fail() // version 4, IHL 5 (no options in scope)
       val total = ((b(ip + 2) & 0xff) << 8) | (b(ip + 3) & 0xff)
       if (total != n - 14) fail() // IP total length matches capture
       val hdr = java.util.Arrays.copyOfRange(b, ip, ip + 20)
-      // verify: checksum over the header WITH its checksum field = 0
-      if (ipv4Checksum0(hdr) != 0) fail()
+      // verify: the ones'-complement fold over the header INCLUDING its
+      // stored checksum is 0 for an intact header (same fold as the
+      // writer-side ipv4Checksum — RFC 1071's self-verification property)
+      if (ipv4Checksum(hdr) != 0) fail()
       val proto = b(ip + 9) & 0xff
       if (proto != 17) fail() // UDP only in scope
       val src = (0 until 4).map(i => b(ip + 12 + i) & 0xff).mkString(".")
@@ -237,20 +241,6 @@ object Pcap {
     val res = out.result()
     if (res.isEmpty) fail()
     res
-  }
-
-  /** Ones' complement sum over a header INCLUDING its checksum field:
-    * zero for an intact header.
-    */
-  private def ipv4Checksum0(header: Array[Byte]): Int = {
-    var sum = 0L
-    var i = 0
-    while (i < header.length) {
-      sum += ((header(i) & 0xff) << 8) | (header(i + 1) & 0xff)
-      i += 2
-    }
-    while ((sum >> 16) != 0) sum = (sum & 0xffff) + (sum >> 16)
-    (~sum & 0xffff).toInt
   }
 
   private[ext] def parsePcapSafe(id: Long, b: Array[Byte]): Seq[PcapRec] =

@@ -90,6 +90,15 @@ class MsgpackSpec extends AnyFunSuite {
     val bad = (1000000000L << 34) | 2L
     val f8n = B(0xd7, 0xff) ++ (7 to 0 by -1).map(i => ((bad >>> (8 * i)) & 0xff).toByte).toArray
     assert(value(f8n).isEmpty, "nanos out of range")
+    // timestamp96: u32 nanos THEN i64 sec (review finding: sec was read
+    // at the nanos offset). sec = 2^34 (too big for fixext8), nanos = 7
+    val sec = 1L << 34
+    val t96 = B(0xc7, 12, 0xff, 0, 0, 0, 7) ++
+      (7 to 0 by -1).map(i => ((sec >>> (8 * i)) & 0xff).toByte).toArray
+    assert(value(t96).contains(Msgpack.MTimestamp(sec, 7L)), "timestamp96 field order")
+    // and a NEGATIVE sec (pre-1970) in the 96-bit shape
+    val neg = B(0xc7, 12, 0xff, 0, 0, 0, 0) ++ Array.fill[Byte](8)(0xff.toByte)
+    assert(value(neg).contains(Msgpack.MTimestamp(-1L, 0L)), "timestamp96 negative seconds")
   }
 
   test("framing: truncation, trailing garbage, depth bomb") {

@@ -67,6 +67,27 @@ class PcapSpec extends AnyFunSuite {
       "incl_len > orig_len (and record straddle) is damage")
   }
 
+  test("a record too short for the Ethernet+IPv4+UDP stack quarantines cleanly") {
+    // review finding: a 34-byte record (headers only to the end of IPv4,
+    // IP total = 20 so the length cross-check passes) previously read the
+    // UDP header outside the record
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le32(0xa1b2c3d4L); le16(2); le16(4); le32(0); le32(0); le32(65535); le32(1)
+    le32(1700000000L); le32(0); le32(34); le32(34)
+    // 14-byte Ethernet with IPv4 ethertype
+    (0 until 12).foreach(_ => out.write(0)); out.write(0x08); out.write(0x00)
+    // 20-byte IPv4, total=20, proto=17, checksum valid
+    val ip = new Array[Byte](20)
+    ip(0) = 0x45; ip(3) = 20; ip(8) = 64; ip(9) = 17
+    val cks = Pcap.ipv4Checksum(ip)
+    ip(10) = ((cks >> 8) & 0xff).toByte; ip(11) = (cks & 0xff).toByte
+    out.write(ip, 0, 20)
+    assert(Pcap.parsePcapSafe(0L, out.toByteArray).isEmpty,
+      "a headers-only record (no UDP bytes) is damage, not an out-of-record read")
+  }
+
   test("the ones'-complement checksum implementation agrees with itself") {
     // a healthy header verifies to 0; a known RFC 1071 property: sum of
     // header with checksum field zeroed equals the stored checksum
