@@ -118,6 +118,10 @@ object LeveldbLog {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // one staging exchange: each log is ~35 KiB of crc32c'd fragments,
+      // which would serialize on the bench's single-row-group scan (the
+      // Pdf.encodePdf rationale)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderLog(id)))
       .toDF("doc_id", "wal")

@@ -215,6 +215,11 @@ object X509 {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // one staging exchange: ~32 md5 blocks + DER build + base64 per doc
+      // is the family's most expensive synthesis, and the bench's
+      // single-row-group documents scan would serialize it (the
+      // Pdf.encodePdf rationale)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderPem(id)))
       .toDF("doc_id", "pem")
