@@ -10588,6 +10588,42 @@ object QueryCatalog {
        |FROM b, wt""".stripMargin
   }
 
+  /** SQLite WAL ingestion under the gate ([[graft.ext.SqliteWal]] —
+    * the `-wal` sibling of `sqlite_rows`; live captures carry their
+    * newest writes ONLY here): per doc a complete write-ahead log in
+    * BOTH checksum word orders (the magic's low bit), the header's own
+    * cumulative checksum verified, per-frame salt echo + cumulative
+    * checksum chain verified, and the PUBLISHED RECOVERY RULE applied
+    * — the first salt- or checksum-invalid frame ends the log and the
+    * tail is ignored, NOT damage (every third doc plants a stale
+    * pre-checkpoint frame the rule must drop). Commit frames carry the
+    * database size; pages are repeated-md5 ASCII so the oracle
+    * rebuilds each frame's page md5 with repeat().
+    */
+  private val qSqliteWalFrames: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.SqliteWal.sqliteWalFrames(graft.ext.SqliteWal.encodeWal(table(s, dir, "documents"))).toDF()
+
+  private val oSqliteWalFrames: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('swal:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |b AS (SELECT doc_id, m, t, f, 1 + (doc_id + t) % 2 AS nf
+       |      FROM d, (SELECT unnest([0, 1, 2]) AS t), (SELECT unnest([0, 1]) AS f)
+       |      WHERE t < 1 + ${nib("1")} % 3 AND f < 1 + (doc_id + t) % 2)
+       |SELECT doc_id,
+       |       (t + f + list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(range(t), u -> (doc_id + u) % 2)),
+       |          (a, x) -> a + x))::BIGINT AS frame_idx,
+       |       (1 + (t + f + doc_id) % 4)::BIGINT AS page_no,
+       |       (CASE WHEN f = nf - 1 THEN 4 + t ELSE 0 END)::BIGINT AS db_size,
+       |       f = nf - 1 AS is_commit,
+       |       doc_id % 2 = 0 AS big_endian,
+       |       ${nib("2")}::BIGINT AS ckpt_seq,
+       |       md5(repeat(md5('walpg:' || CAST(doc_id AS VARCHAR) || ':'
+       |         || CAST(t AS VARCHAR) || ':' || CAST(f AS VARCHAR)), 16)) AS page_md5
+       |FROM b""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10900,7 +10936,8 @@ object QueryCatalog {
     "shapefile_records" -> qShapefileRecords,
     "pcap_packets" -> qPcapPackets,
     "wal_records" -> qWalRecords,
-    "midi_meta" -> qMidiMeta)
+    "midi_meta" -> qMidiMeta,
+    "sqlite_wal_frames" -> qSqliteWalFrames)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -11205,5 +11242,6 @@ object QueryCatalog {
     "shapefile_records" -> oShapefileRecords,
     "pcap_packets" -> oPcapPackets,
     "wal_records" -> oWalRecords,
-    "midi_meta" -> oMidiMeta)
+    "midi_meta" -> oMidiMeta,
+    "sqlite_wal_frames" -> oSqliteWalFrames)
 }
