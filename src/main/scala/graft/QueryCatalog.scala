@@ -10624,6 +10624,43 @@ object QueryCatalog {
        |FROM b""".stripMargin
   }
 
+  /** Git pack-index ingestion under the gate ([[graft.ext.Packidx]] —
+    * the random-access side of the `git_objects` packfiles): per doc a
+    * complete .idx v2 — magic+version, the 256-entry fanout verified
+    * monotone AND consistent with every id's first byte, strictly
+    * ascending object ids, the crc table, 4-byte offsets whose MSB-set
+    * entries index the 8-byte LARGE-OFFSET table (planted on every 4th
+    * doc — the >2 GiB pack trap), and the trailer's SHA-1 of the whole
+    * file VERIFIED, so one flipped byte anywhere quarantines. The
+    * oracle replays ids/crcs/offsets closed-form with the sort rank
+    * recomputed relationally.
+    */
+  private val qPackIndex: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Packidx.packIndex(graft.ext.Packidx.encodeIdx(table(s, dir, "documents"))).toDF()
+
+  private val oPackIndex: String = {
+    def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
+    val oid = "md5('oid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)) || " +
+      "substr(md5('oid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || ':b'), 1, 8)"
+    s"""WITH d AS (SELECT doc_id, md5('pidx:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |b AS (SELECT doc_id, m, k, 3 + ${nib("1")} % 5 AS n, $oid AS oid
+       |      FROM d, (SELECT unnest(range(8)) AS k)
+       |      WHERE k < 3 + ${nib("1")} % 5)
+       |SELECT doc_id,
+       |       (row_number() OVER (PARTITION BY doc_id ORDER BY oid) - 1)::BIGINT AS obj_idx,
+       |       oid,
+       |       ('0x' || substr(md5('crc:' || CAST(doc_id AS VARCHAR) || ':'
+       |         || CAST(k AS VARCHAR)), 1, 8))::BIGINT AS crc32,
+       |       (CASE WHEN doc_id % 4 = 0 AND k = 0
+       |             THEN 4294967296 + doc_id * 64 + ${nib("2")}
+       |             ELSE 12 + 50 * k END)::BIGINT AS offset,
+       |       n::BIGINT AS n_objects,
+       |       md5('packid:' || CAST(doc_id AS VARCHAR))
+       |         || substr(md5('packid:' || CAST(doc_id AS VARCHAR) || ':b'), 1, 8) AS pack_id
+       |FROM b""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10937,7 +10974,8 @@ object QueryCatalog {
     "pcap_packets" -> qPcapPackets,
     "wal_records" -> qWalRecords,
     "midi_meta" -> qMidiMeta,
-    "sqlite_wal_frames" -> qSqliteWalFrames)
+    "sqlite_wal_frames" -> qSqliteWalFrames,
+    "pack_index" -> qPackIndex)
 
   val oracleSql: Map[String, String] = Map(
     "metric_parse" -> oMetricParse,
@@ -11243,5 +11281,6 @@ object QueryCatalog {
     "pcap_packets" -> oPcapPackets,
     "wal_records" -> oWalRecords,
     "midi_meta" -> oMidiMeta,
-    "sqlite_wal_frames" -> oSqliteWalFrames)
+    "sqlite_wal_frames" -> oSqliteWalFrames,
+    "pack_index" -> oPackIndex)
 }
