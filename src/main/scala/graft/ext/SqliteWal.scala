@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *    frame ENDS the log and everything after is ignored (stale frames
   *    from before the last checkpoint are normal WAL content, so a
   *    salt-mismatched tail is NOT damage — the fixture plants one on
-  *    every third doc); a file that dies mid-frame on a frame BOUNDARY
-  *    rule (non-frame-aligned trailing length) inside the valid prefix
-  *    is damage;
+  *    every third doc). A torn FINAL frame — fewer than frame-size
+  *    bytes left — is likewise normal crash residue the walk stops
+  *    before, exactly as sqlite recovery does; only an EMPTY valid
+  *    prefix quarantines (the fixture contract always commits at least
+  *    one frame);
   *  - page numbers positive; commit frames carry the new database size
   *    in pages, non-commit frames zero.
   *

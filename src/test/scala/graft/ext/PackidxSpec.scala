@@ -46,17 +46,67 @@ class PackidxSpec extends AnyFunSuite {
     assert(Packidx.parseIdx(1L, none).forall(_.offset < 0x80000000L))
   }
 
-  test("fanout consistency is enforced") {
-    // hand-break the fanout: find the first oid's bucket and decrement
-    // every fanout entry from that bucket on — counts no longer match
+  test("structural rules fire on RE-SIGNED mutations (not just the trailer SHA)") {
+    // every earlier byte-flip test only ever exercised the trailer SHA-1;
+    // these mutations RECOMPUTE the trailer so the inner rules themselves
+    // are load-bearing (review finding)
+    def resign(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(java.util.Arrays.copyOfRange(out, 0, out.length - 20))
+      System.arraycopy(sha, 0, out, out.length - 20, 20)
+      out
+    }
     val good = Packidx.renderIdx(2L)
+    assert(Packidx.parseIdxSafe(2L, resign(good)).nonEmpty, "resign is identity on a good file")
+
+    // non-ascending oids: swap the first two 20-byte id slots
+    val oidsAt = 8 + 1024
+    val swapped = good.clone()
+    (0 until 20).foreach { i =>
+      swapped(oidsAt + i) = good(oidsAt + 20 + i)
+      swapped(oidsAt + 20 + i) = good(oidsAt + i)
+    }
+    assert(Packidx.parseIdxSafe(2L, resign(swapped)).isEmpty,
+      "non-ascending oids quarantine under a valid SHA")
+
+    // fanout-bucket inconsistency: claim one object below bucket 0 by
+    // setting fanout[0] = 1 (the first oid's real bucket is > 0 for this
+    // fixture unless md5 starts with 00 — guard on that)
     val recs = Packidx.parseIdx(2L, good)
-    val firstBucket = Integer.parseInt(recs.head.oid.take(2), 16)
-    val bad = good.clone()
-    // fanout entry for the LAST bucket (255) lives at 8 + 4*255; bump it
-    // so fanout[255] != n while the sha must also be recomputed — easier:
-    // this must fail on EITHER the count or the trailer, both quarantine
-    bad(8 + 4 * 255 + 3) = (bad(8 + 4 * 255 + 3) + 1).toByte
-    assert(Packidx.parseIdxSafe(2L, bad).isEmpty, s"fanout break (bucket $firstBucket) quarantines")
+    if (Integer.parseInt(recs.head.oid.take(2), 16) > 0) {
+      val fan = good.clone()
+      fan(8 + 3) = 1
+      assert(Packidx.parseIdxSafe(2L, resign(fan)).isEmpty,
+        "fanout bucket/ id first-byte inconsistency quarantines under a valid SHA")
+    }
+
+    // large-offset rules on id=4 (one large slot)
+    val big = Packidx.renderIdx(4L)
+    val n4 = Packidx.nObjectsOf(4L)
+    val offsAt4 = 8 + 1024 + 24 * n4
+    // find the MSB-set 4-byte entry
+    val largeEntry = (0 until n4).find(i => (big(offsAt4 + 4 * i) & 0x80) != 0).get
+    // (a) large table holds a SMALL value
+    val smallInLarge = big.clone()
+    val largeAt4 = offsAt4 + 4 * n4
+    (0 until 8).foreach(i => smallInLarge(largeAt4 + i) = 0)
+    smallInLarge(largeAt4 + 7) = 9
+    assert(Packidx.parseIdxSafe(4L, resign(smallInLarge)).isEmpty,
+      "a small offset stored in the large table quarantines under a valid SHA")
+    // (b) large index out of range
+    val oob = big.clone()
+    oob(offsAt4 + 4 * largeEntry + 3) = 5 // index 5 >= largeCount 1
+    assert(Packidx.parseIdxSafe(4L, resign(oob)).isEmpty,
+      "an out-of-range large index quarantines under a valid SHA")
+    // (c) unreferenced large slot: clear the MSB entry (point it at a
+    // small literal offset) so the slot is never consumed
+    val unref = big.clone()
+    unref(offsAt4 + 4 * largeEntry) = 0
+    unref(offsAt4 + 4 * largeEntry + 1) = 0
+    unref(offsAt4 + 4 * largeEntry + 2) = 0
+    unref(offsAt4 + 4 * largeEntry + 3) = 12
+    assert(Packidx.parseIdxSafe(4L, resign(unref)).isEmpty,
+      "an unreferenced large-offset slot quarantines under a valid SHA")
   }
 }
