@@ -101,6 +101,10 @@ object Packidx {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // one staging exchange: per-file SHA-1 + md5-derived tables would
+      // serialize on the single-row-group scan (the Pdf.encodePdf
+      // rationale)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderIdx(id)))
       .toDF("doc_id", "idx")
