@@ -86,10 +86,18 @@ object Bpe {
     *    agree, which raw pair strings do NOT guarantee for astral text;
     *  - the rewrite is the same one-pass replace as [[applyMerges]].
     *
-    * The corpus state is persisted + lineage-cut per round ([[Clusters]]
-    * pattern); each round is one shuffle (the pair count) plus a 1-row
-    * argmax collect. `rounds` must not exceed the corpus's distinct-pair
-    * supply — the caller's contract, asserted per round.
+    * Exactly ONE DataFrame is ever persisted: the spelled base corpus.
+    * Each round's rewrite accumulates as a nested codegen'd `replace`
+    * Column over that base instead of persisting a new corpus per round
+    * — the r16 shape (8 MEMORY_AND_DISK persists live at once, deferred
+    * unpersist churn) is what stalled under suite memory pressure (one
+    * interleaved rep ran ~100s vs a 3.97s median). Round k re-applies k
+    * replaces over the cache — O(rounds²) linear string scans total,
+    * noise next to the per-round shuffle for the rounds this operator
+    * targets; `collapseEvery` bounds the expression depth (and the
+    * re-apply cost) for large `rounds` by folding the chain back into a
+    * fresh single cache, with the old one unpersisted only after the
+    * next action materializes the new one.
     */
   final case class LearnedMerge(rank: Long, pair: String, cnt: Long)
 
@@ -111,41 +119,43 @@ object Bpe {
     // front (one tiny shuffle). At scale the scan already has >= default
     // parallelism splits and no shuffle is added.
     val target = spark.sparkContext.defaultParallelism
-    var corpus = (if (docs.rdd.getNumPartitions < target) spelled.repartition(target) else spelled)
+    var base = (if (docs.rdd.getNumPartitions < target) spelled.repartition(target) else spelled)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each round's ONLY action is the pair-count aggregation; it also
-    // materializes the previous round's rewrite into the cache, so the
-    // parent round stays persisted one extra round (deferred unpersist)
-    // instead of paying a separate count() pass per round
+    val collapseEvery = 16
+    var chain: org.apache.spark.sql.Column = col("mg")
+    var depth = 0
+    var retiring: DataFrame = null // collapsed-out base, unpersisted after the next action
     val pairs = when(size(col("t")) < 2, array().cast("array<string>"))
       .otherwise(expr(
         "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-    var prev: DataFrame = null
     val learned = Seq.newBuilder[LearnedMerge]
     var k = 0
     while (k < rounds) {
-      val best = corpus
+      val best = base
+        .select(chain.as("mg"))
         .select(split(col("mg"), " ").as("t"))
         .select(explode(pairs).as("p"))
         .groupBy("p").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, md5(col("p").cast("binary")).asc)
         .limit(1)
         .collect()
-      if (prev != null) prev.unpersist()
+      if (retiring != null) { retiring.unpersist(); retiring = null }
       require(best.nonEmpty, s"corpus exhausted after $k merges; lower `rounds`")
       val pair = best(0).getString(0)
       learned += LearnedMerge((k + 1).toLong, pair, best(0).getLong(1))
-      prev = corpus
-      // no RDD lineage cut here: depth grows by ONE replace per round (linear,
-      // bounded by `rounds`), and each round reads the previous round's cache —
-      // the InternalRow→Row→InternalRow codec of a cut costs more than the
-      // 8-deep plan it would save
-      corpus = corpus.select(replace(col("mg"), lit(pair), lit(pair.replace(" ", ""))).as("mg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      chain = replace(chain, lit(pair), lit(pair.replace(" ", "")))
+      depth += 1
+      if (depth >= collapseEvery && k + 1 < rounds) {
+        retiring = base
+        base = base.select(chain.as("mg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        chain = col("mg")
+        depth = 0
+      }
       k += 1
     }
-    if (prev != null) prev.unpersist()
-    corpus.unpersist()
+    if (retiring != null) retiring.unpersist()
+    base.unpersist()
     learned.result().toDF()
   }
 

@@ -88,6 +88,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 1))
   }
 
+  test("bpe train: rounds past the collapse threshold still match the reference") {
+    import spark.implicits._
+    // 18 rounds > collapseEvery (16): exercises the fold-back-into-a-fresh-
+    // cache path, whose off-by-one would silently drop or double a merge
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz",
+      "the cat and the hat sat on the mat in the north",
+      "banana bandana and an anagram")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, rounds = 18)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == referenceTrain(texts, 18))
+  }
+
   test("bpe train: exhausting the corpus raises instead of looping") {
     import spark.implicits._
     val docs = Seq((0L, "ab")).toDF("doc_id", "text") // exactly one pair to learn
