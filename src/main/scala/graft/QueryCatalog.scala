@@ -3228,6 +3228,51 @@ object QueryCatalog {
        |       NULL, NULL, NULL, NULL, nmin, nmax FROM a""".stripMargin
   }
 
+  /** NESTED/REPEATED parquet decode under the gate
+    * ([[graft.ext.ParquetFile.parquetNested]] — the Dremel boundary the
+    * flat keys left open): a from-scratch fixture whose schema carries
+    * an optional GROUP, a repeated leaf, and a repeated GROUP with an
+    * optional member — every rep/def combination depth 2 admits — with
+    * multi-component column paths and rep+def level sections in BOTH
+    * page versions. The reader decodes the level streams generically
+    * (widths from the schema walk's max levels) and REASSEMBLES records
+    * from levels alone, the [[graft.ext.Dremel]] algorithm wired into
+    * the real page path; the oracle replays every record closed-form.
+    * ParquetFileSpec additionally makes SPARK read the from-scratch
+    * nested files and the from-scratch reader decode pyarrow's real
+    * repeated embedding column to Spark's own numbers.
+    */
+  private val qParquetNested: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ParquetFile.parquetNested(
+      graft.ext.ParquetFile.encodeNestedParquet(table(s, dir, "documents"))).toDF()
+
+  private val oParquetNested: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('pqn:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |r AS (SELECT doc_id, m, ws, k FROM d, wt, (SELECT unnest([0, 1, 2, 3]) AS k)
+       |      WHERE k < 2 + ${nib("1")} % 3)
+       |SELECT doc_id, k::BIGINT AS row_idx,
+       |  (doc_id * 100 + k)::BIGINT AS id_val,
+       |  CASE WHEN ${nib("2 + k")} % 4 != 0 AND ${nib("6 + k")} % 3 != 0
+       |    THEN list_extract(ws, 1 + CAST(${nib("10 + k")} % 8 AS INT)) || '-' || CAST(k AS VARCHAR)
+       |    ELSE NULL END AS info_name,
+       |  CASE WHEN ${nib("2 + k")} % 4 != 0 AND (doc_id + k) % 2 = 0
+       |    THEN (doc_id * 10 + 7 * k)::BIGINT ELSE NULL END AS info_weight,
+       |  (${nib("14 + k")} % 3)::BIGINT AS n_tags,
+       |  coalesce(array_to_string(list_transform(range(${nib("14 + k")} % 3), j ->
+       |    list_extract(ws, 1 + CAST((${nib("18 + k")} + 3 * j) % 8 AS INT))), ','), '') AS tags_cat,
+       |  (${nib("22 + k")} % 3)::BIGINT AS n_pairs,
+       |  ((${nib("22 + k")} % 3) * (doc_id + 13 * k)
+       |    + 5 * ((${nib("22 + k")} % 3) * ((${nib("22 + k")} % 3) - 1) // 2))::BIGINT AS k_sum,
+       |  coalesce(array_to_string(list_transform(range(${nib("22 + k")} % 3), j ->
+       |    CASE WHEN (doc_id + k + j) % 3 != 0
+       |      THEN list_extract(ws, 1 + CAST((${nib("26 + k")} + j) % 8 AS INT))
+       |      ELSE '_' END), ','), '') AS v_cat
+       |FROM r""".stripMargin
+  }
+
   /** SQLite database-file ingestion ([[graft.ext.Sqlite]] — the most
     * deployed database file format; browser/app-data corpora): real
     * page-level databases — sqlite_master catalog walk on page 1, table
@@ -10868,6 +10913,7 @@ object QueryCatalog {
     "sqlite_rows" -> qSqliteRows,
     "parquet_meta" -> qParquetMeta,
     "parquet_stats" -> qParquetStats,
+    "parquet_nested" -> qParquetNested,
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
@@ -11245,6 +11291,7 @@ object QueryCatalog {
     "sqlite_rows" -> oSqliteRows,
     "parquet_meta" -> oParquetMeta,
     "parquet_stats" -> oParquetStats,
+    "parquet_nested" -> oParquetNested,
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,

@@ -224,29 +224,33 @@ object ParquetFile {
     (header ++ stored, header.length.toLong + body.length)
   }
 
-  /** v2 data page: definition levels sit OUTSIDE the compressed region
-    * (no 4-byte length prefix — their byte length rides the header), and
-    * only the values section compresses when `is_compressed` says so.
+  /** v2 data page: repetition + definition levels sit OUTSIDE the
+    * compressed region (no 4-byte length prefix — their byte lengths
+    * ride the header), and only the values section compresses when
+    * `is_compressed` says so.
     */
-  private def dataPageV2(numValues: Int, numNulls: Int, encoding: Int,
-      levels: Array[Byte], values: Array[Byte], snappy: Boolean): (Array[Byte], Long) = {
+  private def dataPageV2(numValues: Int, numNulls: Int, numRows: Int, encoding: Int,
+      repLevels: Array[Byte], defLevels: Array[Byte], values: Array[Byte],
+      snappy: Boolean): (Array[Byte], Long) = {
     val stored = if (snappy) Snappy.compress(values) else values
+    val levelsLen = repLevels.length + defLevels.length
     val w = new TWriter
     w.i32(1, 3) // type = DATA_PAGE_V2
-    w.i32(2, levels.length + values.length) // uncompressed_page_size
-    w.i32(3, levels.length + stored.length) // compressed_page_size
+    w.i32(2, levelsLen + values.length) // uncompressed_page_size
+    w.i32(3, levelsLen + stored.length) // compressed_page_size
     w.structBegin(8) // data_page_header_v2
     w.i32(1, numValues)
     w.i32(2, numNulls)
-    w.i32(3, numValues) // num_rows (flat columns: one value per row)
+    w.i32(3, numRows)
     w.i32(4, encoding)
-    w.i32(5, levels.length) // definition_levels_byte_length
-    w.i32(6, 0) // repetition_levels_byte_length
+    w.i32(5, defLevels.length) // definition_levels_byte_length
+    w.i32(6, repLevels.length) // repetition_levels_byte_length
     w.bool(7, snappy) // is_compressed
     w.structEnd()
     w.out.write(0) // end of PageHeader struct
     val header = w.bytes
-    (header ++ levels ++ stored, header.length.toLong + levels.length + values.length)
+    (header ++ repLevels ++ defLevels ++ stored,
+      header.length.toLong + levelsLen + values.length)
   }
 
   /** PLAIN dictionary page (header thrift + values). */
@@ -355,14 +359,16 @@ object ParquetFile {
             uncompressed += dpUncomp
             val dataOff = out.size.toLong
             val (page, pgUncomp) =
-              if (v2) dataPageV2(ks.length, numNulls, 8, levelsV2, body, snappy)
+              if (v2) dataPageV2(ks.length, numNulls, ks.length, 8,
+                Array.emptyByteArray, levelsV2, body, snappy)
               else dataPage(ks.length, 8, body, snappy) // RLE_DICTIONARY
             out.write(page, 0, page.length)
             uncompressed += pgUncomp
             (dataOff, Seq(3, 8, 0)) // RLE, RLE_DICTIONARY, PLAIN (the dict page)
           } else if (v2) {
             val (page, pgUncomp) =
-              dataPageV2(ks.length, numNulls, 0, levelsV2, c.values.flatten.toArray, snappy)
+              dataPageV2(ks.length, numNulls, ks.length, 0,
+                Array.emptyByteArray, levelsV2, c.values.flatten.toArray, snappy)
             out.write(page, 0, page.length)
             uncompressed += pgUncomp
             (off, Seq(0, 3)) // PLAIN, RLE
@@ -986,17 +992,25 @@ object ParquetFile {
     * the chunk's value count is consumed — v1 pages (prefix-length RLE
     * levels inside the body) and v2 pages (header-carried level lengths
     * outside the compressed region, delta encodings) alike. Returns the
-    * NON-NULL values; None for chunks OUTSIDE the decode subset
-    * (repeated or nested columns, codecs beyond UNCOMPRESSED/SNAPPY,
-    * exotic types or encodings) — their metadata still surfaces; only
-    * structural damage fails.
+    * NON-NULL values plus the full definition/repetition level streams
+    * (Dremel shredding — [[Dremel]] implements the same algorithm
+    * standalone under its own oracle); None for chunks OUTSIDE the
+    * decode subset (codecs beyond UNCOMPRESSED/SNAPPY, exotic types or
+    * encodings) — their metadata still surfaces; only structural damage
+    * fails. Nested and repeated columns (maxDef > 1 or maxRep > 0)
+    * decode generically: level widths derive from the schema walk's max
+    * levels, a value is present iff its def level equals maxDef, and
+    * the caller reassembles records from the streams.
     */
-  private def decodeChunk(bytes: Array[Byte], chunk: PqColumn,
-      maxDef: Int, maxRep: Int): Option[Seq[Any]] = {
-    if (maxRep > 0 || maxDef > 1) return None // nested/repeated: metadata-only
+  private[ext] def decodeChunkLevels(bytes: Array[Byte], chunk: PqColumn,
+      maxDef: Int, maxRep: Int): Option[(Seq[Any], Seq[Int], Seq[Int])] = {
     if (chunk.codec != 0 && chunk.codec != 1) return None // only raw + snappy
     if (chunk.typ != 1 && chunk.typ != 2 && chunk.typ != 4 && chunk.typ != 5 && chunk.typ != 6)
       return None
+    val defW = if (maxDef == 0) 0 else 32 - Integer.numberOfLeadingZeros(maxDef)
+    val repW = if (maxRep == 0) 0 else 32 - Integer.numberOfLeadingZeros(maxRep)
+    val allDefs = Vector.newBuilder[Int]
+    val allReps = Vector.newBuilder[Int]
     val start =
       if (chunk.dictPageOffset >= 0 && chunk.dictPageOffset < chunk.dataPageOffset)
         chunk.dictPageOffset
@@ -1012,7 +1026,7 @@ object ParquetFile {
       r.structBegin()
       var pageType = -1; var uncomp = -1; var comp = -1
       var dNum = -1; var dEnc = -1
-      var vNum = -1; var vEnc = -1; var dlEnc = -1
+      var vNum = -1; var vEnc = -1; var dlEnc = -1; var rlEnc = -1
       var v2Num = -1; var v2Nulls = -1; var v2Enc = -1
       var v2DefLen = -1; var v2RepLen = 0; var v2Compressed = true // spec default
       var more = true
@@ -1027,6 +1041,7 @@ object ParquetFile {
             case Some((1, 5)) => vNum = r.zigzag().toInt
             case Some((2, 5)) => vEnc = r.zigzag().toInt
             case Some((3, 5)) => dlEnc = r.zigzag().toInt
+            case Some((4, 5)) => rlEnc = r.zigzag().toInt
             case Some((_, t)) => r.skip(t)
             case None => m2 = false
           }
@@ -1086,17 +1101,29 @@ object ParquetFile {
           // otherwise drive a huge def-level array
           if (vNum < 0 || vEnc < 0 || read + vNum > chunk.numValues) fail()
           var p = 0
+          // 4-byte-length-prefixed RLE-hybrid level section (rep first,
+          // then def — the v1 body order)
+          def levelSection(width: Int, maxLevel: Int): Seq[Int] = {
+            if (p + 4 > page.length) fail()
+            val len = (page(p) & 0xff) | ((page(p + 1) & 0xff) << 8) |
+              ((page(p + 2) & 0xff) << 16) | ((page(p + 3) & 0xff) << 24)
+            p += 4
+            if (len < 0 || len > page.length - p) fail()
+            val lv = hybrid(page, p, p + len, width, vNum)
+            p += len
+            if (lv.exists(l => l < 0 || l > maxLevel)) fail()
+            lv
+          }
+          if (maxRep > 0) {
+            if (rlEnc != 3) return None // repetition levels must be RLE-hybrid
+            allReps ++= levelSection(repW, maxRep)
+          }
           val nDefined =
-            if (maxDef == 1) {
+            if (maxDef > 0) {
               if (dlEnc != 3) return None // definition levels must be RLE-hybrid
-              if (p + 4 > page.length) fail()
-              val len = (page(p) & 0xff) | ((page(p + 1) & 0xff) << 8) |
-                ((page(p + 2) & 0xff) << 16) | ((page(p + 3) & 0xff) << 24)
-              p += 4
-              if (len < 0 || p + len > page.length) fail()
-              val flags = hybrid(page, p, p + len, 1, vNum)
-              p += len
-              flags.count(_ == 1)
+              val defs = levelSection(defW, maxDef)
+              allDefs ++= defs
+              defs.count(_ == maxDef)
             } else vNum
           vEnc match {
             case 0 => // PLAIN
@@ -1118,27 +1145,37 @@ object ParquetFile {
           read += vNum
         case 3 => // v2 data page: levels OUTSIDE the compressed region
           if (v2Num < 0 || v2Enc < 0 || read + v2Num > chunk.numValues) fail()
-          if (v2RepLen != 0) return None // flat columns carry no rep levels
-          if (v2DefLen < 0 || v2DefLen > comp) fail()
+          if (maxRep == 0 && v2RepLen != 0) return None // flat: no rep section
+          if (v2RepLen < 0 || v2DefLen < 0 || v2RepLen + v2DefLen > comp) fail()
+          if (maxRep > 0) {
+            // an omitted rep section means every entry starts a record
+            val reps: Seq[Int] = if (v2RepLen == 0) Seq.fill(v2Num)(0)
+              else hybrid(bytes, dataStart, dataStart + v2RepLen, repW, v2Num).toSeq
+            if (reps.exists(l => l < 0 || l > maxRep)) fail()
+            allReps ++= reps
+          }
           val nDefined =
-            if (maxDef == 1) {
-              if (v2DefLen == 0) {
+            if (maxDef > 0) {
+              val defs: Seq[Int] = if (v2DefLen == 0) {
                 // writers may omit levels only when nothing is null
                 if (v2Nulls > 0) fail()
-                v2Num
-              } else {
-                val flags = hybrid(bytes, dataStart, dataStart + v2DefLen, 1, v2Num)
-                flags.count(_ == 1)
-              }
+                Seq.fill(v2Num)(maxDef)
+              } else hybrid(bytes, dataStart + v2RepLen,
+                dataStart + v2RepLen + v2DefLen, defW, v2Num).toSeq
+              if (defs.exists(l => l < 0 || l > maxDef)) fail()
+              allDefs ++= defs
+              defs.count(_ == maxDef)
             } else {
               if (v2DefLen != 0) return None // unexpected level section
               v2Num
             }
           // the header's null count must agree with the decoded levels
-          if (v2Nulls >= 0 && v2Num - nDefined != v2Nulls) fail()
-          val valsAt = dataStart + v2DefLen
-          val valsComp = comp - v2DefLen
-          val valsUncomp = uncomp - v2DefLen
+          // (only unambiguous on non-repeated columns, where def < maxDef
+          // IS a null — for repeated ones it may be an empty list)
+          if (maxRep == 0 && v2Nulls >= 0 && v2Num - nDefined != v2Nulls) fail()
+          val valsAt = dataStart + v2RepLen + v2DefLen
+          val valsComp = comp - v2RepLen - v2DefLen
+          val valsUncomp = uncomp - v2RepLen - v2DefLen
           if (valsUncomp < 0) fail()
           val values: Array[Byte] =
             if (chunk.codec == 0 || !v2Compressed) {
@@ -1186,8 +1223,13 @@ object ParquetFile {
       }
     }
     if (read != chunk.numValues) fail()
-    Some(out.result())
+    Some((out.result(), allDefs.result(), allReps.result()))
   }
+
+  /** Values-only view of [[decodeChunkLevels]]. */
+  private def decodeChunk(bytes: Array[Byte], chunk: PqColumn,
+      maxDef: Int, maxRep: Int): Option[Seq[Any]] =
+    decodeChunkLevels(bytes, chunk, maxDef, maxRep).map(_._1)
 
   final case class ParquetColStat(
     doc_id: Long, row_group: Long, col_idx: Long, path: String,
@@ -1311,5 +1353,326 @@ object ParquetFile {
       .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) => if (b == null) Nil else parseParquetSafe(id, b) }
+  }
+
+  // ================== nested/repeated columns (Dremel assembly) ==================
+  // The last real decode boundary: a schema with an optional GROUP, a
+  // repeated leaf, and a repeated GROUP with an optional member — every
+  // level combination Dremel shredding admits at depth 2 — written by
+  // the fixture at the byte level (multi-component column paths, rep+def
+  // level sections in both page versions) and REASSEMBLED from the level
+  // streams alone, per the algorithm [[Dremel]] pins standalone:
+  //
+  //   message schema {
+  //     required int64 id;                    // maxDef 0, maxRep 0
+  //     optional group info {
+  //       optional binary name (UTF8);        // maxDef 2
+  //       optional int64 weight;              // maxDef 2
+  //     }
+  //     repeated binary tags (UTF8);          // maxDef 1, maxRep 1
+  //     repeated group pairs {
+  //       required int64 k;                   // maxDef 1, maxRep 1
+  //       optional binary v (UTF8);           // maxDef 2, maxRep 1
+  //     }
+  //   }
+
+  private def nibN(id: Long, i: Int): Int = {
+    val m = md5Hex(s"pqn:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  private[ext] def nRowsN(id: Long): Int = 2 + nibN(id, 1) % 3
+  private[ext] val RowsPerGroupN = 2
+  private[ext] def infoPresent(id: Long, k: Int): Boolean = nibN(id, 2 + k) % 4 != 0
+  private[ext] def namePresent(id: Long, k: Int): Boolean =
+    infoPresent(id, k) && nibN(id, 6 + k) % 3 != 0
+  private[ext] def nameValN(id: Long, k: Int): String = s"${words(nibN(id, 10 + k) % 8)}-$k"
+  private[ext] def weightPresent(id: Long, k: Int): Boolean =
+    infoPresent(id, k) && (id + k) % 2 == 0
+  private[ext] def weightValN(id: Long, k: Int): Long = id * 10 + 7L * k
+  private[ext] def nTagsN(id: Long, k: Int): Int = nibN(id, 14 + k) % 3
+  private[ext] def tagValN(id: Long, k: Int, j: Int): String =
+    words((nibN(id, 18 + k) + 3 * j) % 8)
+  private[ext] def nPairsN(id: Long, k: Int): Int = nibN(id, 22 + k) % 3
+  private[ext] def pairKValN(id: Long, k: Int, j: Int): Long = id + 13L * k + 5L * j
+  private[ext] def pairVPresent(id: Long, k: Int, j: Int): Boolean = (id + k + j) % 3 != 0
+  private[ext] def pairVValN(id: Long, k: Int, j: Int): String =
+    words((nibN(id, 26 + k) + j) % 8)
+
+  /** 4-byte-length-prefixed RLE/bit-packed hybrid level section (the v1
+    * page body layout).
+    */
+  private def levelBytesV1(levels: Seq[Int], width: Int): Array[Byte] = {
+    val h = hybridBitPacked(levels, width)
+    val out = new java.io.ByteArrayOutputStream()
+    val n = h.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >>> 24) & 0xff)
+    out.write(h, 0, h.length)
+    out.toByteArray
+  }
+
+  private[ext] def renderNestedParquet(id: Long): Array[Byte] = {
+    val n = nRowsN(id)
+    val snappy = useSnappy(id)
+    val v2 = useV2(id)
+    val groups = (0 until n).grouped(RowsPerGroupN).toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    final case class LeafSpec(typ: Int, pathParts: Seq[String], maxDef: Int, maxRep: Int,
+      entries: Int => Seq[(Int, Int, Option[Array[Byte]])]) // row k -> (def, rep, value)
+    // per-row leaf streams; rep of a row's FIRST entry is always 0
+    // (record boundary), later entries repeat at level 1
+    val leafSpecs = Seq(
+      LeafSpec(2, Seq("id"), 0, 0,
+        k => Seq((0, 0, Some(leI64(idVal(id, k)))))),
+      LeafSpec(6, Seq("info", "name"), 2, 0, { k =>
+        val d = if (!infoPresent(id, k)) 0 else if (!namePresent(id, k)) 1 else 2
+        Seq((d, 0, if (d == 2) Some(plainString(nameValN(id, k))) else None))
+      }),
+      LeafSpec(2, Seq("info", "weight"), 2, 0, { k =>
+        val d = if (!infoPresent(id, k)) 0 else if (!weightPresent(id, k)) 1 else 2
+        Seq((d, 0, if (d == 2) Some(leI64(weightValN(id, k))) else None))
+      }),
+      LeafSpec(6, Seq("tags"), 1, 1, { k =>
+        val t = nTagsN(id, k)
+        if (t == 0) Seq((0, 0, None))
+        else (0 until t).map(j => (1, if (j == 0) 0 else 1, Some(plainString(tagValN(id, k, j)))))
+      }),
+      LeafSpec(2, Seq("pairs", "k"), 1, 1, { k =>
+        val p = nPairsN(id, k)
+        if (p == 0) Seq((0, 0, None))
+        else (0 until p).map(j => (1, if (j == 0) 0 else 1, Some(leI64(pairKValN(id, k, j)))))
+      }),
+      LeafSpec(6, Seq("pairs", "v"), 2, 1, { k =>
+        val p = nPairsN(id, k)
+        if (p == 0) Seq((0, 0, None))
+        else (0 until p).map { j =>
+          val d = if (pairVPresent(id, k, j)) 2 else 1
+          (d, if (j == 0) 0 else 1, if (d == 2) Some(plainString(pairVValN(id, k, j))) else None)
+        }
+      }))
+    final case class Chunk(typ: Int, pathParts: Seq[String], numValues: Long,
+      offset: Long, size: Long, uncompressed: Long)
+    val rowGroups = groups.map { ks =>
+      leafSpecs.map { spec =>
+        val es = ks.flatMap(spec.entries)
+        val defs = es.map(_._1)
+        val reps = es.map(_._2)
+        val values = es.flatMap(_._3).flatten.toArray
+        val defW = if (spec.maxDef == 0) 0 else 32 - Integer.numberOfLeadingZeros(spec.maxDef)
+        val repW = if (spec.maxRep == 0) 0 else 32 - Integer.numberOfLeadingZeros(spec.maxRep)
+        val off = out.size.toLong
+        val numNulls = defs.count(_ < spec.maxDef)
+        val (page, pgUncomp) =
+          if (v2) dataPageV2(es.length, numNulls, ks.length, 0,
+            if (spec.maxRep > 0) hybridBitPacked(reps, repW) else Array.emptyByteArray,
+            if (spec.maxDef > 0) hybridBitPacked(defs, defW) else Array.emptyByteArray,
+            values, snappy)
+          else {
+            val body =
+              (if (spec.maxRep > 0) levelBytesV1(reps, repW) else Array.emptyByteArray) ++
+              (if (spec.maxDef > 0) levelBytesV1(defs, defW) else Array.emptyByteArray) ++ values
+            dataPage(es.length, 0, body, snappy) // PLAIN
+          }
+        out.write(page, 0, page.length)
+        Chunk(spec.typ, spec.pathParts, es.length.toLong, off, out.size.toLong - off, pgUncomp)
+      }
+    }
+    // footer: the full schema TREE (groups with children counts)
+    val w = new TWriter
+    w.i32(1, 1) // version
+    w.listBegin(2, 9, 12)
+    w.structElemBegin() // root
+    w.str(4, "schema")
+    w.i32(5, 4)
+    w.structEnd()
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
+      w.structElemBegin()
+      w.i32(1, typ)
+      w.i32(3, repetition)
+      w.str(4, name)
+      converted.foreach(c => w.i32(6, c))
+      w.structEnd()
+    }
+    def group(name: String, repetition: Int, children: Int): Unit = {
+      w.structElemBegin()
+      w.i32(3, repetition)
+      w.str(4, name)
+      w.i32(5, children)
+      w.structEnd()
+    }
+    prim(2, "id", 0, None)
+    group("info", 1, 2)
+    prim(6, "name", 1, Some(0))
+    prim(2, "weight", 1, None)
+    prim(6, "tags", 2, Some(0))
+    group("pairs", 2, 2)
+    prim(2, "k", 0, None)
+    prim(6, "v", 1, Some(0))
+    w.i64(3, n.toLong) // num_rows
+    w.listBegin(4, rowGroups.length, 12)
+    rowGroups.zipWithIndex.foreach { case (chunks, g) =>
+      w.structElemBegin() // RowGroup
+      w.listBegin(1, chunks.length, 12)
+      chunks.foreach { c =>
+        w.structElemBegin() // ColumnChunk
+        w.i64(2, c.offset) // file_offset
+        w.structBegin(3) // ColumnMetaData
+        w.i32(1, c.typ)
+        w.listBegin(2, 2, 5)
+        w.varint(0L << 1); w.varint(3L << 1) // PLAIN, RLE
+        w.listBegin(3, c.pathParts.length, 8)
+        c.pathParts.foreach { part =>
+          val pb = part.getBytes("UTF-8")
+          w.varint(pb.length.toLong); w.out.write(pb)
+        }
+        w.i32(4, if (snappy) 1 else 0) // codec
+        w.i64(5, c.numValues)
+        w.i64(6, c.uncompressed)
+        w.i64(7, c.size)
+        w.i64(9, c.offset) // data_page_offset
+        w.structEnd()
+        w.structEnd()
+      }
+      w.i64(2, chunks.map(_.size).sum)
+      w.i64(3, groups(g).length.toLong)
+      w.structEnd()
+    }
+    w.str(6, "graft nested parquet writer")
+    w.out.write(0) // end FileMetaData
+    val footer = w.bytes
+    out.write(footer)
+    val len = footer.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Fixture writer: one nested parquet file per document row. */
+  def encodeNestedParquet(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderNestedParquet(id)))
+      .toDF("doc_id", "pq")
+  }
+
+  final case class ParquetNestedRow(
+    doc_id: Long, row_idx: Long, id_val: Long,
+    info_name: Option[String], info_weight: Option[Long],
+    n_tags: Long, tags_cat: String, n_pairs: Long, k_sum: Long, v_cat: String)
+
+  /** Group one leaf's (values, defs, reps) streams into per-record entry
+    * lists — the Dremel reassembly boundary walk: rep 0 starts a record,
+    * a value is present iff def == maxDef.
+    */
+  private def recordsOf(maxDef: Int,
+      decoded: (Seq[Any], Seq[Int], Seq[Int])): Vector[Vector[(Int, Option[Any])]] = {
+    val (values, defs0, reps) = decoded
+    val defs = if (defs0.nonEmpty) defs0 else Seq.fill(values.length)(0)
+    if (reps.nonEmpty && reps.length != defs.length) fail()
+    var vi = 0
+    val rows = Vector.newBuilder[Vector[(Int, Option[Any])]]
+    var cur: scala.collection.mutable.ArrayBuffer[(Int, Option[Any])] = null
+    var i = 0
+    while (i < defs.length) {
+      val r = if (reps.isEmpty) 0 else reps(i)
+      if (r == 0) {
+        if (cur != null) rows += cur.toVector
+        cur = scala.collection.mutable.ArrayBuffer.empty
+      }
+      if (cur == null) fail() // a record cannot OPEN at rep > 0
+      val v = if (defs(i) == maxDef) {
+        if (vi >= values.length) fail()
+        val x = values(vi); vi += 1; Some(x)
+      } else None
+      cur += ((defs(i), v))
+      i += 1
+    }
+    if (cur != null) rows += cur.toVector
+    if (vi != values.length) fail()
+    rows.result()
+  }
+
+  private[ext] def parseNestedParquet(docId: Long, bytes: Array[Byte]): Seq[ParquetNestedRow] = {
+    val f = parseFooter(Option(bytes).getOrElse(fail()))
+    if (f.rowGroups.map(_.numRows).sum != f.numRows) fail()
+    val expected = Seq("id", "info.name", "info.weight", "tags", "pairs.k", "pairs.v")
+    val out = Vector.newBuilder[ParquetNestedRow]
+    var rowIdx = 0L
+    f.rowGroups.foreach { rg =>
+      if (rg.columns.length != expected.length || f.schema.length != expected.length) fail()
+      val byPath = rg.columns.zipWithIndex.map { case (c, ci) =>
+        if (c.path != expected(ci)) fail() // leaf order is the schema's
+        val leaf = f.schema(ci)
+        val decoded = decodeChunkLevels(bytes, c, leaf.maxDef, leaf.maxRep).getOrElse(fail())
+        c.path -> recordsOf(leaf.maxDef, decoded)
+      }.toMap
+      val ids = byPath("id"); val names = byPath("info.name")
+      val weights = byPath("info.weight"); val tags = byPath("tags")
+      val pk = byPath("pairs.k"); val pv = byPath("pairs.v")
+      val m = rg.numRows.toInt
+      if (Seq(ids, names, weights, tags, pk, pv).exists(_.length != m)) fail()
+      var i = 0
+      while (i < m) {
+        if (ids(i).length != 1 || names(i).length != 1 || weights(i).length != 1) fail()
+        val idV = ids(i).head._2.getOrElse(fail()).asInstanceOf[Long]
+        // the two members of one optional group must agree on its presence
+        if ((names(i).head._1 >= 1) != (weights(i).head._1 >= 1)) fail()
+        val nameV = names(i).head._2.map(_.asInstanceOf[String])
+        val weightV = weights(i).head._2.map(_.asInstanceOf[Long])
+        val tagVals =
+          if (tags(i).length == 1 && tags(i).head._1 == 0) Vector.empty
+          else tags(i).map { case (d, v) =>
+            if (d != 1 || v.isEmpty) fail()
+            v.get.asInstanceOf[String]
+          }
+        // both leaves of one repeated group carry the SAME entry shape
+        if (pk(i).length != pv(i).length) fail()
+        val empty = pk(i).length == 1 && pk(i).head._1 == 0
+        if (empty && pv(i).head._1 != 0) fail()
+        val (kVals, vVals) =
+          if (empty) (Vector.empty[Long], Vector.empty[Option[String]])
+          else (
+            pk(i).map { case (d, v) =>
+              if (d != 1 || v.isEmpty) fail()
+              v.get.asInstanceOf[Long]
+            },
+            pv(i).map { case (d, v) =>
+              if (d < 1 || (d == 2) != v.nonEmpty) fail()
+              v.map(_.asInstanceOf[String])
+            })
+        out += ParquetNestedRow(docId, rowIdx, idV, nameV, weightV,
+          tagVals.length.toLong, tagVals.mkString(","),
+          kVals.length.toLong, kVals.sum,
+          vVals.map(_.getOrElse("_")).mkString(","))
+        rowIdx += 1
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private[ext] def parseNestedParquetSafe(docId: Long, bytes: Array[Byte]): Seq[ParquetNestedRow] =
+    try parseNestedParquet(docId, bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `parquet_nested`: decode + Dremel-reassemble every nested file's
+    * records. Map-only per file, zero shuffles.
+    */
+  def parquetNested(docs: DataFrame, idCol: String = "doc_id",
+                    binCol: String = "pq"): Dataset[ParquetNestedRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parseNestedParquetSafe(id, b) }
   }
 }

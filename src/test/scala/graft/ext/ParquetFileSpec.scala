@@ -207,12 +207,19 @@ class ParquetFileSpec extends AnyFunSuite {
         }
       }
     }
-    // the nested (repeated) float leaf stays OUTSIDE the decode subset:
-    // metadata-only, never a misattributed value row
+    // the nested (repeated) float leaf DECODES through the generalized
+    // level path — its per-file value sum must match Spark's own read
     val emb = ParquetFile.parseParquet(0L, java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet")))
-    val leaf = emb.find(_.path == "embedding.list.element")
-    assert(leaf.exists(_.vtype == "m"), "repeated leaf must stay metadata-only")
+    val leaves = emb.filter(_.path == "embedding.list.element")
+    assert(leaves.nonEmpty && leaves.forall(_.vtype == "f"),
+      "repeated leaf must decode through the level-generalized path")
+    val want = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("sum(aggregate(embedding, cast(0.0 as double), (a, x) -> a + x))")
+      .head.getDouble(0)
+    val got = leaves.flatMap(_.r_sum).sum
+    assert(math.abs(got - want) <= math.abs(want) * 1e-9 + 1e-6,
+      s"embedding value sum $got vs spark $want")
   }
 
   test("foreign differential: Spark-written V2 pages (delta encodings) decode bit-exact") {
@@ -301,5 +308,85 @@ class ParquetFileSpec extends AnyFunSuite {
       val nGroups = (ParquetFile.nRows(id) + 2) / 3
       assert(byDoc(id).length == 4 * nGroups, s"pq $id")
     }
+  }
+
+  test("nested round-trip: Dremel reassembly recovers the closed-form records") {
+    for (id <- 0L until 96L) {
+      val rows = ParquetFile.parseNestedParquet(id, ParquetFile.renderNestedParquet(id))
+      val n = ParquetFile.nRowsN(id)
+      assert(rows.length == n, s"pqn $id row count")
+      rows.zipWithIndex.foreach { case (r, k) =>
+        assert(r.doc_id == id && r.row_idx == k.toLong)
+        assert(r.id_val == ParquetFile.idVal(id, k))
+        val wantName = if (ParquetFile.namePresent(id, k))
+          Some(ParquetFile.nameValN(id, k)) else None
+        assert(r.info_name == wantName, s"pqn $id row $k name")
+        val wantW = if (ParquetFile.weightPresent(id, k))
+          Some(ParquetFile.weightValN(id, k)) else None
+        assert(r.info_weight == wantW, s"pqn $id row $k weight")
+        val t = ParquetFile.nTagsN(id, k)
+        assert(r.n_tags == t.toLong)
+        assert(r.tags_cat ==
+          (0 until t).map(j => ParquetFile.tagValN(id, k, j)).mkString(","))
+        val p = ParquetFile.nPairsN(id, k)
+        assert(r.n_pairs == p.toLong)
+        assert(r.k_sum == (0 until p).map(j => ParquetFile.pairKValN(id, k, j)).sum)
+        assert(r.v_cat == (0 until p).map { j =>
+          if (ParquetFile.pairVPresent(id, k, j)) ParquetFile.pairVValN(id, k, j) else "_"
+        }.mkString(","), s"pqn $id row $k v_cat")
+      }
+    }
+  }
+
+  test("SPARK reads the from-scratch NESTED files: exact rows, exact nesting") {
+    // the strongest writer check for the nested arm — Spark's own
+    // parquet reader (parquet-mr underneath) must assemble the same
+    // structs/arrays from our rep/def level sections
+    val spark = graft.SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqn").toFile
+    try {
+      for (id <- Seq(0L, 1L, 3L, 5L, 7L, 10L)) { // both codecs, both page versions
+        val f = new java.io.File(dir, s"n_$id.parquet")
+        java.nio.file.Files.write(f.toPath, ParquetFile.renderNestedParquet(id))
+        val df = spark.read.parquet(f.getAbsolutePath)
+        val got = df.selectExpr("id", "info.name", "info.weight",
+            "tags", "pairs.k as pk", "pairs.v as pv")
+          .collect().sortBy(_.getLong(0))
+        assert(got.length == ParquetFile.nRowsN(id), s"pqn $id spark rows")
+        got.zipWithIndex.foreach { case (row, k) =>
+          assert(row.getLong(0) == ParquetFile.idVal(id, k))
+          val wantName = if (ParquetFile.namePresent(id, k)) ParquetFile.nameValN(id, k) else null
+          assert(row.getString(1) == wantName, s"pqn $id row $k spark name")
+          if (ParquetFile.weightPresent(id, k))
+            assert(row.getLong(2) == ParquetFile.weightValN(id, k))
+          else assert(row.isNullAt(2), s"pqn $id row $k spark weight null")
+          val tags = row.getSeq[String](3)
+          assert(tags == (0 until ParquetFile.nTagsN(id, k)).map(j => ParquetFile.tagValN(id, k, j)),
+            s"pqn $id row $k spark tags")
+          val p = ParquetFile.nPairsN(id, k)
+          assert(row.getSeq[Long](4) == (0 until p).map(j => ParquetFile.pairKValN(id, k, j)))
+          val pv = row.getSeq[String](5)
+          assert(pv == (0 until p).map(j =>
+            if (ParquetFile.pairVPresent(id, k, j)) ParquetFile.pairVValN(id, k, j) else null),
+            s"pqn $id row $k spark pairs.v")
+        }
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("nested operator: damaged file quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 16L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = ParquetFile.encodeNestedParquet(docs).as[(Long, Array[Byte])].map { case (id, b) =>
+      if (id == 5L) (id, b.take(b.length - 6)) else (id, b)
+    }.toDF("doc_id", "pq")
+    val got = ParquetFile.parquetNested(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(5L))
+    for (id <- (0L until 16L) if id != 5L)
+      assert(byDoc(id).length == ParquetFile.nRowsN(id), s"pqn $id")
   }
 }
