@@ -3521,6 +3521,41 @@ object QueryCatalog {
        |FROM g""".stripMargin
   }
 
+  /** Delta CHECKPOINT replay ([[graft.ext.DeltaLog.deltaCheckpointState]]
+    * — what real `_delta_log/` dirs require: a `NNN.checkpoint.parquet`
+    * every ~10 commits plus `_last_checkpoint`, with VACUUM deleting the
+    * subsumed JSON commits): the pointer file resolves the checkpoint
+    * version, the checkpoint parquet decodes through the in-house
+    * nested/Dremel reader ([[graft.ext.ParquetFile.parseDeltaCheckpoint]]
+    * — one optional group per action kind, `partitionValues` as a real
+    * parquet MAP), expired remove tombstones must NOT surface as
+    * active, and only the contiguous JSON tail after the checkpoint
+    * replays. The fixture vacuums EVERY pre-checkpoint JSON commit, so
+    * a JSON-only replayer sees a log that starts mid-stream and fails
+    * the oracle by construction. One shuffle, keyed by table.
+    */
+  private val qDeltaCheckpoint: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.DeltaLog.deltaCheckpointState(
+      graft.ext.DeltaLog.encodeDeltaCheckpointLog(table(s, dir, "documents"))).toDF()
+
+  private val oDeltaCheckpoint: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('dckp:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |n AS (SELECT doc_id, m, ws, (4 + ${nib("1")} % 3)::BIGINT AS nc FROM d, wt),
+       |g AS (SELECT doc_id, m, ws, nc, c, j
+       |      FROM n, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS c), (SELECT unnest([0, 1]) AS j)
+       |      WHERE c < nc
+       |        AND j < CASE WHEN c = 0 THEN 2 ELSE 1 + ${nib("2 + c")} % 2 END
+       |        AND (c = nc - 1 OR j % 2 = 1))
+       |SELECT doc_id,
+       |       printf('part-%05d-%d.snappy.parquet', c, j) AS path,
+       |       (1000 + ${nib("17 + (c + j) % 8")} * 64 + 17 * j + c)::BIGINT AS size_bytes,
+       |       list_extract(ws, 1 + CAST(${nib("8 + (2 * c + j) % 9")} % 8 AS INT)) AS lang
+       |FROM g""".stripMargin
+  }
+
   /** Iceberg table-metadata walk ([[graft.ext.Iceberg]] — the pointer
     * chain the OTHER lake table format uses): strict-JSON
     * `metadata.json` resolves `current-snapshot-id` against the
@@ -10918,6 +10953,7 @@ object QueryCatalog {
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
     "delta_state" -> qDeltaState,
+    "delta_checkpoint_state" -> qDeltaCheckpoint,
     "iceberg_state" -> qIcebergState,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
@@ -11296,6 +11332,7 @@ object QueryCatalog {
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,
     "delta_state" -> oDeltaState,
+    "delta_checkpoint_state" -> oDeltaCheckpoint,
     "iceberg_state" -> oIcebergState,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,

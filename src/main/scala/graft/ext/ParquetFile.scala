@@ -1675,4 +1675,206 @@ object ParquetFile {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, b) => if (b == null) Nil else parseNestedParquetSafe(id, b) }
   }
+
+  // =================== Delta checkpoint parquet (for DeltaLog) ===================
+  // The classic `NNN.checkpoint.parquet` row shape: one row per action,
+  // each action an optional GROUP (protocol / metaData / add / remove),
+  // `add.partitionValues` the standard parquet MAP (repeated key_value
+  // group) — the real nested-schema consumer of the generalized level
+  // path above. Written and read here because this object owns the
+  // thrift/page machinery; [[DeltaLog]] composes the snapshot semantics.
+
+  private[ext] sealed trait CkptAction
+  private[ext] final case class CkptProtocol(minReader: Long) extends CkptAction
+  private[ext] final case class CkptMeta(tableId: String) extends CkptAction
+  private[ext] final case class CkptAdd(path: String, lang: String, size: Long) extends CkptAction
+  private[ext] final case class CkptRemove(path: String) extends CkptAction
+
+  private[ext] def renderDeltaCheckpoint(actions: Seq[CkptAction]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    // leaf streams, one row per action: (def, rep, value)
+    final case class LeafSpec(typ: Int, pathParts: Seq[String], maxDef: Int, maxRep: Int,
+      entries: CkptAction => Seq[(Int, Int, Option[Array[Byte]])])
+    def absent: Seq[(Int, Int, Option[Array[Byte]])] = Seq((0, 0, None))
+    val leafSpecs = Seq(
+      LeafSpec(1, Seq("protocol", "minReaderVersion"), 2, 0, {
+        case CkptProtocol(v) => Seq((2, 0, Some(leI32(v.toInt))))
+        case _ => absent
+      }),
+      LeafSpec(6, Seq("metaData", "id"), 2, 0, {
+        case CkptMeta(tid) => Seq((2, 0, Some(plainString(tid))))
+        case _ => absent
+      }),
+      LeafSpec(6, Seq("add", "path"), 2, 0, {
+        case CkptAdd(p, _, _) => Seq((2, 0, Some(plainString(p))))
+        case _ => absent
+      }),
+      LeafSpec(6, Seq("add", "partitionValues", "key_value", "key"), 3, 1, {
+        case CkptAdd(_, _, _) => Seq((3, 0, Some(plainString("lang"))))
+        case _ => absent
+      }),
+      LeafSpec(6, Seq("add", "partitionValues", "key_value", "value"), 4, 1, {
+        case CkptAdd(_, lang, _) => Seq((4, 0, Some(plainString(lang))))
+        case _ => absent
+      }),
+      LeafSpec(2, Seq("add", "size"), 2, 0, {
+        case CkptAdd(_, _, sz) => Seq((2, 0, Some(leI64(sz))))
+        case _ => absent
+      }),
+      LeafSpec(6, Seq("remove", "path"), 2, 0, {
+        case CkptRemove(p) => Seq((2, 0, Some(plainString(p))))
+        case _ => absent
+      }))
+    final case class Chunk(typ: Int, pathParts: Seq[String], numValues: Long,
+      offset: Long, size: Long, uncompressed: Long)
+    val chunks = leafSpecs.map { spec =>
+      val es = actions.flatMap(spec.entries)
+      val defs = es.map(_._1)
+      val reps = es.map(_._2)
+      val values = es.flatMap(_._3).flatten.toArray
+      val defW = 32 - Integer.numberOfLeadingZeros(spec.maxDef)
+      val repW = if (spec.maxRep == 0) 0 else 32 - Integer.numberOfLeadingZeros(spec.maxRep)
+      val off = out.size.toLong
+      val body =
+        (if (spec.maxRep > 0) levelBytesV1(reps, repW) else Array.emptyByteArray) ++
+        levelBytesV1(defs, defW) ++ values
+      val (page, pgUncomp) = dataPage(es.length, 0, body, snappy = false) // PLAIN
+      out.write(page, 0, page.length)
+      Chunk(spec.typ, spec.pathParts, es.length.toLong, off, out.size.toLong - off, pgUncomp)
+    }
+    val w = new TWriter
+    w.i32(1, 1) // version
+    w.listBegin(2, 14, 12)
+    w.structElemBegin() // root
+    w.str(4, "schema")
+    w.i32(5, 4)
+    w.structEnd()
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
+      w.structElemBegin()
+      w.i32(1, typ)
+      w.i32(3, repetition)
+      w.str(4, name)
+      converted.foreach(c => w.i32(6, c))
+      w.structEnd()
+    }
+    def group(name: String, repetition: Int, children: Int): Unit = {
+      w.structElemBegin()
+      w.i32(3, repetition)
+      w.str(4, name)
+      w.i32(5, children)
+      w.structEnd()
+    }
+    group("protocol", 1, 1)
+    prim(1, "minReaderVersion", 1, None)
+    group("metaData", 1, 1)
+    prim(6, "id", 1, Some(0))
+    group("add", 1, 3)
+    prim(6, "path", 1, Some(0))
+    group("partitionValues", 1, 1)
+    group("key_value", 2, 2)
+    prim(6, "key", 0, Some(0))
+    prim(6, "value", 1, Some(0))
+    prim(2, "size", 1, None)
+    group("remove", 1, 1)
+    prim(6, "path", 1, Some(0))
+    w.i64(3, actions.length.toLong) // num_rows
+    w.listBegin(4, 1, 12)
+    w.structElemBegin() // the single RowGroup
+    w.listBegin(1, chunks.length, 12)
+    chunks.foreach { c =>
+      w.structElemBegin() // ColumnChunk
+      w.i64(2, c.offset)
+      w.structBegin(3) // ColumnMetaData
+      w.i32(1, c.typ)
+      w.listBegin(2, 2, 5)
+      w.varint(0L << 1); w.varint(3L << 1) // PLAIN, RLE
+      w.listBegin(3, c.pathParts.length, 8)
+      c.pathParts.foreach { part =>
+        val pb = part.getBytes("UTF-8")
+        w.varint(pb.length.toLong); w.out.write(pb)
+      }
+      w.i32(4, 0) // UNCOMPRESSED
+      w.i64(5, c.numValues)
+      w.i64(6, c.uncompressed)
+      w.i64(7, c.size)
+      w.i64(9, c.offset)
+      w.structEnd()
+      w.structEnd()
+    }
+    w.i64(2, chunks.map(_.size).sum)
+    w.i64(3, actions.length.toLong)
+    w.structEnd()
+    w.str(6, "graft delta checkpoint writer")
+    w.out.write(0)
+    val footer = w.bytes
+    out.write(footer)
+    val len = footer.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Decode + reassemble a classic Delta checkpoint parquet into its
+    * action rows; strict — structural damage or a row that is not
+    * exactly one action kind quarantines (the caller's `fail()`).
+    */
+  private[ext] def parseDeltaCheckpoint(bytes: Array[Byte]): Seq[CkptAction] = {
+    val f = parseFooter(Option(bytes).getOrElse(fail()))
+    val expected = Seq("protocol.minReaderVersion", "metaData.id", "add.path",
+      "add.partitionValues.key_value.key", "add.partitionValues.key_value.value",
+      "add.size", "remove.path")
+    if (f.schema.length != expected.length) fail()
+    if (f.rowGroups.map(_.numRows).sum != f.numRows) fail()
+    val out = Vector.newBuilder[CkptAction]
+    f.rowGroups.foreach { rg =>
+      if (rg.columns.length != expected.length) fail()
+      val recs = rg.columns.zipWithIndex.map { case (c, ci) =>
+        if (c.path != expected(ci)) fail()
+        val leaf = f.schema(ci)
+        recordsOf(leaf.maxDef, decodeChunkLevels(bytes, c, leaf.maxDef, leaf.maxRep)
+          .getOrElse(fail()))
+      }
+      val m = rg.numRows.toInt
+      if (recs.exists(_.length != m)) fail()
+      val (prot, meta, apath, pkey, pval, asize, rpath) =
+        (recs(0), recs(1), recs(2), recs(3), recs(4), recs(5), recs(6))
+      var i = 0
+      while (i < m) {
+        val protP = prot(i).head._1 >= 1
+        val metaP = meta(i).head._1 >= 1
+        val addP = apath(i).head._1 >= 1
+        val remP = rpath(i).head._1 >= 1
+        if (Seq(protP, metaP, addP, remP).count(identity) != 1) fail()
+        if (protP) {
+          val v = prot(i).head._2.getOrElse(fail()).asInstanceOf[Long]
+          out += CkptProtocol(v)
+        } else if (metaP) {
+          out += CkptMeta(meta(i).head._2.getOrElse(fail()).asInstanceOf[String])
+        } else if (addP) {
+          val p = apath(i).head._2.getOrElse(fail()).asInstanceOf[String]
+          val sz = asize(i).head._2.getOrElse(fail()).asInstanceOf[Long]
+          // the partitionValues MAP: keys at maxDef when entries exist,
+          // one def=2 entry when the map is empty; key/value streams ride
+          // the same repeated group, so their shapes must agree
+          if (pkey(i).length != pval(i).length) fail()
+          val lang =
+            if (pkey(i).length == 1 && pkey(i).head._1 < 3) "" // empty map
+            else {
+              val kvs = pkey(i).zip(pval(i)).map { case ((kd, kv), (vd, vv)) =>
+                if (kd != 3 || kv.isEmpty || vd < 3 || (vd == 4) != vv.nonEmpty) fail()
+                kv.get.asInstanceOf[String] -> vv.map(_.asInstanceOf[String])
+              }
+              kvs.collectFirst { case ("lang", v) => v.getOrElse("") }.getOrElse("")
+            }
+          out += CkptAdd(p, lang, sz)
+        } else {
+          out += CkptRemove(rpath(i).head._2.getOrElse(fail()).asInstanceOf[String])
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
 }

@@ -95,4 +95,94 @@ class DeltaLogSpec extends AnyFunSuite {
       assert(byDoc(id).length == expected, s"dlog $id")
     }
   }
+
+  // ---------------- checkpoint replay ----------------
+
+  private def ckptFiles(id: Long): Seq[(String, Array[Byte])] = {
+    val acts = DeltaLog.checkpointActions(id)
+    Seq(
+      ("_last_checkpoint",
+        s"""{"version":${DeltaLog.CkptVersion},"size":${acts.length}}""".getBytes("UTF-8")),
+      (f"${DeltaLog.CkptVersion}%020d.checkpoint.parquet",
+        ParquetFile.renderDeltaCheckpoint(acts))) ++
+      ((DeltaLog.CkptVersion + 1) until DeltaLog.nCommitsC(id)).map(c =>
+        (f"$c%020d.json", DeltaLog.renderCommitC(id, c).getBytes("UTF-8")))
+  }
+
+  private def expectedActive(id: Long): Set[(String, Long, String)] = {
+    val nc = DeltaLog.nCommitsC(id)
+    (for {
+      c <- 0 until nc
+      j <- 0 until DeltaLog.addsAtC(id, c)
+      if !DeltaLog.removedAtC(id, c, j)
+    } yield (DeltaLog.pathOf(c, j), DeltaLog.sizeOfC(id, c, j), DeltaLog.langOfC(id, c, j))).toSet
+  }
+
+  test("checkpoint round-trip: seed from parquet + JSON tail equals the closed form") {
+    for (id <- 0L until 48L) {
+      val got = DeltaLog.replayCheckpoint(id, ckptFiles(id))
+        .map(f => (f.path, f.size_bytes, f.lang)).toSet
+      assert(got == expectedActive(id), s"dckp $id")
+    }
+  }
+
+  test("checkpoint is load-bearing: the vacuumed JSON tail alone cannot reconstruct") {
+    // a JSON-only replayer sees a log starting mid-stream (version gap
+    // from 0) and must quarantine — the fixture's construction guarantee
+    for (id <- 0L until 16L) {
+      val tailOnly = ckptFiles(id).collect {
+        case (name, bytes) if name.endsWith(".json") && name != "_last_checkpoint" =>
+          (name.dropRight(5).toLong, new String(bytes, "UTF-8"))
+      }
+      assert(DeltaLog.replaySafe(id, tailOnly).isEmpty, s"dckp $id tail-only must fail")
+    }
+  }
+
+  test("checkpoint damage ladder: pointer drift, torn parquet, tail gap quarantine") {
+    val id = 3L
+    val good = ckptFiles(id)
+    assert(DeltaLog.replayCheckpointSafe(id, good).nonEmpty)
+    // _last_checkpoint size disagreeing with the checkpoint's action count
+    val badSize = good.map {
+      case ("_last_checkpoint", _) =>
+        ("_last_checkpoint", s"""{"version":${DeltaLog.CkptVersion},"size":1}""".getBytes("UTF-8"))
+      case kv => kv
+    }
+    assert(DeltaLog.replayCheckpointSafe(id, badSize).isEmpty, "size drift")
+    // missing pointer
+    assert(DeltaLog.replayCheckpointSafe(id, good.filter(_._1 != "_last_checkpoint")).isEmpty)
+    // torn checkpoint parquet
+    val torn = good.map { case (n, b) =>
+      if (n.endsWith(".checkpoint.parquet")) (n, b.take(b.length - 6)) else (n, b)
+    }
+    assert(DeltaLog.replayCheckpointSafe(id, torn).isEmpty, "torn checkpoint")
+    // a gap in the JSON tail (drop the first tail commit, keep a later one)
+    val nc = DeltaLog.nCommitsC(id)
+    if (nc > DeltaLog.CkptVersion + 2) {
+      val gap = good.filter(_._1 != f"${DeltaLog.CkptVersion + 1}%020d.json")
+      assert(DeltaLog.replayCheckpointSafe(id, gap).isEmpty, "tail gap")
+    }
+    // expired tombstones in the checkpoint must not surface as active
+    val acts = DeltaLog.checkpointActions(id)
+    val removed = acts.collect { case ParquetFile.CkptRemove(p) => p }.toSet
+    val got = DeltaLog.replayCheckpoint(id, good).map(_.path).toSet
+    assert(removed.nonEmpty || id != 3L, "fixture should plant tombstones for id 3")
+    assert(removed.intersect(got).isEmpty, "tombstoned paths surfaced as active")
+  }
+
+  test("checkpoint operator: damaged table quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 16L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = DeltaLog.encodeDeltaCheckpointLog(docs).as[(Long, String, Array[Byte])].map {
+      case (id, n, b) =>
+        if (id == 5L && n.endsWith(".checkpoint.parquet")) (id, n, b.take(30)) else (id, n, b)
+    }.toDF("doc_id", "name", "content")
+    val got = DeltaLog.deltaCheckpointState(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(5L))
+    for (id <- (0L until 16L) if id != 5L)
+      assert(byDoc(id).map(f => (f.path, f.size_bytes, f.lang)).toSet == expectedActive(id),
+        s"dckp $id")
+  }
 }
