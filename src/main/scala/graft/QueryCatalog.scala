@@ -3570,6 +3570,40 @@ object QueryCatalog {
     graft.ext.Iceberg.icebergState(
       graft.ext.Iceberg.encodeIceberg(table(s, dir, "documents"))).toDF()
 
+  /** Iceberg V2 ROW-LEVEL DELETES ([[graft.ext.Iceberg.icebergV2State]]
+    * — the merge-on-read mechanism every v2 table uses): the manifest
+    * list's `content` field splits DATA from DELETE manifests, delete
+    * manifests name position-delete files (Avro rows of
+    * `(file_path, pos)`), and active-ROW accounting subtracts each data
+    * file's deduped deleted positions. The fixture plants dangling
+    * deletes (a ghost path and rows aimed at DELETED-status files) that
+    * a correct reader ignores, and the oracle's live_rows closed form
+    * fails any reader that skips delete manifests entirely. One
+    * shuffle, keyed by table.
+    */
+  private val qIcebergV2State: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Iceberg.icebergV2State(
+      graft.ext.Iceberg.encodeIcebergV2(table(s, dir, "documents"))).toDF()
+
+  private val oIcebergV2State: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('icev2:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |g AS (SELECT doc_id, m, mi, j
+       |      FROM d, (SELECT unnest([0, 1]) AS mi), (SELECT unnest([0, 1, 2, 3]) AS j)
+       |      WHERE mi < 1 + ${nib("1")} % 2
+       |        AND j < 2 + ${nib("2 + mi")} % 3
+       |        AND (doc_id + mi + j) % 3 != 2),
+       |t AS (SELECT doc_id, mi, j,
+       |        (100 + ${nib("4 + (mi + 2 * j) % 8")} * 7 + j)::BIGINT AS rc,
+       |        (${nib("12 + (mi + j) % 8")} % 4)::BIGINT AS dels
+       |      FROM g)
+       |SELECT doc_id,
+       |       'data/part-' || CAST(mi AS VARCHAR) || '-' || CAST(j AS VARCHAR) || '.parquet' AS file_path,
+       |       rc AS record_count, (rc - dels)::BIGINT AS live_rows, dels AS deleted_rows
+       |FROM t""".stripMargin
+  }
+
   private val oIcebergState: String = {
     def nib(i: String) = s"('0x' || substr(m, $i, 1))::BIGINT"
     s"""WITH d AS (SELECT doc_id, md5('ice:' || CAST(doc_id AS VARCHAR)) AS m
@@ -10955,6 +10989,7 @@ object QueryCatalog {
     "delta_state" -> qDeltaState,
     "delta_checkpoint_state" -> qDeltaCheckpoint,
     "iceberg_state" -> qIcebergState,
+    "iceberg_v2_state" -> qIcebergV2State,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
@@ -11334,6 +11369,7 @@ object QueryCatalog {
     "delta_state" -> oDeltaState,
     "delta_checkpoint_state" -> oDeltaCheckpoint,
     "iceberg_state" -> oIcebergState,
+    "iceberg_v2_state" -> oIcebergV2State,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,

@@ -264,4 +264,256 @@ object Iceberg {
         walkTableSafe(id, it.map(r => (r._2, r._3)).toSeq)
       }
   }
+
+  // =================== v2 row-level (position) deletes ===================
+  // The merge-on-read mechanism every Iceberg v2 table uses: the
+  // manifest LIST's `content` field splits manifests into DATA (0) and
+  // DELETE (1); delete manifests name POSITION DELETE FILES — rows of
+  // (file_path, pos) marking individual rows dead in named data files.
+  // Active-row accounting without them is wrong on any table that has
+  // seen a row-level DELETE/UPDATE. Per the spec: positions are 0-based
+  // ordinals into the target data file; a delete row naming a file that
+  // is not in the current snapshot is DANGLING and ignored (compaction
+  // lag is legal); duplicate positions count once.
+
+  private def nib2(id: Long, i: Int): Int = {
+    val m = md5Hex(s"icev2:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  private[ext] def nManifests2(id: Long): Int = 1 + nib2(id, 1) % 2
+  private[ext] def nEntries2(id: Long, m: Int): Int = 2 + nib2(id, 2 + m) % 3
+  private[ext] def statusOf2(id: Long, m: Int, j: Int): Int = if ((id + m + j) % 3 == 2) 2 else 1
+  private[ext] def dataPathOf2(m: Int, j: Int): String = s"data/part-$m-$j.parquet"
+  private[ext] def recordsOf2(id: Long, m: Int, j: Int): Long =
+    100L + nib2(id, 4 + (m + 2 * j) % 8) * 7L + j
+  private[ext] def bytesOf2(id: Long, m: Int, j: Int): Long =
+    4096L + nib2(id, 5 + (3 * m + j) % 8) * 512L + 13L * j + m
+  /** Distinct 0-based deleted positions in data file (m, j) — always
+    * below the file's record count (min 100).
+    */
+  private[ext] def nDeletes2(id: Long, m: Int, j: Int): Int = nib2(id, 12 + (m + j) % 8) % 4
+  private[ext] def deletePos2(id: Long, i: Int): Long = 11L * i + id % 7
+  private[ext] def snapshotIdOf2(id: Long): Long = 8000000L + id
+
+  private val ManifestListSchemaV2: String =
+    """{"type":"record","name":"manifest_file","fields":[""" +
+      """{"name":"manifest_path","type":"string"},""" +
+      """{"name":"manifest_length","type":"long"},""" +
+      """{"name":"content","type":"int"},""" +
+      """{"name":"added_snapshot_id","type":"long"}]}"""
+
+  private val ManifestSchemaV2: String =
+    """{"type":"record","name":"manifest_entry","fields":[""" +
+      """{"name":"status","type":"int"},""" +
+      """{"name":"data_file","type":{"type":"record","name":"data_file","fields":[""" +
+      """{"name":"content","type":"int"},""" +
+      """{"name":"file_path","type":"string"},""" +
+      """{"name":"file_format","type":"string"},""" +
+      """{"name":"record_count","type":"long"},""" +
+      """{"name":"file_size_in_bytes","type":"long"}]}}]}"""
+
+  private val PosDeleteSchema: String =
+    """{"type":"record","name":"positional_delete","fields":[""" +
+      """{"name":"file_path","type":"string"},""" +
+      """{"name":"pos","type":"long"}]}"""
+
+  private def manifestPathOf2(id: Long, m: Int): String = s"metadata/manifest2-$m.avro"
+  private def deleteManifestPathOf2(id: Long): String = "metadata/manifest2-del.avro"
+  private def deleteFilePathOf2(id: Long): String = "data/deletes-0.avro"
+  private def manifestListPathOf2(id: Long): String =
+    s"metadata/snap-${snapshotIdOf2(id)}.avro"
+
+  /** Delete rows target EVERY manifest entry (active or DELETED — the
+    * latter exercising the dangling arm) plus a ghost path that never
+    * existed.
+    */
+  private[ext] def deleteRows2(id: Long): Seq[(String, Long)] = {
+    val rows = Vector.newBuilder[(String, Long)]
+    for (m <- 0 until nManifests2(id); j <- 0 until nEntries2(id, m);
+         i <- 0 until nDeletes2(id, m, j))
+      rows += ((dataPathOf2(m, j), deletePos2(id, i)))
+    rows += (("data/ghost.parquet", 0L))
+    rows.result()
+  }
+
+  private[ext] def renderManifest2(id: Long, m: Int): Array[Byte] =
+    avroContainer(ManifestSchemaV2,
+      java.security.MessageDigest.getInstance("MD5").digest(s"icev2-m:$id:$m".getBytes("UTF-8")),
+      (0 until nEntries2(id, m)).map { j => (out: java.io.ByteArrayOutputStream) =>
+        Avro.writeVarLong(out, statusOf2(id, m, j).toLong)
+        Avro.writeVarLong(out, 0L) // data_file.content = DATA
+        wstr(out, dataPathOf2(m, j))
+        wstr(out, "PARQUET")
+        Avro.writeVarLong(out, recordsOf2(id, m, j))
+        Avro.writeVarLong(out, bytesOf2(id, m, j))
+      })
+
+  private[ext] def renderDeleteManifest2(id: Long,
+      countOverride: Option[Long] = None): Array[Byte] = {
+    val n = countOverride.getOrElse(deleteRows2(id).length.toLong)
+    avroContainer(ManifestSchemaV2,
+      java.security.MessageDigest.getInstance("MD5").digest(s"icev2-dm:$id".getBytes("UTF-8")),
+      Seq { (out: java.io.ByteArrayOutputStream) =>
+        Avro.writeVarLong(out, 1L) // status ADDED
+        Avro.writeVarLong(out, 1L) // data_file.content = POSITION_DELETES
+        wstr(out, deleteFilePathOf2(id))
+        wstr(out, "AVRO")
+        Avro.writeVarLong(out, n)
+        Avro.writeVarLong(out, 2048L + n * 24L)
+      })
+  }
+
+  private[ext] def renderDeleteFile2(id: Long,
+      rowsOverride: Option[Seq[(String, Long)]] = None): Array[Byte] =
+    avroContainer(PosDeleteSchema,
+      java.security.MessageDigest.getInstance("MD5").digest(s"icev2-df:$id".getBytes("UTF-8")),
+      rowsOverride.getOrElse(deleteRows2(id)).map { case (p, pos) => (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, p)
+        Avro.writeVarLong(out, pos)
+      })
+
+  private[ext] def renderManifestList2(id: Long): Array[Byte] =
+    avroContainer(ManifestListSchemaV2,
+      java.security.MessageDigest.getInstance("MD5").digest(s"icev2-l:$id".getBytes("UTF-8")),
+      (0 until nManifests2(id)).map { m => (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, manifestPathOf2(id, m))
+        Avro.writeVarLong(out, renderManifest2(id, m).length.toLong)
+        Avro.writeVarLong(out, 0L) // DATA manifest
+        Avro.writeVarLong(out, snapshotIdOf2(id))
+      } :+ { (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, deleteManifestPathOf2(id))
+        Avro.writeVarLong(out, renderDeleteManifest2(id).length.toLong)
+        Avro.writeVarLong(out, 1L) // DELETE manifest
+        Avro.writeVarLong(out, snapshotIdOf2(id))
+      })
+
+  private[ext] def renderMetadataJson2(id: Long): String = {
+    val cur = snapshotIdOf2(id)
+    s"""{"format-version":2,"table-uuid":"0002-${md5Hex(s"icev2:$id").take(8)}",""" +
+      s""""location":"s3://lake/tblv2-$id","last-updated-ms":${1710000000000L + id},""" +
+      s""""current-snapshot-id":$cur,"snapshots":[""" +
+      s"""{"snapshot-id":$cur,"manifest-list":"${manifestListPathOf2(id)}","timestamp-ms":2}]}"""
+  }
+
+  /** Fixture writer: one merge-on-read v2 table per document row. */
+  def encodeIcebergV2(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .flatMap { id =>
+        Seq(
+          (id, "metadata/v1.metadata.json",
+            renderMetadataJson2(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          (id, manifestListPathOf2(id), renderManifestList2(id)),
+          (id, deleteManifestPathOf2(id), renderDeleteManifest2(id)),
+          (id, deleteFilePathOf2(id), renderDeleteFile2(id))) ++
+          (0 until nManifests2(id)).map(m => (id, manifestPathOf2(id, m), renderManifest2(id, m)))
+      }
+      .toDF("doc_id", "path", "content")
+  }
+
+  final case class IcebergV2File(
+    doc_id: Long, file_path: String, record_count: Long, live_rows: Long, deleted_rows: Long)
+
+  /** Walk one v2 table: data manifests minus position-delete files. */
+  private[ext] def walkTableV2(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergV2File] = {
+    val byPath = files.toMap
+    if (byPath.size != files.length) fail()
+    val metaCandidates = files.collect {
+      case (p, b) if p.endsWith(".metadata.json") => (p, b)
+    }
+    if (metaCandidates.length != 1) fail() // the v2 fixture ships exactly one
+    val meta = new DeltaLog.JParser(new String(metaCandidates.head._2,
+      java.nio.charset.StandardCharsets.UTF_8)).parseRoot() match {
+      case o: DeltaLog.JObj => o
+      case _ => fail()
+    }
+    meta.map.get("format-version") match {
+      case Some(DeltaLog.JNum(v)) => if (v != 2) fail() // row-level deletes ARE v2
+      case _ => fail()
+    }
+    val current = meta.map.get("current-snapshot-id") match {
+      case Some(DeltaLog.JNum(v)) => v
+      case _ => fail()
+    }
+    val manifestList = (meta.map.get("snapshots") match {
+      case Some(DeltaLog.JArr(items)) => items.collectFirst {
+        case o: DeltaLog.JObj if o.map.get("snapshot-id").contains(DeltaLog.JNum(current)) =>
+          o.map.get("manifest-list") match { case Some(DeltaLog.JStr(v)) => v; case _ => fail() }
+      }
+      case _ => fail()
+    }).getOrElse(fail())
+    val mlRows = Avro.demuxGeneric(id, byPath.getOrElse(manifestList, fail()), 1 << 26)
+    val manifests = mlRows.groupBy(_.rec_idx).toSeq.sortBy(_._1).map { case (_, rows) =>
+      val by = rows.map(r => r.path -> r).toMap
+      val p = by.get("manifest_path").flatMap(_.s_val).getOrElse(fail())
+      val content = by.get("content").flatMap(_.i_val).getOrElse(fail())
+      if (content < 0 || content > 1) fail()
+      (p, content)
+    }
+    if (manifests.map(_._1).distinct.length != manifests.length) fail()
+    def manifestEntries(mPath: String, wantContent: Long): Seq[(String, Long, Long)] = {
+      val rows = Avro.demuxGeneric(id, byPath.getOrElse(mPath, fail()), 1 << 26)
+      rows.groupBy(_.rec_idx).toSeq.sortBy(_._1).flatMap { case (_, entry) =>
+        val by = entry.map(r => r.path -> r).toMap
+        val status = by.get("status").flatMap(_.i_val).getOrElse(fail())
+        if (status < 0 || status > 2) fail()
+        val fileContent = by.get("data_file.content").flatMap(_.i_val).getOrElse(fail())
+        if (fileContent != wantContent) fail() // a delete file in a data manifest is damage
+        if (status == 2) None
+        else Some((
+          by.get("data_file.file_path").flatMap(_.s_val).getOrElse(fail()),
+          by.get("data_file.record_count").flatMap(_.i_val).getOrElse(fail()),
+          by.get("data_file.file_size_in_bytes").flatMap(_.i_val).getOrElse(fail())))
+      }
+    }
+    val dataFiles = manifests.filter(_._2 == 0L).flatMap(m => manifestEntries(m._1, 0L))
+    if (dataFiles.map(_._1).distinct.length != dataFiles.length) fail()
+    val deleteFiles = manifests.filter(_._2 == 1L).flatMap(m => manifestEntries(m._1, 1L))
+    // positions per data file, DEDUPED — duplicate delete rows count once
+    val positions = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.HashSet[Long]]
+    deleteFiles.foreach { case (dfPath, declaredRows, _) =>
+      val rows = Avro.demuxGeneric(id, byPath.getOrElse(dfPath, fail()), 1 << 26)
+      val recs = rows.groupBy(_.rec_idx).toSeq.sortBy(_._1)
+      if (recs.length.toLong != declaredRows) fail() // manifest count must match
+      recs.foreach { case (_, r) =>
+        val by = r.map(x => x.path -> x).toMap
+        val p = by.get("file_path").flatMap(_.s_val).getOrElse(fail())
+        val pos = by.get("pos").flatMap(_.i_val).getOrElse(fail())
+        if (pos < 0) fail()
+        positions.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += pos
+      }
+    }
+    dataFiles.map { case (p, recs, _) =>
+      val dels = positions.get(p).map(_.count(_ < recs).toLong).getOrElse(0L)
+      // a position AT or past the file's record count is structural damage
+      if (positions.get(p).exists(_.exists(_ >= recs))) fail()
+      IcebergV2File(id, p, recs, recs - dels, dels)
+    }
+  }
+
+  private[ext] def walkTableV2Safe(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergV2File] =
+    try walkTableV2(id, files)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `iceberg_v2_state`: merge-on-read active-row accounting of every
+    * v2 table. One shuffle, keyed by table.
+    */
+  def icebergV2State(listing: DataFrame, idCol: String = "doc_id",
+      pathCol: String = "path", contentCol: String = "content"): Dataset[IcebergV2File] = {
+    val spark = listing.sparkSession
+    import spark.implicits._
+    listing
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(pathCol), col(contentCol))
+      .as[(Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        walkTableV2Safe(id, it.map(r => (r._2, r._3)).toSeq)
+      }
+  }
 }

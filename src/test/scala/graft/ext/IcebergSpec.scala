@@ -134,4 +134,94 @@ class IcebergSpec extends AnyFunSuite {
       assert(byDoc(id).length == expected, s"ice $id")
     }
   }
+
+  // ---------------- v2 position deletes ----------------
+
+  private def filesV2(id: Long): Seq[(String, Array[Byte])] = {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    Iceberg.encodeIcebergV2(Seq(Tuple1(id)).toDF("doc_id"))
+      .as[(Long, String, Array[Byte])].collect().toSeq.map(r => (r._2, r._3))
+  }
+
+  private def expectedV2(id: Long): Seq[Iceberg.IcebergV2File] =
+    for {
+      m <- 0 until Iceberg.nManifests2(id)
+      j <- 0 until Iceberg.nEntries2(id, m)
+      if Iceberg.statusOf2(id, m, j) != 2
+    } yield {
+      val rc = Iceberg.recordsOf2(id, m, j)
+      val dels = Iceberg.nDeletes2(id, m, j).toLong
+      Iceberg.IcebergV2File(id, Iceberg.dataPathOf2(m, j), rc, rc - dels, dels)
+    }
+
+  test("v2 round-trip: merge-on-read accounting matches the closed form") {
+    var sawDeletes = false
+    var sawDangling = false
+    for (id <- 0L until 48L) {
+      val got = Iceberg.walkTableV2(id, filesV2(id))
+      assert(got == expectedV2(id), s"icev2 $id")
+      if (got.exists(_.deleted_rows > 0)) sawDeletes = true
+      // dangling = delete rows aimed at a DELETED-status data file
+      if ((0 until Iceberg.nManifests2(id)).exists(m =>
+        (0 until Iceberg.nEntries2(id, m)).exists(j =>
+          Iceberg.statusOf2(id, m, j) == 2 && Iceberg.nDeletes2(id, m, j) > 0)))
+        sawDangling = true
+    }
+    assert(sawDeletes, "fixture must exercise live deletes")
+    assert(sawDangling, "fixture must exercise dangling deletes")
+  }
+
+  test("v2: duplicate positions count once") {
+    val id = 1L
+    val doubledRows = Iceberg.deleteRows2(id) ++ Iceberg.deleteRows2(id)
+    val doubled = filesV2(id).map { case (p, b) =>
+      if (p == "data/deletes-0.avro")
+        (p, Iceberg.renderDeleteFile2(id, Some(doubledRows)))
+      else if (p == "metadata/manifest2-del.avro")
+        (p, Iceberg.renderDeleteManifest2(id, Some(doubledRows.length.toLong)))
+      else (p, b)
+    }
+    val got = Iceberg.walkTableV2(id, doubled)
+    assert(got == expectedV2(id), "duplicate positions must not double-count")
+  }
+
+  test("v2 damage ladder: count drift, out-of-range pos, missing delete file") {
+    val id = 2L
+    val good = filesV2(id)
+    assert(Iceberg.walkTableV2Safe(id, good).nonEmpty)
+    // manifest-declared row count disagreeing with the delete file
+    val drift = good.map { case (p, b) =>
+      if (p == "metadata/manifest2-del.avro")
+        (p, Iceberg.renderDeleteManifest2(id, Some(999L))) else (p, b)
+    }
+    assert(Iceberg.walkTableV2Safe(id, drift).isEmpty, "count drift")
+    // a position at/past the target's record count (an active file's path)
+    val target = expectedV2(id).head
+    val oobRows = Iceberg.deleteRows2(id) :+ ((target.file_path, target.record_count))
+    val oob = good.map { case (p, b) =>
+      if (p == "data/deletes-0.avro") (p, Iceberg.renderDeleteFile2(id, Some(oobRows)))
+      else if (p == "metadata/manifest2-del.avro")
+        (p, Iceberg.renderDeleteManifest2(id, Some(oobRows.length.toLong)))
+      else (p, b)
+    }
+    assert(Iceberg.walkTableV2Safe(id, oob).isEmpty, "out-of-range pos")
+    // missing delete file
+    assert(Iceberg.walkTableV2Safe(id, good.filter(_._1 != "data/deletes-0.avro")).isEmpty)
+  }
+
+  test("v2 operator: damaged table quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 16L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = Iceberg.encodeIcebergV2(docs).as[(Long, String, Array[Byte])].map {
+      case (id, p, b) =>
+        if (id == 4L && p == "data/deletes-0.avro") (id, p, b.take(12)) else (id, p, b)
+    }.toDF("doc_id", "path", "content")
+    val got = Iceberg.icebergV2State(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(4L))
+    for (id <- (0L until 16L) if id != 4L)
+      assert(byDoc(id).toSeq.sortBy(_.file_path) == expectedV2(id).sortBy(_.file_path), s"icev2 $id")
+  }
 }
