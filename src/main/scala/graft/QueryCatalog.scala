@@ -10625,9 +10625,13 @@ object QueryCatalog {
     * the RFC 1071 ones'-complement HEADER CHECKSUM VERIFIED and total
     * length cross-checked against the captured bytes, UDP ports with
     * the UDP length cross-checked — and the payload surfaced as
-    * length+checksum. Foreign link types, non-IPv4 ethertypes,
-    * fractional-second overflow, straddling records and trailing bytes
-    * quarantine. The oracle replays every field closed-form.
+    * length+checksum. Out-of-scope packets in a MIXED capture (ARP,
+    * IPv6, TCP, IPv4 options, snaplen truncation) SKIP per-packet while
+    * keeping their capture ordinal; STRUCTURAL damage — foreign link
+    * types, fractional-second overflow, straddling records, trailing
+    * bytes, or corruption inside an in-scope packet (bad IPv4 header
+    * checksum, contradicted UDP length) — quarantines the capture.
+    * The oracle replays every field closed-form.
     */
   private val qPcapPackets: (SparkSession, String) => DataFrame = (s, dir) =>
     graft.ext.Pcap.pcapPackets(graft.ext.Pcap.encodePcap(table(s, dir, "documents"))).toDF()

@@ -205,41 +205,44 @@ object Pcap {
       if (incl > snaplen || incl > orig || p + 16 + incl > b.length) fail()
       val d = p + 16
       val n = incl.toInt
-      // Ethernet
-      if (n < 14) fail()
-      val ethertype = ((b(d + 12) & 0xff) << 8) | (b(d + 13) & 0xff)
-      if (ethertype != 0x0800) fail() // IPv4 only in scope
-      // IPv4 + UDP: the whole 42-byte header stack must be captured
-      // BEFORE any field reads (review finding: the UDP reads sat past
-      // an n >= 34 record's end)
-      val ip = d + 14
-      if (n < 14 + 20 + 8) fail()
-      if ((b(ip) & 0xff) != 0x45) fail() // version 4, IHL 5 (no options in scope)
-      val total = ((b(ip + 2) & 0xff) << 8) | (b(ip + 3) & 0xff)
-      if (total != n - 14) fail() // IP total length matches capture
-      val hdr = java.util.Arrays.copyOfRange(b, ip, ip + 20)
-      // verify: the ones'-complement fold over the header INCLUDING its
-      // stored checksum is 0 for an intact header (same fold as the
-      // writer-side ipv4Checksum — RFC 1071's self-verification property)
-      if (ipv4Checksum(hdr) != 0) fail()
-      val proto = b(ip + 9) & 0xff
-      if (proto != 17) fail() // UDP only in scope
-      val src = (0 until 4).map(i => b(ip + 12 + i) & 0xff).mkString(".")
-      val dst = (0 until 4).map(i => b(ip + 16 + i) & 0xff).mkString(".")
-      // UDP
-      val u = ip + 20
-      val sport = ((b(u) & 0xff) << 8) | (b(u + 1) & 0xff)
-      val dport = ((b(u + 2) & 0xff) << 8) | (b(u + 3) & 0xff)
-      val ulen = ((b(u + 4) & 0xff) << 8) | (b(u + 5) & 0xff)
-      if (ulen != total - 20) fail() // UDP length matches IP payload
-      val plen = ulen - 8
-      if (plen < 0) fail()
-      var cks = 0L
-      (u + 8 until u + 8 + plen).foreach(i => cks = (cks * 31 + (b(i) & 0xff)) % 1000000007L)
-      out += PcapRec(id, idx, tsSec, tsFrac, nanos, incl, orig, src, dst,
-        proto.toLong, sport.toLong, dport.toLong, plen.toLong, cks)
+      // Per-packet scope gate: a capture is a MIXED stream (ARP, IPv6,
+      // TCP, IPv4-with-options, snaplen-truncated records are all legal
+      // content), so out-of-scope packets SKIP — the record framing
+      // already advanced by incl_len above. fail() below this point is
+      // reserved for CORRUPTION inside a packet that claims the in-scope
+      // shape (a bad IPv4 header checksum, a UDP length contradicting
+      // the verified IP header).
+      val inScope =
+        n >= 14 + 20 + 8 && // the whole Ethernet+IPv4+UDP stack captured
+        ((((b(d + 12) & 0xff) << 8) | (b(d + 13) & 0xff)) == 0x0800) && // IPv4
+        (b(d + 14) & 0xff) == 0x45 && // version 4, IHL 5 (options: skip)
+        (b(d + 14 + 9) & 0xff) == 17 && // UDP
+        ((((b(d + 14 + 2) & 0xff) << 8) | (b(d + 14 + 3) & 0xff)) == n - 14) // untruncated
+      if (inScope) {
+        val ip = d + 14
+        val total = ((b(ip + 2) & 0xff) << 8) | (b(ip + 3) & 0xff)
+        val hdr = java.util.Arrays.copyOfRange(b, ip, ip + 20)
+        // verify: the ones'-complement fold over the header INCLUDING its
+        // stored checksum is 0 for an intact header (same fold as the
+        // writer-side ipv4Checksum — RFC 1071's self-verification property)
+        if (ipv4Checksum(hdr) != 0) fail()
+        val src = (0 until 4).map(i => b(ip + 12 + i) & 0xff).mkString(".")
+        val dst = (0 until 4).map(i => b(ip + 16 + i) & 0xff).mkString(".")
+        // UDP
+        val u = ip + 20
+        val sport = ((b(u) & 0xff) << 8) | (b(u + 1) & 0xff)
+        val dport = ((b(u + 2) & 0xff) << 8) | (b(u + 3) & 0xff)
+        val ulen = ((b(u + 4) & 0xff) << 8) | (b(u + 5) & 0xff)
+        if (ulen != total - 20) fail() // UDP length must match the verified IP header
+        val plen = ulen - 8
+        if (plen < 0) fail()
+        var cks = 0L
+        (u + 8 until u + 8 + plen).foreach(i => cks = (cks * 31 + (b(i) & 0xff)) % 1000000007L)
+        out += PcapRec(id, idx, tsSec, tsFrac, nanos, incl, orig, src, dst,
+          17L, sport.toLong, dport.toLong, plen.toLong, cks)
+      }
       p = d + n
-      idx += 1
+      idx += 1 // idx is the CAPTURE ordinal — skipped packets keep their slot
     }
     if (p != b.length) fail()
     val res = out.result()

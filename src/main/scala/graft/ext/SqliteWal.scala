@@ -216,8 +216,8 @@ object SqliteWal {
         val (a1, a2) = walChecksum(b, p, p + 8, be, s1, s2)
         val (c1, c2) = walChecksum(b, p + 24, p + frameSize, be, a1, a2)
         if (c1 != be32At(b, p + 16) || c2 != be32At(b, p + 20)) stopped = true
+        else if (pno < 1) stopped = true // invalid frame = end of log, keep the prefix
         else {
-          if (pno < 1) fail() // an in-chain frame must be well-formed
           s1 = c1; s2 = c2
           val page = java.util.Arrays.copyOfRange(b, p + 24, p + frameSize)
           out += SqliteWalRec(id, idx, pno, dbSize, dbSize > 0, be, ckpt, md5HexOf(page))

@@ -57,8 +57,11 @@ class PcapSpec extends AnyFunSuite {
     val big = good.clone()
     big(fracAt + 2) = 0x10 // LE u32 -> >= 1e6
     assert(Pcap.parsePcapSafe(2L, big).isEmpty, "microsecond fraction >= 1e6 is damage")
-    // ethertype flip (ARP)
-    assert(Pcap.parsePcapSafe(2L, mut(40 + 13, _ => 0x06)).isEmpty, "non-IPv4 ethertype")
+    // ethertype flip (ARP): a foreign-protocol packet SKIPS — the rest
+    // of the capture survives with capture ordinals intact
+    val mixed = Pcap.parsePcapSafe(2L, mut(40 + 13, _ => 0x06))
+    val all = Pcap.parsePcap(2L, good)
+    assert(mixed == all.tail, "non-IPv4 packet skips; later packets keep their idx")
     // UDP length cross-check: flip the UDP length LSB
     assert(Pcap.parsePcapSafe(2L, mut(54 + 20 + 5, x => (x ^ 1).toByte)).isEmpty,
       "UDP length mismatch")

@@ -75,4 +75,44 @@ class SqliteWalSpec extends AnyFunSuite {
         "an empty valid prefix quarantines (fixture contract)")
     }
   }
+
+  test("a checksum-VALID frame with page 0 ends the log, keeping the prefix") {
+    // sqlite's documented recovery treats ANY invalid frame as
+    // end-of-log — including one whose checksum chains correctly but
+    // whose page number is impossible; the prefix before it survives
+    val id = 1L
+    val be = SqliteWal.isBigEndian(id)
+    val good = SqliteWal.renderWal(id)
+    val before = SqliteWal.parseWal(id, good)
+    def be32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    def put32(b: Array[Byte], p: Int, v: Long): Unit = {
+      b(p) = ((v >> 24) & 0xff).toByte; b(p + 1) = ((v >> 16) & 0xff).toByte
+      b(p + 2) = ((v >> 8) & 0xff).toByte; b(p + 3) = (v & 0xff).toByte
+    }
+    val pageSize = be32(good, 8).toInt
+    val frameSize = 24 + pageSize
+    // recompute the cumulative checksum over the whole valid log
+    var (s1, s2) = SqliteWal.walChecksum(good, 0, 24, be, 0L, 0L)
+    var p = 32
+    while (p + frameSize <= good.length) {
+      val (a1, a2) = SqliteWal.walChecksum(good, p, p + 8, be, s1, s2)
+      val (c1, c2) = SqliteWal.walChecksum(good, p + 24, p + frameSize, be, a1, a2)
+      s1 = c1; s2 = c2
+      p += frameSize
+    }
+    val frame = new Array[Byte](frameSize)
+    put32(frame, 0, 0L) // pno 0: impossible
+    put32(frame, 4, 0L)
+    put32(frame, 8, be32(good, 16)) // matching salts
+    put32(frame, 12, be32(good, 20))
+    val (a1, a2) = SqliteWal.walChecksum(frame, 0, 8, be, s1, s2)
+    val (c1, c2) = SqliteWal.walChecksum(frame, 24, frameSize, be, a1, a2)
+    put32(frame, 16, c1)
+    put32(frame, 20, c2)
+    val extended = good ++ frame
+    assert(SqliteWal.parseWal(id, extended) == before,
+      "valid prefix must survive a chained-but-impossible frame")
+  }
 }
