@@ -296,9 +296,21 @@ object Bench {
       }
     }.toMap
     progress(s"isolation pass done: ${isoResults.size} keys re-run, ${isolationSkipped.size} skipped")
-    val results = interleaved.map { case r @ (name, c, _, sw, sr, in, _) =>
+    // Round 17: take the MINIMUM of the interleaved and isolated medians,
+    // not the isolated one unconditionally. Co-tenant pollution can only
+    // INFLATE a median — there is no mechanism by which suite pressure
+    // makes a key faster — so whichever pass measured lower is the better
+    // steady estimate. The r16 replace-always rule let the isolation pass
+    // (running ~8 min into a hot suite) INFLATE healthy keys: cosine_topk
+    // 0.86s interleaved → 3.64s isolated in the r17 A/B run, +8s of
+    // phantom regression across the selected keys. The stall DIAGNOSTIC
+    // is unaffected: both passes' medians and spreads stay in the sidecar
+    // (`queries_interleaved{,_spread}`, `isolated`), and a genuine stall
+    // still surfaces as interleaved spread >> median.
+    val results = interleaved.map { case r @ (name, c, im, sw, sr, in, isp) =>
       isoResults.get(name) match {
-        case Some((m, sp)) => (name, c, m, sw, sr, in, sp)
+        case Some((m, sp)) if m < im => (name, c, m, sw, sr, in, sp)
+        case Some(_) => r
         case None => r
       }
     }

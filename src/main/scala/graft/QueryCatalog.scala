@@ -3246,6 +3246,90 @@ object QueryCatalog {
     graft.ext.ParquetFile.parquetNested(
       graft.ext.ParquetFile.encodeNestedParquet(table(s, dir, "documents"))).toDF()
 
+  /** Parquet SPLIT-BLOCK BLOOM FILTERS under the gate
+    * ([[graft.ext.ParquetFile.parquetBloom]] — the structure point
+    * predicates prune row groups with on NON-sorted columns at 100 TB,
+    * where min/max stats prune nothing): per chunk a BloomFilterHeader
+    * (thrift unions strictly one-armed) + the 32-byte-block bitset,
+    * XXH64(seed 0) over the value's plain bytes, top-32-bit block
+    * routing, the spec's 8 salt constants. The key probes every chunk's
+    * bloom with the fixture's closed-form planted values — a misread
+    * header, bitset, routing, or hash convention loses hits and fails
+    * `planted_hits == n_planted`. ParquetFileSpec adds the foreign
+    * differential: SPARK-written blooms (parquet-mr) accept every
+    * actually-written value through our reader, absent probes stay
+    * negative on the fixture, and a zeroed bitset loses every hit.
+    */
+  private val qParquetBloom: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ParquetFile.parquetBloom(
+      graft.ext.ParquetFile.encodeBloomParquet(table(s, dir, "documents"))).toDF()
+
+  /** Parquet PAGE INDEXES under the gate
+    * ([[graft.ext.ParquetFile.parquetPageIndex]] — PageIndex.md's
+    * ColumnIndex/OffsetIndex, the structures that prune at PAGE
+    * granularity where row-group stats are too coarse; a drifted index
+    * silently skips live pages, so it grades bitwise): per chunk the
+    * OffsetIndex page-location list (ascending offsets, first-row
+    * ordinals, compressed sizes CROSS-CHECKED against the real page
+    * headers at those offsets) and the ColumnIndex per-page null
+    * flags / min-max / boundary order / null counts, with whole-null
+    * pages carrying empty bounds. The fixture writes multi-page chunks
+    * with an UNORDERED value layout (the index is load-bearing) and an
+    * optional column whose pages go entirely null on an arm; both
+    * structs demand exact declared-length consumption. ParquetFileSpec
+    * adds the foreign arm: SPARK-written page indexes (parquet-mr
+    * emits them by default) walk and cross-check through this reader.
+    */
+  private val qParquetPageIndex: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.ParquetFile.parquetPageIndex(
+      graft.ext.ParquetFile.encodePageIndexParquet(table(s, dir, "documents"))).toDF()
+
+  private val oParquetPageIndex: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('pqi:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |n AS (SELECT doc_id, m, ws, (4 + ${nib("1")} % 4)::BIGINT AS n FROM d, wt),
+       |pg AS (SELECT doc_id, m, ws, n, p FROM n, (SELECT unnest([0, 1, 2, 3]) AS p)
+       |       WHERE 2 * p < n),
+       |v AS (SELECT doc_id, p,
+       |        doc_id * 50 + ((2 * p) * 13 + ${nib("2")}) % 29 AS v0,
+       |        CASE WHEN 2 * p + 1 < n
+       |          THEN doc_id * 50 + ((2 * p + 1) * 13 + ${nib("2")}) % 29 END AS v1,
+       |        list_extract(ws, 1 + CAST(${nib("3 + 2 * p")} % 8 AS INT)) AS s0,
+       |        CASE WHEN 2 * p + 1 < n
+       |          THEN list_extract(ws, 1 + CAST(${nib("4 + 2 * p")} % 8 AS INT)) END AS s1,
+       |        (doc_id + p) % 5 = 0 AS np,
+       |        CASE WHEN 2 * p + 1 < n THEN 2 ELSE 1 END AS cnt
+       |      FROM pg)
+       |SELECT doc_id, 0::BIGINT AS col_idx, 'id' AS path, p::BIGINT AS page,
+       |       (2 * p)::BIGINT AS first_row, FALSE AS null_page, 0::BIGINT AS null_count,
+       |       least(v0, coalesce(v1, v0))::BIGINT AS i_min,
+       |       greatest(v0, coalesce(v1, v0))::BIGINT AS i_max,
+       |       NULL::VARCHAR AS s_min, NULL::VARCHAR AS s_max
+       |FROM v
+       |UNION ALL
+       |SELECT doc_id, 1, 'title', p, 2 * p, np,
+       |       (CASE WHEN np THEN cnt ELSE 0 END)::BIGINT,
+       |       NULL, NULL,
+       |       CASE WHEN np THEN NULL ELSE least(s0, coalesce(s1, s0)) END,
+       |       CASE WHEN np THEN NULL ELSE greatest(s0, coalesce(s1, s0)) END
+       |FROM v""".stripMargin
+  }
+
+  private val oParquetBloom: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('pqb:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |n AS (SELECT doc_id, (3 + ${nib("1")} % 4)::BIGINT AS n FROM d),
+       |g AS (SELECT doc_id, n, g FROM n, (SELECT unnest([0, 1]) AS g) WHERE g * 3 < n),
+       |t AS (SELECT doc_id, g, least(3, n - 3 * g)::BIGINT AS cnt FROM g)
+       |SELECT doc_id, g::BIGINT AS row_group, c::BIGINT AS col_idx,
+       |       CASE c WHEN 0 THEN 'id' ELSE 'title' END AS path,
+       |       256::BIGINT AS bloom_bytes, cnt AS n_planted, cnt AS planted_hits
+       |FROM t, (SELECT unnest([0, 1]) AS c)""".stripMargin
+  }
+
   private val oParquetNested: String = {
     def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
     s"""WITH d AS (SELECT doc_id, md5('pqn:' || CAST(doc_id AS VARCHAR)) AS m
@@ -10987,6 +11071,8 @@ object QueryCatalog {
     "parquet_meta" -> qParquetMeta,
     "parquet_stats" -> qParquetStats,
     "parquet_nested" -> qParquetNested,
+    "parquet_bloom" -> qParquetBloom,
+    "parquet_page_index" -> qParquetPageIndex,
     "orc_meta" -> qOrcMeta,
     "arrow_batches" -> qArrowBatches,
     "arrow_stream" -> qArrowStream,
@@ -11367,6 +11453,8 @@ object QueryCatalog {
     "parquet_meta" -> oParquetMeta,
     "parquet_stats" -> oParquetStats,
     "parquet_nested" -> oParquetNested,
+    "parquet_bloom" -> oParquetBloom,
+    "parquet_page_index" -> oParquetPageIndex,
     "orc_meta" -> oOrcMeta,
     "arrow_batches" -> oArrowBatches,
     "arrow_stream" -> oArrowBatches,

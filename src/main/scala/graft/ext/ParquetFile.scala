@@ -572,7 +572,10 @@ object ParquetFile {
     encodings: Seq[Int], numValues: Long, dataPageOffset: Long,
     totalCompressed: Long, totalUncompressed: Long, fileOffset: Long,
     dictPageOffset: Long, statNullCount: Long,
-    statMin: Option[Array[Byte]], statMax: Option[Array[Byte]])
+    statMin: Option[Array[Byte]], statMax: Option[Array[Byte]],
+    bloomOffset: Long = -1L, bloomLength: Int = -1,
+    offsetIndexOffset: Long = -1L, offsetIndexLength: Int = -1,
+    columnIndexOffset: Long = -1L, columnIndexLength: Int = -1)
   final case class PqRowGroup(numRows: Long, totalByteSize: Long, columns: Seq[PqColumn])
   final case class PqSchemaCol(name: String, typ: Int, converted: Int,
     repetition: Int, maxDef: Int, maxRep: Int)
@@ -649,6 +652,7 @@ object ParquetFile {
       r.structBegin()
       var typ = -1; var codec = -1; var numValues = -1L
       var tu = -1L; var tc = -1L; var dpo = -1L; var dicto = -1L
+      var bloomOff = -1L; var bloomLen = -1
       var path = ""
       var statNulls = -1L
       var statMin: Option[Array[Byte]] = None
@@ -671,6 +675,8 @@ object ParquetFile {
         case Some((7, 6)) => tc = r.zigzag()
         case Some((9, 6)) => dpo = r.zigzag()
         case Some((11, 6)) => dicto = r.zigzag()
+        case Some((14, 6)) => bloomOff = r.zigzag()
+        case Some((15, 5)) => bloomLen = r.zigzag().toInt
         case Some((12, 12)) => // Statistics
           r.structBegin()
           var legacyMin: Option[Array[Byte]] = None
@@ -695,23 +701,29 @@ object ParquetFile {
       r.structEnd()
       if (typ < 0 || codec < 0 || numValues < 0 || dpo < 0 || tu < 0 || tc < 0) fail()
       PqColumn(path, typ, codec, encs.result(), numValues, dpo, tc, tu, -1L, dicto,
-        statNulls, statMin, statMax)
+        statNulls, statMin, statMax, bloomOff, bloomLen)
     }
 
     def readColumnChunk(): PqColumn = {
       r.structBegin()
       var fileOffset = -1L
       var col: PqColumn = null
+      var oiOff = -1L; var oiLen = -1; var ciOff = -1L; var ciLen = -1
       var more = true
       while (more) r.field() match {
         case Some((2, 6)) => fileOffset = r.zigzag()
         case Some((3, 12)) => col = readColumnMeta()
+        case Some((4, 6)) => oiOff = r.zigzag()
+        case Some((5, 5)) => oiLen = r.zigzag().toInt
+        case Some((6, 6)) => ciOff = r.zigzag()
+        case Some((7, 5)) => ciLen = r.zigzag().toInt
         case Some((_, t)) => r.skip(t)
         case None => more = false
       }
       r.structEnd()
       if (col == null) fail()
-      col.copy(fileOffset = fileOffset)
+      col.copy(fileOffset = fileOffset, offsetIndexOffset = oiOff, offsetIndexLength = oiLen,
+        columnIndexOffset = ciOff, columnIndexLength = ciLen)
     }
 
     def readRowGroup(): PqRowGroup = {
@@ -1676,6 +1688,385 @@ object ParquetFile {
       .flatMap { case (id, b) => if (b == null) Nil else parseNestedParquetSafe(id, b) }
   }
 
+  // ==================== page indexes (ColumnIndex / OffsetIndex) ====================
+  // The PageIndex.md structures PAGE-level pruning reads instead of the
+  // pages themselves: per chunk an OffsetIndex (page location list —
+  // offset, compressed size incl. header, first row index) and a
+  // ColumnIndex (per-page null flags, min/max, boundary order, null
+  // counts), both thrift structs sitting between the data and the
+  // footer. At 100 TB a point predicate touching 1 page instead of a
+  // whole row group is the difference between a range read and a scan —
+  // and a WRONG index silently skips live rows, so it grades bitwise.
+
+  final case class PageLoc(offset: Long, compressedSize: Int, firstRow: Long)
+  final case class ColIndex(nullPages: Seq[Boolean], minValues: Seq[Array[Byte]],
+    maxValues: Seq[Array[Byte]], boundaryOrder: Int, nullCounts: Option[Seq[Long]])
+
+  private def serializeOffsetIndex(locs: Seq[PageLoc]): Array[Byte] = {
+    val w = new TWriter
+    w.listBegin(1, locs.length, 12)
+    locs.foreach { l =>
+      w.structElemBegin()
+      w.i64(1, l.offset)
+      w.i32(2, l.compressedSize)
+      w.i64(3, l.firstRow)
+      w.structEnd()
+    }
+    w.out.write(0)
+    w.bytes
+  }
+
+  private def serializeColumnIndex(ci: ColIndex): Array[Byte] = {
+    val w = new TWriter
+    w.listBegin(1, ci.nullPages.length, 1) // list<bool>
+    ci.nullPages.foreach(b => w.out.write(if (b) 1 else 2))
+    w.listBegin(2, ci.minValues.length, 8)
+    ci.minValues.foreach { b => w.varint(b.length.toLong); w.out.write(b, 0, b.length) }
+    w.listBegin(3, ci.maxValues.length, 8)
+    ci.maxValues.foreach { b => w.varint(b.length.toLong); w.out.write(b, 0, b.length) }
+    w.i32(4, ci.boundaryOrder)
+    ci.nullCounts.foreach { ns =>
+      w.listBegin(5, ns.length, 6)
+      ns.foreach(n => w.varint((n << 1) ^ (n >> 63)))
+    }
+    w.out.write(0)
+    w.bytes
+  }
+
+  /** Parse one OffsetIndex; strict — ascending offsets, first_row from 0
+    * ascending, exact byte-length consumption.
+    */
+  private[ext] def readOffsetIndex(bytes: Array[Byte], off: Long, len: Int): Seq[PageLoc] = {
+    if (off < 0 || len <= 0 || off + len > bytes.length) fail()
+    val r = new TReader(bytes, off.toInt, off.toInt + len)
+    r.structBegin()
+    val locs = Vector.newBuilder[PageLoc]
+    var more = true
+    while (more) r.field() match {
+      case Some((1, 9)) =>
+        val (size, et) = r.listHeader()
+        if (et != 12) fail()
+        for (_ <- 0 until size) {
+          r.structBegin()
+          var o = -1L; var cs = -1; var fr = -1L
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((1, 6)) => o = r.zigzag()
+            case Some((2, 5)) => cs = r.zigzag().toInt
+            case Some((3, 6)) => fr = r.zigzag()
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
+          if (o < 0 || cs <= 0 || fr < 0) fail()
+          locs += PageLoc(o, cs, fr)
+        }
+      case Some((_, t)) => r.skip(t)
+      case None => more = false
+    }
+    r.structEnd()
+    if (r.pos != off.toInt + len) fail() // declared length must be exact
+    val ls = locs.result()
+    if (ls.isEmpty) fail()
+    if (ls.head.firstRow != 0L) fail()
+    ls.sliding(2).foreach {
+      case Seq(a, b) => if (b.offset <= a.offset || b.firstRow <= a.firstRow) fail()
+      case _ => ()
+    }
+    ls
+  }
+
+  /** Parse one ColumnIndex; strict — aligned list lengths, boundary
+    * order in range, exact consumption.
+    */
+  private[ext] def readColumnIndex(bytes: Array[Byte], off: Long, len: Int): ColIndex = {
+    if (off < 0 || len <= 0 || off + len > bytes.length) fail()
+    val r = new TReader(bytes, off.toInt, off.toInt + len)
+    r.structBegin()
+    var nullPages: Seq[Boolean] = null
+    val mins = Vector.newBuilder[Array[Byte]]
+    val maxs = Vector.newBuilder[Array[Byte]]
+    var nMin = 0; var nMax = 0
+    var boundary = -1
+    var nullCounts: Option[Seq[Long]] = None
+    var more = true
+    while (more) r.field() match {
+      case Some((1, 9)) =>
+        val (size, et) = r.listHeader()
+        if (et != 1 && et != 2) fail() // bool elements
+        nullPages = (0 until size).map { _ =>
+          r.u8() match {
+            case 1 => true
+            case 2 => false
+            case 0 => false // some writers emit 0/1
+            case _ => fail()
+          }
+        }
+      case Some((2, 9)) =>
+        val (size, et) = r.listHeader()
+        if (et != 8) fail()
+        nMin = size
+        for (_ <- 0 until size) mins += r.binary()
+      case Some((3, 9)) =>
+        val (size, et) = r.listHeader()
+        if (et != 8) fail()
+        nMax = size
+        for (_ <- 0 until size) maxs += r.binary()
+      case Some((4, 5)) => boundary = r.zigzag().toInt
+      case Some((5, 9)) =>
+        val (size, et) = r.listHeader()
+        if (et != 6) fail()
+        nullCounts = Some((0 until size).map(_ => r.zigzag()))
+      case Some((_, t)) => r.skip(t)
+      case None => more = false
+    }
+    r.structEnd()
+    if (r.pos != off.toInt + len) fail()
+    if (nullPages == null || boundary < 0 || boundary > 2) fail()
+    if (nMin != nullPages.length || nMax != nullPages.length) fail()
+    if (nullCounts.exists(_.length != nullPages.length)) fail()
+    ColIndex(nullPages, mins.result(), maxs.result(), boundary, nullCounts)
+  }
+
+  // ---- page-index fixture: multi-page chunks, an OPTIONAL column with
+  // whole-null pages, UNORDERED values so the index is load-bearing
+
+  private def nibI(id: Long, i: Int): Int = {
+    val m = md5Hex(s"pqi:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  private[ext] def nRowsI(id: Long): Int = 4 + nibI(id, 1) % 4
+  private[ext] val RowsPerPageI = 2
+  private[ext] def idValI(id: Long, k: Int): Long = id * 50 + (k * 13 + nibI(id, 2)) % 29
+  private[ext] def titleNullPageI(id: Long, p: Int): Boolean = (id + p) % 5 == 0
+  private[ext] def titleValI(id: Long, k: Int): String = words(nibI(id, 3 + k) % 8)
+
+  private[ext] def renderPageIndexParquet(id: Long): Array[Byte] = {
+    val n = nRowsI(id)
+    val pages = (0 until n).grouped(RowsPerPageI).toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    final case class ChunkW(typ: Int, path: String, offset: Long, size: Long,
+      uncompressed: Long, locs: Seq[PageLoc], ci: ColIndex,
+      var oiOff: Long = -1L, var oiLen: Int = -1, var ciOff: Long = -1L, var ciLen: Int = -1)
+    def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    // id chunk: REQUIRED INT64, one v1 PLAIN page per row pair
+    val idChunk = {
+      val off = out.size.toLong
+      var uncomp = 0L
+      val locs = Vector.newBuilder[PageLoc]
+      val mins = Vector.newBuilder[Array[Byte]]
+      val maxs = Vector.newBuilder[Array[Byte]]
+      pages.foreach { ks =>
+        val pOff = out.size.toLong
+        val (page, pgUncomp) = dataPage(ks.length, 0,
+          ks.flatMap(k => leI64(idValI(id, k))).toArray, snappy = false)
+        out.write(page, 0, page.length)
+        uncomp += pgUncomp
+        locs += PageLoc(pOff, (out.size.toLong - pOff).toInt, ks.head.toLong)
+        val vs = ks.map(k => idValI(id, k))
+        mins += leI64(vs.min)
+        maxs += leI64(vs.max)
+      }
+      ChunkW(2, "id", off, out.size.toLong - off, uncomp, locs.result(),
+        ColIndex(pages.map(_ => false), mins.result(), maxs.result(), 0,
+          Some(pages.map(_ => 0L))))
+    }
+    // title chunk: OPTIONAL BYTE_ARRAY with whole-null pages
+    val titleChunk = {
+      val off = out.size.toLong
+      var uncomp = 0L
+      val locs = Vector.newBuilder[PageLoc]
+      val mins = Vector.newBuilder[Array[Byte]]
+      val maxs = Vector.newBuilder[Array[Byte]]
+      pages.zipWithIndex.foreach { case (ks, p) =>
+        val pOff = out.size.toLong
+        val isNull = titleNullPageI(id, p)
+        val present = ks.map(_ => !isNull)
+        val values = if (isNull) Array.emptyByteArray
+          else ks.flatMap(k => plainString(titleValI(id, k))).toArray
+        val body = defLevels(present) ++ values
+        val (page, pgUncomp) = dataPage(ks.length, 0, body, snappy = false)
+        out.write(page, 0, page.length)
+        uncomp += pgUncomp
+        locs += PageLoc(pOff, (out.size.toLong - pOff).toInt, ks.head.toLong)
+        if (isNull) { mins += Array.emptyByteArray; maxs += Array.emptyByteArray }
+        else {
+          val vs = ks.map(k => titleValI(id, k).getBytes("UTF-8"))
+          mins += vs.reduce((a, b) => if (byteLt(a, b)) a else b)
+          maxs += vs.reduce((a, b) => if (byteLt(b, a)) a else b)
+        }
+      }
+      ChunkW(6, "title", off, out.size.toLong - off, uncomp, locs.result(),
+        ColIndex(pages.zipWithIndex.map { case (_, p) => titleNullPageI(id, p) },
+          mins.result(), maxs.result(), 0,
+          Some(pages.zipWithIndex.map { case (ks, p) =>
+            if (titleNullPageI(id, p)) ks.length.toLong else 0L
+          })))
+    }
+    val chunks = Seq(idChunk, titleChunk)
+    // the index region: all ColumnIndexes then all OffsetIndexes (the
+    // parquet-mr layout), between data and footer
+    chunks.foreach { c =>
+      val b = serializeColumnIndex(c.ci)
+      c.ciOff = out.size.toLong; c.ciLen = b.length
+      out.write(b, 0, b.length)
+    }
+    chunks.foreach { c =>
+      val b = serializeOffsetIndex(c.locs)
+      c.oiOff = out.size.toLong; c.oiLen = b.length
+      out.write(b, 0, b.length)
+    }
+    val w = new TWriter
+    w.i32(1, 1)
+    w.listBegin(2, 3, 12)
+    w.structElemBegin()
+    w.str(4, "schema")
+    w.i32(5, 2)
+    w.structEnd()
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
+      w.structElemBegin()
+      w.i32(1, typ)
+      w.i32(3, repetition)
+      w.str(4, name)
+      converted.foreach(c => w.i32(6, c))
+      w.structEnd()
+    }
+    prim(2, "id", 0, None)
+    prim(6, "title", 1, Some(0))
+    w.i64(3, n.toLong)
+    w.listBegin(4, 1, 12)
+    w.structElemBegin() // the single RowGroup
+    w.listBegin(1, chunks.length, 12)
+    chunks.foreach { c =>
+      w.structElemBegin()
+      w.i64(2, c.offset)
+      w.structBegin(3)
+      w.i32(1, c.typ)
+      w.listBegin(2, 2, 5)
+      w.varint(0L << 1); w.varint(3L << 1)
+      w.listBegin(3, 1, 8)
+      val pb = c.path.getBytes("UTF-8")
+      w.varint(pb.length.toLong); w.out.write(pb)
+      w.i32(4, 0)
+      w.i64(5, n.toLong)
+      w.i64(6, c.uncompressed)
+      w.i64(7, c.size)
+      w.i64(9, c.offset)
+      w.structEnd()
+      w.i64(4, c.oiOff)
+      w.i32(5, c.oiLen)
+      w.i64(6, c.ciOff)
+      w.i32(7, c.ciLen)
+      w.structEnd()
+    }
+    w.i64(2, chunks.map(_.size).sum)
+    w.i64(3, n.toLong)
+    w.structEnd()
+    w.str(6, "graft page-index parquet writer")
+    w.out.write(0)
+    val footer = w.bytes
+    out.write(footer)
+    val len = footer.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Fixture writer: one page-indexed parquet file per document row. */
+  def encodePageIndexParquet(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderPageIndexParquet(id)))
+      .toDF("doc_id", "pq")
+  }
+
+  final case class ParquetPageIndexRow(
+    doc_id: Long, col_idx: Long, path: String, page: Long, first_row: Long,
+    null_page: Boolean, null_count: Long,
+    i_min: Option[Long], i_max: Option[Long],
+    s_min: Option[String], s_max: Option[String])
+
+  /** Walk every chunk's OffsetIndex + ColumnIndex and CROSS-CHECK each
+    * page location against the actual page header at that offset (the
+    * location's compressed size includes the header) — a drifted index
+    * is precisely the bug that silently skips live pages.
+    */
+  private[ext] def parsePageIndexParquet(id: Long, bytes: Array[Byte]): Seq[ParquetPageIndexRow] = {
+    val f = parseFooter(Option(bytes).getOrElse(fail()))
+    f.rowGroups.flatMap { rg =>
+      rg.columns.zipWithIndex.flatMap { case (c, ci) =>
+        if (c.offsetIndexOffset < 0 || c.columnIndexOffset < 0) fail() // fixture contract
+        val locs = readOffsetIndex(bytes, c.offsetIndexOffset, c.offsetIndexLength)
+        val colIdx = readColumnIndex(bytes, c.columnIndexOffset, c.columnIndexLength)
+        if (colIdx.nullPages.length != locs.length) fail()
+        if (locs.last.firstRow >= rg.numRows) fail()
+        locs.foreach { l =>
+          // the page header at the recorded offset must agree on size
+          val r = new TReader(bytes, l.offset.toInt, bytes.length)
+          r.structBegin()
+          var comp = -1
+          var m2 = true
+          while (m2) r.field() match {
+            case Some((3, 5)) => comp = r.zigzag().toInt
+            case Some((_, t)) => r.skip(t)
+            case None => m2 = false
+          }
+          r.structEnd()
+          if (comp < 0) fail()
+          val headerLen = r.pos - l.offset.toInt
+          if (headerLen + comp != l.compressedSize) fail()
+        }
+        locs.indices.map { p =>
+          val nullPage = colIdx.nullPages(p)
+          val minB = colIdx.minValues(p)
+          val maxB = colIdx.maxValues(p)
+          if (nullPage && (minB.nonEmpty || maxB.nonEmpty)) fail() // null pages carry empty bounds
+          if (!nullPage && (minB.isEmpty || maxB.isEmpty)) fail()
+          val minD = if (nullPage) None else decodeStat(c.typ, minB)
+          val maxD = if (nullPage) None else decodeStat(c.typ, maxB)
+          def iOf(v: Option[Any]) = v.collect { case x: Long => x }
+          def sOf(v: Option[Any]) = v.collect { case x: String => x }
+          ParquetPageIndexRow(id, ci.toLong, c.path, p.toLong, locs(p).firstRow,
+            nullPage, colIdx.nullCounts.map(_(p)).getOrElse(-1L),
+            iOf(minD), iOf(maxD), sOf(minD), sOf(maxD))
+        }
+      }
+    }
+  }
+
+  private[ext] def parsePageIndexParquetSafe(id: Long, bytes: Array[Byte]): Seq[ParquetPageIndexRow] =
+    try parsePageIndexParquet(id, bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `parquet_page_index`: the per-page pruning metadata of every file,
+    * cross-checked against the pages it indexes. Map-only.
+    */
+  def parquetPageIndex(docs: DataFrame, idCol: String = "doc_id",
+                       binCol: String = "pq"): Dataset[ParquetPageIndexRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parsePageIndexParquetSafe(id, b) }
+  }
+
   // =================== Delta checkpoint parquet (for DeltaLog) ===================
   // The classic `NNN.checkpoint.parquet` row shape: one row per action,
   // each action an optional GROUP (protocol / metaData / add / remove),
@@ -1814,6 +2205,271 @@ object ParquetFile {
     out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
     out.write("PAR1".getBytes("ISO-8859-1"))
     out.toByteArray
+  }
+
+  // ==================== split-block bloom filters (SBBF) ====================
+  // The parquet BloomFilter spec (BloomFilter.md): per column chunk, a
+  // BloomFilterHeader (thrift) + a bitset of 32-byte BLOCKS (8 x u32
+  // words), XXH64(seed 0) over the value's plain byte representation,
+  // block chosen by the TOP 32 hash bits scaled to the block count, and
+  // one bit per word selected by the published 8 odd SALT constants —
+  // the structure row-group pruning uses for point predicates on
+  // NON-sorted columns at 100 TB, where min/max stats prune nothing.
+
+  private val BloomSalt: Array[Long] = Array(
+    0x47b6137bL, 0x44974d91L, 0x8824ad5bL, 0xa2b7289dL,
+    0x705495c7L, 0x2df1424bL, 0x9efc4947L, 0x5c6bfb31L)
+
+  /** The (blockIndex, 8 bit positions) of one hash in an SBBF of
+    * `numBlocks` blocks.
+    */
+  private def bloomSlots(h: Long, numBlocks: Int): (Int, Array[Int]) = {
+    val block = (((h >>> 32) * numBlocks.toLong) >>> 32).toInt
+    val x = h & 0xffffffffL
+    (block, Array.tabulate(8)(i => (((x * BloomSalt(i)) & 0xffffffffL) >>> 27).toInt))
+  }
+
+  private[ext] def bloomInsert(words: Array[Int], numBlocks: Int, h: Long): Unit = {
+    val (block, bits) = bloomSlots(h, numBlocks)
+    var i = 0
+    while (i < 8) { words(block * 8 + i) |= 1 << bits(i); i += 1 }
+  }
+
+  private[ext] def bloomContains(words: Array[Int], numBlocks: Int, h: Long): Boolean = {
+    val (block, bits) = bloomSlots(h, numBlocks)
+    (0 until 8).forall(i => (words(block * 8 + i) & (1 << bits(i))) != 0)
+  }
+
+  /** XXH64(seed 0) over a value's plain byte representation — raw UTF-8
+    * bytes for BYTE_ARRAY, little-endian fixed width for numerics (the
+    * parquet-mr convention, differentialed against Spark-written blooms
+    * in ParquetFileSpec).
+    */
+  private[ext] def bloomHashBytes(b: Array[Byte]): Long = Zstd.xxh64(b, 0L)
+  private[ext] def bloomHashLong(v: Long): Long = Zstd.xxh64(leI64(v), 0L)
+
+  /** Serialize header + bitset. */
+  private[ext] def renderBloom(words: Array[Int]): Array[Byte] = {
+    val w = new TWriter
+    w.i32(1, words.length * 4) // numBytes
+    w.structBegin(2); w.structBegin(1); w.structEnd(); w.structEnd() // SplitBlockAlgorithm
+    w.structBegin(3); w.structBegin(1); w.structEnd(); w.structEnd() // XxHash
+    w.structBegin(4); w.structBegin(1); w.structEnd(); w.structEnd() // Uncompressed
+    w.out.write(0) // end BloomFilterHeader
+    words.foreach { word =>
+      w.out.write(word & 0xff); w.out.write((word >> 8) & 0xff)
+      w.out.write((word >> 16) & 0xff); w.out.write((word >>> 24) & 0xff)
+    }
+    w.bytes
+  }
+
+  /** Read one chunk's bloom filter: (numBytes, words). None when the
+    * chunk carries none or a union arm outside SBBF/XXH64/UNCOMPRESSED;
+    * structural damage fails.
+    */
+  private[ext] def readBloom(bytes: Array[Byte], chunk: PqColumn): Option[(Int, Array[Int])] = {
+    if (chunk.bloomOffset < 0) return None
+    if (chunk.bloomOffset > bytes.length) fail()
+    val r = new TReader(bytes, chunk.bloomOffset.toInt, bytes.length)
+    r.structBegin()
+    var numBytes = -1
+    var algOk = false; var hashOk = false; var compOk = false
+    var more = true
+    while (more) r.field() match {
+      case Some((1, 5)) => numBytes = r.zigzag().toInt
+      case Some((fid, 12)) if fid >= 2 && fid <= 4 =>
+        // a thrift UNION: exactly one field, whose id names the arm
+        r.structBegin()
+        var armId = -1
+        var m2 = true
+        while (m2) r.field() match {
+          case Some((aid, t)) =>
+            if (armId != -1) fail() // a union with two arms is damage
+            armId = aid
+            r.skip(t)
+          case None => m2 = false
+        }
+        r.structEnd()
+        if (armId == 1) fid match {
+          case 2 => algOk = true
+          case 3 => hashOk = true
+          case 4 => compOk = true
+        }
+      case Some((_, t)) => r.skip(t)
+      case None => more = false
+    }
+    r.structEnd()
+    if (numBytes <= 0 || numBytes % 32 != 0) fail()
+    if (!algOk || !hashOk || !compOk) return None // foreign arms: no bloom view
+    if (numBytes > bytes.length - r.pos) fail()
+    val words = new Array[Int](numBytes / 4)
+    var i = 0
+    while (i < words.length) {
+      val p = r.pos + 4 * i
+      words(i) = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+      i += 1
+    }
+    Some((numBytes, words))
+  }
+
+  // ---- bloom fixture: flat (id INT64, title UTF8), one SBBF per chunk
+
+  private def nibB(id: Long, i: Int): Int = {
+    val m = md5Hex(s"pqb:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  private[ext] def nRowsB(id: Long): Int = 3 + nibB(id, 1) % 4
+  private[ext] def idValB(id: Long, k: Int): Long = id * 1000 + 7L * k
+  private[ext] def titleValB(id: Long, k: Int): String =
+    s"${words(nibB(id, 2 + k) % 8)}-${(id + k) % 10}"
+  private[ext] val BloomBytesB = 256 // 8 blocks — FPP far below fixture scale
+
+  private[ext] def renderBloomParquet(id: Long): Array[Byte] = {
+    val n = nRowsB(id)
+    val groups = (0 until n).grouped(RowsPerGroup).toSeq
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    final case class Chunk(typ: Int, path: String, numValues: Long,
+      offset: Long, size: Long, uncompressed: Long, bloomOffset: Long, bloomLength: Int)
+    val rowGroups = groups.map { ks =>
+      val cols = Seq(
+        (2, "id", ks.map(k => leI64(idValB(id, k))),
+          ks.map(k => bloomHashLong(idValB(id, k)))),
+        (6, "title", ks.map(k => plainString(titleValB(id, k))),
+          ks.map(k => bloomHashBytes(titleValB(id, k).getBytes("UTF-8")))))
+      cols.map { case (typ, path, values, hashes) =>
+        val off = out.size.toLong
+        val (page, pgUncomp) = dataPage(ks.length, 0, values.flatten.toArray, snappy = false)
+        out.write(page, 0, page.length)
+        val size = out.size.toLong - off
+        val words = new Array[Int](BloomBytesB / 4)
+        hashes.foreach(h => bloomInsert(words, BloomBytesB / 32, h))
+        val bloom = renderBloom(words)
+        val bloomOff = out.size.toLong
+        out.write(bloom, 0, bloom.length)
+        Chunk(typ, path, ks.length.toLong, off, size, pgUncomp, bloomOff, bloom.length)
+      }
+    }
+    val w = new TWriter
+    w.i32(1, 1)
+    w.listBegin(2, 3, 12)
+    w.structElemBegin() // root
+    w.str(4, "schema")
+    w.i32(5, 2)
+    w.structEnd()
+    def prim(typ: Int, name: String, converted: Option[Int]): Unit = {
+      w.structElemBegin()
+      w.i32(1, typ)
+      w.i32(3, 0) // REQUIRED
+      w.str(4, name)
+      converted.foreach(c => w.i32(6, c))
+      w.structEnd()
+    }
+    prim(2, "id", None)
+    prim(6, "title", Some(0))
+    w.i64(3, n.toLong)
+    w.listBegin(4, rowGroups.length, 12)
+    rowGroups.zipWithIndex.foreach { case (chunks, g) =>
+      w.structElemBegin()
+      w.listBegin(1, chunks.length, 12)
+      chunks.foreach { c =>
+        w.structElemBegin()
+        w.i64(2, c.offset)
+        w.structBegin(3)
+        w.i32(1, c.typ)
+        w.listBegin(2, 2, 5)
+        w.varint(0L << 1); w.varint(3L << 1)
+        w.listBegin(3, 1, 8)
+        val pb = c.path.getBytes("UTF-8")
+        w.varint(pb.length.toLong); w.out.write(pb)
+        w.i32(4, 0) // UNCOMPRESSED
+        w.i64(5, c.numValues)
+        w.i64(6, c.uncompressed)
+        w.i64(7, c.size)
+        w.i64(9, c.offset)
+        w.i64(14, c.bloomOffset)
+        w.i32(15, c.bloomLength)
+        w.structEnd()
+        w.structEnd()
+      }
+      w.i64(2, chunks.map(_.size).sum)
+      w.i64(3, groups(g).length.toLong)
+      w.structEnd()
+    }
+    w.str(6, "graft bloom parquet writer")
+    w.out.write(0)
+    val footer = w.bytes
+    out.write(footer)
+    val len = footer.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Fixture writer: one bloom-carrying parquet file per document row. */
+  def encodeBloomParquet(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, renderBloomParquet(id)))
+      .toDF("doc_id", "pq")
+  }
+
+  final case class ParquetBloomStat(
+    doc_id: Long, row_group: Long, col_idx: Long, path: String,
+    bloom_bytes: Long, n_planted: Long, planted_hits: Long)
+
+  /** Probe every chunk's bloom with the fixture's closed-form values:
+    * a misread header, bitset, block routing, or hash convention loses
+    * hits and fails the oracle's planted_hits == n_planted row.
+    */
+  private[ext] def parseBloomParquet(id: Long, bytes: Array[Byte]): Seq[ParquetBloomStat] = {
+    val f = parseFooter(Option(bytes).getOrElse(fail()))
+    if (f.rowGroups.map(_.numRows).sum != f.numRows) fail()
+    var rowBase = 0
+    f.rowGroups.zipWithIndex.flatMap { case (rg, g) =>
+      val ks = rowBase until (rowBase + rg.numRows.toInt)
+      rowBase += rg.numRows.toInt
+      rg.columns.zipWithIndex.map { case (c, ci) =>
+        val (numBytes, words) = readBloom(bytes, c).getOrElse(fail()) // fixture contract
+        val numBlocks = numBytes / 32
+        val hits = ks.count { k =>
+          val h = c.path match {
+            case "id" => bloomHashLong(idValB(id, k))
+            case "title" => bloomHashBytes(titleValB(id, k).getBytes("UTF-8"))
+            case _ => fail()
+          }
+          bloomContains(words, numBlocks, h)
+        }
+        ParquetBloomStat(id, g.toLong, ci.toLong, c.path,
+          numBytes.toLong, ks.length.toLong, hits.toLong)
+      }
+    }
+  }
+
+  private[ext] def parseBloomParquetSafe(id: Long, bytes: Array[Byte]): Seq[ParquetBloomStat] =
+    try parseBloomParquet(id, bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `parquet_bloom`: SBBF membership of every chunk's planted values.
+    * Map-only — at 100 TB the bloom read is a tiny range read beside
+    * the footer, the point of the structure.
+    */
+  def parquetBloom(docs: DataFrame, idCol: String = "doc_id",
+                   binCol: String = "pq"): Dataset[ParquetBloomStat] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) => if (b == null) Nil else parseBloomParquetSafe(id, b) }
   }
 
   /** Decode + reassemble a classic Delta checkpoint parquet into its

@@ -376,6 +376,186 @@ class ParquetFileSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom round-trip: every planted value hits; absent probes do not") {
+    for (id <- 0L until 96L) {
+      val bytes = ParquetFile.renderBloomParquet(id)
+      val rows = ParquetFile.parseBloomParquet(id, bytes)
+      val n = ParquetFile.nRowsB(id)
+      val nGroups = (n + 2) / 3
+      assert(rows.length == 2 * nGroups, s"pqb $id chunk count")
+      rows.foreach { r =>
+        assert(r.bloom_bytes == ParquetFile.BloomBytesB.toLong)
+        assert(r.planted_hits == r.n_planted, s"pqb $id ${r.path} g${r.row_group}")
+      }
+      // absent probes: deterministic given the bytes; at 256 bytes per
+      // ~3-row chunk the fixture never false-positives
+      val f = ParquetFile.parseFooter(bytes)
+      f.rowGroups.foreach { rg =>
+        rg.columns.foreach { c =>
+          val (nb, words) = ParquetFile.readBloom(bytes, c).get
+          for (probe <- 0 until 16) {
+            val h = if (c.path == "id") ParquetFile.bloomHashLong(-1000000L - probe)
+              else ParquetFile.bloomHashBytes(s"absent-$id-$probe".getBytes("UTF-8"))
+            assert(!ParquetFile.bloomContains(words, nb / 32, h),
+              s"pqb $id ${c.path} absent probe $probe false-positived")
+          }
+        }
+      }
+    }
+  }
+
+  test("foreign differential: SPARK-written bloom filters accept their own values") {
+    // parquet-mr writes SBBF/XXH64 blooms when asked; our reader walking
+    // its header + bitset and hashing with the same convention must see
+    // every actually-written value as present — a drifted hash, block
+    // routing, or salt table gives ~all-misses
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqbloom").toFile
+    try {
+      val n = 300
+      val df = (0 until n).map(i => (i.toLong * 17, s"value-${i % 97}-x$i")).toDF("id", "title")
+      df.coalesce(1).write
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.enabled#title", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "300")
+        .option("parquet.bloom.filter.expected.ndv#title", "300")
+        .mode("overwrite").parquet(dir.getAbsolutePath)
+      val file = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val f = ParquetFile.parseFooter(bytes)
+      val withBloom = f.rowGroups.flatMap(_.columns).filter(_.bloomOffset >= 0)
+      assert(withBloom.nonEmpty, "spark must have written blooms")
+      withBloom.foreach { c =>
+        val (nb, words) = ParquetFile.readBloom(bytes, c)
+          .getOrElse(fail(s"${c.path}: bloom header not readable"))
+        val blocks = nb / 32
+        if (c.path == "id")
+          (0 until n).foreach { i =>
+            assert(ParquetFile.bloomContains(words, blocks, ParquetFile.bloomHashLong(i.toLong * 17)),
+              s"spark bloom missed id ${i * 17}")
+          }
+        else
+          (0 until n).foreach { i =>
+            assert(ParquetFile.bloomContains(words, blocks,
+              ParquetFile.bloomHashBytes(s"value-${i % 97}-x$i".getBytes("UTF-8"))),
+              s"spark bloom missed title $i")
+          }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("bloom damage: a zeroed bitset loses every hit") {
+    val id = 5L
+    val good = ParquetFile.renderBloomParquet(id)
+    assert(ParquetFile.parseBloomParquetSafe(id, good).nonEmpty)
+    val f = ParquetFile.parseFooter(good)
+    val c0 = f.rowGroups.head.columns.head
+    // zero the first bloom's whole bitset (it sits at the END of the
+    // header+bitset span): every planted probe must now miss
+    val zeroed = good.clone()
+    val bitsetStart = (c0.bloomOffset + c0.bloomLength).toInt - ParquetFile.BloomBytesB
+    java.util.Arrays.fill(zeroed, bitsetStart, bitsetStart + ParquetFile.BloomBytesB, 0.toByte)
+    val rows = ParquetFile.parseBloomParquet(id, zeroed)
+    val hit = rows.find(r => r.row_group == 0L && r.col_idx == 0L).get
+    assert(hit.planted_hits == 0L, "a zeroed bitset must lose every hit (the oracle's check)")
+  }
+
+  test("page-index round-trip: per-page locations and bounds match the closed forms") {
+    for (id <- 0L until 96L) {
+      val rows = ParquetFile.parsePageIndexParquet(id, ParquetFile.renderPageIndexParquet(id))
+      val n = ParquetFile.nRowsI(id)
+      val nPages = (n + 1) / 2
+      assert(rows.length == 2 * nPages, s"pqi $id row count")
+      rows.filter(_.path == "id").foreach { r =>
+        val ks = (2 * r.page.toInt) until math.min(2 * r.page.toInt + 2, n)
+        val vs = ks.map(k => ParquetFile.idValI(id, k))
+        assert(!r.null_page && r.null_count == 0L)
+        assert(r.first_row == 2L * r.page)
+        assert(r.i_min.contains(vs.min) && r.i_max.contains(vs.max), s"pqi $id page ${r.page}")
+      }
+      rows.filter(_.path == "title").foreach { r =>
+        val p = r.page.toInt
+        val ks = (2 * p) until math.min(2 * p + 2, n)
+        if (ParquetFile.titleNullPageI(id, p)) {
+          assert(r.null_page && r.null_count == ks.length.toLong && r.s_min.isEmpty)
+        } else {
+          val vs = ks.map(k => ParquetFile.titleValI(id, k))
+          assert(!r.null_page && r.null_count == 0L)
+          assert(r.s_min.contains(vs.min) && r.s_max.contains(vs.max), s"pqi $id page $p")
+        }
+      }
+    }
+  }
+
+  test("foreign differential: SPARK-written page indexes walk and cross-check") {
+    // parquet-mr emits ColumnIndex/OffsetIndex by default; our reader
+    // must parse both structs, survive its extra fields, and agree with
+    // the data: chunk min over page mins == Spark's own column min
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toFile
+    try {
+      val n = 5000 // enough rows for multiple pages per chunk
+      val df = (0 until n).map(i => ((i * 2654435761L) % 1000003L, s"t-${(i * 37) % 991}%04d"))
+        .toDF("id", "title")
+      df.coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val file = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val f = ParquetFile.parseFooter(bytes)
+      val indexed = f.rowGroups.flatMap(_.columns).filter(c =>
+        c.offsetIndexOffset >= 0 && c.columnIndexOffset >= 0)
+      assert(indexed.nonEmpty, "spark must have written page indexes")
+      indexed.foreach { c =>
+        val locs = ParquetFile.readOffsetIndex(bytes, c.offsetIndexOffset, c.offsetIndexLength)
+        val ci = ParquetFile.readColumnIndex(bytes, c.columnIndexOffset, c.columnIndexLength)
+        assert(ci.nullPages.length == locs.length, s"${c.path}: aligned page counts")
+        assert(ci.nullCounts.forall(_.forall(_ == 0L)))
+        if (c.path == "id") {
+          val mins = ci.minValues.map { b =>
+            var v = 0L; var i = 7
+            while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+            v
+          }
+          val want = (0 until n).map(i => (i * 2654435761L) % 1000003L).min
+          assert(mins.min == want, s"chunk min over page mins vs spark data")
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("page-index damage: location drift and misaligned lists quarantine") {
+    val id = 7L
+    val good = ParquetFile.renderPageIndexParquet(id)
+    assert(ParquetFile.parsePageIndexParquetSafe(id, good).nonEmpty)
+    val f = ParquetFile.parseFooter(good)
+    val c0 = f.rowGroups.head.columns.head
+    // corrupt the first PageLocation's offset varint inside the OffsetIndex:
+    // the page-header cross-check must quarantine
+    val bad = good.clone()
+    val oi = c0.offsetIndexOffset.toInt
+    // field header for list + list header + first struct's field header = 3
+    // bytes in, then the zigzag offset varint
+    bad(oi + 3) = (bad(oi + 3) ^ 0x40).toByte
+    assert(ParquetFile.parsePageIndexParquetSafe(id, bad).isEmpty, "offset drift")
+    // truncate the ColumnIndex declared length: exact-consumption fails
+    val torn = good.clone()
+    assert(ParquetFile.parsePageIndexParquetSafe(id,
+      torn.take(c0.columnIndexOffset.toInt + 2)).isEmpty, "torn index region")
+  }
+
   test("nested operator: damaged file quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
