@@ -441,7 +441,16 @@ object Bench {
         val skipped =
           if (isolationSkipped.isEmpty) ""
           else s""""isolation_skipped":[${isolationSkipped.sorted.map("\"" + _ + "\"").mkString(",")}],"""
-        s""""isolated":[${names.map("\"" + _ + "\"").mkString(",")}],$skipped"queries_interleaved":$il,"queries_interleaved_spread":$ilSp,"""
+        // the explicit co-tenancy signal the min-median rule would
+        // otherwise bury: keys whose interleaved median is >= 2x their
+        // isolated one only regress UNDER SUITE PRESSURE — the class the
+        // avro_extract/bpe_train stalls belonged to, surfaced by name
+        val pressure = names.filter(k =>
+          isoResults(k)._1 >= 0.5 && interleavedByName(k)._3 >= 2 * isoResults(k)._1)
+        val pressureJson =
+          if (pressure.isEmpty) ""
+          else s""""suite_pressure_keys":[${pressure.sorted.map("\"" + _ + "\"").mkString(",")}],"""
+        s""""isolated":[${names.map("\"" + _ + "\"").mkString(",")}],$skipped$pressureJson"queries_interleaved":$il,"queries_interleaved_spread":$ilSp,"""
       }
     val detail =
       s"""{"detail":"per-query","steady_reps":$steadyReps,$isolatedJson"queries":$warmQs,"queries_spread":$spreadQs,"queries_cold":$coldQs,"queries_shuffle_write_bytes":$shuffleQs,"queries_shuffle_read_bytes":$readQs,"queries_input_bytes":$inputQs,$recallJson$scaleJson"sf":"$sfDir"}"""

@@ -373,17 +373,21 @@ object Iceberg {
         Avro.writeVarLong(out, pos)
       })
 
-  private[ext] def renderManifestList2(id: Long): Array[Byte] =
+  /** The lengths come in precomputed so each manifest renders ONCE per
+    * encode (review finding: the length fields re-rendered every
+    * container).
+    */
+  private[ext] def renderManifestList2(id: Long, dataLens: Seq[Int], delLen: Int): Array[Byte] =
     avroContainer(ManifestListSchemaV2,
       java.security.MessageDigest.getInstance("MD5").digest(s"icev2-l:$id".getBytes("UTF-8")),
-      (0 until nManifests2(id)).map { m => (out: java.io.ByteArrayOutputStream) =>
+      dataLens.zipWithIndex.map { case (len, m) => (out: java.io.ByteArrayOutputStream) =>
         wstr(out, manifestPathOf2(id, m))
-        Avro.writeVarLong(out, renderManifest2(id, m).length.toLong)
+        Avro.writeVarLong(out, len.toLong)
         Avro.writeVarLong(out, 0L) // DATA manifest
         Avro.writeVarLong(out, snapshotIdOf2(id))
       } :+ { (out: java.io.ByteArrayOutputStream) =>
         wstr(out, deleteManifestPathOf2(id))
-        Avro.writeVarLong(out, renderDeleteManifest2(id).length.toLong)
+        Avro.writeVarLong(out, delLen.toLong)
         Avro.writeVarLong(out, 1L) // DELETE manifest
         Avro.writeVarLong(out, snapshotIdOf2(id))
       })
@@ -405,13 +409,16 @@ object Iceberg {
       .select(col(idCol).cast("long"))
       .as[Long]
       .flatMap { id =>
+        val manifests = (0 until nManifests2(id)).map(m => renderManifest2(id, m))
+        val delManifest = renderDeleteManifest2(id)
         Seq(
           (id, "metadata/v1.metadata.json",
             renderMetadataJson2(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
-          (id, manifestListPathOf2(id), renderManifestList2(id)),
-          (id, deleteManifestPathOf2(id), renderDeleteManifest2(id)),
+          (id, manifestListPathOf2(id),
+            renderManifestList2(id, manifests.map(_.length), delManifest.length)),
+          (id, deleteManifestPathOf2(id), delManifest),
           (id, deleteFilePathOf2(id), renderDeleteFile2(id))) ++
-          (0 until nManifests2(id)).map(m => (id, manifestPathOf2(id, m), renderManifest2(id, m)))
+          manifests.zipWithIndex.map { case (b, m) => (id, manifestPathOf2(id, m), b) }
       }
       .toDF("doc_id", "path", "content")
   }

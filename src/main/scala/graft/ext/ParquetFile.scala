@@ -154,6 +154,36 @@ object ParquetFile {
     def bytes: Array[Byte] = out.toByteArray
   }
 
+  /** One primitive SchemaElement (shared by every fixture writer). */
+  private def writePrim(w: TWriter, typ: Int, name: String, repetition: Int,
+      converted: Option[Int]): Unit = {
+    w.structElemBegin()
+    w.i32(1, typ)
+    w.i32(3, repetition)
+    w.str(4, name)
+    converted.foreach(c => w.i32(6, c))
+    w.structEnd()
+  }
+
+  /** One group SchemaElement: no type, a children count. */
+  private def writeGroup(w: TWriter, name: String, repetition: Int, children: Int): Unit = {
+    w.structElemBegin()
+    w.i32(3, repetition)
+    w.str(4, name)
+    w.i32(5, children)
+    w.structEnd()
+  }
+
+  /** Footer + LE length + trailing magic onto a PAR1-opened stream. */
+  private def finishFile(out: java.io.ByteArrayOutputStream, footer: Array[Byte]): Array[Byte] = {
+    out.write(footer, 0, footer.length)
+    val len = footer.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
+    out.write("PAR1".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
   // ---- RLE/bit-packed hybrid writer pieces (Encodings.md)
 
   private def uvarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
@@ -187,15 +217,8 @@ object ParquetFile {
   }
 
   /** 4-byte-length-prefixed 1-bit definition levels for one v1 data page. */
-  private def defLevels(flags: Seq[Boolean]): Array[Byte] = {
-    val hybrid = hybridBitPacked(flags.map(f => if (f) 1 else 0), 1)
-    val out = new java.io.ByteArrayOutputStream()
-    val n = hybrid.length
-    out.write(n & 0xff); out.write((n >> 8) & 0xff)
-    out.write((n >> 16) & 0xff); out.write((n >>> 24) & 0xff)
-    out.write(hybrid, 0, hybrid.length)
-    out.toByteArray
-  }
+  private def defLevels(flags: Seq[Boolean]): Array[Byte] =
+    levelBytesV1(flags.map(f => if (f) 1 else 0), 1)
 
   private def bitWidthFor(dictSize: Int): Int =
     math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(dictSize - 1, 1)))
@@ -451,13 +474,7 @@ object ParquetFile {
     w.structEnd()
     w.str(6, "graft parquet writer") // created_by
     w.out.write(0) // end FileMetaData
-    val footer = w.bytes
-    out.write(footer)
-    val len = footer.length
-    out.write(len & 0xff); out.write((len >> 8) & 0xff)
-    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
-    out.write("PAR1".getBytes("ISO-8859-1"))
-    out.toByteArray
+    finishFile(out, w.bytes)
   }
 
   /** Fixture writer: one parquet file per document row. */
@@ -1499,21 +1516,10 @@ object ParquetFile {
     w.str(4, "schema")
     w.i32(5, 4)
     w.structEnd()
-    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
-      w.structElemBegin()
-      w.i32(1, typ)
-      w.i32(3, repetition)
-      w.str(4, name)
-      converted.foreach(c => w.i32(6, c))
-      w.structEnd()
-    }
-    def group(name: String, repetition: Int, children: Int): Unit = {
-      w.structElemBegin()
-      w.i32(3, repetition)
-      w.str(4, name)
-      w.i32(5, children)
-      w.structEnd()
-    }
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit =
+      writePrim(w, typ, name, repetition, converted)
+    def group(name: String, repetition: Int, children: Int): Unit =
+      writeGroup(w, name, repetition, children)
     prim(2, "id", 0, None)
     group("info", 1, 2)
     prim(6, "name", 1, Some(0))
@@ -1553,13 +1559,7 @@ object ParquetFile {
     }
     w.str(6, "graft nested parquet writer")
     w.out.write(0) // end FileMetaData
-    val footer = w.bytes
-    out.write(footer)
-    val len = footer.length
-    out.write(len & 0xff); out.write((len >> 8) & 0xff)
-    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
-    out.write("PAR1".getBytes("ISO-8859-1"))
-    out.toByteArray
+    finishFile(out, w.bytes)
   }
 
   /** Fixture writer: one nested parquet file per document row. */
@@ -1933,14 +1933,8 @@ object ParquetFile {
     w.str(4, "schema")
     w.i32(5, 2)
     w.structEnd()
-    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
-      w.structElemBegin()
-      w.i32(1, typ)
-      w.i32(3, repetition)
-      w.str(4, name)
-      converted.foreach(c => w.i32(6, c))
-      w.structEnd()
-    }
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit =
+      writePrim(w, typ, name, repetition, converted)
     prim(2, "id", 0, None)
     prim(6, "title", 1, Some(0))
     w.i64(3, n.toLong)
@@ -1974,13 +1968,7 @@ object ParquetFile {
     w.structEnd()
     w.str(6, "graft page-index parquet writer")
     w.out.write(0)
-    val footer = w.bytes
-    out.write(footer)
-    val len = footer.length
-    out.write(len & 0xff); out.write((len >> 8) & 0xff)
-    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
-    out.write("PAR1".getBytes("ISO-8859-1"))
-    out.toByteArray
+    finishFile(out, w.bytes)
   }
 
   /** Fixture writer: one page-indexed parquet file per document row. */
@@ -2141,21 +2129,10 @@ object ParquetFile {
     w.str(4, "schema")
     w.i32(5, 4)
     w.structEnd()
-    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit = {
-      w.structElemBegin()
-      w.i32(1, typ)
-      w.i32(3, repetition)
-      w.str(4, name)
-      converted.foreach(c => w.i32(6, c))
-      w.structEnd()
-    }
-    def group(name: String, repetition: Int, children: Int): Unit = {
-      w.structElemBegin()
-      w.i32(3, repetition)
-      w.str(4, name)
-      w.i32(5, children)
-      w.structEnd()
-    }
+    def prim(typ: Int, name: String, repetition: Int, converted: Option[Int]): Unit =
+      writePrim(w, typ, name, repetition, converted)
+    def group(name: String, repetition: Int, children: Int): Unit =
+      writeGroup(w, name, repetition, children)
     group("protocol", 1, 1)
     prim(1, "minReaderVersion", 1, None)
     group("metaData", 1, 1)
@@ -2198,13 +2175,7 @@ object ParquetFile {
     w.structEnd()
     w.str(6, "graft delta checkpoint writer")
     w.out.write(0)
-    val footer = w.bytes
-    out.write(footer)
-    val len = footer.length
-    out.write(len & 0xff); out.write((len >> 8) & 0xff)
-    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
-    out.write("PAR1".getBytes("ISO-8859-1"))
-    out.toByteArray
+    finishFile(out, w.bytes)
   }
 
   // ==================== split-block bloom filters (SBBF) ====================
@@ -2359,14 +2330,8 @@ object ParquetFile {
     w.str(4, "schema")
     w.i32(5, 2)
     w.structEnd()
-    def prim(typ: Int, name: String, converted: Option[Int]): Unit = {
-      w.structElemBegin()
-      w.i32(1, typ)
-      w.i32(3, 0) // REQUIRED
-      w.str(4, name)
-      converted.foreach(c => w.i32(6, c))
-      w.structEnd()
-    }
+    def prim(typ: Int, name: String, converted: Option[Int]): Unit =
+      writePrim(w, typ, name, 0, converted) // REQUIRED
     prim(2, "id", None)
     prim(6, "title", Some(0))
     w.i64(3, n.toLong)
@@ -2400,13 +2365,7 @@ object ParquetFile {
     }
     w.str(6, "graft bloom parquet writer")
     w.out.write(0)
-    val footer = w.bytes
-    out.write(footer)
-    val len = footer.length
-    out.write(len & 0xff); out.write((len >> 8) & 0xff)
-    out.write((len >> 16) & 0xff); out.write((len >>> 24) & 0xff)
-    out.write("PAR1".getBytes("ISO-8859-1"))
-    out.toByteArray
+    finishFile(out, w.bytes)
   }
 
   /** Fixture writer: one bloom-carrying parquet file per document row. */

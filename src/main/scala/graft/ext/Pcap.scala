@@ -212,13 +212,20 @@ object Pcap {
       // reserved for CORRUPTION inside a packet that claims the in-scope
       // shape (a bad IPv4 header checksum, a UDP length contradicting
       // the verified IP header).
-      val inScope =
+      val claimsShape =
         n >= 14 + 20 + 8 && // the whole Ethernet+IPv4+UDP stack captured
         ((((b(d + 12) & 0xff) << 8) | (b(d + 13) & 0xff)) == 0x0800) && // IPv4
         (b(d + 14) & 0xff) == 0x45 && // version 4, IHL 5 (options: skip)
-        (b(d + 14 + 9) & 0xff) == 17 && // UDP
-        ((((b(d + 14 + 2) & 0xff) << 8) | (b(d + 14 + 3) & 0xff)) == n - 14) // untruncated
-      if (inScope) {
+        (b(d + 14 + 9) & 0xff) == 17 // UDP
+      val totalMatches =
+        claimsShape && ((((b(d + 14 + 2) & 0xff) << 8) | (b(d + 14 + 3) & 0xff)) == n - 14)
+      // a fully-captured packet (incl == orig) whose IP total length
+      // contradicts the capture is CORRUPT, not truncated — the skip arm
+      // is only for snaplen truncation (review finding: the total test
+      // ran before the checksum that covers the field, so a flipped
+      // length byte silently skipped instead of quarantining)
+      if (claimsShape && !totalMatches && incl == orig) fail()
+      if (claimsShape && totalMatches) {
         val ip = d + 14
         val total = ((b(ip + 2) & 0xff) << 8) | (b(ip + 3) & 0xff)
         val hdr = java.util.Arrays.copyOfRange(b, ip, ip + 20)

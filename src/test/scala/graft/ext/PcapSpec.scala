@@ -62,6 +62,10 @@ class PcapSpec extends AnyFunSuite {
     val mixed = Pcap.parsePcapSafe(2L, mut(40 + 13, _ => 0x06))
     val all = Pcap.parsePcap(2L, good)
     assert(mixed == all.tail, "non-IPv4 packet skips; later packets keep their idx")
+    // IP total-length corruption in a FULLY-captured packet is damage,
+    // not truncation (the skip arm is only for incl < orig)
+    assert(Pcap.parsePcapSafe(2L, mut(54 + 3, x => (x ^ 1).toByte)).isEmpty,
+      "corrupted total_length in an untruncated packet quarantines")
     // UDP length cross-check: flip the UDP length LSB
     assert(Pcap.parsePcapSafe(2L, mut(54 + 20 + 5, x => (x ^ 1).toByte)).isEmpty,
       "UDP length mismatch")
