@@ -3669,6 +3669,51 @@ object QueryCatalog {
     graft.ext.Iceberg.icebergV2State(
       graft.ext.Iceberg.encodeIcebergV2(table(s, dir, "documents"))).toDF()
 
+  /** Iceberg v2 EQUALITY deletes + SEQUENCE NUMBERS
+    * ([[graft.ext.Iceberg.icebergEqState]] — the delete mechanism
+    * UPDATE/MERGE writers emit, plus the applicability rules that make
+    * merge-on-read correct): equality delete files carry column VALUES
+    * (the `lang` partition field, named by non-empty `equality_ids`),
+    * and the spec's rules decide who dies — a position delete applies
+    * to data files with sequence number <= the delete's, an equality
+    * delete only STRICTLY BELOW its own (a writer cannot delete rows it
+    * has not seen). The fixture plants files at sequence 1..4 against
+    * deletes at 3, so both escape arms grade; an eq value matching no
+    * file and deletes aimed at DELETED-status files are ignored. A
+    * reader that skips sequence numbers or equality manifests fails the
+    * live_rows closed form. One shuffle, keyed by table.
+    */
+  private val qIcebergEqState: (SparkSession, String) => DataFrame = (s, dir) =>
+    graft.ext.Iceberg.icebergEqState(
+      graft.ext.Iceberg.encodeIcebergEq(table(s, dir, "documents"))).toDF()
+
+  private val oIcebergEqState: String = {
+    def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
+    s"""WITH d AS (SELECT doc_id, md5('iceeq:' || CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents WHERE doc_id IS NOT NULL AND doc_id >= 0),
+       |wt AS (SELECT ['anchor','bloom','cedar','dune','ember','flint','grove','harbor'] AS ws),
+       |g AS (SELECT doc_id, m, ws, mi, j
+       |      FROM d, wt, (SELECT unnest([0, 1]) AS mi), (SELECT unnest([0, 1, 2, 3]) AS j)
+       |      WHERE mi < 1 + ${nib("1")} % 2
+       |        AND j < 2 + ${nib("2 + mi")} % 3
+       |        AND (doc_id + mi + j) % 3 != 2),
+       |t AS (SELECT doc_id, mi, j,
+       |        list_extract(ws, 1 + CAST(${nib("6 + (mi + j) % 9")} % 8 AS INT)) AS lang,
+       |        (1 + ${nib("7 + (2 * mi + j) % 9")} % 4)::BIGINT AS seq,
+       |        (100 + ${nib("4 + (mi + 2 * j) % 8")} * 7 + j)::BIGINT AS rc,
+       |        (${nib("12 + (mi + j) % 8")} % 4)::BIGINT AS nd,
+       |        list_extract(ws, 1 + CAST(${nib("15")} % 8 AS INT)) AS eqlang
+       |      FROM g)
+       |SELECT doc_id,
+       |       'data/eq-' || CAST(mi AS VARCHAR) || '-' || CAST(j AS VARCHAR) || '.parquet' AS file_path,
+       |       lang, seq, rc AS record_count,
+       |       (CASE WHEN seq <= 3 THEN nd ELSE 0 END)::BIGINT AS pos_deleted,
+       |       (lang = eqlang AND seq < 3) AS eq_deleted,
+       |       (CASE WHEN lang = eqlang AND seq < 3 THEN 0
+       |             WHEN seq <= 3 THEN rc - nd ELSE rc END)::BIGINT AS live_rows
+       |FROM t""".stripMargin
+  }
+
   private val oIcebergV2State: String = {
     def nib(i: String) = s"('0x' || substr(m, CAST($i AS INT), 1))::BIGINT"
     s"""WITH d AS (SELECT doc_id, md5('icev2:' || CAST(doc_id AS VARCHAR)) AS m
@@ -11080,6 +11125,7 @@ object QueryCatalog {
     "delta_checkpoint_state" -> qDeltaCheckpoint,
     "iceberg_state" -> qIcebergState,
     "iceberg_v2_state" -> qIcebergV2State,
+    "iceberg_eq_state" -> qIcebergEqState,
     "deb_extract" -> qDebExtract,
     "cpio_entries" -> qCpioEntries,
     "ttf_meta" -> qTtfMeta,
@@ -11462,6 +11508,7 @@ object QueryCatalog {
     "delta_checkpoint_state" -> oDeltaCheckpoint,
     "iceberg_state" -> oIcebergState,
     "iceberg_v2_state" -> oIcebergV2State,
+    "iceberg_eq_state" -> oIcebergEqState,
     "deb_extract" -> oDebExtract,
     "cpio_entries" -> oCpioEntries,
     "ttf_meta" -> oTtfMeta,

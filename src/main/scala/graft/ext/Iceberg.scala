@@ -373,24 +373,26 @@ object Iceberg {
         Avro.writeVarLong(out, pos)
       })
 
-  /** The lengths come in precomputed so each manifest renders ONCE per
-    * encode (review finding: the length fields re-rendered every
-    * container).
+  /** The (path, length, content) triples come in precomputed so each
+    * manifest renders ONCE per encode (review finding: the length
+    * fields re-rendered every container). Shared by the v2-position and
+    * equality fixtures.
     */
-  private[ext] def renderManifestList2(id: Long, dataLens: Seq[Int], delLen: Int): Array[Byte] =
+  private def renderManifestListGen(seed: String, snapshotId: Long,
+      entries: Seq[(String, Int, Long)]): Array[Byte] =
     avroContainer(ManifestListSchemaV2,
-      java.security.MessageDigest.getInstance("MD5").digest(s"icev2-l:$id".getBytes("UTF-8")),
-      dataLens.zipWithIndex.map { case (len, m) => (out: java.io.ByteArrayOutputStream) =>
-        wstr(out, manifestPathOf2(id, m))
+      java.security.MessageDigest.getInstance("MD5").digest(seed.getBytes("UTF-8")),
+      entries.map { case (path, len, content) => (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, path)
         Avro.writeVarLong(out, len.toLong)
-        Avro.writeVarLong(out, 0L) // DATA manifest
-        Avro.writeVarLong(out, snapshotIdOf2(id))
-      } :+ { (out: java.io.ByteArrayOutputStream) =>
-        wstr(out, deleteManifestPathOf2(id))
-        Avro.writeVarLong(out, delLen.toLong)
-        Avro.writeVarLong(out, 1L) // DELETE manifest
-        Avro.writeVarLong(out, snapshotIdOf2(id))
+        Avro.writeVarLong(out, content)
+        Avro.writeVarLong(out, snapshotId)
       })
+
+  private[ext] def renderManifestList2(id: Long, dataLens: Seq[Int], delLen: Int): Array[Byte] =
+    renderManifestListGen(s"icev2-l:$id", snapshotIdOf2(id),
+      dataLens.zipWithIndex.map { case (len, m) => (manifestPathOf2(id, m), len, 0L) } :+
+        ((deleteManifestPathOf2(id), delLen, 1L)))
 
   private[ext] def renderMetadataJson2(id: Long): String = {
     val cur = snapshotIdOf2(id)
@@ -506,6 +508,299 @@ object Iceberg {
   private[ext] def walkTableV2Safe(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergV2File] =
     try walkTableV2(id, files)
     catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  // =================== v2 EQUALITY deletes + sequence numbers ===================
+  // The second v2 delete mechanism: equality delete files carry COLUMN
+  // VALUES (here the partition column `lang`), and the spec's sequence-
+  // number rules decide applicability — a POSITION delete applies to a
+  // data file with data sequence number <= the delete's; an EQUALITY
+  // delete applies only STRICTLY BELOW its sequence number (a writer
+  // cannot delete rows it has not seen). Data files at or above the
+  // delete's sequence number survive — the fixture plants both arms.
+
+  private val words = Array("anchor", "bloom", "cedar", "dune", "ember", "flint", "grove", "harbor")
+
+  private def nibE(id: Long, i: Int): Int = {
+    val m = md5Hex(s"iceeq:$id")
+    Integer.parseInt(m.substring(i - 1, i), 16)
+  }
+
+  private[ext] def nManifestsE(id: Long): Int = 1 + nibE(id, 1) % 2
+  private[ext] def nEntriesE(id: Long, m: Int): Int = 2 + nibE(id, 2 + m) % 3
+  private[ext] def statusOfE(id: Long, m: Int, j: Int): Int = if ((id + m + j) % 3 == 2) 2 else 1
+  private[ext] def dataPathOfE(m: Int, j: Int): String = s"data/eq-$m-$j.parquet"
+  private[ext] def recordsOfE(id: Long, m: Int, j: Int): Long =
+    100L + nibE(id, 4 + (m + 2 * j) % 8) * 7L + j
+  private[ext] def bytesOfE(id: Long, m: Int, j: Int): Long =
+    4096L + nibE(id, 5 + (3 * m + j) % 8) * 512L + 13L * j + m
+  private[ext] def langOfE(id: Long, m: Int, j: Int): String =
+    words(nibE(id, 6 + (m + j) % 9) % 8)
+  /** Data sequence numbers 1..4; the deletes sit at sequence 3. */
+  private[ext] def seqOfE(id: Long, m: Int, j: Int): Long =
+    1L + nibE(id, 7 + (2 * m + j) % 9) % 4
+  private[ext] val DeleteSeqE = 3L
+  private[ext] def nPosDeletesE(id: Long, m: Int, j: Int): Int = nibE(id, 12 + (m + j) % 8) % 4
+  private[ext] def eqLangE(id: Long): String = words(nibE(id, 15) % 8)
+  private[ext] def snapshotIdOfE(id: Long): Long = 9000000L + id
+
+  private val ManifestSchemaEq: String =
+    """{"type":"record","name":"manifest_entry","fields":[""" +
+      """{"name":"status","type":"int"},""" +
+      """{"name":"sequence_number","type":"long"},""" +
+      """{"name":"data_file","type":{"type":"record","name":"data_file","fields":[""" +
+      """{"name":"content","type":"int"},""" +
+      """{"name":"file_path","type":"string"},""" +
+      """{"name":"file_format","type":"string"},""" +
+      """{"name":"partition","type":{"type":"record","name":"r102","fields":[""" +
+      """{"name":"lang","type":"string"}]}},""" +
+      """{"name":"record_count","type":"long"},""" +
+      """{"name":"file_size_in_bytes","type":"long"},""" +
+      """{"name":"equality_ids","type":{"type":"array","items":"int"}}]}}]}"""
+
+  private val EqDeleteSchema: String =
+    """{"type":"record","name":"equality_delete","fields":[""" +
+      """{"name":"lang","type":"string"}]}"""
+
+  private def manifestPathOfE(id: Long, m: Int): String = s"metadata/manifesteq-$m.avro"
+  private def deleteManifestPathOfE(id: Long): String = "metadata/manifesteq-del.avro"
+  private def posDeleteFilePathOfE(id: Long): String = "data/eq-posdel.avro"
+  private def eqDeleteFilePathOfE(id: Long): String = "data/eq-eqdel.avro"
+  private def manifestListPathOfE(id: Long): String =
+    s"metadata/snap-${snapshotIdOfE(id)}.avro"
+
+  private[ext] def posDeleteRowsE(id: Long): Seq[(String, Long)] = {
+    val rows = Vector.newBuilder[(String, Long)]
+    for (m <- 0 until nManifestsE(id); j <- 0 until nEntriesE(id, m);
+         i <- 0 until nPosDeletesE(id, m, j))
+      rows += ((dataPathOfE(m, j), 11L * i + id % 7))
+    // a dangling row on every table: exercises the ignore arm AND keeps
+    // the container non-empty when every per-file count lands on 0
+    rows += (("data/eq-ghost.parquet", 0L))
+    rows.result()
+  }
+
+  /** The eq-delete values: the live target plus one that matches nothing. */
+  private[ext] def eqDeleteRowsE(id: Long): Seq[String] = Seq(eqLangE(id), "qq-none")
+
+  private def writeEqEntry(out: java.io.ByteArrayOutputStream, status: Long, seq: Long,
+      content: Long, path: String, lang: String, records: Long, bytes: Long,
+      eqIds: Seq[Long]): Unit = {
+    Avro.writeVarLong(out, status)
+    Avro.writeVarLong(out, seq)
+    Avro.writeVarLong(out, content)
+    wstr(out, path)
+    wstr(out, if (content == 0L) "PARQUET" else "AVRO")
+    wstr(out, lang)
+    Avro.writeVarLong(out, records)
+    Avro.writeVarLong(out, bytes)
+    if (eqIds.nonEmpty) {
+      Avro.writeVarLong(out, eqIds.length.toLong)
+      eqIds.foreach(Avro.writeVarLong(out, _))
+    }
+    Avro.writeVarLong(out, 0L) // array end
+  }
+
+  private[ext] def renderManifestE(id: Long, m: Int): Array[Byte] =
+    avroContainer(ManifestSchemaEq,
+      java.security.MessageDigest.getInstance("MD5").digest(s"iceeq-m:$id:$m".getBytes("UTF-8")),
+      (0 until nEntriesE(id, m)).map { j => (out: java.io.ByteArrayOutputStream) =>
+        writeEqEntry(out, statusOfE(id, m, j).toLong, seqOfE(id, m, j), 0L,
+          dataPathOfE(m, j), langOfE(id, m, j), recordsOfE(id, m, j), bytesOfE(id, m, j), Nil)
+      })
+
+  private[ext] def renderDeleteManifestE(id: Long): Array[Byte] = {
+    val nPos = posDeleteRowsE(id).length.toLong
+    avroContainer(ManifestSchemaEq,
+      java.security.MessageDigest.getInstance("MD5").digest(s"iceeq-dm:$id".getBytes("UTF-8")),
+      Seq(
+        { (out: java.io.ByteArrayOutputStream) =>
+          writeEqEntry(out, 1L, DeleteSeqE, 1L, posDeleteFilePathOfE(id), "",
+            nPos, 2048L + nPos * 24L, Nil)
+        },
+        { (out: java.io.ByteArrayOutputStream) =>
+          writeEqEntry(out, 1L, DeleteSeqE, 2L, eqDeleteFilePathOfE(id), "",
+            eqDeleteRowsE(id).length.toLong, 512L, Seq(100L)) // field id of `lang`
+        }))
+  }
+
+  private[ext] def renderPosDeleteFileE(id: Long): Array[Byte] =
+    avroContainer(PosDeleteSchema,
+      java.security.MessageDigest.getInstance("MD5").digest(s"iceeq-pf:$id".getBytes("UTF-8")),
+      posDeleteRowsE(id).map { case (p, pos) => (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, p)
+        Avro.writeVarLong(out, pos)
+      })
+
+  private[ext] def renderEqDeleteFileE(id: Long): Array[Byte] =
+    avroContainer(EqDeleteSchema,
+      java.security.MessageDigest.getInstance("MD5").digest(s"iceeq-ef:$id".getBytes("UTF-8")),
+      eqDeleteRowsE(id).map { lang => (out: java.io.ByteArrayOutputStream) =>
+        wstr(out, lang)
+      })
+
+  private[ext] def renderMetadataJsonE(id: Long): String = {
+    val cur = snapshotIdOfE(id)
+    s"""{"format-version":2,"table-uuid":"0003-${md5Hex(s"iceeq:$id").take(8)}",""" +
+      s""""location":"s3://lake/tbleq-$id","last-updated-ms":${1720000000000L + id},""" +
+      s""""current-snapshot-id":$cur,"snapshots":[""" +
+      s"""{"snapshot-id":$cur,"manifest-list":"${manifestListPathOfE(id)}","timestamp-ms":2}]}"""
+  }
+
+  /** Fixture writer: one equality+position merge-on-read table per doc. */
+  def encodeIcebergEq(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .flatMap { id =>
+        val manifests = (0 until nManifestsE(id)).map(m => renderManifestE(id, m))
+        val delManifest = renderDeleteManifestE(id)
+        Seq(
+          (id, "metadata/v1.metadata.json",
+            renderMetadataJsonE(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          (id, manifestListPathOfE(id),
+            renderManifestListGen(s"iceeq-l:$id", snapshotIdOfE(id),
+              manifests.zipWithIndex.map { case (b, m) => (manifestPathOfE(id, m), b.length, 0L) } :+
+                ((deleteManifestPathOfE(id), delManifest.length, 1L)))),
+          (id, deleteManifestPathOfE(id), delManifest),
+          (id, posDeleteFilePathOfE(id), renderPosDeleteFileE(id)),
+          (id, eqDeleteFilePathOfE(id), renderEqDeleteFileE(id))) ++
+          manifests.zipWithIndex.map { case (b, m) => (id, manifestPathOfE(id, m), b) }
+      }
+      .toDF("doc_id", "path", "content")
+  }
+
+  final case class IcebergEqFile(
+    doc_id: Long, file_path: String, lang: String, seq: Long, record_count: Long,
+    pos_deleted: Long, eq_deleted: Boolean, live_rows: Long)
+
+  /** Walk one equality+position table with the sequence-number rules. */
+  private[ext] def walkTableEq(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergEqFile] = {
+    val byPath = files.toMap
+    if (byPath.size != files.length) fail()
+    val metaCandidates = files.collect { case (p, b) if p.endsWith(".metadata.json") => (p, b) }
+    if (metaCandidates.length != 1) fail()
+    val meta = new DeltaLog.JParser(new String(metaCandidates.head._2,
+      java.nio.charset.StandardCharsets.UTF_8)).parseRoot() match {
+      case o: DeltaLog.JObj => o
+      case _ => fail()
+    }
+    meta.map.get("format-version") match {
+      case Some(DeltaLog.JNum(v)) => if (v != 2) fail()
+      case _ => fail()
+    }
+    val current = meta.map.get("current-snapshot-id") match {
+      case Some(DeltaLog.JNum(v)) => v
+      case _ => fail()
+    }
+    val manifestList = (meta.map.get("snapshots") match {
+      case Some(DeltaLog.JArr(items)) => items.collectFirst {
+        case o: DeltaLog.JObj if o.map.get("snapshot-id").contains(DeltaLog.JNum(current)) =>
+          o.map.get("manifest-list") match { case Some(DeltaLog.JStr(v)) => v; case _ => fail() }
+      }
+      case _ => fail()
+    }).getOrElse(fail())
+    val mlRows = Avro.demuxGeneric(id, byPath.getOrElse(manifestList, fail()), 1 << 26)
+    val manifests = mlRows.groupBy(_.rec_idx).toSeq.sortBy(_._1).map { case (_, rows) =>
+      val by = rows.map(r => r.path -> r).toMap
+      val p = by.get("manifest_path").flatMap(_.s_val).getOrElse(fail())
+      val content = by.get("content").flatMap(_.i_val).getOrElse(fail())
+      if (content < 0 || content > 1) fail()
+      (p, content)
+    }
+    if (manifests.map(_._1).distinct.length != manifests.length) fail()
+    final case class Entry(status: Long, seq: Long, content: Long, path: String,
+      lang: String, records: Long, eqIds: Int)
+    def entriesOf(mPath: String): Seq[Entry] = {
+      val rows = Avro.demuxGeneric(id, byPath.getOrElse(mPath, fail()), 1 << 26)
+      rows.groupBy(_.rec_idx).toSeq.sortBy(_._1).map { case (_, entry) =>
+        val by = entry.map(r => r.path -> r).toMap
+        val status = by.get("status").flatMap(_.i_val).getOrElse(fail())
+        if (status < 0 || status > 2) fail()
+        val seq = by.get("sequence_number").flatMap(_.i_val).getOrElse(fail())
+        if (seq < 0) fail()
+        val eqIds = entry.count(_.path.startsWith("data_file.equality_ids["))
+        Entry(status, seq,
+          by.get("data_file.content").flatMap(_.i_val).getOrElse(fail()),
+          by.get("data_file.file_path").flatMap(_.s_val).getOrElse(fail()),
+          by.get("data_file.partition.lang").flatMap(_.s_val).getOrElse(fail()),
+          by.get("data_file.record_count").flatMap(_.i_val).getOrElse(fail()),
+          eqIds)
+      }
+    }
+    val dataEntries = manifests.filter(_._2 == 0L).flatMap(m => entriesOf(m._1)).map { e =>
+      if (e.content != 0L || e.eqIds != 0) fail() // a delete file in a data manifest
+      e
+    }.filter(_.status != 2L)
+    if (dataEntries.map(_.path).distinct.length != dataEntries.length) fail()
+    val deleteEntries = manifests.filter(_._2 == 1L).flatMap(m => entriesOf(m._1))
+      .filter(_.status != 2L)
+    // position deletes, per target path, with the delete's sequence number
+    val posBySeq = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashSet[(Long, Long)]] // path -> (pos, delSeq)
+    val eqDeletes = Vector.newBuilder[(String, Long)] // (lang value, delSeq)
+    deleteEntries.foreach { e =>
+      e.content match {
+        case 1L =>
+          if (e.eqIds != 0) fail() // position deletes carry no equality ids
+          val rows = Avro.demuxGeneric(id, byPath.getOrElse(e.path, fail()), 1 << 26)
+          val recs = rows.groupBy(_.rec_idx).toSeq.sortBy(_._1)
+          if (recs.length.toLong != e.records) fail()
+          recs.foreach { case (_, r) =>
+            val by = r.map(x => x.path -> x).toMap
+            val p = by.get("file_path").flatMap(_.s_val).getOrElse(fail())
+            val pos = by.get("pos").flatMap(_.i_val).getOrElse(fail())
+            if (pos < 0) fail()
+            posBySeq.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += ((pos, e.seq))
+          }
+        case 2L =>
+          if (e.eqIds == 0) fail() // equality deletes must name their fields
+          val rows = Avro.demuxGeneric(id, byPath.getOrElse(e.path, fail()), 1 << 26)
+          val recs = rows.groupBy(_.rec_idx).toSeq.sortBy(_._1)
+          if (recs.length.toLong != e.records) fail()
+          recs.foreach { case (_, r) =>
+            val by = r.map(x => x.path -> x).toMap
+            eqDeletes += ((by.get("lang").flatMap(_.s_val).getOrElse(fail()), e.seq))
+          }
+        case _ => fail() // content 0 in a delete manifest
+      }
+    }
+    val eqs = eqDeletes.result()
+    dataEntries.map { e =>
+      // position deletes apply at dataSeq <= deleteSeq; dedup by position
+      val positions = posBySeq.get(e.path).map(_.filter(_._2 >= e.seq).map(_._1))
+        .getOrElse(Set.empty[Long])
+      if (positions.exists(_ >= e.records)) fail()
+      val posDel = positions.size.toLong
+      // equality deletes apply STRICTLY below their sequence number
+      val eqDead = eqs.exists { case (lang, dSeq) => lang == e.lang && e.seq < dSeq }
+      IcebergEqFile(id, e.path, e.lang, e.seq, e.records, posDel, eqDead,
+        if (eqDead) 0L else e.records - posDel)
+    }
+  }
+
+  private[ext] def walkTableEqSafe(id: Long, files: Seq[(String, Array[Byte])]): Seq[IcebergEqFile] =
+    try walkTableEq(id, files)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** `iceberg_eq_state`: equality + position merge-on-read accounting
+    * under the sequence-number rules. One shuffle, keyed by table.
+    */
+  def icebergEqState(listing: DataFrame, idCol: String = "doc_id",
+      pathCol: String = "path", contentCol: String = "content"): Dataset[IcebergEqFile] = {
+    val spark = listing.sparkSession
+    import spark.implicits._
+    listing
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(pathCol), col(contentCol))
+      .as[(Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        walkTableEqSafe(id, it.map(r => (r._2, r._3)).toSeq)
+      }
+  }
 
   /** `iceberg_v2_state`: merge-on-read active-row accounting of every
     * v2 table. One shuffle, keyed by table.

@@ -210,6 +210,81 @@ class IcebergSpec extends AnyFunSuite {
     assert(Iceberg.walkTableV2Safe(id, good.filter(_._1 != "data/deletes-0.avro")).isEmpty)
   }
 
+  // ---------------- equality deletes + sequence numbers ----------------
+
+  private def filesEq(id: Long): Seq[(String, Array[Byte])] = {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    Iceberg.encodeIcebergEq(Seq(Tuple1(id)).toDF("doc_id"))
+      .as[(Long, String, Array[Byte])].collect().toSeq.map(r => (r._2, r._3))
+  }
+
+  private def expectedEq(id: Long): Seq[Iceberg.IcebergEqFile] =
+    for {
+      m <- 0 until Iceberg.nManifestsE(id)
+      j <- 0 until Iceberg.nEntriesE(id, m)
+      if Iceberg.statusOfE(id, m, j) != 2
+    } yield {
+      val rc = Iceberg.recordsOfE(id, m, j)
+      val seq = Iceberg.seqOfE(id, m, j)
+      val lang = Iceberg.langOfE(id, m, j)
+      val pos = if (seq <= Iceberg.DeleteSeqE) Iceberg.nPosDeletesE(id, m, j).toLong else 0L
+      val eqDead = lang == Iceberg.eqLangE(id) && seq < Iceberg.DeleteSeqE
+      Iceberg.IcebergEqFile(id, Iceberg.dataPathOfE(m, j), lang, seq, rc, pos, eqDead,
+        if (eqDead) 0L else rc - pos)
+    }
+
+  test("eq round-trip: sequence-number rules decide who dies") {
+    var sawEqDead = false
+    var sawEqEscape = false // lang matches but seq >= delete seq
+    var sawPosEscape = false // seq above the position delete's
+    for (id <- 0L until 64L) {
+      val got = Iceberg.walkTableEq(id, filesEq(id))
+      assert(got == expectedEq(id), s"iceeq $id")
+      got.foreach { f =>
+        if (f.eq_deleted) sawEqDead = true
+        if (!f.eq_deleted && f.lang == Iceberg.eqLangE(id) && f.seq >= Iceberg.DeleteSeqE)
+          sawEqEscape = true
+        if (f.seq > Iceberg.DeleteSeqE && Iceberg.nPosDeletesE(id,
+          f.file_path.split("-")(1).toInt, f.file_path.split("-")(2).stripSuffix(".parquet").toInt) > 0)
+          sawPosEscape = true
+      }
+    }
+    assert(sawEqDead, "fixture must kill a file by equality")
+    assert(sawEqEscape, "fixture must have a matching-lang file ABOVE the delete seq")
+    assert(sawPosEscape, "fixture must have position deletes escaped by seq")
+  }
+
+  test("eq damage ladder: ids on the wrong entry kind, count drift") {
+    val id = 2L
+    val good = filesEq(id)
+    assert(Iceberg.walkTableEqSafe(id, good).nonEmpty)
+    // missing eq delete file
+    assert(Iceberg.walkTableEqSafe(id, good.filter(_._1 != "data/eq-eqdel.avro")).isEmpty)
+    // missing pos delete file
+    assert(Iceberg.walkTableEqSafe(id, good.filter(_._1 != "data/eq-posdel.avro")).isEmpty)
+    // torn delete manifest
+    val torn = good.map { case (p, b) =>
+      if (p == "metadata/manifesteq-del.avro") (p, b.take(b.length - 4)) else (p, b)
+    }
+    assert(Iceberg.walkTableEqSafe(id, torn).isEmpty)
+  }
+
+  test("eq operator: damaged table quarantines alone (Spark)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val docs = (0L until 12L).map(Tuple1(_)).toDF("doc_id")
+    val mixed = Iceberg.encodeIcebergEq(docs).as[(Long, String, Array[Byte])].map {
+      case (id, p, b) =>
+        if (id == 3L && p == "data/eq-eqdel.avro") (id, p, b.take(10)) else (id, p, b)
+    }.toDF("doc_id", "path", "content")
+    val got = Iceberg.icebergEqState(mixed).collect()
+    val byDoc = got.groupBy(_.doc_id)
+    assert(!byDoc.contains(3L))
+    for (id <- (0L until 12L) if id != 3L)
+      assert(byDoc(id).toSeq.sortBy(_.file_path) == expectedEq(id).sortBy(_.file_path), s"iceeq $id")
+  }
+
   test("v2 operator: damaged table quarantines alone (Spark)") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
