@@ -236,6 +236,7 @@ object ParquetFile {
     w.i32(1, 0) // type = DATA_PAGE
     w.i32(2, body.length) // uncompressed_page_size
     w.i32(3, stored.length) // compressed_page_size
+    w.i32(4, Multimodal.crc32(stored, 0, stored.length)) // page CRC (over stored body)
     w.structBegin(5) // data_page_header
     w.i32(1, numValues)
     w.i32(2, encoding)
@@ -261,6 +262,8 @@ object ParquetFile {
     w.i32(1, 3) // type = DATA_PAGE_V2
     w.i32(2, levelsLen + values.length) // uncompressed_page_size
     w.i32(3, levelsLen + stored.length) // compressed_page_size
+    // page CRC: levels + stored values — the whole body after the header
+    w.i32(4, Multimodal.crc32(repLevels ++ defLevels ++ stored, 0, levelsLen + stored.length))
     w.structBegin(8) // data_page_header_v2
     w.i32(1, numValues)
     w.i32(2, numNulls)
@@ -283,6 +286,7 @@ object ParquetFile {
     w.i32(1, 2) // type = DICTIONARY_PAGE
     w.i32(2, values.length)
     w.i32(3, stored.length)
+    w.i32(4, Multimodal.crc32(stored, 0, stored.length)) // page CRC
     w.structBegin(7) // dictionary_page_header
     w.i32(1, numValues)
     w.i32(2, 2) // encoding = PLAIN_DICTIONARY
@@ -1054,6 +1058,7 @@ object ParquetFile {
       val r = new TReader(bytes, pos, bytes.length)
       r.structBegin()
       var pageType = -1; var uncomp = -1; var comp = -1
+      var crc = 0; var crcSet = false
       var dNum = -1; var dEnc = -1
       var vNum = -1; var vEnc = -1; var dlEnc = -1; var rlEnc = -1
       var v2Num = -1; var v2Nulls = -1; var v2Enc = -1
@@ -1063,6 +1068,7 @@ object ParquetFile {
         case Some((1, 5)) => pageType = r.zigzag().toInt
         case Some((2, 5)) => uncomp = r.zigzag().toInt
         case Some((3, 5)) => comp = r.zigzag().toInt
+        case Some((4, 5)) => crc = r.zigzag().toInt; crcSet = true
         case Some((5, 12)) =>
           r.structBegin()
           var m2 = true
@@ -1106,6 +1112,10 @@ object ParquetFile {
       if (uncomp < 0 || uncomp > MaxPageBytes || comp < 0) fail()
       val dataStart = r.pos
       if (comp > bytes.length - dataStart) fail()
+      // page CRC, when the writer stamped one (parquet-mr does by
+      // default since 1.12): CRC-32 over the serialized body after the
+      // header — the stored (compressed) bytes, levels included for v2
+      if (crcSet && Multimodal.crc32(bytes, dataStart, dataStart + comp) != crc) fail()
       pos = dataStart + comp
       // ---- page body (decompressed)
       lazy val page: Array[Byte] =

@@ -310,6 +310,25 @@ class ParquetFileSpec extends AnyFunSuite {
     }
   }
 
+  test("page CRC: a flipped body byte inside an otherwise-valid page quarantines") {
+    // the writer stamps PageHeader.crc (as parquet-mr does by default);
+    // the reader verifies it over the stored body — damage the length
+    // fields cannot see (a flipped bit inside a fixed-width PLAIN value)
+    // now fails
+    val id = 2L // UNCOMPRESSED: body bytes are the values themselves
+    val good = ParquetFile.renderParquet(id)
+    assert(ParquetFile.parseParquetSafe(id, good).nonEmpty)
+    val f = ParquetFile.parseFooter(good)
+    val c0 = f.rowGroups.head.columns.head // the INT64 id column
+    // find the first data page body: header ends where the thrift stop
+    // byte sits; flip a byte near the chunk's end (inside value bytes)
+    val at = (c0.dataPageOffset + c0.totalCompressed - 3).toInt
+    val bad = good.clone()
+    bad(at) = (bad(at) ^ 1).toByte
+    assert(ParquetFile.parseParquetSafe(id, bad).isEmpty,
+      "CRC must catch a value-byte flip the structural checks cannot")
+  }
+
   test("nested round-trip: Dremel reassembly recovers the closed-form records") {
     for (id <- 0L until 96L) {
       val rows = ParquetFile.parseNestedParquet(id, ParquetFile.renderNestedParquet(id))
