@@ -281,18 +281,28 @@ object Iceberg {
     Integer.parseInt(m.substring(i - 1, i), 16)
   }
 
-  private[ext] def nManifests2(id: Long): Int = 1 + nib2(id, 1) % 2
-  private[ext] def nEntries2(id: Long, m: Int): Int = 2 + nib2(id, 2 + m) % 3
-  private[ext] def statusOf2(id: Long, m: Int, j: Int): Int = if ((id + m + j) % 3 == 2) 2 else 1
+  // shared closed-form arms of the two merge-on-read fixtures: only the
+  // md5 seed (the nib function) differs between the position-only and
+  // equality families — one formula set, two seeds (review finding)
+  private def armManifests(nib: Int => Int): Int = 1 + nib(1) % 2
+  private def armEntries(nib: Int => Int, m: Int): Int = 2 + nib(2 + m) % 3
+  private def armStatus(id: Long, m: Int, j: Int): Int = if ((id + m + j) % 3 == 2) 2 else 1
+  private def armRecords(nib: Int => Int, m: Int, j: Int): Long =
+    100L + nib(4 + (m + 2 * j) % 8) * 7L + j
+  private def armBytes(nib: Int => Int, m: Int, j: Int): Long =
+    4096L + nib(5 + (3 * m + j) % 8) * 512L + 13L * j + m
+  private def armDeletes(nib: Int => Int, m: Int, j: Int): Int = nib(12 + (m + j) % 8) % 4
+
+  private[ext] def nManifests2(id: Long): Int = armManifests(nib2(id, _))
+  private[ext] def nEntries2(id: Long, m: Int): Int = armEntries(nib2(id, _), m)
+  private[ext] def statusOf2(id: Long, m: Int, j: Int): Int = armStatus(id, m, j)
   private[ext] def dataPathOf2(m: Int, j: Int): String = s"data/part-$m-$j.parquet"
-  private[ext] def recordsOf2(id: Long, m: Int, j: Int): Long =
-    100L + nib2(id, 4 + (m + 2 * j) % 8) * 7L + j
-  private[ext] def bytesOf2(id: Long, m: Int, j: Int): Long =
-    4096L + nib2(id, 5 + (3 * m + j) % 8) * 512L + 13L * j + m
+  private[ext] def recordsOf2(id: Long, m: Int, j: Int): Long = armRecords(nib2(id, _), m, j)
+  private[ext] def bytesOf2(id: Long, m: Int, j: Int): Long = armBytes(nib2(id, _), m, j)
   /** Distinct 0-based deleted positions in data file (m, j) — always
     * below the file's record count (min 100).
     */
-  private[ext] def nDeletes2(id: Long, m: Int, j: Int): Int = nib2(id, 12 + (m + j) % 8) % 4
+  private[ext] def nDeletes2(id: Long, m: Int, j: Int): Int = armDeletes(nib2(id, _), m, j)
   private[ext] def deletePos2(id: Long, i: Int): Long = 11L * i + id % 7
   private[ext] def snapshotIdOf2(id: Long): Long = 8000000L + id
 
@@ -525,21 +535,19 @@ object Iceberg {
     Integer.parseInt(m.substring(i - 1, i), 16)
   }
 
-  private[ext] def nManifestsE(id: Long): Int = 1 + nibE(id, 1) % 2
-  private[ext] def nEntriesE(id: Long, m: Int): Int = 2 + nibE(id, 2 + m) % 3
-  private[ext] def statusOfE(id: Long, m: Int, j: Int): Int = if ((id + m + j) % 3 == 2) 2 else 1
+  private[ext] def nManifestsE(id: Long): Int = armManifests(nibE(id, _))
+  private[ext] def nEntriesE(id: Long, m: Int): Int = armEntries(nibE(id, _), m)
+  private[ext] def statusOfE(id: Long, m: Int, j: Int): Int = armStatus(id, m, j)
   private[ext] def dataPathOfE(m: Int, j: Int): String = s"data/eq-$m-$j.parquet"
-  private[ext] def recordsOfE(id: Long, m: Int, j: Int): Long =
-    100L + nibE(id, 4 + (m + 2 * j) % 8) * 7L + j
-  private[ext] def bytesOfE(id: Long, m: Int, j: Int): Long =
-    4096L + nibE(id, 5 + (3 * m + j) % 8) * 512L + 13L * j + m
+  private[ext] def recordsOfE(id: Long, m: Int, j: Int): Long = armRecords(nibE(id, _), m, j)
+  private[ext] def bytesOfE(id: Long, m: Int, j: Int): Long = armBytes(nibE(id, _), m, j)
   private[ext] def langOfE(id: Long, m: Int, j: Int): String =
     words(nibE(id, 6 + (m + j) % 9) % 8)
   /** Data sequence numbers 1..4; the deletes sit at sequence 3. */
   private[ext] def seqOfE(id: Long, m: Int, j: Int): Long =
     1L + nibE(id, 7 + (2 * m + j) % 9) % 4
   private[ext] val DeleteSeqE = 3L
-  private[ext] def nPosDeletesE(id: Long, m: Int, j: Int): Int = nibE(id, 12 + (m + j) % 8) % 4
+  private[ext] def nPosDeletesE(id: Long, m: Int, j: Int): Int = armDeletes(nibE(id, _), m, j)
   private[ext] def eqLangE(id: Long): String = words(nibE(id, 15) % 8)
   private[ext] def snapshotIdOfE(id: Long): Long = 9000000L + id
 
@@ -770,9 +778,11 @@ object Iceberg {
     val eqs = eqDeletes.result()
     dataEntries.map { e =>
       // position deletes apply at dataSeq <= deleteSeq; dedup by position
+      // out-of-range positions are structural damage REGARDLESS of the
+      // sequence-number applicability filter (the v2 walker's contract)
+      if (posBySeq.get(e.path).exists(_.exists(_._1 >= e.records))) fail()
       val positions = posBySeq.get(e.path).map(_.filter(_._2 >= e.seq).map(_._1))
         .getOrElse(Set.empty[Long])
-      if (positions.exists(_ >= e.records)) fail()
       val posDel = positions.size.toLong
       // equality deletes apply STRICTLY below their sequence number
       val eqDead = eqs.exists { case (lang, dSeq) => lang == e.lang && e.seq < dSeq }
