@@ -136,6 +136,10 @@ object Dremel {
       .select(col(idCol).cast("long"), norm.as("n"))
       .filter(col("n") =!= "")
       .select(col(idCol), split(col("n"), " "))
+      // staging exchange (optimization guide §2.5): the shred/reassemble
+      // kernel must not inherit the scan's split count — one round-robin
+      // exchange of the narrow (id, tokens) rows spreads it across cores
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Seq[String])]
       .map { case (id, words) =>
         val (code, chars) = shred(words)

@@ -173,6 +173,10 @@ object Gguf {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the expensive per-doc
+      // render must not inherit the scan's split count — one round-robin
+      // exchange of bare ids spreads render+decode across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderGguf(id)))
       .toDF("doc_id", "gguf")

@@ -488,6 +488,10 @@ object ParquetFile {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the expensive per-doc
+      // render must not inherit the scan's split count — one round-robin
+      // exchange of bare ids spreads render+decode across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderParquet(id)))
       .toDF("doc_id", "pq")
@@ -1579,6 +1583,10 @@ object ParquetFile {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the expensive per-doc
+      // render must not inherit the scan's split count — one round-robin
+      // exchange of bare ids spreads render+decode across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderNestedParquet(id)))
       .toDF("doc_id", "pq")
@@ -1988,6 +1996,10 @@ object ParquetFile {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the expensive per-doc
+      // render must not inherit the scan's split count — one round-robin
+      // exchange of bare ids spreads render+decode across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderPageIndexParquet(id)))
       .toDF("doc_id", "pq")
@@ -2385,6 +2397,10 @@ object ParquetFile {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the expensive per-doc
+      // render must not inherit the scan's split count — one round-robin
+      // exchange of bare ids spreads render+decode across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderBloomParquet(id)))
       .toDF("doc_id", "pq")

@@ -180,6 +180,11 @@ object Sketches {
     require(d >= 1 && w >= 2)
     val spark = docs.sparkSession
     val cells = docs
+      .select(col(textCol))
+      // staging exchange (optimization guide §2.5): the d md5 probes per
+      // token must not inherit the scan's split count — spread the narrow
+      // text rows across cores before the explode multiplies them
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .select(explode(array((0 until d).map { i =>

@@ -646,10 +646,35 @@ object TextAnalysis {
     * argmin-with-rightmost-tie needs no w-way join or nested window:
     * hash and position pack into one orderable BIGINT
     * `(2^40 − h) · 2^20 + pos` (pos < 2^20 enforced by construction,
-    * max value 2^60 — no overflow), so a single frame-max per window
-    * start selects the winnowed gram. 100 TB shape: one codegen'd
-    * window pass partitioned by document + one distinct — linear,
-    * join-free, no driver state.
+    * max value 2^60 — no overflow), so a single max per window start
+    * selects the winnowed gram.
+    *
+    * 100 TB shape (round 17, optimization guide §1.2/§2.4): ONE per-doc
+    * pass. The selection is local to a document, so the old shape —
+    * explode one row per character k-gram (L − k + 1 rows per doc),
+    * md5 each through four chained expressions, exchange + sort the
+    * gram rows for a doc-partitioned frame max, then a distinct
+    * exchange — paid two shuffles and a per-gram expression chain for
+    * what a single flatMap computes in-place. This pass hashes each
+    * gram once (one MessageDigest per row, zero per-gram string
+    * allocation: grams are (offset, length) slices of the doc's UTF-8
+    * bytes), takes the window max over a primitive array, and dedups
+    * per doc in a local hash set (the old global distinct was per-doc
+    * by construction: doc_id is in every key). Zero shuffles of gram
+    * rows at any scale; the one exchange below is the staging
+    * round-robin of the NARROW (doc_id, normalized-text) rows that
+    * decouples kernel parallelism from the scan's split count (the
+    * bench corpus is one parquet row group = one split; the same
+    * convention as the expensive per-doc fixture writers, PlanShapeSpec
+    * "staging exchange" family). Measured at sf0.1/local[32]:
+    * winnow_fingerprints 3.47s → see OPTIMIZATION_r17.md (plan:
+    * 2 Exchange + Window + explode → 1 round-robin Exchange, map-only).
+    *
+    * Bitwise-identical outputs to the expression form: Spark `length`/
+    * `substring` slice by code point, so grams are built over code-point
+    * offsets into the UTF-8 bytes; `md5(CAST(substring(...) AS BINARY))`
+    * is MD5 over exactly those bytes; the hex-prefix low-40-bits equal
+    * the first 5 digest bytes big-endian.
     *
     * Documents with fewer than `w` k-grams produce no fingerprints
     * (no full window exists — the standard guarantee threshold).
@@ -657,27 +682,56 @@ object TextAnalysis {
   def winnow(docs: DataFrame, k: Int = 5, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1, "k-gram size and window size must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val maxPos = 1048576L // 2^20: keeps (2^40)·2^20 = 2^60 inside BIGINT
-    val grams = docs
+    val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), normText(col(textCol)).as("t"))
       // np = number of k-grams; docs past the 2^20-gram packing domain are
       // excluded rather than mis-packed (chunk upstream for longer payloads)
       .filter(length(col("t")) >= k && (length(col("t")) - (k - 1)).cast("long") < maxPos)
-      .select(col("doc_id"), col("t"), (length(col("t")) - (k - 1)).cast("long").as("np"),
-        explode(sequence(lit(1L), (length(col("t")) - (k - 1)).cast("long"))).as("pos"))
-    val h = expr(s"CAST(conv(substring(md5(CAST(substring(t, CAST(pos AS INT), $k) AS BINARY)), 1, 10), 16, 10) AS BIGINT)")
-    val packed = grams.select(col("doc_id"), col("np"), col("pos"),
-      ((lit(1099511627776L) - h) * maxPos + col("pos")).as("v"))
-    val frame = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    packed
-      .withColumn("mv", max(col("v")).over(frame))
-      .filter(col("pos") <= col("np") - (w - 1))
-      .select(col("doc_id"),
-        (col("mv") % maxPos).as("pos"),
-        (lit(1099511627776L) - expr(s"mv DIV $maxPos")).as("fp"))
-      .distinct()
+      .repartition(spark.sparkContext.defaultParallelism)
+    base.as[(Long, String)].flatMap { case (docId, t) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // code-point start offsets: Spark substring/length slice by code
+      // point, and a code point starts at every non-continuation byte
+      val nCp = t.codePointCount(0, t.length)
+      val offs = new Array[Int](nCp + 1)
+      var ci = 0
+      var bi = 0
+      while (bi < bytes.length) {
+        if ((bytes(bi) & 0xc0) != 0x80) { offs(ci) = bi; ci += 1 }
+        bi += 1
+      }
+      offs(nCp) = bytes.length
+      val np = nCp - (k - 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val vs = new Array[Long](math.max(np, 0))
+      var i = 0
+      while (i < np) {
+        md.update(bytes, offs(i), offs(i + k) - offs(i))
+        val dg = md.digest() // digest() resets the instance for reuse
+        var h = 0L
+        var j = 0
+        while (j < 5) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+        vs(i) = (1099511627776L - h) * maxPos + (i + 1).toLong
+        i += 1
+      }
+      // frame max per window start; ties impossible (pos is in the pack),
+      // and max picks the smallest hash / rightmost position by design
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var s0 = 0
+      while (s0 + w <= np) {
+        var mv = vs(s0)
+        var j = s0 + 1
+        while (j < s0 + w) { if (vs(j) > mv) mv = vs(j); j += 1 }
+        if (seen.add(mv)) out += ((docId, mv % maxPos, 1099511627776L - mv / maxPos))
+        s0 += 1
+      }
+      out
+    }.toDF("doc_id", "pos", "fp")
   }
 
   /** NARA Soundex of one lowercase word — the phonetic blocking key for

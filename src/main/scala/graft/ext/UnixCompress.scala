@@ -286,6 +286,11 @@ object UnixCompress {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the LZW compress +
+      // decompress kernel must not inherit the scan's split count — one
+      // round-robin exchange of the narrow (id, text) rows spreads the
+      // roundtrip across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         try {
