@@ -328,6 +328,39 @@ object Archives {
     out
   }
 
+  /** Assemble per-archive payload blobs from INDEPENDENT per-record member
+    * bytes (round 17, optimization guide §2.5/§1.2): every archive family
+    * below concatenates members whose bytes depend only on (id, text), so
+    * the EXPENSIVE per-record compression runs as a spread per-doc map —
+    * behind the staging round-robin exchange that decouples it from the
+    * scan's split count — and the per-archive group stage only sorts by id
+    * and concatenates. Payload bytes are identical to encoding inside the
+    * group (same members, same order); what moves across the one extra
+    * exchange is the compressed member (smaller than the text it came
+    * from). Before this split the whole deflate/LZMA/BWT encode ran inside
+    * the `nArchives`-way mapGroups — at most 16 cores busy regardless of
+    * session size.
+    */
+  private[ext] def assembleArchives(docs: DataFrame, nArchives: Int,
+      idCol: String, textCol: String)(member: (Long, String) => Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .map { case (id, text) => (id, member(id, text)) }
+      .groupByKey(_._1 % nArchives)
+      .mapGroups { (aid, it) =>
+        val recs = it.toArray.sortBy(_._1)
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach(r => out.write(r._2))
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "payload")
+  }
+
   /** Group documents into `nArchives` crawl-style archives: records
     * ordered by doc id, each gzip'd as its own member (header variant
     * cycling with the id), members concatenated. The per-group buffer is
@@ -337,26 +370,12 @@ object Archives {
     * path.
     */
   def encodeWarcArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          // cycle stored / fixed / dynamic framing, so ALL THREE deflate
-          // block types sit under the oracled decode path
-          out.write(gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id, method = (id % 3).toInt))
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      // cycle stored / fixed / dynamic framing, so ALL THREE deflate
+      // block types sit under the oracled decode path
+      gzipMember(warcRecord(id, utf8(text)), (id % 4).toInt, id, method = (id % 3).toInt)
+    }
 
   final case class WarcEntry(
       archive_id: Long, rec_idx: Long, rec_doc_id: Long, content_length: Long, checksum: Long)
@@ -582,27 +601,13 @@ object Archives {
     * Content-Length framing, so both wire paths sit under the gate.
     */
   def encodeWarcHttpArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          val msg = httpResponse(utf8(text), chunked = id % 2 == 0)
-          out.write(gzipMember(
-            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
-            method = (id % 3).toInt))
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      val msg = httpResponse(utf8(text), chunked = id % 2 == 0)
+      gzipMember(
+        warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+        method = (id % 3).toInt)
+    }
 
   /** [[encodeWarcHttpArchives]] with CONTENT CODINGS, which is what real
     * WARC response records overwhelmingly carry: the server compressed
@@ -614,28 +619,14 @@ object Archives {
     * the oracle.
     */
   def encodeWarcHttpEncodedArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          val msg = httpResponse(utf8(text), chunked = id % 2 == 0,
-            encoding = ((id / 2) % 4).toInt, id = id)
-          out.write(gzipMember(
-            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
-            method = (id % 3).toInt))
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      val msg = httpResponse(utf8(text), chunked = id % 2 == 0,
+        encoding = ((id / 2) % 4).toInt, id = id)
+      gzipMember(
+        warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+        method = (id % 3).toInt)
+    }
 
   /** The CHARSET composition fixture: like
     * [[encodeWarcHttpEncodedArchives]], but each record's body and
@@ -647,29 +638,15 @@ object Archives {
     * input.
     */
   def encodeWarcHttpCharsetArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, _) =>
-          val (ct, body) = Charset.fixtureRecord(id)
-          val msg = httpResponse(body, chunked = id % 2 == 0,
-            encoding = ((id / 2) % 4).toInt, id = id, contentType = ct)
-          out.write(gzipMember(
-            warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
-            method = (id % 3).toInt))
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    assembleArchives(docs, nArchives, idCol, textCol) { (id, _) =>
+      val (ct, body) = Charset.fixtureRecord(id)
+      val msg = httpResponse(body, chunked = id % 2 == 0,
+        encoding = ((id / 2) % 4).toInt, id = id, contentType = ct)
+      gzipMember(
+        warcRecord(id, msg, "application/http; msgtype=response"), (id % 4).toInt, id,
+        method = (id % 3).toInt)
+    }
 
   final case class WarcCharsetEntry(
       archive_id: Long, rec_idx: Long, rec_doc_id: Long,

@@ -550,26 +550,11 @@ object Bzip2 {
     * share an oracle shape.
     */
   def encodeBz2Archives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          val payload = (id.toString + "\n" + text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val stream = compress(payload, level = 1)
-          out.write(stream, 0, stream.length)
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Archives.assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      val payload = (id.toString + "\n" + text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      compress(payload, level = 1)
+    }
 
   private[ext] def demuxBz2Archive(aid: Long, payload: Array[Byte],
       maxRecordBytes: Int): Vector[Bz2Entry] = {

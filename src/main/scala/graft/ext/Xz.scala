@@ -1058,27 +1058,13 @@ object Xz {
     * dump convention. Mirrors [[Bzip2.encodeBz2Archives]].
     */
   def encodeXzArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          val payload = (id.toString + "\n" + text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val stream = compress(payload) // REAL LZMA chunks per record
-          out.write(stream, 0, stream.length)
-          if (id % 2 == 0) { out.write(0); out.write(0); out.write(0); out.write(0) } // stream padding
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Archives.assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      val payload = (id.toString + "\n" + text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val stream = compress(payload) // REAL LZMA chunks per record
+      if (id % 2 == 0) stream ++ Array[Byte](0, 0, 0, 0) // stream padding
+      else stream
+    }
 
   private[ext] def demuxXzArchive(aid: Long, payload: Array[Byte],
       maxRecordBytes: Int): Vector[XzEntry] = {

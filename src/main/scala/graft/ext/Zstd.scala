@@ -1711,29 +1711,17 @@ object Zstd {
     * work on disk.
     */
   def encodeZstArchives(docs: DataFrame, nArchives: Int = 16,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .groupByKey(_._1 % nArchives)
-      .mapGroups { (aid, it) =>
-        val recs = it.toArray.sortBy(_._1)
-        val out = new java.io.ByteArrayOutputStream()
-        recs.foreach { case (id, text) =>
-          out.write(0x50); out.write(0x2A); out.write(0x4D); out.write(0x18) // skippable magic LE
-          out.write(8); out.write(0); out.write(0); out.write(0)
-          var j = 0
-          while (j < 8) { out.write(((id >> (8 * j)) & 0xff).toInt); j += 1 }
-          val frame = compress(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.write(frame, 0, frame.length)
-        }
-        (aid, out.toByteArray)
-      }
-      .toDF("archive_id", "payload")
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Archives.assembleArchives(docs, nArchives, idCol, textCol) { (id, text) =>
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x50); out.write(0x2A); out.write(0x4D); out.write(0x18) // skippable magic LE
+      out.write(8); out.write(0); out.write(0); out.write(0)
+      var j = 0
+      while (j < 8) { out.write(((id >> (8 * j)) & 0xff).toInt); j += 1 }
+      val frame = compress(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(frame, 0, frame.length)
+      out.toByteArray
+    }
 
   /** Demux + decode a multi-frame zstd archive column: each (skippable
     * id frame, data frame) pair becomes one record row with the decoded
