@@ -109,17 +109,22 @@ object Bpe {
     // after it stays inside whole-stage codegen: transform/element_at
     // for the pair explode, functions.replace (literal-safe) for the
     // rewrite — no per-row lambda or Encoder round trips in the loop
-    val spelled = docs
-      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
-      .select(col(textCol)).as[String]
-      .map(spell)
-      .toDF("mg")
     // a small corpus parquet arrives as ONE scan split, which would run all
     // `rounds` sequential pair-count jobs single-core; spread it once up
-    // front (one tiny shuffle). At scale the scan already has >= default
-    // parallelism splits and no shuffle is added.
+    // front (one tiny shuffle) — BEFORE the spell map, so the codepoint
+    // iteration itself runs wide too (round 17; it previously ran on the
+    // single scan split and landed entirely in the cold materialization).
+    // At scale the scan already has >= default parallelism splits and no
+    // shuffle is added.
     val target = spark.sparkContext.defaultParallelism
-    var base = (if (docs.rdd.getNumPartitions < target) spelled.repartition(target) else spelled)
+    val texts = docs
+      .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
+      .select(col(textCol))
+    val spelled = (if (docs.rdd.getNumPartitions < target) texts.repartition(target) else texts)
+      .as[String]
+      .map(spell)
+      .toDF("mg")
+    var base = spelled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val collapseEvery = 16
     var chain: org.apache.spark.sql.Column = col("mg")

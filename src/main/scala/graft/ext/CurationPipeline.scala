@@ -110,7 +110,16 @@ object CurationPipeline {
               }))
             local.toString
           }
-        exactDeduped0.write.mode("overwrite").parquet(dir)
+        // spread the staged set across writers (optimization guide §2.5):
+        // the deduped corpus otherwise inherits the scan's split count —
+        // ONE on the bench corpus — making the staging write AND every
+        // downstream branch over the re-read (LSH signatures, gram sides,
+        // the quality tail) single-core. At scale the guard is a no-op.
+        val target = spark.sparkContext.defaultParallelism
+        val toStage =
+          if (exactDeduped0.rdd.getNumPartitions < target) exactDeduped0.repartition(target)
+          else exactDeduped0
+        toStage.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       } else exactDeduped0
     exactDeduped

@@ -23,11 +23,19 @@ object MetricParse {
     StructField("cpu_utilization", DoubleType),
     StructField("timestamp", LongType)))
 
-  /** Parse a DataFrame with a string column `raw` into typed metrics. */
+  /** Parse a DataFrame with a string column `raw` into typed metrics.
+    *
+    * The parse is fenced ([[graft.functions.Fence.evalOnce]]) so the
+    * null-drop filter below cannot be pushed under the projection: without
+    * the fence Catalyst re-evaluated the whole from_json chain once per
+    * filter conjunct per row inside an interpreted Filter node (from_json
+    * blocks whole-stage codegen), tripling the per-row parse cost —
+    * optimization guide §4.4's duplicated-UDF shape, JVM edition.
+    */
   def parse(raw: DataFrame, rawCol: String = "raw"): Dataset[Metric] = {
     import raw.sparkSession.implicits._
     raw
-      .select(from_json(col(rawCol), inputSchema).as("m"))
+      .select(graft.functions.Fence.evalOnce(from_json(col(rawCol), inputSchema)).as("m"))
       .select(
         $"m.node_id".as("nodeId"),
         $"m.cpu_utilization".as("cpu"),
