@@ -106,6 +106,10 @@ object DeltaLog {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-table
+      // metadata/manifest render must not inherit the scan's split count —
+      // one round-robin exchange of bare ids spreads it across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .flatMap(id => (0 until nCommits(id)).map(c => (id, c.toLong, renderCommit(id, c))))
       .toDF("doc_id", "version", "content")
@@ -402,6 +406,10 @@ object DeltaLog {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-table
+      // metadata/manifest render must not inherit the scan's split count —
+      // one round-robin exchange of bare ids spreads it across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .flatMap { id =>
         val acts = checkpointActions(id)

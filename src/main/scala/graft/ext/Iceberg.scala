@@ -156,6 +156,10 @@ object Iceberg {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-table
+      // metadata/manifest render must not inherit the scan's split count —
+      // one round-robin exchange of bare ids spreads it across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .flatMap { id =>
         Seq((id, "metadata/v1.metadata.json",
@@ -419,6 +423,10 @@ object Iceberg {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-table
+      // metadata/manifest render must not inherit the scan's split count —
+      // one round-robin exchange of bare ids spreads it across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .flatMap { id =>
         val manifests = (0 until nManifests2(id)).map(m => renderManifest2(id, m))
@@ -661,6 +669,10 @@ object Iceberg {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-table
+      // metadata/manifest render must not inherit the scan's split count —
+      // one round-robin exchange of bare ids spreads it across every core
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .flatMap { id =>
         val manifests = (0 until nManifestsE(id)).map(m => renderManifestE(id, m))
