@@ -421,6 +421,10 @@ object Charset {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col("text").isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map { id =>
         val (ct, payload) = fixtureRecord(id)

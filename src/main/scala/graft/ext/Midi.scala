@@ -120,6 +120,10 @@ object Midi {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderMidi(id)))
       .toDF("doc_id", "midi")

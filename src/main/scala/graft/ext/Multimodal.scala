@@ -121,6 +121,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -510,6 +514,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -1361,6 +1369,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -1686,6 +1698,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -2368,6 +2384,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -2782,6 +2802,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -2889,6 +2913,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)
@@ -3198,6 +3226,10 @@ object Multimodal {
     docs
       .filter(col(idCol).isNotNull && col(idCol).cast("long") >= 0)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, textOrNull) =>
         val data = utf8Bytes(textOrNull)

@@ -93,6 +93,10 @@ object Vcard {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0)
       .select(col(idCol).cast("long"))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[Long]
       .map(id => (id, renderVcf(id)))
       .toDF("doc_id", "vcf_text")

@@ -1807,6 +1807,10 @@ object Zstd {
     docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc kernel must
+      // not inherit the scan's split count — one round-robin exchange of the
+      // narrow pre-kernel rows spreads it across every core
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         val data = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

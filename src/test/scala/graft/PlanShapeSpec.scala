@@ -292,11 +292,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global range sort crept into the per-key rolling stats:\n${p.take(1200)}")
   }
 
-  test("archive and compression codecs: every per-doc codec key is map-only") {
-    Seq("text_gunzip", "deflate_roundtrip", "snappy_roundtrip", "lz4_roundtrip",
-      "rans_roundtrip", "utf8_stats").foreach { key =>
+  test("archive and compression codecs: per-doc kernels, no joins") {
+    // round 17: the EXPENSIVE roundtrip kernels (full deflate/gzip, LZMA,
+    // zstd, brotli) carry the one staging round-robin exchange (scan-split
+    // decoupling — see the staging-exchange family below); the cheap ones
+    // stay strictly map-only. Neither class may join, and nothing may add
+    // a hash exchange.
+    Seq("snappy_roundtrip", "lz4_roundtrip", "rans_roundtrip",
+      "utf8_stats").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
+      assert(!p.contains("Join"), s"$key must not join")
+    }
+    Seq("text_gunzip", "deflate_roundtrip", "zstd_roundtrip", "xz_lzma_roundtrip",
+      "brotli_roundtrip", "brotli_q1_roundtrip").foreach { key =>
+      val p = plan(QueryCatalog.queries(key)(spark, sf))
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1, s"$key: one staging exchange expected, got $exchanges:\n${p.take(1200)}")
+      assert(p.contains("REPARTITION_BY_NUM") || p.contains("RoundRobinPartitioning"),
+        s"$key: the staging exchange must be the round-robin repartition")
       assert(!p.contains("Join"), s"$key must not join")
     }
   }
@@ -461,9 +475,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoCartesian(p)
   }
 
-  test("zstd_roundtrip is map-only — zero exchanges") {
+  test("zstd_roundtrip: per-doc kernel behind one staging exchange") {
     val p = plan(QueryCatalog.queries("zstd_roundtrip")(spark, sf))
-    assert(!p.contains("Exchange"), s"codec keys must not shuffle:\n${p.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"one staging exchange expected, got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "zstd_roundtrip must not join")
   }
 
   test("bitmap_and_compressed: container equi-join, no cartesian, no base-scan join") {
@@ -513,21 +529,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // books/office/codec ingestion is one typed flatMap per document —
     // a shuffle or join appearing here means fixture staging or decode
     // stopped being per-row
-    // the keys whose fixture writers stage CHEAP documents: no exchange
-    // anywhere — decode is per-row and the single-partition scan is fine
-    Seq("rtf_extract", "latex_extract", "markdown_extract",
-      "multimodal_webp_decode",
-      "audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
-      "sentence_split", "exif_meta", "exif_strip",
-      "doc_extract", "xls_cells", "msg_extract",
-      "ics_events", "vcard_contacts", "toml_entries",
-      "java_properties", "svg_text", "svg_meta",
-      "eml_extract", "yaml_entries",
-      "orc_meta", "arrow_batches", "cpio_entries",
-      "class_meta", "elf_meta",
-      "safetensors_meta", "npy_meta", "pickle_scan",
-      "wasm_meta", "pe_meta", "bson_docs", "macho_meta",
-      "dex_classes").foreach { key =>
+    // the keys whose kernels are genuinely cheap: no exchange anywhere —
+    // decode is per-row and the single-partition scan is fine (round 17:
+    // everything measured >= ~0.4s steady moved to the staging-exchange
+    // family below; what remains is expression-level text work and the
+    // already-staged arrow fixture)
+    Seq("audio_flac_frame_stats", "ogg_streams", "cjk_tokens", "unicode_nfkc",
+      "sentence_split", "arrow_batches").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       assert(!p.contains("Exchange"), s"$key must not shuffle:\n${p.take(1200)}")
       assert(!p.contains("Join"), s"$key must not join")
@@ -545,10 +553,26 @@ class PlanShapeSpec extends AnyFunSuite {
     // page stacks, and gguf tensor blocks, the most expensive writers in
     // the family; measured single-split at 2.4/2.1/0.9s steady they were
     // the suite's last single-core hot paths)
+    // (round 17, second wave: every per-doc render/decode kernel measured
+    // >= ~0.4s steady on the single-split bench corpus joined the family —
+    // their kernels are full format writers + from-scratch decoders, the
+    // very class the staging exchange exists for)
     Seq("pdf_extract", "epub_extract", "docx_extract", "odt_extract",
       "pptx_extract", "xlsx_extract", "ipynb_cells", "git_objects",
       "gpx_points", "ppt_extract", "deb_extract", "rpm_meta",
-      "ttf_meta", "sqlite_rows", "parquet_meta", "gguf_meta").foreach { key =>
+      "ttf_meta", "sqlite_rows", "parquet_meta", "gguf_meta",
+      "rtf_extract", "latex_extract", "markdown_extract",
+      "multimodal_webp_decode", "exif_meta", "exif_strip",
+      "doc_extract", "xls_cells", "msg_extract",
+      "ics_events", "vcard_contacts", "toml_entries",
+      "java_properties", "svg_text", "svg_meta",
+      "eml_extract", "yaml_entries", "orc_meta", "cpio_entries",
+      "class_meta", "elf_meta",
+      "safetensors_meta", "npy_meta", "pickle_scan",
+      "wasm_meta", "pe_meta", "bson_docs", "macho_meta",
+      "dex_classes", "msgpack_items", "sst_entries", "cbor_items",
+      "midi_meta", "torrent_meta", "dicom_meta", "protobuf_scan",
+      "charset_decode", "content_extract").foreach { key =>
       val p = plan(QueryCatalog.queries(key)(spark, sf))
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges == 1, s"$key: one staging exchange expected, got $exchanges:\n${p.take(1200)}")
