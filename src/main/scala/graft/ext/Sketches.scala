@@ -67,6 +67,10 @@ object Sketches {
     val spark = docs.sparkSession
     val h = md5Hash60(col("token"), "")
     val regs = docs
+      .select(col(textCol))
+      // staging exchange (optimization guide §2.5): the md5-per-token rank
+      // probes must not inherit the scan's split count
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       // h is 60-bit: bucket/remainder must be integer ops (a double
@@ -147,7 +151,11 @@ object Sketches {
     val h = md5Hash60(col("token"), "")
     val regs = docs
       .filter(col(groupCol).isNotNull)
-      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("token"))
+      .select(col(groupCol).as("g"), col(textCol))
+      // staging exchange (optimization guide §2.5): the md5-per-token rank
+      // probes must not inherit the scan's split count
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("g"), explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .select(col("g"), (h % m).as("bucket"), rankCase(shiftright(h, b), rembits).as("rank"))
       .groupBy("g", "bucket")

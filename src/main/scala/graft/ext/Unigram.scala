@@ -253,6 +253,9 @@ object Unigram {
     docs
       .filter(col("doc_id").isNotNull && col("doc_id") >= 0 && col(textCol).isNotNull)
       .select(col("doc_id").cast("long"), col(textCol))
+      // staging exchange (optimization guide §2.5): the per-doc Viterbi DP
+      // must not inherit the scan's split count
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, t) =>
         val cs = t.split(' ').iterator.filter(_.nonEmpty).flatMap(chunksOf).toSeq
