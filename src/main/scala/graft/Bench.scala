@@ -91,6 +91,18 @@ object Bench {
       // ivf_topk_full 11.6s vs 1.1s — and a plain isolated run matches the
       // 40-key number). Sized to hold the whole suite's stages at once.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // AQE partition coalescing targets BYTES (parallelismFirst floors a
+      // partition at minPartitionSize, default 1m), which serializes
+      // CPU-DENSE stages whose whole shuffle is under a megabyte: measured
+      // here, the 16-archive decode stages coalesced to one task
+      // (wat_convert 1.77s -> 0.65s once coalescing stopped folding them).
+      // A 64k floor keeps those kernels wide while still merging genuinely
+      // empty slivers. Scale note: this floor only matters when a stage's
+      // TOTAL shuffle is ~MBs; at production volumes every partition
+      // clears any floor and the advisory size governs — override via
+      // SPARK_GRAFT_AQE_MIN_PARTITION (set "1m" for Spark's default).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JVM/codegen/parquet-reader initialization otherwise
