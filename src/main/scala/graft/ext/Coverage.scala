@@ -81,14 +81,39 @@ object Coverage {
     require(pool >= 1, "pool must be >= 1")
     require(maxPoolChars >= 1L, "maxPoolChars must be >= 1")
     val spark = docs.sparkSession
+    import spark.implicits._
     val norm = lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]+", " ")))
+    // per-doc distinct bigrams in one compiled flatMap (round 17): the
+    // previous explode(array_distinct(transform(sequence(...), i ->
+    // concat_ws(...)))) chain paid an interpreted lambda dispatch per gram
+    // (higher-order functions are CodegenFallback). Identical gram set:
+    // split on the same normalized string, adjacent pairs joined by one
+    // space, first-occurrence dedup per doc. Deliberately NOT widened with
+    // a staging exchange: the CELF driver rounds re-scan this persisted
+    // relation many times, and the single cached partition measured FASTER
+    // than 32 tiny ones for those pool passes (see OPTIMIZATION_r17.md).
     val grams = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("d"), split(norm, " ").as("__w"))
-      .filter(size(col("__w")) >= 2)
-      .select(col("d"), explode(expr(
-        "array_distinct(transform(sequence(1, size(__w) - 1), " +
-          "i -> concat_ws(' ', slice(__w, i, 2))))")).as("gr"))
+      .select(col(idCol).cast("long").as("d"), norm.as("__t"))
+      .as[(Long, String)]
+      .flatMap { case (d, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 2) Iterator.empty
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i < w.length - 1) {
+            seen.add(w(i) + " " + w(i + 1))
+            i += 1
+          }
+          val out = new Array[(Long, String)](seen.size())
+          val it = seen.iterator()
+          var j = 0
+          while (it.hasNext) { out(j) = (d, it.next()); j += 1 }
+          out.iterator
+        }
+      }
+      .toDF("d", "gr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val covered = scala.collection.mutable.HashSet.empty[String]

@@ -1597,9 +1597,25 @@ object Zstd {
     * the corpus. The driver key trains on the whole fixture table
     * because at test scale the fixture IS the sample.
     */
+  /** Code-point window slices of `t` — bitwise `substring(t, i·stride+1,
+    * win)` for every full window (Spark substring/length slice by code
+    * point). A compiled loop instead of the `transform(sequence(...), i ->
+    * substring(...))` chain the stages used before round 17: higher-order
+    * functions are CodegenFallback, so every gram paid an interpreted
+    * lambda dispatch — the dominant cost of dictTrain's two explodes.
+    */
+  private def cpSlices(t: String, win: Int, stride: Int): Iterator[String] = {
+    val cps = t.codePoints.toArray
+    val last = cps.length - win
+    if (last < 0) Iterator.empty
+    else Iterator.range(0, last + 1, stride).map(i => new String(cps, i, win))
+  }
+
   def dictTrain(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       segLen: Int = 64, stride: Int = 32, gramLen: Int = 8,
       topGrams: Int = 2048, nSegments: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs
       .filter(col(idCol).isNotNull && col(idCol) >= 0 && col(textCol).isNotNull)
       .select(col(textCol).as("text"))
@@ -1608,25 +1624,24 @@ object Zstd {
       // the 8-gram explosion onto one thread before the groupBy; a real
       // corpus scan is many partitions (see Pdf.encodePdf)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .as[String]
+    // docs shorter than the window produce no slices, exactly the old
+    // length(text) >= win filters
     val freqs = base
-      .filter(length(col("text")) >= gramLen)
-      .select(explode(expr(
-        s"transform(sequence(0, length(text) - $gramLen), i -> substring(text, i + 1, $gramLen))"))
-        .as("gram"))
+      .flatMap(t => cpSlices(t, gramLen, 1))
+      .toDF("gram")
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
     val topf = freqs
       .orderBy(col("cnt").desc, encode(col("gram"), "UTF-8"))
       .limit(topGrams)
     val segments = base
-      .filter(length(col("text")) >= segLen)
-      .select(explode(expr(
-        s"transform(sequence(0, (length(text) - $segLen) div $stride), j -> substring(text, j * $stride + 1, $segLen))"))
-        .as("segment"))
+      .flatMap(t => cpSlices(t, segLen, stride))
+      .toDF("segment")
       .distinct()
     val scored = segments
-      .select(col("segment"), explode(expr(
-        s"transform(sequence(0, ${segLen - gramLen}), k -> substring(segment, k + 1, $gramLen))"))
-        .as("gram"))
+      .as[String]
+      .flatMap(s => cpSlices(s, gramLen, 1).map(g => (s, g)))
+      .toDF("segment", "gram")
       .join(broadcast(topf), Seq("gram"), "left")
       .groupBy("segment")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("score"))
