@@ -130,16 +130,25 @@ object Bpe {
     var chain: org.apache.spark.sql.Column = col("mg")
     var depth = 0
     var retiring: DataFrame = null // collapsed-out base, unpersisted after the next action
-    val pairs = when(size(col("t")) < 2, array().cast("array<string>"))
-      .otherwise(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
     val learned = Seq.newBuilder[LearnedMerge]
     var k = 0
     while (k < rounds) {
+      // pair emission is one compiled flatMap (round 17): the former
+      // split + transform(sequence(...), i -> concat(element_at...)) +
+      // explode chain paid an interpreted lambda dispatch per pair per
+      // round (higher-order functions are CodegenFallback) — ~1.5M pairs
+      // x `rounds` on the fixture. The replace chain stays a codegen'd
+      // Column inside the select; identical pair strings
+      // (split-on-space adjacency, single-space join).
       val best = base
         .select(chain.as("mg"))
-        .select(split(col("mg"), " ").as("t"))
-        .select(explode(pairs).as("p"))
+        .as[String]
+        .flatMap { mg =>
+          val t = mg.split(" ", -1)
+          if (t.length < 2) Iterator.empty
+          else Iterator.range(0, t.length - 1).map(i => t(i) + " " + t(i + 1))
+        }
+        .toDF("p")
         .groupBy("p").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, md5(col("p").cast("binary")).asc)
         .limit(1)
