@@ -160,8 +160,8 @@ object Dedup {
     *    unbounded true size (driver OOM at real scale).
     */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    Stage.spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(col("__text")).as("w"))
       .filter(size(col("w")) >= n)
       .select(col("id"), explode(ngramHashes(col("w"), n)).as("g"))
       .distinct()
@@ -952,8 +952,8 @@ object Dedup {
 
   /** 64-bit SimHash per doc from token hashes (sign of per-bit +-1 vote sums). */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val toks = Stage.spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val votes = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$j")
@@ -1027,8 +1027,8 @@ object Dedup {
     // longs per doc per partition); a (id, token, tf) pre-aggregation would
     // cost a second full shuffle for no semantic difference, since the
     // votes are instance-count-weighted sums either way
-    val toks = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val toks = Stage.spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("t"))
       .filter(col("t") =!= "")
       .select(col("id"),
         conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("hi"),
@@ -1125,8 +1125,9 @@ object Dedup {
       textCol: String = "text",
       sep: String = "\n"): DataFrame = {
     require(sep.nonEmpty, "separator must be non-empty")
-    val base = docs.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("__id"), split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__xs"))
+    val base = Stage.spread(docs.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("__id"), col(textCol).as("__text")))
+      .select(col("__id"), split(col("__text"), java.util.regex.Pattern.quote(sep)).as("__xs"))
     val lines = base.select(col("__id"), posexplode(col("__xs")).as(Seq("__pos", "__l")))
     // one row per distinct line: the (id, pos)-minimal occurrence. max(__l)
     // is the line itself for every group barring an MD5 collision (in which

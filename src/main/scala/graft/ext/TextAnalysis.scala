@@ -408,35 +408,53 @@ object TextAnalysis {
     * boilerplate/template signal used to down-weight or drop repetitive
     * docs.
     *
-    * The total gram count is pure arithmetic (`len(tokens) - n + 1`, no
-    * gram materialization at all); only the DISTINCT count builds grams,
-    * via explode + per-doc aggregate. A per-row
-    * `size(array_distinct(wordNgrams(...)))` form is 10x+ slower: the
-    * n-gram higher-order function evaluates interpreted, and every column
-    * referencing the shared subexpression re-evaluates it per row.
+    * Both counts are PER-DOC facts, so the whole operator is one compiled
+    * per-doc pass (round 17, optimization guide §2.4/§4): normalization
+    * stays a codegen'd Column (the [[graft.ext.Coverage]] convention —
+    * engine semantics for lower/trim/regexp stay Spark's), and a typed
+    * map counts grams and distinct grams through one HashSet. The
+    * previous explode + two-phase countDistinct + join-back shape paid
+    * two aggregate exchanges and a join for what one linear scan
+    * computes; the round-robin staging exchange spreads the kernel off
+    * the single scan split (§2.5 input-skew shape at the small end, a
+    * no-op at cluster scale where the scan has many splits).
     */
   def repetitionRatio(
       docs: DataFrame,
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("id"),
-      greatest(size(tokens(col(textCol))) - (n - 1), lit(0)).cast("long").as("n_grams"))
-    val dist = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("id"), explode(wordNgrams(col("w"), n)).as("g"))
-      .groupBy("id")
-      .agg(countDistinct(col("g")).as("n_distinct_grams"))
-    base.join(dist, Seq("id"), "left")
-      .select(
-        col("id").as(idCol),
-        col("n_grams"),
-        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
-        when(col("n_grams") > 0,
-          (col("n_grams") - coalesce(col("n_distinct_grams"), lit(0L))).cast("double") / col("n_grams"))
-          .otherwise(lit(0.0)).as("dup_ratio"))
+    require(n >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Stage.spread(docs.select(col(idCol).cast("long").as("id"), normText(col(textCol)).as("__t")))
+      .as[(java.lang.Long, String)]
+      .map { case (id, t) =>
+        // split(" ", -1) mirrors Spark's split(): trailing empties kept,
+        // empty text -> [""] (n_grams 0 for any n >= 2 either way)
+        val w = if (t == null) null else t.split(" ", -1)
+        val nGrams = if (w == null) 0 else math.max(w.length - (n - 1), 0)
+        if (nGrams == 0) (id, 0L, 0L, 0.0)
+        else {
+          val seen = new java.util.HashSet[String]()
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i < nGrams) {
+            sb.setLength(0)
+            var k = 0
+            while (k < n) {
+              if (k > 0) sb.append(' ')
+              sb.append(w(i + k))
+              k += 1
+            }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val d = seen.size.toLong
+          (id, nGrams.toLong, d, (nGrams - d).toDouble / nGrams)
+        }
+      }
+      .toDF(idCol, "n_grams", "n_distinct_grams", "dup_ratio")
   }
 
   /** Corpus-trained bigram language-model fluency score — the KenLM-style
@@ -473,8 +491,8 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bi = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+    val bi = Stage.spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(col("__text")).as("__w"))
       .filter(size(col("__w")) >= 2)
       .select(col("id"), posexplode(wordNgrams(col("__w"), 2)).as(Seq("pos", "g")))
       .withColumn("w1", substring_index(col("g"), " ", 1))
