@@ -88,14 +88,22 @@ object CurationPipeline {
     qualityLangTail(exactDeduped.join(losers, Seq("doc_id"), "left_anti"), params)
   }
 
-  /** Stage 1: exact dedup + optional parquet staging (see [[curate]] docs). */
+  /** Stage 1: exact dedup + optional parquet staging (see [[curate]] docs).
+    *
+    * The staged relation is PROJECTED to (doc_id, text) before the write
+    * (optimization guide §2.3 — project before the exchange/write): both
+    * consumers (the LSH verify stage and [[qualityLangTail]], which
+    * derives n_chars/tokens/lang from the text itself) read exactly these
+    * two columns, so staging the corpus' other columns would write and
+    * re-read dead bytes on every branch.
+    */
   private def exactStage(
       docs: DataFrame,
       materialize: Boolean,
       stageDir: Option[String]): DataFrame = {
     // 1. exact duplicates: keep the keeper ids only
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val exactDeduped0 = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val exactDeduped0 = docs.select("doc_id", "text").join(keepers, Seq("doc_id"), "left_semi")
     val exactDeduped =
       if (materialize) {
         val spark = docs.sparkSession

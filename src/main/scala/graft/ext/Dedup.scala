@@ -898,6 +898,84 @@ object Dedup {
     *
     * Output: id_a < id_b, jaccard (exact) >= threshold.
     */
+  /** Locally-deduped word-n-gram xxhash64(seed 42) hashes of one NORMALIZED
+    * text — the compiled per-doc form of `distinct-per-doc docGrams rows`
+    * (round 17, optimization guide §2.4/§4): [[graft.functions
+    * .NgramHashKernel]] hashes each window's tokens single-space-joined,
+    * and normalization has already collapsed whitespace to single spaces,
+    * so every gram's bytes are exactly a byte RANGE of the normalized text
+    * (a space is ASCII and cannot occur inside a UTF-8 multibyte
+    * sequence) — zero string allocation, bitwise the expression chain's
+    * longs (pinned in DedupSpec). Empty when the text has fewer than `n`
+    * tokens, mirroring the `size(w) >= n` pre-filter.
+    */
+  private[ext] def distinctGramHashes(t: String, n: Int): Array[Long] = {
+    if (t == null) return Array.emptyLongArray
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var tok = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { ends(tok) = i; tok += 1; starts(tok) = i + 1 }
+      i += 1
+    }
+    ends(tok) = bytes.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var g = 0
+    while (g <= nTok - n) {
+      val off = starts(g)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off, ends(g + n - 1) - off, 42L))
+      g += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** The (id, sz, bk) banded relation of [[minhashBanded]] from the same
+    * per-doc gram hashes: MinHash lane `i` is `min over grams g of
+    * xxhash64(g, i)` — Spark's multi-arg xxhash64 chains
+    * `hashInt(i, hashLong(g, 42))`, so the inner `hashLong(g, 42)` is
+    * computed once per gram and salted per lane — and band `b`'s key is
+    * `xxhash64(h_{b·r}, …, h_{b·r+r−1})`, the same left-fold with seed 42.
+    * Bitwise equality with the expression builders is pinned in DedupSpec.
+    */
+  private[ext] def minhashBandRows(
+      gs: Array[Long], numHashes: Int, bands: Int): Iterator[(Int, Long)] = {
+    if (gs.isEmpty) return Iterator.empty
+    val rows = numHashes / bands
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var gi = 0
+    while (gi < gs.length) {
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(gs(gi), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, base)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      gi += 1
+    }
+    (0 until bands).iterator.map { b =>
+      var k = 42L
+      var r = 0
+      while (r < rows) {
+        k = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(b * rows + r), k)
+        r += 1
+      }
+      (b, k)
+    }
+  }
+
   def minhashLshVerifiedPairs(
       docs: DataFrame,
       numHashes: Int = 64,
@@ -911,18 +989,41 @@ object Dedup {
     // arrays (as minhashLshPairs does for its est_jaccard output) would ship
     // 2x64 longs per band collision and pay an interpreted 64-element fold
     // per candidate, all to produce a column this path discards.
-    // ONE gram relation object feeds signatures, df counts, and both verify
-    // sides — object-identical subtrees are what exchange/stage reuse needs
-    // to avoid re-tokenizing the corpus once per branch. Round-7 shape
-    // (the ngramJaccardPairs playbook): per-doc sizes ride the signature
-    // aggregate and travel through the band pair emission as struct
-    // payloads, eliminating both size joins; the hot-gram cap is a window
-    // count on the gram relation's g-exchange, not a df aggregate
+    // Round 17 (optimization guide §2.4): the gram relation and the banded
+    // signature relation are both emitted by the compiled per-doc kernels
+    // over ONE shared spread of the normalized corpus — the gram relation
+    // needs no distinct exchange (dedup is per-doc and the kernel dedups
+    // locally; (id, g) duplicates cannot span docs), and the signature
+    // needs no groupBy(id) exchange (every gram of a doc is local to its
+    // row). Both builders hash bitwise what the expression forms hash
+    // (DedupSpec pins kernel == expression on a hostile fixture), so
+    // candidate semantics and the oracle are unchanged. Round-7 shape
+    // retained: per-doc sizes travel through the band pair emission as
+    // struct payloads, eliminating both size joins; the hot-gram cap is a
+    // window count on the gram relation's g-exchange, not a df aggregate
     // broadcast back as a semi-join build side (which at corpus scale
     // broadcast nearly every distinct gram — a driver hazard). Sizes still
     // use ALL grams; the cap limits only the intersection evidence.
-    val grams = docGrams(docs, idCol, textCol, shingleSize)
-    val banded = minhashBanded(grams, numHashes, bands) // null ids filtered in the builder
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normed = Stage.spread(
+      docs.select(col(idCol).cast("long").as("id"), normText(col(textCol)).as("__t")))
+    val grams = normed.as[(java.lang.Long, String)]
+      .flatMap { case (id, t) =>
+        distinctGramHashes(t, shingleSize).iterator
+          .map(g => (id, java.lang.Long.valueOf(g)))
+      }
+      .toDF("id", "g")
+    val banded = normed.filter(col("id").isNotNull).as[(java.lang.Long, String)]
+      .flatMap { case (id, t) =>
+        val gs = distinctGramHashes(t, shingleSize)
+        minhashBandRows(gs, numHashes, bands).map { case (b, k) =>
+          (id, java.lang.Long.valueOf(gs.length.toLong), b, k)
+        }
+      }
+      .toDF("id", "sz", "band", "key")
+      .select(col("id"), col("sz"), struct(col("band"), col("key")).as("bk"))
     val cands = orderedPairsWithinGroups(
         banded, col("bk"), struct(col("id"), col("sz")), maxGroup = 1L << 20,
         observeTag = "minhash_verified_bands")
@@ -1180,7 +1281,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val grams = docGrams(docs.filter(col(idCol).isNotNull), idCol, textCol, n)
+    // per-doc distinct grams from the compiled kernel (round 17): dedup is
+    // a PER-DOC fact, so the (id, g) DISTINCT exchange the expression form
+    // paid buys nothing — the kernel dedups locally and the relation goes
+    // straight into the df aggregate (bitwise the same rows; DedupSpec
+    // pins kernel == ngram_hashes + distinct)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = Stage.spread(docs.filter(col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"), normText(col(textCol)).as("__t")))
+      .as[(java.lang.Long, String)]
+      .flatMap { case (id, t) =>
+        distinctGramHashes(t, n).iterator.map(g => (id, java.lang.Long.valueOf(g)))
+      }
+      .toDF("id", "g")
     val dfreq = grams.groupBy("g").agg(count(lit(1)).as("__df"))
     val perDoc = grams.join(dfreq, Seq("g"))
       .groupBy("id")

@@ -185,13 +185,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "surviving docs must come from an anti-join")
   }
 
-  test("gram dedup paths use the native ngram_hashes kernel, not interpreted HOFs") {
+  test("gram dedup paths use compiled gram kernels, not interpreted HOFs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    Seq(Dedup.ngramJaccardPairs(docs), Dedup.minhashLshVerifiedPairs(docs)).foreach { df =>
-      val p = plan(df)
-      assert(p.contains("ngram_hashes"), s"native gram kernel missing:\n${p.take(1200)}")
-      assert(!p.contains("transform("), "interpreted per-gram transform back in the hot path")
-    }
+    // ngramJaccardPairs hashes grams in the native ngram_hashes expression;
+    // minhashLshVerifiedPairs moved to the per-doc typed kernel (round 17:
+    // distinctGramHashes + minhashBandRows — shows as object serialization
+    // nodes, no distinct/groupBy exchanges on the gram relation). Both must
+    // stay off the interpreted per-gram transform(...) path.
+    val pJac = plan(Dedup.ngramJaccardPairs(docs))
+    assert(pJac.contains("ngram_hashes"), s"native gram kernel missing:\n${pJac.take(1200)}")
+    assert(!pJac.contains("transform("), "interpreted per-gram transform back in the hot path")
+    val pLsh = plan(Dedup.minhashLshVerifiedPairs(docs))
+    assert(pLsh.contains("SerializeFromObject"),
+      s"compiled per-doc minhash kernel missing:\n${pLsh.take(1200)}")
+    assert(!pLsh.contains("transform("), "interpreted per-gram transform back in the hot path")
+    assert(!pLsh.contains("ngram_hashes") || pLsh.contains("SerializeFromObject"),
+      "minhash gram build regressed to the expression chain")
   }
 
   test("stratum_cap: bounded aggregation + broadcast semi-join, never a rank window") {
@@ -219,10 +228,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Inner"), s"unexpected inner join (line self-join?) in:\n${p.take(2000)}")
   }
 
-  test("dup_ngram_fraction: native gram kernel, linear shuffles, no window") {
+  test("dup_ngram_fraction: compiled gram kernel, linear shuffles, no window") {
     val p = plan(QueryCatalog.queries("dup_ngram_fraction")(spark, sf))
     assertNoCartesian(p)
-    assert(p.contains("ngram_hashes"), "native gram kernel missing")
+    // round 17: grams come from the per-doc typed kernel (distinctGramHashes
+    // — shows as object serialization), which also removed the (id, g)
+    // distinct exchange the expression chain paid
+    assert(p.contains("SerializeFromObject"), "compiled per-doc gram kernel missing")
+    assert(!p.contains("transform("), "interpreted per-gram transform back in the hot path")
     assert(!p.contains("Window"), "df counting must stay an aggregate, not a rank window")
   }
 

@@ -70,6 +70,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhash per-doc kernels hash bitwise what the expression builders hash") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    // hostile fixture: repeated grams + case/whitespace noise, multibyte
+    // UTF-8 tokens, exactly-n tokens, sub-n tokens, empty text
+    val d = docs(
+      1L -> "Alpha   beta GAMMA beta gamma beta gamma",
+      2L -> "héllo wörld 中文 分词 test ünicode bytes",
+      3L -> "one two three",
+      4L -> "too short",
+      5L -> "")
+    val expGrams = d
+      .select(col("doc_id"), explode(ngramHashes(tokens(col("text")), 3)).as("g"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val norms = d
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kerGrams = norms.flatMap { case (id, t) =>
+      Dedup.distinctGramHashes(t, 3).map(g => (id, g))
+    }.toSet
+    assert(kerGrams == expGrams, "kernel gram hashes diverge from ngram_hashes + distinct")
+    val sigs = Dedup.minhashSignatures(d, numHashes = 64)
+    val bandCols = (0 until 32).map(b => xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as(s"k$b"))
+    val expBands = sigs.select(col("id") +: bandCols: _*).collect()
+      .flatMap(r => (0 until 32).map(b => (r.getLong(0), b, r.getLong(1 + b)))).toSet
+    val kerBands = norms.flatMap { case (id, t) =>
+      Dedup.minhashBandRows(Dedup.distinctGramHashes(t, 3), 64, 32)
+        .map { case (b, k) => (id, b, k) }
+    }.toSet
+    assert(kerBands == expBands, "kernel band keys diverge from the xxhash64 expression chain")
+  }
+
   test("minhash signatures: identical docs collide on every component") {
     val d = docs(1L -> "one two three four five six", 2L -> "one two three four five six")
     val sigs = Dedup.minhashSignatures(d, numHashes = 16).collect()
