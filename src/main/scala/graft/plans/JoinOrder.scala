@@ -99,13 +99,38 @@ object JoinOrder {
   /** Collect the exact stats and emit all connected left-deep orders:
     * (ord, est_cost, est_rows). `tables` maps relation name -> frame
     * with the standard TPC-H prefixed columns (n_nationkey, ...).
+    *
+    * Stats gathering (round 17, optimization guide §2.6): the previous
+    * form ran 10 sequential driver jobs (4 counts + 6 countDistincts);
+    * each relation's cardinality and its key distinct-counts now ride
+    * ONE aggregate, and the 4 per-table aggregates run as concurrent
+    * jobs from a small driver pool — actions are only sequential because
+    * the driver calls them sequentially. Exact counts either way, so the
+    * emitted costs are bit-identical.
     */
   def enumerate(spark: SparkSession, tables: Map[String, DataFrame]): DataFrame = {
     val prefix = Map("nation" -> "n", "customer" -> "c", "orders" -> "o", "lineitem" -> "l")
-    val card = Relations.map(r => r -> tables(r).count()).toMap
-    val distinct = DistinctStats.map { case (r, k) =>
-      (r, k) -> tables(r).select(countDistinct(col(s"${prefix(r)}_$k"))).head.getLong(0)
-    }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Relations.size)
+    val (card, distinct) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val perTable = Relations.map { r =>
+          val keys = DistinctStats.collect { case (`r`, k) => k }
+          r -> scala.concurrent.Future {
+            spark.sparkContext.setJobDescription(s"join_order_dp: stats($r)")
+            val aggs = count(lit(1)).as("__n") +:
+              keys.map(k => countDistinct(col(s"${prefix(r)}_$k")).as(k))
+            val row = tables(r).agg(aggs.head, aggs.tail: _*).head()
+            (row.getLong(0), keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i + 1) }.toMap)
+          }
+        }
+        val rows = perTable.map { case (r, f) =>
+          r -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        }
+        (rows.map { case (r, (n, _)) => r -> n }.toMap,
+          rows.flatMap { case (r, (_, ds)) => ds.map { case (k, v) => (r, k) -> v } }.toMap)
+      } finally pool.shutdown()
     val rows = ConnectedOrders.map { ord =>
       val (cost, fin) = costOf(ord, card, distinct)
       Row(ord.map(prefix).mkString("."), cost, fin)
